@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 scripts/check.py <verify_out_dir> <sf_dir>
+
+Reads each <out>/<name> parquet (Spark result) and oracle_sql.json,
+runs the oracle SQL in DuckDB over the sf_dir parquet tables, and
+compares: columns sorted by name, rows sorted, values normalized.
+Dev-only tool — not part of the Scala library.
+"""
+import sys, os, json, glob, math, datetime, decimal
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v.normalize())
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    n_pass = n_fail = 0
+    results = {}
+    for name in sorted(oracles):
+        spark_path = os.path.join(out_dir, name)
+        if not glob.glob(os.path.join(spark_path, "*.parquet")):
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            results[name] = "no-output"
+            continue
+        try:
+            sdf = con.execute(
+                f"SELECT * FROM read_parquet('{spark_path}/*.parquet')")
+            scols = [d[0] for d in sdf.description]
+            srows = sdf.fetchall()
+            odf = con.execute(oracles[name])
+            ocols = [d[0] for d in odf.description]
+            orows = odf.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: exec error: {e}")
+            n_fail += 1
+            results[name] = "error"
+            continue
+        sc, sr = canon(scols, srows)
+        oc, orr = canon(ocols, orows)
+        if [c.lower() for c in sc] != [c.lower() for c in oc]:
+            print(f"FAIL {name}: columns {sc} vs {oc}")
+            n_fail += 1
+            results[name] = "cols"
+        elif sr != orr:
+            n_fail += 1
+            results[name] = "rows"
+            diff = [i for i, (a, b) in enumerate(zip(sr, orr)) if a != b]
+            msg = f"rows {len(sr)} vs {len(orr)}"
+            if diff:
+                i = diff[0]
+                msg += f"; first diff @{i}: spark={sr[i]} oracle={orr[i]}"
+            elif len(sr) != len(orr):
+                long, short = (sr, orr) if len(sr) > len(orr) else (orr, sr)
+                extra = [r for r in long if r not in short][:2]
+                msg += f"; extra rows: {extra}"
+            print(f"FAIL {name}: {msg}")
+        else:
+            n_pass += 1
+            results[name] = "ok"
+            print(f"PASS {name} ({len(sr)} rows)")
+    # rows-only queries (declared but no oracle)
+    for p in sorted(glob.glob(os.path.join(out_dir, "*"))):
+        name = os.path.basename(p)
+        if os.path.isdir(p) and name not in oracles:
+            try:
+                n = con.execute(
+                    f"SELECT count(*) FROM read_parquet('{p}/*.parquet')").fetchone()[0]
+                status = "rows-only OK" if n > 0 else "rows-only EMPTY"
+                print(f"{status} {name} ({n} rows)")
+            except Exception as e:
+                print(f"rows-only FAIL {name}: {e}")
+    print(f"\n{n_pass} pass / {n_fail} fail of {len(oracles)} oracle-checked")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines ([EXT] per the
+  * north star). Four families — exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard — all expressed as shuffle-bounded DataFrame plans:
+  *
+  *  - exact: one hash-partitioned groupBy on the dedup key.
+  *  - MinHash/LSH: per-row signature (narrow), explode to (band,
+  *    bucket) — b rows per doc — then one groupBy per band bucket.
+  *    Candidate verification only touches rows sharing a bucket, so
+  *    the O(n²) pair space is never materialized. This is the
+  *    standard shingle→minhash→band→bucket-join pipeline (Broder;
+  *    MMDS ch.3) and scales linearly in corpus size at fixed b/r.
+  *  - SimHash: 64-bit signature via one explode + re-aggregate.
+  *  - n-gram Jaccard: exact verify on LSH candidates via
+  *    array_intersect/array_union on shingle sets.
+  */
+object Dedup {
+
+  // ---------- exact ----------
+
+  /** Exact dedup: keep the lowest-id row per identical value of `key`.
+    * Window over the key — a single hash shuffle; at 100 TB prefer the
+    * groupBy(min) + semi-join form, identical semantics. */
+  def exactDedup(df: DataFrame, key: Column, id: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(id.asc)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
+  // ---------- MinHash + LSH ----------
+
+  /** Per-row MinHash signature of `numHashes` mins over word-shingle
+    * hashes; hash family = xxhash64 seeded by the function index. All
+    * narrow ops (no shuffle). */
+  def withMinhashSignature(df: DataFrame, text: Column, shingleSize: Int,
+      numHashes: Int): DataFrame = {
+    val sh = TextFunctions.shingles(text, shingleSize)
+    val sig = array((0 until numHashes).map { i =>
+      array_min(transform(sh, s => xxhash64(lit(i), s)))
+    }: _*)
+    df.withColumn("minhash_sig", sig)
+  }
+
+  /** Explode a signature into (band_id, band_hash) rows: `bands` bands
+    * of `rowsPerBand` hashes each, hashed per band. */
+  def withBands(df: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band_id"),
+        xxhash64(slice(col("minhash_sig"), b * rowsPerBand + 1, rowsPerBand)
+          .cast("array<string>").cast("string")).as("band_hash"))
+    }
+    df.withColumn("band", explode(array(bandCols: _*)))
+      .withColumn("band_id", col("band.band_id"))
+      .withColumn("band_hash", col("band.band_hash"))
+      .drop("band")
+  }
+
+  /** Candidate duplicate pairs: ids sharing any (band_id, band_hash)
+    * bucket. Returns (id_a, id_b) with id_a < id_b, distinct. */
+  def lshCandidatePairs(banded: DataFrame, id: String): DataFrame = {
+    val l = banded.select(col("band_id"), col("band_hash"), col(id).as("id_a"))
+    val r = banded.select(col("band_id"), col("band_hash"), col(id).as("id_b"))
+    l.join(r, Seq("band_id", "band_hash"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Greedy keep-first MinHash dedup: drop any doc that shares an LSH
+    * bucket with a lower-id doc. One groupBy over buckets computes the
+    * per-bucket min id; a doc survives iff it is the min of every
+    * bucket it falls in. */
+  def minhashDedup(df: DataFrame, text: Column, id: String,
+      shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val banded = withBands(
+      withMinhashSignature(df, text, shingleSize, numHashes),
+      bands, rowsPerBand)
+    val bucketMin = banded.groupBy("band_id", "band_hash")
+      .agg(min(col(id)).as("bucket_min"))
+    val keepIds = banded.join(bucketMin, Seq("band_id", "band_hash"))
+      .groupBy(col(id))
+      .agg(max(when(col("bucket_min") < col(id), 1).otherwise(0)).as("dominated"))
+      .where(col("dominated") === 0)
+      .select(col(id))
+    df.join(keepIds, Seq(id), "left_semi")
+  }
+
+  // ---------- SimHash ----------
+
+  /** 64-bit SimHash per row: explode token hashes, sum ±1 per bit
+    * position, sign-pack. One shuffle keyed by `id`. */
+  def withSimhash(df: DataFrame, text: Column, id: String): DataFrame = {
+    val toks = TextFunctions.tokens(lower(text))
+    val hashed = df.select(col(id), explode(toks).as("tok"))
+      .select(col(id), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$j")
+    }
+    val packed = (0 until 64).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sigs = hashed.groupBy(col(id)).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(id), packed.as("simhash"))
+    df.join(sigs, Seq(id), "left")
+  }
+
+  /** Hamming distance between two packed 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---------- n-gram Jaccard ----------
+
+  /** Exact Jaccard over shingle sets for LSH candidate pairs; returns
+    * (id_a, id_b, jaccard) for pairs >= threshold. Only candidate pairs
+    * are verified — the corpus-wide cross join never exists. */
+  def jaccardVerify(df: DataFrame, text: Column, id: String,
+      candidates: DataFrame, shingleSize: Int, threshold: Double): DataFrame = {
+    val sh = df.select(col(id).as("__jid"),
+      TextFunctions.shingles(text, shingleSize).as("__sh"))
+    candidates
+      .join(sh.withColumnRenamed("__jid", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("__jid", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+}

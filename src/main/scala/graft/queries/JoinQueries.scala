@@ -1,0 +1,133 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Join inventory (SURVEY.md §2.3 J1–J4). The reference's only join-shaped
+  * operation is the MERGE match (`Ingest:387-394`); the standard join
+  * surface is declared per SURVEY §2.3 so a reference user keeps full
+  * query capability.
+  *
+  * Scale notes baked into each plan:
+  *  - J1 is a fact-fact equi-join: both sides shuffle-hash/sort-merge on
+  *    the join key; AQE handles skew splits at runtime.
+  *  - J2 broadcasts the dimension tables (nation 25 rows, region 5 rows)
+  *    — zero shuffle of the fact side, exactly what the reference's
+  *    "broadcast join avoided via chunking" (README.md:33) should have
+  *    been on a modern runtime.
+  *  - J4 (as-of) deliberately avoids the O(n·m) non-equi join: one
+  *    shuffle by key, one per-key sort, last-non-null window — the plan
+  *    that still works when events is 100 TB.
+  */
+object JoinQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  def defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- J1 equi inner join, fact-to-fact, grouped revenue
+    "j1_inner_join" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_orderpriority")
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+              .cast("decimal(24,4)")).as("revenue"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS cnt,
+        sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,4))) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority""")),
+
+    // ---- J2 broadcast dimension join chain (customer ⋈ nation ⋈ region)
+    "j2_broadcast_join" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .join(broadcast(t(s, dir, "nation")),
+            $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(t(s, dir, "region")),
+            $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name")
+          .agg(count(lit(1)).as("cnt"))
+      },
+      Some("""SELECT r_name, count(*) AS cnt
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name""")),
+
+    // ---- J3a left outer (MERGE WHEN NOT MATCHED side, Ingest:390-394)
+    "j3a_left_outer" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left")
+          .groupBy($"c_custkey")
+          .agg(count($"o_orderkey").as("n_orders"))
+      },
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey""")),
+
+    // ---- J3b left semi = EXISTS (MERGE WHEN MATCHED)
+    "j3b_left_semi" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_semi")
+          .select($"c_custkey", $"c_name")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
+
+    // ---- J3c left anti = NOT EXISTS (customers with no events — the
+    // events.user_id key space covers only a prefix of custkeys)
+    "j3c_left_anti" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .join(t(s, dir, "events"), $"c_custkey" === $"user_id", "left_anti")
+          .select($"c_custkey", $"c_name")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)""")),
+
+    // ---- J4 [EXT] as-of join: for each 'purchase' event, the latest
+    // 'click' by the same user at ts' <= ts (the watermark comparison
+    // pattern of Ingest:280 generalized to event time). Implemented as
+    // union + keyed window with last(_, ignoreNulls) — a single shuffle
+    // by user_id, no non-equi join, no broadcast of the big side.
+    "j4_asof_join" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "events")
+        val clicks = e.where($"event_type" === "click")
+          .select($"user_id", $"ts", lit(null).cast("long").as("event_id"),
+            $"ts".as("click_ts"), lit(0).as("tag"))
+        val purchases = e.where($"event_type" === "purchase")
+          .select($"user_id", $"ts", $"event_id",
+            lit(null).cast("timestamp").as("click_ts"), lit(1).as("tag"))
+        // ties: tag 0 (click) sorts before tag 1 (purchase) at equal ts,
+        // so a same-instant click is visible to the purchase (<= semantics)
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"ts".asc, $"tag".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        clicks.union(purchases)
+          .withColumn("asof_ts", last($"click_ts", ignoreNulls = true).over(w))
+          .where($"tag" === 1)
+          .select($"event_id", $"user_id", $"ts", $"asof_ts")
+      },
+      Some("""SELECT e.event_id, e.user_id, e.ts,
+          (SELECT max(e2.ts) FROM events e2
+           WHERE e2.user_id = e.user_id AND e2.event_type = 'click'
+             AND e2.ts <= e.ts) AS asof_ts
+        FROM events e WHERE e.event_type = 'purchase'"""))
+  )
+}
