@@ -1,6 +1,7 @@
 package graft.operators
 
-import graft.functions.VectorFunctions._
+import graft.functions.{CosineSimilarity, VectorFunctions}
+import graft.functions.VectorFunctions.{hyperplaneBucket, makePlanes}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -24,7 +25,7 @@ object Similarity {
   def bruteForceTopK(df: DataFrame, embedding: String, id: String,
       query: Array[Float], k: Int): DataFrame = {
     val q = lit(query.map(_.toDouble))
-    df.withColumn("score", cosine(col(embedding), q))
+    df.withColumn("score", CosineSimilarity(col(embedding), q))
       .select(col(id), round(col("score"), 4).as("score"))
       .orderBy(col("score").desc, col(id).asc)
       .limit(k)
@@ -48,7 +49,7 @@ object Similarity {
     val q = lit(query.map(_.toDouble))
     indexed
       .where(bit_count(col("bucket").bitwiseXOR(lit(qBucket))) <= probeHamming)
-      .withColumn("score", cosine(col(embedding), q))
+      .withColumn("score", CosineSimilarity(col(embedding), q))
       .select(col(id), round(col("score"), 4).as("score"))
       .orderBy(col("score").desc, col(id).asc)
       .limit(k)
@@ -66,7 +67,7 @@ object Similarity {
       col(embedding).as("emb_b"))
     l.join(r, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("score", cosine(col("emb_a"), col("emb_b")))
+      .withColumn("score", CosineSimilarity(col("emb_a"), col("emb_b")))
       .where(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("score"), 4).as("score"))
   }

@@ -1,0 +1,210 @@
+package graft.pipeline
+
+import graft.model._
+import graft.plan.{ChunkPlanner, PathPlanner, WatermarkResolver}
+import graft.sources.{LakeWriter, Source}
+import graft.state.{ConfigStore, WatermarkStore}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+import java.time.LocalDate
+import scala.collection.mutable.ArrayBuffer
+import scala.util.control.NonFatal
+
+/** Volume-based load routing (SURVEY.md §2.8 C4, `Ingest:420-437`). */
+sealed trait Route
+object Route {
+  /** below limit → single overwrite + watermark update */
+  case object Full extends Route
+  /** above limit with watermark columns → chunked append + insert */
+  case object Chunked extends Route
+  /** above limit, no watermark → bulk overwrite + warning alert */
+  case object BulkWarn extends Route
+
+  def decide(stagedCount: Long, limit: Long, hasWatermark: Boolean): Route =
+    if (stagedCount < limit) Full
+    else if (hasWatermark) Chunked
+    else BulkWarn
+}
+
+/** Alert sink (S12, `Ingest:436-437,476-477`): the reference emails via a
+  * Databricks notebook; offline impl records to the audit log. */
+trait AlertSink { def alert(subject: String, body: String): Unit }
+final class LogAlertSink(log: AuditLog) extends AlertSink {
+  def alert(subject: String, body: String): Unit =
+    log.add(s"ALERT: $subject — $body")
+}
+
+/** Append-only audit log (`Ingest:57,66,461,470,481`): accumulate
+  * driver-side, flush once per run. */
+final class AuditLog {
+  private val entries = ArrayBuffer.empty[LogEntry]
+  def add(message: String, count: Long = 1): Unit =
+    entries.synchronized { entries += LogEntry(message, count) }
+  def flush(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val snapshot = entries.synchronized { entries.toSeq }
+    if (snapshot.nonEmpty)
+      spark.createDataset(snapshot).coalesce(1)
+        .write.mode(SaveMode.Append).parquet(path)
+  }
+  def snapshot: Seq[LogEntry] = entries.synchronized { entries.toSeq }
+}
+
+final case class IngestConfig(
+    configPath: String,
+    watermarkPath: String,
+    lakeBasePath: String,
+    auditPath: String,
+    singleBatchDataLimit: Long = 1000000L, // `Ingest:54` default
+    systemType: String = "offline",
+    databaseName: String = "sharestory", // hardcoded in MERGE, `Ingest:382`
+    lagHours: Int = 80, // F4, `Ingest:350`
+    runDate: LocalDate = LocalDate.now(java.time.ZoneOffset.UTC),
+    filesPerChunk: Int = 1)
+
+/** The main ingestion pipeline (SURVEY.md §3 E1): config fan-out →
+  * per-table watermark resolution → incremental scan → volume routing →
+  * (chunked) write → watermark commit, with per-table error containment.
+  *
+  * Deliberate upgrades over the reference, each documented at the site:
+  *  - staged frame cached once; the reference re-reads PostgreSQL
+  *    O(probes+chunks) times (`Ingest:318-340`)
+  *  - chunk plan from ONE count-cube job (ChunkPlanner) instead of a
+  *    probe job per level
+  *  - chunk writes loop over predicate filters of the cached frame; at
+  *    1000 executors each write is a narrow filtered pass, no re-scan
+  */
+final class Ingest(spark: SparkSession, source: Source, cfg: IngestConfig,
+    alerts: AlertSink, log: AuditLog) {
+
+  private val watermarks = new WatermarkStore(spark, cfg.watermarkPath)
+  private val configs = new ConfigStore(spark, cfg.configPath)
+
+  /** C1 config fan-out (`Ingest:446-451`): db configs × table configs
+    * matched on the task prefix, comma-split table lists. */
+  def planJobs(): Seq[TableJob] = {
+    val dbs = configs.activeGroup("dcx_postgresql_db_settings")
+    val tbls = configs.activeGroup("dcx_postgresql_table_settings")
+    for {
+      (dbKey, dbName) <- dbs.toSeq.sortBy(_._1)
+      task = dbKey.split("_")(0)
+      (tblKey, tblList) <- tbls.toSeq.sortBy(_._1)
+      if tblKey.split("_")(0) == task
+      spec <- tblList.split(",").map(_.trim).filter(_.nonEmpty)
+    } yield TableJob(task, dbName, spec)
+  }
+
+  def run(): RunReport = {
+    val jobs = planJobs()
+    log.add(s"planned ${jobs.size} table jobs")
+    val results = jobs.map { job =>
+      // C7 error containment: one table's failure never stops the run
+      // (`Ingest:471-477`, README.md:24)
+      try job.tableSpec -> Right(runTable(job))
+      catch {
+        case NonFatal(e) =>
+          val msg = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+          log.add(s"FAILED ${job.tableSpec}: $msg")
+          alerts.alert(s"load failed: ${job.tableSpec}", msg)
+          job.tableSpec -> Left(msg)
+      }
+    }
+    log.add("run complete")
+    log.flush(spark, cfg.auditPath)
+    RunReport(results)
+  }
+
+  def runTable(job: TableJob): Long = {
+    val paths = PathPlanner.resolve(job.tableSpec, cfg.lakeBasePath, cfg.runDate)
+    val raw = source.table(spark, paths.table)
+
+    // C2 watermark resolution: config override, else schema inference
+    val wmCols = WatermarkResolver.resolve(
+      configs.value("dcx_postgresql_watermark_settings",
+        WatermarkResolver.configKey(job.task, paths.table)),
+      raw.schema)
+
+    // C3 incremental vs full: apply the P9 range predicate when a
+    // watermark exists (pushed into the scan, as the reference pushes
+    // it into the PostgreSQL query string, `Ingest:464-468`)
+    val last = watermarks.lastLoad(cfg.systemType, cfg.databaseName, paths.table)
+    val staged0 = (last, wmCols) match {
+      case (Some(ts), cols) if cols.nonEmpty =>
+        // literal type must match the column flavor (TIMESTAMP vs NTZ)
+        val wmLit =
+          if (raw.schema(cols.head).dataType ==
+            org.apache.spark.sql.types.TimestampNTZType)
+            lit(ts.toLocalDateTime)
+          else lit(ts)
+        raw.where(coalesce(cols.map(col): _*) >= wmLit)
+      case _ => raw
+    }
+
+    // cache once — every probe and chunk below reuses it (the reference
+    // re-executes the source scan per probe and per chunk)
+    val staged = staged0.cache()
+    try {
+      val stagedCount = staged.count() // first materialization (E1 step 4)
+      log.add(s"${paths.table}: staged $stagedCount rows " +
+        s"(watermarks=${wmCols.mkString(",")}, incremental=${last.isDefined})")
+
+      Route.decide(stagedCount, cfg.singleBatchDataLimit, wmCols.nonEmpty) match {
+        case Route.Full =>
+          LakeWriter.write(staged, paths.filePath, SaveMode.Overwrite,
+            Some(cfg.filesPerChunk))
+          // full path updates but never inserts (reference quirk,
+          // `Ingest:424-426` insertconfig only on chunked)
+          commitWatermark(staged, wmCols, paths.table, insertIfMissing = false)
+          stagedCount
+
+        case Route.Chunked =>
+          val chunks = ChunkPlanner.plan(staged, wmCols, cfg.singleBatchDataLimit)
+          log.add(s"${paths.table}: ${chunks.size} chunks")
+          val ts = coalesce(wmCols.map(col): _*)
+          chunks.foreach { c =>
+            LakeWriter.write(staged.where(c.predicate(ts)), paths.filePath,
+              SaveMode.Append, Some(cfg.filesPerChunk))
+          }
+          commitWatermark(staged, wmCols, paths.table, insertIfMissing = true)
+          stagedCount
+
+        case Route.BulkWarn =>
+          // `Ingest:433-437`: oversize table without watermark — load
+          // anyway, warn loudly
+          alerts.alert(s"missing watermark: ${paths.table}",
+            s"$stagedCount rows loaded in one batch (limit " +
+              s"${cfg.singleBatchDataLimit}); add a watermark config")
+          LakeWriter.write(staged, paths.filePath, SaveMode.Overwrite,
+            Some(cfg.filesPerChunk))
+          stagedCount
+      }
+    } finally staged.unpersist()
+  }
+
+  /** C6 watermark commit: re-read written data, MAX(COALESCE(cols)) − lag,
+    * MERGE (`Ingest:344-415`). Re-reading the lake dir (not the staged
+    * frame) is load-bearing: it commits what was actually persisted. */
+  private def commitWatermark(written: DataFrame, wmCols: Seq[String],
+      table: String, insertIfMissing: Boolean): Unit = {
+    if (wmCols.nonEmpty) {
+      val maxRow = written
+        .agg(max(coalesce(wmCols.map(col): _*)).as("maxdate"))
+        .select(col("maxdate") - expr(s"INTERVAL ${cfg.lagHours} HOURS"))
+        .head()
+      if (!maxRow.isNullAt(0)) {
+        // TIMESTAMP columns surface as java.sql.Timestamp, TIMESTAMP_NTZ
+        // (parquet isAdjustedToUTC=false) as java.time.LocalDateTime
+        val ts = maxRow.get(0) match {
+          case t: Timestamp => t
+          case l: java.time.LocalDateTime => Timestamp.valueOf(l)
+          case d: java.sql.Date => new Timestamp(d.getTime)
+          case other => sys.error(s"unexpected watermark type: $other")
+        }
+        watermarks.commit(cfg.systemType, cfg.databaseName, table, ts,
+          insertIfMissing)
+        log.add(s"$table: watermark -> $ts")
+      }
+    }
+  }
+}

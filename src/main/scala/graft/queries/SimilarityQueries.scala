@@ -1,7 +1,59 @@
 package graft.queries
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+/** ANN similarity search over `embeddings` ([EXT]). Brute-force cosine
+  * top-k is the exact baseline (oracle-checked against a manual
+  * double-precision DuckDB expression — DuckDB's builtin
+  * list_cosine_similarity accumulates in float32 and diverges at 1e-7);
+  * the LSH variant is the partition-pruned scale path.
+  */
 object SimilarityQueries {
-  def defs: Seq[(String, QueryDef)] = Seq()
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** Query vector: embedding of vec_id 0 (single-row driver lookup). */
+  private def queryVec(s: SparkSession, dir: String): Array[Float] =
+    t(s, dir, "embeddings").where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+
+  def defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- SIM1 brute-force cosine top-10 (TakeOrderedAndProject: each
+    // partition keeps its local top-k — no global sort materialization)
+    "sim1_brute_topk" -> QueryDef(
+      (s, dir) => {
+        val q = queryVec(s, dir)
+        Similarity.bruteForceTopK(
+          t(s, dir, "embeddings").where(col("vec_id") =!= 0),
+          "embedding", "vec_id", q, k = 10)
+      },
+      Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, round(
+          list_sum(list_transform(range(1, len(embedding) + 1),
+            i -> embedding[i]::DOUBLE * qv[i]::DOUBLE)) /
+          (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) *
+           sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))), 4)
+          AS score
+        FROM embeddings, q WHERE vec_id <> 0
+        ORDER BY score DESC, vec_id ASC LIMIT 10""")),
+
+    // ---- SIM2 LSH-bucketed ANN top-10: probe only buckets within
+    // hamming distance 2 of the query bucket (partition-pruned scan)
+    "sim2_lsh_topk" -> QueryDef(
+      (s, dir) => {
+        val q = queryVec(s, dir)
+        val indexed = Similarity.index(
+          t(s, dir, "embeddings").where(col("vec_id") =!= 0),
+          "embedding", numPlanes = 6, dim = 64)
+        Similarity.lshTopK(indexed, "embedding", "vec_id", q,
+          numPlanes = 6, k = 10, probeHamming = 2)
+      },
+      None,
+      doc = "rows-only: approximate — bucket pruning changes the candidate set")
+  )
 }

@@ -1,7 +1,95 @@
 package graft.queries
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
+/** Structured Streaming surface (SURVEY.md §2.9). The reference
+  * implements micro-batch incremental semantics by hand (watermark
+  * predicate + chunk loop); these queries express the same concepts on
+  * the engine Spark provides:
+  *
+  *  - ST1: tumbling-window aggregation over the events stream, run as a
+  *    real `readStream` → memory-sink query (complete mode; the batch
+  *    oracle is the same grouped aggregate).
+  *  - ST2: stateful sessionization (30-min inactivity gap — the
+  *    mapGroupsWithState pattern), expressed as one shuffle by user +
+  *    per-key in-memory fold; the oracle is the gaps-and-islands SQL.
+  */
 object StreamingQueries {
-  def defs: Seq[(String, QueryDef)] = Seq()
+
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  def defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- ST1 streaming tumbling-window aggregation (1-day windows)
+    "st1_stream_tumbling" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val name = "st1_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        // The file stream source monitors a DIRECTORY; the testdata table
+        // is a single file, so stage it into a temp dir (tiny control-
+        // plane copy — a real deployment points at the landing dir).
+        val stageDir = java.nio.file.Files.createTempDirectory("st1_events")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(dir, "events.parquet"),
+          stageDir.resolve("events.parquet"))
+        val src = s.readStream.schema(eventsRawSchema)
+          .parquet(stageDir.toString)
+          .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        val agg = src
+          .groupBy(window($"ts", "1 day").as("win"), $"event_type")
+          .agg(count(lit(1)).as("cnt"),
+            sum($"value".cast("decimal(18,2)")).as("sum_value"))
+          .select($"win.start".as("win_start"), $"event_type", $"cnt",
+            $"sum_value")
+        val q = agg.writeStream.outputMode("complete")
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name)
+      },
+      Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
+        event_type, count(*) AS cnt,
+        sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        FROM events GROUP BY 1, 2""")),
+
+    // ---- ST2 sessionization with 30-minute inactivity gap: one shuffle
+    // by user_id, per-user sorted fold (the state a
+    // flatMapGroupsWithState session would hold, computed batch-side)
+    "st2_sessionize" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val gapMicros = 30L * 60 * 1000000
+        Tables(s, dir, "events")
+          .select($"user_id", unix_micros($"ts").as("us"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .mapGroups { (uid, it) =>
+            val times = it.map(_._2).toArray
+            java.util.Arrays.sort(times)
+            var sessions = if (times.isEmpty) 0L else 1L
+            var i = 1
+            while (i < times.length) {
+              if (times(i) - times(i - 1) > gapMicros) sessions += 1
+              i += 1
+            }
+            (uid, sessions, times.length.toLong)
+          }
+          .toDF("user_id", "n_sessions", "n_events")
+      },
+      Some("""SELECT user_id,
+        CAST(sum(CASE WHEN prev_ts IS NULL
+            OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_sessions,
+        CAST(count(*) AS BIGINT) AS n_events
+        FROM (SELECT user_id, ts,
+            lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+          FROM events) t
+        GROUP BY user_id"""))
+  )
 }

@@ -1,7 +1,98 @@
 package graft.queries
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+/** Text-analysis queries over `documents` ([EXT]: language-ID heuristic,
+  * quality scoring, token counting, fingerprinting — the
+  * pretraining-filter quartet). All column-function compositions
+  * (graft.functions.TextFunctions), no UDFs; each oracle mirrors the
+  * exact arithmetic in DuckDB.
+  */
 object TextQueries {
-  def defs: Seq[(String, QueryDef)] = Seq()
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  def defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- TX1 language-ID by distinctive-stopword heuristic
+    "tx1_langid" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id", $"lang", langGuess($"text").as("lang_guess"))
+      },
+      Some("""SELECT doc_id, lang,
+        CASE
+          WHEN strpos(' ' || lower(text) || ' ', ' the ') > 0
+            OR strpos(' ' || lower(text) || ' ', ' and ') > 0 THEN 'en'
+          WHEN strpos(' ' || lower(text) || ' ', ' der ') > 0
+            OR strpos(' ' || lower(text) || ' ', ' und ') > 0 THEN 'de'
+          WHEN strpos(' ' || lower(text) || ' ', ' le ') > 0
+            OR strpos(' ' || lower(text) || ' ', ' et ') > 0 THEN 'fr'
+          WHEN strpos(' ' || lower(text) || ' ', ' el ') > 0
+            OR strpos(' ' || lower(text) || ' ', ' y ') > 0 THEN 'es'
+          ELSE 'unknown'
+        END AS lang_guess
+        FROM documents""")),
+
+    // ---- TX2 quality scoring: punct / stopword ratios + composite
+    "tx2_quality" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id",
+            punctRatio($"text").as("punct_ratio"),
+            stopwordRatio($"text").as("stopword_ratio"),
+            qualityScore($"text").as("quality"))
+      },
+      Some("""SELECT doc_id,
+        round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
+          / length(text), 6) AS punct_ratio,
+        round(len(list_filter(string_split_regex(lower(text), '\s+'),
+            tk -> tk IN ('the','a','and','of','to','in','is')))::DOUBLE
+          / len(string_split_regex(lower(text), '\s+')), 6) AS stopword_ratio,
+        round((
+          (CASE WHEN length(text) >= 50 AND length(text) <= 20000 THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
+                / length(text), 6) < 0.1 THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN round(len(list_filter(string_split_regex(lower(text), '\s+'),
+                tk -> tk IN ('the','a','and','of','to','in','is')))::DOUBLE
+                / len(string_split_regex(lower(text), '\s+')), 6) > 0.01
+             THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+        FROM documents""")),
+
+    // ---- TX3 token counting: whitespace + BPE-ish regex pre-tokenizer
+    "tx3_tokens" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id",
+            tokenCount($"text").as("ws_tokens"),
+            bpeishTokenCount($"text").cast("int").as("bpeish_tokens"))
+      },
+      Some("""SELECT doc_id,
+        CAST(len(string_split_regex(text, '\s+')) AS INT) AS ws_tokens,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT)
+          AS bpeish_tokens
+        FROM documents""")),
+
+    // ---- TX4 document fingerprint: rolling hash over the token stream
+    // (list_reduce seeds with the first element; Spark side mirrors that
+    // fold shape exactly — see TextFunctions.fingerprintPortable)
+    "tx4_fingerprint" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id", fingerprintPortable($"text").as("fp"))
+      },
+      Some("""SELECT doc_id, list_reduce(
+          list_transform(string_split_regex(text, '\s+'),
+            w -> (ascii(w) * 31 + length(w)) % 1000000007),
+          (acc, x) -> (acc * 131 + x) % 1000000007) AS fp
+        FROM documents"""))
+  )
 }

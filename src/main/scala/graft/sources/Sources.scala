@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SaveMode, SparkSession}
+
+/** Source abstraction (SURVEY.md §2.1 S1–S4). The reference reads
+  * PostgreSQL via `.format("postgresql").option("query", …)`
+  * (`Ingest:287-297`); production path here is plain Spark JDBC with the
+  * same query pushdown, and the offline harness substitutes a
+  * parquet-backed source with identical semantics (filters/projections
+  * still push into the scan — structurally for parquet, remotely for
+  * JDBC).
+  */
+trait Source {
+  /** Full-table scan (`selectAllQuery`, P2). */
+  def table(spark: SparkSession, table: String): DataFrame
+}
+
+/** Offline source: one parquet file/dir per table under a base dir. */
+final class ParquetSource(baseDir: String) extends Source {
+  def table(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(s"$baseDir/$table.parquet")
+}
+
+/** Production JDBC source with query pushdown (S1). `partitionColumn`
+  * parallelism is deliberately supported — the reference reads on a
+  * single connection (`Ingest:291`, no partitionColumn), which is the
+  * first thing that breaks at scale. */
+final class JdbcSource(url: String, user: String, password: String,
+    fetchSize: Int = 10000) extends Source {
+  def table(spark: SparkSession, table: String): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("user", user).option("password", password)
+      .option("fetchsize", fetchSize)
+      .load()
+
+  def query(spark: SparkSession, sql: String,
+      partitionColumn: Option[(String, Long, Long, Int)] = None): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url).option("query", sql)
+      .option("user", user).option("password", password)
+      .option("fetchsize", fetchSize)
+    partitionColumn match {
+      case Some((col, lo, hi, n)) => base
+        .option("partitionColumn", col).option("lowerBound", lo)
+        .option("upperBound", hi).option("numPartitions", n).load()
+      case None => base.load()
+    }
+  }
+}
+
+/** Lake sink (S5/S6/S8, `Ingest:302-306`): parquet/"delta" dirs with
+  * append/overwrite modes, optional compaction coalesce and additive
+  * mergeSchema. Reference pins `coalesce(1)` — one file per chunk; ours
+  * makes N configurable because a single writer task serializes the
+  * write at scale. */
+object LakeWriter {
+  def write(df: DataFrame, path: String, mode: SaveMode,
+      coalesceTo: Option[Int] = Some(1),
+      mergeSchema: Boolean = true): Unit = {
+    val d = coalesceTo.map(df.coalesce).getOrElse(df)
+    d.write.mode(mode).option("mergeSchema", mergeSchema.toString)
+      .parquet(path)
+  }
+}

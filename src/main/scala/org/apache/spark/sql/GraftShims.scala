@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to Spark 4's private[sql] Column <-> Expression conversion,
+  * needed to expose custom Catalyst expressions (graft.functions.*) as
+  * user-facing Columns. Lives in the org.apache.spark.sql package for
+  * access; contains no logic. */
+object GraftShims {
+  def toColumn(e: Expression): Column =
+    classic.ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression =
+    classic.ExpressionUtils.expression(c)
+}

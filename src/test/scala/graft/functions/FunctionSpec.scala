@@ -1,0 +1,92 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CosineExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native CosineSimilarity matches the higher-order composition") {
+    val emb = graft.Tables(spark, sfDir, "embeddings").limit(50).cache()
+    val q = emb.where($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val viaExpr = emb.select($"vec_id",
+        CosineSimilarity($"embedding", lit(q.map(_.toDouble))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaHof = emb.select($"vec_id",
+        VectorFunctions.cosine($"embedding", lit(q.map(_.toDouble))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    viaExpr.foreach { case (id, s) =>
+      assert(math.abs(s - viaHof(id)) < 1e-12, s"vec $id: $s vs ${viaHof(id)}")
+    }
+  }
+
+  test("float x float path matches double-literal path") {
+    val emb = graft.Tables(spark, sfDir, "embeddings").limit(5)
+    val rows = emb.select(
+      CosineSimilarity($"embedding", $"embedding").as("self")).collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
+  }
+
+  test("zero vector yields null, not NaN") {
+    val df = Seq((Array(0f, 0f), Array(1f, 2f))).toDF("a", "b")
+    val r = df.select(CosineSimilarity($"a", $"b")).head()
+    assert(r.isNullAt(0))
+  }
+}
+
+class TextFunctionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: n tokens yield n-2 trigram shingles (distinct)") {
+    val df = Seq("a b c d e").toDF("text")
+    val sh = df.select(TextFunctions.shingles($"text", 3).as("sh"))
+      .head().getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d", "c d e"))
+  }
+
+  test("token counts and ratios on a known string") {
+    val df = Seq("The cat, and a dog!").toDF("text")
+    val r = df.select(
+      TextFunctions.tokenCount($"text").as("n"),
+      TextFunctions.bpeishTokenCount($"text").as("bp"),
+      TextFunctions.punctRatio($"text").as("pr"),
+      TextFunctions.stopwordRatio($"text").as("sr")).head()
+    assert(r.getInt(0) == 5)
+    // The|cat|,|and|a|dog|! = 7
+    assert(r.getInt(1) == 7)
+    assert(r.getDouble(2) == math.rint(2.0 / 19 * 1e6) / 1e6 ||
+      math.abs(r.getDouble(2) - 2.0 / 19) < 1e-5)
+    assert(math.abs(r.getDouble(3) - 3.0 / 5) < 1e-9) // "the", "and", "a"
+  }
+
+  test("langGuess picks distinctive stopwords") {
+    val df = Seq("der hund und die katze", "le chat et le chien",
+      "x y z the q").toDF("text")
+    val got = df.select(TextFunctions.langGuess($"text")).as[String].collect()
+    assert(got.toSeq == Seq("de", "fr", "en"))
+  }
+
+  test("fingerprintPortable: empty and single-token edge cases") {
+    val df = Seq("", "word").toDF("text")
+    val fps = df.select(TextFunctions.fingerprintPortable($"text"))
+      .as[Long].collect()
+    // single token: fp == its own code; "word": ascii('w')=119
+    assert(fps(1) == (119L * 31 + 4) % 1000000007L)
+  }
+}
+
+class CodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("aes round-trip (F7 decrypt-equivalent surface)") {
+    val key = "0123456789abcdef" // 16-byte AES key
+    val df = Seq("secret config value").toDF("v")
+    val back = df.select(
+      aes_decrypt(
+        unbase64(base64(aes_encrypt($"v".cast("binary"), lit(key)))),
+        lit(key)).cast("string").as("back"))
+      .head().getString(0)
+    assert(back == "secret config value")
+  }
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.{TextFunctions, VectorFunctions}
+import org.apache.spark.sql.functions._
+
+/** Dedup / similarity / multimodal operator behavior on *injected*
+  * near-duplicates (the synthetic corpus has none). */
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = graft.Tables(spark, sfDir, "documents")
+
+  test("exactDedup keeps lowest id per duplicated text") {
+    val withDups = docs.union(docs.withColumn("doc_id", $"doc_id" + 100000))
+    val kept = Dedup.exactDedup(withDups, $"text", $"doc_id")
+    assert(kept.count() == docs.count())
+    assert(kept.agg(max("doc_id")).head().getLong(0) < 100000)
+  }
+
+  test("minhashDedup drops exact copies and keeps distinct docs") {
+    val copies = docs.limit(5).withColumn("doc_id", $"doc_id" + 100000)
+    val withDups = docs.union(copies)
+    val kept = Dedup.minhashDedup(withDups, $"text", "doc_id")
+    // every exact copy shares all bands with its lower-id original
+    assert(kept.where($"doc_id" >= 100000).count() == 0)
+    assert(kept.count() <= docs.count())
+  }
+
+  test("simhash: identical text => identical signature; hamming 0") {
+    val two = docs.limit(1).select($"doc_id", $"text")
+      .union(docs.limit(1).select(($"doc_id" + 1).as("doc_id"), $"text"))
+    val sigs = Dedup.withSimhash(two, $"text", "doc_id")
+      .select("simhash").as[Long].collect()
+    assert(sigs.length == 2 && sigs(0) == sigs(1))
+  }
+
+  test("jaccardVerify: exact copy has jaccard 1.0") {
+    val a = docs.limit(3)
+    val dup = a.withColumn("doc_id", $"doc_id" + 100000)
+    val all = a.union(dup)
+    val cands = a.select($"doc_id".as("id_a"), ($"doc_id" + 100000).as("id_b"))
+    val verified = Dedup.jaccardVerify(all, $"text", "doc_id", cands, 3, 0.99)
+    assert(verified.count() == 3)
+    assert(verified.select("jaccard").as[Double].collect().forall(_ == 1.0))
+  }
+
+  test("cosine: self-similarity is 1, orthogonal is 0") {
+    val df = Seq((Array(1f, 0f), Array(1f, 0f), Array(0f, 1f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      VectorFunctions.cosine($"a", $"b").as("same"),
+      VectorFunctions.cosine($"a", $"c").as("orth")).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("bruteForceTopK finds an injected near-identical vector first") {
+    val emb = graft.Tables(spark, sfDir, "embeddings")
+    val q = emb.where($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    // inject a copy of the query vector with id 9999
+    val injected = emb.union(
+      emb.where($"vec_id" === 0).select(lit(9999L).as("vec_id"),
+        $"embedding", lit(0).as("label")))
+    val top = Similarity.bruteForceTopK(
+      injected.where($"vec_id" =!= 0), "embedding", "vec_id", q, 3)
+      .collect()
+    assert(top.head.getLong(0) == 9999L)
+    assert(top.head.getDouble(1) == 1.0)
+  }
+
+  test("lshTopK with full probe matches brute force on the same bucket set") {
+    val emb = graft.Tables(spark, sfDir, "embeddings")
+    val q = emb.where($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val indexed = Similarity.index(emb.where($"vec_id" =!= 0),
+      "embedding", numPlanes = 6, dim = 64)
+    // probeHamming = 6 => all buckets => identical to brute force
+    val lsh = Similarity.lshTopK(indexed, "embedding", "vec_id", q, 6, 5,
+      probeHamming = 6).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val brute = Similarity.bruteForceTopK(emb.where($"vec_id" =!= 0),
+      "embedding", "vec_id", q, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(lsh.toSeq == brute.toSeq)
+  }
+
+  test("fingerprint is deterministic and text-sensitive") {
+    val fps = docs.limit(10)
+      .select(TextFunctions.fingerprint($"text").as("fp")).as[Long].collect()
+    val fps2 = docs.limit(10)
+      .select(TextFunctions.fingerprint($"text").as("fp")).as[Long].collect()
+    assert(fps.toSeq == fps2.toSeq)
+    assert(fps.distinct.length > 1)
+  }
+
+  test("multimodal: media schema + feature extraction shape") {
+    val media = Multimodal.asMediaTable(docs.limit(10))
+    assert(media.schema.fieldNames.toSeq ==
+      Seq("doc_id", "payload", "media_type", "meta"))
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.count() == 10)
+    val r = feats.head()
+    assert(r.getSeq[Double](r.fieldIndex("feature")).size == 4)
+    val frames = Multimodal.sampleFrames(media, 2)
+    assert(frames.count() > 0)
+  }
+}

@@ -1,0 +1,143 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.model.ConfigValue
+import graft.sources.ParquetSource
+import graft.state.{ConfigStore, WatermarkStore}
+import org.apache.spark.sql.functions._
+import java.time.LocalDate
+
+/** End-to-end pipeline test (SURVEY.md §5.4): parquet-backed fake
+  * "Postgres" source → full run → lake layout + watermark state →
+  * second incremental run ingests only post-watermark rows (minus the
+  * 80h overlap). */
+class IngestSpec extends SparkSpec {
+
+  /** Build a fake source table whose schema triggers watermark
+    * *inference* (timestamp col named Modified*), from lineitem. */
+  private def makeSource(dir: String): Unit = {
+    import spark.implicits._
+    graft.Tables(spark, sfDir, "lineitem")
+      .select($"l_orderkey".as("id"), $"l_quantity".as("qty"),
+        $"l_shipdate".as("ModifiedDate"))
+      .write.mode("overwrite").parquet(s"$dir/visits.parquet")
+  }
+
+  private def setup(): (String, IngestConfig, AuditLog, Ingest) = {
+    val base = tmpDir("ingest")
+    makeSource(s"$base/src")
+    val cfg = IngestConfig(
+      configPath = s"$base/config",
+      watermarkPath = s"$base/watermarks",
+      lakeBasePath = s"$base/lake",
+      auditPath = s"$base/audit",
+      singleBatchDataLimit = 2000,
+      runDate = LocalDate.of(2026, 8, 12))
+    val configs = new ConfigStore(spark, cfg.configPath)
+    configs.upsert(ConfigValue("dcx_postgresql_db_settings",
+      "clinic_db_name", "clinicdb", is_active = true))
+    configs.upsert(ConfigValue("dcx_postgresql_table_settings",
+      "clinic_tables", "visits", is_active = true))
+    val log = new AuditLog
+    val ingest = new Ingest(spark, new ParquetSource(s"$base/src"), cfg,
+      new LogAlertSink(log), log)
+    (base, cfg, log, ingest)
+  }
+
+  test("C1 fan-out builds jobs from db x table configs on task prefix") {
+    val (_, _, _, ingest) = setup()
+    val jobs = ingest.planJobs()
+    assert(jobs.map(_.tableSpec) == Seq("visits"))
+    assert(jobs.head.task == "clinic")
+  }
+
+  test("full run chunks, covers all rows, commits lagged watermark; " +
+    "second run is incremental") {
+    val (base, cfg, log, ingest) = setup()
+    val report = ingest.run()
+    assert(report.exitStatus == "SUCCESS", report.failed.toString)
+
+    val src = spark.read.parquet(s"$base/src/visits.parquet")
+    val lake = spark.read.parquet(s"$base/lake/visits/2026/08/12")
+    // chunk union == source (6k rows > 2k limit → chunked append)
+    assert(lake.count() == src.count())
+    assert(lake.select(sum("qty")).head().getDouble(0) ==
+      src.select(sum("qty")).head().getDouble(0))
+
+    // watermark == max(ModifiedDate) - 80h
+    val store = new WatermarkStore(spark, cfg.watermarkPath)
+    val wmOpt = store.lastLoad(cfg.systemType, cfg.databaseName, "visits")
+    assert(wmOpt.isDefined,
+      s"no watermark; store rows=${store.all().collect().toSeq}; " +
+        s"audit=${log.snapshot.map(_.message).mkString(" | ")}")
+    val wm = wmOpt.get
+    val expected = java.sql.Timestamp.valueOf(
+      src.agg(max(col("ModifiedDate")) - expr("INTERVAL 80 HOURS"))
+        .head().getAs[java.time.LocalDateTime](0))
+    assert(wm == expected)
+
+    // second run: only rows >= watermark are staged
+    val log2 = new AuditLog
+    val ingest2 = new Ingest(spark, new ParquetSource(s"$base/src"), cfg,
+      new LogAlertSink(log2), log2)
+    val report2 = ingest2.run()
+    assert(report2.exitStatus == "SUCCESS")
+    val expectedIncr = src.where(col("ModifiedDate") >= lit(wm)).count()
+    val stagedMsg = log2.snapshot.map(_.message)
+      .find(m => m.contains("staged") && m.contains("incremental=true"))
+    assert(stagedMsg.isDefined, log2.snapshot.map(_.message).mkString("; "))
+    assert(stagedMsg.get.contains(s"staged $expectedIncr rows"))
+  }
+
+  test("missing-watermark oversize table routes to BulkWarn with alert") {
+    import spark.implicits._
+    val base = tmpDir("bulk")
+    // no watermark-shaped columns at all
+    graft.Tables(spark, sfDir, "lineitem")
+      .select($"l_orderkey".as("id"), $"l_quantity".as("qty"))
+      .write.mode("overwrite").parquet(s"$base/src/big.parquet")
+    val cfg = IngestConfig(
+      configPath = s"$base/config", watermarkPath = s"$base/wm",
+      lakeBasePath = s"$base/lake", auditPath = s"$base/audit",
+      singleBatchDataLimit = 100, runDate = LocalDate.of(2026, 8, 12))
+    val configs = new ConfigStore(spark, cfg.configPath)
+    configs.upsert(ConfigValue("dcx_postgresql_db_settings",
+      "t_db_name", "db", is_active = true))
+    configs.upsert(ConfigValue("dcx_postgresql_table_settings",
+      "t_tables", "big", is_active = true))
+    val log = new AuditLog
+    new Ingest(spark, new ParquetSource(s"$base/src"), cfg,
+      new LogAlertSink(log), log).run()
+    assert(log.snapshot.exists(_.message.startsWith("ALERT: missing watermark")))
+    assert(spark.read.parquet(s"$base/lake/big/2026/08/12").count() > 100)
+  }
+
+  test("per-table failure is contained and reported (C7)") {
+    val (base, cfg, log, _) = setup()
+    val configs = new ConfigStore(spark, cfg.configPath)
+    configs.upsert(ConfigValue("dcx_postgresql_table_settings",
+      "clinic_tables", "visits,ghost_table", is_active = true))
+    val ingest = new Ingest(spark, new ParquetSource(s"$base/src"), cfg,
+      new LogAlertSink(log), log)
+    val report = ingest.run()
+    assert(report.succeeded == Seq("visits"))
+    assert(report.failed.map(_._1) == Seq("ghost_table"))
+    assert(report.exitStatus == "ERROR: ghost_table")
+  }
+
+  test("Route.decide matches reference volume routing") {
+    assert(Route.decide(99, 100, hasWatermark = true) == Route.Full)
+    assert(Route.decide(100, 100, hasWatermark = true) == Route.Chunked)
+    assert(Route.decide(100, 100, hasWatermark = false) == Route.BulkWarn)
+  }
+
+  test("ConfigAdmin.mergeTableLists: append-new, skip-present, tag-elsewhere") {
+    val merged = ConfigAdmin.mergeTableLists(
+      existing = Seq("Hospital", "public.Visit"),
+      incoming = Seq("hospital", "Ward", "Shared"),
+      task = "urgentcare",
+      tablesElsewhere = Set("shared"))
+    assert(merged == Seq("Hospital", "public.Visit", "Ward",
+      "urgentcare__Shared"))
+  }
+}
