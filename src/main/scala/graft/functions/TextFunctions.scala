@@ -82,12 +82,23 @@ object TextFunctions {
         (acc, x) => (acc * lit(131L) + x) % M))
   }
 
-  /** Word n-gram shingles of size n (for Jaccard / MinHash dedup). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(lower(text))
+  /** Shingles from an already-materialized token ARRAY COLUMN. The
+    * `toks` argument must be an attribute (a real column), not an
+    * expression tree: references inside the `transform` lambda are
+    * evaluated per element, so passing `split(...)` directly re-runs
+    * tokenization ~3x per shingle (measured 9 s for 5k docs at sf0.1;
+    * attribute form is <1 s). */
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
     val count = greatest(size(toks) - (n - 1), lit(0))
     array_distinct(transform(
       sequence(lit(0), count - 1),
       i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
   }
+
+  /** Word n-gram shingles of size n (for Jaccard / MinHash dedup).
+    * Convenience single-expression form — fine for one-shot projections
+    * (oracle queries); hot paths should materialize tokens and use
+    * `shinglesFromTokens` (see its scaladoc). */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(lower(text)), n)
 }

@@ -36,15 +36,25 @@ object Dedup {
   // ---------- MinHash + LSH ----------
 
   /** Per-row MinHash signature of `numHashes` mins over word-shingle
-    * hashes; hash family = xxhash64 seeded by the function index. All
-    * narrow ops (no shuffle). */
+    * hashes. All narrow ops (no shuffle).
+    *
+    * Cost shape matters: shingling is materialized ONCE per row in a
+    * child projection (a naive `array_min(transform(shingles(...)))`
+    * per hash function re-evaluates the whole tokenize+shingle tree
+    * numHashes times — measured 30x slower at sf0.1), shingles are
+    * string-hashed once, and all numHashes minima come from the native
+    * MinHashes expression (one codegen'd pass; see
+    * graft.functions.MinHashes for why the family must be
+    * non-monotone). */
   def withMinhashSignature(df: DataFrame, text: Column, shingleSize: Int,
       numHashes: Int): DataFrame = {
-    val sh = TextFunctions.shingles(text, shingleSize)
-    val sig = array((0 until numHashes).map { i =>
-      array_min(transform(sh, s => xxhash64(lit(i), s)))
-    }: _*)
-    df.withColumn("minhash_sig", sig)
+    df.withColumn("__toks", TextFunctions.tokens(lower(text)))
+      .withColumn("__sh",
+        TextFunctions.shinglesFromTokens(col("__toks"), shingleSize))
+      .withColumn("__h", transform(col("__sh"), s => xxhash64(s)))
+      .withColumn("minhash_sig",
+        graft.functions.MinHashes(col("__h"), numHashes))
+      .drop("__toks", "__sh", "__h")
   }
 
   /** Explode a signature into (band_id, band_hash) rows: `bands` bands
@@ -62,10 +72,22 @@ object Dedup {
   }
 
   /** Candidate duplicate pairs: ids sharing any (band_id, band_hash)
-    * bucket. Returns (id_a, id_b) with id_a < id_b, distinct. */
-  def lshCandidatePairs(banded: DataFrame, id: String): DataFrame = {
-    val l = banded.select(col("band_id"), col("band_hash"), col(id).as("id_a"))
-    val r = banded.select(col("band_id"), col("band_hash"), col(id).as("id_b"))
+    * bucket. Returns (id_a, id_b) with id_a < id_b, distinct.
+    *
+    * Buckets larger than `maxBucketSize` are dropped (standard LSH
+    * guard): one degenerate bucket — e.g. a boilerplate shingle shared
+    * corpus-wide — would otherwise contribute O(bucket^2) pairs and
+    * dominate the run at scale. Dropped buckets are near-useless for
+    * dedup anyway (they assert similarity to thousands of docs). */
+  def lshCandidatePairs(banded: DataFrame, id: String,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val sized = banded
+      .withColumn("__bn",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_id"), col("band_hash"))))
+      .where(col("__bn") <= maxBucketSize)
+    val l = sized.select(col("band_id"), col("band_hash"), col(id).as("id_a"))
+    val r = sized.select(col("band_id"), col("band_hash"), col(id).as("id_b"))
     l.join(r, Seq("band_id", "band_hash"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -121,8 +143,11 @@ object Dedup {
     * are verified — the corpus-wide cross join never exists. */
   def jaccardVerify(df: DataFrame, text: Column, id: String,
       candidates: DataFrame, shingleSize: Int, threshold: Double): DataFrame = {
-    val sh = df.select(col(id).as("__jid"),
-      TextFunctions.shingles(text, shingleSize).as("__sh"))
+    val sh = df
+      .withColumn("__toks", TextFunctions.tokens(lower(text)))
+      .select(col(id).as("__jid"),
+        TextFunctions.shinglesFromTokens(col("__toks"), shingleSize)
+          .as("__sh"))
     candidates
       .join(sh.withColumnRenamed("__jid", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("__jid", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")

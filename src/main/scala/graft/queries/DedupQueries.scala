@@ -89,9 +89,13 @@ object DedupQueries {
       (s, dir) => {
         import s.implicits._
         val docs = t(s, dir, "documents")
+        // r=4 rows/band: candidate probability (1-(1-J^4)^4) stays tiny
+        // for the corpus's J~0.1 background similarity — r=1 would make
+        // ~70% of ALL pairs candidates (an O(n^2) blowup measured at
+        // 369s for sf0.1; this shape runs in ~2s)
         val banded = Dedup.withBands(
           Dedup.withMinhashSignature(docs, $"text", shingleSize = 2,
-            numHashes = 16), bands = 16, rowsPerBand = 1)
+            numHashes = 16), bands = 4, rowsPerBand = 4)
         val cands = Dedup.lshCandidatePairs(banded, "doc_id")
         Dedup.jaccardVerify(docs, $"text", "doc_id", cands,
             shingleSize = 2, threshold = 0.0)

@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Plan-shape assertions: the properties that make these queries scale
+  * (filter pushdown to the scan, column pruning, broadcast dimension
+  * joins, partial-aggregation top-k) hold in the optimized physical
+  * plan — not just "the answer is right". Guards against regressions
+  * that stay correct but stop scaling. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("p9 watermark range predicate is pushed to the parquet scan") {
+    val p = planOf("p9_watermark_range")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "GreaterThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q1 scan prunes to the 7 referenced lineitem columns") {
+    val p = planOf("q1_pricing_summary")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_orderkey"), "unreferenced column not pruned:\n" + p)
+    assert(p.contains("l_returnflag"))
+  }
+
+  test("q1 aggregates map-side (partial) before the exchange") {
+    val p = planOf("q1_pricing_summary")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_sum") || p.contains("partial"), p)
+  }
+
+  test("j2 dimension joins are broadcast, fact side not shuffled") {
+    val p = planOf("j2_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("sim1 top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val p = planOf("sim1_brute_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("j3b semi-join stays a semi-join (no materialized inner)") {
+    val p = planOf("j3b_left_semi")
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("w3 window sorts within partitions only (no global Exchange " +
+    "beyond the hash partitioning)") {
+    val p = planOf("w3_running_sum")
+    assert(p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(l_suppkey"), p)
+  }
+
+  test("native cosine expression appears in the sim1 plan (codegen path)") {
+    val p = planOf("sim1_brute_topk")
+    assert(p.contains("cosine_similarity"), p)
+  }
+}

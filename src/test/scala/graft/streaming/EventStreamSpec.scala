@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+
+/** Real streaming execution: file source split across two micro-batch
+  * files, stateful mapGroupsWithState across batches, final state must
+  * equal the batch ground truth. */
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  test("mapGroupsWithState accumulates across micro-batches to batch truth") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stage = java.nio.file.Files.createTempDirectory("stream_in")
+    // batch ground truth
+    val events = graft.Tables(spark, sfDir, "events")
+    val truth = events.groupBy($"user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // split into two files so the source sees >1 micro-batch
+    val half = events.count() / 2
+    events.limit(half.toInt).write.mode("overwrite")
+      .parquet(stage.resolve("b0").toString)
+    val firstIds = events.limit(half.toInt).select("event_id")
+    events.join(firstIds, Seq("event_id"), "left_anti")
+      .write.mode("overwrite").parquet(stage.resolve("b1").toString)
+
+    val src = spark.readStream.schema(
+        StructType(rawSchema.fields.map(f =>
+          if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f)))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString + "/*")
+      .select($"user_id", $"event_id").as[(Long, Long)]
+
+    val name = "ucount_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = EventStream.runningUserCounts(src)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+
+    // update mode appends refreshed rows each batch; last emission per
+    // key is the final state
+    val finalCounts = spark.table(name)
+      .groupBy($"user_id").agg(max($"n_events").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(finalCounts == truth)
+  }
+
+  test("tumbling windows with watermark finalize in append mode") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stage = java.nio.file.Files.createTempDirectory("stream_win")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sfDir, "events.parquet"),
+      stage.resolve("events.parquet"))
+    val src = spark.readStream.schema(rawSchema).parquet(stage.toString)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val name = "win_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = EventStream.tumblingCounts(src, "1 day", "1 hour")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    // append emits only watermark-finalized windows: all but the tail day
+    val emitted = spark.table(name).count()
+    val allDays = graft.Tables(spark, sfDir, "events")
+      .select(date_trunc("day", $"ts")).distinct().count()
+    assert(emitted > 0)
+    assert(spark.table(name).select("win_start").distinct().count() < allDays)
+  }
+}
