@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions.{CosineSimilarity, MinHashes}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions registration (builder preference (c) wiring):
+  * exposes the engine's native expressions to SQL users —
+  *
+  *   spark.sql("SELECT cosine_similarity(a.embedding, b.embedding) ...")
+  *   spark.sql("SELECT minhashes(hash_array, 16) ...")
+  *
+  * Activate via
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  * No custom optimizer rules are injected: SURVEY §4 establishes that
+  * Catalyst already covers the reference's optimization surface; the
+  * engine's value-add is expressions, not plan rewrites.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(e: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, usage, b) =>
+      e.injectFunction((FunctionIdentifier(name), info(name, usage), b))
+    }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage, "", "")
+
+  private val builders: Seq[(String, String, Seq[Expression] => Expression)] =
+    Seq(
+      ("cosine_similarity",
+        "cosine_similarity(a, b) - cosine similarity of two float/double arrays",
+        args => CosineSimilarity(args(0), args(1))),
+      ("minhashes",
+        "minhashes(hashes, k) - k MinHash minima of an array<long>",
+        args => args(1) match {
+          case Literal(k: Int, _) => MinHashes(args(0), k)
+          case other => throw new IllegalArgumentException(
+            s"minhashes(hashes, k): k must be an integer literal, got $other")
+        }))
+
+  /** Register on an already-built session (the extensions config only
+    * applies at session construction). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    builders.foreach { case (name, _, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "built-in")
+    }
+}

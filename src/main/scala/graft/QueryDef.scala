@@ -16,6 +16,7 @@ object QueryRegistry {
   /** Ordered registry; families contribute their query maps. */
   def all: Seq[(String, QueryDef)] =
     queries.CoreQueries.defs ++
+      queries.ExtendedQueries.defs ++
       queries.JoinQueries.defs ++
       queries.FunctionQueries.defs ++
       queries.PipelineQueries.defs ++

@@ -1,0 +1,276 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Wave-3 inventory: multi-join analytical shapes, the full window-
+  * function surface, statistical/positional aggregates, pivot, range
+  * join, and datetime/string/conditional scalar families — the rest of
+  * what "a user of the reference could run" via Spark SQL ([EXT],
+  * SURVEY §2.4 A9 note: declared because implemented).
+  */
+object ExtendedQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  def defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- Q3-style shipping priority: 3-way join, grouped revenue, top-10.
+    // customer filter broadcast; fact-fact join shuffles on the key; AQE
+    // picks broadcast for the pruned orders side at small SF.
+    "q3_shipping_priority" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer").where($"c_mktsegment" === "BUILDING")
+          .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey")
+          .where($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+          .join(t(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+          .where($"l_shipdate" > lit("1998-01-01").cast("timestamp"))
+          .groupBy($"o_orderkey", $"o_orderdate")
+          .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .cast("decimal(24,4)")).as("revenue"))
+          .orderBy($"revenue".desc, $"o_orderkey".asc)
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, o_orderdate,
+        sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,4))) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < CAST('1998-01-01' AS TIMESTAMP)
+          AND l_shipdate > CAST('1998-01-01' AS TIMESTAMP)
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""")),
+
+    // ---- Q5-style local supplier volume: 6-table join chain
+    "q5_local_supplier" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey")
+          .join(t(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+          .join(t(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey" &&
+            $"c_nationkey" === $"s_nationkey")
+          .join(broadcast(t(s, dir, "nation")),
+            $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(t(s, dir, "region")),
+            $"n_regionkey" === $"r_regionkey")
+          .where($"r_name" === "ASIA")
+          .groupBy($"n_name")
+          .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .cast("decimal(24,4)")).as("revenue"))
+      },
+      Some("""SELECT n_name,
+        sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,4))) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name""")),
+
+    // ---- W4 ranking / positional window functions (fully tiebroken)
+    "w4_rank_functions" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"c_mktsegment")
+          .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+        t(s, dir, "customer")
+          .select($"c_mktsegment", $"c_custkey",
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            ntile(4).over(w).as("quartile"),
+            lag($"c_custkey", 1).over(w).as("prev_key"),
+            lead($"c_custkey", 1).over(w).as("next_key"))
+      },
+      Some("""SELECT c_mktsegment, c_custkey,
+        CAST(rank() OVER w AS INT) AS rnk,
+        CAST(dense_rank() OVER w AS INT) AS drnk,
+        CAST(ntile(4) OVER w AS INT) AS quartile,
+        lag(c_custkey, 1) OVER w AS prev_key,
+        lead(c_custkey, 1) OVER w AS next_key
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+          ORDER BY c_acctbal DESC, c_custkey ASC)""")),
+
+    // ---- A11 grouping sets
+    "a11_grouping_sets" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupingSets(
+            Seq(Seq($"l_returnflag"), Seq($"l_linestatus")),
+            $"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("cnt"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""")),
+
+    // ---- A12 pivot (conditional aggregation)
+    "a12_pivot" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(count(lit(1)))
+      },
+      Some("""SELECT l_returnflag,
+        count(*) FILTER (WHERE l_linestatus = 'F') AS "F",
+        count(*) FILTER (WHERE l_linestatus = 'O') AS "O"
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // ---- A13 positional aggregates with deterministic struct tiebreak
+    "a13_arg_minmax" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .groupBy($"o_orderpriority")
+          .agg(
+            max_by($"o_orderkey", struct($"o_totalprice", $"o_orderkey"))
+              .as("biggest_order"),
+            min_by($"o_orderkey", struct($"o_totalprice", $"o_orderkey"))
+              .as("smallest_order"))
+      },
+      Some("""SELECT o_orderpriority,
+        first(o_orderkey ORDER BY o_totalprice DESC, o_orderkey DESC)
+          AS biggest_order,
+        first(o_orderkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+          AS smallest_order
+        FROM orders GROUP BY o_orderpriority""")),
+
+    // ---- A14 sorted list aggregation
+    "a14_collect_sorted" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .groupBy($"o_custkey")
+          .agg(array_sort(collect_list($"o_orderkey")).as("order_keys"))
+      },
+      Some("""SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys
+        FROM orders GROUP BY o_custkey""")),
+
+    // ---- A15 statistical aggregates (rounded: stddev/var/corr are
+    // order-dependent in doubles at ~1e-10 relative; 4 decimals is far
+    // from that noise floor)
+    "a15_stats" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            round(stddev_samp($"l_quantity"), 4).as("sd_qty"),
+            round(var_samp($"l_quantity"), 4).as("var_qty"),
+            round(corr($"l_quantity", $"l_extendedprice"), 4).as("corr_qe"))
+      },
+      Some("""SELECT l_returnflag,
+        round(stddev_samp(l_quantity), 4) AS sd_qty,
+        round(var_samp(l_quantity), 4) AS var_qty,
+        round(corr(l_quantity, l_extendedprice), 4) AS corr_qe
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // ---- J5 range join against a broadcast bucket table (non-equi)
+    "j5_range_join" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val buckets = s.createDataFrame(Seq(
+          ("small", 0.0, 15.0), ("medium", 15.0, 35.0), ("large", 35.0, 100.0)
+        )).toDF("bucket", "lo", "hi")
+        t(s, dir, "lineitem")
+          .join(broadcast(buckets),
+            $"l_quantity" > $"lo" && $"l_quantity" <= $"hi")
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("cnt"))
+      },
+      Some("""WITH buckets(bucket, lo, hi) AS (VALUES
+          ('small', 0.0, 15.0), ('medium', 15.0, 35.0), ('large', 35.0, 100.0))
+        SELECT bucket, count(*) AS cnt
+        FROM lineitem JOIN buckets ON l_quantity > lo AND l_quantity <= hi
+        GROUP BY bucket""")),
+
+    // ---- F13 datetime function family
+    "f13_datetime" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .select($"o_orderkey",
+            datediff($"o_orderdate", lit("1995-01-01").cast("timestamp"))
+              .as("days_since"),
+            date_add($"o_orderdate", 5).as("plus5"),
+            last_day($"o_orderdate").as("eom"),
+            date_trunc("month", $"o_orderdate").cast("date").as("month_start"),
+            dayofweek($"o_orderdate").as("dow"))
+      },
+      Some("""SELECT o_orderkey,
+        CAST(date_diff('day', DATE '1995-01-01', o_orderdate::DATE) AS INT)
+          AS days_since,
+        (o_orderdate + INTERVAL 5 DAY)::DATE AS plus5,
+        last_day(o_orderdate::DATE) AS eom,
+        date_trunc('month', o_orderdate)::DATE AS month_start,
+        CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow
+        FROM orders""")),
+
+    // ---- F14 string function family
+    "f14_strings" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "part")
+          .select($"p_partkey",
+            substring($"p_name", 1, 8).as("sub"),
+            regexp_replace($"p_name", "a", "@").as("repl"),
+            lpad($"p_brand", 12, "#").as("padded"),
+            instr($"p_name", "e").cast("int").as("pos_e"),
+            reverse($"p_type").as("rev"),
+            levenshtein($"p_brand", lit("Brand#1")).as("lev"))
+      },
+      Some("""SELECT p_partkey,
+        substr(p_name, 1, 8) AS sub,
+        regexp_replace(p_name, 'a', '@', 'g') AS repl,
+        lpad(p_brand, 12, '#') AS padded,
+        CAST(strpos(p_name, 'e') AS INT) AS pos_e,
+        reverse(p_type) AS rev,
+        CAST(levenshtein(p_brand, 'Brand#1') AS INT) AS lev
+        FROM part""")),
+
+    // ---- F15 conditional expressions
+    "f15_conditional" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_linenumber",
+            when($"l_quantity" < 10, "low")
+              .when($"l_quantity" < 30, "mid")
+              .otherwise("high").as("band"),
+            least($"l_discount", $"l_tax").as("min_rate"),
+            greatest($"l_discount", $"l_tax").as("max_rate"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+        CASE WHEN l_quantity < 10 THEN 'low'
+             WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS band,
+        least(l_discount, l_tax) AS min_rate,
+        greatest(l_discount, l_tax) AS max_rate
+        FROM lineitem""")),
+
+    // ---- W6 exact percentile aggregate
+    "w6_percentile" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            expr("percentile(l_quantity, 0.5)").as("median_qty"),
+            expr("percentile(l_quantity, 0.9)").as("p90_qty"))
+      },
+      Some("""SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.5) AS median_qty,
+        quantile_cont(l_quantity, 0.9) AS p90_qty
+        FROM lineitem GROUP BY l_returnflag"""))
+  )
+}
