@@ -55,6 +55,63 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) index: assign every vector to its nearest of
+    * `nlist` centroids; queries probe only the `nprobe` closest lists.
+    *
+    * Centroid selection is deterministic: the vectors with the lowest
+    * `nlist` ids seed the codebook (k-means refinement would improve
+    * recall but costs iterations; for an index-build pipeline the
+    * assignment pass — one narrow scan — dominates either way). At
+    * scale the indexed table is written `partitionBy("list_id")`, so a
+    * probe reads nprobe/nlist of the data — partition pruning, same
+    * story as the LSH variant but with data-adaptive cells. */
+  def ivfIndex(df: DataFrame, embedding: String, id: String,
+      nlist: Int): DataFrame = {
+    val centroids = df.orderBy(col(id).asc).limit(nlist)
+      .select(col(id).as("list_id"), col(embedding).as("centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val centroidLit = array(centroids.map { case (cid, vec) =>
+      struct(lit(cid).as("list_id"), lit(vec.map(_.toDouble)).as("c"))
+    }: _*)
+    // nearest centroid by cosine via one pass over the literal codebook
+    df.withColumn("__cands", centroidLit)
+      .withColumn("list_id",
+        col("__cands")(array_position(
+          transform(col("__cands"),
+            c => CosineSimilarity(col(embedding), c.getField("c"))),
+          array_max(transform(col("__cands"),
+            c => CosineSimilarity(col(embedding), c.getField("c"))))) - 1
+        ).getField("list_id"))
+      .drop("__cands")
+  }
+
+  def ivfTopK(indexed: DataFrame, embedding: String, id: String,
+      query: Array[Float], nlist: Int, nprobe: Int, k: Int): DataFrame = {
+    // nprobe nearest centroid lists for the query, computed driver-side
+    // against the same deterministic codebook
+    val centroids = indexed.orderBy(col(id).asc).limit(nlist)
+      .select(col(id), col(embedding)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) -2.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probeLists = centroids.sortBy { case (cid, c) => (-cos(query, c), cid) }
+      .take(nprobe).map(_._1)
+    val q = lit(query.map(_.toDouble))
+    indexed.where(col("list_id").isin(probeLists: _*))
+      .withColumn("score", CosineSimilarity(col(embedding), q))
+      .select(col(id), round(col("score"), 4).as("score"))
+      .orderBy(col("score").desc, col(id).asc)
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs, LSH-bucketed: pairs are
     * generated only within a bucket (plus its full-signature match),
     * never corpus × corpus. */

@@ -54,6 +54,20 @@ object SimilarityQueries {
           numPlanes = 6, k = 10, probeHamming = 2)
       },
       None,
-      doc = "rows-only: approximate — bucket pruning changes the candidate set")
+      doc = "rows-only: approximate — bucket pruning changes the candidate set"),
+
+    // ---- SIM3 IVF ANN top-10: data-adaptive inverted lists, probe the
+    // 4 nearest of 16 cells (partition-pruned scan at scale)
+    "sim3_ivf_topk" -> QueryDef(
+      (s, dir) => {
+        val q = queryVec(s, dir)
+        val indexed = Similarity.ivfIndex(
+          t(s, dir, "embeddings").where(col("vec_id") =!= 0),
+          "embedding", "vec_id", nlist = 16)
+        Similarity.ivfTopK(indexed, "embedding", "vec_id", q,
+          nlist = 16, nprobe = 4, k = 10)
+      },
+      None,
+      doc = "rows-only: approximate — IVF cell pruning changes the candidate set")
   )
 }

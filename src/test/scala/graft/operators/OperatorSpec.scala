@@ -85,6 +85,24 @@ class OperatorSpec extends SparkSpec {
     assert(lsh.toSeq == brute.toSeq)
   }
 
+  test("ivfTopK with full probe matches brute force") {
+    val emb = graft.Tables(spark, sfDir, "embeddings")
+    val q = emb.where($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val indexed = Similarity.ivfIndex(emb.where($"vec_id" =!= 0),
+      "embedding", "vec_id", nlist = 8)
+    // every row lands in exactly one list
+    assert(indexed.count() == emb.count() - 1)
+    assert(indexed.select("list_id").distinct().count() <= 8)
+    val ivf = Similarity.ivfTopK(indexed, "embedding", "vec_id", q,
+      nlist = 8, nprobe = 8, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val brute = Similarity.bruteForceTopK(emb.where($"vec_id" =!= 0),
+      "embedding", "vec_id", q, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ivf.toSeq == brute.toSeq)
+  }
+
   test("fingerprint is deterministic and text-sensitive") {
     val fps = docs.limit(10)
       .select(TextFunctions.fingerprint($"text").as("fp")).as[Long].collect()
