@@ -30,4 +30,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 76 whole-stage-codegen'd queries in one JVM overflow the default
+  // 240m code cache; once full the JIT disables itself and random
+  // queries run interpreted at ~8x cost (observed: 4s -> 36s).
+  "-XX:ReservedCodeCacheSize=512m",
 )
