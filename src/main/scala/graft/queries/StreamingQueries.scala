@@ -90,6 +90,78 @@ object StreamingQueries {
         FROM (SELECT user_id, ts,
             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
           FROM events) t
+        GROUP BY user_id""")),
+
+    // ---- ST3 stateful streaming sessionization: the REAL
+    // flatMapGroupsWithState path. Events are staged as two time-split
+    // files processed as two micro-batches (maxFilesPerTrigger=1), so
+    // per-user session state (last-seen ts, counts) genuinely carries
+    // across batch boundaries; update-mode emissions accumulate in the
+    // memory sink and the final state per user is the running max.
+    // Same gaps-and-islands oracle as ST2.
+    "st3_stateful_sessionize" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+        val gapMicros = 30L * 60 * 1000000
+        val name = "st3_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val ev = Tables(s, dir, "events")
+          .select($"user_id", unix_micros($"ts").as("us"))
+        // Deterministic time split: all batch-0 events precede batch-1
+        // events, so the incremental fold equals the global sorted fold.
+        val Array(lo, hi) = ev.agg(min($"us"), max($"us")).head()
+          .toSeq.map(_.asInstanceOf[Long]).toArray
+        val mid = lo + (hi - lo) / 2
+        val stageDir = java.nio.file.Files.createTempDirectory("st3_events")
+        def stage(part: Int, df: org.apache.spark.sql.DataFrame): Unit = {
+          val tmp = stageDir.resolve(s"tmp$part")
+          df.coalesce(1).write.parquet(tmp.toString)
+          val f = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+            .findFirst.get
+          val dst = stageDir.resolve(s"batch$part.parquet")
+          java.nio.file.Files.move(f, dst)
+          // file source orders by mtime: pin batch order explicitly
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + part * 60000L))
+        }
+        stage(0, ev.where($"us" <= mid))
+        stage(1, ev.where($"us" > mid))
+        val src = s.readStream
+          .schema(StructType(Seq(StructField("user_id", LongType),
+            StructField("us", LongType))))
+          .option("maxFilesPerTrigger", "1")
+          .parquet(stageDir.toString)
+        val out = src.as[(Long, Long)].groupByKey(_._1)
+          .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+            (uid: Long, it: Iterator[(Long, Long)],
+             state: GroupState[(Long, Long, Long)]) =>
+              val times = it.map(_._2).toArray
+              java.util.Arrays.sort(times)
+              var (last, sess, nev) = state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+              times.foreach { t =>
+                if (last == Long.MinValue || t - last > gapMicros) sess += 1
+                last = t; nev += 1
+              }
+              state.update((last, sess, nev))
+              Iterator((uid, sess, nev))
+          }
+        val q = out.toDF("user_id", "n_sessions", "n_events")
+          .writeStream.outputMode("update").format("memory").queryName(name)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        // counts are monotone per user: the max emission IS the final state
+        s.table(name).groupBy($"user_id")
+          .agg(max($"n_sessions").as("n_sessions"),
+            max($"n_events").as("n_events"))
+      },
+      Some("""SELECT user_id,
+        CAST(sum(CASE WHEN prev_ts IS NULL
+            OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_sessions,
+        CAST(count(*) AS BIGINT) AS n_events
+        FROM (SELECT user_id, ts,
+            lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+          FROM events) t
         GROUP BY user_id"""))
   )
 }
