@@ -20,15 +20,19 @@ object Bench {
     // Two timed executions per query, report the min: strips one-off
     // codegen-compile + GC/JIT noise (observed single-run swings of
     // 4s -> 36s on expression-heavy queries) without hiding real cost.
+    // The passes are INTERLEAVED (all queries once, then all again) so
+    // a host-level CPU-throttle window degrades at most one of a
+    // query's two samples; back-to-back repeats would lose both.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
-    }.toMap
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    for (_ <- 1 to runs; (name, fn) <- ordered) {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (sec < best.getOrElse(name, Double.MaxValue)) best(name) = sec
+    }
+    val results = best.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
