@@ -13,8 +13,18 @@ final case class QueryDef(
     doc: String = "")
 
 object QueryRegistry {
-  /** Ordered registry; families contribute their query maps. */
-  def all: Seq[(String, QueryDef)] =
+  /** Ordered registry; families contribute their query maps. A duplicate
+    * name across families would silently drop a query (and its oracle)
+    * at the .toMap in SparkEntry, shrinking declared coverage with no
+    * signal — so uniqueness is asserted here, once, on first access. */
+  lazy val all: Seq[(String, QueryDef)] = {
+    val defs = allDefs
+    val dups = defs.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    defs
+  }
+
+  private def allDefs: Seq[(String, QueryDef)] =
     queries.CoreQueries.defs ++
       queries.ExtendedQueries.defs ++
       queries.JoinQueries.defs ++

@@ -74,16 +74,21 @@ object Similarity {
     val centroidLit = array(centroids.map { case (cid, vec) =>
       struct(lit(cid).as("list_id"), lit(vec.map(_.toDouble)).as("c"))
     }: _*)
-    // nearest centroid by cosine via one pass over the literal codebook
+    // nearest centroid by cosine via ONE pass over the literal codebook:
+    // the per-row score array is bound to its own column, so argmax reads
+    // it twice without recomputing the nlist cosines. (CollapseProject
+    // will not inline a non-cheap alias used more than once, so the
+    // single evaluation survives optimization — this is the dominant
+    // compute of an index build at scale.)
     df.withColumn("__cands", centroidLit)
+      .withColumn("__scores",
+        transform(col("__cands"),
+          c => CosineSimilarity(col(embedding), c.getField("c"))))
       .withColumn("list_id",
-        col("__cands")(array_position(
-          transform(col("__cands"),
-            c => CosineSimilarity(col(embedding), c.getField("c"))),
-          array_max(transform(col("__cands"),
-            c => CosineSimilarity(col(embedding), c.getField("c"))))) - 1
+        col("__cands")(
+          array_position(col("__scores"), array_max(col("__scores"))) - 1
         ).getField("list_id"))
-      .drop("__cands")
+      .drop("__cands", "__scores")
   }
 
   def ivfTopK(indexed: DataFrame, embedding: String, id: String,
@@ -117,7 +122,14 @@ object Similarity {
     * never corpus × corpus. */
   def nearDupPairs(df: DataFrame, embedding: String, id: String,
       numPlanes: Int, dim: Int, threshold: Double): DataFrame = {
+    // The index is computed ONCE and persisted, then both join sides
+    // read the materialized buckets — without this, the self-join would
+    // re-scan the source and re-evaluate hyperplaneBucket per side. At
+    // 100 TB the analogue is an index table written
+    // `partitionBy("bucket")` and joined against itself; the in-memory
+    // persist is the local[n] stand-in for that persisted index.
     val ix = index(df, embedding, numPlanes, dim)
+      .select(col("bucket"), col(id), col(embedding)).persist()
     val l = ix.select(col("bucket"), col(id).as("id_a"),
       col(embedding).as("emb_a"))
     val r = ix.select(col("bucket"), col(id).as("id_b"),

@@ -25,12 +25,16 @@ object Skew {
     */
   def saltedAgg(df: DataFrame, key: Column, buckets: Int)(
       partial: Seq[(Column, String)], merge: Seq[(Column, String)]): DataFrame = {
+    // The group column keeps the caller's name (schema-only resolution,
+    // no job), so the salted result is drop-in schema-compatible with
+    // the plain groupBy it replaces.
+    val keyName = df.select(key).schema.head.name
     val salted = df.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
-    val phase1 = salted.groupBy(key.as("__key"), col("__salt"))
+    val phase1 = salted.groupBy(key.as(keyName), col("__salt"))
       .agg(partial.head._1.as(partial.head._2),
         partial.tail.map { case (c, n) => c.as(n) }: _*)
-    phase1.groupBy(col("__key"))
+    phase1.groupBy(col(keyName))
       .agg(merge.head._1.as(merge.head._2),
         merge.tail.map { case (c, n) => c.as(n) }: _*)
   }

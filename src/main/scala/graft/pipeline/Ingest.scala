@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.model._
 import graft.plan.{ChunkPlanner, PathPlanner, WatermarkResolver}
-import graft.sources.{LakeWriter, Source}
+import graft.sources.{LakeReader, LakeWriter, Source}
 import graft.state.{ConfigStore, WatermarkStore}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -155,7 +155,8 @@ final class Ingest(spark: SparkSession, source: Source, cfg: IngestConfig,
             Some(cfg.filesPerChunk))
           // full path updates but never inserts (reference quirk,
           // `Ingest:424-426` insertconfig only on chunked)
-          commitWatermark(staged, wmCols, paths.table, insertIfMissing = false)
+          commitWatermark(paths.filePath, wmCols, paths.table,
+            insertIfMissing = false)
           stagedCount
 
         case Route.Chunked =>
@@ -166,7 +167,8 @@ final class Ingest(spark: SparkSession, source: Source, cfg: IngestConfig,
             LakeWriter.write(staged.where(c.predicate(ts)), paths.filePath,
               SaveMode.Append, Some(cfg.filesPerChunk))
           }
-          commitWatermark(staged, wmCols, paths.table, insertIfMissing = true)
+          commitWatermark(paths.filePath, wmCols, paths.table,
+            insertIfMissing = true)
           stagedCount
 
         case Route.BulkWarn =>
@@ -184,11 +186,14 @@ final class Ingest(spark: SparkSession, source: Source, cfg: IngestConfig,
 
   /** C6 watermark commit: re-read written data, MAX(COALESCE(cols)) − lag,
     * MERGE (`Ingest:344-415`). Re-reading the lake dir (not the staged
-    * frame) is load-bearing: it commits what was actually persisted. */
-  private def commitWatermark(written: DataFrame, wmCols: Seq[String],
+    * frame) is load-bearing: it commits what was actually persisted, so
+    * a write path that drops or rewrites rows can never advance the
+    * watermark past data that isn't on disk. The parquet max-statistics
+    * make this a footer-only scan, not a data read. */
+  private def commitWatermark(lakePath: String, wmCols: Seq[String],
       table: String, insertIfMissing: Boolean): Unit = {
     if (wmCols.nonEmpty) {
-      val maxRow = written
+      val maxRow = LakeReader.read(spark, lakePath)
         .agg(max(coalesce(wmCols.map(col): _*)).as("maxdate"))
         .select(col("maxdate") - expr(s"INTERVAL ${cfg.lagHours} HOURS"))
         .head()

@@ -13,17 +13,24 @@ final case class ChunkKey(
     quarter: Option[Int] = None,
     month: Option[Int] = None,
     day: Option[Int] = None,
-    rows: Long = 0L) {
+    rows: Long = 0L,
+    nullKey: Boolean = false) {
 
   /** The chunk's scan predicate over the watermark expression — the P10
-    * date-part filter family (`Ingest:257-266`). */
-  def predicate(ts: Column): Column = {
-    val base = org.apache.spark.sql.functions.year(ts) === year
-    val q = quarter.map(org.apache.spark.sql.functions.quarter(ts) === _)
-    val m = month.map(org.apache.spark.sql.functions.month(ts) === _)
-    val d = day.map(dayofmonth(ts) === _)
-    Seq(q, m, d).flatten.foldLeft(base)(_ && _)
-  }
+    * date-part filter family (`Ingest:257-266`). The dedicated NULL
+    * chunk matches rows whose watermark is entirely NULL: every other
+    * chunk's `year(ts) === y` is null-rejecting, so without it those
+    * rows would silently vanish from every chunk write and the plan
+    * would no longer cover the table. */
+  def predicate(ts: Column): Column =
+    if (nullKey) ts.isNull
+    else {
+      val base = org.apache.spark.sql.functions.year(ts) === year
+      val q = quarter.map(org.apache.spark.sql.functions.quarter(ts) === _)
+      val m = month.map(org.apache.spark.sql.functions.month(ts) === _)
+      val d = day.map(dayofmonth(ts) === _)
+      Seq(q, m, d).flatten.foldLeft(base)(_ && _)
+    }
 }
 
 /** Recursive time-chunk planner (SURVEY.md §2.8 C5 — the reference's
@@ -48,12 +55,25 @@ final case class ChunkKey(
   */
 object ChunkPlanner {
 
-  /** One leaf of the count cube: (year, quarter, month, day) -> rows. */
+  /** One leaf of the count cube: (year, quarter, month, day) -> rows.
+    * `y == NullYear` marks rows whose watermark columns are all NULL. */
   final case class DayCount(y: Int, q: Int, m: Int, d: Int, cnt: Long)
 
-  /** Pure planning recursion over the collected count cube. */
+  /** Sentinel grouping key for all-NULL watermark rows (no calendar
+    * parts exist for them, so they can never descend below one chunk). */
+  val NullYear: Int = Int.MinValue
+
+  /** Pure planning recursion over the collected count cube. All-NULL
+    * watermark rows become one dedicated chunk (predicate `ts IS NULL`),
+    * emitted regardless of `limit` — there is no finer calendar level to
+    * descend into, and dropping them would break the cover property. */
   def planChunks(counts: Seq[DayCount], limit: Long): Seq[ChunkKey] = {
-    val chunks = counts.groupBy(_.y).toSeq.flatMap { case (y, inYear) =>
+    val (nullCounts, dated) = counts.partition(_.y == NullYear)
+    val nullChunk =
+      if (nullCounts.isEmpty) Seq.empty
+      else Seq(ChunkKey(NullYear, rows = nullCounts.map(_.cnt).sum,
+        nullKey = true))
+    val chunks = nullChunk ++ dated.groupBy(_.y).toSeq.flatMap { case (y, inYear) =>
       val yTotal = inYear.map(_.cnt).sum
       if (yTotal <= limit) Seq(ChunkKey(y, rows = yTotal))
       else inYear.groupBy(_.q).toSeq.flatMap { case (q, inQ) =>
@@ -78,25 +98,29 @@ object ChunkPlanner {
         month(ts).as("m"), dayofmonth(ts).as("d"))
       .agg(count(lit(1)).as("cnt"))
       .collect().toSeq
-      .map(r => DayCount(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
-        r.getLong(4)))
+      .map(r =>
+        if (r.isNullAt(0)) DayCount(NullYear, 0, 0, 0, r.getLong(4))
+        else DayCount(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getLong(4)))
   }
 
   def plan(df: DataFrame, watermarkCols: Seq[String], limit: Long): Seq[ChunkKey] =
     planChunks(countCube(df, watermarkCols), limit)
 
   private val planSchema = StructType(Seq(
-    StructField("year", IntegerType, nullable = false),
+    StructField("year", IntegerType, nullable = true),
     StructField("quarter", IntegerType, nullable = true),
     StructField("month", IntegerType, nullable = true),
     StructField("day", IntegerType, nullable = true),
     StructField("cnt", LongType, nullable = false)))
 
   /** Plan as a DataFrame (driver-contract / oracle shape):
-    * (year INT, quarter INT?, month INT?, day INT?, cnt BIGINT). */
+    * (year INT?, quarter INT?, month INT?, day INT?, cnt BIGINT).
+    * The NULL-watermark chunk surfaces as an all-NULL calendar row. */
   def planDF(df: DataFrame, watermarkCols: Seq[String], limit: Long): DataFrame = {
     val rows = plan(df, watermarkCols, limit).map(c =>
-      Row(c.year, c.quarter.map(Int.box).orNull, c.month.map(Int.box).orNull,
+      Row(if (c.nullKey) null else Int.box(c.year),
+        c.quarter.map(Int.box).orNull, c.month.map(Int.box).orNull,
         c.day.map(Int.box).orNull, c.rows))
     df.sparkSession.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters

@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   * each grounded in the construct the reference issues, re-expressed
   * over the driver testdata tables.
   *
-  * Numeric policy for oracle parity: double SUM/AVG is
-  * order-dependent in floating point, so aggregated doubles are cast
-  * to DECIMAL per-row *before* summing (exact, associative) — the
-  * same plan Catalyst whole-stage-codegens, and the result is
-  * bit-identical regardless of partitioning, so it survives a
-  * 1000-executor shuffle unchanged.
+  * Numeric policy for oracle parity: aggregate doubles natively and
+  * round ONCE in the final projection (`round(sum(x), 2)`), mirrored
+  * in the oracle SQL. Per-row CAST(double AS DECIMAL) is a trap:
+  * Spark rounds HALF_UP while DuckDB rounds half-to-even, so per-row
+  * ties diverge and the sums drift apart. A single terminal round
+  * absorbs both that and ulp-level summation-order differences, and
+  * keeps the hot path a plain codegen'd double sum — cheaper at scale
+  * than 128-bit decimal arithmetic on every row.
   */
 object CoreQueries {
 
@@ -32,19 +34,19 @@ object CoreQueries {
         t(s, dir, "lineitem")
           .groupBy($"l_returnflag", $"l_linestatus")
           .agg(
-            sum($"l_quantity".cast("decimal(18,2)")).as("sum_qty"),
-            sum($"l_extendedprice".cast("decimal(18,2)")).as("sum_base_price"),
-            sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
-              .cast("decimal(24,4)")).as("sum_disc_price"),
-            sum(($"l_extendedprice" * (lit(1.0) - $"l_discount") *
-              (lit(1.0) + $"l_tax")).cast("decimal(24,6)")).as("sum_charge"),
+            round(sum($"l_quantity"), 2).as("sum_qty"),
+            round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+            round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+              .as("sum_disc_price"),
+            round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") *
+              (lit(1.0) + $"l_tax")), 2).as("sum_charge"),
             count(lit(1)).as("count_order"))
       },
       Some("""SELECT l_returnflag, l_linestatus,
-        sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,4))) AS sum_disc_price,
-        sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(24,6))) AS sum_charge,
+        round(sum(l_quantity), 2) AS sum_qty,
+        round(sum(l_extendedprice), 2) AS sum_base_price,
+        round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
         count(*) AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus""")),
 
@@ -278,10 +280,10 @@ object CoreQueries {
         import s.implicits._
         t(s, dir, "lineitem")
           .rollup($"l_returnflag", $"l_linestatus")
-          .agg(sum($"l_quantity".cast("decimal(18,2)")).as("sum_qty"))
+          .agg(round(sum($"l_quantity"), 2).as("sum_qty"))
       },
       Some("""SELECT l_returnflag, l_linestatus,
-        sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        round(sum(l_quantity), 2) AS sum_qty
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""")),
 
     // ---- A10 [EXT] exact count-distinct
@@ -364,13 +366,13 @@ object CoreQueries {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         t(s, dir, "lineitem")
           .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
-            sum($"l_quantity".cast("decimal(18,2)")).over(w).as("running_qty"))
+            round(sum($"l_quantity").over(w), 2).as("running_qty"))
       },
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
-        sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        round(sum(l_quantity) OVER (
           PARTITION BY l_suppkey
           ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
         FROM lineitem"""))
   )
 }

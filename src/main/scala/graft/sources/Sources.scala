@@ -37,29 +37,52 @@ final class JdbcSource(url: String, user: String, password: String,
   def query(spark: SparkSession, sql: String,
       partitionColumn: Option[(String, Long, Long, Int)] = None): DataFrame = {
     val base = spark.read.format("jdbc")
-      .option("url", url).option("query", sql)
+      .option("url", url)
       .option("user", user).option("password", password)
       .option("fetchsize", fetchSize)
     partitionColumn match {
       case Some((col, lo, hi, n)) => base
+        // Spark rejects `query` + `partitionColumn` together; the
+        // partitioned form must go through a dbtable subquery alias.
+        // Each of the n partitions issues the pushed-down query with
+        // its own `col >= lo AND col < hi` range appended — n parallel
+        // connections instead of the reference's single one.
+        .option("dbtable", s"($sql) graft_subq")
         .option("partitionColumn", col).option("lowerBound", lo)
         .option("upperBound", hi).option("numPartitions", n).load()
-      case None => base.load()
+      case None => base.option("query", sql).load()
     }
   }
 }
 
 /** Lake sink (S5/S6/S8, `Ingest:302-306`): parquet/"delta" dirs with
-  * append/overwrite modes, optional compaction coalesce and additive
-  * mergeSchema. Reference pins `coalesce(1)` — one file per chunk; ours
-  * makes N configurable because a single writer task serializes the
-  * write at scale. */
+  * append/overwrite modes and optional compaction coalesce. Reference
+  * pins `coalesce(1)` — one file per chunk; ours makes N configurable
+  * because a single writer task serializes the write at scale.
+  *
+  * Schema-evolution note (the reference sets `mergeSchema=true` on every
+  * WRITE, `Ingest:304`): for parquet, `mergeSchema` is a READ option —
+  * on a write it is silently inert. Each appended file simply carries
+  * its own schema; the additive-evolution semantics the reference wants
+  * live entirely on the read side, so they are implemented in
+  * [[LakeReader]] and exercised by IngestSpec's evolution case. */
 object LakeWriter {
   def write(df: DataFrame, path: String, mode: SaveMode,
-      coalesceTo: Option[Int] = Some(1),
-      mergeSchema: Boolean = true): Unit = {
+      coalesceTo: Option[Int] = Some(1)): Unit = {
     val d = coalesceTo.map(df.coalesce).getOrElse(df)
-    d.write.mode(mode).option("mergeSchema", mergeSchema.toString)
-      .parquet(path)
+    d.write.mode(mode).parquet(path)
   }
+}
+
+/** Lake read path (S3 re-read + the reference's additive schema
+  * evolution): `mergeSchema=true` unions the schemas of every file in
+  * the dir, so a chunk appended with a new column surfaces it
+  * (NULL-filled for older files) — Delta's additive evolution, on
+  * parquet. Footer-merge cost is per-FILE, not per-row, so it stays
+  * negligible at 100 TB as long as chunk writes keep file counts sane
+  * (LakeWriter's coalesce does). */
+object LakeReader {
+  def read(spark: SparkSession, path: String,
+      mergeSchema: Boolean = true): DataFrame =
+    spark.read.option("mergeSchema", mergeSchema.toString).parquet(path)
 }

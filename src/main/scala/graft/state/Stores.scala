@@ -124,7 +124,10 @@ final class WatermarkStore(spark: SparkSession, path: String) {
           key(systemType, db, table), systemType, db, table.toLowerCase,
           Some(lastLoad), now, None)
       else existing.toSeq
-    if (updated != existing.toSeq || matches.nonEmpty || insertIfMissing)
+    // rewrite only when the merge changed something: matched rows were
+    // updated, or an insert happened (no-match + !insertIfMissing is the
+    // one no-op path)
+    if (matches.nonEmpty || insertIfMissing)
       ParquetMerge.overwrite(spark.createDataset(updated), path)
   }
 }

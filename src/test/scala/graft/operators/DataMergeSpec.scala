@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class DataMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def partFiles(path: String): Map[String, Long] = {
+    val d = new java.io.File(path)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+  }
+
+  test("upsert: updates win, inserts added, untouched partitions " +
+    "keep their exact files") {
+    val path = tmpDir("dmerge") + "/t"
+    Seq((1L, 10.0, 2020), (2L, 20.0, 2020), (3L, 30.0, 2021))
+      .toDF("k", "v", "part")
+      .write.partitionBy("part").parquet(path)
+    val before2020 = partFiles(s"$path/part=2020")
+    assert(before2020.nonEmpty)
+
+    // one matched update (k=3), one insert (k=4), one NEW partition (2022)
+    val updates = Seq((3L, 300.0, 2021), (4L, 40.0, 2021), (5L, 50.0, 2022))
+      .toDF("k", "v", "part")
+    val touched = DataMerge.mergeIntoParquet(spark, path, updates,
+      Seq("k"), "part")
+    assert(touched.toSet == Set(2021, 2022))
+
+    val after = spark.read.parquet(path)
+      .select($"k", $"v", $"part".cast("int"))
+      .as[(Long, Double, Int)].collect().toSet
+    assert(after == Set((1L, 10.0, 2020), (2L, 20.0, 2020),
+      (3L, 300.0, 2021), (4L, 40.0, 2021), (5L, 50.0, 2022)))
+
+    // the untouched partition's files are bit-for-bit the same ones —
+    // never read, rewritten, or renamed
+    assert(partFiles(s"$path/part=2020") == before2020)
+  }
+
+  test("merge is idempotent under re-application of the same updates") {
+    val path = tmpDir("dmerge2") + "/t"
+    Seq((1L, 1.0, 1), (2L, 2.0, 1)).toDF("k", "v", "part")
+      .write.partitionBy("part").parquet(path)
+    val updates = Seq((2L, 22.0, 1), (9L, 9.0, 1)).toDF("k", "v", "part")
+    DataMerge.mergeIntoParquet(spark, path, updates, Seq("k"), "part")
+    val once = spark.read.parquet(path).as[(Long, Double, Int)].collect().toSet
+    DataMerge.mergeIntoParquet(spark, path, updates, Seq("k"), "part")
+    val twice = spark.read.parquet(path).as[(Long, Double, Int)].collect().toSet
+    assert(once == twice)
+    assert(twice == Set((1L, 1.0, 1), (2L, 22.0, 1), (9L, 9.0, 1)))
+  }
+}

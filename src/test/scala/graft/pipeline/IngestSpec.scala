@@ -125,6 +125,27 @@ class IngestSpec extends SparkSpec {
     assert(report.exitStatus == "ERROR: ghost_table")
   }
 
+  test("additive schema evolution: appended chunk's new column surfaces " +
+    "on merged read (reference mergeSchema parity)") {
+    import spark.implicits._
+    import graft.sources.{LakeReader, LakeWriter}
+    import org.apache.spark.sql.SaveMode
+    val path = tmpDir("evolve") + "/lake/t"
+    // v1 chunk: two columns
+    LakeWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "name"),
+      path, SaveMode.Overwrite)
+    // v2 chunk appended with a NEW column (the reference's
+    // mergeSchema=true write at `Ingest:304` intends exactly this)
+    LakeWriter.write(Seq((3L, "c", 9.5)).toDF("id", "name", "score"),
+      path, SaveMode.Append)
+    val merged = LakeReader.read(spark, path)
+    assert(merged.columns.sorted.toSeq == Seq("id", "name", "score").sorted)
+    assert(merged.count() == 3)
+    // rows from the pre-evolution chunk surface the new column as NULL
+    assert(merged.where($"score".isNull).count() == 2)
+    assert(merged.where($"score" === 9.5).select($"id").head().getLong(0) == 3L)
+  }
+
   test("Route.decide matches reference volume routing") {
     assert(Route.decide(99, 100, hasWatermark = true) == Route.Full)
     assert(Route.decide(100, 100, hasWatermark = true) == Route.Chunked)

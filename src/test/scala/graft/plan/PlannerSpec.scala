@@ -75,6 +75,28 @@ class ChunkPlannerSpec extends SparkSpec {
       ChunkKey(2020, Some(2), rows = 50)))
   }
 
+  test("all-NULL watermark rows become a dedicated ts-IS-NULL chunk " +
+    "(cover preserved end-to-end)") {
+    import org.apache.spark.sql.functions.{col, coalesce}
+    import spark.implicits._
+    // pure planner level: null group emits one chunk regardless of limit
+    val plan = planChunks(
+      Seq(DayCount(NullYear, 0, 0, 0, 7), dc(2020, 1, 1, 10)), 5)
+    assert(plan.head == ChunkKey(NullYear, rows = 7, nullKey = true))
+    // end-to-end on a frame with NULL timestamps: countCube must not NPE,
+    // and the union of chunk predicates must cover every row exactly once
+    val df = Seq(
+      (1L, Some("2020-01-01 10:00:00")), (2L, None), (3L, None),
+      (4L, Some("2020-06-01 10:00:00"))
+    ).toDF("id", "s").select(col("id"), col("s").cast("timestamp").as("ts"))
+    val chunks = ChunkPlanner.plan(df, Seq("ts"), limit = 1)
+    assert(chunks.exists(_.nullKey))
+    assert(chunks.map(_.rows).sum == 4)
+    val ts = coalesce(col("ts"))
+    val covered = chunks.map(c => df.where(c.predicate(ts)).count()).sum
+    assert(covered == 4, s"chunks must cover NULL-ts rows, got $covered")
+  }
+
   test("property: chunks partition the input (cover all rows, no overlap)") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 200) {

@@ -39,4 +39,33 @@ class StoresSpec extends SparkSpec {
     assert(store.lastLoad("sys", "db", "t1").contains(t2))
     assert(store.all().count() == 2)
   }
+
+  test("watermark never regresses under the lagged-max commit protocol " +
+    "(ScalaCheck, SURVEY §5.2)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val lagMillis = 80L * 3600 * 1000 // the reference's 80h lag (F4)
+    val base = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    // a run sequence = batches of event-time offsets (hours); the
+    // pipeline persists each batch, then commits max(persisted) - 80h —
+    // exactly what Ingest.commitWatermark computes from the lake re-read
+    val runsGen = Gen.listOfN(5, Gen.listOf(Gen.choose(0L, 10000L)))
+    val prop = Prop.forAll(runsGen) { runs =>
+      val store = new WatermarkStore(spark, tmpDir("wmprop") + "/wm")
+      var lakeMax = Long.MinValue // append-only lake → running max
+      var prev = Long.MinValue
+      runs.filter(_.nonEmpty).forall { batch =>
+        lakeMax = math.max(lakeMax, batch.max * 3600 * 1000 + base)
+        store.commit("sys", "db", "t", new Timestamp(lakeMax - lagMillis),
+          insertIfMissing = true)
+        val committed = store.lastLoad("sys", "db", "t").get.getTime
+        val ok = committed >= prev &&          // never regresses
+          committed == lakeMax - lagMillis     // exactly 80h behind the lake
+        prev = committed
+        ok
+      }
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(result.passed, result.status.toString)
+  }
 }

@@ -24,13 +24,14 @@ class EventStreamSpec extends SparkSpec {
     val truth = events.groupBy($"user_id").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-    // split into two files so the source sees >1 micro-batch
-    val half = events.count() / 2
-    events.limit(half.toInt).write.mode("overwrite")
+    // split into two files so the source sees >1 micro-batch. The split
+    // predicate is deterministic (event_id parity) — LIMIT without ORDER
+    // BY may pick different rows on each evaluation, which would let the
+    // two batch files overlap or miss events.
+    events.where($"event_id" % 2 === 0).write.mode("overwrite")
       .parquet(stage.resolve("b0").toString)
-    val firstIds = events.limit(half.toInt).select("event_id")
-    events.join(firstIds, Seq("event_id"), "left_anti")
-      .write.mode("overwrite").parquet(stage.resolve("b1").toString)
+    events.where($"event_id" % 2 =!= 0).write.mode("overwrite")
+      .parquet(stage.resolve("b1").toString)
 
     val src = spark.readStream.schema(
         StructType(rawSchema.fields.map(f =>
