@@ -20,8 +20,17 @@ object VectorFunctions {
   /** Random-hyperplane (SimHash-family) LSH bucket for ANN search: the
     * sign pattern of `planes.size` dot products packed into a long.
     * Planes are fixed per index build, so the bucket id is a pure
-    * shuffle key — a 100 TB index partitions/bucket-prunes on it. */
+    * shuffle key — a 100 TB index partitions/bucket-prunes on it.
+    * Delegates to the native codegen'd [[HyperplaneBucket]] expression
+    * (the HOF composition below is CodegenFallback — kept only as the
+    * semantic reference for HyperplaneExprSpec). */
   def hyperplaneBucket(vec: Column, planes: Seq[Array[Double]]): Column =
+    HyperplaneBucket(vec, planes)
+
+  /** Higher-order-function reference implementation of
+    * [[hyperplaneBucket]] — identical semantics, interpreted (every
+    * aggregate/zip_with is CodegenFallback). Spec-only. */
+  def hyperplaneBucketHof(vec: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val d = aggregate(
         zip_with(vec, lit(p), (x, w) => x.cast("double") * w),

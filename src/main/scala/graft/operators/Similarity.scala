@@ -55,31 +55,60 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF (inverted-file) index: assign every vector to its nearest of
-    * `nlist` centroids; queries probe only the `nprobe` closest lists.
-    *
-    * Centroid selection is deterministic: the vectors with the lowest
-    * `nlist` ids seed the codebook (k-means refinement would improve
-    * recall but costs iterations; for an index-build pipeline the
-    * assignment pass — one narrow scan — dominates either way). At
-    * scale the indexed table is written `partitionBy("list_id")`, so a
-    * probe reads nprobe/nlist of the data — partition pruning, same
-    * story as the LSH variant but with data-adaptive cells. */
-  def ivfIndex(df: DataFrame, embedding: String, id: String,
-      nlist: Int): DataFrame = {
-    val centroids = df.orderBy(col(id).asc).limit(nlist)
-      .select(col(id).as("list_id"), col(embedding).as("centroid"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val centroidLit = array(centroids.map { case (cid, vec) =>
-      struct(lit(cid).as("list_id"), lit(vec.map(_.toDouble)).as("c"))
+  /** IVF codebook: (list_id, centroid) entries. Built deterministically
+    * (seeded from the lowest `nlist` ids, optionally Lloyd-refined) so
+    * index identity is stable across runs and executors. */
+  final case class IvfCodebook(entries: Array[(Long, Array[Double])])
+
+  /** Build the IVF codebook. `refineIters` Lloyd iterations: assign all
+    * vectors (one scan, the codegen'd argmax pass below), recompute each
+    * list's centroid as the per-dimension mean. The mean job shuffles
+    * only (nlist × dim) partially-aggregated keys — at 100 TB each
+    * iteration is one narrow scan plus a tiny fixed-size shuffle, and
+    * the driver only ever holds nlist × dim doubles. Refinement moves
+    * cells toward the data's density (better recall per probed list
+    * than raw seeds); zero iterations reproduces the seed codebook. */
+  def buildCodebook(df: DataFrame, embedding: String, id: String,
+      nlist: Int, refineIters: Int = 0): IvfCodebook = {
+    var cents = df.orderBy(col(id).asc).limit(nlist)
+      .select(col(id), col(embedding)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    var it = 0
+    while (it < refineIters) {
+      val means = assign(df, embedding, cents)
+        .select(col("list_id"), posexplode(col(embedding)).as(Seq("pos", "x")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .collect() // nlist × dim rows — bounded by codebook size, not data
+      val byList = means.groupBy(_.getLong(0))
+      cents = cents.map { case (lid, old) =>
+        byList.get(lid) match {
+          case Some(rows) =>
+            val m = old.clone()
+            rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+            (lid, m)
+          case None => (lid, old) // empty list keeps its seed centroid
+        }
+      }
+      it += 1
+    }
+    IvfCodebook(cents)
+  }
+
+  /** Assign every vector to its nearest centroid by cosine — ONE pass
+    * over the literal codebook: the per-row score array is bound to its
+    * own column, so argmax reads it twice without recomputing the nlist
+    * cosines. (CollapseProject will not inline a non-cheap alias used
+    * more than once, so the single evaluation survives optimization —
+    * this is the dominant compute of an index build at scale.) At scale
+    * the result is written `partitionBy("list_id")`, so a probe reads
+    * nprobe/nlist of the data — partition pruning, same story as the
+    * LSH variant but with data-adaptive cells. */
+  private def assign(df: DataFrame, embedding: String,
+      cents: Array[(Long, Array[Double])]): DataFrame = {
+    val centroidLit = array(cents.map { case (cid, vec) =>
+      struct(lit(cid).as("list_id"), lit(vec).as("c"))
     }: _*)
-    // nearest centroid by cosine via ONE pass over the literal codebook:
-    // the per-row score array is bound to its own column, so argmax reads
-    // it twice without recomputing the nlist cosines. (CollapseProject
-    // will not inline a non-cheap alias used more than once, so the
-    // single evaluation survives optimization — this is the dominant
-    // compute of an index build at scale.)
     df.withColumn("__cands", centroidLit)
       .withColumn("__scores",
         transform(col("__cands"),
@@ -91,31 +120,47 @@ object Similarity {
       .drop("__cands", "__scores")
   }
 
+  /** The IVF index: source rows + their assigned `list_id`. */
+  def ivfAssign(df: DataFrame, embedding: String,
+      codebook: IvfCodebook): DataFrame =
+    assign(df, embedding, codebook.entries)
+
+  /** Seed-codebook convenience (no refinement) — the round-1 surface. */
+  def ivfIndex(df: DataFrame, embedding: String, id: String,
+      nlist: Int): DataFrame =
+    ivfAssign(df, embedding, buildCodebook(df, embedding, id, nlist))
+
   def ivfTopK(indexed: DataFrame, embedding: String, id: String,
-      query: Array[Float], nlist: Int, nprobe: Int, k: Int): DataFrame = {
+      query: Array[Float], codebook: IvfCodebook, nprobe: Int,
+      k: Int): DataFrame = {
     // nprobe nearest centroid lists for the query, computed driver-side
-    // against the same deterministic codebook
-    val centroids = indexed.orderBy(col(id).asc).limit(nlist)
-      .select(col(id), col(embedding)).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    def cos(a: Array[Float], b: Array[Float]): Double = {
+    // against the SAME codebook the index was assigned with
+    def cos(a: Array[Float], b: Array[Double]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < a.length) {
         d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
-        nb += b(i).toDouble * b(i); i += 1
+        nb += b(i) * b(i); i += 1
       }
       if (na == 0 || nb == 0) -2.0 else d / (math.sqrt(na) * math.sqrt(nb))
     }
-    val probeLists = centroids.sortBy { case (cid, c) => (-cos(query, c), cid) }
+    val probeLists = codebook.entries
+      .sortBy { case (cid, c) => (-cos(query, c), cid) }
       .take(nprobe).map(_._1)
     val q = lit(query.map(_.toDouble))
-    indexed.where(col("list_id").isin(probeLists: _*))
+    indexed.where(col("list_id").isin(probeLists.toSeq: _*))
       .withColumn("score", CosineSimilarity(col(embedding), q))
       .select(col(id), round(col("score"), 4).as("score"))
       .orderBy(col("score").desc, col(id).asc)
       .limit(k)
   }
+
+  /** Round-1-shaped overload: rebuilds the seed codebook from the
+    * indexed frame (valid only for unrefined indexes). */
+  def ivfTopK(indexed: DataFrame, embedding: String, id: String,
+      query: Array[Float], nlist: Int, nprobe: Int, k: Int): DataFrame =
+    ivfTopK(indexed, embedding, id, query,
+      buildCodebook(indexed, embedding, id, nlist), nprobe, k)
 
   /** Embedding-cosine near-duplicate pairs, LSH-bucketed: pairs are
     * generated only within a bucket (plus its full-signature match),

@@ -48,16 +48,18 @@ object SimilarityQueries {
       None,
       doc = "rows-only: approximate — bucket pruning changes the candidate set"),
 
-    // ---- SIM3 IVF ANN top-10: data-adaptive inverted lists, probe the
-    // 4 nearest of 16 cells (partition-pruned scan at scale)
+    // ---- SIM3 IVF ANN top-10: data-adaptive inverted lists (2 Lloyd
+    // refinement iterations), probe the 4 nearest of 16 cells
+    // (partition-pruned scan at scale)
     "sim3_ivf_topk" -> QueryDef(
       (s, dir) => {
         val q = queryVec(s, dir)
-        val indexed = Similarity.ivfIndex(
-          t(s, dir, "embeddings").where(col("vec_id") =!= 0),
-          "embedding", "vec_id", nlist = 16)
+        val corpus = t(s, dir, "embeddings").where(col("vec_id") =!= 0)
+        val codebook = Similarity.buildCodebook(corpus, "embedding",
+          "vec_id", nlist = 16, refineIters = 2)
+        val indexed = Similarity.ivfAssign(corpus, "embedding", codebook)
         Similarity.ivfTopK(indexed, "embedding", "vec_id", q,
-          nlist = 16, nprobe = 4, k = 10)
+          codebook, nprobe = 4, k = 10)
       },
       None,
       doc = "rows-only: approximate — IVF cell pruning changes the candidate set"),
@@ -78,16 +80,17 @@ object SimilarityQueries {
       Some(bruteForceSql)),
 
     // ---- SIM3 semantic self-check: probing ALL nlist cells degrades
-    // IVF to exact search — codebook assignment + probe must reproduce
-    // the brute-force top-10 exactly.
+    // IVF to exact search — refined-codebook assignment + probe must
+    // reproduce the brute-force top-10 exactly.
     "sim3_full_probe" -> QueryDef(
       (s, dir) => {
         val q = queryVec(s, dir)
-        val indexed = Similarity.ivfIndex(
-          t(s, dir, "embeddings").where(col("vec_id") =!= 0),
-          "embedding", "vec_id", nlist = 16)
+        val corpus = t(s, dir, "embeddings").where(col("vec_id") =!= 0)
+        val codebook = Similarity.buildCodebook(corpus, "embedding",
+          "vec_id", nlist = 16, refineIters = 2)
+        val indexed = Similarity.ivfAssign(corpus, "embedding", codebook)
         Similarity.ivfTopK(indexed, "embedding", "vec_id", q,
-          nlist = 16, nprobe = 16, k = 10)
+          codebook, nprobe = 16, k = 10)
       },
       Some(bruteForceSql))
   )

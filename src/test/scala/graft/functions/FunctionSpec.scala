@@ -35,6 +35,38 @@ class CosineExprSpec extends SparkSpec {
   }
 }
 
+class HyperplaneExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native HyperplaneBucket matches the higher-order composition " +
+    "on real embeddings") {
+    val planes = VectorFunctions.makePlanes(6, 64)
+    val emb = graft.Tables(spark, sfDir, "embeddings").limit(100).cache()
+    val native = emb.select($"vec_id",
+        VectorFunctions.hyperplaneBucket($"embedding", planes).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hof = emb.select($"vec_id",
+        VectorFunctions.hyperplaneBucketHof($"embedding", planes).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == hof)
+    assert(native.values.toSet.size > 1, "buckets should spread")
+  }
+
+  test("bucket is stable across evaluation paths and null-safe") {
+    val planes = VectorFunctions.makePlanes(4, 2)
+    val df = Seq(Some(Array(1f, 2f)), Some(Array(-1f, -2f)), None)
+      .toDF("v")
+    val rows = df.select(
+      VectorFunctions.hyperplaneBucket($"v", planes).as("b")).collect()
+    assert(rows(0).getLong(0) != rows(1).getLong(0))
+    assert(rows(2).isNullAt(0))
+    // identical vector -> identical bucket (dd7's guaranteed-catch base)
+    val again = df.select(
+      VectorFunctions.hyperplaneBucket($"v", planes).as("b")).collect()
+    assert(rows(0).getLong(0) == again(0).getLong(0))
+  }
+}
+
 class TextFunctionSpec extends SparkSpec {
   import spark.implicits._
 

@@ -103,6 +103,29 @@ class OperatorSpec extends SparkSpec {
     assert(ivf.toSeq == brute.toSeq)
   }
 
+  test("Lloyd-refined codebook: assignment still partitions the corpus, " +
+    "full probe still exact, refinement moves centroids") {
+    val emb = graft.Tables(spark, sfDir, "embeddings")
+    val corpus = emb.where($"vec_id" =!= 0)
+    val q = emb.where($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val seed = Similarity.buildCodebook(corpus, "embedding", "vec_id", 8)
+    val refined = Similarity.buildCodebook(corpus, "embedding", "vec_id", 8,
+      refineIters = 2)
+    // refinement actually moved at least one centroid off its seed vector
+    assert(seed.entries.zip(refined.entries).exists { case ((_, a), (_, b)) =>
+      !java.util.Arrays.equals(a, b)
+    })
+    val indexed = Similarity.ivfAssign(corpus, "embedding", refined)
+    assert(indexed.count() == corpus.count())
+    val ivf = Similarity.ivfTopK(indexed, "embedding", "vec_id", q,
+      refined, nprobe = 8, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val brute = Similarity.bruteForceTopK(corpus, "embedding", "vec_id", q, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ivf.toSeq == brute.toSeq)
+  }
+
   test("fingerprint is deterministic and text-sensitive") {
     val fps = docs.limit(10)
       .select(TextFunctions.fingerprint($"text").as("fp")).as[Long].collect()

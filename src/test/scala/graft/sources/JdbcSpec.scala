@@ -8,6 +8,10 @@ import graft.SparkSpec
   * `partitionColumn` parallel reads. */
 class JdbcSpec extends SparkSpec {
 
+  // keep Derby's derby.log out of the repo root
+  System.setProperty("derby.stream.error.file",
+    System.getProperty("java.io.tmpdir") + "/derby.log")
+
   private val url = "jdbc:derby:memory:graftjdbc;create=true"
 
   private lazy val populated: Unit = {
