@@ -59,4 +59,30 @@ class PlanSpec extends SparkSpec {
     val p = planOf("sim1_brute_topk")
     assert(p.contains("cosine_similarity"), p)
   }
+
+  test("native hyperplane_bucket expression appears in the LSH index plan") {
+    val p = planOf("sim2_lsh_topk")
+    assert(p.contains("hyperplane_bucket"), p)
+  }
+
+  test("DataMerge's target read is partition-pruned to touched partitions") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val path = tmpDir("dmplan") + "/t"
+    Seq((1L, 1.0, 2020), (2L, 2.0, 2021), (3L, 3.0, 2022))
+      .toDF("k", "v", "part").write.partitionBy("part").parquet(path)
+    // the pruned read DataMerge builds internally: only part=2022 dirs
+    val pruned = spark.read.parquet(path).where(col("part").isin(2022))
+    // the isin filter must land in PartitionFilters (directory pruning),
+    // not as a post-scan data filter
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+    assert(scan.partitionFilters.exists(_.toString.contains("part")),
+      scan.partitionFilters.toString)
+    // exactly one of three partition dirs is actually read
+    assert(scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .flatMap(_.files).forall(_.getPath.toString.contains("part=2022")))
+    assert(pruned.count() == 1)
+  }
 }
