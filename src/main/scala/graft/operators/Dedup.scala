@@ -47,7 +47,17 @@ object Dedup {
     * graft.functions.MinHashes for why the family must be
     * non-monotone). */
   def withMinhashSignature(df: DataFrame, text: Column, shingleSize: Int,
-      numHashes: Int): DataFrame = {
+      numHashes: Int): DataFrame =
+    df.withColumn("minhash_sig", graft.functions.ShingleMinHashes(
+      TextFunctions.tokens(lower(text)), shingleSize, numHashes))
+
+  /** The staged (pre-fusion) signature pipeline: materialized distinct
+    * shingles → `transform(xxhash64)` → native [[graft.functions.MinHashes]].
+    * Kept as the semantic reference for ShingleMinHashSpec — the two
+    * CodegenFallback `transform`s make it ~2-3× slower per row than the
+    * fused expression `withMinhashSignature` now uses. */
+  def withMinhashSignatureStaged(df: DataFrame, text: Column,
+      shingleSize: Int, numHashes: Int): DataFrame = {
     df.withColumn("__toks", TextFunctions.tokens(lower(text)))
       .withColumn("__sh",
         TextFunctions.shinglesFromTokens(col("__toks"), shingleSize))

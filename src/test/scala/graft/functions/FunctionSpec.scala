@@ -67,6 +67,35 @@ class HyperplaneExprSpec extends SparkSpec {
   }
 }
 
+class ShingleMinHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fused signature is bit-identical to the staged " +
+    "shingle->xxhash64->MinHashes pipeline on real documents") {
+    val docs = graft.Tables(spark, sfDir, "documents").limit(200).cache()
+    val fused = graft.operators.Dedup
+      .withMinhashSignature(docs, $"text", 3, 16)
+      .select($"doc_id", $"minhash_sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val staged = graft.operators.Dedup
+      .withMinhashSignatureStaged(docs, $"text", 3, 16)
+      .select($"doc_id", $"minhash_sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fused.size == staged.size)
+    fused.foreach { case (id, sig) =>
+      assert(sig == staged(id), s"signature mismatch for doc $id")
+    }
+  }
+
+  test("short/empty token arrays yield the all-MaxValue signature") {
+    val df = Seq("one two", "").toDF("text") // < 3 tokens each
+    val sigs = df.select(graft.functions.ShingleMinHashes(
+        TextFunctions.tokens(lower($"text")), 3, 4).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    sigs.foreach(s => assert(s.forall(_ == Long.MaxValue)))
+  }
+}
+
 class TextFunctionSpec extends SparkSpec {
   import spark.implicits._
 
