@@ -12,20 +12,29 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   spark.sql("SELECT cosine_similarity(a.embedding, b.embedding) ...")
   *   spark.sql("SELECT minhashes(hash_array, 16) ...")
   *
+  * and ANSI `MERGE INTO` over parquet catalog tables (the reference's
+  * Delta-MERGE surface) via an injected resolution rule —
+  *
+  *   spark.sql("MERGE INTO t USING s ON t.k = s.k " +
+  *     "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+  *
   * Activate via
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
   * `SparkSession.builder().withExtensions(new GraftExtensions)`.
   * No custom optimizer rules are injected: SURVEY §4 establishes that
   * Catalyst already covers the reference's optimization surface; the
-  * engine's value-add is expressions, not plan rewrites.
+  * engine's value-add is expressions and the MERGE lowering, not
+  * optimizer rewrites.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
 
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     builders.foreach { case (name, usage, b) =>
       e.injectFunction((FunctionIdentifier(name), info(name, usage), b))
     }
+    e.injectResolutionRule(graft.plans.ResolveParquetMerge.apply)
+  }
 }
 
 object GraftExtensions {

@@ -70,4 +70,27 @@ object DataMerge {
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     touched
   }
+
+  /** Upsert into an UNPARTITIONED parquet table: whole-table
+    * anti-join ∪ updates, written to staging and swapped in (the
+    * ParquetMerge pattern at data-plane size). Partitioned tables
+    * should use [[mergeIntoParquet]] — this variant necessarily
+    * rewrites everything, which is the honest cost of merging into an
+    * unpartitioned table in ANY engine (Delta included). */
+  def mergeIntoParquetFull(spark: SparkSession, path: String,
+      updates: DataFrame, keys: Seq[String]): Unit = {
+    val target = spark.read.option("mergeSchema", "true").parquet(path)
+    val merged = target.join(updates, keys, "left_anti")
+      .unionByName(updates.select(target.columns.map(col): _*))
+    val staging = path + ".merge-staging"
+    merged.write.mode(SaveMode.Overwrite).parquet(staging)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), conf)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(path + ".old")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(dst)) fs.rename(dst, bak)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
+    fs.delete(bak, true)
+  }
 }

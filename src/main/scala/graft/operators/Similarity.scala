@@ -36,6 +36,39 @@ object Similarity {
     df.withColumn("bucket",
       hyperplaneBucket(col(embedding), makePlanes(numPlanes, dim)))
 
+  /** Persist the index PARTITIONED BY bucket — the on-disk shape the
+    * 100 TB story needs: 2^numPlanes directories, each holding only its
+    * bucket's vectors. A probe then reads probed-buckets/2^numPlanes of
+    * the corpus via directory-level partition pruning (see
+    * [[probePersistedIndex]] and the PlanSpec-style assertion in
+    * OperatorSpec), instead of scanning everything and filtering. */
+  def writePersistedIndex(df: DataFrame, embedding: String, numPlanes: Int,
+      dim: Int, path: String): Unit =
+    index(df, embedding, numPlanes, dim)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("bucket").parquet(path)
+
+  /** Top-k probe against a persisted index. The Hamming-radius predicate
+    * is a deterministic function of the PARTITION column, so Catalyst
+    * evaluates it against the directory values at planning time — only
+    * matching `bucket=` dirs are listed and read. */
+  def probePersistedIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, embedding: String, id: String, query: Array[Float],
+      numPlanes: Int, k: Int, probeHamming: Int = 1): DataFrame = {
+    val planes = makePlanes(numPlanes, query.length)
+    val qBucket = planes.zipWithIndex.map { case (p, i) =>
+      val d = p.zip(query).map { case (w, x) => w * x.toDouble }.sum
+      if (d > 0) 1L << i else 0L
+    }.sum
+    val q = lit(query.map(_.toDouble))
+    spark.read.parquet(path)
+      .where(bit_count(col("bucket").bitwiseXOR(lit(qBucket))) <= probeHamming)
+      .withColumn("score", CosineSimilarity(col(embedding), q))
+      .select(col(id), round(col("score"), 4).as("score"))
+      .orderBy(col("score").desc, col(id).asc)
+      .limit(k)
+  }
+
   def lshTopK(indexed: DataFrame, embedding: String, id: String,
       query: Array[Float], numPlanes: Int, k: Int,
       probeHamming: Int = 1): DataFrame = {

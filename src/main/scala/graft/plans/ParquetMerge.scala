@@ -1,0 +1,108 @@
+package graft.plans
+
+import graft.operators.DataMerge
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.catalog.CatalogTable
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{InsertStarAction, LogicalPlan, MergeIntoTable, UpdateStarAction}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** SQL `MERGE INTO` for parquet catalog tables — the reference's Delta
+  * MERGE surface (`PostgresToDataLake_Ingestion_Notebook.py:373-415`)
+  * without Delta on the classpath. Spark's parser already produces
+  * [[MergeIntoTable]]; the built-in analyzer only supports it for v2
+  * row-level-operation tables and rejects v1/parquet. This rule
+  * (injected via `graft.GraftExtensions`) intercepts the upsert shape
+  *
+  *   MERGE INTO t USING s ON t.k = s.k [AND ...]
+  *   WHEN MATCHED THEN UPDATE SET *
+  *   WHEN NOT MATCHED THEN INSERT *
+  *
+  * before the v1 rejection fires, and lowers it to
+  * [[graft.operators.DataMerge]] — partition-pruned for single-column-
+  * partitioned tables, staged whole-table rewrite for unpartitioned
+  * ones. Any other MERGE shape (clause conditions, column-level SET,
+  * DELETE, multi-column partitioning) is left untouched so Spark's own
+  * unsupported-operation error surfaces rather than silently-wrong
+  * semantics.
+  */
+case class ResolveParquetMerge(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case m: MergeIntoTable
+        if m.targetTable.resolved && m.sourceTable.resolved &&
+          m.notMatchedBySourceActions.isEmpty &&
+          isUpsertShape(m) =>
+      (relationOf(m.targetTable), keysOf(m.mergeCondition)) match {
+        case (Some((table, partCols)), Some(keys))
+            if keys.nonEmpty && partCols.size <= 1 =>
+          ParquetMergeCommand(table, partCols, keys, m.sourceTable)
+        case _ => m
+      }
+  }
+
+  /** WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *,
+    * both unconditional. */
+  private def isUpsertShape(m: MergeIntoTable): Boolean =
+    (m.matchedActions match {
+      case Seq(UpdateStarAction(None)) => true
+      case _ => false
+    }) && (m.notMatchedActions match {
+      case Seq(InsertStarAction(None)) => true
+      case _ => false
+    })
+
+  /** The target's catalog entry + partition columns, if it is a
+    * parquet-backed v1 catalog table. */
+  private def relationOf(plan: LogicalPlan): Option[(CatalogTable, Seq[String])] =
+    plan.collectFirst {
+      case LogicalRelation(fs: HadoopFsRelation, _, Some(table), _, _)
+          if fs.fileFormat.toString.toLowerCase.contains("parquet") =>
+        (table, fs.partitionSchema.fieldNames.toSeq)
+    }
+
+  /** Equi-join key names from a conjunction of `t.k = s.k` terms; None
+    * for any other condition shape. */
+  private def keysOf(cond: Expression): Option[Seq[String]] = cond match {
+    case And(l, r) =>
+      for (a <- keysOf(l); b <- keysOf(r)) yield a ++ b
+    case EqualTo(l, r) =>
+      (nameOf(l), nameOf(r)) match {
+        case (Some(a), Some(b)) if a.equalsIgnoreCase(b) => Some(Seq(a))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def nameOf(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case u: UnresolvedAttribute => Some(u.nameParts.last)
+    case _ => None
+  }
+}
+
+/** Eagerly-executed MERGE: reads the source, runs the join-based upsert
+  * against the table's files, refreshes the catalog entry. */
+case class ParquetMergeCommand(table: CatalogTable, partCols: Seq[String],
+    keys: Seq[String], source: LogicalPlan) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val updates = org.apache.spark.sql.GraftShims.ofRows(spark, source)
+    val path = table.location.toString
+    partCols match {
+      case Seq(p) => DataMerge.mergeIntoParquet(spark, path, updates, keys, p)
+      case _ => DataMerge.mergeIntoParquetFull(spark, path, updates, keys)
+    }
+    // the dir-swap commit bypasses the catalog's partition tracking:
+    // re-discover partitions (new dirs from inserts), then drop caches
+    if (partCols.nonEmpty)
+      spark.sql(s"MSCK REPAIR TABLE ${table.identifier.quotedString}")
+    spark.catalog.refreshTable(table.identifier.quotedString)
+    Seq.empty
+  }
+}

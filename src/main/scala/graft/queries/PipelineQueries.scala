@@ -120,22 +120,61 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n"),
             round(sum($"o_totalprice"), 2).as("total"))
       },
-      Some("""WITH target AS (
-          SELECT o_orderkey, o_totalprice,
-                 CAST(year(o_orderdate) AS INT) AS part FROM orders),
-        updates AS (
-          SELECT o_orderkey, o_totalprice + 100000 AS o_totalprice, part
-          FROM target WHERE part >= 1996 AND o_orderkey % 10 = 0
-          UNION ALL
-          SELECT o_orderkey + 10000000, o_totalprice, part
-          FROM target WHERE part >= 1996 AND o_orderkey % 7 = 0),
-        merged AS (
-          SELECT * FROM updates
-          UNION ALL
-          SELECT t.* FROM target t
-          WHERE NOT EXISTS (SELECT 1 FROM updates u
-                            WHERE u.o_orderkey = t.o_orderkey))
-        SELECT part, count(*) AS n, round(sum(o_totalprice), 2) AS total
-        FROM merged GROUP BY part"""))
+      Some(MergeOracleSql)),
+
+    // ---- S9 via ANSI SQL: the exact MERGE INTO statement a reference
+    // user writes against Delta, lowered by GraftExtensions'
+    // ResolveParquetMerge onto the same DataMerge operator and checked
+    // against the same oracle.
+    "s9_sql_merge" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val loc = java.nio.file.Files.createTempDirectory("s9_sql")
+          .toString + "/tgt"
+        s.sql("DROP TABLE IF EXISTS s9_sql_tgt")
+        s.sql(s"""CREATE TABLE s9_sql_tgt
+          (o_orderkey BIGINT, o_totalprice DOUBLE, part INT)
+          USING parquet PARTITIONED BY (part) LOCATION '$loc'""")
+        val target0 = t(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice",
+            year($"o_orderdate").as("part"))
+        target0.write.mode("append").insertInto("s9_sql_tgt")
+        val matched = target0
+          .where($"part" >= 1996 && $"o_orderkey" % 10 === 0)
+          .withColumn("o_totalprice", $"o_totalprice" + 100000.0)
+        val inserts = target0
+          .where($"part" >= 1996 && $"o_orderkey" % 7 === 0)
+          .withColumn("o_orderkey", $"o_orderkey" + 10000000L)
+        matched.unionByName(inserts).createOrReplaceTempView("s9_sql_src")
+        s.sql("""MERGE INTO s9_sql_tgt USING s9_sql_src
+          ON s9_sql_tgt.o_orderkey = s9_sql_src.o_orderkey
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+        s.table("s9_sql_tgt").groupBy($"part".cast("int").as("part"))
+          .agg(count(lit(1)).as("n"),
+            round(sum($"o_totalprice"), 2).as("total"))
+      },
+      Some(MergeOracleSql))
   )
+
+  /** Shared oracle for both MERGE forms: the upsert expressed as
+    * anti-join ∪ updates in DuckDB over the identical construction. */
+  private val MergeOracleSql: String =
+    """WITH target AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(year(o_orderdate) AS INT) AS part FROM orders),
+      updates AS (
+        SELECT o_orderkey, o_totalprice + 100000 AS o_totalprice, part
+        FROM target WHERE part >= 1996 AND o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_totalprice, part
+        FROM target WHERE part >= 1996 AND o_orderkey % 7 = 0),
+      merged AS (
+        SELECT * FROM updates
+        UNION ALL
+        SELECT t.* FROM target t
+        WHERE NOT EXISTS (SELECT 1 FROM updates u
+                          WHERE u.o_orderkey = t.o_orderkey))
+      SELECT part, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM merged GROUP BY part"""
 }

@@ -103,6 +103,43 @@ class OperatorSpec extends SparkSpec {
     assert(ivf.toSeq == brute.toSeq)
   }
 
+  test("persisted bucket-partitioned index: probe prunes to matching " +
+    "bucket dirs and matches the in-memory LSH probe") {
+    val emb = graft.Tables(spark, sfDir, "embeddings")
+    val corpus = emb.where($"vec_id" =!= 0)
+    val q = emb.where($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val path = tmpDir("lshidx") + "/index"
+    Similarity.writePersistedIndex(corpus, "embedding", 6, 64, path)
+    val probed = Similarity.probePersistedIndex(spark, path, "embedding",
+      "vec_id", q, numPlanes = 6, k = 5, probeHamming = 2)
+    // the Hamming predicate must prune DIRECTORIES, not filter rows:
+    // every file the scan selects lives in a bucket dir within radius 2
+    val scan = probed.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.nonEmpty, "no partition filters in probe scan")
+    val planes = graft.functions.VectorFunctions.makePlanes(6, 64)
+    val qBucket = planes.zipWithIndex.map { case (p, i) =>
+      val d = p.zip(q).map { case (w, x) => w * x.toDouble }.sum
+      if (d > 0) 1L << i else 0L
+    }.sum
+    val readDirs = scan.relation.location
+      .listFiles(scan.partitionFilters, Nil)
+      .flatMap(_.files.map(_.getPath.getParent.getName)).distinct
+    assert(readDirs.nonEmpty && readDirs.forall { d =>
+      val b = d.stripPrefix("bucket=").toLong
+      java.lang.Long.bitCount(b ^ qBucket) <= 2
+    }, s"dirs read: $readDirs")
+    // and the probe result equals the in-memory index probe
+    val inMem = Similarity.lshTopK(
+      Similarity.index(corpus, "embedding", 6, 64),
+      "embedding", "vec_id", q, 6, 5, probeHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(probed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      == inMem.toSeq)
+  }
+
   test("Lloyd-refined codebook: assignment still partitions the corpus, " +
     "full probe still exact, refinement moves centroids") {
     val emb = graft.Tables(spark, sfDir, "embeddings")

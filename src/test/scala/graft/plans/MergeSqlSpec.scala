@@ -1,0 +1,70 @@
+package graft.plans
+
+import graft.SparkSpec
+
+/** ANSI MERGE INTO over parquet catalog tables — the Delta-MERGE
+  * surface a reference user writes (`...Notebook.py:373-415`), lowered
+  * by GraftExtensions' ResolveParquetMerge to DataMerge. */
+class MergeSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("MERGE INTO upserts a partitioned parquet catalog table, " +
+    "including a brand-new partition") {
+    val loc = tmpDir("mergesql") + "/tgt"
+    spark.sql("DROP TABLE IF EXISTS merge_tgt")
+    spark.sql(s"""CREATE TABLE merge_tgt (k BIGINT, v DOUBLE, part INT)
+      USING parquet PARTITIONED BY (part) LOCATION '$loc'""")
+    try {
+      Seq((1L, 10.0, 2020), (2L, 20.0, 2021)).toDF("k", "v", "part")
+        .write.mode("append").insertInto("merge_tgt")
+      Seq((2L, 200.0, 2021), (3L, 30.0, 2021), (4L, 40.0, 2022))
+        .toDF("k", "v", "part").createOrReplaceTempView("merge_src")
+      spark.sql("""MERGE INTO merge_tgt USING merge_src
+        ON merge_tgt.k = merge_src.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      val got = spark.table("merge_tgt").as[(Long, Double, Int)]
+        .collect().toSet
+      assert(got == Set((1L, 10.0, 2020), (2L, 200.0, 2021),
+        (3L, 30.0, 2021), (4L, 40.0, 2022)))
+    } finally spark.sql("DROP TABLE IF EXISTS merge_tgt")
+  }
+
+  test("MERGE INTO an unpartitioned parquet table rewrites via staging") {
+    val loc = tmpDir("mergesql2") + "/tgt"
+    spark.sql("DROP TABLE IF EXISTS merge_flat")
+    spark.sql(s"""CREATE TABLE merge_flat (k BIGINT, v DOUBLE)
+      USING parquet LOCATION '$loc'""")
+    try {
+      Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+        .write.mode("append").insertInto("merge_flat")
+      Seq((2L, 22.0), (9L, 9.0)).toDF("k", "v")
+        .createOrReplaceTempView("merge_flat_src")
+      spark.sql("""MERGE INTO merge_flat USING merge_flat_src
+        ON merge_flat.k = merge_flat_src.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      val got = spark.table("merge_flat").as[(Long, Double)].collect().toSet
+      assert(got == Set((1L, 1.0), (2L, 22.0), (9L, 9.0)))
+    } finally spark.sql("DROP TABLE IF EXISTS merge_flat")
+  }
+
+  test("non-upsert MERGE shapes are left to Spark's own error, " +
+    "never silently mis-executed") {
+    val loc = tmpDir("mergesql3") + "/tgt"
+    spark.sql("DROP TABLE IF EXISTS merge_guard")
+    spark.sql(s"""CREATE TABLE merge_guard (k BIGINT, v DOUBLE)
+      USING parquet LOCATION '$loc'""")
+    try {
+      Seq((1L, 1.0)).toDF("k", "v").createOrReplaceTempView("merge_guard_src")
+      val e = intercept[Exception] {
+        spark.sql("""MERGE INTO merge_guard USING merge_guard_src
+          ON merge_guard.k = merge_guard_src.k
+          WHEN MATCHED THEN DELETE""")
+      }
+      assert(e.getMessage != null)
+      // and the table was not touched
+      assert(spark.table("merge_guard").count() == 0)
+    } finally spark.sql("DROP TABLE IF EXISTS merge_guard")
+  }
+}
