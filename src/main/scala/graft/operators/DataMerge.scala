@@ -82,8 +82,18 @@ object DataMerge {
     val target = spark.read.option("mergeSchema", "true").parquet(path)
     val merged = target.join(updates, keys, "left_anti")
       .unionByName(updates.select(target.columns.map(col): _*))
+    stagedOverwrite(spark, path, merged, Nil)
+  }
+
+  /** Write `df` to `path + ".merge-staging"` (optionally partitioned),
+    * then swap the staging dir in — the write-new + rename commit every
+    * DML lowering here shares. `df` may read from `path` itself: the
+    * read happens during the staging write, strictly before the swap. */
+  def stagedOverwrite(spark: SparkSession, path: String, df: DataFrame,
+      partCols: Seq[String]): Unit = {
     val staging = path + ".merge-staging"
-    merged.write.mode(SaveMode.Overwrite).parquet(staging)
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(staging)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), conf)
     val dst = new org.apache.hadoop.fs.Path(path)

@@ -4,8 +4,8 @@ import graft.operators.DataMerge
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.catalog.CatalogTable
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{InsertStarAction, LogicalPlan, MergeIntoTable, UpdateStarAction}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Coalesce, EqualTo, Expression, If, Literal, Not}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, Filter, InsertStarAction, LogicalPlan, MergeIntoTable, Project, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -24,8 +24,11 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * before the v1 rejection fires, and lowers it to
   * [[graft.operators.DataMerge]] — partition-pruned for single-column-
   * partitioned tables, staged whole-table rewrite for unpartitioned
-  * ones. Any other MERGE shape (clause conditions, column-level SET,
-  * DELETE, multi-column partitioning) is left untouched so Spark's own
+  * ones. `UPDATE t SET … WHERE …` and `DELETE FROM t WHERE …` (the
+  * reference's S10 statements, `Config:136-140`) are lowered the same
+  * way, as staged rewrites of a projection/filter over the table. Any
+  * other MERGE shape (clause conditions, column-level SET in MERGE,
+  * multi-column partitioning) is left untouched so Spark's own
   * unsupported-operation error surfaces rather than silently-wrong
   * semantics.
   */
@@ -41,6 +44,40 @@ case class ResolveParquetMerge(spark: SparkSession) extends Rule[LogicalPlan] {
             if keys.nonEmpty && partCols.size <= 1 =>
           ParquetMergeCommand(table, partCols, keys, m.sourceTable)
         case _ => m
+      }
+
+    // UPDATE t SET c = expr, ... [WHERE cond] (S10, `Config:136-140`):
+    // lowered to a projection over the target — assigned columns become
+    // If(cond, newExpr, old) — written back via staged overwrite.
+    case u: UpdateTable if u.resolved =>
+      relationOf(u.table) match {
+        case Some((table, partCols)) =>
+          val assigned: Map[String, Expression] = u.assignments.collect {
+            case a if a.key.isInstanceOf[AttributeReference] =>
+              a.key.asInstanceOf[AttributeReference].name -> a.value
+          }.toMap
+          val cond = u.condition.getOrElse(Literal(true))
+          val projections = u.table.output.map { attr =>
+            assigned.get(attr.name) match {
+              case Some(newV) =>
+                Alias(If(Coalesce(Seq(cond, Literal(false))), newV, attr),
+                  attr.name)()
+              case None => attr
+            }
+          }
+          ParquetRewriteCommand(table, partCols,
+            Project(projections, u.table))
+        case None => u
+      }
+
+    // DELETE FROM t [WHERE cond]: survivors are rows where cond is not
+    // true (NULL-cond rows survive, per SQL DELETE semantics).
+    case d: DeleteFromTable if d.resolved =>
+      relationOf(d.table) match {
+        case Some((table, partCols)) =>
+          val keep = Not(Coalesce(Seq(d.condition, Literal(false))))
+          ParquetRewriteCommand(table, partCols, Filter(keep, d.table))
+        case None => d
       }
   }
 
@@ -81,6 +118,26 @@ case class ResolveParquetMerge(spark: SparkSession) extends Rule[LogicalPlan] {
     case a: AttributeReference => Some(a.name)
     case u: UnresolvedAttribute => Some(u.nameParts.last)
     case _ => None
+  }
+}
+
+/** Eagerly-executed UPDATE/DELETE: evaluates the rewritten plan (which
+  * reads the table's current files) into a staging dir, swaps it in,
+  * and refreshes the catalog. Whole-table rewrite — the honest v1
+  * cost; a condition-restricted partition rewrite is the natural next
+  * optimization and Delta does exactly that under the hood. */
+case class ParquetRewriteCommand(table: CatalogTable, partCols: Seq[String],
+    rewritten: LogicalPlan) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(rewritten)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = org.apache.spark.sql.GraftShims.ofRows(spark, rewritten)
+    DataMerge.stagedOverwrite(spark, table.location.toString, df, partCols)
+    if (partCols.nonEmpty)
+      spark.sql(s"MSCK REPAIR TABLE ${table.identifier.quotedString}")
+    spark.catalog.refreshTable(table.identifier.quotedString)
+    Seq.empty
   }
 }
 

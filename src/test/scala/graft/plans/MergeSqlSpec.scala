@@ -49,6 +49,38 @@ class MergeSqlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS merge_flat")
   }
 
+  test("SQL UPDATE with WHERE rewrites matched rows only; NULL-cond " +
+    "rows untouched") {
+    val loc = tmpDir("updsql") + "/tgt"
+    spark.sql("DROP TABLE IF EXISTS upd_tgt")
+    spark.sql(s"""CREATE TABLE upd_tgt (k BIGINT, name STRING, v DOUBLE)
+      USING parquet LOCATION '$loc'""")
+    try {
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, null.asInstanceOf[String], 3.0))
+        .toDF("k", "name", "v").write.mode("append").insertInto("upd_tgt")
+      spark.sql("UPDATE upd_tgt SET v = v * 10 WHERE name = 'b'")
+      val got = spark.table("upd_tgt").select($"k", $"v")
+        .as[(Long, Double)].collect().toSet
+      // NULL name => condition NULL => not updated (SQL semantics)
+      assert(got == Set((1L, 1.0), (2L, 20.0), (3L, 3.0)))
+    } finally spark.sql("DROP TABLE IF EXISTS upd_tgt")
+  }
+
+  test("SQL DELETE with WHERE removes matched rows from a partitioned " +
+    "table; NULL-cond rows survive") {
+    val loc = tmpDir("delsql") + "/tgt"
+    spark.sql("DROP TABLE IF EXISTS del_tgt")
+    spark.sql(s"""CREATE TABLE del_tgt (k BIGINT, name STRING, part INT)
+      USING parquet PARTITIONED BY (part) LOCATION '$loc'""")
+    try {
+      Seq((1L, "a", 1), (2L, "b", 1), (3L, null.asInstanceOf[String], 2))
+        .toDF("k", "name", "part").write.mode("append").insertInto("del_tgt")
+      spark.sql("DELETE FROM del_tgt WHERE name = 'a'")
+      val got = spark.table("del_tgt").select($"k").as[Long].collect().toSet
+      assert(got == Set(2L, 3L))
+    } finally spark.sql("DROP TABLE IF EXISTS del_tgt")
+  }
+
   test("non-upsert MERGE shapes are left to Spark's own error, " +
     "never silently mis-executed") {
     val loc = tmpDir("mergesql3") + "/tgt"
