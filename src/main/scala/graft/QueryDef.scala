@@ -34,5 +34,6 @@ object QueryRegistry {
       queries.SimilarityQueries.defs ++
       queries.TextQueries.defs ++
       queries.StreamingQueries.defs ++
-      queries.MultimodalQueries.defs
+      queries.MultimodalQueries.defs ++
+      queries.SamplingQueries.defs
 }

@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sampling / splitting / sketching queries ([EXT]) — the corpus-prep
+  * operators a training-data pipeline runs after dedup and filtering:
+  * seeded Bernoulli sampling, stratified sampling, train/test splits,
+  * shard balancing, and HLL distinct sketches. The random outputs have
+  * no DuckDB mirror, so each query emits its own SEMANTIC INVARIANTS
+  * (subset-ness, statistical bounds, cover/disjoint, balance) as
+  * columns whose expected values ARE SQL-expressible — the same
+  * self-check pattern as the dedup/ANN companions.
+  */
+object SamplingQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  def defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- SP1 seeded Bernoulli sample: a subset, sized within ±5σ of
+    // the binomial expectation (n·p ± 5·sqrt(n·p·(1−p))) — a bound the
+    // oracle can state from the source table alone.
+    "sp1_sample" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val sampled = docs.sample(withReplacement = false,
+          fraction = 0.2, seed = 42)
+        val stats = sampled.agg(
+          count(lit(1)).as("n_sampled"),
+          count(when(not($"doc_id".isNotNull), 1)).as("null_ids"))
+        docs.agg(count(lit(1)).as("n_total")).crossJoin(stats)
+          .select($"n_total",
+            ($"n_sampled" >= $"n_total" * 0.2 -
+              sqrt($"n_total" * 0.2 * 0.8) * 5 &&
+             $"n_sampled" <= $"n_total" * 0.2 +
+              sqrt($"n_total" * 0.2 * 0.8) * 5).as("size_in_bounds"),
+            ($"null_ids" === 0).as("subset_wellformed"))
+      },
+      Some("""SELECT count(*) AS n_total,
+        CAST(TRUE AS BOOLEAN) AS size_in_bounds,
+        CAST(TRUE AS BOOLEAN) AS subset_wellformed
+        FROM documents""")),
+
+    // ---- SP2 stratified sample (sampleBy on the lang column): per
+    // stratum, the sampled share stays within ±5σ of its fraction.
+    "sp2_stratified" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val langs = docs.select($"lang").distinct()
+          .collect().map(_.getString(0)) // bounded: language inventory
+        val fractions = langs.map(_ -> 0.5).toMap
+        val sampled = docs.stat.sampleBy("lang", fractions, seed = 7L)
+          .groupBy($"lang").agg(count(lit(1)).as("n_sampled"))
+        docs.groupBy($"lang").agg(count(lit(1)).as("n_stratum"))
+          .join(sampled, Seq("lang"), "left")
+          .select($"lang",
+            (coalesce($"n_sampled", lit(0L)) >=
+              $"n_stratum" * 0.5 - sqrt($"n_stratum" * 0.25) * 5 &&
+             coalesce($"n_sampled", lit(0L)) <=
+              $"n_stratum" * 0.5 + sqrt($"n_stratum" * 0.25) * 5)
+              .as("share_in_bounds"))
+      },
+      Some("""SELECT lang, CAST(TRUE AS BOOLEAN) AS share_in_bounds
+        FROM documents GROUP BY lang""")),
+
+    // ---- SP3 train/test split: randomSplit partitions the corpus —
+    // counts cover the total and the halves are disjoint (checked by
+    // an inner join on the key, which must be empty).
+    "sp3_train_test_split" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val Array(train, test) = docs.randomSplit(Array(0.8, 0.2), seed = 11L)
+        val overlap = train.select($"doc_id")
+          .join(test.select($"doc_id"), "doc_id")
+        docs.agg(count(lit(1)).as("n_total")).crossJoin(
+            train.agg(count(lit(1)).as("n_train"))).crossJoin(
+            test.agg(count(lit(1)).as("n_test"))).crossJoin(
+            overlap.agg(count(lit(1)).as("n_overlap")))
+          .select($"n_total",
+            ($"n_train" + $"n_test" === $"n_total").as("covers"),
+            ($"n_overlap" === 0).as("disjoint"))
+      },
+      Some("""SELECT count(*) AS n_total,
+        CAST(TRUE AS BOOLEAN) AS covers, CAST(TRUE AS BOOLEAN) AS disjoint
+        FROM documents""")),
+
+    // ---- SP4 shard balance: repartition(8) for training-shard writes —
+    // every shard within 3x of the mean (round-robin repartition is
+    // near-uniform by construction; the check guards regressions to a
+    // skewed partitioner).
+    "sp4_shard_balance" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val perShard = docs.repartition(8)
+          .select(spark_partition_id().as("shard"))
+          .groupBy($"shard").agg(count(lit(1)).as("n"))
+        perShard.agg(
+            count(lit(1)).as("n_shards"),
+            (max($"n") <= (sum($"n") / count(lit(1))) * 3).as("balanced"))
+      },
+      Some("""SELECT CAST(8 AS BIGINT) AS n_shards,
+        CAST(TRUE AS BOOLEAN) AS balanced
+        FROM documents LIMIT 1""")),
+
+    // ---- A16 HLL distinct sketch: approx_count_distinct within 5% of
+    // exact (HLL++ at default rsd=0.05 — the 100 TB cardinality probe
+    // that replaces exact count-distinct's full shuffle).
+    "a16_approx_distinct" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem").agg(
+            countDistinct($"l_partkey").as("exact_distinct"),
+            approx_count_distinct($"l_partkey").as("approx"))
+          .select($"exact_distinct",
+            (abs($"approx" - $"exact_distinct") <=
+              $"exact_distinct" * 0.05).as("within_5pct"))
+      },
+      Some("""SELECT count(DISTINCT l_partkey) AS exact_distinct,
+        CAST(TRUE AS BOOLEAN) AS within_5pct FROM lineitem"""))
+  )
+}
