@@ -35,5 +35,6 @@ object QueryRegistry {
       queries.TextQueries.defs ++
       queries.StreamingQueries.defs ++
       queries.MultimodalQueries.defs ++
-      queries.SamplingQueries.defs
+      queries.SamplingQueries.defs ++
+      queries.SourceQueries.defs
 }

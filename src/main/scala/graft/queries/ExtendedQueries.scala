@@ -162,6 +162,31 @@ object ExtendedQueries {
         array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys
         FROM orders GROUP BY o_custkey""")),
 
+    // ---- A17 unpivot/melt: wide measure columns to (metric, value)
+    // rows — the feature-table melt every training pipeline runs before
+    // per-metric aggregation. Narrow op, no shuffle.
+    "a17_unpivot" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+            $"l_discount", $"l_tax")
+          .unpivot(
+            ids = Array($"l_orderkey", $"l_linenumber"),
+            values = Array($"l_quantity", $"l_discount", $"l_tax"),
+            variableColumnName = "metric",
+            valueColumnName = "value")
+          .where($"l_orderkey" < 1000)
+      },
+      Some("""SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+          l_quantity AS value FROM lineitem WHERE l_orderkey < 1000
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        FROM lineitem WHERE l_orderkey < 1000
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        FROM lineitem WHERE l_orderkey < 1000""")),
+
     // ---- A15 statistical aggregates (rounded: stddev/var/corr are
     // order-dependent in doubles at ~1e-10 relative; 4 decimals is far
     // from that noise floor)

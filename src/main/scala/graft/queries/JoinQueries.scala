@@ -128,6 +128,31 @@ object JoinQueries {
           (SELECT max(e2.ts) FROM events e2
            WHERE e2.user_id = e.user_id AND e2.event_type = 'click'
              AND e2.ts <= e.ts) AS asof_ts
-        FROM events e WHERE e.event_type = 'purchase'"""))
+        FROM events e WHERE e.event_type = 'purchase'""")),
+
+    // ---- J6 [EXT] null-safe equi join (<=>): NULL keys match each
+    // other — the semantics plain `=` silently drops. Both sides derive
+    // nullable keys from events.value (NULL where value is NULL).
+    "j6_null_safe_join" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "events")
+        // floor() before the int cast: Spark's double→int cast truncates
+        // while DuckDB's rounds — floor is identical in both engines
+        val a = e.select((floor($"value").cast("int") % 10).as("k"))
+          .groupBy($"k").agg(count(lit(1)).as("na"))
+        val b = e.select((floor($"value").cast("int") % 7).as("k"))
+          .groupBy($"k").agg(count(lit(1)).as("nb"))
+        a.join(b, a("k") <=> b("k"))
+          .select(a("k").as("k"), $"na", $"nb")
+      },
+      Some("""WITH a AS (
+          SELECT CAST(floor(value) AS INT) % 10 AS k, count(*) AS na
+          FROM events GROUP BY 1),
+        b AS (
+          SELECT CAST(floor(value) AS INT) % 7 AS k, count(*) AS nb
+          FROM events GROUP BY 1)
+        SELECT a.k, na, nb FROM a JOIN b
+        ON a.k IS NOT DISTINCT FROM b.k"""))
   )
 }

@@ -131,6 +131,36 @@ object StreamingQueries {
         HAVING CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY
           <= wm.w""")),
 
+    // ---- ST5 SLIDING windows (2-day window, 1-day slide): every event
+    // lands in exactly two windows — starts at trunc(ts) and
+    // trunc(ts) − 1 day (epoch-aligned boundaries, UTC session TZ) —
+    // which is exactly SQL-expressible as a two-way union.
+    "st5_stream_sliding" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val name = "st5_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val src = s.readStream.schema(eventsRawSchema)
+          .parquet(stagedEventsDir(dir))
+          .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        val agg = src
+          .groupBy(window($"ts", "2 days", "1 day").as("win"), $"event_type")
+          .agg(count(lit(1)).as("cnt"))
+          .select($"win.start".as("win_start"), $"event_type", $"cnt")
+        val q = agg.writeStream.outputMode("complete")
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name)
+      },
+      Some("""WITH starts AS (
+          SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
+                 event_type FROM events
+          UNION ALL
+          SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) - INTERVAL 1 DAY,
+                 event_type FROM events)
+        SELECT win_start, event_type, count(*) AS cnt
+        FROM starts GROUP BY 1, 2""")),
+
     // ---- ST2 sessionization with 30-minute inactivity gap: one shuffle
     // by user_id, per-user sorted fold (the state a
     // flatMapGroupsWithState session would hold, computed batch-side)
