@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Small-file compaction — the lake-maintenance pass the reference's
+  * `coalesce(1)`-per-chunk write pattern (`Ingest:304,306`) makes
+  * necessary over time: a year of daily chunk appends leaves hundreds
+  * of files per table dir, and at 100 TB the per-file open/footer cost
+  * dominates scan time long before data volume does.
+  *
+  * `compact` rewrites one directory to `targetFiles` files via the
+  * staged-overwrite commit (write-new + dir swap — readers never see a
+  * half-compacted dir). Partitioned tables compact per partition dir:
+  * only partitions exceeding `maxFiles` are touched, so steady-state
+  * compaction cost tracks the WRITE rate, not the table size.
+  */
+object Compaction {
+
+  /** Number of data files directly under `path`. */
+  def fileCount(spark: SparkSession, path: String): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Rewrite the (unpartitioned) dir at `path` into `targetFiles`
+    * parquet files. Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, path: String,
+      targetFiles: Int = 1): (Int, Int) = {
+    val before = fileCount(spark, path)
+    if (before > targetFiles) {
+      val df = spark.read.option("mergeSchema", "true").parquet(path)
+        .coalesce(targetFiles)
+      DataMerge.stagedOverwrite(spark, path, df, Nil)
+    }
+    (before, fileCount(spark, path))
+  }
+
+  /** Compact every `partCol=` child dir holding more than `maxFiles`
+    * files down to `targetFiles`. Untouched partitions keep their
+    * exact files. Returns the compacted partition dir names. */
+  def compactPartitions(spark: SparkSession, path: String,
+      maxFiles: Int, targetFiles: Int = 1): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map(_.getPath)
+    parts.toSeq.collect {
+      case p if fileCount(spark, p.toString) > maxFiles =>
+        compact(spark, p.toString, targetFiles)
+        p.getName
+    }
+  }
+}

@@ -39,6 +39,39 @@ class DataMergeSpec extends SparkSpec {
     assert(partFiles(s"$path/part=2020") == before2020)
   }
 
+  test("property: merge equals the reference map-merge on random " +
+    "targets/updates (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    // rows are (key, value, partition); partition derived from key so an
+    // update can never move a row across partitions (the documented
+    // constraint)
+    val rowsGen = Gen.listOf(for {
+      k <- Gen.choose(0L, 40L)
+      v <- Gen.choose(0, 1000)
+    } yield (k, v.toDouble, (k % 4).toInt))
+      .map(_.groupBy(_._1).map(_._2.head).toList) // unique keys
+    val prop = Prop.forAll(rowsGen, rowsGen) { (target, updates) =>
+      (target.nonEmpty && updates.nonEmpty) ==> {
+        val path = tmpDir("dmprop") + "/t"
+        target.toDF("k", "v", "part")
+          .write.partitionBy("part").parquet(path)
+        DataMerge.mergeIntoParquet(spark,
+          path, updates.toDF("k", "v", "part"), Seq("k"), "part")
+        val got = spark.read.parquet(path)
+          .select($"k", $"v", $"part".cast("int"))
+          .as[(Long, Double, Int)].collect().toSet
+        // reference semantics: updates win by key, unmatched target rows survive
+        val expected = (target.map(r => r._1 -> r).toMap ++
+          updates.map(r => r._1 -> r).toMap).values.toSet
+        got == expected
+      }
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("merge is idempotent under re-application of the same updates") {
     val path = tmpDir("dmerge2") + "/t"
     Seq((1L, 1.0, 1), (2L, 2.0, 1)).toDF("k", "v", "part")
