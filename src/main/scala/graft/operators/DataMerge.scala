@@ -51,8 +51,20 @@ object DataMerge {
 
     val staging = path + ".merge-staging"
     merged.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(staging)
+    // deleteMissing=false: merged ⊇ updates, so a touched partition can
+    // never vanish under upsert semantics
+    swapPartitions(spark, path, staging, partCol, touched,
+      deleteMissing = false)
+    touched
+  }
 
-    // swap touched partition dirs: staging/partCol=v -> path/partCol=v
+  /** Commit step shared by the partition-scoped DML lowerings: swap
+    * each touched `partCol=v` dir from `staging` into `path` (metadata-
+    * only renames), then drop staging. A touched partition with no
+    * staging dir means every one of its rows was removed — deleted when
+    * `deleteMissing` (the DELETE path), kept otherwise (upserts). */
+  def swapPartitions(spark: SparkSession, path: String, staging: String,
+      partCol: String, touched: Seq[Any], deleteMissing: Boolean): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), conf)
     touched.foreach { v =>
@@ -62,13 +74,11 @@ object DataMerge {
       if (fs.exists(src)) {
         if (fs.exists(dst)) fs.delete(dst, true)
         fs.rename(src, dst)
-      } else if (fs.exists(dst)) {
-        // every key in this partition was deleted-by-absence: cannot
-        // happen under upsert semantics (merged ⊇ updates), keep dst
+      } else if (deleteMissing && fs.exists(dst)) {
+        fs.delete(dst, true)
       }
     }
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-    touched
   }
 
   /** Upsert into an UNPARTITIONED parquet table: whole-table

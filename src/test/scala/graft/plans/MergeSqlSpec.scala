@@ -81,6 +81,72 @@ class MergeSqlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS del_tgt")
   }
 
+  test("partition-scoped UPDATE: only partitions with matched rows are " +
+    "rewritten; others keep their exact files") {
+    val loc = tmpDir("updscope") + "/tgt"
+    spark.sql("DROP TABLE IF EXISTS upd_scope")
+    spark.sql(s"""CREATE TABLE upd_scope (k BIGINT, v DOUBLE, part INT)
+      USING parquet PARTITIONED BY (part) LOCATION '$loc'""")
+    try {
+      Seq((1L, 1.0, 1), (2L, 2.0, 1), (3L, 3.0, 2))
+        .toDF("k", "v", "part").write.mode("append").insertInto("upd_scope")
+      def files(p: Int) = new java.io.File(s"$loc/part=$p").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(f =>
+          f.getName -> f.lastModified()).toMap
+      val p2Before = files(2)
+      spark.sql("UPDATE upd_scope SET v = v + 100 WHERE k = 1")
+      // part=1 rewritten (incl. the unmatched k=2 row, unchanged value);
+      // part=2 never read or rewritten
+      assert(files(2) == p2Before, "untouched partition was rewritten")
+      val got = spark.table("upd_scope").select($"k", $"v")
+        .as[(Long, Double)].collect().toSet
+      assert(got == Set((1L, 101.0), (2L, 2.0), (3L, 3.0)))
+    } finally spark.sql("DROP TABLE IF EXISTS upd_scope")
+  }
+
+  test("partition-scoped DELETE: a fully-deleted partition's dir is " +
+    "dropped; others keep their exact files") {
+    val loc = tmpDir("delscope") + "/tgt"
+    spark.sql("DROP TABLE IF EXISTS del_scope")
+    spark.sql(s"""CREATE TABLE del_scope (k BIGINT, part INT)
+      USING parquet PARTITIONED BY (part) LOCATION '$loc'""")
+    try {
+      Seq((1L, 1), (2L, 1), (3L, 2)).toDF("k", "part")
+        .write.mode("append").insertInto("del_scope")
+      val p2Before = new java.io.File(s"$loc/part=2").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+      spark.sql("DELETE FROM del_scope WHERE part = 1")
+      assert(!new java.io.File(s"$loc/part=1").exists(),
+        "fully-deleted partition dir should be gone")
+      val p2After = new java.io.File(s"$loc/part=2").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+      assert(p2After == p2Before)
+      assert(spark.table("del_scope").select($"k").as[Long]
+        .collect().toSeq == Seq(3L))
+    } finally spark.sql("DROP TABLE IF EXISTS del_scope")
+  }
+
+  test("no-match UPDATE is a no-op that rewrites nothing") {
+    val loc = tmpDir("updnoop") + "/tgt"
+    spark.sql("DROP TABLE IF EXISTS upd_noop")
+    spark.sql(s"""CREATE TABLE upd_noop (k BIGINT, v DOUBLE, part INT)
+      USING parquet PARTITIONED BY (part) LOCATION '$loc'""")
+    try {
+      Seq((1L, 1.0, 1)).toDF("k", "v", "part")
+        .write.mode("append").insertInto("upd_noop")
+      val before = new java.io.File(s"$loc/part=1").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(f =>
+          f.getName -> f.lastModified()).toMap
+      spark.sql("UPDATE upd_noop SET v = 999 WHERE k = 12345")
+      val after = new java.io.File(s"$loc/part=1").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(f =>
+          f.getName -> f.lastModified()).toMap
+      assert(after == before)
+      assert(spark.table("upd_noop").select($"v").as[Double]
+        .collect().toSeq == Seq(1.0))
+    } finally spark.sql("DROP TABLE IF EXISTS upd_noop")
+  }
+
   test("non-upsert MERGE shapes are left to Spark's own error, " +
     "never silently mis-executed") {
     val loc = tmpDir("mergesql3") + "/tgt"
