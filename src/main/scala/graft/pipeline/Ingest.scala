@@ -95,10 +95,17 @@ final class Ingest(spark: SparkSession, source: Source, cfg: IngestConfig,
     } yield TableJob(task, dbName, spec)
   }
 
-  def run(): RunReport = {
+  /** Run every planned table job. `parallelism > 1` loads tables
+    * concurrently from the driver — the reference loops its table list
+    * serially (`Ingest:452-477`), which is the first thing that breaks
+    * with a 1000-table config: Spark's scheduler happily interleaves
+    * jobs from driver threads, so independent table loads should
+    * overlap. Error containment (C7) is preserved per table; the
+    * control-plane stores serialize their commits internally. */
+  def run(parallelism: Int = 1): RunReport = {
     val jobs = planJobs()
-    log.add(s"planned ${jobs.size} table jobs")
-    val results = jobs.map { job =>
+    log.add(s"planned ${jobs.size} table jobs (parallelism=$parallelism)")
+    def runOne(job: TableJob): (String, Either[String, Long]) = {
       // C7 error containment: one table's failure never stops the run
       // (`Ingest:471-477`, README.md:24)
       try job.tableSpec -> Right(runTable(job))
@@ -110,6 +117,18 @@ final class Ingest(spark: SparkSession, source: Source, cfg: IngestConfig,
           job.tableSpec -> Left(msg)
       }
     }
+    val results =
+      if (parallelism <= 1) jobs.map(runOne)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+        try {
+          val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+          val futures = jobs.map(j =>
+            scala.concurrent.Future(runOne(j))(ec))
+          futures.map(f => scala.concurrent.Await.result(f,
+            scala.concurrent.duration.Duration.Inf))
+        } finally pool.shutdown()
+      }
     log.add("run complete")
     log.flush(spark, cfg.auditPath)
     RunReport(results)

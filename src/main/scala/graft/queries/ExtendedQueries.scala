@@ -162,6 +162,26 @@ object ExtendedQueries {
         array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys
         FROM orders GROUP BY o_custkey""")),
 
+    // ---- Q17-style correlated scalar subquery: lineitems below 20% of
+    // their part's average quantity. Spark decorrelates the subquery
+    // into an aggregate + join (no per-row re-execution) — assert-able
+    // by the absence of a nested-loop in the plan; DuckDB mirrors the
+    // correlated form directly.
+    "q17_small_quantity" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("q17_lineitem")
+        s.sql("""SELECT round(sum(l1.l_extendedprice) / 7.0, 2) AS avg_yearly
+          FROM q17_lineitem l1
+          WHERE l1.l_quantity <
+            (SELECT 0.2 * avg(l2.l_quantity) FROM q17_lineitem l2
+             WHERE l2.l_partkey = l1.l_partkey)""")
+      },
+      Some("""SELECT round(sum(l1.l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem l1
+        WHERE l1.l_quantity <
+          (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+           WHERE l2.l_partkey = l1.l_partkey)""")),
+
     // ---- A17 unpivot/melt: wide measure columns to (metric, value)
     // rows — the feature-table melt every training pipeline runs before
     // per-metric aggregation. Narrow op, no shuffle.

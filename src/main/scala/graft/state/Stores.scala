@@ -64,7 +64,8 @@ final class ConfigStore(spark: SparkSession, path: String) {
 
   /** Insert-or-update on (group_name, config_name) — S10/C8 semantics
     * (`Config:106-140`). */
-  def upsert(row: ConfigValue): Unit = {
+  def upsert(row: ConfigValue): Unit = this.synchronized {
+    // synchronized for the same reason as WatermarkStore.commit
     val rest = all().collect().filterNot(c =>
       c.group_name.equalsIgnoreCase(row.group_name) &&
         c.config_name.equalsIgnoreCase(row.config_name))
@@ -105,7 +106,10 @@ final class WatermarkStore(spark: SparkSession, path: String) {
     * chunked path (`insertconfig`, `Ingest:426,431`) — same flag here.
     * `lastLoad` is already lagged by the caller (−80h, F4). */
   def commit(systemType: String, db: String, table: String,
-      lastLoad: Timestamp, insertIfMissing: Boolean): Unit = {
+      lastLoad: Timestamp, insertIfMissing: Boolean): Unit = this.synchronized {
+    // synchronized: parallel table loads (Ingest.run(parallelism))
+    // commit DIFFERENT table rows through the same read-modify-
+    // overwrite file — interleaved rewrites would lose updates
     val now = new Timestamp(System.currentTimeMillis())
     val existing = all().collect()
     val matches = existing.filter(d =>

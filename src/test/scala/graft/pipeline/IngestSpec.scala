@@ -125,6 +125,42 @@ class IngestSpec extends SparkSpec {
     assert(report.exitStatus == "ERROR: ghost_table")
   }
 
+  test("parallel table loads: run(parallelism=3) loads every table and " +
+    "commits every watermark (no lost store updates)") {
+    import spark.implicits._
+    val base = tmpDir("par")
+    val tables = Seq("alpha", "beta", "gamma")
+    tables.foreach { name =>
+      graft.Tables(spark, sfDir, "lineitem")
+        .select($"l_orderkey".as("id"), $"l_shipdate".as("ModifiedDate"))
+        .write.mode("overwrite").parquet(s"$base/src/$name.parquet")
+    }
+    val cfg = IngestConfig(
+      configPath = s"$base/config", watermarkPath = s"$base/wm",
+      lakeBasePath = s"$base/lake", auditPath = s"$base/audit",
+      singleBatchDataLimit = 100, // forces Chunked → watermark inserts
+      runDate = LocalDate.of(2026, 8, 12))
+    val configs = new ConfigStore(spark, cfg.configPath)
+    configs.upsert(ConfigValue("dcx_postgresql_db_settings",
+      "t_db_name", "db", is_active = true))
+    configs.upsert(ConfigValue("dcx_postgresql_table_settings",
+      "t_tables", tables.mkString(","), is_active = true))
+    val log = new AuditLog
+    val ingest = new Ingest(spark, new ParquetSource(s"$base/src"), cfg,
+      new LogAlertSink(log), log)
+    val report = ingest.run(parallelism = 3)
+    assert(report.exitStatus == "SUCCESS", report.failed.toString)
+    val srcCount = spark.read.parquet(s"$base/src/alpha.parquet").count()
+    tables.foreach { name =>
+      assert(spark.read.parquet(s"$base/lake/$name/2026/08/12").count()
+        == srcCount, s"lake count mismatch for $name")
+    }
+    // all three watermark rows survived the concurrent commits
+    val store = new WatermarkStore(spark, cfg.watermarkPath)
+    assert(store.all().count() == 3,
+      store.all().collect().toSeq.toString)
+  }
+
   test("additive schema evolution: appended chunk's new column surfaces " +
     "on merged read (reference mergeSchema parity)") {
     import spark.implicits._
