@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.catalog.CatalogTable
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Coalesce, EqualTo, Expression, If, Literal, Not}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, Filter, InsertStarAction, LogicalPlan, MergeIntoTable, Project, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, DeleteFromTable, Filter, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, Project, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -43,6 +43,21 @@ case class ResolveParquetMerge(spark: SparkSession) extends Rule[LogicalPlan] {
         case (Some((table, partCols)), Some(keys))
             if keys.nonEmpty && partCols.size <= 1 =>
           ParquetMergeCommand(table, partCols, keys, m.sourceTable)
+        case _ => m
+      }
+
+    // General single-clause MERGE — the reference's LITERAL statement
+    // shape (`Ingest:373-415`): expression-based ON (e.g.
+    // lower(T.c) = lower(S.c)), column-level UPDATE SET, conditional
+    // `WHEN NOT MATCHED AND <cond> THEN INSERT (cols) VALUES (exprs)`.
+    // Lowered to the three-branch join union; at most one matched and
+    // one not-matched clause (multi-clause chains fall through).
+    case m: MergeIntoTable
+        if m.resolved && m.notMatchedBySourceActions.isEmpty &&
+          isGeneralShape(m) =>
+      relationOf(m.targetTable) match {
+        case Some((table, partCols)) if partCols.size <= 1 =>
+          GeneralMergeCommand(table, partCols, m)
         case _ => m
       }
 
@@ -111,6 +126,21 @@ case class ResolveParquetMerge(spark: SparkSession) extends Rule[LogicalPlan] {
       case Seq(InsertStarAction(None)) => true
       case _ => false
     })
+
+  /** At most one matched clause (column-level UPDATE or DELETE) and at
+    * most one not-matched clause (explicit-columns INSERT), any of them
+    * conditional. Star actions are handled by the upsert path above. */
+  private def isGeneralShape(m: MergeIntoTable): Boolean =
+    m.matchedActions.size <= 1 && m.notMatchedActions.size <= 1 &&
+      (m.matchedActions.nonEmpty || m.notMatchedActions.nonEmpty) &&
+      m.matchedActions.forall {
+        case _: UpdateAction | _: DeleteAction => true
+        case _ => false
+      } &&
+      m.notMatchedActions.forall {
+        case _: InsertAction => true
+        case _ => false
+      }
 
   /** The target's catalog entry + partition columns, if it is a
     * parquet-backed v1 catalog table. */
@@ -188,6 +218,114 @@ case class ParquetRewriteCommand(table: CatalogTable, partCols: Seq[String],
       spark.sql(
         s"MSCK REPAIR TABLE ${table.identifier.quotedString} SYNC PARTITIONS")
     spark.catalog.refreshTable(table.identifier.quotedString)
+  }
+}
+
+/** Eagerly-executed general MERGE (single matched + single not-matched
+  * clause): the three-branch lowering every MERGE engine uses —
+  *
+  *   matched   = target ⋈ source ON cond  → UPDATE projection / DELETE
+  *   untouched = target ⟕̸ source (anti)   → unchanged
+  *   inserts   = source ⟕̸ target (anti)   → INSERT projection (+ cond)
+  *
+  * written back partition-scoped: only partitions receiving
+  * matched/insert rows are rewritten and swapped. Assumes at most one
+  * source match per target row (ANSI MERGE errors otherwise; same
+  * contract as Delta). */
+case class GeneralMergeCommand(table: CatalogTable, partCols: Seq[String],
+    merge: MergeIntoTable) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(merge)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.GraftShims.{ofRows, toColumn}
+    import org.apache.spark.sql.functions.{col, lit}
+    val target = ofRows(spark, merge.targetTable)
+    val source = ofRows(spark, merge.sourceTable)
+    val cond = toColumn(merge.mergeCondition)
+    val tCols = merge.targetTable.output
+
+    def assignMap(assigns: Seq[org.apache.spark.sql.catalyst.plans.logical.Assignment])
+        : Map[String, Expression] =
+      assigns.collect {
+        case a if a.key.isInstanceOf[AttributeReference] =>
+          a.key.asInstanceOf[AttributeReference].name.toLowerCase -> a.value
+      }.toMap
+
+    // matched branch
+    val joined = target.join(source, cond, "inner")
+    val matchedOut = merge.matchedActions.headOption match {
+      case Some(UpdateAction(c, assigns, _)) =>
+        val m = assignMap(assigns)
+        val gate = c.map(toColumn).getOrElse(lit(true))
+        joined.select(tCols.map { attr =>
+          m.get(attr.name.toLowerCase) match {
+            case Some(v) => org.apache.spark.sql.functions
+              .when(gate, toColumn(v).cast(attr.dataType))
+              .otherwise(toColumn(attr)).as(attr.name)
+            case None => toColumn(attr).as(attr.name)
+          }
+        }: _*)
+      case Some(DeleteAction(c)) =>
+        val gate = c.map(toColumn).getOrElse(lit(true))
+        joined.where(!org.apache.spark.sql.functions.coalesce(gate, lit(false)))
+          .select(tCols.map(a => toColumn(a).as(a.name)): _*)
+      case _ => // no matched clause: matched rows pass through unchanged
+        joined.select(tCols.map(a => toColumn(a).as(a.name)): _*)
+    }
+
+    // insert branch
+    val insertsOut = merge.notMatchedActions.headOption match {
+      case Some(InsertAction(c, assigns)) =>
+        val m = assignMap(assigns)
+        val base = source.join(target, cond, "left_anti")
+        val gated = c.map(g => base.where(toColumn(g))).getOrElse(base)
+        Some(gated.select(tCols.map { attr =>
+          m.get(attr.name.toLowerCase) match {
+            case Some(v) => toColumn(v).cast(attr.dataType).as(attr.name)
+            case None => lit(null).cast(attr.dataType).as(attr.name)
+          }
+        }: _*))
+      case _ => None
+    }
+
+    val untouched = target.join(source, cond, "left_anti")
+      .select(tCols.map(a => toColumn(a).as(a.name)): _*)
+    val changed = insertsOut.foldLeft(matchedOut)(_ unionByName _)
+    val path = table.location.toString
+    val deleteMissing = merge.matchedActions.exists(_.isInstanceOf[DeleteAction])
+
+    partCols match {
+      case Seq(p) =>
+        val touched = changed.select(col(p)).distinct()
+          .collect().map(_.get(0)).toSeq
+        if (touched.nonEmpty || deleteMissing) {
+          // deletions can empty a partition without contributing rows to
+          // `changed`; scope to partitions seen by ANY branch then
+          val delTouched =
+            if (deleteMissing)
+              ofRows(spark, merge.targetTable).join(source, cond, "left_semi")
+                .select(col(p)).distinct().collect().map(_.get(0)).toSeq
+            else Nil
+          val scope = (touched ++ delTouched).distinct
+          if (scope.nonEmpty) {
+            val merged = changed.unionByName(untouched)
+              .where(col(p).isin(scope: _*))
+            val staging = path + ".merge-staging"
+            merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .partitionBy(p).parquet(staging)
+            DataMerge.swapPartitions(spark, path, staging, p, scope,
+              deleteMissing)
+          }
+        }
+        spark.sql(
+          s"MSCK REPAIR TABLE ${table.identifier.quotedString} SYNC PARTITIONS")
+      case _ =>
+        DataMerge.stagedOverwrite(spark, path,
+          changed.unionByName(untouched), Nil)
+    }
+    spark.catalog.refreshTable(table.identifier.quotedString)
+    Seq.empty
   }
 }
 

@@ -147,8 +147,95 @@ class MergeSqlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS upd_noop")
   }
 
-  test("non-upsert MERGE shapes are left to Spark's own error, " +
-    "never silently mis-executed") {
+  test("the reference's LITERAL MERGE shape runs: expression ON " +
+    "(lower=lower), column-level UPDATE SET, conditional INSERT VALUES") {
+    val loc = tmpDir("refmerge") + "/tld"
+    spark.sql("CREATE DATABASE IF NOT EXISTS configurations")
+    spark.sql("DROP TABLE IF EXISTS configurations.TableLoadDetails")
+    spark.sql(s"""CREATE TABLE configurations.TableLoadDetails (
+        tableloaddetailsid INT, SystemType STRING, DatabaseName STRING,
+        TableName STRING, LastLoadDate TIMESTAMP,
+        SqlCreatedDate TIMESTAMP, SqlUpdatedDate TIMESTAMP)
+      USING parquet LOCATION '$loc'""")
+    try {
+      spark.sql("""INSERT INTO configurations.TableLoadDetails VALUES
+        (1, 'pg', 'sharestory', 'visits',
+         TIMESTAMP '2026-01-01 00:00:00',
+         TIMESTAMP '2026-01-01 00:00:00', NULL)""")
+      // the reference's statement (`...Notebook.py:373-415`) with its
+      // f-string holes filled; WHEN MATCHED updates the existing row
+      def refMerge(maxKey: Int, tableName: String, loadDate: String,
+          insertconfig: Boolean): Unit =
+        spark.sql(s"""
+          MERGE INTO configurations.TableLoadDetails AS T
+          USING (
+            SELECT CAST('$maxKey' AS INT) AS tableloaddetailsid,
+                   'pg' AS SystemType,
+                   'sharestory' AS DatabaseName,
+                   '$tableName' AS TableName,
+                   CAST('$loadDate' AS TIMESTAMP) AS LastLoadDate,
+                   CURRENT_TIMESTAMP() AS SqlCreatedDate,
+                   CURRENT_TIMESTAMP() AS SqlUpdatedDate
+          ) S
+          ON T.SystemType = S.SystemType
+          AND T.DatabaseName = S.DatabaseName
+          AND lower(T.TableName) = lower(S.TableName)
+          WHEN MATCHED THEN UPDATE SET
+            T.LastLoadDate = S.LastLoadDate,
+            T.SqlUpdatedDate = S.SqlUpdatedDate
+          WHEN NOT MATCHED AND $insertconfig THEN INSERT (
+            tableloaddetailsid, SystemType, DatabaseName, TableName,
+            LastLoadDate, SqlCreatedDate, SqlUpdatedDate)
+          VALUES (S.tableloaddetailsid, S.SystemType, S.DatabaseName,
+            S.TableName, S.LastLoadDate, S.SqlCreatedDate, NULL)""")
+
+      // MATCHED (case-insensitive name) -> LastLoadDate updated in place
+      refMerge(2, "VISITS", "2026-06-01 00:00:00", insertconfig = false)
+      val t = spark.table("configurations.TableLoadDetails")
+      assert(t.count() == 1)
+      val row = t.head()
+      assert(row.getAs[java.sql.Timestamp]("LastLoadDate").toString
+        .startsWith("2026-06-01"))
+      assert(row.getAs[java.sql.Timestamp]("SqlUpdatedDate") != null)
+      assert(row.getInt(0) == 1, "matched row keeps its id")
+
+      // NOT MATCHED + insertconfig=false -> no insert
+      refMerge(2, "wards", "2026-06-02 00:00:00", insertconfig = false)
+      assert(spark.table("configurations.TableLoadDetails").count() == 1)
+
+      // NOT MATCHED + insertconfig=true -> inserted with NULL updated-date
+      refMerge(2, "wards", "2026-06-02 00:00:00", insertconfig = true)
+      val t2 = spark.table("configurations.TableLoadDetails")
+      assert(t2.count() == 2)
+      val ward = t2.where($"TableName" === "wards").head()
+      assert(ward.getInt(0) == 2)
+      assert(ward.isNullAt(ward.fieldIndex("SqlUpdatedDate")))
+    } finally spark.sql("DROP TABLE IF EXISTS configurations.TableLoadDetails")
+  }
+
+  test("general MERGE with a conditional DELETE clause empties and " +
+    "drops a partition") {
+    val loc = tmpDir("gdel") + "/tgt"
+    spark.sql("DROP TABLE IF EXISTS gdel_tgt")
+    spark.sql(s"""CREATE TABLE gdel_tgt (k BIGINT, v DOUBLE, part INT)
+      USING parquet PARTITIONED BY (part) LOCATION '$loc'""")
+    try {
+      Seq((1L, 1.0, 1), (2L, 2.0, 1), (3L, 3.0, 2)).toDF("k", "v", "part")
+        .write.mode("append").insertInto("gdel_tgt")
+      Seq((1L, 0.0), (2L, 99.0)).toDF("k", "v")
+        .createOrReplaceTempView("gdel_src")
+      spark.sql("""MERGE INTO gdel_tgt USING gdel_src
+        ON gdel_tgt.k = gdel_src.k
+        WHEN MATCHED AND gdel_src.v = 0.0 THEN DELETE""")
+      // k=1 deleted (cond true), k=2 matched-but-kept, k=3 untouched
+      val got = spark.table("gdel_tgt").select($"k", $"v")
+        .as[(Long, Double)].collect().toSet
+      assert(got == Set((2L, 2.0), (3L, 3.0)))
+    } finally spark.sql("DROP TABLE IF EXISTS gdel_tgt")
+  }
+
+  test("unsupported MERGE shapes (multi-clause chains) are left to " +
+    "Spark's own error, never silently mis-executed") {
     val loc = tmpDir("mergesql3") + "/tgt"
     spark.sql("DROP TABLE IF EXISTS merge_guard")
     spark.sql(s"""CREATE TABLE merge_guard (k BIGINT, v DOUBLE)
@@ -158,7 +245,8 @@ class MergeSqlSpec extends SparkSpec {
       val e = intercept[Exception] {
         spark.sql("""MERGE INTO merge_guard USING merge_guard_src
           ON merge_guard.k = merge_guard_src.k
-          WHEN MATCHED THEN DELETE""")
+          WHEN MATCHED AND merge_guard.v > 0 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET v = merge_guard_src.v""")
       }
       assert(e.getMessage != null)
       // and the table was not touched
