@@ -36,5 +36,6 @@ object QueryRegistry {
       queries.StreamingQueries.defs ++
       queries.MultimodalQueries.defs ++
       queries.SamplingQueries.defs ++
-      queries.SourceQueries.defs
+      queries.SourceQueries.defs ++
+      queries.ClusterQueries.defs
 }

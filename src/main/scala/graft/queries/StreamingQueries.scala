@@ -66,6 +66,11 @@ object StreamingQueries {
   private val fileStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** st6's duplicated staging dir (two copies of events.parquet), also
+    * memoized per (JVM, sf dir). */
+  private val st6Stages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def stagedEventsDir(dir: String): String =
     fileStages.computeIfAbsent(dir, { _ =>
       val stageDir = java.nio.file.Files.createTempDirectory("st_events")
@@ -160,6 +165,42 @@ object StreamingQueries {
                  event_type FROM events)
         SELECT win_start, event_type, count(*) AS cnt
         FROM starts GROUP BY 1, 2""")),
+
+    // ---- ST6 streaming exact deduplication: the events file is staged
+    // TWICE as two micro-batches (maxFilesPerTrigger=1), so every row is
+    // a cross-batch duplicate; dropDuplicates state carries event_ids
+    // across the batch boundary and the downstream aggregate must equal
+    // the single-copy batch answer. At scale the same pipeline uses
+    // dropDuplicatesWithinWatermark so state is bounded by the lateness
+    // horizon instead of the full key history.
+    "st6_stream_dedup" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val name = "st6_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val stage = st6Stages.computeIfAbsent(dir, { _ =>
+          val d = java.nio.file.Files.createTempDirectory("st6_events")
+          Seq(0, 1).foreach { i =>
+            val dst = d.resolve(s"copy$i.parquet")
+            java.nio.file.Files.copy(
+              java.nio.file.Paths.get(dir, "events.parquet"), dst)
+            java.nio.file.Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime.fromMillis(
+                1000000000000L + i * 60000L))
+          }
+          d.toString
+        })
+        val src = s.readStream.schema(eventsRawSchema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+        val agg = src.dropDuplicates("event_id")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("cnt"))
+        val q = agg.writeStream.outputMode("complete")
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name)
+      },
+      Some("SELECT event_type, count(*) AS cnt FROM events GROUP BY 1")),
 
     // ---- ST2 sessionization with 30-minute inactivity gap: one shuffle
     // by user_id, per-user sorted fold (the state a
