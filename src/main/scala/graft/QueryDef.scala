@@ -37,5 +37,6 @@ object QueryRegistry {
       queries.MultimodalQueries.defs ++
       queries.SamplingQueries.defs ++
       queries.SourceQueries.defs ++
-      queries.ClusterQueries.defs
+      queries.ClusterQueries.defs ++
+      queries.ProfileQueries.defs
 }

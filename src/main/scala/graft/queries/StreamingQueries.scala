@@ -202,6 +202,45 @@ object StreamingQueries {
       },
       Some("SELECT event_type, count(*) AS cnt FROM events GROUP BY 1")),
 
+    // ---- ST7 watermarked stream-stream time-interval join: clicks and
+    // purchases as two independent streams, joined per user where the
+    // purchase lands within 1 hour after the click. Both sides carry
+    // event-time watermarks + the time-range condition bounds join state
+    // (each side's buffer is evicted once the other side's watermark
+    // passes the interval) — the shape that keeps state finite on an
+    // unbounded stream. Inner-join matches emit immediately, so the
+    // appended pairs equal the batch join; aggregated per user from the
+    // sink table to keep the compared result small.
+    "st7_stream_stream_join" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val name = "st7_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        def src = s.readStream.schema(eventsRawSchema)
+          .parquet(stagedEventsDir(dir))
+          .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        val clicks = src.where($"event_type" === "click")
+          .select($"user_id".as("c_user"), $"ts".as("c_ts"))
+          .withWatermark("c_ts", "1 hour")
+        val purchases = src.where($"event_type" === "purchase")
+          .select($"user_id".as("p_user"), $"ts".as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val joined = clicks.join(purchases,
+          $"c_user" === $"p_user" && $"p_ts" >= $"c_ts" &&
+            $"p_ts" <= $"c_ts" + expr("INTERVAL 1 HOUR"))
+        val q = joined.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name).groupBy($"c_user".as("user_id"))
+          .agg(count(lit(1)).as("pairs"))
+      },
+      Some("""SELECT c.user_id, count(*) AS pairs
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        GROUP BY 1""")),
+
     // ---- ST2 sessionization with 30-minute inactivity gap: one shuffle
     // by user_id, per-user sorted fold (the state a
     // flatMapGroupsWithState session would hold, computed batch-side)
