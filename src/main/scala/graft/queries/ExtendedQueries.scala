@@ -182,6 +182,144 @@ object ExtendedQueries {
           (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
            WHERE l2.l_partkey = l1.l_partkey)""")),
 
+    // ---- Q6-style forecast revenue: the pure scan+filter+agg probe —
+    // at scale this is the query that lives or dies on parquet predicate
+    // pushdown (all three filters reach the scan; PlanSpec asserts the
+    // PushedFilters shape for this family).
+    "q6_forecast_revenue" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .where($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+            $"l_discount".between(0.02, 0.06) && $"l_quantity" < 24)
+          .agg(sum(($"l_extendedprice" * $"l_discount")
+            .cast("decimal(24,4)")).as("revenue"))
+      },
+      Some("""SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(24,4)))
+          AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
+          AND l_shipdate < CAST('1997-01-01' AS TIMESTAMP)
+          AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""")),
+
+    // ---- Q10-style returned-item ranking: two fact joins + broadcast
+    // dim, grouped revenue, deterministic top-20
+    "q10_returned_items" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey")
+          .where($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1996-07-01").cast("timestamp"))
+          .join(t(s, dir, "lineitem").where($"l_returnflag" === "R"),
+            $"o_orderkey" === $"l_orderkey")
+          .join(broadcast(t(s, dir, "nation")),
+            $"c_nationkey" === $"n_nationkey")
+          .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+          .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .cast("decimal(24,4)")).as("revenue"))
+          .orderBy($"revenue".desc, $"c_custkey".asc)
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
+        sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,4)))
+          AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= CAST('1996-01-01' AS TIMESTAMP)
+          AND o_orderdate < CAST('1996-07-01' AS TIMESTAMP)
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey ASC LIMIT 20""")),
+
+    // ---- Q12-style priority buckets (adapted: testdata has no
+    // l_shipmode/l_receiptdate, so the CASE buckets run on
+    // o_orderpriority): fact-fact join + conditional counting
+    "q12_priority_buckets" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+          .where($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+          .groupBy($"l_linestatus")
+          .agg(
+            sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).as("high_line_count"),
+            sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 0L)
+              .otherwise(1L)).as("low_line_count"))
+      },
+      Some("""SELECT l_linestatus,
+        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
+          AND l_shipdate < CAST('1997-01-01' AS TIMESTAMP)
+        GROUP BY l_linestatus""")),
+
+    // ---- Q14-style promo revenue share: broadcast part join, a
+    // conditional/total ratio aggregated in double and rounded ONCE
+    // (the a15_stats policy — never per-row decimal casts on ratios)
+    "q14_promo_revenue" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .where($"l_shipdate" >= lit("1996-03-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+          .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
+          .agg(round(
+            lit(100.0) *
+              sum(when($"p_type" === "PROMO",
+                $"l_extendedprice" * (lit(1.0) - $"l_discount"))
+                .otherwise(0.0)) /
+              sum($"l_extendedprice" * (lit(1.0) - $"l_discount")),
+            4).as("promo_pct"))
+      },
+      Some("""SELECT round(100.0 *
+          sum(CASE WHEN p_type = 'PROMO'
+            THEN l_extendedprice * (1.0 - l_discount) ELSE 0 END) /
+          sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= CAST('1996-03-01' AS TIMESTAMP)
+          AND l_shipdate < CAST('1996-04-01' AS TIMESTAMP)""")),
+
+    // ---- Q19-style disjunctive predicate join (adapted to available
+    // columns): three OR-branches over brand/size/quantity — Catalyst
+    // extracts the common p_partkey equi-key so this stays a broadcast
+    // hash join with the disjunction as a post-join filter, never a
+    // nested-loop
+    "q19_disjunctive_join" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val branch1 = $"p_brand" === "Brand#12" &&
+          $"p_size".between(1, 5) && $"l_quantity".between(1, 11)
+        val branch2 = $"p_brand" === "Brand#23" &&
+          $"p_size".between(1, 10) && $"l_quantity".between(10, 20)
+        val branch3 = $"p_brand" === "Brand#34" &&
+          $"p_size".between(1, 15) && $"l_quantity".between(20, 30)
+        t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
+          .where(branch1 || branch2 || branch3)
+          .agg(count(lit(1)).as("n_items"),
+            sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+              .cast("decimal(24,4)")).as("revenue"))
+      },
+      Some("""SELECT count(*) AS n_items,
+        sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,4)))
+          AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+            AND l_quantity BETWEEN 1 AND 11)
+          OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+            AND l_quantity BETWEEN 10 AND 20)
+          OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+            AND l_quantity BETWEEN 20 AND 30)""")),
+
     // ---- A17 unpivot/melt: wide measure columns to (metric, value)
     // rows — the feature-table melt every training pipeline runs before
     // per-metric aggregation. Narrow op, no shuffle.

@@ -65,6 +65,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hyperplane_bucket"), p)
   }
 
+  test("q6's three filters all reach the parquet scan as PushedFilters") {
+    // the rendered plan truncates PushedFilters at maxMetadataStringLength,
+    // so assert on the scan node's pushed-down data filters directly
+    // (sparkPlan, not executedPlan: the AQE wrapper hides the leaves)
+    val scan = SparkEntry.queries("q6_forecast_revenue")(spark, sfDir)
+      .queryExecution.sparkPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("no FileSourceScanExec in plan"))
+    val pushed = scan.metadata("PushedFilters")
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+      "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+      "LessThan(l_quantity").foreach { f =>
+      assert(pushed.contains(f), s"$f not pushed: $pushed")
+    }
+  }
+
+  test("q19's disjunctive predicate keeps a broadcast hash join on the " +
+    "extracted equi-key, never a nested loop") {
+    val p = planOf("q19_disjunctive_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("NestedLoop"), p)
+  }
+
   test("DataMerge's target read is partition-pruned to touched partitions") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
