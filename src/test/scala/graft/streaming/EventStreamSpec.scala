@@ -74,4 +74,51 @@ class EventStreamSpec extends SparkSpec {
     assert(emitted > 0)
     assert(spark.table(name).select("win_start").distinct().count() < allDays)
   }
+
+  test("UpsertSink merges each micro-batch into the lake; checkpoint " +
+    "restart resumes without reprocessing committed batches") {
+    val stage = java.nio.file.Files.createTempDirectory("upsert_in")
+    val lake = tmpDir("upsert_lake") + "/t"
+    val ckpt = tmpDir("upsert_ckpt")
+
+    def writeBatch(n: Int, rows: Seq[(Long, Double, Long)]): Unit = {
+      val tmp = stage.resolve(s"tmp$n")
+      rows.toDF("k", "v", "version").coalesce(1).write.parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst.get
+      val dst = stage.resolve(s"batch$n.parquet")
+      java.nio.file.Files.move(f, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + n * 60000L))
+    }
+    // batch 0: keys 1-10 v=1; batch 1: keys 6-15 v=2 (overlap 6-10);
+    // key 7 duplicated IN-batch — greatest version must win
+    writeBatch(0, (1L to 10L).map(k => (k, 1.0, 1L)))
+    writeBatch(1, (6L to 15L).map(k => (k, 2.0, 2L)) :+ ((7L, 99.0, 3L)))
+
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", DoubleType), StructField("version", LongType)))
+    def run(): Unit = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+      val q = UpsertSink.start(src, lake, Seq("k"), "version", ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val got = spark.read.parquet(lake).select($"k", $"v")
+      .as[(Long, Double)].collect().toMap
+    assert(got.size == 15)
+    assert((1L to 5L).forall(got(_) == 1.0), "unmatched keys kept")
+    assert(Seq(6L, 8L, 9L, 10L).forall(got(_) == 2.0), "overlap upserted")
+    assert(got(7L) == 99.0, "in-batch duplicate resolved by version")
+
+    // restart from the same checkpoint with one new file: committed
+    // batches are not re-merged, the new batch is
+    writeBatch(2, Seq((1L, 5.0, 4L), (16L, 5.0, 4L)))
+    run()
+    val after = spark.read.parquet(lake).select($"k", $"v")
+      .as[(Long, Double)].collect().toMap
+    assert(after.size == 16 && after(1L) == 5.0 && after(16L) == 5.0)
+    assert(after(7L) == 99.0 && after(15L) == 2.0)
+  }
 }
