@@ -25,7 +25,12 @@ object Bench {
     // a host-level CPU-throttle window degrades at most one of a
     // query's two samples; back-to-back repeats would lose both.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // Optional comma-separated name-prefix filter for targeted local
+    // iteration (e.g. SPARK_GRAFT_BENCH_ONLY=st6,st7); driver runs unset.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     val best = scala.collection.mutable.Map.empty[String, Double]
     val errors = scala.collection.mutable.Map.empty[String, String]
     for (_ <- 1 to runs; (name, fn) <- ordered) {

@@ -55,6 +55,22 @@ object StreamingQueries {
       stageDir.toString
     })
 
+  /** Child session for stateful streaming queries: state-store partition
+    * count must track STATE SIZE, not the session-wide shuffle setting —
+    * at bench scale, 32-partition state means 32 per-operator store
+    * commits per micro-batch on near-empty partitions, which measured
+    * 4.2× the query's actual work (st7: 21.4 s at 32 partitions vs
+    * 5.1 s at 8, same host window). A child session scopes the setting
+    * to the one query — at 100 TB the same knob is turned UP the same
+    * way. Also isolates `nanosAsLong` instead of mutating the shared
+    * session's conf. */
+  private def streamSession(s: SparkSession, parts: Int = 8): SparkSession = {
+    val c = s.newSession()
+    c.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    c.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    c
+  }
+
   private val eventsRawSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
@@ -85,10 +101,10 @@ object StreamingQueries {
     // ---- ST1 streaming tumbling-window aggregation (1-day windows)
     "st1_stream_tumbling" -> QueryDef(
       (s, dir) => {
-        import s.implicits._
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val c = streamSession(s)
+        import c.implicits._
         val name = "st1_" + java.util.UUID.randomUUID.toString.replace("-", "")
-        val src = s.readStream.schema(eventsRawSchema)
+        val src = c.readStream.schema(eventsRawSchema)
           .parquet(stagedEventsDir(dir))
           .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
         val agg = src
@@ -100,7 +116,7 @@ object StreamingQueries {
         val q = agg.writeStream.outputMode("complete")
           .format("memory").queryName(name).start()
         try q.processAllAvailable() finally q.stop()
-        s.table(name)
+        c.table(name)
       },
       Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
         event_type, count(*) AS cnt,
@@ -116,9 +132,9 @@ object StreamingQueries {
     // win_end <= max(ts) − lateness.
     "st4_stream_append" -> QueryDef(
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val c = streamSession(s)
         val name = "st4_" + java.util.UUID.randomUUID.toString.replace("-", "")
-        val src = s.readStream.schema(eventsRawSchema)
+        val src = c.readStream.schema(eventsRawSchema)
           .parquet(stagedEventsDir(dir))
           .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
         val agg = graft.streaming.EventStream
@@ -126,7 +142,7 @@ object StreamingQueries {
         val q = agg.writeStream.outputMode("append")
           .format("memory").queryName(name).start()
         try q.processAllAvailable() finally q.stop()
-        s.table(name)
+        c.table(name)
       },
       Some("""WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
@@ -142,10 +158,10 @@ object StreamingQueries {
     // which is exactly SQL-expressible as a two-way union.
     "st5_stream_sliding" -> QueryDef(
       (s, dir) => {
-        import s.implicits._
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val c = streamSession(s)
+        import c.implicits._
         val name = "st5_" + java.util.UUID.randomUUID.toString.replace("-", "")
-        val src = s.readStream.schema(eventsRawSchema)
+        val src = c.readStream.schema(eventsRawSchema)
           .parquet(stagedEventsDir(dir))
           .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
         val agg = src
@@ -155,7 +171,7 @@ object StreamingQueries {
         val q = agg.writeStream.outputMode("complete")
           .format("memory").queryName(name).start()
         try q.processAllAvailable() finally q.stop()
-        s.table(name)
+        c.table(name)
       },
       Some("""WITH starts AS (
           SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
@@ -175,8 +191,8 @@ object StreamingQueries {
     // horizon instead of the full key history.
     "st6_stream_dedup" -> QueryDef(
       (s, dir) => {
-        import s.implicits._
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val c = streamSession(s)
+        import c.implicits._
         val name = "st6_" + java.util.UUID.randomUUID.toString.replace("-", "")
         val stage = st6Stages.computeIfAbsent(dir, { _ =>
           val d = java.nio.file.Files.createTempDirectory("st6_events")
@@ -190,7 +206,7 @@ object StreamingQueries {
           }
           d.toString
         })
-        val src = s.readStream.schema(eventsRawSchema)
+        val src = c.readStream.schema(eventsRawSchema)
           .option("maxFilesPerTrigger", "1").parquet(stage)
         val agg = src.dropDuplicates("event_id")
           .groupBy($"event_type")
@@ -198,7 +214,7 @@ object StreamingQueries {
         val q = agg.writeStream.outputMode("complete")
           .format("memory").queryName(name).start()
         try q.processAllAvailable() finally q.stop()
-        s.table(name)
+        c.table(name)
       },
       Some("SELECT event_type, count(*) AS cnt FROM events GROUP BY 1")),
 
@@ -213,10 +229,10 @@ object StreamingQueries {
     // sink table to keep the compared result small.
     "st7_stream_stream_join" -> QueryDef(
       (s, dir) => {
-        import s.implicits._
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val c = streamSession(s)
+        import c.implicits._
         val name = "st7_" + java.util.UUID.randomUUID.toString.replace("-", "")
-        def src = s.readStream.schema(eventsRawSchema)
+        def src = c.readStream.schema(eventsRawSchema)
           .parquet(stagedEventsDir(dir))
           .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
         val clicks = src.where($"event_type" === "click")
@@ -231,7 +247,7 @@ object StreamingQueries {
         val q = joined.writeStream.outputMode("append")
           .format("memory").queryName(name).start()
         try q.processAllAvailable() finally q.stop()
-        s.table(name).groupBy($"c_user".as("user_id"))
+        c.table(name).groupBy($"c_user".as("user_id"))
           .agg(count(lit(1)).as("pairs"))
       },
       Some("""SELECT c.user_id, count(*) AS pairs
@@ -288,7 +304,8 @@ object StreamingQueries {
         import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
         val gapMicros = 30L * 60 * 1000000
         val name = "st3_" + java.util.UUID.randomUUID.toString.replace("-", "")
-        val src = s.readStream
+        val c = streamSession(s)
+        val src = c.readStream
           .schema(StructType(Seq(StructField("user_id", LongType),
             StructField("us", LongType))))
           .option("maxFilesPerTrigger", "1")
@@ -312,7 +329,7 @@ object StreamingQueries {
           .start()
         try q.processAllAvailable() finally q.stop()
         // counts are monotone per user: the max emission IS the final state
-        s.table(name).groupBy($"user_id")
+        c.table(name).groupBy($"user_id")
           .agg(max($"n_sessions").as("n_sessions"),
             max($"n_events").as("n_events"))
       },
