@@ -188,6 +188,26 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist the IVF index PARTITIONED BY list_id — nlist directories,
+    * each holding one cell's vectors. [[ivfTopK]] over a read of this
+    * layout prunes to its nprobe cells at DIRECTORY level (the `isin`
+    * on the partition column is a partition filter), so a probe lists
+    * and reads nprobe/nlist of the corpus — the on-disk counterpart of
+    * the in-memory index, same story as the LSH variant but with
+    * data-adaptive cells. */
+  def writePersistedIvf(df: DataFrame, embedding: String,
+      codebook: IvfCodebook, path: String): Unit =
+    ivfAssign(df, embedding, codebook)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("list_id").parquet(path)
+
+  /** Top-k probe against a persisted IVF index (directory-pruned). */
+  def probePersistedIvf(spark: org.apache.spark.sql.SparkSession,
+      path: String, embedding: String, id: String, query: Array[Float],
+      codebook: IvfCodebook, nprobe: Int, k: Int): DataFrame =
+    ivfTopK(spark.read.parquet(path), embedding, id, query, codebook,
+      nprobe, k)
+
   /** Round-1-shaped overload: rebuilds the seed codebook from the
     * indexed frame (valid only for unrefined indexes). */
   def ivfTopK(indexed: DataFrame, embedding: String, id: String,

@@ -16,6 +16,37 @@ class ClusteringSpec extends SparkSpec {
     assert(df.head().getLong(0) == 7L)
   }
 
+  test("property: interleave is a bijection on bucket tuples (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    // reference deinterleave: bit b of column i sits at z-bit b*n + i
+    def deinterleave(z: Long, n: Int, bits: Int): Seq[Long] =
+      (0 until n).map { i =>
+        (0 until bits).map(b => ((z >> (b * n + i)) & 1L) << b).sum
+      }
+    val gen = for {
+      n <- Gen.choose(2, 4)
+      bits <- Gen.choose(1, 6)
+      tuples <- Gen.listOfN(20, Gen.listOfN(n, Gen.choose(0L, (1L << bits) - 1)))
+    } yield (n, bits, tuples)
+    val prop = Prop.forAll(gen) { case (n, bits, tuples) =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(tuples.map(org.apache.spark.sql.Row.fromSeq), 2),
+        org.apache.spark.sql.types.StructType((0 until n).map(i =>
+          org.apache.spark.sql.types.StructField(s"c$i",
+            org.apache.spark.sql.types.LongType))))
+      val zs = df.select(Clustering.interleave(
+          (0 until n).map(i => org.apache.spark.sql.functions.col(s"c$i")), bits)
+          .as("z"))
+        .collect().map(_.getLong(0))
+      zs.zip(tuples).forall { case (z, t) =>
+        deinterleave(z, n, bits) == t.toSeq
+      } :| s"n=$n bits=$bits"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("z-order clustering preserves content exactly") {
     val out = tmpDir("zorder") + "/li"
     Clustering.clusterWrite(li, Seq("l_orderkey", "l_partkey"), out, files = 8)

@@ -140,6 +140,38 @@ class OperatorSpec extends SparkSpec {
       == inMem.toSeq)
   }
 
+  test("persisted IVF index: probe prunes to nprobe list_id dirs and " +
+    "matches the in-memory probe") {
+    val emb = graft.Tables(spark, sfDir, "embeddings")
+    val corpus = emb.where($"vec_id" =!= 0)
+    val q = emb.where($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val cb = Similarity.buildCodebook(corpus, "embedding", "vec_id", nlist = 8)
+    val path = tmpDir("ivfidx") + "/index"
+    Similarity.writePersistedIvf(corpus, "embedding", cb, path)
+    val probed = Similarity.probePersistedIvf(spark, path, "embedding",
+      "vec_id", q, cb, nprobe = 2, k = 5)
+    // the isin(list_id) predicate must prune DIRECTORIES: the scan reads
+    // exactly the nprobe probed cells' dirs
+    val scan = probed.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.nonEmpty, "no partition filters in probe scan")
+    val readDirs = scan.relation.location
+      .listFiles(scan.partitionFilters, Nil)
+      .flatMap(_.files.map(_.getPath.getParent.getName)).distinct
+    assert(readDirs.nonEmpty && readDirs.size <= 2,
+      s"probe must read <= nprobe dirs: $readDirs")
+    assert(readDirs.forall(_.startsWith("list_id=")), s"$readDirs")
+    // and the probe result equals the in-memory index probe
+    val inMem = Similarity.ivfTopK(
+      Similarity.ivfAssign(corpus, "embedding", cb),
+      "embedding", "vec_id", q, cb, nprobe = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(probed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      == inMem.toSeq)
+  }
+
   test("Lloyd-refined codebook: assignment still partitions the corpus, " +
     "full probe still exact, refinement moves centroids") {
     val emb = graft.Tables(spark, sfDir, "embeddings")
