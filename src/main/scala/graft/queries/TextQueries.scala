@@ -93,6 +93,37 @@ object TextQueries {
           list_transform(string_split_regex(text, '\s+'),
             w -> (ascii(w) * 31 + length(w)) % 1000000007),
           (acc, x) -> (acc * 131 + x) % 1000000007) AS fp
-        FROM documents"""))
+        FROM documents""")),
+
+    // ---- TX5 the composed training-data prep pipeline — the end-to-end
+    // shape this engine exists for: admission filter (length band +
+    // language allowlist) → exact dedup (keep lowest doc_id per text) →
+    // per-language corpus stats. Everything stays in one declarative
+    // plan: the filters reach the scan, the dedup is the one hash
+    // shuffle, the stats ride the same partitioning.
+    "tx5_prep_pipeline" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val admitted = t(s, dir, "documents")
+          .where($"n_chars".between(60, 520) &&
+            $"lang".isin("en", "de", "fr", "es"))
+        graft.operators.Dedup.exactDedup(admitted, $"text", $"doc_id")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("docs"),
+            sum($"n_chars").as("total_chars"),
+            round(avg($"n_chars"), 2).as("avg_chars"))
+      },
+      Some("""WITH admitted AS (
+          SELECT * FROM documents
+          WHERE n_chars BETWEEN 60 AND 520
+            AND lang IN ('en', 'de', 'fr', 'es')),
+        deduped AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id)
+              AS rn FROM admitted) WHERE rn = 1)
+        SELECT lang, count(*) AS docs,
+          CAST(sum(n_chars) AS BIGINT) AS total_chars,
+          round(avg(n_chars), 2) AS avg_chars
+        FROM deduped GROUP BY lang"""))
   )
 }
