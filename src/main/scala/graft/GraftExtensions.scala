@@ -34,6 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e.injectFunction((FunctionIdentifier(name), info(name, usage), b))
     }
     e.injectResolutionRule(graft.plans.ResolveParquetMerge.apply)
+    e.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
   }
 }
 

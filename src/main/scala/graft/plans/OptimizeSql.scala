@@ -1,0 +1,113 @@
+package graft.plans
+
+import graft.operators.{Clustering, Compaction, DataMerge}
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Lake-maintenance DDL the reference's Delta deployment gets from
+  * `OPTIMIZE` (Databricks SQL ref; the reference never compacts, which
+  * is why a year of its `coalesce(1)`-per-chunk appends needs exactly
+  * this statement) — grafted onto plain parquet catalog tables via an
+  * injected delegating parser:
+  *
+  *   OPTIMIZE t ZORDER BY (c1, c2) [INTO n FILES]   -- Morton clustering
+  *   OPTIMIZE t COMPACT [INTO n FILES]              -- small-file rewrite
+  *
+  * Anything not starting with OPTIMIZE goes to the delegate parser
+  * untouched, so the extension cannot perturb normal SQL. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    if (optimizePrefix.matcher(sqlText).lookingAt())
+      parseOptimize(sqlText)
+    else delegate.parsePlan(sqlText)
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+
+  private def parseOptimize(sqlText: String): LogicalPlan = {
+    val z = zorderStmt.matcher(sqlText)
+    if (z.matches()) {
+      val cols = z.group(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      if (cols.isEmpty) fail(sqlText, "ZORDER BY needs at least one column")
+      return OptimizeTableCommand(parseTableIdentifier(z.group(1)),
+        zorderCols = cols, files = Option(z.group(3)).map(_.toInt))
+    }
+    val c = compactStmt.matcher(sqlText)
+    if (c.matches())
+      return OptimizeTableCommand(parseTableIdentifier(c.group(1)),
+        zorderCols = Nil, files = Option(c.group(2)).map(_.toInt))
+    fail(sqlText, "expected OPTIMIZE <table> ZORDER BY (cols) [INTO n " +
+      "FILES] or OPTIMIZE <table> COMPACT [INTO n FILES]")
+  }
+
+  /** Malformed OPTIMIZE: let the DELEGATE produce the ParseException
+    * (OPTIMIZE is not in Spark's grammar), so error shape/metadata match
+    * every other syntax error the user sees. */
+  private def fail(sql: String, msg: String): Nothing = {
+    delegate.parsePlan(sql)
+    throw new IllegalStateException(msg) // unreachable: delegate throws
+  }
+}
+
+object GraftSqlParser {
+  private val optimizePrefix =
+    java.util.regex.Pattern.compile("""\s*(?i:OPTIMIZE)\b""")
+  private val zorderStmt = java.util.regex.Pattern.compile(
+    """(?is)\s*OPTIMIZE\s+([\w.`]+)\s+ZORDER\s+BY\s*\(([^)]*)\)""" +
+      """(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?\s*""")
+  private val compactStmt = java.util.regex.Pattern.compile(
+    """(?is)\s*OPTIMIZE\s+([\w.`]+)\s+COMPACT""" +
+      """(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?\s*""")
+}
+
+/** Eagerly-executed OPTIMIZE: rewrites the table's files (z-order
+  * clustered or compacted) through the staged-overwrite commit, so
+  * readers never observe a half-rewritten directory. Content is
+  * preserved exactly; only the file layout changes. */
+case class OptimizeTableCommand(table: TableIdentifier,
+    zorderCols: Seq[String], files: Option[Int]) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val meta = spark.sessionState.catalog.getTableMetadata(table)
+    require(meta.provider.exists(_.equalsIgnoreCase("parquet")),
+      s"OPTIMIZE supports parquet tables, got ${meta.provider}")
+    require(meta.partitionColumnNames.isEmpty,
+      "OPTIMIZE on partitioned tables is not supported (run per partition)")
+    val path = meta.location.toString
+    if (zorderCols.nonEmpty) {
+      val df = spark.read.parquet(path)
+      val n = files.getOrElse(math.max(1, Compaction.fileCount(spark, path)))
+      val clustered = Clustering.withZValue(df, zorderCols)
+        .repartitionByRange(n, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+      DataMerge.stagedOverwrite(spark, path, clustered, Nil)
+    } else {
+      Compaction.compact(spark, path, files.getOrElse(1))
+    }
+    spark.catalog.refreshTable(table.quotedString)
+    Seq.empty
+  }
+}

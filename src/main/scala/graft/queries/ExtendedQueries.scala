@@ -459,6 +459,29 @@ object ExtendedQueries {
       Some("""SELECT l_returnflag,
         quantile_cont(l_quantity, 0.5) AS median_qty,
         quantile_cont(l_quantity, 0.9) AS p90_qty
-        FROM lineitem GROUP BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // ---- W7 native session windows: Spark's `session_window` (dynamic
+    // 30-min-gap windows merged by the engine) must reproduce the
+    // hand-rolled gaps-and-islands sessionization (st2/st3's oracle) —
+    // same one-shuffle cost, state merging owned by the engine.
+    "w7_session_window" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy($"user_id", session_window($"ts", "30 minutes"))
+          .agg(count(lit(1)).as("n_ev"))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_sessions"), sum($"n_ev").as("n_events"))
+      },
+      Some("""SELECT user_id,
+        CAST(sum(CASE WHEN prev_ts IS NULL
+            OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_sessions,
+        CAST(count(*) AS BIGINT) AS n_events
+        FROM (SELECT user_id, ts,
+            lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+          FROM events) t
+        GROUP BY user_id"""))
   )
 }

@@ -1,0 +1,50 @@
+package graft.plans
+
+import graft.{SparkSpec, Tables}
+import graft.operators.{Clustering, Compaction}
+
+class OptimizeSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("OPTIMIZE ... ZORDER BY rewrites the table z-clustered, content " +
+    "intact, both columns' per-file spans bounded") {
+    val loc = tmpDir("optz") + "/t"
+    spark.sql("DROP TABLE IF EXISTS opt_z")
+    Tables(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_quantity")
+      .repartition(6)
+      .write.option("path", loc).saveAsTable("opt_z")
+    try {
+      val before = spark.table("opt_z").collect().toSet
+      spark.sql("OPTIMIZE opt_z ZORDER BY (l_orderkey, l_partkey) INTO 8 FILES")
+      assert(Compaction.fileCount(spark, loc) == 8)
+      assert(spark.table("opt_z").collect().toSet == before)
+      assert(Clustering.avgFileSpan(spark, loc, "l_orderkey") < 0.7)
+      assert(Clustering.avgFileSpan(spark, loc, "l_partkey") < 0.7)
+    } finally spark.sql("DROP TABLE IF EXISTS opt_z")
+  }
+
+  test("OPTIMIZE ... COMPACT rewrites many files to the target count") {
+    val loc = tmpDir("optc") + "/t"
+    spark.sql("DROP TABLE IF EXISTS opt_c")
+    Tables(spark, sfDir, "nation").repartition(5)
+      .write.option("path", loc).saveAsTable("opt_c")
+    try {
+      assert(Compaction.fileCount(spark, loc) == 5)
+      val before = spark.table("opt_c").collect().toSet
+      spark.sql("OPTIMIZE opt_c COMPACT")
+      assert(Compaction.fileCount(spark, loc) == 1)
+      assert(spark.table("opt_c").collect().toSet == before)
+    } finally spark.sql("DROP TABLE IF EXISTS opt_c")
+  }
+
+  test("malformed OPTIMIZE fails with a parse error; ordinary SQL is " +
+    "untouched by the delegating parser") {
+    val e = intercept[Exception] {
+      spark.sql("OPTIMIZE nation FROBNICATE")
+    }
+    assert(e.getMessage != null)
+    // delegate path still parses everything else
+    assert(spark.sql("SELECT 1 AS one").head().getInt(0) == 1)
+  }
+}
