@@ -40,8 +40,8 @@ object Profile {
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = fields.map { f =>
-      s"'${f.name}', ${f.name}__nulls, ${f.name}__distinct, " +
-        s"${f.name}__min, ${f.name}__max"
+      s"'${f.name}', `${f.name}__nulls`, `${f.name}__distinct`, " +
+        s"`${f.name}__min`, `${f.name}__max`"
     }.mkString(", ")
     wide.select(expr(
       s"stack(${fields.size}, $stackArgs) AS " +
