@@ -461,6 +461,48 @@ object ExtendedQueries {
         quantile_cont(l_quantity, 0.9) AS p90_qty
         FROM lineitem GROUP BY l_returnflag""")),
 
+    // ---- Q4-style priority count via EXISTS: the correlated-EXISTS
+    // subquery shape — Catalyst decorrelates it to a left-semi join
+    // (asserted in PlanSpec), never a per-row re-execution
+    "q4_exists_semi" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("q4_orders")
+        t(s, dir, "lineitem").createOrReplaceTempView("q4_lineitem")
+        s.sql("""SELECT o_orderpriority, count(*) AS order_count
+          FROM q4_orders o
+          WHERE o_orderdate >= CAST('1996-01-01' AS TIMESTAMP)
+            AND o_orderdate < CAST('1996-07-01' AS TIMESTAMP)
+            AND EXISTS (SELECT 1 FROM q4_lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+          GROUP BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= CAST('1996-01-01' AS TIMESTAMP)
+          AND o_orderdate < CAST('1996-07-01' AS TIMESTAMP)
+          AND EXISTS (SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        GROUP BY o_orderpriority""")),
+
+    // ---- W8 distribution window functions (fully tiebroken; doubles
+    // rounded once, mirrored)
+    "w8_distribution_functions" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"c_mktsegment")
+          .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+        t(s, dir, "customer")
+          .select($"c_mktsegment", $"c_custkey",
+            round(cume_dist().over(w), 6).as("cdist"),
+            round(percent_rank().over(w), 6).as("prank"))
+      },
+      Some("""SELECT c_mktsegment, c_custkey,
+        round(cume_dist() OVER w, 6) AS cdist,
+        round(percent_rank() OVER w, 6) AS prank
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+          ORDER BY c_acctbal DESC, c_custkey ASC)""")),
+
     // ---- W7 native session windows: Spark's `session_window` (dynamic
     // 30-min-gap windows merged by the engine) must reproduce the
     // hand-rolled gaps-and-islands sessionization (st2/st3's oracle) —

@@ -130,5 +130,24 @@ object FunctionQueries {
       },
       Some("""SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
         embedding[1] AS first_el, embedding[64] AS last_el FROM embeddings"""))
+    ,
+
+    // ---- F16 ordinal explode (LATERAL VIEW / posexplode): tokenize and
+    // emit the first five (position, word) pairs per document — a narrow
+    // generator, no shuffle; DuckDB mirrors via 1-based list indexing
+    // (a five-branch UNION ALL, deterministic and version-portable)
+    "f16_explode_ordinal" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .select($"doc_id", posexplode(split($"text", "\\s+"))
+            .as(Seq("pos", "word")))
+          .where($"pos" < 5)
+      },
+      Some((0 until 5).map { i =>
+        raw"""SELECT doc_id, $i AS pos,
+          string_split_regex(text, '\s+')[${i + 1}] AS word
+        FROM documents WHERE len(string_split_regex(text, '\s+')) > $i"""
+      }.mkString(" UNION ALL ")))
   )
 }

@@ -88,6 +88,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("NestedLoop"), p)
   }
 
+  test("q4's correlated EXISTS decorrelates to a left-semi join") {
+    val p = planOf("q4_exists_semi")
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("DataMerge's target read is partition-pruned to touched partitions") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
