@@ -38,41 +38,76 @@ object DataMerge {
   /** Upsert `updates` into the partitioned parquet table at `path`.
     * Returns the touched partition values (diagnostics / audit). */
   def mergeIntoParquet(spark: SparkSession, path: String, updates: DataFrame,
-      keys: Seq[String], partCol: String): Seq[Any] = {
-    val touched = updates.select(col(partCol)).distinct()
-      .collect().map(_.get(0)).toSeq // bounded by #partitions by contract
+      keys: Seq[String], partCol: String): Seq[Any] =
+    mergeIntoParquet(spark, path, updates, keys, Seq(partCol)).map(_.head)
+
+  /** Multi-level-partitioned upsert (the reference's lake layout is
+    * year/month/day — `Ingest:460`): the touched set is the distinct
+    * PARTITION TUPLES of the updates, the pruned read is an OR of
+    * per-tuple conjunctions (still planning-time partition pruning),
+    * and the commit swaps nested leaf dirs. */
+  def mergeIntoParquet(spark: SparkSession, path: String, updates: DataFrame,
+      keys: Seq[String], partCols: Seq[String]): Seq[Seq[Any]] = {
+    require(partCols.nonEmpty, "use mergeIntoParquetFull for unpartitioned")
+    val touched: Seq[Seq[Any]] =
+      updates.select(partCols.map(col): _*).distinct()
+        .collect().map(_.toSeq).toSeq // bounded by #partitions by contract
     if (touched.isEmpty) return touched
 
     val target = spark.read.option("mergeSchema", "true").parquet(path)
-      .where(col(partCol).isin(touched: _*)) // partition-pruned scan
+      .where(tupleFilter(partCols, touched)) // partition-pruned scan
     // survivors of the old data = rows whose key has no update
     val merged = target.join(updates, keys, "left_anti")
       .unionByName(updates.select(target.columns.map(col): _*))
 
     val staging = path + ".merge-staging"
-    merged.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(staging)
+    merged.write.mode(SaveMode.Overwrite)
+      .partitionBy(partCols: _*).parquet(staging)
     // deleteMissing=false: merged ⊇ updates, so a touched partition can
     // never vanish under upsert semantics
-    swapPartitions(spark, path, staging, partCol, touched,
+    swapPartitions(spark, path, staging, partCols, touched,
       deleteMissing = false)
     touched
   }
 
-  /** Commit step shared by the partition-scoped DML lowerings: swap
-    * each touched `partCol=v` dir from `staging` into `path` (metadata-
-    * only renames), then drop staging. A touched partition with no
-    * staging dir means every one of its rows was removed — deleted when
-    * `deleteMissing` (the DELETE path), kept otherwise (upserts). */
+  /** OR-of-conjunctions predicate selecting exactly the given partition
+    * tuples — equality terms on partition columns only, so Catalyst
+    * evaluates it against directory values at planning time. */
+  def tupleFilter(partCols: Seq[String], touched: Seq[Seq[Any]])
+      : org.apache.spark.sql.Column =
+    touched.map { t =>
+      partCols.zip(t).map { case (c, v) =>
+        if (v == null) col(c).isNull else col(c) === lit(v)
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+
+  /** Single-level convenience overload of the tuple swap below. */
   def swapPartitions(spark: SparkSession, path: String, staging: String,
-      partCol: String, touched: Seq[Any], deleteMissing: Boolean): Unit = {
+      partCol: String, touched: Seq[Any], deleteMissing: Boolean): Unit =
+    swapPartitions(spark, path, staging, Seq(partCol),
+      touched.map(Seq(_)), deleteMissing)
+
+  /** Commit step shared by the partition-scoped DML lowerings: swap
+    * each touched leaf dir `p1=v1/p2=v2/…` from `staging` into `path`
+    * (metadata-only renames; parents created as needed), then drop
+    * staging. A touched tuple with no staging dir means every one of
+    * its rows was removed — deleted when `deleteMissing` (the DELETE
+    * path), kept otherwise (upserts). */
+  def swapPartitions(spark: SparkSession, path: String, staging: String,
+      partCols: Seq[String], touched: Seq[Seq[Any]],
+      deleteMissing: Boolean): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), conf)
-    touched.foreach { v =>
-      val part = s"$partCol=$v"
+    touched.foreach { t =>
+      val part = partCols.zip(t).map { case (c, v) =>
+        // Spark writes null partition values as __HIVE_DEFAULT_PARTITION__
+        s"$c=${if (v == null) "__HIVE_DEFAULT_PARTITION__" else v}"
+      }.mkString("/")
       val src = new org.apache.hadoop.fs.Path(s"$staging/$part")
       val dst = new org.apache.hadoop.fs.Path(s"$path/$part")
       if (fs.exists(src)) {
         if (fs.exists(dst)) fs.delete(dst, true)
+        fs.mkdirs(dst.getParent)
         fs.rename(src, dst)
       } else if (deleteMissing && fs.exists(dst)) {
         fs.delete(dst, true)

@@ -27,10 +27,11 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * ones. `UPDATE t SET … WHERE …` and `DELETE FROM t WHERE …` (the
   * reference's S10 statements, `Config:136-140`) are lowered the same
   * way, as staged rewrites of a projection/filter over the table. Any
-  * other MERGE shape (clause conditions, column-level SET in MERGE,
-  * multi-column partitioning) is left untouched so Spark's own
-  * unsupported-operation error surfaces rather than silently-wrong
-  * semantics.
+  * other MERGE shape (multi-clause chains, NOT MATCHED BY SOURCE) is
+  * left untouched so Spark's own unsupported-operation error surfaces
+  * rather than silently-wrong semantics. Multi-level partitioned
+  * targets (the reference's year/month/day layout, `Ingest:460`) are
+  * fully supported: scoping and dir swaps operate on partition TUPLES.
   */
 case class ResolveParquetMerge(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -40,8 +41,7 @@ case class ResolveParquetMerge(spark: SparkSession) extends Rule[LogicalPlan] {
           m.notMatchedBySourceActions.isEmpty &&
           isUpsertShape(m) =>
       (relationOf(m.targetTable), keysOf(m.mergeCondition)) match {
-        case (Some((table, partCols)), Some(keys))
-            if keys.nonEmpty && partCols.size <= 1 =>
+        case (Some((table, partCols)), Some(keys)) if keys.nonEmpty =>
           ParquetMergeCommand(table, partCols, keys, m.sourceTable)
         case _ => m
       }
@@ -56,8 +56,7 @@ case class ResolveParquetMerge(spark: SparkSession) extends Rule[LogicalPlan] {
         if m.resolved && m.notMatchedBySourceActions.isEmpty &&
           isGeneralShape(m) =>
       relationOf(m.targetTable) match {
-        case Some((table, partCols)) if partCols.size <= 1 =>
-          GeneralMergeCommand(table, partCols, m)
+        case Some((table, partCols)) => GeneralMergeCommand(table, partCols, m)
         case _ => m
       }
 
@@ -104,15 +103,18 @@ case class ResolveParquetMerge(spark: SparkSession) extends Rule[LogicalPlan] {
       }
   }
 
-  /** Plan computing the DISTINCT partition values containing rows the
-    * condition matches — the rewrite scope. None when the table is not
-    * single-column-partitioned or there is no condition (whole-table). */
+  /** Plan computing the DISTINCT partition tuples containing rows the
+    * condition matches — the rewrite scope. None when the table is
+    * unpartitioned or there is no condition (whole-table). */
   private def matchedParts(target: LogicalPlan, partCols: Seq[String],
       condition: Option[Expression]): Option[LogicalPlan] =
-    (partCols, condition) match {
-      case (Seq(p), Some(cond)) =>
-        target.output.find(_.name.equalsIgnoreCase(p))
-          .map(attr => Project(Seq(attr), Filter(cond, target)))
+    condition match {
+      case Some(cond) if partCols.nonEmpty =>
+        val attrs = partCols.flatMap(p =>
+          target.output.find(_.name.equalsIgnoreCase(p)))
+        if (attrs.size == partCols.size)
+          Some(Project(attrs, Filter(cond, target)))
+        else None
       case _ => None
     }
 
@@ -191,15 +193,16 @@ case class ParquetRewriteCommand(table: CatalogTable, partCols: Seq[String],
     import org.apache.spark.sql.functions.col
     val path = table.location.toString
     (partCols, matchedParts) match {
-      case (Seq(p), Some(mp)) =>
-        val touched = ofRows(spark, mp).distinct()
-          .collect().map(_.get(0)).toSeq // bounded by #partitions
+      case (ps, Some(mp)) if ps.nonEmpty =>
+        val touched: Seq[Seq[Any]] = ofRows(spark, mp).distinct()
+          .collect().map(_.toSeq).toSeq // bounded by #partitions
         if (touched.nonEmpty) {
-          val df = ofRows(spark, rewritten).where(col(p).isin(touched: _*))
+          val df = ofRows(spark, rewritten)
+            .where(DataMerge.tupleFilter(ps, touched))
           val staging = path + ".merge-staging"
           df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .partitionBy(p).parquet(staging)
-          DataMerge.swapPartitions(spark, path, staging, p, touched,
+            .partitionBy(ps: _*).parquet(staging)
+          DataMerge.swapPartitions(spark, path, staging, ps, touched,
             deleteMissing)
           syncCatalog(spark)
         } // no matched rows -> statement is a no-op, nothing rewritten
@@ -296,25 +299,26 @@ case class GeneralMergeCommand(table: CatalogTable, partCols: Seq[String],
     val deleteMissing = merge.matchedActions.exists(_.isInstanceOf[DeleteAction])
 
     partCols match {
-      case Seq(p) =>
-        val touched = changed.select(col(p)).distinct()
-          .collect().map(_.get(0)).toSeq
+      case ps if ps.nonEmpty =>
+        val touched: Seq[Seq[Any]] = changed.select(ps.map(col): _*)
+          .distinct().collect().map(_.toSeq).toSeq
         if (touched.nonEmpty || deleteMissing) {
           // deletions can empty a partition without contributing rows to
           // `changed`; scope to partitions seen by ANY branch then
-          val delTouched =
+          val delTouched: Seq[Seq[Any]] =
             if (deleteMissing)
               ofRows(spark, merge.targetTable).join(source, cond, "left_semi")
-                .select(col(p)).distinct().collect().map(_.get(0)).toSeq
+                .select(ps.map(col): _*).distinct()
+                .collect().map(_.toSeq).toSeq
             else Nil
           val scope = (touched ++ delTouched).distinct
           if (scope.nonEmpty) {
             val merged = changed.unionByName(untouched)
-              .where(col(p).isin(scope: _*))
+              .where(DataMerge.tupleFilter(ps, scope))
             val staging = path + ".merge-staging"
             merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-              .partitionBy(p).parquet(staging)
-            DataMerge.swapPartitions(spark, path, staging, p, scope,
+              .partitionBy(ps: _*).parquet(staging)
+            DataMerge.swapPartitions(spark, path, staging, ps, scope,
               deleteMissing)
           }
         }
@@ -339,10 +343,10 @@ case class ParquetMergeCommand(table: CatalogTable, partCols: Seq[String],
   override def run(spark: SparkSession): Seq[Row] = {
     val updates = org.apache.spark.sql.GraftShims.ofRows(spark, source)
     val path = table.location.toString
-    partCols match {
-      case Seq(p) => DataMerge.mergeIntoParquet(spark, path, updates, keys, p)
-      case _ => DataMerge.mergeIntoParquetFull(spark, path, updates, keys)
-    }
+    if (partCols.nonEmpty)
+      DataMerge.mergeIntoParquet(spark, path, updates, keys, partCols)
+    else
+      DataMerge.mergeIntoParquetFull(spark, path, updates, keys)
     // the dir-swap commit bypasses the catalog's partition tracking:
     // re-discover partitions (new dirs from inserts), then drop caches
     if (partCols.nonEmpty)

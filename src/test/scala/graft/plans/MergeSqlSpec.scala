@@ -234,6 +234,61 @@ class MergeSqlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS gdel_tgt")
   }
 
+  test("MERGE into a TWO-LEVEL partitioned table (the reference's " +
+    "y/m layout): untouched leaf dirs keep their exact files, new " +
+    "leaf partition created") {
+    val loc = tmpDir("merge2l") + "/tgt"
+    spark.sql("DROP TABLE IF EXISTS merge_2l")
+    spark.sql(s"""CREATE TABLE merge_2l (k BIGINT, v DOUBLE, y INT, m INT)
+      USING parquet PARTITIONED BY (y, m) LOCATION '$loc'""")
+    try {
+      Seq((1L, 1.0, 2024, 1), (2L, 2.0, 2024, 2), (3L, 3.0, 2025, 1))
+        .toDF("k", "v", "y", "m")
+        .write.mode("append").insertInto("merge_2l")
+      val untouchedFiles = new java.io.File(s"$loc/y=2025/m=1").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+      // update (2024,1), insert a row into brand-new leaf (2025,2)
+      Seq((1L, 10.0, 2024, 1), (9L, 9.0, 2025, 2)).toDF("k", "v", "y", "m")
+        .createOrReplaceTempView("merge_2l_src")
+      spark.sql("""MERGE INTO merge_2l USING merge_2l_src
+        ON merge_2l.k = merge_2l_src.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      val got = spark.table("merge_2l").select($"k", $"v", $"y", $"m")
+        .as[(Long, Double, Int, Int)].collect().toSet
+      assert(got == Set((1L, 10.0, 2024, 1), (2L, 2.0, 2024, 2),
+        (3L, 3.0, 2025, 1), (9L, 9.0, 2025, 2)))
+      // untouched leaf (2025,1) was never rewritten
+      val after = new java.io.File(s"$loc/y=2025/m=1").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+      assert(after == untouchedFiles, "untouched leaf dir was rewritten")
+    } finally spark.sql("DROP TABLE IF EXISTS merge_2l")
+  }
+
+  test("DELETE on a two-level partitioned table rewrites only matched " +
+    "leaves and drops a fully-emptied one") {
+    val loc = tmpDir("del2l") + "/tgt"
+    spark.sql("DROP TABLE IF EXISTS del_2l")
+    spark.sql(s"""CREATE TABLE del_2l (k BIGINT, y INT, m INT)
+      USING parquet PARTITIONED BY (y, m) LOCATION '$loc'""")
+    try {
+      Seq((1L, 2024, 1), (2L, 2024, 1), (3L, 2024, 2), (4L, 2025, 1))
+        .toDF("k", "y", "m")
+        .write.mode("append").insertInto("del_2l")
+      val keepFiles = new java.io.File(s"$loc/y=2025/m=1").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+      spark.sql("DELETE FROM del_2l WHERE k <= 2 OR (y = 2024 AND m = 2)")
+      assert(spark.table("del_2l").select($"k").as[Long].collect().toSet
+        == Set(4L))
+      // fully-emptied leaves dropped, untouched leaf byte-identical
+      assert(!new java.io.File(s"$loc/y=2024/m=1").exists())
+      assert(!new java.io.File(s"$loc/y=2024/m=2").exists())
+      val after = new java.io.File(s"$loc/y=2025/m=1").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+      assert(after == keepFiles)
+    } finally spark.sql("DROP TABLE IF EXISTS del_2l")
+  }
+
   test("unsupported MERGE shapes (multi-clause chains) are left to " +
     "Spark's own error, never silently mis-executed") {
     val loc = tmpDir("mergesql3") + "/tgt"
