@@ -53,4 +53,32 @@ object Compaction {
         p.getName
     }
   }
+
+  /** LEAF partition dirs under `path`, any partition depth — the dirs
+    * whose children are data files, not further `col=` dirs. A
+    * multi-level table (the reference's y/m/d layout) compacts leaf by
+    * leaf so untouched leaves keep their exact files. */
+  def leafPartitionDirs(spark: SparkSession, path: String): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    def walk(p: org.apache.hadoop.fs.Path): Seq[String] = {
+      val kids = fs.listStatus(p)
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      if (kids.isEmpty) Seq(p.toString)
+      else kids.toSeq.flatMap(k => walk(k.getPath))
+    }
+    val top = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    top.toSeq.flatMap(k => walk(k.getPath))
+  }
+
+  /** Compact every leaf partition dir (any depth) over `maxFiles` down
+    * to `targetFiles`; returns the table-relative leaf paths touched. */
+  def compactLeaves(spark: SparkSession, path: String,
+      maxFiles: Int, targetFiles: Int = 1): Seq[String] =
+    leafPartitionDirs(spark, path).collect {
+      case leaf if fileCount(spark, leaf) > maxFiles =>
+        compact(spark, leaf, targetFiles)
+        leaf.stripPrefix(path).stripPrefix("/")
+    }
 }

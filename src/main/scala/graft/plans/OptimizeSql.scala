@@ -93,10 +93,16 @@ case class OptimizeTableCommand(table: TableIdentifier,
     val meta = spark.sessionState.catalog.getTableMetadata(table)
     require(meta.provider.exists(_.equalsIgnoreCase("parquet")),
       s"OPTIMIZE supports parquet tables, got ${meta.provider}")
-    require(meta.partitionColumnNames.isEmpty,
-      "OPTIMIZE on partitioned tables is not supported (run per partition)")
+    require(zorderCols.isEmpty || meta.partitionColumnNames.isEmpty,
+      "OPTIMIZE ZORDER on partitioned tables is not supported " +
+        "(cluster within partitions by running per partition dir)")
     val path = meta.location.toString
-    if (zorderCols.nonEmpty) {
+    if (meta.partitionColumnNames.nonEmpty) {
+      // partitioned COMPACT: leaf-by-leaf (any partition depth), so
+      // already-small leaves keep their exact files
+      Compaction.compactLeaves(spark, path,
+        maxFiles = files.getOrElse(1), targetFiles = files.getOrElse(1))
+    } else if (zorderCols.nonEmpty) {
       val df = spark.read.parquet(path)
       val n = files.getOrElse(math.max(1, Compaction.fileCount(spark, path)))
       val clustered = Clustering.withZValue(df, zorderCols)

@@ -461,6 +461,26 @@ object ExtendedQueries {
         quantile_cont(l_quantity, 0.9) AS p90_qty
         FROM lineitem GROUP BY l_returnflag""")),
 
+    // ---- A18 heavy hitters: `stat.freqItems` (Karp/one-pass counter
+    // algorithm — deterministic, NOT sampled) carries a superset
+    // guarantee: every value with support > the threshold IS returned.
+    // All five order priorities sit at ~20% > 15%, so the guaranteed
+    // part of the output — filtered to the domain, sorted — is exactly
+    // the distinct value list, which IS SQL-expressible. (False
+    // positives below threshold are legal for the algorithm; the domain
+    // filter removes them from the compared result.)
+    "a18_freq_items" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders").stat.freqItems(Seq("o_orderpriority"), 0.15)
+          .select(explode($"o_orderpriority_freqItems").as("item"))
+          .where($"item".isin("1-URGENT", "2-HIGH", "3-MEDIUM",
+            "4-NOT SPECIFIED", "5-LOW"))
+          .orderBy($"item")
+      },
+      Some("""SELECT DISTINCT o_orderpriority AS item
+        FROM orders ORDER BY item""")),
+
     // ---- Q4-style priority count via EXISTS: the correlated-EXISTS
     // subquery shape — Catalyst decorrelates it to a left-semi join
     // (asserted in PlanSpec), never a per-row re-execution

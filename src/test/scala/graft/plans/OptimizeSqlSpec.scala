@@ -38,6 +38,33 @@ class OptimizeSqlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS opt_c")
   }
 
+  test("OPTIMIZE COMPACT on a two-level partitioned table compacts " +
+    "leaf dirs over the threshold and leaves small leaves untouched") {
+    val loc = tmpDir("optc2") + "/t"
+    spark.sql("DROP TABLE IF EXISTS opt_c2")
+    spark.sql(s"""CREATE TABLE opt_c2 (k BIGINT, y INT, m INT)
+      USING parquet PARTITIONED BY (y, m) LOCATION '$loc'""")
+    try {
+      // leaf (2024,1): 4 files; leaf (2024,2): 1 file
+      (0 until 4).foreach { i =>
+        Seq((i.toLong, 2024, 1)).toDF("k", "y", "m")
+          .coalesce(1).write.mode("append").insertInto("opt_c2")
+      }
+      Seq((99L, 2024, 2)).toDF("k", "y", "m")
+        .coalesce(1).write.mode("append").insertInto("opt_c2")
+      val smallLeaf = new java.io.File(s"$loc/y=2024/m=2").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+      val before = spark.table("opt_c2").collect().toSet
+
+      spark.sql("OPTIMIZE opt_c2 COMPACT")
+      assert(Compaction.fileCount(spark, s"$loc/y=2024/m=1") == 1)
+      val after = new java.io.File(s"$loc/y=2024/m=2").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+      assert(after == smallLeaf, "already-small leaf was rewritten")
+      assert(spark.table("opt_c2").collect().toSet == before)
+    } finally spark.sql("DROP TABLE IF EXISTS opt_c2")
+  }
+
   test("malformed OPTIMIZE fails with a parse error; ordinary SQL is " +
     "untouched by the delegating parser") {
     val e = intercept[Exception] {
