@@ -154,7 +154,33 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n"),
             round(sum($"o_totalprice"), 2).as("total"))
       },
-      Some(MergeOracleSql))
+      Some(MergeOracleSql)),
+
+    // ---- CD1 snapshot diff (CDC between two dataset versions): the
+    // after-version is derived deterministically from orders (drop
+    // keys %97, bump price on %101, insert shifted copies of %103);
+    // the diff's per-change-type counts are closed-form in SQL
+    "cd1_snapshot_diff" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val base = t(s, dir, "orders").select($"o_orderkey", $"o_totalprice")
+        val kept = base.where($"o_orderkey" % 97 =!= 0)
+          .withColumn("o_totalprice",
+            when($"o_orderkey" % 101 === 0, $"o_totalprice" + 1.0)
+              .otherwise($"o_totalprice"))
+        val inserted = base.where($"o_orderkey" % 103 === 0)
+          .select(($"o_orderkey" + 10000000L).as("o_orderkey"),
+            $"o_totalprice")
+        val after = kept.unionByName(inserted)
+        graft.operators.Diff.snapshotDiff(base, after, Seq("o_orderkey"))
+          .groupBy($"change_type").agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT 'deleted' AS change_type, count(*) AS n
+          FROM orders WHERE o_orderkey % 97 = 0
+        UNION ALL SELECT 'inserted', count(*)
+          FROM orders WHERE o_orderkey % 103 = 0
+        UNION ALL SELECT 'updated', count(*)
+          FROM orders WHERE o_orderkey % 97 <> 0 AND o_orderkey % 101 = 0"""))
   )
 
   /** Shared oracle for both MERGE forms: the upsert expressed as

@@ -257,6 +257,44 @@ object StreamingQueries {
          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
         GROUP BY 1""")),
 
+    // ---- ST8 BOUNDED-STATE streaming dedup: the production form st6's
+    // comment promises — `dropDuplicatesWithinWatermark` holds a key in
+    // state only until the event-time watermark passes its ts + delay,
+    // so state tracks the lateness horizon, not the full key history.
+    // The 60-day delay exceeds the 30-day event span, so within this
+    // run the guarantee is total and the oracle is the same single-copy
+    // answer; at production scale the delay is the dedup SLA.
+    "st8_stream_dedup_bounded" -> QueryDef(
+      (s, dir) => {
+        val c = streamSession(s)
+        import c.implicits._
+        val name = "st8_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val stage = st6Stages.computeIfAbsent(dir, { _ =>
+          val d = java.nio.file.Files.createTempDirectory("st6_events")
+          Seq(0, 1).foreach { i =>
+            val dst = d.resolve(s"copy$i.parquet")
+            java.nio.file.Files.copy(
+              java.nio.file.Paths.get(dir, "events.parquet"), dst)
+            java.nio.file.Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime.fromMillis(
+                1000000000000L + i * 60000L))
+          }
+          d.toString
+        })
+        val src = c.readStream.schema(eventsRawSchema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+          .withWatermark("ts", "60 days")
+        val agg = src.dropDuplicatesWithinWatermark(Seq("event_id"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("cnt"))
+        val q = agg.writeStream.outputMode("complete")
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        c.table(name)
+      },
+      Some("SELECT event_type, count(*) AS cnt FROM events GROUP BY 1")),
+
     // ---- ST2 sessionization with 30-minute inactivity gap: one shuffle
     // by user_id, per-user sorted fold (the state a
     // flatMapGroupsWithState session would hold, computed batch-side)
