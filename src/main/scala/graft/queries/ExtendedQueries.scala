@@ -461,6 +461,52 @@ object ExtendedQueries {
         quantile_cont(l_quantity, 0.9) AS p90_qty
         FROM lineitem GROUP BY l_returnflag""")),
 
+    // ---- H1 SCD2 history build: changelog → effective-dated rows
+    // (valid_from = event ts, valid_to = next change's ts, NULL while
+    // current) — one window per key, the standard warehouse history
+    // shape the reference's SqlUpdatedDate column gestures at. Fully
+    // tiebroken (ts, then linenumber) so the oracle hashes exactly.
+    "h1_scd2_history" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"l_orderkey")
+          .orderBy($"l_shipdate".asc, $"l_linenumber".asc)
+        t(s, dir, "lineitem")
+          .where($"l_orderkey" < 1000)
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+            $"l_shipdate".as("valid_from"),
+            lead($"l_shipdate", 1).over(w).as("valid_to"),
+            (lead($"l_shipdate", 1).over(w).isNull).as("is_current"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+          l_shipdate AS valid_from,
+          lead(l_shipdate, 1) OVER w AS valid_to,
+          lead(l_shipdate, 1) OVER w IS NULL AS is_current
+        FROM lineitem WHERE l_orderkey < 1000
+        WINDOW w AS (PARTITION BY l_orderkey
+          ORDER BY l_shipdate ASC, l_linenumber ASC)""")),
+
+    // ---- Q13-style customer order distribution: LEFT OUTER join +
+    // two-level aggregation (count per customer, then histogram of the
+    // counts) — zero-order customers must survive the outer join
+    "q13_customer_distribution" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey",
+            "left_outer")
+          .groupBy($"c_custkey")
+          .agg(count($"o_orderkey").as("c_count"))
+          .groupBy($"c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy($"custdist".desc, $"c_count".desc)
+      },
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey) t
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")),
+
     // ---- A18 heavy hitters: `stat.freqItems` (Karp/one-pass counter
     // algorithm — deterministic, NOT sampled) carries a superset
     // guarantee: every value with support > the threshold IS returned.
