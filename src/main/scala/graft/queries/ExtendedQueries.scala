@@ -461,6 +461,67 @@ object ExtendedQueries {
         quantile_cont(l_quantity, 0.9) AS p90_qty
         FROM lineitem GROUP BY l_returnflag""")),
 
+    // ---- Q7-style nation-pair trade volume: the same broadcast
+    // dimension joined TWICE under different aliases (supplier nation ×
+    // customer nation), disjunctive pair filter, grouped by year
+    "q7_nation_volume" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val n1 = broadcast(t(s, dir, "nation"))
+          .select($"n_nationkey".as("n1_key"), $"n_name".as("supp_nation"))
+        val n2 = broadcast(t(s, dir, "nation"))
+          .select($"n_nationkey".as("n2_key"), $"n_name".as("cust_nation"))
+        t(s, dir, "supplier")
+          .join(t(s, dir, "lineitem"), $"s_suppkey" === $"l_suppkey")
+          .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+          .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+          .join(n1, $"s_nationkey" === $"n1_key")
+          .join(n2, $"c_nationkey" === $"n2_key")
+          .where(($"supp_nation" === "NATION_9" && $"cust_nation" === "NATION_10")
+            || ($"supp_nation" === "NATION_10" && $"cust_nation" === "NATION_9"))
+          .groupBy($"supp_nation", $"cust_nation",
+            year($"l_shipdate").as("l_year"))
+          .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .cast("decimal(24,4)")).as("revenue"))
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          CAST(year(l_shipdate) AS INT) AS l_year,
+          sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,4)))
+            AS revenue
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+           OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9')
+        GROUP BY 1, 2, 3""")),
+
+    // ---- Q18-style large orders: aggregate-then-HAVING over the fact
+    // table, semi-joined back to the order header, deterministic top-20
+    "q18_large_orders" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val big = t(s, dir, "lineitem")
+          .groupBy($"l_orderkey")
+          .agg(sum($"l_quantity").as("total_qty"))
+          .where($"total_qty" > 150)
+        t(s, dir, "orders")
+          .join(big, $"o_orderkey" === big("l_orderkey"))
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+            round($"total_qty", 2).as("total_qty"))
+          .orderBy($"total_qty".desc, $"o_orderkey".asc)
+          .limit(20)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+          round(total_qty, 2) AS total_qty
+        FROM orders JOIN (
+          SELECT l_orderkey, sum(l_quantity) AS total_qty
+          FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+        ) big ON o_orderkey = big.l_orderkey
+        ORDER BY total_qty DESC, o_orderkey ASC LIMIT 20""")),
+
     // ---- H1 SCD2 history build: changelog → effective-dated rows
     // (valid_from = event ts, valid_to = next change's ts, NULL while
     // current) — one window per key, the standard warehouse history
