@@ -93,27 +93,41 @@ case class OptimizeTableCommand(table: TableIdentifier,
     val meta = spark.sessionState.catalog.getTableMetadata(table)
     require(meta.provider.exists(_.equalsIgnoreCase("parquet")),
       s"OPTIMIZE supports parquet tables, got ${meta.provider}")
-    require(zorderCols.isEmpty || meta.partitionColumnNames.isEmpty,
-      "OPTIMIZE ZORDER on partitioned tables is not supported " +
-        "(cluster within partitions by running per partition dir)")
+    require(zorderCols.isEmpty ||
+      !zorderCols.exists(c => meta.partitionColumnNames
+        .exists(_.equalsIgnoreCase(c))),
+      "ZORDER BY columns must not be partition columns")
     val path = meta.location.toString
     if (meta.partitionColumnNames.nonEmpty) {
-      // partitioned COMPACT: leaf-by-leaf (any partition depth), so
-      // already-small leaves keep their exact files
-      Compaction.compactLeaves(spark, path,
-        maxFiles = files.getOrElse(1), targetFiles = files.getOrElse(1))
+      // partitioned tables operate LEAF-BY-LEAF (any partition depth):
+      // COMPACT rewrites only leaves over the threshold; ZORDER
+      // clusters WITHIN each leaf independently (per-leaf quantile
+      // boundaries — the same scoping Delta's OPTIMIZE ZORDER uses),
+      // so a predicate on a clustered column prunes files inside every
+      // partition a query reaches.
+      if (zorderCols.nonEmpty)
+        Compaction.leafPartitionDirs(spark, path)
+          .foreach(leaf => zorderDir(spark, leaf))
+      else
+        Compaction.compactLeaves(spark, path,
+          maxFiles = files.getOrElse(1), targetFiles = files.getOrElse(1))
     } else if (zorderCols.nonEmpty) {
-      val df = spark.read.parquet(path)
-      val n = files.getOrElse(math.max(1, Compaction.fileCount(spark, path)))
-      val clustered = Clustering.withZValue(df, zorderCols)
-        .repartitionByRange(n, col("__z"))
-        .sortWithinPartitions("__z")
-        .drop("__z")
-      DataMerge.stagedOverwrite(spark, path, clustered, Nil)
+      zorderDir(spark, path)
     } else {
       Compaction.compact(spark, path, files.getOrElse(1))
     }
     spark.catalog.refreshTable(table.quotedString)
     Seq.empty
+  }
+
+  /** Z-order one directory in place through the staged-overwrite commit. */
+  private def zorderDir(spark: SparkSession, dir: String): Unit = {
+    val df = spark.read.parquet(dir)
+    val n = files.getOrElse(math.max(1, Compaction.fileCount(spark, dir)))
+    val clustered = Clustering.withZValue(df, zorderCols)
+      .repartitionByRange(n, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    DataMerge.stagedOverwrite(spark, dir, clustered, Nil)
   }
 }

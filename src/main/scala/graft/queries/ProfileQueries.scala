@@ -42,6 +42,39 @@ object ProfileQueries {
       },
       Some(Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
         s"SELECT '$c' AS col_name, TRUE AS within_5pct"
-      }.mkString(" UNION ALL ")))
+      }.mkString(" UNION ALL "))),
+
+    // ---- CK1 expectations suite over lineitem/orders: every rule's
+    // violation count mirrored closed-form in SQL (the counts happen to
+    // be 0 on clean testdata — the MIRROR is the check, not the zeros)
+    "ck1_quality_checks" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Check
+        val li = Tables(s, dir, "lineitem")
+        val ord = Tables(s, dir, "orders")
+        Check.run(Seq(
+          Check.notNull(li, Seq("l_orderkey", "l_partkey")),
+          Check.unique(li, Seq("l_orderkey", "l_linenumber")),
+          Check.referential(li, ord, "l_orderkey", "o_orderkey"),
+          Check.satisfies(li, "qty_range",
+            $"l_quantity".between(1, 50))))
+      },
+      Some("""SELECT 'not_null(l_orderkey,l_partkey)' AS rule,
+          CAST(count(*) AS BIGINT) AS violations
+          FROM lineitem WHERE l_orderkey IS NULL OR l_partkey IS NULL
+        UNION ALL
+        SELECT 'unique(l_orderkey,l_linenumber)',
+          CAST(coalesce(sum(n - 1), 0) AS BIGINT) FROM (
+            SELECT count(*) AS n FROM lineitem
+            GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+        UNION ALL
+        SELECT 'ref(l_orderkey->o_orderkey)', CAST(count(*) AS BIGINT)
+          FROM lineitem WHERE l_orderkey NOT IN
+            (SELECT o_orderkey FROM orders)
+        UNION ALL
+        SELECT 'qty_range', CAST(count(*) AS BIGINT)
+          FROM lineitem
+          WHERE NOT coalesce(l_quantity BETWEEN 1 AND 50, FALSE)"""))
   )
 }

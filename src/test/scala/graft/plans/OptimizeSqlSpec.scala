@@ -65,6 +65,30 @@ class OptimizeSqlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS opt_c2")
   }
 
+  test("OPTIMIZE ZORDER on a partitioned table clusters WITHIN each " +
+    "leaf; content intact, spans bounded per leaf") {
+    val loc = tmpDir("optz2") + "/t"
+    spark.sql("DROP TABLE IF EXISTS opt_z2")
+    Tables(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_quantity",
+        ($"l_orderkey" % 2).cast("int").as("part"))
+      .repartition(4)
+      .write.partitionBy("part").option("path", loc).saveAsTable("opt_z2")
+    try {
+      val before = spark.table("opt_z2").collect().toSet
+      spark.sql("OPTIMIZE opt_z2 ZORDER BY (l_orderkey, l_partkey) INTO 4 FILES")
+      assert(spark.table("opt_z2").collect().toSet == before)
+      Seq(0, 1).foreach { p =>
+        val leaf = s"$loc/part=$p"
+        assert(Compaction.fileCount(spark, leaf) == 4)
+        assert(Clustering.avgFileSpan(spark, leaf, "l_orderkey") < 0.7,
+          s"leaf $p l_orderkey")
+        assert(Clustering.avgFileSpan(spark, leaf, "l_partkey") < 0.7,
+          s"leaf $p l_partkey")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS opt_z2")
+  }
+
   test("malformed OPTIMIZE fails with a parse error; ordinary SQL is " +
     "untouched by the delegating parser") {
     val e = intercept[Exception] {
