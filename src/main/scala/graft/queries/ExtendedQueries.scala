@@ -568,6 +568,44 @@ object ExtendedQueries {
           GROUP BY c_custkey) t
         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")),
 
+    // ---- H2 SCD2 apply: one change batch (price bump on %3 keys at
+    // +30 days, brand-new %5 keys) merged into a current-rows-only
+    // history; the full output timeline is closed-form in SQL
+    "h2_scd2_apply" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val base = t(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice", $"o_orderdate")
+        val history = base.select($"o_orderkey", $"o_totalprice",
+          $"o_orderdate".as("valid_from"),
+          lit(null).cast("timestamp").as("valid_to"))
+        val changes = base.where($"o_orderkey" % 3 === 0)
+          .select($"o_orderkey", ($"o_totalprice" + 1.0).as("o_totalprice"),
+            ($"o_orderdate" + expr("INTERVAL 30 DAYS")).as("ts"))
+        val inserts = base.where($"o_orderkey" % 5 === 0)
+          .select(($"o_orderkey" + 10000000L).as("o_orderkey"),
+            $"o_totalprice",
+            ($"o_orderdate" + expr("INTERVAL 30 DAYS")).as("ts"))
+        graft.operators.Scd2.applyChanges(history,
+          changes.unionByName(inserts),
+          Seq("o_orderkey"), Seq("o_totalprice"), "ts")
+      },
+      Some("""SELECT o_orderkey, o_totalprice,
+          o_orderdate AS valid_from,
+          o_orderdate + INTERVAL 30 DAY AS valid_to
+          FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice + 1.0,
+          o_orderdate + INTERVAL 30 DAY, NULL
+          FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, o_orderdate, NULL
+          FROM orders WHERE o_orderkey % 3 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_totalprice,
+          o_orderdate + INTERVAL 30 DAY, NULL
+          FROM orders WHERE o_orderkey % 5 = 0""")),
+
     // ---- A18 heavy hitters: `stat.freqItems` (Karp/one-pass counter
     // algorithm — deterministic, NOT sampled) carries a superset
     // guarantee: every value with support > the threshold IS returned.
