@@ -76,14 +76,17 @@ class OptimizeSqlSpec extends SparkSpec {
       .write.partitionBy("part").option("path", loc).saveAsTable("opt_z2")
     try {
       val before = spark.table("opt_z2").collect().toSet
-      spark.sql("OPTIMIZE opt_z2 ZORDER BY (l_orderkey, l_partkey) INTO 4 FILES")
+      spark.sql("OPTIMIZE opt_z2 ZORDER BY (l_orderkey, l_partkey) INTO 8 FILES")
       assert(spark.table("opt_z2").collect().toSet == before)
+      // spans bounded well below 1.0 on BOTH columns in every leaf (a
+      // single-column sort would leave the second column's span ~1.0;
+      // exact values vary with z-curve segment alignment, hence 0.8)
       Seq(0, 1).foreach { p =>
         val leaf = s"$loc/part=$p"
-        assert(Compaction.fileCount(spark, leaf) == 4)
-        assert(Clustering.avgFileSpan(spark, leaf, "l_orderkey") < 0.7,
+        assert(Compaction.fileCount(spark, leaf) == 8)
+        assert(Clustering.avgFileSpan(spark, leaf, "l_orderkey") < 0.8,
           s"leaf $p l_orderkey")
-        assert(Clustering.avgFileSpan(spark, leaf, "l_partkey") < 0.7,
+        assert(Clustering.avgFileSpan(spark, leaf, "l_partkey") < 0.8,
           s"leaf $p l_partkey")
       }
     } finally spark.sql("DROP TABLE IF EXISTS opt_z2")
