@@ -41,6 +41,19 @@ object DataMerge {
       keys: Seq[String], partCol: String): Seq[Any] =
     mergeIntoParquet(spark, path, updates, keys, Seq(partCol)).map(_.head)
 
+  /** ANSI/Delta MERGE contract: a key may appear at most once in the
+    * source, else the upsert is ambiguous ("multiple source rows
+    * matched"). One cheap aggregate over the updates — fail fast with
+    * the offending cardinality instead of silently writing both copies. */
+  def requireUniqueKeys(updates: DataFrame, keys: Seq[String]): Unit = {
+    val dups = updates.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).where(col("__n") > 1)
+      .limit(1).collect()
+    require(dups.isEmpty,
+      s"MERGE source has duplicate key ${dups.headOption.mkString} — " +
+        "a target row would match multiple source rows (ANSI MERGE error)")
+  }
+
   /** Multi-level-partitioned upsert (the reference's lake layout is
     * year/month/day — `Ingest:460`): the touched set is the distinct
     * PARTITION TUPLES of the updates, the pruned read is an OR of
@@ -49,6 +62,7 @@ object DataMerge {
   def mergeIntoParquet(spark: SparkSession, path: String, updates: DataFrame,
       keys: Seq[String], partCols: Seq[String]): Seq[Seq[Any]] = {
     require(partCols.nonEmpty, "use mergeIntoParquetFull for unpartitioned")
+    requireUniqueKeys(updates, keys)
     val touched: Seq[Seq[Any]] =
       updates.select(partCols.map(col): _*).distinct()
         .collect().map(_.toSeq).toSeq // bounded by #partitions by contract
@@ -124,6 +138,7 @@ object DataMerge {
     * unpartitioned table in ANY engine (Delta included). */
   def mergeIntoParquetFull(spark: SparkSession, path: String,
       updates: DataFrame, keys: Seq[String]): Unit = {
+    requireUniqueKeys(updates, keys)
     val target = spark.read.option("mergeSchema", "true").parquet(path)
     val merged = target.join(updates, keys, "left_anti")
       .unionByName(updates.select(target.columns.map(col): _*))

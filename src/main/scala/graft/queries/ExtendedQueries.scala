@@ -568,6 +568,37 @@ object ExtendedQueries {
           GROUP BY c_custkey) t
         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")),
 
+    // ---- Q15-style top supplier: grouped revenue CTE + scalar-subquery
+    // max (every supplier achieving the maximum — ties kept, so the
+    // result is deterministic without a tiebreak)
+    "q15_top_supplier" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("q15_lineitem")
+        t(s, dir, "supplier").createOrReplaceTempView("q15_supplier")
+        s.sql("""WITH rev AS (
+            SELECT l_suppkey,
+              sum(CAST(l_extendedprice * (1.0 - l_discount)
+                AS DECIMAL(24,4))) AS total_rev
+            FROM q15_lineitem
+            WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
+              AND l_shipdate < CAST('1996-04-01' AS TIMESTAMP)
+            GROUP BY l_suppkey)
+          SELECT s_suppkey, s_name, total_rev
+          FROM q15_supplier JOIN rev ON s_suppkey = l_suppkey
+          WHERE total_rev = (SELECT max(total_rev) FROM rev)""")
+      },
+      Some("""WITH rev AS (
+          SELECT l_suppkey,
+            sum(CAST(l_extendedprice * (1.0 - l_discount)
+              AS DECIMAL(24,4))) AS total_rev
+          FROM lineitem
+          WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
+            AND l_shipdate < CAST('1996-04-01' AS TIMESTAMP)
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_rev
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_rev = (SELECT max(total_rev) FROM rev)""")),
+
     // ---- H2 SCD2 apply: one change batch (price bump on %3 keys at
     // +30 days, brand-new %5 keys) merged into a current-rows-only
     // history; the full output timeline is closed-form in SQL

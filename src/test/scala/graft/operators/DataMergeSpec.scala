@@ -84,4 +84,18 @@ class DataMergeSpec extends SparkSpec {
     assert(once == twice)
     assert(twice == Set((1L, 1.0, 1), (2L, 22.0, 1), (9L, 9.0, 1)))
   }
+
+  test("duplicate source keys are rejected (ANSI multiple-match error), " +
+    "target untouched") {
+    val path = tmpDir("dmergedup") + "/t"
+    Seq((1L, 1.0, 1)).toDF("k", "v", "part")
+      .write.partitionBy("part").parquet(path)
+    val dupUpdates = Seq((1L, 2.0, 1), (1L, 3.0, 1)).toDF("k", "v", "part")
+    val e = intercept[IllegalArgumentException] {
+      DataMerge.mergeIntoParquet(spark, path, dupUpdates, Seq("k"), "part")
+    }
+    assert(e.getMessage.contains("duplicate key"))
+    assert(spark.read.parquet(path).as[(Long, Double, Int)].collect().toSet
+      == Set((1L, 1.0, 1)))
+  }
 }
