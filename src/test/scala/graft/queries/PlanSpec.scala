@@ -113,4 +113,26 @@ class PlanSpec extends SparkSpec {
       .flatMap(_.files).forall(_.getPath.toString.contains("part=2022")))
     assert(pruned.count() == 1)
   }
+
+  test("a selective shuffle join injects a runtime bloom filter on the " +
+    "probe side (the 100 TB fact-fact pruning path)") {
+    // child session: force the shuffle-join path (no broadcast) and
+    // drop the bloom-filter size thresholds to bench scale
+    val c = spark.newSession()
+    c.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    c.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    c.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100GB")
+    c.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    val orders = graft.Tables(c, sfDir, "orders")
+      .where(org.apache.spark.sql.functions.col("o_totalprice") > 350000)
+    val li = graft.Tables(c, sfDir, "lineitem")
+    val joined = li.join(orders,
+      li("l_orderkey") === orders("o_orderkey"))
+    val p = joined.queryExecution.optimizedPlan.toString
+    assert(p.contains("bloom_filter") || p.contains("might_contain"),
+      "no runtime bloom filter in optimized plan:\n" + p)
+    assert(joined.count() > 0)
+  }
 }
