@@ -32,11 +32,15 @@ object Check {
         .agg(count(lit(1)).as("__n")).where(col("__n") > 1)
         .select((col("__n") - 1).as("__extra")))
 
+  /** SQL FK semantics: a NULL child key SATISFIES the constraint (use
+    * `notNull` to forbid it) — without the filter the anti join would
+    * count every NULL-keyed row as an orphan. */
   def referential(child: DataFrame, parent: DataFrame,
       childKey: String, parentKey: String): Rule =
     Rule(s"ref($childKey->$parentKey)",
-      child.join(parent.select(col(parentKey).as(childKey)),
-        Seq(childKey), "left_anti"))
+      child.where(col(childKey).isNotNull)
+        .join(parent.select(col(parentKey).as(childKey)),
+          Seq(childKey), "left_anti"))
 
   def satisfies(df: DataFrame, name: String, predicate: Column): Rule =
     Rule(name, df.where(!coalesce(predicate, lit(false))))

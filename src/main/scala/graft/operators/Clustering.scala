@@ -28,9 +28,17 @@ object Clustering {
 
   /** Sorted quantile cut points for `colName` (≤ buckets−1 values, deduped
     * for low-cardinality columns), from a one-pass GK sketch. */
-  def boundaries(df: DataFrame, colName: String, buckets: Int): Array[Double] = {
+  def boundaries(df: DataFrame, colName: String, buckets: Int): Array[Double] =
+    boundariesAll(df, Seq(colName), buckets).head
+
+  /** Cut points for ALL clustering columns from ONE GK pass — the
+    * multi-column `approxQuantile` overload sketches every column in a
+    * single scan, so boundary cost does not multiply with column count. */
+  def boundariesAll(df: DataFrame, cols: Seq[String],
+      buckets: Int): Seq[Array[Double]] = {
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    df.stat.approxQuantile(colName, probs, 0.001).distinct.sorted
+    df.stat.approxQuantile(cols.toArray, probs, 0.001)
+      .map(_.distinct.sorted).toSeq
   }
 
   /** 0-based bucket id of `c` given sorted cut points — the count of cut
@@ -57,7 +65,9 @@ object Clustering {
     * per column). */
   def withZValue(df: DataFrame, cols: Seq[String], bits: Int = 6): DataFrame = {
     val nb = 1 << bits
-    val bucketCols = cols.map(c => bucketId(col(c), boundaries(df, c, nb)))
+    val bucketCols = cols.zip(boundariesAll(df, cols, nb)).map {
+      case (c, cuts) => bucketId(col(c), cuts)
+    }
     df.withColumn("__z", interleave(bucketCols, bits))
   }
 

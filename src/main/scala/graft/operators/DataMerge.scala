@@ -29,9 +29,11 @@ import org.apache.spark.sql.functions._
   *    deployment would commit via manifest instead);
   *  - untouched partitions are never read, rewritten, or renamed.
   *
-  * Constraint (same as Delta merge without `whenMatchedDelete` +
-  * repartitioning tricks): an update must not move a row across
-  * partitions — the row's partition value is part of its identity here.
+  * Updates MAY move a row across partitions (same key, new partition
+  * value): the old location is found via a key semi-join over the
+  * target (the Delta-equivalent touched-file scan) and both dirs are
+  * rewritten. The probe is skipped entirely when the partition columns
+  * are a subset of the merge key, where moves are impossible.
   */
 object DataMerge {
 
@@ -63,10 +65,27 @@ object DataMerge {
       keys: Seq[String], partCols: Seq[String]): Seq[Seq[Any]] = {
     require(partCols.nonEmpty, "use mergeIntoParquetFull for unpartitioned")
     requireUniqueKeys(updates, keys)
-    val touched: Seq[Seq[Any]] =
+    val newTuples: Seq[Seq[Any]] =
       updates.select(partCols.map(col): _*).distinct()
         .collect().map(_.toSeq).toSeq // bounded by #partitions by contract
-    if (touched.isEmpty) return touched
+    if (newTuples.isEmpty) return newTuples
+
+    // An update may MOVE a row (same key, different partition value);
+    // the row's OLD partition must then be rewritten too or the stale
+    // copy survives. When every partition column is part of the merge
+    // key, moves are impossible and the old-location probe (a key
+    // semi-join over the UNPRUNED target — the Delta-equivalent
+    // touched-file scan) is skipped.
+    val movesPossible = !partCols.forall(pc =>
+      keys.exists(_.equalsIgnoreCase(pc)))
+    val oldTuples: Seq[Seq[Any]] =
+      if (movesPossible)
+        spark.read.option("mergeSchema", "true").parquet(path)
+          .join(updates.select(keys.map(col): _*), keys, "left_semi")
+          .select(partCols.map(col): _*).distinct()
+          .collect().map(_.toSeq).toSeq
+      else Nil
+    val touched = (newTuples ++ oldTuples).distinct
 
     val target = spark.read.option("mergeSchema", "true").parquet(path)
       .where(tupleFilter(partCols, touched)) // partition-pruned scan
@@ -77,10 +96,11 @@ object DataMerge {
     val staging = path + ".merge-staging"
     merged.write.mode(SaveMode.Overwrite)
       .partitionBy(partCols: _*).parquet(staging)
-    // deleteMissing=false: merged ⊇ updates, so a touched partition can
-    // never vanish under upsert semantics
+    // touched partitions are fully recomputed: one emptied by moves has
+    // no staging dir and must be dropped; without moves, merged ⊇
+    // updates means a touched partition can never vanish
     swapPartitions(spark, path, staging, partCols, touched,
-      deleteMissing = false)
+      deleteMissing = movesPossible)
     touched
   }
 
@@ -114,8 +134,15 @@ object DataMerge {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), conf)
     touched.foreach { t =>
       val part = partCols.zip(t).map { case (c, v) =>
-        // Spark writes null partition values as __HIVE_DEFAULT_PARTITION__
-        s"$c=${if (v == null) "__HIVE_DEFAULT_PARTITION__" else v}"
+        // mirror Spark's own dir naming: nulls → the Hive default
+        // partition, every other value Hive-path-escaped (':', '%', …
+        // in a raw interpolation would never match the escaped dirs the
+        // writer creates, silently discarding the staged partition)
+        val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        val rendered =
+          if (v == null) "__HIVE_DEFAULT_PARTITION__"
+          else esc.escapePathName(v.toString)
+        s"${esc.escapePathName(c)}=$rendered"
       }.mkString("/")
       val src = new org.apache.hadoop.fs.Path(s"$staging/$part")
       val dst = new org.apache.hadoop.fs.Path(s"$path/$part")

@@ -65,12 +65,17 @@ case class ResolveParquetMerge(spark: SparkSession) extends Rule[LogicalPlan] {
     // If(cond, newExpr, old) — written back via staged overwrite. With
     // a single-column-partitioned target and a WHERE, only partitions
     // CONTAINING matched rows are rewritten (matchedParts below).
-    case u: UpdateTable if u.resolved =>
+    case u: UpdateTable
+        // every SET target must be a plain column — a struct-field or
+        // otherwise nested assignment would be silently DROPPED by the
+        // collect below, completing the statement without applying it;
+        // fall through to Spark's own unsupported-operation error instead
+        if u.resolved &&
+          u.assignments.forall(_.key.isInstanceOf[AttributeReference]) =>
       relationOf(u.table) match {
         case Some((table, partCols)) =>
-          val assigned: Map[String, Expression] = u.assignments.collect {
-            case a if a.key.isInstanceOf[AttributeReference] =>
-              a.key.asInstanceOf[AttributeReference].name -> a.value
+          val assigned: Map[String, Expression] = u.assignments.map { a =>
+            a.key.asInstanceOf[AttributeReference].name -> a.value
           }.toMap
           val cond = u.condition.getOrElse(Literal(true))
           val projections = u.table.output.map { attr =>
@@ -81,9 +86,16 @@ case class ResolveParquetMerge(spark: SparkSession) extends Rule[LogicalPlan] {
               case None => attr
             }
           }
+          // an UPDATE that assigns a PARTITION column can move rows
+          // across partitions: the partition-scoped rewrite (scope from
+          // OLD values, filter on NEW values) would drop moved rows, so
+          // such statements pay the whole-table staged rewrite
+          val movesPartitions = partCols.exists(pc =>
+            assigned.keys.exists(_.equalsIgnoreCase(pc)))
           ParquetRewriteCommand(table, partCols,
             Project(projections, u.table),
-            matchedParts(u.table, partCols, u.condition),
+            if (movesPartitions) None
+            else matchedParts(u.table, partCols, u.condition),
             deleteMissing = false)
         case None => u
       }
@@ -136,11 +148,16 @@ case class ResolveParquetMerge(spark: SparkSession) extends Rule[LogicalPlan] {
     m.matchedActions.size <= 1 && m.notMatchedActions.size <= 1 &&
       (m.matchedActions.nonEmpty || m.notMatchedActions.nonEmpty) &&
       m.matchedActions.forall {
-        case _: UpdateAction | _: DeleteAction => true
+        // nested/struct-field SET targets would be silently dropped by
+        // assignMap — reject the shape so Spark's own error surfaces
+        case u: UpdateAction =>
+          u.assignments.forall(_.key.isInstanceOf[AttributeReference])
+        case _: DeleteAction => true
         case _ => false
       } &&
       m.notMatchedActions.forall {
-        case _: InsertAction => true
+        case i: InsertAction =>
+          i.assignments.forall(_.key.isInstanceOf[AttributeReference])
         case _ => false
       }
 
@@ -231,10 +248,11 @@ case class ParquetRewriteCommand(table: CatalogTable, partCols: Seq[String],
   *   untouched = target ⟕̸ source (anti)   → unchanged
   *   inserts   = source ⟕̸ target (anti)   → INSERT projection (+ cond)
   *
-  * written back partition-scoped: only partitions receiving
-  * matched/insert rows are rewritten and swapped. Assumes at most one
-  * source match per target row (ANSI MERGE errors otherwise; same
-  * contract as Delta). */
+  * written back partition-scoped: partitions receiving matched/insert
+  * rows AND partitions matched rows came from (updates may move rows
+  * across partitions) are rewritten and swapped. The ANSI at-most-one-
+  * source-match contract is ENFORCED (count check) — multiple matches
+  * raise the cardinality error instead of silently duplicating rows. */
 case class GeneralMergeCommand(table: CatalogTable, partCols: Seq[String],
     merge: MergeIntoTable) extends LeafRunnableCommand {
 
@@ -257,6 +275,20 @@ case class GeneralMergeCommand(table: CatalogTable, partCols: Seq[String],
 
     // matched branch
     val joined = target.join(source, cond, "inner")
+    val matchedSemi = target.join(source, cond, "left_semi")
+      .select(tCols.map(a => toColumn(a).as(a.name)): _*)
+    // ANSI MERGE contract: a target row may match at most ONE source
+    // row, else the matched projection would silently write one output
+    // row PER source match. Two counts, checked only when a matched
+    // clause could multiply rows.
+    if (merge.matchedActions.nonEmpty) {
+      val semiCnt = matchedSemi.count()
+      val innerCnt = joined.count()
+      require(innerCnt == semiCnt,
+        s"MERGE: $innerCnt source matches for $semiCnt matched target " +
+          "rows — a target row matches multiple source rows (ANSI MERGE " +
+          "cardinality violation)")
+    }
     val matchedOut = merge.matchedActions.headOption match {
       case Some(UpdateAction(c, assigns, _)) =>
         val m = assignMap(assigns)
@@ -266,15 +298,17 @@ case class GeneralMergeCommand(table: CatalogTable, partCols: Seq[String],
             case Some(v) => org.apache.spark.sql.functions
               .when(gate, toColumn(v).cast(attr.dataType))
               .otherwise(toColumn(attr)).as(attr.name)
-            case None => toColumn(attr).as(attr.name)
+          case None => toColumn(attr).as(attr.name)
           }
         }: _*)
       case Some(DeleteAction(c)) =>
         val gate = c.map(toColumn).getOrElse(lit(true))
         joined.where(!org.apache.spark.sql.functions.coalesce(gate, lit(false)))
           .select(tCols.map(a => toColumn(a).as(a.name)): _*)
-      case _ => // no matched clause: matched rows pass through unchanged
-        joined.select(tCols.map(a => toColumn(a).as(a.name)): _*)
+      case _ =>
+        // no matched clause: matched rows pass through unchanged — the
+        // SEMI join keeps them single even with multiple source matches
+        matchedSemi
     }
 
     // insert branch
@@ -296,31 +330,32 @@ case class GeneralMergeCommand(table: CatalogTable, partCols: Seq[String],
       .select(tCols.map(a => toColumn(a).as(a.name)): _*)
     val changed = insertsOut.foldLeft(matchedOut)(_ unionByName _)
     val path = table.location.toString
-    val deleteMissing = merge.matchedActions.exists(_.isInstanceOf[DeleteAction])
 
     partCols match {
       case ps if ps.nonEmpty =>
-        val touched: Seq[Seq[Any]] = changed.select(ps.map(col): _*)
+        // scope = partitions receiving NEW content ∪ partitions where
+        // matched rows USED to live (an UPDATE that assigns a partition
+        // column moves rows: the old dir must be rewritten too, and a
+        // DELETE can empty a dir without contributing rows to `changed`)
+        val touchedNew: Seq[Seq[Any]] = changed.select(ps.map(col): _*)
           .distinct().collect().map(_.toSeq).toSeq
-        if (touched.nonEmpty || deleteMissing) {
-          // deletions can empty a partition without contributing rows to
-          // `changed`; scope to partitions seen by ANY branch then
-          val delTouched: Seq[Seq[Any]] =
-            if (deleteMissing)
-              ofRows(spark, merge.targetTable).join(source, cond, "left_semi")
-                .select(ps.map(col): _*).distinct()
-                .collect().map(_.toSeq).toSeq
-            else Nil
-          val scope = (touched ++ delTouched).distinct
-          if (scope.nonEmpty) {
-            val merged = changed.unionByName(untouched)
-              .where(DataMerge.tupleFilter(ps, scope))
-            val staging = path + ".merge-staging"
-            merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-              .partitionBy(ps: _*).parquet(staging)
-            DataMerge.swapPartitions(spark, path, staging, ps, scope,
-              deleteMissing)
-          }
+        val touchedOld: Seq[Seq[Any]] =
+          if (merge.matchedActions.nonEmpty)
+            matchedSemi.select(ps.map(col): _*).distinct()
+              .collect().map(_.toSeq).toSeq
+          else Nil
+        val scope = (touchedNew ++ touchedOld).distinct
+        if (scope.nonEmpty) {
+          val merged = changed.unionByName(untouched)
+            .where(DataMerge.tupleFilter(ps, scope))
+          val staging = path + ".merge-staging"
+          merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .partitionBy(ps: _*).parquet(staging)
+          // every scoped partition's content is FULLY recomputed in
+          // staging (changed ∪ untouched restricted to scope), so a
+          // scoped dir absent from staging now holds zero rows → drop it
+          DataMerge.swapPartitions(spark, path, staging, ps, scope,
+            deleteMissing = true)
         }
         spark.sql(
           s"MSCK REPAIR TABLE ${table.identifier.quotedString} SYNC PARTITIONS")

@@ -700,9 +700,11 @@ object ExtendedQueries {
           ORDER BY c_acctbal DESC, c_custkey ASC)""")),
 
     // ---- W7 native session windows: Spark's `session_window` (dynamic
-    // 30-min-gap windows merged by the engine) must reproduce the
-    // hand-rolled gaps-and-islands sessionization (st2/st3's oracle) —
-    // same one-shuffle cost, state merging owned by the engine.
+    // 30-min-gap windows merged by the engine) vs the gaps-and-islands
+    // oracle. Boundary semantics mirrored EXACTLY: the window is
+    // half-open [start, last+gap), so an event at precisely last+gap
+    // starts a NEW session — the oracle's `>=` (not st2's `>`, whose
+    // hand-rolled fold uses the closed boundary).
     "w7_session_window" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -714,7 +716,7 @@ object ExtendedQueries {
       },
       Some("""SELECT user_id,
         CAST(sum(CASE WHEN prev_ts IS NULL
-            OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT)
+            OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT)
           AS n_sessions,
         CAST(count(*) AS BIGINT) AS n_events
         FROM (SELECT user_id, ts,

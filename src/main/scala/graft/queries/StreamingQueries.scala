@@ -82,10 +82,25 @@ object StreamingQueries {
   private val fileStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** st6's duplicated staging dir (two copies of events.parquet), also
-    * memoized per (JVM, sf dir). */
+  /** st6/st8's duplicated staging dir (two copies of events.parquet
+    * with pinned mtimes so batch order is deterministic), memoized per
+    * (JVM, sf dir). */
   private val st6Stages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def duplicatedEventsDir(dir: String): String =
+    st6Stages.computeIfAbsent(dir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("st6_events")
+      Seq(0, 1).foreach { i =>
+        val dst = d.resolve(s"copy$i.parquet")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(dir, "events.parquet"), dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1000000000000L + i * 60000L))
+      }
+      d.toString
+    })
 
   private def stagedEventsDir(dir: String): String =
     fileStages.computeIfAbsent(dir, { _ =>
@@ -194,18 +209,7 @@ object StreamingQueries {
         val c = streamSession(s)
         import c.implicits._
         val name = "st6_" + java.util.UUID.randomUUID.toString.replace("-", "")
-        val stage = st6Stages.computeIfAbsent(dir, { _ =>
-          val d = java.nio.file.Files.createTempDirectory("st6_events")
-          Seq(0, 1).foreach { i =>
-            val dst = d.resolve(s"copy$i.parquet")
-            java.nio.file.Files.copy(
-              java.nio.file.Paths.get(dir, "events.parquet"), dst)
-            java.nio.file.Files.setLastModifiedTime(dst,
-              java.nio.file.attribute.FileTime.fromMillis(
-                1000000000000L + i * 60000L))
-          }
-          d.toString
-        })
+        val stage = duplicatedEventsDir(dir)
         val src = c.readStream.schema(eventsRawSchema)
           .option("maxFilesPerTrigger", "1").parquet(stage)
         val agg = src.dropDuplicates("event_id")
@@ -269,18 +273,7 @@ object StreamingQueries {
         val c = streamSession(s)
         import c.implicits._
         val name = "st8_" + java.util.UUID.randomUUID.toString.replace("-", "")
-        val stage = st6Stages.computeIfAbsent(dir, { _ =>
-          val d = java.nio.file.Files.createTempDirectory("st6_events")
-          Seq(0, 1).foreach { i =>
-            val dst = d.resolve(s"copy$i.parquet")
-            java.nio.file.Files.copy(
-              java.nio.file.Paths.get(dir, "events.parquet"), dst)
-            java.nio.file.Files.setLastModifiedTime(dst,
-              java.nio.file.attribute.FileTime.fromMillis(
-                1000000000000L + i * 60000L))
-          }
-          d.toString
-        })
+        val stage = duplicatedEventsDir(dir)
         val src = c.readStream.schema(eventsRawSchema)
           .option("maxFilesPerTrigger", "1").parquet(stage)
           .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))

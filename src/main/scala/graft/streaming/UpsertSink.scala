@@ -34,9 +34,15 @@ object UpsertSink {
         import org.apache.spark.sql.expressions.Window
         import org.apache.spark.sql.functions._
         val spark = batch.sparkSession
-        // last-writer-wins within the batch, deterministic via versionCol
+        // last-writer-wins within the batch; the FULL row is the sort
+        // key (version first, every other column as tiebreak) so equal-
+        // version duplicates resolve identically on checkpoint REPLAY —
+        // a version-only sort would let row_number pick a different
+        // winner per execution, breaking idempotent re-merge
+        val rest = batch.columns.toSeq
+          .filterNot(c => keys.contains(c) || c == versionCol)
         val w = Window.partitionBy(keys.map(col): _*)
-          .orderBy(col(versionCol).desc)
+          .orderBy(col(versionCol).desc +: rest.map(col(_).desc): _*)
         val deduped = batch
           .withColumn("__rn", row_number().over(w))
           .where(col("__rn") === 1).drop("__rn")

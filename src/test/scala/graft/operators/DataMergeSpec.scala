@@ -85,6 +85,21 @@ class DataMergeSpec extends SparkSpec {
     assert(twice == Set((1L, 1.0, 1), (2L, 22.0, 1), (9L, 9.0, 1)))
   }
 
+  test("an update that moves a row to another partition removes the " +
+    "old copy and drops an emptied partition dir") {
+    val path = tmpDir("dmergemv") + "/t"
+    Seq((1L, 1.0, 1), (2L, 2.0, 2)).toDF("k", "v", "part")
+      .write.partitionBy("part").parquet(path)
+    val moved = Seq((1L, 9.0, 9)).toDF("k", "v", "part")
+    DataMerge.mergeIntoParquet(spark, path, moved, Seq("k"), "part")
+    val got = spark.read.parquet(path)
+      .select($"k", $"v", $"part".cast("int"))
+      .as[(Long, Double, Int)].collect().toSet
+    assert(got == Set((1L, 9.0, 9), (2L, 2.0, 2)), s"got $got")
+    assert(!new java.io.File(s"$path/part=1").exists(),
+      "emptied source partition must be dropped")
+  }
+
   test("duplicate source keys are rejected (ANSI multiple-match error), " +
     "target untouched") {
     val path = tmpDir("dmergedup") + "/t"

@@ -289,6 +289,87 @@ class MergeSqlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS del_2l")
   }
 
+  test("MERGE UPDATE that moves a row across partitions cleans the old " +
+    "partition (no stale duplicate) and drops it when emptied") {
+    val loc = tmpDir("mvmerge") + "/tgt"
+    spark.sql("DROP TABLE IF EXISTS mv_merge")
+    spark.sql(s"""CREATE TABLE mv_merge (k BIGINT, v DOUBLE, part INT)
+      USING parquet PARTITIONED BY (part) LOCATION '$loc'""")
+    try {
+      Seq((1L, 1.0, 1), (2L, 2.0, 2)).toDF("k", "v", "part")
+        .write.mode("append").insertInto("mv_merge")
+      Seq((1L, 9)).toDF("k", "newpart").createOrReplaceTempView("mv_src")
+      spark.sql("""MERGE INTO mv_merge USING mv_src
+        ON mv_merge.k = mv_src.k
+        WHEN MATCHED THEN UPDATE SET part = mv_src.newpart""")
+      val got = spark.table("mv_merge").select($"k", $"v", $"part")
+        .as[(Long, Double, Int)].collect().toSet
+      assert(got == Set((1L, 1.0, 9), (2L, 2.0, 2)),
+        s"moved row must exist ONLY in the new partition: $got")
+      // part=1 emptied by the move -> its dir is dropped
+      assert(!new java.io.File(s"$loc/part=1").exists())
+    } finally spark.sql("DROP TABLE IF EXISTS mv_merge")
+  }
+
+  test("MERGE with multiple source matches for one target row raises " +
+    "the ANSI cardinality error, target untouched") {
+    val loc = tmpDir("multimatch") + "/tgt"
+    spark.sql("DROP TABLE IF EXISTS mm_merge")
+    spark.sql(s"""CREATE TABLE mm_merge (k BIGINT, v DOUBLE)
+      USING parquet LOCATION '$loc'""")
+    try {
+      spark.sql("INSERT INTO mm_merge VALUES (1, 1.0)")
+      Seq((1L, 2.0), (1L, 3.0)).toDF("k", "v")
+        .createOrReplaceTempView("mm_src")
+      val e = intercept[Exception] {
+        spark.sql("""MERGE INTO mm_merge USING mm_src
+          ON mm_merge.k = mm_src.k
+          WHEN MATCHED THEN UPDATE SET v = mm_src.v""")
+      }
+      assert(e.getMessage.contains("cardinality"), e.getMessage)
+      assert(spark.table("mm_merge").as[(Long, Double)].collect().toSet
+        == Set((1L, 1.0)))
+    } finally spark.sql("DROP TABLE IF EXISTS mm_merge")
+  }
+
+  test("SQL UPDATE assigning a partition column falls back to the " +
+    "whole-table rewrite and loses no rows") {
+    val loc = tmpDir("mvupd") + "/tgt"
+    spark.sql("DROP TABLE IF EXISTS mv_upd")
+    spark.sql(s"""CREATE TABLE mv_upd (k BIGINT, part INT)
+      USING parquet PARTITIONED BY (part) LOCATION '$loc'""")
+    try {
+      Seq((1L, 1), (2L, 1), (3L, 2)).toDF("k", "part")
+        .write.mode("append").insertInto("mv_upd")
+      spark.sql("UPDATE mv_upd SET part = 7 WHERE k = 1")
+      val got = spark.table("mv_upd").select($"k", $"part")
+        .as[(Long, Int)].collect().toSet
+      assert(got == Set((1L, 7), (2L, 1), (3L, 2)), s"got $got")
+    } finally spark.sql("DROP TABLE IF EXISTS mv_upd")
+  }
+
+  test("partition values needing Hive path escaping survive MERGE " +
+    "(dir names match the writer's escaped form)") {
+    val loc = tmpDir("escmerge") + "/tgt"
+    spark.sql("DROP TABLE IF EXISTS esc_merge")
+    spark.sql(s"""CREATE TABLE esc_merge (k BIGINT, v DOUBLE, part STRING)
+      USING parquet PARTITIONED BY (part) LOCATION '$loc'""")
+    try {
+      Seq((1L, 1.0, "a:b"), (2L, 2.0, "plain")).toDF("k", "v", "part")
+        .write.mode("append").insertInto("esc_merge")
+      Seq((1L, 9.0, "a:b"), (3L, 3.0, "x=y")).toDF("k", "v", "part")
+        .createOrReplaceTempView("esc_src")
+      spark.sql("""MERGE INTO esc_merge USING esc_src
+        ON esc_merge.k = esc_src.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      val got = spark.table("esc_merge").select($"k", $"v", $"part")
+        .as[(Long, Double, String)].collect().toSet
+      assert(got == Set((1L, 9.0, "a:b"), (2L, 2.0, "plain"),
+        (3L, 3.0, "x=y")), s"got $got")
+    } finally spark.sql("DROP TABLE IF EXISTS esc_merge")
+  }
+
   test("unsupported MERGE shapes (multi-clause chains) are left to " +
     "Spark's own error, never silently mis-executed") {
     val loc = tmpDir("mergesql3") + "/tgt"
