@@ -139,9 +139,15 @@ object DataMerge {
         // in a raw interpolation would never match the escaped dirs the
         // writer creates, silently discarding the staged partition)
         val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        val rendered =
-          if (v == null) "__HIVE_DEFAULT_PARTITION__"
-          else esc.escapePathName(v.toString)
+        val rendered = v match {
+          case null => "__HIVE_DEFAULT_PARTITION__"
+          // Spark renders timestamp partition values via Cast-to-string
+          // (no fraction when zero); java.sql.Timestamp.toString always
+          // prints at least ".0" — strip it or the dir never matches
+          case ts: java.sql.Timestamp =>
+            esc.escapePathName(ts.toString.stripSuffix(".0"))
+          case other => esc.escapePathName(other.toString)
+        }
         s"${esc.escapePathName(c)}=$rendered"
       }.mkString("/")
       val src = new org.apache.hadoop.fs.Path(s"$staging/$part")

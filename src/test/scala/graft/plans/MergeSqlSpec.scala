@@ -370,6 +370,29 @@ class MergeSqlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS esc_merge")
   }
 
+  test("timestamp-typed partition values render to the writer's dir " +
+    "form (no stray .0 suffix) through MERGE") {
+    val loc = tmpDir("tsmerge") + "/tgt"
+    spark.sql("DROP TABLE IF EXISTS ts_merge")
+    spark.sql(s"""CREATE TABLE ts_merge (k BIGINT, v DOUBLE, part TIMESTAMP)
+      USING parquet PARTITIONED BY (part) LOCATION '$loc'""")
+    try {
+      spark.sql("""INSERT INTO ts_merge VALUES
+        (1, 1.0, TIMESTAMP '2024-01-01 00:00:00'),
+        (2, 2.0, TIMESTAMP '2024-02-01 12:30:00')""")
+      spark.sql("""CREATE OR REPLACE TEMP VIEW ts_src AS
+        SELECT CAST(1 AS BIGINT) AS k, CAST(9.0 AS DOUBLE) AS v,
+          TIMESTAMP '2024-01-01 00:00:00' AS part""")
+      spark.sql("""MERGE INTO ts_merge USING ts_src
+        ON ts_merge.k = ts_src.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      val got = spark.table("ts_merge").select($"k", $"v")
+        .as[(Long, Double)].collect().toSet
+      assert(got == Set((1L, 9.0), (2L, 2.0)), s"got $got")
+    } finally spark.sql("DROP TABLE IF EXISTS ts_merge")
+  }
+
   test("unsupported MERGE shapes (multi-clause chains) are left to " +
     "Spark's own error, never silently mis-executed") {
     val loc = tmpDir("mergesql3") + "/tgt"
