@@ -288,6 +288,31 @@ object StreamingQueries {
       },
       Some("SELECT event_type, count(*) AS cnt FROM events GROUP BY 1")),
 
+    // ---- ST9 exactly-once parquet FILE sink: the streaming write path
+    // a lake deployment actually lands data with — committed files are
+    // tracked in the sink's _spark_metadata manifest, and reading the
+    // directory back goes through that manifest (half-written files are
+    // invisible). Stateless passthrough filter; the read-back rows must
+    // equal the batch filter.
+    "st9_stream_file_sink" -> QueryDef(
+      (s, dir) => {
+        val c = streamSession(s)
+        import c.implicits._
+        val out = java.nio.file.Files.createTempDirectory("st9_out")
+        val src = c.readStream.schema(eventsRawSchema)
+          .parquet(stagedEventsDir(dir))
+          .where($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"value")
+        val q = src.writeStream.format("parquet")
+          .option("path", out.toString + "/data")
+          .option("checkpointLocation", out.toString + "/ckpt")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        c.read.parquet(out.toString + "/data")
+      },
+      Some("""SELECT event_id, user_id, value FROM events
+        WHERE event_type = 'purchase'""")),
+
     // ---- ST2 sessionization with 30-minute inactivity gap: one shuffle
     // by user_id, per-user sorted fold (the state a
     // flatMapGroupsWithState session would hold, computed batch-side)
