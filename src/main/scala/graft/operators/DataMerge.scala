@@ -66,8 +66,7 @@ object DataMerge {
     require(partCols.nonEmpty, "use mergeIntoParquetFull for unpartitioned")
     requireUniqueKeys(updates, keys)
     val newTuples: Seq[Seq[Any]] =
-      updates.select(partCols.map(col): _*).distinct()
-        .collect().map(_.toSeq).toSeq // bounded by #partitions by contract
+      collectTuples(updates, partCols) // bounded by #partitions by contract
     if (newTuples.isEmpty) return newTuples
 
     // An update may MOVE a row (same key, different partition value);
@@ -80,10 +79,10 @@ object DataMerge {
       keys.exists(_.equalsIgnoreCase(pc)))
     val oldTuples: Seq[Seq[Any]] =
       if (movesPossible)
-        spark.read.option("mergeSchema", "true").parquet(path)
-          .join(updates.select(keys.map(col): _*), keys, "left_semi")
-          .select(partCols.map(col): _*).distinct()
-          .collect().map(_.toSeq).toSeq
+        collectTuples(
+          spark.read.option("mergeSchema", "true").parquet(path)
+            .join(updates.select(keys.map(col): _*), keys, "left_semi"),
+          partCols)
       else Nil
     val touched = (newTuples ++ oldTuples).distinct
 
@@ -104,14 +103,25 @@ object DataMerge {
     touched
   }
 
+  /** Distinct partition tuples of `df`, collected CAST TO STRING by
+    * Spark itself — the engine's cast is exactly how the parquet writer
+    * renders partition dir names (session time zone, TIMESTAMP_NTZ,
+    * java8 datetime API all included), so the swap never re-renders
+    * values JVM-side where the two could diverge. */
+  def collectTuples(df: DataFrame, partCols: Seq[String]): Seq[Seq[Any]] =
+    df.select(partCols.map(c => col(c).cast("string")): _*).distinct()
+      .collect().map(_.toSeq).toSeq
+
   /** OR-of-conjunctions predicate selecting exactly the given partition
-    * tuples — equality terms on partition columns only, so Catalyst
-    * evaluates it against directory values at planning time. */
+    * tuples (string-rendered, per [[collectTuples]]) — terms reference
+    * only partition columns, so Catalyst evaluates the filter against
+    * directory values at planning time. */
   def tupleFilter(partCols: Seq[String], touched: Seq[Seq[Any]])
       : org.apache.spark.sql.Column =
     touched.map { t =>
       partCols.zip(t).map { case (c, v) =>
-        if (v == null) col(c).isNull else col(c) === lit(v)
+        if (v == null) col(c).isNull
+        else col(c).cast("string") === lit(v.toString)
       }.reduce(_ && _)
     }.reduce(_ || _)
 
@@ -134,20 +144,16 @@ object DataMerge {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), conf)
     touched.foreach { t =>
       val part = partCols.zip(t).map { case (c, v) =>
-        // mirror Spark's own dir naming: nulls → the Hive default
-        // partition, every other value Hive-path-escaped (':', '%', …
-        // in a raw interpolation would never match the escaped dirs the
-        // writer creates, silently discarding the staged partition)
+        // values arrive PRE-RENDERED by Spark's own cast (collectTuples:
+        // session time zone, NTZ, java8 datetime all handled by the
+        // engine, exactly as the writer renders dirs), so the only
+        // JVM-side work is Hive path escaping — a raw ':', '%', '=' in
+        // an unescaped interpolation would never match the escaped dirs
+        // the writer creates, silently discarding the staged partition
         val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        val rendered = v match {
-          case null => "__HIVE_DEFAULT_PARTITION__"
-          // Spark renders timestamp partition values via Cast-to-string
-          // (no fraction when zero); java.sql.Timestamp.toString always
-          // prints at least ".0" — strip it or the dir never matches
-          case ts: java.sql.Timestamp =>
-            esc.escapePathName(ts.toString.stripSuffix(".0"))
-          case other => esc.escapePathName(other.toString)
-        }
+        val rendered =
+          if (v == null) "__HIVE_DEFAULT_PARTITION__"
+          else esc.escapePathName(v.toString)
         s"${esc.escapePathName(c)}=$rendered"
       }.mkString("/")
       val src = new org.apache.hadoop.fs.Path(s"$staging/$part")

@@ -211,8 +211,8 @@ case class ParquetRewriteCommand(table: CatalogTable, partCols: Seq[String],
     val path = table.location.toString
     (partCols, matchedParts) match {
       case (ps, Some(mp)) if ps.nonEmpty =>
-        val touched: Seq[Seq[Any]] = ofRows(spark, mp).distinct()
-          .collect().map(_.toSeq).toSeq // bounded by #partitions
+        val touched: Seq[Seq[Any]] = // bounded by #partitions
+          DataMerge.collectTuples(ofRows(spark, mp), ps)
         if (touched.nonEmpty) {
           val df = ofRows(spark, rewritten)
             .where(DataMerge.tupleFilter(ps, touched))
@@ -273,10 +273,13 @@ case class GeneralMergeCommand(table: CatalogTable, partCols: Seq[String],
           a.key.asInstanceOf[AttributeReference].name.toLowerCase -> a.value
       }.toMap
 
-    // matched branch
-    val joined = target.join(source, cond, "inner")
+    // matched branch — one MERGE evaluates this join for the contract
+    // check, the scope collects, and the staging write, so PERSIST it
+    // for the command's duration (non-equi ON conditions, the reason
+    // this path exists, are the expensive joins to recompute)
+    val joined = target.join(source, cond, "inner").persist()
     val matchedSemi = target.join(source, cond, "left_semi")
-      .select(tCols.map(a => toColumn(a).as(a.name)): _*)
+      .select(tCols.map(a => toColumn(a).as(a.name)): _*).persist()
     // ANSI MERGE contract: a target row may match at most ONE source
     // row, else the matched projection would silently write one output
     // row PER source match. Two counts, checked only when a matched
@@ -289,6 +292,7 @@ case class GeneralMergeCommand(table: CatalogTable, partCols: Seq[String],
           "rows — a target row matches multiple source rows (ANSI MERGE " +
           "cardinality violation)")
     }
+    try {
     val matchedOut = merge.matchedActions.headOption match {
       case Some(UpdateAction(c, assigns, _)) =>
         val m = assignMap(assigns)
@@ -334,15 +338,25 @@ case class GeneralMergeCommand(table: CatalogTable, partCols: Seq[String],
     partCols match {
       case ps if ps.nonEmpty =>
         // scope = partitions receiving NEW content ∪ partitions where
-        // matched rows USED to live (an UPDATE that assigns a partition
-        // column moves rows: the old dir must be rewritten too, and a
-        // DELETE can empty a dir without contributing rows to `changed`)
-        val touchedNew: Seq[Seq[Any]] = changed.select(ps.map(col): _*)
-          .distinct().collect().map(_.toSeq).toSeq
+        // matched rows USED to live. The old-location collect is needed
+        // only when matched rows can LEAVE their partition (an UPDATE
+        // assigning a partition column) or vanish (a DELETE clause) —
+        // a plain-column UPDATE keeps every matched row in place, so
+        // touchedOld ⊆ touchedNew and the extra job is skipped.
+        val movesPossible = merge.matchedActions.headOption.exists {
+          case UpdateAction(_, assigns, _) => assigns.exists(a =>
+            a.key match {
+              case ar: AttributeReference =>
+                ps.exists(_.equalsIgnoreCase(ar.name))
+              case _ => false
+            })
+          case _: DeleteAction => true
+          case _ => false
+        }
+        val touchedNew: Seq[Seq[Any]] =
+          DataMerge.collectTuples(changed, ps)
         val touchedOld: Seq[Seq[Any]] =
-          if (merge.matchedActions.nonEmpty)
-            matchedSemi.select(ps.map(col): _*).distinct()
-              .collect().map(_.toSeq).toSeq
+          if (movesPossible) DataMerge.collectTuples(matchedSemi, ps)
           else Nil
         val scope = (touchedNew ++ touchedOld).distinct
         if (scope.nonEmpty) {
@@ -364,6 +378,10 @@ case class GeneralMergeCommand(table: CatalogTable, partCols: Seq[String],
           changed.unionByName(untouched), Nil)
     }
     spark.catalog.refreshTable(table.identifier.quotedString)
+    } finally {
+      joined.unpersist()
+      matchedSemi.unpersist()
+    }
     Seq.empty
   }
 }
@@ -383,9 +401,11 @@ case class ParquetMergeCommand(table: CatalogTable, partCols: Seq[String],
     else
       DataMerge.mergeIntoParquetFull(spark, path, updates, keys)
     // the dir-swap commit bypasses the catalog's partition tracking:
-    // re-discover partitions (new dirs from inserts), then drop caches
+    // SYNC re-discovers new dirs from inserts AND drops entries for
+    // dirs emptied by cross-partition moves, then caches are dropped
     if (partCols.nonEmpty)
-      spark.sql(s"MSCK REPAIR TABLE ${table.identifier.quotedString}")
+      spark.sql(
+        s"MSCK REPAIR TABLE ${table.identifier.quotedString} SYNC PARTITIONS")
     spark.catalog.refreshTable(table.identifier.quotedString)
     Seq.empty
   }

@@ -34,13 +34,18 @@ object UpsertSink {
         import org.apache.spark.sql.expressions.Window
         import org.apache.spark.sql.functions._
         val spark = batch.sparkSession
-        // last-writer-wins within the batch; the FULL row is the sort
-        // key (version first, every other column as tiebreak) so equal-
-        // version duplicates resolve identically on checkpoint REPLAY —
-        // a version-only sort would let row_number pick a different
-        // winner per execution, breaking idempotent re-merge
-        val rest = batch.columns.toSeq
-          .filterNot(c => keys.contains(c) || c == versionCol)
+        // last-writer-wins within the batch; the row's ORDERABLE columns
+        // are the sort key (version first, the rest as tiebreak) so
+        // equal-version duplicates resolve identically on checkpoint
+        // REPLAY — a version-only sort would let row_number pick a
+        // different winner per execution, breaking idempotent re-merge.
+        // Unorderable columns (maps) are excluded or the window itself
+        // would fail analysis.
+        val rest = batch.schema.fields.toSeq
+          .filterNot(f => keys.contains(f.name) || f.name == versionCol)
+          .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(f.dataType))
+          .map(_.name)
         val w = Window.partitionBy(keys.map(col): _*)
           .orderBy(col(versionCol).desc +: rest.map(col(_).desc): _*)
         val deduped = batch

@@ -26,7 +26,9 @@ class DataMergeSpec extends SparkSpec {
       .toDF("k", "v", "part")
     val touched = DataMerge.mergeIntoParquet(spark, path, updates,
       Seq("k"), "part")
-    assert(touched.toSet == Set(2021, 2022))
+    // touched values are reported string-rendered (Spark's own cast —
+    // the same form the partition dir names use)
+    assert(touched.toSet == Set("2021", "2022"))
 
     val after = spark.read.parquet(path)
       .select($"k", $"v", $"part".cast("int"))

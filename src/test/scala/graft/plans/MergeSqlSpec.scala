@@ -393,6 +393,33 @@ class MergeSqlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ts_merge")
   }
 
+  test("star-form MERGE moving a row across partitions: old dir " +
+    "dropped AND its catalog partition entry removed") {
+    val loc = tmpDir("mvstar") + "/tgt"
+    spark.sql("DROP TABLE IF EXISTS mv_star")
+    spark.sql(s"""CREATE TABLE mv_star (k BIGINT, v DOUBLE, part INT)
+      USING parquet PARTITIONED BY (part) LOCATION '$loc'""")
+    try {
+      Seq((1L, 1.0, 1), (2L, 2.0, 2)).toDF("k", "v", "part")
+        .write.mode("append").insertInto("mv_star")
+      Seq((1L, 9.0, 9)).toDF("k", "v", "part")
+        .createOrReplaceTempView("mv_star_src")
+      spark.sql("""MERGE INTO mv_star USING mv_star_src
+        ON mv_star.k = mv_star_src.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      val got = spark.table("mv_star").select($"k", $"v", $"part")
+        .as[(Long, Double, Int)].collect().toSet
+      assert(got == Set((1L, 9.0, 9), (2L, 2.0, 2)), s"got $got")
+      assert(!new java.io.File(s"$loc/part=1").exists(),
+        "emptied source partition dir must be dropped")
+      // and the catalog must not keep a stale entry for the dropped dir
+      val parts = spark.sql("SHOW PARTITIONS mv_star")
+        .collect().map(_.getString(0)).toSet
+      assert(parts == Set("part=2", "part=9"), parts.toString)
+    } finally spark.sql("DROP TABLE IF EXISTS mv_star")
+  }
+
   test("unsupported MERGE shapes (multi-clause chains) are left to " +
     "Spark's own error, never silently mis-executed") {
     val loc = tmpDir("mergesql3") + "/tgt"
