@@ -47,7 +47,8 @@ object Check {
 
   /** Evaluate all rules → one frame `(rule, violations)`; `unique` sums
     * the extra copies, everything else counts violating rows. */
-  def run(rules: Seq[Rule]): DataFrame =
+  def run(rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "Check.run needs at least one rule")
     rules.map { r =>
       val c = r.violations.columns.headOption match {
         case Some("__extra") =>
@@ -57,4 +58,5 @@ object Check {
       c.select(lit(r.name).as("rule"),
         col(c.columns.head).cast("long").as("violations"))
     }.reduce(_ unionByName _)
+  }
 }
