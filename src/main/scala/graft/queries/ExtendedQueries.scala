@@ -31,12 +31,12 @@ object ExtendedQueries {
           .where($"l_shipdate" > lit("1998-01-01").cast("timestamp"))
           .groupBy($"o_orderkey", $"o_orderdate")
           .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
-            .cast("decimal(24,4)")).as("revenue"))
+            .cast("decimal(24,6)")).as("revenue"))
           .orderBy($"revenue".desc, $"o_orderkey".asc)
           .limit(10)
       },
       Some("""SELECT o_orderkey, o_orderdate,
-        sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,4))) AS revenue
+        sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS revenue
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON o_orderkey = l_orderkey
@@ -62,10 +62,10 @@ object ExtendedQueries {
           .where($"r_name" === "ASIA")
           .groupBy($"n_name")
           .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
-            .cast("decimal(24,4)")).as("revenue"))
+            .cast("decimal(24,6)")).as("revenue"))
       },
       Some("""SELECT n_name,
-        sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,4))) AS revenue
+        sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS revenue
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON o_orderkey = l_orderkey
@@ -194,9 +194,9 @@ object ExtendedQueries {
             $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
             $"l_discount".between(0.02, 0.06) && $"l_quantity" < 24)
           .agg(sum(($"l_extendedprice" * $"l_discount")
-            .cast("decimal(24,4)")).as("revenue"))
+            .cast("decimal(24,6)")).as("revenue"))
       },
-      Some("""SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(24,4)))
+      Some("""SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(24,6)))
           AS revenue
         FROM lineitem
         WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
@@ -217,13 +217,17 @@ object ExtendedQueries {
           .join(broadcast(t(s, dir, "nation")),
             $"c_nationkey" === $"n_nationkey")
           .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+          // Per-row cast at scale 6 (see j1_inner_join for the full
+          // rationale): scale 4 casts diverged here in round 2 via
+          // Spark's shortest-repr 5th-digit ties, and round(sum(double))
+          // is exposed to summation-order noise on large groups.
           .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
-            .cast("decimal(24,4)")).as("revenue"))
+            .cast("decimal(24,6)")).as("revenue"))
           .orderBy($"revenue".desc, $"c_custkey".asc)
           .limit(20)
       },
       Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
-        sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,4)))
+        sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6)))
           AS revenue
         FROM customer
         JOIN orders ON c_custkey = o_custkey
@@ -307,10 +311,10 @@ object ExtendedQueries {
           .where(branch1 || branch2 || branch3)
           .agg(count(lit(1)).as("n_items"),
             sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
-              .cast("decimal(24,4)")).as("revenue"))
+              .cast("decimal(24,6)")).as("revenue"))
       },
       Some("""SELECT count(*) AS n_items,
-        sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,4)))
+        sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6)))
           AS revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
@@ -482,11 +486,11 @@ object ExtendedQueries {
           .groupBy($"supp_nation", $"cust_nation",
             year($"l_shipdate").as("l_year"))
           .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
-            .cast("decimal(24,4)")).as("revenue"))
+            .cast("decimal(24,6)")).as("revenue"))
       },
       Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
           CAST(year(l_shipdate) AS INT) AS l_year,
-          sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,4)))
+          sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6)))
             AS revenue
         FROM supplier
         JOIN lineitem ON s_suppkey = l_suppkey
@@ -578,7 +582,7 @@ object ExtendedQueries {
         s.sql("""WITH rev AS (
             SELECT l_suppkey,
               sum(CAST(l_extendedprice * (1.0 - l_discount)
-                AS DECIMAL(24,4))) AS total_rev
+                AS DECIMAL(24,6))) AS total_rev
             FROM q15_lineitem
             WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
               AND l_shipdate < CAST('1996-04-01' AS TIMESTAMP)
@@ -590,7 +594,7 @@ object ExtendedQueries {
       Some("""WITH rev AS (
           SELECT l_suppkey,
             sum(CAST(l_extendedprice * (1.0 - l_discount)
-              AS DECIMAL(24,4))) AS total_rev
+              AS DECIMAL(24,6))) AS total_rev
           FROM lineitem
           WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
             AND l_shipdate < CAST('1996-04-01' AS TIMESTAMP)

@@ -37,11 +37,20 @@ object JoinQueries {
           .groupBy($"o_orderpriority")
           .agg(
             count(lit(1)).as("cnt"),
+            // Revenue terms are exact 4dp reals (2dp price x 2dp discount
+            // complement), so a per-row cast at scale 6 is deterministic on
+            // both engines: the double is within ~1e-12 of the 4dp value and
+            // both Spark (shortest-string) and DuckDB (exact-binary) round
+            // it to x.yyyy00. Scale 4 is NOT safe — Spark's shortest-repr
+            // can tie at the 5th digit and HALF_UP where DuckDB's exact
+            // binary value rounds down (bit q10, round 2). Summing decimals
+            // is exact, so group size / summation order can't reintroduce
+            // drift the way round(sum(double)) would.
             sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
-              .cast("decimal(24,4)")).as("revenue"))
+              .cast("decimal(24,6)")).as("revenue"))
       },
       Some("""SELECT o_orderpriority, count(*) AS cnt,
-        sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,4))) AS revenue
+        sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority""")),
 
