@@ -14,6 +14,10 @@ run / fork := true
 // Forked run output goes straight to stdout — no "[info] " prefix, so
 // Bench's one-line JSON stays machine-parseable.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// The external bench driver keeps only the LAST 2000 chars of stdout;
+// sbt's trailing "[success] Total time: …" line must not displace the
+// JSON result line (BENCH_r01/r02 both came back unparseable).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
