@@ -18,6 +18,9 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // sbt's trailing "[success] Total time: …" line must not displace the
 // JSON result line (BENCH_r01/r02 both came back unparseable).
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, which the unused-key
+// lint can't see.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -16,6 +16,15 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   */
 object Compaction {
 
+  /** A `col=value` partition child dir. Hidden names (leading '.' or
+    * '_': staging/backup siblings from staged rewrites, `_SUCCESS`-style
+    * markers) are excluded, matching what Spark's FileIndex ignores —
+    * a crash-leftover `.part=1.merge-staging` must never be compacted
+    * or walked as if it were a partition. */
+  private def isPartitionDir(s: org.apache.hadoop.fs.FileStatus): Boolean =
+    s.isDirectory && s.getPath.getName.contains("=") &&
+      !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_")
+
   /** Number of data files directly under `path`. */
   def fileCount(spark: SparkSession, path: String): Int = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -45,7 +54,7 @@ object Compaction {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val parts = fs.listStatus(new org.apache.hadoop.fs.Path(path))
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .filter(isPartitionDir)
       .map(_.getPath)
     parts.toSeq.collect {
       case p if fileCount(spark, p.toString) > maxFiles =>
@@ -63,12 +72,12 @@ object Compaction {
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     def walk(p: org.apache.hadoop.fs.Path): Seq[String] = {
       val kids = fs.listStatus(p)
-        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .filter(isPartitionDir)
       if (kids.isEmpty) Seq(p.toString)
       else kids.toSeq.flatMap(k => walk(k.getPath))
     }
     val top = fs.listStatus(new org.apache.hadoop.fs.Path(path))
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .filter(isPartitionDir)
     top.toSeq.flatMap(k => walk(k.getPath))
   }
 

@@ -92,7 +92,7 @@ object DataMerge {
     val merged = target.join(updates, keys, "left_anti")
       .unionByName(updates.select(target.columns.map(col): _*))
 
-    val staging = path + ".merge-staging"
+    val staging = hiddenSibling(path, ".merge-staging")
     merged.write.mode(SaveMode.Overwrite)
       .partitionBy(partCols: _*).parquet(staging)
     // touched partitions are fully recomputed: one emptied by moves has
@@ -184,19 +184,56 @@ object DataMerge {
     stagedOverwrite(spark, path, merged, Nil)
   }
 
-  /** Write `df` to `path + ".merge-staging"` (optionally partitioned),
+  /** Hidden sibling of `path` — same parent, basename prefixed with '.'
+    * plus `suffix`. Staging and backup dirs for LEAF rewrites (per-
+    * partition compaction, OPTIMIZE, partition-scoped DML) live INSIDE
+    * the table root; a visible name like `part=1.merge-staging` contains
+    * '=' and would be parsed as a bogus partition value by path-based
+    * partition discovery — a crash leftover poisons every later read,
+    * and even a concurrent read during the rewrite can double-count.
+    * Leading-dot names are ignored by Spark's FileIndex (and by this
+    * file's own `mergeSchema` reads). */
+  def hiddenSibling(path: String, suffix: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    new org.apache.hadoop.fs.Path(p.getParent, "." + p.getName + suffix).toString
+  }
+
+  /** Restore a table lost to a crash inside [[stagedOverwrite]]'s commit
+    * window (between the `dst`→`bak` and `staging`→`dst` renames the
+    * table path does not exist and the data is only at the hidden
+    * backup). Returns true if a restore happened. Called automatically
+    * at the start of the next [[stagedOverwrite]]; callers that READ
+    * `path` before writing (every DML lowering) should invoke it first
+    * when crash recovery matters — the read itself would otherwise fail
+    * on the missing path. */
+  def recoverStagedOverwrite(spark: SparkSession, path: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), conf)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(hiddenSibling(path, ".old"))
+    if (!fs.exists(dst) && fs.exists(bak)) { fs.rename(bak, dst); true }
+    else false
+  }
+
+  /** Write `df` to a hidden staging sibling (optionally partitioned),
     * then swap the staging dir in — the write-new + rename commit every
     * DML lowering here shares. `df` may read from `path` itself: the
-    * read happens during the staging write, strictly before the swap. */
+    * read happens during the staging write, strictly before the swap.
+    *
+    * Commit window: between the two renames the table path briefly does
+    * not exist. A crash inside the window leaves the data at the hidden
+    * `.<name>.old` backup; the next write (or an explicit
+    * [[recoverStagedOverwrite]]) restores it automatically. */
   def stagedOverwrite(spark: SparkSession, path: String, df: DataFrame,
       partCols: Seq[String]): Unit = {
-    val staging = path + ".merge-staging"
+    recoverStagedOverwrite(spark, path)
+    val staging = hiddenSibling(path, ".merge-staging")
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(staging)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), conf)
     val dst = new org.apache.hadoop.fs.Path(path)
-    val bak = new org.apache.hadoop.fs.Path(path + ".old")
+    val bak = new org.apache.hadoop.fs.Path(hiddenSibling(path, ".old"))
     if (fs.exists(bak)) fs.delete(bak, true)
     if (fs.exists(dst)) fs.rename(dst, bak)
     fs.rename(new org.apache.hadoop.fs.Path(staging), dst)

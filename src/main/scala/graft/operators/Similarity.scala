@@ -228,14 +228,25 @@ object Similarity {
     // persist is the local[n] stand-in for that persisted index.
     val ix = index(df, embedding, numPlanes, dim)
       .select(col("bucket"), col(id), col(embedding)).persist()
-    val l = ix.select(col("bucket"), col(id).as("id_a"),
-      col(embedding).as("emb_a"))
-    val r = ix.select(col("bucket"), col(id).as("id_b"),
-      col(embedding).as("emb_b"))
-    l.join(r, Seq("bucket"))
-      .where(col("id_a") < col("id_b"))
-      .withColumn("score", CosineSimilarity(col("emb_a"), col("emb_b")))
-      .where(col("score") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("score"), 4).as("score"))
+    try {
+      val l = ix.select(col("bucket"), col(id).as("id_a"),
+        col(embedding).as("emb_a"))
+      val r = ix.select(col("bucket"), col(id).as("id_b"),
+        col(embedding).as("emb_b"))
+      val pairs = l.join(r, Seq("bucket"))
+        .where(col("id_a") < col("id_b"))
+        .withColumn("score", CosineSimilarity(col("emb_a"), col("emb_b")))
+        .where(col("score") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("score"), 4).as("score"))
+      // Materialize the (threshold-filtered, small) pair set eagerly so
+      // the embedding-bearing index cache can be RELEASED before
+      // returning: Dataset.persist pins blocks in the CacheManager until
+      // an explicit unpersist, so returning a lazy frame over `ix` would
+      // leak one full index per invocation for the JVM lifetime. A local
+      // checkpoint lives at the RDD layer — no CacheManager entry — so
+      // its blocks are freed by the ContextCleaner once the returned
+      // frame is garbage-collected.
+      pairs.localCheckpoint(true)
+    } finally ix.unpersist()
   }
 }

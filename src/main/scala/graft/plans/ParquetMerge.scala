@@ -216,7 +216,7 @@ case class ParquetRewriteCommand(table: CatalogTable, partCols: Seq[String],
         if (touched.nonEmpty) {
           val df = ofRows(spark, rewritten)
             .where(DataMerge.tupleFilter(ps, touched))
-          val staging = path + ".merge-staging"
+          val staging = DataMerge.hiddenSibling(path, ".merge-staging")
           df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .partitionBy(ps: _*).parquet(staging)
           DataMerge.swapPartitions(spark, path, staging, ps, touched,
@@ -280,10 +280,13 @@ case class GeneralMergeCommand(table: CatalogTable, partCols: Seq[String],
     val joined = target.join(source, cond, "inner").persist()
     val matchedSemi = target.join(source, cond, "left_semi")
       .select(tCols.map(a => toColumn(a).as(a.name)): _*).persist()
+    try {
     // ANSI MERGE contract: a target row may match at most ONE source
     // row, else the matched projection would silently write one output
     // row PER source match. Two counts, checked only when a matched
-    // clause could multiply rows.
+    // clause could multiply rows. Inside the try: a violation must
+    // still unpersist both cached datasets, not leak them for the
+    // session lifetime.
     if (merge.matchedActions.nonEmpty) {
       val semiCnt = matchedSemi.count()
       val innerCnt = joined.count()
@@ -292,7 +295,6 @@ case class GeneralMergeCommand(table: CatalogTable, partCols: Seq[String],
           "rows — a target row matches multiple source rows (ANSI MERGE " +
           "cardinality violation)")
     }
-    try {
     val matchedOut = merge.matchedActions.headOption match {
       case Some(UpdateAction(c, assigns, _)) =>
         val m = assignMap(assigns)
@@ -362,7 +364,7 @@ case class GeneralMergeCommand(table: CatalogTable, partCols: Seq[String],
         if (scope.nonEmpty) {
           val merged = changed.unionByName(untouched)
             .where(DataMerge.tupleFilter(ps, scope))
-          val staging = path + ".merge-staging"
+          val staging = DataMerge.hiddenSibling(path, ".merge-staging")
           merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .partitionBy(ps: _*).parquet(staging)
           // every scoped partition's content is FULLY recomputed in

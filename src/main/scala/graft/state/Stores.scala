@@ -20,14 +20,20 @@ import java.sql.Timestamp
   */
 object ParquetMerge {
   /** Overwrite `path` with `ds` via write-new + swap (best-effort atomic
-    * on a local/posix fs; on an object store use a manifest instead). */
+    * on a local/posix fs; on an object store use a manifest instead).
+    * Staging/backup use hidden sibling names (ignored by Spark's
+    * FileIndex) and a crash between the two renames — table only at the
+    * backup — is repaired on the next overwrite, same contract as
+    * [[graft.operators.DataMerge.stagedOverwrite]]. */
   def overwrite[T](ds: Dataset[T], path: String): Unit = {
-    val tmp = path + ".staging"
+    import graft.operators.DataMerge.hiddenSibling
+    val tmp = hiddenSibling(path, ".staging")
     ds.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmp), ds.sparkSession.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
-    val bak = new org.apache.hadoop.fs.Path(path + ".old")
+    val bak = new org.apache.hadoop.fs.Path(hiddenSibling(path, ".old"))
+    if (fs.exists(bak) && !fs.exists(dst)) fs.rename(bak, dst) // crash repair
     if (fs.exists(bak)) fs.delete(bak, true)
     if (fs.exists(dst)) fs.rename(dst, bak)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)

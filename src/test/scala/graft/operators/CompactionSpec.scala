@@ -42,4 +42,32 @@ class CompactionSpec extends SparkSpec {
     // data intact across both partitions
     assert(spark.read.parquet(path).count() == 6)
   }
+
+  test("leaf rewrites stage under hidden names; leftovers don't poison reads") {
+    val path = tmpDir("compacth") + "/t"
+    (0 until 3).foreach { i =>
+      Seq(i.toLong).toDF("k")
+        .coalesce(1).write.mode("append").parquet(s"$path/part=0")
+    }
+    Compaction.compactPartitions(spark, path, maxFiles = 1)
+    // nothing visible with '=' in the name besides the real partition:
+    // a `part=0.merge-staging` sibling would be parsed as a bogus
+    // partition VALUE by path-based discovery
+    val visible = new java.io.File(path).listFiles().map(_.getName)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_")).toSet
+    assert(visible == Set("part=0"))
+    assert(spark.read.parquet(path).count() == 3)
+
+    // a crash-leftover hidden staging dir is invisible to partition
+    // discovery AND to a later compaction pass
+    val leftover = new java.io.File(s"$path/.part=0.merge-staging/part=9")
+    leftover.mkdirs()
+    Seq(7L).toDF("k").coalesce(1).write.mode("append")
+      .parquet(s"$path/.part=0.merge-staging/part=9")
+    assert(spark.read.parquet(path).count() == 3) // leftover not read
+    assert(Compaction.leafPartitionDirs(spark, path)
+      .forall(_.endsWith("part=0")))
+    val again = Compaction.compactPartitions(spark, path, maxFiles = 1)
+    assert(again.isEmpty) // already 1 file; leftover not compacted
+  }
 }

@@ -115,4 +115,41 @@ class DataMergeSpec extends SparkSpec {
     assert(spark.read.parquet(path).as[(Long, Double, Int)].collect().toSet
       == Set((1L, 1.0, 1)))
   }
+
+  test("crash inside the stagedOverwrite commit window is repaired: a " +
+    "lone hidden backup restores the table") {
+    val path = tmpDir("dmergecrash") + "/t"
+    Seq((1L, 1.0)).toDF("k", "v").write.parquet(path)
+    // simulate a crash between the two commit renames: table moved to
+    // the hidden backup, replacement never landed
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val bak = DataMerge.hiddenSibling(path, ".old")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(bak)))
+
+    assert(DataMerge.recoverStagedOverwrite(spark, path))
+    assert(spark.read.parquet(path).as[(Long, Double)].collect().toSet
+      == Set((1L, 1.0)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(bak)))
+    // idempotent: nothing to repair on a healthy table
+    assert(!DataMerge.recoverStagedOverwrite(spark, path))
+  }
+
+  test("staging and backup live under hidden names — never visible as " +
+    "bogus '=' partitions inside a table root") {
+    // leaf-dir rewrite (the Compaction/OPTIMIZE shape): path IS a
+    // partition dir inside the table root
+    val table = tmpDir("dmergehidden") + "/t"
+    (0 until 3).foreach { i =>
+      Seq((i.toLong, i.toDouble)).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(s"$table/part=1")
+    }
+    val df = spark.read.parquet(s"$table/part=1").coalesce(1)
+    DataMerge.stagedOverwrite(spark, s"$table/part=1", df, Nil)
+    val visible = new java.io.File(table).listFiles().map(_.getName)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_")).toSet
+    assert(visible == Set("part=1"))
+    assert(spark.read.parquet(table).count() == 3)
+  }
 }
