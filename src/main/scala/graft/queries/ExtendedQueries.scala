@@ -641,6 +641,57 @@ object ExtendedQueries {
           o_orderdate + INTERVAL 30 DAY, NULL
           FROM orders WHERE o_orderkey % 5 = 0""")),
 
+    // ---- H3 SCD2 table apply: the H2 change batch applied to a
+    // PERSISTED, partitioned history via Scd2.applyToTable — exercises
+    // the partition-pruned read + per-partition dir-swap commit, then
+    // reads the whole table back. Partition bucket is key-derived
+    // (o_orderkey % 4; the +10000000 insert offset is ≡ 0 mod 4, so the
+    // oracle's bucket expression is uniform). Timeline closed-form in
+    // SQL exactly as h2, plus the bucket column.
+    "h3_scd2_table" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val base = t(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice", $"o_orderdate",
+            ($"o_orderkey" % 4).cast("int").as("bucket"))
+        val history = base.select($"o_orderkey", $"bucket", $"o_totalprice",
+          $"o_orderdate".as("valid_from"),
+          lit(null).cast("timestamp").as("valid_to"))
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_h3_scd2").toString + "/t"
+        history.write.partitionBy("bucket").parquet(path)
+        val changes = base.where($"o_orderkey" % 3 === 0)
+          .select($"o_orderkey", $"bucket",
+            ($"o_totalprice" + 1.0).as("o_totalprice"),
+            ($"o_orderdate" + expr("INTERVAL 30 DAYS")).as("ts"))
+        val inserts = base.where($"o_orderkey" % 5 === 0)
+          .select(($"o_orderkey" + 10000000L).as("o_orderkey"), $"bucket",
+            $"o_totalprice",
+            ($"o_orderdate" + expr("INTERVAL 30 DAYS")).as("ts"))
+        graft.operators.Scd2.applyToTable(s, path,
+          changes.unionByName(inserts), Seq("o_orderkey"),
+          Seq("bucket", "o_totalprice"), "ts", Seq("bucket"))
+        s.read.parquet(path).select($"o_orderkey",
+          $"bucket".cast("int").as("bucket"), $"o_totalprice",
+          $"valid_from", $"valid_to")
+      },
+      Some("""SELECT o_orderkey, CAST(o_orderkey % 4 AS INT) AS bucket,
+          o_totalprice, o_orderdate AS valid_from,
+          o_orderdate + INTERVAL 30 DAY AS valid_to
+          FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey, CAST(o_orderkey % 4 AS INT),
+          o_totalprice + 1.0, o_orderdate + INTERVAL 30 DAY, NULL
+          FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey, CAST(o_orderkey % 4 AS INT),
+          o_totalprice, o_orderdate, NULL
+          FROM orders WHERE o_orderkey % 3 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, CAST(o_orderkey % 4 AS INT),
+          o_totalprice, o_orderdate + INTERVAL 30 DAY, NULL
+          FROM orders WHERE o_orderkey % 5 = 0""")),
+
     // ---- A18 heavy hitters: `stat.freqItems` (Karp/one-pass counter
     // algorithm — deterministic, NOT sampled) carries a superset
     // guarantee: every value with support > the threshold IS returned.
