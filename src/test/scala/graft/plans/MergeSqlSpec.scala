@@ -370,6 +370,37 @@ class MergeSqlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS esc_merge")
   }
 
+  test("hostile partition values (space, slash, percent, unicode) " +
+    "survive partition-scoped UPDATE and DELETE dir swaps") {
+    val loc = tmpDir("escdml") + "/tgt"
+    spark.sql("DROP TABLE IF EXISTS esc_dml")
+    spark.sql(s"""CREATE TABLE esc_dml (k BIGINT, v DOUBLE, part STRING)
+      USING parquet PARTITIONED BY (part) LOCATION '$loc'""")
+    try {
+      // (non-ASCII values are out of scope: the container JVM's file
+      // encoding rejects them inside Spark's own writer, before any
+      // graft code runs)
+      Seq((1L, 1.0, "a b"), (2L, 2.0, "p/q"), (3L, 3.0, "100%"),
+        (4L, 4.0, "a#b,c"), (5L, 5.0, "plain"))
+        .toDF("k", "v", "part")
+        .write.mode("append").insertInto("esc_dml")
+      // partition-scoped UPDATE touching the space + slash partitions
+      spark.sql("UPDATE esc_dml SET v = v * 10 WHERE k <= 2")
+      // partition-scoped DELETE emptying the percent partition (its
+      // escaped dir must be found and dropped)
+      spark.sql("DELETE FROM esc_dml WHERE part = '100%'")
+      val got = spark.table("esc_dml").select($"k", $"v", $"part")
+        .as[(Long, Double, String)].collect().toSet
+      assert(got == Set((1L, 10.0, "a b"), (2L, 20.0, "p/q"),
+        (4L, 4.0, "a#b,c"), (5L, 5.0, "plain")), s"got $got")
+      // no bogus visible siblings left behind in the table root
+      val visible = new java.io.File(loc).listFiles().map(_.getName)
+        .filterNot(n => n.startsWith(".") || n.startsWith("_")).toSet
+      assert(visible.forall(_.startsWith("part=")), s"visible: $visible")
+      assert(!visible.exists(_.contains("100")), s"visible: $visible")
+    } finally spark.sql("DROP TABLE IF EXISTS esc_dml")
+  }
+
   test("timestamp-typed partition values render to the writer's dir " +
     "form (no stray .0 suffix) through MERGE") {
     val loc = tmpDir("tsmerge") + "/tgt"
