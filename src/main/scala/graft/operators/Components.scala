@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list — the step a
+  * dedup pipeline needs AFTER pair generation: MinHash/LSH emits
+  * near-duplicate PAIRS ([[Dedup.lshCandidatePairs]]), but survivor
+  * selection must be transitive (a~b, b~c ⇒ keep one of {a,b,c}), i.e.
+  * per-component, not per-pair.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+  * standard shuffle-bounded formulation:
+  *
+  *  - large-star: every node points its LARGER neighbors at the
+  *    minimum of its neighborhood (incl. itself);
+  *  - small-star: every node points its smaller neighbors AND itself
+  *    at the minimum of its smaller neighborhood.
+  *
+  * Each round is two hash shuffles (a groupBy-min and a join on the
+  * same key — same partitioning, so AQE/exchange reuse keeps it
+  * cheap), and the edge set contracts toward stars rooted at each
+  * component's minimum id in O(log n) rounds — chains, the worst case
+  * for naive min-propagation (O(diameter) rounds), converge
+  * logarithmically here. No step ever materializes anything larger
+  * than the current edge set, so the shape survives a 100 TB corpus
+  * where components are duplicate clusters (small, numerous).
+  *
+  * Lineage is truncated per round with an eager localCheckpoint —
+  * iterative DataFrame loops otherwise re-run every prior round each
+  * time the plan is executed (and overflow the optimizer at ~20
+  * rounds). On a real cluster with an HDFS checkpoint dir configured,
+  * swap for `checkpoint(true)`; semantics identical.
+  */
+object Components {
+
+  /** (id, component) for every node appearing in `edges`; component =
+    * the minimum node id reachable. Self-loops are ignored. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 30): DataFrame = {
+    // canonical undirected pairs: a = larger endpoint, b = smaller
+    var e = edges
+      .select(col(srcCol).cast("long").as("x"), col(dstCol).cast("long").as("y"))
+      .where(col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).as("a"),
+        least(col("x"), col("y")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+
+    var converged = false
+    var iter = 0
+    var sig = signature(e)
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      e.unpersist()
+      e = next
+      sig = nextSig
+      iter += 1
+    }
+    require(converged, s"connectedComponents: no fixpoint in $maxIter rounds")
+
+    // fixpoint edges are stars (node -> component min); roots label themselves
+    e.select(col("a").as("id"), col("b").as("component"))
+      .union(e.select(col("b").as("id"), col("b").as("component")))
+      .distinct()
+  }
+
+  /** `nodes` with a `component` column; isolated nodes (no edge) are
+    * their own singleton component. */
+  def assign(nodes: DataFrame, idCol: String, edges: DataFrame,
+      srcCol: String, dstCol: String, maxIter: Int = 30): DataFrame = {
+    val labels = connectedComponents(edges, srcCol, dstCol, maxIter)
+      .withColumnRenamed("id", "__cc_id")
+    nodes.join(labels, nodes(idCol).cast("long") === col("__cc_id"), "left")
+      .withColumn("component",
+        coalesce(col("component"), nodes(idCol).cast("long")))
+      .drop("__cc_id")
+  }
+
+  /** Large-star over canonical pairs (a > b): for each node u, connect
+    * every strictly-larger neighbor to min(Γ(u) ∪ {u}). Output keeps
+    * the a > b invariant (emitted pairs are (v, m) with m < u < v). */
+  private[operators] def largeStar(e: DataFrame): DataFrame = {
+    val d = e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v")))
+    val m = d.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    d.join(m, "u")
+      .where(col("v") > col("u"))
+      .select(col("v").as("a"), col("m").as("b"))
+      .distinct()
+  }
+
+  /** Small-star over canonical pairs (a > b, i.e. edges pointing at the
+    * smaller endpoint): for each node u, connect its smaller neighbors
+    * and u itself to the minimum of those neighbors. */
+  private[operators] def smallStar(e: DataFrame): DataFrame = {
+    val m = e.groupBy("a").agg(min(col("b")).as("mn"))
+    val moved = e.join(m, "a")
+      .where(col("b") =!= col("mn"))
+      .select(col("b").as("a"), col("mn").as("b"))
+    moved.union(m.select(col("a"), col("mn").as("b")))
+      .where(col("a") =!= col("b"))
+      .distinct()
+  }
+
+  /** Cheap fixpoint detector: (row count, order-independent hash).
+    * bit_xor over the distinct pair set — no overflow under ANSI, and
+    * xor-cancellation needs two IDENTICAL rows, which distinct rules
+    * out. Only ever compared for equality with the previous round. */
+  private def signature(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)).as("c"),
+      coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L)).as("h")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+}

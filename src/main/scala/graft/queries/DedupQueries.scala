@@ -221,6 +221,61 @@ object DedupQueries {
       },
       Some("""SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
         CAST(1.0 AS DOUBLE) AS score
-        FROM embeddings WHERE vec_id < 20"""))
+        FROM embeddings WHERE vec_id < 20""")),
+
+    // ---- DD8 connected components over near-dup edges (large-star /
+    // small-star, O(log n) rounds). Pair generation (dd6/dd7) emits
+    // near-dup PAIRS; survivor selection needs transitive CLUSTERS.
+    // Edge set here is SQL-mirrorable by construction — consecutive
+    // doc_ids sharing a lang — which makes the components maximal runs
+    // of same-lang ids: chains, the adversarial case for naive
+    // min-propagation (O(diameter) rounds; log here), and exactly
+    // computable in DuckDB via gaps-and-islands window SQL.
+    "dd8_components" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val x = docs.select($"doc_id", $"lang")
+        val edges = x.as("a").join(x.as("b"),
+            col("b.doc_id") === col("a.doc_id") + 1 &&
+              col("b.lang") === col("a.lang"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        graft.operators.Components
+          .assign(docs.select($"doc_id"), "doc_id", edges, "id_a", "id_b")
+          .select($"doc_id", $"component")
+      },
+      Some("""SELECT doc_id, min(doc_id) OVER (PARTITION BY lang, grp)
+          AS component
+        FROM (SELECT doc_id, lang,
+                doc_id - ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id)
+                  AS grp
+              FROM documents)""")),
+
+    // ---- DD8 cluster-survivor selection: one canonical doc per
+    // component (the component minimum), the end-to-end dedup contract
+    // the pair queries feed. Survivor count == number of islands.
+    "dd8_cluster_survivors" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val x = docs.select($"doc_id", $"lang")
+        val edges = x.as("a").join(x.as("b"),
+            col("b.doc_id") === col("a.doc_id") + 1 &&
+              col("b.lang") === col("a.lang"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        graft.operators.Components
+          .assign(docs, "doc_id", edges, "id_a", "id_b")
+          .where($"doc_id" === $"component")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("survivors"))
+      },
+      Some("""SELECT lang, count(*) AS survivors
+        FROM (SELECT lang, doc_id,
+                min(doc_id) OVER (PARTITION BY lang, grp) AS component
+              FROM (SELECT doc_id, lang,
+                      doc_id - ROW_NUMBER() OVER
+                        (PARTITION BY lang ORDER BY doc_id) AS grp
+                    FROM documents))
+        WHERE doc_id = component GROUP BY lang"""))
   )
 }

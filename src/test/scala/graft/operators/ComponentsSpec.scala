@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Test.{check, Parameters}
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("s", "d"), "s", "d")
+      .as[(Long, Long)].collect().toMap
+
+  /** Driver-side union-find ground truth (path compression, min root). */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("chain converges to one component rooted at the minimum") {
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    val got = run(chain)
+    assert(got.size == 41 && got.values.forall(_ == 0L))
+  }
+
+  test("disjoint stars + self-loops keep separate minima") {
+    val edges = Seq((5L, 1L), (6L, 1L), (7L, 1L), // star at 1
+      (20L, 30L), (30L, 40L), // path at 20
+      (9L, 9L)) // self-loop: ignored entirely
+    val got = run(edges)
+    assert(got == Map(1L -> 1L, 5L -> 1L, 6L -> 1L, 7L -> 1L,
+      20L -> 20L, 30L -> 20L, 40L -> 20L))
+  }
+
+  test("assign labels isolated nodes as singletons") {
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val edges = Seq((1L, 3L)).toDF("s", "d")
+    val got = Components.assign(nodes, "id", edges, "s", "d")
+      .select($"id", $"component").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 4L))
+  }
+
+  test("property: matches union-find on random graphs (ScalaCheck)") {
+    val edgeGen = for {
+      a <- Gen.choose(0L, 60L); b <- Gen.choose(0L, 60L)
+    } yield (a, b)
+    val graphGen = Gen.nonEmptyListOf(edgeGen)
+    val prop = Prop.forAll(graphGen) { edges =>
+      // spark result covers exactly the nodes on a non-self-loop edge
+      val uf = unionFind(edges)
+      val nodes = edges.filter(e => e._1 != e._2)
+        .flatMap(e => Seq(e._1, e._2)).toSet
+      run(edges) == nodes.map(n => n -> uf(n)).toMap
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
