@@ -38,5 +38,7 @@ object QueryRegistry {
       queries.SamplingQueries.defs ++
       queries.SourceQueries.defs ++
       queries.ClusterQueries.defs ++
-      queries.ProfileQueries.defs
+      queries.ProfileQueries.defs ++
+      queries.AnalyticsQueries.defs ++
+      queries.PrepQueries.defs
 }

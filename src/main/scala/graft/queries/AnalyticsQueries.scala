@@ -1,0 +1,190 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave-4 analytics: the remaining classic decision-support shapes the
+  * earlier waves didn't cover — national market share (q8), profit by
+  * nation/year (q9), waiting-supplier multi-correlation (q21), and
+  * global-sales anti-join with a scalar-subquery threshold (q22).
+  * Faithful variants on the testdata's star schema: there is no
+  * partsupp table and lineitem carries no receipt/commit dates, so q9
+  * books revenue without supply cost and q21 defines "late" as shipping
+  * >60 days after the order date. All four are fully oracle-checked.
+  *
+  * Scale shapes: every dimension join (nation, region, part filter,
+  * supplier) broadcasts; only fact-fact joins (lineitem ⋈ orders) and
+  * the final groupBys shuffle. q21's classic EXISTS/NOT-EXISTS double
+  * correlation is decorrelated into ONE per-order aggregate joined
+  * back — two shuffles total instead of two extra fact-fact joins.
+  */
+object AnalyticsQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  private val rev = (ep: org.apache.spark.sql.Column,
+      d: org.apache.spark.sql.Column) =>
+    (ep * (lit(1.0) - d)).cast("decimal(24,6)")
+
+  def defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- Q8 national market share: NATION_3's share of PROMO-part
+    // revenue sold into ASIA, per order year. Share = exact decimal
+    // sums divided as doubles, rounded once (deterministic both sides).
+    "q8_market_share" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val supNation = broadcast(t(s, dir, "nation"))
+          .select($"n_nationkey".as("sn_key"), $"n_name".as("sn_name"))
+        t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part").where($"p_type" === "PROMO")),
+            $"l_partkey" === $"p_partkey")
+          .join(t(s, dir, "orders").where(
+            $"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"o_orderdate" < lit("1998-01-01").cast("timestamp")),
+            $"l_orderkey" === $"o_orderkey")
+          .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+          .join(broadcast(t(s, dir, "nation")),
+            $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(t(s, dir, "region")),
+            $"n_regionkey" === $"r_regionkey")
+          .where($"r_name" === "ASIA")
+          .join(t(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+          .join(supNation, $"s_nationkey" === $"sn_key")
+          .groupBy(year($"o_orderdate").as("o_year"))
+          .agg(round(
+            sum(when($"sn_name" === "NATION_3",
+              rev($"l_extendedprice", $"l_discount")).otherwise(lit(0)
+                .cast("decimal(24,6)"))).cast("double") /
+              sum(rev($"l_extendedprice", $"l_discount")).cast("double"),
+            6).as("mkt_share"))
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+          round(CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+              THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))
+              ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE) /
+            CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+              AS DECIMAL(24,6))) AS DOUBLE), 6) AS mkt_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY year(o_orderdate)""")),
+
+    // ---- Q9 product-type profit by supplier nation and order year
+    // (no partsupp in the schema: profit = discounted revenue)
+    "q9_profit" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part")
+            .where($"p_name".like("%widget%"))),
+            $"l_partkey" === $"p_partkey")
+          .join(t(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+          .join(broadcast(t(s, dir, "nation")),
+            $"s_nationkey" === $"n_nationkey")
+          .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+          .groupBy($"n_name".as("nation"), year($"o_orderdate").as("o_year"))
+          .agg(sum(rev($"l_extendedprice", $"l_discount")).as("profit"))
+      },
+      Some("""SELECT n_name AS nation,
+          CAST(year(o_orderdate) AS INT) AS o_year,
+          sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6)))
+            AS profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY n_name, year(o_orderdate)""")),
+
+    // ---- Q21 waiting suppliers: on finished multi-supplier orders,
+    // suppliers who were the ONLY one to ship late (>60 days after the
+    // order date). The classic EXISTS (another supplier) + NOT EXISTS
+    // (another late supplier) double correlation is decorrelated into a
+    // single per-order aggregate — n_supp and n_late_supp — joined back
+    // to the late lines: one fact-fact aggregate instead of two more
+    // lineitem self-joins, the shape that survives 100 TB.
+    "q21_waiting_supplier" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val l = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders").where($"o_orderstatus" === "F"),
+            $"l_orderkey" === $"o_orderkey")
+          .withColumn("late",
+            $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+        val perOrder = l.groupBy($"l_orderkey".as("po_orderkey"))
+          .agg(countDistinct($"l_suppkey").as("n_supp"),
+            countDistinct(when($"late", $"l_suppkey")).as("n_late_supp"))
+          .where($"n_supp" > 1 && $"n_late_supp" === 1)
+        l.where($"late")
+          .join(perOrder, $"l_orderkey" === $"po_orderkey")
+          .join(t(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+          .groupBy($"s_name")
+          .agg(countDistinct($"l_orderkey").as("numwait"))
+          .orderBy($"numwait".desc, $"s_name".asc)
+          .limit(20)
+      },
+      Some("""WITH l AS (
+          SELECT l_orderkey, l_suppkey,
+            l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'),
+        per_order AS (
+          SELECT l_orderkey AS po_orderkey,
+            count(DISTINCT l_suppkey) AS n_supp,
+            count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+          FROM l GROUP BY l_orderkey)
+        SELECT s_name, count(DISTINCT l_orderkey) AS numwait
+        FROM l
+        JOIN per_order ON l_orderkey = po_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE late AND n_supp > 1 AND n_late_supp = 1
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name ASC LIMIT 20""")),
+
+    // ---- Q22 global sales opportunity: well-funded customers (above
+    // the average positive balance — a broadcast scalar subquery) in
+    // selected nations with no order since 1999 (anti join against the
+    // distinct recent-customer set). Every customer here HAS historic
+    // orders, so the recency cut is what makes the anti side real.
+    "q22_global_sales" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val cust = t(s, dir, "customer")
+          .where($"c_nationkey".isin(1, 3, 5, 7, 9, 11, 13))
+        val avgBal = cust.where($"c_acctbal" > 0)
+          .agg(avg($"c_acctbal").as("__avg_bal"))
+        val recent = t(s, dir, "orders")
+          .where($"o_orderdate" >= lit("1999-01-01").cast("timestamp"))
+          .select($"o_custkey").distinct()
+        cust.crossJoin(broadcast(avgBal))
+          .where($"c_acctbal" > $"__avg_bal")
+          .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+          .groupBy($"c_nationkey".cast("int").as("cntrycode"))
+          .agg(count(lit(1)).as("numcust"),
+            sum($"c_acctbal".cast("decimal(18,4)")).as("totacctbal"))
+      },
+      Some("""SELECT CAST(c_nationkey AS INT) AS cntrycode,
+          count(*) AS numcust,
+          sum(CAST(c_acctbal AS DECIMAL(18,4))) AS totacctbal
+        FROM customer
+        WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+          AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+            WHERE c_acctbal > 0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+          AND NOT EXISTS (SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY c_nationkey"""))
+  )
+}
