@@ -123,6 +123,35 @@ object SamplingQueries {
               $"exact_distinct" * 0.05).as("within_5pct"))
       },
       Some("""SELECT count(DISTINCT l_partkey) AS exact_distinct,
-        CAST(TRUE AS BOOLEAN) AS within_5pct FROM lineitem"""))
+        CAST(TRUE AS BOOLEAN) AS within_5pct FROM lineitem""")),
+
+    // ---- SP5 balanced domain mixture: downsample every lang to the
+    // smallest lang's size (uniform mixing weights), deterministically —
+    // keep the lowest-doc_id rows per lang. One window shuffle on lang
+    // plus a broadcast scalar; at 100 TB the same shape holds (the
+    // min-count is a control-plane scalar, the per-group rank rides a
+    // single hash partitioning). Deterministic rank-based selection
+    // replaces rand()-based sampleBy so the result is oracle-exact.
+    "sp5_balanced_mix" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val minN = docs.groupBy($"lang").agg(count(lit(1)).as("__n"))
+          .agg(min($"__n").as("__min_n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang").orderBy($"doc_id".asc)
+        docs.withColumn("__rn", row_number().over(w))
+          .crossJoin(broadcast(minN))
+          .where($"__rn" <= $"__min_n")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("kept"), max($"doc_id").as("max_kept_id"))
+      },
+      Some("""WITH ranked AS (SELECT lang, doc_id,
+          row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+          FROM documents),
+        m AS (SELECT min(n) AS min_n FROM
+          (SELECT count(*) AS n FROM documents GROUP BY lang))
+        SELECT lang, count(*) AS kept, max(doc_id) AS max_kept_id
+        FROM ranked, m WHERE rn <= min_n GROUP BY lang"""))
   )
 }

@@ -92,7 +92,25 @@ object SimilarityQueries {
         Similarity.ivfTopK(indexed, "embedding", "vec_id", q,
           codebook, nprobe = 16, k = 10)
       },
-      Some(bruteForceSql))
+      Some(bruteForceSql)),
+
+    // ---- EMB1 per-label centroids (the k-means E-step / class-
+    // prototype shape): posexplode each vector once, ONE hash shuffle
+    // on (label, dim), elementwise mean. Never collects vectors — the
+    // reduction is distributed over dims, so a 10^9-vector corpus
+    // aggregates into label_count × dim cells regardless of row count.
+    "emb1_label_centroids" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "embeddings")
+          .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+          .groupBy($"label", $"dim")
+          .agg(round(avg($"v".cast("double")), 6).as("centroid"))
+      },
+      Some("""SELECT label, CAST(i - 1 AS INT) AS dim,
+          round(avg(embedding[i]::DOUBLE), 6) AS centroid
+        FROM embeddings, range(1, 65) t(i)
+        GROUP BY label, i"""))
   )
 
   /** Exact cosine top-10 in DuckDB (double-precision arithmetic spelled

@@ -124,6 +124,33 @@ object TextQueries {
         SELECT lang, count(*) AS docs,
           CAST(sum(n_chars) AS BIGINT) AS total_chars,
           round(avg(n_chars), 2) AS avg_chars
-        FROM deduped GROUP BY lang"""))
+        FROM deduped GROUP BY lang""")),
+
+    // ---- TX6 within-document repetition ratio (Gopher-style quality
+    // gate): 1 - distinct/total 3-grams. High ratio = boilerplate /
+    // looped text. Narrow per-row arithmetic, no shuffle at all.
+    "tx6_repetition" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val toks = graft.functions.TextFunctions.tokens(lower($"text"))
+        val total = greatest(size(toks) - 2, lit(0))
+        val distinct3 =
+          size(graft.functions.TextFunctions.shinglesFromTokens(toks, 3))
+        t(s, dir, "documents")
+          .select($"doc_id", total.as("total_3grams"),
+            round(lit(1.0) - distinct3.cast("double") /
+              greatest(total, lit(1)).cast("double"), 6).as("rep_ratio"))
+      },
+      Some("""SELECT doc_id,
+          CAST(greatest(len(string_split_regex(lower(text), '\s+')) - 2, 0)
+            AS INT) AS total_3grams,
+          round(1.0 - len(list_distinct(list_transform(
+              range(1, len(string_split_regex(lower(text), '\s+')) - 1),
+              i -> string_split_regex(lower(text), '\s+')[i] || ' ' ||
+                   string_split_regex(lower(text), '\s+')[i+1] || ' ' ||
+                   string_split_regex(lower(text), '\s+')[i+2])))::DOUBLE /
+            greatest(len(string_split_regex(lower(text), '\s+')) - 2, 1),
+            6) AS rep_ratio
+        FROM documents"""))
   )
 }
