@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.mutable
+
+/** Versioned snapshot tables over parquet — manifest-based commits with
+  * time travel, the transaction-log discipline the reference gets from
+  * Delta (`Ingest:305` writes Delta precisely for atomic overwrites and
+  * history). Layout:
+  *
+  * {{{
+  *   <table>/data/<uuid>/part-*.parquet   immutable data segments
+  *   <table>/_graft_log/<N>.manifest      commit N: mode + file list
+  * }}}
+  *
+  * The MANIFEST RENAME is the commit point: data segments are written
+  * first under a fresh uuid dir (invisible — readers only open files a
+  * manifest names), then the manifest is staged hidden and renamed into
+  * place. HDFS/local rename-without-overwrite is atomic, so a crash at
+  * any step leaves either the old latest version or the new one — never
+  * a torn table; orphaned segments are swept by [[vacuum]]. Concurrent
+  * committers race on the rename and the loser RETRIES against the new
+  * latest (optimistic concurrency, Delta-style).
+  *
+  * Readers resolve a manifest (latest or pinned) and read its explicit
+  * file list — no directory globbing, so read planning is O(manifest)
+  * rather than O(listing 100 TB of dirs), and historic versions stay
+  * readable until vacuumed.
+  */
+object Versioned {
+
+  private val LogDir = "_graft_log"
+
+  /** Commit `df` as the next version. `mode` is "overwrite" (snapshot =
+    * just these files) or "append" (snapshot = previous latest's files +
+    * these). Returns the committed version number. */
+  def commit(df: DataFrame, table: String, mode: String = "overwrite"): Long = {
+    require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
+    val spark = df.sparkSession
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val uuid = java.util.UUID.randomUUID().toString
+    val segDir = new Path(root, s"data/$uuid")
+    df.write.parquet(segDir.toString)
+    val newFiles = listParquet(fs, segDir).map(relativize(root, _))
+
+    var committed = -1L
+    while (committed < 0) {
+      val base = latestVersion(fs, root)
+      val target = base.map(_ + 1).getOrElse(0L)
+      val prevFiles =
+        if (mode == "append") base.toSeq.flatMap(v => readManifest(fs, root, v))
+        else Nil
+      val lines = (prevFiles ++ newFiles).mkString("\n")
+      val tmp = new Path(root, s"$LogDir/.tmp-$uuid")
+      val out = fs.create(tmp, true)
+      try out.write(lines.getBytes("UTF-8")) finally out.close()
+      // atomic commit point; a concurrent winner makes rename fail ->
+      // loop re-reads the new latest and retries one version higher
+      if (fs.rename(tmp, new Path(root, s"$LogDir/$target.manifest")))
+        committed = target
+      else fs.delete(tmp, false)
+    }
+    committed
+  }
+
+  /** Read a version (default: latest). Historic versions stay readable
+    * until [[vacuum]] drops their manifests. */
+  def read(spark: SparkSession, table: String,
+      version: Option[Long] = None): DataFrame = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = version.orElse(latestVersion(fs, root)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    val files = readManifest(fs, root, v)
+      .map(rel => new Path(root, rel).toString)
+    require(files.nonEmpty, s"version $v of $table is empty")
+    spark.read.option("mergeSchema", "true").parquet(files: _*)
+  }
+
+  /** Committed versions, ascending. Unparseable / staged-hidden names
+    * are ignored (a crashed committer's temp file is not a version). */
+  def versions(spark: SparkSession, table: String): Seq[Long] = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listVersions(fs, root)
+  }
+
+  /** Drop all but the `keepLast` newest versions: their manifests go
+    * first (making the versions unreadable), then any data segment dir
+    * no surviving manifest references. Survivors keep their exact
+    * files, so latest-version reads are untouched. */
+  def vacuum(spark: SparkSession, table: String, keepLast: Int = 1): Unit = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all = listVersions(fs, root)
+    val (drop, keep) = all.splitAt(math.max(0, all.size - keepLast))
+    drop.foreach(v => fs.delete(new Path(root, s"$LogDir/$v.manifest"), false))
+    val live = mutable.Set.empty[String] // live segment dir names (uuid)
+    keep.foreach(v => readManifest(fs, root, v).foreach { rel =>
+      live += rel.split('/')(1) // data/<uuid>/part-... -> uuid
+    })
+    val dataRoot = new Path(root, "data")
+    if (fs.exists(dataRoot)) fs.listStatus(dataRoot).foreach { st =>
+      if (st.isDirectory && !live.contains(st.getPath.getName))
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  private def listVersions(fs: FileSystem, root: Path): Seq[Long] = {
+    val dir = new Path(root, LogDir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.endsWith(".manifest") =>
+        n.stripSuffix(".manifest")
+      }
+      .flatMap(n => scala.util.Try(n.toLong).toOption)
+      .sorted
+  }
+
+  private def latestVersion(fs: FileSystem, root: Path): Option[Long] =
+    listVersions(fs, root).lastOption
+
+  private def readManifest(fs: FileSystem, root: Path, v: Long): Seq[String] = {
+    val p = new Path(root, s"$LogDir/$v.manifest")
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  private def listParquet(fs: FileSystem, dir: Path): Seq[String] =
+    fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+
+  private def relativize(root: Path, abs: String): String = {
+    val r = root.toUri.getPath
+    val a = new Path(abs).toUri.getPath
+    require(a.startsWith(r), s"$a not under $r")
+    a.stripPrefix(r).stripPrefix("/")
+  }
+}

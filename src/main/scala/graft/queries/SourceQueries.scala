@@ -51,6 +51,41 @@ object SourceQueries {
         s.read.schema(schema)
           .json(staged(s, dir, "supplier", "json"))
       },
-      Some("SELECT * FROM supplier"))
+      Some("SELECT * FROM supplier")),
+
+    // ---- VT1 versioned snapshots + time travel (operators.Versioned —
+    // the manifest-log discipline the reference gets from Delta):
+    // v0 = pre-1997 lineitem, v1 = v0 + 1997 appended, v2 = an
+    // unrelated overwrite. Reading each PINNED version back proves
+    // historic versions survive later commits; counts are closed-form.
+    "vt1_time_travel" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_quantity", $"l_shipdate", $"l_returnflag")
+        val table = java.nio.file.Files
+          .createTempDirectory("vt1").toString + "/t"
+        graft.operators.Versioned.commit(
+          li.where($"l_shipdate" < lit("1997-01-01").cast("timestamp")),
+          table)
+        graft.operators.Versioned.commit(
+          li.where($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1998-01-01").cast("timestamp")),
+          table, "append")
+        graft.operators.Versioned.commit(
+          li.where($"l_returnflag" === "R"), table, "overwrite")
+        Seq(0L, 1L, 2L).map { v =>
+          graft.operators.Versioned.read(s, table, Some(v))
+            .agg(count(lit(1)).as("n_rows"))
+            .select(lit(v.toInt).as("version"), $"n_rows")
+        }.reduce(_.unionByName(_))
+      },
+      Some("""SELECT CAST(0 AS INT) AS version, count(*) AS n_rows
+          FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
+        UNION ALL
+        SELECT 1, count(*) FROM lineitem
+          WHERE l_shipdate < TIMESTAMP '1998-01-01'
+        UNION ALL
+        SELECT 2, count(*) FROM lineitem WHERE l_returnflag = 'R'"""))
   )
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+
+class VersionedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fsOf(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("overwrite/append commits; every historic version stays readable") {
+    val t = tmpDir("vers") + "/t"
+    val v0 = Versioned.commit(Seq((1, "a"), (2, "b")).toDF("k", "v"), t)
+    val v1 = Versioned.commit(Seq((3, "c")).toDF("k", "v"), t, "append")
+    val v2 = Versioned.commit(Seq((9, "z")).toDF("k", "v"), t, "overwrite")
+    assert((v0, v1, v2) == (0L, 1L, 2L))
+    assert(Versioned.versions(spark, t) == Seq(0L, 1L, 2L))
+    assert(Versioned.read(spark, t, Some(0)).count() == 2)
+    assert(Versioned.read(spark, t, Some(1)).count() == 3)
+    assert(Versioned.read(spark, t).as[(Int, String)].collect().toSet ==
+      Set((9, "z")))
+  }
+
+  test("uncommitted segments and temp manifests are invisible to readers") {
+    val t = tmpDir("vers") + "/t"
+    Versioned.commit(Seq((1, "a")).toDF("k", "v"), t)
+    val fs = fsOf(t)
+    // crashed committer: data segment written, manifest never renamed
+    Seq((99, "orphan")).toDF("k", "v")
+      .write.parquet(s"$t/data/dead-segment")
+    val tmp = new Path(s"$t/_graft_log/.tmp-dead")
+    val out = fs.create(tmp, true)
+    try out.write("data/dead-segment/garbage.parquet".getBytes) finally out.close()
+    assert(Versioned.versions(spark, t) == Seq(0L))
+    assert(Versioned.read(spark, t).count() == 1)
+  }
+
+  test("losing a commit race retries onto the next version (no clobber)") {
+    val t = tmpDir("vers") + "/t"
+    Versioned.commit(Seq((1, "a")).toDF("k", "v"), t)
+    val fs = fsOf(t)
+    // another writer already owns version 1
+    val winner = new Path(s"$t/_graft_log/1.manifest")
+    val out = fs.create(winner, false)
+    try out.write("".getBytes) finally out.close()
+    // bogus empty manifest: readers of v1 fail, but the next commit
+    // must land at v2 without overwriting v1
+    val v = Versioned.commit(Seq((2, "b")).toDF("k", "v"), t, "overwrite")
+    assert(v == 2L)
+    assert(Versioned.read(spark, t, Some(2)).count() == 1)
+  }
+
+  test("vacuum drops old versions' manifests and unreferenced segments, " +
+    "survivors keep exact files") {
+    val t = tmpDir("vers") + "/t"
+    Versioned.commit(Seq((1, "a")).toDF("k", "v"), t)
+    Versioned.commit(Seq((2, "b")).toDF("k", "v"), t, "append")
+    Versioned.commit(Seq((3, "c")).toDF("k", "v"), t, "overwrite")
+    val fs = fsOf(t)
+    Versioned.vacuum(spark, t, keepLast = 1)
+    assert(Versioned.versions(spark, t) == Seq(2L))
+    // v2's single segment survives; v0/v1 segments are gone
+    val segs = fs.listStatus(new Path(s"$t/data")).filter(_.isDirectory)
+    assert(segs.length == 1, segs.map(_.getPath.getName).mkString(","))
+    assert(Versioned.read(spark, t).as[(Int, String)].collect().toSet ==
+      Set((3, "c")))
+  }
+
+  test("append after vacuum builds on the surviving latest") {
+    val t = tmpDir("vers") + "/t"
+    Versioned.commit(Seq((1, "a")).toDF("k", "v"), t)
+    Versioned.commit(Seq((2, "b")).toDF("k", "v"), t, "append")
+    Versioned.vacuum(spark, t, keepLast = 1)
+    Versioned.commit(Seq((3, "c")).toDF("k", "v"), t, "append")
+    assert(Versioned.read(spark, t).as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "b"), (3, "c")))
+  }
+}

@@ -114,6 +114,33 @@ class PlanSpec extends SparkSpec {
     assert(pruned.count() == 1)
   }
 
+  test("q8's six dimension joins all broadcast (no dim ever shuffles)") {
+    val p = planOf("q8_market_share")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q21's EXISTS/NOT-EXISTS correlation planned without nested loops") {
+    val p = planOf("q21_waiting_supplier")
+    assert(!p.contains("NestedLoop"),
+      "correlation fell back to a nested-loop join:\n" + p)
+    // the decorrelated per-order aggregate is a real aggregate, and the
+    // late-line probe joins against it with a hash join
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("dc1's eval-gram side broadcasts into a semi-join (corpus never " +
+    "shuffles against the eval set)") {
+    val p = planOf("dc1_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+
+  test("emb1 centroid reduction is one hash shuffle on (label, dim)") {
+    val p = planOf("emb1_label_centroids")
+    assert(p.contains("hashpartitioning(label"), p)
+    assert(p.contains("partial_avg") || p.contains("partial"),
+      "centroid avg not map-side partial:\n" + p)
+  }
+
   test("a selective shuffle join injects a runtime bloom filter on the " +
     "probe side (the 100 TB fact-fact pruning path)") {
     // child session: force the shuffle-join path (no broadcast) and
