@@ -46,11 +46,14 @@ object Bench {
         errors.remove(name)
       } catch {
         case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+          // Never let a late transient failure discard a valid earlier
+          // timing: a name is an error only if NO pass ever timed it.
+          if (!best.contains(name))
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
       }
     }
-    val results = (best -- errors.keys).toMap
+    val results = best.toMap
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def qsJson(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
