@@ -40,5 +40,6 @@ object QueryRegistry {
       queries.ClusterQueries.defs ++
       queries.ProfileQueries.defs ++
       queries.AnalyticsQueries.defs ++
-      queries.PrepQueries.defs
+      queries.PrepQueries.defs ++
+      queries.CurationQueries.defs
 }

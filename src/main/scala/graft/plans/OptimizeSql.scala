@@ -18,15 +18,18 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   *   OPTIMIZE t ZORDER BY (c1, c2) [INTO n FILES]   -- Morton clustering
   *   OPTIMIZE t COMPACT [INTO n FILES]              -- small-file rewrite
+  *   VACUUM '<path>' RETAIN n VERSIONS              -- snapshot retention
   *
-  * Anything not starting with OPTIMIZE goes to the delegate parser
-  * untouched, so the extension cannot perturb normal SQL. */
+  * Anything not starting with OPTIMIZE/VACUUM goes to the delegate
+  * parser untouched, so the extension cannot perturb normal SQL. */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   import GraftSqlParser._
 
   override def parsePlan(sqlText: String): LogicalPlan =
     if (optimizePrefix.matcher(sqlText).lookingAt())
       parseOptimize(sqlText)
+    else if (vacuumPrefix.matcher(sqlText).lookingAt())
+      parseVacuum(sqlText)
     else delegate.parsePlan(sqlText)
 
   override def parseExpression(sqlText: String): Expression =
@@ -62,6 +65,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       "FILES] or OPTIMIZE <table> COMPACT [INTO n FILES]")
   }
 
+  /** `VACUUM '<path>' RETAIN <n> VERSIONS` — retention cleanup for
+    * [[graft.operators.Versioned]] snapshot tables (Delta's VACUUM,
+    * version-count-based instead of hour-based: manifests beyond the
+    * newest n go first, then unreferenced data segment dirs). */
+  private def parseVacuum(sqlText: String): LogicalPlan = {
+    val v = vacuumStmt.matcher(sqlText)
+    if (v.matches())
+      return VacuumVersionedCommand(v.group(1), v.group(2).toInt)
+    fail(sqlText, "expected VACUUM '<path>' RETAIN <n> VERSIONS")
+  }
+
   /** Malformed OPTIMIZE: let the DELEGATE produce the ParseException
     * (OPTIMIZE is not in Spark's grammar), so error shape/metadata match
     * every other syntax error the user sees. */
@@ -80,6 +94,32 @@ object GraftSqlParser {
   private val compactStmt = java.util.regex.Pattern.compile(
     """(?is)\s*OPTIMIZE\s+([\w.`]+)\s+COMPACT""" +
       """(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?\s*""")
+  private val vacuumPrefix =
+    java.util.regex.Pattern.compile("""\s*(?i:VACUUM)\b""")
+  private val vacuumStmt = java.util.regex.Pattern.compile(
+    """(?is)\s*VACUUM\s+'([^']+)'\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""")
+}
+
+/** Eagerly-executed VACUUM over a Versioned snapshot table: drops all
+  * but the newest `keepLast` versions, then sweeps data segments no
+  * surviving manifest references. Returns (versions_kept,
+  * versions_dropped) as a single row. */
+case class VacuumVersionedCommand(path: String, keepLast: Int)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.LongType
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("versions_kept", LongType, nullable = false)(),
+      AttributeReference("versions_dropped", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(keepLast >= 1, "VACUUM must retain at least 1 version")
+    val before = graft.operators.Versioned.versions(spark, path).size
+    graft.operators.Versioned.vacuum(spark, path, keepLast)
+    val after = graft.operators.Versioned.versions(spark, path).size
+    Seq(Row(after.toLong, (before - after).toLong))
+  }
 }
 
 /** Eagerly-executed OPTIMIZE: rewrites the table's files (z-order

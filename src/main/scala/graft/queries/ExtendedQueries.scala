@@ -162,6 +162,65 @@ object ExtendedQueries {
         array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys
         FROM orders GROUP BY o_custkey""")),
 
+    // ---- A19 CUBE: all four grouping combinations in one pass (the
+    // one grouping-set shape a9/a11 don't cover). Same single-shuffle
+    // expand plan as rollup; decimal sum for order-independence.
+    "a19_cube" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .cube($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"),
+            sum($"l_quantity".cast("decimal(24,6)")).as("sum_qty"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+        sum(CAST(l_quantity AS DECIMAL(24,6))) AS sum_qty
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""")),
+
+    // ---- A20 histogram: fixed-width price binning (10k-wide buckets,
+    // clamped top bucket). Closed-form bucket arithmetic — exact double
+    // division of 2dp values — so the full histogram is hash-checked.
+    "a20_histogram" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val bucket = least(floor($"l_extendedprice" / 10000.0), lit(10.0))
+          .cast("int")
+        t(s, dir, "lineitem")
+          .groupBy(bucket.as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            round(min($"l_extendedprice"), 2).as("lo"),
+            round(max($"l_extendedprice"), 2).as("hi"))
+      },
+      Some("""SELECT CAST(least(floor(l_extendedprice / 10000.0), 10)
+          AS INT) AS bucket, count(*) AS n,
+          round(min(l_extendedprice), 2) AS lo,
+          round(max(l_extendedprice), 2) AS hi
+        FROM lineitem GROUP BY 1""")),
+
+    // ---- AQ1 approximate quantiles with a checked error bound: the
+    // GK-sketch p50/p90/p99 (accuracy 10000) must sit within ±1% true
+    // rank of the exact quantile — the pf2 device: the ORACLE asserts
+    // the bound holds (TRUE rows), the sketch internals stay Spark-side.
+    // One pass + a tiny broadcast of the three approx values.
+    "aq1_approx_quantile" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+        val approx = li.agg(percentile_approx($"l_extendedprice",
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("qs"))
+        Seq(0.5, 0.9, 0.99).zipWithIndex.map { case (q, i) =>
+          val v = element_at(col("qs"), i + 1)
+          li.crossJoin(broadcast(approx))
+            .agg((abs(sum(($"l_extendedprice" <= v).cast("long"))
+              / count(lit(1)).cast("double") - q)
+              <= 0.01).as("within_1pct_rank"))
+            .select(lit(q).as("q"), $"within_1pct_rank")
+        }.reduce(_.unionByName(_))
+      },
+      Some(Seq(0.5, 0.9, 0.99).map(q =>
+        s"SELECT CAST($q AS DOUBLE) AS q, TRUE AS within_1pct_rank")
+        .mkString(" UNION ALL "))),
+
     // ---- Q17-style correlated scalar subquery: lineitems below 20% of
     // their part's average quantity. Spark decorrelates the subquery
     // into an aggregate + join (no per-row re-execution) — assert-able

@@ -160,6 +160,40 @@ object PipelineQueries {
     // after-version is derived deterministically from orders (drop
     // keys %97, bump price on %101, insert shifted copies of %103);
     // the diff's per-change-type counts are closed-form in SQL
+    // ---- IM1 incrementally-maintained materialized aggregate: fold
+    // two date-range chunks into a per-(year, priority) rollup table
+    // partitioned by year — the second fold touches only the 1996+
+    // partitions (partition-pruned read + partition-scoped swap). The
+    // oracle is a FULL recompute: incremental maintenance must be
+    // indistinguishable from one-shot aggregation (decimal sums make
+    // partial-of-partial re-summation exact, order-independent).
+    "im1_incremental_agg" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        // fresh dir per invocation: the fold is NOT idempotent (counts
+        // would double on a re-run over the same table)
+        val path = java.nio.file.Files.createTempDirectory("im1_agg")
+          .toString + "/orders_rollup"
+        val cut = lit("1996-01-01").cast("timestamp")
+        def proj(df: org.apache.spark.sql.DataFrame) = df.select(
+          year($"o_orderdate").as("o_year"),
+          $"o_orderpriority".as("prio"),
+          $"o_totalprice".cast("decimal(24,6)").as("price"))
+        val orders = t(s, dir, "orders")
+        Seq(proj(orders.where($"o_orderdate" < cut)),
+            proj(orders.where($"o_orderdate" >= cut)))
+          .foreach(chunk => graft.operators.IncrementalAgg.upsert(
+            s, path, chunk, Seq("o_year", "prio"), "n_orders",
+            Seq("price" -> "sum_price"), partitionKeys = Seq("o_year")))
+        s.read.parquet(path)
+          .select($"o_year".cast("int").as("o_year"), $"prio",
+            $"n_orders", $"sum_price")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+          o_orderpriority AS prio, count(*) AS n_orders,
+          sum(CAST(o_totalprice AS DECIMAL(24,6))) AS sum_price
+        FROM orders GROUP BY 1, 2""")),
+
     "cd1_snapshot_diff" -> QueryDef(
       (s, dir) => {
         import s.implicits._

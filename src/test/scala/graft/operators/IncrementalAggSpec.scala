@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+class IncrementalAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(n: Int, tag: String) =
+    (1 to n).map(i => (i % 5, s"g${i % 3}", tag, i.toLong))
+      .toDF("part", "grp", "tag", "v")
+      .withColumn("v", $"v".cast("decimal(20,4)"))
+
+  test("three incremental folds equal a one-shot aggregate exactly") {
+    val path = tmpDir("incr") + "/agg"
+    val chunks = Seq(rows(40, "a"), rows(25, "b"), rows(33, "c"))
+    chunks.foreach(c => IncrementalAgg.upsert(spark, path, c,
+      Seq("part", "grp"), "n", Seq("v" -> "sum_v"),
+      partitionKeys = Seq("part")))
+    val got = spark.read.parquet(path)
+      .select($"part".cast("int"), $"grp", $"n", $"sum_v")
+      .as[(Int, String, Long, BigDecimal)].collect().toSet
+    val want = chunks.reduce(_ unionByName _)
+      .groupBy($"part", $"grp")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sum_v"))
+      .select($"part".cast("int"), $"grp", $"n",
+        $"sum_v".cast("decimal(30,4)"))
+      .as[(Int, String, Long, BigDecimal)].collect().toSet
+    assert(got.map(t => (t._1, t._2, t._3, t._4.bigDecimal.stripTrailingZeros)) ==
+      want.map(t => (t._1, t._2, t._3, t._4.bigDecimal.stripTrailingZeros)))
+  }
+
+  test("a fold that misses a partition leaves its files untouched") {
+    val path = tmpDir("incr") + "/agg"
+    IncrementalAgg.upsert(spark, path, rows(40, "a"),
+      Seq("part", "grp"), "n", Seq("v" -> "sum_v"), Seq("part"))
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def filesOf(p: Int) =
+      fs.listStatus(new Path(s"$path/part=$p"))
+        .map(s => (s.getPath.getName, s.getLen, s.getModificationTime)).toSet
+    val before = filesOf(3)
+    // second chunk only touches part 0 and 1
+    val chunk2 = rows(40, "b").where($"part" < 2)
+    IncrementalAgg.upsert(spark, path, chunk2,
+      Seq("part", "grp"), "n", Seq("v" -> "sum_v"), Seq("part"))
+    assert(filesOf(3) == before, "untouched partition was rewritten")
+    // touched group really combined: (part 0, g0) = i ∈ {15, 30} in
+    // each chunk → 2 + 2 rows after the fold
+    val n0 = spark.read.parquet(path)
+      .where($"part" === 0 && $"grp" === "g0").select($"n")
+      .as[Long].head()
+    assert(n0 == 4, s"expected combined count 4, got $n0")
+  }
+
+  test("unpartitioned aggregate table folds via staged overwrite") {
+    val path = tmpDir("incr") + "/agg"
+    Seq(rows(10, "a"), rows(10, "b")).foreach(c =>
+      IncrementalAgg.upsert(spark, path, c,
+        Seq("grp"), "n", Seq("v" -> "sum_v")))
+    val got = spark.read.parquet(path)
+      .agg(sum($"n")).as[Long].head()
+    assert(got == 20L)
+  }
+}

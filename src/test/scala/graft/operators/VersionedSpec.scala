@@ -76,4 +76,22 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.read(spark, t).as[(Int, String)].collect().toSet ==
       Set((1, "a"), (2, "b"), (3, "c")))
   }
+
+  test("SQL VACUUM ... RETAIN n VERSIONS runs retention and reports " +
+    "kept/dropped; other statements still parse") {
+    val t = tmpDir("vers") + "/t"
+    Versioned.commit(Seq((1, "a")).toDF("k", "v"), t)
+    Versioned.commit(Seq((2, "b")).toDF("k", "v"), t, "append")
+    Versioned.commit(Seq((3, "c")).toDF("k", "v"), t, "overwrite")
+    val row = spark.sql(s"VACUUM '$t' RETAIN 2 VERSIONS").collect()
+    assert(row.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 1L)))
+    assert(Versioned.versions(spark, t) == Seq(1L, 2L))
+    assert(Versioned.read(spark, t, Some(1)).count() == 2)
+    // delegate passthrough unaffected
+    assert(spark.sql("SELECT 1 AS one").collect().head.getInt(0) == 1)
+    // malformed VACUUM surfaces the delegate's ParseException
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql(s"VACUUM '$t' KEEP 2")
+    }
+  }
 }

@@ -162,4 +162,36 @@ class PlanSpec extends SparkSpec {
       "no runtime bloom filter in optimized plan:\n" + p)
     assert(joined.count() > 0)
   }
+
+  test("tx7 PII scrub is a pure projection — no Exchange anywhere") {
+    val p = planOf("tx7_pii_scrub")
+    assert(!p.contains("Exchange"), "scrub should not shuffle:\n" + p)
+  }
+
+  test("ch1 chunking is generate-only — no Exchange anywhere") {
+    val p = planOf("ch1_token_chunks")
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Exchange"), "chunking should not shuffle:\n" + p)
+  }
+
+  test("dd9 paragraph window shuffles on paragraph text, then doc_id") {
+    val p = planOf("dd9_paragraph_dedup")
+    assert(p.contains("hashpartitioning(para"), p)
+    assert(p.contains("hashpartitioning(doc_id"), p)
+  }
+
+  test("ir1 corpus stats broadcast into the scoring pass (no shuffle " +
+    "of the document side)") {
+    val p = planOf("ir1_bm25")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("sp6 per-lang targets broadcast; docs shuffle once for the rank " +
+    "window") {
+    val p = planOf("sp6_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("hashpartitioning(lang"), p)
+  }
 }
