@@ -3,6 +3,8 @@ package graft.operators
 import graft.SparkSpec
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Test.{check, Parameters}
 
 class IncrementalAggSpec extends SparkSpec {
   import spark.implicits._
@@ -52,6 +54,42 @@ class IncrementalAggSpec extends SparkSpec {
       .where($"part" === 0 && $"grp" === "g0").select($"n")
       .as[Long].head()
     assert(n0 == 4, s"expected combined count 4, got $n0")
+  }
+
+  test("property: ANY chunking of the input folds to the one-shot " +
+    "aggregate (count + decimal sum, every group)") {
+    // rows are (key, value); a chunking is a list of cut points — the
+    // fold order and chunk sizes must never matter
+    val rowsGen = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 6), Gen.choose(-50, 50)))
+    val gen = for {
+      rs <- rowsGen
+      nCuts <- Gen.choose(0, 4)
+      cuts <- Gen.listOfN(nCuts, Gen.choose(0, rs.size))
+    } yield (rs, cuts.sorted)
+    val prop = Prop.forAll(gen) { case (rs, cuts) =>
+      val path = tmpDir("incrprop") + "/agg"
+      val bounds = (0 +: cuts :+ rs.size).distinct.sorted
+      val chunks = bounds.zip(bounds.tail)
+        .map { case (a, b) => rs.slice(a, b) }
+        .filter(_.nonEmpty)
+      chunks.foreach { ch =>
+        val df = ch.toDF("k", "v")
+          .withColumn("v", $"v".cast("decimal(20,2)"))
+        IncrementalAgg.upsert(spark, path, df,
+          Seq("k"), "n", Seq("v" -> "sum_v"))
+      }
+      val got = spark.read.parquet(path)
+        .select($"k", $"n", $"sum_v".cast("decimal(30,2)"))
+        .as[(Int, Long, BigDecimal)].collect()
+        .map(t => (t._1, t._2, t._3.bigDecimal.stripTrailingZeros)).toSet
+      val want = rs.groupBy(_._1).map { case (k, vs) =>
+        (k, vs.size.toLong,
+          new java.math.BigDecimal(vs.map(_._2).sum).stripTrailingZeros)
+      }.toSet
+      got == want
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("unpartitioned aggregate table folds via staged overwrite") {
