@@ -34,9 +34,17 @@ object Versioned {
 
   /** Commit `df` as the next version. `mode` is "overwrite" (snapshot =
     * just these files) or "append" (snapshot = previous latest's files +
-    * these). Returns the committed version number. */
-  def commit(df: DataFrame, table: String, mode: String = "overwrite"): Long = {
+    * these). `meta` key/values ride the manifest as `#k=v` header lines
+    * — committed ATOMICALLY with the file list (the one rename), which
+    * is what lets a streaming sink record "this version folded batch N"
+    * with no window where the data and the marker disagree. Returns the
+    * committed version number. */
+  def commit(df: DataFrame, table: String, mode: String = "overwrite",
+      meta: Map[String, String] = Map.empty): Long = {
     require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
+    require(meta.forall { case (k, v) =>
+      !k.contains('\n') && !k.contains('=') && !v.contains('\n') },
+      "meta keys must be '='-free and keys/values single-line")
     val spark = df.sparkSession
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -52,7 +60,8 @@ object Versioned {
       val prevFiles =
         if (mode == "append") base.toSeq.flatMap(v => readManifest(fs, root, v))
         else Nil
-      val lines = (prevFiles ++ newFiles).mkString("\n")
+      val metaLines = meta.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
+      val lines = (metaLines ++ prevFiles ++ newFiles).mkString("\n")
       val tmp = new Path(root, s"$LogDir/.tmp-$uuid")
       val out = fs.create(tmp, true)
       try out.write(lines.getBytes("UTF-8")) finally out.close()
@@ -124,7 +133,24 @@ object Versioned {
   private def latestVersion(fs: FileSystem, root: Path): Option[Long] =
     listVersions(fs, root).lastOption
 
-  private def readManifest(fs: FileSystem, root: Path, v: Long): Seq[String] = {
+  private def readManifest(fs: FileSystem, root: Path, v: Long): Seq[String] =
+    manifestLines(fs, root, v).filterNot(_.startsWith("#"))
+
+  /** The `#k=v` metadata header of a committed version (empty map for
+    * manifests written without meta — fully backward compatible). */
+  def readMeta(spark: SparkSession, table: String, v: Long): Map[String, String] = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    manifestLines(fs, root, v).filter(_.startsWith("#"))
+      .flatMap { l =>
+        l.drop(1).split("=", 2) match {
+          case Array(k, v2) => Some(k -> v2)
+          case _ => None
+        }
+      }.toMap
+  }
+
+  private def manifestLines(fs: FileSystem, root: Path, v: Long): Seq[String] = {
     val p = new Path(root, s"$LogDir/$v.manifest")
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8")

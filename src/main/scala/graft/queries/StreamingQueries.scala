@@ -313,6 +313,39 @@ object StreamingQueries {
       Some("""SELECT event_id, user_id, value FROM events
         WHERE event_type = 'purchase'""")),
 
+    // ---- ST10 streaming materialized-aggregate maintenance
+    // (streaming.AggSink): two time-split micro-batches fold into a
+    // per-user (count, ts-checksum) rollup committed as Versioned
+    // snapshots whose manifests carry the folded batchId ATOMICALLY —
+    // the exactly-once discipline an aggregate sink needs (a fold is
+    // not an idempotent merge; EventStreamSpec proves replay is a
+    // no-op). The final table must equal the one-shot batch aggregate.
+    // us % 1e9 keeps the checksum sum far from BIGINT range at any sf.
+    "st10_stream_agg_sink" -> QueryDef(
+      (s, dir) => {
+        val c = streamSession(s)
+        import c.implicits._
+        val table = java.nio.file.Files.createTempDirectory("st10_tbl")
+          .toString + "/rollup"
+        val ckpt = java.nio.file.Files.createTempDirectory("st10_ckpt")
+          .toString
+        val src = c.readStream
+          .schema(StructType(Seq(StructField("user_id", LongType),
+            StructField("us", LongType))))
+          .option("maxFilesPerTrigger", "1")
+          .parquet(st3StageDir(s, dir))
+          .withColumn("us_mod", $"us" % 1000000000L)
+        val q = graft.streaming.AggSink.start(src, table, Seq("user_id"),
+          "n_events", Seq("us_mod" -> "sum_us_mod"), ckpt)
+        try q.processAllAvailable() finally q.stop()
+        graft.operators.Versioned.read(c, table)
+          .select($"user_id", $"n_events", $"sum_us_mod")
+      },
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        CAST(sum(epoch_us(CAST(ts AS TIMESTAMP)) % 1000000000) AS BIGINT)
+          AS sum_us_mod
+        FROM events GROUP BY user_id""")),
+
     // ---- ST2 sessionization with 30-minute inactivity gap: one shuffle
     // by user_id, per-user sorted fold (the state a
     // flatMapGroupsWithState session would hold, computed batch-side)

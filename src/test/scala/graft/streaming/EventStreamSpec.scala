@@ -121,4 +121,65 @@ class EventStreamSpec extends SparkSpec {
     assert(after.size == 16 && after(1L) == 5.0 && after(16L) == 5.0)
     assert(after(7L) == 99.0 && after(15L) == 2.0)
   }
+
+  test("AggSink folds micro-batches into a Versioned rollup; a replayed " +
+    "batch is a no-op and checkpoint restart folds only new batches") {
+    import graft.operators.Versioned
+    val stage = java.nio.file.Files.createTempDirectory("aggsink_in")
+    val table = tmpDir("aggsink_tbl") + "/rollup"
+    val ckpt = tmpDir("aggsink_ckpt")
+
+    def writeBatch(n: Int, rows: Seq[(String, Long)]): Unit = {
+      val tmp = stage.resolve(s"tmp$n")
+      rows.toDF("grp", "v")
+        .withColumn("v", $"v".cast("decimal(20,2)"))
+        .coalesce(1).write.parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst.get
+      val dst = stage.resolve(s"batch$n.parquet")
+      java.nio.file.Files.move(f, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + n * 60000L))
+    }
+    writeBatch(0, Seq(("a", 1L), ("a", 2L), ("b", 10L)))
+    writeBatch(1, Seq(("b", 5L), ("c", 7L)))
+
+    val schema = StructType(Seq(StructField("grp", StringType),
+      StructField("v", DecimalType(20, 2))))
+    def run(): Unit = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+      val q = AggSink.start(src, table, Seq("grp"), "n",
+        Seq("v" -> "sum_v"), ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def state(): Map[String, (Long, BigDecimal)] =
+      Versioned.read(spark, table)
+        .select($"grp", $"n", $"sum_v".cast("decimal(30,2)"))
+        .as[(String, Long, BigDecimal)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+
+    run()
+    val s1 = state()
+    assert(s1("a") == ((2L, BigDecimal(3))) &&
+      s1("b") == ((2L, BigDecimal(15))) && s1("c") == ((1L, BigDecimal(7))))
+    // the latest manifest carries the folded batchId atomically
+    val v1 = Versioned.versions(spark, table).last
+    assert(Versioned.readMeta(spark, table, v1) == Map("batchId" -> "1"))
+
+    // simulated crash replay: re-folding an already-committed batch
+    // must be a no-op (no double counting, no new version)
+    AggSink.foldBatch(
+      spark.read.parquet(stage.resolve("batch1.parquet").toString),
+      table, Seq("grp"), "n", Seq("v" -> "sum_v"), batchId = 1L)
+    assert(Versioned.versions(spark, table).last == v1)
+    assert(state() == s1)
+
+    // restart with the same checkpoint: only the new batch folds
+    writeBatch(2, Seq(("a", 100L)))
+    run()
+    val s2 = state()
+    assert(s2("a") == ((3L, BigDecimal(103))))
+    assert(s2("b") == s1("b") && s2("c") == s1("c"))
+  }
 }
