@@ -813,6 +813,41 @@ object ExtendedQueries {
         WINDOW w AS (PARTITION BY c_mktsegment
           ORDER BY c_acctbal DESC, c_custkey ASC)""")),
 
+    // ---- W9 time-RANGE window frame: per-customer trailing-7-day order
+    // count and spend at every order. Spark range frames need a numeric
+    // ordering column, so the frame runs over epoch SECONDS
+    // ([-7*86400, 0]); o_orderdate is day-grained, so the seconds frame
+    // is exactly DuckDB's `RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND
+    // CURRENT ROW` over the raw timestamp. Spend is summed as per-row
+    // DECIMAL(18,6) casts (exact, order-independent — the q10
+    // convention), never as raw doubles whose accumulation order the
+    // two engines won't share. Scale shape: ONE hash shuffle on
+    // o_custkey; frames are evaluated per partition with a sliding
+    // accumulator, never by self-joining the table against its own
+    // 7-day neighborhood.
+    "w9_rolling_window" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        // o_orderdate is TIMESTAMP_NTZ (no direct → long cast); with the
+        // session TZ pinned UTC the NTZ→TZ hop is the identity on the
+        // wall clock, and → long yields epoch seconds.
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate".cast("timestamp").cast("long"))
+          .rangeBetween(-7L * 86400, 0)
+        t(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+            count(lit(1)).over(w).as("n_7d"),
+            sum($"o_totalprice".cast("decimal(18,6)")).over(w)
+              .cast("decimal(28,6)").as("spend_7d"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderdate,
+        count(*) OVER w AS n_7d,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w
+          AS DECIMAL(28,6)) AS spend_7d
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+          RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)""")),
+
     // ---- W7 native session windows: Spark's `session_window` (dynamic
     // 30-min-gap windows merged by the engine) vs the gaps-and-islands
     // oracle. Boundary semantics mirrored EXACTLY: the window is

@@ -162,6 +162,37 @@ object JoinQueries {
           SELECT CAST(floor(value) AS INT) % 7 AS k, count(*) AS nb
           FROM events GROUP BY 1)
         SELECT a.k, na, nb FROM a JOIN b
-        ON a.k IS NOT DISTINCT FROM b.k"""))
+        ON a.k IS NOT DISTINCT FROM b.k""")),
+
+    // ---- J7 [EXT] blocked fuzzy join (entity resolution): part-name
+    // pairs within edit distance 2, BLOCKED on the name's noun token so
+    // the pair space is per-block, never names × names. The plan is an
+    // equi HASH join on the block key with levenshtein as a post-join
+    // filter — the standard blocking-recall tradeoff (cross-block pairs
+    // are not candidates), mirrored identically by the oracle. Dedup
+    // BEFORE pairing (DISTINCT names) is the scale move: pair count is
+    // driven by distinct entities, not corpus rows. At 100 TB the same
+    // plan holds with a cheaper block key (phonetic code / length
+    // bucket) tuned to bound the largest block.
+    "j7_fuzzy_join" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val names = t(s, dir, "part").select($"p_name").distinct()
+          .withColumn("block", split($"p_name", " ")(1))
+        val a = names.select($"block", $"p_name".as("name_a"))
+        val b = names.select($"block", $"p_name".as("name_b"))
+        a.join(b, Seq("block"))
+          .where($"name_a" < $"name_b" &&
+            levenshtein($"name_a", $"name_b") <= 2)
+          .select($"name_a", $"name_b",
+            levenshtein($"name_a", $"name_b").cast("int").as("dist"))
+      },
+      Some("""WITH names AS (SELECT DISTINCT p_name FROM part)
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+          CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        FROM names a JOIN names b
+          ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+        WHERE a.p_name < b.p_name
+          AND levenshtein(a.p_name, b.p_name) <= 2"""))
   )
 }

@@ -152,6 +152,46 @@ object SamplingQueries {
         m AS (SELECT min(n) AS min_n FROM
           (SELECT count(*) AS n FROM documents GROUP BY lang))
         SELECT lang, count(*) AS kept, max(doc_id) AS max_kept_id
-        FROM ranked, m WHERE rn <= min_n GROUP BY lang"""))
+        FROM ranked, m WHERE rn <= min_n GROUP BY lang""")),
+
+    // ---- SP7 leakage-safe train/test split: a random per-DOC split
+    // leaks when near-identical docs land on both sides (the classic
+    // eval-contamination bug) — so the split unit is the DUPLICATE
+    // GROUP, not the row. Deterministic duplicates are injected (every
+    // 10th doc copied under doc_id+100000, the dd3/tx7 device), docs
+    // are grouped by content fingerprint (min doc_id per md5(text)),
+    // and the whole group goes to one side by a hash of its canonical
+    // id: first hex digit of md5(group_key) ≤ 'b' → train (12/16 =
+    // 75%). By construction no group spans sides — the oracle mirrors
+    // every step, so the hash compare proves both engines agree on
+    // every doc's side. Scale shape: ONE shuffle on the content
+    // fingerprint (at 100 TB shuffle md5(text), never raw text); the
+    // side decision is per-row arithmetic on an already-grouped frame —
+    // no global coordination, no collect.
+    "sp7_group_split" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents").select($"doc_id", $"text")
+        val dups = docs.where($"doc_id" % 10 === 0)
+          .select(($"doc_id" + 100000L).as("doc_id"), $"text")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(md5($"text"))
+        docs.unionByName(dups)
+          .withColumn("group_key", min($"doc_id").over(w))
+          .select($"doc_id", $"group_key",
+            when(substring(md5($"group_key".cast("string")), 1, 1) <= "b",
+              "train").otherwise("test").as("side"))
+      },
+      Some("""WITH all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+        g AS (SELECT doc_id,
+          min(doc_id) OVER (PARTITION BY md5(text)) AS group_key
+          FROM all_docs)
+        SELECT doc_id, group_key,
+          CASE WHEN substr(md5(CAST(group_key AS VARCHAR)), 1, 1) <= 'b'
+            THEN 'train' ELSE 'test' END AS side
+        FROM g"""))
   )
 }

@@ -53,6 +53,18 @@ object SourceQueries {
       },
       Some("SELECT * FROM supplier")),
 
+    // ---- S15 ORC read (Spark's second built-in columnar format —
+    // vectorized reader, predicate pushdown and column pruning like
+    // parquet). DuckDB can't read ORC, so the oracle compares the
+    // round-tripped table against the parquet original — any encode/
+    // decode divergence (types, nulls, timestamps) breaks the hash.
+    "s15_orc_roundtrip" -> QueryDef(
+      (s, dir) => {
+        val schema = t(s, dir, "customer").schema
+        s.read.schema(schema).orc(staged(s, dir, "customer", "orc"))
+      },
+      Some("SELECT * FROM customer")),
+
     // ---- VT1 versioned snapshots + time travel (operators.Versioned —
     // the manifest-log discipline the reference gets from Delta):
     // v0 = pre-1997 lineitem, v1 = v0 + 1997 appended, v2 = an
