@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, MinHashes}
+import graft.functions.{CosineSimilarity, MinHashes, NormalizeText}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
@@ -53,7 +53,10 @@ object GraftExtensions {
           case Literal(k: Int, _) => MinHashes(args(0), k)
           case other => throw new IllegalArgumentException(
             s"minhashes(hashes, k): k must be an integer literal, got $other")
-        }))
+        }),
+      ("normalize_text",
+        "normalize_text(s) - NFKC-normalize and strip accents/combining marks",
+        args => NormalizeText(args(0))))
 
   /** Register on an already-built session (the extensions config only
     * applies at session construction). */

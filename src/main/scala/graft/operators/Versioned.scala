@@ -52,26 +52,69 @@ object Versioned {
     val segDir = new Path(root, s"data/$uuid")
     df.write.parquet(segDir.toString)
     val newFiles = listParquet(fs, segDir).map(relativize(root, _))
+    commitManifest(fs, root, meta, { base =>
+      val prevFiles =
+        if (mode == "append") base.toSeq.flatMap(v => readManifest(fs, root, v))
+        else Nil
+      prevFiles ++ newFiles
+    })
+  }
 
+  /** The atomic manifest-commit loop shared by [[commit]] and
+    * [[restore]]: compute the file list against the CURRENT latest
+    * version, write a temp manifest, rename into place. A concurrent
+    * winner makes the rename fail → recompute against the new latest
+    * and retry one version higher. */
+  private def commitManifest(fs: FileSystem, root: Path,
+      meta: Map[String, String],
+      filesFor: Option[Long] => Seq[String]): Long = {
     var committed = -1L
     while (committed < 0) {
       val base = latestVersion(fs, root)
       val target = base.map(_ + 1).getOrElse(0L)
-      val prevFiles =
-        if (mode == "append") base.toSeq.flatMap(v => readManifest(fs, root, v))
-        else Nil
       val metaLines = meta.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
-      val lines = (metaLines ++ prevFiles ++ newFiles).mkString("\n")
-      val tmp = new Path(root, s"$LogDir/.tmp-$uuid")
+      val lines = (metaLines ++ filesFor(base)).mkString("\n")
+      val tmp = new Path(root,
+        s"$LogDir/.tmp-${java.util.UUID.randomUUID().toString}")
       val out = fs.create(tmp, true)
       try out.write(lines.getBytes("UTF-8")) finally out.close()
-      // atomic commit point; a concurrent winner makes rename fail ->
-      // loop re-reads the new latest and retries one version higher
       if (fs.rename(tmp, new Path(root, s"$LogDir/$target.manifest")))
         committed = target
       else fs.delete(tmp, false)
     }
     committed
+  }
+
+  /** Delta-style RESTORE: make the table's LATEST state equal version
+    * `v` again — as a NEW commit whose manifest re-references v's
+    * files (no data is copied or deleted; history, including the
+    * states being rolled back, stays readable until vacuum). Returns
+    * the new version number. */
+  def restore(spark: SparkSession, table: String, v: Long): Long = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = readManifest(fs, root, v) // throws if v was vacuumed/absent
+    require(files.nonEmpty, s"version $v of $table is empty")
+    commitManifest(fs, root,
+      Map("operation" -> "restore", "restore_of" -> v.toString),
+      _ => files)
+  }
+
+  /** DESCRIBE HISTORY surface: one row per committed version —
+    * (version, committed_at from the manifest's mtime, n_files, meta
+    * as sorted `k=v` pairs). Reads only the manifest log (O(versions)),
+    * never the data. */
+  def history(spark: SparkSession, table: String)
+      : Seq[(Long, java.sql.Timestamp, Long, String)] = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listVersions(fs, root).map { v =>
+      val st = fs.getFileStatus(new Path(root, s"$LogDir/$v.manifest"))
+      val meta = readMeta(spark, table, v).toSeq.sorted
+        .map { case (k, v2) => s"$k=$v2" }.mkString(",")
+      (v, new java.sql.Timestamp(st.getModificationTime),
+        readManifest(fs, root, v).size.toLong, meta)
+    }
   }
 
   /** Read a version (default: latest). Historic versions stay readable

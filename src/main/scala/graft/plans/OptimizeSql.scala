@@ -19,9 +19,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   OPTIMIZE t ZORDER BY (c1, c2) [INTO n FILES]   -- Morton clustering
   *   OPTIMIZE t COMPACT [INTO n FILES]              -- small-file rewrite
   *   VACUUM '<path>' RETAIN n VERSIONS              -- snapshot retention
+  *   DESCRIBE HISTORY '<path>'                      -- version log
+  *   RESTORE '<path>' TO VERSION n                  -- roll back (as a commit)
   *
-  * Anything not starting with OPTIMIZE/VACUUM goes to the delegate
-  * parser untouched, so the extension cannot perturb normal SQL. */
+  * Anything not starting with OPTIMIZE/VACUUM/RESTORE/DESCRIBE HISTORY
+  * goes to the delegate parser untouched, so the extension cannot
+  * perturb normal SQL (plain DESCRIBE in particular stays Spark's). */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   import GraftSqlParser._
 
@@ -30,6 +33,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       parseOptimize(sqlText)
     else if (vacuumPrefix.matcher(sqlText).lookingAt())
       parseVacuum(sqlText)
+    else if (historyPrefix.matcher(sqlText).lookingAt())
+      parseHistory(sqlText)
+    else if (restorePrefix.matcher(sqlText).lookingAt())
+      parseRestore(sqlText)
     else delegate.parsePlan(sqlText)
 
   override def parseExpression(sqlText: String): Expression =
@@ -76,6 +83,23 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     fail(sqlText, "expected VACUUM '<path>' RETAIN <n> VERSIONS")
   }
 
+  /** `DESCRIBE HISTORY '<path>'` — the version log of a Versioned
+    * snapshot table (Delta's DESCRIBE HISTORY, manifest-backed). */
+  private def parseHistory(sqlText: String): LogicalPlan = {
+    val h = historyStmt.matcher(sqlText)
+    if (h.matches()) return DescribeHistoryCommand(h.group(1))
+    fail(sqlText, "expected DESCRIBE HISTORY '<path>'")
+  }
+
+  /** `RESTORE '<path>' TO VERSION <n>` — roll the table's latest state
+    * back to version n, recorded as a new commit (history preserved). */
+  private def parseRestore(sqlText: String): LogicalPlan = {
+    val r = restoreStmt.matcher(sqlText)
+    if (r.matches())
+      return RestoreVersionedCommand(r.group(1), r.group(2).toLong)
+    fail(sqlText, "expected RESTORE '<path>' TO VERSION <n>")
+  }
+
   /** Malformed OPTIMIZE: let the DELEGATE produce the ParseException
     * (OPTIMIZE is not in Spark's grammar), so error shape/metadata match
     * every other syntax error the user sees. */
@@ -98,6 +122,15 @@ object GraftSqlParser {
     java.util.regex.Pattern.compile("""\s*(?i:VACUUM)\b""")
   private val vacuumStmt = java.util.regex.Pattern.compile(
     """(?is)\s*VACUUM\s+'([^']+)'\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""")
+  // DESCRIBE alone is Spark grammar — only the two-word form is ours
+  private val historyPrefix = java.util.regex.Pattern.compile(
+    """\s*(?i:DESCRIBE\s+HISTORY)\b""")
+  private val historyStmt = java.util.regex.Pattern.compile(
+    """(?is)\s*DESCRIBE\s+HISTORY\s+'([^']+)'\s*;?\s*""")
+  private val restorePrefix =
+    java.util.regex.Pattern.compile("""\s*(?i:RESTORE)\b""")
+  private val restoreStmt = java.util.regex.Pattern.compile(
+    """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*;?\s*""")
 }
 
 /** Eagerly-executed VACUUM over a Versioned snapshot table: drops all
@@ -119,6 +152,46 @@ case class VacuumVersionedCommand(path: String, keepLast: Int)
     graft.operators.Versioned.vacuum(spark, path, keepLast)
     val after = graft.operators.Versioned.versions(spark, path).size
     Seq(Row(after.toLong, (before - after).toLong))
+  }
+}
+
+/** Eagerly-executed DESCRIBE HISTORY over a Versioned snapshot table:
+  * one row per committed version — number, commit time (manifest
+  * mtime), file count, and the `k=v` metadata the committer attached
+  * (streaming sinks record their folded batchId here). Reads only the
+  * manifest log, never the data. */
+case class DescribeHistoryCommand(path: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{LongType, StringType, TimestampType}
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("committed_at", TimestampType, nullable = false)(),
+      AttributeReference("n_files", LongType, nullable = false)(),
+      AttributeReference("meta", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.operators.Versioned.history(spark, path).map {
+      case (v, ts, n, meta) => Row(v, ts, n, meta)
+    }
+}
+
+/** Eagerly-executed RESTORE: the latest state becomes version `v`'s
+  * file list again, recorded as a NEW commit (no data copied; the
+  * rolled-back states stay readable until VACUUM — Delta's RESTORE
+  * discipline). Returns (restored_to, new_version). */
+case class RestoreVersionedCommand(path: String, v: Long)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.LongType
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("restored_to", LongType, nullable = false)(),
+      AttributeReference("new_version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val nv = graft.operators.Versioned.restore(spark, path, v)
+    Seq(Row(v, nv))
   }
 }
 

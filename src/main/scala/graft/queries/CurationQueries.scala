@@ -263,6 +263,36 @@ object CurationQueries {
         ranked AS (SELECT doc_id, lang, row_number() OVER
             (PARTITION BY lang ORDER BY doc_id) AS rn FROM documents)
         SELECT doc_id, r.lang FROM ranked r JOIN tgt USING (lang)
-        WHERE rn <= target"""))
+        WHERE rn <= target""")),
+
+    // ---- TX8 Unicode normalization (native `NormalizeText` expression:
+    // NFKC + accent strip — see functions/NormalizeExpression.scala).
+    // The ASCII corpus is first given deterministic accents
+    // (translate a→á … c→ç, identical char-map semantics in both
+    // engines), then normalized back; the oracle mirrors with DuckDB's
+    // strip_accents. Normalization must be an exact inverse of the
+    // accenting, so `restored` is proven row-wise, not assumed. The
+    // NFKC compatibility-fold half (ﬁ→fi, fullwidth→ASCII) has no
+    // DuckDB mirror (nfc_normalize is NFC only) and is spec-checked in
+    // NormalizeTextSpec instead. Zero shuffle — a pure codegen'd
+    // projection that runs at scan speed at 100 TB.
+    "tx8_normalize" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val accented = translate($"text", "aeiouc", "áéíóúç")
+        val norm = graft.functions.NormalizeText(accented)
+        t(s, dir, "documents").select($"doc_id",
+          length(accented).cast("int").as("n_chars_accented"),
+          (norm === $"text").as("restored"),
+          md5(norm).as("norm_md5"))
+      },
+      Some("""SELECT doc_id,
+          CAST(length(translate(text, 'aeiouc', 'áéíóúç')) AS INT)
+            AS n_chars_accented,
+          (strip_accents(translate(text, 'aeiouc', 'áéíóúç')) = text)
+            AS restored,
+          md5(strip_accents(translate(text, 'aeiouc', 'áéíóúç')))
+            AS norm_md5
+        FROM documents"""))
   )
 }

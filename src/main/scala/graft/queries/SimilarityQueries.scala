@@ -110,7 +110,50 @@ object SimilarityQueries {
       Some("""SELECT label, CAST(i - 1 AS INT) AS dim,
           round(avg(embedding[i]::DOUBLE), 6) AS centroid
         FROM embeddings, range(1, 65) t(i)
-        GROUP BY label, i"""))
+        GROUP BY label, i""")),
+
+    // ---- EMB2 int8 embedding quantization (the 4× memory/IO shrink an
+    // ANN index at 100 TB runs on): symmetric per-vector scale
+    // max|v|/127, q_i = round(v_i/scale) ∈ [-127,127] by construction.
+    // The hash-compared outputs are chosen to be float-order-proof:
+    // the quantized-code SUM is exact integer arithmetic, and the
+    // reconstruction-error bound (max_i |q_i·scale − v_i| ≤ scale/2,
+    // the defining property of round-to-nearest) is a boolean — both
+    // engines do identical elementwise IEEE ops on identical doubles,
+    // and neither output rounds a double near a tie (the q10 lesson).
+    // Zero shuffle: a pure per-row projection at scan speed.
+    "emb2_quantize" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val scale = array_max(transform($"embedding",
+          x => abs(x.cast("double")))) / lit(127.0)
+        val qs = transform($"embedding",
+          x => round(x.cast("double") / scale).cast("long"))
+        t(s, dir, "embeddings")
+          .where(array_max(transform($"embedding",
+            x => abs(x.cast("double")))) > 0)
+          .select($"vec_id",
+            size($"embedding").as("n_dims"),
+            aggregate(qs, lit(0L), (acc, v) => acc + v).as("q_checksum"),
+            (array_max(zip_with(qs, $"embedding",
+              (q, v) => abs(q.cast("double") * scale - v.cast("double"))))
+              <= scale * lit(0.5000001)).as("within_half_quantum"))
+      },
+      Some("""WITH base AS (SELECT vec_id,
+          list_transform(embedding, x -> x::DOUBLE) AS v,
+          list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
+            AS scale
+        FROM embeddings),
+        q AS (SELECT vec_id, scale, v,
+          list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) AS qs
+        FROM base WHERE scale > 0)
+        SELECT vec_id,
+          CAST(len(qs) AS INT) AS n_dims,
+          CAST(list_sum(qs) AS BIGINT) AS q_checksum,
+          (list_max(list_transform(range(1, len(qs) + 1),
+            i -> abs(qs[i]::DOUBLE * scale - v[i]))) <= scale * 0.5000001)
+            AS within_half_quantum
+        FROM q"""))
   )
 
   /** Exact cosine top-10 in DuckDB (double-precision arithmetic spelled

@@ -98,6 +98,32 @@ object SourceQueries {
         SELECT 1, count(*) FROM lineitem
           WHERE l_shipdate < TIMESTAMP '1998-01-01'
         UNION ALL
-        SELECT 2, count(*) FROM lineitem WHERE l_returnflag = 'R'"""))
+        SELECT 2, count(*) FROM lineitem WHERE l_returnflag = 'R'""")),
+
+    // ---- VT2 RESTORE (Delta's roll-back discipline over the same
+    // manifest log): v0 = pre-1997 lineitem, v1 = an unrelated
+    // overwrite, then SQL `RESTORE … TO VERSION 0` — the LATEST read
+    // must equal v0's content again, with the restore recorded as a
+    // new commit (proven by version count), not a history rewrite.
+    "vt2_restore" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_shipdate", $"l_returnflag")
+        val table = java.nio.file.Files
+          .createTempDirectory("vt2").toString + "/t"
+        graft.operators.Versioned.commit(
+          li.where($"l_shipdate" < lit("1997-01-01").cast("timestamp")),
+          table)
+        graft.operators.Versioned.commit(
+          li.where($"l_returnflag" === "R"), table, "overwrite")
+        s.sql(s"RESTORE '$table' TO VERSION 0")
+        graft.operators.Versioned.read(s, table)
+          .agg(count(lit(1)).as("n_rows"),
+            lit(graft.operators.Versioned.versions(s, table).size)
+              .as("n_versions"))
+      },
+      Some("""SELECT count(*) AS n_rows, 3 AS n_versions
+        FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'"""))
   )
 }

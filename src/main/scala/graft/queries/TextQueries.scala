@@ -151,6 +151,54 @@ object TextQueries {
                    string_split_regex(lower(text), '\s+')[i+2])))::DOUBLE /
             greatest(len(string_split_regex(lower(text), '\s+')) - 2, 1),
             6) AS rep_ratio
-        FROM documents"""))
+        FROM documents""")),
+
+    // ---- TX9 vocabulary build (the tokenizer-training precursor):
+    // corpus-wide token frequencies, top-100 with a deterministic
+    // count-then-token tiebreak. ONE shuffle on token with map-side
+    // partial counts, then TakeOrderedAndProject (per-partition top-k,
+    // k·p driver merge) — at 100 TB the plan never globally sorts the
+    // full vocabulary.
+    "tx9_vocab" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select(explode(split(lower($"text"), "\\s+")).as("token"))
+          .where(length($"token") > 0)
+          .groupBy($"token").agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"token".asc)
+          .limit(100)
+      },
+      Some("""SELECT token, count(*) AS n FROM (
+          SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+          FROM documents)
+        WHERE length(token) > 0
+        GROUP BY token ORDER BY n DESC, token ASC LIMIT 100""")),
+
+    // ---- TX10 percentile admission gate: keep docs whose stopword
+    // ratio clears the corpus's exact 25th percentile — the
+    // quality-threshold filter a curation pipeline applies before
+    // training. The threshold is ONE broadcast scalar (exact
+    // percentile, the w6 parity device) against per-row arithmetic
+    // already proven engine-identical by tx2; at 100 TB the exact
+    // percentile becomes approx_percentile and the same broadcast-
+    // compare plan holds.
+    "tx10_quality_gate" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val scored = t(s, dir, "documents")
+          .select($"doc_id", stopwordRatio($"text").as("r"))
+        val thr = scored.agg(expr("percentile(r, 0.25)").as("thr"))
+        scored.crossJoin(broadcast(thr))
+          .where($"r" >= $"thr")
+          .select($"doc_id", $"r")
+      },
+      Some("""WITH s AS (SELECT doc_id,
+          round(len(list_filter(string_split_regex(lower(text), '\s+'),
+              tk -> tk IN ('the','a','and','of','to','in','is')))::DOUBLE
+            / len(string_split_regex(lower(text), '\s+')), 6) AS r
+          FROM documents),
+        t AS (SELECT quantile_cont(r, 0.25) AS thr FROM s)
+        SELECT doc_id, r FROM s, t WHERE r >= thr"""))
   )
 }

@@ -151,3 +151,44 @@ class CodecSpec extends SparkSpec {
     assert(back == "secret config value")
   }
 }
+
+class NormalizeTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("accents strip to base letters; ASCII passes through unchanged") {
+    val df = Seq("café au lait", "plain ascii", "naïve façade — Ångström")
+      .toDF("t")
+    val out = df.select(NormalizeText($"t")).as[String].collect()
+    assert(out(0) == "cafe au lait")
+    assert(out(1) == "plain ascii")
+    assert(out(2) == "naive facade — Angstrom")
+  }
+
+  test("NFKC compatibility folding: ligatures, fullwidth, precomposed " +
+    "vs decomposed unify (the half DuckDB can't mirror)") {
+    val composed = "café"                  // U+00E9 precomposed
+    val decomposed = "café"          // e + combining acute
+    val weird = "ﬁle ｔｏｋｅｎ"            // fi-ligature + fullwidth
+    val out = Seq(composed, decomposed, weird).toDF("t")
+      .select(NormalizeText($"t")).as[String].collect()
+    assert(out(0) == "cafe" && out(1) == "cafe")
+    assert(out(2) == "file token")
+  }
+
+  test("null in, null out; codegen and interpreted paths agree") {
+    val df = Seq(Some("über"), None).toDF("t")
+    val viaCodegen = df.select(NormalizeText($"t")).collect()
+    assert(viaCodegen(0).getString(0) == "uber" && viaCodegen(1).isNullAt(0))
+    // interpreted path (nullSafeEval) — exercised directly
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(NormalizeText.strip(UTF8String.fromString("über")).toString == "uber")
+    assert(NormalizeText.strip(UTF8String.fromString("ascii")).toString == "ascii")
+  }
+
+  test("SQL registration: normalize_text callable from spark.sql") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql("SELECT normalize_text('séance ﬁrst') AS n")
+      .as[String].head()
+    assert(r == "seance first")
+  }
+}

@@ -94,4 +94,51 @@ class VersionedSpec extends SparkSpec {
       spark.sql(s"VACUUM '$t' KEEP 2")
     }
   }
+
+  test("RESTORE rolls the latest state back as a NEW commit; " +
+    "rolled-back versions stay readable") {
+    val t = tmpDir("vers") + "/t"
+    Versioned.commit(Seq((1, "a")).toDF("k", "v"), t)           // v0
+    Versioned.commit(Seq((2, "b")).toDF("k", "v"), t, "append") // v1
+    Versioned.commit(Seq((9, "z")).toDF("k", "v"), t)           // v2 overwrite
+    val nv = Versioned.restore(spark, t, 0L)
+    assert(nv == 3L)
+    // latest == v0 content; v2's overwrite still readable as history
+    assert(Versioned.read(spark, t).as[(Int, String)].collect().toSet ==
+      Set((1, "a")))
+    assert(Versioned.read(spark, t, Some(2)).as[(Int, String)]
+      .collect().toSet == Set((9, "z")))
+    assert(Versioned.readMeta(spark, t, 3L) ==
+      Map("operation" -> "restore", "restore_of" -> "0"))
+    // restoring a vacuumed version fails loudly, table untouched
+    Versioned.vacuum(spark, t, keepLast = 1)
+    intercept[Exception] { Versioned.restore(spark, t, 1L) }
+    assert(Versioned.versions(spark, t) == Seq(3L))
+  }
+
+  test("SQL RESTORE ... TO VERSION and DESCRIBE HISTORY; plain " +
+    "DESCRIBE still delegates") {
+    val t = tmpDir("vers") + "/t"
+    Versioned.commit(Seq((1, "a")).toDF("k", "v"), t)
+    Versioned.commit(Seq((2, "b")).toDF("k", "v"), t, "append",
+      meta = Map("batch" -> "7"))
+    val r = spark.sql(s"RESTORE '$t' TO VERSION 0").collect().head
+    assert((r.getLong(0), r.getLong(1)) == (0L, 2L))
+    assert(Versioned.read(spark, t).count() == 1)
+    val hist = spark.sql(s"DESCRIBE HISTORY '$t'").collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(hist.map(r2 => (r2.getLong(2), r2.getString(3))).toSeq ==
+      Seq((1L, ""), (2L, "batch=7"),
+        (1L, "operation=restore,restore_of=0")))
+    // plain DESCRIBE is Spark's own grammar — untouched by the prefix
+    Seq((1, "x")).toDF("a", "b").createOrReplaceTempView("desc_probe")
+    assert(spark.sql("DESCRIBE desc_probe").count() == 2)
+    // malformed forms surface the delegate's ParseException
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql(s"RESTORE '$t' VERSION 0")
+    }
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql(s"DESCRIBE HISTORY $t")
+    }
+  }
 }

@@ -163,6 +163,27 @@ class PlanSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("a partition-column join triggers dynamic partition pruning " +
+    "on the fact scan (the 100 TB partitioned-lake join path)") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("dpp").toString
+    // fact: lineitem partitioned by return flag (stand-in for the
+    // date-partitioned lake layout); dim: filtered on a NON-join
+    // column — a filter on the join key itself would constant-
+    // propagate into STATIC partition pruning and never need DPP
+    graft.Tables(spark, sfDir, "lineitem")
+      .write.partitionBy("l_returnflag").parquet(s"$base/fact")
+    spark.createDataFrame(Seq(("R", 1), ("A", 2), ("N", 2)))
+      .toDF("flag", "grp").write.parquet(s"$base/dim")
+    val fact = spark.read.parquet(s"$base/fact")
+    val dim = spark.read.parquet(s"$base/dim").where(col("grp") === 1)
+    val j = fact.join(dim, fact("l_returnflag") === dim("flag"))
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "no dynamic partition pruning in plan:\n" + p)
+    assert(j.count() > 0)
+  }
+
   test("tx7 PII scrub is a pure projection — no Exchange anywhere") {
     val p = planOf("tx7_pii_scrub")
     assert(!p.contains("Exchange"), "scrub should not shuffle:\n" + p)
