@@ -148,6 +148,34 @@ object FunctionQueries {
         raw"""SELECT doc_id, $i AS pos,
           string_split_regex(text, '\s+')[${i + 1}] AS word
         FROM documents WHERE len(string_split_regex(text, '\s+')) > $i"""
-      }.mkString(" UNION ALL ")))
+      }.mkString(" UNION ALL "))),
+
+    // ---- F17 malformed-JSON resilience: ingestion must COUNT AND
+    // CONTAIN bad records, not fail the job (the reference's per-table
+    // error containment, pushed down to per-row granularity). Every
+    // 7th event's props is deterministically corrupted; validity =
+    // get_json_object(j, '$') IS NOT NULL (Spark's parser) ≡ DuckDB's
+    // json_valid on object-or-garbage inputs. Pure per-row parse +
+    // one small aggregate — no shuffle beyond the final groupBy.
+    "f17_json_malformed" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val j = when(pmod($"event_id", lit(7)) === 0,
+          concat(lit("{broken "), $"props")).otherwise($"props")
+        t(s, dir, "events")
+          .select($"event_type",
+            get_json_object(j, "$").isNotNull.as("valid"))
+          .groupBy($"event_type")
+          .agg(sum($"valid".cast("long")).as("n_valid"),
+            sum((!$"valid").cast("long")).as("n_invalid"))
+      },
+      Some("""SELECT event_type,
+          sum(CASE WHEN json_valid(CASE WHEN event_id % 7 = 0
+              THEN '{broken ' || props ELSE props END)
+            THEN 1 ELSE 0 END) AS n_valid,
+          sum(CASE WHEN json_valid(CASE WHEN event_id % 7 = 0
+              THEN '{broken ' || props ELSE props END)
+            THEN 0 ELSE 1 END) AS n_invalid
+        FROM events GROUP BY event_type"""))
   )
 }

@@ -193,6 +193,39 @@ object JoinQueries {
         FROM names a JOIN names b
           ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
         WHERE a.p_name < b.p_name
-          AND levenshtein(a.p_name, b.p_name) <= 2"""))
+          AND levenshtein(a.p_name, b.p_name) <= 2""")),
+
+    // ---- J8 [EXT] as-of join with TOLERANCE (pandas merge_asof
+    // tolerance= semantics): each purchase matches the latest same-user
+    // click at or before it, but only within a 1-hour staleness bound —
+    // older matches become NULL, not silently-stale joins. Same
+    // union+keyed-window plan as j4 (one shuffle on user_id, no
+    // non-equi blowup); the bound is a post-window null-out, so the
+    // tolerance costs nothing extra at 100 TB.
+    "j8_asof_tolerance" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "events")
+        val clicks = e.where($"event_type" === "click")
+          .select($"user_id", $"ts", lit(null).cast("long").as("event_id"),
+            $"ts".as("click_ts"), lit(0).as("tag"))
+        val purchases = e.where($"event_type" === "purchase")
+          .select($"user_id", $"ts", $"event_id",
+            lit(null).cast("timestamp_ntz").as("click_ts"), lit(1).as("tag"))
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"ts".asc, $"tag".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        clicks.union(purchases)
+          .withColumn("raw_asof", last($"click_ts", ignoreNulls = true).over(w))
+          .where($"tag" === 1)
+          .select($"event_id", $"user_id", $"ts",
+            when($"raw_asof" >= $"ts" - expr("INTERVAL 1 HOUR"), $"raw_asof")
+              .as("asof_ts"))
+      },
+      Some("""SELECT e.event_id, e.user_id, e.ts,
+          (SELECT max(e2.ts) FROM events e2
+           WHERE e2.user_id = e.user_id AND e2.event_type = 'click'
+             AND e2.ts <= e.ts AND e2.ts >= e.ts - INTERVAL 1 HOUR) AS asof_ts
+        FROM events e WHERE e.event_type = 'purchase'"""))
   )
 }
