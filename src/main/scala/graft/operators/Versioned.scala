@@ -139,6 +139,32 @@ object Versioned {
     listVersions(fs, root)
   }
 
+  /** Absolute data-file paths of a version (default: latest) — the
+    * read-planning primitive [[read]] and the DSv2 catalog share. */
+  def versionFiles(spark: SparkSession, table: String,
+      version: Option[Long] = None): Seq[String] = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = version.orElse(latestVersion(fs, root)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    readManifest(fs, root, v).map(rel => new Path(root, rel).toString)
+  }
+
+  /** Latest version committed at or before `tsMicros` (epoch
+    * microseconds — the unit Spark's `TIMESTAMP AS OF` hands a DSv2
+    * catalog), by manifest commit time. */
+  def versionAt(spark: SparkSession, table: String, tsMicros: Long): Long = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val at = listVersions(fs, root).filter { v =>
+      fs.getFileStatus(new Path(root, s"$LogDir/$v.manifest"))
+        .getModificationTime * 1000L <= tsMicros
+    }
+    at.lastOption.getOrElse(throw new IllegalArgumentException(
+      s"no version of $table committed at or before timestamp " +
+        s"${tsMicros / 1000000L} (epoch seconds)"))
+  }
+
   /** Drop all but the `keepLast` newest versions: their manifests go
     * first (making the versions unreadable), then any data segment dir
     * no surviving manifest references. Survivors keep their exact

@@ -124,6 +124,40 @@ object SourceQueries {
               .as("n_versions"))
       },
       Some("""SELECT count(*) AS n_rows, 3 AS n_versions
-        FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'"""))
+        FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'""")),
+
+    // ---- VT3 DSv2 catalog read path (sources.GraftCatalog): the same
+    // manifest-log table read through Spark's NATIVE time-travel SQL —
+    // `graft_vt3.lake.li VERSION AS OF 0` and the latest read, counts
+    // closed-form. The catalog + staged table are memoized per
+    // (JVM, sf dir): the catalog manager caches the plugin instance at
+    // first use, so the root conf must stay stable across bench passes.
+    "vt3_catalog_read" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val rootDir = stages.computeIfAbsent(s"$dir|vt3|catalog", { _ =>
+          val r = java.nio.file.Files.createTempDirectory("vt3").toString
+          val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_shipdate")
+          graft.operators.Versioned.commit(
+            li.where($"l_shipdate" < lit("1997-01-01").cast("timestamp")),
+            s"$r/lake/li")
+          graft.operators.Versioned.commit(
+            li.where($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+              $"l_shipdate" < lit("1998-01-01").cast("timestamp")),
+            s"$r/lake/li", "append")
+          r
+        })
+        s.conf.set("spark.sql.catalog.graft_vt3",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_vt3.root", rootDir)
+        s.sql("""SELECT CAST(0 AS INT) AS version, count(*) AS n_rows
+            FROM graft_vt3.lake.li VERSION AS OF 0
+          UNION ALL SELECT 1, count(*) FROM graft_vt3.lake.li""")
+      },
+      Some("""SELECT CAST(0 AS INT) AS version, count(*) AS n_rows
+          FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
+        UNION ALL
+        SELECT 1, count(*) FROM lineitem
+          WHERE l_shipdate < TIMESTAMP '1998-01-01'"""))
   )
 }

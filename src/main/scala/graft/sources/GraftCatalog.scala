@@ -1,0 +1,113 @@
+package graft.sources
+
+import graft.operators.Versioned
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DSv2 catalog plugin over [[graft.operators.Versioned]] snapshot
+  * tables — the read path that makes manifest-log tables first-class
+  * in SQL, including Spark's NATIVE time-travel syntax (the Delta
+  * reading surface the reference relies on, re-expressed through the
+  * public connector API):
+  *
+  * {{{
+  *   spark.sql.catalog.graft      = graft.sources.GraftCatalog
+  *   spark.sql.catalog.graft.root = /lake
+  *
+  *   SELECT * FROM graft.ns.t                          -- latest
+  *   SELECT * FROM graft.ns.t VERSION AS OF 2          -- pinned version
+  *   SELECT * FROM graft.ns.t TIMESTAMP AS OF '…'      -- as-of commit time
+  *   SHOW TABLES IN graft.ns
+  * }}}
+  *
+  * Read planning is O(manifest): a version resolves to its exact file
+  * list (never a directory glob), handed to Spark's own ParquetTable —
+  * so vectorized reads, pushdown, pruning, and AQE all apply
+  * unchanged. Tables are CREATED by `Versioned.commit` (data plane) —
+  * the catalog is deliberately read-only: createTable/alterTable/
+  * renameTable throw, and dropTable refuses; retention goes through
+  * VACUUM, roll-back through RESTORE, so SQL cannot silently destroy
+  * history the data plane still references.
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(throw new
+        IllegalArgumentException(
+          s"set spark.sql.catalog.$name.root to the lake root directory"))
+  }
+
+  override def name(): String = catalogName
+
+  private def tablePath(ident: Identifier): String =
+    (root +: ident.namespace.toSeq :+ ident.name).mkString("/")
+
+  private def load(ident: Identifier, version: Option[Long]): Table = {
+    val spark = SparkSession.active
+    val path = tablePath(ident)
+    if (Versioned.versions(spark, path).isEmpty)
+      throw new NoSuchTableException(ident)
+    val files = Versioned.versionFiles(spark, path, version)
+    ParquetTable(ident.name, spark, CaseInsensitiveStringMap.empty(),
+      files.toIndexedSeq, None, classOf[ParquetFileFormat])
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** `VERSION AS OF v` */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Some(scala.util.Try(version.toLong).getOrElse(
+      throw new IllegalArgumentException(
+        s"version must be a number, got '$version'"))))
+
+  /** `TIMESTAMP AS OF ts` — Spark hands epoch MICROseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    load(ident, Some(Versioned.versionAt(
+      SparkSession.active, tablePath(ident), timestamp)))
+
+  override def tableExists(ident: Identifier): Boolean =
+    Versioned.versions(SparkSession.active, tablePath(ident)).nonEmpty
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val spark = SparkSession.active
+    val ns = new Path((root +: namespace.toSeq).mkString("/"))
+    val fs = ns.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(ns)) throw new NoSuchNamespaceException(
+      catalogName +: namespace)
+    fs.listStatus(ns).toSeq
+      .filter(st => st.isDirectory &&
+        fs.exists(new Path(st.getPath, "_graft_log")))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+      .toArray
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog is read-only: create tables with Versioned.commit")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog is read-only: schema evolves through commits")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "graft catalog does not drop tables: use VACUUM for retention")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog does not rename tables")
+}

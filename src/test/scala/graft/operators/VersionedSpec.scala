@@ -141,4 +141,42 @@ class VersionedSpec extends SparkSpec {
       spark.sql(s"DESCRIBE HISTORY $t")
     }
   }
+
+  test("DSv2 catalog: native VERSION AS OF / TIMESTAMP AS OF time " +
+    "travel, SHOW TABLES, read-only writes") {
+    val rootDir = tmpDir("cat")
+    val t = s"$rootDir/lake/tt"
+    Versioned.commit(Seq((1, "a"), (2, "b")).toDF("k", "v"), t) // v0
+    Versioned.commit(Seq((3, "c")).toDF("k", "v"), t, "append") // v1
+    val c = spark.newSession()
+    c.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    c.conf.set("spark.sql.catalog.graft.root", rootDir)
+    // latest and pinned-version reads through plain SQL
+    assert(c.sql("SELECT count(*) FROM graft.lake.tt").head.getLong(0) == 3)
+    assert(c.sql("SELECT count(*) FROM graft.lake.tt VERSION AS OF 0")
+      .head.getLong(0) == 2)
+    // pushdown still applies through the catalog's ParquetTable
+    val plan = c.sql("SELECT k FROM graft.lake.tt WHERE k > 1")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(k), GreaterThan(k,1)"),
+      plan)
+    // TIMESTAMP AS OF: after both commits -> latest; before v0 -> error
+    assert(c.sql("SELECT count(*) FROM graft.lake.tt " +
+      "TIMESTAMP AS OF '2100-01-01'").head.getLong(0) == 3)
+    intercept[Exception] {
+      c.sql("SELECT * FROM graft.lake.tt TIMESTAMP AS OF '2000-01-01'")
+        .collect()
+    }
+    // catalog listing sees exactly the committed table
+    assert(c.sql("SHOW TABLES IN graft.lake").collect()
+      .map(_.getString(1)).toSeq == Seq("tt"))
+    // unknown table -> analysis error, not a file-not-found crash
+    intercept[org.apache.spark.sql.AnalysisException] {
+      c.sql("SELECT * FROM graft.lake.nope").collect()
+    }
+    // read-only: DDL through the catalog refuses
+    intercept[Exception] { c.sql("DROP TABLE graft.lake.tt") }
+    assert(Versioned.versions(spark, t) == Seq(0L, 1L))
+  }
 }
