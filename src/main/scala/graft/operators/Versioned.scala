@@ -150,6 +150,30 @@ object Versioned {
     readManifest(fs, root, v).map(rel => new Path(root, rel).toString)
   }
 
+  /** Change feed (Delta-CDF-lite): the rows ADDED to the table after
+    * version `fromV`, up to and including `toV` — i.e. the segments
+    * `toV` references that `fromV` didn't. For append histories this
+    * is exactly the row-level incremental feed a downstream consumer
+    * tails (cost tracks the DELTA, never the table); an overwrite
+    * re-snapshots, so its "adds" are the new snapshot — file-level
+    * semantics, stated rather than hidden. Removed-file counts come
+    * from [[changedFiles]]. */
+  def changes(spark: SparkSession, table: String,
+      fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV, s"fromV $fromV > toV $toV")
+    val (added, _) = changedFiles(spark, table, fromV, toV)
+    if (added.isEmpty) read(spark, table, Some(toV)).limit(0)
+    else spark.read.option("mergeSchema", "true").parquet(added: _*)
+  }
+
+  /** (added, removed) absolute file paths between two versions. */
+  def changedFiles(spark: SparkSession, table: String,
+      fromV: Long, toV: Long): (Seq[String], Seq[String]) = {
+    val from = versionFiles(spark, table, Some(fromV)).toSet
+    val to = versionFiles(spark, table, Some(toV)).toSet
+    ((to -- from).toSeq.sorted, (from -- to).toSeq.sorted)
+  }
+
   /** Latest version committed at or before `tsMicros` (epoch
     * microseconds — the unit Spark's `TIMESTAMP AS OF` hands a DSv2
     * catalog), by manifest commit time. */

@@ -158,6 +158,38 @@ object SourceQueries {
           FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
         UNION ALL
         SELECT 1, count(*) FROM lineitem
-          WHERE l_shipdate < TIMESTAMP '1998-01-01'"""))
+          WHERE l_shipdate < TIMESTAMP '1998-01-01'""")),
+
+    // ---- CF1 change feed (Delta-CDF-lite over the same manifest log):
+    // three appends (pre-1997 / 1997 / 1998), then `changes(0, 2)` must
+    // be EXACTLY the rows of the two later appends — the incremental
+    // feed a downstream consumer tails, whose read cost tracks the
+    // delta (only the added segments are opened), never the table.
+    "cf1_change_feed" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_shipdate")
+        val table = java.nio.file.Files
+          .createTempDirectory("cf1").toString + "/t"
+        def slice(lo: String, hi: String) =
+          li.where($"l_shipdate" >= lit(lo).cast("timestamp") &&
+            $"l_shipdate" < lit(hi).cast("timestamp"))
+        graft.operators.Versioned.commit(
+          li.where($"l_shipdate" < lit("1997-01-01").cast("timestamp")),
+          table)
+        graft.operators.Versioned.commit(
+          slice("1997-01-01", "1998-01-01"), table, "append")
+        graft.operators.Versioned.commit(
+          slice("1998-01-01", "1999-01-01"), table, "append")
+        graft.operators.Versioned.changes(s, table, 0L, 2L)
+          .groupBy(year($"l_shipdate").as("yr"))
+          .agg(count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT CAST(year(l_shipdate) AS INT) AS yr,
+          count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1999-01-01'
+        GROUP BY 1"""))
   )
 }

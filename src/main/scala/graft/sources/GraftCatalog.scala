@@ -60,7 +60,12 @@ class GraftCatalog extends TableCatalog {
     if (Versioned.versions(spark, path).isEmpty)
       throw new NoSuchTableException(ident)
     val files = Versioned.versionFiles(spark, path, version)
-    ParquetTable(ident.name, spark, CaseInsensitiveStringMap.empty(),
+    // mergeSchema: an appended segment may carry ADDED columns
+    // (additive evolution, Versioned.read parity) — the table schema
+    // is the union across the version's segments
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("mergeSchema", "true")
+    ParquetTable(ident.name, spark, new CaseInsensitiveStringMap(opts),
       files.toIndexedSeq, None, classOf[ParquetFileFormat])
   }
 

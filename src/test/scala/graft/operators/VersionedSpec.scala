@@ -142,6 +142,27 @@ class VersionedSpec extends SparkSpec {
     }
   }
 
+  test("change feed: appends feed row-level deltas; an overwrite " +
+    "re-snapshots; same-version feed is empty") {
+    val t = tmpDir("vers") + "/t"
+    Versioned.commit(Seq((1, "a")).toDF("k", "v"), t)           // v0
+    Versioned.commit(Seq((2, "b")).toDF("k", "v"), t, "append") // v1
+    Versioned.commit(Seq((3, "c")).toDF("k", "v"), t, "append") // v2
+    assert(Versioned.changes(spark, t, 0, 2).as[(Int, String)]
+      .collect().toSet == Set((2, "b"), (3, "c")))
+    assert(Versioned.changes(spark, t, 1, 1).count() == 0)
+    // an overwrite's "adds" are the whole new snapshot, and every
+    // pre-overwrite file shows as removed
+    Versioned.commit(Seq((9, "z")).toDF("k", "v"), t)           // v3
+    assert(Versioned.changes(spark, t, 2, 3).as[(Int, String)]
+      .collect().toSet == Set((9, "z")))
+    val (added, removed) = Versioned.changedFiles(spark, t, 2, 3)
+    assert(added.size == 1 && removed.size == 3)
+    intercept[IllegalArgumentException] {
+      Versioned.changes(spark, t, 3, 2)
+    }
+  }
+
   test("DSv2 catalog: native VERSION AS OF / TIMESTAMP AS OF time " +
     "travel, SHOW TABLES, read-only writes") {
     val rootDir = tmpDir("cat")
@@ -178,5 +199,13 @@ class VersionedSpec extends SparkSpec {
     // read-only: DDL through the catalog refuses
     intercept[Exception] { c.sql("DROP TABLE graft.lake.tt") }
     assert(Versioned.versions(spark, t) == Seq(0L, 1L))
+    // additive schema evolution: an appended segment with a NEW column
+    // widens the catalog table's schema (mergeSchema read)
+    Versioned.commit(Seq((4, "d", true)).toDF("k", "v", "fresh"),
+      t, "append")
+    val evolved = c.sql("SELECT * FROM graft.lake.tt")
+    assert(evolved.columns.toSet == Set("k", "v", "fresh"))
+    assert(evolved.where("fresh").count() == 1 &&
+      evolved.where("fresh IS NULL").count() == 3)
   }
 }
