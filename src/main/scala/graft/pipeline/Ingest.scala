@@ -61,7 +61,11 @@ final case class IngestConfig(
     databaseName: String = "sharestory", // hardcoded in MERGE, `Ingest:382`
     lagHours: Int = 80, // F4, `Ingest:350`
     runDate: LocalDate = LocalDate.now(java.time.ZoneOffset.UTC),
-    filesPerChunk: Int = 1)
+    filesPerChunk: Int = 1,
+    // S4/S6 lake format: Snapshot = Versioned manifest-log tables (the
+    // reference's Delta default, from first principles — atomic chunk
+    // commits, time travel over ingest runs); Parquet = plain dirs
+    lakeFormat: graft.sources.LakeFormat = graft.sources.LakeFormat.Parquet)
 
 /** The main ingestion pipeline (SURVEY.md §3 E1): config fan-out →
   * per-table watermark resolution → incremental scan → volume routing →
@@ -171,7 +175,7 @@ final class Ingest(spark: SparkSession, source: Source, cfg: IngestConfig,
       Route.decide(stagedCount, cfg.singleBatchDataLimit, wmCols.nonEmpty) match {
         case Route.Full =>
           LakeWriter.write(staged, paths.filePath, SaveMode.Overwrite,
-            Some(cfg.filesPerChunk))
+            Some(cfg.filesPerChunk), cfg.lakeFormat)
           // full path updates but never inserts (reference quirk,
           // `Ingest:424-426` insertconfig only on chunked)
           commitWatermark(paths.filePath, wmCols, paths.table,
@@ -184,7 +188,7 @@ final class Ingest(spark: SparkSession, source: Source, cfg: IngestConfig,
           val ts = coalesce(wmCols.map(col): _*)
           chunks.foreach { c =>
             LakeWriter.write(staged.where(c.predicate(ts)), paths.filePath,
-              SaveMode.Append, Some(cfg.filesPerChunk))
+              SaveMode.Append, Some(cfg.filesPerChunk), cfg.lakeFormat)
           }
           commitWatermark(paths.filePath, wmCols, paths.table,
             insertIfMissing = true)
@@ -197,7 +201,7 @@ final class Ingest(spark: SparkSession, source: Source, cfg: IngestConfig,
             s"$stagedCount rows loaded in one batch (limit " +
               s"${cfg.singleBatchDataLimit}); add a watermark config")
           LakeWriter.write(staged, paths.filePath, SaveMode.Overwrite,
-            Some(cfg.filesPerChunk))
+            Some(cfg.filesPerChunk), cfg.lakeFormat)
           stagedCount
       }
     } finally staged.unpersist()
@@ -212,7 +216,7 @@ final class Ingest(spark: SparkSession, source: Source, cfg: IngestConfig,
   private def commitWatermark(lakePath: String, wmCols: Seq[String],
       table: String, insertIfMissing: Boolean): Unit = {
     if (wmCols.nonEmpty) {
-      val maxRow = LakeReader.read(spark, lakePath)
+      val maxRow = LakeReader.read(spark, lakePath, format = cfg.lakeFormat)
         .agg(max(coalesce(wmCols.map(col): _*)).as("maxdate"))
         .select(col("maxdate") - expr(s"INTERVAL ${cfg.lagHours} HOURS"))
         .head()

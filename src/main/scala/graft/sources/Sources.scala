@@ -55,7 +55,20 @@ final class JdbcSource(url: String, user: String, password: String,
   }
 }
 
-/** Lake sink (S5/S6/S8, `Ingest:302-306`): parquet/"delta" dirs with
+/** Lake table format (S4/S6): the reference writes Delta by default and
+  * plain parquet for two task families (`Ingest:302-306`). Offline,
+  * `Snapshot` supplies the Delta semantics from first principles —
+  * [[graft.operators.Versioned]] manifest-log tables: atomic commits,
+  * readers never see a half-written chunk, every ingest run time-
+  * travelable, VACUUM/RESTORE/DESCRIBE HISTORY and the DSv2 catalog on
+  * top. `Parquet` is the plain-dir form. */
+sealed trait LakeFormat
+object LakeFormat {
+  case object Parquet extends LakeFormat
+  case object Snapshot extends LakeFormat
+}
+
+/** Lake sink (S5/S6/S8, `Ingest:302-306`): parquet/snapshot tables with
   * append/overwrite modes and optional compaction coalesce. Reference
   * pins `coalesce(1)` — one file per chunk; ours makes N configurable
   * because a single writer task serializes the write at scale.
@@ -68,9 +81,14 @@ final class JdbcSource(url: String, user: String, password: String,
   * [[LakeReader]] and exercised by IngestSpec's evolution case. */
 object LakeWriter {
   def write(df: DataFrame, path: String, mode: SaveMode,
-      coalesceTo: Option[Int] = Some(1)): Unit = {
+      coalesceTo: Option[Int] = Some(1),
+      format: LakeFormat = LakeFormat.Parquet): Unit = {
     val d = coalesceTo.map(df.coalesce).getOrElse(df)
-    d.write.mode(mode).parquet(path)
+    format match {
+      case LakeFormat.Parquet => d.write.mode(mode).parquet(path)
+      case LakeFormat.Snapshot => graft.operators.Versioned.commit(d, path,
+        if (mode == SaveMode.Append) "append" else "overwrite")
+    }
   }
 }
 
@@ -80,9 +98,14 @@ object LakeWriter {
   * (NULL-filled for older files) — Delta's additive evolution, on
   * parquet. Footer-merge cost is per-FILE, not per-row, so it stays
   * negligible at 100 TB as long as chunk writes keep file counts sane
-  * (LakeWriter's coalesce does). */
+  * (LakeWriter's coalesce does). Snapshot tables read their LATEST
+  * committed version (mergeSchema across segments built in). */
 object LakeReader {
   def read(spark: SparkSession, path: String,
-      mergeSchema: Boolean = true): DataFrame =
-    spark.read.option("mergeSchema", mergeSchema.toString).parquet(path)
+      mergeSchema: Boolean = true,
+      format: LakeFormat = LakeFormat.Parquet): DataFrame = format match {
+    case LakeFormat.Parquet =>
+      spark.read.option("mergeSchema", mergeSchema.toString).parquet(path)
+    case LakeFormat.Snapshot => graft.operators.Versioned.read(spark, path)
+  }
 }

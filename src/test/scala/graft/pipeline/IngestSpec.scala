@@ -89,6 +89,52 @@ class IngestSpec extends SparkSpec {
     assert(stagedMsg.get.contains(s"staged $expectedIncr rows"))
   }
 
+  test("snapshot lake format: chunk appends are atomic versioned " +
+    "commits, the ingest run is time-travelable, watermark matches " +
+    "the parquet-format run") {
+    import graft.operators.Versioned
+    val base = tmpDir("ingest")
+    makeSource(s"$base/src")
+    val cfg = IngestConfig(
+      configPath = s"$base/config",
+      watermarkPath = s"$base/watermarks",
+      lakeBasePath = s"$base/lake",
+      auditPath = s"$base/audit",
+      singleBatchDataLimit = 2000,
+      runDate = LocalDate.of(2026, 8, 12),
+      lakeFormat = graft.sources.LakeFormat.Snapshot)
+    val configs = new ConfigStore(spark, cfg.configPath)
+    configs.upsert(ConfigValue("dcx_postgresql_db_settings",
+      "clinic_db_name", "clinicdb", is_active = true))
+    configs.upsert(ConfigValue("dcx_postgresql_table_settings",
+      "clinic_tables", "visits", is_active = true))
+    val log = new AuditLog
+    val ingest = new Ingest(spark, new ParquetSource(s"$base/src"), cfg,
+      new LogAlertSink(log), log)
+    assert(ingest.run().exitStatus == "SUCCESS")
+
+    val table = s"$base/lake/visits/2026/08/12"
+    val src = spark.read.parquet(s"$base/src/visits.parquet")
+    // every chunk is one committed version; the latest covers the table
+    val vs = Versioned.versions(spark, table)
+    assert(vs.size > 1, s"expected one version per chunk, got $vs")
+    assert(Versioned.read(spark, table).count() == src.count())
+    // time travel: version 0 is exactly the first chunk (a strict,
+    // non-empty prefix of the rows)
+    val v0 = Versioned.read(spark, table, Some(0L)).count()
+    assert(v0 > 0 && v0 < src.count())
+    // change feed across the run == everything after the first chunk
+    assert(Versioned.changes(spark, table, 0L, vs.last).count() ==
+      src.count() - v0)
+    // watermark identical to the parquet-format pipeline's rule
+    val store = new WatermarkStore(spark, cfg.watermarkPath)
+    val wm = store.lastLoad(cfg.systemType, cfg.databaseName, "visits").get
+    val expected = java.sql.Timestamp.valueOf(
+      src.agg(max(col("ModifiedDate")) - expr("INTERVAL 80 HOURS"))
+        .head().getAs[java.time.LocalDateTime](0))
+    assert(wm == expected)
+  }
+
   test("missing-watermark oversize table routes to BulkWarn with alert") {
     import spark.implicits._
     val base = tmpDir("bulk")
