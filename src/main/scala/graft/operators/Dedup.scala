@@ -167,4 +167,55 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  // ---------- incremental (chunk-vs-corpus) ----------
+
+  /** Persist the corpus's MinHash band index: (band_id, band_hash, id),
+    * partitioned by band. This is the production shape of dedup at
+    * 100 TB — the corpus is indexed ONCE; each arriving chunk probes
+    * the index instead of re-signaturing the corpus. At full scale the
+    * index is additionally bucketed by band_hash so the chunk probe is
+    * a shuffle-free co-located join; new chunks' bands append here. */
+  def writeBandIndex(df: DataFrame, text: Column, id: String, path: String,
+      shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4): Unit =
+    withBands(withMinhashSignature(df, text, shingleSize, numHashes),
+      bands, numHashes / bands)
+      .select(col("band_id"), col("band_hash"), col(id))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("band_id").parquet(path)
+
+  /** Incremental near-dedup: flag each chunk doc that (a) collides with
+    * the persisted corpus index, or (b) collides with an earlier-id doc
+    * in the SAME chunk (keep-first, minhashDedup's rule). Cost tracks
+    * the CHUNK: the chunk is signatured and shuffled; the corpus
+    * contributes only the index join — its documents are never read.
+    * Returns (id, dup_of_corpus, dup_in_chunk). */
+  def dedupChunkAgainstIndex(chunk: DataFrame, text: Column, id: String,
+      indexPath: String, shingleSize: Int = 3, numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val spark = chunk.sparkSession
+    val cband = withBands(
+      withMinhashSignature(chunk, text, shingleSize, numHashes),
+      bands, numHashes / bands)
+      .select(col("band_id"), col("band_hash"), col(id))
+    val index = spark.read.parquet(indexPath)
+    val corpusDup = cband
+      .join(index.select(col("band_id"), col("band_hash")),
+        Seq("band_id", "band_hash"), "left_semi")
+      .select(col(id)).distinct()
+      .withColumn("__dc", lit(true))
+    val bucketMin = cband.groupBy("band_id", "band_hash")
+      .agg(min(col(id)).as("__m"))
+    val chunkDup = cband.join(bucketMin, Seq("band_id", "band_hash"))
+      .groupBy(col(id))
+      .agg(max(when(col("__m") < col(id), 1).otherwise(0)).as("__d"))
+      .where(col("__d") === 1)
+      .select(col(id)).withColumn("__dk", lit(true))
+    chunk.select(col(id))
+      .join(corpusDup, Seq(id), "left")
+      .join(chunkDup, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("__dc"), lit(false)).as("dup_of_corpus"),
+        coalesce(col("__dk"), lit(false)).as("dup_in_chunk"))
+  }
 }

@@ -276,6 +276,58 @@ object DedupQueries {
                       doc_id - ROW_NUMBER() OVER
                         (PARTITION BY lang ORDER BY doc_id) AS grp
                     FROM documents))
-        WHERE doc_id = component GROUP BY lang"""))
+        WHERE doc_id = component GROUP BY lang""")),
+
+    // ---- DD10 incremental dedup against a PERSISTED corpus index —
+    // the production shape at 100 TB: the corpus is MinHash-band-
+    // indexed once (memoized per JVM/sf here); each arriving chunk
+    // probes the index, so dedup cost tracks the chunk, and corpus
+    // documents are never re-read. The chunk = unseen originals
+    // (doc_id%10=0) + injected corpus copies (+500000) + an in-chunk
+    // second copy of every 40th doc (+800000). Exact copies share the
+    // full signature so every band collides — the oracle asserts 100%
+    // RECALL on both injected classes (the dd3 count device; per-doc
+    // flags on ORIGINALS are legitimately non-closed-form because the
+    // corpus carries true near-duplicates the LSH correctly catches —
+    // per-doc behavior is spec-checked on pairwise-independent texts
+    // in OperatorSpec instead).
+    "dd10_incremental_dedup" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents").select($"doc_id", $"text")
+        val corpus = docs.where($"doc_id" % 10 =!= 0)
+        val indexPath = ddStages.computeIfAbsent(s"$dir|dd10", { _ =>
+          val p = java.nio.file.Files
+            .createTempDirectory("dd10").toString + "/index"
+          Dedup.writeBandIndex(corpus, $"text", "doc_id", p)
+          p
+        })
+        val originals = docs.where($"doc_id" % 10 === 0)
+        val chunk = originals
+          .unionByName(corpus.where($"doc_id" % 20 === 1)
+            .select(($"doc_id" + 500000L).as("doc_id"), $"text"))
+          .unionByName(originals.where($"doc_id" % 40 === 0)
+            .select(($"doc_id" + 800000L).as("doc_id"), $"text"))
+        Dedup.dedupChunkAgainstIndex(chunk, $"text", "doc_id", indexPath)
+          .where($"doc_id" >= 500000L)
+          .select(
+            when($"doc_id" >= 800000L, "chunk_copy")
+              .otherwise("corpus_copy").as("kind"),
+            // the guaranteed flag per class: corpus copies collide with
+            // the index, in-chunk copies are dominated by their original
+            when($"doc_id" >= 800000L, $"dup_in_chunk")
+              .otherwise($"dup_of_corpus").cast("long").as("flagged"))
+          .groupBy($"kind")
+          .agg(count(lit(1)).as("n"), sum($"flagged").as("n_flagged"))
+      },
+      Some("""SELECT 'corpus_copy' AS kind, count(*) AS n,
+            count(*) AS n_flagged
+          FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 20 = 1
+        UNION ALL
+        SELECT 'chunk_copy', count(*), count(*)
+          FROM documents WHERE doc_id % 10 = 0 AND doc_id % 40 = 0"""))
   )
+
+  private val ddStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 }

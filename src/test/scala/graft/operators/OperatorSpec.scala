@@ -27,6 +27,33 @@ class OperatorSpec extends SparkSpec {
     assert(kept.count() <= docs.count())
   }
 
+  test("incremental dedup vs persisted index: per-doc flags exact on " +
+    "pairwise-independent texts; corpus docs never re-read") {
+    // synthetic texts of 12 md5-derived tokens: distinct docs share NO
+    // shingles (J=0), so per-doc LSH flags are deterministic — unlike
+    // the real corpus, whose true near-dup pairs make per-doc flags
+    // non-closed-form (that form is oracle-checked as counts in dd10)
+    def synth(ids: Seq[Long]) = ids.toDF("doc_id").select($"doc_id",
+      concat_ws(" ", (0 until 12).map(i =>
+        md5(concat($"doc_id".cast("string"), lit(s"_$i")))): _*).as("text"))
+    val corpus = synth(1L to 50L)
+    val ix = tmpDir("ddix") + "/index"
+    Dedup.writeBandIndex(corpus, $"text", "doc_id", ix)
+    val chunk = synth(101L to 120L)                        // clean originals
+      .union(corpus.where($"doc_id" <= 5)                  // corpus copies
+        .select($"doc_id" + 500, $"text"))
+      .union(synth(101L to 103L)                           // in-chunk copies
+        .select($"doc_id" + 800, $"text"))
+    val flags = Dedup.dedupChunkAgainstIndex(chunk, $"text", "doc_id", ix)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2)))
+      .toMap
+    (101L to 120L).foreach(id => assert(flags(id) == (false, false), id))
+    (501L to 505L).foreach(id => assert(flags(id)._1, s"$id not corpus-dup"))
+    (901L to 903L).foreach(id => assert(flags(id)._2, s"$id not chunk-dup"))
+    // keep-first: the in-chunk ORIGINALS of the 901-903 copies stay clean
+    assert(!flags(101L)._2 && !flags(102L)._2 && !flags(103L)._2)
+  }
+
   test("simhash: identical text => identical signature; hamming 0") {
     val two = docs.limit(1).select($"doc_id", $"text")
       .union(docs.limit(1).select(($"doc_id" + 1).as("doc_id"), $"text"))
