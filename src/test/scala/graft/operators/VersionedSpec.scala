@@ -208,4 +208,56 @@ class VersionedSpec extends SparkSpec {
     assert(evolved.where("fresh").count() == 1 &&
       evolved.where("fresh IS NULL").count() == 3)
   }
+
+  test("property: random commit/append/restore/vacuum sequences keep " +
+    "every readable version equal to the model (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    // ops: 0=overwrite, 1=append, 2=restore(to), 3=vacuum(keep)
+    val opGen = Gen.oneOf(
+      Gen.choose(1, 3).map(n => ("overwrite", n)),
+      Gen.choose(1, 3).map(n => ("append", n)),
+      Gen.choose(0, 10).map(i => ("restore", i)),
+      Gen.choose(1, 3).map(k => ("vacuum", k)))
+    val seqGen = Gen.listOfN(8, opGen)
+    var case_ = 0
+    val prop = Prop.forAll(seqGen) { ops =>
+      case_ += 1
+      val t = tmpDir("versprop") + s"/t$case_"
+      // model: committed version -> multiset of rows (as sorted Seq)
+      val model = scala.collection.mutable.Map.empty[Long, Seq[Int]]
+      var next = 0
+      ops.foreach {
+        case ("overwrite", n) =>
+          val rows = (next until next + n).toSeq; next += n
+          val v = Versioned.commit(rows.toDF("x"), t)
+          model(v) = rows.sorted
+        case ("append", n) =>
+          val rows = (next until next + n).toSeq; next += n
+          val base = model.keys.toSeq.sorted.lastOption
+            .map(model).getOrElse(Seq.empty)
+          val v = Versioned.commit(rows.toDF("x"), t, "append")
+          model(v) = (base ++ rows).sorted
+        case ("restore", i) =>
+          val live = model.keys.toSeq.sorted
+          if (live.nonEmpty) {
+            val target = live(i % live.size)
+            val v = Versioned.restore(spark, t, target)
+            model(v) = model(target)
+          }
+        case ("vacuum", k) =>
+          if (model.nonEmpty) {
+            Versioned.vacuum(spark, t, k)
+            val keep = model.keys.toSeq.sorted.takeRight(k).toSet
+            model.keys.toSeq.filterNot(keep).foreach(model.remove)
+          }
+      }
+      model.forall { case (v, rows) =>
+        Versioned.read(spark, t, Some(v))
+          .collect().map(_.getInt(0)).sorted.toSeq == rows
+      } && (Versioned.versions(spark, t).sorted == model.keys.toSeq.sorted)
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

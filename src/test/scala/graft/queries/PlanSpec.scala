@@ -184,6 +184,49 @@ class PlanSpec extends SparkSpec {
     assert(j.count() > 0)
   }
 
+  test("AQE splits a skewed join partition at runtime (the engine-side " +
+    "complement to operators.Skew's manual salting)") {
+    import org.apache.spark.sql.functions._
+    val c = spark.newSession()
+    c.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    c.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    c.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    c.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+    c.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+    // 95% of left rows share key 0 -> one shuffle partition dwarfs the rest
+    val left = c.range(200000).select(
+      when(col("id") % 20 === 0, col("id") % 100).otherwise(lit(0L)).as("k"),
+      col("id").as("payload"))
+    val right = c.range(100).select(col("id").as("k"), lit("dim").as("v"))
+    // collect() drives THIS frame's QueryExecution (count() would spawn
+    // its own), so the adaptive plan below is the FINAL one
+    // the downstream aggregate is GLOBAL (partial-agg absorbs the join
+    // output) — a groupBy on the join key would REQUIRE the join's hash
+    // partitioning and AQE would refuse to split the skewed partition
+    val j = left.join(right, "k").agg(sum("payload"))
+    assert(j.collect().nonEmpty)
+    val p = j.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(p.contains("isFinalPlan=true"), p)
+    assert(p.contains("skew=true"), "no runtime skew split in plan:\n" + p)
+  }
+
+  test("w9 time-range frames ride ONE hash shuffle on the partition key") {
+    val p = planOf("w9_rolling_window")
+    assert(p.contains("Window"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 hash exchange:\n$p")
+  }
+
+  test("tx9 vocabulary top-k is TakeOrderedAndProject over partial " +
+    "counts (no global sort of the vocabulary)") {
+    val p = planOf("tx9_vocab")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+    assert(!p.contains("Sort "), "no global Sort expected:\n" + p)
+  }
+
   test("tx7 PII scrub is a pure projection — no Exchange anywhere") {
     val p = planOf("tx7_pii_scrub")
     assert(!p.contains("Exchange"), "scrub should not shuffle:\n" + p)
