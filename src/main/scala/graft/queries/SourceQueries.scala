@@ -147,12 +147,17 @@ object SourceQueries {
             s"$r/lake/li", "append")
           r
         })
-        s.conf.set("spark.sql.catalog.graft_vt3",
+        // catalog name carries the sf-dir hash: the catalog manager
+        // caches the plugin per NAME at first use, so a second sf dir
+        // in the same session must resolve to its own catalog instance
+        val cat = "graft_vt3_" + java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffL)
+        s.conf.set(s"spark.sql.catalog.$cat",
           classOf[graft.sources.GraftCatalog].getName)
-        s.conf.set("spark.sql.catalog.graft_vt3.root", rootDir)
-        s.sql("""SELECT CAST(0 AS INT) AS version, count(*) AS n_rows
-            FROM graft_vt3.lake.li VERSION AS OF 0
-          UNION ALL SELECT 1, count(*) FROM graft_vt3.lake.li""")
+        s.conf.set(s"spark.sql.catalog.$cat.root", rootDir)
+        s.sql(s"""SELECT CAST(0 AS INT) AS version, count(*) AS n_rows
+            FROM $cat.lake.li VERSION AS OF 0
+          UNION ALL SELECT 1, count(*) FROM $cat.lake.li""")
       },
       Some("""SELECT CAST(0 AS INT) AS version, count(*) AS n_rows
           FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
