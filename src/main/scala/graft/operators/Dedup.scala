@@ -194,10 +194,18 @@ object Dedup {
       indexPath: String, shingleSize: Int = 3, numHashes: Int = 16,
       bands: Int = 4): DataFrame = {
     val spark = chunk.sparkSession
+    // the banded frame feeds THREE consumers (index probe, bucket-min,
+    // domination join) — an eager localCheckpoint materializes the
+    // chunk's signatures once instead of re-signaturing per consumer,
+    // and (unlike persist) its RDD blocks are freed by the
+    // ContextCleaner once the returned frame is collected/GC'd, so
+    // repeated invocations don't accumulate cache (the nearDupPairs
+    // lesson from round 2's review)
     val cband = withBands(
       withMinhashSignature(chunk, text, shingleSize, numHashes),
       bands, numHashes / bands)
       .select(col("band_id"), col("band_hash"), col(id))
+      .localCheckpoint(true)
     val index = spark.read.parquet(indexPath)
     val corpusDup = cband
       .join(index.select(col("band_id"), col("band_hash")),
