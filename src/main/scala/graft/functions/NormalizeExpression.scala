@@ -57,11 +57,15 @@ object NormalizeText {
     val nfd = java.text.Normalizer.normalize(
       nfkc, java.text.Normalizer.Form.NFD)
     val sb = new java.lang.StringBuilder(nfd.length)
+    // iterate CODE POINTS, not chars: a supplementary-plane combining
+    // mark (e.g. Grantha U+11301) is two surrogate chars, each of
+    // char-type SURROGATE — a char loop would let it survive
     var i = 0
     while (i < nfd.length) {
-      val c = nfd.charAt(i)
-      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
-      i += 1
+      val cp = nfd.codePointAt(i)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK)
+        sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
     }
     UTF8String.fromString(sb.toString)
   }

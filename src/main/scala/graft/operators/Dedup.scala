@@ -103,24 +103,31 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
-  /** Greedy keep-first MinHash dedup: drop any doc that shares an LSH
+  /** Ids DOMINATED under the keep-first rule: docs sharing any LSH
     * bucket with a lower-id doc. One groupBy over buckets computes the
-    * per-bucket min id; a doc survives iff it is the min of every
-    * bucket it falls in. */
+    * per-bucket min id; a doc is dominated iff some bucket it falls in
+    * has a smaller min. Shared by [[minhashDedup]] (drop these) and
+    * [[dedupChunkAgainstIndex]] (flag these) so the rule's semantics
+    * can never silently diverge between the two. */
+  private def dominatedIds(banded: DataFrame, id: String): DataFrame = {
+    val bucketMin = banded.groupBy("band_id", "band_hash")
+      .agg(min(col(id)).as("__bucket_min"))
+    banded.join(bucketMin, Seq("band_id", "band_hash"))
+      .groupBy(col(id))
+      .agg(max(when(col("__bucket_min") < col(id), 1).otherwise(0))
+        .as("__dominated"))
+      .where(col("__dominated") === 1)
+      .select(col(id))
+  }
+
+  /** Greedy keep-first MinHash dedup: drop any doc that shares an LSH
+    * bucket with a lower-id doc. */
   def minhashDedup(df: DataFrame, text: Column, id: String,
       shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val rowsPerBand = numHashes / bands
     val banded = withBands(
       withMinhashSignature(df, text, shingleSize, numHashes),
-      bands, rowsPerBand)
-    val bucketMin = banded.groupBy("band_id", "band_hash")
-      .agg(min(col(id)).as("bucket_min"))
-    val keepIds = banded.join(bucketMin, Seq("band_id", "band_hash"))
-      .groupBy(col(id))
-      .agg(max(when(col("bucket_min") < col(id), 1).otherwise(0)).as("dominated"))
-      .where(col("dominated") === 0)
-      .select(col(id))
-    df.join(keepIds, Seq(id), "left_semi")
+      bands, numHashes / bands)
+    df.join(dominatedIds(banded, id), Seq(id), "left_anti")
   }
 
   // ---------- SimHash ----------
@@ -212,13 +219,7 @@ object Dedup {
         Seq("band_id", "band_hash"), "left_semi")
       .select(col(id)).distinct()
       .withColumn("__dc", lit(true))
-    val bucketMin = cband.groupBy("band_id", "band_hash")
-      .agg(min(col(id)).as("__m"))
-    val chunkDup = cband.join(bucketMin, Seq("band_id", "band_hash"))
-      .groupBy(col(id))
-      .agg(max(when(col("__m") < col(id), 1).otherwise(0)).as("__d"))
-      .where(col("__d") === 1)
-      .select(col(id)).withColumn("__dk", lit(true))
+    val chunkDup = dominatedIds(cband, id).withColumn("__dk", lit(true))
     chunk.select(col(id))
       .join(corpusDup, Seq(id), "left")
       .join(chunkDup, Seq(id), "left")

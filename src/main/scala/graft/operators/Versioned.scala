@@ -30,7 +30,9 @@ import scala.collection.mutable
   */
 object Versioned {
 
-  private val LogDir = "_graft_log"
+  /** Manifest-log dir name — shared with the DSv2 catalog's
+    * "is this dir a snapshot table" probe (GraftCatalog.listTables). */
+  private[graft] val LogDir = "_graft_log"
 
   /** Commit `df` as the next version. `mode` is "overwrite" (snapshot =
     * just these files) or "append" (snapshot = previous latest's files +
@@ -110,10 +112,16 @@ object Versioned {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     listVersions(fs, root).map { v =>
       val st = fs.getFileStatus(new Path(root, s"$LogDir/$v.manifest"))
-      val meta = readMeta(spark, table, v).toSeq.sorted
-        .map { case (k, v2) => s"$k=$v2" }.mkString(",")
+      // ONE manifest read yields both the meta header and the file
+      // count — on an object store each open is a round trip
+      val lines = manifestLines(fs, root, v)
+      val meta = lines.filter(_.startsWith("#"))
+        .flatMap(_.drop(1).split("=", 2) match {
+          case Array(k, v2) => Some(s"$k=$v2")
+          case _ => None
+        }).sorted.mkString(",")
       (v, new java.sql.Timestamp(st.getModificationTime),
-        readManifest(fs, root, v).size.toLong, meta)
+        lines.count(!_.startsWith("#")).toLong, meta)
     }
   }
 

@@ -84,11 +84,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   }
 
   /** `DESCRIBE HISTORY '<path>'` — the version log of a Versioned
-    * snapshot table (Delta's DESCRIBE HISTORY, manifest-backed). */
+    * snapshot table (Delta's DESCRIBE HISTORY, manifest-backed).
+    * Non-matching text DELEGATES rather than fails: unlike OPTIMIZE/
+    * VACUUM/RESTORE, a DESCRIBE-prefixed statement can be perfectly
+    * valid Spark SQL — `DESCRIBE history` describes a table literally
+    * named "history" and must keep doing so. */
   private def parseHistory(sqlText: String): LogicalPlan = {
     val h = historyStmt.matcher(sqlText)
-    if (h.matches()) return DescribeHistoryCommand(h.group(1))
-    fail(sqlText, "expected DESCRIBE HISTORY '<path>'")
+    if (h.matches()) DescribeHistoryCommand(h.group(1))
+    else delegate.parsePlan(sqlText)
   }
 
   /** `RESTORE '<path>' TO VERSION <n>` — roll the table's latest state

@@ -283,8 +283,10 @@ object DedupQueries {
     // indexed once (memoized per JVM/sf here); each arriving chunk
     // probes the index, so dedup cost tracks the chunk, and corpus
     // documents are never re-read. The chunk = unseen originals
-    // (doc_id%10=0) + injected corpus copies (+500000) + an in-chunk
-    // second copy of every 40th doc (+800000). Exact copies share the
+    // (doc_id%10=0) + injected corpus copies (+10M) + an in-chunk
+    // second copy of every 40th doc (+20M; offsets far beyond any
+    // scale factor's id range, and disjoint so classes can't collide).
+    // Exact copies share the
     // full signature so every band collides — the oracle asserts 100%
     // RECALL on both injected classes (the dd3 count device; per-doc
     // flags on ORIGINALS are legitimately non-closed-form because the
@@ -305,17 +307,17 @@ object DedupQueries {
         val originals = docs.where($"doc_id" % 10 === 0)
         val chunk = originals
           .unionByName(corpus.where($"doc_id" % 20 === 1)
-            .select(($"doc_id" + 500000L).as("doc_id"), $"text"))
+            .select(($"doc_id" + 10000000L).as("doc_id"), $"text"))
           .unionByName(originals.where($"doc_id" % 40 === 0)
-            .select(($"doc_id" + 800000L).as("doc_id"), $"text"))
+            .select(($"doc_id" + 20000000L).as("doc_id"), $"text"))
         Dedup.dedupChunkAgainstIndex(chunk, $"text", "doc_id", indexPath)
-          .where($"doc_id" >= 500000L)
+          .where($"doc_id" >= 10000000L)
           .select(
-            when($"doc_id" >= 800000L, "chunk_copy")
+            when($"doc_id" >= 20000000L, "chunk_copy")
               .otherwise("corpus_copy").as("kind"),
             // the guaranteed flag per class: corpus copies collide with
             // the index, in-chunk copies are dominated by their original
-            when($"doc_id" >= 800000L, $"dup_in_chunk")
+            when($"doc_id" >= 20000000L, $"dup_in_chunk")
               .otherwise($"dup_of_corpus").cast("long").as("flagged"))
           .groupBy($"kind")
           .agg(count(lit(1)).as("n"), sum($"flagged").as("n_flagged"))

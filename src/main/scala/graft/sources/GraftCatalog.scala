@@ -57,8 +57,14 @@ class GraftCatalog extends TableCatalog {
   private def load(ident: Identifier, version: Option[Long]): Table = {
     val spark = SparkSession.active
     val path = tablePath(ident)
-    if (Versioned.versions(spark, path).isEmpty)
-      throw new NoSuchTableException(ident)
+    val versions = Versioned.versions(spark, path)
+    if (versions.isEmpty) throw new NoSuchTableException(ident)
+    // a missing VERSION AS OF must be a clean error, not a leaked
+    // FileNotFoundException from the manifest read
+    version.foreach(v => if (!versions.contains(v))
+      throw new IllegalArgumentException(
+        s"version $v of ${ident.toString} not found " +
+          s"(committed versions: ${versions.mkString(", ")})"))
     val files = Versioned.versionFiles(spark, path, version)
     // mergeSchema: an appended segment may carry ADDED columns
     // (additive evolution, Versioned.read parity) — the table schema
@@ -77,10 +83,16 @@ class GraftCatalog extends TableCatalog {
       throw new IllegalArgumentException(
         s"version must be a number, got '$version'"))))
 
-  /** `TIMESTAMP AS OF ts` — Spark hands epoch MICROseconds. */
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    load(ident, Some(Versioned.versionAt(
-      SparkSession.active, tablePath(ident), timestamp)))
+  /** `TIMESTAMP AS OF ts` — Spark hands epoch MICROseconds. Existence
+    * is checked FIRST so a missing table surfaces as the same
+    * NoSuchTableException the non-time-travel path produces. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val spark = SparkSession.active
+    val path = tablePath(ident)
+    if (Versioned.versions(spark, path).isEmpty)
+      throw new NoSuchTableException(ident)
+    load(ident, Some(Versioned.versionAt(spark, path, timestamp)))
+  }
 
   override def tableExists(ident: Identifier): Boolean =
     Versioned.versions(SparkSession.active, tablePath(ident)).nonEmpty
@@ -93,7 +105,7 @@ class GraftCatalog extends TableCatalog {
       catalogName +: namespace)
     fs.listStatus(ns).toSeq
       .filter(st => st.isDirectory &&
-        fs.exists(new Path(st.getPath, "_graft_log")))
+        fs.exists(new Path(st.getPath, Versioned.LogDir)))
       .map(st => Identifier.of(namespace, st.getPath.getName))
       .toArray
   }

@@ -101,11 +101,19 @@ object LakeWriter {
   * (LakeWriter's coalesce does). Snapshot tables read their LATEST
   * committed version (mergeSchema across segments built in). */
 object LakeReader {
+  /** `mergeSchema` applies to the Parquet form only; Snapshot tables
+    * ALWAYS read the union schema across their committed segments
+    * (additive evolution is part of the format's contract, so the
+    * parameter is rejected rather than silently dropped). */
   def read(spark: SparkSession, path: String,
       mergeSchema: Boolean = true,
       format: LakeFormat = LakeFormat.Parquet): DataFrame = format match {
     case LakeFormat.Parquet =>
       spark.read.option("mergeSchema", mergeSchema.toString).parquet(path)
-    case LakeFormat.Snapshot => graft.operators.Versioned.read(spark, path)
+    case LakeFormat.Snapshot =>
+      require(mergeSchema,
+        "Snapshot tables always merge segment schemas; mergeSchema=false " +
+          "is not supported for LakeFormat.Snapshot")
+      graft.operators.Versioned.read(spark, path)
   }
 }

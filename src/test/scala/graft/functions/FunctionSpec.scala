@@ -175,6 +175,17 @@ class NormalizeTextSpec extends SparkSpec {
     assert(out(2) == "file token")
   }
 
+  test("supplementary-plane combining marks strip too (code-point " +
+    "iteration, not UTF-16 chars)") {
+    // U+11301 GRANTHA SIGN CANDRABINDU: category Mn, outside the BMP —
+    // as two surrogate chars each reads as type SURROGATE, so a char
+    // loop would let it survive
+    val withMark = "ka" + new String(Character.toChars(0x11301)) + " end"
+    val out = Seq(withMark).toDF("t")
+      .select(NormalizeText($"t")).as[String].head()
+    assert(out == "ka end", out.codePoints().toArray.toSeq.toString)
+  }
+
   test("null in, null out; codegen and interpreted paths agree") {
     val df = Seq(Some("über"), None).toDF("t")
     val viaCodegen = df.select(NormalizeText($"t")).collect()

@@ -133,6 +133,11 @@ class VersionedSpec extends SparkSpec {
     // plain DESCRIBE is Spark's own grammar — untouched by the prefix
     Seq((1, "x")).toDF("a", "b").createOrReplaceTempView("desc_probe")
     assert(spark.sql("DESCRIBE desc_probe").count() == 2)
+    // ...including a table literally named "history": the two-word
+    // prefix matches but the quoted-path form doesn't, so the
+    // statement must DELEGATE, not die in our parser
+    Seq((1, "x")).toDF("a", "b").createOrReplaceTempView("history")
+    assert(spark.sql("DESCRIBE history").count() == 2)
     // malformed forms surface the delegate's ParseException
     intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
       spark.sql(s"RESTORE '$t' VERSION 0")
@@ -189,6 +194,14 @@ class VersionedSpec extends SparkSpec {
       c.sql("SELECT * FROM graft.lake.tt TIMESTAMP AS OF '2000-01-01'")
         .collect()
     }
+    // a missing VERSION AS OF is a clean version-not-found error with
+    // the committed versions listed — never a leaked FileNotFound
+    val e = intercept[Exception] {
+      c.sql("SELECT * FROM graft.lake.tt VERSION AS OF 99").collect()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("committed versions"), msgs)
     // catalog listing sees exactly the committed table
     assert(c.sql("SHOW TABLES IN graft.lake").collect()
       .map(_.getString(1)).toSeq == Seq("tt"))
