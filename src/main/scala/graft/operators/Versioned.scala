@@ -182,6 +182,45 @@ object Versioned {
     ((to -- from).toSeq.sorted, (from -- to).toSeq.sorted)
   }
 
+  /** Cursor-based change-feed consumer — the downstream half of
+    * [[changes]]: process everything committed after this consumer's
+    * cursor, then advance the cursor to the version just consumed.
+    * The cursor (one version number in a file under the consumer's own
+    * path) advances AFTER `f` returns, so a consumer that crashes
+    * mid-process re-reads the same delta next run — at-least-once, the
+    * same replay discipline the reference's 80 h watermark lag encodes
+    * (`Ingest:350`), with versions instead of timestamps. An idempotent
+    * `f` (e.g. a keyed MERGE) upgrades it to effectively-once. Returns
+    * the versions consumed as (from, to], or None if already caught up. */
+  def consumeChanges(spark: SparkSession, table: String, cursorPath: String)
+      (f: DataFrame => Unit): Option[(Long, Long)] = {
+    val cursor = new Path(cursorPath)
+    val fs = cursor.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val last: Option[Long] =
+      if (!fs.exists(cursor)) None
+      else {
+        val in = fs.open(cursor)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        scala.util.Try(s.toLong).toOption
+      }
+    val latest = versions(spark, table).lastOption.getOrElse(
+      return None)
+    if (last.contains(latest)) return None
+    val delta = last match {
+      case Some(v) => changes(spark, table, v, latest)
+      case None => read(spark, table, Some(latest)) // first run: full table
+    }
+    f(delta)
+    val tmp = new Path(cursor.getParent, s".${cursor.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(latest.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(cursor)) fs.delete(cursor, false)
+    if (!fs.rename(tmp, cursor))
+      throw new java.io.IOException(s"could not advance cursor $cursorPath")
+    Some((last.getOrElse(-1L), latest))
+  }
+
   /** Latest version committed at or before `tsMicros` (epoch
     * microseconds — the unit Spark's `TIMESTAMP AS OF` hands a DSv2
     * catalog), by manifest commit time. */

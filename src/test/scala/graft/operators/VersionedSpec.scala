@@ -168,6 +168,35 @@ class VersionedSpec extends SparkSpec {
     }
   }
 
+  test("consumeChanges: cursor advances per consumed delta; a failed " +
+    "consumer re-reads the same delta; caught-up is a no-op") {
+    val base = tmpDir("vers")
+    val t = s"$base/t"; val cur = s"$base/consumer.cursor"
+    Versioned.commit(Seq((1, "a")).toDF("k", "v"), t)           // v0
+    Versioned.commit(Seq((2, "b")).toDF("k", "v"), t, "append") // v1
+    var seen = Seq.empty[Int]
+    // first run: full table, cursor lands on v1
+    val r1 = Versioned.consumeChanges(spark, t, cur) { df =>
+      seen = df.select("k").as[Int].collect().toSeq.sorted
+    }
+    assert(r1 == Some((-1L, 1L)) && seen == Seq(1, 2))
+    // caught up: f must not run
+    assert(Versioned.consumeChanges(spark, t, cur) { _ =>
+      fail("consumer ran while caught up")
+    }.isEmpty)
+    // new commit -> only the delta; a THROWING consumer leaves the
+    // cursor untouched so the delta is re-delivered
+    Versioned.commit(Seq((3, "c")).toDF("k", "v"), t, "append") // v2
+    intercept[RuntimeException] {
+      Versioned.consumeChanges(spark, t, cur)(_ =>
+        throw new RuntimeException("boom"))
+    }
+    val r2 = Versioned.consumeChanges(spark, t, cur) { df =>
+      seen = df.select("k").as[Int].collect().toSeq.sorted
+    }
+    assert(r2 == Some((1L, 2L)) && seen == Seq(3))
+  }
+
   test("DSv2 catalog: native VERSION AS OF / TIMESTAMP AS OF time " +
     "travel, SHOW TABLES, read-only writes") {
     val rootDir = tmpDir("cat")
