@@ -192,6 +192,30 @@ object SamplingQueries {
         SELECT doc_id, group_key,
           CASE WHEN substr(md5(CAST(group_key AS VARCHAR)), 1, 1) <= 'b'
             THEN 'train' ELSE 'test' END AS side
-        FROM g"""))
+        FROM g""")),
+
+    // ---- SP8 deterministic corpus shuffle (training-order assignment):
+    // position = rank of md5(seed ‖ doc_id) — a seeded, reproducible
+    // global shuffle with no rand() (reruns at any parallelism give the
+    // same order, and changing the seed re-shuffles). At 100 TB the
+    // global row_number becomes a two-level form (range-partition by
+    // the hash, per-range local rank + broadcast offsets — the Packing
+    // operator's distributed prefix-sum shape); at bench scale the
+    // single sort expresses the semantics.
+    "sp8_deterministic_shuffle" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(md5(concat(lit("seed42_"), $"doc_id".cast("string"))))
+        t(s, dir, "documents")
+          .select($"doc_id",
+            row_number().over(w).as("pos"))
+          .where($"pos" <= 100)
+      },
+      Some("""SELECT doc_id, CAST(pos AS INT) AS pos FROM (
+          SELECT doc_id, row_number() OVER (
+            ORDER BY md5('seed42_' || CAST(doc_id AS VARCHAR))) AS pos
+          FROM documents)
+        WHERE pos <= 100"""))
   )
 }

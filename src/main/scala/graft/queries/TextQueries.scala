@@ -199,6 +199,41 @@ object TextQueries {
             / len(string_split_regex(lower(text), '\s+')), 6) AS r
           FROM documents),
         t AS (SELECT quantile_cont(r, 0.25) AS thr FROM s)
-        SELECT doc_id, r FROM s, t WHERE r >= thr"""))
+        SELECT doc_id, r FROM s, t WHERE r >= thr""")),
+
+    // ---- TX11 unigram log-prob scoring (the perplexity-filter proxy a
+    // curation pipeline runs where a real LM is too expensive): a
+    // unigram model is fit on the corpus ITSELF (token relative
+    // frequencies), then each doc scores mean log10 p(token) — docs of
+    // improbable tokens score low. Two shuffles total: the model build
+    // (token counts) and the per-doc aggregate after the freq join; the
+    // model is corpus-vocabulary-sized, joined by token hash at 100 TB.
+    // Mean-of-logs is order-dependent in the last ulps, so the score
+    // rounds at 6 dp (the emb1 device — per-doc token counts are small).
+    "tx11_unigram_logprob" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val toks = t(s, dir, "documents")
+          .select($"doc_id", explode(split(lower($"text"), "\\s+"))
+            .as("token"))
+          .where(length($"token") > 0)
+        val total = toks.agg(count(lit(1)).cast("double").as("__total"))
+        val model = toks.groupBy($"token")
+          .agg(count(lit(1)).cast("double").as("__n"))
+        toks.join(model, "token")
+          .crossJoin(broadcast(total))
+          .groupBy($"doc_id")
+          .agg(round(avg(log10($"__n" / $"__total")), 6).as("logprob"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(lower(text), '\s+'))
+            AS token FROM documents),
+        toks2 AS (SELECT * FROM toks WHERE length(token) > 0),
+        total AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM toks2),
+        model AS (SELECT token, CAST(count(*) AS DOUBLE) AS n
+          FROM toks2 GROUP BY token)
+        SELECT doc_id, round(avg(log10(n / total)), 6) AS logprob
+        FROM toks2 JOIN model USING (token), total
+        GROUP BY doc_id"""))
   )
 }
