@@ -25,7 +25,11 @@ def norm(v):
             return "NaN"
         return repr(v)
     if isinstance(v, decimal.Decimal):
-        return str(v.normalize())
+        # compare at declared scale — the driver does NOT normalize()
+        # away trailing zeros, and r3 proved decimal client conversion
+        # itself is version-sensitive; keep the replica at least as
+        # strict as the strictest plausible driver
+        return str(v)
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, (list, tuple)):
@@ -42,8 +46,24 @@ def canon(cols, rows):
     return [cols[i] for i in order], out
 
 
+# Queries allowed to emit DECIMAL-typed output under --strict (the
+# diag probe exists precisely to carry the fragile shape).
+STRICT_DECIMAL_ALLOW = {"diag1_decimal_sum"}
+
+
+def decimal_cols(cols, rows):
+    hit = set()
+    for r in rows[:100]:
+        for c, v in zip(cols, r):
+            if isinstance(v, decimal.Decimal):
+                hit.add(c)
+    return sorted(hit)
+
+
 def main():
-    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    strict = "--strict" in sys.argv
+    args = [a for a in sys.argv[1:] if a != "--strict"]
+    out_dir, sf_dir = args[0], args[1]
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
     con = duckdb.connect()
@@ -72,6 +92,16 @@ def main():
             n_fail += 1
             results[name] = "error"
             continue
+        if strict and name not in STRICT_DECIMAL_ALLOW:
+            frag = sorted(set(decimal_cols(scols, srows) +
+                              decimal_cols(ocols, orows)))
+            if frag:
+                # r3: decimal-typed compared columns hash-fail on the
+                # driver even when the local replica matches bit-exact
+                print(f"FAIL {name}: strict: DECIMAL output cols {frag}")
+                n_fail += 1
+                results[name] = "strict-decimal"
+                continue
         sc, sr = canon(scols, srows)
         oc, orr = canon(ocols, orows)
         if [c.lower() for c in sc] != [c.lower() for c in oc]:

@@ -41,5 +41,6 @@ object QueryRegistry {
       queries.ProfileQueries.defs ++
       queries.AnalyticsQueries.defs ++
       queries.PrepQueries.defs ++
-      queries.CurationQueries.defs
+      queries.CurationQueries.defs ++
+      queries.DiagQueries.defs
 }

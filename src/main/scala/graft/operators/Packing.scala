@@ -58,8 +58,11 @@ object Packing {
   def assignPacks(df: DataFrame, sizeCol: String, orderCol: String,
       budget: Long, numRanges: Int = 64): DataFrame =
     withOffsets(df, sizeCol, orderCol, numRanges)
-      .withColumn("pack_id", floor(col("tok_offset") / budget))
+      // integer DIV, not floor(a / b): the double division is only
+      // exact below 2^53 total tokens — DIV stays exact at any corpus
+      // size (offsets are non-negative, so DIV == floor division)
+      .withColumn("pack_id", expr(s"tok_offset DIV $budget"))
       .withColumn("packs_spanned",
-        (floor((col("tok_offset") + col(sizeCol).cast("long") - 1) / budget)
+        (expr(s"(tok_offset + CAST(${sizeCol} AS BIGINT) - 1) DIV $budget")
           - col("pack_id") + 1).cast("int"))
 }

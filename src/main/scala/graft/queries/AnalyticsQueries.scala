@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.functions.Exact
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -24,15 +25,12 @@ object AnalyticsQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir, n)
 
-  private val rev = (ep: org.apache.spark.sql.Column,
-      d: org.apache.spark.sql.Column) =>
-    (ep * (lit(1.0) - d)).cast("decimal(24,6)")
-
   def defs: Seq[(String, QueryDef)] = Seq(
 
     // ---- Q8 national market share: NATION_3's share of PROMO-part
-    // revenue sold into ASIA, per order year. Share = exact decimal
-    // sums divided as doubles, rounded once (deterministic both sides).
+    // revenue sold into ASIA, per order year. Share = exact-integer
+    // revenue sums (graft.functions.Exact) divided as doubles, rounded
+    // once — identical IEEE inputs, so identical quotients everywhere.
     "q8_market_share" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -55,18 +53,21 @@ object AnalyticsQueries {
           .join(supNation, $"s_nationkey" === $"sn_key")
           .groupBy(year($"o_orderdate").as("o_year"))
           .agg(round(
-            sum(when($"sn_name" === "NATION_3",
-              rev($"l_extendedprice", $"l_discount")).otherwise(lit(0)
-                .cast("decimal(24,6)"))).cast("double") /
-              sum(rev($"l_extendedprice", $"l_discount")).cast("double"),
+            Exact.sumExact(when($"sn_name" === "NATION_3",
+              Exact.revenueE4($"l_extendedprice", $"l_discount"))
+              .otherwise(lit(0L))).cast("double") /
+              Exact.sumExact(Exact.revenueE4($"l_extendedprice",
+                $"l_discount")).cast("double"),
             6).as("mkt_share"))
       },
       Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
           round(CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
-              THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))
-              ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE) /
-            CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-              AS DECIMAL(24,6))) AS DOUBLE), 6) AS mkt_share
+              THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))
+              ELSE 0 END) AS DOUBLE) /
+            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+              * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS DOUBLE), 6) AS mkt_share
         FROM lineitem
         JOIN part ON l_partkey = p_partkey
         JOIN orders ON l_orderkey = o_orderkey
@@ -94,12 +95,15 @@ object AnalyticsQueries {
             $"s_nationkey" === $"n_nationkey")
           .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
           .groupBy($"n_name".as("nation"), year($"o_orderdate").as("o_year"))
-          .agg(sum(rev($"l_extendedprice", $"l_discount")).as("profit"))
+          .agg(Exact.dollars(Exact.sumExact(
+            Exact.revenueE4($"l_extendedprice", $"l_discount")), 10000L)
+            .as("profit"))
       },
       Some("""SELECT n_name AS nation,
           CAST(year(o_orderdate) AS INT) AS o_year,
-          sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6)))
-            AS profit
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+            / 10000.0 AS profit
         FROM lineitem
         JOIN part ON l_partkey = p_partkey
         JOIN supplier ON l_suppkey = s_suppkey
@@ -163,25 +167,38 @@ object AnalyticsQueries {
         import s.implicits._
         val cust = t(s, dir, "customer")
           .where($"c_nationkey".isin(1, 3, 5, 7, 9, 11, 13))
-        val avgBal = cust.where($"c_acctbal" > 0)
-          .agg(avg($"c_acctbal").as("__avg_bal"))
+        // "above average" decided on exact integers with the division
+        // multiplied out (bal > tot/n  ⇔  bal_cents·n > tot_cents):
+        // no double division, so no engine-version rounding at the
+        // threshold boundary; the sums stay a broadcast scalar.
+        val posStats = cust.where($"c_acctbal" > 0)
+          .agg(sum(Exact.cents($"c_acctbal").cast("decimal(20,0)"))
+            .as("__tot_cents"), count(lit(1)).as("__n_pos"))
         val recent = t(s, dir, "orders")
           .where($"o_orderdate" >= lit("1999-01-01").cast("timestamp"))
           .select($"o_custkey").distinct()
-        cust.crossJoin(broadcast(avgBal))
-          .where($"c_acctbal" > $"__avg_bal")
+        cust.crossJoin(broadcast(posStats))
+          .where(Exact.cents($"c_acctbal").cast("decimal(20,0)") *
+            $"__n_pos" > $"__tot_cents")
           .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
           .groupBy($"c_nationkey".cast("int").as("cntrycode"))
           .agg(count(lit(1)).as("numcust"),
-            sum($"c_acctbal".cast("decimal(18,4)")).as("totacctbal"))
+            Exact.dollars(Exact.sumExact(Exact.cents($"c_acctbal")), 100L)
+              .as("totacctbal"))
       },
-      Some("""SELECT CAST(c_nationkey AS INT) AS cntrycode,
+      Some("""WITH pos AS (
+          SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS tot_cents,
+            count(*) AS n_pos
+          FROM customer
+          WHERE c_acctbal > 0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+        SELECT CAST(c_nationkey AS INT) AS cntrycode,
           count(*) AS numcust,
-          sum(CAST(c_acctbal AS DECIMAL(18,4))) AS totacctbal
+          CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+            / 100.0 AS totacctbal
         FROM customer
         WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
-          AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
-            WHERE c_acctbal > 0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+          AND CAST(round(c_acctbal * 100) AS BIGINT)
+            * (SELECT n_pos FROM pos) > (SELECT tot_cents FROM pos)
           AND NOT EXISTS (SELECT 1 FROM orders
             WHERE o_custkey = c_custkey
               AND o_orderdate >= TIMESTAMP '1999-01-01')

@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.QueryDef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-environment diagnostics (VERDICT r3 #2).
+  *
+  * Round 3 left 16 hash-fails whose outputs all pass a local DuckDB
+  * 1.0.0 replica bit-exact — the divergence is in the driver's oracle
+  * environment, not in the query semantics. These two probes pin down
+  * the driver-side mechanism from the r4 correctness report alone:
+  *
+  *  - `diag1_decimal_sum` — the round-3 fragile output shape (a
+  *    DECIMAL(24,6) sum of double→decimal casts) next to the exact
+  *    integer form, over five constructed rows whose values carry NO
+  *    rounding ambiguity (2-dp money like the testdata: every cast is
+  *    >1e9 ulps from a tie). Both engines must agree on the VALUES;
+  *    only decimal-typed client conversion / rendering can differ.
+  *  - `diag2_engine_semantics` — STRING/BIGINT-only outputs (immune to
+  *    decimal rendering) probing the oracle engine's computational
+  *    choices against values pinned from DuckDB 1.0.0: the
+  *    double→decimal tie cast of 0.30625 (shortest-repr HALF_UP →
+  *    '0.3063' on 1.0.0 and on Spark; an exact-binary-rounding engine
+  *    says '0.3062'), round(2.5) half-away ('3'; half-even says '2'),
+  *    and the `\s+` regex token count pk1/pk2 depend on.
+  *
+  * Interpretation matrix for CORRECTNESS_r04:
+  *  - diag1 FAIL, diag2 pass → driver normalizes/renders DECIMAL
+  *    differently (version/client drift) — decimal-typed outputs are
+  *    unusable in compared columns, exactly the r4 fix class.
+  *  - diag1 pass, diag2 FAIL → driver's engine semantics differ from
+  *    DuckDB 1.0.0 (cast/round/regex version drift).
+  *  - both pass → environment agrees with the local replica; any
+  *    remaining red row is query-specific, not environmental.
+  */
+object DiagQueries {
+
+  /** Constructed money rows, identical on both sides (all 2-dp, no
+    * rounding ties anywhere near scale 6). */
+  private val rows = Seq(
+    (2.67, 0.05), (9999999.99, 0.10), (0.03, 0.06),
+    (123.45, 0.00), (0.01, 0.01))
+
+  private val oracleValues =
+    rows.map { case (p, d) =>
+      s"(CAST($p AS DOUBLE), CAST($d AS DOUBLE))"
+    }.mkString(",\n  ")
+
+  def defs: Seq[(String, QueryDef)] = Seq(
+
+    "diag1_decimal_sum" -> QueryDef(
+      (s, _) => {
+        import s.implicits._
+        rows.toDF("price", "disc")
+          .agg(
+            sum(($"price" * (lit(1.0) - $"disc")).cast("decimal(24,6)"))
+              .as("dec_sum"),
+            graft.functions.Exact.dollars(
+              graft.functions.Exact.sumExact(
+                graft.functions.Exact.revenueE4($"price", $"disc")),
+              10000L).as("int_sum"))
+      },
+      Some(s"""WITH v(price, disc) AS (VALUES
+          $oracleValues)
+        SELECT sum(CAST(price * (1.0 - disc) AS DECIMAL(24,6))) AS dec_sum,
+          CAST(sum(CAST(round(price * 100) AS BIGINT)
+            * (100 - CAST(round(disc * 100) AS BIGINT))) AS DOUBLE)
+            / 10000.0 AS int_sum
+        FROM v""")),
+
+    "diag2_engine_semantics" -> QueryDef(
+      (s, _) => {
+        import s.implicits._
+        // expectations pinned from DuckDB 1.0.0 (== Spark 4.1 on all
+        // three); the oracle side COMPUTES them, so a driver engine
+        // with different semantics flips the hash
+        Seq("probe").toDF("k").select(
+          lit("0.3063").as("tie_cast"),
+          lit("3").as("half_round"),
+          lit(3L).as("n_tok"))
+      },
+      Some("""SELECT
+          CAST(CAST(CAST(0.30625 AS DOUBLE) AS DECIMAL(18,4)) AS VARCHAR)
+            AS tie_cast,
+          CAST(CAST(round(CAST(2.5 AS DOUBLE)) AS BIGINT) AS VARCHAR)
+            AS half_round,
+          CAST(len(string_split_regex('a  b c', '\s+')) AS BIGINT)
+            AS n_tok"""))
+  )
+}

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.functions.Exact
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -30,13 +31,16 @@ object ExtendedQueries {
           .join(t(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
           .where($"l_shipdate" > lit("1998-01-01").cast("timestamp"))
           .groupBy($"o_orderkey", $"o_orderdate")
-          .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
-            .cast("decimal(24,6)")).as("revenue"))
+          .agg(Exact.dollars(Exact.sumExact(
+            Exact.revenueE4($"l_extendedprice", $"l_discount")), 10000L)
+            .as("revenue"))
           .orderBy($"revenue".desc, $"o_orderkey".asc)
           .limit(10)
       },
       Some("""SELECT o_orderkey, o_orderdate,
-        sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS revenue
+        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+          * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+          / 10000.0 AS revenue
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON o_orderkey = l_orderkey
@@ -61,11 +65,14 @@ object ExtendedQueries {
             $"n_regionkey" === $"r_regionkey")
           .where($"r_name" === "ASIA")
           .groupBy($"n_name")
-          .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
-            .cast("decimal(24,6)")).as("revenue"))
+          .agg(Exact.dollars(Exact.sumExact(
+            Exact.revenueE4($"l_extendedprice", $"l_discount")), 10000L)
+            .as("revenue"))
       },
       Some("""SELECT n_name,
-        sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS revenue
+        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+          * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+          / 10000.0 AS revenue
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON o_orderkey = l_orderkey
@@ -164,17 +171,19 @@ object ExtendedQueries {
 
     // ---- A19 CUBE: all four grouping combinations in one pass (the
     // one grouping-set shape a9/a11 don't cover). Same single-shuffle
-    // expand plan as rollup; decimal sum for order-independence.
+    // expand plan as rollup; quantities are integral doubles, so the
+    // sum is exact as BIGINT on every engine (the oracle CAST keeps
+    // DuckDB's HUGEINT sum out of the compared output).
     "a19_cube" -> QueryDef(
       (s, dir) => {
         import s.implicits._
         t(s, dir, "lineitem")
           .cube($"l_returnflag", $"l_linestatus")
           .agg(count(lit(1)).as("n"),
-            sum($"l_quantity".cast("decimal(24,6)")).as("sum_qty"))
+            sum(round($"l_quantity", 0).cast("long")).as("sum_qty"))
       },
       Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
-        sum(CAST(l_quantity AS DECIMAL(24,6))) AS sum_qty
+        CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""")),
 
     // ---- A20 histogram: fixed-width price binning (10k-wide buckets,
@@ -252,11 +261,13 @@ object ExtendedQueries {
           .where($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
             $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
             $"l_discount".between(0.02, 0.06) && $"l_quantity" < 24)
-          .agg(sum(($"l_extendedprice" * $"l_discount")
-            .cast("decimal(24,6)")).as("revenue"))
+          .agg(Exact.dollars(Exact.sumExact(
+            Exact.discountedE4($"l_extendedprice", $"l_discount")), 10000L)
+            .as("revenue"))
       },
-      Some("""SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(24,6)))
-          AS revenue
+      Some("""SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+            * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+          / 10000.0 AS revenue
         FROM lineitem
         WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
           AND l_shipdate < CAST('1997-01-01' AS TIMESTAMP)
@@ -276,18 +287,20 @@ object ExtendedQueries {
           .join(broadcast(t(s, dir, "nation")),
             $"c_nationkey" === $"n_nationkey")
           .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
-          // Per-row cast at scale 6 (see j1_inner_join for the full
-          // rationale): scale 4 casts diverged here in round 2 via
-          // Spark's shortest-repr 5th-digit ties, and round(sum(double))
-          // is exposed to summation-order noise on large groups.
-          .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
-            .cast("decimal(24,6)")).as("revenue"))
+          // Exact-integer revenue (graft.functions.Exact): this query
+          // is where scale-4 decimal casts first diverged (round 2) and
+          // scale-6 casts diverged on the driver (round 3) — integer
+          // cents are the only engine-version-proof money form.
+          .agg(Exact.dollars(Exact.sumExact(
+            Exact.revenueE4($"l_extendedprice", $"l_discount")), 10000L)
+            .as("revenue"))
           .orderBy($"revenue".desc, $"c_custkey".asc)
           .limit(20)
       },
       Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
-        sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6)))
-          AS revenue
+        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+          * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+          / 10000.0 AS revenue
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON o_orderkey = l_orderkey
@@ -369,12 +382,14 @@ object ExtendedQueries {
           .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
           .where(branch1 || branch2 || branch3)
           .agg(count(lit(1)).as("n_items"),
-            sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
-              .cast("decimal(24,6)")).as("revenue"))
+            Exact.dollars(Exact.sumExact(
+              Exact.revenueE4($"l_extendedprice", $"l_discount")), 10000L)
+              .as("revenue"))
       },
       Some("""SELECT count(*) AS n_items,
-        sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6)))
-          AS revenue
+        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+          * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+          / 10000.0 AS revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
             AND l_quantity BETWEEN 1 AND 11)
@@ -544,13 +559,15 @@ object ExtendedQueries {
             || ($"supp_nation" === "NATION_10" && $"cust_nation" === "NATION_9"))
           .groupBy($"supp_nation", $"cust_nation",
             year($"l_shipdate").as("l_year"))
-          .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
-            .cast("decimal(24,6)")).as("revenue"))
+          .agg(Exact.dollars(Exact.sumExact(
+            Exact.revenueE4($"l_extendedprice", $"l_discount")), 10000L)
+            .as("revenue"))
       },
       Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
           CAST(year(l_shipdate) AS INT) AS l_year,
-          sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6)))
-            AS revenue
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+            / 10000.0 AS revenue
         FROM supplier
         JOIN lineitem ON s_suppkey = l_suppkey
         JOIN orders ON l_orderkey = o_orderkey
@@ -638,29 +655,33 @@ object ExtendedQueries {
       (s, dir) => {
         t(s, dir, "lineitem").createOrReplaceTempView("q15_lineitem")
         t(s, dir, "supplier").createOrReplaceTempView("q15_supplier")
+        // the max-equality runs on the exact integer rev_e4 (ties kept
+        // exactly on any engine); only the final projection rescales
         s.sql("""WITH rev AS (
             SELECT l_suppkey,
-              sum(CAST(l_extendedprice * (1.0 - l_discount)
-                AS DECIMAL(24,6))) AS total_rev
+              sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_e4
             FROM q15_lineitem
             WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
               AND l_shipdate < CAST('1996-04-01' AS TIMESTAMP)
             GROUP BY l_suppkey)
-          SELECT s_suppkey, s_name, total_rev
+          SELECT s_suppkey, s_name,
+            CAST(rev_e4 AS DOUBLE) / 10000.0 AS total_rev
           FROM q15_supplier JOIN rev ON s_suppkey = l_suppkey
-          WHERE total_rev = (SELECT max(total_rev) FROM rev)""")
+          WHERE rev_e4 = (SELECT max(rev_e4) FROM rev)""")
       },
       Some("""WITH rev AS (
           SELECT l_suppkey,
-            sum(CAST(l_extendedprice * (1.0 - l_discount)
-              AS DECIMAL(24,6))) AS total_rev
+            sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+              * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_e4
           FROM lineitem
           WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
             AND l_shipdate < CAST('1996-04-01' AS TIMESTAMP)
           GROUP BY l_suppkey)
-        SELECT s_suppkey, s_name, total_rev
+        SELECT s_suppkey, s_name,
+          CAST(rev_e4 AS DOUBLE) / 10000.0 AS total_rev
         FROM supplier JOIN rev ON s_suppkey = l_suppkey
-        WHERE total_rev = (SELECT max(total_rev) FROM rev)""")),
+        WHERE rev_e4 = (SELECT max(rev_e4) FROM rev)""")),
 
     // ---- H2 SCD2 apply: one change batch (price bump on %3 keys at
     // +30 days, brand-new %5 keys) merged into a current-rows-only
@@ -818,13 +839,12 @@ object ExtendedQueries {
     // ordering column, so the frame runs over epoch SECONDS
     // ([-7*86400, 0]); o_orderdate is day-grained, so the seconds frame
     // is exactly DuckDB's `RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND
-    // CURRENT ROW` over the raw timestamp. Spend is summed as per-row
-    // DECIMAL(18,6) casts (exact, order-independent — the q10
-    // convention), never as raw doubles whose accumulation order the
-    // two engines won't share. Scale shape: ONE hash shuffle on
-    // o_custkey; frames are evaluated per partition with a sliding
-    // accumulator, never by self-joining the table against its own
-    // 7-day neighborhood.
+    // CURRENT ROW` over the raw timestamp. Spend is summed as exact
+    // integer cents inside the frame (order-independent on any engine —
+    // graft.functions.Exact) and rescaled to double once per row.
+    // Scale shape: ONE hash shuffle on o_custkey; frames are evaluated
+    // per partition with a sliding accumulator, never by self-joining
+    // the table against its own 7-day neighborhood.
     "w9_rolling_window" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -837,13 +857,13 @@ object ExtendedQueries {
         t(s, dir, "orders")
           .select($"o_orderkey", $"o_custkey", $"o_orderdate",
             count(lit(1)).over(w).as("n_7d"),
-            sum($"o_totalprice".cast("decimal(18,6)")).over(w)
-              .cast("decimal(28,6)").as("spend_7d"))
+            Exact.dollars(sum(Exact.cents($"o_totalprice")).over(w), 100L)
+              .as("spend_7d"))
       },
       Some("""SELECT o_orderkey, o_custkey, o_orderdate,
         count(*) OVER w AS n_7d,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w
-          AS DECIMAL(28,6)) AS spend_7d
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+          AS DOUBLE) / 100.0 AS spend_7d
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
           RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)""")),

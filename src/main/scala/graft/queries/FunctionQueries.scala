@@ -169,13 +169,18 @@ object FunctionQueries {
           .agg(sum($"valid".cast("long")).as("n_valid"),
             sum((!$"valid").cast("long")).as("n_invalid"))
       },
+      // The oracle counts by CONSTRUCTION (only injected '{broken '
+      // prefixes are invalid — every base props is a plain JSON object,
+      // verified on the testdata, and Spark's parser is pinned by our
+      // jar), so the compared counts never depend on the oracle
+      // engine's json extension or its version-specific edge-case
+      // opinions. Sums CAST AS BIGINT: DuckDB integer sums widen to
+      // HUGEINT, whose client rendering is version-dependent.
       Some("""SELECT event_type,
-          sum(CASE WHEN json_valid(CASE WHEN event_id % 7 = 0
-              THEN '{broken ' || props ELSE props END)
-            THEN 1 ELSE 0 END) AS n_valid,
-          sum(CASE WHEN json_valid(CASE WHEN event_id % 7 = 0
-              THEN '{broken ' || props ELSE props END)
-            THEN 0 ELSE 1 END) AS n_invalid
+          CAST(sum(CASE WHEN event_id % 7 = 0 THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_valid,
+          CAST(sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_invalid
         FROM events GROUP BY event_type"""))
   )
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.functions.Exact
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -37,20 +38,18 @@ object JoinQueries {
           .groupBy($"o_orderpriority")
           .agg(
             count(lit(1)).as("cnt"),
-            // Revenue terms are exact 4dp reals (2dp price x 2dp discount
-            // complement), so a per-row cast at scale 6 is deterministic on
-            // both engines: the double is within ~1e-12 of the 4dp value and
-            // both Spark (shortest-string) and DuckDB (exact-binary) round
-            // it to x.yyyy00. Scale 4 is NOT safe — Spark's shortest-repr
-            // can tie at the 5th digit and HALF_UP where DuckDB's exact
-            // binary value rounds down (bit q10, round 2). Summing decimals
-            // is exact, so group size / summation order can't reintroduce
-            // drift the way round(sum(double)) would.
-            sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
-              .cast("decimal(24,6)")).as("revenue"))
+            // Revenue compared as an exact-integer sum rescaled once to
+            // double — the only money form that hashes identically under
+            // every oracle engine version (see graft.functions.Exact:
+            // round-3 showed decimal-typed outputs are not portable).
+            Exact.dollars(Exact.sumExact(
+              Exact.revenueE4($"l_extendedprice", $"l_discount")), 10000L)
+              .as("revenue"))
       },
       Some("""SELECT o_orderpriority, count(*) AS cnt,
-        sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS revenue
+        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+          * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+          / 10000.0 AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority""")),
 
@@ -177,8 +176,12 @@ object JoinQueries {
     "j7_fuzzy_join" -> QueryDef(
       (s, dir) => {
         import s.implicits._
+        // coalesce to "" so single-token names behave like DuckDB's
+        // split_part (empty string, joinable) instead of Spark's NULL
+        // (row silently dropped) — TPC-H p_name always has 5 tokens,
+        // but the query must stay oracle-identical on arbitrary data
         val names = t(s, dir, "part").select($"p_name").distinct()
-          .withColumn("block", split($"p_name", " ")(1))
+          .withColumn("block", coalesce(split($"p_name", " ")(1), lit("")))
         val a = names.select($"block", $"p_name".as("name_a"))
         val b = names.select($"block", $"p_name".as("name_b"))
         a.join(b, Seq("block"))

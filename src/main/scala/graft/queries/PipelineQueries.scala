@@ -165,8 +165,9 @@ object PipelineQueries {
     // partitioned by year — the second fold touches only the 1996+
     // partitions (partition-pruned read + partition-scoped swap). The
     // oracle is a FULL recompute: incremental maintenance must be
-    // indistinguishable from one-shot aggregation (decimal sums make
-    // partial-of-partial re-summation exact, order-independent).
+    // indistinguishable from one-shot aggregation (integer-cent sums
+    // make partial-of-partial re-summation exact, order-independent,
+    // on any engine — graft.functions.Exact).
     "im1_incremental_agg" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -178,7 +179,7 @@ object PipelineQueries {
         def proj(df: org.apache.spark.sql.DataFrame) = df.select(
           year($"o_orderdate").as("o_year"),
           $"o_orderpriority".as("prio"),
-          $"o_totalprice".cast("decimal(24,6)").as("price"))
+          graft.functions.Exact.cents($"o_totalprice").as("price"))
         val orders = t(s, dir, "orders")
         Seq(proj(orders.where($"o_orderdate" < cut)),
             proj(orders.where($"o_orderdate" >= cut)))
@@ -187,11 +188,14 @@ object PipelineQueries {
             Seq("price" -> "sum_price"), partitionKeys = Seq("o_year")))
         s.read.parquet(path)
           .select($"o_year".cast("int").as("o_year"), $"prio",
-            $"n_orders", $"sum_price")
+            $"n_orders",
+            graft.functions.Exact.dollars($"sum_price", 100L)
+              .as("sum_price"))
       },
       Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
           o_orderpriority AS prio, count(*) AS n_orders,
-          sum(CAST(o_totalprice AS DECIMAL(24,6))) AS sum_price
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+            / 100.0 AS sum_price
         FROM orders GROUP BY 1, 2""")),
 
     "cd1_snapshot_diff" -> QueryDef(

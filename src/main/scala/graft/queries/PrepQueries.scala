@@ -38,14 +38,19 @@ object PrepQueries {
             budget = 2048L, numRanges = 8)
           .select($"doc_id", $"tok_offset", $"pack_id", $"packs_spanned")
       },
+      // every windowed/derived integer is CAST AS BIGINT: DuckDB's
+      // integer window-sum widens to HUGEINT (int128), whose client
+      // rendering is version-dependent — never leave one in a compared
+      // output column (the round-3 pk1/pk2 hash failures)
       Some("""WITH tok AS (SELECT doc_id,
           CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n
           FROM documents),
         off AS (SELECT doc_id, n,
-          COALESCE(sum(n) OVER (ORDER BY doc_id
+          CAST(COALESCE(sum(n) OVER (ORDER BY doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-            AS tok_offset FROM tok)
-        SELECT doc_id, tok_offset, tok_offset // 2048 AS pack_id,
+            AS BIGINT) AS tok_offset FROM tok)
+        SELECT doc_id, tok_offset,
+          CAST(tok_offset // 2048 AS BIGINT) AS pack_id,
           CAST((tok_offset + n - 1) // 2048 - tok_offset // 2048 + 1
             AS INT) AS packs_spanned
         FROM off""")),
@@ -67,11 +72,12 @@ object PrepQueries {
           CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n
           FROM documents),
         off AS (SELECT doc_id, n,
-          COALESCE(sum(n) OVER (ORDER BY doc_id
+          CAST(COALESCE(sum(n) OVER (ORDER BY doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-            AS tok_offset FROM tok)
-        SELECT tok_offset // 2048 AS pack_id,
-          count(*) AS docs_started, sum(n) AS tokens_started,
+            AS BIGINT) AS tok_offset FROM tok)
+        SELECT CAST(tok_offset // 2048 AS BIGINT) AS pack_id,
+          count(*) AS docs_started,
+          CAST(sum(n) AS BIGINT) AS tokens_started,
           min(doc_id) AS first_doc
         FROM off GROUP BY 1""")),
 
