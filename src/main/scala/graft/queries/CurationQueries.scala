@@ -86,27 +86,34 @@ object CurationQueries {
     // ---- DD9 paragraph-level boilerplate dedup (CCNet line dedup):
     // every doc gets one of two injected boilerplate paragraphs; across
     // the corpus each paragraph text keeps only its FIRST occurrence
-    // (by doc_id, then position). One shuffle on paragraph text (the
-    // window), one on doc_id (the rebuild) — at 100 TB the window key
-    // would be a paragraph HASH, same plan shape, narrower shuffle.
+    // (by doc_id, then position). Skew-safe shape (r3 verdict): the
+    // first occurrence comes from groupBy(para).agg(min(struct(..)))
+    // — partial aggregation collapses a boilerplate paragraph repeated
+    // billions of times MAP-SIDE, and the join-back is AQE-skew-
+    // splittable. A window over para would pin that hot key to one
+    // irreducible task (hashing the key doesn't help: same key, same
+    // partition).
     "dd9_paragraph_dedup" -> QueryDef(
       (s, dir) => {
         import s.implicits._
         val bp = when(pmod($"doc_id", lit(2)) === 0, lit(Boiler1))
           .otherwise(lit(Boiler2))
-        val marked = t(s, dir, "documents")
+        val paras = t(s, dir, "documents")
           .select($"doc_id",
             posexplode(split(concat($"text", lit(" | "), bp), " \\| "))
               .as(Seq("para_idx", "para")))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy($"para").orderBy($"doc_id", $"para_idx")))
-        marked.groupBy($"doc_id")
+        val firsts = paras.groupBy($"para")
+          .agg(min(struct($"doc_id", $"para_idx")).as("first"))
+        paras.join(firsts, "para")
+          .withColumn("kept", $"first.doc_id" === $"doc_id" &&
+            $"first.para_idx" === $"para_idx")
+          .groupBy($"doc_id")
           .agg(count(lit(1)).as("n_paras"),
-            sum(($"rn" === 1).cast("long")).as("n_kept"),
+            sum($"kept".cast("long")).as("n_kept"),
             array_join(
               transform(
                 array_sort(collect_list(
-                  when($"rn" === 1, struct($"para_idx", $"para")))),
+                  when($"kept", struct($"para_idx", $"para")))),
                 p => p.getField("para")),
               " | ").as("clean_text"))
       },

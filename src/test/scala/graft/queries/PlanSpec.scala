@@ -238,8 +238,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), "chunking should not shuffle:\n" + p)
   }
 
-  test("dd9 paragraph window shuffles on paragraph text, then doc_id") {
+  test("dd9 first-occurrence is a partial-aggregated groupBy + join " +
+    "— never a Window keyed by raw paragraph text (a boilerplate " +
+    "paragraph repeated billions of times would pin one task)") {
     val p = planOf("dd9_paragraph_dedup")
+    assert(!p.contains("Window"),
+      "window on paragraph text is irreducibly hot-key-bound:\n" + p)
+    // map-side partial min collapses the hot paragraph before the
+    // exchange; the join-back stays AQE-skew-splittable
+    assert(p.contains("partial_min") || p.contains("partial"), p)
     assert(p.contains("hashpartitioning(para"), p)
     assert(p.contains("hashpartitioning(doc_id"), p)
   }
