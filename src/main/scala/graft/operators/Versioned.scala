@@ -34,6 +34,22 @@ object Versioned {
     * "is this dir a snapshot table" probe (GraftCatalog.listTables). */
   private[graft] val LogDir = "_graft_log"
 
+  /** Meta key carrying the commit wall-clock (epoch millis), written
+    * by every commit; manifests from before this key fall back to
+    * file mtime in [[versionAt]]/[[history]]. */
+  private[graft] val CommitTsKey = "commit_ts_ms"
+
+  /** Commit time of a version: the manifest's embedded commit_ts_ms
+    * when present (authoritative — survives copies and clock skew),
+    * else the manifest file's mtime (legacy manifests). */
+  private def commitTimeMs(fs: FileSystem, root: Path, v: Long): Long =
+    manifestLines(fs, root, v)
+      .collectFirst { case l if l.startsWith(s"#$CommitTsKey=") =>
+        l.stripPrefix(s"#$CommitTsKey=") }
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .getOrElse(fs.getFileStatus(new Path(root, s"$LogDir/$v.manifest"))
+        .getModificationTime)
+
   /** Commit `df` as the next version. `mode` is "overwrite" (snapshot =
     * just these files) or "append" (snapshot = previous latest's files +
     * these). `meta` key/values ride the manifest as `#k=v` header lines
@@ -74,7 +90,12 @@ object Versioned {
     while (committed < 0) {
       val base = latestVersion(fs, root)
       val target = base.map(_ + 1).getOrElse(0L)
-      val metaLines = meta.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
+      // commit time rides the manifest itself (Delta embeds it in the
+      // log likewise): file mtime is NOT monotonic with version order
+      // under table copies / object-store rename-as-copy / clock skew,
+      // so TIMESTAMP AS OF must never depend on it for new commits
+      val stamped = meta + (CommitTsKey -> System.currentTimeMillis.toString)
+      val metaLines = stamped.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
       val lines = (metaLines ++ filesFor(base)).mkString("\n")
       val tmp = new Path(root,
         s"$LogDir/.tmp-${java.util.UUID.randomUUID().toString}")
@@ -103,7 +124,8 @@ object Versioned {
   }
 
   /** DESCRIBE HISTORY surface: one row per committed version —
-    * (version, committed_at from the manifest's mtime, n_files, meta
+    * (version, committed_at from the manifest's embedded commit time
+    * — mtime only for legacy manifests — n_files, meta
     * as sorted `k=v` pairs). Reads only the manifest log (O(versions)),
     * never the data. */
   def history(spark: SparkSession, table: String)
@@ -111,16 +133,21 @@ object Versioned {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     listVersions(fs, root).map { v =>
-      val st = fs.getFileStatus(new Path(root, s"$LogDir/$v.manifest"))
-      // ONE manifest read yields both the meta header and the file
-      // count — on an object store each open is a round trip
+      // ONE manifest read yields the commit time, meta header and the
+      // file count — on an object store each open is a round trip
       val lines = manifestLines(fs, root, v)
+      val ts = lines
+        .collectFirst { case l if l.startsWith(s"#$CommitTsKey=") =>
+          l.stripPrefix(s"#$CommitTsKey=") }
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+        .getOrElse(fs.getFileStatus(new Path(root, s"$LogDir/$v.manifest"))
+          .getModificationTime)
       val meta = lines.filter(_.startsWith("#"))
         .flatMap(_.drop(1).split("=", 2) match {
-          case Array(k, v2) => Some(s"$k=$v2")
+          case Array(k, v2) if k != CommitTsKey => Some(s"$k=$v2")
           case _ => None
         }).sorted.mkString(",")
-      (v, new java.sql.Timestamp(st.getModificationTime),
+      (v, new java.sql.Timestamp(ts),
         lines.count(!_.startsWith("#")).toLong, meta)
     }
   }
@@ -204,21 +231,47 @@ object Versioned {
         finally in.close()
         scala.util.Try(s.toLong).toOption
       }
-    val latest = versions(spark, table).lastOption.getOrElse(
-      return None)
+    val live = versions(spark, table)
+    val latest = live.lastOption.getOrElse(return None)
     if (last.contains(latest)) return None
     val delta = last match {
+      // a vacuumed cursor version has no manifest to diff against —
+      // without this check every subsequent run would die in
+      // versionFiles(fromV) until someone deleted the cursor by hand.
+      // Fall back to a full re-read of the latest snapshot (safe
+      // under the consumer's at-least-once contract) and say so.
+      case Some(v) if !live.contains(v) =>
+        org.apache.log4j.Logger.getLogger(getClass).warn(
+          s"change-feed cursor version $v of $table was vacuumed; " +
+            s"re-reading full table at version $latest")
+        read(spark, table, Some(latest))
       case Some(v) => changes(spark, table, v, latest)
       case None => read(spark, table, Some(latest)) // first run: full table
     }
     f(delta)
+    advanceCursor(fs, cursor, latest)
+    Some((last.getOrElse(-1L), latest))
+  }
+
+  /** Atomically (where the FS allows) advance the cursor file. Prefers
+    * FileContext's overwrite rename — no window with no cursor at all;
+    * falls back to delete+rename on filesystems without it, where a
+    * crash between the two downgrades the next run to a full re-read
+    * (safe, just wasteful — same as a torn cursor write). */
+  private def advanceCursor(fs: FileSystem, cursor: Path, v: Long): Unit = {
     val tmp = new Path(cursor.getParent, s".${cursor.getName}.tmp")
     val out = fs.create(tmp, true)
-    try out.write(latest.toString.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(cursor)) fs.delete(cursor, false)
-    if (!fs.rename(tmp, cursor))
-      throw new java.io.IOException(s"could not advance cursor $cursorPath")
-    Some((last.getOrElse(-1L), latest))
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, fs.getConf)
+      fc.rename(tmp, cursor, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException | _: java.io.IOException =>
+        if (fs.exists(cursor)) fs.delete(cursor, false)
+        if (!fs.rename(tmp, cursor))
+          throw new java.io.IOException(s"could not advance cursor $cursor")
+    }
   }
 
   /** Latest version committed at or before `tsMicros` (epoch
@@ -228,8 +281,7 @@ object Versioned {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val at = listVersions(fs, root).filter { v =>
-      fs.getFileStatus(new Path(root, s"$LogDir/$v.manifest"))
-        .getModificationTime * 1000L <= tsMicros
+      commitTimeMs(fs, root, v) * 1000L <= tsMicros
     }
     at.lastOption.getOrElse(throw new IllegalArgumentException(
       s"no version of $table committed at or before timestamp " +
@@ -277,14 +329,16 @@ object Versioned {
     manifestLines(fs, root, v).filterNot(_.startsWith("#"))
 
   /** The `#k=v` metadata header of a committed version (empty map for
-    * manifests written without meta — fully backward compatible). */
+    * manifests written without meta — fully backward compatible). The
+    * system commit_ts_ms line is excluded: it's surfaced as
+    * [[history]]'s timestamp column, not user metadata. */
   def readMeta(spark: SparkSession, table: String, v: Long): Map[String, String] = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     manifestLines(fs, root, v).filter(_.startsWith("#"))
       .flatMap { l =>
         l.drop(1).split("=", 2) match {
-          case Array(k, v2) => Some(k -> v2)
+          case Array(k, v2) if k != CommitTsKey => Some(k -> v2)
           case _ => None
         }
       }.toMap

@@ -197,6 +197,52 @@ class VersionedSpec extends SparkSpec {
     assert(r2 == Some((1L, 2L)) && seen == Seq(3))
   }
 
+  test("consumeChanges recovers when the cursor's version is vacuumed: " +
+    "full re-read of latest, cursor advances, next run incremental again") {
+    val base = tmpDir("vers")
+    val t = s"$base/t"; val cur = s"$base/consumer.cursor"
+    Versioned.commit(Seq((1, "a")).toDF("k", "v"), t)           // v0
+    Versioned.commit(Seq((2, "b")).toDF("k", "v"), t, "append") // v1
+    var seen = Seq.empty[Int]
+    Versioned.consumeChanges(spark, t, cur) { df =>
+      seen = df.select("k").as[Int].collect().toSeq.sorted
+    } // cursor -> v1
+    Versioned.commit(Seq((3, "c")).toDF("k", "v"), t, "append") // v2
+    Versioned.vacuum(spark, t, keepLast = 1) // drops v0+v1 manifests
+    // cursor points at vacuumed v1: must NOT throw — at-least-once
+    // full re-read of v2, and the cursor still advances
+    val r = Versioned.consumeChanges(spark, t, cur) { df =>
+      seen = df.select("k").as[Int].collect().toSeq.sorted
+    }
+    assert(r == Some((1L, 2L)), r.toString)
+    assert(seen == Seq(1, 2, 3), "expected a full-table re-read")
+    // recovered: a fresh commit flows incrementally again
+    Versioned.commit(Seq((4, "d")).toDF("k", "v"), t, "append") // v3
+    val r2 = Versioned.consumeChanges(spark, t, cur) { df =>
+      seen = df.select("k").as[Int].collect().toSeq.sorted
+    }
+    assert(r2 == Some((2L, 3L)) && seen == Seq(4))
+  }
+
+  test("history/TIMESTAMP-AS-OF use the manifest's embedded commit " +
+    "time, immune to mtime rewrites (table copy / rsync)") {
+    val base = tmpDir("vers")
+    val t = s"$base/t"
+    Versioned.commit(Seq((1, "a")).toDF("k", "v"), t)           // v0
+    Versioned.commit(Seq((2, "b")).toDF("k", "v"), t, "append") // v1
+    val hist = Versioned.history(spark, t)
+    // sabotage the mtimes the way a copy tool would (v0 newer than v1)
+    val log = new java.io.File(s"$t/_graft_log")
+    assert(new java.io.File(log, "0.manifest")
+      .setLastModified(System.currentTimeMillis() + 3600 * 1000))
+    val hist2 = Versioned.history(spark, t)
+    assert(hist2.map(h => (h._1, h._2)) == hist.map(h => (h._1, h._2)),
+      "commit timestamps must come from the manifest, not file mtime")
+    // versionAt at v0's commit time still resolves to v0
+    val v0ts = hist.head._2.getTime
+    assert(Versioned.versionAt(spark, t, v0ts * 1000L) == 0L)
+  }
+
   test("DSv2 catalog: native VERSION AS OF / TIMESTAMP AS OF time " +
     "travel, SHOW TABLES, read-only writes") {
     val rootDir = tmpDir("cat")
