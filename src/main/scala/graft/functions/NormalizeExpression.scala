@@ -67,7 +67,12 @@ object NormalizeText {
         sb.appendCodePoint(cp)
       i += Character.charCount(cp)
     }
-    UTF8String.fromString(sb.toString)
+    // recompose to NFC: scripts whose NFD form is not just base+Mn
+    // (Hangul syllables decompose to conjoining Jamo) must come back
+    // out codepoint-equal to visually identical NFC text, or
+    // fingerprints/shingles won't unify across sources
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      sb, java.text.Normalizer.Form.NFC))
   }
 
   private def isAscii(s: UTF8String): Boolean = {

@@ -86,8 +86,23 @@ object LakeWriter {
     val d = coalesceTo.map(df.coalesce).getOrElse(df)
     format match {
       case LakeFormat.Parquet => d.write.mode(mode).parquet(path)
-      case LakeFormat.Snapshot => graft.operators.Versioned.commit(d, path,
-        if (mode == SaveMode.Append) "append" else "overwrite")
+      case LakeFormat.Snapshot =>
+        // explicit SaveMode semantics against the snapshot log — the
+        // former catch-all mapped ErrorIfExists/Ignore to a DESTRUCTIVE
+        // overwrite commit
+        val exists = graft.operators.Versioned
+          .versions(d.sparkSession, path).nonEmpty
+        mode match {
+          case SaveMode.Append =>
+            graft.operators.Versioned.commit(d, path, "append")
+          case SaveMode.Overwrite =>
+            graft.operators.Versioned.commit(d, path, "overwrite")
+          case SaveMode.ErrorIfExists if exists =>
+            throw new IllegalStateException(
+              s"snapshot table $path already exists (ErrorIfExists)")
+          case SaveMode.Ignore if exists => () // no-op, per contract
+          case _ => graft.operators.Versioned.commit(d, path, "overwrite")
+        }
     }
   }
 }

@@ -186,6 +186,23 @@ class NormalizeTextSpec extends SparkSpec {
     assert(out == "ka end", out.codePoints().toArray.toSeq.toString)
   }
 
+  test("output recomposes to NFC: Hangul (NFD = conjoining Jamo, not " +
+    "base+Mn) comes out codepoint-equal to composed source text") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val hangul = "한국어"  // composed syllables (NFC)
+    val out = NormalizeText.strip(UTF8String.fromString(hangul)).toString
+    // without the final NFC pass this is 7 conjoining Jamo codepoints —
+    // visually identical, fingerprint-different
+    assert(out == hangul,
+      out.codePoints().toArray.map(Integer.toHexString).toSeq.toString)
+    assert(out.codePointCount(0, out.length) == 3)
+    // and the decomposed spelling of the same text unifies with it
+    val decomposed = java.text.Normalizer.normalize(
+      hangul, java.text.Normalizer.Form.NFD)
+    assert(NormalizeText.strip(
+      UTF8String.fromString(decomposed)).toString == hangul)
+  }
+
   test("null in, null out; codegen and interpreted paths agree") {
     val df = Seq(Some("über"), None).toDF("t")
     val viaCodegen = df.select(NormalizeText($"t")).collect()

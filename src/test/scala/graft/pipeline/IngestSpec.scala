@@ -228,6 +228,28 @@ class IngestSpec extends SparkSpec {
     assert(merged.where($"score" === 9.5).select($"id").head().getLong(0) == 3L)
   }
 
+  test("Snapshot LakeWriter honors ErrorIfExists/Ignore instead of " +
+    "silently overwriting") {
+    import spark.implicits._
+    import graft.sources.{LakeFormat, LakeReader, LakeWriter}
+    import org.apache.spark.sql.SaveMode
+    val path = tmpDir("modes") + "/lake/t"
+    // ErrorIfExists on a fresh table: fine, creates v0
+    LakeWriter.write(Seq((1L, "a")).toDF("id", "name"), path,
+      SaveMode.ErrorIfExists, format = LakeFormat.Snapshot)
+    // ...but on an existing table it must throw, not overwrite
+    intercept[IllegalStateException] {
+      LakeWriter.write(Seq((9L, "z")).toDF("id", "name"), path,
+        SaveMode.ErrorIfExists, format = LakeFormat.Snapshot)
+    }
+    // Ignore on an existing table: no-op — no new version, data intact
+    LakeWriter.write(Seq((9L, "z")).toDF("id", "name"), path,
+      SaveMode.Ignore, format = LakeFormat.Snapshot)
+    assert(graft.operators.Versioned.versions(spark, path) == Seq(0L))
+    assert(LakeReader.read(spark, path, format = LakeFormat.Snapshot)
+      .as[(Long, String)].collect().toSet == Set((1L, "a")))
+  }
+
   test("Route.decide matches reference volume routing") {
     assert(Route.decide(99, 100, hasWatermark = true) == Route.Full)
     assert(Route.decide(100, 100, hasWatermark = true) == Route.Chunked)
