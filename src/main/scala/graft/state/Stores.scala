@@ -41,9 +41,26 @@ object ParquetMerge {
   }
 }
 
+/** Store contracts — the parquet-backed stores below serve the offline
+  * harness; [[JdbcConfigStore]]/[[JdbcWatermarkStore]] persist the same
+  * state into a JDBC metastore the way the reference writes its
+  * PostgreSQL `configurations.*` tables. */
+trait ConfigStoreApi {
+  def activeGroup(group: String): Map[String, String]
+  def value(group: String, name: String): Option[String]
+  def upsert(row: ConfigValue): Unit
+}
+
+trait WatermarkStoreApi {
+  def lastLoad(systemType: String, db: String, table: String): Option[Timestamp]
+  def commit(systemType: String, db: String, table: String,
+      lastLoad: Timestamp, insertIfMissing: Boolean): Unit
+}
+
 /** Key-value config store (`configurations.configvalues`,
   * `Ingest:68-130`; SURVEY §1.1). */
-final class ConfigStore(spark: SparkSession, path: String) {
+final class ConfigStore(spark: SparkSession, path: String)
+    extends ConfigStoreApi {
   import spark.implicits._
 
   def all(): Dataset[ConfigValue] = {
@@ -81,7 +98,8 @@ final class ConfigStore(spark: SparkSession, path: String) {
 
 /** Watermark state store (`configurations.TableLoadDetails`,
   * `Ingest:366-415`; SURVEY §2.8 C3/C6). */
-final class WatermarkStore(spark: SparkSession, path: String) {
+final class WatermarkStore(spark: SparkSession, path: String)
+    extends WatermarkStoreApi {
   import spark.implicits._
 
   private def key(systemType: String, db: String, table: String): Long = {

@@ -1,0 +1,86 @@
+package graft.state
+
+import graft.model.ConfigValue
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Production JDBC write-back (VERDICT r3 #8) against embedded Derby —
+  * the same live-JDBC harness as JdbcSpec. Proves the reference's
+  * PostgreSQL MERGE semantics (`PostgresToDataLake_Ingestion_Notebook
+  * .py:373-415`) round-trip through [[JdbcWatermarkStore]] /
+  * [[JdbcConfigStore]]: commit → re-read, and the lagged-max watermark
+  * monotonicity property holds over JDBC exactly as it does over
+  * parquet. No SparkSession needed — these stores are driver-side by
+  * design. */
+class JdbcStoresSpec extends AnyFunSuite {
+
+  System.setProperty("derby.stream.error.file",
+    System.getProperty("java.io.tmpdir") + "/derby.log")
+
+  private def url(db: String) = s"jdbc:derby:memory:$db;create=true"
+
+  test("JdbcWatermarkStore MERGE: update-when-matched, " +
+    "insert-only-when-flagged, round-trips over JDBC") {
+    val store = new JdbcWatermarkStore(url("wmjdbc1"), "", "")
+    val t1 = Timestamp.valueOf("2026-01-01 00:00:00")
+    val t2 = Timestamp.valueOf("2026-02-01 00:00:00")
+
+    // NOT MATCHED + insertIfMissing=false → no row (full-load path)
+    store.commit("sys", "db", "T1", t1, insertIfMissing = false)
+    assert(store.lastLoad("sys", "db", "T1").isEmpty)
+
+    // NOT MATCHED + insertIfMissing=true → insert, name lowercased
+    store.commit("sys", "db", "T1", t1, insertIfMissing = true)
+    assert(store.lastLoad("sys", "db", "t1").contains(t1))
+    assert(store.all().head.tableName == "t1")
+    assert(store.all().head.sqlUpdatedDate.isEmpty)
+
+    // MATCHED → update even with insert flag off; updated_date set
+    store.commit("sys", "db", "t1", t2, insertIfMissing = false)
+    assert(store.lastLoad("SYS", "DB", "T1").contains(t2))
+    assert(store.all().find(_.tableName == "t1")
+      .exists(_.sqlUpdatedDate.nonEmpty))
+
+    // different key untouched
+    store.commit("sys", "db", "T2", t1, insertIfMissing = true)
+    assert(store.lastLoad("sys", "db", "t1").contains(t2))
+    assert(store.all().size == 2)
+  }
+
+  test("watermark never regresses under the lagged-max commit protocol " +
+    "over JDBC (the parquet-store property, same store contract)") {
+    val lagMillis = 80L * 3600 * 1000 // the reference's 80h lag (F4)
+    val base = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    val store = new JdbcWatermarkStore(url("wmjdbc2"), "", "")
+    var lakeMax = Long.MinValue
+    var prev = Long.MinValue
+    // deterministic batch offsets (hours), including repeats and
+    // out-of-order arrivals the running max absorbs
+    Seq(Seq(5L, 100L), Seq(40L), Seq(100L), Seq(7000L, 3L), Seq(7000L))
+      .foreach { batch =>
+        lakeMax = math.max(lakeMax, batch.max * 3600 * 1000 + base)
+        store.commit("sys", "db", "t", new Timestamp(lakeMax - lagMillis),
+          insertIfMissing = true)
+        val committed = store.lastLoad("sys", "db", "t").get.getTime
+        assert(committed >= prev, "watermark regressed")
+        assert(committed == lakeMax - lagMillis, "not exactly 80h behind")
+        prev = committed
+      }
+  }
+
+  test("JdbcConfigStore upsert inserts then updates on (group,name), " +
+    "case-insensitively") {
+    val store = new JdbcConfigStore(url("cfgjdbc1"), "", "")
+    store.upsert(ConfigValue("g", "a", "1", is_active = true))
+    store.upsert(ConfigValue("g", "b", "2", is_active = true))
+    store.upsert(ConfigValue("g", "A", "3", is_active = true)) // ci update
+    assert(store.value("g", "a").contains("3"))
+    assert(store.value("g", "b").contains("2"))
+    assert(store.value("g", "missing").isEmpty)
+    assert(store.activeGroup("g") == Map("a" -> "3", "b" -> "2"))
+    // deactivated values disappear from the active view
+    store.upsert(ConfigValue("g", "b", "2", is_active = false))
+    assert(store.activeGroup("g") == Map("a" -> "3"))
+    assert(store.value("g", "b").isEmpty)
+  }
+}
