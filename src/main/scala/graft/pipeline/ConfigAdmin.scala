@@ -1,16 +1,21 @@
 package graft.pipeline
 
 import graft.model.ConfigValue
-import graft.state.ConfigStore
+import graft.state.{ConfigStore, ConfigStoreApi, JdbcConfigStore}
 import org.apache.spark.sql.SparkSession
 
 /** Config administration CLI (SURVEY.md §2.8 C8, E2 —
   * `insert_Postgres_Configs.py:30-157`). Widget-driven in the reference;
   * args-driven here:
   *
-  *   runMain graft.pipeline.ConfigAdmin <configPath> set <group> <name> <value>
-  *   runMain graft.pipeline.ConfigAdmin <configPath> add-tables <task> <db> <t1,t2,…>
-  *   runMain graft.pipeline.ConfigAdmin <configPath> list
+  *   runMain graft.pipeline.ConfigAdmin <store> set <group> <name> <value>
+  *   runMain graft.pipeline.ConfigAdmin <store> add-tables <task> <db> <t1,t2,…>
+  *   runMain graft.pipeline.ConfigAdmin <store> list
+  *
+  * `<store>` is either a parquet path (offline harness) or a
+  * `jdbc:` URL — the production metastore the reference's notebook
+  * writes (`insert_Postgres_Configs.py:136-140`); JDBC administration
+  * needs no SparkSession at all (control-plane rows, driver-side).
   *
   * `add-tables` reproduces the reference's list-merge semantics
   * (`Config:76-90`): append new tables to the existing comma list,
@@ -30,46 +35,55 @@ object ConfigAdmin {
     existing ++ additions
   }
 
+  /** The command logic against any store backend — shared by the
+    * parquet and JDBC front ends and called directly by specs. */
+  def run(store: ConfigStoreApi, args: Seq[String]): Unit = args.head match {
+    case "set" =>
+      val Seq(_, group, name, value) = args
+      store.upsert(ConfigValue(group, name, value, is_active = true))
+      println(s"set $group/$name")
+    case "add-tables" =>
+      val Seq(_, task, db, tables) = args
+      val group = "dcx_postgresql_table_settings"
+      val key = s"${task}_tables"
+      store.upsert(ConfigValue("dcx_postgresql_db_settings",
+        s"${task}_db_name", db, is_active = true))
+      val existing = store.value(group, key)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
+      val elsewhere = store.allValues()
+        .filter(c => c.group_name == group && c.config_name != key)
+        .flatMap(_.config_value.split(",")).map(_.trim.toLowerCase).toSet
+      val merged = mergeTableLists(existing,
+        tables.split(",").toSeq, task, elsewhere)
+      store.upsert(ConfigValue(group, key, merged.mkString(","),
+        is_active = true))
+      println(s"$key = ${merged.mkString(",")}")
+    case "list" =>
+      store.allValues().sortBy(c => (c.group_name, c.config_name))
+        .foreach(c => println(
+          s"${c.group_name} | ${c.config_name} = ${c.config_value}" +
+            s"${if (c.is_active) "" else " (inactive)"}"))
+    case other => sys.error(s"unknown command: $other")
+  }
+
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    try {
-      val configPath = args(0)
-      val store = new ConfigStore(spark, configPath)
-      args(1) match {
-        case "set" =>
-          val Array(_, _, group, name, value) = args
-          store.upsert(ConfigValue(group, name, value, is_active = true))
-          println(s"set $group/$name")
-        case "add-tables" =>
-          val Array(_, _, task, db, tables) = args
-          val group = "dcx_postgresql_table_settings"
-          val key = s"${task}_tables"
-          store.upsert(ConfigValue("dcx_postgresql_db_settings",
-            s"${task}_db_name", db, is_active = true))
-          val existing = store.value(group, key)
-            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-            .getOrElse(Seq.empty)
-          val elsewhere = store.all().collect()
-            .filter(c => c.group_name == group && c.config_name != key)
-            .flatMap(_.config_value.split(",")).map(_.trim.toLowerCase).toSet
-          val merged = mergeTableLists(existing,
-            tables.split(",").toSeq, task, elsewhere)
-          store.upsert(ConfigValue(group, key, merged.mkString(","),
-            is_active = true))
-          println(s"$key = ${merged.mkString(",")}")
-        case "list" =>
-          store.all().collect().sortBy(c => (c.group_name, c.config_name))
-            .foreach(c => println(
-              s"${c.group_name} | ${c.config_name} = ${c.config_value}" +
-                s"${if (c.is_active) "" else " (inactive)"}"))
-        case other => sys.error(s"unknown command: $other")
-      }
-    } finally spark.stop()
+    val target = args(0)
+    if (target.startsWith("jdbc:")) {
+      // production metastore path: plain JDBC, no Spark needed
+      run(new JdbcConfigStore(target,
+        sys.env.getOrElse("GRAFT_JDBC_USER", ""),
+        sys.env.getOrElse("GRAFT_JDBC_PASSWORD", "")), args.drop(1).toSeq)
+    } else {
+      val spark = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      try run(new ConfigStore(spark, target), args.drop(1).toSeq)
+      finally spark.stop()
+    }
   }
 }

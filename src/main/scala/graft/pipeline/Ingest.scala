@@ -80,10 +80,17 @@ final case class IngestConfig(
   *    1000 executors each write is a narrow filtered pass, no re-scan
   */
 final class Ingest(spark: SparkSession, source: Source, cfg: IngestConfig,
-    alerts: AlertSink, log: AuditLog) {
+    alerts: AlertSink, log: AuditLog,
+    // pluggable state backends: parquet stores by default (offline
+    // harness); pass graft.state.Jdbc*Store to run the pipeline against
+    // a production JDBC metastore, the reference's PostgreSQL layout
+    watermarkStore: Option[graft.state.WatermarkStoreApi] = None,
+    configStore: Option[graft.state.ConfigStoreApi] = None) {
 
-  private val watermarks = new WatermarkStore(spark, cfg.watermarkPath)
-  private val configs = new ConfigStore(spark, cfg.configPath)
+  private val watermarks: graft.state.WatermarkStoreApi =
+    watermarkStore.getOrElse(new WatermarkStore(spark, cfg.watermarkPath))
+  private val configs: graft.state.ConfigStoreApi =
+    configStore.getOrElse(new ConfigStore(spark, cfg.configPath))
 
   /** C1 config fan-out (`Ingest:446-451`): db configs × table configs
     * matched on the task prefix, comma-split table lists. */

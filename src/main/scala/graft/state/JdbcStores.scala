@@ -206,6 +206,23 @@ final class JdbcConfigStore(url: String, user: String, password: String)
     } finally ps.close()
   }
 
+  def allValues(): Seq[ConfigValue] = withConn { conn =>
+    ensure(conn, ConfigTable, ConfigDdl)
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(
+        s"""SELECT group_name, config_name, config_value, is_active,
+           |  is_encrypt FROM $ConfigTable""".stripMargin)
+      val out = Seq.newBuilder[ConfigValue]
+      try {
+        while (rs.next()) out += ConfigValue(
+          rs.getString(1), rs.getString(2), rs.getString(3),
+          rs.getInt(4) == 1, rs.getInt(5) == 1)
+      } finally rs.close()
+      out.result()
+    } finally st.close()
+  }
+
   /** Insert-or-update on (group_name, config_name) — the
     * `insert_Postgres_Configs.py:136-140` write, upgraded from blind
     * INSERT to a keyed upsert so re-running config deployment is

@@ -49,6 +49,8 @@ trait ConfigStoreApi {
   def activeGroup(group: String): Map[String, String]
   def value(group: String, name: String): Option[String]
   def upsert(row: ConfigValue): Unit
+  /** Every row, driver-side — config tables are control-plane small. */
+  def allValues(): Seq[ConfigValue]
 }
 
 trait WatermarkStoreApi {
@@ -70,6 +72,8 @@ final class ConfigStore(spark: SparkSession, path: String)
       spark.emptyDataset[ConfigValue]
     else spark.read.parquet(path).as[ConfigValue]
   }
+
+  def allValues(): Seq[ConfigValue] = all().collect().toSeq
 
   /** Active values of a group as name->value (the `rdd.collectAsMap()`
     * pattern at `Ingest:97,104` — config tables are tiny by contract). */

@@ -228,6 +228,46 @@ class IngestSpec extends SparkSpec {
     assert(merged.where($"score" === 9.5).select($"id").head().getLong(0) == 3L)
   }
 
+  test("pipeline end-to-end against JDBC state stores: configs planned " +
+    "from, and watermark committed to, a live Derby metastore") {
+    import graft.state.{JdbcConfigStore, JdbcWatermarkStore}
+    val base = tmpDir("ingestjdbc")
+    makeSource(s"$base/src")
+    val url = "jdbc:derby:memory:ingestjdbc1;create=true"
+    val jdbcConfigs = new JdbcConfigStore(url, "", "")
+    val jdbcWatermarks = new JdbcWatermarkStore(url, "", "")
+    jdbcConfigs.upsert(ConfigValue("dcx_postgresql_db_settings",
+      "clinic_db_name", "clinicdb", is_active = true))
+    jdbcConfigs.upsert(ConfigValue("dcx_postgresql_table_settings",
+      "clinic_tables", "visits", is_active = true))
+    val cfg = IngestConfig(
+      configPath = s"$base/unused_config",
+      watermarkPath = s"$base/unused_watermarks",
+      lakeBasePath = s"$base/lake",
+      auditPath = s"$base/audit",
+      singleBatchDataLimit = 2000,
+      runDate = LocalDate.of(2026, 8, 12))
+    val log = new AuditLog
+    val ingest = new Ingest(spark, new ParquetSource(s"$base/src"), cfg,
+      new LogAlertSink(log), log,
+      watermarkStore = Some(jdbcWatermarks), configStore = Some(jdbcConfigs))
+    val report = ingest.run()
+    assert(report.exitStatus == "SUCCESS", report.failed.toString)
+    // watermark landed in Derby (not in the unused parquet path), and
+    // equals max(ModifiedDate) - 80h — the same contract the parquet
+    // store satisfies
+    val committed = jdbcWatermarks
+      .lastLoad("offline", "sharestory", "visits")
+    assert(committed.nonEmpty, "no JDBC watermark committed")
+    // ModifiedDate is TIMESTAMP_NTZ → LocalDateTime, the NTZ-aware form
+    val expected = java.sql.Timestamp.valueOf(
+      spark.read.parquet(s"$base/src/visits.parquet")
+        .agg(max(col("ModifiedDate")) - expr("INTERVAL 80 HOURS"))
+        .head().getAs[java.time.LocalDateTime](0))
+    assert(committed.get == expected)
+    assert(!new java.io.File(s"$base/unused_watermarks").exists())
+  }
+
   test("Snapshot LakeWriter honors ErrorIfExists/Ignore instead of " +
     "silently overwriting") {
     import spark.implicits._

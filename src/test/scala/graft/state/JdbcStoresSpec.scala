@@ -68,6 +68,28 @@ class JdbcStoresSpec extends AnyFunSuite {
       }
   }
 
+  test("ConfigAdmin runs against a JDBC metastore: set + add-tables " +
+    "list-merge round-trips (the reference's widget flow, args-driven)") {
+    import graft.pipeline.ConfigAdmin
+    val store = new JdbcConfigStore(url("cfgjdbc2"), "", "")
+    ConfigAdmin.run(store, Seq("set", "g", "alert_email", "ops@example.com"))
+    assert(store.value("g", "alert_email").contains("ops@example.com"))
+    // add-tables: db setting + merged table list; re-run is idempotent
+    ConfigAdmin.run(store,
+      Seq("add-tables", "urgentcare", "uc_db", "Hospital,Ward"))
+    ConfigAdmin.run(store,
+      Seq("add-tables", "urgentcare", "uc_db", "hospital,Clinic"))
+    assert(store.value("dcx_postgresql_db_settings", "urgentcare_db_name")
+      .contains("uc_db"))
+    assert(store.value("dcx_postgresql_table_settings", "urgentcare_tables")
+      .contains("Hospital,Ward,Clinic"))
+    // a table owned by ANOTHER task gets the task__ prefix tag
+    ConfigAdmin.run(store,
+      Seq("add-tables", "billing", "bill_db", "Ward,Invoice"))
+    assert(store.value("dcx_postgresql_table_settings", "billing_tables")
+      .contains("billing__Ward,Invoice"))
+  }
+
   test("JdbcConfigStore upsert inserts then updates on (group,name), " +
     "case-insensitively") {
     val store = new JdbcConfigStore(url("cfgjdbc1"), "", "")
