@@ -346,6 +346,42 @@ object StreamingQueries {
           AS sum_us_mod
         FROM events GROUP BY user_id""")),
 
+    // ---- ST11 lake change-feed tailing (streaming.ChangeFeedSource):
+    // a Versioned snapshot table is the STREAM SOURCE — commits become
+    // micro-batches (the Delta streaming-source surface). The first
+    // commit is consumed as the initial snapshot batch, the second
+    // arrives as a live incremental batch while the query runs; the
+    // drained union must equal the batch query over all events.
+    "st11_changefeed_stream" -> QueryDef(
+      (s, dir) => {
+        val c = streamSession(s)
+        import c.implicits._
+        val base = java.nio.file.Files.createTempDirectory("st11").toString
+        val table = base + "/t"
+        val ev = Tables(c, dir, "events")
+          .select($"event_id", $"user_id", $"value", $"event_type")
+        graft.operators.Versioned.commit(
+          ev.where($"event_id" % 2 === 0), table) // v0
+        val q = c.readStream.format("graft-changes")
+          .option("path", table).load()
+          .where($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"value")
+          .writeStream.format("parquet")
+          .option("path", base + "/out")
+          .option("checkpointLocation", base + "/ckpt")
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable() // batch 1: the v0 snapshot
+          graft.operators.Versioned.commit(
+            ev.where($"event_id" % 2 =!= 0), table,
+            "append") // v1 lands mid-stream
+          q.processAllAvailable() // batch 2: the (v0, v1] delta
+        } finally q.stop()
+        c.read.parquet(base + "/out")
+      },
+      Some("""SELECT event_id, user_id, value FROM events
+        WHERE event_type = 'purchase'""")),
+
     // ---- ST2 sessionization with 30-minute inactivity gap: one shuffle
     // by user_id, per-user sorted fold (the state a
     // flatMapGroupsWithState session would hold, computed batch-side)

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.operators.Versioned
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming sink committing each micro-batch as a [[Versioned]]
+  * snapshot version — the write half of the lake's streaming surface
+  * ([[ChangeFeedSource]] is the read half, so a lake-to-lake pipeline
+  * is one streaming query end to end):
+  *
+  * {{{
+  *   df.writeStream
+  *     .format("graft-lake")
+  *     .option("path", "/lake/ns/t")      // append commits (default)
+  *     .option("mode", "overwrite")       // or: re-snapshot per batch
+  *     .option("checkpointLocation", cp)
+  *     .start()
+  * }}}
+  *
+  * Exactly-once without an idempotent payload: the committed manifest
+  * carries the `batchId` as metadata — one rename commits data and
+  * marker atomically (the AggSink discipline), so a replayed batch
+  * after a crash sees `batchId <=` the latest marker and skips, and a
+  * batch that crashed pre-rename left only an invisible segment dir
+  * for vacuum to sweep. Downstream consumers see exactly one version
+  * per folded batch, in order, with the offset provenance readable via
+  * `DESCRIBE HISTORY`.
+  */
+class LakeSinkProvider extends StreamSinkProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-lake"
+
+  override def createSink(ctx: SQLContext, params: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    val path = params.getOrElse("path", throw new IllegalArgumentException(
+      "graft-lake sink requires .option(\"path\", <table dir>)"))
+    val mode = params.getOrElse("mode", "append")
+    require(mode == "append" || mode == "overwrite",
+      s"graft-lake mode must be append or overwrite, got '$mode'")
+    new LakeSink(path, mode)
+  }
+}
+
+class LakeSink(table: String, mode: String) extends Sink with Logging {
+
+  override def name(): String = s"graft-lake [$table]"
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    val lastCommitted = Versioned.versions(spark, table).lastOption
+      .flatMap(v => Versioned.readMeta(spark, table, v).get("batchId"))
+      .map(_.toLong).getOrElse(-1L)
+    if (batchId <= lastCommitted) {
+      logInfo(s"skipping replayed batch $batchId for $table " +
+        s"(latest committed batchId=$lastCommitted)")
+      return
+    }
+    // the DataFrame handed to a v1 sink rides the micro-batch's
+    // IncrementalExecution — new actions on it (like a parquet write)
+    // must go through a re-wrapped batch frame over the same rows
+    val batch = org.apache.spark.sql.GraftShims.unstream(data)
+    Versioned.commit(batch, table, mode,
+      meta = Map("batchId" -> batchId.toString))
+    ()
+  }
+}

@@ -17,4 +17,34 @@ object GraftShims {
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** A parquet file-list DataFrame whose plan is tagged
+    * isStreaming=true — the contract MicroBatchExecution asserts on a
+    * v1 Source.getBatch result (the FileStreamSource device: resolve a
+    * batch relation, wrap it in a streaming-tagged LogicalRelation). */
+  def streamingParquetFrame(spark: SparkSession, files: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{DataSource, LogicalRelation}
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val rel = DataSource(
+      sparkSession = cs,
+      paths = files,
+      userSpecifiedSchema = Some(schema),
+      className = "parquet",
+      options = Map("mergeSchema" -> "true")
+    ).resolveRelation(checkFilesExist = false)
+    classic.Dataset.ofRows(cs, LogicalRelation(rel, isStreaming = true))
+  }
+
+  /** Re-wrap the DataFrame a v1 streaming Sink receives as a plain
+    * batch frame over the SAME computed rows (the ForeachBatchSink
+    * device: LogicalRDD over queryExecution.toRdd, isStreaming=false)
+    * — new actions like a parquet write are legal on the result and do
+    * not recompute the micro-batch. */
+  def unstream(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    val node = org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+      cdf.queryExecution.toRdd, cdf, isStreaming = false)
+    classic.Dataset.ofRows(cdf.sparkSession, node)
+  }
 }

@@ -1,0 +1,137 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Versioned
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming change-feed source over Versioned snapshot tables: each
+  * commit becomes a micro-batch, checkpointed offsets survive restart,
+  * and a vacuumed start version degrades to a snapshot re-read instead
+  * of a dead stream. */
+class ChangeFeedSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def drain(table: String, checkpoint: String, sink: String): Unit = {
+    val q = spark.readStream.format("graft-changes")
+      .option("path", table).load()
+      .writeStream.format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+  }
+
+  test("commits tail into micro-batches; checkpoint restart resumes " +
+    "from the committed version, not from scratch") {
+    val base = tmpDir("cfstream")
+    val t = s"$base/t"; val cp = s"$base/cp"; val out = s"$base/out"
+    Versioned.commit(Seq((1, "a"), (2, "b")).toDF("k", "v"), t)  // v0
+    Versioned.commit(Seq((3, "c")).toDF("k", "v"), t, "append")  // v1
+    drain(t, cp, out)
+    // first run: one batch with the full v1 snapshot
+    assert(spark.read.parquet(out).as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "b"), (3, "c")))
+    // no new commits: AvailableNow run adds nothing (offset replay safe)
+    drain(t, cp, out)
+    assert(spark.read.parquet(out).count() == 3)
+    // two more commits, restart from checkpoint: ONLY the delta arrives
+    Versioned.commit(Seq((4, "d")).toDF("k", "v"), t, "append")  // v2
+    Versioned.commit(Seq((5, "e")).toDF("k", "v"), t, "append")  // v3
+    drain(t, cp, out)
+    val rows = spark.read.parquet(out).as[(Int, String)].collect().toSeq
+    assert(rows.size == 5, s"expected 5 rows (3 + delta 2), got $rows")
+    assert(rows.toSet == Set((1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")))
+  }
+
+  test("a vacuumed checkpoint version re-reads the snapshot instead of " +
+    "failing the stream") {
+    val base = tmpDir("cfstream")
+    val t = s"$base/t"; val cp = s"$base/cp"; val out = s"$base/out"
+    Versioned.commit(Seq((1, "a")).toDF("k", "v"), t)            // v0
+    drain(t, cp, out)
+    assert(spark.read.parquet(out).count() == 1)
+    Versioned.commit(Seq((2, "b")).toDF("k", "v"), t, "append")  // v1
+    Versioned.vacuum(spark, t, keepLast = 1) // drops v0 — the checkpoint
+    drain(t, cp, out)
+    // at-least-once: full v1 snapshot re-delivered (1 old + 2 re-read)
+    assert(spark.read.parquet(out).as[(Int, String)].collect().toSeq
+      .sorted.mkString(",").contains("(2,b)"))
+    assert(spark.read.parquet(out).where($"k" === 2).count() == 1)
+  }
+
+  test("maxVersionsPerTrigger paces a deep backlog into bounded " +
+    "micro-batches (admission control) without losing rows") {
+    val base = tmpDir("cfstream")
+    val t = s"$base/t"; val cp = s"$base/cp"; val out = s"$base/out"
+    Versioned.commit(Seq((0, "x")).toDF("k", "v"), t)            // v0
+    def drainPaced(): Unit = {
+      val q = spark.readStream.format("graft-changes")
+        .option("path", t)
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    drainPaced() // prime: initial snapshot batch lands the start offset
+    (1 to 4).foreach(i =>                                        // v1..v4
+      Versioned.commit(Seq((i, "x")).toDF("k", "v"), t, "append"))
+    drainPaced() // backlog of 4 versions -> 4 paced one-version batches
+    // all rows arrive exactly once...
+    assert(spark.read.parquet(out).count() == 5)
+    // ...across one priming batch + four paced delta batches
+    val commits = new java.io.File(s"$cp/commits").list()
+      .count(!_.startsWith("."))
+    assert(commits == 5, s"expected 1 + 4 paced batches, got $commits")
+  }
+
+  test("lake-to-lake: graft-changes source into graft-lake sink — " +
+    "commits propagate as exactly one version per batch, replay-safe") {
+    val base = tmpDir("cfstream")
+    val a = s"$base/a"; val b = s"$base/b"; val cp = s"$base/cp"
+    Versioned.commit(Seq((1, "a"), (2, "bb")).toDF("k", "v"), a)  // A v0
+    def pump(): Unit = {
+      val q = spark.readStream.format("graft-changes")
+        .option("path", a).load()
+        .where(length($"v") === 1) // the transform in the middle
+        .writeStream.format("graft-lake")
+        .option("path", b)
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    pump()
+    assert(Versioned.read(spark, b).as[(Int, String)].collect().toSet ==
+      Set((1, "a")))
+    // replay safety: a no-new-data pump adds no version to B
+    val vB = Versioned.versions(spark, b)
+    pump()
+    assert(Versioned.versions(spark, b) == vB)
+    // a new commit to A lands as exactly one more version of B,
+    // carrying its batchId in the manifest meta
+    Versioned.commit(Seq((3, "c"), (4, "dd")).toDF("k", "v"), a, "append")
+    pump()
+    val vB2 = Versioned.versions(spark, b)
+    assert(vB2.size == vB.size + 1, vB2.toString)
+    assert(Versioned.readMeta(spark, b, vB2.last).contains("batchId"))
+    assert(Versioned.read(spark, b).as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (3, "c")))
+  }
+
+  test("an overwrite commit surfaces its new snapshot (file-level " +
+    "change-feed semantics, Versioned.changes parity)") {
+    val base = tmpDir("cfstream")
+    val t = s"$base/t"; val cp = s"$base/cp"; val out = s"$base/out"
+    Versioned.commit(Seq((1, "a")).toDF("k", "v"), t)            // v0
+    drain(t, cp, out)
+    Versioned.commit(Seq((9, "z")).toDF("k", "v"), t)            // v1 overwrite
+    drain(t, cp, out)
+    val rows = spark.read.parquet(out).as[(Int, String)].collect().toSet
+    assert(rows == Set((1, "a"), (9, "z")), rows.toString)
+  }
+}
