@@ -165,6 +165,49 @@ object SourceQueries {
         SELECT 1, count(*) FROM lineitem
           WHERE l_shipdate < TIMESTAMP '1998-01-01'""")),
 
+    // ---- VT4 DSv2 catalog SQL WRITES (the other half of vt3): CTAS
+    // from the source table, INSERT INTO append, INSERT OVERWRITE
+    // re-snapshot — each lands as one atomic manifest commit, then the
+    // result plus the surviving pre-overwrite history is read back
+    // through the same catalog. Staged per (JVM, sf dir) like vt3 (the
+    // writes must happen exactly once per process).
+    "vt4_catalog_write" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val cat = "graft_vt4_" + java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffL)
+        val rootDir = stages.computeIfAbsent(s"$dir|vt4|root", { _ =>
+          java.nio.file.Files.createTempDirectory("vt4").toString
+        })
+        // conf re-set every invocation (cheap, idempotent) — like vt3,
+        // the catalog instance is cached per NAME at first use
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", rootDir)
+        stages.computeIfAbsent(s"$dir|vt4|writes", { _ =>
+          t(s, dir, "nation").select($"n_nationkey", $"n_name")
+            .createOrReplaceTempView("vt4_src")
+          // CTAS = v0+v1 (create + insert); INSERT INTO = v2;
+          // INSERT OVERWRITE = v3
+          s.sql(s"""CREATE TABLE $cat.lake.n AS
+              SELECT n_nationkey, n_name FROM vt4_src""")
+          s.sql(s"""INSERT INTO $cat.lake.n
+              SELECT n_nationkey + 1000, n_name FROM vt4_src""")
+          s.sql(s"""INSERT OVERWRITE $cat.lake.n
+              SELECT n_nationkey, n_name FROM vt4_src
+              WHERE n_nationkey < 10""")
+          "done"
+        })
+        s.sql(s"""SELECT 'latest' AS state, count(*) AS n_rows
+            FROM $cat.lake.n
+          UNION ALL SELECT 'pre_overwrite', count(*)
+            FROM $cat.lake.n VERSION AS OF 2""")
+      },
+      Some("""SELECT 'latest' AS state, count(*) AS n_rows
+          FROM nation WHERE n_nationkey < 10
+        UNION ALL
+        SELECT 'pre_overwrite', 2 * count(*) FROM nation""")),
+
     // ---- CF1 change feed (Delta-CDF-lite over the same manifest log):
     // three appends (pre-1997 / 1997 / 1998), then `changes(0, 2)` must
     // be EXACTLY the rows of the two later appends — the incremental

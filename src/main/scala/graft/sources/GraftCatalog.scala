@@ -4,10 +4,13 @@ import graft.operators.Versioned
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -30,11 +33,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Read planning is O(manifest): a version resolves to its exact file
   * list (never a directory glob), handed to Spark's own ParquetTable —
   * so vectorized reads, pushdown, pruning, and AQE all apply
-  * unchanged. Tables are CREATED by `Versioned.commit` (data plane) —
-  * the catalog is deliberately read-only: createTable/alterTable/
-  * renameTable throw, and dropTable refuses; retention goes through
-  * VACUUM, roll-back through RESTORE, so SQL cannot silently destroy
-  * history the data plane still references.
+  * unchanged. SQL WRITES are first-class on the LATEST version:
+  * CREATE TABLE / CTAS / INSERT INTO / INSERT OVERWRITE each land as
+  * one atomic manifest commit (V1Write bridge → `Versioned.commit`);
+  * pinned time-travel loads stay read-only. Destructive DDL is still
+  * refused — alterTable/renameTable throw and dropTable refuses, so
+  * retention goes through VACUUM and roll-back through RESTORE, and
+  * SQL cannot silently destroy history the data plane references.
   */
 class GraftCatalog extends TableCatalog {
 
@@ -71,8 +76,12 @@ class GraftCatalog extends TableCatalog {
     // is the union across the version's segments
     val opts = new java.util.HashMap[String, String]()
     opts.put("mergeSchema", "true")
-    ParquetTable(ident.name, spark, new CaseInsensitiveStringMap(opts),
+    val reader = ParquetTable(ident.name, spark,
+      new CaseInsensitiveStringMap(opts),
       files.toIndexedSeq, None, classOf[ParquetFileFormat])
+    // latest-version loads are writable (INSERT INTO/OVERWRITE land as
+    // manifest commits); a pinned time-travel load stays read-only
+    if (version.isEmpty) new GraftWritableTable(path, reader) else reader
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
@@ -110,11 +119,26 @@ class GraftCatalog extends TableCatalog {
       .toArray
   }
 
+  /** CREATE TABLE / the create half of CTAS: committed as version 0
+    * with an empty segment carrying the schema, so the subsequent
+    * INSERT (or a later append) is just the next manifest commit. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog is read-only: create tables with Versioned.commit")
+      properties: java.util.Map[String, String]): Table = {
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      "graft snapshot tables do not take CREATE-time partitioning " +
+        "(physical layout is per-commit; see Versioned)")
+    val spark = SparkSession.active
+    val path = tablePath(ident)
+    if (Versioned.versions(spark, path).nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException((ident.namespace :+ ident.name).toSeq)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    Versioned.commit(empty, path, "overwrite",
+      meta = Map("operation" -> "create"))
+    loadTable(ident)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(
@@ -127,4 +151,45 @@ class GraftCatalog extends TableCatalog {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "graft catalog does not rename tables")
+}
+
+/** Writable view of a snapshot table: reads delegate to Spark's own
+  * ParquetTable (vectorization/pushdown intact); writes go through the
+  * V1Write bridge — the batch DataFrame lands as ONE atomic manifest
+  * commit (`Versioned.commit`), append for INSERT INTO, overwrite for
+  * INSERT OVERWRITE. Executors never write into live segment dirs: the
+  * commit stages a fresh uuid segment and renames the manifest, so a
+  * failed INSERT leaves the table untouched (no Hadoop commit-protocol
+  * half-states — the lake format's invariant extends to SQL writes). */
+private[sources] class GraftWritableTable(path: String, reader: ParquetTable)
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = reader.name
+  override def schema(): StructType = reader.schema
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val s = new java.util.HashSet[TableCapability](reader.capabilities())
+    s.add(TableCapability.V1_BATCH_WRITE)
+    s.add(TableCapability.TRUNCATE)
+    s
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    reader.newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                legacyOverwrite: Boolean): Unit = {
+              Versioned.commit(data, path,
+                if (overwrite || legacyOverwrite) "overwrite" else "append")
+              ()
+            }
+          }
+      }
+    }
 }

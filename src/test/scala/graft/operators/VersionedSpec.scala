@@ -297,6 +297,46 @@ class VersionedSpec extends SparkSpec {
       evolved.where("fresh IS NULL").count() == 3)
   }
 
+  test("DSv2 catalog SQL writes: CREATE TABLE / CTAS / INSERT INTO / " +
+    "INSERT OVERWRITE are atomic manifest commits; time travel still " +
+    "read-only; DDL still refused") {
+    val rootDir = tmpDir("catw")
+    val c = spark.newSession()
+    c.conf.set("spark.sql.catalog.gw",
+      classOf[graft.sources.GraftCatalog].getName)
+    c.conf.set("spark.sql.catalog.gw.root", rootDir)
+    // CREATE TABLE: version 0, empty but readable with the schema
+    c.sql("CREATE TABLE gw.lake.w (k INT, v STRING)")
+    assert(c.sql("SELECT * FROM gw.lake.w").columns.toSeq == Seq("k", "v"))
+    assert(c.sql("SELECT count(*) FROM gw.lake.w").head.getLong(0) == 0)
+    intercept[Exception] { c.sql("CREATE TABLE gw.lake.w (k INT)") }
+    // INSERT INTO appends a version; INSERT OVERWRITE re-snapshots
+    c.sql("INSERT INTO gw.lake.w VALUES (1, 'a'), (2, 'b')")
+    c.sql("INSERT INTO gw.lake.w VALUES (3, 'c')")
+    assert(c.sql("SELECT count(*) FROM gw.lake.w").head.getLong(0) == 3)
+    c.sql("INSERT OVERWRITE gw.lake.w VALUES (9, 'z')")
+    assert(c.sql("SELECT v FROM gw.lake.w").collect()
+      .map(_.getString(0)).toSeq == Seq("z"))
+    // every write was one commit: create + 2 inserts + overwrite = v0..v3
+    val t = s"$rootDir/lake/w"
+    assert(Versioned.versions(spark, t) == Seq(0L, 1L, 2L, 3L))
+    // ...and history is intact: the pre-overwrite state is still there
+    assert(Versioned.read(spark, t, Some(2)).count() == 3)
+    // CTAS: create + write in one statement
+    c.sql("CREATE TABLE gw.lake.w2 AS SELECT k * 10 AS k10 FROM gw.lake.w")
+    assert(c.sql("SELECT k10 FROM gw.lake.w2").head.getInt(0) == 90)
+    // time-travel loads stay read-only
+    intercept[Exception] {
+      c.sql("INSERT INTO gw.lake.w VERSION AS OF 0 VALUES (5, 'x')")
+    }
+    // destructive DDL still refused
+    intercept[Exception] { c.sql("DROP TABLE gw.lake.w") }
+    intercept[Exception] {
+      c.sql("ALTER TABLE gw.lake.w ADD COLUMN extra INT")
+    }
+    assert(Versioned.versions(spark, t).size == 4)
+  }
+
   test("property: random commit/append/restore/vacuum sequences keep " +
     "every readable version equal to the model (ScalaCheck)") {
     import org.scalacheck.{Gen, Prop}
