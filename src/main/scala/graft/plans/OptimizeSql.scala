@@ -18,6 +18,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   *   OPTIMIZE t ZORDER BY (c1, c2) [INTO n FILES]   -- Morton clustering
   *   OPTIMIZE t COMPACT [INTO n FILES]              -- small-file rewrite
+  *   OPTIMIZE '<path>' ZORDER BY (c1) [INTO n FILES] -- snapshot table:
+  *   OPTIMIZE '<path>' COMPACT [INTO n FILES]       --   rewrite committed
+  *                                                  --   as a new version
   *   VACUUM '<path>' RETAIN n VERSIONS              -- snapshot retention
   *   DESCRIBE HISTORY '<path>'                      -- version log
   *   RESTORE '<path>' TO VERSION n                  -- roll back (as a commit)
@@ -57,6 +60,19 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     delegate.parseDataType(sqlText)
 
   private def parseOptimize(sqlText: String): LogicalPlan = {
+    // quoted-path forms: OPTIMIZE over a Versioned snapshot table,
+    // committed as a new version (Delta's OPTIMIZE discipline)
+    val zp = zorderPathStmt.matcher(sqlText)
+    if (zp.matches()) {
+      val cols = zp.group(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      if (cols.isEmpty) fail(sqlText, "ZORDER BY needs at least one column")
+      return OptimizeVersionedCommand(zp.group(1),
+        zorderCols = cols, files = Option(zp.group(3)).map(_.toInt))
+    }
+    val cp = compactPathStmt.matcher(sqlText)
+    if (cp.matches())
+      return OptimizeVersionedCommand(cp.group(1),
+        zorderCols = Nil, files = Option(cp.group(2)).map(_.toInt))
     val z = zorderStmt.matcher(sqlText)
     if (z.matches()) {
       val cols = z.group(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -68,8 +84,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     if (c.matches())
       return OptimizeTableCommand(parseTableIdentifier(c.group(1)),
         zorderCols = Nil, files = Option(c.group(2)).map(_.toInt))
-    fail(sqlText, "expected OPTIMIZE <table> ZORDER BY (cols) [INTO n " +
-      "FILES] or OPTIMIZE <table> COMPACT [INTO n FILES]")
+    fail(sqlText, "expected OPTIMIZE <table|'path'> ZORDER BY (cols) " +
+      "[INTO n FILES] or OPTIMIZE <table|'path'> COMPACT [INTO n FILES]")
   }
 
   /** `VACUUM '<path>' RETAIN <n> VERSIONS` — retention cleanup for
@@ -121,6 +137,12 @@ object GraftSqlParser {
       """(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?\s*""")
   private val compactStmt = java.util.regex.Pattern.compile(
     """(?is)\s*OPTIMIZE\s+([\w.`]+)\s+COMPACT""" +
+      """(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?\s*""")
+  private val zorderPathStmt = java.util.regex.Pattern.compile(
+    """(?is)\s*OPTIMIZE\s+'([^']+)'\s+ZORDER\s+BY\s*\(([^)]*)\)""" +
+      """(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?\s*""")
+  private val compactPathStmt = java.util.regex.Pattern.compile(
+    """(?is)\s*OPTIMIZE\s+'([^']+)'\s+COMPACT""" +
       """(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?\s*""")
   private val vacuumPrefix =
     java.util.regex.Pattern.compile("""\s*(?i:VACUUM)\b""")
@@ -196,6 +218,42 @@ case class RestoreVersionedCommand(path: String, v: Long)
   override def run(spark: SparkSession): Seq[Row] = {
     val nv = graft.operators.Versioned.restore(spark, path, v)
     Seq(Row(v, nv))
+  }
+}
+
+/** Eagerly-executed OPTIMIZE over a Versioned snapshot table
+  * (`OPTIMIZE '<path>' …`): the latest version's rows are rewritten
+  * z-order-clustered or compacted and committed as a NEW version —
+  * readers at any point see a complete snapshot, the pre-optimize
+  * layout stays time-travelable until VACUUM, and the manifest records
+  * `operation=optimize`. Content is preserved exactly. Returns
+  * (new_version, files_before, files_after). */
+case class OptimizeVersionedCommand(path: String, zorderCols: Seq[String],
+    files: Option[Int]) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.LongType
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("new_version", LongType, nullable = false)(),
+      AttributeReference("files_before", LongType, nullable = false)(),
+      AttributeReference("files_after", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.operators.Versioned
+    val before = Versioned.versionFiles(spark, path).size
+    val df = Versioned.read(spark, path)
+    val rewritten =
+      if (zorderCols.nonEmpty) {
+        val n = files.getOrElse(math.max(1, before))
+        Clustering.withZValue(df, zorderCols)
+          .repartitionByRange(n, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+      } else df.coalesce(files.getOrElse(1))
+    val v = Versioned.commit(rewritten, path, "overwrite",
+      meta = Map("operation" -> "optimize"))
+    val after = Versioned.versionFiles(spark, path).size
+    Seq(Row(v, before.toLong, after.toLong))
   }
 }
 

@@ -92,6 +92,35 @@ class OptimizeSqlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS opt_z2")
   }
 
+  test("OPTIMIZE '<path>' COMPACT/ZORDER on a snapshot table commits a " +
+    "new version; pre-optimize layout stays time-travelable") {
+    import graft.operators.Versioned
+    val t = tmpDir("optv") + "/t"
+    val df = Tables(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_quantity")
+    // a year of coalesce(1)-per-chunk appends -> many small segments
+    Versioned.commit(df.repartition(3), t)                       // v0
+    Versioned.commit(df.limit(100).repartition(2), t, "append")  // v1
+    val before = Versioned.read(spark, t).collect().toSet
+    assert(Versioned.versionFiles(spark, t).size == 5)
+    val r = spark.sql(s"OPTIMIZE '$t' COMPACT").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (2L, 5L, 1L))
+    assert(Versioned.read(spark, t).collect().toSet == before)
+    // pre-optimize version still readable; manifest records the op
+    assert(Versioned.versionFiles(spark, t, Some(1L)).size == 5)
+    assert(Versioned.readMeta(spark, t, 2L) ==
+      Map("operation" -> "optimize"))
+    // z-order form: content intact, clustered spans bounded
+    val r2 = spark
+      .sql(s"OPTIMIZE '$t' ZORDER BY (l_orderkey, l_partkey) INTO 8 FILES")
+      .collect().head
+    assert(r2.getLong(0) == 3L && r2.getLong(2) == 8L)
+    assert(Versioned.read(spark, t).collect().toSet == before)
+    val seg = Versioned.versionFiles(spark, t).head
+      .split("/").dropRight(1).mkString("/")
+    assert(Clustering.avgFileSpan(spark, seg, "l_orderkey") < 0.7)
+  }
+
   test("malformed OPTIMIZE fails with a parse error; ordinary SQL is " +
     "untouched by the delegating parser") {
     val e = intercept[Exception] {
