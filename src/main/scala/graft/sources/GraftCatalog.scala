@@ -162,7 +162,56 @@ class GraftCatalog extends TableCatalog {
   * failed INSERT leaves the table untouched (no Hadoop commit-protocol
   * half-states — the lake format's invariant extends to SQL writes). */
 private[sources] class GraftWritableTable(path: String, reader: ParquetTable)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  import org.apache.spark.sql.{sources => f}
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit, coalesce, not}
+
+  /** Translate a pushed v1 filter to a Column; None = can't, so Spark
+    * reports an unsupported-DELETE error instead of silently matching
+    * nothing. */
+  private def toColumn(filter: f.Filter): Option[Column] = filter match {
+    case f.EqualTo(a, v) => Some(col(a) === lit(v))
+    case f.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case f.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case f.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case f.LessThan(a, v) => Some(col(a) < lit(v))
+    case f.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case f.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case f.IsNull(a) => Some(col(a).isNull)
+    case f.IsNotNull(a) => Some(col(a).isNotNull)
+    case f.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case f.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case f.StringContains(a, v) => Some(col(a).contains(v))
+    case f.And(l, r) =>
+      for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
+    case f.Or(l, r) =>
+      for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
+    case f.Not(c) => toColumn(c).map(not)
+    case _: f.AlwaysTrue => Some(lit(true))
+    case _: f.AlwaysFalse => Some(lit(false))
+    case _ => None
+  }
+
+  override def canDeleteWhere(filters: Array[f.Filter]): Boolean =
+    filters.forall(toColumn(_).isDefined)
+
+  /** `DELETE FROM graft.ns.t WHERE …` — the surviving rows are
+    * committed as a new version (operation=delete): readers never see
+    * a partial delete, and the pre-delete state stays time-travelable
+    * until VACUUM (Delta's DELETE discipline on the manifest log). SQL
+    * NULL semantics: rows where the predicate is NULL are KEPT. */
+  override def deleteWhere(filters: Array[f.Filter]): Unit = {
+    val spark = SparkSession.active
+    val cond = filters.flatMap(toColumn(_)).reduceOption(_ && _)
+      .getOrElse(lit(true))
+    val kept = Versioned.read(spark, path)
+      .where(not(coalesce(cond, lit(false))))
+    Versioned.commit(kept, path, "overwrite",
+      meta = Map("operation" -> "delete"))
+    ()
+  }
 
   override def name(): String = reader.name
   override def schema(): StructType = reader.schema

@@ -335,6 +335,15 @@ class VersionedSpec extends SparkSpec {
       c.sql("ALTER TABLE gw.lake.w ADD COLUMN extra INT")
     }
     assert(Versioned.versions(spark, t).size == 4)
+    // DELETE FROM: surviving rows committed as a new version, SQL NULL
+    // semantics (NULL predicate keeps the row), history intact
+    c.sql("INSERT INTO gw.lake.w VALUES (1, 'a'), (2, NULL)") // v4
+    c.sql("DELETE FROM gw.lake.w WHERE v = 'z'")              // v5
+    assert(c.sql("SELECT k FROM gw.lake.w ORDER BY k").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 2)) // 'z' gone; NULL row kept
+    assert(Versioned.readMeta(spark, t, 5L) ==
+      Map("operation" -> "delete"))
+    assert(Versioned.read(spark, t, Some(4L)).count() == 3) // pre-delete
   }
 
   test("property: random commit/append/restore/vacuum sequences keep " +
