@@ -68,7 +68,12 @@ class ChangeFeedSourceProvider extends StreamSourceProvider
       require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $n")
       n
     }
-    new ChangeFeedSource(ctx, path, frozen, pace)
+    val startingVersion = params.get("startingVersion").map { v =>
+      val n = v.toLong
+      require(n >= 0, s"startingVersion must be >= 0, got $n")
+      n
+    }
+    new ChangeFeedSource(ctx, path, frozen, pace, startingVersion)
   }
 }
 
@@ -78,7 +83,12 @@ class ChangeFeedSource(ctx: SQLContext, table: String,
     // this many VERSIONS per micro-batch after the initial snapshot, so
     // a consumer restarted after long downtime drains a deep backlog in
     // bounded batches instead of one giant catch-up job
-    maxVersionsPerTrigger: Option[Long] = None) extends Source
+    maxVersionsPerTrigger: Option[Long] = None,
+    // Delta's startingVersion: the FIRST batch delivers only data
+    // committed in versions >= this, instead of the full snapshot —
+    // the "tail from here, skip history" entry point. Ignored once a
+    // checkpoint exists (the offset log wins on restart).
+    startingVersion: Option[Long] = None) extends Source
     with SupportsTriggerAvailableNow with Logging {
 
   override def schema: StructType = frozenSchema
@@ -147,7 +157,21 @@ class ChangeFeedSource(ctx: SQLContext, table: String,
         Versioned.versionFiles(spark, table, Some(endV))
       case Some(fromV) =>
         Versioned.changedFiles(spark, table, fromV, endV)._1
-      case None => Versioned.versionFiles(spark, table, Some(endV))
+      case None => startingVersion match {
+        // first batch with a starting version: only data committed in
+        // versions >= sv (the (sv-1, endV] manifest diff); sv=0 or a
+        // vacuumed sv-1 degrade to the endV snapshot (never loss)
+        case Some(sv) if sv > 0 && sv <= endV && live.contains(sv - 1) =>
+          Versioned.changedFiles(spark, table, sv - 1, endV)._1
+        case Some(sv) if sv > endV =>
+          Seq.empty // nothing committed at/after sv yet
+        case Some(sv) if sv > 0 =>
+          logWarning(s"startingVersion ${sv}'s predecessor manifest of " +
+            s"$table is vacuumed; delivering the full version-$endV " +
+            "snapshot instead")
+          Versioned.versionFiles(spark, table, Some(endV))
+        case _ => Versioned.versionFiles(spark, table, Some(endV))
+      }
     }
     val frame = org.apache.spark.sql.GraftShims.streamingParquetFrame(
       spark, if (files.nonEmpty) files

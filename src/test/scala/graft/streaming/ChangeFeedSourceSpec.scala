@@ -89,6 +89,33 @@ class ChangeFeedSourceSpec extends SparkSpec {
     assert(commits == 5, s"expected 1 + 4 paced batches, got $commits")
   }
 
+  test("startingVersion tails from a chosen commit: history before it " +
+    "is skipped, later commits arrive incrementally") {
+    val base = tmpDir("cfstream")
+    val t = s"$base/t"; val cp = s"$base/cp"; val out = s"$base/out"
+    Versioned.commit(Seq((1, "a")).toDF("k", "v"), t)            // v0
+    Versioned.commit(Seq((2, "b")).toDF("k", "v"), t, "append")  // v1
+    Versioned.commit(Seq((3, "c")).toDF("k", "v"), t, "append")  // v2
+    def drainFrom(): Unit = {
+      val q = spark.readStream.format("graft-changes")
+        .option("path", t).option("startingVersion", "2").load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    drainFrom()
+    // only version 2's rows — v0/v1 history skipped
+    assert(spark.read.parquet(out).as[(Int, String)].collect().toSet ==
+      Set((3, "c")))
+    // later commits flow incrementally from the checkpoint as usual
+    Versioned.commit(Seq((4, "d")).toDF("k", "v"), t, "append")  // v3
+    drainFrom()
+    assert(spark.read.parquet(out).as[(Int, String)].collect().toSet ==
+      Set((3, "c"), (4, "d")))
+  }
+
   test("lake-to-lake: graft-changes source into graft-lake sink — " +
     "commits propagate as exactly one version per batch, replay-safe") {
     val base = tmpDir("cfstream")
