@@ -78,6 +78,17 @@ object Versioned {
     })
   }
 
+  /** Per-table commit mutex. Hadoop's LOCAL filesystem maps rename to
+    * POSIX renameTo, which silently OVERWRITES an existing target —
+    * two racing committers can both "win" the same version and one
+    * commit is lost (caught by VersionedSpec's race test). Within a
+    * JVM (the local[*] driver, where all commits originate) the mutex
+    * closes that window; on HDFS/object stores, rename-without-
+    * overwrite is atomic server-side and the retry loop below gives
+    * true multi-process optimistic concurrency. */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** The atomic manifest-commit loop shared by [[commit]] and
     * [[restore]]: compute the file list against the CURRENT latest
     * version, write a temp manifest, rename into place. A concurrent
@@ -86,6 +97,9 @@ object Versioned {
   private def commitManifest(fs: FileSystem, root: Path,
       meta: Map[String, String],
       filesFor: Option[Long] => Seq[String]): Long = {
+    val lock = commitLocks.computeIfAbsent(
+      root.toUri.toString, _ => new Object)
+    lock.synchronized {
     var committed = -1L
     while (committed < 0) {
       val base = latestVersion(fs, root)
@@ -101,11 +115,16 @@ object Versioned {
         s"$LogDir/.tmp-${java.util.UUID.randomUUID().toString}")
       val out = fs.create(tmp, true)
       try out.write(lines.getBytes("UTF-8")) finally out.close()
-      if (fs.rename(tmp, new Path(root, s"$LogDir/$target.manifest")))
+      // double-guard for local FS (renameTo overwrites): the target
+      // must not exist. Within the JVM the mutex makes this check
+      // race-free; on HDFS the rename itself is atomic-exclusive.
+      val dst = new Path(root, s"$LogDir/$target.manifest")
+      if (!fs.exists(dst) && fs.rename(tmp, dst))
         committed = target
       else fs.delete(tmp, false)
     }
     committed
+    }
   }
 
   /** Delta-style RESTORE: make the table's LATEST state equal version

@@ -346,6 +346,27 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.read(spark, t, Some(4L)).count() == 3) // pre-delete
   }
 
+  test("concurrent committers: the optimistic rename race loses no " +
+    "commit — every appender lands a distinct version, all rows survive") {
+    val t = tmpDir("vers") + "/t"
+    val n = 8
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val versions = Await.result(Future.sequence((0 until n).map(i =>
+        Future {
+          Versioned.commit(Seq((i, s"v$i")).toDF("k", "v"), t, "append")
+        })), 180.seconds)
+      // losers retried one version higher: exactly versions 0..n-1
+      assert(versions.sorted == (0L until n.toLong), versions.toString)
+      // no append lost to the race, none duplicated
+      assert(Versioned.read(spark, t).as[(Int, String)].collect().toSet ==
+        (0 until n).map(i => (i, s"v$i")).toSet)
+    } finally pool.shutdown()
+  }
+
   test("property: random commit/append/restore/vacuum sequences keep " +
     "every readable version equal to the model (ScalaCheck)") {
     import org.scalacheck.{Gen, Prop}
