@@ -9,14 +9,17 @@ import org.apache.spark.sql.functions._
   * each grounded in the construct the reference issues, re-expressed
   * over the driver testdata tables.
   *
-  * Numeric policy for oracle parity: aggregate doubles natively and
-  * round ONCE in the final projection (`round(sum(x), 2)`), mirrored
-  * in the oracle SQL. Per-row CAST(double AS DECIMAL) is a trap:
-  * Spark rounds HALF_UP while DuckDB rounds half-to-even, so per-row
-  * ties diverge and the sums drift apart. A single terminal round
-  * absorbs both that and ulp-level summation-order differences, and
-  * keeps the hot path a plain codegen'd double sum — cheaper at scale
-  * than 128-bit decimal arithmetic on every row.
+  * Numeric policy for oracle parity (r4, graft.functions.Exact):
+  * money is EXACT INTEGERS end to end — 2-dp values become BIGINT
+  * cents, products/sums stay integral (decimal(20,0) accumulator for
+  * 100-TB headroom), and ONE final int→double conversion + IEEE
+  * division produces the compared column. Never a DECIMAL-typed
+  * output, never an uncast oracle integer sum, never an
+  * order-sensitive raw double sum: each of those diverged across
+  * oracle engine versions in rounds 2-3. Integer-valued doubles
+  * (quantities, counts) sum exactly below 2^53 and need no cents
+  * device. Statistical aggregates (stddev/corr) compare as
+  * `round(double, k)` of identical inputs.
   */
 object CoreQueries {
 
@@ -27,26 +30,42 @@ object CoreQueries {
 
     // ---- flagship: TPC-H Q1-style pricing summary (A1-family grouped agg).
     // Map-side partial aggregation + 6-group result: shuffles ~nothing at
-    // any scale; the scan prunes to 7 of 11 lineitem columns.
+    // any scale; the scan prunes to 7 of 11 lineitem columns. Money is
+    // exact integers end to end (graft.functions.Exact): quantities are
+    // integral, prices 2-dp, discounts/taxes 2-dp points, so every sum
+    // is an integer total rescaled ONCE — no summation-order noise, no
+    // rounding ties, identical on any engine version.
     "q1_pricing_summary" -> QueryDef(
       (s, dir) => {
         import s.implicits._
+        import graft.functions.Exact
         t(s, dir, "lineitem")
           .groupBy($"l_returnflag", $"l_linestatus")
           .agg(
-            round(sum($"l_quantity"), 2).as("sum_qty"),
-            round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-            round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+            sum(round($"l_quantity", 0).cast("long")).cast("double")
+              .as("sum_qty"),
+            Exact.dollars(Exact.sumExact(Exact.cents($"l_extendedprice")),
+              100L).as("sum_base_price"),
+            Exact.dollars(Exact.sumExact(
+              Exact.revenueE4($"l_extendedprice", $"l_discount")), 10000L)
               .as("sum_disc_price"),
-            round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") *
-              (lit(1.0) + $"l_tax")), 2).as("sum_charge"),
+            Exact.dollars(Exact.sumExact(
+              Exact.revenueE4($"l_extendedprice", $"l_discount") *
+                (lit(100L) + Exact.cents($"l_tax"))), 1000000L)
+              .as("sum_charge"),
             count(lit(1)).as("count_order"))
       },
       Some("""SELECT l_returnflag, l_linestatus,
-        round(sum(l_quantity), 2) AS sum_qty,
-        round(sum(l_extendedprice), 2) AS sum_base_price,
-        round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-        round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+          / 100.0 AS sum_base_price,
+        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+          * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+          / 10000.0 AS sum_disc_price,
+        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+          * (100 - CAST(round(l_discount * 100) AS BIGINT))
+          * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS DOUBLE)
+          / 1000000.0 AS sum_charge,
         count(*) AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus""")),
 

@@ -238,13 +238,19 @@ object ExtendedQueries {
     "q17_small_quantity" -> QueryDef(
       (s, dir) => {
         t(s, dir, "lineitem").createOrReplaceTempView("q17_lineitem")
-        s.sql("""SELECT round(sum(l1.l_extendedprice) / 7.0, 2) AS avg_yearly
+        // exact-integer sum, then two IEEE divisions (no terminal
+        // round: identical exact inputs ⇒ identical quotient bits);
+        // the correlated avg threshold is exact on both engines
+        // (integral quantities sum exactly below 2^53)
+        s.sql("""SELECT CAST(sum(CAST(round(l1.l_extendedprice * 100)
+              AS BIGINT)) AS DOUBLE) / 100.0 / 7.0 AS avg_yearly
           FROM q17_lineitem l1
           WHERE l1.l_quantity <
             (SELECT 0.2 * avg(l2.l_quantity) FROM q17_lineitem l2
              WHERE l2.l_partkey = l1.l_partkey)""")
       },
-      Some("""SELECT round(sum(l1.l_extendedprice) / 7.0, 2) AS avg_yearly
+      Some("""SELECT CAST(sum(CAST(round(l1.l_extendedprice * 100)
+            AS BIGINT)) AS DOUBLE) / 100.0 / 7.0 AS avg_yearly
         FROM lineitem l1
         WHERE l1.l_quantity <
           (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2

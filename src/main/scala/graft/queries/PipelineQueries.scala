@@ -118,7 +118,9 @@ object PipelineQueries {
           matched.unionByName(inserts), Seq("o_orderkey"), "part")
         s.read.parquet(path).groupBy($"part".cast("int").as("part"))
           .agg(count(lit(1)).as("n"),
-            round(sum($"o_totalprice"), 2).as("total"))
+            graft.functions.Exact.dollars(graft.functions.Exact.sumExact(
+              graft.functions.Exact.cents($"o_totalprice")), 100L)
+              .as("total"))
       },
       Some(MergeOracleSql)),
 
@@ -152,7 +154,9 @@ object PipelineQueries {
           WHEN NOT MATCHED THEN INSERT *""")
         s.table("s9_sql_tgt").groupBy($"part".cast("int").as("part"))
           .agg(count(lit(1)).as("n"),
-            round(sum($"o_totalprice"), 2).as("total"))
+            graft.functions.Exact.dollars(graft.functions.Exact.sumExact(
+              graft.functions.Exact.cents($"o_totalprice")), 100L)
+              .as("total"))
       },
       Some(MergeOracleSql)),
 
@@ -239,6 +243,7 @@ object PipelineQueries {
         SELECT t.* FROM target t
         WHERE NOT EXISTS (SELECT 1 FROM updates u
                           WHERE u.o_orderkey = t.o_orderkey))
-      SELECT part, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      SELECT part, count(*) AS n, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        / 100.0 AS total
       FROM merged GROUP BY part"""
 }
