@@ -21,6 +21,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   OPTIMIZE '<path>' ZORDER BY (c1) [INTO n FILES] -- snapshot table:
   *   OPTIMIZE '<path>' COMPACT [INTO n FILES]       --   rewrite committed
   *                                                  --   as a new version
+  *   UPDATE '<path>' SET c = e[, ...] [WHERE p]     -- snapshot DML, each
+  *   DELETE FROM '<path>' [WHERE p]                 --   one new version
   *   VACUUM '<path>' RETAIN n VERSIONS              -- snapshot retention
   *   DESCRIBE HISTORY '<path>'                      -- version log
   *   RESTORE '<path>' TO VERSION n                  -- roll back (as a commit)
@@ -40,7 +42,34 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       parseHistory(sqlText)
     else if (restorePrefix.matcher(sqlText).lookingAt())
       parseRestore(sqlText)
+    // quoted-path DML: only the UPDATE '…' / DELETE FROM '…' spelling
+    // is ours (snapshot tables); table-name DML stays the delegate's
+    // (ResolveParquetMerge handles catalog parquet tables)
+    else if (updatePathPrefix.matcher(sqlText).lookingAt())
+      parseUpdatePath(sqlText)
+    else if (deletePathPrefix.matcher(sqlText).lookingAt())
+      parseDeletePath(sqlText)
     else delegate.parsePlan(sqlText)
+
+  private def parseUpdatePath(sqlText: String): LogicalPlan = {
+    val m = updatePathStmt.matcher(sqlText)
+    if (!m.matches()) fail(sqlText,
+      "expected UPDATE '<path>' SET col = expr[, ...] [WHERE cond]")
+    val sets = GraftSqlParser.splitTopLevel(m.group(2)).map { a =>
+      val eq = GraftSqlParser.topLevelIndexOf(a, '=')
+      if (eq < 0) fail(sqlText, s"malformed assignment: $a")
+      (a.substring(0, eq).trim, a.substring(eq + 1).trim)
+    }
+    if (sets.isEmpty) fail(sqlText, "UPDATE needs at least one assignment")
+    UpdateVersionedCommand(m.group(1), sets, Option(m.group(3)).map(_.trim))
+  }
+
+  private def parseDeletePath(sqlText: String): LogicalPlan = {
+    val m = deletePathStmt.matcher(sqlText)
+    if (!m.matches()) fail(sqlText,
+      "expected DELETE FROM '<path>' [WHERE cond]")
+    DeleteVersionedCommand(m.group(1), Option(m.group(2)).map(_.trim))
+  }
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -157,6 +186,47 @@ object GraftSqlParser {
     java.util.regex.Pattern.compile("""\s*(?i:RESTORE)\b""")
   private val restoreStmt = java.util.regex.Pattern.compile(
     """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*;?\s*""")
+  private val updatePathPrefix =
+    java.util.regex.Pattern.compile("""\s*(?i:UPDATE)\s+'""")
+  private val updatePathStmt = java.util.regex.Pattern.compile(
+    """(?is)\s*UPDATE\s+'([^']+)'\s+SET\s+(.+?)""" +
+      """(?:\s+WHERE\s+(.+?))?\s*;?\s*""")
+  private val deletePathPrefix =
+    java.util.regex.Pattern.compile("""\s*(?i:DELETE\s+FROM)\s+'""")
+  private val deletePathStmt = java.util.regex.Pattern.compile(
+    """(?is)\s*DELETE\s+FROM\s+'([^']+)'(?:\s+WHERE\s+(.+?))?\s*;?\s*""")
+
+  /** Split on commas at paren/quote depth 0 (assignment lists contain
+    * function calls and string literals). */
+  private[plans] def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0; var inStr = false
+    s.foreach {
+      case '\'' => inStr = !inStr; cur += '\''
+      case c if inStr => cur += c
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** First index of `ch` at paren/quote depth 0, or -1. */
+  private[plans] def topLevelIndexOf(s: String, ch: Char): Int = {
+    var depth = 0; var inStr = false; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') inStr = !inStr
+      else if (!inStr && c == '(') depth += 1
+      else if (!inStr && c == ')') depth -= 1
+      else if (!inStr && depth == 0 && c == ch) return i
+      i += 1
+    }
+    -1
+  }
 }
 
 /** Eagerly-executed VACUUM over a Versioned snapshot table: drops all
@@ -218,6 +288,72 @@ case class RestoreVersionedCommand(path: String, v: Long)
   override def run(spark: SparkSession): Seq[Row] = {
     val nv = graft.operators.Versioned.restore(spark, path, v)
     Seq(Row(v, nv))
+  }
+}
+
+/** Eagerly-executed UPDATE over a Versioned snapshot table
+  * (`UPDATE '<path>' SET … [WHERE …]`): standard UPDATE semantics —
+  * all assignments evaluate against the ORIGINAL row (one simultaneous
+  * select), only rows where the predicate is TRUE change (NULL keeps
+  * the row untouched) — committed as ONE new `operation=update`
+  * version; the pre-update state stays time-travelable until VACUUM.
+  * Returns n_updated. */
+case class UpdateVersionedCommand(path: String,
+    sets: Seq[(String, String)], where: Option[String])
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.functions.{coalesce, expr, lit, when}
+  import org.apache.spark.sql.types.LongType
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("n_updated", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.operators.Versioned
+    val df = Versioned.read(spark, path)
+    val byName = df.columns.map(c => c.toLowerCase -> c).toMap
+    val resolved = sets.map { case (target, e) =>
+      val c = byName.getOrElse(target.toLowerCase,
+        throw new IllegalArgumentException(
+          s"UPDATE target column '$target' not in ${df.columns.mkString(", ")}"))
+      (c, e)
+    }
+    val cond = coalesce(where.map(expr).getOrElse(lit(true)), lit(false))
+    val assigned = resolved.toMap
+    val out = df.select(df.columns.toIndexedSeq.map { c =>
+      assigned.get(c)
+        .map(e => when(cond, expr(e).cast(df.schema(c).dataType))
+          .otherwise(col(c)).as(c))
+        .getOrElse(col(c))
+    }: _*)
+    val n = df.where(cond).count()
+    Versioned.commit(out, path, "overwrite",
+      meta = Map("operation" -> "update"))
+    Seq(Row(n))
+  }
+}
+
+/** Eagerly-executed DELETE over a Versioned snapshot table
+  * (`DELETE FROM '<path>' [WHERE …]`): survivors committed as ONE new
+  * `operation=delete` version, SQL NULL-predicate rows kept. Returns
+  * n_deleted. */
+case class DeleteVersionedCommand(path: String, where: Option[String])
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+  import org.apache.spark.sql.types.LongType
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("n_deleted", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.operators.Versioned
+    val df = Versioned.read(spark, path)
+    val cond = coalesce(where.map(expr).getOrElse(lit(true)), lit(false))
+    val n = df.where(cond).count()
+    Versioned.commit(df.where(not(cond)), path, "overwrite",
+      meta = Map("operation" -> "delete"))
+    Seq(Row(n))
   }
 }
 

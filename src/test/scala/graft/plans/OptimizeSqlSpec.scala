@@ -121,6 +121,38 @@ class OptimizeSqlSpec extends SparkSpec {
     assert(Clustering.avgFileSpan(spark, seg, "l_orderkey") < 0.7)
   }
 
+  test("UPDATE/DELETE on a snapshot path: simultaneous assignments, " +
+    "NULL-predicate rows kept, each statement one time-travelable version") {
+    import graft.operators.Versioned
+    val t = tmpDir("dmlv") + "/t"
+    Versioned.commit(Seq((1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, null))
+      .toDF("k", "v", "tag"), t) // v0
+    // swap-style simultaneous SET: v sees the ORIGINAL k, k the ORIGINAL v
+    val up = spark.sql(
+      s"UPDATE '$t' SET v = v + k, k = k * 10 WHERE tag IS NOT NULL")
+      .collect().head
+    assert(up.getLong(0) == 2)
+    assert(Versioned.read(spark, t).as[(Int, Double, String)]
+      .collect().toSet ==
+      Set((10, 11.0, "a"), (20, 22.0, "b"), (3, 30.0, null)))
+    // DELETE with a predicate that is NULL for the tag-less row: kept
+    val del = spark.sql(s"DELETE FROM '$t' WHERE tag = 'a'").collect().head
+    assert(del.getLong(0) == 1)
+    assert(Versioned.read(spark, t).count() == 2)
+    // two DML statements -> versions 1 and 2, both operations recorded,
+    // v0 still readable
+    assert(Versioned.versions(spark, t) == Seq(0L, 1L, 2L))
+    assert(Versioned.readMeta(spark, t, 1L) == Map("operation" -> "update"))
+    assert(Versioned.readMeta(spark, t, 2L) == Map("operation" -> "delete"))
+    assert(Versioned.read(spark, t, Some(0L)).count() == 3)
+    // unknown SET column is a loud error, table untouched
+    intercept[Exception] { spark.sql(s"UPDATE '$t' SET nope = 1") }
+    assert(Versioned.versions(spark, t).size == 3)
+    // ordinary table-name DML is untouched by the path interception
+    Seq((1, "x")).toDF("a", "b").createOrReplaceTempView("dml_probe")
+    assert(spark.sql("SELECT * FROM dml_probe").count() == 1)
+  }
+
   test("malformed OPTIMIZE fails with a parse error; ordinary SQL is " +
     "untouched by the delegating parser") {
     val e = intercept[Exception] {
