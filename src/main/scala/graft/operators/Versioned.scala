@@ -68,13 +68,36 @@ object Versioned {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val uuid = java.util.UUID.randomUUID().toString
     val segDir = new Path(root, s"data/$uuid")
-    df.write.parquet(segDir.toString)
-    val newFiles = listParquet(fs, segDir).map(relativize(root, _))
+    // Segments are written TIMESTAMP_MICROS (scoped set/restore):
+    // Spark's INT96 default carries NO footer statistics, which would
+    // blind timestamp data skipping — the single most valuable pruning
+    // column of an append-only time-series lake. Micros is also the
+    // non-deprecated interop encoding. The conf is session-scoped, so
+    // a concurrent writer on the same session during this window also
+    // emits micros — benign (micros is readable everywhere we read).
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try df.write.parquet(segDir.toString)
+    finally prevTs match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
+    val newAbs = listParquet(fs, segDir)
+    // data-skipping stats: one footer read per NEW file (never a data
+    // scan), committed atomically on the file's own manifest line.
+    // Append carries the previous lines — and their stats — verbatim.
+    val statsByAbs = SegmentStats.collect(
+      spark.sparkContext.hadoopConfiguration, newAbs)
+    val newLines = newAbs.map { abs =>
+      val rel = relativize(root, abs)
+      statsByAbs.get(abs).map(s => s"$rel\t$s").getOrElse(rel)
+    }
     commitManifest(fs, root, meta, { base =>
-      val prevFiles =
-        if (mode == "append") base.toSeq.flatMap(v => readManifest(fs, root, v))
+      val prevLines =
+        if (mode == "append") base.toSeq.flatMap(v => readFileLines(fs, root, v))
         else Nil
-      prevFiles ++ newFiles
+      prevLines ++ newLines
     })
   }
 
@@ -135,11 +158,13 @@ object Versioned {
   def restore(spark: SparkSession, table: String, v: Long): Long = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = readManifest(fs, root, v) // throws if v was vacuumed/absent
-    require(files.nonEmpty, s"version $v of $table is empty")
+    // raw lines, not stripped paths: the restored version keeps v's
+    // data-skipping stats
+    val lines = readFileLines(fs, root, v) // throws if v was vacuumed/absent
+    require(lines.nonEmpty, s"version $v of $table is empty")
     commitManifest(fs, root,
       Map("operation" -> "restore", "restore_of" -> v.toString),
-      _ => files)
+      _ => lines)
   }
 
   /** DESCRIBE HISTORY surface: one row per committed version —
@@ -344,8 +369,32 @@ object Versioned {
   private def latestVersion(fs: FileSystem, root: Path): Option[Long] =
     listVersions(fs, root).lastOption
 
-  private def readManifest(fs: FileSystem, root: Path, v: Long): Seq[String] =
+  /** File LINES of a version: `relpath` or `relpath\t<stats>` —
+    * what append/restore must carry forward verbatim. */
+  private def readFileLines(fs: FileSystem, root: Path, v: Long): Seq[String] =
     manifestLines(fs, root, v).filterNot(_.startsWith("#"))
+
+  /** Relative file paths of a version (stats suffix stripped). */
+  private def readManifest(fs: FileSystem, root: Path, v: Long): Seq[String] =
+    readFileLines(fs, root, v).map(_.split('\t').head)
+
+  /** Data-skipping stats of a version, keyed by ABSOLUTE file path
+    * (matching [[versionFiles]] output). Files committed without stats
+    * (pre-stats manifests, unreadable footers) are simply absent —
+    * readers must treat absence as unprunable. */
+  def fileStats(spark: SparkSession, table: String,
+      version: Option[Long] = None): Map[String, SegmentStats.FileStats] = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = version.orElse(latestVersion(fs, root)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    readFileLines(fs, root, v).flatMap { line =>
+      val cut = line.indexOf('\t')
+      if (cut < 0) None
+      else SegmentStats.parse(line.substring(cut + 1))
+        .map(new Path(root, line.substring(0, cut)).toString -> _)
+    }.toMap
+  }
 
   /** The `#k=v` metadata header of a committed version (empty map for
     * manifests written without meta — fully backward compatible). The
