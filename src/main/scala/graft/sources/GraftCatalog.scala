@@ -70,7 +70,8 @@ class GraftCatalog extends TableCatalog {
       throw new IllegalArgumentException(
         s"version $v of ${ident.toString} not found " +
           s"(committed versions: ${versions.mkString(", ")})"))
-    val files = Versioned.versionFiles(spark, path, version)
+    val resolved = version.getOrElse(versions.last)
+    val files = Versioned.versionFiles(spark, path, Some(resolved))
     // mergeSchema: an appended segment may carry ADDED columns
     // (additive evolution, Versioned.read parity) — the table schema
     // is the union across the version's segments
@@ -79,9 +80,11 @@ class GraftCatalog extends TableCatalog {
     val reader = ParquetTable(ident.name, spark,
       new CaseInsensitiveStringMap(opts),
       files.toIndexedSeq, None, classOf[ParquetFileFormat])
+    val readTable = new GraftSnapshotReadTable(path, resolved, files, reader)
     // latest-version loads are writable (INSERT INTO/OVERWRITE land as
     // manifest commits); a pinned time-travel load stays read-only
-    if (version.isEmpty) new GraftWritableTable(path, reader) else reader
+    if (version.isEmpty) new GraftWritableTable(path, readTable)
+    else readTable
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
@@ -153,15 +156,94 @@ class GraftCatalog extends TableCatalog {
       "graft catalog does not rename tables")
 }
 
-/** Writable view of a snapshot table: reads delegate to Spark's own
-  * ParquetTable (vectorization/pushdown intact); writes go through the
-  * V1Write bridge — the batch DataFrame lands as ONE atomic manifest
-  * commit (`Versioned.commit`), append for INSERT INTO, overwrite for
-  * INSERT OVERWRITE. Executors never write into live segment dirs: the
-  * commit stages a fresh uuid segment and renames the manifest, so a
-  * failed INSERT leaves the table untouched (no Hadoop commit-protocol
-  * half-states — the lake format's invariant extends to SQL writes). */
-private[sources] class GraftWritableTable(path: String, reader: ParquetTable)
+/** Read view of one resolved snapshot version: scans delegate to
+  * Spark's own ParquetTable (vectorized reads, row-group pushdown,
+  * column pruning, aggregate pushdown all intact) AFTER the version's
+  * file list is cut down by [[StatsPruner]] against the manifest's
+  * per-file statistics. At 100 TB this is the difference between
+  * scheduling a million file splits and scheduling the handful whose
+  * [min,max] windows intersect the query's predicate — decided from
+  * ONE manifest read at plan time, no footer probing, no listing. */
+private[sources] class GraftSnapshotReadTable(path: String, version: Long,
+    files: Seq[String], delegate: ParquetTable)
+    extends Table with SupportsRead {
+  override def name(): String = delegate.name
+  override def schema(): StructType = delegate.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    delegate.capabilities()
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PruningScanBuilder(SparkSession.active, delegate.name, path,
+      version, files, schema(), options)
+}
+
+/** ScanBuilder that intercepts Spark's pushed predicates, drops every
+  * file the manifest stats prove irrelevant, and hands the survivors
+  * to a ParquetScanBuilder which then applies the SAME predicates at
+  * row-group granularity. The table schema is passed down explicitly
+  * so pruning can never change the scan's schema (a filter that drops
+  * the only segment carrying an evolved column must not un-declare
+  * that column). All other pushdown surfaces (columns, aggregates)
+  * forward unchanged. */
+private[sources] final class PruningScanBuilder(
+    spark: SparkSession, tableName: String, tablePath: String,
+    version: Long, files: Seq[String], tableSchema: StructType,
+    options: CaseInsensitiveStringMap)
+  extends ScanBuilder
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+  import org.apache.spark.sql.connector.read.Scan
+  import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+
+  private var inner: ParquetScanBuilder = _
+
+  private def ensure(fileList: Seq[String]): ParquetScanBuilder = {
+    if (inner == null)
+      inner = ParquetTable(tableName, spark, options, fileList.toIndexedSeq,
+        Some(tableSchema), classOf[ParquetFileFormat]).newScanBuilder(options)
+    inner
+  }
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    // filters arrive ONCE, before column/aggregate pushdown and
+    // build() — the one moment the delegate's file list is still open
+    if (inner == null && filters.nonEmpty) {
+      val lowered = filters.flatMap(StatsPruner.translate)
+      if (lowered.nonEmpty) {
+        // one manifest read; files without stats are kept unprunable
+        val stats = Versioned.fileStats(spark, tablePath, Some(version))
+        ensure(files.filter { f =>
+          stats.get(f).forall(st => lowered.forall(StatsPruner.mayMatch(st, _)))
+        })
+      }
+    }
+    ensure(files).pushFilters(filters)
+  }
+  override def pushedFilters: Array[Predicate] = ensure(files).pushedFilters
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    ensure(files).pruneColumns(requiredSchema)
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    ensure(files).pushAggregation(aggregation)
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    ensure(files).supportCompletePushDown(aggregation)
+  override def build(): Scan = ensure(files).build()
+}
+
+/** Writable view of a snapshot table: reads delegate to the pruning
+  * read table (vectorization/pushdown/file skipping intact); writes go
+  * through the V1Write bridge — the batch DataFrame lands as ONE
+  * atomic manifest commit (`Versioned.commit`), append for INSERT
+  * INTO, overwrite for INSERT OVERWRITE. Executors never write into
+  * live segment dirs: the commit stages a fresh uuid segment and
+  * renames the manifest, so a failed INSERT leaves the table untouched
+  * (no Hadoop commit-protocol half-states — the lake format's
+  * invariant extends to SQL writes). */
+private[sources] class GraftWritableTable(path: String,
+    reader: GraftSnapshotReadTable)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   import org.apache.spark.sql.{sources => f}

@@ -1,0 +1,140 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.SegmentStats.{ColStats, FileStats}
+import graft.operators.Versioned
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.{sources => f}
+
+class StatsPruningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fs = FileStats(10, Map(
+    "k" -> ColStats('l', Some("5"), Some("20"), Some(0)),
+    "name" -> ColStats('s', Some("delta"), Some("mango"), Some(2)),
+    "score" -> ColStats('d', Some("0.5"), Some("2.5"), Some(0)),
+    "flag" -> ColStats('b', Some("1"), Some("1"), Some(3)),
+    "allnull" -> ColStats('l', None, None, Some(10))))
+  private def keep(flt: f.Filter): Boolean = StatsPruner.mayMatch(fs, flt)
+
+  test("mayMatch: range, null-count, all-null, absent-column and " +
+    "composite semantics") {
+    // long ranges
+    assert(!keep(f.EqualTo("k", 25)) && keep(f.EqualTo("k", 7)))
+    assert(!keep(f.GreaterThan("k", 20L)) && keep(f.GreaterThanOrEqual("k", 20)))
+    assert(!keep(f.LessThan("k", 5)) && keep(f.LessThanOrEqual("k", 5)))
+    // string ranges (byte order)
+    assert(!keep(f.EqualTo("name", "zebra")) && keep(f.EqualTo("name", "hello")))
+    assert(!keep(f.StringStartsWith("name", "z")), "max below prefix")
+    assert(!keep(f.StringStartsWith("name", "cz")), "min's prefix above")
+    assert(keep(f.StringStartsWith("name", "de")), "min itself matches")
+    assert(keep(f.StringStartsWith("name", "ma")))
+    // float/double columns never range-prune (NaN soundness)…
+    assert(keep(f.EqualTo("score", 99.0)))
+    // …but null counts still do
+    assert(!keep(f.IsNull("score")))
+    // all-NULL column: comparisons prune, IS NULL keeps
+    assert(!keep(f.EqualTo("allnull", 3)) && !keep(f.IsNotNull("allnull")))
+    assert(keep(f.IsNull("allnull")))
+    // column absent from the file's schema = all-NULL (evolution)
+    assert(!keep(f.EqualTo("extra", "x")) && keep(f.IsNull("extra")))
+    // nested/dotted names are opaque, never treated as absent
+    assert(keep(f.EqualTo("s.x", 1)))
+    // booleans
+    assert(!keep(f.EqualTo("flag", false)) && keep(f.EqualTo("flag", true)))
+    // composites
+    assert(!keep(f.And(f.EqualTo("k", 7), f.EqualTo("name", "zebra"))))
+    assert(keep(f.Or(f.EqualTo("k", 99), f.EqualTo("name", "hello"))))
+    assert(!keep(f.Or(f.EqualTo("k", 99), f.EqualTo("k", 0))))
+    assert(keep(f.In("k", Array[Any](1, 7))))
+    assert(!keep(f.In("k", Array[Any](1, 99))))
+    // unknown value type and un-modeled shapes keep the file
+    assert(keep(f.EqualTo("k", "weird")) && keep(f.Not(f.EqualTo("k", 25))))
+    // null-safe equality
+    assert(keep(f.EqualNullSafe("allnull", null)))
+    assert(!keep(f.EqualNullSafe("k", null)))
+    // an empty file satisfies nothing
+    assert(!StatsPruner.mayMatch(FileStats(0, Map.empty), f.IsNull("k")))
+  }
+
+  private def scannedFiles(df: DataFrame): Int =
+    df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case b: BatchScanExec =>
+        b.scan.asInstanceOf[ParquetScan].fileIndex.inputFiles.length
+    }.getOrElse(fail("no BatchScanExec in plan"))
+
+  test("catalog scans skip segments whose manifest stats exclude the " +
+    "predicate — and stay row-group-pushdown-capable") {
+    val rootDir = tmpDir("prune")
+    val t = s"$rootDir/lake/pt"
+    def seg(lo: Int, hi: Int) = (lo to hi).map(i =>
+      (i.toLong, s"u$i", java.sql.Timestamp.valueOf(f"2024-06-$i%02d 00:00:00")))
+      .toDF("k", "name", "ts").coalesce(1)
+    Versioned.commit(seg(1, 3), t) // v0
+    Versioned.commit(seg(4, 6), t, "append") // v1
+    Versioned.commit(seg(7, 9), t, "append") // v2: three 1-file segments
+    val c = spark.newSession()
+    c.conf.set("spark.sql.catalog.gp", classOf[GraftCatalog].getName)
+    c.conf.set("spark.sql.catalog.gp.root", rootDir)
+
+    val byK = c.sql("SELECT k FROM gp.lake.pt WHERE k >= 7")
+    assert(byK.collect().map(_.getLong(0)).toSet == Set(7L, 8L, 9L))
+    assert(scannedFiles(byK) == 1, "two segments above the k bound")
+
+    val byTs = c.sql(
+      "SELECT k FROM gp.lake.pt WHERE ts < TIMESTAMP '2024-06-04 00:00:00'")
+    assert(byTs.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    assert(scannedFiles(byTs) == 1, "timestamp window covers one segment")
+
+    val byName = c.sql("SELECT k FROM gp.lake.pt WHERE name = 'u5'")
+    assert(byName.collect().map(_.getLong(0)).toList == List(5L))
+    assert(scannedFiles(byName) == 1)
+
+    // zero survivors: a correct empty result from an empty scan
+    val none = c.sql("SELECT * FROM gp.lake.pt WHERE k > 100")
+    assert(none.count() == 0 && scannedFiles(none) == 0)
+
+    // no predicate, no pruning; row-group pushdown survives the wrap
+    assert(scannedFiles(c.sql("SELECT * FROM gp.lake.pt")) == 3)
+    val plan = byK.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("GreaterThanOrEqual(k,7)"),
+      plan)
+
+    // time travel prunes against the PINNED version's manifest
+    val old = c.sql("SELECT k FROM gp.lake.pt VERSION AS OF 0 WHERE k >= 2")
+    assert(old.collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    assert(scannedFiles(old) == 1)
+  }
+
+  test("pruned reads stay correct under schema evolution: the evolved " +
+    "column's filters prune files that predate it") {
+    val rootDir = tmpDir("prune_evo")
+    val t = s"$rootDir/lake/et"
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), t)
+    Versioned.commit(Seq((3L, "c", "x")).toDF("k", "v", "extra").coalesce(1),
+      t, "append")
+    val c = spark.newSession()
+    c.conf.set("spark.sql.catalog.gpe", classOf[GraftCatalog].getName)
+    c.conf.set("spark.sql.catalog.gpe.root", rootDir)
+
+    // equality on the evolved column: the pre-evolution file is proven
+    // all-NULL and skipped — and the schema still carries the column
+    val eq = c.sql("SELECT k, extra FROM gpe.lake.et WHERE extra = 'x'")
+    assert(eq.collect().map(r => (r.getLong(0), r.getString(1))).toList ==
+      List((3L, "x")))
+    assert(scannedFiles(eq) == 1)
+
+    // IS NULL keeps the old file and prunes the new one (0 nulls there)
+    val isNull = c.sql("SELECT k FROM gpe.lake.et WHERE extra IS NULL")
+    assert(isNull.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(scannedFiles(isNull) == 1)
+
+    // end-to-end parity with the unpruned programmatic read
+    val all = Versioned.read(c, t).where("k >= 2").collect().map(_.getLong(0))
+    val sql = c.sql("SELECT k FROM gpe.lake.et WHERE k >= 2")
+      .collect().map(_.getLong(0))
+    assert(all.toSet == sql.toSet)
+  }
+}
