@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import scala.collection.mutable
 
 /** Versioned snapshot tables over parquet — manifest-based commits with
@@ -66,6 +66,19 @@ object Versioned {
     val spark = df.sparkSession
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val newLines = writeSegmentLines(spark, fs, root, df)
+    commitManifest(fs, root, meta, { base =>
+      val prevLines =
+        if (mode == "append") base.toSeq.flatMap(v => readFileLines(fs, root, v))
+        else Nil
+      prevLines ++ newLines
+    })
+  }
+
+  /** Write one fresh uuid segment and return its manifest file lines
+    * (stats-suffixed). Shared by [[commit]] and [[rewrite]]. */
+  private def writeSegmentLines(spark: SparkSession, fs: FileSystem,
+      root: Path, df: DataFrame): Seq[String] = {
     val uuid = java.util.UUID.randomUUID().toString
     val segDir = new Path(root, s"data/$uuid")
     // Segments are written TIMESTAMP_MICROS (scoped set/restore):
@@ -89,16 +102,65 @@ object Versioned {
     // Append carries the previous lines — and their stats — verbatim.
     val statsByAbs = SegmentStats.collect(
       spark.sparkContext.hadoopConfiguration, newAbs)
-    val newLines = newAbs.map { abs =>
+    newAbs.map { abs =>
       val rel = relativize(root, abs)
       statsByAbs.get(abs).map(s => s"$rel\t$s").getOrElse(rel)
     }
-    commitManifest(fs, root, meta, { base =>
-      val prevLines =
-        if (mode == "append") base.toSeq.flatMap(v => readFileLines(fs, root, v))
-        else Nil
-      prevLines ++ newLines
-    })
+  }
+
+  /** Copy-on-write DML core (the scoping Delta's DELETE/UPDATE get
+    * from log stats): segments whose manifest statistics say they MAY
+    * contain rows matching `cond` are read and replaced by
+    * `transform`'s output; every other segment's manifest line —
+    * stats included — is carried into the new version VERBATIM,
+    * without being read, rewritten, or even opened. At 100 TB a
+    * DELETE of one day from an append-only table rewrites one
+    * segment, not the table.
+    *
+    * `mayTouch` decides scoping from a segment's stats (files without
+    * stats are always in scope); [[graft.sources.StatsPruner]]
+    * provides the standard predicate-driven implementation. The
+    * touched subset is read under the FULL table schema, so evolved
+    * columns stay addressable even when no touched file carries them.
+    * When the stats prove NOTHING matches, the commit is pure
+    * manifest metadata — zero data IO.
+    *
+    * Returns (rows matched, segments rewritten, segments carried). */
+  def rewrite(spark: SparkSession, table: String,
+      mayTouch: SegmentStats.FileStats => Boolean, cond: Column,
+      transform: DataFrame => DataFrame,
+      meta: Map[String, String]): (Long, Long, Long) = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, root).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    val lines = readFileLines(fs, root, v)
+    val fullSchema = read(spark, table, Some(v)).schema
+    val (touched, carried) = lines.partition { line =>
+      val cut = line.indexOf('\t')
+      if (cut < 0) true // no stats: always in scope
+      else SegmentStats.parse(line.substring(cut + 1)) match {
+        case Some(st) => mayTouch(st)
+        case None => true
+      }
+    }
+    val touchedFiles = touched
+      .map(l => new Path(root, l.split('\t').head).toString)
+    val subset =
+      if (touchedFiles.isEmpty)
+        spark.createDataFrame(spark.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row], fullSchema)
+      else spark.read.schema(fullSchema).parquet(touchedFiles: _*)
+    val matched = subset.where(cond).count()
+    if (matched == 0L) {
+      // provably no row changes: the new version is metadata-only
+      commitManifest(fs, root, meta, _ => lines)
+      (0L, 0L, lines.size.toLong)
+    } else {
+      val newLines = writeSegmentLines(spark, fs, root, transform(subset))
+      commitManifest(fs, root, meta, _ => carried ++ newLines)
+      (matched, touched.size.toLong, carried.size.toLong)
+    }
   }
 
   /** Per-table commit mutex. Hadoop's LOCAL filesystem maps rename to

@@ -310,6 +310,7 @@ case class UpdateVersionedCommand(path: String,
 
   override def run(spark: SparkSession): Seq[Row] = {
     import graft.operators.Versioned
+    import graft.sources.StatsPruner
     val df = Versioned.read(spark, path)
     val byName = df.columns.map(c => c.toLowerCase -> c).toMap
     val resolved = sets.map { case (target, e) =>
@@ -318,17 +319,25 @@ case class UpdateVersionedCommand(path: String,
           s"UPDATE target column '$target' not in ${df.columns.mkString(", ")}"))
       (c, e)
     }
-    val cond = coalesce(where.map(expr).getOrElse(lit(true)), lit(false))
+    // raw predicate for stats scoping (filter semantics already drop
+    // NULL rows); the coalesce wrapper is only for the SET branches
+    val raw = where.map(expr).getOrElse(lit(true))
+    val cond = coalesce(raw, lit(false))
     val assigned = resolved.toMap
-    val out = df.select(df.columns.toIndexedSeq.map { c =>
-      assigned.get(c)
-        .map(e => when(cond, expr(e).cast(df.schema(c).dataType))
-          .otherwise(col(c)).as(c))
-        .getOrElse(col(c))
-    }: _*)
-    val n = df.where(cond).count()
-    Versioned.commit(out, path, "overwrite",
-      meta = Map("operation" -> "update"))
+    // copy-on-write: only segments that may contain matched rows are
+    // rewritten; the rest of the manifest is carried forward verbatim
+    val filters = StatsPruner.pushableFilters(df.where(raw))
+    val scope: graft.operators.SegmentStats.FileStats => Boolean =
+      if (filters.isEmpty) _ => true
+      else st => filters.forall(StatsPruner.mayMatch(st, _))
+    val (n, _, _) = Versioned.rewrite(spark, path, scope, raw, { subset =>
+      subset.select(subset.columns.toIndexedSeq.map { c =>
+        assigned.get(c)
+          .map(e => when(cond, expr(e).cast(subset.schema(c).dataType))
+            .otherwise(col(c)).as(c))
+          .getOrElse(col(c))
+      }: _*)
+    }, Map("operation" -> "update"))
     Seq(Row(n))
   }
 }
@@ -348,11 +357,19 @@ case class DeleteVersionedCommand(path: String, where: Option[String])
 
   override def run(spark: SparkSession): Seq[Row] = {
     import graft.operators.Versioned
+    import graft.sources.StatsPruner
     val df = Versioned.read(spark, path)
-    val cond = coalesce(where.map(expr).getOrElse(lit(true)), lit(false))
-    val n = df.where(cond).count()
-    Versioned.commit(df.where(not(cond)), path, "overwrite",
-      meta = Map("operation" -> "delete"))
+    val raw = where.map(expr).getOrElse(lit(true))
+    val cond = coalesce(raw, lit(false))
+    // copy-on-write: segments provably free of matches are carried
+    // forward as manifest lines, never read or rewritten
+    val filters = StatsPruner.pushableFilters(df.where(raw))
+    val scope: graft.operators.SegmentStats.FileStats => Boolean =
+      if (filters.isEmpty) _ => true
+      else st => filters.forall(StatsPruner.mayMatch(st, _))
+    val (n, _, _) = Versioned.rewrite(spark, path, scope, raw,
+      subset => subset.where(not(cond)),
+      Map("operation" -> "delete"))
     Seq(Row(n))
   }
 }

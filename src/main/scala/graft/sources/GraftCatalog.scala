@@ -283,15 +283,20 @@ private[sources] class GraftWritableTable(path: String,
     * committed as a new version (operation=delete): readers never see
     * a partial delete, and the pre-delete state stays time-travelable
     * until VACUUM (Delta's DELETE discipline on the manifest log). SQL
-    * NULL semantics: rows where the predicate is NULL are KEPT. */
+    * NULL semantics: rows where the predicate is NULL are KEPT.
+    * Copy-on-write: the pushed filters scope the rewrite through the
+    * manifest stats, so segments provably free of matches are carried
+    * forward without being read. */
   override def deleteWhere(filters: Array[f.Filter]): Unit = {
     val spark = SparkSession.active
     val cond = filters.flatMap(toColumn(_)).reduceOption(_ && _)
       .getOrElse(lit(true))
-    val kept = Versioned.read(spark, path)
-      .where(not(coalesce(cond, lit(false))))
-    Versioned.commit(kept, path, "overwrite",
-      meta = Map("operation" -> "delete"))
+    val scope: graft.operators.SegmentStats.FileStats => Boolean =
+      if (filters.isEmpty) _ => true
+      else st => filters.forall(StatsPruner.mayMatch(st, _))
+    Versioned.rewrite(spark, path, scope, cond,
+      subset => subset.where(not(coalesce(cond, lit(false)))),
+      Map("operation" -> "delete"))
     ()
   }
 

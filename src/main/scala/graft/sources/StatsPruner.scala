@@ -39,6 +39,24 @@ object StatsPruner {
 
   // ------------------------------------------------------------- translate
 
+  /** The prunable filters of an already-filtered DataFrame, taken from
+    * its OPTIMIZED plan (where type-coercion casts around literals
+    * have been folded back into comparable literals). The DML path
+    * uses this to scope copy-on-write rewrites: bolt `.where(cond)`
+    * onto a read of the table, harvest what survives as Filter nodes,
+    * lower each conjunct. An empty result means "no pruning", never
+    * "matches nothing". */
+  def pushableFilters(filtered: org.apache.spark.sql.DataFrame): Seq[sf.Filter] =
+    filtered.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        conjuncts(f.condition).flatMap(translate)
+    }.flatten
+
+  private def conjuncts(e: ce.Expression): Seq[ce.Expression] = e match {
+    case ce.And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
   /** Lower one pushed catalyst predicate to a pruning filter; None =
     * shape we don't prune on. Spark hands conjuncts pre-split, so each
     * input is typically a single comparison. */
@@ -224,12 +242,24 @@ object StatsPruner {
   private val utf8Ord: Ordering[UTF8String] =
     (a: UTF8String, b: UTF8String) => a.compareTo(b)
 
-  private def toL(v: Any): Option[Long] = v match {
-    case b: Byte => Some(b.toLong)
-    case s: Short => Some(s.toLong)
-    case i: Int => Some(i.toLong)
-    case l: Long => Some(l)
-    case _ => None
+  /** Catalyst-internal values compare directly; EXTERNAL date/time
+    * values (DSv2 deleteWhere hands `sources.Filter`s with external
+    * values) go through Spark's own converters so the epoch-day/micros
+    * mapping is bit-identical to what the stats serialized. */
+  private def toL(v: Any): Option[Long] = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    v match {
+      case b: Byte => Some(b.toLong)
+      case s: Short => Some(s.toLong)
+      case i: Int => Some(i.toLong)
+      case l: Long => Some(l)
+      case d: java.sql.Date => Some(DateTimeUtils.fromJavaDate(d).toLong)
+      case d: java.time.LocalDate => Some(DateTimeUtils.localDateToDays(d).toLong)
+      case t: java.sql.Timestamp => Some(DateTimeUtils.fromJavaTimestamp(t))
+      case i: java.time.Instant => Some(DateTimeUtils.instantToMicros(i))
+      case l: java.time.LocalDateTime => Some(DateTimeUtils.localDateTimeToMicros(l))
+      case _ => None
+    }
   }
   private def toU(v: Any): Option[UTF8String] = v match {
     case u: UTF8String => Some(u)

@@ -153,6 +153,83 @@ class OptimizeSqlSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM dml_probe").count() == 1)
   }
 
+  test("copy-on-write DML: segments the stats prove untouched are " +
+    "carried forward verbatim, never rewritten") {
+    import graft.operators.Versioned
+    val t = tmpDir("cowv") + "/t"
+    def seg(lo: Int, hi: Int) = (lo to hi)
+      .map(i => (i.toLong, s"u$i")).toDF("k", "name").coalesce(1)
+    Versioned.commit(seg(1, 3), t) // v0
+    Versioned.commit(seg(4, 6), t, "append")
+    Versioned.commit(seg(7, 9), t, "append") // v2: three 1-file segments
+    val before = Versioned.versionFiles(spark, t).toSet
+    assert(before.size == 3)
+
+    // DELETE hits one segment: the other two PHYSICAL files are
+    // carried into the new version, one new segment replaces the third
+    val del = spark.sql(s"DELETE FROM '$t' WHERE k = 8").collect().head
+    assert(del.getLong(0) == 1)
+    val after = Versioned.versionFiles(spark, t).toSet
+    assert((before & after).size == 2, "two segments carried verbatim")
+    assert((after -- before).size == 1, "one rewritten segment")
+    assert(Versioned.read(spark, t).select("k").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 4L, 5L, 6L, 7L, 9L))
+    // carried lines keep their data-skipping stats
+    val stats = Versioned.fileStats(spark, t)
+    assert((before & after).forall(stats.contains))
+
+    // a provably-no-match DELETE is metadata-only: same file set
+    val v = Versioned.versions(spark, t).last
+    val none = spark.sql(s"DELETE FROM '$t' WHERE k = 100").collect().head
+    assert(none.getLong(0) == 0)
+    assert(Versioned.versions(spark, t).last == v + 1)
+    assert(Versioned.versionFiles(spark, t).toSet == after)
+
+    // UPDATE scoped the same way, and the predicate may be stringly
+    val preUpd = Versioned.versionFiles(spark, t).toSet
+    val upd = spark.sql(s"UPDATE '$t' SET name = 'zz' WHERE k = 2")
+      .collect().head
+    assert(upd.getLong(0) == 1)
+    val postUpd = Versioned.versionFiles(spark, t).toSet
+    assert((preUpd & postUpd).size == 2, "update rewrote one segment")
+    assert(Versioned.read(spark, t).where("k = 2").select("name")
+      .as[String].head() == "zz")
+
+    // evolved column: the SET works even when the touched file
+    // predates the column (read under the full table schema)
+    Versioned.commit(Seq((10L, "u10", "x")).toDF("k", "name", "extra")
+      .coalesce(1), t, "append")
+    val updEvo = spark.sql(s"UPDATE '$t' SET extra = 'y' WHERE k = 1")
+      .collect().head
+    assert(updEvo.getLong(0) == 1)
+    val evo = Versioned.read(spark, t).where("k = 1 OR k = 10")
+      .select("k", "extra").as[(Long, String)].collect().toSet
+    assert(evo == Set((1L, "y"), (10L, "x")))
+  }
+
+  test("DSv2 DELETE through the catalog scopes by stats, including " +
+    "external date/timestamp filter values") {
+    import graft.operators.Versioned
+    val rootDir = tmpDir("cowcat")
+    val t = s"$rootDir/lake/ct"
+    def seg(day: Int) = (1 to 3).map(i => (day * 10L + i,
+      java.sql.Timestamp.valueOf(f"2024-06-$day%02d 0$i%d:00:00")))
+      .toDF("k", "ts").coalesce(1)
+    Versioned.commit(seg(1), t)
+    Versioned.commit(seg(2), t, "append")
+    Versioned.commit(seg(3), t, "append")
+    val c = spark.newSession()
+    c.conf.set("spark.sql.catalog.gd", classOf[graft.sources.GraftCatalog].getName)
+    c.conf.set("spark.sql.catalog.gd.root", rootDir)
+    val before = Versioned.versionFiles(c, t).toSet
+    c.sql("DELETE FROM gd.lake.ct WHERE ts < TIMESTAMP '2024-06-02 00:00:00'")
+    val after = Versioned.versionFiles(c, t).toSet
+    assert((before & after).size == 2,
+      "day-2 and day-3 segments carried; day-1 segment rewritten away")
+    assert(Versioned.read(c, t).count() == 6)
+    assert(c.sql("SELECT min(k) FROM gd.lake.ct").head.getLong(0) == 21L)
+  }
+
   test("malformed OPTIMIZE fails with a parse error; ordinary SQL is " +
     "untouched by the delegating parser") {
     val e = intercept[Exception] {
