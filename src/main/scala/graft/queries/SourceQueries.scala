@@ -238,6 +238,54 @@ object SourceQueries {
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           AND l_shipdate < TIMESTAMP '1999-01-01'
-        GROUP BY 1"""))
+        GROUP BY 1""")),
+
+    // ---- VT5 copy-on-write DML (Versioned.rewrite + StatsPruner):
+    // one segment per ship year, then a DELETE of 1997 and an UPDATE
+    // of pre-1993 rows — each statement scopes its rewrite through the
+    // manifest's per-file stats, carrying every other year's segment
+    // forward verbatim (the Delta DELETE/UPDATE discipline; at 100 TB
+    // the rewrite cost tracks the matched year, never the table). The
+    // read-back aggregate proves both statements' row-level semantics;
+    // staged per (JVM, sf dir) because DML mutates — the statements
+    // must run exactly once per process, and re-invocations (bench's
+    // second pass) read the already-mutated table. Output: exact
+    // integer quantity cents (BIGINT), engine-version-proof.
+    "vt5_cow_dml" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val table = stages.computeIfAbsent(s"$dir|vt5|dml", { _ =>
+          val td = java.nio.file.Files
+            .createTempDirectory("vt5").toString + "/t"
+          val li = t(s, dir, "lineitem")
+            .select($"l_orderkey", $"l_quantity", $"l_shipdate")
+          // the synthetic testdata ships 1995–2001 (NOT TPC-H's
+          // 1992–1998); the segments must cover every row or the
+          // read-back diverges from the oracle's whole-table view
+          (1995 to 2001).foreach { y =>
+            graft.operators.Versioned.commit(
+              li.where(year($"l_shipdate") === y), td,
+              if (y == 1995) "overwrite" else "append")
+          }
+          s.sql(s"""DELETE FROM '$td'
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'""")
+          s.sql(s"""UPDATE '$td' SET l_quantity = l_quantity + 100
+            WHERE l_shipdate < TIMESTAMP '1996-01-01'""")
+          td
+        })
+        graft.operators.Versioned.read(s, table).agg(
+          count(lit(1)).as("n_rows"),
+          graft.functions.Exact.sumExact(
+            graft.functions.Exact.cents($"l_quantity"))
+            .cast("long").as("qty_cents"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(CAST(round(l_quantity*100) AS BIGINT)
+            + CASE WHEN l_shipdate < TIMESTAMP '1996-01-01'
+              THEN 10000 ELSE 0 END) AS BIGINT) AS qty_cents
+        FROM lineitem
+        WHERE NOT (l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01')"""))
   )
 }
