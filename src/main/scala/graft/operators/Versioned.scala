@@ -132,36 +132,75 @@ object Versioned {
       meta: Map[String, String]): (Long, Long, Long) = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val v = latestVersion(fs, root).getOrElse(
-      throw new IllegalArgumentException(s"no committed version in $table"))
-    val lines = readFileLines(fs, root, v)
-    val fullSchema = read(spark, table, Some(v)).schema
-    val (touched, carried) = lines.partition { line =>
-      val cut = line.indexOf('\t')
-      if (cut < 0) true // no stats: always in scope
-      else SegmentStats.parse(line.substring(cut + 1)) match {
-        case Some(st) => mayTouch(st)
-        case None => true
+    // The read-compute-commit cycle runs OUTSIDE the commit lock (the
+    // transform may be long); a commit landing in between (a streaming
+    // append, another DML) would be silently dropped if we committed
+    // our stale line set over it. So the commit asserts the base
+    // version is still the one the rewrite read — on conflict the
+    // whole cycle recomputes against the new latest (Delta's
+    // optimistic-concurrency discipline for DML). The abandoned
+    // attempt's segment is deleted; a crash leaves it invisible for
+    // VACUUM like any other uncommitted segment.
+    var attempt = 0
+    while (true) {
+      val v = latestVersion(fs, root).getOrElse(
+        throw new IllegalArgumentException(s"no committed version in $table"))
+      val lines = readFileLines(fs, root, v)
+      val fullSchema = read(spark, table, Some(v)).schema
+      val (touched, carried) = lines.partition { line =>
+        val cut = line.indexOf('\t')
+        if (cut < 0) true // no stats: always in scope
+        else SegmentStats.parse(line.substring(cut + 1)) match {
+          case Some(st) => mayTouch(st)
+          case None => true
+        }
+      }
+      val touchedFiles = touched
+        .map(l => new Path(root, l.split('\t').head).toString)
+      val subset =
+        if (touchedFiles.isEmpty)
+          spark.createDataFrame(spark.sparkContext
+            .emptyRDD[org.apache.spark.sql.Row], fullSchema)
+        else spark.read.schema(fullSchema).parquet(touchedFiles: _*)
+      val matched = subset.where(cond).count()
+      val newLines =
+        if (matched == 0L) Nil
+        else writeSegmentLines(spark, fs, root, transform(subset))
+      val committed =
+        try {
+          commitManifest(fs, root, meta, { base =>
+            if (base != Some(v)) throw new RewriteConflict
+            // no-match: metadata-only (lines carried verbatim)
+            if (matched == 0L) lines else carried ++ newLines
+          })
+          true
+        } catch {
+          case _: RewriteConflict if attempt >= 4 =>
+            throw new IllegalStateException(
+              s"rewrite of $table kept losing the commit race " +
+                s"(${attempt + 1} attempts) — retry when the writer " +
+                "storm subsides")
+          case _: RewriteConflict =>
+            attempt += 1
+            // drop the abandoned attempt's segment dir (best-effort)
+            newLines.headOption.foreach { l =>
+              val rel = l.split('\t').head
+              if (rel.startsWith("data/"))
+                try fs.delete(new Path(root,
+                  rel.split('/').take(2).mkString("/")), true)
+                catch { case scala.util.control.NonFatal(_) => () }
+            }
+            false
+        }
+      if (committed) {
+        return if (matched == 0L) (0L, 0L, lines.size.toLong)
+        else (matched, touched.size.toLong, carried.size.toLong)
       }
     }
-    val touchedFiles = touched
-      .map(l => new Path(root, l.split('\t').head).toString)
-    val subset =
-      if (touchedFiles.isEmpty)
-        spark.createDataFrame(spark.sparkContext
-          .emptyRDD[org.apache.spark.sql.Row], fullSchema)
-      else spark.read.schema(fullSchema).parquet(touchedFiles: _*)
-    val matched = subset.where(cond).count()
-    if (matched == 0L) {
-      // provably no row changes: the new version is metadata-only
-      commitManifest(fs, root, meta, _ => lines)
-      (0L, 0L, lines.size.toLong)
-    } else {
-      val newLines = writeSegmentLines(spark, fs, root, transform(subset))
-      commitManifest(fs, root, meta, _ => carried ++ newLines)
-      (matched, touched.size.toLong, carried.size.toLong)
-    }
+    throw new IllegalStateException("unreachable")
   }
+
+  private final class RewriteConflict extends RuntimeException
 
   /** Per-table commit mutex. Hadoop's LOCAL filesystem maps rename to
     * POSIX renameTo, which silently OVERWRITES an existing target —
@@ -456,6 +495,60 @@ object Versioned {
       else SegmentStats.parse(line.substring(cut + 1))
         .map(new Path(root, line.substring(0, cut)).toString -> _)
     }.toMap
+  }
+
+  /** The files that can contain the MAXIMUM of `column` in the latest
+    * version, decided from manifest stats: the arg-max-bounded file
+    * plus every file whose bound is unknown. Files the stats PROVE
+    * contribute nothing to the max (column absent = predates it, or
+    * all-NULL, or empty) are excluded. None when the stats cannot
+    * restrict anything — caller must fall back to a full read.
+    *
+    * The watermark-commit path uses this to turn `max(wm_col)` over a
+    * snapshot table from an O(table) column scan into a read of
+    * (usually) ONE file: max-of-file-maxes is the global max, and any
+    * file achieving the bounded max contains it. */
+  def maxCandidateFiles(spark: SparkSession, table: String,
+      column: String): Option[Seq[String]] = {
+    val all = versionFiles(spark, table)
+    if (all.isEmpty) return None
+    val stats = fileStats(spark, table)
+    if (stats.isEmpty) return None
+    val lower = column.toLowerCase(java.util.Locale.ROOT)
+    var unknown = List.empty[String]
+    var bestFile: String = null
+    var bestTag = ' '
+    var bestMax: String = null
+    def better(tag: Char, m: String): Boolean =
+      bestFile == null || (tag == bestTag && (tag match {
+        case 'l' => m.toLong > bestMax.toLong
+        case _ => org.apache.spark.unsafe.types.UTF8String.fromString(m)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String
+            .fromString(bestMax)) > 0
+      }))
+    all.foreach { f =>
+      stats.get(f) match {
+        case None => unknown ::= f // stats-less file: must be read
+        case Some(st) =>
+          if (st.rows == 0L) () // empty: contributes nothing
+          else st.cols.get(lower) match {
+            case None => () // predates the column: all-NULL
+            case Some(c) =>
+              if (c.nulls.contains(st.rows)) () // all-NULL
+              else (c.tag, c.max) match {
+                case (t @ ('l' | 's' | 'b'), Some(m)) =>
+                  if (better(t, m)) { bestFile = f; bestTag = t; bestMax = m }
+                  else if (t != bestTag) unknown ::= f // mixed classes
+                case _ => unknown ::= f // unbounded or unordered class
+              }
+          }
+      }
+    }
+    val candidates = (Option(bestFile).toList ++ unknown).distinct
+    // only claim a restriction when it actually restricts; a candidate
+    // set as large as the table means the stats bought nothing
+    if (candidates.nonEmpty && candidates.size < all.size) Some(candidates)
+    else None
   }
 
   /** The `#k=v` metadata header of a committed version (empty map for

@@ -223,7 +223,22 @@ final class Ingest(spark: SparkSession, source: Source, cfg: IngestConfig,
   private def commitWatermark(lakePath: String, wmCols: Seq[String],
       table: String, insertIfMissing: Boolean): Unit = {
     if (wmCols.nonEmpty) {
-      val maxRow = LakeReader.read(spark, lakePath, format = cfg.lakeFormat)
+      // Snapshot tables with a SINGLE watermark column answer
+      // max(col) from the manifest's per-file stats: only the arg-max
+      // file (plus any stats-less files) is read — O(1 file) instead
+      // of an O(table) column scan per chunk, while still committing
+      // only what is persisted on disk (the stats ARE the persisted
+      // footers' bounds). Multi-column watermarks coalesce ROW-wise,
+      // which per-column bounds can't decompose — those (and
+      // stats-poor tables) fall back to the full re-read.
+      val source = (cfg.lakeFormat match {
+        case graft.sources.LakeFormat.Snapshot if wmCols.size == 1 =>
+          graft.operators.Versioned
+            .maxCandidateFiles(spark, lakePath, wmCols.head)
+            .map(files => spark.read.parquet(files: _*))
+        case _ => None
+      }).getOrElse(LakeReader.read(spark, lakePath, format = cfg.lakeFormat))
+      val maxRow = source
         .agg(max(coalesce(wmCols.map(col): _*)).as("maxdate"))
         .select(col("maxdate") - expr(s"INTERVAL ${cfg.lagHours} HOURS"))
         .head()

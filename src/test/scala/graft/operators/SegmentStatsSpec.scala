@@ -69,6 +69,48 @@ class SegmentStatsSpec extends SparkSpec {
       ColStats('s', Some("added"), Some("added"), Some(0)))
   }
 
+  test("maxCandidateFiles restricts a max(col) read to the arg-max " +
+    "file, keeps stats-less files, excludes provably-irrelevant ones") {
+    val t = tmpDir("maxcand") + "/t"
+    def seg(lo: Int, hi: Int) = (lo to hi)
+      .map(i => (i.toLong, java.sql.Timestamp.valueOf(f"2024-06-$i%02d 00:00:00")))
+      .toDF("k", "ts").coalesce(1)
+    Versioned.commit(seg(1, 3), t)
+    Versioned.commit(seg(7, 9), t, "append") // holds the max
+    Versioned.commit(seg(4, 6), t, "append")
+    val cand = Versioned.maxCandidateFiles(spark, t, "ts")
+    assert(cand.isDefined && cand.get.size == 1)
+    // the candidate really contains the global max
+    val m = spark.read.parquet(cand.get.head)
+      .agg(org.apache.spark.sql.functions.max($"ts")).head.getTimestamp(0)
+    assert(m == java.sql.Timestamp.valueOf("2024-06-09 00:00:00"))
+    // a column absent everywhere -> no candidates -> None (fallback)
+    assert(Versioned.maxCandidateFiles(spark, t, "nope").isEmpty)
+    // strip the 1-3 segment's stats suffix: that file becomes
+    // unprunable and joins the candidate set alongside the arg-max
+    val root = new org.apache.hadoop.fs.Path(t)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hfs = root.getFileSystem(conf)
+    val mf = new org.apache.hadoop.fs.Path(root, "_graft_log/2.manifest")
+    val in = hfs.open(mf)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList finally in.close()
+    val doctored = lines.map { l =>
+      if (!l.startsWith("#") && l.contains("k:l:v1:v3:"))
+        l.split('\t').head // the 1-3 segment loses its stats
+      else l
+    }
+    assert(doctored != lines, "expected to find the 1-3 segment line")
+    val out = hfs.create(mf, true)
+    try out.write(doctored.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val cand2 = Versioned.maxCandidateFiles(spark, t, "ts")
+    assert(cand2.isDefined && cand2.get.size == 2)
+    val m2 = spark.read.parquet(cand2.get: _*)
+      .agg(org.apache.spark.sql.functions.max($"ts")).head.getTimestamp(0)
+    assert(m2 == java.sql.Timestamp.valueOf("2024-06-09 00:00:00"))
+  }
+
   test("serialize/parse round-trips hostile names and values; malformed " +
     "suffixes and stats-less manifest lines degrade to no stats") {
     val fs = FileStats(5, Map(

@@ -22,6 +22,30 @@ class VersionedSpec extends SparkSpec {
       Set((9, "z")))
   }
 
+  test("rewrite detects a commit landing mid-cycle and recomputes: the " +
+    "concurrent append's rows survive the DML") {
+    import org.apache.spark.sql.functions.col
+    val t = tmpDir("rwconf") + "/t"
+    Versioned.commit((1L to 3L).toDF("k").coalesce(1), t)
+    Versioned.commit((4L to 6L).toDF("k").coalesce(1), t, "append")
+    // mayTouch fires once per stats-bearing line DURING the rewrite's
+    // compute phase — sneak a commit in on the first call, exactly the
+    // window a streaming append would hit
+    val sneaked = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val (n, _, _) = Versioned.rewrite(spark, t, { _ =>
+      if (sneaked.compareAndSet(false, true))
+        Versioned.commit((7L to 9L).toDF("k").coalesce(1), t, "append")
+      true
+    }, col("k") === 4L, df => df.where(col("k") =!= 4L),
+      Map("operation" -> "delete"))
+    assert(n == 1)
+    assert(Versioned.read(spark, t).select("k").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 5L, 6L, 7L, 8L, 9L),
+      "the mid-rewrite append must not be lost")
+    assert(Versioned.readMeta(spark, t,
+      Versioned.versions(spark, t).last) == Map("operation" -> "delete"))
+  }
+
   test("uncommitted segments and temp manifests are invisible to readers") {
     val t = tmpDir("vers") + "/t"
     Versioned.commit(Seq((1, "a")).toDF("k", "v"), t)

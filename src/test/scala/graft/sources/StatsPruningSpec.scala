@@ -108,6 +108,28 @@ class StatsPruningSpec extends SparkSpec {
     assert(scannedFiles(old) == 1)
   }
 
+  test("OPTIMIZE ZORDER makes stats pruning effective: a range query " +
+    "on a clustered table scans a bounded slice of its files") {
+    val rootDir = tmpDir("prune_z")
+    val t = s"$rootDir/lake/zt"
+    // shuffled keys: before clustering every file spans ~the whole key
+    // range, so stats exclude nothing
+    val df = spark.range(0, 4000).select(
+      (($"id" * 2654435761L) % 4000).as("k"), $"id".as("v"))
+    Versioned.commit(df.repartition(8), t)
+    val c = spark.newSession()
+    c.conf.set("spark.sql.catalog.gz", classOf[GraftCatalog].getName)
+    c.conf.set("spark.sql.catalog.gz.root", rootDir)
+    val before = c.sql("SELECT v FROM gz.lake.zt WHERE k >= 0 AND k < 400")
+    assert(scannedFiles(before) == 8, "unclustered: nothing prunable")
+    // cluster by k, then the same 10%-range query reads 1-2 of 8 files
+    c.sql(s"OPTIMIZE '$t' ZORDER BY (k) INTO 8 FILES")
+    val after = c.sql("SELECT v FROM gz.lake.zt WHERE k >= 0 AND k < 400")
+    val n = scannedFiles(after)
+    assert(n <= 2, s"clustered scan read $n of 8 files")
+    assert(after.count() == before.count())
+  }
+
   test("pruned reads stay correct under schema evolution: the evolved " +
     "column's filters prune files that predate it") {
     val rootDir = tmpDir("prune_evo")
