@@ -40,6 +40,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       parseVacuum(sqlText)
     else if (historyPrefix.matcher(sqlText).lookingAt())
       parseHistory(sqlText)
+    else if (detailPrefix.matcher(sqlText).lookingAt())
+      parseDetail(sqlText)
     else if (restorePrefix.matcher(sqlText).lookingAt())
       parseRestore(sqlText)
     // quoted-path DML: only the UPDATE '…' / DELETE FROM '…' spelling
@@ -140,6 +142,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     else delegate.parsePlan(sqlText)
   }
 
+  private def parseDetail(sqlText: String): LogicalPlan = {
+    val d = detailStmt.matcher(sqlText)
+    if (d.matches()) DescribeDetailCommand(d.group(1))
+    else delegate.parsePlan(sqlText)
+  }
+
   /** `RESTORE '<path>' TO VERSION <n>` — roll the table's latest state
     * back to version n, recorded as a new commit (history preserved). */
   private def parseRestore(sqlText: String): LogicalPlan = {
@@ -177,11 +185,15 @@ object GraftSqlParser {
     java.util.regex.Pattern.compile("""\s*(?i:VACUUM)\b""")
   private val vacuumStmt = java.util.regex.Pattern.compile(
     """(?is)\s*VACUUM\s+'([^']+)'\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""")
-  // DESCRIBE alone is Spark grammar — only the two-word form is ours
+  // DESCRIBE alone is Spark grammar — only the two-word forms are ours
   private val historyPrefix = java.util.regex.Pattern.compile(
     """\s*(?i:DESCRIBE\s+HISTORY)\b""")
   private val historyStmt = java.util.regex.Pattern.compile(
     """(?is)\s*DESCRIBE\s+HISTORY\s+'([^']+)'\s*;?\s*""")
+  private val detailPrefix = java.util.regex.Pattern.compile(
+    """\s*(?i:DESCRIBE\s+DETAIL)\b""")
+  private val detailStmt = java.util.regex.Pattern.compile(
+    """(?is)\s*DESCRIBE\s+DETAIL\s+'([^']+)'\s*;?\s*""")
   private val restorePrefix =
     java.util.regex.Pattern.compile("""\s*(?i:RESTORE)\b""")
   private val restoreStmt = java.util.regex.Pattern.compile(
@@ -270,6 +282,43 @@ case class DescribeHistoryCommand(path: String) extends LeafRunnableCommand {
     graft.operators.Versioned.history(spark, path).map {
       case (v, ts, n, meta) => Row(v, ts, n, meta)
     }
+}
+
+/** `DESCRIBE DETAIL '<path>'` (Delta parity): one row summarizing the
+  * LATEST version of a snapshot table — location, current version,
+  * version count, file count, total bytes, and row count. Row count
+  * comes from the manifest's per-file statistics (null when any file
+  * predates stats — never a guess, never a data scan); bytes from one
+  * file-status probe per file. A pure metadata operation at any
+  * scale. */
+case class DescribeDetailCommand(path: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("location", StringType, nullable = false)(),
+      AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("n_versions", LongType, nullable = false)(),
+      AttributeReference("n_files", LongType, nullable = false)(),
+      AttributeReference("size_bytes", LongType, nullable = false)(),
+      AttributeReference("n_rows", LongType, nullable = true)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.operators.Versioned
+    val versions = Versioned.versions(spark, path)
+    require(versions.nonEmpty, s"no committed version in $path")
+    val files = Versioned.versionFiles(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = files.map(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+    val stats = Versioned.fileStats(spark, path)
+    val rows: Any =
+      if (files.forall(stats.contains)) files.map(stats(_).rows).sum
+      else null
+    Seq(Row(path, versions.last, versions.size.toLong,
+      files.size.toLong, bytes, rows))
+  }
 }
 
 /** Eagerly-executed RESTORE: the latest state becomes version `v`'s

@@ -207,6 +207,60 @@ class OptimizeSqlSpec extends SparkSpec {
     assert(evo == Set((1L, "y"), (10L, "x")))
   }
 
+  test("DESCRIBE DETAIL summarizes the latest version from manifest " +
+    "metadata: stats-backed row count, null once a file lacks stats") {
+    import graft.operators.Versioned
+    val t = tmpDir("detv") + "/t"
+    Versioned.commit((1L to 5L).toDF("k").coalesce(1), t)
+    Versioned.commit((6L to 8L).toDF("k").coalesce(1), t, "append")
+    val d = spark.sql(s"DESCRIBE DETAIL '$t'").collect().head
+    assert(d.getString(0) == t)
+    assert(d.getLong(1) == 1L && d.getLong(2) == 2L) // version, n_versions
+    assert(d.getLong(3) == 2L && d.getLong(4) > 0L) // n_files, size_bytes
+    assert(d.getLong(5) == 8L, "row count from stats, no scan")
+    // strip one file line's stats -> row count degrades to NULL
+    val root = new org.apache.hadoop.fs.Path(t)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mf = new org.apache.hadoop.fs.Path(root, "_graft_log/1.manifest")
+    val in = hfs.open(mf)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList finally in.close()
+    var stripped = false
+    val doctored = lines.map { l =>
+      if (!l.startsWith("#") && !stripped) { stripped = true
+        l.split('\t').head } else l
+    }
+    val out = hfs.create(mf, true)
+    try out.write(doctored.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    assert(spark.sql(s"DESCRIBE DETAIL '$t'").collect().head.isNullAt(5))
+    // plain DESCRIBE still delegates to Spark's own grammar
+    Seq((1, "x")).toDF("a", "b").createOrReplaceTempView("det_probe")
+    assert(spark.sql("DESCRIBE det_probe").count() > 0)
+  }
+
+  test("VACUUM after copy-on-write keeps carried files shared across " +
+    "versions and sweeps only the rewritten-away segment") {
+    import graft.operators.Versioned
+    val t = tmpDir("cowvac") + "/t"
+    def seg(lo: Int, hi: Int) = (lo to hi)
+      .map(i => (i.toLong, s"u$i")).toDF("k", "name").coalesce(1)
+    Versioned.commit(seg(1, 3), t)
+    Versioned.commit(seg(4, 6), t, "append")
+    Versioned.commit(seg(7, 9), t, "append") // v2
+    val preCow = Versioned.versionFiles(spark, t).toSet
+    spark.sql(s"DELETE FROM '$t' WHERE k = 8") // v3: 2 carried + 1 new
+    val postCow = Versioned.versionFiles(spark, t).toSet
+    val rewrittenAway = (preCow -- postCow).head
+    spark.sql(s"VACUUM '$t' RETAIN 1 VERSIONS")
+    // carried files survive (still referenced by the kept manifest);
+    // the pre-delete 7-9 segment is unreferenced and swept
+    val fs = new java.io.File(rewrittenAway.stripPrefix("file:"))
+    assert(!fs.exists, s"swept: $rewrittenAway")
+    assert(Versioned.versionFiles(spark, t).toSet == postCow)
+    assert(Versioned.read(spark, t).count() == 8)
+  }
+
   test("DSv2 DELETE through the catalog scopes by stats, including " +
     "external date/timestamp filter values") {
     import graft.operators.Versioned
