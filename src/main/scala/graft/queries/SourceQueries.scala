@@ -286,6 +286,51 @@ object SourceQueries {
               THEN 10000 ELSE 0 END) AS BIGINT) AS qty_cents
         FROM lineitem
         WHERE NOT (l_shipdate >= TIMESTAMP '1997-01-01'
-          AND l_shipdate < TIMESTAMP '1998-01-01')"""))
+          AND l_shipdate < TIMESTAMP '1998-01-01')""")),
+
+    // ---- VT6 metadata-only aggregates (sources.ManifestAggregates):
+    // a filterless global COUNT/COUNT(col)/MIN/MAX over a catalog
+    // snapshot table is answered from the manifest's per-file stats —
+    // the plan is a one-row LocalTableScan, zero data files opened
+    // (proven in StatsPruningSpec; at 100 TB this is Delta's
+    // "metadata-only count": one manifest read instead of a
+    // million-split scan). The driver check proves the stats-computed
+    // figures equal the oracle's full-scan figures across three
+    // segments, a NULL-bearing column, and a timestamp bound (compared
+    // as day-grained epoch seconds — BIGINT, engine-version-proof).
+    "vt6_meta_agg" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val cat = "graft_vt6_" + java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffL)
+        val rootDir = stages.computeIfAbsent(s"$dir|vt6|root", { _ =>
+          val r = java.nio.file.Files.createTempDirectory("vt6").toString
+          val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_shipdate",
+            when($"l_orderkey" % 3 === 0, $"l_orderkey").as("k3"))
+          def cut(y: String) = lit(s"$y-01-01").cast("timestamp")
+          graft.operators.Versioned.commit(
+            li.where($"l_shipdate" < cut("1997")), s"$r/lake/mt")
+          graft.operators.Versioned.commit(
+            li.where($"l_shipdate" >= cut("1997") &&
+              $"l_shipdate" < cut("1999")), s"$r/lake/mt", "append")
+          graft.operators.Versioned.commit(
+            li.where($"l_shipdate" >= cut("1999")), s"$r/lake/mt", "append")
+          r
+        })
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", rootDir)
+        s.sql(s"""SELECT count(*) AS n_rows, count(k3) AS n_k3,
+            min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+            CAST(CAST(max(l_shipdate) AS TIMESTAMP) AS LONG) AS max_ship_s
+          FROM $cat.lake.mt""")
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(CASE WHEN l_orderkey % 3 = 0 THEN 1 END) AS BIGINT)
+            AS n_k3,
+          CAST(min(l_orderkey) AS BIGINT) AS min_ok,
+          CAST(max(l_orderkey) AS BIGINT) AS max_ok,
+          CAST(epoch(max(l_shipdate)) AS BIGINT) AS max_ship_s
+        FROM lineitem"""))
   )
 }

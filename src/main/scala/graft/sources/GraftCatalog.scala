@@ -200,6 +200,15 @@ private[sources] final class PruningScanBuilder(
   import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 
   private var inner: ParquetScanBuilder = _
+  private var sawFilters = false
+  // manifest-answered aggregation: candidate set by
+  // supportCompletePushDown, promoted by the pushAggregation call
+  // Spark makes right after a `true` answer (so a probe that is never
+  // pushed can't hijack build())
+  private var statsCandidate: Option[(StructType,
+    org.apache.spark.sql.catalyst.InternalRow)] = None
+  private var statsAnswer: Option[(StructType,
+    org.apache.spark.sql.catalyst.InternalRow)] = None
 
   private def ensure(fileList: Seq[String]): ParquetScanBuilder = {
     if (inner == null)
@@ -211,6 +220,7 @@ private[sources] final class PruningScanBuilder(
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     // filters arrive ONCE, before column/aggregate pushdown and
     // build() — the one moment the delegate's file list is still open
+    sawFilters ||= filters.nonEmpty
     if (inner == null && filters.nonEmpty) {
       val lowered = filters.flatMap(StatsPruner.translate)
       if (lowered.nonEmpty) {
@@ -225,12 +235,24 @@ private[sources] final class PruningScanBuilder(
   }
   override def pushedFilters: Array[Predicate] = ensure(files).pushedFilters
   override def pruneColumns(requiredSchema: StructType): Unit =
-    ensure(files).pruneColumns(requiredSchema)
+    if (statsAnswer.isEmpty) ensure(files).pruneColumns(requiredSchema)
   override def pushAggregation(aggregation: Aggregation): Boolean =
-    ensure(files).pushAggregation(aggregation)
-  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    ensure(files).supportCompletePushDown(aggregation)
-  override def build(): Scan = ensure(files).build()
+    if (statsCandidate.isDefined) { statsAnswer = statsCandidate; true }
+    else ensure(files).pushAggregation(aggregation)
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = {
+    // a filterless, group-less aggregation provable from manifest
+    // stats never touches data: build() serves ONE precomputed row
+    // (see ManifestAggregates — any un-provable part bails here)
+    if (!sawFilters) statsCandidate = ManifestAggregates.answer(
+      Versioned.fileStats(spark, tablePath, Some(version)),
+      files, tableSchema, aggregation)
+    statsCandidate.isDefined ||
+      ensure(files).supportCompletePushDown(aggregation)
+  }
+  override def build(): Scan = statsAnswer match {
+    case Some((sch, row)) => new ManifestStatsScan(sch, row, tablePath, version)
+    case None => ensure(files).build()
+  }
 }
 
 /** Writable view of a snapshot table: reads delegate to the pruning

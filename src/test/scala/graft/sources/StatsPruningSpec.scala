@@ -159,4 +159,80 @@ class StatsPruningSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(all.toSet == sql.toSet)
   }
+
+  test("filterless global aggregates come from the manifest alone — " +
+    "zero-task LocalTableScan; strings, filters, grouping and " +
+    "stats-less files all fall back to a real scan") {
+    import org.apache.spark.sql.execution.LocalTableScanExec
+    val rootDir = tmpDir("magg")
+    val t = s"$rootDir/lake/ma"
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-07-$d%02d 00:00:00")
+    Versioned.commit(Seq(
+      (1L, Option(10L), ts(1), "a"), (2L, Option.empty[Long], ts(2), "b"),
+      (3L, Option(30L), ts(3), "c")).toDF("k", "c", "ts", "name").coalesce(1), t)
+    Versioned.commit(Seq(
+      (4L, Option.empty[Long], ts(4), "d", 77L),
+      (5L, Option(50L), ts(5), "e", 99L))
+      .toDF("k", "c", "ts", "name", "evo").coalesce(1), t, "append")
+    val c = spark.newSession()
+    c.conf.set("spark.sql.catalog.gma", classOf[GraftCatalog].getName)
+    c.conf.set("spark.sql.catalog.gma.root", rootDir)
+
+    def leaves(df: DataFrame) =
+      df.queryExecution.executedPlan.collectLeaves()
+    def isLocal(df: DataFrame): Boolean =
+      leaves(df).exists(_.isInstanceOf[LocalTableScanExec]) &&
+        !leaves(df).exists(_.isInstanceOf[BatchScanExec])
+
+    val q = c.sql("SELECT count(*) AS n, count(c) AS nc, count(evo) AS ne, " +
+      "min(k) AS mk, max(k) AS xk, max(ts) AS xts, min(evo) AS me " +
+      "FROM gma.lake.ma")
+    assert(isLocal(q), q.queryExecution.executedPlan.toString)
+    val r = q.collect().head
+    assert(r.getLong(0) == 5L, "count(*)")
+    assert(r.getLong(1) == 3L, "count(c) skips NULLs in both segments")
+    assert(r.getLong(2) == 2L, "count(evo): pre-evolution file is all-NULL")
+    assert(r.getLong(3) == 1L && r.getLong(4) == 5L, "min/max(k)")
+    assert(r.getTimestamp(5) == ts(5), "max(ts) in catalyst micros")
+    assert(r.getLong(6) == 77L, "min(evo) folds only stats-bearing files")
+
+    // string bounds may be writer-truncated: never answered from stats
+    val s = c.sql("SELECT max(name) AS xn FROM gma.lake.ma")
+    assert(!isLocal(s) && s.collect().head.getString(0) == "e")
+    // any filter or grouping: the real scan answers
+    val w = c.sql("SELECT count(*) AS n FROM gma.lake.ma WHERE k >= 4")
+    assert(!isLocal(w) && w.collect().head.getLong(0) == 2L)
+    val g = c.sql("SELECT k % 2 AS p, count(*) FROM gma.lake.ma GROUP BY 1")
+    assert(!isLocal(g) && g.count() == 2L)
+    // time travel answers from the PINNED manifest
+    val tt = c.sql("SELECT count(*) AS n, max(k) AS xk " +
+      "FROM gma.lake.ma VERSION AS OF 0")
+    assert(isLocal(tt))
+    assert(tt.collect().head == org.apache.spark.sql.Row(3L, 3L))
+    // a cast AROUND the aggregate (vt6's epoch-seconds shape) still
+    // pushes: the cast applies to the manifest-served row
+    val cast = c.sql("SELECT CAST(max(ts) AS LONG) AS s FROM gma.lake.ma")
+    assert(isLocal(cast), cast.queryExecution.executedPlan.toString)
+    assert(cast.collect().head.getLong(0) == ts(5).getTime / 1000)
+
+    // strip one file's stats: count(*) is no longer provable — falls
+    // back to a real scan and still answers correctly
+    val root = new org.apache.hadoop.fs.Path(t)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mf = new org.apache.hadoop.fs.Path(root, "_graft_log/1.manifest")
+    val in = hfs.open(mf)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList finally in.close()
+    var stripped = false
+    val doctored = lines.map { l =>
+      if (!l.startsWith("#") && !stripped) { stripped = true
+        l.split('\t').head } else l
+    }
+    val out = hfs.create(mf, true)
+    try out.write(doctored.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val q2 = c.sql("SELECT count(*) AS n FROM gma.lake.ma")
+    assert(!isLocal(q2), q2.queryExecution.executedPlan.toString)
+    assert(q2.collect().head.getLong(0) == 5L)
+  }
 }
