@@ -201,6 +201,15 @@ private[sources] final class PruningScanBuilder(
 
   private var inner: ParquetScanBuilder = _
   private var sawFilters = false
+  // replay state for the runtime-filter rebuild (RuntimeSkippingScan):
+  // the file list the delegate was built over, the catalyst filters
+  // Spark pushed, the pruned schema, and whether an aggregate was
+  // pushed INTO the parquet scan (aggregated output must not be
+  // re-planned over a different file list)
+  private var builtFiles: Seq[String] = files
+  private var savedPushed: Seq[Expression] = Seq.empty
+  private var savedPruned: Option[StructType] = None
+  private var aggPushed = false
   // manifest-answered aggregation: candidate set by
   // supportCompletePushDown, promoted by the pushAggregation call
   // Spark makes right after a `true` answer (so a probe that is never
@@ -211,9 +220,11 @@ private[sources] final class PruningScanBuilder(
     org.apache.spark.sql.catalyst.InternalRow)] = None
 
   private def ensure(fileList: Seq[String]): ParquetScanBuilder = {
-    if (inner == null)
+    if (inner == null) {
+      builtFiles = fileList
       inner = ParquetTable(tableName, spark, options, fileList.toIndexedSeq,
         Some(tableSchema), classOf[ParquetFileFormat]).newScanBuilder(options)
+    }
     inner
   }
 
@@ -231,14 +242,21 @@ private[sources] final class PruningScanBuilder(
         })
       }
     }
+    savedPushed = filters
     ensure(files).pushFilters(filters)
   }
   override def pushedFilters: Array[Predicate] = ensure(files).pushedFilters
   override def pruneColumns(requiredSchema: StructType): Unit =
-    if (statsAnswer.isEmpty) ensure(files).pruneColumns(requiredSchema)
+    if (statsAnswer.isEmpty) {
+      savedPruned = Some(requiredSchema)
+      ensure(files).pruneColumns(requiredSchema)
+    }
   override def pushAggregation(aggregation: Aggregation): Boolean =
     if (statsCandidate.isDefined) { statsAnswer = statsCandidate; true }
-    else ensure(files).pushAggregation(aggregation)
+    else {
+      aggPushed = ensure(files).pushAggregation(aggregation)
+      aggPushed
+    }
   override def supportCompletePushDown(aggregation: Aggregation): Boolean = {
     // a filterless, group-less aggregation provable from manifest
     // stats never touches data: build() serves ONE precomputed row
@@ -251,8 +269,142 @@ private[sources] final class PruningScanBuilder(
   }
   override def build(): Scan = statsAnswer match {
     case Some((sch, row)) => new ManifestStatsScan(sch, row, tablePath, version)
-    case None => ensure(files).build()
+    case None =>
+      val base = ensure(files).build()
+      // aggregated scans emit pre-aggregated rows — re-planning them
+      // over a runtime-pruned file list would change the answer
+      if (aggPushed) base
+      else new RuntimeSkippingScan(spark, tableName, tablePath, version,
+        builtFiles, tableSchema, options, savedPushed, savedPruned, base)
   }
+}
+
+/** Runtime file skipping for snapshot-table scans — the DSv2 face of
+  * dynamic partition pruning. Declaring every top-level column
+  * filterable lets Catalyst inject a `DynamicPruningSubquery` under a
+  * star-schema join: after the (broadcast) dim side executes, Spark
+  * hands the fact scan the dim's actual join-key values as an `In`
+  * filter, and the scan re-prunes its segment list through the SAME
+  * manifest min/max statistics the plan-time path uses
+  * ([[StatsPruner]]) before input partitions are planned. At 100 TB
+  * this is the join-shaped complement to static skipping: a fact
+  * table laid out by commit key (date, region, tenant) only schedules
+  * splits for the segments the filtered dim actually references —
+  * decided at execution time, no re-compile, no data read (Iceberg's
+  * runtime filtering reproduces Delta's DPP behavior the same way).
+  *
+  * The wrapper delegates to the already-built ParquetScan and swaps
+  * the delegate only if the runtime filter proves some segments
+  * irrelevant; `BatchScanExec` re-invokes `toBatch` after `filter`,
+  * so the narrowed plan is picked up at partition-planning time.
+  * Filters that don't lower, files without stats, and empty filter
+  * batches all degrade to keep-everything (pruning is an optimization,
+  * never a correctness gate). */
+private[sources] final class RuntimeSkippingScan(
+    spark: SparkSession, tableName: String, private val tablePath: String,
+    private val version: Long, private val initialFiles: Seq[String],
+    tableSchema: StructType, options: CaseInsensitiveStringMap,
+    private val pushedCatalyst:
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+    private val prunedSchema: Option[StructType],
+    initial: org.apache.spark.sql.connector.read.Scan)
+  extends org.apache.spark.sql.connector.read.Scan
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  import org.apache.spark.sql.connector.read.{Batch, Scan, Statistics, SupportsReportStatistics}
+  import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+  import org.apache.spark.sql.{sources => sf}
+  import java.util.OptionalLong
+
+  private var delegate: Scan = initial
+  /** Segments surviving runtime filtering (spec probe). */
+  private[sources] var currentFiles: Seq[String] = initialFiles
+  /** The wrapped (possibly runtime-narrowed) parquet scan. */
+  private[sources] def delegateScan: Scan = delegate
+
+  override def readSchema(): StructType = delegate.readSchema()
+  override def toBatch: Batch = delegate.toBatch
+  override def description(): String = delegate.description()
+  override def supportedCustomMetrics():
+      Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    delegate.supportedCustomMetrics()
+  override def reportDriverMetrics():
+      Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    delegate.reportDriverMetrics()
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    delegate.columnarSupportMode()
+
+  /** Join sizing: the planner reads statistics off THIS scan, not the
+    * delegate — without forwarding, a snapshot dim would report the
+    * default (effectively infinite) size and never auto-broadcast.
+    * sizeInBytes is the delegate's (file-size-based, post static
+    * pruning); numRows is EXACT from the manifest when the scan is
+    * filterless and every file carries stats — one small manifest
+    * read buys the optimizer a number v1 file sources only get from
+    * ANALYZE TABLE. */
+  private lazy val manifestRows: Option[Long] =
+    if (pushedCatalyst.nonEmpty) None // pushed filters make rows an upper bound
+    else {
+      val stats = Versioned.fileStats(spark, tablePath, Some(version))
+      val known = initialFiles.flatMap(stats.get)
+      if (known.size == initialFiles.size) Some(known.map(_.rows).sum)
+      else None
+    }
+  override def estimateStatistics(): Statistics = {
+    val base = delegate match {
+      case s: SupportsReportStatistics => Some(s.estimateStatistics())
+      case _ => None
+    }
+    new Statistics {
+      override def sizeInBytes(): OptionalLong =
+        base.map(_.sizeInBytes()).getOrElse(OptionalLong.empty())
+      override def numRows(): OptionalLong =
+        manifestRows.map(OptionalLong.of).getOrElse(
+          base.map(_.numRows()).getOrElse(OptionalLong.empty()))
+    }
+  }
+
+  override def filterAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    tableSchema.fieldNames.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  // stable-field equality (table, version, file list, pushdown state):
+  // ParquetScan is a case class, so same-table scans used to compare
+  // equal and ReuseExchange deduplicated self-join subtrees — the
+  // wrapper must not lose that (Iceberg's scans override equality for
+  // the same reason). The MUTABLE runtime-filter state stays out:
+  // BatchScanExec equality already separates nodes by their runtime
+  // filters, so differently-filtered instances never merge.
+  override def equals(other: Any): Boolean = other match {
+    case r: RuntimeSkippingScan =>
+      tablePath == r.tablePath && version == r.version &&
+        initialFiles == r.initialFiles &&
+        pushedCatalyst == r.pushedCatalyst &&
+        prunedSchema == r.prunedSchema
+    case _ => false
+  }
+  override def hashCode(): Int =
+    (tablePath, version, initialFiles).hashCode()
+
+  override def filter(filters: Array[sf.Filter]): Unit =
+    if (filters.nonEmpty) {
+      val stats = Versioned.fileStats(spark, tablePath, Some(version))
+      val kept = currentFiles.filter { f =>
+        stats.get(f).forall(st => filters.forall(StatsPruner.mayMatch(st, _)))
+      }
+      if (kept.size < currentFiles.size) {
+        currentFiles = kept
+        val b: ParquetScanBuilder =
+          ParquetTable(tableName, spark, options, kept.toIndexedSeq,
+            Some(tableSchema), classOf[ParquetFileFormat])
+            .newScanBuilder(options)
+        if (pushedCatalyst.nonEmpty) b.pushFilters(pushedCatalyst)
+        prunedSchema.foreach(b.pruneColumns)
+        delegate = b.build()
+      }
+    }
 }
 
 /** Writable view of a snapshot table: reads delegate to the pruning

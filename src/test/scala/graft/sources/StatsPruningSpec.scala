@@ -62,7 +62,10 @@ class StatsPruningSpec extends SparkSpec {
   private def scannedFiles(df: DataFrame): Int =
     df.queryExecution.executedPlan.collectLeaves().collectFirst {
       case b: BatchScanExec =>
-        b.scan.asInstanceOf[ParquetScan].fileIndex.inputFiles.length
+        (b.scan match {
+          case r: RuntimeSkippingScan => r.delegateScan
+          case s => s
+        }).asInstanceOf[ParquetScan].fileIndex.inputFiles.length
     }.getOrElse(fail("no BatchScanExec in plan"))
 
   test("catalog scans skip segments whose manifest stats exclude the " +
@@ -234,5 +237,85 @@ class StatsPruningSpec extends SparkSpec {
     val q2 = c.sql("SELECT count(*) AS n FROM gma.lake.ma")
     assert(!isLocal(q2), q2.queryExecution.executedPlan.toString)
     assert(q2.collect().head.getLong(0) == 5L)
+  }
+
+  test("runtime filtering: a broadcast dim's join keys prune fact " +
+    "segments at execution time (DSv2 dynamic pruning)") {
+    import org.apache.spark.sql.functions.col
+    val rootDir = tmpDir("rtf")
+    val t = s"$rootDir/lake/ft"
+    // three single-file segments over disjoint key ranges — at 100 TB
+    // these are date/tenant-keyed commits; only manifest bounds matter
+    def seg(lo: Int, hi: Int) = (lo to hi).map(i => (i.toLong, s"v$i"))
+      .toDF("k", "v").coalesce(1)
+    Versioned.commit(seg(1, 100), t) // v0
+    Versioned.commit(seg(101, 200), t, "append")
+    Versioned.commit(seg(201, 300), t, "append")
+    val c = spark.newSession()
+    c.conf.set("spark.sql.catalog.grt", classOf[GraftCatalog].getName)
+    c.conf.set("spark.sql.catalog.grt.root", rootDir)
+    // plain tree (no AQE wrapper) so the scan instance is inspectable;
+    // DPP itself is a non-adaptive optimizer feature
+    c.conf.set("spark.sql.adaptive.enabled", "false")
+
+    // dim keys hit ONLY the third segment; the selective filter is on
+    // a NON-join column (a join-key filter would constant-fold into
+    // static pruning and never exercise the runtime path)
+    (201 to 260).map(i => (i.toLong, i % 3)).toDF("fk", "grp")
+      .write.parquet(s"$rootDir/dim")
+    val dim = c.read.parquet(s"$rootDir/dim").where(col("grp") === 1)
+    val fact = c.sql("SELECT * FROM grt.lake.ft")
+    val j = fact.join(dim, fact("k") === dim("fk"))
+    val rows = j.collect()
+    assert(rows.length == 20, s"got ${rows.length}")
+    assert(rows.map(_.getLong(0)).forall(k => k >= 201 && k % 3 == 1))
+
+    val plan = j.queryExecution.executedPlan
+    assert(plan.toString.toLowerCase.contains("dynamicpruning"),
+      "no dynamic pruning over the v2 scan:\n" + plan)
+    val scan = plan.collectLeaves().collectFirst {
+      case b: BatchScanExec if b.scan.isInstanceOf[RuntimeSkippingScan] =>
+        b.scan.asInstanceOf[RuntimeSkippingScan]
+    }.getOrElse(fail("no RuntimeSkippingScan leaf in plan:\n" + plan))
+    assert(scan.currentFiles.size == 1,
+      s"runtime filter kept ${scan.currentFiles.size} of 3 segments")
+
+    // a dim spanning every segment prunes nothing and stays correct
+    val wide = c.read.parquet(s"$rootDir/dim")
+      .select((col("fk") - 200).as("fk"), col("grp")).where(col("grp") === 1)
+    val jw = fact.join(wide, fact("k") === wide("fk"))
+    assert(jw.collect().length == 20)
+  }
+
+  test("catalog scans report statistics to the planner: a small " +
+    "snapshot dim auto-broadcasts, with exact manifest row counts") {
+    import org.apache.spark.sql.functions.col
+    val rootDir = tmpDir("stats_bc")
+    val t = s"$rootDir/lake/d"
+    Versioned.commit((1 to 50).map(i => (i.toLong, s"d$i"))
+      .toDF("k", "name").coalesce(1), t)
+    val c = spark.newSession()
+    c.conf.set("spark.sql.catalog.gbc", classOf[GraftCatalog].getName)
+    c.conf.set("spark.sql.catalog.gbc.root", rootDir)
+    c.conf.set("spark.sql.adaptive.enabled", "false")
+    val dim = c.sql("SELECT * FROM gbc.lake.d")
+    val fact = c.range(0, 100000)
+      .select((col("id") % 50 + 1).as("k"), col("id").as("v"))
+    val j = fact.join(dim, "k")
+    assert(j.count() == 100000)
+    // the v2 scan itself sits under the broadcast exchange — its
+    // reported size let the planner pick the broadcast side
+    val bcastScan = j.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+        b.find(_.isInstanceOf[BatchScanExec])
+    }.flatten
+    assert(bcastScan.nonEmpty,
+      "snapshot dim not broadcast:\n" + j.queryExecution.executedPlan)
+    val scan = bcastScan.head.asInstanceOf[BatchScanExec].scan
+      .asInstanceOf[RuntimeSkippingScan]
+    val st = scan.estimateStatistics()
+    assert(st.numRows().getAsLong == 50, "exact manifest row count")
+    assert(st.sizeInBytes().getAsLong > 0 &&
+      st.sizeInBytes().getAsLong < 10L * 1024 * 1024)
   }
 }
