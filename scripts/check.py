@@ -1,11 +1,26 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 scripts/check.py <verify_out_dir> <sf_dir>
+Usage:
+  python3 scripts/check.py <verify_out_dir> <sf_dir> [--strict]
+      [--baseline CORRECTNESS_rN.json]
+  python3 scripts/check.py --diff <prev_round.json> <curr_round.json>
 
 Reads each <out>/<name> parquet (Spark result) and oracle_sql.json,
 runs the oracle SQL in DuckDB over the sf_dir parquet tables, and
 compares: columns sorted by name, rows sorted, values normalized.
+
+--baseline: regression tripwire — any query that FULL-PASSED the given
+  driver round but is not green in this local run (or vanished) fails
+  the check loudly. Run it before every end-of-round snapshot.
+--diff: offline tripwire over two driver CORRECTNESS jsons — exits 1
+  on any pass→non-pass transition (this is what would have caught the
+  r4 f3_cast/j4_asof_join regressions against r3 before snapshot).
+--strict: additionally rejects DECIMAL compared columns and TZ-AWARE
+  timestamp columns in the Spark outputs. The tz check exists because
+  a UTC session renders micros-UTC and int96 timestamps identically
+  by VALUE, so the local value compare stays green while the driver's
+  schema hash diverges — exactly the r4 outputTimestampType race.
 Dev-only tool — not part of the Scala library.
 """
 import sys, os, json, glob, math, datetime, decimal
@@ -60,9 +75,73 @@ def decimal_cols(cols, rows):
     return sorted(hit)
 
 
+def full_pass(rec):
+    return bool(rec.get("rows_match") and rec.get("schema_match")
+                and rec.get("hash_match"))
+
+
+def diff_rounds(prev_path, curr_path):
+    """Pass→non-pass transitions between two driver CORRECTNESS jsons."""
+    with open(prev_path) as f:
+        prev = json.load(f)
+    with open(curr_path) as f:
+        curr = json.load(f)
+    regressed = []
+    for name, rec in sorted(prev.items()):
+        was_rows_only = rec.get("err") == "no_oracle" and \
+            (rec.get("spark_rows") or 0) > 0
+        if full_pass(rec):
+            now = curr.get(name)
+            if now is None:
+                regressed.append((name, "pass -> MISSING"))
+            elif not full_pass(now):
+                why = "err=%s rows=%s schema=%s hash=%s" % (
+                    now.get("err"), now.get("rows_match"),
+                    now.get("schema_match"), now.get("hash_match"))
+                regressed.append((name, f"pass -> FAIL ({why})"))
+        elif was_rows_only:
+            now = curr.get(name)
+            if now is None:
+                regressed.append((name, "rows-only -> MISSING"))
+            elif now.get("err") == "no_oracle" and \
+                    (now.get("spark_rows") or 0) == 0:
+                regressed.append((name, "rows-only -> EMPTY"))
+    for name, why in regressed:
+        print(f"REGRESSION {name}: {why}")
+    print(f"\n--diff: {len(regressed)} regression(s), "
+          f"{len(prev)} -> {len(curr)} queries")
+    sys.exit(1 if regressed else 0)
+
+
+def tz_aware_cols(spark_path):
+    """Compared columns whose parquet type is a tz-aware timestamp."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+    except ImportError:
+        return []
+    hit = []
+    for f in sorted(glob.glob(os.path.join(spark_path, "*.parquet")))[:1]:
+        sch = pq.ParquetFile(f).schema_arrow
+        for field in sch:
+            if pa.types.is_timestamp(field.type) and field.type.tz:
+                hit.append(field.name)
+    return hit
+
+
 def main():
+    if "--diff" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--diff"]
+        diff_rounds(args[0], args[1])
+        return
     strict = "--strict" in sys.argv
-    args = [a for a in sys.argv[1:] if a != "--strict"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    baseline = None
+    if "--baseline" in sys.argv:
+        bi = sys.argv.index("--baseline")
+        with open(sys.argv[bi + 1]) as f:
+            baseline = json.load(f)
+        args = [a for a in args if a != sys.argv[bi + 1]]
     out_dir, sf_dir = args[0], args[1]
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
@@ -102,6 +181,15 @@ def main():
                 n_fail += 1
                 results[name] = "strict-decimal"
                 continue
+        if strict:
+            tz = tz_aware_cols(spark_path)
+            if tz:
+                # r4: micros-UTC timestamps leak tz-awareness into the
+                # driver's schema hash; values compare equal under UTC
+                print(f"FAIL {name}: strict: TZ-AWARE timestamp cols {tz}")
+                n_fail += 1
+                results[name] = "strict-tz"
+                continue
         sc, sr = canon(scols, srows)
         oc, orr = canon(ocols, orows)
         if [c.lower() for c in sc] != [c.lower() for c in oc]:
@@ -133,11 +221,29 @@ def main():
                 n = con.execute(
                     f"SELECT count(*) FROM read_parquet('{p}/*.parquet')").fetchone()[0]
                 status = "rows-only OK" if n > 0 else "rows-only EMPTY"
+                results[name] = "rows-only" if n > 0 else "rows-only-empty"
                 print(f"{status} {name} ({n} rows)")
             except Exception as e:
                 print(f"rows-only FAIL {name}: {e}")
+                results[name] = "rows-only-error"
+    n_reg = 0
+    if baseline is not None:
+        # regression tripwire: every query green on the previous
+        # driver round must still be green here, under the same check
+        # class (oracle full-pass stays "ok"; rows-only stays nonempty)
+        for name, rec in sorted(baseline.items()):
+            now = results.get(name)
+            if full_pass(rec) and now != "ok":
+                print(f"REGRESSION {name}: driver pass -> local {now}")
+                n_reg += 1
+            elif rec.get("err") == "no_oracle" and \
+                    (rec.get("spark_rows") or 0) > 0 and \
+                    now not in ("rows-only", "ok"):
+                print(f"REGRESSION {name}: driver rows-only -> local {now}")
+                n_reg += 1
+        print(f"baseline tripwire: {n_reg} regression(s) vs previous round")
     print(f"\n{n_pass} pass / {n_fail} fail of {len(oracles)} oracle-checked")
-    sys.exit(1 if n_fail else 0)
+    sys.exit(1 if (n_fail or n_reg) else 0)
 
 
 if __name__ == "__main__":

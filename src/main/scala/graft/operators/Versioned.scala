@@ -81,21 +81,22 @@ object Versioned {
       root: Path, df: DataFrame): Seq[String] = {
     val uuid = java.util.UUID.randomUUID().toString
     val segDir = new Path(root, s"data/$uuid")
-    // Segments are written TIMESTAMP_MICROS (scoped set/restore):
-    // Spark's INT96 default carries NO footer statistics, which would
-    // blind timestamp data skipping — the single most valuable pruning
-    // column of an append-only time-series lake. Micros is also the
-    // non-deprecated interop encoding. The conf is session-scoped, so
-    // a concurrent writer on the same session during this window also
-    // emits micros — benign (micros is readable everywhere we read).
-    val tsKey = "spark.sql.parquet.outputTimestampType"
-    val prevTs = spark.conf.getOption(tsKey)
-    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try df.write.parquet(segDir.toString)
-    finally prevTs match {
-      case Some(v) => spark.conf.set(tsKey, v)
-      case None => spark.conf.unset(tsKey)
-    }
+    // Segments are written TIMESTAMP_MICROS: Spark's INT96 default
+    // carries NO footer statistics, which would blind timestamp data
+    // skipping — the single most valuable pruning column of an
+    // append-only time-series lake. Micros is also the non-deprecated
+    // interop encoding. The conf has no per-write option, so the write
+    // runs in a CLONED session (same conf/views/extensions, isolated
+    // conf store) — a set/restore on the caller's session would leak
+    // micros into unrelated parquet writes racing on other threads of
+    // the same session, changing THEIR output schemas (tz-adjusted
+    // micros vs int96) mid-flight.
+    val writerSession = org.apache.spark.sql.GraftShims.cloneSession(spark)
+    writerSession.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
+    org.apache.spark.sql.GraftShims.ofRows(writerSession,
+      org.apache.spark.sql.GraftShims.planOf(df))
+      .write.parquet(segDir.toString)
     val newAbs = listParquet(fs, segDir)
     // data-skipping stats: one footer read per NEW file (never a data
     // scan), committed atomically on the file's own manifest line.

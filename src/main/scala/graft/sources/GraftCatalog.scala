@@ -343,14 +343,28 @@ private[sources] final class RuntimeSkippingScan(
     * filterless and every file carries stats — one small manifest
     * read buys the optimizer a number v1 file sources only get from
     * ANALYZE TABLE. */
-  private lazy val manifestRows: Option[Long] =
-    if (pushedCatalyst.nonEmpty) None // pushed filters make rows an upper bound
-    else {
-      val stats = Versioned.fileStats(spark, tablePath, Some(version))
-      val known = initialFiles.flatMap(stats.get)
-      if (known.size == initialFiles.size) Some(known.map(_.rows).sum)
-      else None
+  private lazy val manifestRows: Option[Long] = {
+    val stats = Versioned.fileStats(spark, tablePath, Some(version))
+    val known = initialFiles.flatMap(stats.get)
+    // pushed filters normally make the manifest count an upper bound —
+    // EXCEPT when the stats prove each filter drops nothing in any
+    // file. The one case that matters is the join-planner's implicit
+    // `IsNotNull(joinKey)` over a null-free column: without this
+    // carve-out every dim under a join loses its exact row count (and
+    // with it the auto-broadcast decision) to a filter that cannot
+    // remove a single row.
+    def nonReducing(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Boolean = e match {
+      case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+          a: org.apache.spark.sql.catalyst.expressions.Attribute) =>
+        val lower = a.name.toLowerCase(java.util.Locale.ROOT)
+        known.forall(_.cols.get(lower).exists(_.nulls.contains(0L)))
+      case _ => false
     }
+    if (known.size == initialFiles.size && pushedCatalyst.forall(nonReducing))
+      Some(known.map(_.rows).sum)
+    else None
+  }
   override def estimateStatistics(): Statistics = {
     val base = delegate match {
       case s: SupportsReportStatistics => Some(s.estimateStatistics())
@@ -365,10 +379,20 @@ private[sources] final class RuntimeSkippingScan(
     }
   }
 
+  /** Only columns the (possibly pruned) scan still OUTPUTS are
+    * runtime-filterable: Spark resolves these names against the scan's
+    * output attributes, so declaring a pruned-away column makes
+    * `PartitionPruning.getFilterableTableScan` throw an
+    * `AnalysisException` at planning time — e.g. a bare `count()` over
+    * a column-pruned catalog join would fail outright. Stats-based
+    * re-pruning in `filter` only ever narrows the file list, so
+    * restricting the declared set loses nothing but the crash. */
   override def filterAttributes():
-      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    tableSchema.fieldNames.map(
-      org.apache.spark.sql.connector.expressions.Expressions.column)
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val visible = delegate.readSchema().fieldNames.toSet
+    tableSchema.fieldNames.filter(visible)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+  }
 
   // stable-field equality (table, version, file list, pushdown state):
   // ParquetScan is a case class, so same-table scans used to compare

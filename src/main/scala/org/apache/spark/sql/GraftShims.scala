@@ -18,6 +18,23 @@ object GraftShims {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** A full copy of the session — shared SparkContext/SharedState,
+    * CLONED SessionState (confs, temp views, UDFs, extensions). Conf
+    * mutations on the clone never touch the original, which is what a
+    * writer that must scope `spark.sql.parquet.outputTimestampType`
+    * needs when the original session is running other queries
+    * concurrently (`newSession()` won't do: it resets confs to the
+    * shared-state initial values instead of inheriting them). */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
+
+  /** The analyzed logical plan of a DataFrame (private[sql] in
+    * classic.Dataset), for re-rooting the same computation into a
+    * cloned session via [[ofRows]]. */
+  def planOf(df: DataFrame):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].logicalPlan
+
   /** A parquet file-list DataFrame whose plan is tagged
     * isStreaming=true — the contract MicroBatchExecution asserts on a
     * v1 Source.getBatch result (the FileStreamSource device: resolve a

@@ -287,6 +287,35 @@ class StatsPruningSpec extends SparkSpec {
     assert(jw.collect().length == 20)
   }
 
+  test("column-pruned catalog joins plan and run: filterAttributes " +
+    "never declares a pruned-away column") {
+    import org.apache.spark.sql.functions.col
+    val rootDir = tmpDir("prune_dpp")
+    val t = s"$rootDir/lake/pd"
+    Versioned.commit((1 to 40).map(i => (i.toLong, s"n$i", i % 5))
+      .toDF("k", "name", "grp").coalesce(1), t)
+    val c = spark.newSession()
+    c.conf.set("spark.sql.catalog.gpd", classOf[GraftCatalog].getName)
+    c.conf.set("spark.sql.catalog.gpd.root", rootDir)
+    c.conf.set("spark.sql.adaptive.enabled", "false")
+    val dim = c.sql("SELECT * FROM gpd.lake.pd")
+    val fact = c.range(0, 4000).select((col("id") % 40 + 1).as("k"))
+    // bare count() prunes `name`/`grp` off the scan: before the
+    // filterAttributes fix this crashed in PartitionPruning with
+    // "Unable to resolve name" at planning time
+    assert(fact.join(dim, "k").count() == 4000)
+    val j = fact.join(dim, "k").select(dim("k"))
+    assert(j.collect().length == 4000)
+    val scan = j.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case b: BatchScanExec if b.scan.isInstanceOf[RuntimeSkippingScan] =>
+        b.scan.asInstanceOf[RuntimeSkippingScan]
+    }.getOrElse(fail("no RuntimeSkippingScan leaf"))
+    val declared = scan.filterAttributes().map(_.describe()).toSet
+    val visible = scan.readSchema().fieldNames.toSet
+    assert(declared.subsetOf(visible),
+      s"filterAttributes $declared not within pruned output $visible")
+  }
+
   test("catalog scans report statistics to the planner: a small " +
     "snapshot dim auto-broadcasts, with exact manifest row counts") {
     import org.apache.spark.sql.functions.col
