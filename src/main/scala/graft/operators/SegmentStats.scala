@@ -57,12 +57,64 @@ object SegmentStats {
     * contract: a footer that cannot be read or a shape this walker
     * does not understand yields NO suffix for that file (the commit
     * must never fail, and readers treat missing stats as
-    * unprunable). */
+    * unprunable). Serial — kept for tests and as the no-session
+    * fallback; commits go through the session-aware overload. */
   def collect(conf: Configuration, absFiles: Seq[String]): Map[String, String] =
     absFiles.flatMap { f =>
       try Some(f -> serialize(readFooterStats(conf, new Path(f))))
       catch { case scala.util.control.NonFatal(_) => None }
     }.toMap
+
+  /** How many files a commit may harvest on the driver before the
+    * harvest becomes a Spark job. Small enough that a chunk-sized
+    * commit never pays job-scheduling overhead; large enough that a
+    * backfill's thousands of footers are read by executors. */
+  private[operators] val ExecutorHarvestThreshold = 32
+
+  /** Commit-time harvest: footer reads must NOT be a serial driver
+    * loop — on an object store each open is a round-trip, so a
+    * 10k-file backfill commit would pay 10k sequential RPCs (minutes)
+    * before it can write its manifest. Small commits read their
+    * handful of footers on the driver CONCURRENTLY (bounded pool, no
+    * job overhead); anything larger becomes a Spark job over the file
+    * list, so harvest wall-time scales with cluster width like the
+    * write that produced the files did (Delta sidesteps the problem by
+    * computing stats inside the write tasks; harvesting at commit
+    * keeps the writer path stock — same stats, one footer read per
+    * file, executor-side). */
+  def collect(spark: org.apache.spark.sql.SparkSession,
+      absFiles: Seq[String]): Map[String, String] = {
+    val n = absFiles.size
+    if (n == 0) Map.empty
+    else if (n <= ExecutorHarvestThreshold) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(n, 8))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val fs = absFiles.map { f =>
+          Future {
+            try Some(f -> serialize(readFooterStats(conf, new Path(f))))
+            catch { case scala.util.control.NonFatal(_) => None }
+          }
+        }
+        Await.result(Future.sequence(fs), Duration.Inf).flatten.toMap
+      } finally pool.shutdown()
+    } else {
+      val sc = spark.sparkContext
+      val bc = sc.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(
+          sc.hadoopConfiguration))
+      val slices = math.min(n, math.max(sc.defaultParallelism, 1))
+      try sc.parallelize(absFiles, slices).flatMap { f =>
+        try Some(f -> serialize(readFooterStats(bc.value.value, new Path(f))))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }.collect().toMap
+      finally bc.destroy()
+    }
+  }
 
   /** Read one parquet footer into FileStats. Every TOP-LEVEL field of
     * the file schema is recorded (primitives with their ordering class,

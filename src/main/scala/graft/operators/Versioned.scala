@@ -75,6 +75,42 @@ object Versioned {
     })
   }
 
+  /** Conditional [[commit]]: succeeds only if the table's latest
+    * version at commit time is still `expectedBase` — the optimistic-
+    * concurrency primitive for read-compute-overwrite cycles whose
+    * OUTPUT depends on what they read (OPTIMIZE reads the whole table
+    * and overwrites; a commit landing in between would be silently
+    * dropped from the rewritten snapshot). On conflict the staged
+    * segment is deleted (best-effort) and None is returned — the
+    * caller recomputes against the new latest or gives up, exactly
+    * like [[rewrite]]'s internal retry. */
+  def commitIf(df: DataFrame, table: String, mode: String,
+      meta: Map[String, String], expectedBase: Long): Option[Long] = {
+    require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
+    val spark = df.sparkSession
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val newLines = writeSegmentLines(spark, fs, root, df)
+    try Some(commitManifest(fs, root, meta, { base =>
+      if (base != Some(expectedBase)) throw new RewriteConflict
+      val prevLines =
+        if (mode == "append") base.toSeq.flatMap(v => readFileLines(fs, root, v))
+        else Nil
+      prevLines ++ newLines
+    }))
+    catch {
+      case _: RewriteConflict =>
+        newLines.headOption.foreach { l =>
+          val rel = l.split('\t').head
+          if (rel.startsWith("data/"))
+            try fs.delete(new Path(root,
+              rel.split('/').take(2).mkString("/")), true)
+            catch { case scala.util.control.NonFatal(_) => () }
+        }
+        None
+    }
+  }
+
   /** Write one fresh uuid segment and return its manifest file lines
     * (stats-suffixed). Shared by [[commit]] and [[rewrite]]. */
   private def writeSegmentLines(spark: SparkSession, fs: FileSystem,
@@ -101,8 +137,7 @@ object Versioned {
     // data-skipping stats: one footer read per NEW file (never a data
     // scan), committed atomically on the file's own manifest line.
     // Append carries the previous lines — and their stats — verbatim.
-    val statsByAbs = SegmentStats.collect(
-      spark.sparkContext.hadoopConfiguration, newAbs)
+    val statsByAbs = SegmentStats.collect(spark, newAbs)
     newAbs.map { abs =>
       val rel = relativize(root, abs)
       statsByAbs.get(abs).map(s => s"$rel\t$s").getOrElse(rel)

@@ -368,6 +368,14 @@ case class UpdateVersionedCommand(path: String,
           s"UPDATE target column '$target' not in ${df.columns.mkString(", ")}"))
       (c, e)
     }
+    // standard SQL rejects duplicate assignment targets; silently
+    // keeping the last one (toMap) would make `SET x=1, x=2` a quiet
+    // coin-flip for the user
+    val dupTargets = resolved.groupBy(_._1).collect {
+      case (c, as) if as.size > 1 => c
+    }
+    require(dupTargets.isEmpty,
+      s"duplicate UPDATE assignment target(s): ${dupTargets.mkString(", ")}")
     // raw predicate for stats scoping (filter semantics already drop
     // NULL rows); the coalesce wrapper is only for the SET branches
     val raw = where.map(expr).getOrElse(lit(true))
@@ -442,20 +450,37 @@ case class OptimizeVersionedCommand(path: String, zorderCols: Seq[String],
 
   override def run(spark: SparkSession): Seq[Row] = {
     import graft.operators.Versioned
-    val before = Versioned.versionFiles(spark, path).size
-    val df = Versioned.read(spark, path)
-    val rewritten =
-      if (zorderCols.nonEmpty) {
-        val n = files.getOrElse(math.max(1, before))
-        Clustering.withZValue(df, zorderCols)
-          .repartitionByRange(n, col("__z"))
-          .sortWithinPartitions("__z")
-          .drop("__z")
-      } else df.coalesce(files.getOrElse(1))
-    val v = Versioned.commit(rewritten, path, "overwrite",
-      meta = Map("operation" -> "optimize"))
-    val after = Versioned.versionFiles(spark, path).size
-    Seq(Row(v, before.toLong, after.toLong))
+    // optimistic read-cluster-overwrite: the rewritten snapshot is
+    // exactly what was READ, so a commit landing mid-cycle (streaming
+    // append, DML) would be silently dropped by an unconditional
+    // overwrite. commitIf asserts the base version is still the one
+    // read; on conflict the whole cycle recomputes against the new
+    // latest (content-preserving, so retrying is always safe).
+    var attempt = 0
+    while (attempt < 5) {
+      val base = Versioned.versions(spark, path).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"no committed version in $path"))
+      val before = Versioned.versionFiles(spark, path, Some(base)).size
+      val df = Versioned.read(spark, path, Some(base))
+      val rewritten =
+        if (zorderCols.nonEmpty) {
+          val n = files.getOrElse(math.max(1, before))
+          Clustering.withZValue(df, zorderCols)
+            .repartitionByRange(n, col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        } else df.coalesce(files.getOrElse(1))
+      Versioned.commitIf(rewritten, path, "overwrite",
+        Map("operation" -> "optimize"), expectedBase = base) match {
+        case Some(v) =>
+          val after = Versioned.versionFiles(spark, path, Some(v)).size
+          return Seq(Row(v, before.toLong, after.toLong))
+        case None => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"OPTIMIZE of $path kept losing the commit race ($attempt " +
+        "attempts) — retry when the writer storm subsides")
   }
 }
 

@@ -47,7 +47,7 @@ object ManifestAggregates {
     * the manifest alone. */
   def answer(stats: Map[String, FileStats], files: Seq[String],
       tableSchema: StructType,
-      agg: Aggregation): Option[(StructType, InternalRow)] = {
+      agg: Aggregation): Option[(StructType, InternalRow)] = try {
     if (agg.groupByExpressions.nonEmpty) return None
     if (!files.forall(stats.contains)) return None
     val fss = files.map(stats(_))
@@ -58,6 +58,12 @@ object ManifestAggregates {
       val (fields, values) = parts.flatten.unzip
       Some(StructType(fields) -> InternalRow.fromSeq(values))
     }
+  } catch {
+    // malformed or drifted stats (hand-edited manifest, type-evolved
+    // table whose old files carry another class's encoding) must
+    // degrade to the real scan, never fail the query at plan time —
+    // the same posture as StatsPruner.mayMatch
+    case scala.util.control.NonFatal(_) => None
   }
 
   private def answerOne(f: AggregateFunc, fss: Seq[FileStats],
@@ -141,13 +147,22 @@ object ManifestAggregates {
     fss.foreach { fs =>
       fs.cols.get(key) match {
         case None => () // predates the column: all NULL, no contribution
-        case Some(cs) => (if (isMin) cs.min else cs.max) match {
-          case Some(b) => contrib += b.toLong
-          case None =>
-            // no bound recorded: sound only if the file provably has
-            // no non-NULL value ('x'-tagged or unknown nulls → bail)
-            if (!cs.nulls.contains(fs.rows)) return None
-        }
+        // the stats TAG must say long-ordered before the bound is
+        // parsed as one: a type-evolved table can carry old files
+        // whose stats were harvested under another class (e.g. 's'),
+        // and decoding those as longs would be wrong even when
+        // toLong happens to succeed
+        case Some(cs) if cs.tag == 'l' || cs.tag == 'b' =>
+          (if (isMin) cs.min else cs.max) match {
+            case Some(b) => contrib += b.toLong
+            case None =>
+              // no bound recorded: sound only if the file provably has
+              // no non-NULL value (unknown nulls → bail)
+              if (!cs.nulls.contains(fs.rows)) return None
+          }
+        case Some(cs) =>
+          // foreign ordering class: only an all-NULL file is provable
+          if (!cs.nulls.contains(fs.rows)) return None
       }
     }
     Some(if (contrib.isEmpty) None

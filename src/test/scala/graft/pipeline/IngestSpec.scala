@@ -305,4 +305,48 @@ class IngestSpec extends SparkSpec {
     assert(merged == Seq("Hospital", "public.Visit", "Ward",
       "urgentcare__Shared"))
   }
+
+  test("ConfigAdmin.interactive drives the six widget prompts end to " +
+    "end: insert-when-new, merge-update tables, never overwrite an " +
+    "existing watermark config") {
+    val store = new graft.state.ConfigStore(spark, tmpDir("cfgadm") + "/cfg")
+    def session(answers: String*): Seq[String] = {
+      val in = answers.iterator
+      val out = scala.collection.mutable.Buffer.empty[String]
+      ConfigAdmin.interactive(store, () => in.next(), out += _)
+      out.toSeq.filterNot(_.endsWith(": ")) // drop the prompts
+    }
+    // fresh project: all three configs inserted
+    val log1 = session("vet_db_name", "vetdb", "vet_tables",
+      "Hospital, Ward", "vet_hospital_watermarks", "CreatedDate")
+    assert(log1 == Seq("vet_db_name has been inserted into config",
+      "vet_tables has been inserted into config",
+      "vet_hospital_watermarks has been inserted into config"))
+    assert(store.value("dcx_postgresql_db_settings", "vet_db_name")
+      .contains("vetdb"))
+    assert(store.value("dcx_postgresql_table_settings", "vet_tables")
+      .contains("Hospital,Ward"))
+    assert(store.value("dcx_postgresql_watermark_settings",
+      "vet_hospital_watermarks").contains("CreatedDate"))
+    // re-run for the same project: db reported as existing, tables
+    // MERGED in place (dup skipped), watermark NOT overwritten
+    val log2 = session("vet_db_name", "vetdb", "vet_tables",
+      "ward, Status", "vet_hospital_watermarks", "LastModified")
+    assert(log2.exists(_.contains("vet_db_name already exists")))
+    assert(log2.exists(_.contains("have been added to config vet_tables")))
+    assert(log2.exists(_.contains("vet_hospital_watermarks already exists")))
+    assert(store.value("dcx_postgresql_table_settings", "vet_tables")
+      .contains("Hospital,Ward,Status"))
+    assert(store.value("dcx_postgresql_watermark_settings",
+      "vet_hospital_watermarks").contains("CreatedDate"), "not overwritten")
+    // another task adding a table registered elsewhere: prefix-tagged
+    session("care_db_name", "caredb", "care_tables", "Status,Clinic",
+      "", "")
+    assert(store.value("dcx_postgresql_table_settings", "care_tables")
+      .contains("care__Status,Clinic"))
+    // blank answers everywhere: a no-op session
+    val before = store.allValues().toSet
+    assert(session("", "", "", "", "", "").isEmpty)
+    assert(store.allValues().toSet == before)
+  }
 }

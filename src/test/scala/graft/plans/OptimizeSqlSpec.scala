@@ -121,6 +121,53 @@ class OptimizeSqlSpec extends SparkSpec {
     assert(Clustering.avgFileSpan(spark, seg, "l_orderkey") < 0.7)
   }
 
+  test("commitIf refuses a stale base (the OPTIMIZE lost-update " +
+    "guard): conflicting commit preserved, staged segment cleaned up") {
+    import graft.operators.Versioned
+    val t = tmpDir("optconflict") + "/t"
+    Versioned.commit(Seq((1, "a")).toDF("k", "v"), t) // v0
+    // a writer lands between OPTIMIZE's read (base=0) and its commit
+    Versioned.commit(Seq((2, "b")).toDF("k", "v"), t, "append") // v1
+    val stale = Versioned.commitIf(Seq((9, "z")).toDF("k", "v"), t,
+      "overwrite", Map("operation" -> "optimize"), expectedBase = 0L)
+    assert(stale.isEmpty, "stale-base commit must be refused")
+    // v1's row is NOT lost, no new version, and the refused attempt's
+    // segment directory was swept
+    assert(Versioned.versions(spark, t) == Seq(0L, 1L))
+    assert(Versioned.read(spark, t).as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "b")))
+    val dataDir = new org.apache.hadoop.fs.Path(s"$t/data")
+    val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(dataDir).length == 2, "orphan segment left behind")
+    // with the CURRENT base it commits normally
+    val ok = Versioned.commitIf(Seq((3, "c")).toDF("k", "v"), t,
+      "append", Map.empty, expectedBase = 1L)
+    assert(ok.contains(2L))
+    assert(Versioned.read(spark, t).count() == 3)
+    // end-to-end: OPTIMIZE itself still succeeds post-conflict-window
+    val r = spark.sql(s"OPTIMIZE '$t' COMPACT").collect().head
+    assert(r.getLong(0) == 3L)
+    assert(Versioned.read(spark, t).count() == 3)
+  }
+
+  test("UPDATE rejects duplicate assignment targets instead of " +
+    "silently keeping the last one") {
+    import graft.operators.Versioned
+    val t = tmpDir("dupset") + "/t"
+    Versioned.commit(Seq((1, 10.0)).toDF("k", "v"), t)
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"UPDATE '$t' SET v = 1, v = 2")
+    }
+    assert(e.getMessage.contains("duplicate UPDATE assignment"))
+    // case-insensitive duplicates too; table untouched either way
+    intercept[IllegalArgumentException] {
+      spark.sql(s"UPDATE '$t' SET v = 1, V = 2")
+    }
+    assert(Versioned.versions(spark, t) == Seq(0L))
+    assert(Versioned.read(spark, t).as[(Int, Double)].collect().toSet ==
+      Set((1, 10.0)))
+  }
+
   test("UPDATE/DELETE on a snapshot path: simultaneous assignments, " +
     "NULL-predicate rows kept, each statement one time-travelable version") {
     import graft.operators.Versioned

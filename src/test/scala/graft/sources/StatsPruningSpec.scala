@@ -239,6 +239,47 @@ class StatsPruningSpec extends SparkSpec {
     assert(q2.collect().head.getLong(0) == 5L)
   }
 
+  test("drifted or malformed manifest stats degrade metadata-only " +
+    "aggregates to the real scan, never a plan-time failure") {
+    import org.apache.spark.sql.execution.LocalTableScanExec
+    def doctor(rootDir: String, t: String, from: String, to: String): Unit = {
+      val root = new org.apache.hadoop.fs.Path(t)
+      val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val mf = new org.apache.hadoop.fs.Path(root, "_graft_log/0.manifest")
+      val in = hfs.open(mf)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      val doctored = lines.map(l => l.replace(from, to))
+      assert(doctored != lines, s"pattern '$from' not found in manifest")
+      val out = hfs.create(mf, true)
+      try out.write(doctored.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    def probe(tag: String, from: String, to: String): Unit = {
+      val rootDir = tmpDir(s"drift$tag")
+      val t = s"$rootDir/lake/dr"
+      Versioned.commit(
+        (1L to 3L).map(i => (i, s"n$i")).toDF("k", "name").coalesce(1), t)
+      doctor(rootDir, t, from, to)
+      val c = spark.newSession()
+      c.conf.set(s"spark.sql.catalog.gdr$tag", classOf[GraftCatalog].getName)
+      c.conf.set(s"spark.sql.catalog.gdr$tag.root", rootDir)
+      val q = c.sql(s"SELECT min(k) AS mk, max(k) AS xk FROM gdr$tag.lake.dr")
+      // must NOT be served from the manifest (the stats lie) and must
+      // NOT throw at plan time — the real scan answers
+      assert(!q.queryExecution.executedPlan.collectLeaves()
+        .exists(_.isInstanceOf[LocalTableScanExec]),
+        q.queryExecution.executedPlan.toString)
+      assert(q.collect().head == org.apache.spark.sql.Row(1L, 3L))
+    }
+    // type drift: an integral schema field whose stats were harvested
+    // under the string ordering class (type-evolved table)
+    probe("s", "k:l:", "k:s:")
+    // malformed bound: tag says long but the value doesn't parse —
+    // NumberFormatException must degrade, not fail the query
+    probe("m", "k:l:v1:", "k:l:vNOPE:")
+  }
+
   test("runtime filtering: a broadcast dim's join keys prune fact " +
     "segments at execution time (DSv2 dynamic pruning)") {
     import org.apache.spark.sql.functions.col

@@ -150,6 +150,45 @@ class ChangeFeedSourceSpec extends SparkSpec {
       Set((1, "a"), (3, "c")))
   }
 
+  test("sink dedup keys on (queryId, batchId): a fresh checkpoint " +
+    "restarting at batchId 0 is not skipped, and interleaved non-sink " +
+    "commits don't disable replay protection") {
+    import org.apache.spark.sql.execution.streaming.runtime.StreamExecution
+    val t = tmpDir("sinkdedup") + "/t"
+    val sink = new LakeSink(t, "append")
+    val sc = spark.sparkContext
+    def asQuery[A](qid: String)(body: => A): A = {
+      sc.setLocalProperty(StreamExecution.QUERY_ID_KEY, qid)
+      try body finally sc.setLocalProperty(StreamExecution.QUERY_ID_KEY, null)
+    }
+    // query 1 commits batches 0 and 1
+    asQuery("q1") {
+      sink.addBatch(0, Seq((1, "a")).toDF("k", "v"))
+      sink.addBatch(1, Seq((2, "b")).toDF("k", "v"))
+      // replay of batch 1 after a "crash": skipped
+      sink.addBatch(1, Seq((2, "b")).toDF("k", "v"))
+    }
+    assert(Versioned.versions(spark, t).size == 2)
+    // an interleaved NON-sink commit (batch append / DML) must not
+    // erase the marker: q1 replaying batch 1 still skips...
+    Versioned.commit(Seq((7, "x")).toDF("k", "v"), t, "append")
+    asQuery("q1") { sink.addBatch(1, Seq((2, "dup")).toDF("k", "v")) }
+    assert(Versioned.versions(spark, t).size == 3)
+    // ...while its genuinely-new batch 2 lands
+    asQuery("q1") { sink.addBatch(2, Seq((3, "c")).toDF("k", "v")) }
+    assert(Versioned.versions(spark, t).size == 4)
+    // a FRESH query (new checkpoint => new queryId) restarts at
+    // batchId 0 — old markers with higher batchIds must not swallow it
+    asQuery("q2") { sink.addBatch(0, Seq((4, "d")).toDF("k", "v")) }
+    assert(Versioned.versions(spark, t).size == 5)
+    assert(Versioned.read(spark, t).as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "b"), (7, "x"), (3, "c"), (4, "d")))
+    // and each query's replays stay independently deduped
+    asQuery("q2") { sink.addBatch(0, Seq((4, "dup")).toDF("k", "v")) }
+    asQuery("q1") { sink.addBatch(2, Seq((3, "dup")).toDF("k", "v")) }
+    assert(Versioned.versions(spark, t).size == 5)
+  }
+
   test("an overwrite commit surfaces its new snapshot (file-level " +
     "change-feed semantics, Versioned.changes parity)") {
     val base = tmpDir("cfstream")
