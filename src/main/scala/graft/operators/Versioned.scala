@@ -39,6 +39,17 @@ object Versioned {
     * file mtime in [[versionAt]]/[[history]]. */
   private[graft] val CommitTsKey = "commit_ts_ms"
 
+  /** Meta key declaring the version's bucket layout as `<col>/<n>`:
+    * every data file of the version lives under a `gb-<id>` dir and
+    * holds exactly the rows with `pmod(hash(col), n) = id`. The DSv2
+    * scan turns this into a KeyGroupedPartitioning report, which is
+    * what lets Spark join two co-bucketed tables with ZERO shuffle
+    * (storage-partitioned join). Per-version on purpose: an overwrite
+    * or a foreign (unbucketed) append simply drops the declaration
+    * and the table degrades to a normal scan — never wrong, just
+    * un-optimized. */
+  private[graft] val BucketKey = "bucket"
+
   /** Commit time of a version: the manifest's embedded commit_ts_ms
     * when present (authoritative — survives copies and clock skew),
     * else the manifest file's mtime (legacy manifests). */
@@ -73,6 +84,109 @@ object Versioned {
         else Nil
       prevLines ++ newLines
     })
+  }
+
+  /** [[commit]] with a bucketed physical layout: rows are split by
+    * `pmod(hash(bucketCol), numBuckets)` (Spark's Murmur3 `hash`, the
+    * same function [[graft.sources.GraftCatalog]] exposes as the V2
+    * `bucket` function) and each bucket lands in its own `gb-<id>`
+    * subdir of the fresh segment. The manifest declares the layout via
+    * [[BucketKey]] meta, and the catalog scan then reports
+    * KeyGroupedPartitioning — two tables committed with the SAME
+    * (column-name-modulo, numBuckets) spec join on that key with no
+    * exchange on either side. Appends must keep the base version's
+    * spec (checked); use plain [[commit]] to intentionally de-bucket.
+    *
+    * At 100 TB this is the difference between re-shuffling both sides
+    * of every fact-fact join and reading co-located buckets: the
+    * shuffle is paid ONCE at write time, then amortized over every
+    * subsequent join, like Hive/Spark `bucketBy` but on an open lake
+    * format with time travel (Iceberg's bucket partition transform is
+    * the public precedent). */
+  def commitBucketed(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int, mode: String = "overwrite",
+      meta: Map[String, String] = Map.empty): Long = {
+    require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
+    require(numBuckets > 0 && numBuckets <= 100000,
+      s"numBuckets out of range: $numBuckets")
+    require(df.columns.map(_.toLowerCase(java.util.Locale.ROOT))
+      .contains(bucketCol.toLowerCase(java.util.Locale.ROOT)),
+      s"bucket column $bucketCol not in ${df.columns.mkString(",")}")
+    require(!bucketCol.contains('/') && !bucketCol.contains('=') &&
+      !bucketCol.contains('\n'), s"unencodable bucket column: $bucketCol")
+    // the V2 `bucket` function (GraftCatalog) must reproduce this
+    // layout's hash exactly; both sides support precisely these types
+    locally {
+      import org.apache.spark.sql.types._
+      val kt = df.schema.fields
+        .find(_.name.equalsIgnoreCase(bucketCol)).get.dataType
+      require(Seq(IntegerType, LongType, StringType, DateType,
+        TimestampType).contains(kt),
+        s"bucket column type ${kt.catalogString} not supported " +
+          "(int/bigint/string/date/timestamp)")
+    }
+    val spark = df.sparkSession
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val spec = Some((bucketCol, numBuckets))
+    if (mode == "append") {
+      val base = latestVersion(fs, root)
+      base.foreach { v =>
+        val declared = parseBucketMeta(readMeta(spark, table, v))
+        require(declared.exists(d =>
+          d._1.equalsIgnoreCase(bucketCol) && d._2 == numBuckets),
+          s"append spec ($bucketCol/$numBuckets) does not match base " +
+            s"version $v bucket layout ${declared.getOrElse("<none>")}")
+      }
+    }
+    val newLines = writeSegmentLines(spark, fs, root, df, spec)
+    commitManifest(fs, root,
+      meta + (BucketKey -> s"$bucketCol/$numBuckets"), { base =>
+        val prevLines =
+          if (mode == "append")
+            base.toSeq.flatMap(v => readFileLines(fs, root, v))
+          else Nil
+        prevLines ++ newLines
+      })
+  }
+
+  /** The bucket layout of a version (default latest): (column, n) when
+    * the manifest declares one AND every data file sits in a `gb-<id>`
+    * dir — a half-bucketed version (foreign append, hand-edited
+    * manifest) reports None, so readers can never claim a partitioning
+    * the files don't deliver. */
+  def bucketSpec(spark: SparkSession, table: String,
+      version: Option[Long] = None): Option[(String, Int)] = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = version.orElse(latestVersion(fs, root)).getOrElse(return None)
+    parseBucketMeta(readMeta(spark, table, v)).filter { case (_, n) =>
+      readManifest(fs, root, v).forall(rel =>
+        bucketIdOf(rel).exists(_ < n))
+    }
+  }
+
+  private def parseBucketMeta(meta: Map[String, String])
+      : Option[(String, Int)] =
+    meta.get(BucketKey).flatMap { s =>
+      val cut = s.lastIndexOf('/')
+      if (cut <= 0) None
+      else scala.util.Try(s.substring(cut + 1).toInt).toOption
+        .filter(_ > 0).map(n => (s.substring(0, cut), n))
+    }
+
+  /** Bucket id encoded in a data-file path (`.../gb-<id>/part-…`), or
+    * None for unbucketed files. Dir-based (not `k=v`) so neither
+    * Spark's partition inference nor the manifest format changes. */
+  private[graft] def bucketIdOf(path: String): Option[Int] = {
+    val segs = path.split('/')
+    if (segs.length < 2) None
+    else {
+      val d = segs(segs.length - 2)
+      if (d.startsWith("gb-"))
+        scala.util.Try(d.stripPrefix("gb-").toInt).toOption.filter(_ >= 0)
+      else None
+    }
   }
 
   /** Conditional [[commit]]: succeeds only if the table's latest
@@ -114,7 +228,8 @@ object Versioned {
   /** Write one fresh uuid segment and return its manifest file lines
     * (stats-suffixed). Shared by [[commit]] and [[rewrite]]. */
   private def writeSegmentLines(spark: SparkSession, fs: FileSystem,
-      root: Path, df: DataFrame): Seq[String] = {
+      root: Path, df: DataFrame,
+      bucket: Option[(String, Int)] = None): Seq[String] = {
     val uuid = java.util.UUID.randomUUID().toString
     val segDir = new Path(root, s"data/$uuid")
     // Segments are written TIMESTAMP_MICROS: Spark's INT96 default
@@ -130,9 +245,32 @@ object Versioned {
     val writerSession = org.apache.spark.sql.GraftShims.cloneSession(spark)
     writerSession.conf.set("spark.sql.parquet.outputTimestampType",
       "TIMESTAMP_MICROS")
-    org.apache.spark.sql.GraftShims.ofRows(writerSession,
+    val writerDf = org.apache.spark.sql.GraftShims.ofRows(writerSession,
       org.apache.spark.sql.GraftShims.planOf(df))
-      .write.parquet(segDir.toString)
+    bucket match {
+      case None => writerDf.write.parquet(segDir.toString)
+      case Some((c, n)) =>
+        import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+        // One distributed pass: the synthetic bucket id both routes
+        // rows (repartition puts each bucket in exactly one task) and
+        // names the staging dir (partitionBy consumes the column, so
+        // data files keep the user schema). Staged `__gb=<id>` dirs are
+        // renamed to `gb-<id>` so the `k=v` pattern never reaches a
+        // reader — Spark would otherwise infer a phantom partition
+        // column on any path-list read of the segment.
+        writerDf
+          .withColumn("__gb", pmod(hash(col(c)), lit(n)))
+          .repartition(n, col("__gb"))
+          .write.partitionBy("__gb").parquet(segDir.toString)
+        fs.listStatus(segDir).foreach { st =>
+          val d = st.getPath.getName
+          if (st.isDirectory && d.startsWith("__gb=")) {
+            val id = d.stripPrefix("__gb=")
+            require(fs.rename(st.getPath, new Path(segDir, s"gb-$id")),
+              s"could not finalize bucket dir $d in $segDir")
+          }
+        }
+    }
     val newAbs = listParquet(fs, segDir)
     // data-skipping stats: one footer read per NEW file (never a data
     // scan), committed atomically on the file's own manifest line.
@@ -612,8 +750,13 @@ object Versioned {
   }
 
   private def listParquet(fs: FileSystem, dir: Path): Seq[String] =
-    fs.listStatus(dir).toSeq.map(_.getPath)
-      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    fs.listStatus(dir).toSeq.flatMap { st =>
+      // one level of bucket dirs (gb-<id>) inside a segment; anything
+      // deeper is not a layout this format writes
+      if (st.isDirectory && st.getPath.getName.startsWith("gb-"))
+        fs.listStatus(st.getPath).toSeq.map(_.getPath)
+      else Seq(st.getPath)
+    }.filter(_.getName.endsWith(".parquet")).map(_.toString)
 
   private def relativize(root: Path, abs: String): String = {
     val r = root.toUri.getPath

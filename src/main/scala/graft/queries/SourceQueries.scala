@@ -332,5 +332,90 @@ object SourceQueries {
           CAST(max(l_orderkey) AS BIGINT) AS max_ok,
           CAST(epoch(max(l_shipdate)) AS BIGINT) AS max_ship_s
         FROM lineitem"""))
+
+    // ---- SPJ1 storage-partitioned join: lineitem and orders committed
+    // co-bucketed (commitBucketed, 8 buckets on the order key), then
+    // joined through the catalog. The scans report
+    // KeyGroupedPartitioning via the catalog's V2 bucket function, so
+    // the join runs with ZERO shuffle on either side (plan-proved in
+    // SpjSpec; the oracle proves the VALUES). At 100 TB the write-time
+    // shuffle is paid once, every later fact-fact join is co-located —
+    // the single biggest join cost at scale.
+    , "spj1_bucketed_join" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val cat = "graft_spj_" + java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffL)
+        val rootDir = stages.computeIfAbsent(s"$dir|spj|root", { _ =>
+          val r = java.nio.file.Files.createTempDirectory("spj").toString
+          graft.operators.Versioned.commitBucketed(
+            t(s, dir, "lineitem").select($"l_orderkey", $"l_quantity",
+              $"l_extendedprice"),
+            s"$r/lake/li", "l_orderkey", 8)
+          graft.operators.Versioned.commitBucketed(
+            t(s, dir, "orders").select($"o_orderkey", $"o_totalprice"),
+            s"$r/lake/ord", "o_orderkey", 8)
+          r
+        })
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", rootDir)
+        // exact-integer money (Exact.cents convention: round then cast)
+        s.sql(s"""SELECT l_orderkey % 10 AS grp,
+            count(*) AS n, sum(l_quantity) AS qty,
+            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS price_c,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS total_c
+          FROM $cat.lake.li JOIN $cat.lake.ord ON l_orderkey = o_orderkey
+          GROUP BY 1""")
+      },
+      Some("""SELECT CAST(l_orderkey % 10 AS BIGINT) AS grp,
+          count(*) AS n, sum(l_quantity) AS qty,
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+            AS price_c,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS total_c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1"""))
+
+    // ---- SPJ2 bucketed grouped aggregate: the same KeyGrouped report
+    // satisfies ClusteredDistribution, so a groupBy on the bucket key
+    // pre-aggregates entirely within buckets — no exchange before the
+    // per-key aggregate (SpjSpec plan-proof). The query folds the
+    // per-key sums to a compact closed-form row the oracle recomputes.
+    , "spj2_bucketed_agg" -> QueryDef(
+      (s, dir) => {
+        val cat = "graft_spj_" + java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffL)
+        // reuse spj1's staged lake (stages map is idempotent per sf dir)
+        val rootDir = stages.get(s"$dir|spj|root") match {
+          case null =>
+            import s.implicits._
+            stages.computeIfAbsent(s"$dir|spj|root", { _ =>
+              val r = java.nio.file.Files.createTempDirectory("spj").toString
+              graft.operators.Versioned.commitBucketed(
+                t(s, dir, "lineitem").select($"l_orderkey", $"l_quantity",
+                  $"l_extendedprice"),
+                s"$r/lake/li", "l_orderkey", 8)
+              graft.operators.Versioned.commitBucketed(
+                t(s, dir, "orders").select($"o_orderkey", $"o_totalprice"),
+                s"$r/lake/ord", "o_orderkey", 8)
+              r
+            })
+          case r => r
+        }
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", rootDir)
+        s.sql(s"""SELECT count(*) AS n_keys, sum(qty) AS total_qty,
+            max(qty) AS max_qty
+          FROM (SELECT l_orderkey, sum(l_quantity) AS qty
+                FROM $cat.lake.li GROUP BY l_orderkey)""")
+      },
+      Some("""SELECT count(*) AS n_keys, sum(qty) AS total_qty,
+          max(qty) AS max_qty
+        FROM (SELECT l_orderkey, sum(l_quantity) AS qty
+              FROM lineitem GROUP BY l_orderkey)"""))
   )
 }

@@ -41,10 +41,25 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * retention goes through VACUUM and roll-back through RESTORE, and
   * SQL cannot silently destroy history the data plane references.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var root: String = _
+
+  /** FunctionCatalog face — the `bucket` function is what lets Spark
+    * resolve a bucketed scan's KeyGroupedPartitioning report and plan
+    * storage-partitioned joins (zero-shuffle co-bucketed joins). */
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(namespace, "bucket"))
+    else Array.empty
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace.isEmpty && ident.name.equalsIgnoreCase("bucket"))
+      GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
@@ -80,7 +95,11 @@ class GraftCatalog extends TableCatalog {
     val reader = ParquetTable(ident.name, spark,
       new CaseInsensitiveStringMap(opts),
       files.toIndexedSeq, None, classOf[ParquetFileFormat])
-    val readTable = new GraftSnapshotReadTable(path, resolved, files, reader)
+    // bucketSpec validates layout (declared AND every file in a bucket
+    // dir) — a half-bucketed version reports None and scans normally
+    val bucket = Versioned.bucketSpec(spark, path, Some(resolved))
+    val readTable = new GraftSnapshotReadTable(path, resolved, files,
+      reader, bucket)
     // latest-version loads are writable (INSERT INTO/OVERWRITE land as
     // manifest commits); a pinned time-travel load stays read-only
     if (version.isEmpty) new GraftWritableTable(path, readTable)
@@ -165,7 +184,8 @@ class GraftCatalog extends TableCatalog {
   * [min,max] windows intersect the query's predicate — decided from
   * ONE manifest read at plan time, no footer probing, no listing. */
 private[sources] class GraftSnapshotReadTable(path: String, version: Long,
-    files: Seq[String], delegate: ParquetTable)
+    files: Seq[String], delegate: ParquetTable,
+    bucket: Option[(String, Int)] = None)
     extends Table with SupportsRead {
   override def name(): String = delegate.name
   override def schema(): StructType = delegate.schema
@@ -173,7 +193,7 @@ private[sources] class GraftSnapshotReadTable(path: String, version: Long,
     delegate.capabilities()
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PruningScanBuilder(SparkSession.active, delegate.name, path,
-      version, files, schema(), options)
+      version, files, schema(), options, bucket)
 }
 
 /** ScanBuilder that intercepts Spark's pushed predicates, drops every
@@ -187,7 +207,8 @@ private[sources] class GraftSnapshotReadTable(path: String, version: Long,
 private[sources] final class PruningScanBuilder(
     spark: SparkSession, tableName: String, tablePath: String,
     version: Long, files: Seq[String], tableSchema: StructType,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    bucket: Option[(String, Int)] = None)
   extends ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -275,7 +296,8 @@ private[sources] final class PruningScanBuilder(
       // over a runtime-pruned file list would change the answer
       if (aggPushed) base
       else new RuntimeSkippingScan(spark, tableName, tablePath, version,
-        builtFiles, tableSchema, options, savedPushed, savedPruned, base)
+        builtFiles, tableSchema, options, savedPushed, savedPruned, base,
+        bucket)
   }
 }
 
@@ -307,10 +329,12 @@ private[sources] final class RuntimeSkippingScan(
     private val pushedCatalyst:
       Seq[org.apache.spark.sql.catalyst.expressions.Expression],
     private val prunedSchema: Option[StructType],
-    initial: org.apache.spark.sql.connector.read.Scan)
+    initial: org.apache.spark.sql.connector.read.Scan,
+    bucketSpec: Option[(String, Int)] = None)
   extends org.apache.spark.sql.connector.read.Scan
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
-  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   import org.apache.spark.sql.connector.read.{Batch, Scan, Statistics, SupportsReportStatistics}
   import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
@@ -324,7 +348,54 @@ private[sources] final class RuntimeSkippingScan(
   private[sources] def delegateScan: Scan = delegate
 
   override def readSchema(): StructType = delegate.readSchema()
-  override def toBatch: Batch = delegate.toBatch
+
+  /** The bucket layout this scan may ADVERTISE: declared on the
+    * version, every (statically pruned) file in a bucket dir, and —
+    * the r4 filterAttributes lesson — the bucket column still present
+    * in the PRUNED output, because Spark resolves the reported
+    * `bucket(n, col)` transform against the scan's output attributes
+    * and a dangling reference is a plan-time crash, not a skipped
+    * optimization. The reported name is the table schema's exact
+    * spelling (meta may differ in case). */
+  private def activeBucket: Option[(String, Int)] =
+    bucketSpec.flatMap { case (c, n) =>
+      val visible = delegate.readSchema().fieldNames
+        .exists(_.equalsIgnoreCase(c))
+      if (!visible) None
+      else tableSchema.fieldNames.find(_.equalsIgnoreCase(c))
+        .filter(_ => currentFiles.forall(f =>
+          graft.operators.Versioned.bucketIdOf(f).isDefined))
+        .map(exact => (exact, n))
+    }
+
+  /** Storage-partitioned-join report: each bucket is one input
+    * partition keyed by its bucket id, clustered by `bucket(n, col)`
+    * (resolved through the catalog's FunctionCatalog face). Two graft
+    * tables committed with the same spec then join with NO exchange on
+    * either side — at 100 TB the write-time shuffle is paid once and
+    * every subsequent fact-fact join is co-located, the lake-format
+    * equivalent of Hive bucketing (Iceberg SPJ is the public
+    * precedent). Unbucketed versions report unknown partitioning,
+    * which Spark treats exactly as before. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    activeBucket match {
+      case Some((c, n)) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions.Expressions
+              .bucket(n, c)),
+            currentFiles.flatMap(graft.operators.Versioned.bucketIdOf)
+              .distinct.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
+
+  override def toBatch: Batch = activeBucket match {
+    case Some(_) => new BucketGroupedBatch(delegate.toBatch)
+    case None => delegate.toBatch
+  }
   override def description(): String = delegate.description()
   override def supportedCustomMetrics():
       Array[org.apache.spark.sql.connector.metric.CustomMetric] =
@@ -519,8 +590,17 @@ private[sources] class GraftWritableTable(path: String,
           new InsertableRelation {
             override def insert(data: org.apache.spark.sql.DataFrame,
                 legacyOverwrite: Boolean): Unit = {
-              Versioned.commit(data, path,
-                if (overwrite || legacyOverwrite) "overwrite" else "append")
+              val mode =
+                if (overwrite || legacyOverwrite) "overwrite" else "append"
+              // SQL writes keep a bucketed table bucketed: an INSERT
+              // that silently de-bucketed would cost every later join
+              // its co-partitioning (Hive/Spark reject such writes;
+              // re-bucketing the increment is strictly better)
+              Versioned.bucketSpec(SparkSession.active, path) match {
+                case Some((c, n)) =>
+                  Versioned.commitBucketed(data, path, c, n, mode)
+                case None => Versioned.commit(data, path, mode)
+              }
               ()
             }
           }

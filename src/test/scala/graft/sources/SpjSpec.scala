@@ -1,0 +1,157 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.Versioned
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+/** Storage-partitioned joins over bucketed graft snapshot tables: the
+  * write-time shuffle (commitBucketed) buys every subsequent
+  * co-bucketed join freedom from BOTH exchanges — asserted on the
+  * physical plan, with results checked against the unbucketed join.
+  * This is the lake-format counterpart of BucketingSpec's Hive-table
+  * proof, on the format that also has time travel / stats skipping. */
+class SpjSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect() // AQE: final plan only materializes after execution
+    def count(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val self = p match {
+        case _: ShuffleExchangeExec => 1
+        case _ => 0
+      }
+      val adaptive = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          count(a.executedPlan)
+        case _ => 0
+      }
+      val reused = p match {
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          count(r.child)
+        case _ => 0
+      }
+      self + adaptive + reused + p.children.map(count).sum +
+        p.subqueries.map(count).sum
+    }
+    count(df.queryExecution.executedPlan)
+  }
+
+  private def freshCat(root: String, tag: String): String = {
+    val cat = s"spj_$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    cat
+  }
+
+  test("co-bucketed fact-fact join runs with zero shuffle exchanges") {
+    val root = tmpDir("spj")
+    val li = graft.Tables(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_quantity", $"l_extendedprice")
+    val ord = graft.Tables(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+    Versioned.commitBucketed(li, s"$root/lake/li", "l_orderkey", 4)
+    Versioned.commitBucketed(ord, s"$root/lake/ord", "o_orderkey", 4)
+    val cat = freshCat(root, "a")
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table(s"$cat.lake.li")
+        .join(spark.table(s"$cat.lake.ord"),
+          $"l_orderkey" === $"o_orderkey")
+        .select($"l_orderkey", $"l_quantity", $"o_totalprice")
+      assert(shuffles(joined) == 0,
+        "co-bucketed join should not shuffle:\n" +
+          joined.queryExecution.executedPlan)
+
+      val expected = li.join(ord, $"l_orderkey" === $"o_orderkey").count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  test("bucketed groupBy on the bucket key also avoids the shuffle") {
+    val root = tmpDir("spj")
+    val li = graft.Tables(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_quantity")
+    Versioned.commitBucketed(li, s"$root/lake/li", "l_orderkey", 4)
+    val cat = freshCat(root, "g")
+    val agg = spark.table(s"$cat.lake.li")
+      .groupBy($"l_orderkey").agg(sum($"l_quantity").as("q"))
+    // KeyGroupedPartitioning satisfies ClusteredDistribution on the key
+    assert(shuffles(agg) == 0,
+      "bucketed groupBy should not shuffle:\n" +
+        agg.queryExecution.executedPlan)
+    val expected = li.groupBy($"l_orderkey")
+      .agg(sum($"l_quantity").as("q")).collect().toSet
+    assert(agg.collect().toSet == expected)
+  }
+
+  test("SQL INSERT INTO keeps the layout; results stay correct") {
+    val root = tmpDir("spj")
+    val ord = graft.Tables(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+    Versioned.commitBucketed(ord.where($"o_orderkey" % 2 === 0),
+      s"$root/lake/ord", "o_orderkey", 4)
+    val cat = freshCat(root, "i")
+    ord.where($"o_orderkey" % 2 === 1).createOrReplaceTempView("spj_odd")
+    spark.sql(s"INSERT INTO $cat.lake.ord SELECT * FROM spj_odd")
+    assert(Versioned.bucketSpec(spark, s"$root/lake/ord")
+      .contains(("o_orderkey", 4)))
+    assert(spark.table(s"$cat.lake.ord").count() == ord.count())
+    // every file of the appended version still parses a bucket id
+    val files = Versioned.versionFiles(spark, s"$root/lake/ord")
+    assert(files.nonEmpty && files.forall(f =>
+      Versioned.bucketIdOf(f).isDefined))
+  }
+
+  test("plain append de-buckets: declaration dropped, scan still correct") {
+    val root = tmpDir("spj")
+    val ord = graft.Tables(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+    Versioned.commitBucketed(ord.limit(100), s"$root/lake/ord",
+      "o_orderkey", 4)
+    Versioned.commit(ord.limit(50), s"$root/lake/ord", "append")
+    assert(Versioned.bucketSpec(spark, s"$root/lake/ord").isEmpty)
+    val cat = freshCat(root, "d")
+    assert(spark.table(s"$cat.lake.ord").count() == 150)
+    // the still-bucketed historical version keeps its declaration
+    assert(Versioned.bucketSpec(spark, s"$root/lake/ord", Some(0L))
+      .contains(("o_orderkey", 4)))
+  }
+
+  test("bucket function matches the write-side layout hash") {
+    val root = tmpDir("spj")
+    val df = Seq((1L, "a"), (2L, "b"), (42L, "c"), (-7L, "d"))
+      .toDF("k", "v")
+    Versioned.commitBucketed(df, s"$root/lake/t", "k", 3)
+    // recompute each row's bucket with the V2 function and check the
+    // file it landed in carries that id
+    val bound = GraftBucketFunction.bind(org.apache.spark.sql.types
+      .StructType(Seq(
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType))))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.functions
+        .ScalarFunction[Integer]]
+    val expected = df.withColumn("b", pmod(hash($"k"), lit(3)))
+      .select($"k", $"b").as[(Long, Int)].collect().toMap
+    expected.foreach { case (k, b) =>
+      val viaFn = bound.produceResult(
+        new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](3, k)))
+      assert(viaFn == b, s"fn($k)=$viaFn, layout=$b")
+    }
+    // and the physical layout agrees: read each bucket dir, check ids
+    val files = Versioned.versionFiles(spark, s"$root/lake/t")
+    files.foreach { f =>
+      val id = Versioned.bucketIdOf(f).get
+      val ks = spark.read.parquet(f).select($"k").as[Long].collect()
+      ks.foreach(k => assert(expected(k) == id,
+        s"row k=$k in bucket dir $id, expected ${expected(k)}"))
+    }
+  }
+}
