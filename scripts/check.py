@@ -145,6 +145,13 @@ def main():
     out_dir, sf_dir = args[0], args[1]
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
+    # Verify-side execution errors (r6+: Verify dumps errors.json so an
+    # erroring query surfaces as `err` instead of a silently missing key)
+    errors = {}
+    err_path = os.path.join(out_dir, "errors.json")
+    if os.path.exists(err_path):
+        with open(err_path) as f:
+            errors = json.load(f)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -154,9 +161,10 @@ def main():
     for name in sorted(oracles):
         spark_path = os.path.join(out_dir, name)
         if not glob.glob(os.path.join(spark_path, "*.parquet")):
-            print(f"FAIL {name}: no spark output")
+            why = errors.get(name, "no spark output")
+            print(f"FAIL {name}: {why}")
             n_fail += 1
-            results[name] = "no-output"
+            results[name] = "err" if name in errors else "no-output"
             continue
         try:
             sdf = con.execute(

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet-backed table registry over the driver-generated testdata
   * (TESTDATA.md). Plays the role of the reference's source scans
@@ -19,17 +21,44 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Event-time normalization. The driver's `events.parquet` encoding
+    * has drifted across rounds — int64 TIMESTAMP(NANOS) (surfaces as
+    * LongType under the legacy nanosAsLong conf), parquet timestamp[us]
+    * without timezone (surfaces as TIMESTAMP_NTZ), or tz-adjusted
+    * micros (TimestampType directly). All three normalize to the same
+    * canonical tz-adjusted TimestampType `ts`: under the UTC session
+    * the NTZ wall-clock IS the UTC instant, and nanos truncate to
+    * micros (the same truncation DuckDB applies). Anything else is a
+    * new drift — fail loudly rather than compute wrong event times.
+    */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts surfaced as $other — expected int64 nanos (LongType), " +
+          "TIMESTAMP_NTZ (parquet timestamp[us] no tz) or TIMESTAMP; the " +
+          "testdata encoding drifted again, extend Tables.normalizeTs")
+    }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    // rejects outright; read it as long nanos and truncate to micros (the
-    // same truncation DuckDB applies), keeping TimestampType downstream.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts DIV 1000)"))
-    else df
+    val path = s"$dir/$name.parquet"
+    if (name != "events") spark.read.parquet(path)
+    else normalizeTs(
+      try spark.read.parquet(path)
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          // TIMESTAMP(NANOS) is rejected by the parquet schema converter
+          // unless the legacy long surface is enabled; scope that conf to
+          // a CHILD session — mutating the shared session's conf is the
+          // race class that broke f3/j4 in round 4.
+          val c = spark.newSession()
+          c.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          c.read.parquet(path)
+      })
   }
 
   /** Register every table as a temp view (the reference exposes staged

@@ -65,7 +65,13 @@ final case class IngestConfig(
     // S4/S6 lake format: Snapshot = Versioned manifest-log tables (the
     // reference's Delta default, from first principles — atomic chunk
     // commits, time travel over ingest runs); Parquet = plain dirs
-    lakeFormat: graft.sources.LakeFormat = graft.sources.LakeFormat.Parquet)
+    lakeFormat: graft.sources.LakeFormat = graft.sources.LakeFormat.Parquet,
+    // table name → (bucketCol, numBuckets): commit these tables with a
+    // bucketed layout (Snapshot format only), so ingest-time chunk
+    // appends pay the layout shuffle ONCE and every downstream
+    // co-bucketed join/aggregate gets the storage-partitioned
+    // zero-exchange path — at 100 TB, the fact-fact join answer
+    bucketSpecs: Map[String, (String, Int)] = Map.empty)
 
 /** The main ingestion pipeline (SURVEY.md §3 E1): config fan-out →
   * per-table watermark resolution → incremental scan → volume routing →
@@ -147,6 +153,9 @@ final class Ingest(spark: SparkSession, source: Source, cfg: IngestConfig,
 
   def runTable(job: TableJob): Long = {
     val paths = PathPlanner.resolve(job.tableSpec, cfg.lakeBasePath, cfg.runDate)
+    // bucketed layout for this table, if configured (C7 contains the
+    // misconfiguration per-table: LakeWriter rejects bucket+Parquet)
+    val bucket = cfg.bucketSpecs.get(paths.table)
     val raw = source.table(spark, paths.table)
 
     // C2 watermark resolution: config override, else schema inference
@@ -182,7 +191,7 @@ final class Ingest(spark: SparkSession, source: Source, cfg: IngestConfig,
       Route.decide(stagedCount, cfg.singleBatchDataLimit, wmCols.nonEmpty) match {
         case Route.Full =>
           LakeWriter.write(staged, paths.filePath, SaveMode.Overwrite,
-            Some(cfg.filesPerChunk), cfg.lakeFormat)
+            Some(cfg.filesPerChunk), cfg.lakeFormat, bucket)
           // full path updates but never inserts (reference quirk,
           // `Ingest:424-426` insertconfig only on chunked)
           commitWatermark(paths.filePath, wmCols, paths.table,
@@ -195,7 +204,8 @@ final class Ingest(spark: SparkSession, source: Source, cfg: IngestConfig,
           val ts = coalesce(wmCols.map(col): _*)
           chunks.foreach { c =>
             LakeWriter.write(staged.where(c.predicate(ts)), paths.filePath,
-              SaveMode.Append, Some(cfg.filesPerChunk), cfg.lakeFormat)
+              SaveMode.Append, Some(cfg.filesPerChunk), cfg.lakeFormat,
+              bucket)
           }
           commitWatermark(paths.filePath, wmCols, paths.table,
             insertIfMissing = true)
@@ -208,7 +218,7 @@ final class Ingest(spark: SparkSession, source: Source, cfg: IngestConfig,
             s"$stagedCount rows loaded in one batch (limit " +
               s"${cfg.singleBatchDataLimit}); add a watermark config")
           LakeWriter.write(staged, paths.filePath, SaveMode.Overwrite,
-            Some(cfg.filesPerChunk), cfg.lakeFormat)
+            Some(cfg.filesPerChunk), cfg.lakeFormat, bucket)
           stagedCount
       }
     } finally staged.unpersist()

@@ -69,6 +69,36 @@ object DiagQueries {
             / 10000.0 AS int_sum
         FROM v""")),
 
+    // Testdata-drift canary (companion to TestdataDriftSpec, which
+    // asserts the footer-level encodings): one row per temporal column
+    // recording the Spark-inferred raw type and the type graft's
+    // normalization surfaces. The encoding has drifted twice already
+    // (r4: conf race; r5: events.ts int64-nanos → timestamp[us]/NTZ
+    // silently broke 7 streaming queries) — this row makes the next
+    // drift visible in the correctness report itself. Rows-only by
+    // design: the VALUE is the diagnostic.
+    "diag3_testdata_encoding" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        def rawType(table: String, colName: String): String =
+          try s.read.parquet(s"$dir/$table.parquet")
+            .schema(colName).dataType.simpleString
+          catch { case scala.util.control.NonFatal(e) =>
+            s"unreadable(${e.getClass.getSimpleName})" }
+        val normalized =
+          try graft.Tables(s, dir, "events").schema("ts").dataType.simpleString
+          catch { case scala.util.control.NonFatal(e) =>
+            s"NORMALIZATION-FAILED(${e.getClass.getSimpleName})" }
+        Seq(
+          ("events", "ts", rawType("events", "ts"), normalized),
+          ("orders", "o_orderdate", rawType("orders", "o_orderdate"),
+            rawType("orders", "o_orderdate")),
+          ("lineitem", "l_shipdate", rawType("lineitem", "l_shipdate"),
+            rawType("lineitem", "l_shipdate")))
+          .toDF("table_name", "column_name", "raw_type", "normalized_type")
+      },
+      None),
+
     "diag2_engine_semantics" -> QueryDef(
       (s, _) => {
         import s.implicits._

@@ -80,10 +80,22 @@ object LakeFormat {
   * live entirely on the read side, so they are implemented in
   * [[LakeReader]] and exercised by IngestSpec's evolution case. */
 object LakeWriter {
+  /** `bucket = Some((col, n))` commits a bucketed physical layout
+    * (Snapshot format only): the write-time shuffle that buys every
+    * subsequent co-bucketed join/aggregate the storage-partitioned
+    * zero-exchange path. Bucketed writes skip the compaction coalesce —
+    * commitBucketed's own repartition(n, bucket) IS the file-count
+    * contract (one file per bucket per segment). */
   def write(df: DataFrame, path: String, mode: SaveMode,
       coalesceTo: Option[Int] = Some(1),
-      format: LakeFormat = LakeFormat.Parquet): Unit = {
-    val d = coalesceTo.map(df.coalesce).getOrElse(df)
+      format: LakeFormat = LakeFormat.Parquet,
+      bucket: Option[(String, Int)] = None): Unit = {
+    require(bucket.isEmpty || format == LakeFormat.Snapshot,
+      "bucketed layout requires LakeFormat.Snapshot (the manifest " +
+        "declares the layout; plain parquet dirs cannot)")
+    val d =
+      if (bucket.isDefined) df
+      else coalesceTo.map(df.coalesce).getOrElse(df)
     format match {
       case LakeFormat.Parquet => d.write.mode(mode).parquet(path)
       case LakeFormat.Snapshot =>
@@ -92,16 +104,19 @@ object LakeWriter {
         // overwrite commit
         val exists = graft.operators.Versioned
           .versions(d.sparkSession, path).nonEmpty
+        def commit(m: String): Unit = bucket match {
+          case Some((c, n)) =>
+            graft.operators.Versioned.commitBucketed(d, path, c, n, m)
+          case None => graft.operators.Versioned.commit(d, path, m)
+        }
         mode match {
-          case SaveMode.Append =>
-            graft.operators.Versioned.commit(d, path, "append")
-          case SaveMode.Overwrite =>
-            graft.operators.Versioned.commit(d, path, "overwrite")
+          case SaveMode.Append => commit("append")
+          case SaveMode.Overwrite => commit("overwrite")
           case SaveMode.ErrorIfExists if exists =>
             throw new IllegalStateException(
               s"snapshot table $path already exists (ErrorIfExists)")
           case SaveMode.Ignore if exists => () // no-op, per contract
-          case _ => graft.operators.Versioned.commit(d, path, "overwrite")
+          case _ => commit("overwrite")
         }
     }
   }

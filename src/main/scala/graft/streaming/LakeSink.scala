@@ -56,6 +56,32 @@ class LakeSinkProvider extends StreamSinkProvider with DataSourceRegister {
   }
 }
 
+object LakeSink {
+  /** Newest committed batchId for `queryId` (−1 if none), plus the
+    * number of manifests the backward walk actually opened. The walk
+    * stops at the FIRST marker belonging to this query, so in
+    * steady-state (this sink is the only writer) it opens exactly one
+    * manifest per batch; interleaved non-sink commits bound it by the
+    * interleave depth since this query's last commit, never by table
+    * history — except a fresh query's very first batch on a table with
+    * no marker of its own, which must prove the negative once.
+    * Exposed for the bounded-scan assertion in ChangeFeedSourceSpec. */
+  private[streaming] def lastCommitted(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      queryId: Option[String]): (Long, Int) = {
+    var scanned = 0
+    val last = Versioned.versions(spark, table).reverseIterator
+      .map { v => scanned += 1; Versioned.readMeta(spark, table, v) }
+      .collectFirst {
+        // newest marker of THIS query, skipping interleaved non-sink
+        // commits and other queries' markers
+        case m if m.contains("batchId") && m.get("queryId") == queryId =>
+          m("batchId").toLong
+      }.getOrElse(-1L)
+    (last, scanned)
+  }
+}
+
 class LakeSink(table: String, mode: String) extends Sink with Logging {
 
   override def name(): String = s"graft-lake [$table]"
@@ -69,14 +95,8 @@ class LakeSink(table: String, mode: String) extends Sink with Logging {
     val queryId = Option(spark.sparkContext.getLocalProperty(
       org.apache.spark.sql.execution.streaming.runtime
         .StreamExecution.QUERY_ID_KEY))
-    val lastCommitted = Versioned.versions(spark, table).reverseIterator
-      .map(v => Versioned.readMeta(spark, table, v))
-      .collectFirst {
-        // newest marker of THIS query, skipping interleaved non-sink
-        // commits and other queries' markers
-        case m if m.contains("batchId") && m.get("queryId") == queryId =>
-          m("batchId").toLong
-      }.getOrElse(-1L)
+    val (lastCommitted, _) =
+      LakeSink.lastCommitted(spark, table, queryId)
     if (batchId <= lastCommitted) {
       logInfo(s"skipping replayed batch $batchId for $table " +
         s"(queryId=$queryId latest committed batchId=$lastCommitted)")

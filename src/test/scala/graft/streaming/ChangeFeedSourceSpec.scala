@@ -189,6 +189,33 @@ class ChangeFeedSourceSpec extends SparkSpec {
     assert(Versioned.versions(spark, t).size == 5)
   }
 
+  test("sink marker lookup is bounded by interleave depth, not table " +
+    "history: steady-state opens exactly one manifest per batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.StreamExecution
+    val t = tmpDir("sinkscan") + "/t"
+    val sink = new LakeSink(t, "append")
+    val sc = spark.sparkContext
+    sc.setLocalProperty(StreamExecution.QUERY_ID_KEY, "q1")
+    try (0 until 8).foreach(b =>
+      sink.addBatch(b, Seq((b, "v")).toDF("k", "v")))
+    finally sc.setLocalProperty(StreamExecution.QUERY_ID_KEY, null)
+    assert(Versioned.versions(spark, t).size == 8)
+    // 8 batches of history, but the next batch's dedup probe reads ONE
+    // manifest: the newest version IS this query's marker
+    val (last1, scanned1) = LakeSink.lastCommitted(spark, t, Some("q1"))
+    assert(last1 == 7 && scanned1 == 1, s"($last1, $scanned1)")
+    // interleaved non-sink commits push the walk back by exactly the
+    // interleave depth — still independent of the 8-deep history
+    Versioned.commit(Seq((100, "x")).toDF("k", "v"), t, "append")
+    Versioned.commit(Seq((101, "y")).toDF("k", "v"), t, "append")
+    val (last2, scanned2) = LakeSink.lastCommitted(spark, t, Some("q1"))
+    assert(last2 == 7 && scanned2 == 3, s"($last2, $scanned2)")
+    // only a fresh query's FIRST batch pays a full-history walk — it
+    // must prove no marker of its own exists, once
+    val (last3, scanned3) = LakeSink.lastCommitted(spark, t, Some("q_new"))
+    assert(last3 == -1L && scanned3 == Versioned.versions(spark, t).size)
+  }
+
   test("an overwrite commit surfaces its new snapshot (file-level " +
     "change-feed semantics, Versioned.changes parity)") {
     val base = tmpDir("cfstream")

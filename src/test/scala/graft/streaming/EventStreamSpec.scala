@@ -11,13 +11,15 @@ import org.apache.spark.sql.types._
 class EventStreamSpec extends SparkSpec {
   import spark.implicits._
 
+  // schema of staged copies written from Tables' normalized events
+  // frame: ts is canonical tz-adjusted TIMESTAMP micros regardless of
+  // the testdata file's physical encoding
   private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
   test("mapGroupsWithState accumulates across micro-batches to batch truth") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stage = java.nio.file.Files.createTempDirectory("stream_in")
     // batch ground truth
     val events = graft.Tables(spark, sfDir, "events")
@@ -33,9 +35,7 @@ class EventStreamSpec extends SparkSpec {
     events.where($"event_id" % 2 =!= 0).write.mode("overwrite")
       .parquet(stage.resolve("b1").toString)
 
-    val src = spark.readStream.schema(
-        StructType(rawSchema.fields.map(f =>
-          if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f)))
+    val src = spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString + "/*")
       .select($"user_id", $"event_id").as[(Long, Long)]
@@ -55,13 +55,12 @@ class EventStreamSpec extends SparkSpec {
   }
 
   test("tumbling windows with watermark finalize in append mode") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stage = java.nio.file.Files.createTempDirectory("stream_win")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(sfDir, "events.parquet"),
-      stage.resolve("events.parquet"))
-    val src = spark.readStream.schema(rawSchema).parquet(stage.toString)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    graft.Tables(spark, sfDir, "events")
+      .select(rawSchema.fieldNames.map(col): _*)
+      .write.parquet(stage.resolve("events").toString)
+    val src = spark.readStream.schema(rawSchema)
+      .parquet(stage.resolve("events").toString)
     val name = "win_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val q = EventStream.tumblingCounts(src, "1 day", "1 hour")
       .writeStream.outputMode(OutputMode.Append())
