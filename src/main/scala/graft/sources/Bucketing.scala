@@ -71,13 +71,21 @@ private[sources] final class BoundBucket(keyType: DataType)
   }
 }
 
-/** Regroups a parquet Batch's FilePartitions into one partition PER
-  * BUCKET, each carrying its bucket id as the partition key — the
-  * shape `SupportsReportPartitioning` promises. Split planning stays
-  * Spark's (a split never crosses files, so never crosses buckets);
-  * only the grouping changes. Reader creation unwraps back to the
-  * inner FilePartition, so the vectorized parquet readers run
-  * untouched. */
+/** Re-keys a parquet Batch's splits by bucket: one partition PER
+  * SPLIT, each carrying its file's bucket id as the partition key —
+  * the shape `SupportsReportPartitioning` promises. Split planning
+  * stays Spark's (a split never crosses files, so never crosses
+  * buckets); Spark's own `BatchScanExec.groupPartitions` then merges
+  * same-key splits into one task in the default mode, and with
+  * `spark.sql.sources.v2.bucketing.partiallyClusteredDistribution
+  * .enabled` keeps a skewed bucket's splits as SEPARATE tasks,
+  * replicating the other side's matching partition across them — at
+  * 100 TB a hot key's bucket can be 100× the median, and split-level
+  * parallelism on it is the difference between one straggler task and
+  * a balanced stage. (Pre-grouping here, as before r6, silently
+  * capped every bucket at one task and made that conf inert.) Reader
+  * creation unwraps back to the inner FilePartition, so the
+  * vectorized parquet readers run untouched. */
 private[sources] final class BucketGroupedBatch(inner: Batch)
     extends Batch {
   private lazy val parts: Array[InputPartition] = {
@@ -86,14 +94,16 @@ private[sources] final class BucketGroupedBatch(inner: Batch)
       case other => throw new IllegalStateException(
         s"bucketed scan expected FilePartition, got ${other.getClass}")
     }
-    files.groupBy(pf => Versioned.bucketIdOf(pf.filePath.toPath.toString)
+    files.map { pf =>
+      val bucket = Versioned.bucketIdOf(pf.filePath.toPath.toString)
         .getOrElse(throw new IllegalStateException(
-          s"unbucketed file in bucketed scan: ${pf.filePath}")))
-      .toArray.sortBy(_._1)
+          s"unbucketed file in bucketed scan: ${pf.filePath}"))
+      (bucket, pf)
+    }.sortBy(_._1)
       .zipWithIndex
-      .map { case ((bucket, fs), i) =>
-        new BucketKeyedPartition(bucket, FilePartition(i, fs))
-      }
+      .map { case ((bucket, pf), i) =>
+        new BucketKeyedPartition(bucket, FilePartition(i, Array(pf)))
+      }.toArray[InputPartition]
   }
   override def planInputPartitions(): Array[InputPartition] = parts
   override def createReaderFactory(): PartitionReaderFactory =

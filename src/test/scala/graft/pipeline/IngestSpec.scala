@@ -135,6 +135,82 @@ class IngestSpec extends SparkSpec {
     assert(wm == expected)
   }
 
+  test("bucketSpecs: ingested tables land co-bucketed and join through " +
+    "the catalog with zero exchanges (SPJ from ingest to analytics)") {
+    import graft.operators.Versioned
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import spark.implicits._
+    val base = tmpDir("ingest")
+    makeSource(s"$base/src")
+    // second fact table sharing the join key (orders): Full route
+    graft.Tables(spark, sfDir, "orders")
+      .select($"o_orderkey".as("id"), $"o_totalprice".as("amt"),
+        $"o_orderdate".as("ModifiedDate"))
+      .write.mode("overwrite").parquet(s"$base/src/billing.parquet")
+    val cfg = IngestConfig(
+      configPath = s"$base/config",
+      watermarkPath = s"$base/watermarks",
+      lakeBasePath = s"$base/lake",
+      auditPath = s"$base/audit",
+      singleBatchDataLimit = 2000,
+      runDate = LocalDate.of(2026, 8, 12),
+      lakeFormat = graft.sources.LakeFormat.Snapshot,
+      bucketSpecs = Map("visits" -> (("id", 4)), "billing" -> (("id", 4))))
+    val configs = new ConfigStore(spark, cfg.configPath)
+    configs.upsert(ConfigValue("dcx_postgresql_db_settings",
+      "clinic_db_name", "clinicdb", is_active = true))
+    configs.upsert(ConfigValue("dcx_postgresql_table_settings",
+      "clinic_tables", "visits,billing", is_active = true))
+    val log = new AuditLog
+    val ingest = new Ingest(spark, new ParquetSource(s"$base/src"), cfg,
+      new LogAlertSink(log), log)
+    assert(ingest.run().exitStatus == "SUCCESS")
+
+    // both tables declare the layout on their LATEST version — visits
+    // went through the CHUNKED route (several bucketed appends),
+    // billing through the Full route (one bucketed overwrite)
+    val visits = s"$base/lake/visits/2026/08/12"
+    val billing = s"$base/lake/billing/2026/08/12"
+    assert(Versioned.versions(spark, visits).size > 1)
+    assert(Versioned.bucketSpec(spark, visits).contains(("id", 4)))
+    assert(Versioned.bucketSpec(spark, billing).contains(("id", 4)))
+
+    // ingest → analytics: the write-time layout carries the join
+    val cat = "spj_ing"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", s"$base/lake")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table(s"$cat.visits.`2026`.`08`.`12`")
+        .join(spark.table(s"$cat.billing.`2026`.`08`.`12`"), "id")
+        .select($"id", $"qty", $"amt")
+      joined.collect()
+      def countShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+        val self = p match { case _: ShuffleExchangeExec => 1; case _ => 0 }
+        val inner = p match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => countShuffles(a.executedPlan)
+          case r: org.apache.spark.sql.execution.exchange
+              .ReusedExchangeExec => countShuffles(r.child)
+          case _ => 0
+        }
+        self + inner + p.children.map(countShuffles).sum
+      }
+      assert(countShuffles(joined.queryExecution.executedPlan) == 0,
+        "ingested co-bucketed join should not shuffle:\n" +
+          joined.queryExecution.executedPlan)
+      val expected = spark.read.parquet(s"$base/src/visits.parquet")
+        .select($"id").join(
+          spark.read.parquet(s"$base/src/billing.parquet").select($"id"),
+          "id").count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("missing-watermark oversize table routes to BulkWarn with alert") {
     import spark.implicits._
     val base = tmpDir("bulk")

@@ -89,6 +89,57 @@ class SpjSpec extends SparkSpec {
     assert(agg.collect().toSet == expected)
   }
 
+  test("skewed bucket keys under partially-clustered distribution: " +
+    "zero shuffles, split-level parallelism preserved on the hot bucket") {
+    val root = tmpDir("spj")
+    // hot key 1L dominates; three append commits → three files per
+    // bucket, so the scan plans multiple splits per bucket key
+    val hot = (1 to 30000).map(_ => (1L, 1.0))
+    val cold = (2L to 200L).map(k => (k, 2.0))
+    val factTable = s"$root/lake/fact"
+    Seq(hot, cold, hot).zipWithIndex.foreach { case (rows, i) =>
+      Versioned.commitBucketed(rows.toDF("k", "v"), factTable, "k", 4,
+        if (i == 0) "overwrite" else "append")
+    }
+    val dim = (1L to 200L).map(k => (k, s"d$k")).toDF("k", "name")
+    Versioned.commitBucketed(dim, s"$root/lake/dim", "k", 4)
+    val cat = freshCat(root, "pc")
+
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val pcKey =
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled"
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(pcKey, "true")
+      val joined = spark.table(s"$cat.lake.fact")
+        .join(spark.table(s"$cat.lake.dim"), "k")
+        .select($"k", $"v", $"name")
+      assert(shuffles(joined) == 0,
+        "partially-clustered co-bucketed join should not shuffle:\n" +
+          joined.queryExecution.executedPlan)
+      assert(joined.count() == (30000L * 2 + 199))
+      // the hot bucket's splits stayed separate tasks: more scan tasks
+      // than buckets on at least one side (pre-r6 the batch pre-grouped
+      // every bucket into exactly one task, making this conf inert)
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[Int] = p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => scans(q.plan)
+        case s: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec => Seq(s.inputRDD.getNumPartitions)
+        case other => other.children.flatMap(scans)
+      }
+      val scanParts = scans(joined.queryExecution.executedPlan)
+      assert(scanParts.nonEmpty && scanParts.exists(_ > 4),
+        s"expected split-level tasks beyond the 4 buckets, got $scanParts")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.unset(pcKey)
+    }
+  }
+
   test("SQL INSERT INTO keeps the layout; results stay correct") {
     val root = tmpDir("spj")
     val ord = graft.Tables(spark, sfDir, "orders")
