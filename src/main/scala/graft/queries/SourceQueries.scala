@@ -417,5 +417,59 @@ object SourceQueries {
           max(qty) AS max_qty
         FROM (SELECT l_orderkey, sum(l_quantity) AS qty
               FROM lineitem GROUP BY l_orderkey)"""))
+
+    // ---- SPJ3 partially-clustered storage-partitioned join: lineitem
+    // committed in TWO bucketed appends (two files per bucket), joined
+    // under spark.sql.sources.v2.bucketing.partiallyClusteredDistribution
+    // — the skew answer for co-bucketed joins: a hot bucket's splits
+    // stay separate tasks and the other side's matching partition is
+    // replicated across them, instead of one straggler task per bucket
+    // (r6 made the scan report per-split partitions so this conf
+    // actually bites; SpjSpec plan-proves zero shuffles + split-level
+    // task counts). Child session scopes the conf away from
+    // concurrently-running queries.
+    , "spj3_partial_clustered_join" -> QueryDef(
+      (s, dir) => {
+        val c = s.newSession()
+        c.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        c.conf.set(
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+        c.conf.set("spark.sql.sources.v2.bucketing" +
+          ".partiallyClusteredDistribution.enabled", "true")
+        import c.implicits._
+        val cat = "graft_pcd_" + java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffL)
+        val rootDir = stages.computeIfAbsent(s"$dir|spj3|root", { _ =>
+          val r = java.nio.file.Files.createTempDirectory("spj3").toString
+          val li = t(c, dir, "lineitem")
+            .select($"l_orderkey", $"l_quantity")
+          // quantity split cuts across keys: every bucket gets rows
+          // from both segment files
+          graft.operators.Versioned.commitBucketed(
+            li.where($"l_quantity" <= 25), s"$r/lake/li", "l_orderkey", 8)
+          graft.operators.Versioned.commitBucketed(
+            li.where($"l_quantity" > 25), s"$r/lake/li", "l_orderkey", 8,
+            "append")
+          graft.operators.Versioned.commitBucketed(
+            t(c, dir, "orders").select($"o_orderkey", $"o_totalprice"),
+            s"$r/lake/ord", "o_orderkey", 8)
+          r
+        })
+        c.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        c.conf.set(s"spark.sql.catalog.$cat.root", rootDir)
+        c.sql(s"""SELECT l_orderkey % 7 AS grp, count(*) AS n,
+            sum(l_quantity) AS qty,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+              AS total_c
+          FROM $cat.lake.li JOIN $cat.lake.ord ON l_orderkey = o_orderkey
+          GROUP BY 1""")
+      },
+      Some("""SELECT CAST(l_orderkey % 7 AS BIGINT) AS grp, count(*) AS n,
+          sum(l_quantity) AS qty,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS total_c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1"""))
   )
 }

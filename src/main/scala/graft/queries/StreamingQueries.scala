@@ -395,6 +395,102 @@ object StreamingQueries {
       Some("""SELECT event_id, user_id, value FROM events
         WHERE event_type = 'purchase'""")),
 
+    // ---- ST12 NATIVE session windows: the engine-owned form of
+    // st2/st3's sessionization — `session_window(ts, gap)` merges
+    // events into [first_ts, last_ts + gap) windows inside the
+    // streaming state store (codegen'd merge, watermark-driven
+    // eviction), where st3 hand-rolls the same semantics in
+    // flatMapGroupsWithState. Append mode emits exactly the sessions
+    // the final watermark (max ts − 1 h) has sealed, so the emitted
+    // set is SQL-predictable: sessions with last_ts + gap <= wm.
+    // Boundary note: Spark opens a NEW session when the inter-event
+    // gap is >= the gap duration (intervals are [start, end)), so the
+    // oracle's islands predicate uses >=, not st2's > (st2 mirrors its
+    // own mapGroups fold, which uses >).
+    "st12_session_window" -> QueryDef(
+      (s, dir) => {
+        val c = streamSession(s)
+        import c.implicits._
+        val name = "st12_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val src = c.readStream.schema(stagedEventsSchema)
+          .parquet(stagedEventsDir(c, dir))
+          .withWatermark("ts", "1 hour")
+        val agg = src
+          .groupBy(session_window($"ts", "30 minutes").as("win"), $"user_id")
+          .agg(count(lit(1)).as("cnt"))
+          .select($"user_id", $"win.start".as("win_start"), $"cnt")
+        val q = agg.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        c.table(name)
+      },
+      Some("""WITH marked AS (
+          SELECT user_id, ts,
+            CASE WHEN prev_ts IS NULL
+              OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+              AS new_sess
+          FROM (SELECT user_id, ts,
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+            FROM events) x),
+        sess AS (
+          SELECT user_id, ts,
+            sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked),
+        agg AS (
+          SELECT user_id, min(ts) AS win_start,
+            max(ts) + INTERVAL 30 MINUTE AS win_end,
+            CAST(count(*) AS BIGINT) AS cnt
+          FROM sess GROUP BY user_id, sid),
+        wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+        SELECT user_id, win_start, cnt FROM agg, wm
+        WHERE win_end <= wm.w""")),
+
+    // ---- ST13 transformWithState (arbitrary stateful processing v2):
+    // st3's sessionization on the Spark 4 replacement API — typed
+    // ValueState in the RocksDB state store, two time-split
+    // micro-batches, state carrying across the batch boundary. Same
+    // gaps-and-islands oracle as st2/st3; the final state per user is
+    // the max update-mode emission.
+    "st13_transform_with_state" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        val c = streamSession(s)
+        // the v2 API's production pairing: off-heap hot state +
+        // changelog checkpoints (the HDFS-backed default holds every
+        // key on-heap — the wrong shape for 100 TB key cardinality)
+        c.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state" +
+            ".RocksDBStateStoreProvider")
+        import c.implicits._
+        val name = "st13_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val src = c.readStream
+          .schema(StructType(Seq(StructField("user_id", LongType),
+            StructField("us", LongType))))
+          .option("maxFilesPerTrigger", "1")
+          .parquet(st3StageDir(c, dir))
+        val out = src.as[(Long, Long)].groupByKey(_._1)
+          .transformWithState(
+            new graft.streaming.SessionCountProcessor(30L * 60 * 1000000),
+            TimeMode.None(), OutputMode.Update())
+        val q = out.toDF("user_id", "n_sessions", "n_events")
+          .writeStream.outputMode("update").format("memory")
+          .queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        c.table(name).groupBy($"user_id")
+          .agg(max($"n_sessions").as("n_sessions"),
+            max($"n_events").as("n_events"))
+      },
+      Some("""SELECT user_id,
+        CAST(sum(CASE WHEN prev_ts IS NULL
+            OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_sessions,
+        CAST(count(*) AS BIGINT) AS n_events
+        FROM (SELECT user_id, ts,
+            lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+          FROM events) t
+        GROUP BY user_id""")),
+
     // ---- ST2 sessionization with 30-minute inactivity gap: one shuffle
     // by user_id, per-user sorted fold (the state a
     // flatMapGroupsWithState session would hold, computed batch-side)
