@@ -199,13 +199,21 @@ object Versioned {
     * caller recomputes against the new latest or gives up, exactly
     * like [[rewrite]]'s internal retry. */
   def commitIf(df: DataFrame, table: String, mode: String,
-      meta: Map[String, String], expectedBase: Long): Option[Long] = {
+      meta: Map[String, String], expectedBase: Long,
+      bucket: Option[(String, Int)] = None,
+      sortWithinBuckets: Seq[String] = Nil): Option[Long] = {
     require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
+    require(sortWithinBuckets.isEmpty || bucket.isDefined,
+      "sortWithinBuckets requires a bucket layout (the sort columns " +
+        "are dropped by the bucketed write path)")
     val spark = df.sparkSession
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val newLines = writeSegmentLines(spark, fs, root, df)
-    try Some(commitManifest(fs, root, meta, { base =>
+    val newLines = writeSegmentLines(spark, fs, root, df, bucket,
+      sortWithinBuckets)
+    val fullMeta =
+      meta ++ bucket.map { case (c, n) => BucketKey -> s"$c/$n" }
+    try Some(commitManifest(fs, root, fullMeta, { base =>
       if (base != Some(expectedBase)) throw new RewriteConflict
       val prevLines =
         if (mode == "append") base.toSeq.flatMap(v => readFileLines(fs, root, v))
@@ -227,9 +235,15 @@ object Versioned {
 
   /** Write one fresh uuid segment and return its manifest file lines
     * (stats-suffixed). Shared by [[commit]] and [[rewrite]]. */
+  /** `sortWithinBuckets` names TEMPORARY columns of `df` (bucketed
+    * form only): rows are sorted by them within each bucket task and
+    * the columns are DROPPED before the write — the within-bucket
+    * clustering hook OPTIMIZE ZORDER uses on bucketed tables (the
+    * projection after the sort is narrow, so file order survives). */
   private def writeSegmentLines(spark: SparkSession, fs: FileSystem,
       root: Path, df: DataFrame,
-      bucket: Option[(String, Int)] = None): Seq[String] = {
+      bucket: Option[(String, Int)] = None,
+      sortWithinBuckets: Seq[String] = Nil): Seq[String] = {
     val uuid = java.util.UUID.randomUUID().toString
     val segDir = new Path(root, s"data/$uuid")
     // Segments are written TIMESTAMP_MICROS: Spark's INT96 default
@@ -261,6 +275,8 @@ object Versioned {
         writerDf
           .withColumn("__gb", pmod(hash(col(c)), lit(n)))
           .repartition(n, col("__gb"))
+          .sortWithinPartitions(("__gb" +: sortWithinBuckets).map(col): _*)
+          .drop(sortWithinBuckets: _*)
           .write.partitionBy("__gb").parquet(segDir.toString)
         fs.listStatus(segDir).foreach { st =>
           val d = st.getPath.getName
@@ -337,12 +353,21 @@ object Versioned {
             .emptyRDD[org.apache.spark.sql.Row], fullSchema)
         else spark.read.schema(fullSchema).parquet(touchedFiles: _*)
       val matched = subset.where(cond).count()
+      // A bucketed base version keeps its layout through DML: the
+      // replacement segment is written with the same bucket routing
+      // (an UPDATE of the bucket column itself re-routes those rows to
+      // their new correct bucket), and the declaration rides the new
+      // manifest — otherwise one UPDATE silently discards the layout a
+      // table paid a write-time shuffle for.
+      val spec = bucketSpec(spark, table, Some(v))
       val newLines =
         if (matched == 0L) Nil
-        else writeSegmentLines(spark, fs, root, transform(subset))
+        else writeSegmentLines(spark, fs, root, transform(subset), spec)
+      val fullMeta =
+        meta ++ spec.map { case (c, n) => BucketKey -> s"$c/$n" }
       val committed =
         try {
-          commitManifest(fs, root, meta, { base =>
+          commitManifest(fs, root, fullMeta, { base =>
             if (base != Some(v)) throw new RewriteConflict
             // no-match: metadata-only (lines carried verbatim)
             if (matched == 0L) lines else carried ++ newLines

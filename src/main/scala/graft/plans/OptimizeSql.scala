@@ -462,16 +462,42 @@ case class OptimizeVersionedCommand(path: String, zorderCols: Seq[String],
         throw new IllegalArgumentException(s"no committed version in $path"))
       val before = Versioned.versionFiles(spark, path, Some(base)).size
       val df = Versioned.read(spark, path, Some(base))
-      val rewritten =
-        if (zorderCols.nonEmpty) {
-          val n = files.getOrElse(math.max(1, before))
-          Clustering.withZValue(df, zorderCols)
-            .repartitionByRange(n, col("__z"))
-            .sortWithinPartitions("__z")
-            .drop("__z")
-        } else df.coalesce(files.getOrElse(1))
-      Versioned.commitIf(rewritten, path, "overwrite",
-        Map("operation" -> "optimize"), expectedBase = base) match {
+      // A bucketed base version keeps its layout through maintenance:
+      // compaction rewrites each bucket to one file and ZORDER
+      // clusters WITHIN buckets (the bucket hash is the
+      // macro-clustering; the z-sort orders inside it), so OPTIMIZE
+      // never silently destroys the storage-partitioned-join layout a
+      // table paid a write-time shuffle for. `INTO n FILES` is
+      // meaningless under a fixed bucket count and is rejected rather
+      // than half-honored. Unbucketed tables rewrite exactly as
+      // before.
+      val spec = Versioned.bucketSpec(spark, path, Some(base))
+      val committed = spec match {
+        case Some((bc, n)) =>
+          require(files.isEmpty,
+            s"OPTIMIZE INTO FILES on bucketed table $path: the layout " +
+              s"fixes the segment at $n bucket files; drop the INTO " +
+              "clause (or de-bucket with a plain commit first)")
+          val (rdf, sortCols) =
+            if (zorderCols.nonEmpty)
+              (Clustering.withZValue(df, zorderCols), Seq("__z"))
+            else (df, Nil)
+          Versioned.commitIf(rdf, path, "overwrite",
+            Map("operation" -> "optimize"), expectedBase = base,
+            bucket = Some((bc, n)), sortWithinBuckets = sortCols)
+        case None =>
+          val rewritten =
+            if (zorderCols.nonEmpty) {
+              val n = files.getOrElse(math.max(1, before))
+              Clustering.withZValue(df, zorderCols)
+                .repartitionByRange(n, col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            } else df.coalesce(files.getOrElse(1))
+          Versioned.commitIf(rewritten, path, "overwrite",
+            Map("operation" -> "optimize"), expectedBase = base)
+      }
+      committed match {
         case Some(v) =>
           val after = Versioned.versionFiles(spark, path, Some(v)).size
           return Seq(Row(v, before.toLong, after.toLong))

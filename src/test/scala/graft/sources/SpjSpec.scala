@@ -173,6 +173,94 @@ class SpjSpec extends SparkSpec {
       .contains(("o_orderkey", 4)))
   }
 
+  test("OPTIMIZE preserves the bucket layout: compaction merges per " +
+    "bucket, ZORDER clusters within buckets, SPJ survives maintenance") {
+    val root = tmpDir("spj")
+    val ord = graft.Tables(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+    val table = s"$root/lake/ord"
+    // three bucketed appends → three files per bucket
+    Versioned.commitBucketed(ord.where($"o_orderkey" % 3 === 0),
+      table, "o_orderkey", 4)
+    Versioned.commitBucketed(ord.where($"o_orderkey" % 3 === 1),
+      table, "o_orderkey", 4, "append")
+    Versioned.commitBucketed(ord.where($"o_orderkey" % 3 === 2),
+      table, "o_orderkey", 4, "append")
+    assert(Versioned.versionFiles(spark, table).size == 12)
+
+    val res = spark.sql(s"OPTIMIZE '$table' COMPACT").collect()
+    assert(res.head.getLong(1) == 12 && res.head.getLong(2) == 4,
+      res.mkString)
+    // layout survives: declaration intact, every file in a bucket dir
+    assert(Versioned.bucketSpec(spark, table).contains(("o_orderkey", 4)))
+    assert(spark.read.parquet(
+        Versioned.versionFiles(spark, table): _*).count() == ord.count())
+
+    // ZORDER keeps the layout too (clusters within buckets)
+    spark.sql(s"OPTIMIZE '$table' ZORDER BY (o_totalprice)").collect()
+    assert(Versioned.bucketSpec(spark, table).contains(("o_orderkey", 4)))
+    assert(Versioned.read(spark, table).count() == ord.count())
+
+    // and the maintained table still joins with zero exchanges
+    val li = graft.Tables(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_quantity")
+    Versioned.commitBucketed(li, s"$root/lake/li", "l_orderkey", 4)
+    val cat = freshCat(root, "opt")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table(s"$cat.lake.li")
+        .join(spark.table(s"$cat.lake.ord"),
+          $"l_orderkey" === $"o_orderkey")
+      assert(shuffles(joined) == 0,
+        "post-OPTIMIZE co-bucketed join should not shuffle:\n" +
+          joined.queryExecution.executedPlan)
+      assert(joined.count() ==
+        li.join(ord, $"l_orderkey" === $"o_orderkey").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    // INTO n FILES is rejected on a bucketed table, not half-honored
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"OPTIMIZE '$table' COMPACT INTO 2 FILES").collect()
+    }
+    assert(e.getMessage.contains("bucketed"))
+  }
+
+  test("copy-on-write DML preserves the bucket layout: UPDATE and " +
+    "DELETE rewrite touched rows into their buckets") {
+    val root = tmpDir("spj")
+    val table = s"$root/lake/t"
+    val df = (1L to 1000L).map(k => (k, k.toDouble)).toDF("k", "v")
+    Versioned.commitBucketed(df, table, "k", 4)
+
+    spark.sql(s"UPDATE '$table' SET v = 0.0 WHERE k <= 10").collect()
+    assert(Versioned.bucketSpec(spark, table).contains(("k", 4)),
+      "UPDATE dropped the bucket declaration")
+    val afterUpdate = Versioned.read(spark, table)
+    assert(afterUpdate.where($"v" === 0.0).count() == 10)
+    assert(afterUpdate.count() == 1000)
+    // every file (carried + replacement) still parses a bucket id
+    assert(Versioned.versionFiles(spark, table).forall(f =>
+      Versioned.bucketIdOf(f).isDefined))
+
+    spark.sql(s"DELETE FROM '$table' WHERE k > 990").collect()
+    assert(Versioned.bucketSpec(spark, table).contains(("k", 4)),
+      "DELETE dropped the bucket declaration")
+    assert(Versioned.read(spark, table).count() == 990)
+
+    // rows rewritten by DML are still in the CORRECT bucket dir: the
+    // V2 function and the file placement must agree post-DML
+    val expected = Versioned.read(spark, table)
+      .withColumn("b", pmod(hash($"k"), lit(4)))
+      .select($"k", $"b").as[(Long, Int)].collect().toMap
+    Versioned.versionFiles(spark, table).foreach { f =>
+      val id = Versioned.bucketIdOf(f).get
+      spark.read.parquet(f).select($"k").as[Long].collect()
+        .foreach(k => assert(expected(k) == id,
+          s"post-DML row k=$k in bucket $id, expected ${expected(k)}"))
+    }
+  }
+
   test("bucket function matches the write-side layout hash") {
     val root = tmpDir("spj")
     val df = Seq((1L, "a"), (2L, "b"), (42L, "c"), (-7L, "d"))
