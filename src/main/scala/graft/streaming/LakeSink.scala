@@ -52,7 +52,19 @@ class LakeSinkProvider extends StreamSinkProvider with DataSourceRegister {
     val mode = params.getOrElse("mode", "append")
     require(mode == "append" || mode == "overwrite",
       s"graft-lake mode must be append or overwrite, got '$mode'")
-    new LakeSink(path, mode)
+    // optional bucketed layout: every micro-batch commits with the
+    // same bucket routing, so the streamed table is co-bucketable
+    // with batch tables and joins downstream with zero exchanges —
+    // streaming ingestion paying the layout shuffle per batch instead
+    // of a giant retroactive rewrite
+    val bucket = (params.get("bucketcolumn"), params.get("numbuckets")) match {
+      case (Some(c), Some(n)) => Some((c, n.toInt))
+      case (None, None) => None
+      case _ => throw new IllegalArgumentException(
+        "graft-lake bucketing needs BOTH .option(\"bucketColumn\", c) " +
+          "and .option(\"numBuckets\", n)")
+    }
+    new LakeSink(path, mode, bucket)
   }
 }
 
@@ -82,7 +94,8 @@ object LakeSink {
   }
 }
 
-class LakeSink(table: String, mode: String) extends Sink with Logging {
+class LakeSink(table: String, mode: String,
+    bucket: Option[(String, Int)] = None) extends Sink with Logging {
 
   override def name(): String = s"graft-lake [$table]"
 
@@ -106,9 +119,13 @@ class LakeSink(table: String, mode: String) extends Sink with Logging {
     // IncrementalExecution — new actions on it (like a parquet write)
     // must go through a re-wrapped batch frame over the same rows
     val batch = org.apache.spark.sql.GraftShims.unstream(data)
-    Versioned.commit(batch, table, mode,
-      meta = Map("batchId" -> batchId.toString) ++
-        queryId.map("queryId" -> _))
+    val meta = Map("batchId" -> batchId.toString) ++
+      queryId.map("queryId" -> _)
+    bucket match {
+      case Some((c, n)) =>
+        Versioned.commitBucketed(batch, table, c, n, mode, meta)
+      case None => Versioned.commit(batch, table, mode, meta)
+    }
     ()
   }
 }

@@ -189,6 +189,49 @@ class ChangeFeedSourceSpec extends SparkSpec {
     assert(Versioned.versions(spark, t).size == 5)
   }
 
+  test("bucketed streaming sink: each micro-batch commits the bucket " +
+    "layout, so a streamed table is co-bucketable with batch tables") {
+    val base = tmpDir("lakebucket")
+    val stage = s"$base/in"; val t = s"$base/t"; val cp = s"$base/cp"
+    // two pinned-mtime files → two deterministic micro-batches
+    Seq(0, 1).foreach { i =>
+      val tmp = java.nio.file.Paths.get(stage, s"tmp$i")
+      (1L to 100L).map(k => (k + i * 100L, s"v$i"))
+        .toDF("k", "v").coalesce(1).write.parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst.get
+      val dst = java.nio.file.Paths.get(stage, s"b$i.parquet")
+      java.nio.file.Files.move(f, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          1000000000000L + i * 60000L))
+    }
+    val src = spark.readStream
+      .schema("k LONG, v STRING")
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val q = src.writeStream.format("graft-lake")
+      .option("path", t)
+      .option("bucketColumn", "k").option("numBuckets", "4")
+      .option("checkpointLocation", cp)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    // one version per batch, every version declaring the layout
+    val vs = Versioned.versions(spark, t)
+    assert(vs.size == 2, vs.toString)
+    assert(Versioned.bucketSpec(spark, t).contains(("k", 4)))
+    assert(Versioned.read(spark, t).count() == 200)
+    // placement agrees with the declared hash
+    val expected = Versioned.read(spark, t)
+      .withColumn("b", pmod(hash($"k"), lit(4)))
+      .select($"k", $"b").as[(Long, Int)].collect().toMap
+    Versioned.versionFiles(spark, t).foreach { f =>
+      val id = Versioned.bucketIdOf(f).get
+      spark.read.parquet(f).select($"k").as[Long].collect()
+        .foreach(k => assert(expected(k) == id))
+    }
+  }
+
   test("sink marker lookup is bounded by interleave depth, not table " +
     "history: steady-state opens exactly one manifest per batch") {
     import org.apache.spark.sql.execution.streaming.runtime.StreamExecution
