@@ -301,7 +301,8 @@ case class DescribeDetailCommand(path: String) extends LeafRunnableCommand {
       AttributeReference("n_versions", LongType, nullable = false)(),
       AttributeReference("n_files", LongType, nullable = false)(),
       AttributeReference("size_bytes", LongType, nullable = false)(),
-      AttributeReference("n_rows", LongType, nullable = true)())
+      AttributeReference("n_rows", LongType, nullable = true)(),
+      AttributeReference("bucket_spec", StringType, nullable = true)())
 
   override def run(spark: SparkSession): Seq[Row] = {
     import graft.operators.Versioned
@@ -316,8 +317,12 @@ case class DescribeDetailCommand(path: String) extends LeafRunnableCommand {
     val rows: Any =
       if (files.forall(stats.contains)) files.map(stats(_).rows).sum
       else null
+    // surfacing the layout here is what lets an operator ASK whether a
+    // table still carries its storage-partitioned-join contract
+    val bucket = Versioned.bucketSpec(spark, path)
+      .map { case (c, n) => s"bucket($n, $c)" }.orNull
     Seq(Row(path, versions.last, versions.size.toLong,
-      files.size.toLong, bytes, rows))
+      files.size.toLong, bytes, rows, bucket))
   }
 }
 

@@ -491,6 +491,94 @@ object StreamingQueries {
           FROM events) t
         GROUP BY user_id""")),
 
+    // ---- ST14 stream-static join: the events stream enriched against
+    // a BATCH dimension (customer) under broadcast — the engine
+    // re-resolves the static side per micro-batch, no state is kept
+    // for it, and the broadcast means zero shuffle on the unbounded
+    // side: exactly how a 100 TB/day stream joins a dimension table.
+    "st14_stream_static_join" -> QueryDef(
+      (s, dir) => {
+        val c = streamSession(s)
+        import c.implicits._
+        val name = "st14_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val dim = Tables(c, dir, "customer")
+          .select($"c_custkey", $"c_nationkey")
+        val src = c.readStream.schema(stagedEventsSchema)
+          .parquet(stagedEventsDir(c, dir))
+        val agg = src.join(broadcast(dim), $"user_id" === $"c_custkey")
+          .groupBy($"c_nationkey")
+          .agg(count(lit(1)).as("cnt"),
+            round(sum($"value"), 2).as("sum_value"))
+        val q = agg.writeStream.outputMode("complete")
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        c.table(name)
+      },
+      Some("""SELECT c_nationkey, count(*) AS cnt,
+          round(sum(value), 2) AS sum_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY 1""")),
+
+    // ---- ST15 watermarked stream-stream LEFT OUTER join: st7's
+    // interval join with the outer semantics that make state eviction
+    // OBSERVABLE — a click with no purchase in its hour emits a
+    // null-extended row only once the joint watermark (min of both
+    // streams' max ts − 1 h) has passed its whole match window, i.e.
+    // the engine can PROVE no match is coming. The final no-data batch
+    // flushes exactly the SQL-predictable expired set; unexpired
+    // unmatched clicks emit nothing.
+    "st15_stream_outer_join" -> QueryDef(
+      (s, dir) => {
+        val c = streamSession(s)
+        import c.implicits._
+        val name = "st15_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        def src = c.readStream.schema(stagedEventsSchema)
+          .parquet(stagedEventsDir(c, dir))
+        val clicks = src.where($"event_type" === "click")
+          .select($"user_id".as("c_user"), $"ts".as("c_ts"))
+          .withWatermark("c_ts", "1 hour")
+        val purchases = src.where($"event_type" === "purchase")
+          .select($"user_id".as("p_user"), $"ts".as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val joined = clicks.join(purchases,
+          $"c_user" === $"p_user" && $"p_ts" >= $"c_ts" &&
+            $"p_ts" <= $"c_ts" + expr("INTERVAL 1 HOUR"),
+          "leftOuter")
+        val q = joined.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        c.table(name).groupBy($"c_user".as("user_id"))
+          .agg(count($"p_ts").as("pairs"),
+            count(when($"p_ts".isNull, 1)).as("expired_unmatched"))
+      },
+      Some("""WITH wm AS (
+          SELECT least(
+              (SELECT max(ts) FROM events WHERE event_type = 'click'),
+              (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+            - INTERVAL 1 HOUR AS w),
+        clicks AS (
+          SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'),
+        purchases AS (
+          SELECT user_id, ts AS p_ts FROM events
+          WHERE event_type = 'purchase'),
+        per_click AS (
+          SELECT c.user_id, c.c_ts,
+            (SELECT count(*) FROM purchases p
+              WHERE p.user_id = c.user_id
+                AND p.p_ts >= c.c_ts
+                AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR) AS m
+          FROM clicks c)
+        SELECT user_id,
+          CAST(sum(m) AS BIGINT) AS pairs,
+          CAST(sum(CASE WHEN m = 0
+              AND c_ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+            THEN 1 ELSE 0 END) AS BIGINT) AS expired_unmatched
+        FROM per_click
+        GROUP BY user_id
+        HAVING sum(m) > 0 OR sum(CASE WHEN m = 0
+            AND c_ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+          THEN 1 ELSE 0 END) > 0""")),
+
     // ---- ST2 sessionization with 30-minute inactivity gap: one shuffle
     // by user_id, per-user sorted fold (the state a
     // flatMapGroupsWithState session would hold, computed batch-side)

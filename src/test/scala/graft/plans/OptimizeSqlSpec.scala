@@ -265,6 +265,12 @@ class OptimizeSqlSpec extends SparkSpec {
     assert(d.getLong(1) == 1L && d.getLong(2) == 2L) // version, n_versions
     assert(d.getLong(3) == 2L && d.getLong(4) > 0L) // n_files, size_bytes
     assert(d.getLong(5) == 8L, "row count from stats, no scan")
+    assert(d.isNullAt(6), "unbucketed table reports no bucket_spec")
+    // a bucketed table SURFACES its layout contract
+    val tb = tmpDir("detb") + "/t"
+    Versioned.commitBucketed((1L to 20L).toDF("k"), tb, "k", 4)
+    assert(spark.sql(s"DESCRIBE DETAIL '$tb'").collect().head
+      .getString(6) == "bucket(4, k)")
     // strip one file line's stats -> row count degrades to NULL
     val root = new org.apache.hadoop.fs.Path(t)
     val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
