@@ -462,8 +462,13 @@ object Versioned {
     // data-skipping stats
     val lines = readFileLines(fs, root, v) // throws if v was vacuumed/absent
     require(lines.nonEmpty, s"version $v of $table is empty")
+    // a restore reinstates v's LAYOUT CONTRACT along with its files:
+    // dropping the bucket declaration here would silently de-bucket a
+    // table whose restored files are in fact still perfectly bucketed
+    val spec = parseBucketMeta(readMeta(spark, table, v))
     commitManifest(fs, root,
-      Map("operation" -> "restore", "restore_of" -> v.toString),
+      Map("operation" -> "restore", "restore_of" -> v.toString) ++
+        spec.map { case (c, n) => BucketKey -> s"$c/$n" },
       _ => lines)
   }
 

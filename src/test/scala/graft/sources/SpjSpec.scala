@@ -261,6 +261,26 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("RESTORE reinstates the bucket declaration of the restored " +
+    "version; restoring a pre-bucketing version honestly drops it") {
+    val root = tmpDir("spj")
+    val table = s"$root/lake/t"
+    val df = (1L to 100L).map(k => (k, k.toDouble)).toDF("k", "v")
+    Versioned.commit(df, table)                       // v0: unbucketed
+    Versioned.commitBucketed(df, table, "k", 4)       // v1: bucketed
+    Versioned.commit(df.limit(10), table)             // v2: plain overwrite
+    assert(Versioned.bucketSpec(spark, table).isEmpty)
+
+    spark.sql(s"RESTORE '$table' TO VERSION 1").collect()
+    assert(Versioned.bucketSpec(spark, table).contains(("k", 4)),
+      "restore of a bucketed version must reinstate the layout contract")
+    assert(Versioned.read(spark, table).count() == 100)
+
+    spark.sql(s"RESTORE '$table' TO VERSION 0").collect()
+    assert(Versioned.bucketSpec(spark, table).isEmpty,
+      "restore of an unbucketed version must not invent a layout")
+  }
+
   test("bucket function matches the write-side layout hash") {
     val root = tmpDir("spj")
     val df = Seq((1L, "a"), (2L, "b"), (42L, "c"), (-7L, "d"))
