@@ -286,6 +286,14 @@ object Versioned {
               s"could not finalize bucket dir $d in $segDir")
           }
         }
+        // EMPTY bucketed commit (CREATE TABLE ... PARTITIONED BY
+        // bucket): the dynamic-partition writer emits no files for
+        // zero rows, but an empty version still needs a
+        // schema-carrying file, and the declaration needs every file
+        // in a bucket dir — so the carrier lands in bucket 0.
+        if (listParquet(fs, segDir).isEmpty)
+          writerDf.limit(0).coalesce(1).write.mode("append")
+            .parquet(new Path(segDir, "gb-0").toString)
     }
     val newAbs = listParquet(fs, segDir)
     // data-skipping stats: one footer read per NEW file (never a data

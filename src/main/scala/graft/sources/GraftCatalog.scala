@@ -143,13 +143,30 @@ class GraftCatalog extends TableCatalog
 
   /** CREATE TABLE / the create half of CTAS: committed as version 0
     * with an empty segment carrying the schema, so the subsequent
-    * INSERT (or a later append) is just the next manifest commit. */
+    * INSERT (or a later append) is just the next manifest commit.
+    * `PARTITIONED BY (bucket(n, col))` declares the storage-
+    * partitioned-join layout from birth — version 0 commits bucketed
+    * (empty, schema-carrying) and every INSERT inherits the routing,
+    * the declarative SQL face of [[Versioned.commitBucketed]] (the
+    * same DDL shape Iceberg's bucket partition transform uses). Other
+    * transforms are rejected: the lake's layout vocabulary is bucket
+    * hashing; temporal/range organization comes from stats skipping
+    * and OPTIMIZE ZORDER instead. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    if (partitions.nonEmpty) throw new UnsupportedOperationException(
-      "graft snapshot tables do not take CREATE-time partitioning " +
-        "(physical layout is per-commit; see Versioned)")
+    val bucket = partitions match {
+      case Array() => None
+      case Array(t) =>
+        Some(org.apache.spark.sql.GraftShims.bucketTransformSpec(t)
+          .getOrElse(throw new UnsupportedOperationException(
+            s"graft snapshot tables support only PARTITIONED BY " +
+              s"(bucket(n, col)), got $t; other layouts come from " +
+              "stats skipping and OPTIMIZE ZORDER")))
+      case _ => throw new UnsupportedOperationException(
+        "graft snapshot tables support only a single bucket(n, col) " +
+          "partition transform")
+    }
     val spark = SparkSession.active
     val path = tablePath(ident)
     if (Versioned.versions(spark, path).nonEmpty)
@@ -157,8 +174,12 @@ class GraftCatalog extends TableCatalog
         .TableAlreadyExistsException((ident.namespace :+ ident.name).toSeq)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    Versioned.commit(empty, path, "overwrite",
-      meta = Map("operation" -> "create"))
+    bucket match {
+      case Some((c, n)) => Versioned.commitBucketed(empty, path, c, n,
+        "overwrite", meta = Map("operation" -> "create"))
+      case None => Versioned.commit(empty, path, "overwrite",
+        meta = Map("operation" -> "create"))
+    }
     loadTable(ident)
   }
 

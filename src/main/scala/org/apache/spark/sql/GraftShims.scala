@@ -53,6 +53,18 @@ object GraftShims {
     classic.Dataset.ofRows(cs, LogicalRelation(rel, isStreaming = true))
   }
 
+  /** Destructure a DDL `bucket(n, col)` partition transform
+    * (BucketTransform is private[sql]): Some((colName, n)) for a
+    * single-column bucket transform, None for anything else. */
+  def bucketTransformSpec(
+      t: org.apache.spark.sql.connector.expressions.Transform)
+      : Option[(String, Int)] = t match {
+    case org.apache.spark.sql.connector.expressions.BucketTransform(
+        numBuckets, Seq(col), Seq()) =>
+      Some((col.fieldNames.mkString("."), numBuckets))
+    case _ => None
+  }
+
   /** Re-wrap the DataFrame a v1 streaming Sink receives as a plain
     * batch frame over the SAME computed rows (the ForeachBatchSink
     * device: LogicalRDD over queryExecution.toRdd, isStreaming=false)

@@ -281,6 +281,45 @@ class SpjSpec extends SparkSpec {
       "restore of an unbucketed version must not invent a layout")
   }
 
+  test("CREATE TABLE PARTITIONED BY (bucket(n, col)) declares the " +
+    "layout from birth and INSERTs inherit it") {
+    val root = tmpDir("spj")
+    val cat = freshCat(root, "ddl")
+    spark.sql(s"CREATE TABLE $cat.lake.t (k BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(4, k))")
+    val table = s"$root/lake/t"
+    // declared and placement-valid while still EMPTY
+    assert(Versioned.bucketSpec(spark, table).contains(("k", 4)))
+    assert(spark.table(s"$cat.lake.t").count() == 0)
+
+    spark.sql(s"INSERT INTO $cat.lake.t " +
+      "SELECT id AS k, id * 1.0 AS v FROM range(1000)")
+    assert(Versioned.bucketSpec(spark, table).contains(("k", 4)))
+    assert(spark.table(s"$cat.lake.t").count() == 1000)
+    // inserted rows routed by the declared hash
+    val expected = spark.range(1000)
+      .select($"id", pmod(hash($"id"), lit(4)).as("b"))
+      .as[(Long, Int)].collect().toMap
+    Versioned.versionFiles(spark, table)
+      .filter(f => spark.read.parquet(f).count() > 0)
+      .foreach { f =>
+        val id = Versioned.bucketIdOf(f).get
+        spark.read.parquet(f).select($"k").as[Long].collect()
+          .foreach(k => assert(expected(k) == id))
+      }
+    // the born-bucketed table aggregates on its key with no exchange
+    val agg = spark.table(s"$cat.lake.t")
+      .groupBy($"k").agg(sum($"v").as("s"))
+    assert(shuffles(agg) == 0,
+      "bucketed groupBy should not shuffle:\n" +
+        agg.queryExecution.executedPlan)
+    // non-bucket transforms are rejected, not silently dropped
+    intercept[UnsupportedOperationException] {
+      spark.sql(s"CREATE TABLE $cat.lake.t2 (k BIGINT, d DATE) " +
+        "PARTITIONED BY (days(d))")
+    }
+  }
+
   test("bucket function matches the write-side layout hash") {
     val root = tmpDir("spj")
     val df = Seq((1L, "a"), (2L, "b"), (42L, "c"), (-7L, "d"))
