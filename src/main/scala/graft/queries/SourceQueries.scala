@@ -471,5 +471,40 @@ object SourceQueries {
             AS total_c
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 1"""))
+
+    // ---- SPJ4 bucket-pruned point lookup: equality/IN on the bucket
+    // key reaches only the buckets the literals hash to, so the scan
+    // plans 1-3 of 8 bucket files BEFORE stats are consulted (SpjSpec
+    // proves the planned file list; this query proves the VALUES).
+    // The 100 TB shape: a point lookup on a 1024-bucket fact table
+    // reads ~0.1% of its files.
+    , "spj4_bucket_pruned_lookup" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val cat = "graft_spj_" + java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffL)
+        val rootDir = stages.computeIfAbsent(s"$dir|spj|root", { _ =>
+          val r = java.nio.file.Files.createTempDirectory("spj").toString
+          graft.operators.Versioned.commitBucketed(
+            t(s, dir, "lineitem").select($"l_orderkey", $"l_quantity",
+              $"l_extendedprice"),
+            s"$r/lake/li", "l_orderkey", 8)
+          graft.operators.Versioned.commitBucketed(
+            t(s, dir, "orders").select($"o_orderkey", $"o_totalprice"),
+            s"$r/lake/ord", "o_orderkey", 8)
+          r
+        })
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", rootDir)
+        s.sql(s"""SELECT o_orderkey,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS total_c
+          FROM $cat.lake.ord
+          WHERE o_orderkey IN (1, 33, 65) ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS total_c
+        FROM orders WHERE o_orderkey IN (1, 33, 65)
+        ORDER BY o_orderkey"""))
   )
 }

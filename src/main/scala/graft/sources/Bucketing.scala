@@ -71,6 +71,71 @@ private[sources] final class BoundBucket(keyType: DataType)
   }
 }
 
+/** Bucket pruning: an equality/IN constraint on the bucket column can
+  * only match rows in the buckets its literals hash to, so the scan
+  * drops every other bucket's files at PLAN time — the hash-layout
+  * counterpart of partition pruning (Hive bucket pruning, Iceberg
+  * bucket transform pruning are the public precedents). At 100 TB a
+  * point lookup on a 1024-bucket table reads 1/1024th of the files
+  * before stats are even consulted. Works for both Catalyst plan-time
+  * filters and source-level runtime (DPP) filters; any uncertainty —
+  * type mismatch with the layout hash, non-literal operands —
+  * disables pruning rather than risking a wrong bucket. */
+private[sources] object BucketPruning {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, Literal, Murmur3Hash}
+  import org.apache.spark.sql.catalyst.expressions.{EqualTo => CEqualTo, In => CIn}
+  import org.apache.spark.sql.{sources => sf}
+
+  /** The bucket a literal lands in, iff its type matches the layout
+    * hash's input type exactly (hashInt(5) != hashLong(5L): a
+    * mistyped literal must disable pruning, not misroute it). */
+  private def bucketOf(l: Literal, colType: DataType, n: Int): Option[Int] =
+    if (l.dataType != colType) None
+    else colType match {
+      case IntegerType | DateType | LongType | TimestampType | StringType =>
+        val h = new Murmur3Hash(Seq(l), 42).eval(null).asInstanceOf[Int]
+        Some(((h % n) + n) % n)
+      case _ => None
+    }
+
+  /** Plan-time Catalyst filters → reachable bucket ids (None = no
+    * usable constraint on the bucket column). */
+  def targets(filters: Seq[Expression], col: String, colType: DataType,
+      n: Int): Option[Set[Int]] =
+    filters.flatMap {
+      case CEqualTo(a: Attribute, l: Literal) if a.name.equalsIgnoreCase(col) =>
+        bucketOf(l, colType, n).map(Set(_))
+      case CEqualTo(l: Literal, a: Attribute) if a.name.equalsIgnoreCase(col) =>
+        bucketOf(l, colType, n).map(Set(_))
+      case CIn(a: Attribute, vs) if a.name.equalsIgnoreCase(col) &&
+          vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        val bs = vs.map(v => bucketOf(v.asInstanceOf[Literal], colType, n))
+        if (bs.forall(_.isDefined)) Some(bs.flatten.toSet) else None
+      case _ => None
+    }.reduceOption(_ intersect _)
+
+  /** Source-level filters (the runtime/DPP re-prune path) → reachable
+    * bucket ids. Values are re-wrapped as literals OF THE COLUMN TYPE,
+    * so the hash is the layout hash by construction. */
+  def targetsSource(filters: Seq[sf.Filter], col: String,
+      colType: DataType, n: Int): Option[Set[Int]] =
+    filters.flatMap {
+      case sf.EqualTo(a, v) if a.equalsIgnoreCase(col) =>
+        bucketOf(Literal.create(v, colType), colType, n).map(Set(_))
+      case sf.In(a, vs) if a.equalsIgnoreCase(col) && vs.nonEmpty =>
+        val bs = vs.toSeq.map(v =>
+          bucketOf(Literal.create(v, colType), colType, n))
+        if (bs.forall(_.isDefined)) Some(bs.flatten.toSet) else None
+      case _ => None
+    }.reduceOption(_ intersect _)
+
+  /** Keep a file iff its bucket id is reachable (files outside bucket
+    * dirs are kept — pruning is an optimization, never a gate). */
+  def keeps(keep: Option[Set[Int]])(file: String): Boolean =
+    keep.forall(ks =>
+      graft.operators.Versioned.bucketIdOf(file).forall(ks.contains))
+}
+
 /** Re-keys a parquet Batch's splits by bucket: one partition PER
   * SPLIT, each carrying its file's bucket id as the partition key —
   * the shape `SupportsReportPartitioning` promises. Split planning

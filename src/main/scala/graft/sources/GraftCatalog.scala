@@ -276,11 +276,20 @@ private[sources] final class PruningScanBuilder(
     sawFilters ||= filters.nonEmpty
     if (inner == null && filters.nonEmpty) {
       val lowered = filters.flatMap(StatsPruner.translate)
-      if (lowered.nonEmpty) {
+      // bucket pruning: equality/IN on the bucket column keeps only
+      // the buckets its literals hash to (layout-hash pruning,
+      // orthogonal to the min/max stats pruning below)
+      val keepBuckets = bucket.flatMap { case (c, n) =>
+        tableSchema.fields.find(_.name.equalsIgnoreCase(c)).flatMap(f =>
+          BucketPruning.targets(filters, c, f.dataType, n))
+      }
+      if (lowered.nonEmpty || keepBuckets.isDefined) {
         // one manifest read; files without stats are kept unprunable
         val stats = Versioned.fileStats(spark, tablePath, Some(version))
         ensure(files.filter { f =>
-          stats.get(f).forall(st => lowered.forall(StatsPruner.mayMatch(st, _)))
+          stats.get(f).forall(st =>
+            lowered.forall(StatsPruner.mayMatch(st, _))) &&
+            BucketPruning.keeps(keepBuckets)(f)
         })
       }
     }
@@ -507,8 +516,17 @@ private[sources] final class RuntimeSkippingScan(
   override def filter(filters: Array[sf.Filter]): Unit =
     if (filters.nonEmpty) {
       val stats = Versioned.fileStats(spark, tablePath, Some(version))
+      // runtime bucket pruning: a DPP In-filter on the bucket column
+      // (the dim side's actual join keys) hashes straight to the
+      // reachable buckets — stats and layout prune independently
+      val keepBuckets = bucketSpec.flatMap { case (c, n) =>
+        tableSchema.fields.find(_.name.equalsIgnoreCase(c)).flatMap(f =>
+          BucketPruning.targetsSource(filters.toSeq, c, f.dataType, n))
+      }
       val kept = currentFiles.filter { f =>
-        stats.get(f).forall(st => filters.forall(StatsPruner.mayMatch(st, _)))
+        stats.get(f).forall(st =>
+          filters.forall(StatsPruner.mayMatch(st, _))) &&
+          BucketPruning.keeps(keepBuckets)(f)
       }
       if (kept.size < currentFiles.size) {
         currentFiles = kept

@@ -320,6 +320,56 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("bucket pruning: equality/IN on the bucket key plans only the " +
+    "reachable buckets' files") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val root = tmpDir("spj")
+    val table = s"$root/lake/t"
+    val df = (1L to 4000L).map(k => (k, k.toDouble)).toDF("k", "v")
+    Versioned.commitBucketed(df, table, "k", 8)
+    assert(Versioned.versionFiles(spark, table).size == 8)
+    val cat = freshCat(root, "bp")
+
+    def scanFiles(q: org.apache.spark.sql.DataFrame): Seq[String] = {
+      q.collect()
+      def find(p: org.apache.spark.sql.execution.SparkPlan): Seq[Seq[String]] =
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => find(a.executedPlan)
+          case q2: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => find(q2.plan)
+          case b: BatchScanExec => b.scan match {
+            case r: RuntimeSkippingScan => Seq(r.currentFiles)
+            case _ => Nil
+          }
+          case other => other.children.flatMap(find)
+        }
+      find(q.queryExecution.executedPlan).flatten
+    }
+
+    val eq = spark.table(s"$cat.lake.t").where($"k" === 1234L)
+    assert(eq.count() == 1)
+    val eqFiles = scanFiles(spark.table(s"$cat.lake.t")
+      .where($"k" === 1234L).select($"v"))
+    assert(eqFiles.size == 1, s"expected 1 bucket file, got $eqFiles")
+    val expectedBucket = spark.range(1)
+      .select(pmod(hash(lit(1234L)), lit(8))).head().getInt(0)
+    assert(Versioned.bucketIdOf(eqFiles.head).contains(expectedBucket))
+
+    val in = spark.table(s"$cat.lake.t")
+      .where($"k".isin(10L, 20L, 30L)).select($"k")
+    assert(in.as[Long].collect().toSet == Set(10L, 20L, 30L))
+    val inFiles = scanFiles(spark.table(s"$cat.lake.t")
+      .where($"k".isin(10L, 20L, 30L)))
+    assert(inFiles.size <= 3 && inFiles.size < 8, inFiles.toString)
+
+    // a mistyped-literal comparison must NOT misprune: the cast
+    // disables bucket pruning and the row is still found
+    val castQ = spark.table(s"$cat.lake.t")
+      .where($"k" === lit(1234)) // int literal vs bigint column
+    assert(castQ.count() == 1)
+  }
+
   test("bucket function matches the write-side layout hash") {
     val root = tmpDir("spj")
     val df = Seq((1L, "a"), (2L, "b"), (42L, "c"), (-7L, "d"))
