@@ -62,7 +62,17 @@ object Tables {
   }
 
   /** Register every table as a temp view (the reference exposes staged
-    * frames to SQL the same way, `Ingest:421`). */
+    * frames to SQL the same way, `Ingest:421`). When the nanos
+    * fallback bound a frame to a child session, the view must still
+    * land in the CALLER's catalog — re-root the analyzed plan; the
+    * relation keeps its own (nanos-enabled) session for execution. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = apply(spark, dir, n)
+      val local =
+        if (df.sparkSession eq spark) df
+        else org.apache.spark.sql.GraftShims.ofRows(spark,
+          org.apache.spark.sql.GraftShims.planOf(df))
+      local.createOrReplaceTempView(n)
+    }
 }

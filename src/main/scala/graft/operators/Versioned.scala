@@ -222,16 +222,23 @@ object Versioned {
     }))
     catch {
       case _: RewriteConflict =>
-        newLines.headOption.foreach { l =>
-          val rel = l.split('\t').head
-          if (rel.startsWith("data/"))
-            try fs.delete(new Path(root,
-              rel.split('/').take(2).mkString("/")), true)
-            catch { case scala.util.control.NonFatal(_) => () }
-        }
+        deleteAbandonedSegment(fs, root, newLines)
         None
     }
   }
+
+  /** Best-effort removal of a conflict-abandoned attempt's fresh
+    * segment dir (shared by [[commitIf]] and [[rewrite]]); a crash
+    * before this runs leaves the dir invisible for VACUUM. */
+  private def deleteAbandonedSegment(fs: FileSystem, root: Path,
+      newLines: Seq[String]): Unit =
+    newLines.headOption.foreach { l =>
+      val rel = l.split('\t').head
+      if (rel.startsWith("data/"))
+        try fs.delete(new Path(root,
+          rel.split('/').take(2).mkString("/")), true)
+        catch { case scala.util.control.NonFatal(_) => () }
+    }
 
   /** Write one fresh uuid segment and return its manifest file lines
     * (stats-suffixed). Shared by [[commit]] and [[rewrite]]. */
@@ -389,14 +396,7 @@ object Versioned {
                 "storm subsides")
           case _: RewriteConflict =>
             attempt += 1
-            // drop the abandoned attempt's segment dir (best-effort)
-            newLines.headOption.foreach { l =>
-              val rel = l.split('\t').head
-              if (rel.startsWith("data/"))
-                try fs.delete(new Path(root,
-                  rel.split('/').take(2).mkString("/")), true)
-                catch { case scala.util.control.NonFatal(_) => () }
-            }
+            deleteAbandonedSegment(fs, root, newLines)
             false
         }
       if (committed) {

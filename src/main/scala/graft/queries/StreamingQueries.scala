@@ -89,10 +89,16 @@ object StreamingQueries {
     Tables(s, dir, "events")
       .select(stagedEventsSchema.fieldNames.map(col): _*)
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val f = java.nio.file.Files.list(tmp)
-      .filter(_.toString.endsWith(".parquet")).findFirst.get
+    val listing = java.nio.file.Files.list(tmp)
+    val f = try listing.filter(_.toString.endsWith(".parquet"))
+      .findFirst.get finally listing.close()
     java.nio.file.Files.move(f, dst,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // sweep the _SUCCESS/.crc remnants; the moved file is all we keep
+    val sweep = java.nio.file.Files.list(tmp)
+    try sweep.forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally sweep.close()
+    java.nio.file.Files.deleteIfExists(tmp)
   }
 
   /** Staged copy of events.parquet for the file-stream source (it

@@ -83,8 +83,18 @@ private[sources] final class BoundBucket(keyType: DataType)
   * disables pruning rather than risking a wrong bucket. */
 private[sources] object BucketPruning {
   import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, Literal, Murmur3Hash}
-  import org.apache.spark.sql.catalyst.expressions.{EqualTo => CEqualTo, In => CIn}
+  import org.apache.spark.sql.catalyst.expressions.{EqualTo => CEqualTo, In => CIn, InSet => CInSet}
   import org.apache.spark.sql.{sources => sf}
+
+  /** Shared resolve step for both pruning paths: find the bucket
+    * column's schema field (case-insensitively) and hand (name, type,
+    * n) to the path-specific target computation. */
+  def resolve(bucket: Option[(String, Int)], schema: StructType)(
+      f: (String, DataType, Int) => Option[Set[Int]]): Option[Set[Int]] =
+    bucket.flatMap { case (c, n) =>
+      schema.fields.find(_.name.equalsIgnoreCase(c))
+        .flatMap(fd => f(c, fd.dataType, n))
+    }
 
   /** The bucket a literal lands in, iff its type matches the layout
     * hash's input type exactly (hashInt(5) != hashLong(5L): a
@@ -111,23 +121,35 @@ private[sources] object BucketPruning {
           vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
         val bs = vs.map(v => bucketOf(v.asInstanceOf[Literal], colType, n))
         if (bs.forall(_.isDefined)) Some(bs.flatten.toSet) else None
+      // the optimizer rewrites IN lists at/above
+      // spark.sql.optimizer.inSetConversionThreshold (default 10) to
+      // InSet over CATALYST values — exactly the many-key lookup shape
+      // bucket pruning exists for
+      case CInSet(a: Attribute, hset) if a.name.equalsIgnoreCase(col) &&
+          hset.nonEmpty =>
+        val bs = hset.toSeq.map(v => bucketOf(Literal(v, colType), colType, n))
+        if (bs.forall(_.isDefined)) Some(bs.flatten.toSet) else None
       case _ => None
     }.reduceOption(_ intersect _)
 
   /** Source-level filters (the runtime/DPP re-prune path) → reachable
     * bucket ids. Values are re-wrapped as literals OF THE COLUMN TYPE,
-    * so the hash is the layout hash by construction. */
+    * so the hash is the layout hash by construction; a value
+    * Literal.create cannot convert disables pruning for that filter
+    * instead of failing the scan (pruning is never a gate). */
   def targetsSource(filters: Seq[sf.Filter], col: String,
-      colType: DataType, n: Int): Option[Set[Int]] =
+      colType: DataType, n: Int): Option[Set[Int]] = {
+    def lit(v: Any): Option[Literal] =
+      scala.util.Try(Literal.create(v, colType)).toOption
     filters.flatMap {
       case sf.EqualTo(a, v) if a.equalsIgnoreCase(col) =>
-        bucketOf(Literal.create(v, colType), colType, n).map(Set(_))
+        lit(v).flatMap(bucketOf(_, colType, n)).map(Set(_))
       case sf.In(a, vs) if a.equalsIgnoreCase(col) && vs.nonEmpty =>
-        val bs = vs.toSeq.map(v =>
-          bucketOf(Literal.create(v, colType), colType, n))
+        val bs = vs.toSeq.map(v => lit(v).flatMap(bucketOf(_, colType, n)))
         if (bs.forall(_.isDefined)) Some(bs.flatten.toSet) else None
       case _ => None
     }.reduceOption(_ intersect _)
+  }
 
   /** Keep a file iff its bucket id is reachable (files outside bucket
     * dirs are kept — pruning is an optimization, never a gate). */

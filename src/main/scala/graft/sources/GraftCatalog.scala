@@ -279,10 +279,8 @@ private[sources] final class PruningScanBuilder(
       // bucket pruning: equality/IN on the bucket column keeps only
       // the buckets its literals hash to (layout-hash pruning,
       // orthogonal to the min/max stats pruning below)
-      val keepBuckets = bucket.flatMap { case (c, n) =>
-        tableSchema.fields.find(_.name.equalsIgnoreCase(c)).flatMap(f =>
-          BucketPruning.targets(filters, c, f.dataType, n))
-      }
+      val keepBuckets = BucketPruning.resolve(bucket, tableSchema)(
+        (c, dt, n) => BucketPruning.targets(filters, c, dt, n))
       if (lowered.nonEmpty || keepBuckets.isDefined) {
         // one manifest read; files without stats are kept unprunable
         val stats = Versioned.fileStats(spark, tablePath, Some(version))
@@ -411,6 +409,12 @@ private[sources] final class RuntimeSkippingScan(
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     activeBucket match {
       case Some((c, n)) =>
+        // numPartitions here is NOMINAL (distinct bucket count):
+        // BatchScanExec derives the real partitioning by grouping the
+        // planned per-split partitions on their own keys and never
+        // consults this count — the per-split report is what lets
+        // partially-clustered distribution keep a hot bucket's splits
+        // as separate tasks
         new org.apache.spark.sql.connector.read.partitioning
           .KeyGroupedPartitioning(
             Array(org.apache.spark.sql.connector.expressions.Expressions
@@ -519,10 +523,8 @@ private[sources] final class RuntimeSkippingScan(
       // runtime bucket pruning: a DPP In-filter on the bucket column
       // (the dim side's actual join keys) hashes straight to the
       // reachable buckets — stats and layout prune independently
-      val keepBuckets = bucketSpec.flatMap { case (c, n) =>
-        tableSchema.fields.find(_.name.equalsIgnoreCase(c)).flatMap(f =>
-          BucketPruning.targetsSource(filters.toSeq, c, f.dataType, n))
-      }
+      val keepBuckets = BucketPruning.resolve(bucketSpec, tableSchema)(
+        (c, dt, n) => BucketPruning.targetsSource(filters.toSeq, c, dt, n))
       val kept = currentFiles.filter { f =>
         stats.get(f).forall(st =>
           filters.forall(StatsPruner.mayMatch(st, _))) &&

@@ -59,6 +59,32 @@ class TestdataDriftSpec extends SparkSpec {
       TimestampType)
   }
 
+  test("nanos-encoded events (the pre-r5 encoding) still normalize, " +
+    "and registerAll lands the view on the CALLER's session") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = tmpDir("nanosfix")
+    Tables.names.foreach { n =>
+      Files.copy(Paths.get(sfDir, s"$n.parquet"),
+        Paths.get(dir, s"$n.parquet"))
+    }
+    Files.copy(Paths.get("src/test/resources/events_nanos.parquet"),
+      Paths.get(dir, "events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    // the fallback path: bare read rejects TIMESTAMP(NANOS), the child
+    // session's legacy-long surface kicks in, normalizeTs truncates
+    val df = Tables(spark, dir, "events")
+    assert(df.schema("ts").dataType == TimestampType)
+    assert(df.count() == 200)
+    // the re-rooted view is visible in the CALLER's catalog even
+    // though the frame is bound to the fallback child session
+    Tables.registerAll(spark, dir)
+    assert(spark.sql("SELECT count(*) AS c FROM events")
+      .head().getLong(0) == 200)
+    assert(spark.sql("SELECT count(*) AS c FROM region")
+      .head().getLong(0) > 0)
+    Tables.names.foreach(n => spark.catalog.dropTempView(n))
+  }
+
   test("orders/lineitem temporal columns keep an int64 timestamp encoding") {
     for ((table, col) <- Seq("orders" -> "o_orderdate",
         "lineitem" -> "l_shipdate")) {

@@ -363,6 +363,19 @@ class SpjSpec extends SparkSpec {
       .where($"k".isin(10L, 20L, 30L)))
     assert(inFiles.size <= 3 && inFiles.size < 8, inFiles.toString)
 
+    // >= inSetConversionThreshold (default 10) literals: the optimizer
+    // rewrites In to InSet before pushdown — pruning must still engage
+    val many = (1L to 11L).toSeq
+    val expectedBuckets = spark.createDataset(many)
+      .select(pmod(hash($"value"), lit(8))).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val insetQ = spark.table(s"$cat.lake.t").where($"k".isin(many: _*))
+    assert(insetQ.count() == 11)
+    val insetFiles = scanFiles(spark.table(s"$cat.lake.t")
+      .where($"k".isin(many: _*)))
+    assert(insetFiles.flatMap(Versioned.bucketIdOf).toSet == expectedBuckets,
+      s"InSet pruning planned $insetFiles, expected buckets $expectedBuckets")
+
     // a mistyped-literal comparison must NOT misprune: the cast
     // disables bucket pruning and the row is still found
     val castQ = spark.table(s"$cat.lake.t")
