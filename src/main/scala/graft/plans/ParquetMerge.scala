@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.catalog.CatalogTable
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Coalesce, EqualTo, Expression, If, Literal, Not}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, DeleteFromTable, Filter, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, Project, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, Filter, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, Project, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -26,10 +26,15 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * partitioned tables, staged whole-table rewrite for unpartitioned
   * ones. `UPDATE t SET … WHERE …` and `DELETE FROM t WHERE …` (the
   * reference's S10 statements, `Config:136-140`) are lowered the same
-  * way, as staged rewrites of a projection/filter over the table. Any
-  * other MERGE shape (multi-clause chains, NOT MATCHED BY SOURCE) is
-  * left untouched so Spark's own unsupported-operation error surfaces
-  * rather than silently-wrong semantics. Multi-level partitioned
+  * way, as staged rewrites of a projection/filter over the table.
+  * General statements — multi-clause `WHEN MATCHED` chains with
+  * per-clause conditions, multiple conditional inserts, and
+  * `WHEN NOT MATCHED BY SOURCE` UPDATE/DELETE — are lowered by
+  * [[GeneralMergeCommand]] with ANSI first-true-clause-wins
+  * semantics. Shapes it can't honor exactly (nested struct-field
+  * assignments) are left untouched so Spark's own
+  * unsupported-operation error surfaces rather than silently-wrong
+  * semantics. Multi-level partitioned
   * targets (the reference's year/month/day layout, `Ingest:460`) are
   * fully supported: scoping and dir swaps operate on partition TUPLES.
   */
@@ -46,15 +51,18 @@ case class ResolveParquetMerge(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => m
       }
 
-    // General single-clause MERGE — the reference's LITERAL statement
-    // shape (`Ingest:373-415`): expression-based ON (e.g.
-    // lower(T.c) = lower(S.c)), column-level UPDATE SET, conditional
-    // `WHEN NOT MATCHED AND <cond> THEN INSERT (cols) VALUES (exprs)`.
-    // Lowered to the three-branch join union; at most one matched and
-    // one not-matched clause (multi-clause chains fall through).
+    // General MERGE — the reference's LITERAL statement shape
+    // (`Ingest:373-415`) and beyond: expression-based ON (e.g.
+    // lower(T.c) = lower(S.c)), chained conditional WHEN MATCHED
+    // UPDATE/DELETE clauses, multiple conditional INSERT clauses, and
+    // WHEN NOT MATCHED BY SOURCE UPDATE/DELETE (the clause an
+    // incremental ingest needs to retire rows that vanished upstream).
+    // Lowered to the three-branch join union with first-true-clause-
+    // wins per ANSI. Star actions never reach here: the analyzer
+    // expands them to column-level assignments (or the upsert path
+    // above catches the pure star upsert first).
     case m: MergeIntoTable
-        if m.resolved && m.notMatchedBySourceActions.isEmpty &&
-          isGeneralShape(m) =>
+        if m.resolved && isGeneralShape(m) =>
       relationOf(m.targetTable) match {
         case Some((table, partCols)) => GeneralMergeCommand(table, partCols, m)
         case _ => m
@@ -141,25 +149,30 @@ case class ResolveParquetMerge(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => false
     })
 
-  /** At most one matched clause (column-level UPDATE or DELETE) and at
-    * most one not-matched clause (explicit-columns INSERT), any of them
-    * conditional. Star actions are handled by the upsert path above. */
-  private def isGeneralShape(m: MergeIntoTable): Boolean =
-    m.matchedActions.size <= 1 && m.notMatchedActions.size <= 1 &&
-      (m.matchedActions.nonEmpty || m.notMatchedActions.nonEmpty) &&
-      m.matchedActions.forall {
-        // nested/struct-field SET targets would be silently dropped by
-        // assignMap — reject the shape so Spark's own error surfaces
-        case u: UpdateAction =>
-          u.assignments.forall(_.key.isInstanceOf[AttributeReference])
-        case _: DeleteAction => true
-        case _ => false
-      } &&
+  /** Any number of matched / not-matched / not-matched-by-source
+    * clauses, each optionally conditional: matched and NMBS clauses
+    * must be column-level UPDATE or DELETE, not-matched clauses
+    * explicit-columns INSERT. Star actions are handled by the upsert
+    * path above (or expanded by the analyzer before reaching here). */
+  private def isGeneralShape(m: MergeIntoTable): Boolean = {
+    // nested/struct-field SET targets would be silently dropped by
+    // assignMap — reject the shape so Spark's own error surfaces
+    def plainUpdateOrDelete(a: MergeAction): Boolean = a match {
+      case u: UpdateAction =>
+        u.assignments.forall(_.key.isInstanceOf[AttributeReference])
+      case _: DeleteAction => true
+      case _ => false
+    }
+    (m.matchedActions.nonEmpty || m.notMatchedActions.nonEmpty ||
+      m.notMatchedBySourceActions.nonEmpty) &&
+      m.matchedActions.forall(plainUpdateOrDelete) &&
       m.notMatchedActions.forall {
         case i: InsertAction =>
           i.assignments.forall(_.key.isInstanceOf[AttributeReference])
         case _ => false
-      }
+      } &&
+      m.notMatchedBySourceActions.forall(plainUpdateOrDelete)
+  }
 
   /** The target's catalog entry + partition columns, if it is a
     * parquet-backed v1 catalog table. */
@@ -241,16 +254,25 @@ case class ParquetRewriteCommand(table: CatalogTable, partCols: Seq[String],
   }
 }
 
-/** Eagerly-executed general MERGE (single matched + single not-matched
-  * clause): the three-branch lowering every MERGE engine uses —
+/** Eagerly-executed general MERGE (any number of clauses per branch,
+  * each optionally conditional): the three-branch lowering every MERGE
+  * engine uses —
   *
-  *   matched   = target ⋈ source ON cond  → UPDATE projection / DELETE
-  *   untouched = target ⟕̸ source (anti)   → unchanged
-  *   inserts   = source ⟕̸ target (anti)   → INSERT projection (+ cond)
+  *   matched   = target ⋈ source ON cond  → matched clause chain
+  *   untouched = target ⟕̸ source (anti)   → NOT MATCHED BY SOURCE chain
+  *                                          (unchanged when absent)
+  *   inserts   = source ⟕̸ target (anti)   → insert clause chain
   *
-  * written back partition-scoped: partitions receiving matched/insert
-  * rows AND partitions matched rows came from (updates may move rows
-  * across partitions) are rewritten and swapped. The ANSI at-most-one-
+  * Clause chains follow ANSI first-true-clause-wins: each row is
+  * tagged with the index of the first clause whose condition holds
+  * (−1: none — the row passes through unchanged for matched/NMBS,
+  * is discarded for inserts), DELETE-selected rows are dropped, and
+  * each UPDATE clause's assignments apply only to its own rows.
+  *
+  * Written back partition-scoped: partitions receiving matched/insert
+  * rows, partitions matched rows came from (updates may move rows
+  * across partitions, deletes empty them), and partitions holding
+  * NMBS-affected rows are rewritten and swapped. The ANSI at-most-one-
   * source-match contract is ENFORCED (count check) — multiple matches
   * raise the cardinality error instead of silently duplicating rows. */
 case class GeneralMergeCommand(table: CatalogTable, partCols: Seq[String],
@@ -260,18 +282,59 @@ case class GeneralMergeCommand(table: CatalogTable, partCols: Seq[String],
 
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.GraftShims.{ofRows, toColumn}
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    import org.apache.spark.sql.{Column, DataFrame}
     val target = ofRows(spark, merge.targetTable)
     val source = ofRows(spark, merge.sourceTable)
     val cond = toColumn(merge.mergeCondition)
     val tCols = merge.targetTable.output
 
-    def assignMap(assigns: Seq[org.apache.spark.sql.catalyst.plans.logical.Assignment])
-        : Map[String, Expression] =
+    def assignMap(assigns: Seq[Assignment]): Map[String, Expression] =
       assigns.collect {
         case a if a.key.isInstanceOf[AttributeReference] =>
           a.key.asInstanceOf[AttributeReference].name.toLowerCase -> a.value
       }.toMap
+
+    // ---- clause-chain machinery (shared by all three branches) ----
+    // A NULL clause condition is "no match" per SQL, hence the coalesce.
+    val CL = "__graft_clause__"
+    def gateOf(c: Option[Expression]): Column =
+      c.map(e => coalesce(toColumn(e), lit(false))).getOrElse(lit(true))
+    // tag each row with the index of the FIRST clause whose condition
+    // holds (-1: no clause fires)
+    def tagClauses(df: DataFrame, actions: Seq[MergeAction]): DataFrame =
+      df.withColumn(CL,
+        actions.map(a => gateOf(a.condition)).zipWithIndex
+          .foldRight(lit(-1): Column) { case ((g, i), acc) =>
+            when(g, lit(i)).otherwise(acc)
+          })
+    // apply an UPDATE/DELETE chain to a tagged frame: rows whose
+    // selected clause is a DELETE are dropped; each UPDATE clause
+    // rewrites its assigned columns for its own rows; unfired rows
+    // (-1) pass through unchanged. Projecting tCols drops CL.
+    def applyChain(tagged: DataFrame, actions: Seq[MergeAction]): DataFrame = {
+      val deleteIdx: Seq[Any] = actions.zipWithIndex.collect {
+        case (_: DeleteAction, i) => i
+      }
+      val kept =
+        if (deleteIdx.isEmpty) tagged
+        else tagged.where(!col(CL).isin(deleteIdx: _*))
+      val updates = actions.zipWithIndex.collect {
+        case (u: UpdateAction, i) => i -> assignMap(u.assignments)
+      }
+      kept.select(tCols.map { attr =>
+        updates.foldRight(toColumn(attr): Column) { case ((i, m), acc) =>
+          m.get(attr.name.toLowerCase) match {
+            case Some(v) =>
+              when(col(CL) === i, toColumn(v).cast(attr.dataType))
+                .otherwise(acc)
+            case None => acc
+          }
+        }.as(attr.name)
+      }: _*)
+    }
+
+    val nmbsActs = merge.notMatchedBySourceActions
 
     // matched branch — one MERGE evaluates this join for the contract
     // check, the scope collects, and the staging write, so PERSIST it
@@ -280,12 +343,22 @@ case class GeneralMergeCommand(table: CatalogTable, partCols: Seq[String],
     val joined = target.join(source, cond, "inner").persist()
     val matchedSemi = target.join(source, cond, "left_semi")
       .select(tCols.map(a => toColumn(a).as(a.name)): _*).persist()
+    // the RAW anti-join keeps the target's original attribute ids —
+    // NMBS clause conditions and assignments reference those, so the
+    // chain must run before any re-aliasing projection
+    val untouchedRaw = target.join(source, cond, "left_anti")
+    // NMBS conditions reference only target columns (analyzer-checked),
+    // so the chain evaluates directly on the anti-join. Persisted: it
+    // feeds the output AND up to two scope collects.
+    val taggedNmbs: Option[DataFrame] =
+      if (nmbsActs.isEmpty) None
+      else Some(tagClauses(untouchedRaw, nmbsActs).persist())
     try {
     // ANSI MERGE contract: a target row may match at most ONE source
     // row, else the matched projection would silently write one output
     // row PER source match. Two counts, checked only when a matched
     // clause could multiply rows. Inside the try: a violation must
-    // still unpersist both cached datasets, not leak them for the
+    // still unpersist the cached datasets, not leak them for the
     // session lifetime.
     if (merge.matchedActions.nonEmpty) {
       val semiCnt = matchedSemi.count()
@@ -295,72 +368,85 @@ case class GeneralMergeCommand(table: CatalogTable, partCols: Seq[String],
           "rows — a target row matches multiple source rows (ANSI MERGE " +
           "cardinality violation)")
     }
-    val matchedOut = merge.matchedActions.headOption match {
-      case Some(UpdateAction(c, assigns, _)) =>
-        val m = assignMap(assigns)
-        val gate = c.map(toColumn).getOrElse(lit(true))
-        joined.select(tCols.map { attr =>
-          m.get(attr.name.toLowerCase) match {
-            case Some(v) => org.apache.spark.sql.functions
-              .when(gate, toColumn(v).cast(attr.dataType))
-              .otherwise(toColumn(attr)).as(attr.name)
-          case None => toColumn(attr).as(attr.name)
-          }
-        }: _*)
-      case Some(DeleteAction(c)) =>
-        val gate = c.map(toColumn).getOrElse(lit(true))
-        joined.where(!org.apache.spark.sql.functions.coalesce(gate, lit(false)))
-          .select(tCols.map(a => toColumn(a).as(a.name)): _*)
-      case _ =>
+    val matchedOut =
+      if (merge.matchedActions.isEmpty)
         // no matched clause: matched rows pass through unchanged — the
         // SEMI join keeps them single even with multiple source matches
         matchedSemi
-    }
+      else applyChain(tagClauses(joined, merge.matchedActions),
+        merge.matchedActions)
 
-    // insert branch
-    val insertsOut = merge.notMatchedActions.headOption match {
-      case Some(InsertAction(c, assigns)) =>
-        val m = assignMap(assigns)
+    // insert branch: first-firing clause picks the projection; rows no
+    // clause fires on are not inserted. Unassigned columns are NULL.
+    val insertsOut: Option[DataFrame] =
+      if (merge.notMatchedActions.isEmpty) None
+      else {
         val base = source.join(target, cond, "left_anti")
-        val gated = c.map(g => base.where(toColumn(g))).getOrElse(base)
-        Some(gated.select(tCols.map { attr =>
-          m.get(attr.name.toLowerCase) match {
-            case Some(v) => toColumn(v).cast(attr.dataType).as(attr.name)
-            case None => lit(null).cast(attr.dataType).as(attr.name)
-          }
+        val tagged = tagClauses(base, merge.notMatchedActions)
+          .where(col(CL) >= 0)
+        val inserts = merge.notMatchedActions.zipWithIndex.collect {
+          case (ia: InsertAction, i) => i -> assignMap(ia.assignments)
+        }
+        Some(tagged.select(tCols.map { attr =>
+          inserts.foldRight(lit(null).cast(attr.dataType): Column) {
+            case ((i, m), acc) =>
+              m.get(attr.name.toLowerCase) match {
+                case Some(v) =>
+                  when(col(CL) === i, toColumn(v).cast(attr.dataType))
+                    .otherwise(acc)
+                case None => acc // this clause leaves the column NULL
+              }
+          }.as(attr.name)
         }: _*))
-      case _ => None
-    }
+      }
 
-    val untouched = target.join(source, cond, "left_anti")
-      .select(tCols.map(a => toColumn(a).as(a.name)): _*)
+    val untouched = taggedNmbs match {
+      case None => untouchedRaw
+        .select(tCols.map(a => toColumn(a).as(a.name)): _*)
+      case Some(tagged) => applyChain(tagged, nmbsActs)
+    }
     val changed = insertsOut.foldLeft(matchedOut)(_ unionByName _)
     val path = table.location.toString
 
     partCols match {
       case ps if ps.nonEmpty =>
-        // scope = partitions receiving NEW content ∪ partitions where
-        // matched rows USED to live. The old-location collect is needed
-        // only when matched rows can LEAVE their partition (an UPDATE
-        // assigning a partition column) or vanish (a DELETE clause) —
-        // a plain-column UPDATE keeps every matched row in place, so
-        // touchedOld ⊆ touchedNew and the extra job is skipped.
-        val movesPossible = merge.matchedActions.headOption.exists {
-          case UpdateAction(_, assigns, _) => assigns.exists(a =>
-            a.key match {
+        def assignsPartCol(a: MergeAction): Boolean = a match {
+          case UpdateAction(_, assigns, _) => assigns.exists(x =>
+            x.key match {
               case ar: AttributeReference =>
                 ps.exists(_.equalsIgnoreCase(ar.name))
               case _ => false
             })
-          case _: DeleteAction => true
           case _ => false
+        }
+        // scope = partitions receiving NEW content ∪ partitions where
+        // matched rows USED to live ∪ partitions holding NMBS-affected
+        // rows. The matched old-location collect is needed only when
+        // matched rows can LEAVE their partition (an UPDATE assigning
+        // a partition column) or vanish (a DELETE clause) — a plain-
+        // column UPDATE keeps every matched row in place, so
+        // touchedOld ⊆ touchedNew and the extra job is skipped. Same
+        // discipline for NMBS new locations: collected only when an
+        // NMBS UPDATE can move rows across partitions.
+        val movesPossible = merge.matchedActions.exists {
+          case _: DeleteAction => true
+          case a => assignsPartCol(a)
         }
         val touchedNew: Seq[Seq[Any]] =
           DataMerge.collectTuples(changed, ps)
         val touchedOld: Seq[Seq[Any]] =
           if (movesPossible) DataMerge.collectTuples(matchedSemi, ps)
           else Nil
-        val scope = (touchedNew ++ touchedOld).distinct
+        val nmbsFired = taggedNmbs.map(_.where(col(CL) >= 0))
+        val nmbsOld: Seq[Seq[Any]] = nmbsFired
+          .map(DataMerge.collectTuples(_, ps)).getOrElse(Nil)
+        val nmbsNew: Seq[Seq[Any]] =
+          if (nmbsActs.exists(assignsPartCol))
+            nmbsFired.map(f =>
+              DataMerge.collectTuples(applyChain(f, nmbsActs), ps))
+              .getOrElse(Nil)
+          else Nil
+        val scope = (touchedNew ++ touchedOld ++ nmbsOld ++ nmbsNew).distinct
         if (scope.nonEmpty) {
           val merged = changed.unionByName(untouched)
             .where(DataMerge.tupleFilter(ps, scope))
@@ -383,6 +469,7 @@ case class GeneralMergeCommand(table: CatalogTable, partCols: Seq[String],
     } finally {
       joined.unpersist()
       matchedSemi.unpersist()
+      taggedNmbs.foreach(_.unpersist())
     }
     Seq.empty
   }

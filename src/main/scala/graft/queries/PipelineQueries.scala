@@ -160,6 +160,86 @@ object PipelineQueries {
       },
       Some(MergeOracleSql)),
 
+    // ---- S9 multi-clause MERGE chain: the full incremental-ingest
+    // statement — WHEN MATCHED AND <cond> THEN DELETE chained before
+    // the UPDATE, a conditional INSERT, and WHEN NOT MATCHED BY SOURCE
+    // THEN DELETE retiring rows that vanished upstream (the shape
+    // Delta/Spark-3.4+ MERGE supports and the reference's deployment
+    // would use for state tables). First-true-clause-wins per ANSI.
+    // Oracle = the chain decomposed into joins/CASE in DuckDB over the
+    // identical construction. Fresh target per invocation: a chain
+    // with deletes is not idempotent.
+    "s9_merge_chain" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val loc = java.nio.file.Files.createTempDirectory("s9_chain")
+          .toString + "/tgt"
+        s.sql("DROP TABLE IF EXISTS s9_chain_tgt")
+        s.sql(s"""CREATE TABLE s9_chain_tgt
+          (o_orderkey BIGINT, o_totalprice DOUBLE, part INT)
+          USING parquet PARTITIONED BY (part) LOCATION '$loc'""")
+        val target0 = t(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice",
+            year($"o_orderdate").as("part"))
+        target0.write.mode("append").insertInto("s9_chain_tgt")
+        val matched = target0
+          .where($"part" >= 1996 && $"o_orderkey" % 10 === 0)
+          .select($"o_orderkey",
+            when($"o_orderkey" % 20 === 0, lit("drop")).otherwise(lit("upd"))
+              .as("action"),
+            lit(100000.0).as("delta"), $"part")
+        val adds = target0
+          .where($"part" >= 1996 && $"o_orderkey" % 7 === 0)
+          .select(($"o_orderkey" + 10000000L).as("o_orderkey"),
+            lit("add").as("action"), $"o_totalprice".as("delta"), $"part")
+        matched.unionByName(adds).createOrReplaceTempView("s9_chain_src")
+        s.sql("""MERGE INTO s9_chain_tgt USING s9_chain_src s
+          ON s9_chain_tgt.o_orderkey = s.o_orderkey
+          WHEN MATCHED AND s.action = 'drop' THEN DELETE
+          WHEN MATCHED THEN UPDATE SET
+            o_totalprice = s9_chain_tgt.o_totalprice + s.delta
+          WHEN NOT MATCHED AND s.action = 'add' THEN
+            INSERT (o_orderkey, o_totalprice, part)
+            VALUES (s.o_orderkey, s.delta, s.part)
+          WHEN NOT MATCHED BY SOURCE AND s9_chain_tgt.part = 1997 THEN
+            DELETE""")
+        s.table("s9_chain_tgt").groupBy($"part".cast("int").as("part"))
+          .agg(count(lit(1)).as("n"),
+            graft.functions.Exact.dollars(graft.functions.Exact.sumExact(
+              graft.functions.Exact.cents($"o_totalprice")), 100L)
+              .as("total"))
+      },
+      Some("""WITH target AS (
+          SELECT o_orderkey, o_totalprice,
+                 CAST(year(o_orderdate) AS INT) AS part FROM orders),
+        src AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 20 = 0 THEN 'drop' ELSE 'upd' END
+                   AS action,
+                 100000.0 AS delta, part
+          FROM target WHERE part >= 1996 AND o_orderkey % 10 = 0
+          UNION ALL
+          SELECT o_orderkey + 10000000, 'add', o_totalprice, part
+          FROM target WHERE part >= 1996 AND o_orderkey % 7 = 0),
+        merged AS (
+          SELECT t.o_orderkey, t.o_totalprice + s.delta AS o_totalprice,
+                 t.part
+          FROM target t JOIN src s ON t.o_orderkey = s.o_orderkey
+          WHERE s.action <> 'drop'
+          UNION ALL
+          SELECT s.o_orderkey, s.delta, s.part
+          FROM src s LEFT JOIN target t ON s.o_orderkey = t.o_orderkey
+          WHERE t.o_orderkey IS NULL AND s.action = 'add'
+          UNION ALL
+          SELECT t.* FROM target t
+          WHERE NOT EXISTS (SELECT 1 FROM src u
+                            WHERE u.o_orderkey = t.o_orderkey)
+            AND t.part <> 1997)
+        SELECT part, count(*) AS n,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+            / 100.0 AS total
+        FROM merged GROUP BY part""")),
+
     // ---- CD1 snapshot diff (CDC between two dataset versions): the
     // after-version is derived deterministically from orders (drop
     // keys %97, bump price on %101, insert shifted copies of %103);

@@ -451,19 +451,188 @@ class MergeSqlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS mv_star")
   }
 
-  test("unsupported MERGE shapes (multi-clause chains) are left to " +
-    "Spark's own error, never silently mis-executed") {
-    val loc = tmpDir("mergesql3") + "/tgt"
-    spark.sql("DROP TABLE IF EXISTS merge_guard")
-    spark.sql(s"""CREATE TABLE merge_guard (k BIGINT, v DOUBLE)
+  test("multi-clause WHEN MATCHED chain: first true clause wins " +
+    "(DELETE before UPDATE, per-clause conditions)") {
+    val loc = tmpDir("chain1") + "/tgt"
+    spark.sql("DROP TABLE IF EXISTS chain_tgt")
+    spark.sql(s"""CREATE TABLE chain_tgt (k BIGINT, v DOUBLE)
       USING parquet LOCATION '$loc'""")
     try {
-      Seq((1L, 1.0)).toDF("k", "v").createOrReplaceTempView("merge_guard_src")
+      // k=1 hits the DELETE clause; k=2 falls to the UPDATE clause;
+      // k=3 matches but fires NO clause -> unchanged; k=4 unmatched
+      Seq((1L, 1.0), (2L, 2.0), (3L, -3.0), (4L, 4.0)).toDF("k", "v")
+        .write.mode("append").insertInto("chain_tgt")
+      Seq((1L, 0.0), (2L, 99.0), (3L, 0.0)).toDF("k", "nv")
+        .createOrReplaceTempView("chain_src")
+      spark.sql("""MERGE INTO chain_tgt USING chain_src
+        ON chain_tgt.k = chain_src.k
+        WHEN MATCHED AND chain_src.nv = 0.0 AND chain_tgt.v > 0 THEN DELETE
+        WHEN MATCHED AND chain_tgt.v > 0 THEN UPDATE SET v = chain_src.nv""")
+      val got = spark.table("chain_tgt").as[(Long, Double)].collect().toSet
+      assert(got == Set((2L, 99.0), (3L, -3.0), (4L, 4.0)), s"got $got")
+    } finally spark.sql("DROP TABLE IF EXISTS chain_tgt")
+  }
+
+  test("clause ORDER matters: UPDATE listed before DELETE shadows it " +
+    "for rows satisfying both") {
+    val loc = tmpDir("chain2") + "/tgt"
+    spark.sql("DROP TABLE IF EXISTS chain_ord")
+    spark.sql(s"""CREATE TABLE chain_ord (k BIGINT, v DOUBLE)
+      USING parquet LOCATION '$loc'""")
+    try {
+      Seq((1L, 1.0)).toDF("k", "v").write.mode("append")
+        .insertInto("chain_ord")
+      Seq((1L, 50.0)).toDF("k", "nv").createOrReplaceTempView("chain_ord_src")
+      // both conditions true for k=1 — the FIRST clause (UPDATE) wins
+      spark.sql("""MERGE INTO chain_ord USING chain_ord_src
+        ON chain_ord.k = chain_ord_src.k
+        WHEN MATCHED AND chain_ord.v > 0 THEN UPDATE SET v = chain_ord_src.nv
+        WHEN MATCHED AND chain_ord.v > 0 THEN DELETE""")
+      val got = spark.table("chain_ord").as[(Long, Double)].collect().toSet
+      assert(got == Set((1L, 50.0)), s"got $got")
+    } finally spark.sql("DROP TABLE IF EXISTS chain_ord")
+  }
+
+  test("multiple conditional NOT MATCHED clauses: first firing clause " +
+    "picks the projection, non-firing rows are not inserted") {
+    val loc = tmpDir("chain3") + "/tgt"
+    spark.sql("DROP TABLE IF EXISTS chain_ins")
+    spark.sql(s"""CREATE TABLE chain_ins (k BIGINT, v DOUBLE, tag STRING)
+      USING parquet LOCATION '$loc'""")
+    try {
+      Seq((1L, 10.0, "x")).toDF("k", "v", "tag")
+        .write.mode("append").insertInto("chain_ins")
+      Seq((2L, 2.0), (3L, 30.0), (4L, -4.0)).toDF("k", "v")
+        .createOrReplaceTempView("chain_ins_src")
+      // k=2 fires clause 1 (v<10 -> tagged 'small', v column left NULL);
+      // k=3 falls to clause 2 ('big'); k=4 fires neither -> dropped
+      spark.sql("""MERGE INTO chain_ins USING chain_ins_src s
+        ON chain_ins.k = s.k
+        WHEN NOT MATCHED AND s.v < 10 AND s.v > 0 THEN
+          INSERT (k, tag) VALUES (s.k, 'small')
+        WHEN NOT MATCHED AND s.v >= 10 THEN
+          INSERT (k, v, tag) VALUES (s.k, s.v, 'big')""")
+      val got = spark.table("chain_ins")
+        .select($"k", $"v", $"tag").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), r.getString(2))).toSet
+      assert(got == Set((1L, Some(10.0), "x"), (2L, None, "small"),
+        (3L, Some(30.0), "big")), s"got $got")
+    } finally spark.sql("DROP TABLE IF EXISTS chain_ins")
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE DELETE retires target rows absent " +
+    "from the source; untouched partitions keep their exact files") {
+    val loc = tmpDir("nmbs1") + "/tgt"
+    spark.sql("DROP TABLE IF EXISTS nmbs_del")
+    spark.sql(s"""CREATE TABLE nmbs_del (k BIGINT, v DOUBLE, part INT)
+      USING parquet PARTITIONED BY (part) LOCATION '$loc'""")
+    try {
+      Seq((1L, 1.0, 1), (2L, 2.0, 1), (3L, 3.0, 2), (4L, 4.0, 3))
+        .toDF("k", "v", "part").write.mode("append").insertInto("nmbs_del")
+      // source still has k=1 (updated) and k=9 (new); k=2/k=3 vanished
+      // upstream; the NMBS condition limits retirement to part<=2, so
+      // k=4 (part=3, unmatched) survives AND its dir is never touched
+      Seq((1L, 10.0, 1), (9L, 9.0, 2)).toDF("k", "v", "part")
+        .createOrReplaceTempView("nmbs_del_src")
+      def files(p: Int) = new java.io.File(s"$loc/part=$p").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(f =>
+          f.getName -> f.lastModified()).toMap
+      val p3Before = files(3)
+      spark.sql("""MERGE INTO nmbs_del USING nmbs_del_src s
+        ON nmbs_del.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT (k, v, part) VALUES (s.k, s.v, s.part)
+        WHEN NOT MATCHED BY SOURCE AND nmbs_del.part <= 2 THEN DELETE""")
+      val got = spark.table("nmbs_del").select($"k", $"v", $"part")
+        .as[(Long, Double, Int)].collect().toSet
+      assert(got == Set((1L, 10.0, 1), (9L, 9.0, 2), (4L, 4.0, 3)),
+        s"got $got")
+      assert(files(3) == p3Before, "out-of-scope partition was rewritten")
+    } finally spark.sql("DROP TABLE IF EXISTS nmbs_del")
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE UPDATE marks vanished rows without " +
+    "touching matched or inserted ones") {
+    val loc = tmpDir("nmbs2") + "/tgt"
+    spark.sql("DROP TABLE IF EXISTS nmbs_upd")
+    spark.sql(s"""CREATE TABLE nmbs_upd (k BIGINT, v DOUBLE, alive BOOLEAN)
+      USING parquet LOCATION '$loc'""")
+    try {
+      Seq((1L, 1.0, true), (2L, 2.0, true), (3L, 3.0, true))
+        .toDF("k", "v", "alive").write.mode("append").insertInto("nmbs_upd")
+      Seq((1L, 10.0)).toDF("k", "v").createOrReplaceTempView("nmbs_upd_src")
+      spark.sql("""MERGE INTO nmbs_upd USING nmbs_upd_src s
+        ON nmbs_upd.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED BY SOURCE AND nmbs_upd.v < 3 THEN
+          UPDATE SET alive = false""")
+      val got = spark.table("nmbs_upd").as[(Long, Double, Boolean)]
+        .collect().toSet
+      // k=2 soft-retired; k=3 unmatched but condition false -> untouched
+      assert(got == Set((1L, 10.0, true), (2L, 2.0, false), (3L, 3.0, true)),
+        s"got $got")
+    } finally spark.sql("DROP TABLE IF EXISTS nmbs_upd")
+  }
+
+  test("NMBS DELETE that empties a partition drops its dir; NMBS-only " +
+    "MERGE (no matched/insert clauses) is supported") {
+    val loc = tmpDir("nmbs3") + "/tgt"
+    spark.sql("DROP TABLE IF EXISTS nmbs_only")
+    spark.sql(s"""CREATE TABLE nmbs_only (k BIGINT, part INT)
+      USING parquet PARTITIONED BY (part) LOCATION '$loc'""")
+    try {
+      Seq((1L, 1), (2L, 2)).toDF("k", "part")
+        .write.mode("append").insertInto("nmbs_only")
+      Seq(Tuple1(2L)).toDF("k").createOrReplaceTempView("nmbs_only_src")
+      spark.sql("""MERGE INTO nmbs_only USING nmbs_only_src s
+        ON nmbs_only.k = s.k
+        WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      assert(spark.table("nmbs_only").select($"k").as[Long]
+        .collect().toSeq == Seq(2L))
+      assert(!new java.io.File(s"$loc/part=1").exists(),
+        "fully-retired partition dir should be dropped")
+    } finally spark.sql("DROP TABLE IF EXISTS nmbs_only")
+  }
+
+  test("the full incremental-ingest MERGE shape: matched DELETE+UPDATE " +
+    "chain, conditional INSERT, NMBS DELETE — one statement") {
+    val loc = tmpDir("chainfull") + "/tgt"
+    spark.sql("DROP TABLE IF EXISTS chain_full")
+    spark.sql(s"""CREATE TABLE chain_full (k BIGINT, v DOUBLE)
+      USING parquet LOCATION '$loc'""")
+    try {
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)).toDF("k", "v")
+        .write.mode("append").insertInto("chain_full")
+      // k=1: matched, op=del -> deleted; k=2: matched -> updated;
+      // k=5: unmatched, op=add -> inserted; k=6: unmatched, op=del ->
+      // not inserted; k=3,4: not matched by source -> retired
+      Seq((1L, 0.0, "del"), (2L, 20.0, "upd"), (5L, 5.0, "add"),
+        (6L, 6.0, "del")).toDF("k", "v", "op")
+        .createOrReplaceTempView("chain_full_src")
+      spark.sql("""MERGE INTO chain_full USING chain_full_src s
+        ON chain_full.k = s.k
+        WHEN MATCHED AND s.op = 'del' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED AND s.op <> 'del' THEN INSERT (k, v) VALUES (s.k, s.v)
+        WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      val got = spark.table("chain_full").as[(Long, Double)].collect().toSet
+      assert(got == Set((2L, 20.0), (5L, 5.0)), s"got $got")
+    } finally spark.sql("DROP TABLE IF EXISTS chain_full")
+  }
+
+  test("unsupported MERGE shapes (nested struct-field assignment) are " +
+    "left to Spark's own error, never silently mis-executed") {
+    val loc = tmpDir("mergesql3") + "/tgt"
+    spark.sql("DROP TABLE IF EXISTS merge_guard")
+    spark.sql(s"""CREATE TABLE merge_guard
+      (k BIGINT, s STRUCT<a: DOUBLE, b: DOUBLE>)
+      USING parquet LOCATION '$loc'""")
+    try {
+      Seq((1L, 9.0)).toDF("k", "a").createOrReplaceTempView("merge_guard_src")
       val e = intercept[Exception] {
         spark.sql("""MERGE INTO merge_guard USING merge_guard_src
           ON merge_guard.k = merge_guard_src.k
-          WHEN MATCHED AND merge_guard.v > 0 THEN DELETE
-          WHEN MATCHED THEN UPDATE SET v = merge_guard_src.v""")
+          WHEN MATCHED THEN UPDATE SET s.a = merge_guard_src.a""")
       }
       assert(e.getMessage != null)
       // and the table was not touched
