@@ -160,11 +160,18 @@ def main():
     results = {}
     for name in sorted(oracles):
         spark_path = os.path.join(out_dir, name)
-        if not glob.glob(os.path.join(spark_path, "*.parquet")):
-            why = errors.get(name, "no spark output")
-            print(f"FAIL {name}: {why}")
+        # errors.json is AUTHORITATIVE for this run: a query that errored
+        # now but dumped successfully into a reused outDir on a prior run
+        # must report err, not PASS against the stale output
+        if name in errors:
+            print(f"FAIL {name}: {errors[name]}")
             n_fail += 1
-            results[name] = "err" if name in errors else "no-output"
+            results[name] = "err"
+            continue
+        if not glob.glob(os.path.join(spark_path, "*.parquet")):
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            results[name] = "no-output"
             continue
         try:
             sdf = con.execute(

@@ -297,9 +297,13 @@ object Versioned {
         // bucket): the dynamic-partition writer emits no files for
         // zero rows, but an empty version still needs a
         // schema-carrying file, and the declaration needs every file
-        // in a bucket dir — so the carrier lands in bucket 0.
+        // in a bucket dir — so the carrier lands in bucket 0. The
+        // sort columns are TEMPORARY (dropped by the data write
+        // chain above) and must not leak into the carrier's schema,
+        // where they would surface on every read of the version.
         if (listParquet(fs, segDir).isEmpty)
-          writerDf.limit(0).coalesce(1).write.mode("append")
+          writerDf.drop(sortWithinBuckets: _*).limit(0).coalesce(1)
+            .write.mode("append")
             .parquet(new Path(segDir, "gb-0").toString)
     }
     val newAbs = listParquet(fs, segDir)

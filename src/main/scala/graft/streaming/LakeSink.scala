@@ -58,7 +58,15 @@ class LakeSinkProvider extends StreamSinkProvider with DataSourceRegister {
     // streaming ingestion paying the layout shuffle per batch instead
     // of a giant retroactive rewrite
     val bucket = (params.get("bucketcolumn"), params.get("numbuckets")) match {
-      case (Some(c), Some(n)) => Some((c, n.toInt))
+      case (Some(c), Some(n)) =>
+        // fail at sink creation with the option named, not with a bare
+        // NumberFormatException (or, for 0/-1, deep inside the first
+        // micro-batch's commit)
+        val parsed = scala.util.Try(n.trim.toInt).toOption.filter(_ > 0)
+          .getOrElse(throw new IllegalArgumentException(
+            s"graft-lake .option(\"numBuckets\", ...) must be a " +
+              s"positive integer, got '$n'"))
+        Some((c, parsed))
       case (None, None) => None
       case _ => throw new IllegalArgumentException(
         "graft-lake bucketing needs BOTH .option(\"bucketColumn\", c) " +

@@ -121,6 +121,23 @@ class OptimizeSqlSpec extends SparkSpec {
     assert(Clustering.avgFileSpan(spark, seg, "l_orderkey") < 0.7)
   }
 
+  test("OPTIMIZE ZORDER on an EMPTY bucketed table: the schema carrier " +
+    "keeps the user schema (no phantom __z column) and the bucket " +
+    "declaration survives") {
+    val dir = tmpDir("zoemptyb") + "/tbl"
+    val empty = spark.range(0)
+      .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    graft.operators.Versioned.commitBucketed(empty, dir, "k", 4)
+    spark.sql(s"OPTIMIZE '$dir' ZORDER BY (v)")
+    val df = graft.operators.Versioned.read(spark, dir)
+    // pre-fix, the empty-commit carrier was written before the z-sort
+    // temp column was dropped, so every later read surfaced __z
+    assert(df.columns.toSeq == Seq("k", "v"), df.columns.mkString(","))
+    assert(df.count() == 0)
+    assert(graft.operators.Versioned.bucketSpec(spark, dir)
+      .contains(("k", 4)))
+  }
+
   test("commitIf refuses a stale base (the OPTIMIZE lost-update " +
     "guard): conflicting commit preserved, staged segment cleaned up") {
     import graft.operators.Versioned

@@ -232,6 +232,20 @@ class ChangeFeedSourceSpec extends SparkSpec {
     }
   }
 
+  test("graft-lake sink rejects non-numeric / non-positive numBuckets " +
+    "at sink creation, naming the option") {
+    val p = new LakeSinkProvider
+    def make(n: String) = p.createSink(spark.sqlContext,
+      Map("path" -> (tmpDir("badnb") + "/t"),
+        "bucketcolumn" -> "k", "numbuckets" -> n),
+      Nil, org.apache.spark.sql.streaming.OutputMode.Append())
+    Seq("four", "0", "-2", "").foreach { bad =>
+      val e = intercept[IllegalArgumentException](make(bad))
+      assert(e.getMessage.contains("numBuckets"), s"'$bad': ${e.getMessage}")
+    }
+    make("4") // positive integer still accepted
+  }
+
   test("sink marker lookup is bounded by interleave depth, not table " +
     "history: steady-state opens exactly one manifest per batch") {
     import org.apache.spark.sql.execution.streaming.runtime.StreamExecution
