@@ -458,6 +458,10 @@ object Versioned {
         committed = target
       else fs.delete(tmp, false)
     }
+    // AFTER the commit point, best-effort: the pointer may only ever
+    // name a durably committed version (crash between rename and here
+    // = stale pointer = forward probe, never a phantom version)
+    writeLatestPointer(fs, root, committed)
     committed
     }
   }
@@ -683,8 +687,81 @@ object Versioned {
       .sorted
   }
 
+  /** Best-effort latest-version pointer (`_graft_log/_latest`) — the
+    * same discipline as Delta's `_last_checkpoint`: every read plans
+    * from the latest version, and without the pointer resolving it is
+    * a LIST of the whole log dir. Local FS hides the cost, but object
+    * stores make LIST the slowest call there is, and a streaming sink
+    * commits once per micro-batch — at 100k commits the listing, not
+    * the manifest read, dominates read planning. The pointer makes
+    * resolution O(1) file stats: read the pointer, verify its manifest
+    * exists, probe FORWARD one exists() per commit the pointer missed
+    * (it is written AFTER the commit rename, best-effort — a crash or
+    * an interleaved slower writer can leave it a few versions behind,
+    * never ahead of a durable commit it names). Anything unreadable,
+    * unparseable, or pointing at a vacuumed manifest falls back to the
+    * full listing — the pointer is an accelerator, NEVER a source of
+    * truth, so corrupting or deleting it costs a LIST and nothing
+    * else. */
+  private val LatestPointer = "_latest"
+
+  /** Count of full-listing fallbacks taken by [[latestVersion]] —
+    * a test hook: LatestPointerSpec proves a read on a deep-history
+    * table resolves its version with ZERO listings. */
+  private[graft] val latestListFallbacks =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def manifestPath(root: Path, v: Long): Path =
+    new Path(root, s"$LogDir/$v.manifest")
+
+  private def readLatestPointer(fs: FileSystem, root: Path): Option[Long] =
+    try {
+      val p = new Path(root, s"$LogDir/$LatestPointer")
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim
+        finally in.close()
+        scala.util.Try(s.toLong).toOption.filter(_ >= 0)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Overwrite-rename the pointer to `v`. Best-effort by contract:
+    * failure is swallowed — the next read pays a LIST, never reads a
+    * wrong version. Monotonicity is not enforced here (two racing
+    * committers may land pointer writes out of order); the forward
+    * probe in [[latestVersion]] absorbs a behind-pointer. */
+  private def writeLatestPointer(fs: FileSystem, root: Path, v: Long): Unit =
+    try {
+      val ptr = new Path(root, s"$LogDir/$LatestPointer")
+      val tmp = new Path(root,
+        s"$LogDir/.$LatestPointer.${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          fs.getUri, fs.getConf)
+        fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case _: UnsupportedOperationException | _: java.io.IOException =>
+          if (fs.exists(ptr)) fs.delete(ptr, false)
+          if (!fs.rename(tmp, ptr)) fs.delete(tmp, false)
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   private def latestVersion(fs: FileSystem, root: Path): Option[Long] =
-    listVersions(fs, root).lastOption
+    readLatestPointer(fs, root) match {
+      case Some(v) if fs.exists(manifestPath(root, v)) =>
+        // pointer valid but possibly behind: one exists() per missed
+        // commit (O(staleness), typically zero), never a LIST
+        var cur = v
+        while (fs.exists(manifestPath(root, cur + 1))) cur += 1
+        Some(cur)
+      case _ =>
+        latestListFallbacks.incrementAndGet()
+        listVersions(fs, root).lastOption
+    }
 
   /** File LINES of a version: `relpath` or `relpath\t<stats>` —
     * what append/restore must carry forward verbatim. */
