@@ -574,6 +574,88 @@ object Versioned {
     ((to -- from).toSeq.sorted, (from -- to).toSeq.sorted)
   }
 
+  /** Name of the change-type column [[rowChanges]] appends — Delta
+    * CDF's column name, values `insert` / `delete` /
+    * `update_preimage` / `update_postimage`. */
+  val ChangeTypeCol = "_change_type"
+
+  /** Name of the commit-version column [[rowChanges]] appends. */
+  val CommitVersionCol = "_commit_version"
+
+  /** Row-level change feed (the Delta-CDF contract [[changes]]'
+    * file-level semantics can't deliver): the table's rows as they
+    * CHANGED in versions (fromV, toV], each tagged with
+    * [[ChangeTypeCol]] and [[CommitVersionCol]]. Where [[changes]]
+    * hands a downstream consumer a COW UPDATE's whole rewritten
+    * segment as adds (re-processing carried rows, never learning what
+    * was deleted), this reconstructs the row deltas by DIFFING each
+    * commit's replaced segments against their replacements: the
+    * manifest diff names exactly the rewritten files, carried files
+    * are never opened, and within a rewritten segment the carried
+    * rows cancel in the multiset difference — so the diff cost
+    * tracks the REWRITTEN segments, never the table. (Delta gets the
+    * same rows by persisting `_change_data` files at write time; a
+    * manifest-diff reconstruction keeps the write path stock and
+    * needs no sidecar format.)
+    *
+    * Per-commit classification, from the commit's `operation` meta:
+    *  - no removed files (append): added rows → `insert`
+    *  - `delete`: removed∖added → `delete` (a delete's transform only
+    *    drops rows, so added∖removed is empty by construction)
+    *  - `update`: removed∖added → `update_preimage`,
+    *    added∖removed → `update_postimage` (an update that leaves a
+    *    row bit-identical cancels — emitting it as a change would be
+    *    a lie)
+    *  - `optimize`: layout-only by contract — no change rows, no read
+    *  - anything else (overwrite, restore, foreign meta): the generic
+    *    row diff, removed∖added → `delete` plus added∖removed →
+    *    `insert`. An overwrite re-snapshots, so its diff honestly
+    *    costs O(both snapshots) — the same stated degradation as
+    *    [[changes]].
+    *
+    * Rows are compared under toV's schema (columns a removed file
+    * carries beyond it are ignored; columns it predates read as
+    * null — the usual mergeSchema evolution contract). */
+  def rowChanges(spark: SparkSession, table: String,
+      fromV: Long, toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromV <= toV, s"fromV $fromV > toV $toV")
+    val schema = read(spark, table, Some(toV)).schema
+    require(!schema.fieldNames.exists(n =>
+      n.equalsIgnoreCase(ChangeTypeCol) || n.equalsIgnoreCase(CommitVersionCol)),
+      s"table $table already has a $ChangeTypeCol/$CommitVersionCol column")
+    def readAs(files: Seq[String]): DataFrame =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(files: _*)
+    def tag(df: DataFrame, change: String, v: Long): DataFrame =
+      df.withColumn(ChangeTypeCol, lit(change))
+        .withColumn(CommitVersionCol, lit(v))
+    val steps = ((fromV + 1) to toV).flatMap { v =>
+      val (added, removed) = changedFiles(spark, table, v - 1, v)
+      val op = readMeta(spark, table, v).getOrElse("operation", "")
+      if (op == "optimize") Nil
+      else if (removed.isEmpty) {
+        if (added.isEmpty) Nil else Seq(tag(readAs(added), "insert", v))
+      } else {
+        val pre = readAs(removed)
+        val post = readAs(added)
+        op match {
+          case "delete" => Seq(tag(pre.exceptAll(post), "delete", v))
+          case "update" => Seq(
+            tag(pre.exceptAll(post), "update_preimage", v),
+            tag(post.exceptAll(pre), "update_postimage", v))
+          case _ => Seq(
+            tag(pre.exceptAll(post), "delete", v),
+            tag(post.exceptAll(pre), "insert", v))
+        }
+      }
+    }
+    steps.reduceOption(_.unionAll(_)).getOrElse(
+      tag(readAs(Nil), "insert", toV).limit(0))
+  }
+
   /** Cursor-based change-feed consumer — the downstream half of
     * [[changes]]: process everything committed after this consumer's
     * cursor, then advance the cursor to the version just consumed.

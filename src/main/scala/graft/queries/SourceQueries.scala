@@ -240,6 +240,75 @@ object SourceQueries {
           AND l_shipdate < TIMESTAMP '1999-01-01'
         GROUP BY 1""")),
 
+    // ---- CF2 ROW-LEVEL change feed over COW DML (Delta-CDF
+    // semantics where cf1 is file-level): per-year segments, then a
+    // DELETE of 1997, an UPDATE of pre-1996, and a re-append of the
+    // 1997 slice. `rowChanges` reconstructs each commit's row deltas
+    // by diffing its replaced segments against their replacements —
+    // carried rows (both files and rows-within-rewritten-files)
+    // cancel, so a downstream consumer sees exactly the deleted rows
+    // as `delete`, the updated rows as `update_preimage`/
+    // `update_postimage` pairs, and the appended rows as `insert`,
+    // at a diff cost tracking the rewritten segments, never the
+    // table. Staged once per (JVM, sf dir) — DML must run exactly
+    // once; re-invocations re-read the committed history, which is
+    // immutable. Output: exact integer cents (BIGINT).
+    "cf2_row_cdf" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val table = stages.computeIfAbsent(s"$dir|cf2|cdf", { _ =>
+          val td = java.nio.file.Files
+            .createTempDirectory("cf2").toString + "/t"
+          val li = t(s, dir, "lineitem")
+            .select($"l_orderkey", $"l_quantity", $"l_shipdate")
+          (1995 to 2001).foreach { y =>
+            graft.operators.Versioned.commit(
+              li.where(year($"l_shipdate") === y), td,
+              if (y == 1995) "overwrite" else "append")
+          } // v0..v6
+          s.sql(s"""DELETE FROM '$td'
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'""") // v7
+          s.sql(s"""UPDATE '$td' SET l_quantity = l_quantity + 100
+            WHERE l_shipdate < TIMESTAMP '1996-01-01'""") // v8
+          graft.operators.Versioned.commit(
+            li.where(year($"l_shipdate") === 1997), td, "append") // v9
+          td
+        })
+        graft.operators.Versioned.rowChanges(s, table, 6L, 9L)
+          .groupBy($"_change_type".as("change_type"),
+            year($"l_shipdate").as("yr"))
+          .agg(count(lit(1)).as("n_rows"),
+            graft.functions.Exact.sumExact(
+              graft.functions.Exact.cents($"l_quantity"))
+              .cast("long").as("qty_cents"))
+      },
+      Some("""WITH y1997 AS (
+          SELECT l_quantity FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01'),
+        pre1996 AS (
+          SELECT l_quantity FROM lineitem
+          WHERE l_shipdate < TIMESTAMP '1996-01-01')
+        SELECT 'delete' AS change_type, 1997 AS yr,
+            CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+              AS qty_cents
+          FROM y1997
+        UNION ALL
+        SELECT 'update_preimage', 1995, CAST(count(*) AS BIGINT),
+            CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+          FROM pre1996
+        UNION ALL
+        SELECT 'update_postimage', 1995, CAST(count(*) AS BIGINT),
+            CAST(sum(CAST(round(l_quantity*100) AS BIGINT) + 10000)
+              AS BIGINT)
+          FROM pre1996
+        UNION ALL
+        SELECT 'insert', 1997, CAST(count(*) AS BIGINT),
+            CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+          FROM y1997""")),
+
     // ---- VT5 copy-on-write DML (Versioned.rewrite + StatsPruner):
     // one segment per ship year, then a DELETE of 1997 and an UPDATE
     // of pre-1993 rows — each statement scopes its rewrite through the

@@ -273,6 +273,42 @@ class ChangeFeedSourceSpec extends SparkSpec {
     assert(last3 == -1L && scanned3 == Versioned.versions(spark, t).size)
   }
 
+  test("readChangeFeed: micro-batches deliver row-level change rows — " +
+    "the initial snapshot as inserts, a COW UPDATE as preimage/" +
+    "postimage pairs, a DELETE as exactly the deleted rows") {
+    val base = tmpDir("cdfstream")
+    val t = s"$base/t"; val cp = s"$base/cp"; val out = s"$base/out"
+    Versioned.commit(
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v").coalesce(1), t) // v0
+    def drainCdf(): Unit = {
+      val q = spark.readStream.format("graft-changes")
+        .option("path", t).option("readChangeFeed", "true").load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    drainCdf() // initial snapshot: 3 inserts at version 0
+    def rows() = spark.read.parquet(out)
+      .select($"k", $"v", $"_change_type", $"_commit_version")
+      .as[(Int, String, String, Long)].collect().toSet
+    assert(rows() == Set((1, "a", "insert", 0L), (2, "b", "insert", 0L),
+      (3, "c", "insert", 0L)))
+    spark.sql(s"UPDATE '$t' SET v = 'B' WHERE k = 2")  // v1
+    drainCdf() // carried rows 1 and 3 must NOT reappear
+    assert(rows() == Set((1, "a", "insert", 0L), (2, "b", "insert", 0L),
+      (3, "c", "insert", 0L),
+      (2, "b", "update_preimage", 1L), (2, "B", "update_postimage", 1L)))
+    spark.sql(s"DELETE FROM '$t' WHERE k = 1")         // v2
+    drainCdf()
+    assert(rows().contains((1, "a", "delete", 2L)))
+    assert(rows().size == 6)
+    // replay safety: an idle drain adds nothing
+    drainCdf()
+    assert(rows().size == 6)
+  }
+
   test("an overwrite commit surfaces its new snapshot (file-level " +
     "change-feed semantics, Versioned.changes parity)") {
     val base = tmpDir("cfstream")
