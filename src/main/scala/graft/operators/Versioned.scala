@@ -357,20 +357,24 @@ object Versioned {
       val lines = readFileLines(fs, root, v)
       val fullSchema = read(spark, table, Some(v)).schema
       val (touched, carried) = lines.partition { line =>
-        val cut = line.indexOf('\t')
-        if (cut < 0) true // no stats: always in scope
-        else SegmentStats.parse(line.substring(cut + 1)) match {
+        parseLine(line)._2.flatMap(SegmentStats.parse) match {
           case Some(st) => mayTouch(st)
-          case None => true
+          case None => true // no stats: always in scope
         }
       }
       val touchedFiles = touched
-        .map(l => new Path(root, l.split('\t').head).toString)
+        .map(l => new Path(root, parseLine(l)._1).toString)
+      // DV overlay on the touched subset: rows a deletion vector
+      // already removed must be invisible to the transform AND to the
+      // matched count — and the rewritten replacement physically
+      // excludes them, which is what lets the new line drop its dv
+      // refs (the fold). Carried lines keep their refs verbatim.
       val subset =
         if (touchedFiles.isEmpty)
           spark.createDataFrame(spark.sparkContext
             .emptyRDD[org.apache.spark.sql.Row], fullSchema)
-        else spark.read.schema(fullSchema).parquet(touchedFiles: _*)
+        else applyDv(spark, root, touched,
+          spark.read.schema(fullSchema).parquet(touchedFiles: _*))
       val matched = subset.where(cond).count()
       // A bucketed base version keeps its layout through DML: the
       // replacement segment is written with the same bucket routing
@@ -518,17 +522,21 @@ object Versioned {
   }
 
   /** Read a version (default: latest). Historic versions stay readable
-    * until [[vacuum]] drops their manifests. */
+    * until [[vacuum]] drops their manifests. A version carrying
+    * deletion vectors gets the [[applyDv]] overlay (deleted rows
+    * skipped at read time); DV-free versions keep the plain
+    * vectorized scan plan untouched. */
   def read(spark: SparkSession, table: String,
       version: Option[Long] = None): DataFrame = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = version.orElse(latestVersion(fs, root)).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $table"))
-    val files = readManifest(fs, root, v)
-      .map(rel => new Path(root, rel).toString)
+    val lines = readFileLines(fs, root, v)
+    val files = lines.map(l => new Path(root, parseLine(l)._1).toString)
     require(files.nonEmpty, s"version $v of $table is empty")
-    spark.read.option("mergeSchema", "true").parquet(files: _*)
+    applyDv(spark, root, lines,
+      spark.read.option("mergeSchema", "true").parquet(files: _*))
   }
 
   /** Committed versions, ascending. Unparseable / staged-hidden names
@@ -618,42 +626,93 @@ object Versioned {
     * null — the usual mergeSchema evolution contract). */
   def rowChanges(spark: SparkSession, table: String,
       fromV: Long, toV: Long): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{col, lit, regexp_replace}
+    import spark.implicits._
     require(fromV <= toV, s"fromV $fromV > toV $toV")
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val schema = read(spark, table, Some(toV)).schema
     require(!schema.fieldNames.exists(n =>
       n.equalsIgnoreCase(ChangeTypeCol) || n.equalsIgnoreCase(CommitVersionCol)),
       s"table $table already has a $ChangeTypeCol/$CommitVersionCol column")
-    def readAs(files: Seq[String]): DataFrame =
+    // reads go through the DV overlay of the LINES being read: a row a
+    // deletion vector had already removed before this range must not
+    // resurface as a preimage or delete
+    def readLines(lines: Seq[String]): DataFrame = {
+      val files = lines.map(l => new Path(root, parseLine(l)._1).toString)
       if (files.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(files: _*)
+      else applyDv(spark, root, lines,
+        spark.read.schema(schema).parquet(files: _*))
+    }
     def tag(df: DataFrame, change: String, v: Long): DataFrame =
       df.withColumn(ChangeTypeCol, lit(change))
         .withColumn(CommitVersionCol, lit(v))
     val steps = ((fromV + 1) to toV).flatMap { v =>
-      val (added, removed) = changedFiles(spark, table, v - 1, v)
+      val prevLines = readFileLines(fs, root, v - 1)
+      val curLines = readFileLines(fs, root, v)
+      val prevByRel = prevLines.map(l => parseLine(l)._1 -> l).toMap
+      val curRels = curLines.map(parseLine(_)._1).toSet
+      val addedLines = curLines.filterNot(l => prevByRel.contains(parseLine(l)._1))
+      val removedLines = prevLines.filterNot(l => curRels.contains(parseLine(l)._1))
       val op = readMeta(spark, table, v).getOrElse("operation", "")
-      if (op == "optimize") Nil
-      else if (removed.isEmpty) {
-        if (added.isEmpty) Nil else Seq(tag(readAs(added), "insert", v))
-      } else {
-        val pre = readAs(removed)
-        val post = readAs(added)
-        op match {
-          case "delete" => Seq(tag(pre.exceptAll(post), "delete", v))
-          case "update" => Seq(
-            tag(pre.exceptAll(post), "update_preimage", v),
-            tag(post.exceptAll(pre), "update_postimage", v))
-          case _ => Seq(
-            tag(pre.exceptAll(post), "delete", v),
-            tag(post.exceptAll(pre), "insert", v))
+      val fileSteps: Seq[DataFrame] =
+        if (op == "optimize") Nil
+        else if (removedLines.isEmpty) {
+          if (addedLines.isEmpty) Nil
+          else Seq(tag(readLines(addedLines), "insert", v))
+        } else {
+          val pre = readLines(removedLines)
+          val post = readLines(addedLines)
+          op match {
+            case "delete" => Seq(tag(pre.exceptAll(post), "delete", v))
+            case "update" => Seq(
+              tag(pre.exceptAll(post), "update_preimage", v),
+              tag(post.exceptAll(pre), "update_postimage", v))
+            case _ => Seq(
+              tag(pre.exceptAll(post), "delete", v),
+              tag(post.exceptAll(pre), "insert", v))
+          }
         }
-      }
+      // DV delta: a merge-on-read DELETE changes no files — it adds
+      // dv= refs to surviving lines. The rows those NEW refs name are
+      // this commit's deletes; fetching them reads only the affected
+      // files, restricted to the new sidecars' row indexes.
+      val gained: Map[String, Seq[String]] = // dv dir -> rels gaining it at v
+        if (op == "optimize") Map.empty
+        else curLines.map(parseLine)
+          .filter { case (rel, _, _) => prevByRel.contains(rel) }
+          .flatMap { case (rel, _, refs) =>
+            val prevRefs = parseLine(prevByRel(rel))._3.map(_._1).toSet
+            refs.map(_._1).filterNot(prevRefs).map(_ -> rel)
+          }
+          .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+      val dvSteps: Seq[DataFrame] =
+        if (gained.isEmpty) Nil
+        else {
+          val newPairs = gained.toSeq.sortBy(_._1).map { case (dir, rels) =>
+            spark.read.parquet(new Path(root, dir).toString)
+              .where(col("file").isin(rels: _*))
+          }.reduce(_.unionAll(_))
+          val rels = gained.values.flatten.toSeq.distinct
+          val relDf = rels.map(r => (r, new Path(root, r).toUri.getPath))
+            .toDF("file", "__graft_p")
+          val pairsNorm = newPairs.join(relDf, "file")
+            .select(col("__graft_p"), col("idx").as("__graft_i"))
+          val rows = spark.read.schema(schema)
+            .parquet(rels.map(r => new Path(root, r).toString): _*)
+            .withColumn("__graft_p", regexp_replace(
+              col("_metadata.file_path"), SchemeAuthorityRegex, ""))
+            .withColumn("__graft_i", col("_metadata.row_index"))
+            .join(pairsNorm, Seq("__graft_p", "__graft_i"), "left_semi")
+            .drop("__graft_p", "__graft_i")
+          Seq(tag(rows, "delete", v))
+        }
+      fileSteps ++ dvSteps
     }
     steps.reduceOption(_.unionAll(_)).getOrElse(
-      tag(readAs(Nil), "insert", toV).limit(0))
+      tag(readLines(Nil), "insert", toV).limit(0))
   }
 
   /** Cursor-based change-feed consumer — the downstream half of
@@ -755,6 +814,19 @@ object Versioned {
       if (st.isDirectory && !live.contains(st.getPath.getName))
         fs.delete(st.getPath, true)
     }
+    // deletion-vector sidecars sweep like data segments: a dv dir no
+    // surviving manifest line references is unreachable
+    val liveDv = mutable.Set.empty[String]
+    keep.foreach(v => readFileLines(fs, root, v).foreach { line =>
+      parseLine(line)._3.foreach { case (dvRel, _) =>
+        liveDv += dvRel.split('/')(1) // dv/<uuid> -> uuid
+      }
+    })
+    val dvRoot = new Path(root, "dv")
+    if (fs.exists(dvRoot)) fs.listStatus(dvRoot).foreach { st =>
+      if (st.isDirectory && !liveDv.contains(st.getPath.getName))
+        fs.delete(st.getPath, true)
+    }
   }
 
   private def listVersions(fs: FileSystem, root: Path): Seq[Long] = {
@@ -854,6 +926,208 @@ object Versioned {
   private def readManifest(fs: FileSystem, root: Path, v: Long): Seq[String] =
     readFileLines(fs, root, v).map(_.split('\t').head)
 
+  // ------------------------------------------------- manifest line grammar
+
+  /** Full line grammar (each extension backward compatible — older
+    * readers that split at the first tab still get the path):
+    *
+    * {{{
+    *   <relpath>[\trows=<n>[\t<colstat>]...][\tdv=<dvdir>:<n>]...
+    * }}}
+    *
+    * `dv=` fields are DELETION-VECTOR references (merge-on-read
+    * DELETE): `<dvdir>` is a table-relative parquet directory of
+    * `(file: string, idx: long)` pairs naming deleted row positions,
+    * `<n>` the count of this file's rows it deletes. A file line may
+    * carry several (stacked deletes); a rewrite of the file drops
+    * them all (the replacement physically excludes the rows). Fields
+    * are order-insensitive past the path; stats parsing must never
+    * see dv fields and vice versa. */
+  private[graft] def parseLine(line: String)
+      : (String, Option[String], Seq[(String, Long)]) = {
+    val parts = line.split('\t')
+    val rel = parts.head
+    val (dvF, statsF) = parts.tail.partition(_.startsWith("dv="))
+    val dvRefs = dvF.toSeq.flatMap { f =>
+      val body = f.stripPrefix("dv=")
+      val cut = body.lastIndexOf(':')
+      if (cut <= 0) None
+      else scala.util.Try(body.substring(cut + 1).toLong).toOption
+        .filter(_ >= 0).map(n => (body.substring(0, cut), n))
+    }
+    (rel, if (statsF.isEmpty) None else Some(statsF.mkString("\t")), dvRefs)
+  }
+
+  /** Strips a scheme://authority prefix so executor-side
+    * `_metadata.file_path` URIs (`file:///x`, `hdfs://nn:8020/x`) and
+    * driver-side `Path.toUri.getPath` strings compare equal. One
+    * table lives on one filesystem, so dropping the authority cannot
+    * conflate files. */
+  private[graft] val SchemeAuthorityRegex = "^[a-zA-Z0-9+.-]+:(//[^/]*)?"
+
+  /** Overlay a version's deletion vectors on a scan of its files:
+    * anti-join on (normalized file path, parquet row index) against
+    * the union of the lines' referenced DV sidecars. A version with
+    * no `dv=` fields returns `base` untouched — the DV-free hot path
+    * keeps its exact plan. Sidecar entries for files whose line no
+    * longer references the sidecar (rewritten since) drop out via the
+    * rel-path restriction. Cost tracks the DELETED rows, not the
+    * table: the sidecar read is O(deleted), and AQE broadcasts the
+    * small side of the anti-join. */
+  /** The (normalized path, row index) pairs the given lines' DV refs
+    * delete — None when no line carries a ref. Entries for files
+    * outside `lines` (rewritten since their sidecar was written) drop
+    * out via the rel-path restriction. */
+  private def dvPairs(spark: SparkSession, root: Path,
+      lines: Seq[String]): Option[DataFrame] = {
+    val withDv = lines.map(parseLine).filter(_._3.nonEmpty)
+    if (withDv.isEmpty) return None
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dvDirs = withDv.flatMap(_._3.map(_._1)).distinct
+    val entries = spark.read
+      .parquet(dvDirs.map(d => new Path(root, d).toString): _*)
+    val relNorm = withDv.map { case (rel, _, _) =>
+      (rel, new Path(root, rel).toUri.getPath) }
+    Some(entries
+      .join(relNorm.toDF("file", "__graft_p"), "file")
+      .select(col("__graft_p"), col("idx").as("__graft_i")))
+  }
+
+  private def applyDv(spark: SparkSession, root: Path,
+      lines: Seq[String], base: DataFrame): DataFrame =
+    dvPairs(spark, root, lines) match {
+      case None => base
+      case Some(deleted) =>
+        import org.apache.spark.sql.functions.{col, regexp_replace}
+        base
+          .withColumn("__graft_p", regexp_replace(
+            col("_metadata.file_path"), SchemeAuthorityRegex, ""))
+          .withColumn("__graft_i", col("_metadata.row_index"))
+          .join(deleted, Seq("__graft_p", "__graft_i"), "left_anti")
+          .drop("__graft_p", "__graft_i")
+    }
+
+  /** Merge-on-read DELETE (Delta/Iceberg deletion vectors): rows of
+    * the latest version matching `cond` are recorded in a parquet
+    * SIDECAR of (file, row-index) pairs and the affected manifest
+    * lines gain a `dv=` reference — NO data segment is read-modified-
+    * written. At 100 TB this is what makes a one-row GDPR delete a
+    * metadata-plus-O(1)-rows commit instead of a segment rewrite
+    * (copy-on-write [[rewrite]] amplifies a 1-row delete to the
+    * segment size). The read path skips DV rows ([[applyDv]]);
+    * OPTIMIZE folds them away (it reads DV-filtered and commits
+    * physical files). Stacked deletes append further `dv=` refs; a
+    * COW rewrite of a file drops its refs, because the replacement
+    * physically excludes the rows.
+    *
+    * `mayTouch` scopes which segments are even scanned for matches
+    * (same stats contract as [[rewrite]]). Already-DV-deleted rows
+    * never re-match. Returns the number of rows newly deleted; 0
+    * matches commits nothing. */
+  def deleteWithDv(spark: SparkSession, table: String,
+      mayTouch: SegmentStats.FileStats => Boolean, cond: Column): Long = {
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    import spark.implicits._
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    while (true) {
+      val v = latestVersion(fs, root).getOrElse(
+        throw new IllegalArgumentException(s"no committed version in $table"))
+      val lines = readFileLines(fs, root, v)
+      val fullSchema = read(spark, table, Some(v)).schema
+      val touched = lines.filter { line =>
+        parseLine(line)._2.flatMap(SegmentStats.parse) match {
+          case Some(st) => mayTouch(st)
+          case None => true
+        }
+      }
+      if (touched.isEmpty) return 0L
+      val touchedFiles = touched
+        .map(l => new Path(root, parseLine(l)._1).toString)
+      val annotated = spark.read.schema(fullSchema)
+        .parquet(touchedFiles: _*)
+        .withColumn("__graft_p", regexp_replace(
+          col("_metadata.file_path"), SchemeAuthorityRegex, ""))
+        .withColumn("__graft_i", col("_metadata.row_index"))
+      val live = dvPairs(spark, root, touched) match {
+        case Some(d) =>
+          annotated.join(d, Seq("__graft_p", "__graft_i"), "left_anti")
+        case None => annotated
+      }
+      val relDf = touched.map(parseLine).map { case (rel, _, _) =>
+        (new Path(root, rel).toUri.getPath, rel) }
+        .toDF("__graft_p", "file")
+      val dvRel = s"dv/${java.util.UUID.randomUUID()}"
+      val dvDir = new Path(root, dvRel)
+      live.where(cond)
+        .select(col("__graft_p"), col("__graft_i").as("idx"))
+        .join(relDf, "__graft_p")
+        .select(col("file"), col("idx"))
+        .write.parquet(dvDir.toString)
+      // counts from the written sidecar itself — the committed refs
+      // must describe exactly the bytes on disk, not a recompute
+      val counts = spark.read.parquet(dvDir.toString)
+        .groupBy("file").count().as[(String, Long)].collect().toMap
+      val matched = counts.values.sum
+      if (matched == 0L) {
+        try fs.delete(dvDir, true)
+        catch { case scala.util.control.NonFatal(_) => () }
+        return 0L
+      }
+      val newLines = lines.map { line =>
+        val rel = parseLine(line)._1
+        counts.get(rel).map(c => s"$line\tdv=$dvRel:$c").getOrElse(line)
+      }
+      val meta = Map("operation" -> "delete", "delete_mode" -> "dv") ++
+        bucketSpec(spark, table, Some(v))
+          .map { case (c, n) => BucketKey -> s"$c/$n" }
+      try {
+        commitManifest(fs, root, meta, { base =>
+          if (base != Some(v)) throw new RewriteConflict
+          newLines
+        })
+        return matched
+      } catch {
+        case _: RewriteConflict if attempt >= 4 =>
+          throw new IllegalStateException(
+            s"DV delete on $table kept losing the commit race " +
+              s"(${attempt + 1} attempts) — retry when the writer " +
+              "storm subsides")
+        case _: RewriteConflict =>
+          attempt += 1
+          try fs.delete(dvDir, true)
+          catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Whether any line of version `v` carries a deletion vector. */
+  private[graft] def hasDv(spark: SparkSession, table: String,
+      v: Long): Boolean = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readFileLines(fs, root, v).exists(parseLine(_)._3.nonEmpty)
+  }
+
+  /** Per-file deletion-vector row counts of a version (rel path →
+    * total deleted rows, summed across stacked refs) — what lets
+    * DESCRIBE DETAIL keep its metadata-only row count exact under
+    * merge-on-read deletes. */
+  def dvDeletedCounts(spark: SparkSession, table: String,
+      version: Option[Long] = None): Map[String, Long] = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = version.orElse(latestVersion(fs, root)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    readFileLines(fs, root, v).map(parseLine)
+      .filter(_._3.nonEmpty)
+      .map { case (rel, _, refs) => rel -> refs.map(_._2).sum }
+      .toMap
+  }
+
   /** Data-skipping stats of a version, keyed by ABSOLUTE file path
     * (matching [[versionFiles]] output). Files committed without stats
     * (pre-stats manifests, unreadable footers) are simply absent —
@@ -865,10 +1139,9 @@ object Versioned {
     val v = version.orElse(latestVersion(fs, root)).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $table"))
     readFileLines(fs, root, v).flatMap { line =>
-      val cut = line.indexOf('\t')
-      if (cut < 0) None
-      else SegmentStats.parse(line.substring(cut + 1))
-        .map(new Path(root, line.substring(0, cut)).toString -> _)
+      val (rel, stats, _) = parseLine(line)
+      stats.flatMap(SegmentStats.parse)
+        .map(new Path(root, rel).toString -> _)
     }.toMap
   }
 
@@ -887,6 +1160,19 @@ object Versioned {
       column: String): Option[Seq[String]] = {
     val all = versionFiles(spark, table)
     if (all.isEmpty) return None
+    // a deletion vector may have removed exactly the row achieving a
+    // file's recorded max — the stats are then upper bounds, not
+    // attained values, and the arg-max restriction is unsound. Bail
+    // to the full (DV-aware) read; OPTIMIZE folding restores the
+    // fast path.
+    locally {
+      val root = new Path(table)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      latestVersion(fs, root).foreach { v =>
+        if (readFileLines(fs, root, v).exists(parseLine(_)._3.nonEmpty))
+          return None
+      }
+    }
     val stats = fileStats(spark, table)
     if (stats.isEmpty) return None
     val lower = column.toLowerCase(java.util.Locale.ROOT)

@@ -314,8 +314,13 @@ case class DescribeDetailCommand(path: String) extends LeafRunnableCommand {
     val bytes = files.map(f =>
       fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
     val stats = Versioned.fileStats(spark, path)
+    // deletion vectors subtract exactly: per-file deleted counts ride
+    // the manifest line, so the row count stays metadata-only under
+    // merge-on-read deletes
+    val dvDeleted = Versioned.dvDeletedCounts(spark, path).values.sum
     val rows: Any =
-      if (files.forall(stats.contains)) files.map(stats(_).rows).sum
+      if (files.forall(stats.contains))
+        files.map(stats(_).rows).sum - dvDeleted
       else null
     // surfacing the layout here is what lets an operator ASK whether a
     // table still carries its storage-partitioned-join contract
@@ -429,6 +434,18 @@ case class DeleteVersionedCommand(path: String, where: Option[String])
     val scope: graft.operators.SegmentStats.FileStats => Boolean =
       if (filters.isEmpty) _ => true
       else st => filters.forall(StatsPruner.mayMatch(st, _))
+    // merge-on-read routing (Delta's delta.enableDeletionVectors):
+    // under the conf, the delete commits a deletion-vector sidecar
+    // instead of rewriting segments — a one-row delete stops costing
+    // a segment write; OPTIMIZE folds the vectors back into files
+    val useDv = spark.conf.getOption("spark.graft.delete.mode")
+      .exists(_.trim.equalsIgnoreCase("dv"))
+    if (useDv) {
+      // filter semantics: NULL-predicate rows are kept, i.e. deleted
+      // rows are exactly those where cond IS TRUE
+      val n = Versioned.deleteWithDv(spark, path, scope, cond)
+      return Seq(Row(n))
+    }
     val (n, _, _) = Versioned.rewrite(spark, path, scope, raw,
       subset => subset.where(not(cond)),
       Map("operation" -> "delete"))

@@ -357,6 +357,62 @@ object SourceQueries {
         WHERE NOT (l_shipdate >= TIMESTAMP '1997-01-01'
           AND l_shipdate < TIMESTAMP '1998-01-01')""")),
 
+    // ---- VT7 deletion-vector (merge-on-read) DELETE: per-year
+    // segments, then a whole-year DV delete plus a partial-file DV
+    // delete under spark.graft.delete.mode=dv — each commits a
+    // row-index sidecar + manifest refs, REWRITING NO SEGMENT (the
+    // staging block asserts it: the data-file set is unchanged, the
+    // write amplification a one-row GDPR delete must not pay at
+    // 100 TB). The read-back aggregate proves the DV overlay skips
+    // exactly the deleted rows; DvSpec proves the mechanics
+    // (stacking, OPTIMIZE folding, catalog fallback, vacuum sweep).
+    // Output: exact integer cents (BIGINT).
+    "vt7_dv_delete" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val table = stages.computeIfAbsent(s"$dir|vt7|dv", { _ =>
+          val td = java.nio.file.Files
+            .createTempDirectory("vt7").toString + "/t"
+          val li = t(s, dir, "lineitem")
+            .select($"l_orderkey", $"l_quantity", $"l_shipdate")
+          (1995 to 2001).foreach { y =>
+            graft.operators.Versioned.commit(
+              li.where(year($"l_shipdate") === y), td,
+              if (y == 1995) "overwrite" else "append")
+          }
+          val filesBefore =
+            graft.operators.Versioned.versionFiles(s, td).toSet
+          s.conf.set("spark.graft.delete.mode", "dv")
+          try {
+            s.sql(s"""DELETE FROM '$td'
+              WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+                AND l_shipdate < TIMESTAMP '1999-01-01'""")
+            s.sql(s"""DELETE FROM '$td'
+              WHERE l_orderkey % 7 = 0
+                AND l_shipdate >= TIMESTAMP '1999-01-01'
+                AND l_shipdate < TIMESTAMP '2000-01-01'""")
+          } finally s.conf.unset("spark.graft.delete.mode")
+          require(graft.operators.Versioned.versionFiles(s, td).toSet
+            == filesBefore,
+            "DV deletes must not rewrite or add data segments")
+          td
+        })
+        graft.operators.Versioned.read(s, table).agg(
+          count(lit(1)).as("n_rows"),
+          graft.functions.Exact.sumExact(
+            graft.functions.Exact.cents($"l_quantity"))
+            .cast("long").as("qty_cents"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+            AS qty_cents
+        FROM lineitem
+        WHERE NOT (l_shipdate >= TIMESTAMP '1998-01-01'
+            AND l_shipdate < TIMESTAMP '1999-01-01')
+          AND NOT (l_orderkey % 7 = 0
+            AND l_shipdate >= TIMESTAMP '1999-01-01'
+            AND l_shipdate < TIMESTAMP '2000-01-01')""")),
+
     // ---- VT6 metadata-only aggregates (sources.ManifestAggregates):
     // a filterless global COUNT/COUNT(col)/MIN/MAX over a catalog
     // snapshot table is answered from the manifest's per-file stats —

@@ -98,8 +98,17 @@ class GraftCatalog extends TableCatalog
     // bucketSpec validates layout (declared AND every file in a bucket
     // dir) — a half-bucketed version reports None and scans normally
     val bucket = Versioned.bucketSpec(spark, path, Some(resolved))
-    val readTable = new GraftSnapshotReadTable(path, resolved, files,
-      reader, bucket)
+    // a version carrying deletion vectors cannot ride the raw
+    // ParquetTable scan (it would resurrect DV-deleted rows): it
+    // degrades to a V1 relation over the DV-aware read — correct but
+    // unoptimized (no stats pruning, no SPJ) until OPTIMIZE folds the
+    // vectors back into physical files, which restores this fast path
+    val readTable: Table with SupportsRead =
+      if (Versioned.hasDv(spark, path, resolved))
+        new GraftDvReadTable(path, resolved, ident.name,
+          Versioned.read(spark, path, Some(resolved)).schema)
+      else new GraftSnapshotReadTable(path, resolved, files,
+        reader, bucket)
     // latest-version loads are writable (INSERT INTO/OVERWRITE land as
     // manifest commits); a pinned time-travel load stays read-only
     if (version.isEmpty) new GraftWritableTable(path, readTable)
@@ -204,6 +213,40 @@ class GraftCatalog extends TableCatalog
   * scheduling a million file splits and scheduling the handful whose
   * [min,max] windows intersect the query's predicate — decided from
   * ONE manifest read at plan time, no footer probing, no listing. */
+/** Catalog face of a deletion-vector-bearing version: a V1 relation
+  * scan over the DV-aware [[Versioned.read]]. Correctness-first
+  * fallback — Delta solves this with DV-native scan machinery; here
+  * the contract is that DVs are a TRANSIENT state between a cheap
+  * merge-on-read DELETE and the next OPTIMIZE, so the degraded scan
+  * (no manifest-stats pruning, no storage-partitioned joins) is paid
+  * only in that window. */
+private[sources] class GraftDvReadTable(path: String, version: Long,
+    tableName: String, tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.V1Scan {
+          override def readSchema(): StructType = tableSchema
+          override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+              with org.apache.spark.sql.sources.TableScan](
+              context: org.apache.spark.sql.SQLContext): T =
+            new org.apache.spark.sql.sources.BaseRelation
+                with org.apache.spark.sql.sources.TableScan {
+              override def sqlContext: org.apache.spark.sql.SQLContext = context
+              override def schema: StructType = tableSchema
+              override def buildScan()
+                  : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+                Versioned.read(context.sparkSession, path, Some(version)).rdd
+            }.asInstanceOf[T]
+        }
+    }
+}
+
 private[sources] class GraftSnapshotReadTable(path: String, version: Long,
     files: Seq[String], delegate: ParquetTable,
     bucket: Option[(String, Int)] = None)
@@ -553,7 +596,7 @@ private[sources] final class RuntimeSkippingScan(
   * (no Hadoop commit-protocol half-states — the lake format's
   * invariant extends to SQL writes). */
 private[sources] class GraftWritableTable(path: String,
-    reader: GraftSnapshotReadTable)
+    reader: Table with SupportsRead)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   import org.apache.spark.sql.{sources => f}

@@ -46,11 +46,22 @@ object StatsPruner {
     * onto a read of the table, harvest what survives as Filter nodes,
     * lower each conjunct. An empty result means "no pruning", never
     * "matches nothing". */
-  def pushableFilters(filtered: org.apache.spark.sql.DataFrame): Seq[sf.Filter] =
+  def pushableFilters(filtered: org.apache.spark.sql.DataFrame): Seq[sf.Filter] = {
+    // the plan may contain MORE than the caller's predicate over the
+    // table — a DV-overlaid read carries an anti-join whose sidecar
+    // side has its own Filter nodes (isnotnull(file), join-key
+    // filters). Those reference columns that are not table columns;
+    // lowering them would stats-"prune" on columns no data file
+    // carries and silently scope the DML to nothing. Only filters
+    // over the DataFrame's own OUTPUT columns are table predicates.
+    val outCols = filtered.columns
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     filtered.queryExecution.optimizedPlan.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
         conjuncts(f.condition).flatMap(translate)
-    }.flatten
+    }.flatten.filter(_.references.forall(r =>
+      outCols.contains(r.toLowerCase(java.util.Locale.ROOT))))
+  }
 
   private def conjuncts(e: ce.Expression): Seq[ce.Expression] = e match {
     case ce.And(l, r) => conjuncts(l) ++ conjuncts(r)
