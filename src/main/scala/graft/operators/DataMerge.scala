@@ -64,6 +64,19 @@ object DataMerge {
   def mergeIntoParquet(spark: SparkSession, path: String, updates: DataFrame,
       keys: Seq[String], partCols: Seq[String]): Seq[Seq[Any]] = {
     require(partCols.nonEmpty, "use mergeIntoParquetFull for unpartitioned")
+    // the merge traverses `updates` up to four times (uniqueness
+    // guard, tuple collect, moves probe, final anti-join/union);
+    // materialize the bounded churn slice once instead of recomputing
+    // its upstream plan per job (the history side is never cached)
+    val src = updates.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try mergeIntoParquetImpl(spark, path, src, keys, partCols)
+    finally src.unpersist()
+  }
+
+  private def mergeIntoParquetImpl(spark: SparkSession, path: String,
+      updates: DataFrame, keys: Seq[String], partCols: Seq[String])
+      : Seq[Seq[Any]] = {
     requireUniqueKeys(updates, keys)
     val newTuples: Seq[Seq[Any]] =
       collectTuples(updates, partCols) // bounded by #partitions by contract

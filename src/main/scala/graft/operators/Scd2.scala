@@ -78,6 +78,23 @@ object Scd2 {
   def applyToTable(spark: org.apache.spark.sql.SparkSession, path: String,
       updates: DataFrame, keys: Seq[String], attrs: Seq[String], ts: String,
       partCols: Seq[String]): Seq[Seq[Any]] = {
+    // The apply traverses `updates` up to four times (uniqueness
+    // guard, touched-tuple collect, moves probe, the final join) and
+    // each traversal would otherwise recompute its upstream plan —
+    // typically a scan + filters. Materialize it once (Delta's MERGE
+    // materializes its source for the same reason): the churn slice
+    // is bounded by definition, so caching it is safe at any table
+    // scale, unlike the history side, which is never cached.
+    val src = updates.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try applyToTableImpl(spark, path, src, keys, attrs, ts, partCols)
+    finally src.unpersist()
+  }
+
+  private def applyToTableImpl(spark: org.apache.spark.sql.SparkSession,
+      path: String, updates: DataFrame, keys: Seq[String],
+      attrs: Seq[String], ts: String,
+      partCols: Seq[String]): Seq[Seq[Any]] = {
     DataMerge.requireUniqueKeys(updates, keys)
     if (partCols.isEmpty) {
       val history = spark.read.option("mergeSchema", "true").parquet(path)
