@@ -657,11 +657,24 @@ object Versioned {
       val addedLines = curLines.filterNot(l => prevByRel.contains(parseLine(l)._1))
       val removedLines = prevLines.filterNot(l => curRels.contains(parseLine(l)._1))
       val op = readMeta(spark, table, v).getOrElse("operation", "")
+      // DV-update commits remove no file: the dv delta carries the
+      // preimages and the appended segment the postimages — detected
+      // below and classified as an update, not insert+delete
+      lazy val gainedRefs: Map[String, Seq[String]] =
+        curLines.map(parseLine)
+          .filter { case (rel, _, _) => prevByRel.contains(rel) }
+          .flatMap { case (rel, _, refs) =>
+            val prevRefs = parseLine(prevByRel(rel))._3.map(_._1).toSet
+            refs.map(_._1).filterNot(prevRefs).map(_ -> rel)
+          }
+          .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+      val dvUpdate = op == "update" && gainedRefs.nonEmpty
       val fileSteps: Seq[DataFrame] =
         if (op == "optimize") Nil
         else if (removedLines.isEmpty) {
           if (addedLines.isEmpty) Nil
-          else Seq(tag(readLines(addedLines), "insert", v))
+          else Seq(tag(readLines(addedLines),
+            if (dvUpdate) "update_postimage" else "insert", v))
         } else {
           val pre = readLines(removedLines)
           val post = readLines(addedLines)
@@ -675,19 +688,13 @@ object Versioned {
               tag(post.exceptAll(pre), "insert", v))
           }
         }
-      // DV delta: a merge-on-read DELETE changes no files — it adds
-      // dv= refs to surviving lines. The rows those NEW refs name are
-      // this commit's deletes; fetching them reads only the affected
-      // files, restricted to the new sidecars' row indexes.
+      // DV delta: a merge-on-read DELETE/UPDATE changes no files — it
+      // adds dv= refs to surviving lines. The rows those NEW refs
+      // name are this commit's deletes (or update preimages);
+      // fetching them reads only the affected files, restricted to
+      // the new sidecars' row indexes.
       val gained: Map[String, Seq[String]] = // dv dir -> rels gaining it at v
-        if (op == "optimize") Map.empty
-        else curLines.map(parseLine)
-          .filter { case (rel, _, _) => prevByRel.contains(rel) }
-          .flatMap { case (rel, _, refs) =>
-            val prevRefs = parseLine(prevByRel(rel))._3.map(_._1).toSet
-            refs.map(_._1).filterNot(prevRefs).map(_ -> rel)
-          }
-          .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+        if (op == "optimize") Map.empty else gainedRefs
       val dvSteps: Seq[DataFrame] =
         if (gained.isEmpty) Nil
         else {
@@ -707,7 +714,7 @@ object Versioned {
             .withColumn("__graft_i", col("_metadata.row_index"))
             .join(pairsNorm, Seq("__graft_p", "__graft_i"), "left_semi")
             .drop("__graft_p", "__graft_i")
-          Seq(tag(rows, "delete", v))
+          Seq(tag(rows, if (dvUpdate) "update_preimage" else "delete", v))
         }
       fileSteps ++ dvSteps
     }
@@ -1026,7 +1033,30 @@ object Versioned {
     * never re-match. Returns the number of rows newly deleted; 0
     * matches commits nothing. */
   def deleteWithDv(spark: SparkSession, table: String,
-      mayTouch: SegmentStats.FileStats => Boolean, cond: Column): Long = {
+      mayTouch: SegmentStats.FileStats => Boolean, cond: Column): Long =
+    mergeOnRead(spark, table, mayTouch, cond, None)
+
+  /** Merge-on-read UPDATE (the DV-update shape Delta ships as
+    * "deletion vectors for UPDATE"): matched rows are DV-deleted from
+    * their files AND their `transform`ed post-images are APPENDED as
+    * a fresh segment — one atomic commit carrying both. A 10-row
+    * update on a 100 TB table costs a sidecar + a 10-row segment
+    * write, never a segment rewrite; a bucketed table's appended
+    * post-images are routed into their (possibly new) buckets so the
+    * layout contract survives. `transform` sees ONLY the matched,
+    * not-yet-deleted rows and must return their updated form (same
+    * schema). OPTIMIZE folds as with deletes. Returns rows updated. */
+  def updateWithDv(spark: SparkSession, table: String,
+      mayTouch: SegmentStats.FileStats => Boolean, cond: Column,
+      transform: DataFrame => DataFrame): Long =
+    mergeOnRead(spark, table, mayTouch, cond, Some(transform))
+
+  /** Shared merge-on-read core: DV-delete the matched rows, plus (for
+    * updates) append their transformed post-images in the same
+    * commit. */
+  private def mergeOnRead(spark: SparkSession, table: String,
+      mayTouch: SegmentStats.FileStats => Boolean, cond: Column,
+      post: Option[DataFrame => DataFrame]): Long = {
     import org.apache.spark.sql.functions.{col, regexp_replace}
     import spark.implicits._
     val root = new Path(table)
@@ -1061,7 +1091,8 @@ object Versioned {
         .toDF("__graft_p", "file")
       val dvRel = s"dv/${java.util.UUID.randomUUID()}"
       val dvDir = new Path(root, dvRel)
-      live.where(cond)
+      val matchedRows = live.where(cond)
+      matchedRows
         .select(col("__graft_p"), col("__graft_i").as("idx"))
         .join(relDf, "__graft_p")
         .select(col("file"), col("idx"))
@@ -1071,18 +1102,33 @@ object Versioned {
       val counts = spark.read.parquet(dvDir.toString)
         .groupBy("file").count().as[(String, Long)].collect().toMap
       val matched = counts.values.sum
-      if (matched == 0L) {
+      def cleanup(extra: Seq[String]): Unit = {
         try fs.delete(dvDir, true)
         catch { case scala.util.control.NonFatal(_) => () }
-        return 0L
+        deleteAbandonedSegment(fs, root, extra)
+      }
+      if (matched == 0L) { cleanup(Nil); return 0L }
+      val spec = bucketSpec(spark, table, Some(v))
+      // post-images: the updated matched rows, appended as one fresh
+      // segment (bucket-routed on bucketed tables — an update of the
+      // bucket column itself re-routes rows to their correct bucket)
+      val postLines = post match {
+        case None => Nil
+        case Some(t) =>
+          val updated = t(matchedRows.drop("__graft_p", "__graft_i"))
+          require(updated.columns.map(_.toLowerCase(java.util.Locale.ROOT))
+            .sorted.sameElements(fullSchema.fieldNames
+              .map(_.toLowerCase(java.util.Locale.ROOT)).sorted),
+            "updateWithDv transform must preserve the table's columns")
+          writeSegmentLines(spark, fs, root, updated, spec)
       }
       val newLines = lines.map { line =>
         val rel = parseLine(line)._1
         counts.get(rel).map(c => s"$line\tdv=$dvRel:$c").getOrElse(line)
-      }
-      val meta = Map("operation" -> "delete", "delete_mode" -> "dv") ++
-        bucketSpec(spark, table, Some(v))
-          .map { case (c, n) => BucketKey -> s"$c/$n" }
+      } ++ postLines
+      val opName = if (post.isDefined) "update" else "delete"
+      val meta = Map("operation" -> opName, s"${opName}_mode" -> "dv") ++
+        spec.map { case (c, n) => BucketKey -> s"$c/$n" }
       try {
         commitManifest(fs, root, meta, { base =>
           if (base != Some(v)) throw new RewriteConflict
@@ -1092,13 +1138,12 @@ object Versioned {
       } catch {
         case _: RewriteConflict if attempt >= 4 =>
           throw new IllegalStateException(
-            s"DV delete on $table kept losing the commit race " +
+            s"DV $opName on $table kept losing the commit race " +
               s"(${attempt + 1} attempts) — retry when the writer " +
               "storm subsides")
         case _: RewriteConflict =>
           attempt += 1
-          try fs.delete(dvDir, true)
-          catch { case scala.util.control.NonFatal(_) => () }
+          cleanup(postLines)
       }
     }
     throw new IllegalStateException("unreachable")

@@ -397,6 +397,24 @@ case class UpdateVersionedCommand(path: String,
     val scope: graft.operators.SegmentStats.FileStats => Boolean =
       if (filters.isEmpty) _ => true
       else st => filters.forall(StatsPruner.mayMatch(st, _))
+    // merge-on-read routing: under the conf, matched rows are
+    // DV-deleted and their post-images appended — a 10-row update
+    // costs a sidecar + a 10-row segment, never a segment rewrite
+    val useDv = spark.conf.getOption("spark.graft.update.mode")
+      .exists(_.trim.equalsIgnoreCase("dv"))
+    if (useDv) {
+      val n = Versioned.updateWithDv(spark, path, scope, raw, { matched =>
+        // the transform sees ONLY matched rows, so assignments apply
+        // unconditionally (standard simultaneous-SET semantics: every
+        // expr evaluates against the original row)
+        matched.select(matched.columns.toIndexedSeq.map { c =>
+          assigned.get(c)
+            .map(e => expr(e).cast(matched.schema(c).dataType).as(c))
+            .getOrElse(col(c))
+        }: _*)
+      })
+      return Seq(Row(n))
+    }
     val (n, _, _) = Versioned.rewrite(spark, path, scope, raw, { subset =>
       subset.select(subset.columns.toIndexedSeq.map { c =>
         assigned.get(c)

@@ -413,6 +413,55 @@ object SourceQueries {
             AND l_shipdate >= TIMESTAMP '1999-01-01'
             AND l_shipdate < TIMESTAMP '2000-01-01')""")),
 
+    // ---- VT8 deletion-vector (merge-on-read) UPDATE: per-year orders
+    // segments, then `UPDATE … SET o_totalprice = o_totalprice + 5
+    // WHERE year = 1997` under spark.graft.update.mode=dv — matched
+    // rows are DV-deleted from their segment and their post-images
+    // appended as ONE fresh segment in the same commit (the staging
+    // block asserts every pre-existing data file survives untouched).
+    // The read-back aggregate proves exactly the matched rows changed
+    // and nothing was lost or duplicated. Output: exact integer cents
+    // (BIGINT).
+    "vt8_dv_update" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val table = stages.computeIfAbsent(s"$dir|vt8|dvu", { _ =>
+          val td = java.nio.file.Files
+            .createTempDirectory("vt8").toString + "/t"
+          val o = t(s, dir, "orders")
+            .select($"o_orderkey", $"o_totalprice", $"o_orderdate")
+          (1995 to 2001).foreach { y =>
+            graft.operators.Versioned.commit(
+              o.where(year($"o_orderdate") === y), td,
+              if (y == 1995) "overwrite" else "append")
+          }
+          val filesBefore =
+            graft.operators.Versioned.versionFiles(s, td).toSet
+          s.conf.set("spark.graft.update.mode", "dv")
+          try s.sql(s"""UPDATE '$td'
+              SET o_totalprice = o_totalprice + 5
+              WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01'""")
+          finally s.conf.unset("spark.graft.update.mode")
+          require(filesBefore.subsetOf(
+            graft.operators.Versioned.versionFiles(s, td).toSet),
+            "DV update must append post-images without rewriting " +
+              "any pre-existing segment")
+          td
+        })
+        graft.operators.Versioned.read(s, table).agg(
+          count(lit(1)).as("n_rows"),
+          graft.functions.Exact.sumExact(
+            graft.functions.Exact.cents($"o_totalprice"))
+            .cast("long").as("price_cents"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)
+            + CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01'
+              THEN 500 ELSE 0 END) AS BIGINT) AS price_cents
+        FROM orders""")),
+
     // ---- VT6 metadata-only aggregates (sources.ManifestAggregates):
     // a filterless global COUNT/COUNT(col)/MIN/MAX over a catalog
     // snapshot table is answered from the manifest's per-file stats —

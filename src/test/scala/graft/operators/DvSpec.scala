@@ -144,6 +144,70 @@ class DvSpec extends SparkSpec {
     assert(detail.getAs[Long]("n_rows") == 6L)
   }
 
+  test("merge-on-read UPDATE: matched rows DV-deleted + post-images " +
+    "appended in one commit — no segment rewrite, exact reads") {
+    val t = mkTable("dvu")
+    val before = dataFiles(t)
+    val n = Versioned.updateWithDv(spark, t, _ => true, col("k") <= 2,
+      m => m.withColumn("v", concat(col("v"), lit("!"))))
+    assert(n == 2L)
+    // old segment untouched, ONE appended post-image segment
+    val after = dataFiles(t)
+    assert(before.subsetOf(after), "old files must survive")
+    assert((after -- before).nonEmpty, "post-images must be appended")
+    assert(Versioned.read(spark, t).select($"k", $"v")
+      .as[(Int, String)].collect().toSet ==
+      ((1 to 2).map(i => (i, s"r$i!")) ++
+        (3 to 10).map(i => (i, s"r$i"))).toSet)
+    // CDF classifies it as an update, not delete+insert
+    val changed = Versioned.rowChanges(spark, t, 0, 1)
+      .select($"k", $"v", $"_change_type")
+      .as[(Int, String, String)].collect().toSet
+    assert(changed == Set(
+      (1, "r1", "update_preimage"), (2, "r2", "update_preimage"),
+      (1, "r1!", "update_postimage"), (2, "r2!", "update_postimage")))
+    // fold restores physical files
+    spark.sql(s"OPTIMIZE '$t' COMPACT")
+    assert(Versioned.dvDeletedCounts(spark, t).isEmpty)
+    assert(Versioned.read(spark, t).count() == 10)
+  }
+
+  test("SQL UPDATE routes through DVs under spark.graft.update.mode=dv; " +
+    "a bucket-column DV update re-routes post-images to their bucket") {
+    val t = mkTable("dvu")
+    val before = dataFiles(t)
+    spark.conf.set("spark.graft.update.mode", "dv")
+    try {
+      val n = spark.sql(s"UPDATE '$t' SET v = upper(v) WHERE k = 9")
+        .collect().head.getLong(0)
+      assert(n == 1L)
+      assert(before.subsetOf(dataFiles(t)))
+      assert(Versioned.read(spark, t).where($"k" === 9)
+        .select($"v").as[String].head() == "R9")
+    } finally spark.conf.unset("spark.graft.update.mode")
+    // bucketed: updating the BUCKET COLUMN must land the post-image
+    // in its new correct bucket, keeping the layout contract
+    val tb = tmpDir("dvub") + "/t"
+    Versioned.commitBucketed((1L to 20L).map(k => (k, s"x$k"))
+      .toDF("k", "v"), tb, "k", 4)
+    val n2 = Versioned.updateWithDv(spark, tb, _ => true, col("k") === 3L,
+      m => m.withColumn("k", lit(103L)))
+    assert(n2 == 1L)
+    assert(Versioned.bucketSpec(spark, tb).contains(("k", 4)),
+      "layout must survive a DV update")
+    assert(Versioned.read(spark, tb).select($"k").as[Long]
+      .collect().toSet == ((1L to 20L).toSet - 3L) + 103L)
+    // placement: every file's rows hash to its declared bucket id
+    val expected = Versioned.read(spark, tb)
+      .withColumn("b", pmod(hash($"k"), lit(4)))
+      .select($"k", $"b").as[(Long, Int)].collect().toMap
+    Versioned.versionFiles(spark, tb).foreach { f =>
+      val id = Versioned.bucketIdOf(f).get
+      spark.read.parquet(f).select($"k").as[Long].collect()
+        .foreach(k => if (expected.contains(k)) assert(expected(k) == id))
+    }
+  }
+
   test("vacuum sweeps dv sidecars no surviving manifest references; " +
     "maxCandidateFiles refuses to trust bounds under DVs") {
     val t = mkTable("dv")
