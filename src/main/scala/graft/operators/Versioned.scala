@@ -1036,6 +1036,68 @@ object Versioned {
       mayTouch: SegmentStats.FileStats => Boolean, cond: Column): Long =
     mergeOnRead(spark, table, mayTouch, cond, None)
 
+  /** Size-thresholded partial compaction (Delta's OPTIMIZE bin-pack
+    * discipline): only data files SMALLER than `minBytes` are read
+    * (DV-filtered — compaction folds their deletion vectors) and
+    * rewritten bin-packed into ceil(smallBytes / minBytes) outputs;
+    * every file at or above the threshold is carried on its manifest
+    * line verbatim — stats, dv refs and all — without being opened.
+    * At 100 TB this is the difference between "OPTIMIZE folds last
+    * night's 500 small streaming commits" and "OPTIMIZE rewrites the
+    * table": cost tracks the SMALL-file bytes, never the table.
+    *
+    * Returns (new version, files rewritten, files carried), or None
+    * when fewer than two files are under the threshold (nothing to
+    * gain — no commit). Unbucketed tables only: a bucketed layout
+    * fixes the file set per segment; its whole-bucket rewrite path is
+    * [[graft.plans.OptimizeVersionedCommand]]'s bucketed branch. */
+  def compactSmall(spark: SparkSession, table: String,
+      minBytes: Long): Option[(Long, Long, Long)] = {
+    require(minBytes > 0, s"minBytes must be positive: $minBytes")
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    while (attempt < 5) {
+      val v = latestVersion(fs, root).getOrElse(
+        throw new IllegalArgumentException(s"no committed version in $table"))
+      require(bucketSpec(spark, table, Some(v)).isEmpty,
+        s"compactSmall on bucketed table $table: the layout fixes the " +
+          "segment file set — use OPTIMIZE's bucketed whole-rewrite")
+      val lines = readFileLines(fs, root, v)
+      val (small, carried) = lines.partition { line =>
+        val p = new Path(root, parseLine(line)._1)
+        try fs.getFileStatus(p).getLen < minBytes
+        catch { case scala.util.control.NonFatal(_) => false }
+      }
+      if (small.size < 2) return None
+      val smallBytes = small.map { line =>
+        fs.getFileStatus(new Path(root, parseLine(line)._1)).getLen
+      }.sum
+      val nOut = math.max(1L, (smallBytes + minBytes - 1) / minBytes).toInt
+      val schema = read(spark, table, Some(v)).schema
+      val packed = applyDv(spark, root, small,
+        spark.read.schema(schema).parquet(
+          small.map(l => new Path(root, parseLine(l)._1).toString): _*))
+        .coalesce(nOut)
+      val newLines = writeSegmentLines(spark, fs, root, packed)
+      try {
+        val nv = commitManifest(fs, root, Map("operation" -> "optimize"),
+          { base =>
+            if (base != Some(v)) throw new RewriteConflict
+            carried ++ newLines
+          })
+        return Some((nv, small.size.toLong, carried.size.toLong))
+      } catch {
+        case _: RewriteConflict =>
+          attempt += 1
+          deleteAbandonedSegment(fs, root, newLines)
+      }
+    }
+    throw new IllegalStateException(
+      s"compactSmall on $table kept losing the commit race ($attempt " +
+        "attempts) — retry when the writer storm subsides")
+  }
+
   /** Merge-on-read UPDATE (the DV-update shape Delta ships as
     * "deletion vectors for UPDATE"): matched rows are DV-deleted from
     * their files AND their `transform`ed post-images are APPENDED as

@@ -496,6 +496,29 @@ case class OptimizeVersionedCommand(path: String, zorderCols: Seq[String],
     // overwrite. commitIf asserts the base version is still the one
     // read; on conflict the whole cycle recomputes against the new
     // latest (content-preserving, so retrying is always safe).
+    // size-thresholded partial compaction (Delta's OPTIMIZE bin-pack):
+    // under the conf, a plain COMPACT reads ONLY files below the
+    // threshold and carries everything else verbatim — at scale,
+    // OPTIMIZE folds last night's small streaming commits instead of
+    // rewriting the table. ZORDER, INTO n FILES, and bucketed layouts
+    // keep the whole-rewrite semantics (clustering is global by
+    // nature; the threshold conf does not apply).
+    val minFileBytes = spark.conf
+      .getOption("spark.graft.optimize.minFileBytes").map(_.trim.toLong)
+    minFileBytes match {
+      case Some(th) if zorderCols.isEmpty && files.isEmpty &&
+          Versioned.bucketSpec(spark, path).isEmpty =>
+        val before = Versioned.versionFiles(spark, path).size
+        return Versioned.compactSmall(spark, path, th) match {
+          case Some((nv, _, _)) =>
+            val after = Versioned.versionFiles(spark, path, Some(nv)).size
+            Seq(Row(nv, before.toLong, after.toLong))
+          case None => // nothing under threshold: metadata no-op
+            Seq(Row(Versioned.versions(spark, path).last,
+              before.toLong, before.toLong))
+        }
+      case _ => ()
+    }
     var attempt = 0
     while (attempt < 5) {
       val base = Versioned.versions(spark, path).lastOption.getOrElse(

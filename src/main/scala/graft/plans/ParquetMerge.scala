@@ -65,7 +65,13 @@ case class ResolveParquetMerge(spark: SparkSession) extends Rule[LogicalPlan] {
         if m.resolved && isGeneralShape(m) =>
       relationOf(m.targetTable) match {
         case Some((table, partCols)) => GeneralMergeCommand(table, partCols, m)
-        case _ => m
+        case _ => snapshotOf(m.targetTable) match {
+          // catalog snapshot (Versioned) target: the same lowering,
+          // committed as one manifest version pinned to the version
+          // the resolved scan read
+          case Some((path, version)) => VersionedMergeCommand(path, version, m)
+          case _ => m
+        }
       }
 
     // UPDATE t SET c = expr, ... [WHERE cond] (S10, `Config:136-140`):
@@ -174,6 +180,16 @@ case class ResolveParquetMerge(spark: SparkSession) extends Rule[LogicalPlan] {
       m.notMatchedBySourceActions.forall(plainUpdateOrDelete)
   }
 
+  /** The (path, resolved version) behind the target when it is a
+    * WRITABLE graft snapshot table (DSv2 relation over the latest
+    * version; pinned time-travel targets stay read-only). */
+  private def snapshotOf(plan: LogicalPlan): Option[(String, Long)] =
+    plan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if graft.sources.GraftCatalog.writableSnapshotOf(r.table).isDefined =>
+        graft.sources.GraftCatalog.writableSnapshotOf(r.table).get
+    }
+
   /** The target's catalog entry + partition columns, if it is a
     * parquet-backed v1 catalog table. */
   private def relationOf(plan: LogicalPlan): Option[(CatalogTable, Seq[String])] =
@@ -281,131 +297,11 @@ case class GeneralMergeCommand(table: CatalogTable, partCols: Seq[String],
   override def innerChildren: Seq[LogicalPlan] = Seq(merge)
 
   override def run(spark: SparkSession): Seq[Row] = {
-    import org.apache.spark.sql.GraftShims.{ofRows, toColumn}
-    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
-    import org.apache.spark.sql.{Column, DataFrame}
-    val target = ofRows(spark, merge.targetTable)
-    val source = ofRows(spark, merge.sourceTable)
-    val cond = toColumn(merge.mergeCondition)
-    val tCols = merge.targetTable.output
-
-    def assignMap(assigns: Seq[Assignment]): Map[String, Expression] =
-      assigns.collect {
-        case a if a.key.isInstanceOf[AttributeReference] =>
-          a.key.asInstanceOf[AttributeReference].name.toLowerCase -> a.value
-      }.toMap
-
-    // ---- clause-chain machinery (shared by all three branches) ----
-    // A NULL clause condition is "no match" per SQL, hence the coalesce.
-    val CL = "__graft_clause__"
-    def gateOf(c: Option[Expression]): Column =
-      c.map(e => coalesce(toColumn(e), lit(false))).getOrElse(lit(true))
-    // tag each row with the index of the FIRST clause whose condition
-    // holds (-1: no clause fires)
-    def tagClauses(df: DataFrame, actions: Seq[MergeAction]): DataFrame =
-      df.withColumn(CL,
-        actions.map(a => gateOf(a.condition)).zipWithIndex
-          .foldRight(lit(-1): Column) { case ((g, i), acc) =>
-            when(g, lit(i)).otherwise(acc)
-          })
-    // apply an UPDATE/DELETE chain to a tagged frame: rows whose
-    // selected clause is a DELETE are dropped; each UPDATE clause
-    // rewrites its assigned columns for its own rows; unfired rows
-    // (-1) pass through unchanged. Projecting tCols drops CL.
-    def applyChain(tagged: DataFrame, actions: Seq[MergeAction]): DataFrame = {
-      val deleteIdx: Seq[Any] = actions.zipWithIndex.collect {
-        case (_: DeleteAction, i) => i
-      }
-      val kept =
-        if (deleteIdx.isEmpty) tagged
-        else tagged.where(!col(CL).isin(deleteIdx: _*))
-      val updates = actions.zipWithIndex.collect {
-        case (u: UpdateAction, i) => i -> assignMap(u.assignments)
-      }
-      kept.select(tCols.map { attr =>
-        updates.foldRight(toColumn(attr): Column) { case ((i, m), acc) =>
-          m.get(attr.name.toLowerCase) match {
-            case Some(v) =>
-              when(col(CL) === i, toColumn(v).cast(attr.dataType))
-                .otherwise(acc)
-            case None => acc
-          }
-        }.as(attr.name)
-      }: _*)
-    }
-
-    val nmbsActs = merge.notMatchedBySourceActions
-
-    // matched branch — one MERGE evaluates this join for the contract
-    // check, the scope collects, and the staging write, so PERSIST it
-    // for the command's duration (non-equi ON conditions, the reason
-    // this path exists, are the expensive joins to recompute)
-    val joined = target.join(source, cond, "inner").persist()
-    val matchedSemi = target.join(source, cond, "left_semi")
-      .select(tCols.map(a => toColumn(a).as(a.name)): _*).persist()
-    // the RAW anti-join keeps the target's original attribute ids —
-    // NMBS clause conditions and assignments reference those, so the
-    // chain must run before any re-aliasing projection
-    val untouchedRaw = target.join(source, cond, "left_anti")
-    // NMBS conditions reference only target columns (analyzer-checked),
-    // so the chain evaluates directly on the anti-join. Persisted: it
-    // feeds the output AND up to two scope collects.
-    val taggedNmbs: Option[DataFrame] =
-      if (nmbsActs.isEmpty) None
-      else Some(tagClauses(untouchedRaw, nmbsActs).persist())
+    import org.apache.spark.sql.functions.col
+    val low = new MergeLowering(spark, merge)
+    import low.{CL, applyChain, changed, matchedSemi, nmbsActs, taggedNmbs, untouched}
     try {
-    // ANSI MERGE contract: a target row may match at most ONE source
-    // row, else the matched projection would silently write one output
-    // row PER source match. Two counts, checked only when a matched
-    // clause could multiply rows. Inside the try: a violation must
-    // still unpersist the cached datasets, not leak them for the
-    // session lifetime.
-    if (merge.matchedActions.nonEmpty) {
-      val semiCnt = matchedSemi.count()
-      val innerCnt = joined.count()
-      require(innerCnt == semiCnt,
-        s"MERGE: $innerCnt source matches for $semiCnt matched target " +
-          "rows — a target row matches multiple source rows (ANSI MERGE " +
-          "cardinality violation)")
-    }
-    val matchedOut =
-      if (merge.matchedActions.isEmpty)
-        // no matched clause: matched rows pass through unchanged — the
-        // SEMI join keeps them single even with multiple source matches
-        matchedSemi
-      else applyChain(tagClauses(joined, merge.matchedActions),
-        merge.matchedActions)
-
-    // insert branch: first-firing clause picks the projection; rows no
-    // clause fires on are not inserted. Unassigned columns are NULL.
-    val insertsOut: Option[DataFrame] =
-      if (merge.notMatchedActions.isEmpty) None
-      else {
-        val base = source.join(target, cond, "left_anti")
-        val tagged = tagClauses(base, merge.notMatchedActions)
-          .where(col(CL) >= 0)
-        val inserts = merge.notMatchedActions.zipWithIndex.collect {
-          case (ia: InsertAction, i) => i -> assignMap(ia.assignments)
-        }
-        Some(tagged.select(tCols.map { attr =>
-          inserts.foldRight(lit(null).cast(attr.dataType): Column) {
-            case ((i, m), acc) =>
-              m.get(attr.name.toLowerCase) match {
-                case Some(v) =>
-                  when(col(CL) === i, toColumn(v).cast(attr.dataType))
-                    .otherwise(acc)
-                case None => acc // this clause leaves the column NULL
-              }
-          }.as(attr.name)
-        }: _*))
-      }
-
-    val untouched = taggedNmbs match {
-      case None => untouchedRaw
-        .select(tCols.map(a => toColumn(a).as(a.name)): _*)
-      case Some(tagged) => applyChain(tagged, nmbsActs)
-    }
-    val changed = insertsOut.foldLeft(matchedOut)(_ unionByName _)
+    low.checkCardinality()
     val path = table.location.toString
 
     partCols match {
@@ -466,12 +362,205 @@ case class GeneralMergeCommand(table: CatalogTable, partCols: Seq[String],
           changed.unionByName(untouched), Nil)
     }
     spark.catalog.refreshTable(table.identifier.quotedString)
-    } finally {
-      joined.unpersist()
-      matchedSemi.unpersist()
-      taggedNmbs.foreach(_.unpersist())
-    }
+    } finally low.release()
     Seq.empty
+  }
+}
+
+/** The three-branch MERGE lowering every MERGE engine uses, shared by
+  * the hive-dir ([[GeneralMergeCommand]]) and snapshot-table
+  * ([[VersionedMergeCommand]]) write-backs —
+  *
+  *   matched   = target ⋈ source ON cond  → matched clause chain
+  *   untouched = target ⟕̸ source (anti)   → NOT MATCHED BY SOURCE chain
+  *                                          (unchanged when absent)
+  *   inserts   = source ⟕̸ target (anti)   → insert clause chain
+  *
+  * Clause chains follow ANSI first-true-clause-wins: each row is
+  * tagged with the index of the first clause whose condition holds
+  * (−1: none — the row passes through unchanged for matched/NMBS, is
+  * discarded for inserts), DELETE-selected rows are dropped, and each
+  * UPDATE clause's assignments apply only to its own rows. The
+  * expensive joins are persisted for the statement's duration; the
+  * caller MUST `release()` in a finally. */
+private[plans] final class MergeLowering(spark: SparkSession,
+    merge: MergeIntoTable) {
+  import org.apache.spark.sql.GraftShims.{ofRows, toColumn}
+  import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+  import org.apache.spark.sql.{Column, DataFrame}
+
+  private val target = ofRows(spark, merge.targetTable)
+  private val source = ofRows(spark, merge.sourceTable)
+  private val cond = toColumn(merge.mergeCondition)
+  private val tCols = merge.targetTable.output
+
+  private def assignMap(assigns: Seq[Assignment]): Map[String, Expression] =
+    assigns.collect {
+      case a if a.key.isInstanceOf[AttributeReference] =>
+        a.key.asInstanceOf[AttributeReference].name.toLowerCase -> a.value
+    }.toMap
+
+  // ---- clause-chain machinery (shared by all three branches) ----
+  // A NULL clause condition is "no match" per SQL, hence the coalesce.
+  val CL = "__graft_clause__"
+  private def gateOf(c: Option[Expression]): Column =
+    c.map(e => coalesce(toColumn(e), lit(false))).getOrElse(lit(true))
+  /** Tag each row with the index of the FIRST clause whose condition
+    * holds (−1: no clause fires). */
+  def tagClauses(df: DataFrame, actions: Seq[MergeAction]): DataFrame =
+    df.withColumn(CL,
+      actions.map(a => gateOf(a.condition)).zipWithIndex
+        .foldRight(lit(-1): Column) { case ((g, i), acc) =>
+          when(g, lit(i)).otherwise(acc)
+        })
+  /** Apply an UPDATE/DELETE chain to a tagged frame: rows whose
+    * selected clause is a DELETE are dropped; each UPDATE clause
+    * rewrites its assigned columns for its own rows; unfired rows
+    * (−1) pass through unchanged. Projecting tCols drops CL. */
+  def applyChain(tagged: DataFrame, actions: Seq[MergeAction]): DataFrame = {
+    val deleteIdx: Seq[Any] = actions.zipWithIndex.collect {
+      case (_: DeleteAction, i) => i
+    }
+    val kept =
+      if (deleteIdx.isEmpty) tagged
+      else tagged.where(!col(CL).isin(deleteIdx: _*))
+    val updates = actions.zipWithIndex.collect {
+      case (u: UpdateAction, i) => i -> assignMap(u.assignments)
+    }
+    kept.select(tCols.map { attr =>
+      updates.foldRight(toColumn(attr): Column) { case ((i, m), acc) =>
+        m.get(attr.name.toLowerCase) match {
+          case Some(v) =>
+            when(col(CL) === i, toColumn(v).cast(attr.dataType))
+              .otherwise(acc)
+          case None => acc
+        }
+      }.as(attr.name)
+    }: _*)
+  }
+
+  val nmbsActs: Seq[MergeAction] = merge.notMatchedBySourceActions
+
+  // matched branch — one MERGE evaluates this join for the contract
+  // check, the scope collects, and the staging write, so PERSIST it
+  // for the statement's duration (non-equi ON conditions, the reason
+  // this path exists, are the expensive joins to recompute)
+  private val joined = target.join(source, cond, "inner").persist()
+  val matchedSemi: DataFrame = target.join(source, cond, "left_semi")
+    .select(tCols.map(a => toColumn(a).as(a.name)): _*).persist()
+  // the RAW anti-join keeps the target's original attribute ids —
+  // NMBS clause conditions and assignments reference those, so the
+  // chain must run before any re-aliasing projection
+  private val untouchedRaw = target.join(source, cond, "left_anti")
+  // NMBS conditions reference only target columns (analyzer-checked),
+  // so the chain evaluates directly on the anti-join. Persisted: it
+  // feeds the output AND up to two scope collects.
+  val taggedNmbs: Option[DataFrame] =
+    if (nmbsActs.isEmpty) None
+    else Some(tagClauses(untouchedRaw, nmbsActs).persist())
+
+  /** ANSI MERGE contract: a target row may match at most ONE source
+    * row, else the matched projection would silently write one output
+    * row PER source match. Two counts, checked only when a matched
+    * clause could multiply rows. Call inside the caller's try: a
+    * violation must still release the cached datasets. */
+  def checkCardinality(): Unit =
+    if (merge.matchedActions.nonEmpty) {
+      val semiCnt = matchedSemi.count()
+      val innerCnt = joined.count()
+      require(innerCnt == semiCnt,
+        s"MERGE: $innerCnt source matches for $semiCnt matched target " +
+          "rows — a target row matches multiple source rows (ANSI MERGE " +
+          "cardinality violation)")
+    }
+
+  private val matchedOut: DataFrame =
+    if (merge.matchedActions.isEmpty)
+      // no matched clause: matched rows pass through unchanged — the
+      // SEMI join keeps them single even with multiple source matches
+      matchedSemi
+    else applyChain(tagClauses(joined, merge.matchedActions),
+      merge.matchedActions)
+
+  // insert branch: first-firing clause picks the projection; rows no
+  // clause fires on are not inserted. Unassigned columns are NULL.
+  private val insertsOut: Option[DataFrame] =
+    if (merge.notMatchedActions.isEmpty) None
+    else {
+      val base = source.join(target, cond, "left_anti")
+      val tagged = tagClauses(base, merge.notMatchedActions)
+        .where(col(CL) >= 0)
+      val inserts = merge.notMatchedActions.zipWithIndex.collect {
+        case (ia: InsertAction, i) => i -> assignMap(ia.assignments)
+      }
+      Some(tagged.select(tCols.map { attr =>
+        inserts.foldRight(lit(null).cast(attr.dataType): Column) {
+          case ((i, m), acc) =>
+            m.get(attr.name.toLowerCase) match {
+              case Some(v) =>
+                when(col(CL) === i, toColumn(v).cast(attr.dataType))
+                  .otherwise(acc)
+              case None => acc // this clause leaves the column NULL
+            }
+        }.as(attr.name)
+      }: _*))
+    }
+
+  val untouched: DataFrame = taggedNmbs match {
+    case None => untouchedRaw
+      .select(tCols.map(a => toColumn(a).as(a.name)): _*)
+    case Some(tagged) => applyChain(tagged, nmbsActs)
+  }
+  val changed: DataFrame = insertsOut.foldLeft(matchedOut)(_ unionByName _)
+
+  def release(): Unit = {
+    joined.unpersist()
+    matchedSemi.unpersist()
+    taggedNmbs.foreach(_.unpersist())
+  }
+}
+
+/** Eagerly-executed general MERGE over a [[graft.operators.Versioned]]
+  * SNAPSHOT table (catalog form: `MERGE INTO graft.ns.t USING …`) —
+  * the Delta MERGE surface on the manifest-log lake format. The
+  * shared [[MergeLowering]] computes the merged snapshot; the
+  * write-back is ONE atomic manifest commit (`operation=merge`)
+  * pinned to the exact version the scan plan resolved: a concurrent
+  * commit landing mid-statement makes the commit REFUSE (the merged
+  * snapshot was computed against a superseded base — recomputing
+  * needs a re-resolved plan, so the statement fails loudly for the
+  * user to re-run rather than silently dropping the interleaved
+  * commit). A bucketed target re-buckets the merged snapshot under
+  * its declared spec, so the SPJ layout survives; a DV-bearing target
+  * reads DV-correct (the V1 fallback) and the merge commit folds the
+  * vectors. Pre-merge state stays time-travelable until VACUUM.
+  *
+  * Cost shape: the merged snapshot is fully rewritten (Delta-without-
+  * file-pruning). The partition- and stats-scoped incremental shapes
+  * remain on the hive-dir MERGE and the DataMerge/Scd2 APIs; snapshot
+  * MERGE buys atomicity + history on the lake format. */
+case class VersionedMergeCommand(path: String, baseVersion: Long,
+    merge: MergeIntoTable) extends LeafRunnableCommand {
+  import graft.operators.Versioned
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(merge)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val low = new MergeLowering(spark, merge)
+    try {
+      low.checkCardinality()
+      val out = low.changed.unionByName(low.untouched)
+      val spec = Versioned.bucketSpec(spark, path, Some(baseVersion))
+      Versioned.commitIf(out, path, "overwrite",
+        Map("operation" -> "merge"), expectedBase = baseVersion,
+        bucket = spec) match {
+        case Some(_) => Seq.empty
+        case None => throw new IllegalStateException(
+          s"MERGE into $path lost the commit race: the table advanced " +
+            s"past version $baseVersion while the statement ran — " +
+            "re-run the statement against the new latest version")
+      }
+    } finally low.release()
   }
 }
 

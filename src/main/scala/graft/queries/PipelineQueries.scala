@@ -22,6 +22,10 @@ object PipelineQueries {
   private val s9Targets =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** General staged-table memo (one table per (sf dir, query)). */
+  private val stages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def s9TargetPath(s: SparkSession, dir: String): String =
     s9Targets.computeIfAbsent(dir, { _ =>
       import s.implicits._
@@ -239,6 +243,102 @@ object PipelineQueries {
           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
             / 100.0 AS total
         FROM merged GROUP BY part""")),
+
+    // ---- S9 MERGE INTO a catalog SNAPSHOT table (the Delta-MERGE
+    // surface on the manifest-log lake format, VersionedMergeCommand):
+    // the full clause chain — conditional matched DELETE, matched
+    // UPDATE, conditional INSERT, and NOT MATCHED BY SOURCE DELETE —
+    // lands as ONE atomic manifest commit pinned to the version the
+    // scan resolved; the pre-merge state stays time-travelable.
+    // Staged once per (JVM, sf dir): the MERGE mutates, re-invocations
+    // read the committed (immutable) result. Output: exact cents.
+    "s9_snapshot_merge" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val cat = "s9snap" + math.abs(dir.hashCode).toString
+        val table = stages.computeIfAbsent(s"$dir|s9|snapmerge", { _ =>
+          val root = java.nio.file.Files
+            .createTempDirectory("s9snap").toString
+          s.conf.set(s"spark.sql.catalog.$cat",
+            classOf[graft.sources.GraftCatalog].getName)
+          s.conf.set(s"spark.sql.catalog.$cat.root", root)
+          val td = s"$root/lake/t"
+          val target0 = t(s, dir, "orders")
+            .select($"o_orderkey", $"o_totalprice")
+          graft.operators.Versioned.commit(target0, td) // v0
+          val matched = target0.where($"o_orderkey" % 10 === 0)
+            .select($"o_orderkey",
+              when($"o_orderkey" % 20 === 0, lit("del"))
+                .otherwise(lit("upd")).as("action"),
+              lit(100000.0).as("delta"))
+          val adds = target0.where($"o_orderkey" % 7 === 0)
+            .select(($"o_orderkey" + 10000000L).as("o_orderkey"),
+              lit("add").as("action"), $"o_totalprice".as("delta"))
+          matched.unionByName(adds)
+            .createOrReplaceTempView("s9_snap_src")
+          s.sql(s"""MERGE INTO $cat.lake.t AS T USING s9_snap_src AS S
+            ON T.o_orderkey = S.o_orderkey
+            WHEN MATCHED AND S.action = 'del' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET
+              o_totalprice = T.o_totalprice + S.delta
+            WHEN NOT MATCHED AND S.action = 'add' THEN
+              INSERT (o_orderkey, o_totalprice)
+              VALUES (S.o_orderkey, S.delta)
+            WHEN NOT MATCHED BY SOURCE AND T.o_orderkey % 13 = 0 THEN
+              DELETE""")
+          require(graft.operators.Versioned.readMeta(s, td, 1L)
+            .get("operation").contains("merge"),
+            "the merge must land as one operation=merge commit")
+          td
+        })
+        // conf re-set every invocation (cheap, idempotent)
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root",
+          table.stripSuffix("/lake/t"))
+        s.sql(s"""SELECT 'merged' AS state, count(*) AS n_rows
+            FROM $cat.lake.t
+          UNION ALL SELECT 'pre_merge', count(*)
+            FROM $cat.lake.t VERSION AS OF 0""")
+          .unionByName(
+            graft.operators.Versioned.read(s, table).agg(
+              lit("merged_cents").as("state"),
+              graft.functions.Exact.sumExact(
+                graft.functions.Exact.cents($"o_totalprice"))
+                .cast("long").as("n_rows")))
+      },
+      Some("""WITH target AS (
+          SELECT o_orderkey, o_totalprice FROM orders),
+        src AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 20 = 0 THEN 'del' ELSE 'upd' END
+                   AS action,
+                 100000.0 AS delta
+          FROM target WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT o_orderkey + 10000000, 'add', o_totalprice
+          FROM target WHERE o_orderkey % 7 = 0),
+        merged AS (
+          SELECT t.o_orderkey, t.o_totalprice + s.delta AS o_totalprice
+          FROM target t JOIN src s ON t.o_orderkey = s.o_orderkey
+          WHERE s.action <> 'del'
+          UNION ALL
+          SELECT s.o_orderkey, s.delta
+          FROM src s LEFT JOIN target t ON s.o_orderkey = t.o_orderkey
+          WHERE t.o_orderkey IS NULL AND s.action = 'add'
+          UNION ALL
+          SELECT t.* FROM target t
+          WHERE NOT EXISTS (SELECT 1 FROM src u
+                            WHERE u.o_orderkey = t.o_orderkey)
+            AND NOT (t.o_orderkey % 13 = 0))
+        SELECT 'merged' AS state, CAST(count(*) AS BIGINT) AS n_rows
+          FROM merged
+        UNION ALL
+        SELECT 'pre_merge', CAST(count(*) AS BIGINT) FROM target
+        UNION ALL
+        SELECT 'merged_cents',
+          CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+          FROM merged""")),
 
     // ---- CD1 snapshot diff (CDC between two dataset versions): the
     // after-version is derived deterministically from orders (drop

@@ -213,6 +213,23 @@ class GraftCatalog extends TableCatalog
   * scheduling a million file splits and scheduling the handful whose
   * [min,max] windows intersect the query's predicate — decided from
   * ONE manifest read at plan time, no footer probing, no listing. */
+object GraftCatalog {
+  /** The (table path, resolved version) behind a catalog Table when it
+    * is a WRITABLE graft snapshot table (latest-version load) — what
+    * lets the MERGE resolution rule recognize a snapshot target and
+    * pin its commit to the exact version the scan plan read. Pinned
+    * time-travel loads return None: they are read-only by contract. */
+  private[graft] def writableSnapshotOf(t: Table): Option[(String, Long)] =
+    t match {
+      case w: GraftWritableTable => w.reader match {
+        case r: GraftSnapshotReadTable => Some((w.path, r.snapVersion))
+        case r: GraftDvReadTable => Some((w.path, r.snapVersion))
+        case _ => None
+      }
+      case _ => None
+    }
+}
+
 /** Catalog face of a deletion-vector-bearing version: a V1 relation
   * scan over the DV-aware [[Versioned.read]]. Correctness-first
   * fallback — Delta solves this with DV-native scan machinery; here
@@ -220,9 +237,11 @@ class GraftCatalog extends TableCatalog
   * merge-on-read DELETE and the next OPTIMIZE, so the degraded scan
   * (no manifest-stats pruning, no storage-partitioned joins) is paid
   * only in that window. */
-private[sources] class GraftDvReadTable(path: String, version: Long,
+private[sources] class GraftDvReadTable(path: String,
+    snapshotVersion: Long,
     tableName: String, tableSchema: StructType)
     extends Table with SupportsRead {
+  private[sources] def snapVersion: Long = snapshotVersion
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -241,23 +260,25 @@ private[sources] class GraftDvReadTable(path: String, version: Long,
               override def schema: StructType = tableSchema
               override def buildScan()
                   : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
-                Versioned.read(context.sparkSession, path, Some(version)).rdd
+                Versioned.read(context.sparkSession, path, Some(snapshotVersion)).rdd
             }.asInstanceOf[T]
         }
     }
 }
 
-private[sources] class GraftSnapshotReadTable(path: String, version: Long,
+private[sources] class GraftSnapshotReadTable(path: String,
+    snapshotVersion: Long,
     files: Seq[String], delegate: ParquetTable,
     bucket: Option[(String, Int)] = None)
     extends Table with SupportsRead {
+  private[sources] def snapVersion: Long = snapshotVersion
   override def name(): String = delegate.name
   override def schema(): StructType = delegate.schema
   override def capabilities(): java.util.Set[TableCapability] =
     delegate.capabilities()
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PruningScanBuilder(SparkSession.active, delegate.name, path,
-      version, files, schema(), options, bucket)
+      snapshotVersion, files, schema(), options, bucket)
 }
 
 /** ScanBuilder that intercepts Spark's pushed predicates, drops every
@@ -595,8 +616,9 @@ private[sources] final class RuntimeSkippingScan(
   * renames the manifest, so a failed INSERT leaves the table untouched
   * (no Hadoop commit-protocol half-states — the lake format's
   * invariant extends to SQL writes). */
-private[sources] class GraftWritableTable(path: String,
-    reader: Table with SupportsRead)
+private[sources] class GraftWritableTable(
+    private[sources] val path: String,
+    private[sources] val reader: Table with SupportsRead)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   import org.apache.spark.sql.{sources => f}

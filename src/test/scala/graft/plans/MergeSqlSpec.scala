@@ -620,6 +620,72 @@ class MergeSqlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS chain_full")
   }
 
+  test("MERGE INTO a catalog SNAPSHOT table: multi-clause chain commits " +
+    "ONE time-travelable manifest version; NMBS retires vanished rows") {
+    val base = tmpDir("snapmerge")
+    val cat = "snapm" + System.nanoTime()
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", base)
+    val t = s"$base/lake/t"
+    graft.operators.Versioned.commit(
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0))
+        .toDF("k", "v"), t) // v0
+    Seq((1L, 100.0, "upd"), (2L, 0.0, "del"), (9L, 9.0, "ins"))
+      .toDF("k", "v", "op").createOrReplaceTempView("snap_src")
+    // k=1 updated, k=2 deleted, k=9 inserted, k=3/4 NOT matched by
+    // source -> retired by the NMBS clause when v < 40
+    spark.sql(s"""MERGE INTO $cat.lake.t AS T USING snap_src AS S
+      ON T.k = S.k
+      WHEN MATCHED AND S.op = 'del' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = S.v
+      WHEN NOT MATCHED AND S.op = 'ins' THEN INSERT (k, v) VALUES (S.k, S.v)
+      WHEN NOT MATCHED BY SOURCE AND T.v < 40 THEN DELETE""")
+    val got = spark.sql(s"SELECT k, v FROM $cat.lake.t")
+      .as[(Long, Double)].collect().toSet
+    assert(got == Set((1L, 100.0), (4L, 40.0), (9L, 9.0)), s"got $got")
+    // one new version, operation=merge, pre-merge state time-travelable
+    assert(graft.operators.Versioned.versions(spark, t) == Seq(0L, 1L))
+    assert(graft.operators.Versioned.readMeta(spark, t, 1L)
+      .get("operation").contains("merge"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.t VERSION AS OF 0")
+      .as[Long].head() == 4L)
+  }
+
+  test("MERGE INTO a BUCKETED snapshot table keeps the SPJ layout; " +
+    "cardinality violations refuse before committing") {
+    val base = tmpDir("snapmerge")
+    val cat = "snapb" + System.nanoTime()
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", base)
+    val t = s"$base/lake/t"
+    graft.operators.Versioned.commitBucketed(
+      (1L to 12L).map(k => (k, k * 1.0)).toDF("k", "v"), t, "k", 4)
+    Seq((1L, 111.0)).toDF("k", "v").createOrReplaceTempView("snapb_src")
+    spark.sql(s"""MERGE INTO $cat.lake.t AS T USING snapb_src AS S
+      ON T.k = S.k
+      WHEN MATCHED THEN UPDATE SET v = S.v""")
+    assert(graft.operators.Versioned.bucketSpec(spark, t)
+      .contains(("k", 4)), "merge must re-bucket under the declared spec")
+    assert(spark.sql(s"SELECT v FROM $cat.lake.t WHERE k = 1")
+      .as[Double].head() == 111.0)
+    // duplicate source matches: ANSI cardinality error, no commit
+    val vs = graft.operators.Versioned.versions(spark, t)
+    Seq((2L, 1.0), (2L, 2.0)).toDF("k", "v")
+      .createOrReplaceTempView("snapb_dup")
+    val e = intercept[Exception] {
+      spark.sql(s"""MERGE INTO $cat.lake.t AS T USING snapb_dup AS S
+        ON T.k = S.k
+        WHEN MATCHED THEN UPDATE SET v = S.v""")
+    }
+    assert(e.getMessage.contains("cardinality") ||
+      e.getCause != null && e.getCause.getMessage.contains("cardinality"),
+      e.getMessage)
+    assert(graft.operators.Versioned.versions(spark, t) == vs,
+      "a refused merge must not commit")
+  }
+
   test("unsupported MERGE shapes (nested struct-field assignment) are " +
     "left to Spark's own error, never silently mis-executed") {
     val loc = tmpDir("mergesql3") + "/tgt"
