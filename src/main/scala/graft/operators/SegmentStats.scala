@@ -47,8 +47,14 @@ object SegmentStats {
   final case class ColStats(tag: Char, min: Option[String],
       max: Option[String], nulls: Option[Long])
 
-  /** One file's stats; `cols` is keyed by LOWERCASED column name. */
-  final case class FileStats(rows: Long, cols: Map[String, ColStats])
+  /** One file's stats; `cols` is keyed by LOWERCASED column name.
+    * `bytes` is the file length (None on pre-bytes manifests): having
+    * it in the manifest is what lets size-thresholded OPTIMIZE and
+    * DESCRIBE DETAIL plan WITHOUT one file-status RPC per file — on
+    * an object store, a 100k-file table would otherwise pay 100k
+    * round trips before deciding what to compact. */
+  final case class FileStats(rows: Long, cols: Map[String, ColStats],
+      bytes: Option[Long] = None)
 
   // ---------------------------------------------------------------- collect
 
@@ -122,7 +128,8 @@ object SegmentStats {
     * the file genuinely predates that column. */
   private[operators] def readFooterStats(conf: Configuration,
       file: Path): FileStats = {
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    val input = HadoopInputFile.fromPath(file, conf)
+    val reader = ParquetFileReader.open(input)
     try {
       val footer = reader.getFooter
       val schema = footer.getFileMetaData.getSchema
@@ -151,7 +158,7 @@ object SegmentStats {
       val lowered = schema.getFields.asScala.map(_.getName.toLowerCase)
       val safe = if (lowered.distinct.size == lowered.size) cols
         else cols.view.filterKeys(k => lowered.count(_ == k) == 1).toMap
-      FileStats(rows, safe)
+      FileStats(rows, safe, Some(input.getLength))
     } finally reader.close()
   }
 
@@ -278,13 +285,18 @@ object SegmentStats {
   private def decBound(f: String): Option[String] =
     if (f.isEmpty) None else Some(dec(f.drop(1)))
 
-  /** The tab-separated manifest suffix for one file. */
+  /** The tab-separated manifest suffix for one file. The optional
+    * `bytes=` field rides immediately after `rows=` (older manifests
+    * without it parse unchanged; readers treat absence as "probe the
+    * filesystem"). */
   def serialize(fs: FileStats): String = {
     val cols = fs.cols.toSeq.sortBy(_._1).map { case (name, c) =>
       val n = c.nulls.map(_.toString).getOrElse("")
       s"${enc(name)}:${c.tag}:${encBound(c.min)}:${encBound(c.max)}:$n"
     }
-    (s"rows=${fs.rows}" +: cols).mkString("\t")
+    val head = s"rows=${fs.rows}" +:
+      fs.bytes.map(b => s"bytes=$b").toSeq
+    (head ++ cols).mkString("\t")
   }
 
   /** Parse a manifest stats suffix; None for anything malformed (a
@@ -295,13 +307,15 @@ object SegmentStats {
     if (parts.isEmpty || !parts(0).startsWith("rows=")) return None
     try {
       val rows = parts(0).stripPrefix("rows=").toLong
-      val cols = parts.drop(1).map { p =>
+      val (byteF, colF) = parts.drop(1).partition(_.startsWith("bytes="))
+      val bytes = byteF.headOption.map(_.stripPrefix("bytes=").toLong)
+      val cols = colF.map { p =>
         val f = p.split(":", -1)
         require(f.length == 5 && f(1).length == 1)
         dec(f(0)) -> ColStats(f(1).charAt(0), decBound(f(2)), decBound(f(3)),
           if (f(4).isEmpty) None else Some(f(4).toLong))
       }.toMap
-      Some(FileStats(rows, cols))
+      Some(FileStats(rows, cols, bytes))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 }

@@ -1064,15 +1064,18 @@ object Versioned {
         s"compactSmall on bucketed table $table: the layout fixes the " +
           "segment file set — use OPTIMIZE's bucketed whole-rewrite")
       val lines = readFileLines(fs, root, v)
-      val (small, carried) = lines.partition { line =>
-        val p = new Path(root, parseLine(line)._1)
-        try fs.getFileStatus(p).getLen < minBytes
-        catch { case scala.util.control.NonFatal(_) => false }
-      }
+      // file length from the manifest's bytes= stat where present —
+      // zero filesystem probes for post-bytes manifests; a probe (or
+      // carry, on error) only for legacy lines
+      def lenOf(line: String): Long =
+        parseLine(line)._2.flatMap(SegmentStats.parse).flatMap(_.bytes)
+          .getOrElse {
+            try fs.getFileStatus(new Path(root, parseLine(line)._1)).getLen
+            catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+          }
+      val (small, carried) = lines.partition(lenOf(_) < minBytes)
       if (small.size < 2) return None
-      val smallBytes = small.map { line =>
-        fs.getFileStatus(new Path(root, parseLine(line)._1)).getLen
-      }.sum
+      val smallBytes = small.map(lenOf).sum
       val nOut = math.max(1L, (smallBytes + minBytes - 1) / minBytes).toInt
       val schema = read(spark, table, Some(v)).schema
       val packed = applyDv(spark, root, small,

@@ -42,6 +42,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       parseHistory(sqlText)
     else if (detailPrefix.matcher(sqlText).lookingAt())
       parseDetail(sqlText)
+    else if (changesPrefix.matcher(sqlText).lookingAt())
+      parseChanges(sqlText)
     else if (restorePrefix.matcher(sqlText).lookingAt())
       parseRestore(sqlText)
     // quoted-path DML: only the UPDATE '…' / DELETE FROM '…' spelling
@@ -148,6 +150,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     else delegate.parsePlan(sqlText)
   }
 
+  /** `DESCRIBE CHANGES '<path>' FROM <v> TO <v>` — the row-level
+    * change feed (Delta's `table_changes` TVF shape) as SQL: change
+    * rows of versions (from, to], tagged _change_type /
+    * _commit_version. Non-matching DESCRIBE text delegates (same
+    * discipline as DESCRIBE HISTORY). */
+  private def parseChanges(sqlText: String): LogicalPlan = {
+    val c = changesStmt.matcher(sqlText)
+    if (c.matches())
+      DescribeChangesCommand(c.group(1), c.group(2).toLong, c.group(3).toLong)
+    else delegate.parsePlan(sqlText)
+  }
+
   /** `RESTORE '<path>' TO VERSION <n>` — roll the table's latest state
     * back to version n, recorded as a new commit (history preserved). */
   private def parseRestore(sqlText: String): LogicalPlan = {
@@ -194,6 +208,10 @@ object GraftSqlParser {
     """\s*(?i:DESCRIBE\s+DETAIL)\b""")
   private val detailStmt = java.util.regex.Pattern.compile(
     """(?is)\s*DESCRIBE\s+DETAIL\s+'([^']+)'\s*;?\s*""")
+  private val changesPrefix = java.util.regex.Pattern.compile(
+    """\s*(?i:DESCRIBE\s+CHANGES)\b""")
+  private val changesStmt = java.util.regex.Pattern.compile(
+    """(?is)\s*DESCRIBE\s+CHANGES\s+'([^']+)'\s+FROM\s+(\d+)\s+TO\s+(\d+)\s*;?\s*""")
   private val restorePrefix =
     java.util.regex.Pattern.compile("""\s*(?i:RESTORE)\b""")
   private val restoreStmt = java.util.regex.Pattern.compile(
@@ -311,9 +329,12 @@ case class DescribeDetailCommand(path: String) extends LeafRunnableCommand {
     val files = Versioned.versionFiles(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = files.map(f =>
-      fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
     val stats = Versioned.fileStats(spark, path)
+    // bytes from the manifest's bytes= stat where present; a
+    // file-status probe only for legacy (pre-bytes) lines
+    val bytes = files.map(f =>
+      stats.get(f).flatMap(_.bytes).getOrElse(
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)).sum
     // deletion vectors subtract exactly: per-file deleted counts ride
     // the manifest line, so the row count stays metadata-only under
     // merge-on-read deletes
@@ -329,6 +350,34 @@ case class DescribeDetailCommand(path: String) extends LeafRunnableCommand {
     Seq(Row(path, versions.last, versions.size.toLong,
       files.size.toLong, bytes, rows, bucket))
   }
+}
+
+/** `DESCRIBE CHANGES '<path>' FROM <from> TO <to>` — the row-level
+  * change feed as SQL (Delta's `table_changes` TVF shape): the change
+  * rows of versions (from, to], each tagged `_change_type` /
+  * `_commit_version` ([[graft.operators.Versioned.rowChanges]]
+  * semantics: carried rows cancel, OPTIMIZE emits nothing, DV deltas
+  * surface). The output schema is the table's schema plus the two tag
+  * columns, resolved when the statement is analyzed.
+  *
+  * Command results return THROUGH THE DRIVER — right for inspecting a
+  * feed window, wrong for bulk consumption: a pipeline tails
+  * `rowChanges` (DataFrame) or the `graft-changes` streaming source's
+  * `readChangeFeed` option, both fully distributed. */
+case class DescribeChangesCommand(path: String, fromV: Long, toV: Long)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.Attribute
+
+  // resolved at analysis: DESCRIBE CHANGES is session-driven DDL, so
+  // the active session is the statement's session by construction
+  override lazy val output: Seq[Attribute] =
+    org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
+      graft.operators.Versioned.rowChanges(
+        SparkSession.active, path, fromV, toV).schema)
+
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.operators.Versioned.rowChanges(spark, path, fromV, toV)
+      .collect().toIndexedSeq
 }
 
 /** Eagerly-executed RESTORE: the latest state becomes version `v`'s
@@ -367,9 +416,55 @@ case class UpdateVersionedCommand(path: String,
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     Seq(AttributeReference("n_updated", LongType, nullable = false)())
 
-  override def run(spark: SparkSession): Seq[Row] = {
-    import graft.operators.Versioned
-    import graft.sources.StatsPruner
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(SnapshotDml.update(spark, path,
+      sets.map { case (c, e) => (c, expr(e)) },
+      where.map(expr))))
+}
+
+/** Eagerly-executed DELETE over a Versioned snapshot table
+  * (`DELETE FROM '<path>' [WHERE …]`): survivors committed as ONE new
+  * `operation=delete` version, SQL NULL-predicate rows kept. Returns
+  * n_deleted. */
+case class DeleteVersionedCommand(path: String, where: Option[String])
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+  import org.apache.spark.sql.types.LongType
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("n_deleted", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(SnapshotDml.delete(spark, path, where.map(expr))))
+}
+
+/** Shared UPDATE/DELETE core over Versioned snapshot tables — driven
+  * by the quoted-path statements (string-parsed expressions) AND the
+  * catalog-table (v2 relation) lowerings, which hand in name-rebound
+  * catalyst expressions. Semantics: standard simultaneous-SET UPDATE
+  * (every expr evaluates against the original row; NULL predicate
+  * keeps the row), SQL DELETE (NULL-predicate rows kept). Cost shape:
+  * copy-on-write scoped through manifest stats (segments provably
+  * free of matches are carried verbatim), or merge-on-read deletion
+  * vectors under `spark.graft.update.mode=dv` /
+  * `spark.graft.delete.mode=dv`. */
+private[plans] object SnapshotDml {
+  import graft.operators.Versioned
+  import graft.sources.StatsPruner
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{coalesce, col, lit, not, when}
+
+  private def scopeOf(spark: SparkSession, path: String, raw: Column)
+      : graft.operators.SegmentStats.FileStats => Boolean = {
+    val df = Versioned.read(spark, path)
+    val filters = StatsPruner.pushableFilters(df.where(raw))
+    if (filters.isEmpty) _ => true
+    else st => filters.forall(StatsPruner.mayMatch(st, _))
+  }
+
+  def update(spark: SparkSession, path: String,
+      sets: Seq[(String, Column)], where: Option[Column]): Long = {
     val df = Versioned.read(spark, path)
     val byName = df.columns.map(c => c.toLowerCase -> c).toMap
     val resolved = sets.map { case (target, e) =>
@@ -388,86 +483,100 @@ case class UpdateVersionedCommand(path: String,
       s"duplicate UPDATE assignment target(s): ${dupTargets.mkString(", ")}")
     // raw predicate for stats scoping (filter semantics already drop
     // NULL rows); the coalesce wrapper is only for the SET branches
-    val raw = where.map(expr).getOrElse(lit(true))
+    val raw = where.getOrElse(lit(true))
     val cond = coalesce(raw, lit(false))
     val assigned = resolved.toMap
-    // copy-on-write: only segments that may contain matched rows are
-    // rewritten; the rest of the manifest is carried forward verbatim
-    val filters = StatsPruner.pushableFilters(df.where(raw))
-    val scope: graft.operators.SegmentStats.FileStats => Boolean =
-      if (filters.isEmpty) _ => true
-      else st => filters.forall(StatsPruner.mayMatch(st, _))
+    val scope = scopeOf(spark, path, raw)
     // merge-on-read routing: under the conf, matched rows are
     // DV-deleted and their post-images appended — a 10-row update
     // costs a sidecar + a 10-row segment, never a segment rewrite
     val useDv = spark.conf.getOption("spark.graft.update.mode")
       .exists(_.trim.equalsIgnoreCase("dv"))
-    if (useDv) {
-      val n = Versioned.updateWithDv(spark, path, scope, raw, { matched =>
+    if (useDv)
+      Versioned.updateWithDv(spark, path, scope, raw, { matched =>
         // the transform sees ONLY matched rows, so assignments apply
-        // unconditionally (standard simultaneous-SET semantics: every
-        // expr evaluates against the original row)
+        // unconditionally (standard simultaneous-SET semantics)
         matched.select(matched.columns.toIndexedSeq.map { c =>
           assigned.get(c)
-            .map(e => expr(e).cast(matched.schema(c).dataType).as(c))
+            .map(e => e.cast(matched.schema(c).dataType).as(c))
             .getOrElse(col(c))
         }: _*)
       })
-      return Seq(Row(n))
+    else {
+      val (n, _, _) = Versioned.rewrite(spark, path, scope, raw, { subset =>
+        subset.select(subset.columns.toIndexedSeq.map { c =>
+          assigned.get(c)
+            .map(e => when(cond, e.cast(subset.schema(c).dataType))
+              .otherwise(col(c)).as(c))
+            .getOrElse(col(c))
+        }: _*)
+      }, Map("operation" -> "update"))
+      n
     }
-    val (n, _, _) = Versioned.rewrite(spark, path, scope, raw, { subset =>
-      subset.select(subset.columns.toIndexedSeq.map { c =>
-        assigned.get(c)
-          .map(e => when(cond, expr(e).cast(subset.schema(c).dataType))
-            .otherwise(col(c)).as(c))
-          .getOrElse(col(c))
-      }: _*)
-    }, Map("operation" -> "update"))
-    Seq(Row(n))
   }
-}
 
-/** Eagerly-executed DELETE over a Versioned snapshot table
-  * (`DELETE FROM '<path>' [WHERE …]`): survivors committed as ONE new
-  * `operation=delete` version, SQL NULL-predicate rows kept. Returns
-  * n_deleted. */
-case class DeleteVersionedCommand(path: String, where: Option[String])
-    extends LeafRunnableCommand {
-  import org.apache.spark.sql.catalyst.expressions.AttributeReference
-  import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
-  import org.apache.spark.sql.types.LongType
-
-  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
-    Seq(AttributeReference("n_deleted", LongType, nullable = false)())
-
-  override def run(spark: SparkSession): Seq[Row] = {
-    import graft.operators.Versioned
-    import graft.sources.StatsPruner
-    val df = Versioned.read(spark, path)
-    val raw = where.map(expr).getOrElse(lit(true))
+  def delete(spark: SparkSession, path: String,
+      where: Option[Column]): Long = {
+    val raw = where.getOrElse(lit(true))
     val cond = coalesce(raw, lit(false))
-    // copy-on-write: segments provably free of matches are carried
-    // forward as manifest lines, never read or rewritten
-    val filters = StatsPruner.pushableFilters(df.where(raw))
-    val scope: graft.operators.SegmentStats.FileStats => Boolean =
-      if (filters.isEmpty) _ => true
-      else st => filters.forall(StatsPruner.mayMatch(st, _))
+    val scope = scopeOf(spark, path, raw)
     // merge-on-read routing (Delta's delta.enableDeletionVectors):
     // under the conf, the delete commits a deletion-vector sidecar
     // instead of rewriting segments — a one-row delete stops costing
     // a segment write; OPTIMIZE folds the vectors back into files
     val useDv = spark.conf.getOption("spark.graft.delete.mode")
       .exists(_.trim.equalsIgnoreCase("dv"))
-    if (useDv) {
+    if (useDv)
       // filter semantics: NULL-predicate rows are kept, i.e. deleted
       // rows are exactly those where cond IS TRUE
-      val n = Versioned.deleteWithDv(spark, path, scope, cond)
-      return Seq(Row(n))
+      Versioned.deleteWithDv(spark, path, scope, cond)
+    else {
+      val (n, _, _) = Versioned.rewrite(spark, path, scope, raw,
+        subset => subset.where(not(cond)),
+        Map("operation" -> "delete"))
+      n
     }
-    val (n, _, _) = Versioned.rewrite(spark, path, scope, raw,
-      subset => subset.where(not(cond)),
-      Map("operation" -> "delete"))
-    Seq(Row(n))
+  }
+}
+
+/** Catalog-table (v2 relation) UPDATE on a snapshot table: `UPDATE
+  * graft.ns.t SET … [WHERE …]` — the analyzer resolves the
+  * assignments/condition against the relation; they are re-rooted by
+  * NAME over [[SnapshotDml]]'s fresh read, keeping the stats-scoped
+  * COW (or conf-routed DV) write-back identical to the quoted-path
+  * form. Returns n_updated. */
+case class UpdateSnapshotV2Command(path: String,
+    sets: Seq[(String, Expression)], where: Option[Expression])
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("n_updated",
+      org.apache.spark.sql.types.LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.GraftShims.rebindByName
+    Seq(Row(SnapshotDml.update(spark, path,
+      sets.map { case (c, e) => (c, rebindByName(e)) },
+      where.map(rebindByName))))
+  }
+}
+
+/** Catalog-table (v2 relation) DELETE on a snapshot table — handles
+  * ARBITRARY conditions (the SupportsDelete pushdown path only covers
+  * translatable filters; this command is the analyzer-stage lowering
+  * that takes the rest). Returns n_deleted. */
+case class DeleteSnapshotV2Command(path: String,
+    where: Option[Expression]) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("n_deleted",
+      org.apache.spark.sql.types.LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.GraftShims.rebindByName
+    Seq(Row(SnapshotDml.delete(spark, path, where.map(rebindByName))))
   }
 }
 

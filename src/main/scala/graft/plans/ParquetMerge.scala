@@ -111,7 +111,16 @@ case class ResolveParquetMerge(spark: SparkSession) extends Rule[LogicalPlan] {
             if (movesPartitions) None
             else matchedParts(u.table, partCols, u.condition),
             deleteMissing = false)
-        case None => u
+        case None => snapshotOf(u.table) match {
+          // catalog snapshot target: name-rebound assignments over the
+          // shared stats-scoped COW / DV write-back
+          case Some((path, _)) =>
+            UpdateSnapshotV2Command(path,
+              u.assignments.map(a =>
+                (a.key.asInstanceOf[AttributeReference].name, a.value)),
+              u.condition)
+          case None => u
+        }
       }
 
     // DELETE FROM t [WHERE cond]: survivors are rows where cond is not
@@ -125,7 +134,14 @@ case class ResolveParquetMerge(spark: SparkSession) extends Rule[LogicalPlan] {
           ParquetRewriteCommand(table, partCols, Filter(keep, d.table),
             matchedParts(d.table, partCols, Some(d.condition)),
             deleteMissing = true)
-        case None => d
+        case None => snapshotOf(d.table) match {
+          // catalog snapshot target: ARBITRARY conditions (the
+          // SupportsDelete pushdown path only covers translatable
+          // filters; this lowering takes everything), DV-conf-routed
+          case Some((path, _)) =>
+            DeleteSnapshotV2Command(path, Some(d.condition))
+          case None => d
+        }
       }
   }
 

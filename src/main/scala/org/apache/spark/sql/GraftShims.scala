@@ -53,6 +53,18 @@ object GraftShims {
     classic.Dataset.ofRows(cs, LogicalRelation(rel, isStreaming = true))
   }
 
+  /** A RESOLVED expression re-rooted for use on a DIFFERENT DataFrame
+    * with the same column names: attribute references become
+    * unresolved-by-name, so the returned Column re-resolves against
+    * whatever frame it is applied to. The device that lets a catalyst
+    * UPDATE/DELETE condition captured from one relation drive a
+    * rewrite over a fresh read of the same table. */
+  def rebindByName(e: Expression): Column = toColumn(e.transform {
+    case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        .quoted(a.name)
+  })
+
   /** Destructure a DDL `bucket(n, col)` partition transform
     * (BucketTransform is private[sql]): Some((colName, n)) for a
     * single-column bucket transform, None for anything else. */

@@ -80,6 +80,21 @@ class RowCdfSpec extends SparkSpec {
       (4, "d", "insert", 3L)))
   }
 
+  test("DESCRIBE CHANGES SQL surfaces the same change rows; plain " +
+    "DESCRIBE statements still delegate") {
+    val t = tmpDir("cdfsql") + "/t"
+    Versioned.commit(Seq((1, "a"), (2, "b")).toDF("k", "v").coalesce(1), t)
+    spark.sql(s"DELETE FROM '$t' WHERE k = 1")
+    val rows = spark.sql(s"DESCRIBE CHANGES '$t' FROM 0 TO 1")
+      .select(col("k").as[Int], col("v").as[String],
+        col("_change_type").as[String], col("_commit_version").as[Long])
+      .collect().toSet
+    assert(rows == Set((1, "a", "delete", 1L)))
+    // non-matching DESCRIBE forms stay Spark's (a table named changes)
+    Seq((1, 2)).toDF("a", "b").createOrReplaceTempView("changes")
+    assert(spark.sql("DESCRIBE changes").count() > 0)
+  }
+
   test("a table that already carries a _change_type column is refused") {
     val t = tmpDir("cdf") + "/t"
     Versioned.commit(Seq((1, "x")).toDF("k", "_change_type"), t)
