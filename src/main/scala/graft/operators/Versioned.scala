@@ -391,9 +391,30 @@ object Versioned {
       val committed =
         try {
           commitManifest(fs, root, fullMeta, { base =>
-            if (base != Some(v)) throw new RewriteConflict
-            // no-match: metadata-only (lines carried verbatim)
-            if (matched == 0L) lines else carried ++ newLines
+            // Conflict resolution (Delta's logical-conflict check, not
+            // a blind retry): a commit landed mid-cycle. If every
+            // TOUCHED line is still byte-identical in the new latest,
+            // the interleaved commits did not modify anything this
+            // rewrite read-modified — they appended files, or changed
+            // CARRIED lines (e.g. a DV delete tagging a carried file)
+            // — so the rewrite REBASES: keep the latest's lines
+            // (appends and carried-line changes included), swap only
+            // the touched ones for their replacements. A touched line
+            // that changed or vanished means the content this rewrite
+            // transformed is stale → full recompute. A streaming sink
+            // appending every few seconds thus never forces a DML to
+            // recompute, which at 100 TB is the difference between
+            // DML converging and starving.
+            if (base == Some(v)) {
+              if (matched == 0L) lines else carried ++ newLines
+            } else {
+              val latestLines = base.toSeq.flatMap(readFileLines(fs, root, _))
+              val touchedSet = touched.toSet
+              if (!touchedSet.subsetOf(latestLines.toSet))
+                throw new RewriteConflict
+              if (matched == 0L) latestLines
+              else latestLines.filterNot(touchedSet) ++ newLines
+            }
           })
           true
         } catch {

@@ -22,8 +22,8 @@ class VersionedSpec extends SparkSpec {
       Set((9, "z")))
   }
 
-  test("rewrite detects a commit landing mid-cycle and recomputes: the " +
-    "concurrent append's rows survive the DML") {
+  test("a commit landing mid-rewrite REBASES when it only appended: " +
+    "its rows survive, the transform is NOT recomputed") {
     import org.apache.spark.sql.functions.col
     val t = tmpDir("rwconf") + "/t"
     Versioned.commit((1L to 3L).toDF("k").coalesce(1), t)
@@ -32,18 +32,48 @@ class VersionedSpec extends SparkSpec {
     // compute phase — sneak a commit in on the first call, exactly the
     // window a streaming append would hit
     val sneaked = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val transforms = new java.util.concurrent.atomic.AtomicInteger(0)
     val (n, _, _) = Versioned.rewrite(spark, t, { _ =>
       if (sneaked.compareAndSet(false, true))
         Versioned.commit((7L to 9L).toDF("k").coalesce(1), t, "append")
       true
-    }, col("k") === 4L, df => df.where(col("k") =!= 4L),
-      Map("operation" -> "delete"))
+    }, col("k") === 4L, df => {
+      transforms.incrementAndGet(); df.where(col("k") =!= 4L)
+    }, Map("operation" -> "delete"))
     assert(n == 1)
     assert(Versioned.read(spark, t).select("k").as[Long].collect().toSet ==
       Set(1L, 2L, 3L, 5L, 6L, 7L, 8L, 9L),
       "the mid-rewrite append must not be lost")
+    assert(transforms.get() == 1,
+      "an append-only conflict must rebase, not recompute — a " +
+        "streaming sink appending every batch would otherwise starve DML")
     assert(Versioned.readMeta(spark, t,
       Versioned.versions(spark, t).last) == Map("operation" -> "delete"))
+  }
+
+  test("a commit landing mid-rewrite that MODIFIED a touched file " +
+    "forces a recompute: no lost update, no resurrected row") {
+    import org.apache.spark.sql.functions.col
+    val t = tmpDir("rwconf") + "/t"
+    Versioned.commit((1L to 6L).toDF("k").coalesce(1), t) // ONE segment
+    val sneaked = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val transforms = new java.util.concurrent.atomic.AtomicInteger(0)
+    // the sneaked commit DELETES k=5 — rewriting the very segment the
+    // outer delete-of-4 is transforming; a rebase would resurrect 5
+    val (n, _, _) = Versioned.rewrite(spark, t, { _ =>
+      if (sneaked.compareAndSet(false, true))
+        Versioned.rewrite(spark, t, _ => true, col("k") === 5L,
+          df => df.where(col("k") =!= 5L), Map("operation" -> "delete"))
+      true
+    }, col("k") === 4L, df => {
+      transforms.incrementAndGet(); df.where(col("k") =!= 4L)
+    }, Map("operation" -> "delete"))
+    assert(n == 1)
+    assert(transforms.get() == 2,
+      "a touched-file conflict must recompute against the new latest")
+    assert(Versioned.read(spark, t).select("k").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 6L),
+      "both deletes must survive — neither lost nor resurrected")
   }
 
   test("uncommitted segments and temp manifests are invisible to readers") {
