@@ -832,6 +832,34 @@ object Versioned {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val all = listVersions(fs, root)
     val (drop, keep) = all.splitAt(math.max(0, all.size - keepLast))
+    dropAndSweep(fs, root, drop, keep)
+  }
+
+  /** Time-based retention (Delta's `VACUUM … RETAIN n HOURS` shape):
+    * drop every version whose COMMIT TIME (manifest-embedded, mtime
+    * for legacy manifests) is older than `hours` — except the latest,
+    * which always survives regardless of age (a quiet table must stay
+    * readable). Returns the number of versions dropped. */
+  def vacuumOlderThan(spark: SparkSession, table: String,
+      hours: Double): Int = {
+    require(hours >= 0, s"hours must be >= 0: $hours")
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all = listVersions(fs, root)
+    if (all.isEmpty) return 0
+    val cutoff = System.currentTimeMillis - (hours * 3600000.0).toLong
+    val latest = all.last
+    val (drop, keep) = all.partition(v =>
+      v != latest && commitTimeMs(fs, root, v) < cutoff)
+    dropAndSweep(fs, root, drop, keep)
+    drop.size
+  }
+
+  /** Shared retention core: drop the given manifests (making those
+    * versions unreadable), then sweep every data segment dir and dv
+    * sidecar dir no SURVIVING manifest references. */
+  private def dropAndSweep(fs: FileSystem, root: Path,
+      drop: Seq[Long], keep: Seq[Long]): Unit = {
     drop.foreach(v => fs.delete(new Path(root, s"$LogDir/$v.manifest"), false))
     val live = mutable.Set.empty[String] // live segment dir names (uuid)
     keep.foreach(v => readManifest(fs, root, v).foreach { rel =>

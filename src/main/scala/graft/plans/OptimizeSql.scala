@@ -129,7 +129,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     val v = vacuumStmt.matcher(sqlText)
     if (v.matches())
       return VacuumVersionedCommand(v.group(1), v.group(2).toInt)
-    fail(sqlText, "expected VACUUM '<path>' RETAIN <n> VERSIONS")
+    val h = vacuumHoursStmt.matcher(sqlText)
+    if (h.matches())
+      return VacuumHoursCommand(h.group(1), h.group(2).toDouble)
+    fail(sqlText, "expected VACUUM '<path>' RETAIN <n> VERSIONS " +
+      "or VACUUM '<path>' OLDER THAN <n> HOURS")
   }
 
   /** `DESCRIBE HISTORY '<path>'` — the version log of a Versioned
@@ -199,6 +203,8 @@ object GraftSqlParser {
     java.util.regex.Pattern.compile("""\s*(?i:VACUUM)\b""")
   private val vacuumStmt = java.util.regex.Pattern.compile(
     """(?is)\s*VACUUM\s+'([^']+)'\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""")
+  private val vacuumHoursStmt = java.util.regex.Pattern.compile(
+    """(?is)\s*VACUUM\s+'([^']+)'\s+OLDER\s+THAN\s+(\d+(?:\.\d+)?)\s+HOURS\s*;?\s*""")
   // DESCRIBE alone is Spark grammar — only the two-word forms are ours
   private val historyPrefix = java.util.regex.Pattern.compile(
     """\s*(?i:DESCRIBE\s+HISTORY)\b""")
@@ -278,6 +284,28 @@ case class VacuumVersionedCommand(path: String, keepLast: Int)
     graft.operators.Versioned.vacuum(spark, path, keepLast)
     val after = graft.operators.Versioned.versions(spark, path).size
     Seq(Row(after.toLong, (before - after).toLong))
+  }
+}
+
+/** `VACUUM '<path>' OLDER THAN <n> HOURS` — time-based retention
+  * (Delta's hour-based VACUUM shape): every version whose commit time
+  * is older than the horizon is dropped, except the latest, which
+  * survives regardless of age; then unreferenced data segments and dv
+  * sidecars are swept. Returns (versions_kept, versions_dropped). */
+case class VacuumHoursCommand(path: String, hours: Double)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.LongType
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("versions_kept", LongType, nullable = false)(),
+      AttributeReference("versions_dropped", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dropped = graft.operators.Versioned
+      .vacuumOlderThan(spark, path, hours)
+    val kept = graft.operators.Versioned.versions(spark, path).size
+    Seq(Row(kept.toLong, dropped.toLong))
   }
 }
 

@@ -192,9 +192,47 @@ class GraftCatalog extends TableCatalog
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog is read-only: schema evolves through commits")
+  /** ALTER TABLE — ADDITIVE evolution only, as a commit: `ADD COLUMN`
+    * (top-level, nullable) appends an empty schema-carrier segment
+    * with the widened schema, so the column surfaces as NULL on every
+    * existing row through the normal mergeSchema union — the same
+    * mechanism an appended wider segment uses, now drivable from DDL.
+    * The DDL is itself a version (`operation=add_columns`): time
+    * travel to before it reads the old schema. Anything else (drops,
+    * renames, type changes, nested adds) still refuses — destructive
+    * schema surgery on an immutable-segment lake would either lie
+    * about existing files or require rewriting them. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val spark = SparkSession.active
+    val path = tablePath(ident)
+    if (Versioned.versions(spark, path).isEmpty)
+      throw new NoSuchTableException(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn
+          if a.fieldNames.length == 1 && a.isNullable => a
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog supports only additive evolution (top-level " +
+          s"nullable ADD COLUMN); got $other. Drops/renames/type " +
+          "changes would misdescribe immutable committed segments")
+    }
+    val cur = Versioned.read(spark, path).schema
+    val widened = adds.foldLeft(cur) { (s, a) =>
+      val name = a.fieldNames()(0)
+      require(!s.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"column $name already exists in ${ident.toString}")
+      s.add(name, a.dataType(), nullable = true)
+    }
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], widened)
+    val meta = Map("operation" -> "add_columns",
+      "columns" -> adds.map(_.fieldNames()(0)).mkString(","))
+    Versioned.bucketSpec(spark, path) match {
+      case Some((c, n)) => // the carrier keeps the bucket layout
+        Versioned.commitBucketed(empty, path, c, n, "append", meta)
+      case None => Versioned.commit(empty, path, "append", meta)
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(

@@ -383,10 +383,11 @@ class VersionedSpec extends SparkSpec {
     intercept[Exception] {
       c.sql("INSERT INTO gw.lake.w VERSION AS OF 0 VALUES (5, 'x')")
     }
-    // destructive DDL still refused
+    // destructive DDL still refused (additive ADD COLUMN is separately
+    // supported — see the schema-evolution DDL test)
     intercept[Exception] { c.sql("DROP TABLE gw.lake.w") }
     intercept[Exception] {
-      c.sql("ALTER TABLE gw.lake.w ADD COLUMN extra INT")
+      c.sql("ALTER TABLE gw.lake.w DROP COLUMN v")
     }
     assert(Versioned.versions(spark, t).size == 4)
     // DELETE FROM: surviving rows committed as a new version, SQL NULL
@@ -471,5 +472,91 @@ class VersionedSpec extends SparkSpec {
     }
     val res = check(Parameters.default.withMinSuccessfulTests(10), prop)
     assert(res.passed, res.status.toString)
+  }
+
+  test("time-based VACUUM drops versions older than the horizon, " +
+    "always keeps the latest, and sweeps their segments") {
+    val t = tmpDir("vach") + "/t"
+    Versioned.commit(Seq((1, "a")).toDF("k", "v"), t)            // v0
+    Versioned.commit(Seq((2, "b")).toDF("k", "v"), t, "overwrite") // v1
+    Versioned.commit(Seq((3, "c")).toDF("k", "v"), t, "overwrite") // v2
+    val fs = fsOf(t)
+    // age v0 and v1: rewrite their manifests' embedded commit time to
+    // two days ago (the authoritative clock for OLDER THAN)
+    val old = System.currentTimeMillis - 48L * 3600000L
+    Seq(0L, 1L).foreach { v =>
+      val p = new Path(s"$t/_graft_log/$v.manifest")
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val aged = body.replaceAll(
+        "#commit_ts_ms=\\d+", s"#commit_ts_ms=$old")
+      fs.delete(p, false)
+      val out = fs.create(p, false)
+      try out.write(aged.getBytes("UTF-8")) finally out.close()
+    }
+    val r = spark.sql(s"VACUUM '$t' OLDER THAN 24 HOURS").collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 2L)), r.toString)
+    assert(Versioned.versions(spark, t) == Seq(2L))
+    assert(Versioned.read(spark, t).count() == 1)
+    // dropped versions' segments are swept
+    val dataDirs = fs.listStatus(new Path(s"$t/data")).length
+    assert(dataDirs == 1, s"expected 1 surviving segment dir, got $dataDirs")
+    // a quiet table: even an ancient latest survives
+    val t2 = tmpDir("vach") + "/t2"
+    Versioned.commit(Seq((9, "z")).toDF("k", "v"), t2)
+    val p2 = new Path(s"$t2/_graft_log/0.manifest")
+    val in2 = fs.open(p2)
+    val body2 = try scala.io.Source.fromInputStream(in2, "UTF-8").mkString
+    finally in2.close()
+    fs.delete(p2, false)
+    val out2 = fs.create(p2, false)
+    try out2.write(body2.replaceAll("#commit_ts_ms=\\d+",
+      s"#commit_ts_ms=$old").getBytes("UTF-8"))
+    finally out2.close()
+    assert(Versioned.vacuumOlderThan(spark, t2, 1.0) == 0)
+    assert(Versioned.read(spark, t2).count() == 1)
+  }
+
+  test("ALTER TABLE ADD COLUMN: additive evolution as a commit — new " +
+    "column NULL on old rows, time travel reads the old schema, " +
+    "bucketed layout survives; destructive shapes still refuse") {
+    val base = tmpDir("addcol")
+    val cat = "ac" + System.nanoTime()
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", base)
+    val t = s"$base/lake/t"
+    Versioned.commit(Seq((1, "a"), (2, "b")).toDF("k", "v"), t) // v0
+    spark.sql(s"ALTER TABLE $cat.lake.t ADD COLUMN score DOUBLE") // v1
+    assert(Versioned.versions(spark, t) == Seq(0L, 1L))
+    assert(Versioned.readMeta(spark, t, 1L)("operation") == "add_columns")
+    // old rows read NULL; inserts can fill it
+    assert(spark.sql(s"SELECT score FROM $cat.lake.t")
+      .collect().forall(_.isNullAt(0)))
+    spark.sql(s"INSERT INTO $cat.lake.t VALUES (3, 'c', 9.5)") // v2
+    assert(spark.sql(
+      s"SELECT score FROM $cat.lake.t WHERE k = 3").as[Double].head() == 9.5)
+    // time travel to before the DDL: the column does not exist
+    assert(!spark.sql(s"SELECT * FROM $cat.lake.t VERSION AS OF 0")
+      .columns.contains("score"))
+    // duplicate / destructive shapes refuse without committing
+    val vs = Versioned.versions(spark, t)
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.lake.t ADD COLUMN score INT")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.lake.t RENAME COLUMN v TO w")
+    }
+    assert(Versioned.versions(spark, t) == vs)
+    // bucketed table: the carrier keeps the declared layout
+    val tb = s"$base/lake/b"
+    Versioned.commitBucketed((1L to 8L).map(i => (i, s"x$i"))
+      .toDF("k", "v"), tb, "k", 4)
+    spark.sql(s"ALTER TABLE $cat.lake.b ADD COLUMN tag STRING")
+    assert(Versioned.bucketSpec(spark, tb).contains(("k", 4)),
+      "schema-evolution DDL must not de-bucket the table")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.b")
+      .as[Long].head() == 8L)
   }
 }

@@ -309,6 +309,41 @@ class ChangeFeedSourceSpec extends SparkSpec {
     assert(rows().size == 6)
   }
 
+  test("readChangeFeed composes with maxVersionsPerTrigger: a paced " +
+    "backlog of DML commits drains as per-version change batches") {
+    val base = tmpDir("cdfpaced")
+    val t = s"$base/t"; val cp = s"$base/cp"; val out = s"$base/out"
+    Versioned.commit(
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v").coalesce(1), t) // v0
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-changes")
+        .option("path", t).option("readChangeFeed", "true")
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    drain() // initial snapshot
+    spark.sql(s"UPDATE '$t' SET v = 'B' WHERE k = 2") // v1
+    spark.sql(s"DELETE FROM '$t' WHERE k = 3")        // v2
+    Versioned.commit(Seq((4, "d")).toDF("k", "v"), t, "append") // v3
+    drain() // three paced one-version batches
+    val rows = spark.read.parquet(out)
+      .select($"k", $"v", $"_change_type", $"_commit_version")
+      .as[(Int, String, String, Long)].collect().toSet
+    assert(rows == Set(
+      (1, "a", "insert", 0L), (2, "b", "insert", 0L), (3, "c", "insert", 0L),
+      (2, "b", "update_preimage", 1L), (2, "B", "update_postimage", 1L),
+      (3, "c", "delete", 2L),
+      (4, "d", "insert", 3L)), rows.toString)
+    // 1 priming + 3 paced batches committed
+    val commits = new java.io.File(s"$cp/commits").list()
+      .count(!_.startsWith("."))
+    assert(commits == 4, s"expected 4 batches, got $commits")
+  }
+
   test("an overwrite commit surfaces its new snapshot (file-level " +
     "change-feed semantics, Versioned.changes parity)") {
     val base = tmpDir("cfstream")
