@@ -462,6 +462,56 @@ object SourceQueries {
               THEN 500 ELSE 0 END) AS BIGINT) AS price_cents
         FROM orders""")),
 
+    // ---- VT9 additive schema evolution via DDL (ALTER TABLE ADD
+    // COLUMN as a commit): base orders snapshot, ADD COLUMN, then an
+    // INSERT filling the new column for a slice — existing rows read
+    // NULL through the mergeSchema union, new rows carry values, and
+    // time travel to before the DDL must NOT see the column (proven
+    // in-query by a require on the pinned-version schema). Output:
+    // exact integer counts/cents.
+    "vt9_add_column" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val cat = "vt9cat" + math.abs(dir.hashCode).toString
+        val table = stages.computeIfAbsent(s"$dir|vt9|addcol", { _ =>
+          val root = java.nio.file.Files
+            .createTempDirectory("vt9").toString
+          s.conf.set(s"spark.sql.catalog.$cat",
+            classOf[graft.sources.GraftCatalog].getName)
+          s.conf.set(s"spark.sql.catalog.$cat.root", root)
+          val td = s"$root/lake/t"
+          graft.operators.Versioned.commit(
+            t(s, dir, "orders").select($"o_orderkey", $"o_totalprice"),
+            td) // v0
+          s.sql(s"ALTER TABLE $cat.lake.t ADD COLUMN bonus_cents BIGINT")
+          s.sql(s"""INSERT INTO $cat.lake.t
+            SELECT o_orderkey + 20000000, o_totalprice,
+                   CAST(o_orderkey % 1000 AS BIGINT)
+            FROM $cat.lake.t VERSION AS OF 0
+            WHERE o_orderkey % 11 = 0""")
+          require(!graft.operators.Versioned
+            .read(s, td, Some(0L)).columns.contains("bonus_cents"),
+            "time travel to before the DDL must not see the column")
+          td
+        })
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root",
+          table.stripSuffix("/lake/t"))
+        s.sql(s"""SELECT count(*) AS n_rows,
+            CAST(count(bonus_cents) AS BIGINT) AS n_filled,
+            CAST(sum(bonus_cents) AS BIGINT) AS bonus_total
+          FROM $cat.lake.t""")
+      },
+      Some("""SELECT
+          CAST(count(*) + sum(CASE WHEN o_orderkey % 11 = 0
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_rows,
+          CAST(sum(CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_filled,
+          CAST(sum(CASE WHEN o_orderkey % 11 = 0
+            THEN o_orderkey % 1000 ELSE 0 END) AS BIGINT) AS bonus_total
+        FROM orders""")),
+
     // ---- VT6 metadata-only aggregates (sources.ManifestAggregates):
     // a filterless global COUNT/COUNT(col)/MIN/MAX over a catalog
     // snapshot table is answered from the manifest's per-file stats —
