@@ -1097,9 +1097,12 @@ object Versioned {
     *
     * Returns (new version, files rewritten, files carried), or None
     * when fewer than two files are under the threshold (nothing to
-    * gain — no commit). Unbucketed tables only: a bucketed layout
-    * fixes the file set per segment; its whole-bucket rewrite path is
-    * [[graft.plans.OptimizeVersionedCommand]]'s bucketed branch. */
+    * gain — no commit). On a BUCKETED table the small rows are
+    * re-bucketed into one fresh segment under the declared spec (a
+    * bucketed streaming sink writes one small file per bucket per
+    * batch — this folds a night of such commits at the cost of
+    * shuffling only the small rows), and the declaration rides the
+    * new manifest. */
   def compactSmall(spark: SparkSession, table: String,
       minBytes: Long): Option[(Long, Long, Long)] = {
     require(minBytes > 0, s"minBytes must be positive: $minBytes")
@@ -1109,9 +1112,7 @@ object Versioned {
     while (attempt < 5) {
       val v = latestVersion(fs, root).getOrElse(
         throw new IllegalArgumentException(s"no committed version in $table"))
-      require(bucketSpec(spark, table, Some(v)).isEmpty,
-        s"compactSmall on bucketed table $table: the layout fixes the " +
-          "segment file set — use OPTIMIZE's bucketed whole-rewrite")
+      val spec = bucketSpec(spark, table, Some(v))
       val lines = readFileLines(fs, root, v)
       // file length from the manifest's bytes= stat where present —
       // zero filesystem probes for post-bytes manifests; a probe (or
@@ -1127,13 +1128,21 @@ object Versioned {
       val smallBytes = small.map(lenOf).sum
       val nOut = math.max(1L, (smallBytes + minBytes - 1) / minBytes).toInt
       val schema = read(spark, table, Some(v)).schema
-      val packed = applyDv(spark, root, small,
+      val packedRows = applyDv(spark, root, small,
         spark.read.schema(schema).parquet(
           small.map(l => new Path(root, parseLine(l)._1).toString): _*))
-        .coalesce(nOut)
-      val newLines = writeSegmentLines(spark, fs, root, packed)
+      // unbucketed: bin-pack into nOut files; bucketed: the declared
+      // spec routes rows (one file per bucket in the fresh segment),
+      // re-shuffling only the SMALL rows
+      val newLines = spec match {
+        case None =>
+          writeSegmentLines(spark, fs, root, packedRows.coalesce(nOut))
+        case some => writeSegmentLines(spark, fs, root, packedRows, some)
+      }
+      val fullMeta = Map("operation" -> "optimize") ++
+        spec.map { case (c, n) => BucketKey -> s"$c/$n" }
       try {
-        val nv = commitManifest(fs, root, Map("operation" -> "optimize"),
+        val nv = commitManifest(fs, root, fullMeta,
           { base =>
             if (base != Some(v)) throw new RewriteConflict
             carried ++ newLines

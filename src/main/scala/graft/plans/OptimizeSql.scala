@@ -637,14 +637,14 @@ case class OptimizeVersionedCommand(path: String, zorderCols: Seq[String],
     // under the conf, a plain COMPACT reads ONLY files below the
     // threshold and carries everything else verbatim — at scale,
     // OPTIMIZE folds last night's small streaming commits instead of
-    // rewriting the table. ZORDER, INTO n FILES, and bucketed layouts
+    // rewriting the table; on a bucketed table only the small rows
+    // re-shuffle, into the declared layout. ZORDER and INTO n FILES
     // keep the whole-rewrite semantics (clustering is global by
     // nature; the threshold conf does not apply).
     val minFileBytes = spark.conf
       .getOption("spark.graft.optimize.minFileBytes").map(_.trim.toLong)
     minFileBytes match {
-      case Some(th) if zorderCols.isEmpty && files.isEmpty &&
-          Versioned.bucketSpec(spark, path).isEmpty =>
+      case Some(th) if zorderCols.isEmpty && files.isEmpty =>
         val before = Versioned.versionFiles(spark, path).size
         return Versioned.compactSmall(spark, path, th) match {
           case Some((nv, _, _)) =>

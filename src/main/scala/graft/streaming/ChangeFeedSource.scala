@@ -263,6 +263,22 @@ class ChangeFeedSource(ctx: SQLContext, table: String,
     val success = new org.apache.hadoop.fs.Path(stageDir, "_SUCCESS")
     if (!fs.exists(success)) // half-written stage (crash): overwrite
       batch.write.mode("overwrite").parquet(stageDir.toString)
+    // retention: a batch whose END precedes this batch's START belongs
+    // to a COMMITTED offset range (Spark replays at most the last
+    // uncommitted batch, and offsets advance in order) — its stage can
+    // never be read again, so drop it instead of accreting one dir per
+    // micro-batch for the stream's lifetime
+    fromTag.foreach { start =>
+      try {
+        val cdfRoot = new org.apache.hadoop.fs.Path(metadataPath, "cdf")
+        if (fs.exists(cdfRoot)) fs.listStatus(cdfRoot).foreach { st =>
+          val name = st.getPath.getName
+          val endOf = name.split('_').lastOption
+            .flatMap(s => scala.util.Try(s.toLong).toOption)
+          if (endOf.exists(_ < start)) fs.delete(st.getPath, true)
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
     val files = fs.listStatus(stageDir).toSeq.map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).map(_.toString)
     // an all-empty-tasks write can stage zero part files; the batch

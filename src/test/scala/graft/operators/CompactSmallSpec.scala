@@ -46,6 +46,40 @@ class CompactSmallSpec extends SparkSpec {
       Versioned.versions(spark, t).last)("operation") == "optimize")
   }
 
+  test("bucketed table: threshold COMPACT folds small per-bucket files " +
+    "into the declared layout, carrying the large segment's files") {
+    val t = tmpDir("csmb") + "/t"
+    // one large bucketed segment + three tiny bucketed appends (the
+    // streaming-sink shape: one small file per bucket per batch)
+    Versioned.commitBucketed((1L to 50000L).map(i => (i, s"payload-$i"))
+      .toDF("k", "v"), t, "k", 2)
+    (1 to 3).foreach { i =>
+      Versioned.commitBucketed(
+        Seq((1000000L + i, s"small-$i")).toDF("k", "v"), t, "k", 2,
+        "append")
+    }
+    val before = Versioned.versionFiles(spark, t)
+    val large = before.take(2).toSet // v0's two bucket files
+    spark.conf.set("spark.graft.optimize.minFileBytes", "100000")
+    try spark.sql(s"OPTIMIZE '$t' COMPACT")
+    finally spark.conf.unset("spark.graft.optimize.minFileBytes")
+    val after = Versioned.versionFiles(spark, t).toSet
+    assert(large.subsetOf(after), "large bucket files must be carried")
+    assert(after.size <= large.size + 2,
+      s"small files must fold to <=1 per bucket, got ${after.size}")
+    // the layout contract survives: declaration + per-file placement
+    assert(Versioned.bucketSpec(spark, t).contains(("k", 2)))
+    val expected = Versioned.read(spark, t)
+      .withColumn("b", pmod(hash($"k"), lit(2)))
+      .select($"k", $"b").as[(Long, Int)].collect().toMap
+    (after -- large).foreach { f =>
+      val id = Versioned.bucketIdOf(f).get
+      spark.read.parquet(f).select($"k").as[Long].collect()
+        .foreach(k => assert(expected(k) == id))
+    }
+    assert(Versioned.read(spark, t).count() == 50003L)
+  }
+
   test("nothing under the threshold is a metadata no-op; without the " +
     "conf COMPACT keeps whole-rewrite semantics") {
     val t = tmpDir("csm") + "/t"
