@@ -342,6 +342,11 @@ class ChangeFeedSourceSpec extends SparkSpec {
     val commits = new java.io.File(s"$cp/commits").list()
       .count(!_.startsWith("."))
     assert(commits == 4, s"expected 4 batches, got $commits")
+    // stage retention: committed batches' stage dirs are dropped, not
+    // accreted one per micro-batch for the stream's lifetime
+    val stages = new java.io.File(s"$cp/sources/0/cdf").list()
+    assert(stages != null && stages.length <= 2,
+      s"expected <=2 retained stage dirs, got ${stages.mkString(",")}")
   }
 
   test("an overwrite commit surfaces its new snapshot (file-level " +
