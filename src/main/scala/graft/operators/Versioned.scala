@@ -1174,6 +1174,11 @@ object Versioned {
       transform: DataFrame => DataFrame): Long =
     mergeOnRead(spark, table, mayTouch, cond, Some(transform))
 
+  /** Test-only seam: invoked between a merge-on-read's sidecar
+    * compute and its commit attempt, the window a concurrent commit
+    * would land in. Production value is a no-op. */
+  private[graft] var dvTestHook: () => Unit = () => ()
+
   /** Shared merge-on-read core: DV-delete the matched rows, plus (for
     * updates) append their transformed post-images in the same
     * commit. */
@@ -1225,6 +1230,7 @@ object Versioned {
       val counts = spark.read.parquet(dvDir.toString)
         .groupBy("file").count().as[(String, Long)].collect().toMap
       val matched = counts.values.sum
+      dvTestHook() // test seam: lets specs interleave a commit here
       def cleanup(extra: Seq[String]): Unit = {
         try fs.delete(dvDir, true)
         catch { case scala.util.control.NonFatal(_) => () }
@@ -1245,17 +1251,33 @@ object Versioned {
             "updateWithDv transform must preserve the table's columns")
           writeSegmentLines(spark, fs, root, updated, spec)
       }
-      val newLines = lines.map { line =>
-        val rel = parseLine(line)._1
-        counts.get(rel).map(c => s"$line\tdv=$dvRel:$c").getOrElse(line)
-      } ++ postLines
+      // the lines whose sidecar entries were computed — rebase safety
+      // hinges on exactly these staying byte-identical in the latest
+      val taggedLines = lines.filter(l => counts.contains(parseLine(l)._1))
       val opName = if (post.isDefined) "update" else "delete"
       val meta = Map("operation" -> opName, s"${opName}_mode" -> "dv") ++
         spec.map { case (c, n) => BucketKey -> s"$c/$n" }
       try {
         commitManifest(fs, root, meta, { base =>
-          if (base != Some(v)) throw new RewriteConflict
-          newLines
+          val baseLines =
+            if (base == Some(v)) lines
+            else {
+              // same rebase rule as [[rewrite]]: interleaved commits
+              // that left every TAGGED line byte-identical (appends,
+              // changes to untagged lines) are compatible — the
+              // sidecar's (file, row-index) pairs still describe the
+              // exact bytes on disk. A tagged line that changed (a
+              // concurrent rewrite or DV of the same file) invalidates
+              // the row indexes → full recompute.
+              val latest = base.toSeq.flatMap(readFileLines(fs, root, _))
+              if (!taggedLines.toSet.subsetOf(latest.toSet))
+                throw new RewriteConflict
+              latest
+            }
+          baseLines.map { line =>
+            val rel = parseLine(line)._1
+            counts.get(rel).map(c => s"$line\tdv=$dvRel:$c").getOrElse(line)
+          } ++ postLines
         })
         return matched
       } catch {

@@ -208,6 +208,47 @@ class DvSpec extends SparkSpec {
     }
   }
 
+  test("a commit landing mid-DV-delete REBASES when the tagged file is " +
+    "untouched (append), recomputes when the same file was rewritten") {
+    // append-only interleave: the sidecar's row indexes still describe
+    // the exact bytes on disk -> rebase, one sidecar compute
+    val t = mkTable("dvrace")
+    val computes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Versioned.dvTestHook = () => {
+      computes.incrementAndGet()
+      if (fired.compareAndSet(false, true))
+        Versioned.commit(Seq((777, "x")).toDF("k", "v"), t, "append")
+    }
+    try {
+      assert(Versioned.deleteWithDv(spark, t, _ => true, col("k") === 3) == 1L)
+      assert(computes.get() == 1,
+        "an append-only conflict must rebase, not recompute the sidecar")
+      assert(Versioned.read(spark, t).select($"k").as[Int]
+        .collect().toSet == (1 to 10).toSet - 3 + 777,
+        "neither the delete nor the interleaved append may be lost")
+    } finally Versioned.dvTestHook = () => ()
+    // conflicting interleave: a COW rewrite of the SAME file changes
+    // its line -> the stale row indexes must NOT be committed
+    val t2 = mkTable("dvrace")
+    val computes2 = new java.util.concurrent.atomic.AtomicInteger(0)
+    val fired2 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Versioned.dvTestHook = () => {
+      computes2.incrementAndGet()
+      if (fired2.compareAndSet(false, true))
+        Versioned.rewrite(spark, t2, _ => true, col("k") === 9,
+          df => df.where(col("k") =!= 9), Map("operation" -> "delete"))
+    }
+    try {
+      assert(Versioned.deleteWithDv(spark, t2, _ => true, col("k") === 4) == 1L)
+      assert(computes2.get() == 2,
+        "a tagged-file conflict must recompute the sidecar")
+      assert(Versioned.read(spark, t2).select($"k").as[Int]
+        .collect().toSet == (1 to 10).toSet - 4 - 9,
+        "both deletes must land exactly")
+    } finally Versioned.dvTestHook = () => ()
+  }
+
   test("vacuum sweeps dv sidecars no surviving manifest references; " +
     "maxCandidateFiles refuses to trust bounds under DVs") {
     val t = mkTable("dv")
