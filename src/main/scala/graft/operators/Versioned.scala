@@ -585,8 +585,13 @@ object Versioned {
     * is exactly the row-level incremental feed a downstream consumer
     * tails (cost tracks the DELTA, never the table); an overwrite
     * re-snapshots, so its "adds" are the new snapshot — file-level
-    * semantics, stated rather than hidden. Removed-file counts come
-    * from [[changedFiles]]. */
+    * semantics, stated rather than hidden. Two consequences of that
+    * file granularity: a COW rewrite surfaces its whole replacement
+    * segment, and a DV (merge-on-read) delete — which changes NO
+    * files — is entirely invisible here. Consumers that need exact
+    * row deltas (deletes included) use [[rowChanges]] or the
+    * streaming source's `readChangeFeed` option. Removed-file counts
+    * come from [[changedFiles]]. */
   def changes(spark: SparkSession, table: String,
       fromV: Long, toV: Long): DataFrame = {
     require(fromV <= toV, s"fromV $fromV > toV $toV")
