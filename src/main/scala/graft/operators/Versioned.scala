@@ -312,7 +312,7 @@ object Versioned {
     // Append carries the previous lines — and their stats — verbatim.
     val statsByAbs = SegmentStats.collect(spark, newAbs)
     newAbs.map { abs =>
-      val rel = relativize(root, abs)
+      val rel = relativize(fs, root, abs)
       statsByAbs.get(abs).map(s => s"$rel\t$s").getOrElse(rel)
     }
   }
@@ -388,6 +388,7 @@ object Versioned {
         else writeSegmentLines(spark, fs, root, transform(subset), spec)
       val fullMeta =
         meta ++ spec.map { case (c, n) => BucketKey -> s"$c/$n" }
+      val guard = rebaseGuard(spark, fullSchema, touchedFiles, cond)
       val committed =
         try {
           commitManifest(fs, root, fullMeta, { base =>
@@ -411,6 +412,11 @@ object Versioned {
               val latestLines = base.toSeq.flatMap(readFileLines(fs, root, _))
               val touchedSet = touched.toSet
               if (!touchedSet.subsetOf(latestLines.toSet))
+                throw new RewriteConflict
+              // write-skew: an interleaved append whose file MAY hold
+              // predicate-matching rows must force a recompute — a
+              // rebase would carry those rows past the DML untouched
+              if (interleavedMayMatch(latestLines, lines, guard))
                 throw new RewriteConflict
               if (matched == 0L) latestLines
               else latestLines.filterNot(touchedSet) ++ newLines
@@ -437,6 +443,48 @@ object Versioned {
   }
 
   private final class RewriteConflict extends RuntimeException
+
+  /** Write-skew guard for DML rebases (Delta's ConcurrentAppendException
+    * discipline): may any line present in `latestLines` but absent from
+    * the lines the operation READ contain rows matching the operation's
+    * predicate? Judged from the interleaved file's manifest stats
+    * against the predicate's stats-pushable conjuncts. A stats-less
+    * line, or an empty `guard` (predicate not stats-expressible),
+    * conservatively answers yes — rows appended mid-DML that match the
+    * predicate would otherwise silently escape an operation that
+    * commits AFTER them (the rebase would carry them untransformed).
+    * Carried lines that merely gained a dv= tag keep their file stats,
+    * so a concurrent merge-on-read delete outside the predicate's
+    * domain still rebases cleanly. */
+  private def interleavedMayMatch(latestLines: Seq[String],
+      readLines: Seq[String],
+      guard: Seq[org.apache.spark.sql.sources.Filter]): Boolean = {
+    val readSet = readLines.toSet
+    latestLines.exists { l =>
+      !readSet.contains(l) && {
+        parseLine(l)._2.flatMap(SegmentStats.parse) match {
+          case Some(st) =>
+            guard.isEmpty ||
+              guard.forall(f => graft.sources.StatsPruner.mayMatch(st, f))
+          case None => true
+        }
+      }
+    }
+  }
+
+  /** The predicate's stats-pushable conjuncts over a PLAIN scan of the
+    * touched files — deliberately not the DV-overlaid read, whose
+    * anti-join contributes filters on join-key columns that would
+    * corrupt the [[interleavedMayMatch]] judgment. Empty (= "cannot
+    * restrict") when nothing was touched or the predicate doesn't
+    * lower. */
+  private def rebaseGuard(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      touchedFiles: Seq[String], cond: Column)
+      : Seq[org.apache.spark.sql.sources.Filter] =
+    if (touchedFiles.isEmpty) Nil
+    else graft.sources.StatsPruner.pushableFilters(
+      spark.read.schema(schema).parquet(touchedFiles: _*).where(cond))
 
   /** Per-table commit mutex. Hadoop's LOCAL filesystem maps rename to
     * POSIX renameTo, which silently OVERWRITES an existing target —
@@ -694,6 +742,19 @@ object Versioned {
             refs.map(_._1).filterNot(prevRefs).map(_ -> rel)
           }
           .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+      // refs a line LOST while keeping its file: a RESTORE to a
+      // pre-DV-delete version changes no file set but drops dv= refs,
+      // RESURRECTING the previously deleted rows — without emitting
+      // them the feed silently diverges from the snapshot diff
+      lazy val lostRefs: Map[String, Seq[String]] =
+        curLines.map(parseLine)
+          .filter { case (rel, _, _) => prevByRel.contains(rel) }
+          .flatMap { case (rel, _, refs) =>
+            val cur = refs.map(_._1).toSet
+            parseLine(prevByRel(rel))._3.map(_._1)
+              .filterNot(cur).map(_ -> rel)
+          }
+          .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
       val dvUpdate = op == "update" && gainedRefs.nonEmpty
       val fileSteps: Seq[DataFrame] =
         if (op == "optimize") Nil
@@ -721,27 +782,34 @@ object Versioned {
       // the new sidecars' row indexes.
       val gained: Map[String, Seq[String]] = // dv dir -> rels gaining it at v
         if (op == "optimize") Map.empty else gainedRefs
+      val lost: Map[String, Seq[String]] = // dv dir -> rels losing it at v
+        if (op == "optimize") Map.empty else lostRefs
+      // the rows a ref map's sidecar entries name — reads only the
+      // affected files, restricted to the sidecars' row indexes
+      def dvRefRows(refMap: Map[String, Seq[String]]): DataFrame = {
+        val pairs = refMap.toSeq.sortBy(_._1).map { case (dir, rels) =>
+          readDvEntries(spark, root, Seq(dir))
+            .where(col(DvFileCol).isin(rels: _*))
+        }.reduce(_.unionAll(_))
+        val rels = refMap.values.flatten.toSeq.distinct
+        val relDf = rels.map(r => (r, qualifiedRelPath(fs, root, r)))
+          .toDF(DvFileCol, "__graft_p")
+        val pairsNorm = pairs.join(relDf, DvFileCol)
+          .select(col("__graft_p"), col(DvIdxCol).as("__graft_i"))
+        spark.read.schema(schema)
+          .parquet(rels.map(r => new Path(root, r).toString): _*)
+          .withColumn("__graft_p", regexp_replace(
+            col("_metadata.file_path"), SchemeAuthorityRegex, ""))
+          .withColumn("__graft_i", col("_metadata.row_index"))
+          .join(pairsNorm, Seq("__graft_p", "__graft_i"), "left_semi")
+          .drop("__graft_p", "__graft_i")
+      }
       val dvSteps: Seq[DataFrame] =
-        if (gained.isEmpty) Nil
-        else {
-          val newPairs = gained.toSeq.sortBy(_._1).map { case (dir, rels) =>
-            spark.read.parquet(new Path(root, dir).toString)
-              .where(col("file").isin(rels: _*))
-          }.reduce(_.unionAll(_))
-          val rels = gained.values.flatten.toSeq.distinct
-          val relDf = rels.map(r => (r, new Path(root, r).toUri.getPath))
-            .toDF("file", "__graft_p")
-          val pairsNorm = newPairs.join(relDf, "file")
-            .select(col("__graft_p"), col("idx").as("__graft_i"))
-          val rows = spark.read.schema(schema)
-            .parquet(rels.map(r => new Path(root, r).toString): _*)
-            .withColumn("__graft_p", regexp_replace(
-              col("_metadata.file_path"), SchemeAuthorityRegex, ""))
-            .withColumn("__graft_i", col("_metadata.row_index"))
-            .join(pairsNorm, Seq("__graft_p", "__graft_i"), "left_semi")
-            .drop("__graft_p", "__graft_i")
-          Seq(tag(rows, if (dvUpdate) "update_preimage" else "delete", v))
-        }
+        (if (gained.isEmpty) Nil
+         else Seq(tag(dvRefRows(gained),
+           if (dvUpdate) "update_preimage" else "delete", v))) ++
+        (if (lost.isEmpty) Nil
+         else Seq(tag(dvRefRows(lost), "insert", v)))
       fileSteps ++ dvSteps
     }
     steps.reduceOption(_.unionAll(_)).getOrElse(
@@ -854,8 +922,17 @@ object Versioned {
     if (all.isEmpty) return 0
     val cutoff = System.currentTimeMillis - (hours * 3600000.0).toLong
     val latest = all.last
-    val (drop, keep) = all.partition(v =>
+    // Drop only the CONTIGUOUS oldest prefix under the cutoff (the
+    // same splitAt shape as vacuum(keepLast)). Commit times are not
+    // guaranteed monotonic with version order (multi-writer clock
+    // skew, legacy mtime fallback); a non-contiguous drop would leave
+    // a GAP in the manifest sequence — latestVersion's _latest
+    // forward probe stops at a gap and commitManifest would then
+    // allocate a version number below the true latest, silently
+    // forking the table.
+    val drop = all.takeWhile(v =>
       v != latest && commitTimeMs(fs, root, v) < cutoff)
+    val keep = all.drop(drop.size)
     dropAndSweep(fs, root, drop, keep)
     drop.size
   }
@@ -1026,6 +1103,44 @@ object Versioned {
     * conflate files. */
   private[graft] val SchemeAuthorityRegex = "^[a-zA-Z0-9+.-]+:(//[^/]*)?"
 
+  /** Reserved column names of a DV sidecar's on-disk schema. They must
+    * never collide with a TABLE column name: the DML stats-scoping path
+    * harvests pushed filters from the optimized plan of a DV-overlaid
+    * read, and a sidecar-side filter on a column the table also has
+    * (a table named its column `file`) would be mistaken for a table
+    * predicate and could wrongly prune every segment — a silent no-op
+    * DML. Double-underscore-prefixed names are rejected nowhere but
+    * used by no real schema; sidecars written before the rename (plain
+    * `file`/`idx`) are still readable via [[readDvEntries]]. */
+  private[graft] val DvFileCol = "__graft_file"
+  private[graft] val DvIdxCol = "__graft_idx"
+
+  /** Union of DV sidecar dirs under the normalized reserved schema,
+    * accepting both vintages (old sidecars named the columns
+    * `file`/`idx`). One schema probe per dir — dirs are few (stacked
+    * deletes), entries track the deleted rows. */
+  private def readDvEntries(spark: SparkSession, root: Path,
+      dirs: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    dirs.map { d =>
+      val df = spark.read.parquet(new Path(root, d).toString)
+      if (df.columns.contains(DvFileCol))
+        df.select(col(DvFileCol), col(DvIdxCol))
+      else df.select(col("file").as(DvFileCol), col("idx").as(DvIdxCol))
+    }.reduce(_.unionAll(_))
+  }
+
+  /** Absolute, scheme-stripped form of a table-relative path — the
+    * exact form executor-side `_metadata.file_path` normalizes to via
+    * [[SchemeAuthorityRegex]]. `makeQualified` resolves a RELATIVE
+    * table root against the filesystem working directory; without it a
+    * relative table path stays relative on the driver side while
+    * file_path is absolute, the join never matches, and the DV overlay
+    * silently filters nothing. */
+  private def qualifiedRelPath(fs: FileSystem, root: Path,
+      rel: String): String =
+    fs.makeQualified(new Path(root, rel)).toUri.getPath
+
   /** Overlay a version's deletion vectors on a scan of its files:
     * anti-join on (normalized file path, parquet row index) against
     * the union of the lines' referenced DV sidecars. A version with
@@ -1045,14 +1160,14 @@ object Versioned {
     if (withDv.isEmpty) return None
     import org.apache.spark.sql.functions.col
     import spark.implicits._
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dvDirs = withDv.flatMap(_._3.map(_._1)).distinct
-    val entries = spark.read
-      .parquet(dvDirs.map(d => new Path(root, d).toString): _*)
+    val entries = readDvEntries(spark, root, dvDirs)
     val relNorm = withDv.map { case (rel, _, _) =>
-      (rel, new Path(root, rel).toUri.getPath) }
+      (rel, qualifiedRelPath(fs, root, rel)) }
     Some(entries
-      .join(relNorm.toDF("file", "__graft_p"), "file")
-      .select(col("__graft_p"), col("idx").as("__graft_i")))
+      .join(relNorm.toDF(DvFileCol, "__graft_p"), DvFileCol)
+      .select(col("__graft_p"), col(DvIdxCol).as("__graft_i")))
   }
 
   private def applyDv(spark: SparkSession, root: Path,
@@ -1220,20 +1335,20 @@ object Versioned {
         case None => annotated
       }
       val relDf = touched.map(parseLine).map { case (rel, _, _) =>
-        (new Path(root, rel).toUri.getPath, rel) }
-        .toDF("__graft_p", "file")
+        (qualifiedRelPath(fs, root, rel), rel) }
+        .toDF("__graft_p", DvFileCol)
       val dvRel = s"dv/${java.util.UUID.randomUUID()}"
       val dvDir = new Path(root, dvRel)
       val matchedRows = live.where(cond)
       matchedRows
-        .select(col("__graft_p"), col("__graft_i").as("idx"))
+        .select(col("__graft_p"), col("__graft_i").as(DvIdxCol))
         .join(relDf, "__graft_p")
-        .select(col("file"), col("idx"))
+        .select(col(DvFileCol), col(DvIdxCol))
         .write.parquet(dvDir.toString)
       // counts from the written sidecar itself — the committed refs
       // must describe exactly the bytes on disk, not a recompute
-      val counts = spark.read.parquet(dvDir.toString)
-        .groupBy("file").count().as[(String, Long)].collect().toMap
+      val counts = readDvEntries(spark, root, Seq(dvRel))
+        .groupBy(DvFileCol).count().as[(String, Long)].collect().toMap
       val matched = counts.values.sum
       dvTestHook() // test seam: lets specs interleave a commit here
       def cleanup(extra: Seq[String]): Unit = {
@@ -1259,6 +1374,7 @@ object Versioned {
       // the lines whose sidecar entries were computed — rebase safety
       // hinges on exactly these staying byte-identical in the latest
       val taggedLines = lines.filter(l => counts.contains(parseLine(l)._1))
+      val guard = rebaseGuard(spark, fullSchema, touchedFiles, cond)
       val opName = if (post.isDefined) "update" else "delete"
       val meta = Map("operation" -> opName, s"${opName}_mode" -> "dv") ++
         spec.map { case (c, n) => BucketKey -> s"$c/$n" }
@@ -1276,6 +1392,10 @@ object Versioned {
               // the row indexes → full recompute.
               val latest = base.toSeq.flatMap(readFileLines(fs, root, _))
               if (!taggedLines.toSet.subsetOf(latest.toSet))
+                throw new RewriteConflict
+              // same write-skew guard as [[rewrite]]: appended rows
+              // the predicate matches must not slip past the DV DML
+              if (interleavedMayMatch(latest, lines, guard))
                 throw new RewriteConflict
               latest
             }
@@ -1440,9 +1560,15 @@ object Versioned {
       else Seq(st.getPath)
     }.filter(_.getName.endsWith(".parquet")).map(_.toString)
 
-  private def relativize(root: Path, abs: String): String = {
-    val r = root.toUri.getPath
-    val a = new Path(abs).toUri.getPath
+  /** Table-relative form of a listed data-file path. Both sides are
+    * qualified first: `listStatus` hands back fully qualified absolute
+    * paths, so a RELATIVE table root must be resolved against the
+    * filesystem working directory before the prefix strip — without it
+    * every commit on a relative table path fails the under-root
+    * check. */
+  private def relativize(fs: FileSystem, root: Path, abs: String): String = {
+    val r = fs.makeQualified(root).toUri.getPath
+    val a = fs.makeQualified(new Path(abs)).toUri.getPath
     require(a.startsWith(r), s"$a not under $r")
     a.stripPrefix(r).stripPrefix("/")
   }

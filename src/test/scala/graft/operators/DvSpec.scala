@@ -249,6 +249,41 @@ class DvSpec extends SparkSpec {
     } finally Versioned.dvTestHook = () => ()
   }
 
+  test("write-skew guard: an interleaved append whose rows MATCH the " +
+    "DML predicate forces a recompute — appended matches cannot escape") {
+    val t = mkTable("dvskew")
+    val computes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Versioned.dvTestHook = () => {
+      computes.incrementAndGet()
+      if (fired.compareAndSet(false, true))
+        Versioned.commit(Seq((3, "late")).toDF("k", "v"), t, "append")
+    }
+    try {
+      // the recompute must see BOTH the original k=3 and the late copy
+      assert(Versioned.deleteWithDv(spark, t, _ => true, col("k") === 3) == 2L)
+      assert(computes.get() == 2,
+        "a predicate-matching append must force a sidecar recompute — " +
+          "a rebase would carry the late row past the delete")
+      assert(Versioned.read(spark, t).select($"k").as[Int]
+        .collect().toSet == (1 to 10).toSet - 3)
+    } finally Versioned.dvTestHook = () => ()
+  }
+
+  test("relative table path: the DV overlay still matches executor " +
+    "file paths (driver-side join keys are qualified)") {
+    val rel = s"target/dvrel-${java.util.UUID.randomUUID()}/t"
+    try {
+      Versioned.commit((1 to 10).map(i => (i, s"r$i")).toDF("k", "v")
+        .coalesce(1), rel)
+      assert(Versioned.deleteWithDv(spark, rel, _ => true,
+        col("k") === 3) == 1L, "a relative root must still match rows")
+      assert(Versioned.read(spark, rel).select($"k").as[Int]
+        .collect().toSet == (1 to 10).toSet - 3,
+        "the overlay must actually filter the deleted row")
+    } finally fsOf(rel).delete(new Path(rel).getParent, true)
+  }
+
   test("vacuum sweeps dv sidecars no surviving manifest references; " +
     "maxCandidateFiles refuses to trust bounds under DVs") {
     val t = mkTable("dv")

@@ -95,6 +95,20 @@ class RowCdfSpec extends SparkSpec {
     assert(spark.sql("DESCRIBE changes").count() > 0)
   }
 
+  test("RESTORE that drops dv refs resurrects rows as inserts — the " +
+    "feed fold tracks the snapshot diff through the rollback") {
+    val t = tmpDir("cdf") + "/t"
+    Versioned.commit(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+      .coalesce(1), t)                                         // v0
+    Versioned.deleteWithDv(spark, t, _ => true, col("k") === 2) // v1
+    Versioned.restore(spark, t, 0) // v2: same files, dv refs dropped
+    assert(changed(t, 1, 2) == Set((2, "b", "insert", 2L)),
+      "the resurrected row must surface — the file set is unchanged, " +
+        "so only the lost-ref diff can see it")
+    assert(changed(t, 0, 2) ==
+      Set((2, "b", "delete", 1L), (2, "b", "insert", 2L)))
+  }
+
   test("a table that already carries a _change_type column is refused") {
     val t = tmpDir("cdf") + "/t"
     Versioned.commit(Seq((1, "x")).toDF("k", "_change_type"), t)

@@ -76,6 +76,28 @@ class VersionedSpec extends SparkSpec {
       "both deletes must survive — neither lost nor resurrected")
   }
 
+  test("write-skew guard: a mid-rewrite append MATCHING the delete " +
+    "predicate forces a recompute — the late row must die too") {
+    import org.apache.spark.sql.functions.col
+    val t = tmpDir("rwskew") + "/t"
+    Versioned.commit((1L to 6L).toDF("k").coalesce(1), t)
+    val sneaked = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val transforms = new java.util.concurrent.atomic.AtomicInteger(0)
+    val (n, _, _) = Versioned.rewrite(spark, t, { _ =>
+      if (sneaked.compareAndSet(false, true))
+        Versioned.commit(Seq(4L).toDF("k"), t, "append")
+      true
+    }, col("k") === 4L, df => {
+      transforms.incrementAndGet(); df.where(col("k") =!= 4L)
+    }, Map("operation" -> "delete"))
+    assert(n == 2L, "the recompute must see the interleaved matching row")
+    assert(transforms.get() == 2,
+      "a predicate-matching append must NOT rebase — the late row " +
+        "would silently escape a delete that commits after it")
+    assert(Versioned.read(spark, t).select("k").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 5L, 6L))
+  }
+
   test("uncommitted segments and temp manifests are invisible to readers") {
     val t = tmpDir("vers") + "/t"
     Versioned.commit(Seq((1, "a")).toDF("k", "v"), t)
