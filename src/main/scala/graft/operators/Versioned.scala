@@ -39,6 +39,32 @@ object Versioned {
     * file mtime in [[versionAt]]/[[history]]. */
   private[graft] val CommitTsKey = "commit_ts_ms"
 
+  /** System header carrying the version's RESOLVED file count — what
+    * keeps DESCRIBE HISTORY at one manifest read per version now that
+    * a manifest may store delta actions rather than the full list. */
+  private[graft] val NFilesKey = "n_files"
+
+  /** Header keys owned by the log layer — never surfaced as user meta
+    * by [[readMeta]]/[[history]]. */
+  private val SystemKeys = Set(CommitTsKey, NFilesKey)
+
+  /** Marker header of a DELTA manifest. Deliberately `=`-free: the
+    * meta parser only yields `k=v` pairs, so the marker can never leak
+    * into user metadata even through legacy readers. */
+  private val DeltaMarker = "#delta"
+
+  /** A full-snapshot manifest (checkpoint) is written at least every
+    * this-many commits; in between, a commit stores only its ACTIONS
+    * (`A\t<line>` add-or-replace by rel path, `R\t<rel>` remove) —
+    * Delta's delta-log + `_last_checkpoint` discipline. Without it
+    * every commit rewrites the full file list: a streaming sink
+    * committing per batch onto a 1M-file table would write ~100 MB of
+    * metadata per MICRO-BATCH, the one remaining O(table)-per-commit
+    * cost in the format. The interval also bounds read planning: a
+    * resolution walks back at most this many manifests to the nearest
+    * checkpoint. */
+  private[graft] val CheckpointInterval = 20
+
   /** Meta key declaring the version's bucket layout as `<col>/<n>`:
     * every data file of the version lives under a `gb-<id>` dir and
     * holds exactly the rows with `pmod(hash(col), n) = id`. The DSv2
@@ -512,13 +538,41 @@ object Versioned {
     while (committed < 0) {
       val base = latestVersion(fs, root)
       val target = base.map(_ + 1).getOrElse(0L)
+      val newLines = filesFor(base)
+      // Delta-or-checkpoint decision: store only this commit's ACTIONS
+      // unless (a) there is no base, (b) the chain has reached the
+      // checkpoint interval, or (c) the action encoding is no smaller
+      // than the snapshot itself (an overwrite removes every previous
+      // line — a full manifest is both smaller and resets the chain).
+      val body: Seq[String] = base match {
+        case None => newLines
+        case Some(b) =>
+          val (baseLines, depth) = resolveWithDepth(fs, root, b)
+          if (depth + 1 >= CheckpointInterval) newLines
+          else {
+            val baseByRel = baseLines.map(l => parseLine(l)._1 -> l).toMap
+            val newRels = newLines.map(parseLine(_)._1).toSet
+            val actions =
+              baseLines.map(parseLine(_)._1).filterNot(newRels)
+                .map(r => s"R\t$r") ++
+              newLines.filterNot(l => baseByRel.get(parseLine(l)._1)
+                .contains(l)).map(l => s"A\t$l")
+            if (actions.iterator.map(_.length).sum >=
+                newLines.iterator.map(_.length).sum) newLines
+            else DeltaMarker +: actions
+          }
+      }
       // commit time rides the manifest itself (Delta embeds it in the
       // log likewise): file mtime is NOT monotonic with version order
       // under table copies / object-store rename-as-copy / clock skew,
-      // so TIMESTAMP AS OF must never depend on it for new commits
-      val stamped = meta + (CommitTsKey -> System.currentTimeMillis.toString)
+      // so TIMESTAMP AS OF must never depend on it for new commits.
+      // n_files likewise: the resolved count must survive without a
+      // chain replay for DESCRIBE HISTORY to stay one read per version.
+      val stamped = meta +
+        (CommitTsKey -> System.currentTimeMillis.toString) +
+        (NFilesKey -> newLines.size.toString)
       val metaLines = stamped.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
-      val lines = (metaLines ++ filesFor(base)).mkString("\n")
+      val lines = (metaLines ++ body).mkString("\n")
       val tmp = new Path(root,
         s"$LogDir/.tmp-${java.util.UUID.randomUUID().toString}")
       val out = fs.create(tmp, true)
@@ -582,11 +636,18 @@ object Versioned {
           .getModificationTime)
       val meta = lines.filter(_.startsWith("#"))
         .flatMap(_.drop(1).split("=", 2) match {
-          case Array(k, v2) if k != CommitTsKey => Some(s"$k=$v2")
+          case Array(k, v2) if !SystemKeys.contains(k) => Some(s"$k=$v2")
           case _ => None
         }).sorted.mkString(",")
-      (v, new java.sql.Timestamp(ts),
-        lines.count(!_.startsWith("#")).toLong, meta)
+      // file count from the n_files header where present (a delta
+      // manifest's raw lines are actions, not files); legacy manifests
+      // predate the header but are always full snapshots
+      val nFiles = lines
+        .collectFirst { case l if l.startsWith(s"#$NFilesKey=") =>
+          l.stripPrefix(s"#$NFilesKey=") }
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+        .getOrElse(lines.count(!_.startsWith("#")).toLong)
+      (v, new java.sql.Timestamp(ts), nFiles, meta)
     }
   }
 
@@ -942,6 +1003,14 @@ object Versioned {
     * sidecar dir no SURVIVING manifest references. */
   private def dropAndSweep(fs: FileSystem, root: Path,
       drop: Seq[Long], keep: Seq[Long]): Unit = {
+    // BEFORE any manifest is deleted: if the oldest survivor is a
+    // delta, its action chain runs through manifests being dropped —
+    // materialize it as a full checkpoint in place. Later survivors'
+    // backward walks then stop at it (they replay from the first FULL
+    // manifest they meet, not a recorded base version), so the rest of
+    // the chain stays resolvable. A crash between this rewrite and the
+    // deletes below leaves extra manifests, never a broken chain.
+    if (drop.nonEmpty) keep.headOption.foreach(materializeFull(fs, root, _))
     drop.foreach(v => fs.delete(new Path(root, s"$LogDir/$v.manifest"), false))
     val live = mutable.Set.empty[String] // live segment dir names (uuid)
     keep.foreach(v => readManifest(fs, root, v).foreach { rel =>
@@ -964,6 +1033,35 @@ object Versioned {
     if (fs.exists(dvRoot)) fs.listStatus(dvRoot).foreach { st =>
       if (st.isDirectory && !liveDv.contains(st.getPath.getName))
         fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Rewrite version `v`'s manifest in place as a FULL snapshot
+    * (headers preserved, delta marker dropped, actions replaced by the
+    * resolved file lines). No-op when already full. Overwrite-rename
+    * where the filesystem supports it — same discipline as the
+    * `_latest` pointer; the delete+rename fallback has a brief window
+    * with no manifest, closed again by the rename. */
+  private def materializeFull(fs: FileSystem, root: Path, v: Long): Unit = {
+    val all = manifestLines(fs, root, v)
+    if (!all.contains(DeltaMarker)) return
+    val lines = readFileLines(fs, root, v) // resolve while the chain lives
+    val headers = all.filter(l => l.startsWith("#") && l != DeltaMarker)
+    val content = (headers ++ lines).mkString("\n")
+    val dst = manifestPath(root, v)
+    val tmp = new Path(root,
+      s"$LogDir/.tmp-${java.util.UUID.randomUUID().toString}")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, fs.getConf)
+      fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException | _: java.io.IOException =>
+        if (fs.exists(dst)) fs.delete(dst, false)
+        require(fs.rename(tmp, dst),
+          s"could not materialize checkpoint manifest $dst")
     }
   }
 
@@ -1055,10 +1153,52 @@ object Versioned {
         listVersions(fs, root).lastOption
     }
 
-  /** File LINES of a version: `relpath` or `relpath\t<stats>` —
-    * what append/restore must carry forward verbatim. */
+  /** File LINES of a version: `relpath` or `relpath\t<stats>[\tdv=…]` —
+    * what append/restore must carry forward verbatim. A full manifest
+    * stores them directly; a delta manifest is resolved by walking
+    * back to the nearest checkpoint and replaying the action chain
+    * ([[resolveWithDepth]]). */
   private def readFileLines(fs: FileSystem, root: Path, v: Long): Seq[String] =
-    manifestLines(fs, root, v).filterNot(_.startsWith("#"))
+    resolveWithDepth(fs, root, v)._1
+
+  /** Resolve a version's file lines plus its delta-chain depth (0 for
+    * a full/checkpoint manifest, else the number of delta manifests
+    * between it and its checkpoint, itself included). The walk is
+    * bounded by [[CheckpointInterval]] by construction; replay is a
+    * rel-keyed ordered fold, so resolution order is deterministic:
+    * checkpoint order first, adds appended, in-place line replacements
+    * (a file gaining a dv= ref) keep their position. */
+  private def resolveWithDepth(fs: FileSystem, root: Path,
+      v: Long): (Seq[String], Int) = {
+    val cur = manifestLines(fs, root, v)
+    if (!cur.contains(DeltaMarker))
+      return (cur.filterNot(_.startsWith("#")), 0)
+    // collect the delta chain newest-first, then the checkpoint base
+    val chain = mutable.ArrayBuffer(cur)
+    var w = v - 1
+    var baseLines: Seq[String] = null
+    while (baseLines == null) {
+      if (w < 0) throw new IllegalStateException(
+        s"delta chain of version $v in $root reaches below version 0 " +
+          "without a checkpoint — truncated or hand-damaged log")
+      val m = manifestLines(fs, root, w)
+      if (m.contains(DeltaMarker)) { chain += m; w -= 1 }
+      else baseLines = m.filterNot(_.startsWith("#"))
+    }
+    val acc = mutable.LinkedHashMap.empty[String, String]
+    baseLines.foreach(l => acc(parseLine(l)._1) = l)
+    chain.reverseIterator.foreach { m =>
+      m.iterator.filterNot(_.startsWith("#")).foreach { a =>
+        if (a.startsWith("R\t")) acc.remove(a.substring(2))
+        else if (a.startsWith("A\t")) {
+          val line = a.substring(2)
+          acc(parseLine(line)._1) = line
+        } else throw new IllegalStateException(
+          s"unrecognized delta action in a manifest of $root: $a")
+      }
+    }
+    (acc.values.toSeq, chain.size)
+  }
 
   /** Relative file paths of a version (stats suffix stripped). */
   private def readManifest(fs: FileSystem, root: Path, v: Long): Seq[String] =
@@ -1528,16 +1668,16 @@ object Versioned {
   }
 
   /** The `#k=v` metadata header of a committed version (empty map for
-    * manifests written without meta — fully backward compatible). The
-    * system commit_ts_ms line is excluded: it's surfaced as
-    * [[history]]'s timestamp column, not user metadata. */
+    * manifests written without meta — fully backward compatible).
+    * System headers (commit_ts_ms, n_files, the delta marker) are
+    * excluded: they belong to the log layer, not user metadata. */
   def readMeta(spark: SparkSession, table: String, v: Long): Map[String, String] = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     manifestLines(fs, root, v).filter(_.startsWith("#"))
       .flatMap { l =>
         l.drop(1).split("=", 2) match {
-          case Array(k, v2) if k != CommitTsKey => Some(k -> v2)
+          case Array(k, v2) if !SystemKeys.contains(k) => Some(k -> v2)
           case _ => None
         }
       }.toMap

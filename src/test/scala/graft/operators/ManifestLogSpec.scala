@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.col
+
+/** The incremental manifest log: commits store DELTA ACTIONS
+  * (`A`/`R` lines) with a full-snapshot checkpoint every
+  * [[Versioned.CheckpointInterval]] commits — Delta's delta-log +
+  * checkpoint discipline. This is what makes commit METADATA cost
+  * O(changed files) instead of O(table): a streaming sink committing
+  * per micro-batch onto a 1M-file table would otherwise write the
+  * whole file list (~100 MB) every few seconds. The format change
+  * must be invisible above the log layer — resolution (checkpoint +
+  * action replay) equals the full-snapshot read everywhere. */
+class ManifestLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fsOf(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestBytes(t: String): Map[Long, Long] = {
+    val fs = fsOf(t)
+    fs.listStatus(new Path(s"$t/_graft_log")).toSeq
+      .filter(_.getPath.getName.endsWith(".manifest"))
+      .map(st => st.getPath.getName.stripSuffix(".manifest").toLong ->
+        st.getLen)
+      .toMap
+  }
+
+  private def isDelta(t: String, v: Long): Boolean = {
+    val fs = fsOf(t)
+    val in = fs.open(new Path(s"$t/_graft_log/$v.manifest"))
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    body.linesIterator.contains("#delta")
+  }
+
+  test("commit metadata bytes track the DELTA, not the table: appends " +
+    "onto a many-file base stay small; checkpoints land on interval") {
+    val t = tmpDir("mlog") + "/t"
+    // base: 64 files — a full snapshot of it is ~64 stats-bearing lines
+    Versioned.commit((1 to 6400).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(64), t)
+    val base = manifestBytes(t)(0L)
+    assert(!isDelta(t, 0), "version 0 is always a checkpoint")
+    val appends = Versioned.CheckpointInterval + 5
+    (1 to appends).foreach { i =>
+      Versioned.commit(Seq((100000 + i, s"a$i")).toDF("k", "v")
+        .coalesce(1), t, "append")
+    }
+    val sizes = manifestBytes(t)
+    // interval arithmetic: exactly one checkpoint in the first
+    // CheckpointInterval+5 commits after v0, the rest deltas
+    val checkpointVs = (1L to appends.toLong).filter(!isDelta(t, _))
+    assert(checkpointVs == Seq(Versioned.CheckpointInterval.toLong),
+      s"expected one checkpoint at the interval, got $checkpointVs")
+    val deltaVs = (1L to appends.toLong).filter(isDelta(t, _))
+    // every delta manifest is tiny — one added line + headers — and
+    // does NOT grow with the version index or the table's file count
+    deltaVs.foreach { v =>
+      assert(sizes(v) < base / 4,
+        s"delta manifest $v is ${sizes(v)} B — should be far under " +
+          s"the ${base} B full snapshot")
+    }
+    assert(sizes(deltaVs.max) <= sizes(deltaVs.min) * 2,
+      "delta size must not scale with history depth")
+    // checkpoints DO carry the full list (that is their job)
+    checkpointVs.foreach(v => assert(sizes(v) > base))
+    // resolution is invisible: every version reads exactly its rows
+    assert(Versioned.read(spark, t, Some(0)).count() == 6400)
+    assert(Versioned.read(spark, t, Some(5)).count() == 6405)
+    assert(Versioned.read(spark, t).count() == 6400 + appends)
+    // history stays one manifest read per version: file counts exact
+    val h = Versioned.history(spark, t).map(r => r._1 -> r._3).toMap
+    assert(h(0L) == 64 && h(5L) == 69 && h(appends.toLong) == 64L + appends)
+    // user meta stays clean of system headers
+    assert(Versioned.readMeta(spark, t, 3L) == Map.empty)
+  }
+
+  test("DML and overwrite encode naturally: a DV delete's delta is an " +
+    "in-place line swap; an overwrite resets to a full snapshot") {
+    val t = tmpDir("mlog") + "/t"
+    Versioned.commit((1 to 100).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(8), t)
+    Versioned.commit(Seq((101, "x")).toDF("k", "v").coalesce(1), t, "append")
+    val before = manifestBytes(t)
+    // DV delete: one file line gains a ref -> delta = marker + 1 A line
+    assert(Versioned.deleteWithDv(spark, t, _ => true, col("k") === 101) == 1L)
+    assert(isDelta(t, 2), "a one-file DV delete must encode as a delta")
+    assert(manifestBytes(t)(2L) < before(0L) / 2,
+      "the DV commit's manifest must not re-list the table")
+    assert(Versioned.read(spark, t).count() == 100)
+    // overwrite: removes every line -> full snapshot is smaller than
+    // the R-spam and resets the chain
+    Versioned.commit(Seq((1, "z")).toDF("k", "v").coalesce(1), t)
+    assert(!isDelta(t, 3), "an overwrite should reset to a checkpoint")
+    assert(Versioned.read(spark, t).count() == 1)
+    // restore commits re-reference prior lines; resolution still exact
+    Versioned.restore(spark, t, 2)
+    assert(Versioned.read(spark, t).count() == 100)
+  }
+
+  test("vacuum materializes the oldest survivor as a checkpoint: " +
+    "surviving deltas stay resolvable after their chain base is dropped") {
+    val t = tmpDir("mlog") + "/t"
+    Versioned.commit((1 to 50).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(4), t)
+    (1 to 6).foreach { i =>
+      Versioned.commit(Seq((1000 + i, s"a$i")).toDF("k", "v")
+        .coalesce(1), t, "append")
+    }
+    assert((1L to 6L).forall(isDelta(t, _)))
+    // drop versions 0..3 — the checkpoint the chain of 4..6 replays from
+    Versioned.vacuum(spark, t, keepLast = 3)
+    assert(Versioned.versions(spark, t) == Seq(4L, 5L, 6L))
+    assert(!isDelta(t, 4),
+      "the oldest survivor must have been rewritten as a checkpoint")
+    assert(Versioned.read(spark, t, Some(4)).count() == 54)
+    assert(Versioned.read(spark, t, Some(6)).count() == 56)
+    // its commit meta survived the in-place rewrite
+    assert(Versioned.history(spark, t).map(_._1) == Seq(4L, 5L, 6L))
+    // and the next commit chains off the materialized checkpoint
+    Versioned.commit(Seq((2000, "n")).toDF("k", "v").coalesce(1), t, "append")
+    assert(isDelta(t, 7))
+    assert(Versioned.read(spark, t).count() == 57)
+  }
+}

@@ -91,7 +91,9 @@ class SegmentStatsSpec extends SparkSpec {
     val root = new org.apache.hadoop.fs.Path(t)
     val conf = spark.sparkContext.hadoopConfiguration
     val hfs = root.getFileSystem(conf)
-    val mf = new org.apache.hadoop.fs.Path(root, "_graft_log/2.manifest")
+    // the 1-3 segment's line lives in the CHECKPOINT manifest (0);
+    // the append manifests are deltas carrying only their own adds
+    val mf = new org.apache.hadoop.fs.Path(root, "_graft_log/0.manifest")
     val in = hfs.open(mf)
     val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().toList finally in.close()

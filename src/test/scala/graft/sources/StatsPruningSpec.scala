@@ -228,8 +228,10 @@ class StatsPruningSpec extends SparkSpec {
       .getLines().toList finally in.close()
     var stripped = false
     val doctored = lines.map { l =>
+      // a delta manifest's file lines ride inside A\t actions
       if (!l.startsWith("#") && !stripped) { stripped = true
-        l.split('\t').head } else l
+        if (l.startsWith("A\t")) "A\t" + l.substring(2).split('\t').head
+        else l.split('\t').head } else l
     }
     val out = hfs.create(mf, true)
     try out.write(doctored.mkString("\n").getBytes("UTF-8"))
