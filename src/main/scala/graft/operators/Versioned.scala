@@ -725,6 +725,14 @@ object Versioned {
   /** Name of the commit-version column [[rowChanges]] appends. */
   val CommitVersionCol = "_commit_version"
 
+  /** Hard bound on a [[rowChanges]]/DESCRIBE CHANGES version range.
+    * The feed builds one plan step per commit in the range; an
+    * unbounded `FROM 0 TO 100000` would assemble a 100k-way union on
+    * the driver. Bulk consumption belongs to the per-batch paths
+    * ([[consumeChanges]], the streaming change-feed source), which are
+    * immune — they diff one version at a time. */
+  val MaxChangeRange = 4096L
+
   /** Row-level change feed (the Delta-CDF contract [[changes]]'
     * file-level semantics can't deliver): the table's rows as they
     * CHANGED in versions (fromV, toV], each tagged with
@@ -764,6 +772,11 @@ object Versioned {
     import org.apache.spark.sql.functions.{col, lit, regexp_replace}
     import spark.implicits._
     require(fromV <= toV, s"fromV $fromV > toV $toV")
+    require(toV - fromV <= MaxChangeRange,
+      s"change-feed range ($fromV, $toV] spans ${toV - fromV} versions " +
+        s"— above the $MaxChangeRange-version bound (one plan step per " +
+        "commit). Consume the feed in chunks: consumeChanges, the " +
+        "streaming change-feed source, or smaller DESCRIBE CHANGES ranges")
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val schema = read(spark, table, Some(toV)).schema
@@ -784,8 +797,11 @@ object Versioned {
     def tag(df: DataFrame, change: String, v: Long): DataFrame =
       df.withColumn(ChangeTypeCol, lit(change))
         .withColumn(CommitVersionCol, lit(v))
+    // one log resolution per version: each iteration's current lines
+    // become the next iteration's previous — halves the manifest-chain
+    // replays on a long range
+    var prevLines = readFileLines(fs, root, fromV)
     val steps = ((fromV + 1) to toV).flatMap { v =>
-      val prevLines = readFileLines(fs, root, v - 1)
       val curLines = readFileLines(fs, root, v)
       val prevByRel = prevLines.map(l => parseLine(l)._1 -> l).toMap
       val curRels = curLines.map(parseLine(_)._1).toSet
@@ -871,10 +887,21 @@ object Versioned {
            if (dvUpdate) "update_preimage" else "delete", v))) ++
         (if (lost.isEmpty) Nil
          else Seq(tag(dvRefRows(lost), "insert", v)))
+      prevLines = curLines
       fileSteps ++ dvSteps
     }
-    steps.reduceOption(_.unionAll(_)).getOrElse(
-      tag(readLines(Nil), "insert", toV).limit(0))
+    // balanced union: a left-deep reduce over a long range builds an
+    // O(range)-deep plan tree (analyzer recursion/driver stack cost);
+    // pairwise folding keeps the tree O(log range) deep — the bounded
+    // plan shape that lets a wide DESCRIBE CHANGES still analyze
+    def fold(dfs: Seq[DataFrame]): DataFrame =
+      if (dfs.sizeIs <= 1) dfs.head
+      else fold(dfs.grouped(2).map {
+        case scala.collection.Seq(a, b) => a.unionAll(b)
+        case scala.collection.Seq(a) => a
+      }.toSeq)
+    if (steps.isEmpty) tag(readLines(Nil), "insert", toV).limit(0)
+    else fold(steps)
   }
 
   /** Cursor-based change-feed consumer — the downstream half of

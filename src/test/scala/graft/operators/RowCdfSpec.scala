@@ -109,6 +109,28 @@ class RowCdfSpec extends SparkSpec {
       Set((2, "b", "delete", 1L), (2, "b", "insert", 2L)))
   }
 
+  test("a many-version range folds with a bounded (log-depth) plan; " +
+    "an above-cap range fails with a named error, not a plan explosion") {
+    val t = tmpDir("cdf") + "/t"
+    Versioned.commit(Seq((0, "v0")).toDF("k", "v").coalesce(1), t)
+    (1 to 30).foreach(i =>
+      Versioned.commit(Seq((i, s"v$i")).toDF("k", "v").coalesce(1),
+        t, "append"))
+    val feed = Versioned.rowChanges(spark, t, 0, 30)
+    assert(feed.count() == 30)
+    assert(feed.select(col("_commit_version")).distinct().count() == 30)
+    // plan depth grows like log(range), not range: count Union nodes'
+    // maximum nesting on the analyzed plan
+    def depth(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+      if (p.children.isEmpty) 1 else 1 + p.children.map(depth).max
+    assert(depth(feed.queryExecution.logical) < 30,
+      "a 30-step range must not produce a 30-deep left spine")
+    val e = intercept[IllegalArgumentException] {
+      Versioned.rowChanges(spark, t, 0, Versioned.MaxChangeRange + 1)
+    }
+    assert(e.getMessage.contains("change-feed range"))
+  }
+
   test("a table that already carries a _change_type column is refused") {
     val t = tmpDir("cdf") + "/t"
     Versioned.commit(Seq((1, "x")).toDF("k", "_change_type"), t)
