@@ -103,8 +103,19 @@ object Versioned {
     val spark = df.sparkSession
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val newLines = writeSegmentLines(spark, fs, root, df)
-    commitManifest(fs, root, meta, { base =>
+    // column mapping: appends inherit the table's mapping (and write
+    // PHYSICAL names); an overwrite clears it — the new snapshot is
+    // written directly under logical names (the materialization
+    // point). Meta that already carries mapping keys wins (the
+    // rename/drop DDL path and restore construct it explicitly).
+    val mapping =
+      if (meta.contains(ColumnMapping.ColMapKey) ||
+          meta.contains(ColumnMapping.ColDropKey))
+        ColumnMapping.fromMeta(meta)
+      else if (mode == "append") columnMapping(spark, table)
+      else ColumnMapping.empty
+    val newLines = writeSegmentLines(spark, fs, root, mapping.applyWrite(df))
+    commitManifest(fs, root, meta ++ mapping.toMeta, { base =>
       val prevLines =
         if (mode == "append") base.toSeq.flatMap(v => readFileLines(fs, root, v))
         else Nil
@@ -154,20 +165,30 @@ object Versioned {
     val spark = df.sparkSession
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val spec = Some((bucketCol, numBuckets))
+    // mapping inheritance mirrors [[commit]]; the bucket column is
+    // translated to its physical name (the declared layout is keyed in
+    // the physical space — rename of a bucket column is refused, so
+    // the two normally coincide)
+    val mapping =
+      if (mode == "append") columnMapping(spark, table)
+      else ColumnMapping.empty
+    val physCol = mapping.physicalOf(bucketCol)
+    val spec = Some((physCol, numBuckets))
     if (mode == "append") {
       val base = latestVersion(fs, root)
       base.foreach { v =>
         val declared = parseBucketMeta(readMeta(spark, table, v))
         require(declared.exists(d =>
-          d._1.equalsIgnoreCase(bucketCol) && d._2 == numBuckets),
-          s"append spec ($bucketCol/$numBuckets) does not match base " +
+          d._1.equalsIgnoreCase(physCol) && d._2 == numBuckets),
+          s"append spec ($physCol/$numBuckets) does not match base " +
             s"version $v bucket layout ${declared.getOrElse("<none>")}")
       }
     }
-    val newLines = writeSegmentLines(spark, fs, root, df, spec)
+    val newLines = writeSegmentLines(spark, fs, root,
+      mapping.applyWrite(df), spec)
     commitManifest(fs, root,
-      meta + (BucketKey -> s"$bucketCol/$numBuckets"), { base =>
+      meta ++ mapping.toMeta + (BucketKey -> s"$physCol/$numBuckets"),
+      { base =>
         val prevLines =
           if (mode == "append")
             base.toSeq.flatMap(v => readFileLines(fs, root, v))
@@ -235,10 +256,15 @@ object Versioned {
     val spark = df.sparkSession
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val newLines = writeSegmentLines(spark, fs, root, df, bucket,
-      sortWithinBuckets)
-    val fullMeta =
-      meta ++ bucket.map { case (c, n) => BucketKey -> s"$c/$n" }
+    // same mapping discipline as [[commit]]: append inherits (from the
+    // expected base — the version the caller read), overwrite clears
+    val mapping =
+      if (mode == "append") columnMapping(spark, table, Some(expectedBase))
+      else ColumnMapping.empty
+    val newLines = writeSegmentLines(spark, fs, root,
+      mapping.applyWrite(df), bucket, sortWithinBuckets)
+    val fullMeta = meta ++ mapping.toMeta ++
+      bucket.map { case (c, n) => BucketKey -> s"$c/$n" }
     try Some(commitManifest(fs, root, fullMeta, { base =>
       if (base != Some(expectedBase)) throw new RewriteConflict
       val prevLines =
@@ -381,10 +407,14 @@ object Versioned {
       val v = latestVersion(fs, root).getOrElse(
         throw new IllegalArgumentException(s"no committed version in $table"))
       val lines = readFileLines(fs, root, v)
-      val fullSchema = read(spark, table, Some(v)).schema
+      val mapping = columnMapping(spark, table, Some(v))
+      val physSchema = readPhysical(spark, table, Some(v)).schema
       val (touched, carried) = lines.partition { line =>
         parseLine(line)._2.flatMap(SegmentStats.parse) match {
-          case Some(st) => mayTouch(st)
+          // stats are keyed by PHYSICAL column names; the caller's
+          // scope predicate speaks the logical schema — translate so a
+          // rename can never blind (or worse, mis-aim) the scoping
+          case Some(st) => mayTouch(mapping.statsToLogical(st))
           case None => true // no stats: always in scope
         }
       }
@@ -398,10 +428,12 @@ object Versioned {
       val subset =
         if (touchedFiles.isEmpty)
           spark.createDataFrame(spark.sparkContext
-            .emptyRDD[org.apache.spark.sql.Row], fullSchema)
+            .emptyRDD[org.apache.spark.sql.Row], physSchema)
         else applyDv(spark, root, touched,
-          spark.read.schema(fullSchema).parquet(touchedFiles: _*))
-      val matched = subset.where(cond).count()
+          spark.read.schema(physSchema).parquet(touchedFiles: _*))
+      // the predicate and the transform speak the LOGICAL schema
+      val logicalSubset = mapping.applyRead(subset)
+      val matched = logicalSubset.where(cond).count()
       // A bucketed base version keeps its layout through DML: the
       // replacement segment is written with the same bucket routing
       // (an UPDATE of the bucket column itself re-routes those rows to
@@ -411,10 +443,16 @@ object Versioned {
       val spec = bucketSpec(spark, table, Some(v))
       val newLines =
         if (matched == 0L) Nil
-        else writeSegmentLines(spark, fs, root, transform(subset), spec)
-      val fullMeta =
-        meta ++ spec.map { case (c, n) => BucketKey -> s"$c/$n" }
-      val guard = rebaseGuard(spark, fullSchema, touchedFiles, cond)
+        else writeSegmentLines(spark, fs, root,
+          mapping.applyWrite(transform(logicalSubset)), spec)
+      val fullMeta = meta ++ mapping.toMeta ++
+        spec.map { case (c, n) => BucketKey -> s"$c/$n" }
+      // under a column mapping the guard's pushed-filter names may sit
+      // in either name space — conservatively conflict on ANY
+      // interleave instead (mapped tables are the rare state)
+      val guard =
+        if (mapping.isEmpty) rebaseGuard(spark, physSchema, touchedFiles, cond)
+        else Nil
       val committed =
         try {
           commitManifest(fs, root, fullMeta, { base =>
@@ -438,6 +476,11 @@ object Versioned {
               val latestLines = base.toSeq.flatMap(readFileLines(fs, root, _))
               val touchedSet = touched.toSet
               if (!touchedSet.subsetOf(latestLines.toSet))
+                throw new RewriteConflict
+              // an interleaved RENAME/DROP (metadata-only — changes no
+              // line) must not be silently overwritten by our meta
+              if (base.exists(b =>
+                  columnMapping(spark, table, Some(b)) != mapping))
                 throw new RewriteConflict
               // write-skew: an interleaved append whose file MAY hold
               // predicate-matching rows must force a recompute — a
@@ -609,8 +652,12 @@ object Versioned {
     // dropping the bucket declaration here would silently de-bucket a
     // table whose restored files are in fact still perfectly bucketed
     val spec = parseBucketMeta(readMeta(spark, table, v))
+    // a restore reinstates v's COLUMN MAPPING too: the restored files
+    // carry v's physical names, so v's logical view must ride along
+    // (absent keys = mapping cleared, exactly v's state)
     commitManifest(fs, root,
       Map("operation" -> "restore", "restore_of" -> v.toString) ++
+        columnMapping(spark, table, Some(v)).toMeta ++
         spec.map { case (c, n) => BucketKey -> s"$c/$n" },
       _ => lines)
   }
@@ -655,9 +702,27 @@ object Versioned {
     * until [[vacuum]] drops their manifests. A version carrying
     * deletion vectors gets the [[applyDv]] overlay (deleted rows
     * skipped at read time); DV-free versions keep the plain
-    * vectorized scan plan untouched. */
+    * vectorized scan plan untouched. A version carrying a column
+    * mapping ([[renameColumn]]/[[dropColumn]]) is projected from its
+    * stable PHYSICAL column names to the version's logical view —
+    * time travel to before a rename reads the old names, because the
+    * mapping rides each version's own manifest. */
   def read(spark: SparkSession, table: String,
       version: Option[Long] = None): DataFrame = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = version.orElse(latestVersion(fs, root)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    columnMapping(spark, table, Some(v))
+      .applyRead(readPhysical(spark, table, Some(v)))
+  }
+
+  /** [[read]] minus the column-mapping projection: the version's rows
+    * under their on-disk PHYSICAL column names (DV overlay applied).
+    * Internal rewrite paths read and write this space so committed
+    * segments never change meaning under a rename. */
+  private def readPhysical(spark: SparkSession, table: String,
+      version: Option[Long]): DataFrame = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = version.orElse(latestVersion(fs, root)).getOrElse(
@@ -667,6 +732,91 @@ object Versioned {
     require(files.nonEmpty, s"version $v of $table is empty")
     applyDv(spark, root, lines,
       spark.read.option("mergeSchema", "true").parquet(files: _*))
+  }
+
+  /** The column mapping of a version (default latest);
+    * [[ColumnMapping.empty]] for unmapped tables. */
+  def columnMapping(spark: SparkSession, table: String,
+      version: Option[Long] = None): ColumnMapping = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = version.orElse(latestVersion(fs, root)).getOrElse(
+      return ColumnMapping.empty)
+    ColumnMapping.fromMeta(readMeta(spark, table, v))
+  }
+
+  /** ALTER TABLE … RENAME COLUMN as a METADATA-ONLY commit: the new
+    * manifest carries the same file lines (an empty delta) plus an
+    * updated name mapping — zero data IO on a table of any size.
+    * Returns the committed version. */
+  def renameColumn(spark: SparkSession, table: String,
+      oldName: String, newName: String): Long = {
+    ColumnMapping.validateName(newName)
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, root).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    val mapping = columnMapping(spark, table, Some(v))
+    val logical = read(spark, table, Some(v)).schema.fieldNames
+    require(logical.exists(_.equalsIgnoreCase(oldName)),
+      s"column $oldName does not exist in $table " +
+        s"(columns: ${logical.mkString(", ")})")
+    require(!logical.exists(_.equalsIgnoreCase(newName)),
+      s"column $newName already exists in $table")
+    val spec = bucketSpec(spark, table, Some(v))
+    require(!spec.exists(_._1.equalsIgnoreCase(oldName)),
+      s"cannot rename bucket column $oldName — the bucket layout " +
+        "contract is keyed by it; de-bucket (plain overwrite) first")
+    val phys = mapping.physicalOf(oldName)
+    val updated = mapping.copy(renames = mapping.renames
+      .filterNot(_._1.equalsIgnoreCase(oldName)) :+ (newName -> phys))
+    commitMetadataOnly(fs, root, spark, table, v,
+      Map("operation" -> "rename_column",
+        "rename" -> s"$oldName->$newName") ++ updated.toMeta)
+  }
+
+  /** ALTER TABLE … DROP COLUMN as a METADATA-ONLY commit: the physical
+    * column is tombstoned — hidden from every read of this and later
+    * versions, untouched in committed segments (time travel still sees
+    * it), physically discarded as rewrites touch its rows. Returns the
+    * committed version. */
+  def dropColumn(spark: SparkSession, table: String, name: String): Long = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, root).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    val mapping = columnMapping(spark, table, Some(v))
+    val logical = read(spark, table, Some(v)).schema.fieldNames
+    require(logical.exists(_.equalsIgnoreCase(name)),
+      s"column $name does not exist in $table " +
+        s"(columns: ${logical.mkString(", ")})")
+    require(logical.length > 1,
+      s"cannot drop $name — it is the only visible column of $table")
+    val spec = bucketSpec(spark, table, Some(v))
+    require(!spec.exists(_._1.equalsIgnoreCase(name)),
+      s"cannot drop bucket column $name — the bucket layout contract " +
+        "is keyed by it; de-bucket (plain overwrite) first")
+    val phys = mapping.physicalOf(name)
+    ColumnMapping.validateName(phys)
+    val updated = ColumnMapping(
+      mapping.renames.filterNot(_._1.equalsIgnoreCase(name)),
+      mapping.dropped :+ phys)
+    commitMetadataOnly(fs, root, spark, table, v,
+      Map("operation" -> "drop_column", "drop" -> name) ++ updated.toMeta)
+  }
+
+  /** Commit the SAME file lines as `v` under new meta (plus the bucket
+    * declaration, which must survive a metadata commit). Conflicts with
+    * an interleaved commit simply re-carry the NEW latest's lines —
+    * metadata commits change no data, so any interleave is
+    * compatible. */
+  private def commitMetadataOnly(fs: FileSystem, root: Path,
+      spark: SparkSession, table: String, v: Long,
+      meta: Map[String, String]): Long = {
+    val spec = bucketSpec(spark, table, Some(v))
+    commitManifest(fs, root,
+      meta ++ spec.map { case (c, n) => BucketKey -> s"$c/$n" },
+      base => base.toSeq.flatMap(readFileLines(fs, root, _)))
   }
 
   /** Committed versions, ascending. Unparseable / staged-hidden names
@@ -779,8 +929,14 @@ object Versioned {
         "streaming change-feed source, or smaller DESCRIBE CHANGES ranges")
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val schema = read(spark, table, Some(toV)).schema
-    require(!schema.fieldNames.exists(n =>
+    // files are read under toV's PHYSICAL schema (stable across
+    // renames — a rename changes no data, so it emits no change rows)
+    // and projected to toV's logical view at the edge
+    val mapping = columnMapping(spark, table, Some(toV))
+    val schema = readPhysical(spark, table, Some(toV)).schema
+    val logicalNames = schema.fieldNames.toSeq
+      .filterNot(mapping.isDropped).map(mapping.logicalOf)
+    require(!logicalNames.exists(n =>
       n.equalsIgnoreCase(ChangeTypeCol) || n.equalsIgnoreCase(CommitVersionCol)),
       s"table $table already has a $ChangeTypeCol/$CommitVersionCol column")
     // reads go through the DV overlay of the LINES being read: a row a
@@ -789,10 +945,10 @@ object Versioned {
     def readLines(lines: Seq[String]): DataFrame = {
       val files = lines.map(l => new Path(root, parseLine(l)._1).toString)
       if (files.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else applyDv(spark, root, lines,
-        spark.read.schema(schema).parquet(files: _*))
+        mapping.applyRead(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+      else mapping.applyRead(applyDv(spark, root, lines,
+        spark.read.schema(schema).parquet(files: _*)))
     }
     def tag(df: DataFrame, change: String, v: Long): DataFrame =
       df.withColumn(ChangeTypeCol, lit(change))
@@ -873,13 +1029,13 @@ object Versioned {
           .toDF(DvFileCol, "__graft_p")
         val pairsNorm = pairs.join(relDf, DvFileCol)
           .select(col("__graft_p"), col(DvIdxCol).as("__graft_i"))
-        spark.read.schema(schema)
+        mapping.applyRead(spark.read.schema(schema)
           .parquet(rels.map(r => new Path(root, r).toString): _*)
           .withColumn("__graft_p", regexp_replace(
             col("_metadata.file_path"), SchemeAuthorityRegex, ""))
           .withColumn("__graft_i", col("_metadata.row_index"))
           .join(pairsNorm, Seq("__graft_p", "__graft_i"), "left_semi")
-          .drop("__graft_p", "__graft_i")
+          .drop("__graft_p", "__graft_i"))
       }
       val dvSteps: Seq[DataFrame] =
         (if (gained.isEmpty) Nil
@@ -1414,7 +1570,11 @@ object Versioned {
       if (small.size < 2) return None
       val smallBytes = small.map(lenOf).sum
       val nOut = math.max(1L, (smallBytes + minBytes - 1) / minBytes).toInt
-      val schema = read(spark, table, Some(v)).schema
+      // compaction reads and writes the PHYSICAL space verbatim —
+      // renamed columns keep their on-disk names, tombstoned columns'
+      // data survives for time travel; the mapping meta rides along
+      val mapping = columnMapping(spark, table, Some(v))
+      val schema = readPhysical(spark, table, Some(v)).schema
       val packedRows = applyDv(spark, root, small,
         spark.read.schema(schema).parquet(
           small.map(l => new Path(root, parseLine(l)._1).toString): _*))
@@ -1426,7 +1586,7 @@ object Versioned {
           writeSegmentLines(spark, fs, root, packedRows.coalesce(nOut))
         case some => writeSegmentLines(spark, fs, root, packedRows, some)
       }
-      val fullMeta = Map("operation" -> "optimize") ++
+      val fullMeta = Map("operation" -> "optimize") ++ mapping.toMeta ++
         spec.map { case (c, n) => BucketKey -> s"$c/$n" }
       try {
         val nv = commitManifest(fs, root, fullMeta,
@@ -1481,17 +1641,18 @@ object Versioned {
       val v = latestVersion(fs, root).getOrElse(
         throw new IllegalArgumentException(s"no committed version in $table"))
       val lines = readFileLines(fs, root, v)
-      val fullSchema = read(spark, table, Some(v)).schema
+      val mapping = columnMapping(spark, table, Some(v))
+      val physSchema = readPhysical(spark, table, Some(v)).schema
       val touched = lines.filter { line =>
         parseLine(line)._2.flatMap(SegmentStats.parse) match {
-          case Some(st) => mayTouch(st)
+          case Some(st) => mayTouch(mapping.statsToLogical(st))
           case None => true
         }
       }
       if (touched.isEmpty) return 0L
       val touchedFiles = touched
         .map(l => new Path(root, parseLine(l)._1).toString)
-      val annotated = spark.read.schema(fullSchema)
+      val annotated = spark.read.schema(physSchema)
         .parquet(touchedFiles: _*)
         .withColumn("__graft_p", regexp_replace(
           col("_metadata.file_path"), SchemeAuthorityRegex, ""))
@@ -1506,7 +1667,9 @@ object Versioned {
         .toDF("__graft_p", DvFileCol)
       val dvRel = s"dv/${java.util.UUID.randomUUID()}"
       val dvDir = new Path(root, dvRel)
-      val matchedRows = live.where(cond)
+      // predicate and transform speak the LOGICAL schema; the __graft
+      // scratch columns ride through the projection untouched
+      val matchedRows = mapping.applyRead(live).where(cond)
       matchedRows
         .select(col("__graft_p"), col("__graft_i").as(DvIdxCol))
         .join(relDf, "__graft_p")
@@ -1528,22 +1691,27 @@ object Versioned {
       // post-images: the updated matched rows, appended as one fresh
       // segment (bucket-routed on bucketed tables — an update of the
       // bucket column itself re-routes rows to their correct bucket)
+      val logicalNames = physSchema.fieldNames.toSeq
+        .filterNot(mapping.isDropped).map(mapping.logicalOf)
       val postLines = post match {
         case None => Nil
         case Some(t) =>
           val updated = t(matchedRows.drop("__graft_p", "__graft_i"))
           require(updated.columns.map(_.toLowerCase(java.util.Locale.ROOT))
-            .sorted.sameElements(fullSchema.fieldNames
+            .sorted.sameElements(logicalNames
               .map(_.toLowerCase(java.util.Locale.ROOT)).sorted),
             "updateWithDv transform must preserve the table's columns")
-          writeSegmentLines(spark, fs, root, updated, spec)
+          writeSegmentLines(spark, fs, root, mapping.applyWrite(updated), spec)
       }
       // the lines whose sidecar entries were computed — rebase safety
       // hinges on exactly these staying byte-identical in the latest
       val taggedLines = lines.filter(l => counts.contains(parseLine(l)._1))
-      val guard = rebaseGuard(spark, fullSchema, touchedFiles, cond)
+      val guard =
+        if (mapping.isEmpty) rebaseGuard(spark, physSchema, touchedFiles, cond)
+        else Nil // name-space mismatch: conservatively conflict
       val opName = if (post.isDefined) "update" else "delete"
       val meta = Map("operation" -> opName, s"${opName}_mode" -> "dv") ++
+        mapping.toMeta ++
         spec.map { case (c, n) => BucketKey -> s"$c/$n" }
       try {
         commitManifest(fs, root, meta, { base =>
@@ -1559,6 +1727,10 @@ object Versioned {
               // the row indexes → full recompute.
               val latest = base.toSeq.flatMap(readFileLines(fs, root, _))
               if (!taggedLines.toSet.subsetOf(latest.toSet))
+                throw new RewriteConflict
+              // interleaved RENAME/DROP: recompute under the new meta
+              if (base.exists(b =>
+                  columnMapping(spark, table, Some(b)) != mapping))
                 throw new RewriteConflict
               // same write-skew guard as [[rewrite]]: appended rows
               // the predicate matches must not slip past the DV DML
@@ -1657,7 +1829,10 @@ object Versioned {
     }
     val stats = fileStats(spark, table)
     if (stats.isEmpty) return None
-    val lower = column.toLowerCase(java.util.Locale.ROOT)
+    // stats are keyed by physical column name — a renamed watermark
+    // column must still find its bounds
+    val lower = columnMapping(spark, table).physicalOf(column)
+      .toLowerCase(java.util.Locale.ROOT)
     var unknown = List.empty[String]
     var bestFile: String = null
     var bestTag = ' '

@@ -486,7 +486,13 @@ private[plans] object SnapshotDml {
   private def scopeOf(spark: SparkSession, path: String, raw: Column)
       : graft.operators.SegmentStats.FileStats => Boolean = {
     val df = Versioned.read(spark, path)
-    val filters = StatsPruner.pushableFilters(df.where(raw))
+    // under a column mapping the optimizer pushes the predicate
+    // through the rename projection, leaving Filter nodes on PHYSICAL
+    // names — translate them back so they key the logical-space stats
+    // the rewrite hands to this scope
+    val mapping = Versioned.columnMapping(spark, path)
+    val filters = StatsPruner.pushableFilters(df.where(raw),
+      mapping.logicalOf)
     if (filters.isEmpty) _ => true
     else st => filters.forall(StatsPruner.mayMatch(st, _))
   }

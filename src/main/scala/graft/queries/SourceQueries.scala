@@ -512,6 +512,65 @@ object SourceQueries {
             THEN o_orderkey % 1000 ELSE 0 END) AS BIGINT) AS bonus_total
         FROM orders""")),
 
+    // ---- VT10 column mapping (ALTER TABLE RENAME/DROP COLUMN as
+    // metadata-only commits over stable physical names): base orders
+    // snapshot with three columns, RENAME amount_cents->price_cents,
+    // DROP the cust column, then an INSERT under the NEW name — reads
+    // resolve the logical view, time travel to v0 reads the old names
+    // (proven in-query by requires), and zero data files move for
+    // either DDL. Output: exact integer counts/cents.
+    "vt10_rename_column" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val cat = "vt10cat" + math.abs(dir.hashCode).toString
+        val table = stages.computeIfAbsent(s"$dir|vt10|colmap", { _ =>
+          val root = java.nio.file.Files
+            .createTempDirectory("vt10").toString
+          s.conf.set(s"spark.sql.catalog.$cat",
+            classOf[graft.sources.GraftCatalog].getName)
+          s.conf.set(s"spark.sql.catalog.$cat.root", root)
+          val td = s"$root/lake/t"
+          graft.operators.Versioned.commit(
+            t(s, dir, "orders").select($"o_orderkey",
+              graft.functions.Exact.cents($"o_totalprice")
+                .as("amount_cents"),
+              $"o_custkey".as("cust")),
+            td) // v0
+          val files0 = graft.operators.Versioned.versionFiles(s, td).toSet
+          s.sql(s"ALTER TABLE $cat.lake.t RENAME COLUMN amount_cents " +
+            "TO price_cents")
+          s.sql(s"ALTER TABLE $cat.lake.t DROP COLUMN cust")
+          require(graft.operators.Versioned.versionFiles(s, td).toSet ==
+            files0, "RENAME/DROP must move zero data files")
+          s.sql(s"""INSERT INTO $cat.lake.t
+            SELECT o_orderkey + 30000000, amount_cents + 1
+            FROM $cat.lake.t VERSION AS OF 0
+            WHERE o_orderkey % 13 = 0""")
+          require(graft.operators.Versioned.read(s, td, Some(0L))
+            .columns.toSeq == Seq("o_orderkey", "amount_cents", "cust"),
+            "time travel must read the pre-rename names")
+          require(graft.operators.Versioned.read(s, td)
+            .columns.toSeq == Seq("o_orderkey", "price_cents"),
+            "the latest view must be renamed and drop-hidden")
+          td
+        })
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root",
+          table.stripSuffix("/lake/t"))
+        s.sql(s"""SELECT count(*) AS n_rows,
+            CAST(sum(price_cents) AS BIGINT) AS total_cents
+          FROM $cat.lake.t""")
+      },
+      Some("""SELECT
+          CAST(count(*) + sum(CASE WHEN o_orderkey % 13 = 0
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_rows,
+          CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+            + sum(CASE WHEN o_orderkey % 13 = 0
+              THEN CAST(round(o_totalprice*100) AS BIGINT) + 1
+              ELSE 0 END) AS BIGINT) AS total_cents
+        FROM orders""")),
+
     // ---- VT6 metadata-only aggregates (sources.ManifestAggregates):
     // a filterless global COUNT/COUNT(col)/MIN/MAX over a catalog
     // snapshot table is answered from the manifest's per-file stats —

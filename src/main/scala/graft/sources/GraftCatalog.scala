@@ -98,13 +98,16 @@ class GraftCatalog extends TableCatalog
     // bucketSpec validates layout (declared AND every file in a bucket
     // dir) — a half-bucketed version reports None and scans normally
     val bucket = Versioned.bucketSpec(spark, path, Some(resolved))
-    // a version carrying deletion vectors cannot ride the raw
-    // ParquetTable scan (it would resurrect DV-deleted rows): it
-    // degrades to a V1 relation over the DV-aware read — correct but
-    // unoptimized (no stats pruning, no SPJ) until OPTIMIZE folds the
-    // vectors back into physical files, which restores this fast path
+    // a version carrying deletion vectors OR a column mapping cannot
+    // ride the raw ParquetTable scan (it would resurrect DV-deleted
+    // rows / surface physical instead of logical column names): it
+    // degrades to a V1 relation over the mapping- and DV-aware read —
+    // correct but unoptimized (no stats pruning, no SPJ) until
+    // OPTIMIZE/overwrite folds vectors and materializes logical names,
+    // which restores this fast path
     val readTable: Table with SupportsRead =
-      if (Versioned.hasDv(spark, path, resolved))
+      if (Versioned.hasDv(spark, path, resolved) ||
+          !Versioned.columnMapping(spark, path, Some(resolved)).isEmpty)
         new GraftDvReadTable(path, resolved, ident.name,
           Versioned.read(spark, path, Some(resolved)).schema)
       else new GraftSnapshotReadTable(path, resolved, files,
@@ -207,14 +210,28 @@ class GraftCatalog extends TableCatalog
     val path = tablePath(ident)
     if (Versioned.versions(spark, path).isEmpty)
       throw new NoSuchTableException(ident)
-    val adds = changes.map {
+    val adds = changes.flatMap {
       case a: TableChange.AddColumn
-          if a.fieldNames.length == 1 && a.isNullable => a
+          if a.fieldNames.length == 1 && a.isNullable => Some(a)
+      // RENAME/DROP COLUMN: metadata-only commits through the column
+      // mapping (stable physical names) — segments stay untouched,
+      // time travel reads each version under its own names
+      case r: TableChange.RenameColumn if r.fieldNames.length == 1 =>
+        Versioned.renameColumn(spark, path, r.fieldNames()(0), r.newName)
+        None
+      case d: TableChange.DeleteColumn if d.fieldNames.length == 1 =>
+        val exists = Versioned.read(spark, path).schema.fieldNames
+          .exists(_.equalsIgnoreCase(d.fieldNames()(0)))
+        if (exists || !d.ifExists)
+          Versioned.dropColumn(spark, path, d.fieldNames()(0))
+        None
       case other => throw new UnsupportedOperationException(
-        s"graft catalog supports only additive evolution (top-level " +
-          s"nullable ADD COLUMN); got $other. Drops/renames/type " +
-          "changes would misdescribe immutable committed segments")
+        s"graft catalog supports top-level nullable ADD COLUMN and " +
+          s"top-level RENAME/DROP COLUMN; got $other. Type changes " +
+          "and nested surgery would misdescribe immutable committed " +
+          "segments")
     }
+    if (adds.isEmpty) return loadTable(ident)
     val cur = Versioned.read(spark, path).schema
     val widened = adds.foldLeft(cur) { (s, a) =>
       val name = a.fieldNames()(0)

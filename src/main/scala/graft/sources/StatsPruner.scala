@@ -46,21 +46,54 @@ object StatsPruner {
     * onto a read of the table, harvest what survives as Filter nodes,
     * lower each conjunct. An empty result means "no pruning", never
     * "matches nothing". */
-  def pushableFilters(filtered: org.apache.spark.sql.DataFrame): Seq[sf.Filter] = {
+  /** `nameMap` translates a plan-level attribute name to the
+    * DataFrame's OUTPUT name space before the guard below — needed
+    * under a column mapping, where the optimizer pushes a filter on a
+    * logical column through the rename projection and the Filter node
+    * ends up referencing the PHYSICAL name. The returned filters are
+    * rewritten through the same map, so they compare against stats in
+    * the caller's (logical) key space. */
+  def pushableFilters(filtered: org.apache.spark.sql.DataFrame,
+      nameMap: String => String = identity): Seq[sf.Filter] = {
     // the plan may contain MORE than the caller's predicate over the
     // table — a DV-overlaid read carries an anti-join whose sidecar
-    // side has its own Filter nodes (isnotnull(file), join-key
-    // filters). Those reference columns that are not table columns;
-    // lowering them would stats-"prune" on columns no data file
-    // carries and silently scope the DML to nothing. Only filters
-    // over the DataFrame's own OUTPUT columns are table predicates.
+    // side has its own Filter nodes (reserved __graft_* columns).
+    // Those reference columns that are not table columns; lowering
+    // them would stats-"prune" on columns no data file carries and
+    // silently scope the DML to nothing. Only filters over the
+    // DataFrame's own OUTPUT columns are table predicates.
     val outCols = filtered.columns
       .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     filtered.queryExecution.optimizedPlan.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
         conjuncts(f.condition).flatMap(translate)
-    }.flatten.filter(_.references.forall(r =>
-      outCols.contains(r.toLowerCase(java.util.Locale.ROOT))))
+    }.flatten
+      .filter(_.references.forall(r =>
+        outCols.contains(nameMap(r).toLowerCase(java.util.Locale.ROOT))))
+      .flatMap(renameRefs(_, nameMap))
+  }
+
+  /** Rewrite a pruning filter's attribute references. Total over every
+    * shape [[translate]] can emit; anything else drops (sound — fewer
+    * conjuncts prune fewer files). */
+  private def renameRefs(f: sf.Filter,
+      m: String => String): Option[sf.Filter] = f match {
+    case sf.EqualTo(a, v) => Some(sf.EqualTo(m(a), v))
+    case sf.GreaterThan(a, v) => Some(sf.GreaterThan(m(a), v))
+    case sf.GreaterThanOrEqual(a, v) => Some(sf.GreaterThanOrEqual(m(a), v))
+    case sf.LessThan(a, v) => Some(sf.LessThan(m(a), v))
+    case sf.LessThanOrEqual(a, v) => Some(sf.LessThanOrEqual(m(a), v))
+    case sf.In(a, vs) => Some(sf.In(m(a), vs))
+    case sf.IsNull(a) => Some(sf.IsNull(m(a)))
+    case sf.IsNotNull(a) => Some(sf.IsNotNull(m(a)))
+    case sf.StringStartsWith(a, v) => Some(sf.StringStartsWith(m(a), v))
+    case sf.And(l, r) =>
+      for { lf <- renameRefs(l, m); rf <- renameRefs(r, m) }
+        yield sf.And(lf, rf)
+    case sf.Or(l, r) =>
+      for { lf <- renameRefs(l, m); rf <- renameRefs(r, m) }
+        yield sf.Or(lf, rf)
+    case _ => None
   }
 
   private def conjuncts(e: ce.Expression): Seq[ce.Expression] = e match {

@@ -405,11 +405,12 @@ class VersionedSpec extends SparkSpec {
     intercept[Exception] {
       c.sql("INSERT INTO gw.lake.w VERSION AS OF 0 VALUES (5, 'x')")
     }
-    // destructive DDL still refused (additive ADD COLUMN is separately
-    // supported — see the schema-evolution DDL test)
+    // destructive DDL still refused (additive ADD COLUMN and
+    // mapping-backed RENAME/DROP COLUMN are separately supported —
+    // see the schema-evolution and ColumnMappingSpec tests)
     intercept[Exception] { c.sql("DROP TABLE gw.lake.w") }
     intercept[Exception] {
-      c.sql("ALTER TABLE gw.lake.w DROP COLUMN v")
+      c.sql("ALTER TABLE gw.lake.w ALTER COLUMN v TYPE INT")
     }
     assert(Versioned.versions(spark, t).size == 4)
     // DELETE FROM: surviving rows committed as a new version, SQL NULL
@@ -567,8 +568,8 @@ class VersionedSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.lake.t ADD COLUMN score INT")
     }
-    intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.lake.t RENAME COLUMN v TO w")
+    intercept[Exception] { // type change: still refused
+      spark.sql(s"ALTER TABLE $cat.lake.t ALTER COLUMN v TYPE INT")
     }
     assert(Versioned.versions(spark, t) == vs)
     // bucketed table: the carrier keeps the declared layout
