@@ -8,12 +8,15 @@ import org.apache.spark.sql.types._
   * video payloads are opaque `binary` columns with a typed metadata
   * struct; decode / feature-extract run per-partition in batches.
   *
-  * The actual media decode is STUBBED (`decodeStub`) — the image/audio
-  * libraries are not in this container — but everything Spark-side is
-  * real and tested: the schema contract, the per-partition batch path
-  * (Scala's analogue of `mapInPandas`: `mapPartitions` over an iterator,
-  * one decoder init per partition, streaming through rows without
-  * collecting), and the deterministic output shape.
+  * The PIXEL/SAMPLE decode here is a deterministic stand-in
+  * (`decodeStub` — full codec libraries are not in this container),
+  * exercising the Spark-side contract: schema, the per-partition batch
+  * path (Scala's analogue of `mapInPandas`: `mapPartitions` over an
+  * iterator, one decoder init per partition, streaming through rows
+  * without collecting), and the deterministic output shape. The REAL
+  * header decode — PNG/JPEG/WAV dimensions, bit depth, channels,
+  * duration parsed from actual format bytes — lives in
+  * [[MediaHeaders]] on the same batch shape.
   */
 object Multimodal {
 

@@ -47,6 +47,61 @@ object MultimodalQueries {
       None,
       doc = "rows-only: frame hashes use Spark xxhash64"),
 
+    // ---- MM3 REAL header decode (operators.MediaHeaders): payloads
+    // are genuine PNG/JPEG/WAV header bytes synthesized with closed-
+    // form fields from doc_id (any external header reader agrees on
+    // them), plus a malformed class (truncated magic) that must
+    // contain to format='unknown' — the f17 poison-payload discipline
+    // on the binary path. Hash-checked per doc against the closed
+    // form.
+    "mm3_media_headers" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.MediaHeaders
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val payloads = Tables(s, dir, "documents").select("doc_id")
+          .rdd.map { r =>
+            val id = r.getLong(0)
+            val bytes = (id % 4) match {
+              case 0 => MediaHeaders.pngBytes((id % 1920 + 1).toInt,
+                (id % 1080 + 1).toInt, 8,
+                Seq(0, 2, 6)((id % 3).toInt))
+              case 1 => MediaHeaders.jpegBytes((id % 1000 + 1).toInt,
+                (id % 800 + 1).toInt, 3)
+              case 2 => MediaHeaders.wavBytes((id % 2 + 1).toInt,
+                8000, 16, id % 5000 + 1000)
+              case _ => // truncated PNG magic: must contain, not fail
+                Array[Byte](0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)
+            }
+            Row(id, bytes)
+          }
+        val media = s.createDataFrame(payloads, StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("payload", BinaryType, nullable = true))))
+        MediaHeaders.decodeHeaders(media)
+      },
+      Some("""SELECT doc_id,
+          CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+            WHEN 2 THEN 'wav' ELSE 'unknown' END AS format,
+          CASE doc_id % 4 WHEN 0 THEN CAST(doc_id % 1920 + 1 AS INT)
+            WHEN 1 THEN CAST(doc_id % 1000 + 1 AS INT) END AS width,
+          CASE doc_id % 4 WHEN 0 THEN CAST(doc_id % 1080 + 1 AS INT)
+            WHEN 1 THEN CAST(doc_id % 800 + 1 AS INT) END AS height,
+          CASE doc_id % 4 WHEN 0 THEN CAST(8 AS INT)
+            WHEN 1 THEN CAST(8 AS INT)
+            WHEN 2 THEN CAST(16 AS INT) END AS bit_depth,
+          CASE doc_id % 4
+            WHEN 0 THEN CAST(CASE doc_id % 3 WHEN 0 THEN 1
+              WHEN 1 THEN 3 ELSE 4 END AS INT)
+            WHEN 1 THEN CAST(3 AS INT)
+            WHEN 2 THEN CAST(doc_id % 2 + 1 AS INT) END AS channels,
+          CASE WHEN doc_id % 4 = 2
+            THEN CAST(8000 AS INT) END AS sample_rate,
+          CASE WHEN doc_id % 4 = 2
+            THEN CAST((doc_id % 5000 + 1000) * 1000 // 8000 AS BIGINT)
+            END AS duration_ms
+        FROM documents""")),
+
     // ---- MM2 self-check: the frame hashes have no DuckDB mirror, but
     // the sampling arithmetic does — stride-2 over declared_frames =
     // len%10+1 frames yields floor((n-1)/2)+1 samples ending at

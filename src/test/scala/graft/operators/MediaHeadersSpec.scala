@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Real multimodal header decode: pure-JVM PNG/JPEG/WAV header parsing
+  * over binary columns — the builders synthesize genuinely valid
+  * header bytes, the parser recovers the exact fields, and every
+  * malformed shape contains to `unknown` (never an executor
+  * exception). */
+class MediaHeadersSpec extends SparkSpec {
+  import MediaHeaders._
+
+  test("PNG: builder/parser round-trip across color types; channel " +
+    "count derives from the color type") {
+    for ((ct, ch) <- Seq(0 -> 1, 2 -> 3, 3 -> 1, 4 -> 2, 6 -> 4);
+         (w, h, d) <- Seq((1, 1, 1), (1920, 1080, 8), (65535, 3, 16))) {
+      val parsed = parse(pngBytes(w, h, d, ct))
+      assert(parsed == Header("png", Some(w), Some(h), Some(d),
+        Some(ch), None, None), s"ct=$ct w=$w h=$h d=$d -> $parsed")
+    }
+  }
+
+  test("JPEG: marker walk reaches SOFn past APP segments; progressive " +
+    "(SOF2) parses; DHT/DAC markers are not mistaken for frames") {
+    val p = parse(jpegBytes(640, 480, 3))
+    assert(p == Header("jpeg", Some(640), Some(480), Some(8),
+      Some(3), None, None))
+    // hand-build: SOI + DHT (C4 — must be skipped) + SOF2 (progressive)
+    val dht = Array[Byte](0xff.toByte, 0xc4.toByte, 0, 4, 1, 2)
+    val sof2 = java.nio.ByteBuffer.allocate(13)
+    sof2.put(0xff.toByte).put(0xc2.toByte).putShort(11.toShort)
+      .put(12.toByte).putShort(77.toShort).putShort(99.toShort)
+      .put(1.toByte).put(1.toByte).put(0x11.toByte).put(0.toByte)
+    val bytes = Array[Byte](0xff.toByte, 0xd8.toByte) ++ dht ++ sof2.array()
+    assert(parse(bytes) == Header("jpeg", Some(99), Some(77), Some(12),
+      Some(1), None, None))
+  }
+
+  test("WAV: fmt/data chunk walk; duration from declared data size " +
+    "over byte rate; extra chunks skipped") {
+    val p = parse(wavBytes(2, 44100, 16, 44100))
+    assert(p == Header("wav", None, None, Some(16), Some(2),
+      Some(44100), Some(1000L)), s"got $p")
+    val mono = parse(wavBytes(1, 8000, 8, 4000))
+    assert(mono.durationMs.contains(500L) && mono.channels.contains(1))
+  }
+
+  test("malformed payloads contain to unknown: truncation, garbage, " +
+    "desync, missing chunks — never an exception") {
+    val cases: Seq[Array[Byte]] = Seq(
+      null,
+      Array.empty[Byte],
+      Array[Byte](0x89.toByte, 'P', 'N', 'G'), // truncated magic
+      pngBytes(10, 10, 8, 2).take(20), // truncated IHDR
+      pngBytes(0, 5, 8, 2), // zero width
+      "just some text".getBytes("UTF-8"),
+      Array[Byte](0xff.toByte, 0xd8.toByte), // SOI only
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0x00, 0x41), // marker desync
+      jpegBytes(5, 5, 1).dropRight(24), // SOF truncated away
+      wavBytes(1, 8000, 8, 100).take(16), // fmt chunk truncated
+      "RIFF1234WAVE".getBytes("US-ASCII")) // no chunks at all
+    cases.foreach { c =>
+      assert(parse(c).format == "unknown",
+        s"payload ${Option(c).map(_.length)} must contain")
+    }
+  }
+
+  test("decodeHeaders: the mapPartitions operator decodes a mixed " +
+    "binary column, nulls and poison included, one row per input") {
+    val rows = Seq(
+      Row(1L, pngBytes(320, 200, 8, 6)),
+      Row(2L, wavBytes(2, 16000, 16, 16000)),
+      Row(3L, jpegBytes(12, 34, 3)),
+      Row(4L, null),
+      Row(5L, Array[Byte](1, 2, 3)))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(StructField("doc_id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = true))))
+    val out = decodeHeaders(media).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "png", 2L -> "wav", 3L -> "jpeg",
+      4L -> "unknown", 5L -> "unknown"))
+    val png = decodeHeaders(media).where("doc_id = 1").head()
+    assert(png.getInt(2) == 320 && png.getInt(3) == 200 &&
+      png.getInt(5) == 4)
+    val wav = decodeHeaders(media).where("doc_id = 2").head()
+    assert(wav.getInt(6) == 16000 && wav.getLong(7) == 1000L)
+  }
+}
