@@ -279,6 +279,58 @@ object Versioned {
     }
   }
 
+  /** Test-only seam: invoked by [[commitIfAppendRebase]] between
+    * staging the snapshot segment and the commit attempt — the window
+    * a concurrent commit lands in. Production value is a no-op. */
+  private[graft] var rebaseTestHook: () => Unit = () => ()
+
+  /** [[commitIf]] for whole-snapshot rewrites (MERGE) that may REBASE
+    * an APPEND-ONLY interleave instead of refusing: if every line of
+    * `expectedBase` survives byte-identical in the latest version, the
+    * interleaved commits only appended files — and if `guard` (the
+    * operation's stats-expressible key domain) PROVES none of those
+    * appended files can contain a row the operation would have
+    * matched, the commit lands as the new snapshot PLUS the appended
+    * lines carried verbatim. Anything else (a changed/removed base
+    * line, an appended file inside the key domain, no guard, a column
+    * mapping in play) still returns None — a streaming sink appending
+    * unrelated rows every few seconds no longer starves a MERGE, while
+    * rows the MERGE should have seen still force a loud re-run
+    * (Delta's ConcurrentAppend discipline). `rebase = false` restores
+    * exact [[commitIf]] behavior. */
+  def commitIfAppendRebase(df: DataFrame, table: String,
+      meta: Map[String, String], expectedBase: Long,
+      bucket: Option[(String, Int)] = None,
+      guard: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+      rebase: Boolean = true): Option[Long] = {
+    val spark = df.sparkSession
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val newLines = writeSegmentLines(spark, fs, root, df, bucket)
+    val baseLines = readFileLines(fs, root, expectedBase)
+    val fullMeta =
+      meta ++ bucket.map { case (c, n) => BucketKey -> s"$c/$n" }
+    rebaseTestHook()
+    try Some(commitManifest(fs, root, fullMeta, { base =>
+      if (base == Some(expectedBase)) newLines
+      else {
+        if (!rebase) throw new RewriteConflict
+        val latestLines = base.toSeq.flatMap(readFileLines(fs, root, _))
+        val baseSet = baseLines.toSet
+        if (!baseSet.subsetOf(latestLines.toSet))
+          throw new RewriteConflict // a base line changed: stale read
+        if (interleavedMayMatch(latestLines, baseLines, guard))
+          throw new RewriteConflict // appended rows may be in scope
+        newLines ++ latestLines.filterNot(baseSet)
+      }
+    }))
+    catch {
+      case _: RewriteConflict =>
+        deleteAbandonedSegment(fs, root, newLines)
+        None
+    }
+  }
+
   /** Best-effort removal of a conflict-abandoned attempt's fresh
     * segment dir (shared by [[commitIf]] and [[rewrite]]); a crash
     * before this runs leaves the dir invisible for VACUUM. */

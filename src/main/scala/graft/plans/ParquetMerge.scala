@@ -529,6 +529,43 @@ private[plans] final class MergeLowering(spark: SparkSession,
   }
   val changed: DataFrame = insertsOut.foldLeft(matchedOut)(_ unionByName _)
 
+  /** The merge's target-side key domain as stats filters: for each
+    * equi conjunct `t.k = s.k` of the ON condition, the source's
+    * [min, max] window on that key. A file whose manifest stats
+    * exclude every window provably holds no row this MERGE could
+    * match — the append-rebase write-skew guard. Empty when no equi
+    * conjunct lowers (the caller then refuses any interleave); an
+    * empty/all-NULL source key yields a match-nothing filter (equality
+    * with NULL never matches, so appends are trivially out of
+    * scope). One tiny source aggregate per key — the source is
+    * already persisted for the statement. */
+  def sourceKeyBounds(): Seq[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.{sources => sf}
+    import org.apache.spark.sql.functions.{max => aggMax, min => aggMin}
+    val tSet = merge.targetTable.outputSet
+    val sSet = merge.sourceTable.outputSet
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case o => Seq(o)
+    }
+    split(merge.mergeCondition).flatMap {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        val pair =
+          if (tSet.contains(a) && sSet.contains(b)) Some((a, b))
+          else if (tSet.contains(b) && sSet.contains(a)) Some((b, a))
+          else None
+        pair.map { case (tAttr, sAttr) =>
+          val bounds = source
+            .agg(aggMin(toColumn(sAttr)), aggMax(toColumn(sAttr))).head()
+          if (bounds.isNullAt(0)) sf.In(tAttr.name, Array.empty[Any])
+          else sf.And(
+            sf.GreaterThanOrEqual(tAttr.name, bounds.get(0)),
+            sf.LessThanOrEqual(tAttr.name, bounds.get(1)))
+        }
+      case _ => None
+    }
+  }
+
   def release(): Unit = {
     joined.unpersist()
     matchedSemi.unpersist()
@@ -567,14 +604,27 @@ case class VersionedMergeCommand(path: String, baseVersion: Long,
       low.checkCardinality()
       val out = low.changed.unionByName(low.untouched)
       val spec = Versioned.bucketSpec(spark, path, Some(baseVersion))
-      Versioned.commitIf(out, path, "overwrite",
+      // Append-only interleaves REBASE instead of refusing: the
+      // appended lines are carried verbatim into the merged snapshot
+      // when the source-key stats guard proves they are outside the
+      // MERGE's match domain — a per-batch streaming appender no
+      // longer starves a concurrent MERGE. Not under NMBS clauses
+      // (they claim EVERY target row absent from the source, appended
+      // rows included) and not under a column mapping (carried
+      // physical-name files would mix with the logical-name snapshot).
+      val allowRebase = merge.notMatchedBySourceActions.isEmpty &&
+        Versioned.columnMapping(spark, path, Some(baseVersion)).isEmpty
+      val guard = if (allowRebase) low.sourceKeyBounds() else Nil
+      Versioned.commitIfAppendRebase(out, path,
         Map("operation" -> "merge"), expectedBase = baseVersion,
-        bucket = spec) match {
+        bucket = spec, guard = guard, rebase = allowRebase) match {
         case Some(_) => Seq.empty
         case None => throw new IllegalStateException(
           s"MERGE into $path lost the commit race: the table advanced " +
-            s"past version $baseVersion while the statement ran — " +
-            "re-run the statement against the new latest version")
+            s"past version $baseVersion while the statement ran (an " +
+            "interleaved commit touched rows the merge may have " +
+            "matched) — re-run the statement against the new latest " +
+            "version")
       }
     } finally low.release()
   }

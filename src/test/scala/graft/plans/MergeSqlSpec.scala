@@ -686,6 +686,67 @@ class MergeSqlSpec extends SparkSpec {
       "a refused merge must not commit")
   }
 
+  test("MERGE vs concurrent commits on a snapshot table: out-of-domain " +
+    "appends REBASE into the commit; in-domain appends and touched " +
+    "lines refuse loudly") {
+    import graft.operators.Versioned
+    val base = tmpDir("snapmerge")
+    val cat = "snapr" + System.nanoTime()
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", base)
+    val t = s"$base/lake/t"
+    Versioned.commit((1L to 4L).map(k => (k, k * 10.0)).toDF("k", "v")
+      .coalesce(1), t) // v0
+    Seq((1L, 111.0)).toDF("k", "v").createOrReplaceTempView("reb_src")
+    def mergeSql(): Unit = spark.sql(
+      s"""MERGE INTO $cat.lake.t AS T USING reb_src AS S
+        ON T.k = S.k
+        WHEN MATCHED THEN UPDATE SET v = S.v""")
+    // 1) append OUTSIDE the source key domain (k=500 vs window [1,1]):
+    //    the merge must commit WITHOUT recompute, carrying the append
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Versioned.rebaseTestHook = () => {
+      if (fired.compareAndSet(false, true))
+        Versioned.commit(Seq((500L, 5.0)).toDF("k", "v").coalesce(1),
+          t, "append")
+    }
+    try mergeSql() finally Versioned.rebaseTestHook = () => ()
+    val got = spark.sql(s"SELECT k, v FROM $cat.lake.t")
+      .as[(Long, Double)].collect().toSet
+    assert(got == Set((1L, 111.0), (2L, 20.0), (3L, 30.0), (4L, 40.0),
+      (500L, 5.0)),
+      s"the merge AND the interleaved append must both survive: $got")
+    assert(Versioned.versions(spark, t) == Seq(0L, 1L, 2L))
+    // 2) append INSIDE the key domain (k=1): the appended row is one
+    //    the merge would have matched — refuse, never silently rebase
+    val fired2 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Versioned.rebaseTestHook = () => {
+      if (fired2.compareAndSet(false, true))
+        Versioned.commit(Seq((1L, 9.0)).toDF("k", "v").coalesce(1),
+          t, "append")
+    }
+    val e1 = try intercept[IllegalStateException](mergeSql())
+    finally Versioned.rebaseTestHook = () => ()
+    assert(e1.getMessage.contains("lost the commit race"))
+    // the interleaved append itself must not be lost
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.t WHERE k = 1")
+      .as[Long].head() == 2L)
+    spark.sql(s"DELETE FROM $cat.lake.t WHERE v = 9.0") // restore 1 row
+    // 3) a touched base line (concurrent DV delete): stale read → refuse
+    val fired3 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Versioned.rebaseTestHook = () => {
+      if (fired3.compareAndSet(false, true))
+        Versioned.deleteWithDv(spark, t, _ => true,
+          org.apache.spark.sql.functions.col("k") === 3L)
+    }
+    val e2 = try intercept[IllegalStateException](mergeSql())
+    finally Versioned.rebaseTestHook = () => ()
+    assert(e2.getMessage.contains("lost the commit race"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.t WHERE k = 3")
+      .as[Long].head() == 0L, "the interleaved DV delete must survive")
+  }
+
   test("unsupported MERGE shapes (nested struct-field assignment) are " +
     "left to Spark's own error, never silently mis-executed") {
     val loc = tmpDir("mergesql3") + "/tgt"
