@@ -1,7 +1,7 @@
 package graft.streaming
 
-import graft.operators.DataMerge
-import org.apache.spark.sql.DataFrame
+import graft.operators.{DataMerge, Versioned}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Streaming upsert into the parquet lake — the production shape of the
@@ -31,26 +31,8 @@ object UpsertSink {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        import org.apache.spark.sql.expressions.Window
-        import org.apache.spark.sql.functions._
         val spark = batch.sparkSession
-        // last-writer-wins within the batch; the row's ORDERABLE columns
-        // are the sort key (version first, the rest as tiebreak) so
-        // equal-version duplicates resolve identically on checkpoint
-        // REPLAY — a version-only sort would let row_number pick a
-        // different winner per execution, breaking idempotent re-merge.
-        // Unorderable columns (maps) are excluded or the window itself
-        // would fail analysis.
-        val rest = batch.schema.fields.toSeq
-          .filterNot(f => keys.contains(f.name) || f.name == versionCol)
-          .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
-            .isOrderable(f.dataType))
-          .map(_.name)
-        val w = Window.partitionBy(keys.map(col): _*)
-          .orderBy(col(versionCol).desc +: rest.map(col(_).desc): _*)
-        val deduped = batch
-          .withColumn("__rn", row_number().over(w))
-          .where(col("__rn") === 1).drop("__rn")
+        val deduped = dedupBatch(batch, keys, versionCol)
         val fs = org.apache.hadoop.fs.FileSystem.get(
           new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
@@ -60,4 +42,86 @@ object UpsertSink {
         ()
       }
       .start()
+
+  /** Last-writer-wins within the batch; the row's ORDERABLE columns
+    * are the sort key (version first, the rest as tiebreak) so
+    * equal-version duplicates resolve identically on checkpoint
+    * REPLAY — a version-only sort would let row_number pick a
+    * different winner per execution, breaking idempotent re-merge.
+    * Unorderable columns (maps) are excluded or the window itself
+    * would fail analysis. */
+  private def dedupBatch(batch: DataFrame, keys: Seq[String],
+      versionCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rest = batch.schema.fields.toSeq
+      .filterNot(f => keys.contains(f.name) || f.name == versionCol)
+      .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(f.dataType))
+      .map(_.name)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(versionCol).desc +: rest.map(col(_).desc): _*)
+    batch.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Streaming MERGE-ON-READ upsert into a [[Versioned]] snapshot
+    * table: each micro-batch lands as ONE atomic commit that
+    * DV-deletes the superseded rows (a sidecar of row positions,
+    * stats-scoped to the files the batch's key window may touch) and
+    * appends the batch as a small fresh segment — ZERO pre-existing
+    * segments are rewritten. Where the COW [[start]] re-merges the
+    * whole table per batch (write amplification = table size), a
+    * small batch here costs O(batch) writes; OPTIMIZE (threshold
+    * compaction) folds the accumulated sidecars and small segments on
+    * whatever schedule the operator runs it. Checkpoint replay
+    * converges: a re-delivered batch DV-deletes its own previous
+    * append and re-appends identical rows. */
+  def startMergeOnRead(stream: DataFrame, path: String, keys: Seq[String],
+      versionCol: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val deduped = dedupBatch(batch, keys, versionCol)
+        if (!deduped.isEmpty)
+          upsertBatchMor(batch.sparkSession, path, keys, deduped)
+        ()
+      }
+      .start()
+
+  /** One merge-on-read upsert commit (exposed for the spec). */
+  private[streaming] def upsertBatchMor(spark: SparkSession, path: String,
+      keys: Seq[String], deduped: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    if (Versioned.versions(spark, path).isEmpty) {
+      Versioned.commit(deduped, path, "overwrite")
+      return
+    }
+    // exact key-tuple predicate over the table (batch-sized driver
+    // state — the micro-batch's distinct keys, same bound as any
+    // broadcast upsert) + a stats scope from the batch's key bounds
+    // so provably-unaffected segments are never even opened
+    val tuples = deduped.select(keys.map(col): _*).distinct().collect()
+    val cond = keys match {
+      case Seq(k) => col(k).isin(tuples.map(_.get(0)).toIndexedSeq: _*)
+      case ks => tuples.map { row =>
+        ks.zipWithIndex.map { case (k, i) =>
+          col(k) <=> lit(row.get(i)) }.reduce(_ && _)
+      }.reduceOption(_ || _).getOrElse(lit(false))
+    }
+    val bounds = keys.flatMap { k =>
+      val row = deduped.agg(min(col(k)), max(col(k))).head()
+      if (row.isNullAt(0)) None
+      else Some(org.apache.spark.sql.sources.And(
+        org.apache.spark.sql.sources.GreaterThanOrEqual(k, row.get(0)),
+        org.apache.spark.sql.sources.LessThanOrEqual(k, row.get(1))))
+    }
+    val scope: graft.operators.SegmentStats.FileStats => Boolean =
+      st => bounds.forall(graft.sources.StatsPruner.mayMatch(st, _))
+    // matched rows: DV-delete + the WHOLE batch appended, one commit;
+    // nothing matched: the batch is pure inserts — a plain append
+    val matched = Versioned.updateWithDv(spark, path, scope, cond,
+      _ => deduped)
+    if (matched == 0L) Versioned.commit(deduped, path, "append")
+  }
 }

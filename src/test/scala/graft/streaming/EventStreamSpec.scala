@@ -121,6 +121,72 @@ class EventStreamSpec extends SparkSpec {
     assert(after(7L) == 99.0 && after(15L) == 2.0)
   }
 
+  test("merge-on-read UpsertSink: each batch is one DV+append commit, " +
+    "ZERO pre-existing segments rewritten; checkpoint restart " +
+    "converges to ground truth; OPTIMIZE folds the debt") {
+    import graft.operators.Versioned
+    val stage = java.nio.file.Files.createTempDirectory("morupsert_in")
+    val lake = tmpDir("morupsert_lake") + "/t"
+    val ckpt = tmpDir("morupsert_ckpt")
+    def writeBatch(n: Int, rows: Seq[(Long, Double, Long)]): Unit = {
+      val tmp = stage.resolve(s"tmp$n")
+      rows.toDF("k", "v", "version").coalesce(1).write.parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst.get
+      val dst = stage.resolve(s"batch$n.parquet")
+      java.nio.file.Files.move(f, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1100000000000L + n * 60000L))
+    }
+    writeBatch(0, (1L to 10L).map(k => (k, 1.0, 1L)))
+    writeBatch(1, (6L to 15L).map(k => (k, 2.0, 2L)) :+ ((7L, 99.0, 3L)))
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", DoubleType), StructField("version", LongType)))
+    def run(): Unit = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+      val q = UpsertSink.startMergeOnRead(src, lake, Seq("k"), "version", ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val got = Versioned.read(spark, lake).select($"k", $"v")
+      .as[(Long, Double)].collect().toMap
+    assert(got.size == 15 && got(7L) == 99.0 && got(6L) == 2.0 &&
+      got(1L) == 1.0, s"got $got")
+    // THE merge-on-read cost contract: across every commit, no
+    // pre-existing data segment was rewritten or removed — batch 1's
+    // superseding of keys 6-10 cost a sidecar + its own small segment
+    val vs = Versioned.versions(spark, lake)
+    vs.sliding(2).foreach { case Seq(a, b) =>
+      val (_, removed) = Versioned.changedFiles(spark, lake, a, b)
+      assert(removed.isEmpty,
+        s"version $a->$b removed files $removed — a batch must never " +
+          "rewrite pre-existing segments")
+    case _ => () }
+    assert(Versioned.dvDeletedCounts(spark, lake).values.sum == 5L,
+      "exactly the 5 overlapped rows are DV-deleted")
+    // checkpoint restart: a new batch lands incrementally, committed
+    // batches are not reprocessed, state equals ground truth
+    writeBatch(2, Seq((1L, 5.0, 4L), (16L, 5.0, 4L)))
+    val vsBefore = Versioned.versions(spark, lake).size
+    run()
+    assert(Versioned.versions(spark, lake).size == vsBefore + 1,
+      "the restart must process exactly the one new batch")
+    val after = Versioned.read(spark, lake).select($"k", $"v")
+      .as[(Long, Double)].collect().toMap
+    assert(after.size == 16 && after(1L) == 5.0 && after(16L) == 5.0 &&
+      after(7L) == 99.0 && after(15L) == 2.0)
+    // OPTIMIZE folds the sidecars + small segments on schedule
+    spark.conf.set("spark.graft.optimize.minFileBytes", (1L << 20).toString)
+    try spark.sql(s"OPTIMIZE '$lake' COMPACT")
+    finally spark.conf.unset("spark.graft.optimize.minFileBytes")
+    assert(Versioned.dvDeletedCounts(spark, lake).isEmpty,
+      "compaction must fold the deletion vectors away")
+    assert(Versioned.read(spark, lake).select($"k", $"v")
+      .as[(Long, Double)].collect().toMap == after,
+      "folding must not change the table's content")
+  }
+
   test("AggSink folds micro-batches into a Versioned rollup; a replayed " +
     "batch is a no-op and checkpoint restart folds only new batches") {
     import graft.operators.Versioned
