@@ -301,7 +301,7 @@ object Versioned {
   def commitIfAppendRebase(df: DataFrame, table: String,
       meta: Map[String, String], expectedBase: Long,
       bucket: Option[(String, Int)] = None,
-      guard: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+      guard: () => Seq[org.apache.spark.sql.sources.Filter] = () => Nil,
       rebase: Boolean = true): Option[Long] = {
     val spark = df.sparkSession
     val root = new Path(table)
@@ -311,6 +311,10 @@ object Versioned {
     val fullMeta =
       meta ++ bucket.map { case (c, n) => BucketKey -> s"$c/$n" }
     rebaseTestHook()
+    // the guard may cost Spark jobs (source key-bound aggregates) —
+    // evaluate it LAZILY, only when a conflict actually materializes;
+    // the no-conflict hot path must stay jobless
+    lazy val guardFilters = guard()
     try Some(commitManifest(fs, root, fullMeta, { base =>
       if (base == Some(expectedBase)) newLines
       else {
@@ -319,7 +323,7 @@ object Versioned {
         val baseSet = baseLines.toSet
         if (!baseSet.subsetOf(latestLines.toSet))
           throw new RewriteConflict // a base line changed: stale read
-        if (interleavedMayMatch(latestLines, baseLines, guard))
+        if (interleavedMayMatch(latestLines, baseLines, guardFilters))
           throw new RewriteConflict // appended rows may be in scope
         newLines ++ latestLines.filterNot(baseSet)
       }
@@ -501,8 +505,9 @@ object Versioned {
         spec.map { case (c, n) => BucketKey -> s"$c/$n" }
       // under a column mapping the guard's pushed-filter names may sit
       // in either name space — conservatively conflict on ANY
-      // interleave instead (mapped tables are the rare state)
-      val guard =
+      // interleave instead (mapped tables are the rare state). LAZY:
+      // the plan harvest only runs when a conflict materializes.
+      lazy val guard =
         if (mapping.isEmpty) rebaseGuard(spark, physSchema, touchedFiles, cond)
         else Nil
       val committed =
@@ -1758,7 +1763,7 @@ object Versioned {
       // the lines whose sidecar entries were computed — rebase safety
       // hinges on exactly these staying byte-identical in the latest
       val taggedLines = lines.filter(l => counts.contains(parseLine(l)._1))
-      val guard =
+      lazy val guard = // lazy: evaluated only on an actual conflict
         if (mapping.isEmpty) rebaseGuard(spark, physSchema, touchedFiles, cond)
         else Nil // name-space mismatch: conservatively conflict
       val opName = if (post.isDefined) "update" else "delete"

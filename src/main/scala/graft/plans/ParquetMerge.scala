@@ -614,10 +614,10 @@ case class VersionedMergeCommand(path: String, baseVersion: Long,
       // physical-name files would mix with the logical-name snapshot).
       val allowRebase = merge.notMatchedBySourceActions.isEmpty &&
         Versioned.columnMapping(spark, path, Some(baseVersion)).isEmpty
-      val guard = if (allowRebase) low.sourceKeyBounds() else Nil
       Versioned.commitIfAppendRebase(out, path,
         Map("operation" -> "merge"), expectedBase = baseVersion,
-        bucket = spec, guard = guard, rebase = allowRebase) match {
+        bucket = spec, guard = () => low.sourceKeyBounds(),
+        rebase = allowRebase) match {
         case Some(_) => Seq.empty
         case None => throw new IllegalStateException(
           s"MERGE into $path lost the commit race: the table advanced " +
