@@ -165,12 +165,16 @@ object Versioned {
     val spark = df.sparkSession
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // mapping inheritance mirrors [[commit]]; the bucket column is
-    // translated to its physical name (the declared layout is keyed in
-    // the physical space — rename of a bucket column is refused, so
+    // mapping inheritance mirrors [[commit]] (meta-supplied mapping
+    // wins — the DDL paths construct it explicitly); the bucket column
+    // is translated to its physical name (the declared layout is keyed
+    // in the physical space — rename of a bucket column is refused, so
     // the two normally coincide)
     val mapping =
-      if (mode == "append") columnMapping(spark, table)
+      if (meta.contains(ColumnMapping.ColMapKey) ||
+          meta.contains(ColumnMapping.ColDropKey))
+        ColumnMapping.fromMeta(meta)
+      else if (mode == "append") columnMapping(spark, table)
       else ColumnMapping.empty
     val physCol = mapping.physicalOf(bucketCol)
     val spec = Some((physCol, numBuckets))
@@ -681,9 +685,15 @@ object Versioned {
       // must not exist. Within the JVM the mutex makes this check
       // race-free; on HDFS the rename itself is atomic-exclusive.
       val dst = new Path(root, s"$LogDir/$target.manifest")
-      if (!fs.exists(dst) && fs.rename(tmp, dst))
+      if (!fs.exists(dst) && fs.rename(tmp, dst)) {
         committed = target
-      else fs.delete(tmp, false)
+        // the committer KNOWS the bytes it just renamed into place —
+        // seed the cache so the first read of the new version (often
+        // this same process, a heartbeat later) opens nothing
+        val all = metaLines ++ body
+        if (all.sizeIs <= ManifestCacheLineMax)
+          manifestCache.put(cacheKey(fs, root, target), all.toList)
+      } else fs.delete(tmp, false)
     }
     // AFTER the commit point, best-effort: the pointer may only ever
     // name a durably committed version (crash between rename and here
@@ -1251,7 +1261,11 @@ object Versioned {
     // the chain stays resolvable. A crash between this rewrite and the
     // deletes below leaves extra manifests, never a broken chain.
     if (drop.nonEmpty) keep.headOption.foreach(materializeFull(fs, root, _))
-    drop.foreach(v => fs.delete(new Path(root, s"$LogDir/$v.manifest"), false))
+    drop.foreach { v =>
+      fs.delete(new Path(root, s"$LogDir/$v.manifest"), false)
+      invalidateManifest(fs, root, v) // a vacuumed version must not
+      // remain readable from the cache (restore/read must throw)
+    }
     val live = mutable.Set.empty[String] // live segment dir names (uuid)
     keep.foreach(v => readManifest(fs, root, v).foreach { rel =>
       live += rel.split('/')(1) // data/<uuid>/part-... -> uuid
@@ -1303,6 +1317,7 @@ object Versioned {
         require(fs.rename(tmp, dst),
           s"could not materialize checkpoint manifest $dst")
     }
+    invalidateManifest(fs, root, v) // content changed (delta -> full)
   }
 
   private def listVersions(fs: FileSystem, root: Path): Seq[Long] = {
@@ -1942,12 +1957,63 @@ object Versioned {
       }.toMap
   }
 
+  /** Count of PHYSICAL manifest-file opens — test hook proving the
+    * cache bounds read-planning IO (ManifestLogSpec). */
+  private[graft] val manifestReads =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Bounded LRU cache of manifest content keyed by (qualified root,
+    * version). Manifests are IMMUTABLE once committed; the two
+    * in-process mutations — VACUUM's deletes and the checkpoint
+    * materialization — invalidate their keys below. On an object
+    * store every manifest open is a round trip: a delta-chain
+    * resolution walks up to [[CheckpointInterval]] manifests and
+    * DESCRIBE HISTORY touches every version, so repeated planning
+    * over the same versions must not re-pay the log. An
+    * OUT-OF-PROCESS vacuum is invisible to this cache; a stale entry
+    * can only name files that no longer exist, which fails at scan
+    * time — the same TOCTOU window a cache-less read already has.
+    * Snapshot-scale entries (beyond [[ManifestCacheLineMax]] lines)
+    * are served but not retained, bounding memory. */
+  private val ManifestCacheMax = 1024
+  private val ManifestCacheLineMax = 200000
+  private val manifestCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long), List[String]](
+          128, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long), List[String]]): Boolean =
+          size() > ManifestCacheMax
+      })
+
+  private def cacheKey(fs: FileSystem, root: Path, v: Long): (String, Long) =
+    (fs.makeQualified(root).toUri.toString, v)
+
+  private def invalidateManifest(fs: FileSystem, root: Path, v: Long): Unit =
+    manifestCache.remove(cacheKey(fs, root, v))
+
+  /** Test-only: drop every cached manifest. Specs that hand-edit
+    * manifest FILES out-of-band (stat doctoring, commit-time aging)
+    * must call this — mutating a committed manifest in place is
+    * outside the format's contract, exactly as editing a committed
+    * parquet footer under any engine's snapshot cache would be. */
+  private[graft] def clearManifestCache(): Unit = manifestCache.clear()
+
   private def manifestLines(fs: FileSystem, root: Path, v: Long): Seq[String] = {
-    val p = new Path(root, s"$LogDir/$v.manifest")
-    val in = fs.open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().filter(_.nonEmpty).toList
-    finally in.close()
+    val key = cacheKey(fs, root, v)
+    val hit = manifestCache.get(key)
+    if (hit != null) hit
+    else {
+      manifestReads.incrementAndGet()
+      val p = new Path(root, s"$LogDir/$v.manifest")
+      val in = fs.open(p)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).toList
+        finally in.close()
+      if (lines.sizeIs <= ManifestCacheLineMax) manifestCache.put(key, lines)
+      lines
+    }
   }
 
   private def listParquet(fs: FileSystem, dir: Path): Seq[String] =

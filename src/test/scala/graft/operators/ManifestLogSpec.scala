@@ -101,6 +101,36 @@ class ManifestLogSpec extends SparkSpec {
     assert(Versioned.read(spark, t).count() == 100)
   }
 
+  test("the manifest cache bounds read-planning IO: re-planning warm " +
+    "versions and reading a fresh commit open ZERO manifests") {
+    val t = tmpDir("mlog") + "/t"
+    Versioned.commit((1 to 100).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(4), t)
+    (1 to 8).foreach(i =>
+      Versioned.commit(Seq((1000 + i, "a")).toDF("k", "v")
+        .coalesce(1), t, "append"))
+    Versioned.read(spark, t).count() // warm the chain once
+    Versioned.history(spark, t)
+    val before = Versioned.manifestReads.get()
+    Versioned.read(spark, t).count()
+    Versioned.history(spark, t)
+    assert(Versioned.manifestReads.get() == before,
+      "re-planning cached versions must be manifest-IO-free — on an " +
+        "object store every open is a round trip")
+    // a fresh commit seeds the cache with its own bytes: the next
+    // read opens nothing either
+    Versioned.commit(Seq((2000, "z")).toDF("k", "v").coalesce(1),
+      t, "append")
+    val mid = Versioned.manifestReads.get()
+    assert(Versioned.read(spark, t).count() == 109)
+    assert(Versioned.manifestReads.get() == mid,
+      "a committer's own next read must not re-open its manifest")
+    // vacuum invalidates: the dropped version is gone from the cache
+    // (a vacuumed version must throw, not resurrect from memory)
+    Versioned.vacuum(spark, t, keepLast = 2)
+    intercept[Exception] { Versioned.read(spark, t, Some(0)).count() }
+  }
+
   test("vacuum materializes the oldest survivor as a checkpoint: " +
     "surviving deltas stay resolvable after their chain base is dropped") {
     val t = tmpDir("mlog") + "/t"

@@ -106,6 +106,7 @@ class SegmentStatsSpec extends SparkSpec {
     val out = hfs.create(mf, true)
     try out.write(doctored.mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    Versioned.clearManifestCache() // out-of-band manifest edit
     val cand2 = Versioned.maxCandidateFiles(spark, t, "ts")
     assert(cand2.isDefined && cand2.get.size == 2)
     val m2 = spark.read.parquet(cand2.get: _*)
@@ -177,6 +178,7 @@ class SegmentStatsSpec extends SparkSpec {
     val stripped = lines.map(_.split('\t').head).mkString("\n")
     val out = hfs.create(mf, true)
     try out.write(stripped.getBytes("UTF-8")) finally out.close()
+    Versioned.clearManifestCache() // out-of-band manifest edit
     assert(Versioned.fileStats(spark, t).isEmpty)
     assert(Versioned.read(spark, t).count() == 1)
   }

@@ -518,6 +518,7 @@ class VersionedSpec extends SparkSpec {
       val out = fs.create(p, false)
       try out.write(aged.getBytes("UTF-8")) finally out.close()
     }
+    Versioned.clearManifestCache() // out-of-band manifest edits
     val r = spark.sql(s"VACUUM '$t' OLDER THAN 24 HOURS").collect().head
     assert((r.getLong(0), r.getLong(1)) == ((1L, 2L)), r.toString)
     assert(Versioned.versions(spark, t) == Seq(2L))
@@ -537,6 +538,7 @@ class VersionedSpec extends SparkSpec {
     try out2.write(body2.replaceAll("#commit_ts_ms=\\d+",
       s"#commit_ts_ms=$old").getBytes("UTF-8"))
     finally out2.close()
+    Versioned.clearManifestCache() // out-of-band manifest edit
     assert(Versioned.vacuumOlderThan(spark, t2, 1.0) == 0)
     assert(Versioned.read(spark, t2).count() == 1)
   }

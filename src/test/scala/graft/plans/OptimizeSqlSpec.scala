@@ -305,6 +305,7 @@ class OptimizeSqlSpec extends SparkSpec {
     val out = hfs.create(mf, true)
     try out.write(doctored.mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    graft.operators.Versioned.clearManifestCache() // out-of-band edit
     assert(spark.sql(s"DESCRIBE DETAIL '$t'").collect().head.isNullAt(5))
     // plain DESCRIBE still delegates to Spark's own grammar
     Seq((1, "x")).toDF("a", "b").createOrReplaceTempView("det_probe")

@@ -236,6 +236,7 @@ class StatsPruningSpec extends SparkSpec {
     val out = hfs.create(mf, true)
     try out.write(doctored.mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    graft.operators.Versioned.clearManifestCache() // out-of-band edit
     val q2 = c.sql("SELECT count(*) AS n FROM gma.lake.ma")
     assert(!isLocal(q2), q2.queryExecution.executedPlan.toString)
     assert(q2.collect().head.getLong(0) == 5L)
@@ -256,6 +257,7 @@ class StatsPruningSpec extends SparkSpec {
       val out = hfs.create(mf, true)
       try out.write(doctored.mkString("\n").getBytes("UTF-8"))
       finally out.close()
+      graft.operators.Versioned.clearManifestCache() // out-of-band edit
     }
     def probe(tag: String, from: String, to: String): Unit = {
       val rootDir = tmpDir(s"drift$tag")
