@@ -241,8 +241,35 @@ class GraftCatalog extends TableCatalog
     }
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], widened)
+    // Re-ADDing a name whose default physical slot is TOMBSTONED (a
+    // prior DROP) or OCCUPIED (the physical backing a renamed column)
+    // assigns a FRESH physical name — Iceberg's fresh-field-ID
+    // behavior: the new column must never alias old on-disk data.
+    val mapping0 = Versioned.columnMapping(spark, path)
+    val lower = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
+    val taken = scala.collection.mutable.Set.empty[String]
+    taken ++= cur.fieldNames.map(lower)
+    taken ++= cur.fieldNames.map(n => lower(mapping0.physicalOf(n)))
+    taken ++= mapping0.dropped.map(lower)
+    taken ++= mapping0.renames.map(p => lower(p._2))
+    taken ++= adds.map(a => lower(a.fieldNames()(0)))
+    val mapping = adds.foldLeft(mapping0) { (m, a) =>
+      val name = a.fieldNames()(0)
+      val default = m.physicalOf(name)
+      val occupied = !m.logicalOf(default).equalsIgnoreCase(name)
+      if (!m.isDropped(default) && !occupied) m
+      else {
+        var i = 2
+        while (taken.contains(lower(s"${name}_$i"))) i += 1
+        val fresh = s"${name}_$i"
+        graft.operators.ColumnMapping.validateName(fresh)
+        taken += lower(fresh)
+        m.copy(renames = m.renames :+ (name -> fresh))
+      }
+    }
     val meta = Map("operation" -> "add_columns",
-      "columns" -> adds.map(_.fieldNames()(0)).mkString(","))
+      "columns" -> adds.map(_.fieldNames()(0)).mkString(",")) ++
+      mapping.toMeta
     Versioned.bucketSpec(spark, path) match {
       case Some((c, n)) => // the carrier keeps the bucket layout
         Versioned.commitBucketed(empty, path, c, n, "append", meta)

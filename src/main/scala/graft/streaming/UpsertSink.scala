@@ -119,9 +119,16 @@ object UpsertSink {
     val scope: graft.operators.SegmentStats.FileStats => Boolean =
       st => bounds.forall(graft.sources.StatsPruner.mayMatch(st, _))
     // matched rows: DV-delete + the WHOLE batch appended, one commit;
-    // nothing matched: the batch is pure inserts — a plain append
+    // nothing matched: the batch is pure inserts — an append that
+    // must keep a bucketed target's declared layout (a plain append
+    // would silently de-bucket the table and cost every later join
+    // its co-partitioning)
     val matched = Versioned.updateWithDv(spark, path, scope, cond,
       _ => deduped)
-    if (matched == 0L) Versioned.commit(deduped, path, "append")
+    if (matched == 0L) Versioned.bucketSpec(spark, path) match {
+      case Some((c, n)) =>
+        Versioned.commitBucketed(deduped, path, c, n, "append")
+      case None => Versioned.commit(deduped, path, "append")
+    }
   }
 }

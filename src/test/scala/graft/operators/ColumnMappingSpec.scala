@@ -135,6 +135,63 @@ class ColumnMappingSpec extends SparkSpec {
       "the overwrite must write logical names physically")
   }
 
+  test("partial compaction carries the mapping through the physical " +
+    "space; whole-table OPTIMIZE materializes and clears it") {
+    val t = tmpDir("cmap") + "/t"
+    Versioned.commit((1 to 2000).map(i => (i, i * 3L)).toDF("k", "amt")
+      .coalesce(1), t)
+    (1 to 3).foreach(i => Versioned.commit(
+      Seq((10000 + i, 1L)).toDF("k", "amt").coalesce(1), t, "append"))
+    Versioned.renameColumn(spark, t, "amt", "value")
+    // threshold compaction: small files fold, mapping must survive
+    spark.conf.set("spark.graft.optimize.minFileBytes", (1L << 20).toString)
+    try assert(spark.sql(s"OPTIMIZE '$t' COMPACT").count() == 1)
+    finally spark.conf.unset("spark.graft.optimize.minFileBytes")
+    assert(!Versioned.columnMapping(spark, t).isEmpty,
+      "partial compaction must carry the mapping")
+    assert(Versioned.read(spark, t).columns.toSeq == Seq("k", "value"))
+    assert(Versioned.read(spark, t).count() == 2003)
+    // whole-table OPTIMIZE: reads logical, writes logical, clears
+    spark.sql(s"OPTIMIZE '$t' COMPACT")
+    assert(Versioned.columnMapping(spark, t).isEmpty,
+      "a whole-table rewrite must materialize logical names")
+    assert(Versioned.read(spark, t).columns.toSeq == Seq("k", "value"))
+    assert(Versioned.read(spark, t).count() == 2003)
+  }
+
+  test("re-ADDing a dropped or rename-occupied name gets a FRESH " +
+    "physical slot — old on-disk data never resurrects") {
+    val root = tmpDir("cmapreadd")
+    val cat = "cmapre" + math.abs(root.hashCode).toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val td = s"$root/lake/t"
+    Versioned.commit((1 to 5).map(i => (i, s"secret$i", i * 2))
+      .toDF("k", "pii", "score").coalesce(1), td)
+    spark.sql(s"ALTER TABLE $cat.lake.t DROP COLUMN pii")
+    // the re-added pii is a NEW column: NULL on every old row even
+    // though the old files still physically carry a pii column
+    spark.sql(s"ALTER TABLE $cat.lake.t ADD COLUMN pii STRING")
+    assert(spark.sql(s"SELECT count(pii) AS n FROM $cat.lake.t")
+      .as[Long].head == 0L,
+      "dropped data must NOT resurrect into the re-added column")
+    spark.sql(s"INSERT INTO $cat.lake.t VALUES (6, 12, 'fresh')")
+    val got = spark.sql(
+      s"SELECT k, pii FROM $cat.lake.t WHERE pii IS NOT NULL")
+      .as[(Int, String)].collect().toSet
+    assert(got == Set((6, "fresh")))
+    // rename-occupied slot: after k -> row_id, a new column named k
+    // must not alias row_id's on-disk data
+    spark.sql(s"ALTER TABLE $cat.lake.t RENAME COLUMN k TO row_id")
+    spark.sql(s"ALTER TABLE $cat.lake.t ADD COLUMN k BIGINT")
+    assert(spark.sql(s"SELECT count(k) AS n FROM $cat.lake.t")
+      .as[Long].head == 0L,
+      "the re-added k must be independent of row_id's physical data")
+    assert(spark.sql(s"SELECT sum(row_id) AS s FROM $cat.lake.t")
+      .as[Long].head == (1 to 6).sum.toLong)
+  }
+
   test("catalog SQL: ALTER TABLE RENAME/DROP COLUMN, reads and " +
     "INSERTs under the new name, VERSION AS OF under the old") {
     val root = tmpDir("cmapcat")

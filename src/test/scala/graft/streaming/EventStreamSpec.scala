@@ -187,6 +187,28 @@ class EventStreamSpec extends SparkSpec {
       "folding must not change the table's content")
   }
 
+  test("merge-on-read upsert keeps a BUCKETED target's layout on both " +
+    "paths: pure-insert append and DV+append commits") {
+    import graft.operators.Versioned
+    val lake = tmpDir("morbucket") + "/t"
+    Versioned.commitBucketed(
+      (1L to 12L).map(k => (k, k * 1.0, 0L)).toDF("k", "v", "version"),
+      lake, "k", 4)
+    // pure inserts (no key overlap): the matched==0 append path
+    UpsertSink.upsertBatchMor(spark, lake, Seq("k"),
+      Seq((20L, 1.0, 1L), (21L, 1.0, 1L)).toDF("k", "v", "version"))
+    assert(Versioned.bucketSpec(spark, lake).contains(("k", 4)),
+      "a pure-insert batch must not de-bucket the table")
+    // overlapping keys: the DV+append path
+    UpsertSink.upsertBatchMor(spark, lake, Seq("k"),
+      Seq((1L, 99.0, 2L), (30L, 2.0, 2L)).toDF("k", "v", "version"))
+    assert(Versioned.bucketSpec(spark, lake).contains(("k", 4)))
+    val got = Versioned.read(spark, lake).select($"k", $"v")
+      .as[(Long, Double)].collect().toMap
+    assert(got.size == 15 && got(1L) == 99.0 && got(30L) == 2.0 &&
+      got(20L) == 1.0 && got(2L) == 2.0)
+  }
+
   test("AggSink folds micro-batches into a Versioned rollup; a replayed " +
     "batch is a no-op and checkpoint restart folds only new batches") {
     import graft.operators.Versioned
