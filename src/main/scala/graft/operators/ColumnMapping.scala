@@ -25,10 +25,12 @@ import org.apache.spark.sql.functions.col
   *    materialization point that restores the mapping-free fast scan
   *    path.
   *
-  * A tombstoned physical name can never be written again: re-adding a
-  * same-named column is refused with a naming hint rather than
-  * silently resurrecting old data (the failure Iceberg's fresh field
-  * IDs exist to prevent).
+  * A tombstoned (or rename-occupied) physical name can never be
+  * written again: the write path refuses the collision, and the ADD
+  * COLUMN DDL assigns a FRESH physical slot for a re-added name — the
+  * new column reads NULL on old rows rather than silently
+  * resurrecting old data (the failure Iceberg's fresh field IDs
+  * exist to prevent).
   */
 final case class ColumnMapping(renames: Seq[(String, String)],
     dropped: Seq[String]) {

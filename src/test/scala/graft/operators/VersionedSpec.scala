@@ -445,35 +445,48 @@ class VersionedSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
-  test("property: random commit/append/restore/vacuum sequences keep " +
-    "every readable version equal to the model (ScalaCheck)") {
+  test("property: random commit/append/restore/rename/vacuum sequences " +
+    "keep every readable version equal to the model — column name " +
+    "included (ScalaCheck over the delta log + column mapping)") {
     import org.scalacheck.{Gen, Prop}
     import org.scalacheck.Test.{check, Parameters}
-    // ops: 0=overwrite, 1=append, 2=restore(to), 3=vacuum(keep)
     val opGen = Gen.oneOf(
       Gen.choose(1, 3).map(n => ("overwrite", n)),
       Gen.choose(1, 3).map(n => ("append", n)),
       Gen.choose(0, 10).map(i => ("restore", i)),
+      Gen.const(("rename", 0)),
       Gen.choose(1, 3).map(k => ("vacuum", k)))
     val seqGen = Gen.listOfN(8, opGen)
     var case_ = 0
     val prop = Prop.forAll(seqGen) { ops =>
       case_ += 1
       val t = tmpDir("versprop") + s"/t$case_"
-      // model: committed version -> multiset of rows (as sorted Seq)
-      val model = scala.collection.mutable.Map.empty[Long, Seq[Int]]
+      // model: version -> (logical column name, sorted row multiset).
+      // Renames are metadata-only commits; appends must speak the
+      // CURRENT logical name; an overwrite materializes back to "x";
+      // restore reinstates the target's name along with its rows.
+      val model = scala.collection.mutable.Map.empty[Long, (String, Seq[Int])]
       var next = 0
+      var renameN = 0
+      def latest: Option[(String, Seq[Int])] =
+        model.keys.toSeq.sorted.lastOption.map(model)
       ops.foreach {
         case ("overwrite", n) =>
           val rows = (next until next + n).toSeq; next += n
           val v = Versioned.commit(rows.toDF("x"), t)
-          model(v) = rows.sorted
+          model(v) = ("x", rows.sorted)
         case ("append", n) =>
           val rows = (next until next + n).toSeq; next += n
-          val base = model.keys.toSeq.sorted.lastOption
-            .map(model).getOrElse(Seq.empty)
-          val v = Versioned.commit(rows.toDF("x"), t, "append")
-          model(v) = (base ++ rows).sorted
+          val (nm, base) = latest.getOrElse(("x", Seq.empty))
+          val v = Versioned.commit(rows.toDF(nm), t, "append")
+          model(v) = (nm, (base ++ rows).sorted)
+        case ("rename", _) =>
+          latest.foreach { case (nm, rows) =>
+            renameN += 1
+            val newNm = s"x$renameN"
+            val v = Versioned.renameColumn(spark, t, nm, newNm)
+            model(v) = (newNm, rows)
+          }
         case ("restore", i) =>
           val live = model.keys.toSeq.sorted
           if (live.nonEmpty) {
@@ -488,9 +501,10 @@ class VersionedSpec extends SparkSpec {
             model.keys.toSeq.filterNot(keep).foreach(model.remove)
           }
       }
-      model.forall { case (v, rows) =>
-        Versioned.read(spark, t, Some(v))
-          .collect().map(_.getInt(0)).sorted.toSeq == rows
+      model.forall { case (v, (nm, rows)) =>
+        val df = Versioned.read(spark, t, Some(v))
+        df.columns.toSeq == Seq(nm) &&
+          df.collect().map(_.getInt(0)).sorted.toSeq == rows
       } && (Versioned.versions(spark, t).sorted == model.keys.toSeq.sorted)
     }
     val res = check(Parameters.default.withMinSuccessfulTests(10), prop)
