@@ -923,7 +923,10 @@ object Versioned {
     require(fromV <= toV, s"fromV $fromV > toV $toV")
     val (added, _) = changedFiles(spark, table, fromV, toV)
     if (added.isEmpty) read(spark, table, Some(toV)).limit(0)
-    else spark.read.option("mergeSchema", "true").parquet(added: _*)
+    else columnMapping(spark, table, Some(toV)).applyRead(
+      // added files carry PHYSICAL column names; the feed's consumers
+      // speak toV's logical view — same projection as [[read]]
+      spark.read.option("mergeSchema", "true").parquet(added: _*))
   }
 
   /** (added, removed) absolute file paths between two versions. */

@@ -135,6 +135,25 @@ class ColumnMappingSpec extends SparkSpec {
       "the overwrite must write logical names physically")
   }
 
+  test("the change feeds speak the logical view: file-level changes " +
+    "and the row-level feed both surface renamed names") {
+    val t = tmpDir("cmap") + "/t"
+    Versioned.commit(Seq((1, 10L)).toDF("k", "amt").coalesce(1), t) // v0
+    Versioned.renameColumn(spark, t, "amt", "price")                // v1
+    Versioned.commit(Seq((2, 20L)).toDF("k", "price").coalesce(1),
+      t, "append")                                                  // v2
+    val fileFeed = Versioned.changes(spark, t, 1, 2)
+    assert(fileFeed.columns.toSeq == Seq("k", "price"),
+      "the appended file carries the physical name — the feed must " +
+        "project it to the logical view")
+    assert(fileFeed.select($"k", $"price").as[(Int, Long)]
+      .collect().toSet == Set((2, 20L)))
+    val rowFeed = Versioned.rowChanges(spark, t, 0, 2)
+    assert(rowFeed.columns.take(2).toSeq == Seq("k", "price"))
+    assert(rowFeed.where($"_change_type" === "insert").count() == 1,
+      "the rename itself is metadata-only: no change rows")
+  }
+
   test("partial compaction carries the mapping through the physical " +
     "space; whole-table OPTIMIZE materializes and clears it") {
     val t = tmpDir("cmap") + "/t"
