@@ -729,6 +729,78 @@ object Versioned {
       _ => lines)
   }
 
+  /** Zero-copy SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW CLONE`):
+    * commit version 0 of `dst` whose manifest re-references `src`'s
+    * files (and dv sidecars) by ABSOLUTE path — no data moves, so a
+    * dev/test copy of a 100 TB table costs ONE manifest write. The
+    * manifest grammar already tolerates absolute entries: `new
+    * Path(root, child)` resolves an absolute child to itself, so every
+    * read/DML/OPTIMIZE path works unchanged. The clone then evolves
+    * independently — appends and COW rewrites land under its OWN root
+    * (replacing absolute refs with local segments as they touch them),
+    * and its VACUUM can only ever sweep clone-local segment dirs.
+    * Stats, dv refs, the bucket layout and the column mapping are all
+    * carried, so SPJ and logical-view reads hold on the clone.
+    *
+    * The shallow-clone caveat every engine shares applies: VACUUM on
+    * the SOURCE can remove files the clone still references (the
+    * clone's reads then fail at scan time). OPTIMIZE on the clone
+    * localizes it (rewritten data lands clone-side). Returns the
+    * clone's committed version (0). */
+  def shallowClone(spark: SparkSession, src: String, dst: String,
+      version: Option[Long] = None): Long = {
+    val srcRoot = new Path(src)
+    val sfs = srcRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = version.orElse(latestVersion(sfs, srcRoot)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $src"))
+    val lines = readFileLines(sfs, srcRoot, v)
+    require(lines.nonEmpty, s"version $v of $src is empty")
+    val dstRoot = new Path(dst)
+    val dfs = dstRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(latestVersion(dfs, dstRoot).isEmpty,
+      s"clone target $dst already has committed versions")
+    require(sfs.makeQualified(srcRoot).toUri.getPath !=
+      dfs.makeQualified(dstRoot).toUri.getPath,
+      "cannot clone a table onto itself")
+    def absolutize(rel: String): String =
+      if (rel.startsWith("/")) rel // clone-of-clone: already absolute
+      else sfs.makeQualified(new Path(srcRoot, rel)).toUri.getPath
+    // Deletion-vector sidecars are REWRITTEN clone-side (not
+    // re-referenced): their entries key deleted rows by the SOURCE's
+    // relative file paths, which must become the absolute paths the
+    // clone's manifest lines carry or the read overlay would silently
+    // skip nothing. Sidecars are O(deleted rows) by design — the one
+    // part of a clone that copies bytes, and the reason its vacuum
+    // lifecycle is clone-local from birth.
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    val srcPrefix = sfs.makeQualified(srcRoot).toUri.getPath
+    val dvMap: Map[String, String] =
+      lines.flatMap(parseLine(_)._3.map(_._1)).distinct.map { d =>
+        val newRel = s"dv/${java.util.UUID.randomUUID()}"
+        readDvEntries(spark, srcRoot, Seq(d))
+          .select(
+            when(col(DvFileCol).startsWith("/"), col(DvFileCol))
+              .otherwise(concat(lit(srcPrefix + "/"), col(DvFileCol)))
+              .as(DvFileCol),
+            col(DvIdxCol))
+          .write.parquet(new Path(dstRoot, newRel).toString)
+        d -> newRel
+      }.toMap
+    val absLines = lines.map { line =>
+      val (rel, stats, refs) = parseLine(line)
+      (Seq(absolutize(rel)) ++ stats.toSeq ++
+        refs.map { case (d, n) => s"dv=${dvMap(d)}:$n" })
+        .mkString("\t")
+    }
+    val srcMeta = readMeta(spark, src, v)
+    val meta = Map("operation" -> "clone",
+      "clone_of" -> sfs.makeQualified(srcRoot).toUri.getPath,
+      "clone_version" -> v.toString) ++
+      ColumnMapping.fromMeta(srcMeta).toMeta ++
+      parseBucketMeta(srcMeta).map { case (c, n) => BucketKey -> s"$c/$n" }
+    commitManifest(dfs, dstRoot, meta, _ => absLines)
+  }
+
   /** DESCRIBE HISTORY surface: one row per committed version —
     * (version, committed_at from the manifest's embedded commit time
     * — mtime only for legacy manifests — n_files, meta

@@ -46,6 +46,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       parseChanges(sqlText)
     else if (restorePrefix.matcher(sqlText).lookingAt())
       parseRestore(sqlText)
+    else if (clonePrefix.matcher(sqlText).lookingAt())
+      parseClone(sqlText)
     // quoted-path DML: only the UPDATE '…' / DELETE FROM '…' spelling
     // is ours (snapshot tables); table-name DML stays the delegate's
     // (ResolveParquetMerge handles catalog parquet tables)
@@ -175,6 +177,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     fail(sqlText, "expected RESTORE '<path>' TO VERSION <n>")
   }
 
+  private def parseClone(sqlText: String): LogicalPlan = {
+    val c = cloneStmt.matcher(sqlText)
+    if (c.matches())
+      return CloneVersionedCommand(c.group(1), c.group(2),
+        Option(c.group(3)).map(_.toLong))
+    fail(sqlText,
+      "expected CLONE '<src path>' TO '<dst path>' [VERSION AS OF n]")
+  }
+
   /** Malformed OPTIMIZE: let the DELEGATE produce the ParseException
     * (OPTIMIZE is not in Spark's grammar), so error shape/metadata match
     * every other syntax error the user sees. */
@@ -222,6 +233,11 @@ object GraftSqlParser {
     java.util.regex.Pattern.compile("""\s*(?i:RESTORE)\b""")
   private val restoreStmt = java.util.regex.Pattern.compile(
     """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*;?\s*""")
+  private val clonePrefix =
+    java.util.regex.Pattern.compile("""\s*(?i:CLONE)\b""")
+  private val cloneStmt = java.util.regex.Pattern.compile(
+    """(?is)\s*CLONE\s+'([^']+)'\s+TO\s+'([^']+)'""" +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""")
   private val updatePathPrefix =
     java.util.regex.Pattern.compile("""\s*(?i:UPDATE)\s+'""")
   private val updatePathStmt = java.util.regex.Pattern.compile(
@@ -424,6 +440,31 @@ case class RestoreVersionedCommand(path: String, v: Long)
   override def run(spark: SparkSession): Seq[Row] = {
     val nv = graft.operators.Versioned.restore(spark, path, v)
     Seq(Row(v, nv))
+  }
+}
+
+/** `CLONE '<src>' TO '<dst>' [VERSION AS OF n]` — zero-copy shallow
+  * clone ([[graft.operators.Versioned.shallowClone]]): one manifest
+  * write re-referencing the source's files absolutely; the clone then
+  * evolves independently. Returns (source version cloned, the clone's
+  * new version). */
+case class CloneVersionedCommand(src: String, dst: String,
+    version: Option[Long]) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.LongType
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("cloned_version", LongType, nullable = false)(),
+      AttributeReference("new_version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val sv = version.getOrElse(
+      graft.operators.Versioned.versions(spark, src).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed version in $src")))
+    val nv = graft.operators.Versioned.shallowClone(spark, src, dst,
+      Some(sv))
+    Seq(Row(sv, nv))
   }
 }
 

@@ -571,6 +571,51 @@ object SourceQueries {
               ELSE 0 END) AS BIGINT) AS total_cents
         FROM orders""")),
 
+    // ---- VT11 zero-copy shallow clone: DV-delete a slice on the
+    // source, CLONE it (one manifest write, no data copied — proven
+    // by a require on the clone's data dir), then COW-DELETE another
+    // slice on the CLONE only. The clone must see the source's
+    // deletion vectors and its own delete; the source must see
+    // neither the clone's delete nor any file change. Output: exact
+    // integer counts/cents from both tables in one row.
+    "vt11_shallow_clone" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val V = graft.operators.Versioned
+        val roots = stages.computeIfAbsent(s"$dir|vt11|clone", { _ =>
+          val root = java.nio.file.Files
+            .createTempDirectory("vt11").toString
+          val src = s"$root/src"; val dst = s"$root/dst"
+          V.commit(
+            t(s, dir, "orders").select($"o_orderkey",
+              graft.functions.Exact.cents($"o_totalprice")
+                .as("price_cents")).repartition(4), src)
+          V.deleteWithDv(s, src, _ => true, $"o_orderkey" % 7 === 0)
+          val srcFiles = V.versionFiles(s, src).toSet
+          s.sql(s"CLONE '$src' TO '$dst'")
+          require(!new java.io.File(s"$dst/data").exists(),
+            "a shallow clone must copy zero data segments")
+          s.sql(s"DELETE FROM '$dst' WHERE o_orderkey % 5 = 0")
+          require(V.versionFiles(s, src).toSet == srcFiles,
+            "the clone's DML must not touch one source file")
+          root
+        })
+        val srcDf = V.read(s, s"$roots/src")
+        val dstDf = V.read(s, s"$roots/dst")
+        dstDf.agg(count(lit(1)).as("clone_rows"),
+            sum($"price_cents").cast("long").as("clone_cents"))
+          .crossJoin(srcDf.agg(count(lit(1)).as("src_rows")))
+      },
+      Some("""SELECT
+          CAST(sum(CASE WHEN o_orderkey % 7 <> 0 AND o_orderkey % 5 <> 0
+            THEN 1 ELSE 0 END) AS BIGINT) AS clone_rows,
+          CAST(sum(CASE WHEN o_orderkey % 7 <> 0 AND o_orderkey % 5 <> 0
+            THEN CAST(round(o_totalprice*100) AS BIGINT)
+            ELSE 0 END) AS BIGINT) AS clone_cents,
+          CAST(sum(CASE WHEN o_orderkey % 7 <> 0
+            THEN 1 ELSE 0 END) AS BIGINT) AS src_rows
+        FROM orders""")),
+
     // ---- VT6 metadata-only aggregates (sources.ManifestAggregates):
     // a filterless global COUNT/COUNT(col)/MIN/MAX over a catalog
     // snapshot table is answered from the manifest's per-file stats —
