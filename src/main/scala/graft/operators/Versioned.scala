@@ -729,6 +729,50 @@ object Versioned {
       _ => lines)
   }
 
+  /** In-place CONVERT of an existing plain-parquet directory into the
+    * snapshot format (Delta's `CONVERT TO DELTA`): version 0 is
+    * committed referencing the DIRECTORY'S OWN files — nothing is
+    * rewritten or moved, so importing a 100 TB landing dir into the
+    * lake costs one stats harvest (a footer read per file, the
+    * distributed path for many files) plus one manifest write. From
+    * then on the dir has time travel, atomic commits, stats skipping,
+    * DML and OPTIMIZE like any native table; rewrites land under the
+    * standard `data/<uuid>` layout, progressively migrating the
+    * physical files. The ORIGINAL imported files sit outside `data/`
+    * and are therefore never swept by VACUUM even once unreferenced —
+    * the conservative choice for files the format didn't create.
+    *
+    * HIVE-PARTITIONED layouts (`k=v` subdirectories) are refused: the
+    * partition VALUES live in directory names, not in the files, so a
+    * file-list import would silently drop those columns. Read such
+    * dirs through Spark's own partition discovery and commit the
+    * DataFrame instead. Returns the committed version (0). */
+  def convert(spark: SparkSession, dir: String): Long = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root) && fs.getFileStatus(root).isDirectory,
+      s"$dir is not a directory")
+    require(latestVersion(fs, root).isEmpty,
+      s"$dir already has a manifest log — it IS a snapshot table")
+    val (files, dirs) = fs.listStatus(root).toSeq
+      .filterNot(_.getPath.getName.startsWith("_")) // _SUCCESS etc.
+      .partition(!_.isDirectory)
+    require(dirs.isEmpty,
+      s"$dir has subdirectories (${dirs.map(_.getPath.getName).take(3)
+        .mkString(", ")}…) — a hive-partitioned layout's partition " +
+        "values live in dir names and would be lost; read it with " +
+        "partition discovery and commit the DataFrame instead")
+    val parquet = files.map(_.getPath.toString)
+      .filter(_.endsWith(".parquet"))
+    require(parquet.nonEmpty, s"no parquet files in $dir")
+    val statsByAbs = SegmentStats.collect(spark, parquet)
+    val lines = parquet.map { abs =>
+      val rel = relativize(fs, root, abs)
+      statsByAbs.get(abs).map(s => s"$rel\t$s").getOrElse(rel)
+    }
+    commitManifest(fs, root, Map("operation" -> "convert"), _ => lines)
+  }
+
   /** Zero-copy SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW CLONE`):
     * commit version 0 of `dst` whose manifest re-references `src`'s
     * files (and dv sidecars) by ABSOLUTE path — no data moves, so a

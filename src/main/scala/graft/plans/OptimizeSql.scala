@@ -48,6 +48,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       parseRestore(sqlText)
     else if (clonePrefix.matcher(sqlText).lookingAt())
       parseClone(sqlText)
+    else if (convertPrefix.matcher(sqlText).lookingAt())
+      parseConvert(sqlText)
     // quoted-path DML: only the UPDATE '…' / DELETE FROM '…' spelling
     // is ours (snapshot tables); table-name DML stays the delegate's
     // (ResolveParquetMerge handles catalog parquet tables)
@@ -186,6 +188,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       "expected CLONE '<src path>' TO '<dst path>' [VERSION AS OF n]")
   }
 
+  private def parseConvert(sqlText: String): LogicalPlan = {
+    val c = convertStmt.matcher(sqlText)
+    if (c.matches()) return ConvertVersionedCommand(c.group(1))
+    fail(sqlText, "expected CONVERT '<parquet dir>' TO GRAFT")
+  }
+
   /** Malformed OPTIMIZE: let the DELEGATE produce the ParseException
     * (OPTIMIZE is not in Spark's grammar), so error shape/metadata match
     * every other syntax error the user sees. */
@@ -235,6 +243,10 @@ object GraftSqlParser {
     """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*;?\s*""")
   private val clonePrefix =
     java.util.regex.Pattern.compile("""\s*(?i:CLONE)\b""")
+  private val convertPrefix =
+    java.util.regex.Pattern.compile("""\s*(?i:CONVERT)\b""")
+  private val convertStmt = java.util.regex.Pattern.compile(
+    """(?is)\s*CONVERT\s+'([^']+)'\s+TO\s+GRAFT\s*;?\s*""")
   private val cloneStmt = java.util.regex.Pattern.compile(
     """(?is)\s*CLONE\s+'([^']+)'\s+TO\s+'([^']+)'""" +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""")
@@ -440,6 +452,28 @@ case class RestoreVersionedCommand(path: String, v: Long)
   override def run(spark: SparkSession): Seq[Row] = {
     val nv = graft.operators.Versioned.restore(spark, path, v)
     Seq(Row(v, nv))
+  }
+}
+
+/** `CONVERT '<dir>' TO GRAFT` — in-place import of a plain parquet
+  * directory into the snapshot format
+  * ([[graft.operators.Versioned.convert]]): version 0 references the
+  * dir's own files, nothing is rewritten. Returns (new version,
+  * files imported). */
+case class ConvertVersionedCommand(path: String)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.LongType
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("files_imported", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = graft.operators.Versioned.convert(spark, path)
+    val n = graft.operators.Versioned
+      .versionFiles(spark, path, Some(v)).size.toLong
+    Seq(Row(v, n))
   }
 }
 

@@ -616,6 +616,47 @@ object SourceQueries {
             THEN 1 ELSE 0 END) AS BIGINT) AS src_rows
         FROM orders""")),
 
+    // ---- VT12 in-place CONVERT: a plain parquet landing dir becomes
+    // a snapshot table referencing its own files (zero rewrites —
+    // proven by a byte-identity require), then a stats-scoped DELETE
+    // runs on it like any native table. Output: exact counts/cents.
+    "vt12_convert" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val V = graft.operators.Versioned
+        val table = stages.computeIfAbsent(s"$dir|vt12|convert", { _ =>
+          val root = java.nio.file.Files
+            .createTempDirectory("vt12").toString
+          val landing = s"$root/landing"
+          t(s, dir, "orders").select($"o_orderkey",
+            graft.functions.Exact.cents($"o_totalprice")
+              .as("price_cents"))
+            .repartition(4).write.parquet(landing)
+          val fs = new org.apache.hadoop.fs.Path(landing)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          def bytes() = fs.listStatus(
+            new org.apache.hadoop.fs.Path(landing))
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .map(st => st.getPath.getName -> st.getLen).toMap
+          val before = bytes()
+          s.sql(s"CONVERT '$landing' TO GRAFT")
+          require(bytes() == before,
+            "CONVERT must not touch one data byte")
+          s.sql(s"DELETE FROM '$landing' WHERE o_orderkey % 9 = 0")
+          landing
+        })
+        V.read(s, table)
+          .agg(count(lit(1)).as("n_rows"),
+            sum($"price_cents").cast("long").as("total_cents"))
+      },
+      Some("""SELECT
+          CAST(sum(CASE WHEN o_orderkey % 9 <> 0
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_rows,
+          CAST(sum(CASE WHEN o_orderkey % 9 <> 0
+            THEN CAST(round(o_totalprice*100) AS BIGINT)
+            ELSE 0 END) AS BIGINT) AS total_cents
+        FROM orders""")),
+
     // ---- VT6 metadata-only aggregates (sources.ManifestAggregates):
     // a filterless global COUNT/COUNT(col)/MIN/MAX over a catalog
     // snapshot table is answered from the manifest's per-file stats —
