@@ -44,9 +44,19 @@ object Versioned {
     * a manifest may store delta actions rather than the full list. */
   private[graft] val NFilesKey = "n_files"
 
+  /** Reader-protocol version this code understands (Delta's
+    * min_reader_version discipline): every commit stamps
+    * `#reader=<n>`, and resolution REFUSES a manifest stamped higher —
+    * a future format feature (new action kinds, changed line
+    * semantics) must fail loudly on old readers, never be silently
+    * misread as the subset they happen to parse. Absent header =
+    * protocol 1 (all pre-protocol manifests). */
+  private[graft] val ReaderProtocol = 1
+  private[graft] val ReaderKey = "reader"
+
   /** Header keys owned by the log layer — never surfaced as user meta
     * by [[readMeta]]/[[history]]. */
-  private val SystemKeys = Set(CommitTsKey, NFilesKey)
+  private val SystemKeys = Set(CommitTsKey, NFilesKey, ReaderKey)
 
   /** Marker header of a DELTA manifest. Deliberately `=`-free: the
     * meta parser only yields `k=v` pairs, so the marker can never leak
@@ -674,7 +684,8 @@ object Versioned {
       // chain replay for DESCRIBE HISTORY to stay one read per version.
       val stamped = meta +
         (CommitTsKey -> System.currentTimeMillis.toString) +
-        (NFilesKey -> newLines.size.toString)
+        (NFilesKey -> newLines.size.toString) +
+        (ReaderKey -> ReaderProtocol.toString)
       val metaLines = stamped.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
       val lines = (metaLines ++ body).mkString("\n")
       val tmp = new Path(root,
@@ -1542,9 +1553,22 @@ object Versioned {
     * rel-keyed ordered fold, so resolution order is deterministic:
     * checkpoint order first, adds appended, in-place line replacements
     * (a file gaining a dv= ref) keep their position. */
+  /** Refuse manifests stamped with a reader protocol above what this
+    * code understands — the forward-compat gate for the line grammar. */
+  private def checkReader(root: Path, v: Long, lines: Seq[String]): Unit =
+    lines.collectFirst { case l if l.startsWith(s"#$ReaderKey=") =>
+      l.stripPrefix(s"#$ReaderKey=") }
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .filter(_ > ReaderProtocol)
+      .foreach(n => throw new IllegalStateException(
+        s"version $v of $root requires reader protocol $n; this build " +
+          s"understands up to $ReaderProtocol — upgrade before reading " +
+          "(refusing beats silently misreading a newer line grammar)"))
+
   private def resolveWithDepth(fs: FileSystem, root: Path,
       v: Long): (Seq[String], Int) = {
     val cur = manifestLines(fs, root, v)
+    checkReader(root, v, cur)
     if (!cur.contains(DeltaMarker))
       return (cur.filterNot(_.startsWith("#")), 0)
     // collect the delta chain newest-first, then the checkpoint base
@@ -1556,6 +1580,7 @@ object Versioned {
         s"delta chain of version $v in $root reaches below version 0 " +
           "without a checkpoint — truncated or hand-damaged log")
       val m = manifestLines(fs, root, w)
+      checkReader(root, w, m) // a newer-protocol link poisons the chain
       if (m.contains(DeltaMarker)) { chain += m; w -= 1 }
       else baseLines = m.filterNot(_.startsWith("#"))
     }

@@ -101,6 +101,30 @@ class ManifestLogSpec extends SparkSpec {
     assert(Versioned.read(spark, t).count() == 100)
   }
 
+  test("reader protocol: a manifest stamped by a NEWER writer refuses " +
+    "loudly instead of being silently misread") {
+    val t = tmpDir("mlog") + "/t"
+    Versioned.commit(Seq((1, "a")).toDF("k", "v").coalesce(1), t)
+    Versioned.commit(Seq((2, "b")).toDF("k", "v").coalesce(1), t, "append")
+    // meta surfaces stay clean of the protocol stamp
+    assert(Versioned.readMeta(spark, t, 1L) == Map.empty)
+    assert(Versioned.history(spark, t).forall(!_._4.contains("reader")))
+    // forge a future-protocol manifest on top
+    val fs = fsOf(t)
+    val p = new Path(s"$t/_graft_log/2.manifest")
+    val out = fs.create(p, false)
+    try out.write("#reader=99\n#commit_ts_ms=1\ndata/x/f.parquet"
+      .getBytes("UTF-8"))
+    finally out.close()
+    Versioned.clearManifestCache()
+    val e = intercept[IllegalStateException] {
+      Versioned.read(spark, t).count()
+    }
+    assert(e.getMessage.contains("reader protocol 99"))
+    // older versions stay readable — only the future commit refuses
+    assert(Versioned.read(spark, t, Some(1)).count() == 2)
+  }
+
   test("the manifest cache bounds read-planning IO: re-planning warm " +
     "versions and reading a fresh commit open ZERO manifests") {
     val t = tmpDir("mlog") + "/t"
