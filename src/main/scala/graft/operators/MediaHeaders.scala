@@ -136,26 +136,31 @@ object MediaHeaders {
     * rate LE32 at +4, byte rate LE32 at +8, bits/sample LE16 at +14)
     * and `data` (payload size → duration = size / byteRate). */
   private def parseWav(b: Array[Byte]): Header = {
-    var i = 12
+    // All offset arithmetic in Long: le32 yields [0, 2^32), and a
+    // crafted chunk size near 2^32 must neither overflow Int (stalling
+    // the walk at a fixed offset — a non-terminating executor task the
+    // NonFatal catch can't interrupt) nor wrap the cursor.
+    var i = 12L
     var channels, sampleRate, bits = -1
     var byteRate = -1L
     var dataSize = -1L
     while (i + 8 <= b.length && (channels < 0 || dataSize < 0)) {
-      val id = new String(b, i, 4, "US-ASCII")
-      val size = le32(b, i + 4)
-      if (size < 0) return Unknown
+      val id = new String(b, i.toInt, 4, "US-ASCII")
+      val size = le32(b, i.toInt + 4)
       if (id == "fmt ") {
         if (i + 8 + 16 > b.length) return Unknown
-        channels = le16(b, i + 10)
-        sampleRate = le32(b, i + 12).toInt
-        byteRate = le32(b, i + 16)
-        bits = le16(b, i + 22)
+        channels = le16(b, i.toInt + 10)
+        sampleRate = le32(b, i.toInt + 12).toInt
+        byteRate = le32(b, i.toInt + 16)
+        bits = le16(b, i.toInt + 22)
       } else if (id == "data") {
         // the declared size is authoritative even when the payload is
         // truncated on disk — headers describe the logical stream
         dataSize = size
       }
-      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      val next = i + 8 + size + (size & 1) // chunks are word-aligned
+      if (next <= i) return Unknown // crafted size: no forward progress
+      i = next
     }
     if (channels <= 0 || sampleRate <= 0 || bits <= 0 || dataSize < 0)
       return Unknown

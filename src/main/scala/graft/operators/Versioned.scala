@@ -333,6 +333,12 @@ object Versioned {
       if (base == Some(expectedBase)) newLines
       else {
         if (!rebase) throw new RewriteConflict
+        // enforce the documented contract HERE, not in callers: a
+        // mapped table's snapshot carries logical names while carried
+        // appended lines keep physical names — rebasing would mix the
+        // two name spaces in one version, so always refuse
+        if (!columnMapping(spark, table, base).isEmpty)
+          throw new RewriteConflict
         val latestLines = base.toSeq.flatMap(readFileLines(fs, root, _))
         val baseSet = baseLines.toSet
         if (!baseSet.subsetOf(latestLines.toSet))
@@ -962,6 +968,9 @@ object Versioned {
       s"cannot rename bucket column $oldName — the bucket layout " +
         "contract is keyed by it; de-bucket (plain overwrite) first")
     val phys = mapping.physicalOf(oldName)
+    // an unencodable on-disk name must fail HERE, not be silently
+    // dropped by fromMeta on the next read (mirrors dropColumn)
+    ColumnMapping.validateName(phys)
     val updated = mapping.copy(renames = mapping.renames
       .filterNot(_._1.equalsIgnoreCase(oldName)) :+ (newName -> phys))
     commitMetadataOnly(fs, root, spark, table, v,
@@ -1398,7 +1407,12 @@ object Versioned {
     }
     val live = mutable.Set.empty[String] // live segment dir names (uuid)
     keep.foreach(v => readManifest(fs, root, v).foreach { rel =>
-      live += rel.split('/')(1) // data/<uuid>/part-... -> uuid
+      // only `data/<uuid>/...` rels name a sweepable segment dir;
+      // CONVERTed tables commit top-level imported rels (e.g.
+      // `part-0000.parquet`) with no '/', which never live under
+      // data/ and must not crash the sweep
+      val segs = rel.split('/')
+      if (segs.length >= 2 && segs(0) == "data") live += segs(1)
     })
     val dataRoot = new Path(root, "data")
     if (fs.exists(dataRoot)) fs.listStatus(dataRoot).foreach { st =>
@@ -1410,7 +1424,8 @@ object Versioned {
     val liveDv = mutable.Set.empty[String]
     keep.foreach(v => readFileLines(fs, root, v).foreach { line =>
       parseLine(line)._3.foreach { case (dvRel, _) =>
-        liveDv += dvRel.split('/')(1) // dv/<uuid> -> uuid
+        val segs = dvRel.split('/') // dv/<uuid>/... -> uuid, defensively
+        if (segs.length >= 2 && segs(0) == "dv") liveDv += segs(1)
       }
     })
     val dvRoot = new Path(root, "dv")
@@ -1742,7 +1757,8 @@ object Versioned {
     * matches commits nothing. */
   def deleteWithDv(spark: SparkSession, table: String,
       mayTouch: SegmentStats.FileStats => Boolean, cond: Column): Long =
-    mergeOnRead(spark, table, mayTouch, cond, None)
+    mergeOnRead(spark, table, mayTouch, _.where(cond),
+      (schema, files) => rebaseGuard(spark, schema, files, cond), None)
 
   /** Size-thresholded partial compaction (Delta's OPTIMIZE bin-pack
     * discipline): only data files SMALLER than `minBytes` are read
@@ -1835,7 +1851,36 @@ object Versioned {
   def updateWithDv(spark: SparkSession, table: String,
       mayTouch: SegmentStats.FileStats => Boolean, cond: Column,
       transform: DataFrame => DataFrame): Long =
-    mergeOnRead(spark, table, mayTouch, cond, Some(transform))
+    mergeOnRead(spark, table, mayTouch, _.where(cond),
+      (schema, files) => rebaseGuard(spark, schema, files, cond),
+      Some(transform))
+
+  /** [[updateWithDv]] matched by KEY-TUPLE membership instead of a
+    * predicate Column: rows whose `keys` tuple appears in `keyTuples`
+    * (null-SAFE equality — a NULL key matches a NULL key, the same
+    * grouping [[graft.streaming.UpsertSink]]'s batch dedup uses) are
+    * DV-deleted and `transform`'s output appended, one atomic commit.
+    * The mark is a BROADCAST LEFT-SEMI JOIN, so a 1M-key micro-batch
+    * costs one broadcast + one codegen'd hash probe per scanned row —
+    * never a 1M-node literal expression tree (analyzer/codegen cost
+    * linear in distinct keys). `guard` is the caller's
+    * stats-expressible key domain, used only when a concurrent commit
+    * forces the rebase write-skew check. */
+  def updateWithDvKeyed(spark: SparkSession, table: String,
+      mayTouch: SegmentStats.FileStats => Boolean, keys: Seq[String],
+      keyTuples: DataFrame,
+      guard: Seq[org.apache.spark.sql.sources.Filter],
+      transform: DataFrame => DataFrame): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    require(keys.nonEmpty, "updateWithDvKeyed needs at least one key")
+    val kt = keyTuples.select(keys.map(col): _*).distinct()
+      .toDF(keys.map(k => s"__graft_k_$k"): _*)
+    mergeOnRead(spark, table, mayTouch,
+      live => live.join(broadcast(kt),
+        keys.map(k => live(k) <=> kt(s"__graft_k_$k")).reduce(_ && _),
+        "left_semi"),
+      (_, _) => guard, Some(transform))
+  }
 
   /** Test-only seam: invoked between a merge-on-read's sidecar
     * compute and its commit attempt, the window a concurrent commit
@@ -1846,7 +1891,10 @@ object Versioned {
     * updates) append their transformed post-images in the same
     * commit. */
   private def mergeOnRead(spark: SparkSession, table: String,
-      mayTouch: SegmentStats.FileStats => Boolean, cond: Column,
+      mayTouch: SegmentStats.FileStats => Boolean,
+      matcher: DataFrame => DataFrame,
+      guardOf: (org.apache.spark.sql.types.StructType, Seq[String]) =>
+        Seq[org.apache.spark.sql.sources.Filter],
       post: Option[DataFrame => DataFrame]): Long = {
     import org.apache.spark.sql.functions.{col, regexp_replace}
     import spark.implicits._
@@ -1883,9 +1931,9 @@ object Versioned {
         .toDF("__graft_p", DvFileCol)
       val dvRel = s"dv/${java.util.UUID.randomUUID()}"
       val dvDir = new Path(root, dvRel)
-      // predicate and transform speak the LOGICAL schema; the __graft
+      // matcher and transform speak the LOGICAL schema; the __graft
       // scratch columns ride through the projection untouched
-      val matchedRows = mapping.applyRead(live).where(cond)
+      val matchedRows = matcher(mapping.applyRead(live))
       matchedRows
         .select(col("__graft_p"), col("__graft_i").as(DvIdxCol))
         .join(relDf, "__graft_p")
@@ -1923,7 +1971,7 @@ object Versioned {
       // hinges on exactly these staying byte-identical in the latest
       val taggedLines = lines.filter(l => counts.contains(parseLine(l)._1))
       lazy val guard = // lazy: evaluated only on an actual conflict
-        if (mapping.isEmpty) rebaseGuard(spark, physSchema, touchedFiles, cond)
+        if (mapping.isEmpty) guardOf(physSchema, touchedFiles)
         else Nil // name-space mismatch: conservatively conflict
       val opName = if (post.isDefined) "update" else "delete"
       val meta = Map("operation" -> opName, s"${opName}_mode" -> "dv") ++

@@ -93,28 +93,38 @@ object UpsertSink {
   private[streaming] def upsertBatchMor(spark: SparkSession, path: String,
       keys: Seq[String], deduped: DataFrame): Unit = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.{sources => sf}
     if (Versioned.versions(spark, path).isEmpty) {
       Versioned.commit(deduped, path, "overwrite")
       return
     }
-    // exact key-tuple predicate over the table (batch-sized driver
-    // state — the micro-batch's distinct keys, same bound as any
-    // broadcast upsert) + a stats scope from the batch's key bounds
-    // so provably-unaffected segments are never even opened
-    val tuples = deduped.select(keys.map(col): _*).distinct().collect()
-    val cond = keys match {
-      case Seq(k) => col(k).isin(tuples.map(_.get(0)).toIndexedSeq: _*)
-      case ks => tuples.map { row =>
-        ks.zipWithIndex.map { case (k, i) =>
-          col(k) <=> lit(row.get(i)) }.reduce(_ && _)
-      }.reduceOption(_ || _).getOrElse(lit(false))
-    }
-    val bounds = keys.flatMap { k =>
-      val row = deduped.agg(min(col(k)), max(col(k))).head()
-      if (row.isNullAt(0)) None
-      else Some(org.apache.spark.sql.sources.And(
-        org.apache.spark.sql.sources.GreaterThanOrEqual(k, row.get(0)),
-        org.apache.spark.sql.sources.LessThanOrEqual(k, row.get(1))))
+    // stats scope from the batch's key bounds (so provably-unaffected
+    // segments are never even opened) — ONE aggregate job for every
+    // key's min/max/has-null, not one per key. The matched-row mark
+    // itself is a broadcast semi-join on the batch's distinct key
+    // tuples (null-SAFE, matching dedupBatch's grouping — a NULL-key
+    // batch row must supersede the table's NULL-key row or duplicates
+    // accumulate across replays), never an O(distinct-keys) literal
+    // predicate tree.
+    val aggCols = keys.flatMap(k => Seq(min(col(k)), max(col(k)),
+      max(col(k).isNull.cast("int"))))
+    val row = deduped.agg(aggCols.head, aggCols.tail: _*).head()
+    val bounds: Seq[sf.Filter] = keys.zipWithIndex.flatMap { case (k, i) =>
+      val mn = row.get(3 * i); val mx = row.get(3 * i + 1)
+      val hasNull = !row.isNullAt(3 * i + 2) && row.getInt(3 * i + 2) == 1
+      val range =
+        if (mn == null) None
+        else Some(sf.And(sf.GreaterThanOrEqual(k, mn),
+          sf.LessThanOrEqual(k, mx)))
+      (range, hasNull) match {
+        // min/max ignore nulls, and a range filter prunes a segment
+        // holding only NULL keys — widen the scope when the batch
+        // carries a NULL so that segment stays in reach of the delete
+        case (Some(r), true) => Some(sf.Or(r, sf.IsNull(k)))
+        case (Some(r), false) => Some(r)
+        case (None, true) => Some(sf.IsNull(k))
+        case (None, false) => None
+      }
     }
     val scope: graft.operators.SegmentStats.FileStats => Boolean =
       st => bounds.forall(graft.sources.StatsPruner.mayMatch(st, _))
@@ -123,8 +133,8 @@ object UpsertSink {
     // must keep a bucketed target's declared layout (a plain append
     // would silently de-bucket the table and cost every later join
     // its co-partitioning)
-    val matched = Versioned.updateWithDv(spark, path, scope, cond,
-      _ => deduped)
+    val matched = Versioned.updateWithDvKeyed(spark, path, scope, keys,
+      deduped, bounds, _ => deduped)
     if (matched == 0L) Versioned.bucketSpec(spark, path) match {
       case Some((c, n)) =>
         Versioned.commitBucketed(deduped, path, c, n, "append")

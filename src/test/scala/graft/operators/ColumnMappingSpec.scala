@@ -238,4 +238,43 @@ class ColumnMappingSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.lake.t")
       .as[Long].head == 10L)
   }
+
+  test("renaming a column whose PHYSICAL name cannot ride the meta " +
+    "grammar fails loudly instead of committing a colmap entry " +
+    "fromMeta would silently drop") {
+    val t = tmpDir("cmapbad") + "/t"
+    // ':' is parquet-legal but a colmap separator — the physical name
+    // of a never-renamed column is its own on-disk name
+    Versioned.commit((1 to 3).map(i => (i, i.toString)).toDF("k", "a:b")
+      .coalesce(1), t)
+    val before = Versioned.versions(spark, t)
+    val e = intercept[IllegalArgumentException] {
+      Versioned.renameColumn(spark, t, "a:b", "good")
+    }
+    assert(e.getMessage.contains("meta grammar"))
+    assert(Versioned.versions(spark, t) == before,
+      "a refused rename must commit nothing")
+    assert(Versioned.read(spark, t).columns.contains("a:b"))
+  }
+
+  test("commitIfAppendRebase refuses to rebase on a MAPPED table even " +
+    "when called directly — the snapshot speaks logical names, the " +
+    "carried appended lines physical names; mixing them is corruption") {
+    val t = tmpDir("cmapreb") + "/t"
+    Versioned.commit((1 to 5).map(i => (i, i * 1L)).toDF("k", "v")
+      .coalesce(1), t) // v0
+    Versioned.renameColumn(spark, t, "v", "label") // v1: mapped
+    val base = Versioned.versions(spark, t).last
+    // interleave an append whose stats a guard could prove disjoint —
+    // WITHOUT the mapping check this interleave would rebase cleanly
+    Versioned.commit(Seq((100, 100L)).toDF("k", "label").coalesce(1),
+      t, "append") // v2
+    val out = Versioned.commitIfAppendRebase(
+      Seq((1, 999L)).toDF("k", "label").coalesce(1), t,
+      Map("operation" -> "merge"), base,
+      guard = () => Seq(org.apache.spark.sql.sources.EqualTo("k", -5)))
+    assert(out.isEmpty, "a mapped table must never rebase")
+    assert(Versioned.versions(spark, t).size == 3, "no commit may land")
+    assert(Versioned.read(spark, t).count() == 6)
+  }
 }

@@ -73,4 +73,26 @@ class ConvertSpec extends SparkSpec {
       "vacuum must not sweep the imported originals")
     assert(Versioned.read(spark, dir).count() == 151)
   }
+
+  test("vacuum while survivors still REFERENCE imported files: the " +
+    "sweep must tolerate top-level rels (no data/<uuid>/ shape) " +
+    "instead of crashing, and keep both imports and fresh segments") {
+    val dir = tmpDir("convert") + "/landing"
+    (1 to 50).map(i => (i, i * 1L)).toDF("k", "v")
+      .coalesce(1).write.parquet(dir)
+    Versioned.convert(spark, dir)
+    // two appends so there are manifests to drop AND the survivor
+    // still carries the imported top-level rel — no OPTIMIZE first
+    Versioned.commit(Seq((500, 5L)).toDF("k", "v").coalesce(1),
+      dir, "append")
+    Versioned.commit(Seq((501, 6L)).toDF("k", "v").coalesce(1),
+      dir, "append")
+    Versioned.vacuum(spark, dir, keepLast = 1) // crashed pre-fix (AIOOBE)
+    assert(Versioned.read(spark, dir).count() == 52)
+    assert(Versioned.versionFiles(spark, dir).exists(!_.contains("/data/")),
+      "the import must still be referenced by the survivor")
+    // both appended segments' data must survive the sweep (their
+    // lines ride the surviving manifest)
+    assert(Versioned.read(spark, dir).where($"k" >= 500).count() == 2)
+  }
 }

@@ -67,6 +67,33 @@ class MediaHeadersSpec extends SparkSpec {
     }
   }
 
+  test("crafted WAV chunk sizes near 2^32 terminate: the walk does " +
+    "Long arithmetic, so an le32 size whose Int cast is negative can " +
+    "neither stall the cursor nor wrap it backwards") {
+    // a chunk declaring size 0xFFFFFFF8 — as an Int that is -8, which
+    // under 32-bit arithmetic advances the cursor by 8 + (-8) = 0
+    def riff(chunkSize: Long): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(0x7fffffff)
+      out.put("WAVE".getBytes("US-ASCII"))
+      out.put("junk".getBytes("US-ASCII")).putInt(chunkSize.toInt)
+      out.array()
+    }
+    for (size <- Seq(0xFFFFFFF8L, 0xFFFFFFFFL, 0x80000000L, 0x7FFFFFFFL)) {
+      val t0 = System.nanoTime()
+      assert(parse(riff(size)).format == "unknown", s"size=$size")
+      assert(System.nanoTime() - t0 < 5e9, s"size=$size took too long")
+    }
+    // a huge declared size in the MIDDLE of an otherwise-valid file
+    // must also terminate (walk past it runs off the end -> unknown)
+    val wav = wavBytes(1, 8000, 8, 100)
+    val bb = java.nio.ByteBuffer.wrap(wav.clone())
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(16, 0xFFFFFFF8) // corrupt the fmt chunk's size field
+    assert(parse(bb.array()).format == "unknown")
+  }
+
   test("decodeHeaders: the mapPartitions operator decodes a mixed " +
     "binary column, nulls and poison included, one row per input") {
     val rows = Seq(

@@ -209,6 +209,39 @@ class EventStreamSpec extends SparkSpec {
       got(20L) == 1.0 && got(2L) == 2.0)
   }
 
+  test("merge-on-read upsert matches NULL keys null-safely (a NULL-key " +
+    "batch row supersedes the table's NULL-key row, same grouping as " +
+    "the batch dedup) and a many-key batch is a semi-join, not a " +
+    "giant literal predicate") {
+    import graft.operators.Versioned
+    val lake = tmpDir("mornull") + "/t"
+    def df(rows: Seq[(java.lang.Long, Double, Long)]) =
+      rows.toDF("k", "v", "version")
+    Versioned.commit(df(Seq((1L, 1.0, 0L), (2L, 1.0, 0L),
+      (null, 1.0, 0L))), lake)
+    // batch with a NULL key: pre-fix the single-key isin() predicate
+    // never matched NULL, so replays accumulated duplicate NULL rows
+    UpsertSink.upsertBatchMor(spark, lake, Seq("k"),
+      df(Seq((null, 9.0, 1L), (2L, 9.0, 1L))))
+    val rows = Versioned.read(spark, lake).select($"k", $"v")
+      .as[(Option[Long], Double)].collect().toSeq
+    assert(rows.size == 3, s"NULL key must upsert, not duplicate: $rows")
+    assert(rows.toMap == Map(Some(1L) -> 1.0, Some(2L) -> 9.0,
+      None -> 9.0), s"got $rows")
+    // replay the same batch: idempotent (still 3 rows, same values)
+    UpsertSink.upsertBatchMor(spark, lake, Seq("k"),
+      df(Seq((null, 9.0, 1L), (2L, 9.0, 1L))))
+    assert(Versioned.read(spark, lake).count() == 3)
+    // a 5000-distinct-key batch upserts through the broadcast
+    // semi-join path (an O(keys) literal tree would be analyzer-
+    // hostile at this size; the mark must stay plan-shaped)
+    val big = (1L to 5000L).map(k => (k: java.lang.Long, 7.0, 2L))
+    UpsertSink.upsertBatchMor(spark, lake, Seq("k"), df(big))
+    val after = Versioned.read(spark, lake)
+    assert(after.count() == 5001)
+    assert(after.where($"v" === 7.0).count() == 5000)
+  }
+
   test("AggSink folds micro-batches into a Versioned rollup; a replayed " +
     "batch is a no-op and checkpoint restart folds only new batches") {
     import graft.operators.Versioned
