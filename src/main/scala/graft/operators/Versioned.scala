@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
 import scala.collection.mutable
 
 /** Versioned snapshot tables over parquet — manifest-based commits with
@@ -124,13 +125,32 @@ object Versioned {
         ColumnMapping.fromMeta(meta)
       else if (mode == "append") columnMapping(spark, table)
       else ColumnMapping.empty
-    val newLines = writeSegmentLines(spark, fs, root, mapping.applyWrite(df))
-    commitManifest(fs, root, meta ++ mapping.toMeta, { base =>
-      val prevLines =
-        if (mode == "append") base.toSeq.flatMap(v => readFileLines(fs, root, v))
-        else Nil
-      prevLines ++ newLines
-    })
+    // write-time schema enforcement: an append whose types conflict
+    // with the table's refuses HERE (before any segment lands), never
+    // at some later reader's mergeSchema union
+    val baseV = latestVersion(fs, root)
+    val (physDf, carrier, union) = baseV match {
+      case Some(v) if mode == "append" =>
+        enforceAppend(spark, table, v, mapping.applyWrite(df))
+      case _ => (mapping.applyWrite(df), None, None)
+    }
+    // appends inherit the bloom-index declaration (like the carrier);
+    // an overwrite is a fresh snapshot — redeclare to keep indexing
+    val bloomMeta = baseV.filter(_ => mode == "append")
+      .map(v => readMeta(spark, table, v)
+        .view.filterKeys(_ == BloomIndex.MetaKey).toMap)
+      .getOrElse(Map.empty)
+    val newLines = writeSegmentLines(spark, fs, root, physDf)
+    val committed = commitManifest(fs, root,
+      meta ++ mapping.toMeta ++ bloomMeta ++ carrier, { base =>
+        val prevLines =
+          if (mode == "append")
+            base.toSeq.flatMap(v => readFileLines(fs, root, v))
+          else Nil
+        prevLines ++ newLines
+      })
+    baseV.foreach(advanceSchemaCache(table, _, committed, union))
+    committed
   }
 
   /** [[commit]] with a bucketed physical layout: rows are split by
@@ -198,10 +218,21 @@ object Versioned {
             s"version $v bucket layout ${declared.getOrElse("<none>")}")
       }
     }
-    val newLines = writeSegmentLines(spark, fs, root,
-      mapping.applyWrite(df), spec)
-    commitManifest(fs, root,
-      meta ++ mapping.toMeta + (BucketKey -> s"$physCol/$numBuckets"),
+    // same write-time schema enforcement as [[commit]]
+    val baseV = latestVersion(fs, root)
+    val (physDf, carrier, union) = baseV match {
+      case Some(v) if mode == "append" =>
+        enforceAppend(spark, table, v, mapping.applyWrite(df))
+      case _ => (mapping.applyWrite(df), None, None)
+    }
+    val bloomMeta = baseV.filter(_ => mode == "append")
+      .map(v => readMeta(spark, table, v)
+        .view.filterKeys(_ == BloomIndex.MetaKey).toMap)
+      .getOrElse(Map.empty)
+    val newLines = writeSegmentLines(spark, fs, root, physDf, spec)
+    val committed = commitManifest(fs, root,
+      meta ++ mapping.toMeta ++ bloomMeta ++ carrier +
+        (BucketKey -> s"$physCol/$numBuckets"),
       { base =>
         val prevLines =
           if (mode == "append")
@@ -209,6 +240,8 @@ object Versioned {
           else Nil
         prevLines ++ newLines
       })
+    baseV.foreach(advanceSchemaCache(table, _, committed, union))
+    committed
   }
 
   /** The bucket layout of a version (default latest): (column, n) when
@@ -439,9 +472,26 @@ object Versioned {
     // scan), committed atomically on the file's own manifest line.
     // Append carries the previous lines — and their stats — verbatim.
     val statsByAbs = SegmentStats.collect(spark, newAbs)
-    newAbs.map { abs =>
+    val statLines = newAbs.map { abs =>
       val rel = relativize(fs, root, abs)
       statsByAbs.get(abs).map(s => s"$rel\t$s").getOrElse(rel)
+    }
+    // declared bloom index: harvest per-file blooms for the FRESH
+    // files only (one pass over bytes just written) and ride the
+    // sidecar ref on each line — consultation is ref-driven, so a
+    // carried line keeps its older sidecar verbatim
+    latestVersion(fs, root)
+      .flatMap(v => BloomIndex.declared(readMeta(spark, root.toString, v)))
+      .flatMap { case (cols, fpp) =>
+        val rowsByRel = statLines.flatMap { l =>
+          val (rel, st, _) = parseLine(l)
+          st.flatMap(SegmentStats.parse).map(s => rel -> s.rows)
+        }.toMap
+        BloomIndex.harvest(spark, root,
+          statLines.map(parseLine(_)._1), rowsByRel, cols, fpp)
+      } match {
+      case Some(sidecarRel) => statLines.map(l => s"$l\tbloom=$sidecarRel")
+      case None => statLines
     }
   }
 
@@ -522,7 +572,8 @@ object Versioned {
         else writeSegmentLines(spark, fs, root,
           mapping.applyWrite(transform(logicalSubset)), spec)
       val fullMeta = meta ++ mapping.toMeta ++
-        spec.map { case (c, n) => BucketKey -> s"$c/$n" }
+        spec.map { case (c, n) => BucketKey -> s"$c/$n" } ++
+        carrierMetaOf(spark, table, v) // narrow files stay carried
       // under a column mapping the guard's pushed-filter names may sit
       // in either name space — conservatively conflict on ANY
       // interleave instead (mapped tables are the rare state). LAZY:
@@ -742,7 +793,8 @@ object Versioned {
     commitManifest(fs, root,
       Map("operation" -> "restore", "restore_of" -> v.toString) ++
         columnMapping(spark, table, Some(v)).toMeta ++
-        spec.map { case (c, n) => BucketKey -> s"$c/$n" },
+        spec.map { case (c, n) => BucketKey -> s"$c/$n" } ++
+        carrierMetaOf(spark, table, v), // v's declared schema rides too
       _ => lines)
   }
 
@@ -858,7 +910,9 @@ object Versioned {
       "clone_of" -> sfs.makeQualified(srcRoot).toUri.getPath,
       "clone_version" -> v.toString) ++
       ColumnMapping.fromMeta(srcMeta).toMeta ++
-      parseBucketMeta(srcMeta).map { case (c, n) => BucketKey -> s"$c/$n" }
+      parseBucketMeta(srcMeta).map { case (c, n) => BucketKey -> s"$c/$n" } ++
+      srcMeta.get(SchemaEnforce.SchemaKey)
+        .map(SchemaEnforce.SchemaKey -> _) // clone keeps the carrier
     commitManifest(dfs, dstRoot, meta, _ => absLines)
   }
 
@@ -930,9 +984,100 @@ object Versioned {
     val lines = readFileLines(fs, root, v)
     val files = lines.map(l => new Path(root, parseLine(l)._1).toString)
     require(files.nonEmpty, s"version $v of $table is empty")
-    applyDv(spark, root, lines,
-      spark.read.option("mergeSchema", "true").parquet(files: _*))
+    // a widened table resolves under its DECLARED schema (the parquet
+    // reader promotes narrow committed files in place); everything
+    // else keeps the mergeSchema union
+    val base = schemaCarrier(spark, table, Some(v)) match {
+      case Some(s) => spark.read.schema(s).parquet(files: _*)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(files: _*)
+    }
+    applyDv(spark, root, lines, base)
   }
+
+  /** The version's DECLARED physical schema (the widening carrier,
+    * [[SchemaEnforce.SchemaKey]]), when one rides its manifest. */
+  def schemaCarrier(spark: SparkSession, table: String,
+      version: Option[Long] = None): Option[StructType] = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = version.orElse(latestVersion(fs, root)).getOrElse(return None)
+    readMeta(spark, table, v).get(SchemaEnforce.SchemaKey)
+      .map(StructType.fromDDL)
+  }
+
+  /** The meta entries of version `v` that must RE-CARRY through
+    * commits which keep existing files alive (DML, OPTIMIZE, metadata
+    * commits): the declared-schema carrier (dropping it would send
+    * the next read back to the mergeSchema union, which throws on a
+    * widened column) and the bloom-index declaration (dropping it
+    * would silently stop indexing future commits). */
+  private def carrierMetaOf(spark: SparkSession, table: String,
+      v: Long): Map[String, String] =
+    readMeta(spark, table, v).view.filterKeys(k =>
+      k == SchemaEnforce.SchemaKey || k == BloomIndex.MetaKey).toMap
+
+  /** (version -> physical union schema) per table, so a steady
+    * append stream pays mergeSchema footer inference ONCE and then
+    * extends the union in memory: after each append the cache moves
+    * forward to (committed version, union(base, appended)). An entry
+    * is only trusted when its version matches the append's base
+    * exactly — any foreign commit in between simply misses and
+    * re-infers. Bounded (commit frequency per table is the growth
+    * rate, and entries are one StructType each). */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, StructType)]()
+
+  private[graft] def invalidateSchemaCache(table: String): Unit =
+    schemaCache.remove(new Path(table).toUri.toString)
+
+  /** Write-time schema enforcement for an append onto version `v`:
+    * refuse type conflicts before any segment lands, upcast losslessly
+    * narrower incoming columns, and (opt-in via
+    * [[SchemaEnforce.WidenConf]]) widen the table by committing a
+    * declared-schema carrier. Returns the adjusted frame plus the
+    * carrier meta entry to ride this commit, if one must. */
+  private def enforceAppend(spark: SparkSession, table: String,
+      v: Long, physDf: DataFrame)
+      : (DataFrame, Option[(String, String)], Option[StructType]) = {
+    val cacheKey = new Path(table).toUri.toString
+    val declared = schemaCarrier(spark, table, Some(v))
+    val tableSchema = declared.orElse(
+      Option(schemaCache.get(cacheKey)).collect {
+        case (`v`, s) => s }).getOrElse {
+      val root = new Path(table)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val files = readFileLines(fs, root, v)
+        .map(l => new Path(root, parseLine(l)._1).toString)
+      if (files.isEmpty) return (physDf, None, None)
+      spark.read.option("mergeSchema", "true").parquet(files: _*).schema
+    }
+    val widen = spark.conf.getOption(SchemaEnforce.WidenConf)
+      .exists(_.toBoolean)
+    val (adjusted, widened) = SchemaEnforce.enforce(physDf, tableSchema, widen)
+    val union = SchemaEnforce.union(
+      widened.getOrElse(tableSchema), adjusted.schema)
+    // carry a declared schema iff the table ever widened: this commit
+    // widened it, or a prior one did (declared present)
+    val carrier =
+      if (widened.isDefined || declared.isDefined)
+        Some(SchemaEnforce.SchemaKey -> union.toDDL)
+      else None
+    (adjusted, carrier, Some(union))
+  }
+
+  /** Advance the schema cache after a successful commit: trusted only
+    * when the commit landed EXACTLY one past its enforcement base (no
+    * foreign interleave — a racing committer's columns would be
+    * missing from the in-memory union). */
+  private def advanceSchemaCache(table: String, baseV: Long,
+      committed: Long, union: Option[StructType]): Unit =
+    union.foreach { s =>
+      if (committed == baseV + 1) {
+        if (schemaCache.size > 512) schemaCache.clear()
+        schemaCache.put(new Path(table).toUri.toString, (committed, s))
+      }
+    }
 
   /** The column mapping of a version (default latest);
     * [[ColumnMapping.empty]] for unmapped tables. */
@@ -1018,7 +1163,8 @@ object Versioned {
       meta: Map[String, String]): Long = {
     val spec = bucketSpec(spark, table, Some(v))
     commitManifest(fs, root,
-      meta ++ spec.map { case (c, n) => BucketKey -> s"$c/$n" },
+      meta ++ spec.map { case (c, n) => BucketKey -> s"$c/$n" } ++
+        carrierMetaOf(spark, table, v),
       base => base.toSeq.flatMap(readFileLines(fs, root, _)))
   }
 
@@ -1061,8 +1207,13 @@ object Versioned {
     if (added.isEmpty) read(spark, table, Some(toV)).limit(0)
     else columnMapping(spark, table, Some(toV)).applyRead(
       // added files carry PHYSICAL column names; the feed's consumers
-      // speak toV's logical view — same projection as [[read]]
-      spark.read.option("mergeSchema", "true").parquet(added: _*))
+      // speak toV's logical view — same projection as [[read]]. A
+      // widened table's files resolve under toV's declared schema.
+      schemaCarrier(spark, table, Some(toV)) match {
+        case Some(s) => spark.read.schema(s).parquet(added: _*)
+        case None =>
+          spark.read.option("mergeSchema", "true").parquet(added: _*)
+      })
   }
 
   /** (added, removed) absolute file paths between two versions. */
@@ -1387,9 +1538,22 @@ object Versioned {
     drop.size
   }
 
+  /** How long an UNREFERENCED dir (a crashed writer's staged segment)
+    * must sit before [[dropAndSweep]]'s orphan pass may delete it. An
+    * IN-FLIGHT commit stages its segment BEFORE the manifest rename,
+    * so a concurrent vacuum that swept every unreferenced dir would
+    * eat a live writer's data out from under its commit — the grace
+    * window is what makes vacuum safe to run while writers run
+    * (Delta's VACUUM retention serves exactly this purpose). */
+  private[graft] var OrphanGraceMs: Long = 20L * 60 * 1000
+
   /** Shared retention core: drop the given manifests (making those
-    * versions unreadable), then sweep every data segment dir and dv
-    * sidecar dir no SURVIVING manifest references. */
+    * versions unreadable), then sweep the data segment / dv sidecar /
+    * bloom sidecar dirs the DROPPED manifests referenced and no
+    * survivor still does. Dirs referenced by NO manifest at all are
+    * swept only once older than [[OrphanGraceMs]] — they are either a
+    * crashed writer's debris (old) or a live writer's staged commit
+    * (new, must survive). */
   private def dropAndSweep(fs: FileSystem, root: Path,
       drop: Seq[Long], keep: Seq[Long]): Unit = {
     // BEFORE any manifest is deleted: if the oldest survivor is a
@@ -1400,39 +1564,54 @@ object Versioned {
     // the chain stays resolvable. A crash between this rewrite and the
     // deletes below leaves extra manifests, never a broken chain.
     if (drop.nonEmpty) keep.headOption.foreach(materializeFull(fs, root, _))
+    // family refs (data segment / dv / bloom dir uuids) of a manifest
+    // set. Only `data/<uuid>/...` rels name a sweepable segment dir;
+    // CONVERTed tables commit top-level imported rels (e.g.
+    // `part-0000.parquet`) with no '/', which never live under data/
+    // and must not crash the sweep.
+    def refsOf(vs: Seq[Long]): (Set[String], Set[String], Set[String]) = {
+      val data = mutable.Set.empty[String]
+      val dv = mutable.Set.empty[String]
+      val bloom = mutable.Set.empty[String]
+      vs.foreach(v => readFileLines(fs, root, v).foreach { line =>
+        val (rel, _, dvRefs) = parseLine(line)
+        val segs = rel.split('/')
+        if (segs.length >= 2 && segs(0) == "data") data += segs(1)
+        dvRefs.foreach { case (dvRel, _) =>
+          val d = dvRel.split('/')
+          if (d.length >= 2 && d(0) == "dv") dv += d(1)
+        }
+        parseBloomRef(line).foreach { ref =>
+          val b = ref.split('/')
+          if (b.length >= 2 && b(0) == "bloom") bloom += b(1)
+        }
+      })
+      (data.toSet, dv.toSet, bloom.toSet)
+    }
+    // dropped refs must be collected while their chains still resolve
+    val (dropData, dropDv, dropBloom) = refsOf(drop)
     drop.foreach { v =>
       fs.delete(new Path(root, s"$LogDir/$v.manifest"), false)
       invalidateManifest(fs, root, v) // a vacuumed version must not
       // remain readable from the cache (restore/read must throw)
     }
-    val live = mutable.Set.empty[String] // live segment dir names (uuid)
-    keep.foreach(v => readManifest(fs, root, v).foreach { rel =>
-      // only `data/<uuid>/...` rels name a sweepable segment dir;
-      // CONVERTed tables commit top-level imported rels (e.g.
-      // `part-0000.parquet`) with no '/', which never live under
-      // data/ and must not crash the sweep
-      val segs = rel.split('/')
-      if (segs.length >= 2 && segs(0) == "data") live += segs(1)
-    })
-    val dataRoot = new Path(root, "data")
-    if (fs.exists(dataRoot)) fs.listStatus(dataRoot).foreach { st =>
-      if (st.isDirectory && !live.contains(st.getPath.getName))
-        fs.delete(st.getPath, true)
-    }
-    // deletion-vector sidecars sweep like data segments: a dv dir no
-    // surviving manifest line references is unreachable
-    val liveDv = mutable.Set.empty[String]
-    keep.foreach(v => readFileLines(fs, root, v).foreach { line =>
-      parseLine(line)._3.foreach { case (dvRel, _) =>
-        val segs = dvRel.split('/') // dv/<uuid>/... -> uuid, defensively
-        if (segs.length >= 2 && segs(0) == "dv") liveDv += segs(1)
+    val (keepData, keepDv, keepBloom) = refsOf(keep)
+    val cutoff = System.currentTimeMillis - OrphanGraceMs
+    def sweep(family: String, dropped: Set[String], live: Set[String]): Unit = {
+      val famRoot = new Path(root, family)
+      if (!fs.exists(famRoot)) return
+      fs.listStatus(famRoot).foreach { st =>
+        val name = st.getPath.getName
+        val dead =
+          if (live.contains(name)) false
+          else if (dropped.contains(name)) true // unreachable: dropped-only
+          else st.getModificationTime < cutoff // orphan past the grace
+        if (st.isDirectory && dead) fs.delete(st.getPath, true)
       }
-    })
-    val dvRoot = new Path(root, "dv")
-    if (fs.exists(dvRoot)) fs.listStatus(dvRoot).foreach { st =>
-      if (st.isDirectory && !liveDv.contains(st.getPath.getName))
-        fs.delete(st.getPath, true)
     }
+    sweep("data", dropData, keepData)
+    sweep("dv", dropDv, keepDv)
+    sweep("bloom", dropBloom, keepBloom)
   }
 
   /** Rewrite version `v`'s manifest in place as a FULL snapshot
@@ -1639,7 +1818,11 @@ object Versioned {
       : (String, Option[String], Seq[(String, Long)]) = {
     val parts = line.split('\t')
     val rel = parts.head
-    val (dvF, statsF) = parts.tail.partition(_.startsWith("dv="))
+    val (dvF, rest) = parts.tail.partition(_.startsWith("dv="))
+    // bloom sidecar refs are their own field class: they must neither
+    // be mistaken for dv refs nor pollute the stats suffix (whose
+    // parser treats any malformed field as "no stats at all")
+    val statsF = rest.filterNot(_.startsWith("bloom="))
     val dvRefs = dvF.toSeq.flatMap { f =>
       val body = f.stripPrefix("dv=")
       val cut = body.lastIndexOf(':')
@@ -1649,6 +1832,11 @@ object Versioned {
     }
     (rel, if (statsF.isEmpty) None else Some(statsF.mkString("\t")), dvRefs)
   }
+
+  /** The bloom sidecar ref riding a manifest line, if any. */
+  private[graft] def parseBloomRef(line: String): Option[String] =
+    line.split('\t').find(_.startsWith("bloom="))
+      .map(_.stripPrefix("bloom=")).filter(_.nonEmpty)
 
   /** Strips a scheme://authority prefix so executor-side
     * `_metadata.file_path` URIs (`file:///x`, `hdfs://nn:8020/x`) and
@@ -1819,7 +2007,8 @@ object Versioned {
         case some => writeSegmentLines(spark, fs, root, packedRows, some)
       }
       val fullMeta = Map("operation" -> "optimize") ++ mapping.toMeta ++
-        spec.map { case (c, n) => BucketKey -> s"$c/$n" }
+        spec.map { case (c, n) => BucketKey -> s"$c/$n" } ++
+        carrierMetaOf(spark, table, v) // carried files may stay narrow
       try {
         val nv = commitManifest(fs, root, fullMeta,
           { base =>
@@ -1976,7 +2165,8 @@ object Versioned {
       val opName = if (post.isDefined) "update" else "delete"
       val meta = Map("operation" -> opName, s"${opName}_mode" -> "dv") ++
         mapping.toMeta ++
-        spec.map { case (c, n) => BucketKey -> s"$c/$n" }
+        spec.map { case (c, n) => BucketKey -> s"$c/$n" } ++
+        carrierMetaOf(spark, table, v) // untouched files stay narrow
       try {
         commitManifest(fs, root, meta, { base =>
           val baseLines =
@@ -2061,6 +2251,76 @@ object Versioned {
       stats.flatMap(SegmentStats.parse)
         .map(new Path(root, rel).toString -> _)
     }.toMap
+  }
+
+  /** (absolute file -> (rel, bloom sidecar rel)) for every line of a
+    * version that carries a bloom ref — the point-lookup pruner's
+    * lookup table, one manifest read. */
+  def bloomRefs(spark: SparkSession, table: String,
+      version: Option[Long] = None): Map[String, (String, String)] = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = version.orElse(latestVersion(fs, root)).getOrElse(
+      return Map.empty)
+    readFileLines(fs, root, v).flatMap { line =>
+      parseBloomRef(line).map { ref =>
+        val rel = parseLine(line)._1
+        new Path(root, rel).toString -> (rel, ref)
+      }
+    }.toMap
+  }
+
+  /** CREATE BLOOMFILTER INDEX: declare `cols` bloom-indexed at `fpp`,
+    * BACKFILL per-file blooms for every existing data file of the
+    * latest version (one distributed pass), and commit the
+    * declaration + per-line sidecar refs. Every later commit then
+    * harvests blooms for its own fresh files. Metadata + sidecar
+    * only — zero data files rewritten. Returns the committed
+    * version. */
+  def declareBloomIndex(spark: SparkSession, table: String,
+      cols: Seq[String], fpp: Double = 0.03): Long = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, root).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    require(columnMapping(spark, table, Some(v)).isEmpty,
+      s"cannot bloom-index $table while a column mapping is in play — " +
+        "materialize the logical names first (overwrite/OPTIMIZE)")
+    val physSchema = readPhysical(spark, table, Some(v)).schema
+    cols.foreach { c =>
+      val f = physSchema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $c does not exist in $table " +
+            s"(columns: ${physSchema.fieldNames.mkString(", ")})"))
+      require(BloomIndex.indexable(f.dataType),
+        s"column $c is ${f.dataType.catalogString} — bloom indexing " +
+          "supports string and integral point-lookup keys only")
+    }
+    val lines = readFileLines(fs, root, v)
+    val missing = lines.filter(parseBloomRef(_).isEmpty)
+    val rowsByRel = missing.flatMap { l =>
+      val (rel, st, _) = parseLine(l)
+      st.flatMap(SegmentStats.parse).map(s => rel -> s.rows)
+    }.toMap
+    val sidecar =
+      if (missing.isEmpty) None
+      else BloomIndex.harvest(spark, root,
+        missing.map(parseLine(_)._1), rowsByRel, cols, fpp)
+    val covered = missing.map(parseLine(_)._1).toSet
+    val spec = bucketSpec(spark, table, Some(v))
+    commitManifest(fs, root,
+      Map("operation" -> "bloom_index") + BloomIndex.encodeMeta(cols, fpp)
+        ++ spec.map { case (c, n) => BucketKey -> s"$c/$n" }
+        ++ carrierMetaOf(spark, table, v).view
+          .filterKeys(_ != BloomIndex.MetaKey).toMap,
+      base => base.toSeq.flatMap(readFileLines(fs, root, _)).map { line =>
+        val rel = parseLine(line)._1
+        sidecar match {
+          case Some(s) if covered(rel) && parseBloomRef(line).isEmpty =>
+            s"$line\tbloom=$s"
+          case _ => line
+        }
+      })
   }
 
   /** The files that can contain the MAXIMUM of `column` in the latest

@@ -657,6 +657,67 @@ object SourceQueries {
             ELSE 0 END) AS BIGINT) AS total_cents
         FROM orders""")),
 
+    // ---- VT13 write-time schema enforcement: a type-conflicting
+    // append (STRING cents onto an INT table) is REFUSED before any
+    // segment lands — proven by requires inside the stage — and the
+    // opt-in widening path (int -> long via spark.graft.schema.widen)
+    // commits a declared-schema carrier instead of rewriting the
+    // narrow committed files. The final read aggregates BOTH halves
+    // (pre-widen int files + post-widen long files) under the wide
+    // schema; the oracle recomputes the same split from orders. The
+    // pre-fix behavior (append anything, poison the next read) cannot
+    // pass this: either the bad append would land (count too high) or
+    // the mixed-width read would throw.
+    "vt13_schema_enforcement" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val V = graft.operators.Versioned
+        val table = stages.computeIfAbsent(s"$dir|vt13|enforce", { _ =>
+          val td = java.nio.file.Files
+            .createTempDirectory("vt13").toString + "/t"
+          val orders = t(s, dir, "orders").select($"o_orderkey",
+            graft.functions.Exact.cents($"o_totalprice").as("cents"))
+          // v0: the even half, deliberately narrow (int key+cents)
+          V.commit(orders.where($"o_orderkey" % 2 === 0)
+            .select($"o_orderkey".cast("int").as("k"),
+              $"cents".cast("int").as("cents")).repartition(2), td)
+          // a STRING append must refuse with the named error and
+          // commit NOTHING
+          val versionsBefore = V.versions(s, td)
+          val refused = try {
+            V.commit(Seq((1, "oops")).toDF("k", "cents"), td, "append")
+            false
+          } catch { case _: graft.operators.SchemaConflict => true }
+          require(refused, "a string-onto-int append must refuse")
+          require(V.versions(s, td) == versionsBefore,
+            "a refused append must not commit")
+          // widen opt-in: the odd half appends as BIGINT — the table
+          // widens via a schema carrier, no committed file rewritten
+          val filesBefore = V.versionFiles(s, td).toSet
+          s.conf.set(graft.operators.SchemaEnforce.WidenConf, "true")
+          try V.commit(orders.where($"o_orderkey" % 2 =!= 0)
+              .select($"o_orderkey".cast("long").as("k"),
+                $"cents".cast("long").as("cents")).repartition(2),
+              td, "append")
+          finally s.conf.unset(graft.operators.SchemaEnforce.WidenConf)
+          require(V.versionFiles(s, td).toSet
+            .intersect(filesBefore) == filesBefore,
+            "widening must not rewrite committed files")
+          require(V.schemaCarrier(s, td).isDefined,
+            "the widened table must carry a declared schema")
+          td
+        })
+        V.read(s, table).agg(
+          count(lit(1)).as("n_rows"),
+          sum($"cents").cast("long").as("total_cents"),
+          max($"k").cast("long").as("max_k"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+            AS total_cents,
+          CAST(max(o_orderkey) AS BIGINT) AS max_k
+        FROM orders""")),
+
     // ---- VT6 metadata-only aggregates (sources.ManifestAggregates):
     // a filterless global COUNT/COUNT(col)/MIN/MAX over a catalog
     // snapshot table is answered from the manifest's per-file stats —

@@ -105,8 +105,12 @@ class GraftCatalog extends TableCatalog
     // correct but unoptimized (no stats pruning, no SPJ) until
     // OPTIMIZE/overwrite folds vectors and materializes logical names,
     // which restores this fast path
+    // … a declared-schema carrier (widened table) also degrades: the
+    // raw ParquetTable's mergeSchema union would throw on the widened
+    // column, while Versioned.read resolves under the declared types
     val readTable: Table with SupportsRead =
       if (Versioned.hasDv(spark, path, resolved) ||
+          Versioned.schemaCarrier(spark, path, Some(resolved)).isDefined ||
           !Versioned.columnMapping(spark, path, Some(resolved)).isEmpty)
         new GraftDvReadTable(path, resolved, ident.name,
           Versioned.read(spark, path, Some(resolved)).schema)
@@ -430,10 +434,27 @@ private[sources] final class PruningScanBuilder(
       if (lowered.nonEmpty || keepBuckets.isDefined) {
         // one manifest read; files without stats are kept unprunable
         val stats = Versioned.fileStats(spark, tablePath, Some(version))
+        // bloom point-lookup skipping: equality/IN conjuncts consult
+        // the per-file bloom sidecars — the pruner min/max cannot be
+        // on high-cardinality unordered keys. False-positive-only:
+        // a miss PROVES absence, everything else keeps the file.
+        val eqTargets = graft.operators.BloomIndex.equalityTargets(lowered)
+        val blooms =
+          if (eqTargets.isEmpty) Map.empty[String, (String, String)]
+          else Versioned.bloomRefs(spark, tablePath, Some(version))
+        val rootPath = new org.apache.hadoop.fs.Path(tablePath)
+        def bloomKeeps(f: String): Boolean =
+          eqTargets.isEmpty || (blooms.get(f) match {
+            case None => true
+            case Some((rel, sidecar)) => eqTargets.forall {
+              case (c, vs) => graft.operators.BloomIndex.mightContain(
+                spark, rootPath, sidecar, rel, c, vs)
+            }
+          })
         ensure(files.filter { f =>
           stats.get(f).forall(st =>
             lowered.forall(StatsPruner.mayMatch(st, _))) &&
-            BucketPruning.keeps(keepBuckets)(f)
+            BucketPruning.keeps(keepBuckets)(f) && bloomKeeps(f)
         })
       }
     }

@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** TRUE multi-writer stress: N genuinely concurrent committers — each
+  * appending, DV-deleting and COW-updating its OWN key range — racing
+  * an OPTIMIZE loop and a mid-flight VACUUM on one table. The commit-
+  * race retry, rebase, write-skew and sweep machinery are each
+  * spec-proven on constructed interleaves elsewhere; this suite is the
+  * class of test that catches what only real interleaving shows
+  * (lost commits, forked version numbers, sweeps of live data).
+  *
+  * Convergence oracle: every writer's operations touch only its own
+  * keys, so the operations COMMUTE — whatever order the optimistic
+  * commits land in, the final table must equal the per-writer model.
+  * Assertions: contiguous version sequence with no duplicates, final
+  * state equal to the serial model, every SURVIVING version readable,
+  * and the history surface consistent.
+  */
+class ConcurrencySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A real writer retries when the storm exhausts the built-in retry
+    * budget; the named give-up error is the only tolerated failure. */
+  private def retry[A](f: => A): A = {
+    var last: Throwable = null
+    for (_ <- 0 until 30) {
+      try return f
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null &&
+              e.getMessage.contains("losing the commit race") =>
+          last = e; Thread.sleep(50)
+      }
+    }
+    throw last
+  }
+
+  test("6 writers (append + DV delete + COW update) vs an OPTIMIZE " +
+    "loop and a mid-flight VACUUM: contiguous versions, no lost " +
+    "commit, final state equals the serial model, survivors readable") {
+    val t = tmpDir("stress") + "/t"
+    Versioned.commit(Seq((-1L, -1L)).toDF("k", "v").coalesce(1), t) // v0
+    val writers = 6
+    val perWriter = 40
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers + 2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val appendVersions =
+      new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    try {
+      val writerFs = (0 until writers).map { i =>
+        Future {
+          val lo = i * 1000L
+          val rows = (lo until lo + perWriter).map(k => (k, k))
+          appendVersions.add(retry(Versioned.commit(
+            rows.toDF("k", "v").repartition(2), t, "append")))
+          // DV-delete own multiples of 5
+          retry(Versioned.deleteWithDv(spark, t, _ => true,
+            $"k" >= lo && $"k" < lo + perWriter && $"k" % 5 === 0))
+          // COW-update own multiples of 7 through the SQL front door
+          retry(spark.sql(s"UPDATE '$t' SET v = v + 100000 " +
+            s"WHERE k >= $lo AND k < ${lo + perWriter} AND k % 7 = 0"))
+          ()
+        }
+      }
+      val optimizer = Future {
+        while (!stop.get()) {
+          try Versioned.compactSmall(spark, t, 256L * 1024)
+          catch { case e: IllegalStateException
+              if e.getMessage.contains("losing the commit race") => () }
+          Thread.sleep(200)
+        }
+      }
+      val vacuumer = Future {
+        var runs = 0
+        while (!stop.get() && runs < 3) {
+          Thread.sleep(400)
+          Versioned.vacuum(spark, t, keepLast = 5)
+          runs += 1
+        }
+      }
+      Await.result(Future.sequence(writerFs), 600.seconds)
+      stop.set(true)
+      Await.result(optimizer.zip(vacuumer), 60.seconds)
+    } finally { stop.set(true); pool.shutdown() }
+
+    // one final vacuum after the dust settles, then audit everything
+    Versioned.vacuum(spark, t, keepLast = 3)
+    val vs = Versioned.versions(spark, t)
+    assert(vs.nonEmpty)
+    assert(vs == (vs.head to vs.last),
+      s"surviving versions must be contiguous (no fork, no gap): $vs")
+    assert(appendVersions.size == writers &&
+      appendVersions.toArray.distinct.length == writers,
+      "every append must land its own distinct version")
+    // every surviving version is readable end to end
+    vs.foreach { v =>
+      assert(Versioned.read(spark, t, Some(v)).count() >= 0)
+    }
+    // the serial model: own-key ops commute, so the final state is
+    // exactly the per-writer outcome regardless of landing order
+    val expected = (Seq((-1L, -1L)) ++ (0 until writers).flatMap { i =>
+      val lo = i * 1000L
+      (lo until lo + perWriter).filterNot(_ % 5 == 0).map { k =>
+        (k, if (k % 7 == 0) k + 100000L else k) }
+    }).toSet
+    val got = Versioned.read(spark, t).as[(Long, Long)].collect().toSet
+    assert(got == expected,
+      s"diverged: missing=${(expected -- got).take(5)} " +
+        s"extra=${(got -- expected).take(5)}")
+    // the history surface stays consistent under all of it
+    assert(Versioned.history(spark, t).size == vs.size)
+  }
+}
