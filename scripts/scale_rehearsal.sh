@@ -22,12 +22,14 @@ ONLY="${2:-vt5,vt7,cf2,s9_data_merge,h3}"
 RUNS="${3:-2}"
 SRC=/root/testdata/sf0.1
 OUT=/tmp/scale_rehearsal
-DERIVED="$OUT/sf0.1_x$FACTOR"
+# 'c' suffix: corpus-scaled derivation (documents/embeddings too,
+# letter-permutation / sign-flip salted — see graft.tools.ScaleData)
+DERIVED="$OUT/sf0.1_x${FACTOR}c"
 mkdir -p "$OUT"
 
 if [ ! -d "$DERIVED/lineitem.parquet" ]; then
   echo "== deriving ${FACTOR}x data under $DERIVED"
-  sbt -batch "runMain graft.tools.ScaleData $SRC $DERIVED $FACTOR"
+  sbt -batch "runMain graft.tools.ScaleData $SRC $DERIVED $FACTOR corpus"
 else
   echo "== reusing existing $DERIVED"
 fi

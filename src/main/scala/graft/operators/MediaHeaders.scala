@@ -62,6 +62,7 @@ object MediaHeaders {
       else if (isPng(bytes)) parsePng(bytes)
       else if (isJpeg(bytes)) parseJpeg(bytes)
       else if (isWav(bytes)) parseWav(bytes)
+      else if (isMp4(bytes)) parseMp4(bytes)
       else Unknown
     } catch { case scala.util.control.NonFatal(_) => Unknown }
 
@@ -171,6 +172,84 @@ object MediaHeaders {
       Some(sampleRate), Some(durMs))
   }
 
+  /** MP4/ISO-BMFF sniff: the first box is conventionally `ftyp`
+    * (ISO/IEC 14496-12 §4.3). */
+  private def isMp4(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
+      b(7) == 'p'
+
+  /** MP4: walk the top-level ISO-BMFF box sequence to `moov`, then its
+    * children to `mvhd` (movie header, ISO/IEC 14496-12 §8.2.2):
+    * version 0 carries timescale(4 BE) + duration(4 BE) at offset 12
+    * of the box payload, version 1 at offset 20 with a 64-bit
+    * duration. Duration ms = duration * 1000 / timescale. All offset
+    * arithmetic in Long with strict forward progress — the same
+    * crafted-size discipline as the WAV walk (size==1 means a 64-bit
+    * largesize follows; size==0 means "to end of enclosure"). */
+  private def parseMp4(b: Array[Byte]): Header = {
+    // generic box walk over [from, until): invoke f at each box
+    def walk(from: Long, until: Long)(f: (String, Long, Long) => Option[Header])
+        : Option[Header] = {
+      var i = from
+      while (i + 8 <= until) {
+        val size32 = be32(b, i.toInt)
+        val tpe = new String(b, i.toInt + 4, 4, "US-ASCII")
+        var payload = i + 8
+        val end =
+          if (size32 == 1L) { // 64-bit largesize
+            if (i + 16 > until) return None
+            val hi = be32(b, i.toInt + 8); val lo = be32(b, i.toInt + 12)
+            payload = i + 16
+            i + ((hi << 32) | lo)
+          } else if (size32 == 0L) until // box runs to the enclosure end
+          else i + size32
+        if (end <= i || end > until) {
+          // truncated payload of the LAST claimed box: tolerate for a
+          // scan that only needs the header fields (mvhd often sits in
+          // the first kilobytes of a multi-GB file); anything else
+          // (no forward progress, overlap) terminates the walk
+          if (end <= i) return None
+          f(tpe, payload, math.min(end, until)) match {
+            case some @ Some(_) => return some
+            case None => return None
+          }
+        }
+        f(tpe, payload, end) match {
+          case some @ Some(_) => return some
+          case None => ()
+        }
+        i = end
+      }
+      None
+    }
+    walk(0L, b.length.toLong) {
+      case ("moov", from, until) =>
+        walk(from, until) {
+          case ("mvhd", p, pEnd) =>
+            if (p + 4 > pEnd) None
+            else {
+              val version = u8(b, p.toInt)
+              val (timescale, duration) = version match {
+                case 0 if p + 20 <= pEnd =>
+                  (be32(b, p.toInt + 12), be32(b, p.toInt + 16))
+                case 1 if p + 32 <= pEnd =>
+                  (be32(b, p.toInt + 20),
+                    (be32(b, p.toInt + 24) << 32) | be32(b, p.toInt + 28))
+                case _ => return Unknown
+              }
+              // crafted 64-bit durations must not overflow the *1000
+              if (timescale <= 0 || timescale > Int.MaxValue ||
+                  duration < 0 || duration > Long.MaxValue / 1000L) None
+              else Some(Header("mp4", None, None, None, None,
+                Some(timescale.toInt),
+                Some(duration * 1000L / timescale)))
+            }
+          case _ => None
+        }
+      case _ => None
+    }.getOrElse(Unknown)
+  }
+
   // ---------------------------------------------------------- the operator
 
   /** Header-decode a media table of (doc_id: long, payload: binary):
@@ -220,6 +299,34 @@ object MediaHeaders {
       sof.put(c.toByte).put(0x11.toByte).put(0.toByte) }
     Array[Byte](0xff.toByte, 0xd8.toByte) ++ app0 ++ sof.array() ++
       Array[Byte](0xff.toByte, 0xd9.toByte)
+  }
+
+  /** Minimal MP4: `ftyp` (isom) + `moov` containing one `mvhd`.
+    * `v1 = true` writes the version-1 (64-bit duration) movie
+    * header. Any external ISO-BMFF reader agrees on the fields. */
+  def mp4Bytes(timescale: Int, duration: Long,
+      v1: Boolean = false): Array[Byte] = {
+    val ftyp = java.nio.ByteBuffer.allocate(20)
+    ftyp.putInt(20).put("ftyp".getBytes("US-ASCII"))
+    ftyp.put("isom".getBytes("US-ASCII")).putInt(0x200)
+    ftyp.put("isom".getBytes("US-ASCII"))
+    val mvhdLen = if (v1) 8 + 4 + 28 + 80 else 8 + 4 + 16 + 80
+    val mvhd = java.nio.ByteBuffer.allocate(mvhdLen)
+    mvhd.putInt(mvhdLen).put("mvhd".getBytes("US-ASCII"))
+    mvhd.putInt(if (v1) 0x01000000 else 0) // version + flags
+    if (v1) {
+      mvhd.putLong(0L).putLong(0L) // creation/modification (64-bit)
+      mvhd.putInt(timescale).putLong(duration)
+    } else {
+      mvhd.putInt(0).putInt(0) // creation/modification
+      mvhd.putInt(timescale).putInt(duration.toInt)
+    }
+    // rate/volume/reserved/matrix/predefined/next_track_ID (80 bytes)
+    mvhd.put(new Array[Byte](80))
+    val moov = java.nio.ByteBuffer.allocate(8 + mvhdLen)
+    moov.putInt(8 + mvhdLen).put("moov".getBytes("US-ASCII"))
+    moov.put(mvhd.array())
+    ftyp.array() ++ moov.array()
   }
 
   /** Minimal WAV: RIFF/WAVE + fmt (PCM) + data chunk header; the data

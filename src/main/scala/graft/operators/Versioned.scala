@@ -140,9 +140,18 @@ object Versioned {
       .map(v => readMeta(spark, table, v)
         .view.filterKeys(_ == BloomIndex.MetaKey).toMap)
       .getOrElse(Map.empty)
+    // invariants are DUTIES, not layout: they survive overwrite too
+    // (drop one explicitly via dropInvariant), and every incoming row
+    // must satisfy them or the commit refuses before a segment lands
+    val invMeta = baseV
+      .filter(_ => !meta.contains(Invariants.MetaKey))
+      .map(v => readMeta(spark, table, v)
+        .view.filterKeys(_ == Invariants.MetaKey).toMap)
+      .getOrElse(Map.empty)
+    Invariants.enforce(df, Invariants.decode(meta ++ invMeta), s"$mode commit")
     val newLines = writeSegmentLines(spark, fs, root, physDf)
     val committed = commitManifest(fs, root,
-      meta ++ mapping.toMeta ++ bloomMeta ++ carrier, { base =>
+      meta ++ mapping.toMeta ++ bloomMeta ++ invMeta ++ carrier, { base =>
         val prevLines =
           if (mode == "append")
             base.toSeq.flatMap(v => readFileLines(fs, root, v))
@@ -229,9 +238,15 @@ object Versioned {
       .map(v => readMeta(spark, table, v)
         .view.filterKeys(_ == BloomIndex.MetaKey).toMap)
       .getOrElse(Map.empty)
+    val invMeta = baseV
+      .filter(_ => !meta.contains(Invariants.MetaKey))
+      .map(v => readMeta(spark, table, v)
+        .view.filterKeys(_ == Invariants.MetaKey).toMap)
+      .getOrElse(Map.empty)
+    Invariants.enforce(df, Invariants.decode(meta ++ invMeta), s"$mode commit")
     val newLines = writeSegmentLines(spark, fs, root, physDf, spec)
     val committed = commitManifest(fs, root,
-      meta ++ mapping.toMeta ++ bloomMeta ++ carrier +
+      meta ++ mapping.toMeta ++ bloomMeta ++ invMeta ++ carrier +
         (BucketKey -> s"$physCol/$numBuckets"),
       { base =>
         val prevLines =
@@ -308,9 +323,15 @@ object Versioned {
     val mapping =
       if (mode == "append") columnMapping(spark, table, Some(expectedBase))
       else ColumnMapping.empty
+    // a MERGE snapshot's rows are incoming like any commit: the
+    // expected base's invariants gate them and ride the new version
+    val invMeta = readMeta(spark, table, expectedBase)
+      .view.filterKeys(_ == Invariants.MetaKey).toMap
+    Invariants.enforce(df, Invariants.decode(meta ++ invMeta),
+      "conditional snapshot commit")
     val newLines = writeSegmentLines(spark, fs, root,
       mapping.applyWrite(df), bucket, sortWithinBuckets)
-    val fullMeta = meta ++ mapping.toMeta ++
+    val fullMeta = meta ++ mapping.toMeta ++ invMeta ++
       bucket.map { case (c, n) => BucketKey -> s"$c/$n" }
     try Some(commitManifest(fs, root, fullMeta, { base =>
       if (base != Some(expectedBase)) throw new RewriteConflict
@@ -353,10 +374,16 @@ object Versioned {
     val spark = df.sparkSession
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // same invariant gate as [[commitIf]]: the MERGE snapshot's rows
+    // must satisfy the base's declared rules, which ride the commit
+    val invMeta = readMeta(spark, table, expectedBase)
+      .view.filterKeys(_ == Invariants.MetaKey).toMap
+    Invariants.enforce(df, Invariants.decode(meta ++ invMeta),
+      "merge snapshot commit")
     val newLines = writeSegmentLines(spark, fs, root, df, bucket)
     val baseLines = readFileLines(fs, root, expectedBase)
-    val fullMeta =
-      meta ++ bucket.map { case (c, n) => BucketKey -> s"$c/$n" }
+    val fullMeta = meta ++ invMeta ++
+      bucket.map { case (c, n) => BucketKey -> s"$c/$n" }
     rebaseTestHook()
     // the guard may cost Spark jobs (source key-bound aggregates) —
     // evaluate it LAZILY, only when a conflict actually materializes;
@@ -530,6 +557,7 @@ object Versioned {
     // VACUUM like any other uncommitted segment.
     var attempt = 0
     while (true) {
+      try {
       val v = latestVersion(fs, root).getOrElse(
         throw new IllegalArgumentException(s"no committed version in $table"))
       val lines = readFileLines(fs, root, v)
@@ -569,8 +597,16 @@ object Versioned {
       val spec = bucketSpec(spark, table, Some(v))
       val newLines =
         if (matched == 0L) Nil
-        else writeSegmentLines(spark, fs, root,
-          mapping.applyWrite(transform(logicalSubset)), spec)
+        else {
+          val out = transform(logicalSubset)
+          // an UPDATE's post-images must satisfy the table invariants
+          // like any other incoming rows — a violating SET refuses
+          // before the replacement segment lands
+          Invariants.enforce(out,
+            Invariants.decode(readMeta(spark, table, v)),
+            "rewrite (COW DML) output")
+          writeSegmentLines(spark, fs, root, mapping.applyWrite(out), spec)
+        }
       val fullMeta = meta ++ mapping.toMeta ++
         spec.map { case (c, n) => BucketKey -> s"$c/$n" } ++
         carrierMetaOf(spark, table, v) // narrow files stay carried
@@ -635,9 +671,36 @@ object Versioned {
         return if (matched == 0L) (0L, 0L, lines.size.toLong)
         else (matched, touched.size.toLong, carried.size.toLong)
       }
+      } catch {
+        // a concurrent VACUUM invalidated this attempt's base version
+        // mid-cycle: same resolution as a commit conflict — recompute
+        // against the new latest (the abandoned segment, if staged,
+        // falls to the orphan-grace sweep)
+        case e: Throwable if isVacuumRace(e) =>
+          if (attempt >= 4) throw new IllegalStateException(
+            s"rewrite of $table kept racing a concurrent VACUUM " +
+              s"(${attempt + 1} attempts) — retry when retention and " +
+              "the writer storm subside", e)
+          attempt += 1
+      }
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** A mid-cycle FileNotFound anywhere in a DML attempt means a
+    * concurrent VACUUM dropped the attempt's base version (or swept
+    * segments only dropped manifests referenced) while the transform
+    * ran — the READ is stale, the table is fine. The resolution is
+    * identical to a commit conflict: abandon the attempt and recompute
+    * against the new latest. Spark wraps executor-side IO errors, so
+    * the cause chain (and, post-serialization, the message) is
+    * consulted; depth-bounded against self-caused cycles. */
+  private def isVacuumRace(t: Throwable, depth: Int = 0): Boolean =
+    t != null && depth < 12 &&
+      (t.isInstanceOf[java.io.FileNotFoundException] ||
+        (t.getMessage != null &&
+          t.getMessage.contains("FileNotFoundException")) ||
+        isVacuumRace(t.getCause, depth + 1))
 
   private final class RewriteConflict extends RuntimeException
 
@@ -1015,7 +1078,8 @@ object Versioned {
   private def carrierMetaOf(spark: SparkSession, table: String,
       v: Long): Map[String, String] =
     readMeta(spark, table, v).view.filterKeys(k =>
-      k == SchemaEnforce.SchemaKey || k == BloomIndex.MetaKey).toMap
+      k == SchemaEnforce.SchemaKey || k == BloomIndex.MetaKey ||
+        k == Invariants.MetaKey).toMap
 
   /** (version -> physical union schema) per table, so a steady
     * append stream pays mergeSchema footer inference ONCE and then
@@ -1162,9 +1226,11 @@ object Versioned {
       spark: SparkSession, table: String, v: Long,
       meta: Map[String, String]): Long = {
     val spec = bucketSpec(spark, table, Some(v))
+    // inherited contract meta first, so an explicit `meta` entry (an
+    // invariant add/drop) OVERRIDES the inherited value for its key
     commitManifest(fs, root,
-      meta ++ spec.map { case (c, n) => BucketKey -> s"$c/$n" } ++
-        carrierMetaOf(spark, table, v),
+      carrierMetaOf(spark, table, v) ++ meta ++
+        spec.map { case (c, n) => BucketKey -> s"$c/$n" },
       base => base.toSeq.flatMap(readFileLines(fs, root, _)))
   }
 
@@ -1761,6 +1827,26 @@ object Versioned {
 
   private def resolveWithDepth(fs: FileSystem, root: Path,
       v: Long): (Seq[String], Int) = {
+    // The walk below reads OLDER manifests; a concurrent VACUUM may
+    // delete one mid-walk. Vacuum materializes the oldest survivor as
+    // a full checkpoint BEFORE dropping (dropAndSweep), so a FRESH
+    // walk always resolves — the race is in the representation, never
+    // the content. Retry from the top when a chain LINK vanished; a
+    // vacuumed version v itself (manifest gone) still throws.
+    var attempt = 0
+    while (true) {
+      try return resolveChainOnce(fs, root, v)
+      catch {
+        case e: java.io.FileNotFoundException =>
+          if (attempt >= 5 || !fs.exists(manifestPath(root, v))) throw e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def resolveChainOnce(fs: FileSystem, root: Path,
+      v: Long): (Seq[String], Int) = {
     val cur = manifestLines(fs, root, v)
     checkReader(root, v, cur)
     if (!cur.contains(DeltaMarker))
@@ -2091,6 +2177,7 @@ object Versioned {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     var attempt = 0
     while (true) {
+      try {
       val v = latestVersion(fs, root).getOrElse(
         throw new IllegalArgumentException(s"no committed version in $table"))
       val lines = readFileLines(fs, root, v)
@@ -2154,6 +2241,11 @@ object Versioned {
             .sorted.sameElements(logicalNames
               .map(_.toLowerCase(java.util.Locale.ROOT)).sorted),
             "updateWithDv transform must preserve the table's columns")
+          // DV-update post-images are incoming rows like any append:
+          // refuse a violating SET before the sidecar+segment commit
+          Invariants.enforce(updated,
+            Invariants.decode(readMeta(spark, table, v)),
+            "merge-on-read update post-images")
           writeSegmentLines(spark, fs, root, mapping.applyWrite(updated), spec)
       }
       // the lines whose sidecar entries were computed — rebase safety
@@ -2207,6 +2299,18 @@ object Versioned {
         case _: RewriteConflict =>
           attempt += 1
           cleanup(postLines)
+      }
+      } catch {
+        // a concurrent VACUUM invalidated this attempt's base version
+        // mid-cycle: same resolution as a commit conflict — recompute
+        // against the new latest (staged sidecar/segment debris falls
+        // to the orphan-grace sweep)
+        case e: Throwable if isVacuumRace(e) =>
+          if (attempt >= 4) throw new IllegalStateException(
+            s"DV merge-on-read on $table kept racing a concurrent " +
+              s"VACUUM (${attempt + 1} attempts) — retry when " +
+              "retention and the writer storm subside", e)
+          attempt += 1
       }
     }
     throw new IllegalStateException("unreachable")
@@ -2268,6 +2372,59 @@ object Versioned {
         new Path(root, rel).toString -> (rel, ref)
       }
     }.toMap
+  }
+
+  /** The declared invariants of a version (default latest). */
+  def invariants(spark: SparkSession, table: String,
+      version: Option[Long] = None): Seq[Invariants.Rule] = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = version.orElse(latestVersion(fs, root)).getOrElse(return Nil)
+    Invariants.decode(readMeta(spark, table, v))
+  }
+
+  /** ALTER TABLE … ADD CONSTRAINT: declare invariants, VALIDATING the
+    * existing data first (Delta's discipline — a constraint the table
+    * already violates refuses, so a declared invariant always means
+    * "every row, past and future, satisfies this"). Metadata-only
+    * commit; every later write that adds rows is gated atomically.
+    * Returns the committed version. */
+  def addInvariants(spark: SparkSession, table: String,
+      rules: Seq[Invariants.Rule]): Long = {
+    require(rules.nonEmpty, "addInvariants needs at least one rule")
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, root).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    val existing = invariants(spark, table, Some(v))
+    val names = existing.map(_.name).toSet
+    val fresh = rules.filterNot(r => names.contains(r.name))
+    // the current data must already satisfy the new rules
+    Invariants.enforce(read(spark, table, Some(v)), fresh,
+      s"ADD CONSTRAINT on $table")
+    commitMetadataOnly(fs, root, spark, table, v,
+      Map("operation" -> "add_invariant") ++
+        Invariants.encode(existing ++ fresh))
+  }
+
+  /** Drop a declared invariant by its `name` (e.g. `not_null(k)` or a
+    * CHECK rule's given name). Metadata-only commit. */
+  def dropInvariant(spark: SparkSession, table: String,
+      name: String): Long = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, root).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    val existing = invariants(spark, table, Some(v))
+    val remaining = existing.filterNot(_.name.equalsIgnoreCase(name))
+    require(remaining.size < existing.size,
+      s"no invariant named '$name' on $table " +
+        s"(declared: ${existing.map(_.name).mkString(", ")})")
+    // encode() always emits the key (empty = explicitly none), which
+    // OVERRIDES the inherited declaration in commitMetadataOnly
+    commitMetadataOnly(fs, root, spark, table, v,
+      Map("operation" -> "drop_invariant", "dropped" -> name) ++
+        Invariants.encode(remaining))
   }
 
   /** CREATE BLOOMFILTER INDEX: declare `cols` bloom-indexed at `fpp`,

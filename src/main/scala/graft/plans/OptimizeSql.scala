@@ -129,15 +129,42 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * [[graft.operators.Versioned]] snapshot tables (Delta's VACUUM,
     * version-count-based instead of hour-based: manifests beyond the
     * newest n go first, then unreferenced data segment dirs). */
+  /** A statement target: quoted `'<path>'` (group q) or a
+    * `catalog.namespace.table` identifier (group i) resolved against
+    * a registered [[graft.sources.GraftCatalog]]. Parse-time
+    * resolution on the ACTIVE session — the same session-driven-DDL
+    * discipline [[DescribeChangesCommand]] uses for its schema. */
+  private def target(q: String, i: String): String =
+    if (q != null) q
+    else {
+      val spark = SparkSession.active
+      val parts = delegate.parseMultipartIdentifier(i)
+      if (parts.length < 2) throw new IllegalArgumentException(
+        s"'$i' must be a catalog-qualified name " +
+          "(catalog.namespace.table) or a quoted '<path>'")
+      val cat = parts.head
+      if (!spark.conf.getOption(s"spark.sql.catalog.$cat")
+          .contains(classOf[graft.sources.GraftCatalog].getName))
+        throw new IllegalArgumentException(
+          s"'$cat' is not a registered graft catalog " +
+            s"(spark.sql.catalog.$cat must name GraftCatalog)")
+      val root = spark.conf.getOption(s"spark.sql.catalog.$cat.root")
+        .getOrElse(throw new IllegalArgumentException(
+          s"spark.sql.catalog.$cat.root is not set"))
+      (root +: parts.tail).mkString("/")
+    }
+
   private def parseVacuum(sqlText: String): LogicalPlan = {
     val v = vacuumStmt.matcher(sqlText)
     if (v.matches())
-      return VacuumVersionedCommand(v.group(1), v.group(2).toInt)
+      return VacuumVersionedCommand(target(v.group(1), v.group(2)),
+        v.group(3).toInt)
     val h = vacuumHoursStmt.matcher(sqlText)
     if (h.matches())
-      return VacuumHoursCommand(h.group(1), h.group(2).toDouble)
-    fail(sqlText, "expected VACUUM '<path>' RETAIN <n> VERSIONS " +
-      "or VACUUM '<path>' OLDER THAN <n> HOURS")
+      return VacuumHoursCommand(target(h.group(1), h.group(2)),
+        h.group(3).toDouble)
+    fail(sqlText, "expected VACUUM <table|'path'> RETAIN <n> VERSIONS " +
+      "or VACUUM <table|'path'> OLDER THAN <n> HOURS")
   }
 
   /** `DESCRIBE HISTORY '<path>'` — the version log of a Versioned
@@ -166,7 +193,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private def parseChanges(sqlText: String): LogicalPlan = {
     val c = changesStmt.matcher(sqlText)
     if (c.matches())
-      DescribeChangesCommand(c.group(1), c.group(2).toLong, c.group(3).toLong)
+      DescribeChangesCommand(target(c.group(1), c.group(2)),
+        c.group(3).toLong, c.group(4).toLong)
     else delegate.parsePlan(sqlText)
   }
 
@@ -182,10 +210,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private def parseClone(sqlText: String): LogicalPlan = {
     val c = cloneStmt.matcher(sqlText)
     if (c.matches())
-      return CloneVersionedCommand(c.group(1), c.group(2),
-        Option(c.group(3)).map(_.toLong))
+      return CloneVersionedCommand(target(c.group(1), c.group(2)),
+        target(c.group(3), c.group(4)),
+        Option(c.group(5)).map(_.toLong))
     fail(sqlText,
-      "expected CLONE '<src path>' TO '<dst path>' [VERSION AS OF n]")
+      "expected CLONE <src|'src path'> TO <dst|'dst path'> " +
+        "[VERSION AS OF n]")
   }
 
   private def parseConvert(sqlText: String): LogicalPlan = {
@@ -220,10 +250,12 @@ object GraftSqlParser {
       """(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?\s*""")
   private val vacuumPrefix =
     java.util.regex.Pattern.compile("""\s*(?i:VACUUM)\b""")
+  // statement targets: quoted '<path>' OR a catalog.ns.table ident
+  private val Tgt = """(?:'([^']+)'|([\w.`]+))"""
   private val vacuumStmt = java.util.regex.Pattern.compile(
-    """(?is)\s*VACUUM\s+'([^']+)'\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""")
+    s"""(?is)\\s*VACUUM\\s+$Tgt\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*""")
   private val vacuumHoursStmt = java.util.regex.Pattern.compile(
-    """(?is)\s*VACUUM\s+'([^']+)'\s+OLDER\s+THAN\s+(\d+(?:\.\d+)?)\s+HOURS\s*;?\s*""")
+    s"""(?is)\\s*VACUUM\\s+$Tgt\\s+OLDER\\s+THAN\\s+(\\d+(?:\\.\\d+)?)\\s+HOURS\\s*;?\\s*""")
   // DESCRIBE alone is Spark grammar — only the two-word forms are ours
   private val historyPrefix = java.util.regex.Pattern.compile(
     """\s*(?i:DESCRIBE\s+HISTORY)\b""")
@@ -236,7 +268,7 @@ object GraftSqlParser {
   private val changesPrefix = java.util.regex.Pattern.compile(
     """\s*(?i:DESCRIBE\s+CHANGES)\b""")
   private val changesStmt = java.util.regex.Pattern.compile(
-    """(?is)\s*DESCRIBE\s+CHANGES\s+'([^']+)'\s+FROM\s+(\d+)\s+TO\s+(\d+)\s*;?\s*""")
+    s"""(?is)\\s*DESCRIBE\\s+CHANGES\\s+$Tgt\\s+FROM\\s+(\\d+)\\s+TO\\s+(\\d+)\\s*;?\\s*""")
   private val restorePrefix =
     java.util.regex.Pattern.compile("""\s*(?i:RESTORE)\b""")
   private val restoreStmt = java.util.regex.Pattern.compile(
@@ -248,7 +280,7 @@ object GraftSqlParser {
   private val convertStmt = java.util.regex.Pattern.compile(
     """(?is)\s*CONVERT\s+'([^']+)'\s+TO\s+GRAFT\s*;?\s*""")
   private val cloneStmt = java.util.regex.Pattern.compile(
-    """(?is)\s*CLONE\s+'([^']+)'\s+TO\s+'([^']+)'""" +
+    s"""(?is)\\s*CLONE\\s+$Tgt\\s+TO\\s+$Tgt""" +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""")
   private val updatePathPrefix =
     java.util.regex.Pattern.compile("""\s*(?i:UPDATE)\s+'""")

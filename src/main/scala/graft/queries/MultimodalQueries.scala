@@ -102,6 +102,49 @@ object MultimodalQueries {
             END AS duration_ms
         FROM documents""")),
 
+    // ---- MM4 video headers: real ISO-BMFF (MP4) box-walk to the
+    // `mvhd` movie header — duration/timescale with closed-form
+    // fields from doc_id, covering BOTH mvhd versions (v1's 64-bit
+    // duration deliberately exceeds 2^32) plus a truncated class
+    // (ftyp with no moov) that must contain to 'unknown'. The parsed
+    // timescale rides the sample_rate column. Hash-checked per doc.
+    "mm4_video_headers" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.MediaHeaders
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val payloads = Tables(s, dir, "documents").select("doc_id")
+          .rdd.map { r =>
+            val id = r.getLong(0)
+            val bytes = (id % 3) match {
+              case 0 => MediaHeaders.mp4Bytes(
+                ((id % 9 + 1) * 1000).toInt, id % 100000 + 500)
+              case 1 => MediaHeaders.mp4Bytes(90000,
+                5000000000L + id, v1 = true)
+              case _ => // ftyp only, moov truncated away: contain
+                MediaHeaders.mp4Bytes(1000, 1).take(24)
+            }
+            Row(id, bytes)
+          }
+        val media = s.createDataFrame(payloads, StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("payload", BinaryType, nullable = true))))
+        MediaHeaders.decodeHeaders(media)
+          .select("doc_id", "format", "sample_rate", "duration_ms")
+      },
+      Some("""SELECT doc_id,
+          CASE doc_id % 3 WHEN 2 THEN 'unknown' ELSE 'mp4' END AS format,
+          CASE doc_id % 3
+            WHEN 0 THEN CAST((doc_id % 9 + 1) * 1000 AS INT)
+            WHEN 1 THEN CAST(90000 AS INT) END AS sample_rate,
+          CASE doc_id % 3
+            WHEN 0 THEN CAST((doc_id % 100000 + 500) * 1000
+              // ((doc_id % 9 + 1) * 1000) AS BIGINT)
+            WHEN 1 THEN CAST((5000000000 + doc_id) * 1000 // 90000
+              AS BIGINT)
+            END AS duration_ms
+        FROM documents""")),
+
     // ---- MM2 self-check: the frame hashes have no DuckDB mirror, but
     // the sampling arithmetic does — stride-2 over declared_frames =
     // len%10+1 frames yields floor((n-1)/2)+1 samples ending at

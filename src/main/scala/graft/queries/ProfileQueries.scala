@@ -9,6 +9,9 @@ import graft.operators.Profile
   */
 object ProfileQueries {
 
+  private val stages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def defs: Seq[(String, QueryDef)] = Seq(
 
     // ---- PF1 exact per-column profile of the documents table
@@ -75,6 +78,65 @@ object ProfileQueries {
         UNION ALL
         SELECT 'qty_range', CAST(count(*) AS BIGINT)
           FROM lineitem
-          WHERE NOT coalesce(l_quantity BETWEEN 1 AND 50, FALSE)"""))
+          WHERE NOT coalesce(l_quantity BETWEEN 1 AND 50, FALSE)""")),
+
+    // ---- CK2 commit-time invariants (the write-path gate CK1's
+    // admission QUERY cannot be): NOT NULL + CHECK rules are declared
+    // on a snapshot table built from orders, a NULL-key append and a
+    // violating DV UPDATE are REFUSED atomically (proven by requires —
+    // versions unchanged, no sidecar), then the clean half appends and
+    // a gated SQL UPDATE lands. The final aggregate can only match the
+    // oracle if exactly the clean writes committed and both refusals
+    // left nothing behind.
+    "ck2_invariant_gate" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.functions._
+        val V = graft.operators.Versioned
+        val table = stages.computeIfAbsent(s"$dir|ck2", { _ =>
+          val td = java.nio.file.Files
+            .createTempDirectory("ck2").toString + "/t"
+          val orders = Tables(s, dir, "orders").select(
+            $"o_orderkey".as("k"),
+            graft.functions.Exact.cents($"o_totalprice").as("cents"))
+          V.commit(orders.where($"k" % 2 === 0).repartition(2), td)
+          V.addInvariants(s, td, Seq(
+            graft.operators.Invariants.NotNull("k"),
+            graft.operators.Invariants.CheckRule("cents_pos",
+              "cents >= 0")))
+          // a NULL-key append refuses and commits NOTHING
+          val vs = V.versions(s, td)
+          val dirty = orders.where($"k" % 2 =!= 0).unionByName(
+            Seq((null: java.lang.Long, 5L)).toDF("k", "cents"))
+          val refused =
+            try { V.commit(dirty, td, "append"); false }
+            catch { case _: graft.operators.InvariantViolation => true }
+          require(refused, "a NULL-key append must refuse")
+          require(V.versions(s, td) == vs, "a refusal must not commit")
+          // a DV UPDATE whose post-images violate refuses atomically
+          val dvRefused =
+            try {
+              V.updateWithDv(s, td, _ => true, $"k" % 4 === 0,
+                df => df.withColumn("cents", lit(-1L)))
+              false
+            } catch { case _: graft.operators.InvariantViolation => true }
+          require(dvRefused && V.versions(s, td) == vs &&
+            V.dvDeletedCounts(s, td).isEmpty,
+            "a violating DV update must leave no sidecar, no version")
+          // the clean half appends; a gated SQL UPDATE lands
+          V.commit(orders.where($"k" % 2 =!= 0).repartition(2),
+            td, "append")
+          s.sql(s"UPDATE '$td' SET cents = cents + 1 WHERE k % 100 = 0")
+          td
+        })
+        V.read(s, table).agg(
+          count(lit(1)).as("n_rows"),
+          sum($"cents").cast("long").as("total_cents"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+            + sum(CASE WHEN o_orderkey % 100 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS total_cents
+        FROM orders"""))
   )
 }

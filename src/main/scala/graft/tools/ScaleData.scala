@@ -16,12 +16,28 @@ import org.apache.spark.sql.functions._
   * superlinear engine cost), so dedup-family queries rehearse at 1×
   * and the relational/streaming/lake families carry the 10× claim.
   *
-  * Usage: ScaleData <srcDir> <dstDir> <factor>
+  * With a 4th arg `corpus`, the text/embedding corpora scale too —
+  * WITHOUT the duplicate-group artifact: each documents copy gets a
+  * disjoint doc_id population and a copy-specific PERMUTATION of the
+  * nine most frequent letters applied to its text. A letter
+  * permutation is a bijection, so every within-copy shingle/Jaccard/
+  * MinHash relationship is preserved EXACTLY (copy 0 is the identity
+  * — its numbers equal the 1× corpus), while cross-copy texts share
+  * almost no shingles — duplicate-group sizes stay constant as the
+  * corpus scales, which is the honest shape of "100× more crawl
+  * data", not "the same crawl 100 times". Embeddings likewise shift
+  * vec_id and flip a copy-and-dimension-keyed sign pattern (an
+  * isometry: within-copy cosine structure exact, cross-copy cosines
+  * decorrelate to ~0).
+  *
+  * Usage: ScaleData <srcDir> <dstDir> <factor> [corpus]
   */
 object ScaleData {
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleData <srcDir> <dstDir> <factor>")
-    val Array(src, dst, fs) = args
+    require(args.length == 3 || args.length == 4,
+      "usage: ScaleData <srcDir> <dstDir> <factor> [corpus]")
+    val Array(src, dst, fs) = args.take(3)
+    val scaleCorpus = args.length == 4 && args(3) == "corpus"
     val factor = fs.toInt
     require(factor >= 1 && factor <= 100, s"factor out of range: $factor")
     require(!src.contains("/root/testdata") || dst.startsWith("/tmp"),
@@ -36,7 +52,7 @@ object ScaleData {
     spark.sparkContext.setLogLevel("WARN")
 
     val copyVerbatim = Seq("region", "nation", "customer", "supplier",
-      "part", "documents", "embeddings")
+      "part") ++ (if (scaleCorpus) Nil else Seq("documents", "embeddings"))
     copyVerbatim.foreach { t =>
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
@@ -66,6 +82,46 @@ object ScaleData {
     scaled("events") { (df, i) =>
       df.withColumn("event_id", col("event_id") + lit(i * EventShift))
         .withColumn("user_id", col("user_id") + lit(i * UserShift))
+    }
+
+    if (scaleCorpus) {
+      val DocShift = 10000000L
+      // copy i's letter permutation (copy 0 = identity), derived by a
+      // fixed LCG Fisher-Yates so the mapping is stable across JVMs
+      val letters = "etaoinshr"
+      def permOf(i: Int): String = {
+        if (i == 0) return letters
+        val a = letters.toCharArray
+        var state = 0x9e3779b9L ^ (i.toLong * 0x85ebca6bL)
+        def next(bound: Int): Int = {
+          state = state * 6364136223846793005L + 1442695040888963407L
+          (((state >>> 33) % bound).toInt + bound) % bound
+        }
+        var j = a.length - 1
+        while (j > 0) {
+          val k = next(j + 1)
+          val t = a(j); a(j) = a(k); a(k) = t
+          j -= 1
+        }
+        new String(a)
+      }
+      scaled("documents") { (df, i) =>
+        df.withColumn("doc_id", col("doc_id") + lit(i * DocShift))
+          .withColumn("text",
+            translate(col("text"), letters + letters.toUpperCase,
+              permOf(i) + permOf(i).toUpperCase))
+      }
+      scaled("embeddings") { (df, i) =>
+        // per-(copy, dimension) sign flips: an isometry of the copy;
+        // copy 0 stays the identity so 1x comparisons hold
+        val shifted = df.withColumn("vec_id",
+          col("vec_id") + lit(i * DocShift))
+        if (i == 0) shifted
+        else shifted.withColumn("embedding", expr(
+          s"transform(embedding, (x, j) -> " +
+            s"CASE WHEN pmod(xxhash64(j, $i), 2) = 0 THEN x " +
+            "ELSE -x END)"))
+      }
     }
     spark.stop()
   }

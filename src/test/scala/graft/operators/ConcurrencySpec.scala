@@ -25,13 +25,14 @@ class ConcurrencySpec extends SparkSpec {
     * budget; the named give-up error is the only tolerated failure. */
   private def retry[A](f: => A): A = {
     var last: Throwable = null
-    for (_ <- 0 until 30) {
+    for (_ <- 0 until 60) {
       try return f
       catch {
         case e: IllegalStateException
             if e.getMessage != null &&
-              e.getMessage.contains("losing the commit race") =>
-          last = e; Thread.sleep(50)
+              (e.getMessage.contains("losing the commit race") ||
+                e.getMessage.contains("racing a concurrent VACUUM")) =>
+          last = e; Thread.sleep(200)
       }
     }
     throw last

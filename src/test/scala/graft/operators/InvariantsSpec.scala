@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Commit-time CHECK / NOT NULL invariants: declared once (validated
+  * against existing data), then every write that ADDS rows is gated
+  * atomically — appends, overwrites, COW-update and DV-update
+  * post-images, MERGE snapshots. A violating writer fails with a
+  * named error and the table never transitions from clean to dirty. */
+class InvariantsSpec extends SparkSpec {
+  import Invariants.{CheckRule, NotNull}
+  import spark.implicits._
+
+  private def freshTable(prefix: String): String = {
+    val t = tmpDir(prefix) + "/t"
+    Versioned.commit((1 to 10).map(i => (i.toLong, i * 100L))
+      .toDF("k", "cents").coalesce(1), t)
+    t
+  }
+
+  test("ADD CONSTRAINT validates existing data; declared rules " +
+    "round-trip; violating add refuses and commits nothing") {
+    val t = freshTable("inv")
+    Versioned.addInvariants(spark, t,
+      Seq(NotNull("k"), CheckRule("cents_pos", "cents >= 0")))
+    assert(Versioned.invariants(spark, t).map(_.name) ==
+      Seq("not_null(k)", "cents_pos"))
+    // a rule the CURRENT data violates refuses up front
+    val before = Versioned.versions(spark, t)
+    intercept[InvariantViolation] {
+      Versioned.addInvariants(spark, t,
+        Seq(CheckRule("too_strict", "cents > 500")))
+    }
+    assert(Versioned.versions(spark, t) == before)
+    assert(Versioned.invariants(spark, t).size == 2)
+  }
+
+  test("appends and overwrites are gated: NULL keys and negative " +
+    "cents refuse with the rule named; clean rows commit; the rules " +
+    "survive overwrite and RESTORE") {
+    val t = freshTable("invgate")
+    Versioned.addInvariants(spark, t,
+      Seq(NotNull("k"), CheckRule("cents_pos", "cents >= 0")))
+    def rows(ks: Seq[(java.lang.Long, Long)]) = ks.toDF("k", "cents")
+    val e = intercept[InvariantViolation] {
+      Versioned.commit(rows(Seq((null, 1L), (20L, 5L))), t, "append")
+    }
+    assert(e.getMessage.contains("not_null(k)"))
+    intercept[InvariantViolation] {
+      Versioned.commit(rows(Seq((21L, -5L))), t, "append")
+    }
+    assert(Versioned.read(spark, t).count() == 10, "nothing may land")
+    Versioned.commit(rows(Seq((22L, 7L))), t, "append")
+    assert(Versioned.read(spark, t).count() == 11)
+    // a column a rule references must be PRESENT in the append — its
+    // rows would land NULL/unevaluable, exactly what the rule forbids
+    intercept[InvariantViolation] {
+      Versioned.commit(Seq(23L).toDF("k"), t, "append")
+    }
+    // overwrite: duties survive, violating snapshots refuse
+    intercept[InvariantViolation] {
+      Versioned.commit(rows(Seq((null, 1L))), t, "overwrite")
+    }
+    Versioned.commit(rows(Seq((30L, 1L))), t, "overwrite")
+    assert(Versioned.invariants(spark, t).size == 2,
+      "invariants must survive an overwrite")
+    // RESTORE reinstates the restored version's rule set
+    Versioned.restore(spark, t, 1L)
+    assert(Versioned.invariants(spark, t).size == 2)
+  }
+
+  test("DML is gated on both paths: a COW UPDATE and a DV UPDATE whose " +
+    "post-images violate refuse atomically — no sidecar, no segment, " +
+    "no version") {
+    val t = freshTable("invdml")
+    Versioned.addInvariants(spark, t,
+      Seq(CheckRule("cents_pos", "cents >= 0")))
+    val vs = Versioned.versions(spark, t)
+    // COW path (SQL UPDATE routes through rewrite)
+    val e = intercept[InvariantViolation] {
+      spark.sql(s"UPDATE '$t' SET cents = -1 WHERE k <= 3")
+    }
+    assert(e.getMessage.contains("cents_pos"))
+    assert(Versioned.versions(spark, t) == vs)
+    // DV path
+    intercept[InvariantViolation] {
+      Versioned.updateWithDv(spark, t, _ => true, $"k" <= 3,
+        df => df.withColumn("cents", lit(-7L)))
+    }
+    assert(Versioned.versions(spark, t) == vs)
+    assert(Versioned.dvDeletedCounts(spark, t).isEmpty,
+      "a refused DV update must leave no sidecar refs")
+    // clean updates still flow on both paths
+    spark.sql(s"UPDATE '$t' SET cents = cents + 1 WHERE k <= 2")
+    Versioned.updateWithDv(spark, t, _ => true, $"k" === 3L,
+      df => df.withColumn("cents", col("cents") + 1))
+    assert(Versioned.read(spark, t).agg(sum($"cents")).as[Long].head ==
+      (1 to 10).map(_ * 100L).sum + 3)
+    // deletes add no rows: never gated
+    Versioned.deleteWithDv(spark, t, _ => true, $"k" === 10L)
+    assert(Versioned.read(spark, t).count() == 9)
+  }
+
+  test("drop by name removes exactly one rule (and the empty state " +
+    "overrides inheritance); merge snapshot commits are gated too") {
+    val t = freshTable("invdrop")
+    Versioned.addInvariants(spark, t,
+      Seq(NotNull("k"), CheckRule("cents_pos", "cents >= 0")))
+    Versioned.dropInvariant(spark, t, "cents_pos")
+    assert(Versioned.invariants(spark, t).map(_.name) == Seq("not_null(k)"))
+    // negative cents now commit; NULL keys still refuse
+    Versioned.commit(Seq((50L, -1L)).toDF("k", "cents"), t, "append")
+    intercept[IllegalArgumentException] {
+      Versioned.dropInvariant(spark, t, "ghost") }
+    Versioned.dropInvariant(spark, t, "not_null(k)")
+    assert(Versioned.invariants(spark, t).isEmpty)
+    // a later metadata commit must NOT resurrect dropped rules
+    Versioned.renameColumn(spark, t, "cents", "price")
+    assert(Versioned.invariants(spark, t).isEmpty)
+    // merge-snapshot gating (commitIf) on a fresh table
+    val m = freshTable("invmerge")
+    Versioned.addInvariants(spark, m, Seq(NotNull("cents")))
+    val base = Versioned.versions(spark, m).last
+    intercept[InvariantViolation] {
+      Versioned.commitIf(
+        Seq((1L, null: java.lang.Long)).toDF("k", "cents"),
+        m, "overwrite", Map("operation" -> "merge"), base)
+    }
+    assert(Versioned.versions(spark, m).last == base)
+  }
+}

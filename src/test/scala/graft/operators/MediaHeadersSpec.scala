@@ -94,6 +94,50 @@ class MediaHeadersSpec extends SparkSpec {
     assert(parse(bb.array()).format == "unknown")
   }
 
+  test("MP4: box walk to moov/mvhd recovers timescale and duration " +
+    "in both mvhd versions; v1 durations above 2^32 parse exactly") {
+    val v0 = parse(mp4Bytes(1000, 90500))
+    assert(v0 == Header("mp4", None, None, None, None,
+      Some(1000), Some(90500L)), s"got $v0")
+    val v1 = parse(mp4Bytes(90000, 5000000123L, v1 = true))
+    assert(v1.format == "mp4" && v1.sampleRate.contains(90000) &&
+      v1.durationMs.contains(5000000123L * 1000L / 90000L), s"got $v1")
+    // a foreign box between ftyp and moov is skipped, not fatal
+    val free = java.nio.ByteBuffer.allocate(16)
+    free.putInt(16).put("free".getBytes("US-ASCII"))
+      .put(new Array[Byte](8))
+    val full = mp4Bytes(8000, 16000)
+    val withFree = full.take(20) ++ free.array() ++ full.drop(20)
+    assert(parse(withFree).durationMs.contains(2000L))
+  }
+
+  test("MP4 malformed payloads contain: truncated moov, zero-size and " +
+    "crafted 64-bit largesize boxes all terminate to unknown") {
+    assert(parse(mp4Bytes(1000, 1).take(24)).format == "unknown")
+    assert(parse(mp4Bytes(0, 5)).format == "unknown") // zero timescale
+    // size==0 box before any moov: runs to end, walk terminates
+    val z = java.nio.ByteBuffer.allocate(28)
+    z.putInt(20).put("ftyp".getBytes("US-ASCII"))
+      .put(new Array[Byte](12))
+    z.putInt(0).put("mdat".getBytes("US-ASCII"))
+    assert(parse(z.array()).format == "unknown")
+    // largesize with a crafted huge value must terminate, not spin
+    val big = java.nio.ByteBuffer.allocate(36)
+    big.putInt(20).put("ftyp".getBytes("US-ASCII"))
+      .put(new Array[Byte](12))
+    big.putInt(1).put("mdat".getBytes("US-ASCII"))
+      .putLong(0x7fffffffffffff00L)
+    val t0 = System.nanoTime()
+    assert(parse(big.array()).format == "unknown")
+    assert(System.nanoTime() - t0 < 5e9)
+    // largesize of ZERO (next offset not past current) terminates too
+    val loop = java.nio.ByteBuffer.allocate(36)
+    loop.putInt(20).put("ftyp".getBytes("US-ASCII"))
+      .put(new Array[Byte](12))
+    loop.putInt(1).put("mdat".getBytes("US-ASCII")).putLong(0L)
+    assert(parse(loop.array()).format == "unknown")
+  }
+
   test("decodeHeaders: the mapPartitions operator decodes a mixed " +
     "binary column, nulls and poison included, one row per input") {
     val rows = Seq(

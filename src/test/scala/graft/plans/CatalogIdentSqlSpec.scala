@@ -1,0 +1,69 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.operators.Versioned
+
+/** Catalog-identifier forms for the maintenance statements that
+  * previously accepted only quoted paths: VACUUM, DESCRIBE CHANGES and
+  * CLONE each resolve `graft_cat.ns.t` against a registered
+  * GraftCatalog's root — the same lowering as the quoted-path spelling,
+  * with clean errors for unknown catalogs. */
+class CatalogIdentSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def register(root: String): String = {
+    val cat = "gident" + math.abs(root.hashCode).toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    cat
+  }
+
+  test("VACUUM cat.ns.t RETAIN n VERSIONS / OLDER THAN n HOURS lower " +
+    "to the same retention as the quoted-path form") {
+    val root = tmpDir("identvac")
+    val cat = register(root)
+    val t = s"$root/lake/t"
+    (0 to 4).foreach { i =>
+      Versioned.commit(Seq((i, i.toLong)).toDF("k", "v").coalesce(1), t,
+        if (i == 0) "overwrite" else "append")
+    }
+    val r = spark.sql(s"VACUUM $cat.lake.t RETAIN 2 VERSIONS")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 3L)))
+    assert(Versioned.versions(spark, t) == Seq(3L, 4L))
+    // hours form: nothing is old enough -> drops 0, keeps 2
+    val h = spark.sql(s"VACUUM $cat.lake.t OLDER THAN 9999 HOURS")
+      .collect().head
+    assert((h.getLong(0), h.getLong(1)) == ((2L, 0L)))
+  }
+
+  test("DESCRIBE CHANGES cat.ns.t FROM a TO b yields the row-level " +
+    "feed; CLONE cat.ns.src TO cat.ns.dst clones under the catalog " +
+    "root and mixes with quoted paths") {
+    val root = tmpDir("identchg")
+    val cat = register(root)
+    val t = s"$root/lake/src"
+    Versioned.commit((1 to 5).map(i => (i, i.toLong)).toDF("k", "v")
+      .coalesce(1), t)
+    Versioned.commit(Seq((6, 6L)).toDF("k", "v").coalesce(1), t, "append")
+    val feed = spark.sql(s"DESCRIBE CHANGES $cat.lake.src FROM 0 TO 1")
+    assert(feed.collect().map(r =>
+      (r.getInt(0), r.getString(feed.columns.indexOf("_change_type"))))
+      .toSeq == Seq((6, "insert")))
+    // ident -> ident clone lands under the catalog root
+    val r = spark.sql(s"CLONE $cat.lake.src TO $cat.lake.dst").collect().head
+    assert(r.getLong(0) == 1L)
+    assert(Versioned.read(spark, s"$root/lake/dst").count() == 6)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.lake.dst")
+      .as[Long].head == 6L)
+    // mixed spelling: ident source, quoted destination
+    val dst2 = tmpDir("identclone2") + "/d"
+    spark.sql(s"CLONE $cat.lake.src TO '$dst2' VERSION AS OF 0")
+    assert(Versioned.read(spark, dst2).count() == 5)
+    // unknown catalog: a clean error, not a path mangle
+    val e = intercept[Exception] {
+      spark.sql("VACUUM nosuchcat.ns.t RETAIN 1 VERSIONS") }
+    assert(e.getMessage.contains("nosuchcat"))
+  }
+}
