@@ -543,7 +543,8 @@ object Versioned {
   def rewrite(spark: SparkSession, table: String,
       mayTouch: SegmentStats.FileStats => Boolean, cond: Column,
       transform: DataFrame => DataFrame,
-      meta: Map[String, String]): (Long, Long, Long) = {
+      meta: Map[String, String],
+      linePrune: String => Boolean = _ => true): (Long, Long, Long) = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // The read-compute-commit cycle runs OUTSIDE the commit lock (the
@@ -564,13 +565,13 @@ object Versioned {
       val mapping = columnMapping(spark, table, Some(v))
       val physSchema = readPhysical(spark, table, Some(v)).schema
       val (touched, carried) = lines.partition { line =>
-        parseLine(line)._2.flatMap(SegmentStats.parse) match {
+        (parseLine(line)._2.flatMap(SegmentStats.parse) match {
           // stats are keyed by PHYSICAL column names; the caller's
           // scope predicate speaks the logical schema — translate so a
           // rename can never blind (or worse, mis-aim) the scoping
           case Some(st) => mayTouch(mapping.statsToLogical(st))
           case None => true // no stats: always in scope
-        }
+        }) && linePrune(line) // bloom point-lookup scoping, if any
       }
       val touchedFiles = touched
         .map(l => new Path(root, parseLine(l)._1).toString)
@@ -2030,9 +2031,11 @@ object Versioned {
     * never re-match. Returns the number of rows newly deleted; 0
     * matches commits nothing. */
   def deleteWithDv(spark: SparkSession, table: String,
-      mayTouch: SegmentStats.FileStats => Boolean, cond: Column): Long =
+      mayTouch: SegmentStats.FileStats => Boolean, cond: Column,
+      linePrune: String => Boolean = _ => true): Long =
     mergeOnRead(spark, table, mayTouch, _.where(cond),
-      (schema, files) => rebaseGuard(spark, schema, files, cond), None)
+      (schema, files) => rebaseGuard(spark, schema, files, cond), None,
+      linePrune)
 
   /** Size-thresholded partial compaction (Delta's OPTIMIZE bin-pack
     * discipline): only data files SMALLER than `minBytes` are read
@@ -2125,10 +2128,11 @@ object Versioned {
     * schema). OPTIMIZE folds as with deletes. Returns rows updated. */
   def updateWithDv(spark: SparkSession, table: String,
       mayTouch: SegmentStats.FileStats => Boolean, cond: Column,
-      transform: DataFrame => DataFrame): Long =
+      transform: DataFrame => DataFrame,
+      linePrune: String => Boolean = _ => true): Long =
     mergeOnRead(spark, table, mayTouch, _.where(cond),
       (schema, files) => rebaseGuard(spark, schema, files, cond),
-      Some(transform))
+      Some(transform), linePrune)
 
   /** [[updateWithDv]] matched by KEY-TUPLE membership instead of a
     * predicate Column: rows whose `keys` tuple appears in `keyTuples`
@@ -2170,7 +2174,8 @@ object Versioned {
       matcher: DataFrame => DataFrame,
       guardOf: (org.apache.spark.sql.types.StructType, Seq[String]) =>
         Seq[org.apache.spark.sql.sources.Filter],
-      post: Option[DataFrame => DataFrame]): Long = {
+      post: Option[DataFrame => DataFrame],
+      linePrune: String => Boolean = _ => true): Long = {
     import org.apache.spark.sql.functions.{col, regexp_replace}
     import spark.implicits._
     val root = new Path(table)
@@ -2184,10 +2189,10 @@ object Versioned {
       val mapping = columnMapping(spark, table, Some(v))
       val physSchema = readPhysical(spark, table, Some(v)).schema
       val touched = lines.filter { line =>
-        parseLine(line)._2.flatMap(SegmentStats.parse) match {
+        (parseLine(line)._2.flatMap(SegmentStats.parse) match {
           case Some(st) => mayTouch(mapping.statsToLogical(st))
           case None => true
-        }
+        }) && linePrune(line) // bloom point-lookup scoping, if any
       }
       if (touched.isEmpty) return 0L
       val touchedFiles = touched
@@ -2425,6 +2430,28 @@ object Versioned {
     commitMetadataOnly(fs, root, spark, table, v,
       Map("operation" -> "drop_invariant", "dropped" -> name) ++
         Invariants.encode(remaining))
+  }
+
+  /** A per-manifest-line pruner for the DML stats-scoping path:
+    * lowers the DML predicate's equality/IN conjuncts against each
+    * line's bloom sidecar ref — false ONLY when the sidecar PROVES no
+    * candidate value is present (false-positive-only, same contract
+    * as the scan-side pruning). Identity when the predicate has no
+    * equality targets or the table carries no refs, so callers can
+    * thread it unconditionally. */
+  def bloomLinePruner(spark: SparkSession, table: String,
+      filters: Seq[org.apache.spark.sql.sources.Filter])
+      : String => Boolean = {
+    val eq = BloomIndex.equalityTargets(filters)
+    if (eq.isEmpty) return _ => true
+    val root = new Path(table)
+    line => parseBloomRef(line) match {
+      case None => true
+      case Some(ref) =>
+        val rel = parseLine(line)._1
+        eq.forall { case (c, vs) =>
+          BloomIndex.mightContain(spark, root, ref, rel, c, vs) }
+    }
   }
 
   /** CREATE BLOOMFILTER INDEX: declare `cols` bloom-indexed at `fpp`,

@@ -591,7 +591,8 @@ private[plans] object SnapshotDml {
   import org.apache.spark.sql.functions.{coalesce, col, lit, not, when}
 
   private def scopeOf(spark: SparkSession, path: String, raw: Column)
-      : graft.operators.SegmentStats.FileStats => Boolean = {
+      : (graft.operators.SegmentStats.FileStats => Boolean,
+        String => Boolean) = {
     val df = Versioned.read(spark, path)
     // under a column mapping the optimizer pushes the predicate
     // through the rename projection, leaving Filter nodes on PHYSICAL
@@ -600,8 +601,13 @@ private[plans] object SnapshotDml {
     val mapping = Versioned.columnMapping(spark, path)
     val filters = StatsPruner.pushableFilters(df.where(raw),
       mapping.logicalOf)
-    if (filters.isEmpty) _ => true
-    else st => filters.forall(StatsPruner.mayMatch(st, _))
+    val stats: graft.operators.SegmentStats.FileStats => Boolean =
+      if (filters.isEmpty) _ => true
+      else st => filters.forall(StatsPruner.mayMatch(st, _))
+    // bloom point-lookup scoping: an equality DML on an indexed
+    // high-cardinality key (DELETE WHERE id = …) touches only the
+    // files whose sidecars may hold the key — min/max cannot say
+    (stats, Versioned.bloomLinePruner(spark, path, filters))
   }
 
   def update(spark: SparkSession, path: String,
@@ -627,7 +633,7 @@ private[plans] object SnapshotDml {
     val raw = where.getOrElse(lit(true))
     val cond = coalesce(raw, lit(false))
     val assigned = resolved.toMap
-    val scope = scopeOf(spark, path, raw)
+    val (scope, lineScope) = scopeOf(spark, path, raw)
     // merge-on-read routing: under the conf, matched rows are
     // DV-deleted and their post-images appended — a 10-row update
     // costs a sidecar + a 10-row segment, never a segment rewrite
@@ -642,7 +648,7 @@ private[plans] object SnapshotDml {
             .map(e => e.cast(matched.schema(c).dataType).as(c))
             .getOrElse(col(c))
         }: _*)
-      })
+      }, lineScope)
     else {
       val (n, _, _) = Versioned.rewrite(spark, path, scope, raw, { subset =>
         subset.select(subset.columns.toIndexedSeq.map { c =>
@@ -651,7 +657,7 @@ private[plans] object SnapshotDml {
               .otherwise(col(c)).as(c))
             .getOrElse(col(c))
         }: _*)
-      }, Map("operation" -> "update"))
+      }, Map("operation" -> "update"), lineScope)
       n
     }
   }
@@ -660,7 +666,7 @@ private[plans] object SnapshotDml {
       where: Option[Column]): Long = {
     val raw = where.getOrElse(lit(true))
     val cond = coalesce(raw, lit(false))
-    val scope = scopeOf(spark, path, raw)
+    val (scope, lineScope) = scopeOf(spark, path, raw)
     // merge-on-read routing (Delta's delta.enableDeletionVectors):
     // under the conf, the delete commits a deletion-vector sidecar
     // instead of rewriting segments — a one-row delete stops costing
@@ -670,11 +676,11 @@ private[plans] object SnapshotDml {
     if (useDv)
       // filter semantics: NULL-predicate rows are kept, i.e. deleted
       // rows are exactly those where cond IS TRUE
-      Versioned.deleteWithDv(spark, path, scope, cond)
+      Versioned.deleteWithDv(spark, path, scope, cond, lineScope)
     else {
       val (n, _, _) = Versioned.rewrite(spark, path, scope, raw,
         subset => subset.where(not(cond)),
-        Map("operation" -> "delete"))
+        Map("operation" -> "delete"), lineScope)
       n
     }
   }

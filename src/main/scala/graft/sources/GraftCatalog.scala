@@ -774,7 +774,8 @@ private[sources] class GraftWritableTable(
       else st => filters.forall(StatsPruner.mayMatch(st, _))
     Versioned.rewrite(spark, path, scope, cond,
       subset => subset.where(not(coalesce(cond, lit(false)))),
-      Map("operation" -> "delete"))
+      Map("operation" -> "delete"),
+      Versioned.bloomLinePruner(spark, path, filters.toIndexedSeq))
     ()
   }
 

@@ -116,6 +116,29 @@ class BloomIndexSpec extends SparkSpec {
     assert(q3.collect().map(_.getLong(0)).toList == List(70L))
   }
 
+  test("DML stats-scoping consults blooms: an equality DELETE rewrites " +
+    "only the file that may hold the key (min/max alone keeps all), " +
+    "and a DV delete sidecars only that file") {
+    val t = tmpDir("bloomdml") + "/t"
+    Versioned.commit(seg(0), t)
+    (1 to 3).foreach(i => Versioned.commit(seg(i), t, "append"))
+    Versioned.declareBloomIndex(spark, t, Seq("u"))
+    val v0 = Versioned.versions(spark, t).last
+    spark.sql(s"DELETE FROM '$t' WHERE u = 'u010-1'")
+    val v1 = Versioned.versions(spark, t).last
+    val (_, removed) = Versioned.changedFiles(spark, t, v0, v1)
+    assert(removed.size <= 2, // 1 true hit + fpp-bounded slack
+      s"a bloom-scoped COW delete must rewrite ~1 of 4 files: $removed")
+    assert(Versioned.read(spark, t).count() == 399)
+    // DV route: the sidecar must tag only the bloom-hit file(s)
+    spark.conf.set("spark.graft.delete.mode", "dv")
+    try spark.sql(s"DELETE FROM '$t' WHERE u = 'u011-2'")
+    finally spark.conf.unset("spark.graft.delete.mode")
+    assert(Versioned.read(spark, t).count() == 398)
+    assert(Versioned.dvDeletedCounts(spark, t).size <= 2,
+      "the DV sidecar must be scoped to the bloom-hit files")
+  }
+
   test("declaration guards: unknown column, un-indexable type, mapped " +
     "table; and meta round-trips") {
     val t = tmpDir("bloomguard") + "/t"
