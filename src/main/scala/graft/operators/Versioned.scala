@@ -1112,8 +1112,17 @@ object Versioned {
         case (`v`, s) => s }).getOrElse {
       val root = new Path(table)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val files = readFileLines(fs, root, v)
-        .map(l => new Path(root, parseLine(l)._1).toString)
+      // ONE representative file per SEGMENT: a segment's files come
+      // from one write and share a schema, so the union over
+      // representatives equals the union over all files — on a
+      // 1M-file table the cold-start inference reads #segments
+      // footers, not a million (top-level CONVERT imports have no
+      // segment structure and are each their own representative)
+      val rels = readFileLines(fs, root, v).map(parseLine(_)._1)
+      val files = rels.groupBy { rel =>
+        val segs = rel.split('/')
+        if (segs.length >= 2 && segs(0) == "data") segs(1) else rel
+      }.values.map(g => new Path(root, g.head).toString).toSeq
       if (files.isEmpty) return (physDf, None, None)
       spark.read.option("mergeSchema", "true").parquet(files: _*).schema
     }
