@@ -50,6 +50,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       parseClone(sqlText)
     else if (convertPrefix.matcher(sqlText).lookingAt())
       parseConvert(sqlText)
+    else if (alterPrefix.matcher(sqlText).lookingAt())
+      parseConstraint(sqlText)
+    else if (bloomIdxPrefix.matcher(sqlText).lookingAt())
+      parseBloomIndex(sqlText)
     // quoted-path DML: only the UPDATE '…' / DELETE FROM '…' spelling
     // is ours (snapshot tables); table-name DML stays the delegate's
     // (ResolveParquetMerge handles catalog parquet tables)
@@ -224,6 +228,45 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     fail(sqlText, "expected CONVERT '<parquet dir>' TO GRAFT")
   }
 
+  /** ALTER TABLE is SPARK grammar — only our exact constraint shapes
+    * on a quoted path or a resolvable graft-catalog ident are taken;
+    * everything else (ADD/RENAME/DROP COLUMN, foreign catalogs, any
+    * other ALTER) delegates untouched. */
+  private def targetOpt(q: String, i: String): Option[String] =
+    if (q != null) Some(q)
+    else scala.util.Try(target(q, i)).toOption
+
+  private def parseConstraint(sqlText: String): LogicalPlan = {
+    val a = addCheckStmt.matcher(sqlText)
+    if (a.matches()) targetOpt(a.group(1), a.group(2)).foreach { p =>
+      return AddConstraintCommand(p,
+        graft.operators.Invariants.CheckRule(a.group(3), a.group(4).trim))
+    }
+    val n = setNotNullStmt.matcher(sqlText)
+    if (n.matches()) targetOpt(n.group(1), n.group(2)).foreach { p =>
+      return AddConstraintCommand(p, graft.operators.Invariants.NotNull(
+        n.group(3).replace("`", "")))
+    }
+    val d = dropConstraintStmt.matcher(sqlText)
+    if (d.matches()) targetOpt(d.group(1), d.group(2)).foreach { p =>
+      return DropConstraintCommand(p, d.group(3))
+    }
+    delegate.parsePlan(sqlText)
+  }
+
+  private def parseBloomIndex(sqlText: String): LogicalPlan = {
+    val b = bloomIdxStmt.matcher(sqlText)
+    if (b.matches()) {
+      val cols = b.group(3).split(',').map(_.trim.replace("`", ""))
+        .filter(_.nonEmpty).toSeq
+      if (cols.isEmpty) fail(sqlText, "BLOOMFILTER INDEX needs columns")
+      return BloomIndexCommand(target(b.group(1), b.group(2)), cols,
+        Option(b.group(4)).map(_.toDouble).getOrElse(0.03))
+    }
+    fail(sqlText, "expected CREATE BLOOMFILTER INDEX ON <table|'path'> " +
+      "(col[, col]...) [FPP p]")
+  }
+
   /** Malformed OPTIMIZE: let the DELEGATE produce the ParseException
     * (OPTIMIZE is not in Spark's grammar), so error shape/metadata match
     * every other syntax error the user sees. */
@@ -282,6 +325,22 @@ object GraftSqlParser {
   private val cloneStmt = java.util.regex.Pattern.compile(
     s"""(?is)\\s*CLONE\\s+$Tgt\\s+TO\\s+$Tgt""" +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""")
+  private val alterPrefix =
+    java.util.regex.Pattern.compile("""\s*(?i:ALTER\s+TABLE)\b""")
+  private val addCheckStmt = java.util.regex.Pattern.compile(
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Tgt\\s+ADD\\s+CONSTRAINT\\s+""" +
+      """(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""")
+  private val setNotNullStmt = java.util.regex.Pattern.compile(
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Tgt\\s+ALTER\\s+COLUMN\\s+""" +
+      """([\w`]+)\s+SET\s+NOT\s+NULL\s*;?\s*""")
+  private val dropConstraintStmt = java.util.regex.Pattern.compile(
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Tgt\\s+DROP\\s+CONSTRAINT\\s+""" +
+      """([\w()`,]+)\s*;?\s*""")
+  private val bloomIdxPrefix = java.util.regex.Pattern.compile(
+    """\s*(?i:CREATE\s+BLOOMFILTER\s+INDEX)\b""")
+  private val bloomIdxStmt = java.util.regex.Pattern.compile(
+    s"""(?is)\\s*CREATE\\s+BLOOMFILTER\\s+INDEX\\s+ON\\s+$Tgt\\s*""" +
+      """\(([^)]*)\)(?:\s+FPP\s+(\d*\.?\d+))?\s*;?\s*""")
   private val updatePathPrefix =
     java.util.regex.Pattern.compile("""\s*(?i:UPDATE)\s+'""")
   private val updatePathStmt = java.util.regex.Pattern.compile(
@@ -532,6 +591,54 @@ case class CloneVersionedCommand(src: String, dst: String,
       Some(sv))
     Seq(Row(sv, nv))
   }
+}
+
+/** `ALTER TABLE <t> ADD CONSTRAINT n CHECK (…)` / `ALTER COLUMN c SET
+  * NOT NULL` — declare a commit-time invariant
+  * ([[graft.operators.Versioned.addInvariants]]: existing data
+  * validated first, every later row-adding write gated atomically).
+  * Returns the metadata commit's version. */
+case class AddConstraintCommand(path: String,
+    rule: graft.operators.Invariants.Rule) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("new_version",
+      org.apache.spark.sql.types.LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(graft.operators.Versioned.addInvariants(spark, path, Seq(rule))))
+}
+
+/** `ALTER TABLE <t> DROP CONSTRAINT <name>` — drop a declared
+  * invariant by name. Returns the metadata commit's version. */
+case class DropConstraintCommand(path: String, name: String)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("new_version",
+      org.apache.spark.sql.types.LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(graft.operators.Versioned.dropInvariant(spark, path, name)))
+}
+
+/** `CREATE BLOOMFILTER INDEX ON <t> (cols) [FPP p]` — declare and
+  * backfill the point-lookup bloom index
+  * ([[graft.operators.Versioned.declareBloomIndex]]). Returns the
+  * commit's version. */
+case class BloomIndexCommand(path: String, cols: Seq[String], fpp: Double)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("new_version",
+      org.apache.spark.sql.types.LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(graft.operators.Versioned.declareBloomIndex(spark, path,
+      cols, fpp)))
 }
 
 /** Eagerly-executed UPDATE over a Versioned snapshot table

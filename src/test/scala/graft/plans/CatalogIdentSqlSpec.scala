@@ -66,4 +66,52 @@ class CatalogIdentSqlSpec extends SparkSpec {
       spark.sql("VACUUM nosuchcat.ns.t RETAIN 1 VERSIONS") }
     assert(e.getMessage.contains("nosuchcat"))
   }
+
+  test("constraint DDL: ADD CONSTRAINT CHECK / ALTER COLUMN SET NOT " +
+    "NULL / DROP CONSTRAINT on quoted paths and catalog idents; " +
+    "foreign ALTER TABLE shapes still delegate") {
+    val root = tmpDir("identcons")
+    val cat = register(root)
+    val t = s"$root/lake/t"
+    Versioned.commit((1 to 8).map(i => (i.toLong, i * 10L))
+      .toDF("k", "cents").coalesce(1), t)
+    spark.sql(s"ALTER TABLE '$t' ADD CONSTRAINT cents_pos " +
+      "CHECK (cents >= 0)")
+    spark.sql(s"ALTER TABLE $cat.lake.t ALTER COLUMN k SET NOT NULL")
+    assert(Versioned.invariants(spark, t).map(_.name).toSet ==
+      Set("cents_pos", "not_null(k)"))
+    intercept[graft.operators.InvariantViolation] {
+      Versioned.commit(Seq((9L, -1L)).toDF("k", "cents"), t, "append") }
+    spark.sql(s"ALTER TABLE $cat.lake.t DROP CONSTRAINT cents_pos")
+    Versioned.commit(Seq((9L, -1L)).toDF("k", "cents"), t, "append")
+    assert(Versioned.read(spark, t).count() == 9)
+    // a violating ADD refuses through SQL too
+    intercept[graft.operators.InvariantViolation] {
+      spark.sql(s"ALTER TABLE '$t' ADD CONSTRAINT pos CHECK (cents > 0)") }
+    // existing ALTER TABLE DDL keeps delegating (ident ADD COLUMNS)
+    spark.sql(s"ALTER TABLE $cat.lake.t ADD COLUMNS (tag STRING)")
+    assert(Versioned.read(spark, t).columns.contains("tag"))
+  }
+
+  test("CREATE BLOOMFILTER INDEX SQL declares + backfills; FPP " +
+    "optional; ident and quoted-path targets") {
+    val root = tmpDir("identbloom")
+    val cat = register(root)
+    val t = s"$root/lake/t"
+    Versioned.commit((1 to 50).map(i => (s"u$i", i.toLong))
+      .toDF("u", "k").coalesce(1), t)
+    Versioned.commit((51 to 100).map(i => (s"u$i", i.toLong))
+      .toDF("u", "k").coalesce(1), t, "append")
+    val v = spark.sql(
+      s"CREATE BLOOMFILTER INDEX ON $cat.lake.t (u, k) FPP 0.01")
+      .collect().head.getLong(0)
+    assert(v == Versioned.versions(spark, t).last)
+    assert(Versioned.bloomRefs(spark, t).size == 2,
+      "both committed files must carry sidecar refs")
+    // quoted-path spelling, default fpp
+    val t2 = s"$root/lake/t2"
+    Versioned.commit(Seq(("a", 1L)).toDF("u", "k").coalesce(1), t2)
+    spark.sql(s"CREATE BLOOMFILTER INDEX ON '$t2' (u)")
+    assert(Versioned.bloomRefs(spark, t2).nonEmpty)
+  }
 }
