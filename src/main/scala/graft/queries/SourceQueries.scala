@@ -718,6 +718,69 @@ object SourceQueries {
           CAST(max(o_orderkey) AS BIGINT) AS max_k
         FROM orders""")),
 
+    // ---- VT14 bloom point-lookup skipping: orders lands as four
+    // ROUND-ROBIN segments (every file spans the whole key range, so
+    // manifest min/max cannot prune an interior equality), then a
+    // bloom index on the key. Staged requires PROVE the skipping with
+    // plan file counts (sources.ScanProbe): the same interior-key
+    // lookup opens all 4 files before the index and at most 2 after
+    // (1 true + fpp-bounded slack), with identical results. The final
+    // answer is a max-key lookup aggregate mirrored closed-form.
+    "vt14_bloom_lookup" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val V = graft.operators.Versioned
+        val cat = "graft_vt14_" + java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffL)
+        val rootDir = stages.computeIfAbsent(s"$dir|vt14", { _ =>
+          val r = java.nio.file.Files.createTempDirectory("vt14").toString
+          val td = s"$r/lake/t"
+          val orders = t(s, dir, "orders").select($"o_orderkey".as("k"),
+            graft.functions.Exact.cents($"o_totalprice").as("cents"))
+          (0 to 3).foreach { i =>
+            V.commit(orders.where(pmod($"k", lit(4)) === i).coalesce(1),
+              td, if (i == 0) "overwrite" else "append")
+          }
+          s.conf.set(s"spark.sql.catalog.$cat",
+            classOf[graft.sources.GraftCatalog].getName)
+          s.conf.set(s"spark.sql.catalog.$cat.root", r)
+          // an interior key that exists (first key at/above the median)
+          val med = orders.agg(
+            percentile_approx($"k", lit(0.5), lit(100))).head().getLong(0)
+          val probe = orders.where($"k" >= med).agg(min($"k"))
+            .head().getLong(0)
+          def lookup() =
+            s.sql(s"SELECT cents FROM $cat.lake.t WHERE k = $probe")
+          val pre = lookup()
+          val preRows = pre.collect().toSeq
+          require(graft.sources.ScanProbe.scannedFiles(pre).contains(4),
+            "pre-index: min/max must be powerless on interleaved keys")
+          // fpp 1e-3 so the ≤2-files require is deterministic in
+          // practice (at 0.03 a double false positive is ~0.2% —
+          // a driver gate must not be a coin flip)
+          V.declareBloomIndex(s, td, Seq("k"), fpp = 0.001)
+          val post = lookup()
+          require(post.collect().toSeq == preRows,
+            "bloom pruning must never change an answer")
+          val n = graft.sources.ScanProbe.scannedFiles(post)
+          require(n.exists(_ <= 2),
+            s"post-index: the lookup must open at most 2 of 4 files, got $n")
+          r
+        })
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", rootDir)
+        s.sql(s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(sum(cents) AS BIGINT) AS total_cents
+          FROM $cat.lake.t
+          WHERE k = (SELECT max(k) FROM $cat.lake.t)""")
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+            AS total_cents
+        FROM orders
+        WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)""")),
+
     // ---- VT6 metadata-only aggregates (sources.ManifestAggregates):
     // a filterless global COUNT/COUNT(col)/MIN/MAX over a catalog
     // snapshot table is answered from the manifest's per-file stats —
