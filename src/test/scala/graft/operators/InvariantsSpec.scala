@@ -102,6 +102,39 @@ class InvariantsSpec extends SparkSpec {
     assert(Versioned.read(spark, t).count() == 9)
   }
 
+  test("catalog SQL writes are gated: INSERT INTO and INSERT OVERWRITE " +
+    "with violating rows refuse atomically, clean inserts land") {
+    val root = tmpDir("invcat")
+    val cat = "invcat" + math.abs(root.hashCode).toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val td = s"$root/lake/t"
+    Versioned.commit((1 to 5).map(i => (i.toLong, i * 10L))
+      .toDF("k", "cents").coalesce(1), td)
+    spark.sql(s"ALTER TABLE $cat.lake.t ADD CONSTRAINT cents_pos " +
+      "CHECK (cents >= 0)")
+    val vs = Versioned.versions(spark, td)
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.lake.t VALUES " +
+        "(CAST(6 AS LONG), CAST(-1 AS LONG))")
+    }
+    assert(e.getMessage.contains("cents_pos") ||
+      Option(e.getCause).exists(_.getMessage.contains("cents_pos")),
+      s"refusal must name the rule: ${e.getMessage}")
+    assert(Versioned.versions(spark, td) == vs, "nothing may commit")
+    spark.sql(s"INSERT INTO $cat.lake.t VALUES " +
+      "(CAST(6 AS LONG), CAST(60 AS LONG))")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.lake.t")
+      .as[Long].head == 6L)
+    intercept[Exception] {
+      spark.sql(s"INSERT OVERWRITE $cat.lake.t VALUES " +
+        "(CAST(1 AS LONG), CAST(-5 AS LONG))")
+    }
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.lake.t")
+      .as[Long].head == 6L, "a refused overwrite must change nothing")
+  }
+
   test("drop by name removes exactly one rule (and the empty state " +
     "overrides inheritance); merge snapshot commits are gated too") {
     val t = freshTable("invdrop")
