@@ -149,6 +149,7 @@ object Versioned {
         .view.filterKeys(_ == Invariants.MetaKey).toMap)
       .getOrElse(Map.empty)
     Invariants.enforce(df, Invariants.decode(meta ++ invMeta), s"$mode commit")
+    commitTestHook()
     val newLines = writeSegmentLines(spark, fs, root, physDf)
     val committed = commitManifest(fs, root,
       meta ++ mapping.toMeta ++ bloomMeta ++ invMeta ++ carrier, { base =>
@@ -159,6 +160,10 @@ object Versioned {
         prevLines ++ newLines
       })
     baseV.foreach(advanceSchemaCache(table, _, committed, union))
+    // an interleaved commit may have introduced columns this commit's
+    // carrier (computed pre-race) doesn't know — repair it
+    if (carrier.isDefined && baseV.exists(committed != _ + 1))
+      repairCarrier(spark, table, committed)
     committed
   }
 
@@ -244,6 +249,7 @@ object Versioned {
         .view.filterKeys(_ == Invariants.MetaKey).toMap)
       .getOrElse(Map.empty)
     Invariants.enforce(df, Invariants.decode(meta ++ invMeta), s"$mode commit")
+    commitTestHook()
     val newLines = writeSegmentLines(spark, fs, root, physDf, spec)
     val committed = commitManifest(fs, root,
       meta ++ mapping.toMeta ++ bloomMeta ++ invMeta ++ carrier +
@@ -256,6 +262,8 @@ object Versioned {
         prevLines ++ newLines
       })
     baseV.foreach(advanceSchemaCache(table, _, committed, union))
+    if (carrier.isDefined && baseV.exists(committed != _ + 1))
+      repairCarrier(spark, table, committed)
     committed
   }
 
@@ -1152,6 +1160,63 @@ object Versioned {
         schemaCache.put(new Path(table).toUri.toString, (committed, s))
       }
     }
+
+  /** Test-only seam: invoked by [[commit]]/[[commitBucketed]] between
+    * schema enforcement and the commit attempt — the window a
+    * concurrent commit lands in. Production value is a no-op. */
+  private[graft] var commitTestHook: () => Unit = () => ()
+
+  /** Widening-aware schema fold for [[repairCarrier]]: same-name
+    * fields take the WIDER type (carrier semantics), new fields
+    * append nullable. */
+  private def mergeWide(a: StructType, b: StructType): StructType = {
+    val byName = a.fields.map(f => f.name.toLowerCase -> f).toMap
+    val widened = a.fields.map { f =>
+      b.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+        case Some(g) if SchemaEnforce.widensTo(f.dataType, g.dataType) =>
+          f.copy(dataType = g.dataType, nullable = true)
+        case _ => f
+      }
+    }
+    StructType(widened ++ b.fields
+      .filterNot(f => byName.contains(f.name.toLowerCase))
+      .map(_.copy(nullable = true)))
+  }
+
+  /** A carrier-bearing append that lands PAST an interleaved commit
+    * may have written a carrier computed against the pre-race base —
+    * missing any column (or width) the interleave introduced, which
+    * would hide that column from every carrier-resolved read. Repair:
+    * re-derive the union over the committed version's own segments
+    * (one representative footer each, folded widening-aware — plain
+    * mergeSchema would throw on exactly the narrow-vs-wide pairs the
+    * carrier exists for) and land a metadata-only carrier update when
+    * it differs. Runs only on the rare race; failures are contained
+    * (the un-repaired state is detectable and re-repairable). */
+  private def repairCarrier(spark: SparkSession, table: String,
+      committed: Long): Unit =
+    try {
+      val declared = schemaCarrier(spark, table, Some(committed))
+        .getOrElse(return)
+      val root = new Path(table)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val rels = readFileLines(fs, root, committed).map(parseLine(_)._1)
+      val reps = rels.groupBy { rel =>
+        val segs = rel.split('/')
+        if (segs.length >= 2 && segs(0) == "data") segs(1) else rel
+      }.values.map(g => new Path(root, g.head).toString).toSeq
+      if (reps.isEmpty) return
+      val union = reps.map(f => spark.read.parquet(f).schema)
+        .foldLeft(declared)(mergeWide)
+      val same = union.length == declared.length &&
+        union.fields.zip(declared.fields).forall { case (x, y) =>
+          x.name.equalsIgnoreCase(y.name) &&
+            SchemaEnforce.sameType(x.dataType, y.dataType) }
+      if (!same)
+        commitMetadataOnly(fs, root, spark, table, committed,
+          Map("operation" -> "schema_repair",
+            SchemaEnforce.SchemaKey -> union.toDDL))
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** The column mapping of a version (default latest);
     * [[ColumnMapping.empty]] for unmapped tables. */

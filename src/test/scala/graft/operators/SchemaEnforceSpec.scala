@@ -156,6 +156,38 @@ class SchemaEnforceSpec extends SparkSpec {
     assert(feed.schema("k").dataType == LongType)
   }
 
+  test("a carrier-bearing append racing an interleaved column-adding " +
+    "append REPAIRS its carrier: the interleave's column survives in " +
+    "the declared schema instead of being hidden from carrier reads") {
+    val t = tmpDir("widenrace") + "/t"
+    Versioned.commit((1 to 6).map(i => (i, i * 1.0f)).toDF("k", "v")
+      .coalesce(1), t)
+    withWiden {
+      Versioned.commit(Seq((100L, 1.0)).toDF("k", "v").coalesce(1),
+        t, "append") // widened: carrier in play
+    }
+    // hook: between OUR enforcement (which read the current carrier)
+    // and OUR commit, another append lands carrying a NEW column —
+    // our pre-computed carrier knows nothing about `tag`
+    Versioned.commitTestHook = () => {
+      Versioned.commitTestHook = () => () // the inner commit must not recurse
+      Versioned.commit(Seq((200L, 2.0, "x")).toDF("k", "v", "tag")
+        .coalesce(1), t, "append")
+      ()
+    }
+    try Versioned.commit(Seq((300L, 3.0)).toDF("k", "v").coalesce(1),
+      t, "append")
+    finally Versioned.commitTestHook = () => ()
+    val carrier = Versioned.schemaCarrier(spark, t)
+    assert(carrier.exists(_.fieldNames.exists(_.equalsIgnoreCase("tag"))),
+      s"the interleave's column must survive in the carrier: $carrier")
+    val out = Versioned.read(spark, t)
+    assert(out.columns.map(_.toLowerCase).contains("tag"))
+    assert(out.where($"tag" === "x").count() == 1)
+    assert(out.count() == 9)
+    assert(out.schema("k").dataType == LongType)
+  }
+
   test("widening across the byte/short chain and enforcement on the " +
     "BUCKETED commit path") {
     val t = tmpDir("widenchain") + "/t"
