@@ -467,7 +467,10 @@ case class DescribeDetailCommand(path: String) extends LeafRunnableCommand {
       AttributeReference("n_files", LongType, nullable = false)(),
       AttributeReference("size_bytes", LongType, nullable = false)(),
       AttributeReference("n_rows", LongType, nullable = true)(),
-      AttributeReference("bucket_spec", StringType, nullable = true)())
+      AttributeReference("bucket_spec", StringType, nullable = true)(),
+      AttributeReference("constraints", StringType, nullable = true)(),
+      AttributeReference("bloom_index", StringType, nullable = true)(),
+      AttributeReference("widened_schema", StringType, nullable = true)())
 
   override def run(spark: SparkSession): Seq[Row] = {
     import graft.operators.Versioned
@@ -494,8 +497,21 @@ case class DescribeDetailCommand(path: String) extends LeafRunnableCommand {
     // table still carries its storage-partitioned-join contract
     val bucket = Versioned.bucketSpec(spark, path)
       .map { case (c, n) => s"bucket($n, $c)" }.orNull
+    // the table's declared CONTRACT, same discoverability purpose:
+    // invariants gating writes, the bloom-indexed lookup columns, and
+    // the widened declared schema (NULL = none declared)
+    val meta = Versioned.readMeta(spark, path, versions.last)
+    val constraints = {
+      val inv = Versioned.invariants(spark, path)
+      if (inv.isEmpty) null else inv.map(_.name).mkString("; ")
+    }
+    val bloom = graft.operators.BloomIndex.declared(meta)
+      .map { case (cols, fpp) => s"bloom(${cols.mkString(", ")}) fpp=$fpp" }
+      .orNull
+    val widened = Versioned.schemaCarrier(spark, path)
+      .map(_.toDDL).orNull
     Seq(Row(path, versions.last, versions.size.toLong,
-      files.size.toLong, bytes, rows, bucket))
+      files.size.toLong, bytes, rows, bucket, constraints, bloom, widened))
   }
 }
 

@@ -283,11 +283,28 @@ class OptimizeSqlSpec extends SparkSpec {
     assert(d.getLong(3) == 2L && d.getLong(4) > 0L) // n_files, size_bytes
     assert(d.getLong(5) == 8L, "row count from stats, no scan")
     assert(d.isNullAt(6), "unbucketed table reports no bucket_spec")
+    assert(d.isNullAt(7) && d.isNullAt(8) && d.isNullAt(9),
+      "no declared contract -> NULL constraints/bloom/widened columns")
     // a bucketed table SURFACES its layout contract
     val tb = tmpDir("detb") + "/t"
     Versioned.commitBucketed((1L to 20L).toDF("k"), tb, "k", 4)
     assert(spark.sql(s"DESCRIBE DETAIL '$tb'").collect().head
       .getString(6) == "bucket(4, k)")
+    // ... and a table's declared CONTRACT surfaces alongside it
+    val tc = tmpDir("detc") + "/t"
+    Versioned.commit((1L to 9L).map(i => (i, i * 2.0f)).toDF("k", "v")
+      .coalesce(1), tc)
+    spark.sql(s"ALTER TABLE '$tc' ADD CONSTRAINT v_pos CHECK (v >= 0)")
+    spark.sql(s"CREATE BLOOMFILTER INDEX ON '$tc' (k)")
+    spark.conf.set(graft.operators.SchemaEnforce.WidenConf, "true")
+    try Versioned.commit(Seq((10L, 1.0)).toDF("k", "v").coalesce(1),
+      tc, "append")
+    finally spark.conf.unset(graft.operators.SchemaEnforce.WidenConf)
+    val dc = spark.sql(s"DESCRIBE DETAIL '$tc'").collect().head
+    assert(dc.getString(7) == "v_pos", dc.toString)
+    assert(dc.getString(8).startsWith("bloom(k)"), dc.toString)
+    assert(dc.getString(9).toLowerCase.contains("v double"),
+      "the widened declared schema must surface: " + dc.getString(9))
     // strip one file line's stats -> row count degrades to NULL
     val root = new org.apache.hadoop.fs.Path(t)
     val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
