@@ -22,9 +22,11 @@ final class InvariantViolation(msg: String)
   * Declarations ride table meta ([[MetaKey]]) — committed atomically
   * with the file list, inherited by appends, DML and OPTIMIZE, and
   * reinstated by RESTORE along with the rest of the version's
-  * contract. Enforcement is ONE aggregate pass over the incoming
-  * frame (all rules folded into a single job), zero cost when no
-  * invariant is declared.
+  * contract. Enforcement is ONE aggregate pass (all rules folded
+  * into a single job) over the STAGED segment bytes — the exact rows
+  * the commit will reference, so a non-deterministic input (rand(),
+  * sampling) can never pass validation with one set of rows and land
+  * another — and zero cost when no invariant is declared.
   *
   * Grammar (each rule URL-encoded, comma-joined):
   * `notnull:<col>` and `check:<name>:<sql predicate>`.

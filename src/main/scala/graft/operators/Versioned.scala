@@ -51,13 +51,32 @@ object Versioned {
     * a future format feature (new action kinds, changed line
     * semantics) must fail loudly on old readers, never be silently
     * misread as the subset they happen to parse. Absent header =
-    * protocol 1 (all pre-protocol manifests). */
-  private[graft] val ReaderProtocol = 1
+    * protocol 1 (all pre-protocol manifests). Protocol 2 = the
+    * manifest may carry a [[CkptKey]] pointer to a gzip'd body
+    * sidecar; plain manifests still stamp 1, so only builds reading a
+    * pointer checkpoint need the newer reader. */
+  private[graft] val ReaderProtocol = 2
   private[graft] val ReaderKey = "reader"
+
+  /** Header naming a COMPRESSED CHECKPOINT sidecar
+    * (`_graft_log/<uuid>.checkpoint.gz`, gzip'd file lines): a big
+    * full manifest stores a tiny header-only pointer instead of an
+    * O(table) text body — Delta's `checkpoint.parquet` discipline.
+    * On a million-file table this turns every 20th commit's ~100 MB
+    * text write into ~10 MB compressed, and keeps header reads
+    * (DESCRIBE HISTORY, readMeta, the contract-key merge) at one
+    * TINY file regardless of table size. The sidecar is uuid-named
+    * (two racing committers can never cross-link), deleted with its
+    * manifest by VACUUM, and orphan-swept past the grace window. */
+  private val CkptKey = "ckpt"
+
+  /** Full manifests at or above this many file lines are stored as
+    * pointer + gzip sidecar; smaller ones stay human-readable text. */
+  private[graft] val CheckpointGzMinLines = 256
 
   /** Header keys owned by the log layer — never surfaced as user meta
     * by [[readMeta]]/[[history]]. */
-  private val SystemKeys = Set(CommitTsKey, NFilesKey, ReaderKey)
+  private val SystemKeys = Set(CommitTsKey, NFilesKey, ReaderKey, CkptKey)
 
   /** Marker header of a DELTA manifest. Deliberately `=`-free: the
     * meta parser only yields `k=v` pairs, so the marker can never leak
@@ -142,17 +161,20 @@ object Versioned {
       .getOrElse(Map.empty)
     // invariants are DUTIES, not layout: they survive overwrite too
     // (drop one explicitly via dropInvariant), and every incoming row
-    // must satisfy them or the commit refuses before a segment lands
+    // must satisfy them — validated on the STAGED bytes below, so the
+    // commit refuses before the manifest ever references them
     val invMeta = baseV
       .filter(_ => !meta.contains(Invariants.MetaKey))
       .map(v => readMeta(spark, table, v)
         .view.filterKeys(_ == Invariants.MetaKey).toMap)
       .getOrElse(Map.empty)
-    Invariants.enforce(df, Invariants.decode(meta ++ invMeta), s"$mode commit")
     commitTestHook()
     val newLines = writeSegmentLines(spark, fs, root, physDf)
-    val committed = commitManifest(fs, root,
-      meta ++ mapping.toMeta ++ bloomMeta ++ invMeta ++ carrier, { base =>
+    enforceStaged(spark, fs, root, newLines,
+      Invariants.decode(meta ++ invMeta), s"$mode commit", mapping)
+    val committed = commitRowsWithContract(spark, fs, root, table,
+      meta ++ mapping.toMeta ++ bloomMeta ++ invMeta ++ carrier,
+      baseV, mode, newLines, mapping, { base =>
         val prevLines =
           if (mode == "append")
             base.toSeq.flatMap(v => readFileLines(fs, root, v))
@@ -164,6 +186,43 @@ object Versioned {
     // carrier (computed pre-race) doesn't know — repair it
     if (carrier.isDefined && baseV.exists(committed != _ + 1))
       repairCarrier(spark, table, committed)
+    committed
+  }
+
+  /** The row-adding commit loop [[commit]] and [[commitBucketed]]
+    * share: [[commitManifest]] with contract-key inheritance (appends
+    * re-merge the full contract from the landed base; an overwrite is
+    * a fresh snapshot, so only the invariant DUTIES re-merge), and
+    * the [[InvariantsChanged]] handshake — a constraint that landed
+    * mid-commit re-validates the STAGED rows (no lineage recompute,
+    * no re-write) before retrying with the merged declaration. */
+  private def commitRowsWithContract(spark: SparkSession, fs: FileSystem,
+      root: Path, table: String, fullMeta: Map[String, String],
+      baseV: Option[Long], mode: String, newLines: Seq[String],
+      mapping: ColumnMapping,
+      filesFor: Option[Long] => Seq[String]): Long = {
+    val inheritKeys =
+      if (mode == "append") ContractKeys else Set(Invariants.MetaKey)
+    var metaNow = fullMeta
+    var cBase = baseV
+    var committed = -1L
+    var races = 0
+    while (committed < 0) {
+      try committed = commitManifest(fs, root, metaNow, filesFor,
+        cBase, inheritKeys, revalidateInv = true)
+      catch {
+        case ic: InvariantsChanged =>
+          races += 1
+          if (races > 5) throw new IllegalStateException(
+            s"commit on $table kept racing invariant declarations " +
+              s"($races attempts) — retry when the DDL storm subsides")
+          enforceStaged(spark, fs, root, newLines,
+            Invariants.decode(Map(Invariants.MetaKey -> ic.inv)),
+            s"$mode commit (constraint added concurrently)", mapping)
+          metaNow = metaNow + (Invariants.MetaKey -> ic.inv)
+          cBase = ic.base
+      }
+    }
     committed
   }
 
@@ -248,13 +307,14 @@ object Versioned {
       .map(v => readMeta(spark, table, v)
         .view.filterKeys(_ == Invariants.MetaKey).toMap)
       .getOrElse(Map.empty)
-    Invariants.enforce(df, Invariants.decode(meta ++ invMeta), s"$mode commit")
     commitTestHook()
     val newLines = writeSegmentLines(spark, fs, root, physDf, spec)
-    val committed = commitManifest(fs, root,
+    enforceStaged(spark, fs, root, newLines,
+      Invariants.decode(meta ++ invMeta), s"$mode commit", mapping)
+    val committed = commitRowsWithContract(spark, fs, root, table,
       meta ++ mapping.toMeta ++ bloomMeta ++ invMeta ++ carrier +
         (BucketKey -> s"$physCol/$numBuckets"),
-      { base =>
+      baseV, mode, newLines, mapping, { base =>
         val prevLines =
           if (mode == "append")
             base.toSeq.flatMap(v => readFileLines(fs, root, v))
@@ -332,13 +392,15 @@ object Versioned {
       if (mode == "append") columnMapping(spark, table, Some(expectedBase))
       else ColumnMapping.empty
     // a MERGE snapshot's rows are incoming like any commit: the
-    // expected base's invariants gate them and ride the new version
+    // expected base's invariants gate them (on the STAGED bytes) and
+    // ride the new version
     val invMeta = readMeta(spark, table, expectedBase)
       .view.filterKeys(_ == Invariants.MetaKey).toMap
-    Invariants.enforce(df, Invariants.decode(meta ++ invMeta),
-      "conditional snapshot commit")
     val newLines = writeSegmentLines(spark, fs, root,
       mapping.applyWrite(df), bucket, sortWithinBuckets)
+    enforceStaged(spark, fs, root, newLines,
+      Invariants.decode(meta ++ invMeta),
+      "conditional snapshot commit", mapping)
     val fullMeta = meta ++ mapping.toMeta ++ invMeta ++
       bucket.map { case (c, n) => BucketKey -> s"$c/$n" }
     try Some(commitManifest(fs, root, fullMeta, { base =>
@@ -386,9 +448,10 @@ object Versioned {
     // must satisfy the base's declared rules, which ride the commit
     val invMeta = readMeta(spark, table, expectedBase)
       .view.filterKeys(_ == Invariants.MetaKey).toMap
-    Invariants.enforce(df, Invariants.decode(meta ++ invMeta),
-      "merge snapshot commit")
     val newLines = writeSegmentLines(spark, fs, root, df, bucket)
+    enforceStaged(spark, fs, root, newLines,
+      Invariants.decode(meta ++ invMeta), "merge snapshot commit",
+      ColumnMapping.empty)
     val baseLines = readFileLines(fs, root, expectedBase)
     val fullMeta = meta ++ invMeta ++
       bucket.map { case (c, n) => BucketKey -> s"$c/$n" }
@@ -415,11 +478,37 @@ object Versioned {
           throw new RewriteConflict // appended rows may be in scope
         newLines ++ latestLines.filterNot(baseSet)
       }
-    }))
+    }, Some(expectedBase), ContractKeys, revalidateInv = true))
     catch {
-      case _: RewriteConflict =>
+      // InvariantsChanged = a constraint landed mid-merge: same
+      // resolution as any conflict — the caller re-runs against the
+      // new latest, whose declaration then gates the re-run
+      case _: RewriteConflict | _: InvariantsChanged =>
         deleteAbandonedSegment(fs, root, newLines)
         None
+    }
+  }
+
+  /** Validate freshly STAGED segment files against `rules` — the
+    * exact bytes the commit will reference, not the (possibly
+    * non-deterministic) incoming frame, so a `rand()`/sampled input
+    * can never pass validation with one set of rows and land another
+    * (ADVICE r9). One aggregate pass over the fresh segment only
+    * (page-cached — it was just written); ALSO the cheaper shape at
+    * scale: the incoming frame's lineage is recomputed once for the
+    * write instead of twice. Violation deletes the staged segment and
+    * refuses with the usual [[InvariantViolation]]. */
+  private def enforceStaged(spark: SparkSession, fs: FileSystem,
+      root: Path, newLines: Seq[String], rules: Seq[Invariants.Rule],
+      what: String, mapping: ColumnMapping): Unit = {
+    if (rules.isEmpty || newLines.isEmpty) return
+    val files = newLines.map(l => new Path(root, parseLine(l)._1).toString)
+    val staged = mapping.applyRead(spark.read.parquet(files: _*))
+    try Invariants.enforce(staged, rules, what)
+    catch {
+      case e: InvariantViolation =>
+        deleteAbandonedSegment(fs, root, newLines)
+        throw e
     }
   }
 
@@ -565,10 +654,12 @@ object Versioned {
     // attempt's segment is deleted; a crash leaves it invisible for
     // VACUUM like any other uncommitted segment.
     var attempt = 0
+    var attemptBase = -1L
     while (true) {
       try {
       val v = latestVersion(fs, root).getOrElse(
         throw new IllegalArgumentException(s"no committed version in $table"))
+      attemptBase = v
       val lines = readFileLines(fs, root, v)
       val mapping = columnMapping(spark, table, Some(v))
       val physSchema = readPhysical(spark, table, Some(v)).schema
@@ -608,13 +699,15 @@ object Versioned {
         if (matched == 0L) Nil
         else {
           val out = transform(logicalSubset)
+          val staged =
+            writeSegmentLines(spark, fs, root, mapping.applyWrite(out), spec)
           // an UPDATE's post-images must satisfy the table invariants
-          // like any other incoming rows — a violating SET refuses
-          // before the replacement segment lands
-          Invariants.enforce(out,
+          // like any other incoming rows — validated on the STAGED
+          // bytes; a violating SET refuses before anything commits
+          enforceStaged(spark, fs, root, staged,
             Invariants.decode(readMeta(spark, table, v)),
-            "rewrite (COW DML) output")
-          writeSegmentLines(spark, fs, root, mapping.applyWrite(out), spec)
+            "rewrite (COW DML) output", mapping)
+          staged
         }
       val fullMeta = meta ++ mapping.toMeta ++
         spec.map { case (c, n) => BucketKey -> s"$c/$n" } ++
@@ -663,15 +756,18 @@ object Versioned {
               if (matched == 0L) latestLines
               else latestLines.filterNot(touchedSet) ++ newLines
             }
-          })
+          }, Some(v), ContractKeys, revalidateInv = true)
           true
         } catch {
-          case _: RewriteConflict if attempt >= 4 =>
+          // InvariantsChanged (a constraint landed mid-DML) resolves
+          // like a conflict: the next attempt re-reads the latest's
+          // declaration and validates its output against it
+          case _: RewriteConflict | _: InvariantsChanged if attempt >= 4 =>
             throw new IllegalStateException(
               s"rewrite of $table kept losing the commit race " +
                 s"(${attempt + 1} attempts) — retry when the writer " +
                 "storm subsides")
-          case _: RewriteConflict =>
+          case _: RewriteConflict | _: InvariantsChanged =>
             attempt += 1
             deleteAbandonedSegment(fs, root, newLines)
             false
@@ -684,8 +780,11 @@ object Versioned {
         // a concurrent VACUUM invalidated this attempt's base version
         // mid-cycle: same resolution as a commit conflict — recompute
         // against the new latest (the abandoned segment, if staged,
-        // falls to the orphan-grace sweep)
-        case e: Throwable if isVacuumRace(e) =>
+        // falls to the orphan-grace sweep). Only classified as a race
+        // when the table actually moved past the attempt's base — a
+        // FileNotFound with the base still latest is a genuine fault.
+        case e: Throwable if isVacuumRace(e) &&
+            tableMovedPast(fs, root, attemptBase) =>
           if (attempt >= 4) throw new IllegalStateException(
             s"rewrite of $table kept racing a concurrent VACUUM " +
               s"(${attempt + 1} attempts) — retry when retention and " +
@@ -710,6 +809,19 @@ object Versioned {
         (t.getMessage != null &&
           t.getMessage.contains("FileNotFoundException")) ||
         isVacuumRace(t.getCause, depth + 1))
+
+  /** Narrows the [[isVacuumRace]] classification (ADVICE r9): VACUUM
+    * can only sweep a version once a NEWER commit exists, so a
+    * FileNotFound in an attempt whose base is still the table's
+    * latest cannot be a vacuum race — it is a genuine missing-file
+    * fault (external deletion, bad path, corrupt sidecar ref) that
+    * must surface instead of being silently retried 5 times and
+    * reported as "kept racing a concurrent VACUUM". */
+  private def tableMovedPast(fs: FileSystem, root: Path,
+      attemptBase: Long): Boolean =
+    attemptBase >= 0 &&
+      (try !latestVersion(fs, root).contains(attemptBase)
+       catch { case scala.util.control.NonFatal(_) => true })
 
   private final class RewriteConflict extends RuntimeException
 
@@ -766,14 +878,117 @@ object Versioned {
   private val commitLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** The meta keys forming a version's CONTRACT — declarations every
+    * commit that keeps files (or duties) alive must re-carry: the
+    * invariant set, the bloom-index declaration, the declared-schema
+    * carrier, and the column mapping. [[commitManifest]] re-merges
+    * these from the base a commit ACTUALLY lands on, so an
+    * interleaved ADD CONSTRAINT / CREATE BLOOMFILTER INDEX / widening
+    * append / RENAME is never silently uninstalled by a commit whose
+    * inherited meta was computed against a pre-race base. */
+  private val ContractKeys: Set[String] = Set(
+    Invariants.MetaKey, BloomIndex.MetaKey, SchemaEnforce.SchemaKey,
+    ColumnMapping.ColMapKey, ColumnMapping.ColDropKey)
+
+  /** Thrown inside [[commitManifest]]'s CAS loop when the landed base
+    * declares invariants this commit's rows were never validated
+    * against — the caller must re-validate the staged rows and retry
+    * with the merged declaration (carried in `inv`). */
+  private final class InvariantsChanged(val base: Option[Long],
+      val inv: String) extends RuntimeException
+
+  /** Three-way merge of one contract key when BOTH this commit and an
+    * interleaved one changed it relative to the commit's expected
+    * base: apply THIS commit's delta (additions and removals vs the
+    * expected base) on top of the landed value, so neither side's
+    * declaration is lost. Schemas fold widening-aware; the column
+    * mapping has no safe automatic merge (racing mapping DDL is
+    * refused by the DML/rebase paths), so the commit's explicit
+    * mapping wins. */
+  private def mergeContractKey(k: String, exp: Option[String],
+      our: Option[String], land: Option[String]): Option[String] = {
+    def items(v: Option[String]): Set[String] =
+      v.toSeq.flatMap(_.split(',')).filter(_.nonEmpty).toSet
+    k match {
+      case Invariants.MetaKey =>
+        val res = (items(land) ++ (items(our) -- items(exp))) --
+          (items(exp) -- items(our))
+        // empty stays EXPLICIT (a drop must override inheritance)
+        Some(res.toSeq.sorted.mkString(","))
+      case BloomIndex.MetaKey =>
+        (our, land) match {
+          case (Some(o), Some(l)) =>
+            def parse(s: String): (String, Set[String]) =
+              s.split(":", 2) match {
+                case Array(f, cs) =>
+                  (f, cs.split(',').filter(_.nonEmpty).toSet)
+                case _ => ("", Set.empty[String])
+              }
+            val (of, oc) = parse(o); val (lf, lc) = parse(l)
+            val (ef, ec) = exp.map(parse).getOrElse((of, Set.empty[String]))
+            val cols = (lc ++ (oc -- ec)) -- (ec -- oc)
+            val fpp = if (of != ef) of else lf
+            if (cols.isEmpty || fpp.isEmpty) None
+            else Some(s"$fpp:${cols.toSeq.sorted.mkString(",")}")
+          case _ => our // an explicit drop: the commit's intent wins
+        }
+      case SchemaEnforce.SchemaKey =>
+        (our, land) match {
+          case (Some(o), Some(l)) =>
+            try Some(mergeWide(StructType.fromDDL(l),
+              StructType.fromDDL(o)).toDDL)
+            catch { case scala.util.control.NonFatal(_) => our }
+          case _ => our.orElse(land)
+        }
+      case _ => our
+    }
+  }
+
+  /** Re-derive the inherited contract keys against the base this
+    * attempt ACTUALLY lands on (ADVICE r9: the lost-update race on
+    * contract metadata). For each key the caller marked inheritable:
+    * pure inheritance (caller kept the expected base's value) takes
+    * the landed value; an untouched interleave keeps the caller's;
+    * both-changed falls to [[mergeContractKey]]. */
+  private def mergedContractMeta(fs: FileSystem, root: Path,
+      meta: Map[String, String], contractBase: Option[Long],
+      base: Option[Long], inheritKeys: Set[String])
+      : Map[String, String] = {
+    val expM = contractBase.map(readMetaRaw(fs, root, _)).getOrElse(Map.empty)
+    val landM = base.map(readMetaRaw(fs, root, _)).getOrElse(Map.empty)
+    inheritKeys.foldLeft(meta) { (m, k) =>
+      val exp = expM.get(k); val our = meta.get(k); val land = landM.get(k)
+      val merged =
+        if (our == exp) land
+        else if (land == exp) our
+        else mergeContractKey(k, exp, our, land)
+      merged match {
+        case Some(v2) => m + (k -> v2)
+        case None => m - k
+      }
+    }
+  }
+
   /** The atomic manifest-commit loop shared by [[commit]] and
     * [[restore]]: compute the file list against the CURRENT latest
     * version, write a temp manifest, rename into place. A concurrent
     * winner makes the rename fail → recompute against the new latest
-    * and retry one version higher. */
+    * and retry one version higher.
+    *
+    * `contractBase` is the version the caller computed its inherited
+    * meta against; when the attempt lands on a DIFFERENT base, the
+    * keys in `inheritKeys` are re-merged from the actual base so an
+    * interleaved contract change is never silently dropped. With
+    * `revalidateInv`, an attempt whose merged invariant set demands
+    * rules the caller never validated throws [[InvariantsChanged]]
+    * (outside any segment write — staged data stays reusable) instead
+    * of committing unvalidated rows. */
   private def commitManifest(fs: FileSystem, root: Path,
       meta: Map[String, String],
-      filesFor: Option[Long] => Seq[String]): Long = {
+      filesFor: Option[Long] => Seq[String],
+      contractBase: Option[Long] = None,
+      inheritKeys: Set[String] = Set.empty,
+      revalidateInv: Boolean = false): Long = {
     val lock = commitLocks.computeIfAbsent(
       root.toUri.toString, _ => new Object)
     lock.synchronized {
@@ -782,6 +997,19 @@ object Versioned {
       val base = latestVersion(fs, root)
       val target = base.map(_ + 1).getOrElse(0L)
       val newLines = filesFor(base)
+      val effMeta =
+        if (inheritKeys.isEmpty || base == contractBase) meta
+        else mergedContractMeta(fs, root, meta, contractBase, base,
+          inheritKeys)
+      if (revalidateInv &&
+          effMeta.get(Invariants.MetaKey) != meta.get(Invariants.MetaKey)) {
+        // the rows of this commit were validated against the CALLER's
+        // rule set; if the merge demands rules beyond it, hand the
+        // decision back before anything lands
+        val validated = Invariants.decode(meta).toSet
+        if (!Invariants.decode(effMeta).forall(validated.contains))
+          throw new InvariantsChanged(base, effMeta(Invariants.MetaKey))
+      }
       // Delta-or-checkpoint decision: store only this commit's ACTIONS
       // unless (a) there is no base, (b) the chain has reached the
       // checkpoint interval, or (c) the action encoding is no smaller
@@ -811,12 +1039,23 @@ object Versioned {
       // so TIMESTAMP AS OF must never depend on it for new commits.
       // n_files likewise: the resolved count must survive without a
       // chain replay for DESCRIBE HISTORY to stay one read per version.
-      val stamped = meta +
+      // representation: a big FULL manifest becomes a tiny pointer +
+      // gzip'd body sidecar (see [[CkptKey]]); deltas and small fulls
+      // stay plain text
+      val pointer = !body.headOption.contains(DeltaMarker) &&
+        body.sizeIs >= CheckpointGzMinLines
+      val ckptRel =
+        if (pointer) Some(s"${java.util.UUID.randomUUID()}.checkpoint.gz")
+        else None
+      val stamped = effMeta +
         (CommitTsKey -> System.currentTimeMillis.toString) +
         (NFilesKey -> newLines.size.toString) +
-        (ReaderKey -> ReaderProtocol.toString)
+        (ReaderKey -> (if (pointer) "2" else "1")) ++
+        ckptRel.map(CkptKey -> _)
       val metaLines = stamped.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
-      val lines = (metaLines ++ body).mkString("\n")
+      ckptRel.foreach(writeGzLines(fs, root, _, body))
+      val lines =
+        (if (pointer) metaLines else metaLines ++ body).mkString("\n")
       val tmp = new Path(root,
         s"$LogDir/.tmp-${java.util.UUID.randomUUID().toString}")
       val out = fs.create(tmp, true)
@@ -829,11 +1068,16 @@ object Versioned {
         committed = target
         // the committer KNOWS the bytes it just renamed into place —
         // seed the cache so the first read of the new version (often
-        // this same process, a heartbeat later) opens nothing
+        // this same process, a heartbeat later) opens nothing; the
+        // cache holds the EXPANDED form (headers ++ body)
         val all = metaLines ++ body
         if (all.sizeIs <= ManifestCacheLineMax)
           manifestCache.put(cacheKey(fs, root, target), all.toList)
-      } else fs.delete(tmp, false)
+      } else {
+        fs.delete(tmp, false)
+        ckptRel.foreach(r =>
+          fs.delete(new Path(root, s"$LogDir/$r"), false))
+      }
     }
     // AFTER the commit point, best-effort: the pointer may only ever
     // name a durably committed version (crash between rename and here
@@ -862,12 +1106,17 @@ object Versioned {
     // a restore reinstates v's COLUMN MAPPING too: the restored files
     // carry v's physical names, so v's logical view must ride along
     // (absent keys = mapping cleared, exactly v's state)
+    // contract keys the restore merely re-carries unchanged from the
+    // CURRENT latest re-merge if a commit interleaves; keys the
+    // restore intentionally rolls back (they differ from the latest's)
+    // keep v's values — restore's explicit intent wins
     commitManifest(fs, root,
       Map("operation" -> "restore", "restore_of" -> v.toString) ++
         columnMapping(spark, table, Some(v)).toMeta ++
         spec.map { case (c, n) => BucketKey -> s"$c/$n" } ++
         carrierMetaOf(spark, table, v), // v's declared schema rides too
-      _ => lines)
+      _ => lines,
+      latestVersion(fs, root), ContractKeys)
   }
 
   /** In-place CONVERT of an existing plain-parquet directory into the
@@ -1294,19 +1543,25 @@ object Versioned {
 
   /** Commit the SAME file lines as `v` under new meta (plus the bucket
     * declaration, which must survive a metadata commit). Conflicts with
-    * an interleaved commit simply re-carry the NEW latest's lines —
-    * metadata commits change no data, so any interleave is
-    * compatible. */
+    * an interleaved commit re-carry the NEW latest's lines AND
+    * re-merge the contract keys against it — two racing metadata
+    * commits (ADD CONSTRAINT vs CREATE BLOOMFILTER INDEX) both land.
+    * `mustBase` instead REFUSES any interleave (RewriteConflict) for
+    * callers whose meta was validated against exactly `v`'s data. */
   private def commitMetadataOnly(fs: FileSystem, root: Path,
       spark: SparkSession, table: String, v: Long,
-      meta: Map[String, String]): Long = {
+      meta: Map[String, String], mustBase: Boolean = false): Long = {
     val spec = bucketSpec(spark, table, Some(v))
     // inherited contract meta first, so an explicit `meta` entry (an
     // invariant add/drop) OVERRIDES the inherited value for its key
     commitManifest(fs, root,
       carrierMetaOf(spark, table, v) ++ meta ++
         spec.map { case (c, n) => BucketKey -> s"$c/$n" },
-      base => base.toSeq.flatMap(readFileLines(fs, root, _)))
+      { base =>
+        if (mustBase && base != Some(v)) throw new RewriteConflict
+        base.toSeq.flatMap(readFileLines(fs, root, _))
+      },
+      Some(v), ContractKeys)
   }
 
   /** Committed versions, ascending. Unparseable / staged-hidden names
@@ -1731,11 +1986,16 @@ object Versioned {
     }
     // dropped refs must be collected while their chains still resolve
     val (dropData, dropDv, dropBloom) = refsOf(drop)
+    // checkpoint-gz sidecar names ride the #ckpt= header — read while
+    // the dropped manifests still live, deleted along with them
+    val dropCkpt = drop.flatMap(v => ckptNameOf(fs, root, v))
     drop.foreach { v =>
       fs.delete(new Path(root, s"$LogDir/$v.manifest"), false)
       invalidateManifest(fs, root, v) // a vacuumed version must not
       // remain readable from the cache (restore/read must throw)
     }
+    dropCkpt.foreach(n =>
+      fs.delete(new Path(root, s"$LogDir/$n"), false))
     val (keepData, keepDv, keepBloom) = refsOf(keep)
     val cutoff = System.currentTimeMillis - OrphanGraceMs
     def sweep(family: String, dropped: Set[String], live: Set[String]): Unit = {
@@ -1753,6 +2013,16 @@ object Versioned {
     sweep("data", dropData, keepData)
     sweep("dv", dropDv, keepDv)
     sweep("bloom", dropBloom, keepBloom)
+    // orphaned checkpoint sidecars (a crash between the gz write and
+    // the manifest rename) age out past the same grace window
+    val keepCkpt = keep.flatMap(v => ckptNameOf(fs, root, v)).toSet
+    val logDir = new Path(root, LogDir)
+    if (fs.exists(logDir)) fs.listStatus(logDir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.endsWith(".checkpoint.gz") && !keepCkpt.contains(n) &&
+          st.getModificationTime < cutoff)
+        fs.delete(st.getPath, false)
+    }
   }
 
   /** Rewrite version `v`'s manifest in place as a FULL snapshot
@@ -1765,8 +2035,20 @@ object Versioned {
     val all = manifestLines(fs, root, v)
     if (!all.contains(DeltaMarker)) return
     val lines = readFileLines(fs, root, v) // resolve while the chain lives
-    val headers = all.filter(l => l.startsWith("#") && l != DeltaMarker)
-    val content = (headers ++ lines).mkString("\n")
+    val baseHeaders = all.filter(l => l.startsWith("#") &&
+      l != DeltaMarker && !l.startsWith(s"#$ReaderKey=") &&
+      !l.startsWith(s"#$CkptKey="))
+    // same representation decision as a committed checkpoint: big
+    // materializations land as pointer + gzip sidecar
+    val headers =
+      if (lines.sizeIs >= CheckpointGzMinLines) {
+        val name = s"${java.util.UUID.randomUUID()}.checkpoint.gz"
+        writeGzLines(fs, root, name, lines)
+        baseHeaders ++ Seq(s"#$ReaderKey=2", s"#$CkptKey=$name")
+      } else baseHeaders :+ s"#$ReaderKey=1"
+    val content =
+      (if (headers.exists(_.startsWith(s"#$CkptKey="))) headers
+       else headers ++ lines).mkString("\n")
     val dst = manifestPath(root, v)
     val tmp = new Path(root,
       s"$LogDir/.tmp-${java.util.UUID.randomUUID().toString}")
@@ -2255,10 +2537,12 @@ object Versioned {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     var attempt = 0
+    var attemptBase = -1L
     while (true) {
       try {
       val v = latestVersion(fs, root).getOrElse(
         throw new IllegalArgumentException(s"no committed version in $table"))
+      attemptBase = v
       val lines = readFileLines(fs, root, v)
       val mapping = columnMapping(spark, table, Some(v))
       val physSchema = readPhysical(spark, table, Some(v)).schema
@@ -2321,11 +2605,20 @@ object Versioned {
               .map(_.toLowerCase(java.util.Locale.ROOT)).sorted),
             "updateWithDv transform must preserve the table's columns")
           // DV-update post-images are incoming rows like any append:
-          // refuse a violating SET before the sidecar+segment commit
-          Invariants.enforce(updated,
+          // refuse a violating SET (validated on the STAGED bytes)
+          // before the sidecar+segment commit
+          val staged =
+            writeSegmentLines(spark, fs, root, mapping.applyWrite(updated), spec)
+          try enforceStaged(spark, fs, root, staged,
             Invariants.decode(readMeta(spark, table, v)),
-            "merge-on-read update post-images")
-          writeSegmentLines(spark, fs, root, mapping.applyWrite(updated), spec)
+            "merge-on-read update post-images", mapping)
+          catch {
+            case e: InvariantViolation =>
+              try fs.delete(dvDir, true)
+              catch { case scala.util.control.NonFatal(_) => () }
+              throw e
+          }
+          staged
       }
       // the lines whose sidecar entries were computed — rebase safety
       // hinges on exactly these staying byte-identical in the latest
@@ -2367,15 +2660,17 @@ object Versioned {
             val rel = parseLine(line)._1
             counts.get(rel).map(c => s"$line\tdv=$dvRel:$c").getOrElse(line)
           } ++ postLines
-        })
+        }, Some(v), ContractKeys, revalidateInv = true)
         return matched
       } catch {
-        case _: RewriteConflict if attempt >= 4 =>
+        // InvariantsChanged resolves like a conflict: the next attempt
+        // re-reads the latest's declaration and validates against it
+        case _: RewriteConflict | _: InvariantsChanged if attempt >= 4 =>
           throw new IllegalStateException(
             s"DV $opName on $table kept losing the commit race " +
               s"(${attempt + 1} attempts) — retry when the writer " +
               "storm subsides")
-        case _: RewriteConflict =>
+        case _: RewriteConflict | _: InvariantsChanged =>
           attempt += 1
           cleanup(postLines)
       }
@@ -2383,8 +2678,11 @@ object Versioned {
         // a concurrent VACUUM invalidated this attempt's base version
         // mid-cycle: same resolution as a commit conflict — recompute
         // against the new latest (staged sidecar/segment debris falls
-        // to the orphan-grace sweep)
-        case e: Throwable if isVacuumRace(e) =>
+        // to the orphan-grace sweep). Same narrowing as [[rewrite]]:
+        // a FileNotFound with the base still latest is a genuine
+        // fault, not a race — surface it.
+        case e: Throwable if isVacuumRace(e) &&
+            tableMovedPast(fs, root, attemptBase) =>
           if (attempt >= 4) throw new IllegalStateException(
             s"DV merge-on-read on $table kept racing a concurrent " +
               s"VACUUM (${attempt + 1} attempts) — retry when " +
@@ -2473,17 +2771,33 @@ object Versioned {
     require(rules.nonEmpty, "addInvariants needs at least one rule")
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val v = latestVersion(fs, root).getOrElse(
-      throw new IllegalArgumentException(s"no committed version in $table"))
-    val existing = invariants(spark, table, Some(v))
-    val names = existing.map(_.name).toSet
-    val fresh = rules.filterNot(r => names.contains(r.name))
-    // the current data must already satisfy the new rules
-    Invariants.enforce(read(spark, table, Some(v)), fresh,
-      s"ADD CONSTRAINT on $table")
-    commitMetadataOnly(fs, root, spark, table, v,
-      Map("operation" -> "add_invariant") ++
-        Invariants.encode(existing ++ fresh))
+    var attempt = 0
+    while (true) {
+      val v = latestVersion(fs, root).getOrElse(
+        throw new IllegalArgumentException(s"no committed version in $table"))
+      val existing = invariants(spark, table, Some(v))
+      val names = existing.map(_.name).toSet
+      val fresh = rules.filterNot(r => names.contains(r.name))
+      // the current data must already satisfy the new rules
+      Invariants.enforce(read(spark, table, Some(v)), fresh,
+        s"ADD CONSTRAINT on $table")
+      // mustBase: a commit interleaving between the validation scan
+      // and this metadata commit carries rows the new rules never
+      // saw — refuse and re-validate against the new latest instead
+      // of declaring an invariant over unchecked data
+      try return commitMetadataOnly(fs, root, spark, table, v,
+        Map("operation" -> "add_invariant") ++
+          Invariants.encode(existing ++ fresh), mustBase = true)
+      catch {
+        case _: RewriteConflict if attempt < 4 => attempt += 1
+        case _: RewriteConflict =>
+          throw new IllegalStateException(
+            s"ADD CONSTRAINT on $table kept losing to interleaved " +
+              s"commits (${attempt + 1} attempts) — retry when the " +
+              "writer storm subsides")
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Drop a declared invariant by its `name` (e.g. `not_null(k)` or a
@@ -2516,8 +2830,19 @@ object Versioned {
   def bloomLinePruner(spark: SparkSession, table: String,
       filters: Seq[org.apache.spark.sql.sources.Filter])
       : String => Boolean = {
-    val eq = BloomIndex.equalityTargets(filters)
-    if (eq.isEmpty) return _ => true
+    val eq0 = BloomIndex.equalityTargets(filters)
+    if (eq0.isEmpty) return _ => true
+    // sidecar entries are keyed by PHYSICAL column names (harvest
+    // reads the files themselves; declaration requires an empty
+    // mapping, and per-commit harvests index the declared — physical —
+    // names). The DML filter speaks the LOGICAL schema: translate
+    // before the lookup (ADVICE r9), so after a RENAME a lookup on a
+    // reused logical name resolves to its own (fresh) physical slot,
+    // misses the sidecar, and soundly keeps the file — instead of
+    // probing another column's blooms and skipping files that match.
+    val mapping = columnMapping(spark, table)
+    val eq = eq0.map { case (c, vs) =>
+      mapping.physicalOf(c).toLowerCase(java.util.Locale.ROOT) -> vs }
     val root = new Path(table)
     line => parseBloomRef(line) match {
       case None => true
@@ -2578,7 +2903,8 @@ object Versioned {
             s"$line\tbloom=$s"
           case _ => line
         }
-      })
+      },
+      Some(v), ContractKeys)
   }
 
   /** The files that can contain the MAXIMUM of `column` in the latest
@@ -2658,6 +2984,14 @@ object Versioned {
   def readMeta(spark: SparkSession, table: String, v: Long): Map[String, String] = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readMetaRaw(fs, root, v)
+  }
+
+  /** [[readMeta]] from an already-resolved (fs, root) — the form the
+    * commit loop's contract-key re-merge uses under the lock (the
+    * manifest cache makes it one map lookup on the hot path). */
+  private def readMetaRaw(fs: FileSystem, root: Path, v: Long)
+      : Map[String, String] =
     manifestLines(fs, root, v).filter(_.startsWith("#"))
       .flatMap { l =>
         l.drop(1).split("=", 2) match {
@@ -2665,7 +2999,6 @@ object Versioned {
           case _ => None
         }
       }.toMap
-  }
 
   /** Count of PHYSICAL manifest-file opens — test hook proving the
     * cache bounds read-planning IO (ManifestLogSpec). */
@@ -2717,14 +3050,53 @@ object Versioned {
       manifestReads.incrementAndGet()
       val p = new Path(root, s"$LogDir/$v.manifest")
       val in = fs.open(p)
-      val lines =
+      val raw =
         try scala.io.Source.fromInputStream(in, "UTF-8")
           .getLines().filter(_.nonEmpty).toList
         finally in.close()
+      // pointer checkpoint: splice the gzip'd body back in so every
+      // consumer sees the EXPANDED (headers ++ file lines) form. The
+      // protocol gate runs FIRST — a future pointer grammar must
+      // refuse here, not be half-read.
+      val lines = raw.collectFirst {
+        case l if l.startsWith(s"#$CkptKey=") =>
+          l.stripPrefix(s"#$CkptKey=")
+      } match {
+        case Some(name) =>
+          checkReader(root, v, raw)
+          raw ++ readGzLines(fs, new Path(root, s"$LogDir/$name"))
+        case None => raw
+      }
       if (lines.sizeIs <= ManifestCacheLineMax) manifestCache.put(key, lines)
       lines
     }
   }
+
+  /** Atomic (tmp + rename) gzip write of checkpoint body lines. */
+  private def writeGzLines(fs: FileSystem, root: Path, name: String,
+      lines: Seq[String]): Unit = {
+    val tmp = new Path(root,
+      s"$LogDir/.tmp-${java.util.UUID.randomUUID().toString}")
+    val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      new java.util.zip.GZIPOutputStream(fs.create(tmp, true), 1 << 16),
+      java.nio.charset.StandardCharsets.UTF_8), 1 << 16)
+    try lines.foreach { l => w.write(l); w.write('\n') } finally w.close()
+    require(fs.rename(tmp, new Path(root, s"$LogDir/$name")),
+      s"could not land checkpoint sidecar $name under $root")
+  }
+
+  private def readGzLines(fs: FileSystem, p: Path): List[String] = {
+    val in = new java.util.zip.GZIPInputStream(fs.open(p), 1 << 16)
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** The checkpoint sidecar name version `v` points at, if any. */
+  private def ckptNameOf(fs: FileSystem, root: Path, v: Long): Option[String] =
+    try manifestLines(fs, root, v).collectFirst {
+      case l if l.startsWith(s"#$CkptKey=") => l.stripPrefix(s"#$CkptKey=")
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   private def listParquet(fs: FileSystem, dir: Path): Seq[String] =
     fs.listStatus(dir).toSeq.flatMap { st =>

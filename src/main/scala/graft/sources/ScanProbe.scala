@@ -13,14 +13,19 @@ import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 object ScanProbe {
 
   /** The pruned file count of the FIRST v2 parquet scan in the plan;
-    * None when the plan has no such scan (fell back to a v1 path). */
+    * None when the plan has no such scan (fell back to a v1 path, or
+    * every BatchScanExec wraps a non-parquet scan). */
   def scannedFiles(df: DataFrame): Option[Int] =
-    df.queryExecution.executedPlan.collectLeaves().collectFirst {
-      case b: BatchScanExec => (b.scan match {
-        case r: RuntimeSkippingScan => r.delegateScan
-        case s => s
-      }) match {
-        case p: ParquetScan => p.fileIndex.inputFiles.length
-      }
-    }
+    df.queryExecution.executedPlan.collectLeaves()
+      .iterator.flatMap {
+        case b: BatchScanExec =>
+          (b.scan match {
+            case r: RuntimeSkippingScan => r.delegateScan
+            case s => s
+          }) match {
+            case p: ParquetScan => Some(p.fileIndex.inputFiles.length)
+            case _ => None // non-parquet v2 scan: not ours to count
+          }
+        case _ => None
+      }.nextOption()
 }

@@ -8,6 +8,13 @@ import org.apache.spark.sql.functions._
   * atomically — appends, overwrites, COW-update and DV-update
   * post-images, MERGE snapshots. A violating writer fails with a
   * named error and the table never transitions from clean to dirty. */
+/** Executor-visible (same-JVM in local mode) evaluation counter for
+  * the non-deterministic-lineage test — a closure-captured counter
+  * would be serialized per task and never shared. */
+object InvariantsSpecFlip {
+  val n = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 class InvariantsSpec extends SparkSpec {
   import Invariants.{CheckRule, NotNull}
   import spark.implicits._
@@ -133,6 +140,29 @@ class InvariantsSpec extends SparkSpec {
     }
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.lake.t")
       .as[Long].head == 6L, "a refused overwrite must change nothing")
+  }
+
+  test("enforcement validates the STAGED bytes: a frame whose lineage " +
+    "flips between evaluations can never land rows the gate never saw") {
+    val t = freshTable("invflip")
+    Versioned.addInvariants(spark, t,
+      Seq(CheckRule("cents_pos", "cents >= 0")))
+    InvariantsSpecFlip.n.set(0)
+    // first evaluation of this lineage yields clean rows, every later
+    // one dirty rows — pre-fix, the gate validated evaluation 1 and
+    // the write landed evaluation 2's dirty rows
+    val rdd = spark.sparkContext.parallelize(1 to 4, 1).mapPartitions { it =>
+      val dirty = InvariantsSpecFlip.n.getAndIncrement() > 0
+      it.map(i => org.apache.spark.sql.Row(
+        (i + 100).toLong, if (dirty) -1L else 1L))
+    }
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("k", org.apache.spark.sql.types.LongType)
+      .add("cents", org.apache.spark.sql.types.LongType)
+    try Versioned.commit(spark.createDataFrame(rdd, schema), t, "append")
+    catch { case _: InvariantViolation => () } // a refusal is also sound
+    assert(Versioned.read(spark, t).where($"cents" < 0).count() == 0,
+      "the committed rows must be exactly the rows the gate validated")
   }
 
   test("drop by name removes exactly one rule (and the empty state " +

@@ -155,6 +155,56 @@ class ManifestLogSpec extends SparkSpec {
     intercept[Exception] { Versioned.read(spark, t, Some(0)).count() }
   }
 
+  test("a BIG checkpoint lands as a tiny pointer manifest + gzip'd " +
+    "body sidecar — reads, history, meta, deltas, materialization and " +
+    "vacuum sweeps all see the same log") {
+    val t = tmpDir("mlog-gz") + "/t"
+    Versioned.commit((1 to 3000).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(300), t)
+    val fs = fsOf(t)
+    def gzFiles() = fs.listStatus(new Path(s"$t/_graft_log")).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".checkpoint.gz"))
+    // the O(table) artifact is gone: the manifest itself is headers
+    // only, the body rides compressed in the sidecar
+    assert(manifestBytes(t)(0L) < 4096,
+      s"pointer manifest must be tiny, got ${manifestBytes(t)(0L)} B")
+    assert(gzFiles().size == 1)
+    // cold resolution through the sidecar is invisible
+    Versioned.clearManifestCache()
+    assert(Versioned.read(spark, t).count() == 3000)
+    assert(Versioned.readMeta(spark, t, 0L) == Map.empty,
+      "ckpt/reader must stay system headers, never user meta")
+    assert(Versioned.history(spark, t).head._3 == 300)
+    // deltas chain off a pointer checkpoint exactly as off a text one
+    Versioned.commit(Seq((9999, "x")).toDF("k", "v").coalesce(1),
+      t, "append")
+    Versioned.commit(Seq((9998, "y")).toDF("k", "v").coalesce(1),
+      t, "append")
+    assert(isDelta(t, 1) && isDelta(t, 2))
+    assert(Versioned.read(spark, t).count() == 3002)
+    assert(Versioned.read(spark, t, Some(0)).count() == 3000)
+    // vacuum: the dropped pointer's sidecar is swept WITH it, and the
+    // materialized survivor checkpoint is itself pointer-form
+    Versioned.vacuum(spark, t, keepLast = 2)
+    assert(Versioned.versions(spark, t) == Seq(1L, 2L))
+    assert(!isDelta(t, 1),
+      "the oldest survivor must be a materialized checkpoint")
+    assert(manifestBytes(t)(1L) < 4096,
+      "a big materialized checkpoint must also be pointer-form")
+    assert(gzFiles().size == 1,
+      "v0's sidecar swept, v1's materialization landed one")
+    Versioned.clearManifestCache()
+    assert(Versioned.read(spark, t, Some(1)).count() == 3001)
+    assert(Versioned.read(spark, t).count() == 3002)
+    // a small overwrite resets to a plain-text checkpoint; vacuuming
+    // the last pointer version leaves no sidecar behind
+    Versioned.commit(Seq((1, "z")).toDF("k", "v").coalesce(1), t)
+    Versioned.vacuum(spark, t, keepLast = 1)
+    assert(gzFiles().isEmpty,
+      "no version references a sidecar — all must be swept")
+    assert(Versioned.read(spark, t).count() == 1)
+  }
+
   test("vacuum materializes the oldest survivor as a checkpoint: " +
     "surviving deltas stay resolvable after their chain base is dropped") {
     val t = tmpDir("mlog") + "/t"
