@@ -42,5 +42,6 @@ object QueryRegistry {
       queries.AnalyticsQueries.defs ++
       queries.PrepQueries.defs ++
       queries.CurationQueries.defs ++
+      queries.CapstoneQueries.defs ++
       queries.DiagQueries.defs
 }

@@ -1,0 +1,228 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions
+import graft.operators.{Components, Dedup, Packing}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The composed end-to-end corpus pipeline ([EXT] capstone) — the user
+  * story every individually-green curation operator exists for, run as
+  * ONE declared artifact:
+  *
+  *   eval carve-out → quality/repetition gates → normalize → exact
+  *   dedup → MinHash-LSH near-dedup (exact-Jaccard verified) →
+  *   connected-components survivor pick → benchmark decontamination →
+  *   sequence packing → leakage-safe split → balanced shards
+  *
+  * Integration is where operator-boundary bugs hide (carried columns,
+  * NULL keys, cross-stage determinism), so the whole chain is
+  * oracle-checked end to end: DuckDB mirrors every stage closed-form —
+  * the near-dup stage by brute-force all-pairs Jaccard (O(n²) is fine
+  * for an oracle; the Spark side stays LSH-bucketed and never compares
+  * all pairs) and the transitive clusters by a recursive CTE. The LSH
+  * threshold sits at 0.95, where `dd6_jaccard_exact` proved recall on
+  * this corpus is exactly 100% (b=4/r=4: P(miss at J=0.95) ≈ 7e-4, and
+  * the corpus has no pair in the risky (0.909, 0.956) band), so the
+  * bucketed path and the brute-force oracle agree pair-for-pair.
+  *
+  * Scale shape (the 100 TB story): the gates are zero-shuffle
+  * projections pushed to the scan; exact dedup is one hash shuffle on
+  * the normalized text; LSH is shingle→minhash→band→bucket-join (cost
+  * tracks duplicate groups, never n²); components run
+  * large-star/small-star in O(log n) rounds; decontamination is a
+  * BROADCAST semi-join of the (small) eval n-gram set; packing is a
+  * distributed prefix sum (never a single-partition global window);
+  * the split/shard decisions are per-row arithmetic. No driver
+  * collect anywhere in the data path — `PipelineCapstoneSpec` pins
+  * the shuffle count and the stage invariants.
+  */
+object CapstoneQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** Stage tunables — shared by the query and its spec. */
+  private[queries] val RepMax = 0.3
+  private[queries] val StopMin = 0.01
+  private[queries] val PackBudget = 2048L
+  private[queries] val NumShards = 8
+
+  /** Stages 0–4: gates → normalize → exact dedup → near-dedup
+    * survivors. Shared by pipe1 (whole pipeline) and the spec's
+    * stage-invariant probes. */
+  private[queries] def survivorsOf(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    // ---- stage 1: quality gates (tx2/tx6 shapes) + eval carve-out.
+    // Zero-shuffle projections; every term mirrors closed-form.
+    val toksL = TextFunctions.tokens(lower($"text"))
+    val t3 = greatest(size(toksL) - 2, lit(0))
+    val d3 = size(TextFunctions.shinglesFromTokens(toksL, 3))
+    val rep = lit(1.0) - d3.cast("double") /
+      greatest(t3, lit(1)).cast("double")
+    val gated = docs
+      .where($"doc_id" % 97 =!= 0 && // eval set is held out up front
+        $"n_chars".between(60, 520) &&
+        size(toksL) >= 5 && // shingle stages need real n-gram support
+        rep <= RepMax &&
+        TextFunctions.stopwordRatio($"text") > StopMin)
+      // ---- stage 2: normalize (case + whitespace) for the exact key;
+      // ws_tokens (the packing size) comes from the ORIGINAL text
+      .select($"doc_id", $"text",
+        trim(regexp_replace(lower($"text"), "\\s+", " ")).as("norm"),
+        TextFunctions.tokenCount($"text").cast("long").as("ws_tokens"))
+    // ---- stage 3: exact dedup on the normalized text (dd2 shape)
+    val exact = Dedup.exactDedup(gated, $"norm", $"doc_id")
+    // ---- stage 4: near-dedup = LSH candidates → exact-Jaccard verify
+    // → transitive clusters → keep the lowest id per cluster (dd3/dd6/
+    // dd8 composed). The verify step makes the outcome exact, so the
+    // oracle's brute-force pairs match the bucketed path one-for-one.
+    val banded = Dedup.withBands(
+      Dedup.withMinhashSignature(exact, $"text", shingleSize = 2,
+        numHashes = 16), bands = 4, rowsPerBand = 4)
+    val edges = Dedup.jaccardVerify(exact, $"text", "doc_id",
+        Dedup.lshCandidatePairs(banded, "doc_id"),
+        shingleSize = 2, threshold = 0.95)
+      .select($"id_a", $"id_b")
+    Components.assign(exact, "doc_id", edges, "id_a", "id_b")
+      .where($"doc_id" === $"component")
+  }
+
+  /** Stage 5: drop survivors sharing any 5-gram with the eval set
+    * (dc1 shape — broadcast semi-join against the small eval grams). */
+  private[queries] def decontaminatedOf(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    val survivors = survivorsOf(s, dir)
+    val evalGrams = t(s, dir, "documents")
+      .where($"doc_id" % 97 === 0 &&
+        size(TextFunctions.tokens(lower($"text"))) >= 5)
+      .select(explode(TextFunctions.shingles($"text", 5)).as("g"))
+      .distinct()
+    val contaminated = survivors
+      .select($"doc_id", explode(TextFunctions.shingles($"text", 5)).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .select($"doc_id").distinct()
+    survivors.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** Stages 6–8 on the clean corpus: pack → split → shard → ledger. */
+  private[queries] def ledgerOf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val clean = decontaminatedOf(s, dir)
+    // ---- stage 6: sequence packing (pk1 — distributed prefix sum)
+    val packed = Packing.assignPacks(
+      clean.select($"doc_id", $"ws_tokens"), "ws_tokens", "doc_id",
+      budget = PackBudget, numRanges = 8)
+    // ---- stage 7: leakage-safe split. Near-dedup already collapsed
+    // every duplicate cluster to ONE survivor, so a per-doc hash split
+    // cannot put two near-copies on opposite sides — the sp7 property
+    // by construction. ---- stage 8: balanced shards by pack.
+    packed.select($"doc_id", $"ws_tokens", $"pack_id",
+        when(substring(md5($"doc_id".cast("string")), 1, 1) <= "b",
+          "train").otherwise("test").as("side"),
+        ($"pack_id" % NumShards).as("shard"))
+      .groupBy($"side", $"shard")
+      .agg(count(lit(1)).as("docs"),
+        sum($"ws_tokens").as("tokens"),
+        countDistinct($"pack_id").as("packs"),
+        sum($"doc_id").as("id_checksum"),
+        min($"doc_id").as("min_doc"),
+        max($"doc_id").as("max_doc"))
+  }
+
+  def defs: Seq[(String, QueryDef)] = Seq(
+    "pipe1_corpus_pipeline" -> QueryDef(
+      (s, dir) => ledgerOf(s, dir),
+      Some("""WITH RECURSIVE
+        base AS (
+          SELECT doc_id, text, n_chars,
+            trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+            CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+              AS ws_tokens,
+            string_split_regex(lower(text), '\s+') AS toks
+          FROM documents),
+        gated AS (
+          SELECT doc_id, text, norm, ws_tokens, toks FROM base
+          WHERE doc_id % 97 <> 0
+            AND n_chars BETWEEN 60 AND 520
+            AND len(toks) >= 5
+            AND 1.0 - len(list_distinct(list_transform(
+                  range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                )))::DOUBLE / greatest(len(toks) - 2, 1) <= 0.3
+            AND round(len(list_filter(toks,
+                  tk -> tk IN ('the','a','and','of','to','in','is')
+                ))::DOUBLE / len(toks), 6) > 0.01),
+        exact AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY norm ORDER BY doc_id)
+              AS rn FROM gated) WHERE rn = 1),
+        sh2 AS (
+          SELECT doc_id, list_distinct(list_transform(
+            range(1, len(toks)),
+            i -> toks[i] || ' ' || toks[i+1])) AS s
+          FROM exact),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+            len(list_distinct(list_concat(a.s, b.s))) >= 0.95),
+        sym AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM sym
+          UNION
+          SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+        root AS (SELECT a AS id, min(b) AS mn FROM reach GROUP BY a),
+        survivors AS (
+          SELECT e.* FROM exact e LEFT JOIN root r ON e.doc_id = r.id
+          WHERE r.id IS NULL OR e.doc_id <= r.mn),
+        eval_grams AS (
+          SELECT DISTINCT unnest(list_distinct(list_transform(
+            range(1, len(string_split_regex(lower(text), '\s+')) - 3),
+            i -> string_split_regex(lower(text), '\s+')[i] || ' ' ||
+                 string_split_regex(lower(text), '\s+')[i+1] || ' ' ||
+                 string_split_regex(lower(text), '\s+')[i+2] || ' ' ||
+                 string_split_regex(lower(text), '\s+')[i+3] || ' ' ||
+                 string_split_regex(lower(text), '\s+')[i+4]))) AS g
+          FROM documents WHERE doc_id % 97 = 0
+            AND len(string_split_regex(lower(text), '\s+')) >= 5),
+        cont AS (
+          SELECT DISTINCT doc_id FROM (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, len(toks) - 3),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] ||
+                   ' ' || toks[i+3] || ' ' || toks[i+4]))) AS g
+            FROM survivors)
+          WHERE g IN (SELECT g FROM eval_grams)),
+        clean AS (
+          SELECT * FROM survivors
+          WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+        off AS (
+          SELECT doc_id, ws_tokens,
+            CAST(COALESCE(sum(ws_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_offset
+          FROM clean),
+        packed AS (
+          SELECT doc_id, ws_tokens,
+            CAST(tok_offset // 2048 AS BIGINT) AS pack_id
+          FROM off),
+        final AS (
+          SELECT doc_id, ws_tokens, pack_id,
+            CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+              THEN 'train' ELSE 'test' END AS side,
+            CAST(pack_id % 8 AS BIGINT) AS shard
+          FROM packed)
+        SELECT side, shard, count(*) AS docs,
+          CAST(sum(ws_tokens) AS BIGINT) AS tokens,
+          CAST(count(DISTINCT pack_id) AS BIGINT) AS packs,
+          CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+          min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        FROM final GROUP BY side, shard"""))
+  )
+}
