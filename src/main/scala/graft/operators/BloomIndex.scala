@@ -113,9 +113,13 @@ object BloomIndex {
     * sidecar rel path, or None when nothing was indexable. One
     * distributed pass over the new files; each filter is sized by its
     * file's actual row count (from the stats harvest of the same
-    * commit), so merged partial filters agree on parameters. Failure
-    * is contained: a commit must never die on its INDEX — it just
-    * lands without refs (unprunable, correct). */
+    * commit), so merged partial filters agree on parameters. The
+    * merged filters are written as parquet STRAIGHT from the reduce —
+    * no driver collect, no single-file coalesce — so a million-file
+    * backfill chunk neither materializes O(files × bloom-bytes) on
+    * the driver nor funnels through one writer task. Failure is
+    * contained: a commit must never die on its INDEX — it just lands
+    * without refs (unprunable, correct). */
   private[operators] def harvest(spark: SparkSession, root: Path,
       relFiles: Seq[String], rowsByRel: Map[String, Long],
       cols: Seq[String], fpp: Double): Option[String] =
@@ -160,18 +164,31 @@ object BloomIndex {
           local.iterator.map { case ((rel, i), bf) => (rel, i, bf) }
         }
         // merge partial filters of a file split across partitions —
-        // same (rel, rows, fpp) parameters, so mergeInPlace is legal
+        // same (rel, rows, fpp) parameters, so mergeInPlace is legal.
+        // Output partition count tracks the (files × cols) row count,
+        // not the input split count: small commits land one file,
+        // huge backfill chunks stay parallel.
         .map { case (rel, i, bf) => ((rel, i), bf) }
-        .reduceByKey((a, b) => { a.mergeInPlace(b); a })
-        .map { case ((rel, i), bf) => (rel, i, serialize(bf)) }
-        .collect()
-      if (rows.isEmpty) return None
+        .reduceByKey((a, b) => { a.mergeInPlace(b); a },
+          math.max(1, (relFiles.size * nCols) / 20000 + 1))
+      val bcCols = spark.sparkContext.broadcast(present.toIndexedSeq)
+      val rowRdd = rows.map { case ((rel, i), bf) =>
+        org.apache.spark.sql.Row(rel, bcCols.value(i), serialize(bf)) }
       val sidecarRel = s"bloom/${java.util.UUID.randomUUID()}"
-      import spark.implicits._
-      rows.toSeq.map { case (rel, i, bytes) => (rel, present(i), bytes) }
-        .toDF("file", "col", "bloom").coalesce(1)
-        .write.parquet(new Path(root, sidecarRel).toString)
-      Some(sidecarRel)
+      val dir = new Path(root, sidecarRel)
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(rowRdd, StructType(Seq(
+          StructField("file", StringType), StructField("col", StringType),
+          StructField("bloom", BinaryType))))
+        .write.parquet(dir.toString)
+      // emptiness is decided from what LANDED (one footer-count read)
+      // — checking the RDD up front would re-run the harvest pass
+      if (spark.read.parquet(dir.toString).isEmpty) {
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        try fs.delete(dir, true)
+        catch { case scala.util.control.NonFatal(_) => () }
+        None
+      } else Some(sidecarRel)
     } catch { case scala.util.control.NonFatal(_) => None }
 
   // --------------------------------------------------------------- consult

@@ -99,8 +99,9 @@ object DataMerge {
       else Nil
     val touched = (newTuples ++ oldTuples).distinct
 
-    val target = spark.read.option("mergeSchema", "true").parquet(path)
-      .where(tupleFilter(partCols, touched)) // partition-pruned scan
+    val target = scopeToTuples(spark, // partition-pruned scan
+      spark.read.option("mergeSchema", "true").parquet(path),
+      partCols, touched)
     // survivors of the old data = rows whose key has no update
     val merged = target.join(updates, keys, "left_anti")
       .unionByName(updates.select(target.columns.map(col): _*))
@@ -128,7 +129,9 @@ object DataMerge {
   /** OR-of-conjunctions predicate selecting exactly the given partition
     * tuples (string-rendered, per [[collectTuples]]) — terms reference
     * only partition columns, so Catalyst evaluates the filter against
-    * directory values at planning time. */
+    * directory values at planning time. Use [[scopeToTuples]] for
+    * frames: past [[TupleFilterMaxLiterals]] tuples it switches to a
+    * broadcast semi-join instead of growing this literal tree. */
   def tupleFilter(partCols: Seq[String], touched: Seq[Seq[Any]])
       : org.apache.spark.sql.Column =
     touched.map { t =>
@@ -137,6 +140,37 @@ object DataMerge {
         else col(c).cast("string") === lit(v.toString)
       }.reduce(_ && _)
     }.reduce(_ || _)
+
+  /** Above this many touched tuples, tuple scoping is a broadcast
+    * semi-join on the rendered partition columns instead of a literal
+    * OR-tree: a merge touching 10k partitions must not hand the
+    * analyzer/codegen a 10k-disjunct expression (cost linear in
+    * tuples PER RULE PASS — the same shape the streaming upsert sink
+    * replaced with a broadcast join). */
+  private[graft] val TupleFilterMaxLiterals = 64
+
+  /** Restrict `df` to the given partition tuples: the literal
+    * predicate (planning-time directory pruning) below the threshold,
+    * a broadcast null-safe semi-join above it. */
+  def scopeToTuples(spark: SparkSession, df: DataFrame,
+      partCols: Seq[String], touched: Seq[Seq[Any]]): DataFrame =
+    if (touched.isEmpty)
+      df.where(org.apache.spark.sql.functions.lit(false))
+    else if (touched.size <= TupleFilterMaxLiterals)
+      df.where(tupleFilter(partCols, touched))
+    else {
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val rows = touched.map(t => org.apache.spark.sql.Row.fromSeq(
+        t.map(v => if (v == null) null else v.toString)))
+      val kt = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        StructType(partCols.map(c =>
+          StructField(s"__mt_$c", StringType, nullable = true))))
+      df.join(org.apache.spark.sql.functions.broadcast(kt),
+        partCols.map(c => df(c).cast("string") <=> kt(s"__mt_$c"))
+          .reduce(_ && _),
+        "left_semi")
+    }
 
   /** Single-level convenience overload of the tuple swap below. */
   def swapPartitions(spark: SparkSession, path: String, staging: String,

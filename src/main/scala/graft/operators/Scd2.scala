@@ -119,8 +119,9 @@ object Scd2 {
           partCols)
       else Nil
     val touched = (newTuples ++ oldTuples).distinct
-    val history = spark.read.option("mergeSchema", "true").parquet(path)
-      .where(DataMerge.tupleFilter(partCols, touched))
+    val history = DataMerge.scopeToTuples(spark,
+      spark.read.option("mergeSchema", "true").parquet(path),
+      partCols, touched)
     val out = applyChanges(history, updates, keys, attrs, ts)
     val staging = DataMerge.hiddenSibling(path, ".merge-staging")
     out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)

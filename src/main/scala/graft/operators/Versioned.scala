@@ -74,9 +74,42 @@ object Versioned {
     * pointer + gzip sidecar; smaller ones stay human-readable text. */
   private[graft] val CheckpointGzMinLines = 256
 
+  /** Writer-protocol stamp (Delta's `minWriterVersion` /
+    * table-features discipline): a version whose meta carries DUTIES —
+    * invariants, a bloom declaration, a schema carrier, a column
+    * mapping — stamps `#writer=2`, and [[commitManifest]] REFUSES to
+    * commit onto a base stamped higher than this build understands.
+    * That turns the carry-the-contract-keys convention into an
+    * enforced contract: an older (or third-party) writer that does
+    * not know a declared duty can still READ the table (the reader
+    * stamp is separate) but can never land a commit that would
+    * silently uninstall or bypass it. Duty-free tables stamp 1, so
+    * downgrade tolerance is maximal. */
+  private[graft] val WriterProtocol = 2
+  private[graft] val WriterKey = "writer"
+
+  /** The writer protocol a commit's FINAL meta demands. */
+  private def requiredWriter(meta: Map[String, String]): Int =
+    if (meta.keysIterator.exists(ContractKeys)) 2 else 1
+
+  /** Refuse to COMMIT onto (or maintain) a version stamped by a newer
+    * writer — its meta may declare duties this build cannot honor. */
+  private def checkWriter(root: Path, v: Long,
+      lines: Seq[String]): Unit =
+    lines.collectFirst { case l if l.startsWith(s"#$WriterKey=") =>
+      l.stripPrefix(s"#$WriterKey=") }
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .filter(_ > WriterProtocol)
+      .foreach(n => throw new IllegalStateException(
+        s"version $v of $root requires writer protocol $n; this build " +
+          s"understands up to $WriterProtocol — refusing to commit " +
+          "(a newer writer declared table duties this build would " +
+          "silently drop or bypass)"))
+
   /** Header keys owned by the log layer — never surfaced as user meta
     * by [[readMeta]]/[[history]]. */
-  private val SystemKeys = Set(CommitTsKey, NFilesKey, ReaderKey, CkptKey)
+  private val SystemKeys =
+    Set(CommitTsKey, NFilesKey, ReaderKey, CkptKey, WriterKey)
 
   /** Marker header of a DELTA manifest. Deliberately `=`-free: the
     * meta parser only yields `k=v` pairs, so the marker can never leak
@@ -148,6 +181,9 @@ object Versioned {
     // with the table's refuses HERE (before any segment lands), never
     // at some later reader's mergeSchema union
     val baseV = latestVersion(fs, root)
+    // the writer-protocol gate fires BEFORE any schema work or
+    // segment write (commitManifest backstops it atomically)
+    baseV.foreach(b => checkWriter(root, b, manifestLines(fs, root, b)))
     val (physDf, carrier, union) = baseV match {
       case Some(v) if mode == "append" =>
         enforceAppend(spark, table, v, mapping.applyWrite(df))
@@ -293,6 +329,7 @@ object Versioned {
     }
     // same write-time schema enforcement as [[commit]]
     val baseV = latestVersion(fs, root)
+    baseV.foreach(b => checkWriter(root, b, manifestLines(fs, root, b)))
     val (physDf, carrier, union) = baseV match {
       case Some(v) if mode == "append" =>
         enforceAppend(spark, table, v, mapping.applyWrite(df))
@@ -995,6 +1032,9 @@ object Versioned {
     var committed = -1L
     while (committed < 0) {
       val base = latestVersion(fs, root)
+      // the writer gate runs FIRST: a base stamped by a newer writer
+      // declares duties this build cannot honor — refuse to commit
+      base.foreach(b => checkWriter(root, b, manifestLines(fs, root, b)))
       val target = base.map(_ + 1).getOrElse(0L)
       val newLines = filesFor(base)
       val effMeta =
@@ -1050,7 +1090,8 @@ object Versioned {
       val stamped = effMeta +
         (CommitTsKey -> System.currentTimeMillis.toString) +
         (NFilesKey -> newLines.size.toString) +
-        (ReaderKey -> (if (pointer) "2" else "1")) ++
+        (ReaderKey -> (if (pointer) "2" else "1")) +
+        (WriterKey -> requiredWriter(effMeta).toString) ++
         ckptRel.map(CkptKey -> _)
       val metaLines = stamped.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
       ckptRel.foreach(writeGzLines(fs, root, _, body))
@@ -1901,6 +1942,10 @@ object Versioned {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val all = listVersions(fs, root)
+    // retention is a MUTATION: a newer writer's duties (e.g. a sidecar
+    // family this build doesn't know) must refuse, like any commit
+    all.lastOption.foreach(v =>
+      checkWriter(root, v, manifestLines(fs, root, v)))
     val (drop, keep) = all.splitAt(math.max(0, all.size - keepLast))
     dropAndSweep(fs, root, drop, keep)
   }
@@ -1917,6 +1962,7 @@ object Versioned {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val all = listVersions(fs, root)
     if (all.isEmpty) return 0
+    checkWriter(root, all.last, manifestLines(fs, root, all.last))
     val cutoff = System.currentTimeMillis - (hours * 3600000.0).toLong
     val latest = all.last
     // Drop only the CONTIGUOUS oldest prefix under the cutoff (the
@@ -2775,6 +2821,7 @@ object Versioned {
     while (true) {
       val v = latestVersion(fs, root).getOrElse(
         throw new IllegalArgumentException(s"no committed version in $table"))
+      checkWriter(root, v, manifestLines(fs, root, v))
       val existing = invariants(spark, table, Some(v))
       val names = existing.map(_.name).toSet
       val fresh = rules.filterNot(r => names.contains(r.name))
@@ -2861,7 +2908,10 @@ object Versioned {
     * only — zero data files rewritten. Returns the committed
     * version. */
   def declareBloomIndex(spark: SparkSession, table: String,
-      cols: Seq[String], fpp: Double = 0.03): Long = {
+      cols: Seq[String], fpp: Double = 0.03,
+      backfillChunkFiles: Int = 1000): Long = {
+    require(backfillChunkFiles > 0,
+      s"backfillChunkFiles must be positive: $backfillChunkFiles")
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = latestVersion(fs, root).getOrElse(
@@ -2881,15 +2931,20 @@ object Versioned {
     }
     val lines = readFileLines(fs, root, v)
     val missing = lines.filter(parseBloomRef(_).isEmpty)
-    val rowsByRel = missing.flatMap { l =>
-      val (rel, st, _) = parseLine(l)
-      st.flatMap(SegmentStats.parse).map(s => rel -> s.rows)
-    }.toMap
-    val sidecar =
-      if (missing.isEmpty) None
-      else BloomIndex.harvest(spark, root,
-        missing.map(parseLine(_)._1), rowsByRel, cols, fpp)
-    val covered = missing.map(parseLine(_)._1).toSet
+    // backfill in CHUNKS of files, one sidecar dir per chunk: a
+    // million-file table neither runs one giant harvest job nor lands
+    // one giant sidecar that every later consult must swallow whole —
+    // consult cost stays bounded by the chunk size
+    val refByRel: Map[String, String] = missing
+      .grouped(backfillChunkFiles).flatMap { chunk =>
+        val rels = chunk.map(parseLine(_)._1)
+        val rowsByRel = chunk.flatMap { l =>
+          val (rel, st, _) = parseLine(l)
+          st.flatMap(SegmentStats.parse).map(s => rel -> s.rows)
+        }.toMap
+        BloomIndex.harvest(spark, root, rels, rowsByRel, cols, fpp)
+          .toSeq.flatMap(s => rels.map(_ -> s))
+      }.toMap
     val spec = bucketSpec(spark, table, Some(v))
     commitManifest(fs, root,
       Map("operation" -> "bloom_index") + BloomIndex.encodeMeta(cols, fpp)
@@ -2898,8 +2953,8 @@ object Versioned {
           .filterKeys(_ != BloomIndex.MetaKey).toMap,
       base => base.toSeq.flatMap(readFileLines(fs, root, _)).map { line =>
         val rel = parseLine(line)._1
-        sidecar match {
-          case Some(s) if covered(rel) && parseBloomRef(line).isEmpty =>
+        refByRel.get(rel) match {
+          case Some(s) if parseBloomRef(line).isEmpty =>
             s"$line\tbloom=$s"
           case _ => line
         }

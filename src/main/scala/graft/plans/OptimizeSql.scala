@@ -179,13 +179,22 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * named "history" and must keep doing so. */
   private def parseHistory(sqlText: String): LogicalPlan = {
     val h = historyStmt.matcher(sqlText)
-    if (h.matches()) DescribeHistoryCommand(h.group(1))
+    // ident form resolves through the same target() as VACUUM/CLONE;
+    // an un-resolvable ident DELEGATES (`DESCRIBE history` must keep
+    // describing a table literally named "history")
+    if (h.matches()) targetOpt(h.group(1), h.group(2)) match {
+      case Some(p) => DescribeHistoryCommand(p)
+      case None => delegate.parsePlan(sqlText)
+    }
     else delegate.parsePlan(sqlText)
   }
 
   private def parseDetail(sqlText: String): LogicalPlan = {
     val d = detailStmt.matcher(sqlText)
-    if (d.matches()) DescribeDetailCommand(d.group(1))
+    if (d.matches()) targetOpt(d.group(1), d.group(2)) match {
+      case Some(p) => DescribeDetailCommand(p)
+      case None => delegate.parsePlan(sqlText)
+    }
     else delegate.parsePlan(sqlText)
   }
 
@@ -207,8 +216,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private def parseRestore(sqlText: String): LogicalPlan = {
     val r = restoreStmt.matcher(sqlText)
     if (r.matches())
-      return RestoreVersionedCommand(r.group(1), r.group(2).toLong)
-    fail(sqlText, "expected RESTORE '<path>' TO VERSION <n>")
+      return RestoreVersionedCommand(target(r.group(1), r.group(2)),
+        r.group(3).toLong)
+    fail(sqlText, "expected RESTORE <table|'path'> TO VERSION <n>")
   }
 
   private def parseClone(sqlText: String): LogicalPlan = {
@@ -224,8 +234,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private def parseConvert(sqlText: String): LogicalPlan = {
     val c = convertStmt.matcher(sqlText)
-    if (c.matches()) return ConvertVersionedCommand(c.group(1))
-    fail(sqlText, "expected CONVERT '<parquet dir>' TO GRAFT")
+    if (c.matches())
+      return ConvertVersionedCommand(target(c.group(1), c.group(2)))
+    fail(sqlText, "expected CONVERT <table|'parquet dir'> TO GRAFT")
   }
 
   /** ALTER TABLE is SPARK grammar — only our exact constraint shapes
@@ -303,11 +314,11 @@ object GraftSqlParser {
   private val historyPrefix = java.util.regex.Pattern.compile(
     """\s*(?i:DESCRIBE\s+HISTORY)\b""")
   private val historyStmt = java.util.regex.Pattern.compile(
-    """(?is)\s*DESCRIBE\s+HISTORY\s+'([^']+)'\s*;?\s*""")
+    s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+$Tgt\\s*;?\\s*""")
   private val detailPrefix = java.util.regex.Pattern.compile(
     """\s*(?i:DESCRIBE\s+DETAIL)\b""")
   private val detailStmt = java.util.regex.Pattern.compile(
-    """(?is)\s*DESCRIBE\s+DETAIL\s+'([^']+)'\s*;?\s*""")
+    s"""(?is)\\s*DESCRIBE\\s+DETAIL\\s+$Tgt\\s*;?\\s*""")
   private val changesPrefix = java.util.regex.Pattern.compile(
     """\s*(?i:DESCRIBE\s+CHANGES)\b""")
   private val changesStmt = java.util.regex.Pattern.compile(
@@ -315,13 +326,13 @@ object GraftSqlParser {
   private val restorePrefix =
     java.util.regex.Pattern.compile("""\s*(?i:RESTORE)\b""")
   private val restoreStmt = java.util.regex.Pattern.compile(
-    """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*;?\s*""")
+    s"""(?is)\\s*RESTORE\\s+$Tgt\\s+TO\\s+VERSION\\s+(\\d+)\\s*;?\\s*""")
   private val clonePrefix =
     java.util.regex.Pattern.compile("""\s*(?i:CLONE)\b""")
   private val convertPrefix =
     java.util.regex.Pattern.compile("""\s*(?i:CONVERT)\b""")
   private val convertStmt = java.util.regex.Pattern.compile(
-    """(?is)\s*CONVERT\s+'([^']+)'\s+TO\s+GRAFT\s*;?\s*""")
+    s"""(?is)\\s*CONVERT\\s+$Tgt\\s+TO\\s+GRAFT\\s*;?\\s*""")
   private val cloneStmt = java.util.regex.Pattern.compile(
     s"""(?is)\\s*CLONE\\s+$Tgt\\s+TO\\s+$Tgt""" +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""")

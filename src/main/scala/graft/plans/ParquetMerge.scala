@@ -259,8 +259,8 @@ case class ParquetRewriteCommand(table: CatalogTable, partCols: Seq[String],
         val touched: Seq[Seq[Any]] = // bounded by #partitions
           DataMerge.collectTuples(ofRows(spark, mp), ps)
         if (touched.nonEmpty) {
-          val df = ofRows(spark, rewritten)
-            .where(DataMerge.tupleFilter(ps, touched))
+          val df = DataMerge.scopeToTuples(spark,
+            ofRows(spark, rewritten), ps, touched)
           val staging = DataMerge.hiddenSibling(path, ".merge-staging")
           df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .partitionBy(ps: _*).parquet(staging)
@@ -360,8 +360,8 @@ case class GeneralMergeCommand(table: CatalogTable, partCols: Seq[String],
           else Nil
         val scope = (touchedNew ++ touchedOld ++ nmbsOld ++ nmbsNew).distinct
         if (scope.nonEmpty) {
-          val merged = changed.unionByName(untouched)
-            .where(DataMerge.tupleFilter(ps, scope))
+          val merged = DataMerge.scopeToTuples(spark,
+            changed.unionByName(untouched), ps, scope)
           val staging = DataMerge.hiddenSibling(path, ".merge-staging")
           merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .partitionBy(ps: _*).parquet(staging)

@@ -48,31 +48,37 @@ object CapstoneQueries {
   private[queries] val PackBudget = 2048L
   private[queries] val NumShards = 8
 
+  /** Stages 1+2 on any documents-shaped frame (doc_id, text, n_chars
+    * …): quality gates (tx2/tx6 shapes) + eval carve-out, then
+    * normalize. Projections and one filter — zero shuffles, so the
+    * SAME gate runs unchanged over the streaming change feed
+    * (st16's incremental variant). Every term mirrors closed-form. */
+  private[queries] def gate(docs: DataFrame): DataFrame = {
+    val toksL = TextFunctions.tokens(lower(col("text")))
+    val t3 = greatest(size(toksL) - 2, lit(0))
+    val d3 = size(TextFunctions.shinglesFromTokens(toksL, 3))
+    val rep = lit(1.0) - d3.cast("double") /
+      greatest(t3, lit(1)).cast("double")
+    docs
+      .where(col("doc_id") % 97 =!= 0 && // eval set is held out up front
+        col("n_chars").between(60, 520) &&
+        size(toksL) >= 5 && // shingle stages need real n-gram support
+        rep <= RepMax &&
+        TextFunctions.stopwordRatio(col("text")) > StopMin)
+      // normalize (case + whitespace) for the exact-dedup key;
+      // ws_tokens (the packing size) comes from the ORIGINAL text
+      .select(col("doc_id"), col("text"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("ws_tokens"))
+  }
+
   /** Stages 0–4: gates → normalize → exact dedup → near-dedup
     * survivors. Shared by pipe1 (whole pipeline) and the spec's
     * stage-invariant probes. */
   private[queries] def survivorsOf(s: SparkSession, dir: String)
       : DataFrame = {
     import s.implicits._
-    val docs = t(s, dir, "documents")
-    // ---- stage 1: quality gates (tx2/tx6 shapes) + eval carve-out.
-    // Zero-shuffle projections; every term mirrors closed-form.
-    val toksL = TextFunctions.tokens(lower($"text"))
-    val t3 = greatest(size(toksL) - 2, lit(0))
-    val d3 = size(TextFunctions.shinglesFromTokens(toksL, 3))
-    val rep = lit(1.0) - d3.cast("double") /
-      greatest(t3, lit(1)).cast("double")
-    val gated = docs
-      .where($"doc_id" % 97 =!= 0 && // eval set is held out up front
-        $"n_chars".between(60, 520) &&
-        size(toksL) >= 5 && // shingle stages need real n-gram support
-        rep <= RepMax &&
-        TextFunctions.stopwordRatio($"text") > StopMin)
-      // ---- stage 2: normalize (case + whitespace) for the exact key;
-      // ws_tokens (the packing size) comes from the ORIGINAL text
-      .select($"doc_id", $"text",
-        trim(regexp_replace(lower($"text"), "\\s+", " ")).as("norm"),
-        TextFunctions.tokenCount($"text").cast("long").as("ws_tokens"))
+    val gated = gate(t(s, dir, "documents"))
     // ---- stage 3: exact dedup on the normalized text (dd2 shape)
     val exact = Dedup.exactDedup(gated, $"norm", $"doc_id")
     // ---- stage 4: near-dedup = LSH candidates → exact-Jaccard verify

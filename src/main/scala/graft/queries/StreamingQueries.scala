@@ -669,6 +669,69 @@ object StreamingQueries {
         FROM (SELECT user_id, ts,
             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
           FROM events) t
-        GROUP BY user_id"""))
+        GROUP BY user_id""")),
+
+    // ---- ST16 incremental corpus curation — pipe1's streaming
+    // variant over the change feed: a documents snapshot table grows
+    // by commits; each micro-batch runs the SAME admission gate as
+    // the batch capstone (CapstoneQueries.gate — pure projections, so
+    // the code is literally shared) and exact-dedups incrementally
+    // against streaming state (`dropDuplicates` on the normalized
+    // text; at 100 TB the production form bounds the state with
+    // dropDuplicatesWithinWatermark or the dd10 persisted band
+    // index). v1 appends the rest of the corpus PLUS exact copies of
+    // v0 docs offset by a multiple of 97 (id ≡ source mod 97, so a
+    // copy passes the eval carve-out iff its source did): every
+    // gated copy finds its source already in state and is dropped —
+    // the oracle is the gated ORIGINALS, closed-form.
+    "st16_incremental_curation" -> QueryDef(
+      (s, dir) => {
+        val c = streamSession(s)
+        import c.implicits._
+        val base = java.nio.file.Files.createTempDirectory("st16").toString
+        val table = base + "/docs"
+        val docs = Tables(c, dir, "documents")
+          .select($"doc_id", $"text", $"n_chars")
+        graft.operators.Versioned.commit(
+          docs.where($"doc_id" % 3 === 0).coalesce(2), table) // v0
+        val q = c.readStream.format("graft-changes")
+          .option("path", table).load()
+          .transform(CapstoneQueries.gate)
+          .dropDuplicates("norm")
+          .select($"doc_id", $"ws_tokens")
+          .writeStream.format("parquet")
+          .option("path", base + "/out")
+          .option("checkpointLocation", base + "/ckpt")
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable() // batch 1: the v0 snapshot
+          val copies = docs.where($"doc_id" % 3 === 0 && $"doc_id" < 60)
+            .withColumn("doc_id", $"doc_id" + 97L * 10310L)
+          graft.operators.Versioned.commit(
+            docs.where($"doc_id" % 3 =!= 0).unionByName(copies)
+              .coalesce(2), table, "append") // v1 lands mid-stream
+          q.processAllAvailable() // batch 2: the (v0, v1] delta
+        } finally q.stop()
+        c.read.parquet(base + "/out")
+      },
+      Some("""SELECT doc_id,
+          CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+            AS ws_tokens
+        FROM documents
+        WHERE doc_id % 97 <> 0
+          AND n_chars BETWEEN 60 AND 520
+          AND len(string_split_regex(lower(text), '\s+')) >= 5
+          AND 1.0 - len(list_distinct(list_transform(
+                range(1, len(string_split_regex(lower(text), '\s+')) - 1),
+                i -> string_split_regex(lower(text), '\s+')[i] || ' ' ||
+                     string_split_regex(lower(text), '\s+')[i+1] || ' ' ||
+                     string_split_regex(lower(text), '\s+')[i+2]
+              )))::DOUBLE /
+              greatest(len(string_split_regex(lower(text), '\s+')) - 2, 1)
+            <= 0.3
+          AND round(len(list_filter(string_split_regex(lower(text), '\s+'),
+                tk -> tk IN ('the','a','and','of','to','in','is')
+              ))::DOUBLE / len(string_split_regex(lower(text), '\s+')), 6)
+            > 0.01"""))
   )
 }

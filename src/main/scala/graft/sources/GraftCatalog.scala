@@ -637,6 +637,17 @@ private[sources] final class RuntimeSkippingScan(
       Some(known.map(_.rows).sum)
     else None
   }
+  /** sizeInBytes from the manifest's `bytes=` stats (already
+    * harvested at commit time): the sum over the statically-pruned
+    * file set, so the broadcast decision on a snapshot table needs
+    * ZERO delegate file listing — at 100 TB the planner sizes a dim
+    * from one cached manifest read instead of a directory walk.
+    * Stats-less lines (legacy manifests) fall back to the delegate. */
+  private lazy val manifestSize: Option[Long] = {
+    val stats = Versioned.fileStats(spark, tablePath, Some(version))
+    val known = initialFiles.map(f => stats.get(f).flatMap(_.bytes))
+    if (known.forall(_.isDefined)) Some(known.flatten.sum) else None
+  }
   override def estimateStatistics(): Statistics = {
     val base = delegate match {
       case s: SupportsReportStatistics => Some(s.estimateStatistics())
@@ -644,7 +655,8 @@ private[sources] final class RuntimeSkippingScan(
     }
     new Statistics {
       override def sizeInBytes(): OptionalLong =
-        base.map(_.sizeInBytes()).getOrElse(OptionalLong.empty())
+        manifestSize.map(OptionalLong.of).getOrElse(
+          base.map(_.sizeInBytes()).getOrElse(OptionalLong.empty()))
       override def numRows(): OptionalLong =
         manifestRows.map(OptionalLong.of).getOrElse(
           base.map(_.numRows()).getOrElse(OptionalLong.empty()))

@@ -41,6 +41,42 @@ class DataMergeSpec extends SparkSpec {
     assert(partFiles(s"$path/part=2020") == before2020)
   }
 
+  test("a merge touching MANY partitions scopes via a broadcast " +
+    "semi-join, not a touched-count-sized literal OR-tree — and the " +
+    "result is identical to the literal path") {
+    val nParts = DataMerge.TupleFilterMaxLiterals * 2 // 128 > threshold
+    val path = tmpDir("dmergewide") + "/t"
+    (0 until nParts).map(i => (i.toLong, i * 1.0, i))
+      .toDF("k", "v", "part")
+      .write.partitionBy("part").parquet(path)
+    // one update per partition: every partition is touched
+    val updates = (0 until nParts).map(i => (i.toLong, i * 10.0, i))
+      .toDF("k", "v", "part")
+    // the scoped frame's plan must carry a broadcast join, and its
+    // filter tree must NOT grow with the touched count
+    val touched = DataMerge.collectTuples(updates, Seq("part"))
+    assert(touched.size == nParts)
+    val scoped = DataMerge.scopeToTuples(spark,
+      spark.read.parquet(path), Seq("part"), touched)
+    val tree = scoped.queryExecution.executedPlan.toString
+    assert(tree.contains("BroadcastHashJoin") ||
+      tree.contains("BroadcastNestedLoopJoin"),
+      s"past the threshold the scope must be a broadcast join:\n$tree")
+    assert(scoped.count() == nParts)
+    // end-to-end: the merge itself lands the same answer as ever
+    DataMerge.mergeIntoParquet(spark, path, updates, Seq("k"), "part")
+    val after = spark.read.parquet(path)
+      .select($"k", $"v").as[(Long, Double)].collect().toMap
+    assert(after == (0 until nParts)
+      .map(i => i.toLong -> i * 10.0).toMap)
+    // below the threshold the literal predicate still plans (planning-
+    // time directory pruning) — no join node for a 2-tuple scope
+    val small = DataMerge.scopeToTuples(spark,
+      spark.read.parquet(path), Seq("part"), touched.take(2))
+    assert(!small.queryExecution.executedPlan.toString.contains("Join"))
+    assert(small.count() == 2)
+  }
+
   test("property: merge equals the reference map-merge on random " +
     "targets/updates (ScalaCheck)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}

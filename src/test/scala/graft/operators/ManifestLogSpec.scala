@@ -125,6 +125,53 @@ class ManifestLogSpec extends SparkSpec {
     assert(Versioned.read(spark, t, Some(1)).count() == 2)
   }
 
+  test("writer protocol: a duty-bearing table stamps #writer=2; a " +
+    "table stamped by a NEWER writer stays READABLE but refuses " +
+    "commits and vacuum — duties can never be silently bypassed") {
+    val t = tmpDir("mlog") + "/t"
+    Versioned.commit(Seq((1, 10L)).toDF("k", "cents").coalesce(1), t)
+    // duty-free commits stamp writer=1 (downgrade-tolerant)...
+    def writerOf(v: Long): Option[String] = {
+      val fs = fsOf(t)
+      val in = fs.open(new Path(s"$t/_graft_log/$v.manifest"))
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      body.linesIterator.collectFirst {
+        case l if l.startsWith("#writer=") => l.stripPrefix("#writer=") }
+    }
+    assert(writerOf(0L).contains("1"))
+    // ...and declaring a DUTY (an invariant) raises the stamp to 2,
+    // which every later commit keeps while the duty rides
+    Versioned.addInvariants(spark, t,
+      Seq(Invariants.CheckRule("cents_pos", "cents >= 0")))
+    assert(writerOf(1L).contains("2"))
+    Versioned.commit(Seq((2, 20L)).toDF("k", "cents").coalesce(1),
+      t, "append")
+    assert(writerOf(2L).contains("2"),
+      "the inherited duty must keep demanding writer 2")
+    // forge a FUTURE writer's commit on top (readable: reader=1)
+    val fs = fsOf(t)
+    val out = fs.create(new Path(s"$t/_graft_log/3.manifest"), false)
+    try out.write(("#reader=1\n#writer=99\n#commit_ts_ms=1\n#n_files=1\n" +
+      "data/x/f.parquet").getBytes("UTF-8"))
+    finally out.close()
+    Versioned.clearManifestCache()
+    // reads still resolve (the reader protocol is separate) ...
+    assert(Versioned.versions(spark, t) == Seq(0L, 1L, 2L, 3L))
+    // ... but every mutation refuses with the protocol named
+    val e = intercept[IllegalStateException] {
+      Versioned.commit(Seq((3, 30L)).toDF("k", "cents").coalesce(1),
+        t, "append")
+    }
+    assert(e.getMessage.contains("writer protocol 99"))
+    intercept[IllegalStateException] {
+      Versioned.addInvariants(spark, t, Seq(Invariants.NotNull("k"))) }
+    intercept[IllegalStateException] {
+      Versioned.vacuum(spark, t, keepLast = 1) }
+    assert(Versioned.versions(spark, t) == Seq(0L, 1L, 2L, 3L),
+      "a refused mutation must change nothing")
+  }
+
   test("the manifest cache bounds read-planning IO: re-planning warm " +
     "versions and reading a fresh commit open ZERO manifests") {
     val t = tmpDir("mlog") + "/t"

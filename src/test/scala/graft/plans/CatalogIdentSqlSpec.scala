@@ -67,6 +67,43 @@ class CatalogIdentSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("nosuchcat"))
   }
 
+  test("DESCRIBE HISTORY/DETAIL, RESTORE and CONVERT accept catalog " +
+    "idents through the same resolver; un-resolvable DESCRIBE " +
+    "identifiers still delegate to Spark grammar") {
+    val root = tmpDir("identsym")
+    val cat = register(root)
+    val t = s"$root/lake/t"
+    Versioned.commit((1 to 5).map(i => (i, i.toLong)).toDF("k", "v")
+      .coalesce(1), t)
+    Versioned.commit(Seq((6, 6L)).toDF("k", "v").coalesce(1), t, "append")
+    // DESCRIBE HISTORY ident == quoted-path form
+    val hist = spark.sql(s"DESCRIBE HISTORY $cat.lake.t").collect()
+    assert(hist.map(_.getLong(0)).toSeq.sorted == Seq(0L, 1L))
+    assert(spark.sql(s"DESCRIBE HISTORY '$t'").collect().length == 2)
+    // DESCRIBE DETAIL ident
+    val detDf = spark.sql(s"DESCRIBE DETAIL $cat.lake.t")
+    val det = detDf.collect().head
+    assert(det.getLong(detDf.columns.indexOf("n_files")) == 2L)
+    // RESTORE ident rolls back and commits a new version
+    spark.sql(s"RESTORE $cat.lake.t TO VERSION 0")
+    assert(Versioned.read(spark, t).count() == 5)
+    assert(Versioned.versions(spark, t).last == 2L)
+    // CONVERT ident: a plain parquet dir under the catalog root
+    val plainDir = s"$root/lake/plain"
+    (1 to 7).map(i => (i, s"x$i")).toDF("k", "v").coalesce(1)
+      .write.parquet(plainDir)
+    spark.sql(s"CONVERT $cat.lake.plain TO GRAFT")
+    assert(Versioned.versions(spark, plainDir) == Seq(0L))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.lake.plain")
+      .as[Long].head == 7L)
+    // a DESCRIBE over a table literally named "history" keeps
+    // delegating to Spark grammar instead of failing in our parser
+    spark.sql("CREATE TABLE spark_catalog.default.history (k INT) " +
+      "USING parquet")
+    try assert(spark.sql("DESCRIBE HISTORY").collect().nonEmpty)
+    finally spark.sql("DROP TABLE spark_catalog.default.history")
+  }
+
   test("constraint DDL: ADD CONSTRAINT CHECK / ALTER COLUMN SET NOT " +
     "NULL / DROP CONSTRAINT on quoted paths and catalog idents; " +
     "foreign ALTER TABLE shapes still delegate") {

@@ -139,6 +139,31 @@ class BloomIndexSpec extends SparkSpec {
       "the DV sidecar must be scoped to the bloom-hit files")
   }
 
+  test("chunked backfill: a declaration over many files lands one " +
+    "sidecar PER CHUNK, every file carries a ref, and consult prunes " +
+    "across sidecars exactly as with one") {
+    val rootDir = tmpDir("bloomchunk")
+    val t = s"$rootDir/lake/bt"
+    Versioned.commit(seg(0), t)
+    (1 to 3).foreach(i => Versioned.commit(seg(i), t, "append"))
+    // chunk size 2 over 4 files -> exactly two backfill sidecars
+    Versioned.declareBloomIndex(spark, t, Seq("u"),
+      backfillChunkFiles = 2)
+    val refs = Versioned.bloomRefs(spark, t)
+    assert(refs.size == 4, s"every file must carry a ref: $refs")
+    assert(refs.values.map(_._2).toSet.size == 2,
+      s"2-file chunks over 4 files must land 2 sidecars: $refs")
+    val c = spark.newSession()
+    c.conf.set("spark.sql.catalog.gc", classOf[GraftCatalog].getName)
+    c.conf.set("spark.sql.catalog.gc.root", rootDir)
+    val q = c.sql("SELECT id FROM gc.lake.bt WHERE u = 'u050-2'")
+    assert(q.collect().map(_.getLong(0)).toList == List(502L))
+    assert(scannedFiles(q) <= 2,
+      "pruning must work across chunked sidecars")
+    val miss = c.sql("SELECT * FROM gc.lake.bt WHERE u = 'nope'")
+    assert(miss.count() == 0 && scannedFiles(miss) <= 1)
+  }
+
   test("declaration guards: unknown column, un-indexable type, mapped " +
     "table; and meta round-trips") {
     val t = tmpDir("bloomguard") + "/t"

@@ -391,5 +391,12 @@ class StatsPruningSpec extends SparkSpec {
     assert(st.numRows().getAsLong == 50, "exact manifest row count")
     assert(st.sizeInBytes().getAsLong > 0 &&
       st.sizeInBytes().getAsLong < 10L * 1024 * 1024)
+    // the size is served from the manifest's bytes= stats — the exact
+    // sum over the version's files, no delegate directory listing
+    val manifestSum = Versioned.fileStats(spark, t)
+      .values.flatMap(_.bytes).sum
+    assert(st.sizeInBytes().getAsLong == manifestSum,
+      s"sizeInBytes must equal the manifest bytes sum: " +
+        s"${st.sizeInBytes().getAsLong} vs $manifestSum")
   }
 }
