@@ -28,8 +28,14 @@ object TextFunctions {
   private val Stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
 
   /** Fraction of tokens that are English stopwords. */
-  def stopwordRatio(text: Column): Column = {
-    val toks = tokens(lower(text))
+  def stopwordRatio(text: Column): Column =
+    stopwordRatioFromTokens(tokens(lower(text)))
+
+  /** [[stopwordRatio]] over an already-materialized token column —
+    * the attribute form for hot paths that also feed the tokens to
+    * other per-token expressions (see [[shinglesFromTokens]]'s
+    * scaladoc for why the attribute form matters). */
+  def stopwordRatioFromTokens(toks: Column): Column = {
     val hits = size(filter(toks,
       t => Stopwords.map(s => t === s).reduce(_ || _)))
     round(hits.cast("double") / size(toks), 6)
@@ -82,17 +88,26 @@ object TextFunctions {
         (acc, x) => (acc * lit(131L) + x) % M))
   }
 
-  /** Shingles from an already-materialized token ARRAY COLUMN. The
-    * `toks` argument must be an attribute (a real column), not an
-    * expression tree: references inside the `transform` lambda are
-    * evaluated per element, so passing `split(...)` directly re-runs
-    * tokenization ~3x per shingle (measured 9 s for 5k docs at sf0.1;
-    * attribute form is <1 s). */
+  /** Distinct word n-gram shingles from a token array column, built
+    * from n SLICED copies zipped positionally — `toks` is referenced
+    * O(n) times PER ROW, never per element. The earlier form indexed
+    * `element_at(toks, i+j+1)` inside a `transform` lambda, where a
+    * non-attribute `toks` (e.g. `split(...)` inlined by
+    * CollapseProject) re-ran tokenization for EVERY shingle element:
+    * measured 8–9 s for 5k docs at sf0.1 versus ~0.3 s for this form,
+    * and the trap was invisible to `.count()`-shaped benchmarks
+    * because column pruning dropped the shingle expression entirely.
+    * Short inputs (< n tokens) now yield the EMPTY array on both
+    * engines (the old `sequence(0,-1)` descended and produced bogus
+    * partial shingles for them). */
   def shinglesFromTokens(toks: Column, n: Int): Column = {
     val count = greatest(size(toks) - (n - 1), lit(0))
-    array_distinct(transform(
-      sequence(lit(0), count - 1),
-      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+    val joined = (1 until n).foldLeft(slice(toks, lit(1), count)) {
+      (acc, j) =>
+        zip_with(acc, slice(toks, lit(j + 1), count),
+          (a, b) => concat_ws(" ", a, b))
+    }
+    array_distinct(joined)
   }
 
   /** Word n-gram shingles of size n (for Jaccard / MinHash dedup).

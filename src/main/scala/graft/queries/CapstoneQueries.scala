@@ -54,22 +54,30 @@ object CapstoneQueries {
     * SAME gate runs unchanged over the streaming change feed
     * (st16's incremental variant). Every term mirrors closed-form. */
   private[queries] def gate(docs: DataFrame): DataFrame = {
-    val toksL = TextFunctions.tokens(lower(col("text")))
-    val t3 = greatest(size(toksL) - 2, lit(0))
-    val d3 = size(TextFunctions.shinglesFromTokens(toksL, 3))
+    // tokens are materialized ONCE as an attribute column: the gate
+    // references them from FIVE expressions, and shinglesFromTokens'
+    // lambda evaluates its argument per element — the expression-tree
+    // form re-tokenized per shingle (measured 11 s for 5k docs at
+    // sf0.1; this form is sub-second)
+    val toked = docs.withColumn("__toks",
+      TextFunctions.tokens(lower(col("text"))))
+    val toks = col("__toks")
+    val t3 = greatest(size(toks) - 2, lit(0))
+    val d3 = size(TextFunctions.shinglesFromTokens(toks, 3))
     val rep = lit(1.0) - d3.cast("double") /
       greatest(t3, lit(1)).cast("double")
-    docs
+    toked
       .where(col("doc_id") % 97 =!= 0 && // eval set is held out up front
         col("n_chars").between(60, 520) &&
-        size(toksL) >= 5 && // shingle stages need real n-gram support
+        size(toks) >= 5 && // shingle stages need real n-gram support
         rep <= RepMax &&
-        TextFunctions.stopwordRatio(col("text")) > StopMin)
+        TextFunctions.stopwordRatioFromTokens(toks) > StopMin)
       // normalize (case + whitespace) for the exact-dedup key;
-      // ws_tokens (the packing size) comes from the ORIGINAL text
+      // ws_tokens = whitespace token count (case never changes \s+
+      // splits, so size over the lowered tokens equals tx3's count)
       .select(col("doc_id"), col("text"),
         trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"),
-        TextFunctions.tokenCount(col("text")).cast("long").as("ws_tokens"))
+        size(toks).cast("long").as("ws_tokens"))
   }
 
   /** Stages 0–4: gates → normalize → exact dedup → near-dedup
@@ -79,8 +87,14 @@ object CapstoneQueries {
       : DataFrame = {
     import s.implicits._
     val gated = gate(t(s, dir, "documents"))
-    // ---- stage 3: exact dedup on the normalized text (dd2 shape)
+    // ---- stage 3: exact dedup on the normalized text (dd2 shape).
+    // The deduped frame feeds FOUR downstream consumers (signatures,
+    // both Jaccard-verify sides, the components join) — materialize it
+    // once (executor-local, survivor-sized) instead of re-running the
+    // gate + window per consumer. At 100 TB the equivalent is a staged
+    // intermediate table between pipeline phases.
     val exact = Dedup.exactDedup(gated, $"norm", $"doc_id")
+      .localCheckpoint(true)
     // ---- stage 4: near-dedup = LSH candidates → exact-Jaccard verify
     // → transitive clusters → keep the lowest id per cluster (dd3/dd6/
     // dd8 composed). The verify step makes the outcome exact, so the
