@@ -47,6 +47,36 @@ class PipelineCapstoneSpec extends SparkSpec {
       "every clean doc lands in exactly one (side, shard) cell")
   }
 
+  test("the curated corpus lands in the LAKE with its full contract: " +
+    "bucketed layout + NOT NULL invariant + bloom index on one table, " +
+    "violating appends refused, content round-tripped") {
+    import graft.operators.{Invariants, InvariantViolation, Versioned}
+    val clean = CapstoneQueries.decontaminatedOf(spark, sfDir)
+      .select($"doc_id", $"text", $"ws_tokens")
+    val t = tmpDir("pipe-lake") + "/corpus"
+    Versioned.commitBucketed(clean, t, "doc_id", 4)
+    Versioned.addInvariants(spark, t, Seq(Invariants.NotNull("doc_id")))
+    Versioned.declareBloomIndex(spark, t, Seq("doc_id"))
+    // the three duties all ride the latest version's meta
+    val meta = Versioned.readMeta(spark, t,
+      Versioned.versions(spark, t).last)
+    assert(meta.contains("inv") && meta.contains("bloomcols") &&
+      meta.contains("bucket"),
+      s"the curated table must carry its whole contract: $meta")
+    // the table refuses its own corruption from now on
+    intercept[InvariantViolation] {
+      Versioned.commit(
+        Seq((null: java.lang.Long, "x", 1L))
+          .toDF("doc_id", "text", "ws_tokens"), t, "append")
+    }
+    // content round-trips exactly (no rows lost to the lake layer)
+    val back = Versioned.read(spark, t)
+    assert(back.count() == clean.count())
+    val someId = clean.select($"doc_id").orderBy($"doc_id")
+      .limit(1).as[Long].head
+    assert(back.where($"doc_id" === someId).count() == 1)
+  }
+
   test("scale shape: the final plan carries a BOUNDED number of " +
     "shuffles and no driver-side collect operator") {
     val led = CapstoneQueries.ledgerOf(spark, sfDir)
