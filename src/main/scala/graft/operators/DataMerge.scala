@@ -130,8 +130,10 @@ object DataMerge {
     * tuples (string-rendered, per [[collectTuples]]) — terms reference
     * only partition columns, so Catalyst evaluates the filter against
     * directory values at planning time. Use [[scopeToTuples]] for
-    * frames: past [[TupleFilterMaxLiterals]] tuples it switches to a
-    * broadcast semi-join instead of growing this literal tree. */
+    * frames: past [[TupleFilterMaxLiterals]] tuples it switches to
+    * per-column IN-sets (+ a refining broadcast semi-join when there
+    * are several partition columns) instead of growing this literal
+    * tree. */
   def tupleFilter(partCols: Seq[String], touched: Seq[Seq[Any]])
       : org.apache.spark.sql.Column =
     touched.map { t =>
@@ -141,17 +143,26 @@ object DataMerge {
       }.reduce(_ && _)
     }.reduce(_ || _)
 
-  /** Above this many touched tuples, tuple scoping is a broadcast
-    * semi-join on the rendered partition columns instead of a literal
-    * OR-tree: a merge touching 10k partitions must not hand the
-    * analyzer/codegen a 10k-disjunct expression (cost linear in
-    * tuples PER RULE PASS — the same shape the streaming upsert sink
-    * replaced with a broadcast join). */
+  /** Above this many touched tuples, tuple scoping switches from the
+    * literal OR-tree to per-column IN-sets (+ a refining broadcast
+    * semi-join for multi-column layouts): a merge touching 10k
+    * partitions must not hand the analyzer/codegen a 10k-disjunct
+    * expression (cost linear in tuples PER RULE PASS — the same shape
+    * the streaming upsert sink replaced with a broadcast join). */
   private[graft] val TupleFilterMaxLiterals = 64
 
   /** Restrict `df` to the given partition tuples: the literal
-    * predicate (planning-time directory pruning) below the threshold,
-    * a broadcast null-safe semi-join above it. */
+    * predicate (planning-time directory pruning) below the threshold;
+    * above it, a per-column IN-set prefilter (still planning-time
+    * pruning — Catalyst compiles a long IN to an O(1)-lookup `InSet`,
+    * so cost is constant per directory regardless of touched count)
+    * refined by a broadcast null-safe semi-join. The prefilter is
+    * EXACT for a single partition column — the common layout — and
+    * prunes to the touched values' cross product for several, so the
+    * join only discards cross-product false positives. The join alone
+    * would scan EVERY partition: dynamic partition pruning does not
+    * fire through the `cast`+`<=>` condition, and a merge touching
+    * 10k of 100k partitions must not pay a full-table scan. */
   def scopeToTuples(spark: SparkSession, df: DataFrame,
       partCols: Seq[String], touched: Seq[Seq[Any]]): DataFrame =
     if (touched.isEmpty)
@@ -159,17 +170,29 @@ object DataMerge {
     else if (touched.size <= TupleFilterMaxLiterals)
       df.where(tupleFilter(partCols, touched))
     else {
-      import org.apache.spark.sql.types.{StringType, StructField, StructType}
-      val rows = touched.map(t => org.apache.spark.sql.Row.fromSeq(
-        t.map(v => if (v == null) null else v.toString)))
-      val kt = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1),
-        StructType(partCols.map(c =>
-          StructField(s"__mt_$c", StringType, nullable = true))))
-      df.join(org.apache.spark.sql.functions.broadcast(kt),
-        partCols.map(c => df(c).cast("string") <=> kt(s"__mt_$c"))
-          .reduce(_ && _),
-        "left_semi")
+      val perCol = partCols.zipWithIndex.map { case (c, i) =>
+        val vals = touched.map(_(i)).distinct
+        val nonNull = vals.filter(_ != null).map(_.toString)
+        val in =
+          if (nonNull.isEmpty) lit(false)
+          else col(c).cast("string").isInCollection(nonNull)
+        if (vals.contains(null)) in || col(c).isNull else in
+      }
+      val pruned = df.where(perCol.reduce(_ && _))
+      if (partCols.size == 1) pruned // the IN-set is the exact scope
+      else {
+        import org.apache.spark.sql.types.{StringType, StructField, StructType}
+        val rows = touched.map(t => org.apache.spark.sql.Row.fromSeq(
+          t.map(v => if (v == null) null else v.toString)))
+        val kt = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1),
+          StructType(partCols.map(c =>
+            StructField(s"__mt_$c", StringType, nullable = true))))
+        pruned.join(org.apache.spark.sql.functions.broadcast(kt),
+          partCols.map(c => pruned(c).cast("string") <=> kt(s"__mt_$c"))
+            .reduce(_ && _),
+          "left_semi")
+      }
     }
 
   /** Single-level convenience overload of the tuple swap below. */

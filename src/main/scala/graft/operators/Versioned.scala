@@ -166,24 +166,25 @@ object Versioned {
     val spark = df.sparkSession
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val baseV = latestVersion(fs, root)
+    // the writer-protocol gate fires BEFORE any schema work or
+    // segment write (commitManifest backstops it atomically)
+    baseV.foreach(b => checkWriter(root, b, manifestLines(fs, root, b)))
     // column mapping: appends inherit the table's mapping (and write
     // PHYSICAL names); an overwrite clears it — the new snapshot is
     // written directly under logical names (the materialization
     // point). Meta that already carries mapping keys wins (the
     // rename/drop DDL path and restore construct it explicitly).
+    // Read at EXACTLY baseV: reading "latest" separately would leave
+    // a window where a just-landed rename's mapping is overwritten by
+    // the pre-rename one — and the commit loop's contract merge keys
+    // its inherited-vs-explicit decision on baseV's values.
     val mapping =
       if (meta.contains(ColumnMapping.ColMapKey) ||
           meta.contains(ColumnMapping.ColDropKey))
         ColumnMapping.fromMeta(meta)
-      else if (mode == "append") columnMapping(spark, table)
+      else if (mode == "append") columnMapping(spark, table, baseV)
       else ColumnMapping.empty
-    // write-time schema enforcement: an append whose types conflict
-    // with the table's refuses HERE (before any segment lands), never
-    // at some later reader's mergeSchema union
-    val baseV = latestVersion(fs, root)
-    // the writer-protocol gate fires BEFORE any schema work or
-    // segment write (commitManifest backstops it atomically)
-    baseV.foreach(b => checkWriter(root, b, manifestLines(fs, root, b)))
     val (physDf, carrier, union) = baseV match {
       case Some(v) if mode == "append" =>
         enforceAppend(spark, table, v, mapping.applyWrite(df))
@@ -304,32 +305,30 @@ object Versioned {
     val spark = df.sparkSession
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val baseV = latestVersion(fs, root)
+    baseV.foreach(b => checkWriter(root, b, manifestLines(fs, root, b)))
     // mapping inheritance mirrors [[commit]] (meta-supplied mapping
-    // wins — the DDL paths construct it explicitly); the bucket column
-    // is translated to its physical name (the declared layout is keyed
-    // in the physical space — rename of a bucket column is refused, so
-    // the two normally coincide)
+    // wins — the DDL paths construct it explicitly; read at exactly
+    // baseV, the version the contract merge compares against); the
+    // bucket column is translated to its physical name (the declared
+    // layout is keyed in the physical space — rename of a bucket
+    // column is refused, so the two normally coincide)
     val mapping =
       if (meta.contains(ColumnMapping.ColMapKey) ||
           meta.contains(ColumnMapping.ColDropKey))
         ColumnMapping.fromMeta(meta)
-      else if (mode == "append") columnMapping(spark, table)
+      else if (mode == "append") columnMapping(spark, table, baseV)
       else ColumnMapping.empty
     val physCol = mapping.physicalOf(bucketCol)
     val spec = Some((physCol, numBuckets))
-    if (mode == "append") {
-      val base = latestVersion(fs, root)
-      base.foreach { v =>
-        val declared = parseBucketMeta(readMeta(spark, table, v))
-        require(declared.exists(d =>
-          d._1.equalsIgnoreCase(physCol) && d._2 == numBuckets),
-          s"append spec ($physCol/$numBuckets) does not match base " +
-            s"version $v bucket layout ${declared.getOrElse("<none>")}")
-      }
+    if (mode == "append") baseV.foreach { v =>
+      val declared = parseBucketMeta(readMeta(spark, table, v))
+      require(declared.exists(d =>
+        d._1.equalsIgnoreCase(physCol) && d._2 == numBuckets),
+        s"append spec ($physCol/$numBuckets) does not match base " +
+          s"version $v bucket layout ${declared.getOrElse("<none>")}")
     }
     // same write-time schema enforcement as [[commit]]
-    val baseV = latestVersion(fs, root)
-    baseV.foreach(b => checkWriter(root, b, manifestLines(fs, root, b)))
     val (physDf, carrier, union) = baseV match {
       case Some(v) if mode == "append" =>
         enforceAppend(spark, table, v, mapping.applyWrite(df))

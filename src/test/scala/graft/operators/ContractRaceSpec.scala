@@ -110,6 +110,32 @@ class ContractRaceSpec extends SparkSpec {
       "the backfilled per-line refs must ride through the race")
   }
 
+  test("an append racing a RENAME inherits the landed mapping — the " +
+    "renamed logical schema survives with every row under it") {
+    val t = tmpDir("ctr-map") + "/t"
+    Versioned.commit((1 to 5).map(i => (i.toLong, s"d$i"))
+      .toDF("k", "doc").coalesce(1), t)
+    // hook: between OUR append's mapping/meta snapshot (taken at
+    // baseV) and its commit, a RENAME lands a fresh column mapping;
+    // the commit-loop contract merge keys inherited-vs-explicit on
+    // baseV's values, so the landed mapping must win — pre-fix, a
+    // mapping read from "latest" in a slightly different window could
+    // re-commit the pre-rename mapping and undo the DDL
+    onceHook {
+      Versioned.renameColumn(spark, t, "doc", "body")
+      ()
+    }
+    try Versioned.commit(Seq((6L, "d6")).toDF("k", "doc"), t, "append")
+    finally Versioned.commitTestHook = () => ()
+    val out = Versioned.read(spark, t)
+    assert(out.schema.fieldNames.toSeq == Seq("k", "body"),
+      "the interleaved rename's mapping must not be uninstalled")
+    assert(out.count() == 6)
+    // the appended row wrote the PHYSICAL name (doc), so it surfaces
+    // under the renamed logical slot like every pre-rename row
+    assert(out.where($"body" === "d6").count() == 1)
+  }
+
   test("a FileNotFound with the attempt's base still latest is a " +
     "GENUINE fault — surfaced, not retried as a vacuum race") {
     val t = tmpDir("ctr-fnf") + "/t"

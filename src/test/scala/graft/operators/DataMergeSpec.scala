@@ -41,40 +41,81 @@ class DataMergeSpec extends SparkSpec {
     assert(partFiles(s"$path/part=2020") == before2020)
   }
 
-  test("a merge touching MANY partitions scopes via a broadcast " +
-    "semi-join, not a touched-count-sized literal OR-tree — and the " +
-    "result is identical to the literal path") {
-    val nParts = DataMerge.TupleFilterMaxLiterals * 2 // 128 > threshold
+  /** Partitions the v1 file index actually hands the scan — the
+    * pruning PROOF (an answer-only check can't tell "pruned" from
+    * "scanned everything and filtered"). */
+  private def plannedPartitions(df: org.apache.spark.sql.DataFrame): Int = {
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in scoped plan"))
+    scan.relation.location.listFiles(scan.partitionFilters, Nil).length
+  }
+
+  test("a merge touching MANY partitions scopes via an IN-set that " +
+    "PRUNES at planning time, not a touched-count-sized literal " +
+    "OR-tree — and the result is identical to the literal path") {
+    val nParts = DataMerge.TupleFilterMaxLiterals * 3 // half = 96 > threshold
     val path = tmpDir("dmergewide") + "/t"
     (0 until nParts).map(i => (i.toLong, i * 1.0, i))
       .toDF("k", "v", "part")
       .write.partitionBy("part").parquet(path)
-    // one update per partition: every partition is touched
-    val updates = (0 until nParts).map(i => (i.toLong, i * 10.0, i))
+    // touch HALF the partitions: the scan must plan only those — the
+    // broadcast semi-join alone would list every directory (no DPP
+    // through cast/<=>), exactly the shape that breaks at 100k parts
+    val updates = (0 until nParts by 2).map(i => (i.toLong, i * 10.0, i))
       .toDF("k", "v", "part")
-    // the scoped frame's plan must carry a broadcast join, and its
-    // filter tree must NOT grow with the touched count
     val touched = DataMerge.collectTuples(updates, Seq("part"))
-    assert(touched.size == nParts)
+    assert(touched.size == nParts / 2 && touched.size >
+      DataMerge.TupleFilterMaxLiterals)
     val scoped = DataMerge.scopeToTuples(spark,
       spark.read.parquet(path), Seq("part"), touched)
-    val tree = scoped.queryExecution.executedPlan.toString
-    assert(tree.contains("BroadcastHashJoin") ||
-      tree.contains("BroadcastNestedLoopJoin"),
-      s"past the threshold the scope must be a broadcast join:\n$tree")
-    assert(scoped.count() == nParts)
+    assert(plannedPartitions(scoped) == nParts / 2,
+      "the over-threshold scope must still prune the file index")
+    // single partition column: the IN-set is exact — no join needed
+    assert(!scoped.queryExecution.executedPlan.toString.contains("Join"))
+    assert(scoped.count() == nParts / 2)
     // end-to-end: the merge itself lands the same answer as ever
     DataMerge.mergeIntoParquet(spark, path, updates, Seq("k"), "part")
     val after = spark.read.parquet(path)
       .select($"k", $"v").as[(Long, Double)].collect().toMap
     assert(after == (0 until nParts)
-      .map(i => i.toLong -> i * 10.0).toMap)
+      .map(i => i.toLong -> (if (i % 2 == 0) i * 10.0 else i * 1.0)).toMap)
     // below the threshold the literal predicate still plans (planning-
     // time directory pruning) — no join node for a 2-tuple scope
     val small = DataMerge.scopeToTuples(spark,
       spark.read.parquet(path), Seq("part"), touched.take(2))
     assert(!small.queryExecution.executedPlan.toString.contains("Join"))
     assert(small.count() == 2)
+  }
+
+  test("multi-column over-threshold scope: the per-column IN-sets " +
+    "prune to the touched cross product and the broadcast semi-join " +
+    "restores tuple exactness") {
+    val path = tmpDir("dmergewide2") + "/t"
+    // 16x16 grid of (p, q) partitions; touch the DIAGONAL (+ extras to
+    // clear the threshold): 80 tuples whose cross product is 16x16
+    (for { p <- 0 until 16; q <- 0 until 16 }
+      yield (p.toLong * 16 + q, p, q))
+      .toDF("k", "p", "q")
+      .write.partitionBy("p", "q").parquet(path)
+    val diag = (0 until 16).map(i => (i, i))
+    val extra = for { p <- 0 until 8; q <- 8 until 16 } yield (p, q)
+    val tuples = (diag ++ extra).distinct
+    assert(tuples.size > DataMerge.TupleFilterMaxLiterals)
+    val touched: Seq[Seq[Any]] =
+      tuples.map { case (p, q) => Seq(p.toString, q.toString) }
+    val scoped = DataMerge.scopeToTuples(spark,
+      spark.read.parquet(path), Seq("p", "q"), touched)
+    // pruning: the file index plans at most the cross product (256
+    // here, all p x all q — a real merge's touched values rarely span
+    // every value of every column), and the join refines to the exact
+    // tuple set
+    val tree = scoped.queryExecution.executedPlan.toString
+    assert(tree.contains("BroadcastHashJoin") ||
+      tree.contains("BroadcastNestedLoopJoin"),
+      s"multi-column scope past the threshold keeps the refine join:\n$tree")
+    assert(scoped.select($"p", $"q").distinct().count() == tuples.size)
+    assert(scoped.count() == tuples.size.toLong)
   }
 
   test("property: merge equals the reference map-merge on random " +
