@@ -55,13 +55,46 @@ object Compaction {
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val parts = fs.listStatus(new org.apache.hadoop.fs.Path(path))
       .filter(isPartitionDir)
-      .map(_.getPath)
-    parts.toSeq.collect {
-      case p if fileCount(spark, p.toString) > maxFiles =>
-        compact(spark, p.toString, targetFiles)
-        p.getName
-    }
+      .map(_.getPath.toString)
+    compactOver(spark, parts.toSeq, maxFiles, targetFiles)
+      .map(p => new org.apache.hadoop.fs.Path(p).getName)
   }
+
+  /** Run the per-dir check + compaction for each candidate dir on a
+    * bounded driver pool: each compaction is its own small Spark JOB
+    * over one partition's files, so serial submission pays
+    * (#partitions × job latency) on an otherwise idle cluster — a
+    * 10k-partition backlog must not take 10k round trips. Dirs are
+    * disjoint and each staged overwrite stages under its own hidden
+    * sibling, so the jobs are independent; the scheduler interleaves
+    * them (the same multi-thread-one-session shape Verify uses).
+    * Returns the compacted dirs in input order. */
+  private def compactOver(spark: SparkSession, dirs: Seq[String],
+      maxFiles: Int, targetFiles: Int): Seq[String] =
+    if (dirs.size <= 1)
+      dirs.filter { d =>
+        val hit = fileCount(spark, d) > maxFiles
+        if (hit) compact(spark, d, targetFiles)
+        hit
+      }
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, dirs.size))
+      try {
+        val futures = dirs.map(d =>
+          pool.submit(new java.util.concurrent.Callable[Option[String]] {
+            def call(): Option[String] =
+              if (fileCount(spark, d) > maxFiles) {
+                compact(spark, d, targetFiles)
+                Some(d)
+              } else None
+          }))
+        try futures.flatMap(_.get())
+        catch {
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
+        }
+      } finally pool.shutdown()
+    }
 
   /** LEAF partition dirs under `path`, any partition depth — the dirs
     * whose children are data files, not further `col=` dirs. A
@@ -85,9 +118,6 @@ object Compaction {
     * to `targetFiles`; returns the table-relative leaf paths touched. */
   def compactLeaves(spark: SparkSession, path: String,
       maxFiles: Int, targetFiles: Int = 1): Seq[String] =
-    leafPartitionDirs(spark, path).collect {
-      case leaf if fileCount(spark, leaf) > maxFiles =>
-        compact(spark, leaf, targetFiles)
-        leaf.stripPrefix(path).stripPrefix("/")
-    }
+    compactOver(spark, leafPartitionDirs(spark, path), maxFiles,
+      targetFiles).map(_.stripPrefix(path).stripPrefix("/"))
 }
