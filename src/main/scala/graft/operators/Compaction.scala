@@ -67,34 +67,15 @@ object Compaction {
     * 10k-partition backlog must not take 10k round trips. Dirs are
     * disjoint and each staged overwrite stages under its own hidden
     * sibling, so the jobs are independent; the scheduler interleaves
-    * them (the same multi-thread-one-session shape Verify uses).
-    * Returns the compacted dirs in input order. */
+    * them. Returns the compacted dirs in input order. */
   private def compactOver(spark: SparkSession, dirs: Seq[String],
       maxFiles: Int, targetFiles: Int): Seq[String] =
-    if (dirs.size <= 1)
-      dirs.filter { d =>
-        val hit = fileCount(spark, d) > maxFiles
-        if (hit) compact(spark, d, targetFiles)
-        hit
-      }
-    else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(8, dirs.size))
-      try {
-        val futures = dirs.map(d =>
-          pool.submit(new java.util.concurrent.Callable[Option[String]] {
-            def call(): Option[String] =
-              if (fileCount(spark, d) > maxFiles) {
-                compact(spark, d, targetFiles)
-                Some(d)
-              } else None
-          }))
-        try futures.flatMap(_.get())
-        catch {
-          case e: java.util.concurrent.ExecutionException => throw e.getCause
-        }
-      } finally pool.shutdown()
-    }
+    DriverPar.map(dirs, maxThreads = 8) { d =>
+      if (fileCount(spark, d) > maxFiles) {
+        compact(spark, d, targetFiles)
+        Some(d)
+      } else None
+    }.flatten
 
   /** LEAF partition dirs under `path`, any partition depth — the dirs
     * whose children are data files, not further `col=` dirs. A

@@ -236,27 +236,10 @@ object DataMerge {
         fs.delete(dst, true)
       }
     }
-    // each swap is a handful of namenode/object-store metadata RPCs;
-    // run them on a bounded pool — serial, a merge touching 10k
-    // partitions pays minutes of driver wall for what is pure I/O
-    // latency (Hadoop FileSystem instances are thread-safe; distinct
-    // tuples touch distinct leaf dirs, so the swaps are independent —
-    // mkdirs on a shared parent is idempotent). Same precedent as
-    // Spark's own parallel task-commit renames.
-    if (touched.size <= 1) touched.foreach(swapOne)
-    else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(32, touched.size))
-      try {
-        val futures = touched.map(t =>
-          pool.submit(new java.util.concurrent.Callable[Unit] {
-            def call(): Unit = swapOne(t)
-          }))
-        futures.foreach(_.get()) // propagate the first failure
-      } catch {
-        case e: java.util.concurrent.ExecutionException => throw e.getCause
-      } finally pool.shutdown()
-    }
+    // distinct tuples touch distinct leaf dirs, so the swaps are
+    // independent (mkdirs on a shared parent is idempotent) — a merge
+    // touching 10k partitions must not pay 10k serial rename RPCs
+    DriverPar.foreach(touched)(swapOne)
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
   }
 

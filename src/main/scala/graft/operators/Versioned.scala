@@ -2046,14 +2046,17 @@ object Versioned {
     def sweep(family: String, dropped: Set[String], live: Set[String]): Unit = {
       val famRoot = new Path(root, family)
       if (!fs.exists(famRoot)) return
-      fs.listStatus(famRoot).foreach { st =>
+      val dead = fs.listStatus(famRoot).filter { st =>
         val name = st.getPath.getName
-        val dead =
+        st.isDirectory && {
           if (live.contains(name)) false
           else if (dropped.contains(name)) true // unreachable: dropped-only
           else st.getModificationTime < cutoff // orphan past the grace
-        if (st.isDirectory && dead) fs.delete(st.getPath, true)
+        }
       }
+      // recursive dir deletes are independent per segment — a vacuum
+      // releasing thousands of them must not serialize the RPCs
+      DriverPar.foreach(dead.toSeq)(st => fs.delete(st.getPath, true))
     }
     sweep("data", dropData, keepData)
     sweep("dv", dropDv, keepDv)
