@@ -88,9 +88,14 @@ object Versioned {
   private[graft] val WriterProtocol = 2
   private[graft] val WriterKey = "writer"
 
-  /** The writer protocol a commit's FINAL meta demands. */
+  /** The writer protocol a commit's FINAL meta demands. An
+    * empty-VALUED contract key imposes no duty: dropping the last
+    * constraint leaves an explicit `inv=` (to override inheritance),
+    * and the now-duty-free table must stamp back down to 1 so older
+    * writers regain it. */
   private def requiredWriter(meta: Map[String, String]): Int =
-    if (meta.keysIterator.exists(ContractKeys)) 2 else 1
+    if (meta.exists { case (k, v) => ContractKeys(k) && v.nonEmpty }) 2
+    else 1
 
   /** Refuse to COMMIT onto (or maintain) a version stamped by a newer
     * writer — its meta may declare duties this build cannot honor. */
@@ -143,7 +148,7 @@ object Versioned {
     * when present (authoritative — survives copies and clock skew),
     * else the manifest file's mtime (legacy manifests). */
   private def commitTimeMs(fs: FileSystem, root: Path, v: Long): Long =
-    manifestLines(fs, root, v)
+    manifestHeaders(fs, root, v)
       .collectFirst { case l if l.startsWith(s"#$CommitTsKey=") =>
         l.stripPrefix(s"#$CommitTsKey=") }
       .flatMap(s => scala.util.Try(s.toLong).toOption)
@@ -241,7 +246,7 @@ object Versioned {
     val inheritKeys =
       if (mode == "append") ContractKeys else Set(Invariants.MetaKey)
     var metaNow = fullMeta
-    var cBase = baseV
+    val cBase = baseV
     var committed = -1L
     var races = 0
     while (committed < 0) {
@@ -256,8 +261,12 @@ object Versioned {
           enforceStaged(spark, fs, root, newLines,
             Invariants.decode(Map(Invariants.MetaKey -> ic.inv)),
             s"$mode commit (constraint added concurrently)", mapping)
+          // only the VALIDATED invariant set advances; cBase stays the
+          // original so the retry re-merges EVERY contract key from
+          // the base it actually lands on — advancing cBase to ic.base
+          // would skip that merge and silently drop an interleaved
+          // bloom/rename/carrier landed in the same window
           metaNow = metaNow + (Invariants.MetaKey -> ic.inv)
-          cBase = ic.base
       }
     }
     committed
@@ -930,17 +939,19 @@ object Versioned {
     * declares invariants this commit's rows were never validated
     * against — the caller must re-validate the staged rows and retry
     * with the merged declaration (carried in `inv`). */
-  private final class InvariantsChanged(val base: Option[Long],
-      val inv: String) extends RuntimeException
+  private final class InvariantsChanged(val inv: String)
+      extends RuntimeException
 
   /** Three-way merge of one contract key when BOTH this commit and an
     * interleaved one changed it relative to the commit's expected
     * base: apply THIS commit's delta (additions and removals vs the
     * expected base) on top of the landed value, so neither side's
     * declaration is lost. Schemas fold widening-aware; the column
-    * mapping has no safe automatic merge (racing mapping DDL is
-    * refused by the DML/rebase paths), so the commit's explicit
-    * mapping wins. */
+    * mapping has no safe automatic merge — mapping DDL itself refuses
+    * any interleave (renameColumn/dropColumn commit with `mustBase`
+    * and revalidate+retry), so a both-changed mapping can only reach
+    * here through a commit carrying EXPLICIT mapping meta, where the
+    * commit's declared intent wins. */
   private def mergeContractKey(k: String, exp: Option[String],
       our: Option[String], land: Option[String]): Option[String] = {
     def items(v: Option[String]): Set[String] =
@@ -990,7 +1001,17 @@ object Versioned {
       meta: Map[String, String], contractBase: Option[Long],
       base: Option[Long], inheritKeys: Set[String])
       : Map[String, String] = {
-    val expM = contractBase.map(readMetaRaw(fs, root, _)).getOrElse(Map.empty)
+    // aggressive retention may have vacuumed the EXPECTED base while
+    // this commit was staging; with no expected values the merge
+    // degrades to its no-delta form (union-style — it can resurrect a
+    // declaration this commit meant to drop, but can never uninstall
+    // an interleaved one). The LANDED base stays strict: if that
+    // manifest is gone the commit cannot proceed at all.
+    val expM = contractBase.map { b =>
+      try readMetaRaw(fs, root, b)
+      catch { case _: java.io.FileNotFoundException =>
+        Map.empty[String, String] }
+    }.getOrElse(Map.empty)
     val landM = base.map(readMetaRaw(fs, root, _)).getOrElse(Map.empty)
     inheritKeys.foldLeft(meta) { (m, k) =>
       val exp = expM.get(k); val our = meta.get(k); val land = landM.get(k)
@@ -1047,7 +1068,7 @@ object Versioned {
         // decision back before anything lands
         val validated = Invariants.decode(meta).toSet
         if (!Invariants.decode(effMeta).forall(validated.contains))
-          throw new InvariantsChanged(base, effMeta(Invariants.MetaKey))
+          throw new InvariantsChanged(effMeta(Invariants.MetaKey))
       }
       // Delta-or-checkpoint decision: store only this commit's ACTIONS
       // unless (a) there is no base, (b) the chain has reached the
@@ -1287,9 +1308,10 @@ object Versioned {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     listVersions(fs, root).map { v =>
-      // ONE manifest read yields the commit time, meta header and the
-      // file count — on an object store each open is a round trip
-      val lines = manifestLines(fs, root, v)
+      // ONE header read yields the commit time, meta and the file
+      // count — never the body: DESCRIBE HISTORY over a million-file
+      // table must not gunzip every checkpoint sidecar it walks
+      val lines = manifestHeaders(fs, root, v)
       val ts = lines
         .collectFirst { case l if l.startsWith(s"#$CommitTsKey=") =>
           l.stripPrefix(s"#$CommitTsKey=") }
@@ -1303,12 +1325,14 @@ object Versioned {
         }).sorted.mkString(",")
       // file count from the n_files header where present (a delta
       // manifest's raw lines are actions, not files); legacy manifests
-      // predate the header but are always full snapshots
+      // predate the header but are always full snapshots — their body
+      // read below is a cache hit (the header read seeded it)
       val nFiles = lines
         .collectFirst { case l if l.startsWith(s"#$NFilesKey=") =>
           l.stripPrefix(s"#$NFilesKey=") }
         .flatMap(s => scala.util.Try(s.toLong).toOption)
-        .getOrElse(lines.count(!_.startsWith("#")).toLong)
+        .getOrElse(manifestLines(fs, root, v)
+          .count(!_.startsWith("#")).toLong)
       (v, new java.sql.Timestamp(ts), nFiles, meta)
     }
   }
@@ -1451,8 +1475,10 @@ object Versioned {
     }
 
   /** Test-only seam: invoked by [[commit]]/[[commitBucketed]] between
-    * schema enforcement and the commit attempt — the window a
-    * concurrent commit lands in. Production value is a no-op. */
+    * schema enforcement and the commit attempt, and by
+    * [[commitMetadataOnly]] between its caller's validation and the
+    * commit — the windows a concurrent commit lands in. Production
+    * value is a no-op. */
   private[graft] var commitTestHook: () => Unit = () => ()
 
   /** Widening-aware schema fold for [[repairCarrier]]: same-name
@@ -1527,28 +1553,48 @@ object Versioned {
     ColumnMapping.validateName(newName)
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val v = latestVersion(fs, root).getOrElse(
-      throw new IllegalArgumentException(s"no committed version in $table"))
-    val mapping = columnMapping(spark, table, Some(v))
-    val logical = read(spark, table, Some(v)).schema.fieldNames
-    require(logical.exists(_.equalsIgnoreCase(oldName)),
-      s"column $oldName does not exist in $table " +
-        s"(columns: ${logical.mkString(", ")})")
-    require(!logical.exists(_.equalsIgnoreCase(newName)),
-      s"column $newName already exists in $table")
-    val spec = bucketSpec(spark, table, Some(v))
-    require(!spec.exists(_._1.equalsIgnoreCase(oldName)),
-      s"cannot rename bucket column $oldName — the bucket layout " +
-        "contract is keyed by it; de-bucket (plain overwrite) first")
-    val phys = mapping.physicalOf(oldName)
-    // an unencodable on-disk name must fail HERE, not be silently
-    // dropped by fromMeta on the next read (mirrors dropColumn)
-    ColumnMapping.validateName(phys)
-    val updated = mapping.copy(renames = mapping.renames
-      .filterNot(_._1.equalsIgnoreCase(oldName)) :+ (newName -> phys))
-    commitMetadataOnly(fs, root, spark, table, v,
-      Map("operation" -> "rename_column",
-        "rename" -> s"$oldName->$newName") ++ updated.toMeta)
+    // mustBase + revalidate-and-retry (the addInvariants shape): the
+    // existence/collision/bucket checks and the mapping delta are
+    // valid against exactly the version they were read from — a
+    // racing rename, widening append or drop landing in between must
+    // force a re-read, or mergeContractKey's commit-wins fallback
+    // would quietly revert the other DDL (two racing renames: the
+    // loser's mapping, built pre-race, lacks the winner's entry)
+    var attempt = 0
+    while (true) {
+      val v = latestVersion(fs, root).getOrElse(
+        throw new IllegalArgumentException(s"no committed version in $table"))
+      val mapping = columnMapping(spark, table, Some(v))
+      val logical = read(spark, table, Some(v)).schema.fieldNames
+      require(logical.exists(_.equalsIgnoreCase(oldName)),
+        s"column $oldName does not exist in $table " +
+          s"(columns: ${logical.mkString(", ")})")
+      require(!logical.exists(_.equalsIgnoreCase(newName)),
+        s"column $newName already exists in $table")
+      val spec = bucketSpec(spark, table, Some(v))
+      require(!spec.exists(_._1.equalsIgnoreCase(oldName)),
+        s"cannot rename bucket column $oldName — the bucket layout " +
+          "contract is keyed by it; de-bucket (plain overwrite) first")
+      val phys = mapping.physicalOf(oldName)
+      // an unencodable on-disk name must fail HERE, not be silently
+      // dropped by fromMeta on the next read (mirrors dropColumn)
+      ColumnMapping.validateName(phys)
+      val updated = mapping.copy(renames = mapping.renames
+        .filterNot(_._1.equalsIgnoreCase(oldName)) :+ (newName -> phys))
+      try return commitMetadataOnly(fs, root, spark, table, v,
+        Map("operation" -> "rename_column",
+          "rename" -> s"$oldName->$newName") ++ updated.toMeta,
+        mustBase = true)
+      catch {
+        case _: RewriteConflict if attempt < 4 => attempt += 1
+        case _: RewriteConflict =>
+          throw new IllegalStateException(
+            s"RENAME COLUMN on $table kept losing to interleaved " +
+              s"commits (${attempt + 1} attempts) — retry when the " +
+              "writer storm subsides")
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** ALTER TABLE … DROP COLUMN as a METADATA-ONLY commit: the physical
@@ -1559,26 +1605,40 @@ object Versioned {
   def dropColumn(spark: SparkSession, table: String, name: String): Long = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val v = latestVersion(fs, root).getOrElse(
-      throw new IllegalArgumentException(s"no committed version in $table"))
-    val mapping = columnMapping(spark, table, Some(v))
-    val logical = read(spark, table, Some(v)).schema.fieldNames
-    require(logical.exists(_.equalsIgnoreCase(name)),
-      s"column $name does not exist in $table " +
-        s"(columns: ${logical.mkString(", ")})")
-    require(logical.length > 1,
-      s"cannot drop $name — it is the only visible column of $table")
-    val spec = bucketSpec(spark, table, Some(v))
-    require(!spec.exists(_._1.equalsIgnoreCase(name)),
-      s"cannot drop bucket column $name — the bucket layout contract " +
-        "is keyed by it; de-bucket (plain overwrite) first")
-    val phys = mapping.physicalOf(name)
-    ColumnMapping.validateName(phys)
-    val updated = ColumnMapping(
-      mapping.renames.filterNot(_._1.equalsIgnoreCase(name)),
-      mapping.dropped :+ phys)
-    commitMetadataOnly(fs, root, spark, table, v,
-      Map("operation" -> "drop_column", "drop" -> name) ++ updated.toMeta)
+    // mustBase + revalidate-and-retry, same contract as renameColumn
+    var attempt = 0
+    while (true) {
+      val v = latestVersion(fs, root).getOrElse(
+        throw new IllegalArgumentException(s"no committed version in $table"))
+      val mapping = columnMapping(spark, table, Some(v))
+      val logical = read(spark, table, Some(v)).schema.fieldNames
+      require(logical.exists(_.equalsIgnoreCase(name)),
+        s"column $name does not exist in $table " +
+          s"(columns: ${logical.mkString(", ")})")
+      require(logical.length > 1,
+        s"cannot drop $name — it is the only visible column of $table")
+      val spec = bucketSpec(spark, table, Some(v))
+      require(!spec.exists(_._1.equalsIgnoreCase(name)),
+        s"cannot drop bucket column $name — the bucket layout contract " +
+          "is keyed by it; de-bucket (plain overwrite) first")
+      val phys = mapping.physicalOf(name)
+      ColumnMapping.validateName(phys)
+      val updated = ColumnMapping(
+        mapping.renames.filterNot(_._1.equalsIgnoreCase(name)),
+        mapping.dropped :+ phys)
+      try return commitMetadataOnly(fs, root, spark, table, v,
+        Map("operation" -> "drop_column", "drop" -> name) ++ updated.toMeta,
+        mustBase = true)
+      catch {
+        case _: RewriteConflict if attempt < 4 => attempt += 1
+        case _: RewriteConflict =>
+          throw new IllegalStateException(
+            s"DROP COLUMN on $table kept losing to interleaved " +
+              s"commits (${attempt + 1} attempts) — retry when the " +
+              "writer storm subsides")
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Commit the SAME file lines as `v` under new meta (plus the bucket
@@ -1592,6 +1652,7 @@ object Versioned {
       spark: SparkSession, table: String, v: Long,
       meta: Map[String, String], mustBase: Boolean = false): Long = {
     val spec = bucketSpec(spark, table, Some(v))
+    commitTestHook() // the caller-validated-at-v → commit window
     // inherited contract meta first, so an explicit `meta` entry (an
     // invariant add/drop) OVERRIDES the inherited value for its key
     commitManifest(fs, root,
@@ -2032,8 +2093,15 @@ object Versioned {
     // dropped refs must be collected while their chains still resolve
     val (dropData, dropDv, dropBloom) = refsOf(drop)
     // checkpoint-gz sidecar names ride the #ckpt= header — read while
-    // the dropped manifests still live, deleted along with them
-    val dropCkpt = drop.flatMap(v => ckptNameOf(fs, root, v))
+    // the dropped manifests still live, deleted along with them.
+    // Lenient HERE only: a manifest this vacuum cannot read just
+    // leaves its sidecar as an orphan for a later sweep; the KEEP
+    // side below stays strict (an unreadable keep manifest must abort
+    // the sweep, never expose a live sidecar to the orphan cutoff)
+    val dropCkpt = drop.flatMap { v =>
+      try ckptNameOf(fs, root, v)
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
     drop.foreach { v =>
       fs.delete(new Path(root, s"$LogDir/$v.manifest"), false)
       invalidateManifest(fs, root, v) // a vacuumed version must not
@@ -3049,7 +3117,7 @@ object Versioned {
     * manifest cache makes it one map lookup on the hot path). */
   private def readMetaRaw(fs: FileSystem, root: Path, v: Long)
       : Map[String, String] =
-    manifestLines(fs, root, v).filter(_.startsWith("#"))
+    manifestHeaders(fs, root, v)
       .flatMap { l =>
         l.drop(1).split("=", 2) match {
           case Array(k, v2) if !SystemKeys.contains(k) => Some(k -> v2)
@@ -3089,15 +3157,32 @@ object Versioned {
   private def cacheKey(fs: FileSystem, root: Path, v: Long): (String, Long) =
     (fs.makeQualified(root).toUri.toString, v)
 
-  private def invalidateManifest(fs: FileSystem, root: Path, v: Long): Unit =
+  /** Header (`#k=v`) prefixes of POINTER manifests, cached separately:
+    * the expanded-form cache must never hold a header-only entry under
+    * the same key (a body consumer would see an empty file list). */
+  private val headerCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long), List[String]](
+          128, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long), List[String]]): Boolean =
+          size() > ManifestCacheMax
+      })
+
+  private def invalidateManifest(fs: FileSystem, root: Path, v: Long): Unit = {
     manifestCache.remove(cacheKey(fs, root, v))
+    headerCache.remove(cacheKey(fs, root, v))
+  }
 
   /** Test-only: drop every cached manifest. Specs that hand-edit
     * manifest FILES out-of-band (stat doctoring, commit-time aging)
     * must call this — mutating a committed manifest in place is
     * outside the format's contract, exactly as editing a committed
     * parquet footer under any engine's snapshot cache would be. */
-  private[graft] def clearManifestCache(): Unit = manifestCache.clear()
+  private[graft] def clearManifestCache(): Unit = {
+    manifestCache.clear()
+    headerCache.clear()
+  }
 
   private def manifestLines(fs: FileSystem, root: Path, v: Long): Seq[String] = {
     val key = cacheKey(fs, root, v)
@@ -3129,6 +3214,38 @@ object Versioned {
     }
   }
 
+  /** HEADER (`#k=v`) prefix of version `v`'s manifest, WITHOUT
+    * splicing a pointer checkpoint's gzip body. Header-only consumers
+    * — `readMetaRaw` (the contract-key merge), `commitTimeMs`,
+    * DESCRIBE HISTORY, sidecar accounting — must not download and
+    * gunzip an O(table) checkpoint body on a million-file table to
+    * read a handful of header lines; this is the "header reads stay
+    * one TINY file" half of the [[CkptKey]] contract. A non-pointer
+    * manifest's raw bytes ARE its expanded form, so the one read this
+    * takes seeds the main cache — total physical opens never exceed
+    * the pre-header-path count. */
+  private def manifestHeaders(fs: FileSystem, root: Path, v: Long)
+      : List[String] = {
+    val key = cacheKey(fs, root, v)
+    val full = manifestCache.get(key)
+    if (full != null) return full.takeWhile(_.startsWith("#"))
+    val hit = headerCache.get(key)
+    if (hit != null) return hit
+    manifestReads.incrementAndGet()
+    val p = new Path(root, s"$LogDir/$v.manifest")
+    val in = fs.open(p)
+    val raw =
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    val headers = raw.takeWhile(_.startsWith("#"))
+    if (headers.exists(_.startsWith(s"#$CkptKey=")))
+      headerCache.put(key, headers) // pointer: body lives in the sidecar
+    else if (raw.sizeIs <= ManifestCacheLineMax)
+      manifestCache.put(key, raw) // raw IS the expanded form
+    headers
+  }
+
   /** Atomic (tmp + rename) gzip write of checkpoint body lines. */
   private def writeGzLines(fs: FileSystem, root: Path, name: String,
       lines: Seq[String]): Unit = {
@@ -3149,11 +3266,16 @@ object Versioned {
     finally in.close()
   }
 
-  /** The checkpoint sidecar name version `v` points at, if any. */
+  /** The checkpoint sidecar name version `v` points at, if any.
+    * STRICT on purpose: vacuum's keep-list uses this to PROTECT live
+    * sidecars from the orphan sweep — a swallowed transient read
+    * failure there would turn "protect" into "delete" for any sidecar
+    * older than the grace window. Lenient callers (the drop side,
+    * where a miss just leaves an orphan for a later sweep) wrap it. */
   private def ckptNameOf(fs: FileSystem, root: Path, v: Long): Option[String] =
-    try manifestLines(fs, root, v).collectFirst {
+    manifestHeaders(fs, root, v).collectFirst {
       case l if l.startsWith(s"#$CkptKey=") => l.stripPrefix(s"#$CkptKey=")
-    } catch { case scala.util.control.NonFatal(_) => None }
+    }
 
   private def listParquet(fs: FileSystem, dir: Path): Seq[String] =
     fs.listStatus(dir).toSeq.flatMap { st =>

@@ -136,6 +136,58 @@ class ContractRaceSpec extends SparkSpec {
     assert(out.where($"body" === "d6").count() == 1)
   }
 
+  test("a COMPOUND interleave (bloom declare + ADD CONSTRAINT) survives " +
+    "the invariant re-validation retry — the retry re-merges EVERY " +
+    "contract key, not just the one that forced it") {
+    val t = tmpDir("ctr-compound") + "/t"
+    Versioned.commit((1 to 50).map(i => (i.toLong, s"id-$i"))
+      .toDF("k", "doc").coalesce(1), t)
+    // hook: between OUR append's validation and its commit, TWO
+    // contract changes land — a bloom declaration and a constraint.
+    // The constraint forces the InvariantsChanged handshake; pre-fix,
+    // the retry advanced its contract base past BOTH interleaves and
+    // skipped the re-merge, so the bloom declaration (absent from the
+    // append's pre-race meta) was silently uninstalled
+    onceHook {
+      Versioned.declareBloomIndex(spark, t, Seq("doc"))
+      Versioned.addInvariants(spark, t,
+        Seq(CheckRule("k_pos", "k >= 0")))
+      ()
+    }
+    try Versioned.commit(Seq((51L, "id-51")).toDF("k", "doc")
+      .coalesce(1), t, "append")
+    finally Versioned.commitTestHook = () => ()
+    val meta = Versioned.readMeta(spark, t,
+      Versioned.versions(spark, t).last)
+    assert(meta.contains("bloomcols"),
+      "the bloom declaration must ride through the invariant retry")
+    assert(Versioned.invariants(spark, t).map(_.name) == Seq("k_pos"))
+    assert(Versioned.read(spark, t).count() == 51)
+  }
+
+  test("two interleaved column renames BOTH land: the loser " +
+    "revalidates against the winner's version and retries, never " +
+    "reverting it") {
+    val t = tmpDir("ctr-2ren") + "/t"
+    Versioned.commit((1 to 5).map(i => (i.toLong, s"a$i", s"b$i"))
+      .toDF("k", "a", "b").coalesce(1), t)
+    // hook fires inside OUR rename's commit window (after its checks,
+    // before its manifest lands): the interleaved rename wins the
+    // version; pre-fix, our rename's mapping — built before the race —
+    // lacked the winner's entry and the commit-wins merge fallback
+    // quietly reverted column a back from x
+    onceHook {
+      Versioned.renameColumn(spark, t, "a", "x")
+      ()
+    }
+    try Versioned.renameColumn(spark, t, "b", "y")
+    finally Versioned.commitTestHook = () => ()
+    val out = Versioned.read(spark, t)
+    assert(out.schema.fieldNames.toSeq == Seq("k", "x", "y"),
+      "both racing renames must survive")
+    assert(out.where($"x" === "a3" && $"y" === "b3").count() == 1)
+  }
+
   test("a FileNotFound with the attempt's base still latest is a " +
     "GENUINE fault — surfaced, not retried as a vacuum race") {
     val t = tmpDir("ctr-fnf") + "/t"

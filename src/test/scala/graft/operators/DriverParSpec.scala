@@ -45,6 +45,30 @@ class DriverParSpec extends AnyFunSuite {
     assert(out == Seq(1, 2))
   }
 
+  test("the first failure CANCELS queued tasks and quiesces running " +
+    "ones before control returns — a retrying caller never races " +
+    "attempt-1 threads") {
+    val started = new java.util.concurrent.atomic.AtomicInteger(0)
+    val finished = new java.util.concurrent.atomic.AtomicInteger(0)
+    intercept[IllegalStateException] {
+      DriverPar.map(1 to 1000, maxThreads = 2) { i =>
+        started.incrementAndGet()
+        if (i == 1) { Thread.sleep(30); throw new IllegalStateException("x") }
+        Thread.sleep(5)
+        finished.incrementAndGet()
+      }
+    }
+    // queued work must not keep mutating after the rethrow: with 2
+    // threads and a failure ~30ms in, virtually all of the 1000 items
+    // must have been cancelled un-started
+    assert(started.get() < 100,
+      s"queued tasks kept starting after the failure: ${started.get()}")
+    // and everything that DID start has finished — no background
+    // thread is still running when the caller regains control
+    assert(finished.get() == started.get() - 1,
+      "control returned while a started task was still running")
+  }
+
   test("pool is bounded by maxThreads") {
     val active = new java.util.concurrent.atomic.AtomicInteger(0)
     val peak = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -276,4 +276,52 @@ class ManifestLogSpec extends SparkSpec {
     assert(isDelta(t, 7))
     assert(Versioned.read(spark, t).count() == 57)
   }
+
+  test("header reads never touch a pointer checkpoint's body: meta and " +
+    "history survive a MISSING sidecar — only the data read needs it") {
+    val t = tmpDir("mlog-hdr") + "/t"
+    Versioned.commit((1 to 3000).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(300), t) // 300 files >= CheckpointGzMinLines: pointer form
+    val fs = fsOf(t)
+    val gz = fs.listStatus(new Path(s"$t/_graft_log")).toSeq
+      .map(_.getPath).filter(_.getName.endsWith(".checkpoint.gz"))
+    assert(gz.size == 1)
+    fs.delete(gz.head, false)
+    Versioned.clearManifestCache()
+    // DESCRIBE HISTORY / readMeta / commit-time consumers read the
+    // tiny pointer manifest only — on a million-file table the body
+    // download+gunzip would dominate every metadata operation
+    assert(Versioned.readMeta(spark, t, 0L) == Map.empty)
+    val (v0, ts, nFiles, _) = Versioned.history(spark, t).head
+    assert(v0 == 0L && nFiles == 300 && ts.getTime > 0,
+      "history must serve version, time and file count from headers")
+    // the DATA read is the one consumer that needs the body
+    intercept[Exception] { Versioned.read(spark, t).count() }
+  }
+
+  test("dropping the last duty stamps the table back down to writer=1 " +
+    "— an empty carried contract key imposes no duty") {
+    val t = tmpDir("mlog-wdown") + "/t"
+    Versioned.commit(Seq((1, 10L)).toDF("k", "cents").coalesce(1), t)
+    Versioned.addInvariants(spark, t,
+      Seq(Invariants.CheckRule("cents_pos", "cents >= 0")))
+    def writerOf(v: Long): Option[String] = {
+      val fs = fsOf(t)
+      val in = fs.open(new Path(s"$t/_graft_log/$v.manifest"))
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      body.linesIterator.collectFirst {
+        case l if l.startsWith("#writer=") => l.stripPrefix("#writer=") }
+    }
+    assert(writerOf(1L).contains("2"))
+    Versioned.dropInvariant(spark, t, "cents_pos")
+    assert(writerOf(2L).contains("1"),
+      "the drop itself leaves a duty-free table — stamp 1")
+    // the explicit empty inv= (which overrides inheritance) must keep
+    // stamping 1 as later commits carry it forward
+    Versioned.commit(Seq((2, 20L)).toDF("k", "cents").coalesce(1),
+      t, "append")
+    assert(writerOf(3L).contains("1"),
+      "older writers must regain a table whose duties were all dropped")
+  }
 }
