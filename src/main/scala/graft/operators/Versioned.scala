@@ -155,16 +155,27 @@ object Versioned {
       .getOrElse(fs.getFileStatus(new Path(root, s"$LogDir/$v.manifest"))
         .getModificationTime)
 
+  /** Thrown by mode="create" when the table already has a committed
+    * version — raised INSIDE the commit loop's CAS, so of two racing
+    * creators exactly one lands version 0 and the other gets this
+    * (never a silent destructive overwrite, the check-then-act hole
+    * SaveMode.ErrorIfExists/Ignore would otherwise have). */
+  final class CreateConflict(table: String) extends IllegalStateException(
+    s"snapshot table $table already exists")
+
   /** Commit `df` as the next version. `mode` is "overwrite" (snapshot =
-    * just these files) or "append" (snapshot = previous latest's files +
-    * these). `meta` key/values ride the manifest as `#k=v` header lines
-    * — committed ATOMICALLY with the file list (the one rename), which
-    * is what lets a streaming sink record "this version folded batch N"
-    * with no window where the data and the marker disagree. Returns the
-    * committed version number. */
+    * just these files), "append" (snapshot = previous latest's files +
+    * these) or "create" (overwrite that REFUSES atomically — a
+    * [[CreateConflict]] — if any version exists, for exclusive-create
+    * SaveMode semantics). `meta` key/values ride the manifest as
+    * `#k=v` header lines — committed ATOMICALLY with the file list
+    * (the one rename), which is what lets a streaming sink record
+    * "this version folded batch N" with no window where the data and
+    * the marker disagree. Returns the committed version number. */
   def commit(df: DataFrame, table: String, mode: String = "overwrite",
       meta: Map[String, String] = Map.empty): Long = {
-    require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
+    require(mode == "overwrite" || mode == "append" || mode == "create",
+      s"bad mode: $mode")
     require(meta.forall { case (k, v) =>
       !k.contains('\n') && !k.contains('=') && !v.contains('\n') },
       "meta keys must be '='-free and keys/values single-line")
@@ -172,6 +183,9 @@ object Versioned {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val baseV = latestVersion(fs, root)
+    // fast-path refusal before staging anything; the AUTHORITATIVE
+    // check re-runs inside the commit loop against the CAS base
+    if (mode == "create" && baseV.isDefined) throw new CreateConflict(table)
     // the writer-protocol gate fires BEFORE any schema work or
     // segment write (commitManifest backstops it atomically)
     baseV.foreach(b => checkWriter(root, b, manifestLines(fs, root, b)))
@@ -214,15 +228,23 @@ object Versioned {
     val newLines = writeSegmentLines(spark, fs, root, physDf)
     enforceStaged(spark, fs, root, newLines,
       Invariants.decode(meta ++ invMeta), s"$mode commit", mapping)
-    val committed = commitRowsWithContract(spark, fs, root, table,
-      meta ++ mapping.toMeta ++ bloomMeta ++ invMeta ++ carrier,
-      baseV, mode, newLines, mapping, { base =>
-        val prevLines =
-          if (mode == "append")
-            base.toSeq.flatMap(v => readFileLines(fs, root, v))
-          else Nil
-        prevLines ++ newLines
-      })
+    val committed =
+      try commitRowsWithContract(spark, fs, root, table,
+        meta ++ mapping.toMeta ++ bloomMeta ++ invMeta ++ carrier,
+        baseV, mode, newLines, mapping, { base =>
+          if (mode == "create" && base.isDefined)
+            throw new CreateConflict(table) // lost the create race
+          val prevLines =
+            if (mode == "append")
+              base.toSeq.flatMap(v => readFileLines(fs, root, v))
+            else Nil
+          prevLines ++ newLines
+        })
+      catch {
+        case e: CreateConflict =>
+          deleteAbandonedSegment(fs, root, newLines)
+          throw e
+      }
     baseV.foreach(advanceSchemaCache(table, _, committed, union))
     // an interleaved commit may have introduced columns this commit's
     // carrier (computed pre-race) doesn't know — repair it
@@ -292,7 +314,8 @@ object Versioned {
   def commitBucketed(df: DataFrame, table: String, bucketCol: String,
       numBuckets: Int, mode: String = "overwrite",
       meta: Map[String, String] = Map.empty): Long = {
-    require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
+    require(mode == "overwrite" || mode == "append" || mode == "create",
+      s"bad mode: $mode")
     require(numBuckets > 0 && numBuckets <= 100000,
       s"numBuckets out of range: $numBuckets")
     require(df.columns.map(_.toLowerCase(java.util.Locale.ROOT))
@@ -315,6 +338,7 @@ object Versioned {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val baseV = latestVersion(fs, root)
+    if (mode == "create" && baseV.isDefined) throw new CreateConflict(table)
     baseV.foreach(b => checkWriter(root, b, manifestLines(fs, root, b)))
     // mapping inheritance mirrors [[commit]] (meta-supplied mapping
     // wins — the DDL paths construct it explicitly; read at exactly
@@ -356,16 +380,24 @@ object Versioned {
     val newLines = writeSegmentLines(spark, fs, root, physDf, spec)
     enforceStaged(spark, fs, root, newLines,
       Invariants.decode(meta ++ invMeta), s"$mode commit", mapping)
-    val committed = commitRowsWithContract(spark, fs, root, table,
-      meta ++ mapping.toMeta ++ bloomMeta ++ invMeta ++ carrier +
-        (BucketKey -> s"$physCol/$numBuckets"),
-      baseV, mode, newLines, mapping, { base =>
-        val prevLines =
-          if (mode == "append")
-            base.toSeq.flatMap(v => readFileLines(fs, root, v))
-          else Nil
-        prevLines ++ newLines
-      })
+    val committed =
+      try commitRowsWithContract(spark, fs, root, table,
+        meta ++ mapping.toMeta ++ bloomMeta ++ invMeta ++ carrier +
+          (BucketKey -> s"$physCol/$numBuckets"),
+        baseV, mode, newLines, mapping, { base =>
+          if (mode == "create" && base.isDefined)
+            throw new CreateConflict(table)
+          val prevLines =
+            if (mode == "append")
+              base.toSeq.flatMap(v => readFileLines(fs, root, v))
+            else Nil
+          prevLines ++ newLines
+        })
+      catch {
+        case e: CreateConflict =>
+          deleteAbandonedSegment(fs, root, newLines)
+          throw e
+      }
     baseV.foreach(advanceSchemaCache(table, _, committed, union))
     if (carrier.isDefined && baseV.exists(committed != _ + 1))
       repairCarrier(spark, table, committed)
@@ -1433,19 +1465,8 @@ object Versioned {
         case (`v`, s) => s }).getOrElse {
       val root = new Path(table)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // ONE representative file per SEGMENT: a segment's files come
-      // from one write and share a schema, so the union over
-      // representatives equals the union over all files — on a
-      // 1M-file table the cold-start inference reads #segments
-      // footers, not a million (top-level CONVERT imports have no
-      // segment structure and are each their own representative)
-      val rels = readFileLines(fs, root, v).map(parseLine(_)._1)
-      val files = rels.groupBy { rel =>
-        val segs = rel.split('/')
-        if (segs.length >= 2 && segs(0) == "data") segs(1) else rel
-      }.values.map(g => new Path(root, g.head).toString).toSeq
-      if (files.isEmpty) return (physDf, None, None)
-      spark.read.option("mergeSchema", "true").parquet(files: _*).schema
+      inferPhysicalSchema(spark, fs, root, v)
+        .getOrElse(return (physDf, None, None))
     }
     val widen = spark.conf.getOption(SchemaEnforce.WidenConf)
       .exists(_.toBoolean)
@@ -1459,6 +1480,46 @@ object Versioned {
         Some(SchemaEnforce.SchemaKey -> union.toDDL)
       else None
     (adjusted, carrier, Some(union))
+  }
+
+  /** Merged PHYSICAL schema of a version's data files, inferred from
+    * ONE representative file per SEGMENT: a segment's files come from
+    * one write and share a schema, so the union over representatives
+    * equals the union over all files — on a 1M-file table the
+    * cold-start inference reads #segments footers, not a million
+    * (top-level CONVERT imports have no segment structure and are
+    * each their own representative). None for a file-less version. */
+  private def inferPhysicalSchema(spark: SparkSession, fs: FileSystem,
+      root: Path, v: Long): Option[StructType] = {
+    val rels = readFileLines(fs, root, v).map(parseLine(_)._1)
+    val files = rels.groupBy { rel =>
+      val segs = rel.split('/')
+      if (segs.length >= 2 && segs(0) == "data") segs(1) else rel
+    }.values.map(g => new Path(root, g.head).toString).toSeq
+    if (files.isEmpty) None
+    else Some(spark.read.option("mergeSchema", "true")
+      .parquet(files: _*).schema)
+  }
+
+  /** PHYSICAL union schema of a version for READ PLANNING, without a
+    * per-query footer job: the declared schema carrier when present,
+    * else per-segment-representative inference cached per (table,
+    * version) — a committed version's schema is immutable, so query
+    * compilation must never re-pay a distributed footer merge. None
+    * for a file-less carrier-less version (caller falls back). */
+  def versionSchema(spark: SparkSession, table: String,
+      version: Option[Long] = None): Option[StructType] = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = version.orElse(latestVersion(fs, root)).getOrElse(return None)
+    schemaCarrier(spark, table, Some(v)).orElse {
+      val key = cacheKey(fs, root, v)
+      val hit = readSchemaCache.get(key)
+      if (hit != null) Some(hit)
+      else inferPhysicalSchema(spark, fs, root, v).map { s =>
+        readSchemaCache.put(key, s); s
+      }
+    }
   }
 
   /** Advance the schema cache after a successful commit: trusted only
@@ -1549,47 +1610,102 @@ object Versioned {
     * updated name mapping — zero data IO on a table of any size.
     * Returns the committed version. */
   def renameColumn(spark: SparkSession, table: String,
-      oldName: String, newName: String): Long = {
-    ColumnMapping.validateName(newName)
+      oldName: String, newName: String): Long =
+    alterColumns(spark, table, Seq(RenameCol(oldName, newName)))
+
+  /** One RENAME/DROP COLUMN change of an [[alterColumns]] batch. */
+  sealed trait ColumnChange
+  final case class RenameCol(from: String, to: String) extends ColumnChange
+  final case class DropCol(name: String,
+      ifExists: Boolean = false) extends ColumnChange
+
+  /** An ORDERED batch of RENAME/DROP COLUMN changes as ONE
+    * metadata-only commit — `TableCatalog.alterTable`'s contract is
+    * apply-atomically, so a multi-change ALTER must never leave the
+    * table partially altered (the per-change form committed one
+    * version per change: a failing later change stranded the earlier
+    * ones). Every change validates against the EVOLVING logical
+    * schema before anything lands; the combined mapping commits with
+    * mustBase + revalidate-and-retry (the addInvariants shape) so a
+    * racing rename, widening append or drop forces a re-read instead
+    * of mergeContractKey's commit-wins fallback quietly reverting the
+    * other DDL (two racing renames: the loser's mapping, built
+    * pre-race, lacks the winner's entry). Returns the committed
+    * version (the current one if every change was an ifExists no-op). */
+  def alterColumns(spark: SparkSession, table: String,
+      changes: Seq[ColumnChange]): Long = {
+    require(changes.nonEmpty, "alterColumns needs at least one change")
+    changes.foreach {
+      case RenameCol(_, to) => ColumnMapping.validateName(to)
+      case _ => ()
+    }
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // mustBase + revalidate-and-retry (the addInvariants shape): the
-    // existence/collision/bucket checks and the mapping delta are
-    // valid against exactly the version they were read from — a
-    // racing rename, widening append or drop landing in between must
-    // force a re-read, or mergeContractKey's commit-wins fallback
-    // would quietly revert the other DDL (two racing renames: the
-    // loser's mapping, built pre-race, lacks the winner's entry)
     var attempt = 0
     while (true) {
       val v = latestVersion(fs, root).getOrElse(
         throw new IllegalArgumentException(s"no committed version in $table"))
-      val mapping = columnMapping(spark, table, Some(v))
-      val logical = read(spark, table, Some(v)).schema.fieldNames
-      require(logical.exists(_.equalsIgnoreCase(oldName)),
-        s"column $oldName does not exist in $table " +
-          s"(columns: ${logical.mkString(", ")})")
-      require(!logical.exists(_.equalsIgnoreCase(newName)),
-        s"column $newName already exists in $table")
+      var mapping = columnMapping(spark, table, Some(v))
+      var logical = read(spark, table, Some(v)).schema.fieldNames.toSeq
       val spec = bucketSpec(spark, table, Some(v))
-      require(!spec.exists(_._1.equalsIgnoreCase(oldName)),
-        s"cannot rename bucket column $oldName — the bucket layout " +
-          "contract is keyed by it; de-bucket (plain overwrite) first")
-      val phys = mapping.physicalOf(oldName)
-      // an unencodable on-disk name must fail HERE, not be silently
-      // dropped by fromMeta on the next read (mirrors dropColumn)
-      ColumnMapping.validateName(phys)
-      val updated = mapping.copy(renames = mapping.renames
-        .filterNot(_._1.equalsIgnoreCase(oldName)) :+ (newName -> phys))
+      val applied = scala.collection.mutable.ListBuffer.empty[String]
+      changes.foreach {
+        case RenameCol(from, to) =>
+          require(logical.exists(_.equalsIgnoreCase(from)),
+            s"column $from does not exist in $table " +
+              s"(columns: ${logical.mkString(", ")})")
+          require(!logical.exists(_.equalsIgnoreCase(to)),
+            s"column $to already exists in $table")
+          require(!spec.exists(_._1.equalsIgnoreCase(from)),
+            s"cannot rename bucket column $from — the bucket layout " +
+              "contract is keyed by it; de-bucket (plain overwrite) first")
+          val phys = mapping.physicalOf(from)
+          // an unencodable on-disk name must fail HERE, not be
+          // silently dropped by fromMeta on the next read
+          ColumnMapping.validateName(phys)
+          mapping = mapping.copy(renames = mapping.renames
+            .filterNot(_._1.equalsIgnoreCase(from)) :+ (to -> phys))
+          logical = logical.map(n =>
+            if (n.equalsIgnoreCase(from)) to else n)
+          applied += s"$from->$to"
+        case DropCol(name, ifExists) =>
+          if (!logical.exists(_.equalsIgnoreCase(name))) {
+            require(ifExists,
+              s"column $name does not exist in $table " +
+                s"(columns: ${logical.mkString(", ")})")
+          } else {
+            require(logical.length > 1,
+              s"cannot drop $name — it is the only visible column of " +
+                table)
+            require(!spec.exists(_._1.equalsIgnoreCase(name)),
+              s"cannot drop bucket column $name — the bucket layout " +
+                "contract is keyed by it; de-bucket (plain overwrite) " +
+                "first")
+            val phys = mapping.physicalOf(name)
+            ColumnMapping.validateName(phys)
+            mapping = ColumnMapping(
+              mapping.renames.filterNot(_._1.equalsIgnoreCase(name)),
+              mapping.dropped :+ phys)
+            logical = logical.filterNot(_.equalsIgnoreCase(name))
+            applied += s"-$name"
+          }
+      }
+      if (applied.isEmpty) return v // all-ifExists no-op: nothing lands
+      val opMeta = changes match {
+        case Seq(RenameCol(f, t)) =>
+          Map("operation" -> "rename_column", "rename" -> s"$f->$t")
+        case Seq(DropCol(n, _)) =>
+          Map("operation" -> "drop_column", "drop" -> n)
+        case _ => Map("operation" -> "alter_columns",
+          "changes" -> applied.mkString(","))
+      }
       try return commitMetadataOnly(fs, root, spark, table, v,
-        Map("operation" -> "rename_column",
-          "rename" -> s"$oldName->$newName") ++ updated.toMeta,
-        mustBase = true)
+        opMeta ++ mapping.toMeta, mustBase = true)
       catch {
         case _: RewriteConflict if attempt < 4 => attempt += 1
         case _: RewriteConflict =>
           throw new IllegalStateException(
-            s"RENAME COLUMN on $table kept losing to interleaved " +
+            s"ALTER COLUMNS on $table kept losing to interleaved " +
               s"commits (${attempt + 1} attempts) — retry when the " +
               "writer storm subsides")
       }
@@ -1602,44 +1718,8 @@ object Versioned {
     * versions, untouched in committed segments (time travel still sees
     * it), physically discarded as rewrites touch its rows. Returns the
     * committed version. */
-  def dropColumn(spark: SparkSession, table: String, name: String): Long = {
-    val root = new Path(table)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // mustBase + revalidate-and-retry, same contract as renameColumn
-    var attempt = 0
-    while (true) {
-      val v = latestVersion(fs, root).getOrElse(
-        throw new IllegalArgumentException(s"no committed version in $table"))
-      val mapping = columnMapping(spark, table, Some(v))
-      val logical = read(spark, table, Some(v)).schema.fieldNames
-      require(logical.exists(_.equalsIgnoreCase(name)),
-        s"column $name does not exist in $table " +
-          s"(columns: ${logical.mkString(", ")})")
-      require(logical.length > 1,
-        s"cannot drop $name — it is the only visible column of $table")
-      val spec = bucketSpec(spark, table, Some(v))
-      require(!spec.exists(_._1.equalsIgnoreCase(name)),
-        s"cannot drop bucket column $name — the bucket layout contract " +
-          "is keyed by it; de-bucket (plain overwrite) first")
-      val phys = mapping.physicalOf(name)
-      ColumnMapping.validateName(phys)
-      val updated = ColumnMapping(
-        mapping.renames.filterNot(_._1.equalsIgnoreCase(name)),
-        mapping.dropped :+ phys)
-      try return commitMetadataOnly(fs, root, spark, table, v,
-        Map("operation" -> "drop_column", "drop" -> name) ++ updated.toMeta,
-        mustBase = true)
-      catch {
-        case _: RewriteConflict if attempt < 4 => attempt += 1
-        case _: RewriteConflict =>
-          throw new IllegalStateException(
-            s"DROP COLUMN on $table kept losing to interleaved " +
-              s"commits (${attempt + 1} attempts) — retry when the " +
-              "writer storm subsides")
-      }
-    }
-    throw new IllegalStateException("unreachable")
-  }
+  def dropColumn(spark: SparkSession, table: String, name: String): Long =
+    alterColumns(spark, table, Seq(DropCol(name)))
 
   /** Commit the SAME file lines as `v` under new meta (plus the bucket
     * declaration, which must survive a metadata commit). Conflicts with
@@ -2843,11 +2923,18 @@ object Versioned {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = version.orElse(latestVersion(fs, root)).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $table"))
-    readFileLines(fs, root, v).flatMap { line =>
-      val (rel, stats, _) = parseLine(line)
-      stats.flatMap(SegmentStats.parse)
-        .map(new Path(root, rel).toString -> _)
-    }.toMap
+    val key = cacheKey(fs, root, v)
+    val hit = statsCache.get(key)
+    if (hit != null) hit
+    else {
+      val parsed = readFileLines(fs, root, v).flatMap { line =>
+        val (rel, stats, _) = parseLine(line)
+        stats.flatMap(SegmentStats.parse)
+          .map(new Path(root, rel).toString -> _)
+      }.toMap
+      statsCache.put(key, parsed)
+      parsed
+    }
   }
 
   /** (absolute file -> (rel, bloom sidecar rel)) for every line of a
@@ -3169,9 +3256,37 @@ object Versioned {
           size() > ManifestCacheMax
       })
 
+  /** Parsed per-file stats per (table, version): the catalog's plan
+    * path consults these several times per query (filter pushdown,
+    * the aggregate-pushdown probe AND answer, runtime row/size
+    * estimates, runtime filtering) — the O(files) line parse must be
+    * paid once, not five times per query. Few entries (they are
+    * whole-table maps), immutable per version. */
+  private val statsCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long),
+          Map[String, SegmentStats.FileStats]](16, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[
+            (String, Long), Map[String, SegmentStats.FileStats]]): Boolean =
+          size() > 64
+      })
+
+  /** Physical union schema per (table, version) for read planning —
+    * a committed version's schema is immutable, so query compilation
+    * must not re-run footer inference per query. */
+  private val readSchemaCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long), StructType](
+          16, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[
+            (String, Long), StructType]): Boolean = size() > 512
+      })
+
   private def invalidateManifest(fs: FileSystem, root: Path, v: Long): Unit = {
     manifestCache.remove(cacheKey(fs, root, v))
     headerCache.remove(cacheKey(fs, root, v))
+    statsCache.remove(cacheKey(fs, root, v))
+    readSchemaCache.remove(cacheKey(fs, root, v))
   }
 
   /** Test-only: drop every cached manifest. Specs that hand-edit
@@ -3182,6 +3297,8 @@ object Versioned {
   private[graft] def clearManifestCache(): Unit = {
     manifestCache.clear()
     headerCache.clear()
+    statsCache.clear()
+    readSchemaCache.clear()
   }
 
   private def manifestLines(fs: FileSystem, root: Path, v: Long): Seq[String] = {

@@ -71,8 +71,19 @@ class GraftCatalog extends TableCatalog
 
   override def name(): String = catalogName
 
-  private def tablePath(ident: Identifier): String =
+  private def tablePath(ident: Identifier): String = {
+    // identifier segments become PATH segments: a backquoted name
+    // carrying '/', '\' or '..' would escape the configured lake root
+    // (read AND write anywhere the process can) — refuse, never join
+    (ident.namespace.toSeq :+ ident.name).foreach { seg =>
+      require(seg.nonEmpty && seg != "." && seg != ".." &&
+        !seg.contains('/') && !seg.contains('\\'),
+        s"illegal table identifier segment '$seg' — identifier parts " +
+          "must stay within the lake root (no empty, '.', '..', '/' " +
+          "or '\\' segments)")
+    }
     (root +: ident.namespace.toSeq :+ ident.name).mkString("/")
+  }
 
   private def load(ident: Identifier, version: Option[Long]): Table = {
     val spark = SparkSession.active
@@ -89,12 +100,17 @@ class GraftCatalog extends TableCatalog
     val files = Versioned.versionFiles(spark, path, Some(resolved))
     // mergeSchema: an appended segment may carry ADDED columns
     // (additive evolution, Versioned.read parity) — the table schema
-    // is the union across the version's segments
+    // is the union across the version's segments. The union is served
+    // by versionSchema (carrier / per-segment-representative cache):
+    // passing it as the user schema keeps query COMPILATION free of a
+    // per-query footer-merge job over the version's full file list
     val opts = new java.util.HashMap[String, String]()
     opts.put("mergeSchema", "true")
     val reader = ParquetTable(ident.name, spark,
       new CaseInsensitiveStringMap(opts),
-      files.toIndexedSeq, None, classOf[ParquetFileFormat])
+      files.toIndexedSeq,
+      Versioned.versionSchema(spark, path, Some(resolved)),
+      classOf[ParquetFileFormat])
     // bucketSpec validates layout (declared AND every file in a bucket
     // dir) — a half-bucketed version reports None and scans normally
     val bucket = Versioned.bucketSpec(spark, path, Some(resolved))
@@ -188,13 +204,40 @@ class GraftCatalog extends TableCatalog
     if (Versioned.versions(spark, path).nonEmpty)
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException((ident.namespace :+ ident.name).toSeq)
+    // TBLPROPERTIES are not a surface this catalog persists: refuse
+    // loudly instead of silently discarding them (the user believes
+    // they were stored). Spark-managed reserved keys are fine; a
+    // COMMENT that fits the meta grammar rides the create commit.
+    val reserved = Set("comment", "provider", "location", "owner",
+      "external", "transient_lastDdlTime")
+    val userProps = {
+      import scala.jdk.CollectionConverters._
+      properties.asScala.filterNot { case (k, _) =>
+        reserved.contains(k.toLowerCase(java.util.Locale.ROOT)) ||
+          k.startsWith("option.") || k.startsWith("spark.sql.") }
+    }
+    if (userProps.nonEmpty) throw new UnsupportedOperationException(
+      s"graft snapshot tables do not persist TBLPROPERTIES " +
+        s"(got ${userProps.keys.mkString(", ")}); per-commit metadata " +
+        "rides commit meta instead (Versioned.commit's meta argument, " +
+        "surfaced by DESCRIBE HISTORY)")
+    val commentMeta = Option(properties.get("comment"))
+      .filter(c => !c.contains('\n') && !c.contains('='))
+      .map("comment" -> _).toMap
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    bucket match {
+    // "create" refuses ATOMICALLY inside the commit CAS: two racing
+    // CREATE TABLEs can never both land version 0 (the pre-check
+    // above is just the fast path for the common case)
+    try bucket match {
       case Some((c, n)) => Versioned.commitBucketed(empty, path, c, n,
-        "overwrite", meta = Map("operation" -> "create"))
-      case None => Versioned.commit(empty, path, "overwrite",
-        meta = Map("operation" -> "create"))
+        "create", meta = Map("operation" -> "create") ++ commentMeta)
+      case None => Versioned.commit(empty, path, "create",
+        meta = Map("operation" -> "create") ++ commentMeta)
+    } catch {
+      case _: Versioned.CreateConflict =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException((ident.namespace :+ ident.name).toSeq)
     }
     loadTable(ident)
   }
@@ -214,27 +257,31 @@ class GraftCatalog extends TableCatalog
     val path = tablePath(ident)
     if (Versioned.versions(spark, path).isEmpty)
       throw new NoSuchTableException(ident)
-    val adds = changes.flatMap {
+    // pass 1 — VALIDATE every change's shape before applying ANY:
+    // alterTable's contract is apply-atomically, so a batch carrying
+    // one unsupported change (REPLACE COLUMNS lowers to deletes+adds)
+    // must alter nothing, not drop half the table and then throw
+    val ops = changes.map {
       case a: TableChange.AddColumn
-          if a.fieldNames.length == 1 && a.isNullable => Some(a)
+          if a.fieldNames.length == 1 && a.isNullable => Left(a)
       // RENAME/DROP COLUMN: metadata-only commits through the column
       // mapping (stable physical names) — segments stay untouched,
       // time travel reads each version under its own names
       case r: TableChange.RenameColumn if r.fieldNames.length == 1 =>
-        Versioned.renameColumn(spark, path, r.fieldNames()(0), r.newName)
-        None
+        Right(Versioned.RenameCol(r.fieldNames()(0), r.newName))
       case d: TableChange.DeleteColumn if d.fieldNames.length == 1 =>
-        val exists = Versioned.read(spark, path).schema.fieldNames
-          .exists(_.equalsIgnoreCase(d.fieldNames()(0)))
-        if (exists || !d.ifExists)
-          Versioned.dropColumn(spark, path, d.fieldNames()(0))
-        None
+        Right(Versioned.DropCol(d.fieldNames()(0), d.ifExists))
       case other => throw new UnsupportedOperationException(
         s"graft catalog supports top-level nullable ADD COLUMN and " +
           s"top-level RENAME/DROP COLUMN; got $other. Type changes " +
           "and nested surgery would misdescribe immutable committed " +
           "segments")
     }
+    // pass 2 — apply: all mapping changes land as ONE commit
+    // (all-or-nothing, one version); adds follow as one more
+    val mapOps = ops.collect { case Right(o) => o }
+    val adds = ops.collect { case Left(a) => a }
+    if (mapOps.nonEmpty) Versioned.alterColumns(spark, path, mapOps)
     if (adds.isEmpty) return loadTable(ident)
     val cur = Versioned.read(spark, path).schema
     val widened = adds.foldLeft(cur) { (s, a) =>

@@ -75,7 +75,10 @@ object ManifestAggregates {
       for {
         n <- colName(c.column)
         _ <- fieldOf(schema, n)
-        cnt <- countNonNull(fss, n.toLowerCase)
+        // Locale.ROOT like every other stats-key lookup: under tr_TR
+        // a default-locale lowercase of "ID" misses the "id"-keyed
+        // stats and answers count() as 0 instead of falling back
+        cnt <- countNonNull(fss, n.toLowerCase(java.util.Locale.ROOT))
       } yield StructField(s"count_$n", LongType, nullable = false) -> cnt
     case m: Min => bound(m.column, fss, schema, isMin = true)
     case m: Max => bound(m.column, fss, schema, isMin = false)
@@ -134,7 +137,7 @@ object ManifestAggregates {
       n <- colName(e)
       fld <- fieldOf(schema, n)
       dec <- decoder(fld.dataType)
-      v <- foldBound(fss, n.toLowerCase, isMin)
+      v <- foldBound(fss, n.toLowerCase(java.util.Locale.ROOT), isMin)
     } yield StructField((if (isMin) "min_" else "max_") + n,
       fld.dataType, nullable = true) -> v.map(dec).orNull
   }

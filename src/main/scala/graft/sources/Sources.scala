@@ -99,11 +99,12 @@ object LakeWriter {
     format match {
       case LakeFormat.Parquet => d.write.mode(mode).parquet(path)
       case LakeFormat.Snapshot =>
-        // explicit SaveMode semantics against the snapshot log — the
-        // former catch-all mapped ErrorIfExists/Ignore to a DESTRUCTIVE
-        // overwrite commit
-        val exists = graft.operators.Versioned
-          .versions(d.sparkSession, path).nonEmpty
+        // SaveMode semantics against the snapshot log. ErrorIfExists
+        // and Ignore ride the ATOMIC "create" commit mode: the
+        // exists-check happens inside the commit CAS, so two racing
+        // creators can never both think they created the table (the
+        // former check-then-act probe let the loser destructively
+        // overwrite the winner)
         def commit(m: String): Unit = bucket match {
           case Some((c, n)) =>
             graft.operators.Versioned.commitBucketed(d, path, c, n, m)
@@ -112,11 +113,11 @@ object LakeWriter {
         mode match {
           case SaveMode.Append => commit("append")
           case SaveMode.Overwrite => commit("overwrite")
-          case SaveMode.ErrorIfExists if exists =>
-            throw new IllegalStateException(
-              s"snapshot table $path already exists (ErrorIfExists)")
-          case SaveMode.Ignore if exists => () // no-op, per contract
-          case _ => commit("overwrite")
+          case SaveMode.ErrorIfExists => commit("create")
+          case SaveMode.Ignore =>
+            try commit("create")
+            catch { case _: graft.operators.Versioned.CreateConflict =>
+              () } // no-op, per contract
         }
     }
   }
