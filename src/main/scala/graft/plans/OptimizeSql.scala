@@ -67,13 +67,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     val m = updatePathStmt.matcher(sqlText)
     if (!m.matches()) fail(sqlText,
       "expected UPDATE '<path>' SET col = expr[, ...] [WHERE cond]")
-    val sets = GraftSqlParser.splitTopLevel(m.group(2)).map { a =>
+    val (setList, where) = GraftSqlParser.splitTopLevelWhere(m.group(2))
+    val sets = GraftSqlParser.splitTopLevel(setList).map { a =>
       val eq = GraftSqlParser.topLevelIndexOf(a, '=')
       if (eq < 0) fail(sqlText, s"malformed assignment: $a")
       (a.substring(0, eq).trim, a.substring(eq + 1).trim)
     }
     if (sets.isEmpty) fail(sqlText, "UPDATE needs at least one assignment")
-    UpdateVersionedCommand(m.group(1), sets, Option(m.group(3)).map(_.trim))
+    UpdateVersionedCommand(m.group(1), sets, where)
   }
 
   private def parseDeletePath(sqlText: String): LogicalPlan = {
@@ -354,9 +355,11 @@ object GraftSqlParser {
       """\(([^)]*)\)(?:\s+FPP\s+(\d*\.?\d+))?\s*;?\s*""")
   private val updatePathPrefix =
     java.util.regex.Pattern.compile("""\s*(?i:UPDATE)\s+'""")
+  // the SET-list/WHERE split happens AFTER the match, quote-aware
+  // (splitTopLevelWhere): a regex split would bind the first ' WHERE '
+  // even inside a string literal (SET msg = 'x WHERE 1')
   private val updatePathStmt = java.util.regex.Pattern.compile(
-    """(?is)\s*UPDATE\s+'([^']+)'\s+SET\s+(.+?)""" +
-      """(?:\s+WHERE\s+(.+?))?\s*;?\s*""")
+    """(?is)\s*UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s*;?\s*""")
   private val deletePathPrefix =
     java.util.regex.Pattern.compile("""\s*(?i:DELETE\s+FROM)\s+'""")
   private val deletePathStmt = java.util.regex.Pattern.compile(
@@ -392,6 +395,31 @@ object GraftSqlParser {
       i += 1
     }
     -1
+  }
+
+  /** Split at the first whitespace-delimited WHERE keyword at
+    * paren/quote depth 0: (before, Some(after)) or (s, None).
+    * Subquery WHEREs sit at depth > 0 and literal WHEREs inside
+    * quotes — both stay with the assignment list. */
+  private[plans] def splitTopLevelWhere(s: String): (String, Option[String]) = {
+    var depth = 0; var inStr = false; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') inStr = !inStr
+      else if (!inStr) {
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (depth == 0 && (c == 'w' || c == 'W') &&
+            i + 5 <= s.length &&
+            s.regionMatches(true, i, "WHERE", 0, 5) &&
+            (i == 0 || s.charAt(i - 1).isWhitespace) &&
+            (i + 5 == s.length || s.charAt(i + 5).isWhitespace))
+          return (s.substring(0, i).trim,
+            Some(s.substring(i + 5).trim).filter(_.nonEmpty))
+      }
+      i += 1
+    }
+    (s.trim, None)
   }
 }
 
@@ -987,8 +1015,12 @@ case class OptimizeTableCommand(table: TableIdentifier,
       // so a predicate on a clustered column prunes files inside every
       // partition a query reaches.
       if (zorderCols.nonEmpty)
-        Compaction.leafPartitionDirs(spark, path)
-          .foreach(leaf => zorderDir(spark, leaf))
+        // leaf dirs are disjoint and each z-order stages under its own
+        // hidden sibling — same independent-job shape the COMPACT
+        // branch already parallelizes
+        graft.operators.DriverPar.foreach(
+          Compaction.leafPartitionDirs(spark, path), maxThreads = 8)(
+          leaf => zorderDir(spark, leaf))
       else
         Compaction.compactLeaves(spark, path,
           maxFiles = files.getOrElse(1), targetFiles = files.getOrElse(1))

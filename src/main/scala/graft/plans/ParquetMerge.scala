@@ -88,6 +88,16 @@ case class ResolveParquetMerge(spark: SparkSession) extends Rule[LogicalPlan] {
           u.assignments.forall(_.key.isInstanceOf[AttributeReference]) =>
       relationOf(u.table) match {
         case Some((table, partCols)) =>
+          val targets = u.assignments.map(
+            _.key.asInstanceOf[AttributeReference].name)
+          // standard SQL rejects duplicate assignment targets; a
+          // silent .toMap would make SET x=1, x=2 a quiet coin-flip
+          // (the SnapshotDml path refuses identically)
+          val dupTargets = targets.groupBy(identity)
+            .collect { case (n, g) if g.size > 1 => n }
+          require(dupTargets.isEmpty,
+            s"duplicate UPDATE assignment target(s): " +
+              dupTargets.mkString(", "))
           val assigned: Map[String, Expression] = u.assignments.map { a =>
             a.key.asInstanceOf[AttributeReference].name -> a.value
           }.toMap
@@ -537,8 +547,9 @@ private[plans] final class MergeLowering(spark: SparkSession,
     * conjunct lowers (the caller then refuses any interleave); an
     * empty/all-NULL source key yields a match-nothing filter (equality
     * with NULL never matches, so appends are trivially out of
-    * scope). One tiny source aggregate per key — the source is
-    * already persisted for the statement. */
+    * scope). ONE folded source aggregate computes every key's bounds
+    * (the MoR upsert sink's shape) — the source plan is not persisted,
+    * so a per-key `.agg().head()` would re-execute it once per key. */
   def sourceKeyBounds(): Seq[org.apache.spark.sql.sources.Filter] = {
     import org.apache.spark.sql.{sources => sf}
     import org.apache.spark.sql.functions.{max => aggMax, min => aggMin}
@@ -548,21 +559,24 @@ private[plans] final class MergeLowering(spark: SparkSession,
       case And(l, r) => split(l) ++ split(r)
       case o => Seq(o)
     }
-    split(merge.mergeCondition).flatMap {
+    val pairs = split(merge.mergeCondition).flatMap {
       case EqualTo(a: AttributeReference, b: AttributeReference) =>
-        val pair =
-          if (tSet.contains(a) && sSet.contains(b)) Some((a, b))
-          else if (tSet.contains(b) && sSet.contains(a)) Some((b, a))
-          else None
-        pair.map { case (tAttr, sAttr) =>
-          val bounds = source
-            .agg(aggMin(toColumn(sAttr)), aggMax(toColumn(sAttr))).head()
-          if (bounds.isNullAt(0)) sf.In(tAttr.name, Array.empty[Any])
-          else sf.And(
-            sf.GreaterThanOrEqual(tAttr.name, bounds.get(0)),
-            sf.LessThanOrEqual(tAttr.name, bounds.get(1)))
-        }
+        if (tSet.contains(a) && sSet.contains(b)) Some((a, b))
+        else if (tSet.contains(b) && sSet.contains(a)) Some((b, a))
+        else None
       case _ => None
+    }
+    if (pairs.isEmpty) Nil
+    else {
+      val aggs = pairs.flatMap { case (_, sAttr) =>
+        Seq(aggMin(toColumn(sAttr)), aggMax(toColumn(sAttr))) }
+      val row = source.agg(aggs.head, aggs.tail: _*).head()
+      pairs.zipWithIndex.map { case ((tAttr, _), i) =>
+        if (row.isNullAt(2 * i)) sf.In(tAttr.name, Array.empty[Any])
+        else sf.And(
+          sf.GreaterThanOrEqual(tAttr.name, row.get(2 * i)),
+          sf.LessThanOrEqual(tAttr.name, row.get(2 * i + 1)))
+      }
     }
   }
 

@@ -43,37 +43,73 @@ object AggSink {
       .start()
 
   /** Fold one micro-batch (exposed for replay testing). No-op when the
-    * latest committed version already covers `batchId`. */
+    * table already carries this query's marker for `batchId`.
+    *
+    * Three disciplines shared with the sibling sinks:
+    *  - replay dedup walks the marker-bearing HISTORY (the
+    *    [[LakeSink.lastCommitted]] walk, paired by queryId) — reading
+    *    only the latest version's meta would let any interleaved
+    *    non-fold commit (OPTIMIZE, DML, RESTORE) hide the marker and
+    *    double-count the replay;
+    *  - group matching is NULL-SAFE (`<=>`, like the MoR upsert
+    *    sink's matched-row mark) — plain equality never matches a
+    *    NULL-keyed group, which would then accumulate one duplicate
+    *    row per batch with unmerged counts;
+    *  - the commit is a CAS ([[Versioned.commitIf]] on the fold's
+    *    base): an unconditional overwrite would silently erase any
+    *    commit that landed between the fold's read and its write —
+    *    on conflict the fold recomputes from the new latest. */
   def foldBatch(batch: DataFrame, table: String, keys: Seq[String],
       countAs: String, sums: Seq[(String, String)], batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val latest = Versioned.versions(spark, table).lastOption
-    val lastFolded = latest
-      .flatMap(v => Versioned.readMeta(spark, table, v).get("batchId"))
-      .map(_.toLong).getOrElse(-1L)
-    if (batchId <= lastFolded) return // checkpoint replay: already folded
-
-    val batchAgg = batch.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as(countAs),
-        sums.map { case (src, al) => sum(col(src)).as(al) }: _*)
-    val snapshot = latest match {
-      case None => batchAgg
-      case Some(v) =>
-        val existing = Versioned.read(spark, table, Some(v))
-        val untouched =
-          existing.join(batchAgg.select(keys.map(col): _*), keys, "left_anti")
-        val combined = existing
-          .join(batchAgg.select(keys.map(col): _*), keys, "left_semi")
-          .unionByName(batchAgg)
-          .groupBy(keys.map(col): _*)
-          .agg(sum(col(countAs)).cast("long").as(countAs),
-            sums.map { case (_, al) =>
-              sum(col(al)).cast(existing.schema(al).dataType).as(al)
-            }: _*)
-        untouched.unionByName(combined)
+    val queryId = Option(spark.sparkContext.getLocalProperty(
+      org.apache.spark.sql.execution.streaming.runtime
+        .StreamExecution.QUERY_ID_KEY))
+    var done = false
+    while (!done) {
+      val versions = Versioned.versions(spark, table)
+      val latest = versions.lastOption
+      // the LakeSink walk, with no-queryId (test-driven) calls
+      // matching ANY query's marker — the pre-walk behavior
+      val lastFolded = versions.reverseIterator
+        .map(v => Versioned.readMeta(spark, table, v))
+        .collectFirst {
+          case m if m.contains("batchId") &&
+              (queryId.isEmpty || m.get("queryId") == queryId) =>
+            m("batchId").toLong
+        }.getOrElse(-1L)
+      if (batchId <= lastFolded) return // checkpoint replay: folded
+      val batchAgg = batch.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as(countAs),
+          sums.map { case (src, al) => sum(col(src)).as(al) }: _*)
+      val snapshot = latest match {
+        case None => batchAgg
+        case Some(v) =>
+          val existing = Versioned.read(spark, table, Some(v))
+          val bk = batchAgg.select(keys.map(col): _*)
+          def touched(l: DataFrame): org.apache.spark.sql.Column =
+            keys.map(k => l(k) <=> bk(k)).reduce(_ && _)
+          val untouched = existing.join(bk, touched(existing), "left_anti")
+          val combined = existing
+            .join(bk, touched(existing), "left_semi")
+            .unionByName(batchAgg)
+            .groupBy(keys.map(col): _*)
+            .agg(sum(col(countAs)).cast("long").as(countAs),
+              sums.map { case (_, al) =>
+                sum(col(al)).cast(existing.schema(al).dataType).as(al)
+              }: _*)
+          untouched.unionByName(combined)
+      }
+      val meta = Map("batchId" -> batchId.toString) ++
+        queryId.map("queryId" -> _)
+      done = latest match {
+        case Some(v) =>
+          Versioned.commitIf(snapshot, table, "overwrite", meta,
+            expectedBase = v).isDefined
+        case None =>
+          try { Versioned.commit(snapshot, table, "create", meta); true }
+          catch { case _: Versioned.CreateConflict => false }
+      }
     }
-    Versioned.commit(snapshot, table, "overwrite",
-      meta = Map("batchId" -> batchId.toString))
-    ()
   }
 }

@@ -57,12 +57,21 @@ class ChangeFeedSourceProvider extends StreamSourceProvider
     val base = schema.getOrElse(
       Versioned.read(ctx.sparkSession, pathOf(params)).schema)
     if (!cdfOf(params)) base
-    else if (base.fieldNames.contains(Versioned.ChangeTypeCol)) base
-    else base
-      .add(Versioned.ChangeTypeCol, org.apache.spark.sql.types.StringType,
-        nullable = false)
-      .add(Versioned.CommitVersionCol, org.apache.spark.sql.types.LongType,
-        nullable = false)
+    else {
+      // each tag column is added INDEPENDENTLY if absent: a table that
+      // materialized a prior CDF output legitimately carries
+      // _change_type without _commit_version — gating both on the
+      // first would freeze a schema that silently projects the
+      // version tag away from every micro-batch
+      var s = base
+      if (!s.fieldNames.contains(Versioned.ChangeTypeCol))
+        s = s.add(Versioned.ChangeTypeCol,
+          org.apache.spark.sql.types.StringType, nullable = false)
+      if (!s.fieldNames.contains(Versioned.CommitVersionCol))
+        s = s.add(Versioned.CommitVersionCol,
+          org.apache.spark.sql.types.LongType, nullable = false)
+      s
+    }
   }
 
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
@@ -229,9 +238,15 @@ class ChangeFeedSource(ctx: SQLContext, table: String,
     val live = Versioned.versions(spark, table)
     def snapshotInserts(v: Long): DataFrame = {
       val snapV = if (live.contains(v)) Some(v) else None
+      // the tag must name the version actually READ: a vacuumed `v`
+      // degrades to the latest surviving snapshot, and stamping that
+      // data as the older `v` would let a version-deduping consumer
+      // ("already processed <= v") silently discard the whole batch —
+      // turning the at-least-once recovery into data loss
+      val readV = snapV.orElse(live.lastOption).getOrElse(v)
       Versioned.read(spark, table, snapV)
         .withColumn(Versioned.ChangeTypeCol, lit("insert"))
-        .withColumn(Versioned.CommitVersionCol, lit(v))
+        .withColumn(Versioned.CommitVersionCol, lit(readV))
     }
     def diffOr(fromV: Long): DataFrame =
       if (((fromV + 1) to endV).forall(live.contains))

@@ -66,6 +66,25 @@ class MergeSqlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS upd_tgt")
   }
 
+  test("SQL UPDATE with duplicate assignment targets refuses — never a " +
+    "quiet last-one-wins coin-flip (the path form refuses identically)") {
+    val loc = tmpDir("upddup") + "/tgt"
+    spark.sql("DROP TABLE IF EXISTS upd_dup")
+    spark.sql(s"""CREATE TABLE upd_dup (k BIGINT, v DOUBLE)
+      USING parquet LOCATION '$loc'""")
+    try {
+      Seq((1L, 1.0)).toDF("k", "v").write.mode("append")
+        .insertInto("upd_dup")
+      val e = intercept[Exception] {
+        spark.sql("UPDATE upd_dup SET v = 1, v = 2")
+      }
+      assert(e.getMessage.contains("duplicate"),
+        s"expected the duplicate-target refusal, got: ${e.getMessage}")
+      assert(spark.table("upd_dup").select($"v").as[Double].head() == 1.0,
+        "a refused UPDATE must change nothing")
+    } finally spark.sql("DROP TABLE IF EXISTS upd_dup")
+  }
+
   test("SQL DELETE with WHERE removes matched rows from a partitioned " +
     "table; NULL-cond rows survive") {
     val loc = tmpDir("delsql") + "/tgt"

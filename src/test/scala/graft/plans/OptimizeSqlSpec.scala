@@ -185,6 +185,21 @@ class OptimizeSqlSpec extends SparkSpec {
       Set((1, 10.0)))
   }
 
+  test("UPDATE with a WHERE keyword INSIDE a string literal parses: " +
+    "the SET/WHERE split is quote-aware, not a regex grab") {
+    import graft.operators.Versioned
+    val t = tmpDir("updlit") + "/t"
+    Versioned.commit(Seq((1, "old"), (2, "old")).toDF("k", "msg"), t)
+    spark.sql(s"UPDATE '$t' SET msg = 'x WHERE 1' WHERE k = 2")
+    assert(Versioned.read(spark, t).as[(Int, String)].collect().toSet ==
+      Set((1, "old"), (2, "x WHERE 1")))
+    // and a parenthesized subquery-style WHERE inside the SET
+    // expression stays with the assignment
+    spark.sql(s"UPDATE '$t' SET msg = concat('w', 'here') WHERE k = 1")
+    assert(Versioned.read(spark, t).as[(Int, String)].collect().toSet ==
+      Set((1, "where"), (2, "x WHERE 1")))
+  }
+
   test("UPDATE/DELETE on a snapshot path: simultaneous assignments, " +
     "NULL-predicate rows kept, each statement one time-travelable version") {
     import graft.operators.Versioned

@@ -284,8 +284,11 @@ class EventStreamSpec extends SparkSpec {
     assert(s1("a") == ((2L, BigDecimal(3))) &&
       s1("b") == ((2L, BigDecimal(15))) && s1("c") == ((1L, BigDecimal(7))))
     // the latest manifest carries the folded batchId atomically
+    // (plus the checkpoint-stable queryId pairing the replay walk
+    // keys on)
     val v1 = Versioned.versions(spark, table).last
-    assert(Versioned.readMeta(spark, table, v1) == Map("batchId" -> "1"))
+    assert(Versioned.readMeta(spark, table, v1).get("batchId")
+      .contains("1"))
 
     // simulated crash replay: re-folding an already-committed batch
     // must be a no-op (no double counting, no new version)
@@ -301,5 +304,38 @@ class EventStreamSpec extends SparkSpec {
     val s2 = state()
     assert(s2("a") == ((3L, BigDecimal(103))))
     assert(s2("b") == s1("b") && s2("c") == s1("c"))
+
+    // an interleaved NON-FOLD commit (an OPTIMIZE-style rewrite with
+    // no batchId meta) must not hide the marker from the replay walk:
+    // a replayed batch stays a no-op, never a double-count
+    graft.operators.Versioned.commit(
+      graft.operators.Versioned.read(spark, table), table, "overwrite",
+      meta = Map("operation" -> "optimize"))
+    val vOpt = Versioned.versions(spark, table).last
+    AggSink.foldBatch(
+      spark.read.parquet(stage.resolve("batch2.parquet").toString),
+      table, Seq("grp"), "n", Seq("v" -> "sum_v"), batchId = 2L)
+    assert(Versioned.versions(spark, table).last == vOpt,
+      "the replay must skip via the marker WALK, not re-fold because " +
+        "the latest version's meta lacks a batchId")
+    assert(state() == s2)
+  }
+
+  test("AggSink merges NULL-keyed groups null-safely: one row per " +
+    "group across batches, never a duplicate per micro-batch") {
+    import graft.operators.Versioned
+    val table = tmpDir("aggsink_null") + "/rollup"
+    def fold(id: Long, rows: Seq[(java.lang.String, Long)]): Unit =
+      AggSink.foldBatch(rows.toDF("grp", "v"), table, Seq("grp"),
+        "n", Seq("v" -> "sum_v"), batchId = id)
+    fold(0L, Seq((null, 1L), ("a", 2L)))
+    fold(1L, Seq((null, 10L), (null, 20L)))
+    val rows = Versioned.read(spark, table)
+      .select($"grp", $"n", $"sum_v".cast("long"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rows.count(_._1 == null) == 1,
+      s"the NULL group must stay ONE merged row, got $rows")
+    assert(rows.find(_._1 == null).get == ((null, 3L, 31L)))
+    assert(rows.find(_._1 == "a").get == (("a", 1L, 2L)))
   }
 }
