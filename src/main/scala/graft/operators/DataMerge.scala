@@ -43,6 +43,17 @@ object DataMerge {
       keys: Seq[String], partCol: String): Seq[Any] =
     mergeIntoParquet(spark, path, updates, keys, Seq(partCol)).map(_.head)
 
+  /** Key-match condition for the merge joins. Default is PLAIN
+    * equality — ANSI/Delta MERGE `ON k = k` never matches NULL keys,
+    * and the SQL lowering and upsert sink rely on that. `nullSafeKeys`
+    * callers (the incremental-aggregate fold, where a NULL GROUP BY
+    * key is one legitimate group) match with `<=>` so the stored
+    * NULL-keyed row is read back and replaced instead of duplicated. */
+  private def keyCond(l: DataFrame, r: DataFrame, keys: Seq[String],
+      nullSafe: Boolean): org.apache.spark.sql.Column =
+    keys.map(k => if (nullSafe) l(k) <=> r(k) else l(k) === r(k))
+      .reduce(_ && _)
+
   /** ANSI/Delta MERGE contract: a key may appear at most once in the
     * source, else the upsert is ambiguous ("multiple source rows
     * matched"). One cheap aggregate over the updates — fail fast with
@@ -62,7 +73,8 @@ object DataMerge {
     * per-tuple conjunctions (still planning-time partition pruning),
     * and the commit swaps nested leaf dirs. */
   def mergeIntoParquet(spark: SparkSession, path: String, updates: DataFrame,
-      keys: Seq[String], partCols: Seq[String]): Seq[Seq[Any]] = {
+      keys: Seq[String], partCols: Seq[String],
+      nullSafeKeys: Boolean = false): Seq[Seq[Any]] = {
     require(partCols.nonEmpty, "use mergeIntoParquetFull for unpartitioned")
     // the merge traverses `updates` up to four times (uniqueness
     // guard, tuple collect, moves probe, final anti-join/union);
@@ -70,13 +82,13 @@ object DataMerge {
     // its upstream plan per job (the history side is never cached)
     val src = updates.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try mergeIntoParquetImpl(spark, path, src, keys, partCols)
+    try mergeIntoParquetImpl(spark, path, src, keys, partCols, nullSafeKeys)
     finally src.unpersist()
   }
 
   private def mergeIntoParquetImpl(spark: SparkSession, path: String,
-      updates: DataFrame, keys: Seq[String], partCols: Seq[String])
-      : Seq[Seq[Any]] = {
+      updates: DataFrame, keys: Seq[String], partCols: Seq[String],
+      nullSafeKeys: Boolean): Seq[Seq[Any]] = {
     requireUniqueKeys(updates, keys)
     val newTuples: Seq[Seq[Any]] =
       collectTuples(updates, partCols) // bounded by #partitions by contract
@@ -91,19 +103,23 @@ object DataMerge {
     val movesPossible = !partCols.forall(pc =>
       keys.exists(_.equalsIgnoreCase(pc)))
     val oldTuples: Seq[Seq[Any]] =
-      if (movesPossible)
+      if (movesPossible) {
+        val stored = spark.read.option("mergeSchema", "true").parquet(path)
+        val upKeys = updates.select(keys.map(col): _*)
         collectTuples(
-          spark.read.option("mergeSchema", "true").parquet(path)
-            .join(updates.select(keys.map(col): _*), keys, "left_semi"),
+          stored.join(upKeys, keyCond(stored, upKeys, keys, nullSafeKeys),
+            "left_semi"),
           partCols)
-      else Nil
+      } else Nil
     val touched = (newTuples ++ oldTuples).distinct
 
     val target = scopeToTuples(spark, // partition-pruned scan
       spark.read.option("mergeSchema", "true").parquet(path),
       partCols, touched)
     // survivors of the old data = rows whose key has no update
-    val merged = target.join(updates, keys, "left_anti")
+    val merged = target
+      .join(updates, keyCond(target, updates, keys, nullSafeKeys),
+        "left_anti")
       .unionByName(updates.select(target.columns.map(col): _*))
 
     val staging = hiddenSibling(path, ".merge-staging")
@@ -250,10 +266,13 @@ object DataMerge {
     * rewrites everything, which is the honest cost of merging into an
     * unpartitioned table in ANY engine (Delta included). */
   def mergeIntoParquetFull(spark: SparkSession, path: String,
-      updates: DataFrame, keys: Seq[String]): Unit = {
+      updates: DataFrame, keys: Seq[String],
+      nullSafeKeys: Boolean = false): Unit = {
     requireUniqueKeys(updates, keys)
     val target = spark.read.option("mergeSchema", "true").parquet(path)
-    val merged = target.join(updates, keys, "left_anti")
+    val merged = target
+      .join(updates, keyCond(target, updates, keys, nullSafeKeys),
+        "left_anti")
       .unionByName(updates.select(target.columns.map(col): _*))
     stagedOverwrite(spark, path, merged, Nil)
   }

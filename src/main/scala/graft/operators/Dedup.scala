@@ -67,15 +67,38 @@ object Dedup {
       .drop("__toks", "__sh", "__h")
   }
 
+  /** The banding geometry every LSH entry point must satisfy: bands
+    * must tile the signature exactly. bands > numHashes would make
+    * every band slice EMPTY (one universal bucket — the whole corpus
+    * "dominated" by the global minimum id and deleted); a
+    * non-dividing bands silently ignores the trailing hashes. */
+  private def requireBands(numHashes: Int, bands: Int): Unit =
+    require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) with at " +
+        "least one hash per band — empty band slices would bucket " +
+        "the whole corpus together")
+
   /** Explode a signature into (band_id, band_hash) rows: `bands` bands
-    * of `rowsPerBand` hashes each, hashed per band. */
+    * of `rowsPerBand` hashes each, hashed per band.
+    *
+    * Docs with an EMPTY shingle set (fewer tokens than the shingle
+    * size) produce NO band rows: their signature is the all-MaxValue
+    * sentinel, so banding them would put every short doc in one
+    * universal bucket and the keep-first rule would mass-delete
+    * unrelated one-liners. No shingles = no evidence under the
+    * shingle measure = unique (exact dedup still catches identical
+    * short docs). */
   def withBands(df: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    require(bands >= 1 && rowsPerBand >= 1,
+      s"need at least one band and one hash per band, " +
+        s"got bands=$bands rowsPerBand=$rowsPerBand")
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band_id"),
         xxhash64(slice(col("minhash_sig"), b * rowsPerBand + 1, rowsPerBand)
           .cast("array<string>").cast("string")).as("band_hash"))
     }
-    df.withColumn("band", explode(array(bandCols: _*)))
+    df.where(element_at(col("minhash_sig"), 1) =!= lit(Long.MaxValue))
+      .withColumn("band", explode(array(bandCols: _*)))
       .withColumn("band_id", col("band.band_id"))
       .withColumn("band_hash", col("band.band_hash"))
       .drop("band")
@@ -121,12 +144,18 @@ object Dedup {
   }
 
   /** Greedy keep-first MinHash dedup: drop any doc that shares an LSH
-    * bucket with a lower-id doc. */
+    * bucket with a lower-id doc. The banded frame feeds two consumers
+    * inside [[dominatedIds]] (bucket-min aggregate + domination
+    * join); the eager localCheckpoint materializes the dominant-cost
+    * signature pass ONCE (the dedupChunkAgainstIndex discipline). */
   def minhashDedup(df: DataFrame, text: Column, id: String,
       shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    requireBands(numHashes, bands)
     val banded = withBands(
       withMinhashSignature(df, text, shingleSize, numHashes),
       bands, numHashes / bands)
+      .select(col("band_id"), col("band_hash"), col(id))
+      .localCheckpoint(true)
     df.join(dominatedIds(banded, id), Seq(id), "left_anti")
   }
 
@@ -168,9 +197,14 @@ object Dedup {
     candidates
       .join(sh.withColumnRenamed("__jid", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("__jid", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+      // a pair where BOTH shingle sets are empty has no evidence under
+      // the shingle measure: dropped BEFORE the division (0/0 would be
+      // a DIVIDE_BY_ZERO abort under ANSI, a silent NULL otherwise)
+      .withColumn("__union", size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("__union") > 0)
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+          col("__union"))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -184,12 +218,14 @@ object Dedup {
     * index is additionally bucketed by band_hash so the chunk probe is
     * a shuffle-free co-located join; new chunks' bands append here. */
   def writeBandIndex(df: DataFrame, text: Column, id: String, path: String,
-      shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4): Unit =
+      shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4): Unit = {
+    requireBands(numHashes, bands)
     withBands(withMinhashSignature(df, text, shingleSize, numHashes),
       bands, numHashes / bands)
       .select(col("band_id"), col("band_hash"), col(id))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("band_id").parquet(path)
+  }
 
   /** Incremental near-dedup: flag each chunk doc that (a) collides with
     * the persisted corpus index, or (b) collides with an earlier-id doc
@@ -200,6 +236,7 @@ object Dedup {
   def dedupChunkAgainstIndex(chunk: DataFrame, text: Column, id: String,
       indexPath: String, shingleSize: Int = 3, numHashes: Int = 16,
       bands: Int = 4): DataFrame = {
+    requireBands(numHashes, bands)
     val spark = chunk.sparkSession
     // the banded frame feeds THREE consumers (index probe, bucket-min,
     // domination join) — an eager localCheckpoint materializes the
@@ -213,10 +250,23 @@ object Dedup {
       bands, numHashes / bands)
       .select(col("band_id"), col("band_hash"), col(id))
       .localCheckpoint(true)
-    val index = spark.read.parquet(indexPath)
+    // an index built from a corpus with NO banded docs (every doc
+    // shorter than the shingle size) is a schema-less empty dir —
+    // probe against nothing instead of failing the chunk
+    val index =
+      try spark.read.parquet(indexPath)
+        .select(col("band_id"), col("band_hash"))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+          import org.apache.spark.sql.types._
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("band_id", IntegerType),
+              StructField("band_hash", LongType))))
+      }
     val corpusDup = cband
-      .join(index.select(col("band_id"), col("band_hash")),
-        Seq("band_id", "band_hash"), "left_semi")
+      .join(index, Seq("band_id", "band_hash"), "left_semi")
       .select(col(id)).distinct()
       .withColumn("__dc", lit(true))
     val chunkDup = dominatedIds(cband, id).withColumn("__dk", lit(true))

@@ -46,6 +46,11 @@ object IncrementalAgg {
       .agg(count(lit(1)).as(countAs),
         sums.map { case (src, al) => sum(col(src)).as(al) }: _*)
 
+    // recovery FIRST: a crash inside a prior fold's staged-overwrite
+    // window leaves the table at the hidden .old backup and the path
+    // missing — an exists-check before the recover would recreate the
+    // aggregate from just this chunk, silently discarding all history
+    DataMerge.recoverStagedOverwrite(spark, path)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
@@ -55,11 +60,17 @@ object IncrementalAgg {
       return
     }
 
-    DataMerge.recoverStagedOverwrite(spark, path)
     // existing rows for touched groups only; the combine re-sums the
-    // (count,sum...) monoid values — partial + partial = total
-    val existing = spark.read.option("mergeSchema", "true").parquet(path)
-      .join(chunkAgg.select(keys.map(col): _*), keys, "left_semi")
+    // (count,sum...) monoid values — partial + partial = total.
+    // NULL-SAFE matching throughout (here and in the merge below):
+    // GROUP BY legitimately yields a NULL-keyed group, and plain
+    // equality would never read its stored row back — the running
+    // total resets each fold and duplicate NULL rows accumulate
+    val stored = spark.read.option("mergeSchema", "true").parquet(path)
+    val touchedKeys = chunkAgg.select(keys.map(col): _*)
+    val existing = stored.join(touchedKeys,
+      keys.map(k => stored(k) <=> touchedKeys(k)).reduce(_ && _),
+      "left_semi")
     val combined = existing.unionByName(chunkAgg)
       .groupBy(keys.map(col): _*)
       .agg(sum(col(countAs)).cast("long").as(countAs),
@@ -70,8 +81,10 @@ object IncrementalAgg {
           sum(col(al)).cast(existing.schema(al).dataType).as(al)
         }: _*)
     if (partitionKeys.nonEmpty)
-      DataMerge.mergeIntoParquet(spark, path, combined, keys, partitionKeys)
+      DataMerge.mergeIntoParquet(spark, path, combined, keys, partitionKeys,
+        nullSafeKeys = true)
     else
-      DataMerge.mergeIntoParquetFull(spark, path, combined, keys)
+      DataMerge.mergeIntoParquetFull(spark, path, combined, keys,
+        nullSafeKeys = true)
   }
 }

@@ -28,8 +28,16 @@ object Packing {
       numRanges: Int = 64): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // MATERIALIZED once (eager localCheckpoint): the ranged frame
+    // feeds two jobs — the subtotal collect below and the caller's
+    // action — and RangePartitioner's boundaries come from SAMPLING
+    // seeded per execution. Re-executing the plan could land boundary
+    // rows in a neighboring range, silently breaking base(pid)+local
+    // == global-prefix. Small tests (sample == full data) never see
+    // it; only the materialization makes the two jobs agree at scale.
     val ranged = df.repartitionByRange(numRanges, col(orderCol))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
     // per-range subtotals — ≤ numRanges rows, a control-plane collect
     val totals = ranged.groupBy("__pid")
       .agg(sum(col(sizeCol).cast("long")).as("__tot"))
@@ -62,7 +70,12 @@ object Packing {
       // exact below 2^53 total tokens — DIV stays exact at any corpus
       // size (offsets are non-negative, so DIV == floor division)
       .withColumn("pack_id", expr(s"tok_offset DIV $budget"))
+      // size-0 docs span exactly the ONE pack holding their offset:
+      // the last-token formula would give 0 on a pack boundary and
+      // hit DIV's truncate-toward-zero (not floor) at offset 0
       .withColumn("packs_spanned",
-        (expr(s"(tok_offset + CAST(${sizeCol} AS BIGINT) - 1) DIV $budget")
-          - col("pack_id") + 1).cast("int"))
+        when(col(sizeCol).cast("long") === 0L, lit(1))
+          .otherwise((expr(
+            s"(tok_offset + CAST(${sizeCol} AS BIGINT) - 1) DIV $budget")
+            - col("pack_id") + 1).cast("int")))
 }

@@ -97,6 +97,11 @@ object Scd2 {
       partCols: Seq[String]): Seq[Seq[Any]] = {
     DataMerge.requireUniqueKeys(updates, keys)
     if (partCols.isEmpty) {
+      // DataMerge's contract: callers that READ `path` before writing
+      // must recover first — a crash in a prior apply's commit window
+      // left the table at the hidden .old backup, and the read below
+      // would throw path-not-found forever instead of self-healing
+      DataMerge.recoverStagedOverwrite(spark, path)
       val history = spark.read.option("mergeSchema", "true").parquet(path)
       DataMerge.stagedOverwrite(spark, path,
         applyChanges(history, updates, keys, attrs, ts), Nil)

@@ -52,14 +52,24 @@ object Similarity {
     * is a deterministic function of the PARTITION column, so Catalyst
     * evaluates it against the directory values at planning time — only
     * matching `bucket=` dirs are listed and read. */
+  /** Driver-side bucket of a query vector: sign-pack of plane dot
+    * products. ONE definition shared by both probe paths — it must
+    * stay bit-for-bit in sync with the executor-side
+    * HyperplaneBucket semantics (> 0 test, min-length zip), or a
+    * probe would aim at the wrong `bucket=` directory and return
+    * empty results. */
+  private def queryBucket(planes: Seq[Array[Double]],
+      query: Array[Float]): Long =
+    planes.zipWithIndex.map { case (p, i) =>
+      val d = p.zip(query).map { case (w, x) => w * x.toDouble }.sum
+      if (d > 0) 1L << i else 0L
+    }.sum
+
   def probePersistedIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, embedding: String, id: String, query: Array[Float],
       numPlanes: Int, k: Int, probeHamming: Int = 1): DataFrame = {
     val planes = makePlanes(numPlanes, query.length)
-    val qBucket = planes.zipWithIndex.map { case (p, i) =>
-      val d = p.zip(query).map { case (w, x) => w * x.toDouble }.sum
-      if (d > 0) 1L << i else 0L
-    }.sum
+    val qBucket = queryBucket(planes, query)
     val q = lit(query.map(_.toDouble))
     spark.read.parquet(path)
       .where(bit_count(col("bucket").bitwiseXOR(lit(qBucket))) <= probeHamming)
@@ -75,10 +85,7 @@ object Similarity {
     val dim = query.length
     val planes = makePlanes(numPlanes, dim)
     // query bucket computed driver-side (same plane family)
-    val qBucket = planes.zipWithIndex.map { case (p, i) =>
-      val d = p.zip(query).map { case (w, x) => w * x.toDouble }.sum
-      if (d > 0) 1L << i else 0L
-    }.sum
+    val qBucket = queryBucket(planes, query)
     val q = lit(query.map(_.toDouble))
     indexed
       .where(bit_count(col("bucket").bitwiseXOR(lit(qBucket))) <= probeHamming)

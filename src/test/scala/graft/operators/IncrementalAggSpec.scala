@@ -101,4 +101,41 @@ class IncrementalAggSpec extends SparkSpec {
       .agg(sum($"n")).as[Long].head()
     assert(got == 20L)
   }
+
+  test("a NULL group key is ONE running group: folds merge it " +
+    "null-safely instead of duplicating it per fold") {
+    val path = tmpDir("incr") + "/nullkey"
+    def chunk(tag: String) =
+      Seq((null.asInstanceOf[String], 1L), ("g1", 2L), (null, 3L))
+        .toDF("grp", "v").withColumn("v", $"v".cast("decimal(20,4)"))
+    IncrementalAgg.upsert(spark, path, chunk("a"),
+      Seq("grp"), "n", Seq("v" -> "sum_v"))
+    IncrementalAgg.upsert(spark, path, chunk("b"),
+      Seq("grp"), "n", Seq("v" -> "sum_v"))
+    val rows = spark.read.parquet(path)
+      .select($"grp", $"n", $"sum_v".cast("long"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rows.count(_._1 == null) == 1,
+      s"the NULL group must stay one merged row, got $rows")
+    assert(rows.find(_._1 == null).get == ((null, 4L, 8L)))
+    assert(rows.find(_._1 == "g1").get == (("g1", 2L, 4L)))
+  }
+
+  test("a crash inside the staged-overwrite commit window self-heals " +
+    "on the next fold — history is recovered, never recreated") {
+    val path = tmpDir("incr") + "/crash"
+    IncrementalAgg.upsert(spark, path, rows(10, "a"),
+      Seq("grp"), "n", Seq("v" -> "sum_v"))
+    // simulate the crash window: table renamed to the hidden backup,
+    // replacement never landed
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val bak = new Path(DataMerge.hiddenSibling(path, ".old"))
+    assert(fs.rename(new Path(path), bak))
+    IncrementalAgg.upsert(spark, path, rows(10, "b"),
+      Seq("grp"), "n", Seq("v" -> "sum_v"))
+    assert(spark.read.parquet(path).agg(sum($"n")).as[Long].head() == 20L,
+      "the fold must RECOVER the backup and merge, not restart from " +
+        "the new chunk alone")
+  }
 }

@@ -18,6 +18,38 @@ class OperatorSpec extends SparkSpec {
     assert(kept.agg(max("doc_id")).head().getLong(0) < 100000)
   }
 
+  test("short docs (no shingles) are NEVER near-dup candidates: the " +
+    "sentinel signature must not bucket unrelated one-liners together") {
+    // five distinct docs each SHORTER than the shingle size (3 tokens):
+    // all share the all-MaxValue sentinel signature — pre-fix the
+    // keep-first rule deleted every one but the minimum id
+    val shorts = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma beta"),
+      (4L, "delta"), (5L, "x y")).toDF("doc_id", "text")
+    val kept = Dedup.minhashDedup(shorts, $"text", "doc_id")
+    assert(kept.count() == 5,
+      "distinct short docs must all survive near-dedup")
+    // incremental form: short chunk docs are unique, not corpus dups
+    val idx = tmpDir("bandidx") + "/idx"
+    Dedup.writeBandIndex(shorts, $"text", "doc_id", idx)
+    val flags = Dedup.dedupChunkAgainstIndex(
+      Seq((10L, "omega"), (11L, "psi chi")).toDF("doc_id", "text"),
+      $"text", "doc_id", idx)
+    assert(flags.where($"dup_of_corpus" || $"dup_in_chunk").count() == 0)
+    // jaccardVerify on an empty-shingle pair: dropped, never 0/0
+    val cands = Seq((1L, 2L)).toDF("id_a", "id_b")
+    assert(Dedup.jaccardVerify(shorts, $"text", "doc_id", cands,
+      shingleSize = 3, threshold = 0.0).count() == 0)
+    // banding geometry that would empty every slice fails FAST
+    intercept[IllegalArgumentException] {
+      Dedup.minhashDedup(shorts, $"text", "doc_id",
+        numHashes = 16, bands = 32)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minhashDedup(shorts, $"text", "doc_id",
+        numHashes = 16, bands = 5) // non-dividing: trailing hashes lost
+    }
+  }
+
   test("minhashDedup drops exact copies and keeps distinct docs") {
     val copies = docs.limit(5).withColumn("doc_id", $"doc_id" + 100000)
     val withDups = docs.union(copies)

@@ -26,6 +26,22 @@ class PackingSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 0L, 1), (2L, 0L, 1), (3L, 0L, 2)))
   }
 
+  test("zero-size docs span exactly ONE pack, boundary-aligned or not") {
+    // budget 10: sizes 10,0,5,0 -> offsets 0,10,10,15; both empty docs
+    // sit differently (one ON a boundary) and both must span 1
+    val df = Seq((1L, 10L), (2L, 0L), (3L, 5L), (4L, 0L)).toDF("id", "n")
+    val got = Packing.assignPacks(df, "n", "id", budget = 10L, numRanges = 2)
+      .select($"id", $"pack_id", $"packs_spanned")
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 0L, 1), (2L, 1L, 1), (3L, 1L, 1),
+      (4L, 1L, 1)))
+    // and a size-0 doc at offset 0 (the DIV-truncation edge) spans 1
+    val zf = Seq((1L, 0L), (2L, 3L)).toDF("id", "n")
+    val z = Packing.assignPacks(zf, "n", "id", budget = 10L, numRanges = 1)
+      .select($"id", $"packs_spanned").as[(Long, Int)].collect().toMap
+    assert(z(1L) == 1)
+  }
+
   test("plan is range-partitioned, never a single-partition global sort") {
     val df = spark.range(1000).toDF("id").withColumn("n", lit(3L))
     val out = Packing.withOffsets(df, "n", "id", numRanges = 6)

@@ -98,4 +98,27 @@ class Scd2Spec extends SparkSpec {
       (1L, "central", "v1", ts("2024-03-01 00:00:00"), None), // new current
       (2L, "west", "w1", ts("2024-01-15 00:00:00"), None)))
   }
+
+  test("an unpartitioned apply self-heals a crash in a prior apply's " +
+    "commit window instead of failing on the missing path forever") {
+    val path = tmpDir("scd2crash") + "/dim"
+    Seq((1L, "v1", ts("2024-01-01 00:00:00"),
+      Option.empty[Timestamp])).toDF("k", "attr", "valid_from", "valid_to")
+      .write.parquet(path)
+    // simulate the crash window: table renamed to the hidden backup
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(DataMerge.hiddenSibling(path, ".old"))))
+    val updates = Seq((1L, "v2", ts("2024-02-01 00:00:00")))
+      .toDF("k", "attr", "ts")
+    Scd2.applyToTable(spark, path, updates, Seq("k"), Seq("attr"), "ts", Nil)
+    val out = spark.read.parquet(path)
+      .as[(Long, String, Timestamp, Option[Timestamp])].collect().toSet
+    assert(out == Set(
+      (1L, "v1", ts("2024-01-01 00:00:00"),
+        Some(ts("2024-02-01 00:00:00"))),
+      (1L, "v2", ts("2024-02-01 00:00:00"), None)),
+      "the apply must recover the backup and close v1 against it")
+  }
 }
