@@ -27,6 +27,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_similarity"
 
+  /** Analysis-time gate: a wrong-typed child (say a quantized
+    * array<int>) would otherwise read misaligned bytes via getDouble
+    * and flow plausible-looking garbage through the whole ANN scan. */
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>/array<double> inputs, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
   /** Supports array<float> and array<double> children (mixed OK). */
   private def isFloatArray(e: Expression): Boolean = e.dataType match {
     case org.apache.spark.sql.types.ArrayType(

@@ -35,6 +35,22 @@ case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "hyperplane_bucket"
 
+  /** Analysis-time gate (same rationale as [[CosineSimilarity]]):
+    * a non-float/double array child would read garbage dot products
+    * and bucket the whole index wrongly with no error. */
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(FloatType |
+        org.apache.spark.sql.types.DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<float>/array<double> input, " +
+          s"got ${other.catalogString}")
+    }
+  }
+
   private def isFloatArray: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false

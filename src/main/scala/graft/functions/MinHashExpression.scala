@@ -28,6 +28,17 @@ case class MinHashes(child: Expression, numHashes: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhashes"
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<bigint> of shingle hashes, " +
+          s"got ${other.catalogString}")
+    }
+  }
+
   private lazy val seeds: Array[Long] = {
     val rnd = new scala.util.Random(0x5eed)
     Array.fill(numHashes)(rnd.nextLong())

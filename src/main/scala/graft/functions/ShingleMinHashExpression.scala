@@ -38,6 +38,18 @@ case class ShingleMinHashes(child: Expression, shingleSize: Int,
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_minhashes"
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<string> of tokens, " +
+          s"got ${other.catalogString}")
+    }
+  }
+
   private lazy val seeds: Array[Long] = {
     val rnd = new scala.util.Random(0x5eed) // MUST match MinHashes' family
     Array.fill(numHashes)(rnd.nextLong())

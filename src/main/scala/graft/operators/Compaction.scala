@@ -96,9 +96,22 @@ object Compaction {
   }
 
   /** Compact every leaf partition dir (any depth) over `maxFiles` down
-    * to `targetFiles`; returns the table-relative leaf paths touched. */
+    * to `targetFiles`; returns the table-relative leaf paths touched.
+    * Relativization QUALIFIES both sides first: `leafPartitionDirs`
+    * hands back fully qualified URIs (`file:/...`, `hdfs://nn/...`),
+    * so a plain `stripPrefix(path)` on an unqualified caller path
+    * would be a silent no-op and leak absolute URIs as "relative"
+    * names. */
   def compactLeaves(spark: SparkSession, path: String,
-      maxFiles: Int, targetFiles: Int = 1): Seq[String] =
+      maxFiles: Int, targetFiles: Int = 1): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val rootQ = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(path)).toString
     compactOver(spark, leafPartitionDirs(spark, path), maxFiles,
-      targetFiles).map(_.stripPrefix(path).stripPrefix("/"))
+      targetFiles).map { d =>
+      fs.makeQualified(new org.apache.hadoop.fs.Path(d)).toString
+        .stripPrefix(rootQ).stripPrefix("/")
+    }
+  }
 }

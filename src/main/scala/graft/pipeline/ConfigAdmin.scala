@@ -30,7 +30,15 @@ object ConfigAdmin {
     val have = existing.map(_.toLowerCase).toSet
     val additions = incoming
       .map(_.trim).filter(_.nonEmpty)
-      .filterNot(t => have.contains(t.toLowerCase))
+      // already present UNDER EITHER SPELLING: the bare name, or the
+      // task-prefixed tag a prior merge stored it as — without the
+      // tagged check, re-running add-tables appends the tagged form
+      // again on every invocation
+      .filterNot { t =>
+        val lt = t.toLowerCase
+        have.contains(lt) ||
+          have.contains(s"${task.toLowerCase}__$lt")
+      }
       .map(t =>
         if (tablesElsewhere.contains(t.toLowerCase)) s"${task}__$t" else t)
     existing ++ additions
@@ -53,7 +61,8 @@ object ConfigAdmin {
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Seq.empty)
       val elsewhere = store.allValues()
-        .filter(c => c.group_name == group && c.config_name != key)
+        .filter(c => c.group_name.equalsIgnoreCase(group) &&
+          !c.config_name.equalsIgnoreCase(key))
         .flatMap(_.config_value.split(",")).map(_.trim.toLowerCase).toSet
       val merged = mergeTableLists(existing,
         tables.split(",").toSeq, task, elsewhere)
@@ -111,8 +120,8 @@ object ConfigAdmin {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
     val elsewhere = store.allValues()
-      .filter(c => c.group_name == TableGroup &&
-        c.config_name != tableConfigName)
+      .filter(c => c.group_name.equalsIgnoreCase(TableGroup) &&
+        !c.config_name.equalsIgnoreCase(tableConfigName))
       .flatMap(_.config_value.split(",")).map(_.trim.toLowerCase).toSet
     val merged = mergeTableLists(existingTables,
       tablesName.split(",").toSeq, task, elsewhere)

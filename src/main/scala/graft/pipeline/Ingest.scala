@@ -136,16 +136,10 @@ final class Ingest(spark: SparkSession, source: Source, cfg: IngestConfig,
     }
     val results =
       if (parallelism <= 1) jobs.map(runOne)
-      else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
-        try {
-          val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
-          val futures = jobs.map(j =>
-            scala.concurrent.Future(runOne(j))(ec))
-          futures.map(f => scala.concurrent.Await.result(f,
-            scala.concurrent.duration.Duration.Inf))
-        } finally pool.shutdown()
-      }
+      else // the shared bounded driver pool (runOne contains errors,
+           // so its failure path is never exercised here)
+        graft.operators.DriverPar.map(jobs,
+          maxThreads = parallelism)(runOne)
     log.add("run complete")
     log.flush(spark, cfg.auditPath)
     RunReport(results)
@@ -190,7 +184,17 @@ final class Ingest(spark: SparkSession, source: Source, cfg: IngestConfig,
 
       Route.decide(stagedCount, cfg.singleBatchDataLimit, wmCols.nonEmpty) match {
         case Route.Full =>
-          LakeWriter.write(staged, paths.filePath, SaveMode.Overwrite,
+          // an INCREMENTAL load's staged frame is a watermark DELTA,
+          // not the table: overwriting the dated dir with it would
+          // wipe rows a same-day chunked run already landed there (a
+          // backlog load writes ALL its rows under the RUN date, and
+          // the advanced watermark excludes them from the re-stage).
+          // Delta appends like the chunked path — same at-least-once
+          // overlap semantics; only a full (no-watermark) snapshot
+          // overwrites
+          val mode =
+            if (last.isDefined) SaveMode.Append else SaveMode.Overwrite
+          LakeWriter.write(staged, paths.filePath, mode,
             Some(cfg.filesPerChunk), cfg.lakeFormat, bucket)
           // full path updates but never inserts (reference quirk,
           // `Ingest:424-426` insertconfig only on chunked)

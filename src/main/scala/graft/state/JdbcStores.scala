@@ -57,21 +57,45 @@ object JdbcStateSchema {
     * the default schema. getSchema can itself be unsupported (older
     * drivers) — then the probe degrades to the wildcard with the
     * documented caveat rather than failing ensure outright. */
+  /** (url, table) pairs already ensured by THIS process: a 1000-table
+    * run issues thousands of store calls, and the getTables catalog
+    * scan must not ride every one. An external DROP mid-process goes
+    * unnoticed until the next statement fails — acceptable for
+    * control-plane tables nothing legitimately drops. */
+  private val ensured =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def ensure(conn: Connection, table: String, ddl: String): Unit = {
-    val schema =
-      try Option(conn.getSchema).filter(_.nonEmpty).orNull
-      catch { case _: Throwable => null }
-    val rs = conn.getMetaData.getTables(null, schema, null,
-      Array("TABLE"))
-    var found = false
-    try {
-      while (rs.next() && !found)
-        found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
-    } finally rs.close()
-    if (!found) {
-      val st = conn.createStatement()
-      try st.execute(ddl) finally st.close()
+    val urlKey =
+      try conn.getMetaData.getURL
+      catch { case _: Throwable => "?" }
+    val memoKey = s"$urlKey|$table"
+    if (ensured.contains(memoKey)) return
+    def probe(): Boolean = {
+      val schema =
+        try Option(conn.getSchema).filter(_.nonEmpty).orNull
+        catch { case _: Throwable => null }
+      val rs = conn.getMetaData.getTables(null, schema, null,
+        Array("TABLE"))
+      var found = false
+      try {
+        while (rs.next() && !found)
+          found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
+      } finally rs.close()
+      found
     }
+    if (!probe()) {
+      val st = conn.createStatement()
+      try st.execute(ddl)
+      catch {
+        // create-if-absent must tolerate LOSING the race: concurrent
+        // first-run callers all miss the probe and all issue the DDL —
+        // only a table still missing after the failure is a real fault
+        case e: java.sql.SQLException => if (!probe()) throw e
+      }
+      finally st.close()
+    }
+    ensured.add(memoKey)
   }
 }
 

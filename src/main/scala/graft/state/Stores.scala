@@ -66,6 +66,12 @@ final class ConfigStore(spark: SparkSession, path: String)
   import spark.implicits._
 
   def all(): Dataset[ConfigValue] = {
+    // crash repair BEFORE the existence probe: after a crash inside a
+    // prior overwrite's commit window the table lives only at the
+    // hidden .old backup — an exists-check alone would read EMPTY,
+    // and the next upsert would then commit just its own row,
+    // permanently wiping every other config value
+    graft.operators.DataMerge.recoverStagedOverwrite(spark, path)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
@@ -78,7 +84,9 @@ final class ConfigStore(spark: SparkSession, path: String)
   /** Active values of a group as name->value (the `rdd.collectAsMap()`
     * pattern at `Ingest:97,104` — config tables are tiny by contract). */
   def activeGroup(group: String): Map[String, String] =
-    all().filter(c => c.is_active && c.group_name == group)
+    // case-insensitive like `value` and the JDBC backend — the two
+    // ConfigStoreApi implementations must agree on row matching
+    all().filter(c => c.is_active && c.group_name.equalsIgnoreCase(group))
       .collect().map(c => c.config_name -> c.config_value).toMap
 
   /** Single config value; case-insensitive name match (P11,
@@ -114,6 +122,9 @@ final class WatermarkStore(spark: SparkSession, path: String)
   }
 
   def all(): Dataset[TableLoadDetail] = {
+    // same read-side crash repair as ConfigStore.all — a lost
+    // watermark table would re-load every table from scratch
+    graft.operators.DataMerge.recoverStagedOverwrite(spark, path)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(path)))

@@ -28,6 +28,20 @@ class CosineExprSpec extends SparkSpec {
     rows.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
   }
 
+  test("wrong-typed inputs fail at ANALYSIS, not as silent garbage: " +
+    "an array<int> embedding would read misaligned bytes") {
+    val df = Seq((Array(1, 2, 3), "x y z")).toDF("iv", "txt")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(CosineSimilarity($"iv", $"iv")).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.functions.ShingleMinHashes($"iv", 3, 4)).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.functions.MinHashes($"iv", 4)).collect()
+    }
+  }
+
   test("zero vector yields null, not NaN") {
     val df = Seq((Array(0f, 0f), Array(1f, 2f))).toDF("a", "b")
     val r = df.select(CosineSimilarity($"a", $"b")).head()

@@ -380,6 +380,34 @@ class IngestSpec extends SparkSpec {
       tablesElsewhere = Set("shared"))
     assert(merged == Seq("Hospital", "public.Visit", "Ward",
       "urgentcare__Shared"))
+    // IDEMPOTENT: re-merging the same request against the result must
+    // change nothing — the tagged form counts as "already present"
+    // (pre-fix every rerun appended urgentcare__Shared again)
+    val again = ConfigAdmin.mergeTableLists(
+      existing = merged,
+      incoming = Seq("hospital", "Ward", "Shared"),
+      task = "urgentcare",
+      tablesElsewhere = Set("shared"))
+    assert(again == merged)
+  }
+
+  test("a same-day rerun routed Full (small delta) APPENDS to the run " +
+    "date's dir — never clobbers the chunked data already landed there") {
+    val (base, cfg, _, ingest) = setup()
+    ingest.run() // 6k rows > 2k limit: chunked appends + watermark
+    val dated = s"$base/lake/visits/2026/08/12"
+    val before = spark.read.parquet(dated).count()
+    assert(before > 2000)
+    // rerun the same day: stages only the >= watermark slice (a few
+    // rows, < limit) -> Route.Full. Pre-fix this OVERWROTE the dated
+    // dir with the tiny delta, silently discarding the chunked load
+    val log2 = new AuditLog
+    val ingest2 = new Ingest(spark, new ParquetSource(s"$base/src"), cfg,
+      new LogAlertSink(log2), log2)
+    assert(ingest2.run().exitStatus == "SUCCESS")
+    val after = spark.read.parquet(dated).count()
+    assert(after >= before,
+      s"rerun shrank the day's data: $before -> $after")
   }
 
   test("ConfigAdmin.interactive drives the six widget prompts end to " +

@@ -19,6 +19,24 @@ class JdbcStoresSpec extends AnyFunSuite {
 
   private def url(db: String) = s"jdbc:derby:memory:$db;create=true"
 
+  test("concurrent first-run callers all racing the state-table DDL " +
+    "succeed — losing the create race is tolerated, not FAILED") {
+    val u = url("wmjdbcrace")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val gate = new java.util.concurrent.CyclicBarrier(8)
+    val results =
+      try (1 to 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Option[Timestamp]] {
+          def call(): Option[Timestamp] = {
+            gate.await(10, java.util.concurrent.TimeUnit.SECONDS)
+            new JdbcWatermarkStore(u, "", "").lastLoad("sys", "db", s"t$i")
+          }
+        })
+      }.map(_.get()) // pre-fix: ~7 of 8 threw table-already-exists
+      finally pool.shutdown()
+    assert(results.forall(_.isEmpty))
+  }
+
   test("JdbcWatermarkStore MERGE: update-when-matched, " +
     "insert-only-when-flagged, round-trips over JDBC") {
     val store = new JdbcWatermarkStore(url("wmjdbc1"), "", "")

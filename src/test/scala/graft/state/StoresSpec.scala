@@ -17,6 +17,27 @@ class StoresSpec extends SparkSpec {
     assert(store.activeGroup("g") == Map("A" -> "3", "b" -> "2"))
   }
 
+  test("a crash inside a prior overwrite's commit window never wipes " +
+    "the store: reads AND the next upsert recover the hidden backup") {
+    val path = tmpDir("cfgcrash") + "/config"
+    val store = new ConfigStore(spark, path)
+    store.upsert(ConfigValue("g", "a", "1", is_active = true))
+    store.upsert(ConfigValue("g", "b", "2", is_active = true))
+    // simulate the window: table only at the hidden .old backup
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(
+        graft.operators.DataMerge.hiddenSibling(path, ".old"))))
+    // pre-fix: all() saw a missing path -> empty -> this upsert
+    // committed ONLY row c, permanently losing a and b
+    store.upsert(ConfigValue("g", "c", "3", is_active = true))
+    assert(store.activeGroup("g") ==
+      Map("a" -> "1", "b" -> "2", "c" -> "3"))
+    // activeGroup is case-insensitive like value() and the JDBC form
+    assert(store.activeGroup("G") == store.activeGroup("g"))
+  }
+
   test("WatermarkStore MERGE: update-when-matched, insert-only-when-flagged") {
     val store = new WatermarkStore(spark, tmpDir("wm") + "/wm")
     val t1 = Timestamp.valueOf("2026-01-01 00:00:00")
