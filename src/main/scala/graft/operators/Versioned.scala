@@ -267,28 +267,33 @@ object Versioned {
       filesFor: Option[Long] => Seq[String]): Long = {
     val inheritKeys =
       if (mode == "append") ContractKeys else Set(Invariants.MetaKey)
-    var metaNow = fullMeta
-    val cBase = baseV
+    // the set of rules the STAGED rows have been checked against grows
+    // across retries, SEPARATELY from the commit's meta: folding the
+    // merged rule string into the meta would make it look like this
+    // commit's EXPLICIT intent in the next attempt's three-way merge —
+    // resurrecting a constraint a concurrent DROP removed in between
+    // (our != exp with land = the explicit empty drop); and advancing
+    // the contract base instead would skip the re-merge and silently
+    // drop an interleaved bloom/rename/carrier. Meta and base both
+    // stay put; only the validated set advances.
+    var validated: Set[Invariants.Rule] = Invariants.decode(fullMeta).toSet
     var committed = -1L
     var races = 0
     while (committed < 0) {
-      try committed = commitManifest(fs, root, metaNow, filesFor,
-        cBase, inheritKeys, revalidateInv = true)
+      try committed = commitManifest(fs, root, fullMeta, filesFor,
+        baseV, inheritKeys, revalidateInv = true,
+        validatedInv = Some(validated))
       catch {
         case ic: InvariantsChanged =>
           races += 1
           if (races > 5) throw new IllegalStateException(
             s"commit on $table kept racing invariant declarations " +
               s"($races attempts) — retry when the DDL storm subsides")
-          enforceStaged(spark, fs, root, newLines,
-            Invariants.decode(Map(Invariants.MetaKey -> ic.inv)),
+          val fresh = Invariants.decode(Map(Invariants.MetaKey -> ic.inv))
+          enforceStaged(spark, fs, root, newLines, fresh,
             s"$mode commit (constraint added concurrently)", mapping)
-          // only the VALIDATED invariant set advances; cBase stays the
-          // original so the retry re-merges EVERY contract key from
-          // the base it actually lands on — advancing cBase to ic.base
-          // would skip that merge and silently drop an interleaved
-          // bloom/rename/carrier landed in the same window
-          metaNow = metaNow + (Invariants.MetaKey -> ic.inv)
+          validated ++= fresh
+          commitTestHook() // the re-validation → retry window
       }
     }
     committed
@@ -1077,7 +1082,8 @@ object Versioned {
       filesFor: Option[Long] => Seq[String],
       contractBase: Option[Long] = None,
       inheritKeys: Set[String] = Set.empty,
-      revalidateInv: Boolean = false): Long = {
+      revalidateInv: Boolean = false,
+      validatedInv: Option[Set[Invariants.Rule]] = None): Long = {
     val lock = commitLocks.computeIfAbsent(
       root.toUri.toString, _ => new Object)
     lock.synchronized {
@@ -1095,10 +1101,13 @@ object Versioned {
           inheritKeys)
       if (revalidateInv &&
           effMeta.get(Invariants.MetaKey) != meta.get(Invariants.MetaKey)) {
-        // the rows of this commit were validated against the CALLER's
-        // rule set; if the merge demands rules beyond it, hand the
-        // decision back before anything lands
-        val validated = Invariants.decode(meta).toSet
+        // the rows of this commit were validated against the caller's
+        // ACCUMULATED rule set (grown by prior InvariantsChanged
+        // handshakes — tracked apart from the meta, see
+        // commitRowsWithContract); if the merge demands rules beyond
+        // it, hand the decision back before anything lands
+        val validated =
+          validatedInv.getOrElse(Invariants.decode(meta).toSet)
         if (!Invariants.decode(effMeta).forall(validated.contains))
           throw new InvariantsChanged(effMeta(Invariants.MetaKey))
       }
@@ -1465,8 +1474,17 @@ object Versioned {
         case (`v`, s) => s }).getOrElse {
       val root = new Path(table)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      inferPhysicalSchema(spark, fs, root, v)
-        .getOrElse(return (physDf, None, None))
+      // the read-planning cache may already hold this immutable
+      // version's inferred schema (a prior query) — an append cold
+      // start then pays no footer job at all, and a fresh inference
+      // is published there for the next reader
+      val rKey = Versioned.cacheKey(fs, root, v)
+      Option(readSchemaCache.get(rKey)).getOrElse {
+        val s = inferPhysicalSchema(spark, fs, root, v)
+          .getOrElse(return (physDf, None, None))
+        readSchemaCache.put(rKey, s)
+        s
+      }
     }
     val widen = spark.conf.getOption(SchemaEnforce.WidenConf)
       .exists(_.toBoolean)
@@ -2923,7 +2941,7 @@ object Versioned {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = version.orElse(latestVersion(fs, root)).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $table"))
-    val key = cacheKey(fs, root, v)
+    val key = (table, v) // caller-spelled: the map's keys embed `root`
     val hit = statsCache.get(key)
     if (hit != null) hit
     else {
@@ -2932,7 +2950,7 @@ object Versioned {
         stats.flatMap(SegmentStats.parse)
           .map(new Path(root, rel).toString -> _)
       }.toMap
-      statsCache.put(key, parsed)
+      if (parsed.size <= ManifestCacheLineMax) statsCache.put(key, parsed)
       parsed
     }
   }
@@ -3232,14 +3250,19 @@ object Versioned {
     * are served but not retained, bounding memory. */
   private val ManifestCacheMax = 1024
   private val ManifestCacheLineMax = 200000
-  private val manifestCache =
+
+  /** One access-ordered bounded LRU shape for every log-layer cache —
+    * the per-cache BOUNDS (entry count here, entry SIZE at each put
+    * site) stay visible at the declarations below. */
+  private def boundedLru[K, V](max: Int): java.util.Map[K, V] =
     java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[(String, Long), List[String]](
-          128, 0.75f, true) {
+      new java.util.LinkedHashMap[K, V](128, 0.75f, true) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[(String, Long), List[String]]): Boolean =
-          size() > ManifestCacheMax
+            e: java.util.Map.Entry[K, V]): Boolean = size() > max
       })
+
+  private val manifestCache =
+    boundedLru[(String, Long), List[String]](ManifestCacheMax)
 
   private def cacheKey(fs: FileSystem, root: Path, v: Long): (String, Long) =
     (fs.makeQualified(root).toUri.toString, v)
@@ -3248,45 +3271,34 @@ object Versioned {
     * the expanded-form cache must never hold a header-only entry under
     * the same key (a body consumer would see an empty file list). */
   private val headerCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[(String, Long), List[String]](
-          128, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[(String, Long), List[String]]): Boolean =
-          size() > ManifestCacheMax
-      })
+    boundedLru[(String, Long), List[String]](ManifestCacheMax)
 
-  /** Parsed per-file stats per (table, version): the catalog's plan
-    * path consults these several times per query (filter pushdown,
-    * the aggregate-pushdown probe AND answer, runtime row/size
-    * estimates, runtime filtering) — the O(files) line parse must be
-    * paid once, not five times per query. Few entries (they are
-    * whole-table maps), immutable per version. */
+  /** Parsed per-file stats per (CALLER-SPELLED table root, version):
+    * the catalog's plan path consults these several times per query
+    * (filter pushdown, the aggregate-pushdown probe AND answer,
+    * runtime row/size estimates, runtime filtering) — the O(files)
+    * line parse must be paid once, not five times per query. Keyed by
+    * the caller's own root spelling because the cached map's KEYS are
+    * absolute paths built from it — serving one spelling's map to
+    * another would silently miss every lookup and disable pruning.
+    * Entries over [[ManifestCacheLineMax]] files are served uncached
+    * (the manifestCache discipline), bounding driver memory. */
   private val statsCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[(String, Long),
-          Map[String, SegmentStats.FileStats]](16, 0.75f, true) {
-        override def removeEldestEntry(e: java.util.Map.Entry[
-            (String, Long), Map[String, SegmentStats.FileStats]]): Boolean =
-          size() > 64
-      })
+    boundedLru[(String, Long), Map[String, SegmentStats.FileStats]](64)
 
   /** Physical union schema per (table, version) for read planning —
     * a committed version's schema is immutable, so query compilation
     * must not re-run footer inference per query. */
   private val readSchemaCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[(String, Long), StructType](
-          16, 0.75f, true) {
-        override def removeEldestEntry(e: java.util.Map.Entry[
-            (String, Long), StructType]): Boolean = size() > 512
-      })
+    boundedLru[(String, Long), StructType](512)
 
   private def invalidateManifest(fs: FileSystem, root: Path, v: Long): Unit = {
     manifestCache.remove(cacheKey(fs, root, v))
     headerCache.remove(cacheKey(fs, root, v))
-    statsCache.remove(cacheKey(fs, root, v))
     readSchemaCache.remove(cacheKey(fs, root, v))
+    // spelling-keyed — cheap full clear on the rare mutation paths
+    // (vacuum, checkpoint materialization) rather than a key scan
+    statsCache.clear()
   }
 
   /** Test-only: drop every cached manifest. Specs that hand-edit
@@ -3301,18 +3313,24 @@ object Versioned {
     readSchemaCache.clear()
   }
 
+  /** One physical open of version `v`'s raw manifest file (counted by
+    * [[manifestReads]]) — shared by the expanded and header-only read
+    * paths so read accounting and encoding can never drift. */
+  private def readRawManifest(fs: FileSystem, root: Path,
+      v: Long): List[String] = {
+    manifestReads.incrementAndGet()
+    val in = fs.open(new Path(root, s"$LogDir/$v.manifest"))
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
   private def manifestLines(fs: FileSystem, root: Path, v: Long): Seq[String] = {
     val key = cacheKey(fs, root, v)
     val hit = manifestCache.get(key)
     if (hit != null) hit
     else {
-      manifestReads.incrementAndGet()
-      val p = new Path(root, s"$LogDir/$v.manifest")
-      val in = fs.open(p)
-      val raw =
-        try scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().filter(_.nonEmpty).toList
-        finally in.close()
+      val raw = readRawManifest(fs, root, v)
       // pointer checkpoint: splice the gzip'd body back in so every
       // consumer sees the EXPANDED (headers ++ file lines) form. The
       // protocol gate runs FIRST — a future pointer grammar must
@@ -3348,17 +3366,15 @@ object Versioned {
     if (full != null) return full.takeWhile(_.startsWith("#"))
     val hit = headerCache.get(key)
     if (hit != null) return hit
-    manifestReads.incrementAndGet()
-    val p = new Path(root, s"$LogDir/$v.manifest")
-    val in = fs.open(p)
-    val raw =
-      try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().filter(_.nonEmpty).toList
-      finally in.close()
+    val raw = readRawManifest(fs, root, v)
     val headers = raw.takeWhile(_.startsWith("#"))
-    if (headers.exists(_.startsWith(s"#$CkptKey=")))
+    if (headers.exists(_.startsWith(s"#$CkptKey="))) {
+      // same refuse-don't-half-read gate as the body path: a future
+      // pointer grammar (say multi-sidecar #ckpt) must not have its
+      // headers half-understood by readMeta/history/vacuum accounting
+      checkReader(root, v, headers)
       headerCache.put(key, headers) // pointer: body lives in the sidecar
-    else if (raw.sizeIs <= ManifestCacheLineMax)
+    } else if (raw.sizeIs <= ManifestCacheLineMax)
       manifestCache.put(key, raw) // raw IS the expanded form
     headers
   }

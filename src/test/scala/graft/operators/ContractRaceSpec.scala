@@ -165,6 +165,38 @@ class ContractRaceSpec extends SparkSpec {
     assert(Versioned.read(spark, t).count() == 51)
   }
 
+  test("a constraint DROPPED between the invariant handshake and the " +
+    "commit retry STAYS dropped — the validated rule set is never " +
+    "replayed as this commit's own declaration") {
+    val t = tmpDir("ctr-resurrect") + "/t"
+    Versioned.commit((1 to 5).map(i => (i.toLong, i * 10L))
+      .toDF("k", "cents").coalesce(1), t)
+    // phase 1 (commit's pre-attempt window): ADD CONSTRAINT lands, so
+    // attempt 1 throws the InvariantsChanged handshake and re-validates
+    // the staged rows against it. phase 3 (the re-validation -> retry
+    // window): DROP CONSTRAINT lands. The retry's merge must treat the
+    // validated rule as mere CARRY — folding it into the commit's meta
+    // would make it explicit intent and resurrect the dropped rule.
+    // (phases 2 and 4 are the DDLs' own metadata-commit hook firings)
+    var phase = 0
+    Versioned.commitTestHook = () => {
+      phase += 1
+      if (phase == 1)
+        Versioned.addInvariants(spark, t,
+          Seq(CheckRule("cents_pos", "cents >= 0")))
+      else if (phase == 3)
+        Versioned.dropInvariant(spark, t, "cents_pos")
+      ()
+    }
+    try Versioned.commit(Seq((6L, 60L)).toDF("k", "cents"), t, "append")
+    finally Versioned.commitTestHook = () => ()
+    assert(phase >= 3, s"the race never exercised the retry (phase=$phase)")
+    assert(Versioned.invariants(spark, t).isEmpty,
+      "the interleaved DROP CONSTRAINT must win over the carried " +
+        "validation set")
+    assert(Versioned.read(spark, t).count() == 6)
+  }
+
   test("two interleaved column renames BOTH land: the loser " +
     "revalidates against the winner's version and retries, never " +
     "reverting it") {
