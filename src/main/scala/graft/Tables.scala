@@ -50,11 +50,19 @@ object Tables {
     else normalizeTs(
       try spark.read.parquet(path)
       catch {
-        case scala.util.control.NonFatal(_) =>
-          // TIMESTAMP(NANOS) is rejected by the parquet schema converter
-          // unless the legacy long surface is enabled; scope that conf to
-          // a CHILD session — mutating the shared session's conf is the
-          // race class that broke f3/j4 in round 4.
+        // ONLY the nanos-rejection is retried: TIMESTAMP(NANOS) is
+        // refused by the parquet schema converter unless the legacy
+        // long surface is enabled; scoped to a CHILD session —
+        // mutating the shared session's conf is the race class that
+        // broke f3/j4 in round 4. A missing file, corrupt footer or
+        // permission error must surface with ITS OWN message, not a
+        // secondary failure from a pointless retry.
+        case e: Throwable
+            if scala.util.control.NonFatal(e) && {
+              val m = Option(e.getMessage).getOrElse("")
+              m.contains("NANOS") || m.contains("nanosAsLong") ||
+                m.contains("Illegal Parquet type")
+            } =>
           val c = spark.newSession()
           c.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           c.read.parquet(path)

@@ -20,17 +20,27 @@ import org.apache.spark.sql.functions._
   */
 object Check {
 
-  final case class Rule(name: String, violations: DataFrame)
+  /** `sumColumn` carries the rule KIND explicitly: Some(c) means the
+    * violation count is SUM(c) over the frame, None means COUNT(*).
+    * Sniffing it from the frame's first column name would silently
+    * mis-count any user frame that happens to carry that name. */
+  final case class Rule(name: String, violations: DataFrame,
+      sumColumn: Option[String] = None)
 
-  def notNull(df: DataFrame, cols: Seq[String]): Rule =
+  def notNull(df: DataFrame, cols: Seq[String]): Rule = {
+    require(cols.nonEmpty, "notNull needs at least one column")
     Rule(s"not_null(${cols.mkString(",")})",
       df.where(cols.map(c => col(c).isNull).reduce(_ || _)))
+  }
 
-  def unique(df: DataFrame, keys: Seq[String]): Rule =
+  def unique(df: DataFrame, keys: Seq[String]): Rule = {
+    require(keys.nonEmpty, "unique needs at least one key column")
     Rule(s"unique(${keys.mkString(",")})",
       df.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("__n")).where(col("__n") > 1)
-        .select((col("__n") - 1).as("__extra")))
+        .select((col("__n") - 1).as("__extra")),
+      sumColumn = Some("__extra"))
+  }
 
   /** SQL FK semantics: a NULL child key SATISFIES the constraint (use
     * `notNull` to forbid it) — without the filter the anti join would
@@ -50,10 +60,10 @@ object Check {
   def run(rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "Check.run needs at least one rule")
     rules.map { r =>
-      val c = r.violations.columns.headOption match {
-        case Some("__extra") =>
-          r.violations.agg(coalesce(sum(col("__extra")), lit(0L)))
-        case _ => r.violations.agg(count(lit(1)))
+      val c = r.sumColumn match {
+        case Some(sc) =>
+          r.violations.agg(coalesce(sum(col(sc)), lit(0L)))
+        case None => r.violations.agg(count(lit(1)))
       }
       c.select(lit(r.name).as("rule"),
         col(c.columns.head).cast("long").as("violations"))

@@ -53,7 +53,14 @@ object Invariants {
   private[graft] def encode(rules: Seq[Rule]): Map[String, String] =
     Map(MetaKey -> rules.map {
       case NotNull(c) => enc(s"notnull:$c")
-      case CheckRule(n, sql) => enc(s"check:$n:$sql")
+      case CheckRule(n, sql) =>
+        // ':' is the grammar separator: decode splits the entry at the
+        // FIRST colon, so a name carrying one would round-trip as a
+        // truncated name + a mangled (unparseable) SQL — every later
+        // write then refuses on a rule the user never wrote
+        require(!n.contains(':'),
+          s"constraint name '$n' must not contain ':'")
+        enc(s"check:$n:$sql")
     }.mkString(","))
 
   /** Decode a version's declared rules; malformed entries are DROPPED
@@ -64,7 +71,10 @@ object Invariants {
       .filter(_.nonEmpty).flatMap { e =>
         try dec(e) match {
           case s if s.startsWith("notnull:") =>
+            // empty column = malformed: dropped like any other bad
+            // entry — NotNull("") would refuse EVERY write forever
             Some(NotNull(s.stripPrefix("notnull:")))
+              .filter(_.col.nonEmpty)
           case s if s.startsWith("check:") =>
             s.stripPrefix("check:").split(":", 2) match {
               case Array(n, sql) if n.nonEmpty && sql.nonEmpty =>

@@ -55,7 +55,9 @@ object Multimodal {
     val nFrames = payload.length % 10 + 1
     val feature = Array.tabulate(4) { i =>
       if (payload.isEmpty) 0.0
-      else payload(i * (payload.length - 1) / 3).toDouble
+      // Long arithmetic: i * (len-1) overflows Int past ~715 MB —
+      // a single large video payload would index negative and crash
+      else payload((i.toLong * (payload.length - 1) / 3).toInt).toDouble
     }
     (nFrames, feature)
   }
@@ -77,11 +79,17 @@ object Multimodal {
 
   /** Frame sampling stub: emit every `stride`-th "frame" index with a
     * byte-derived fingerprint; shape of a video frame-sample stage. */
-  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame = {
+    require(stride >= 1, s"stride must be positive: $stride")
     media.select(col("doc_id"), col("meta.declared_frames").as("n"),
       col("payload"))
+      // zero-frame media yields zero sampled frames — sequence(0, -1)
+      // is an eval-time error that would fail the whole job on one
+      // empty file, not an empty list
+      .where(col("n") > 0)
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n") - 1, lit(stride))))
       .select(col("doc_id"), col("frame_idx"),
         xxhash64(col("payload"), col("frame_idx")).as("frame_hash"))
+  }
 }

@@ -29,19 +29,32 @@ object Profile {
     * one-row aggregate is unpivoted with `stack`. */
   def profile(df: DataFrame, exact: Boolean = false): DataFrame = {
     val fields = df.schema.fields.toSeq
-    val aggs: Seq[Column] = fields.flatMap { f =>
-      val c = col(f.name)
+    // df(name) resolves by EXACT name (a dotted name must not parse as
+    // a nested-field path); intermediate aliases are positional so an
+    // exotic source column name can never break alias/stack grammar —
+    // the original name only appears as an escaped string literal
+    val aggs: Seq[Column] = fields.zipWithIndex.flatMap { case (f, i) =>
+      val c = df(f.name)
+      // maps are neither orderable nor hashable: profile them as
+      // null-count only instead of refusing the whole table
+      val orderable = f.dataType match {
+        case _: org.apache.spark.sql.types.MapType => false
+        case _ => true
+      }
       Seq(
-        sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"),
-        (if (exact) countDistinct(c) else approx_count_distinct(c, 0.01))
-          .as(s"${f.name}__distinct"),
-        min(c).cast("string").as(s"${f.name}__min"),
-        max(c).cast("string").as(s"${f.name}__max"))
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"c${i}__nulls"),
+        (if (!orderable) lit(null).cast("long")
+         else if (exact) countDistinct(c)
+         else approx_count_distinct(c, 0.01)).as(s"c${i}__distinct"),
+        (if (orderable) min(c).cast("string") else lit(null).cast("string"))
+          .as(s"c${i}__min"),
+        (if (orderable) max(c).cast("string") else lit(null).cast("string"))
+          .as(s"c${i}__max"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = fields.map { f =>
-      s"'${f.name}', `${f.name}__nulls`, `${f.name}__distinct`, " +
-        s"`${f.name}__min`, `${f.name}__max`"
+    val stackArgs = fields.zipWithIndex.map { case (f, i) =>
+      val nameLit = f.name.replace("\\", "\\\\").replace("'", "\\'")
+      s"'$nameLit', c${i}__nulls, c${i}__distinct, c${i}__min, c${i}__max"
     }.mkString(", ")
     wide.select(expr(
       s"stack(${fields.size}, $stackArgs) AS " +

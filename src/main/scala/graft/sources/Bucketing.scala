@@ -52,7 +52,13 @@ private[sources] final class BoundBucket(keyType: DataType)
   override def canonicalName(): String =
     s"graft.bucket(${keyType.catalogString})"
   override def produceResult(input: InternalRow): Integer = {
+    // the function is user-callable through the FunctionCatalog:
+    // bucket(NULL, k) reads the null slot as 0 and a non-positive n
+    // would divide by zero mid-query — refuse with the argument named
+    if (input.isNullAt(0)) throw new IllegalArgumentException(
+      "bucket(n, key): n must not be NULL")
     val n = input.getInt(0)
+    require(n > 0, s"bucket(n, key): n must be positive, got $n")
     // matches catalyst Murmur3Hash: null contributes the seed unchanged
     val h: Int =
       if (input.isNullAt(1)) 42
