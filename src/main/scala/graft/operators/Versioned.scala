@@ -188,7 +188,7 @@ object Versioned {
     if (mode == "create" && baseV.isDefined) throw new CreateConflict(table)
     // the writer-protocol gate fires BEFORE any schema work or
     // segment write (commitManifest backstops it atomically)
-    baseV.foreach(b => checkWriter(root, b, manifestLines(fs, root, b)))
+    baseV.foreach(b => checkWriter(root, b, manifestHeaders(fs, root, b)))
     // column mapping: appends inherit the table's mapping (and write
     // PHYSICAL names); an overwrite clears it — the new snapshot is
     // written directly under logical names (the materialization
@@ -344,7 +344,7 @@ object Versioned {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val baseV = latestVersion(fs, root)
     if (mode == "create" && baseV.isDefined) throw new CreateConflict(table)
-    baseV.foreach(b => checkWriter(root, b, manifestLines(fs, root, b)))
+    baseV.foreach(b => checkWriter(root, b, manifestHeaders(fs, root, b)))
     // mapping inheritance mirrors [[commit]] (meta-supplied mapping
     // wins — the DDL paths construct it explicitly; read at exactly
     // baseV, the version the contract merge compares against); the
@@ -1092,7 +1092,7 @@ object Versioned {
       val base = latestVersion(fs, root)
       // the writer gate runs FIRST: a base stamped by a newer writer
       // declares duties this build cannot honor — refuse to commit
-      base.foreach(b => checkWriter(root, b, manifestLines(fs, root, b)))
+      base.foreach(b => checkWriter(root, b, manifestHeaders(fs, root, b)))
       val target = base.map(_ + 1).getOrElse(0L)
       val newLines = filesFor(base)
       val effMeta =
@@ -2103,7 +2103,7 @@ object Versioned {
     // retention is a MUTATION: a newer writer's duties (e.g. a sidecar
     // family this build doesn't know) must refuse, like any commit
     all.lastOption.foreach(v =>
-      checkWriter(root, v, manifestLines(fs, root, v)))
+      checkWriter(root, v, manifestHeaders(fs, root, v)))
     val (drop, keep) = all.splitAt(math.max(0, all.size - keepLast))
     dropAndSweep(fs, root, drop, keep)
   }
@@ -2120,7 +2120,7 @@ object Versioned {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val all = listVersions(fs, root)
     if (all.isEmpty) return 0
-    checkWriter(root, all.last, manifestLines(fs, root, all.last))
+    checkWriter(root, all.last, manifestHeaders(fs, root, all.last))
     val cutoff = System.currentTimeMillis - (hours * 3600000.0).toLong
     val latest = all.last
     // Drop only the CONTIGUOUS oldest prefix under the cutoff (the
@@ -2996,7 +2996,7 @@ object Versioned {
     while (true) {
       val v = latestVersion(fs, root).getOrElse(
         throw new IllegalArgumentException(s"no committed version in $table"))
-      checkWriter(root, v, manifestLines(fs, root, v))
+      checkWriter(root, v, manifestHeaders(fs, root, v))
       val existing = invariants(spark, table, Some(v))
       val names = existing.map(_.name).toSet
       val fresh = rules.filterNot(r => names.contains(r.name))
@@ -3249,7 +3249,10 @@ object Versioned {
     * Snapshot-scale entries (beyond [[ManifestCacheLineMax]] lines)
     * are served but not retained, bounding memory. */
   private val ManifestCacheMax = 1024
-  private val ManifestCacheLineMax = 200000
+  // var for tests only: ManifestLogSpec lowers it to simulate a
+  // beyond-cache-bound table (where the header-only writer gate
+  // matters) without committing 200k files
+  private[graft] var ManifestCacheLineMax = 200000
 
   /** One access-ordered bounded LRU shape for every log-layer cache —
     * the per-cache BOUNDS (entry count here, entry SIZE at each put
@@ -3392,7 +3395,14 @@ object Versioned {
       s"could not land checkpoint sidecar $name under $root")
   }
 
+  /** Count of checkpoint-sidecar (gz body) downloads — test hook
+    * proving header-only consumers never pay an O(table) body fetch
+    * (ManifestLogSpec). */
+  private[graft] val sidecarReads =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def readGzLines(fs: FileSystem, p: Path): List[String] = {
+    sidecarReads.incrementAndGet()
     val in = new java.util.zip.GZIPInputStream(fs.open(p), 1 << 16)
     try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().filter(_.nonEmpty).toList

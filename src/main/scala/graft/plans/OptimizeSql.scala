@@ -365,15 +365,17 @@ object GraftSqlParser {
   private val deletePathStmt = java.util.regex.Pattern.compile(
     """(?is)\s*DELETE\s+FROM\s+'([^']+)'(?:\s+WHERE\s+(.+?))?\s*;?\s*""")
 
-  /** Split on commas at paren/quote depth 0 (assignment lists contain
-    * function calls and string literals). */
+  /** Split on commas at paren/quote/backtick depth 0 (assignment lists
+    * contain function calls, string literals, and backquoted names). */
   private[plans] def splitTopLevel(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
-    var depth = 0; var inStr = false
+    var depth = 0; var inStr = false; var inTick = false
     s.foreach {
-      case '\'' => inStr = !inStr; cur += '\''
+      case '\'' if !inTick => inStr = !inStr; cur += '\''
       case c if inStr => cur += c
+      case '`' => inTick = !inTick; cur += '`'
+      case c if inTick => cur += c
       case '(' => depth += 1; cur += '('
       case ')' => depth -= 1; cur += ')'
       case ',' if depth == 0 => out += cur.toString; cur.clear()
@@ -383,37 +385,46 @@ object GraftSqlParser {
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
-  /** First index of `ch` at paren/quote depth 0, or -1. */
+  /** First index of `ch` at paren/quote/backtick depth 0, or -1.
+    * Backquoted identifiers may legally contain any char (including
+    * parens and the target char) — they must be opaque here. */
   private[plans] def topLevelIndexOf(s: String, ch: Char): Int = {
-    var depth = 0; var inStr = false; var i = 0
+    var depth = 0; var inStr = false; var inTick = false; var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '\'') inStr = !inStr
-      else if (!inStr && c == '(') depth += 1
-      else if (!inStr && c == ')') depth -= 1
-      else if (!inStr && depth == 0 && c == ch) return i
+      if (!inTick && c == '\'') inStr = !inStr
+      else if (!inStr && c == '`') inTick = !inTick
+      else if (!inStr && !inTick && c == '(') depth += 1
+      else if (!inStr && !inTick && c == ')') depth -= 1
+      else if (!inStr && !inTick && depth == 0 && c == ch) return i
       i += 1
     }
     -1
   }
 
-  /** Split at the first whitespace-delimited WHERE keyword at
-    * paren/quote depth 0: (before, Some(after)) or (s, None).
-    * Subquery WHEREs sit at depth > 0 and literal WHEREs inside
-    * quotes — both stay with the assignment list. */
+  /** Split at the first WHERE keyword at paren/quote/backtick depth 0:
+    * (before, Some(after)) or (s, None). Subquery WHEREs sit at depth
+    * > 0, literal WHEREs inside quotes, and `where`-named backquoted
+    * identifiers inside backticks — all stay with the assignment list.
+    * Boundary: whitespace before, any NON-IDENTIFIER char (or EOS)
+    * after — `WHERE(k=1)` is a valid split point; `WHEREx` is not. */
   private[plans] def splitTopLevelWhere(s: String): (String, Option[String]) = {
-    var depth = 0; var inStr = false; var i = 0
+    var depth = 0; var inStr = false; var inTick = false; var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '\'') inStr = !inStr
-      else if (!inStr) {
+      if (!inTick && c == '\'') inStr = !inStr
+      else if (!inStr && c == '`') inTick = !inTick
+      else if (!inStr && !inTick) {
         if (c == '(') depth += 1
         else if (c == ')') depth -= 1
         else if (depth == 0 && (c == 'w' || c == 'W') &&
             i + 5 <= s.length &&
             s.regionMatches(true, i, "WHERE", 0, 5) &&
             (i == 0 || s.charAt(i - 1).isWhitespace) &&
-            (i + 5 == s.length || s.charAt(i + 5).isWhitespace))
+            (i + 5 == s.length || {
+              val n = s.charAt(i + 5)
+              !(n.isLetterOrDigit || n == '_')
+            }))
           return (s.substring(0, i).trim,
             Some(s.substring(i + 5).trim).filter(_.nonEmpty))
       }

@@ -97,17 +97,60 @@ object JdbcStateSchema {
     }
     ensured.add(memoKey)
   }
+
+  /** Missing-table SQLStates across the databases this layer targets:
+    * Derby 42X05, Postgres 42P01, MySQL/ODBC 42S02, SQL Server S0002.
+    * Walked through the chained-exception list — drivers often wrap
+    * the stateful exception one level down. */
+  private val MissingTableStates = Set("42X05", "42P01", "42S02", "S0002")
+
+  private def isMissingTable(e: java.sql.SQLException): Boolean = {
+    var cur: java.sql.SQLException = e
+    var hops = 0
+    while (cur != null && hops < 8) {
+      if (MissingTableStates.contains(Option(cur.getSQLState).getOrElse("")))
+        return true
+      cur = cur.getNextException
+      hops += 1
+    }
+    false
+  }
+
+  /** Ensure + run, SELF-HEALING the memo: a database dropped and
+    * recreated under the same JDBC URL in-process (in-memory Derby in
+    * tests, an ops-side reset) would otherwise skip the DDL probe
+    * forever — the memo has no external invalidation. On a downstream
+    * missing-table failure, drop the memo entry, re-probe/re-create,
+    * and retry the body ONCE; any other failure (or a second
+    * missing-table) propagates untouched. */
+  def withEnsured[A](conn: Connection, table: String, ddl: String)(
+      body: => A): A = {
+    ensure(conn, table, ddl)
+    try body
+    catch {
+      case e: java.sql.SQLException if isMissingTable(e) =>
+        val urlKey =
+          try conn.getMetaData.getURL
+          catch { case _: Throwable => "?" }
+        ensured.remove(s"$urlKey|$table")
+        ensure(conn, table, ddl)
+        body
+    }
+  }
 }
 
 final class JdbcWatermarkStore(url: String, user: String, password: String)
     extends WatermarkStoreApi {
   import JdbcStateSchema._
 
+  // every method touches only WatermarkTable, so the ensure (and its
+  // missing-table self-heal retry) rides the connection wrapper once
   private def withConn[A](f: Connection => A): A = {
     val conn =
       if (user.isEmpty) DriverManager.getConnection(url)
       else DriverManager.getConnection(url, user, password)
-    try f(conn) finally conn.close()
+    try withEnsured(conn, WatermarkTable, WatermarkDdl)(f(conn))
+    finally conn.close()
   }
 
   private def key(systemType: String, db: String, table: String): Long = {
@@ -121,7 +164,6 @@ final class JdbcWatermarkStore(url: String, user: String, password: String)
 
   def lastLoad(systemType: String, db: String,
       table: String): Option[Timestamp] = withConn { conn =>
-    ensure(conn, WatermarkTable, WatermarkDdl)
     val ps = conn.prepareStatement(
       s"SELECT last_load_date FROM $WatermarkTable WHERE tableloaddetailsid = ?")
     try {
@@ -138,7 +180,6 @@ final class JdbcWatermarkStore(url: String, user: String, password: String)
     * insertIfMissing THEN INSERT. One transaction. */
   def commit(systemType: String, db: String, table: String,
       lastLoad: Timestamp, insertIfMissing: Boolean): Unit = withConn { conn =>
-    ensure(conn, WatermarkTable, WatermarkDdl)
     conn.setAutoCommit(false)
     try {
       val now = new Timestamp(System.currentTimeMillis())
@@ -177,7 +218,6 @@ final class JdbcWatermarkStore(url: String, user: String, password: String)
   /** All rows — audit/debug surface (mirrors the parquet store's
     * all(), driver-side since the table is control-plane small). */
   def all(): Seq[TableLoadDetail] = withConn { conn =>
-    ensure(conn, WatermarkTable, WatermarkDdl)
     val st = conn.createStatement()
     try {
       val rs = st.executeQuery(
@@ -200,15 +240,17 @@ final class JdbcConfigStore(url: String, user: String, password: String)
     extends ConfigStoreApi {
   import JdbcStateSchema._
 
+  // every method touches only ConfigTable — ensure + self-heal retry
+  // rides the connection wrapper (see JdbcWatermarkStore)
   private def withConn[A](f: Connection => A): A = {
     val conn =
       if (user.isEmpty) DriverManager.getConnection(url)
       else DriverManager.getConnection(url, user, password)
-    try f(conn) finally conn.close()
+    try withEnsured(conn, ConfigTable, ConfigDdl)(f(conn))
+    finally conn.close()
   }
 
   def activeGroup(group: String): Map[String, String] = withConn { conn =>
-    ensure(conn, ConfigTable, ConfigDdl)
     val ps = conn.prepareStatement(
       s"""SELECT config_name, config_value FROM $ConfigTable
          |WHERE is_active = 1 AND LOWER(group_name) = LOWER(?)""".stripMargin)
@@ -224,7 +266,6 @@ final class JdbcConfigStore(url: String, user: String, password: String)
   }
 
   def value(group: String, name: String): Option[String] = withConn { conn =>
-    ensure(conn, ConfigTable, ConfigDdl)
     val ps = conn.prepareStatement(
       s"""SELECT config_value FROM $ConfigTable
          |WHERE is_active = 1 AND LOWER(group_name) = LOWER(?)
@@ -240,7 +281,6 @@ final class JdbcConfigStore(url: String, user: String, password: String)
   }
 
   def allValues(): Seq[ConfigValue] = withConn { conn =>
-    ensure(conn, ConfigTable, ConfigDdl)
     val st = conn.createStatement()
     try {
       val rs = st.executeQuery(
@@ -261,7 +301,6 @@ final class JdbcConfigStore(url: String, user: String, password: String)
     * INSERT to a keyed upsert so re-running config deployment is
     * idempotent. */
   def upsert(row: ConfigValue): Unit = withConn { conn =>
-    ensure(conn, ConfigTable, ConfigDdl)
     conn.setAutoCommit(false)
     try {
       val up = conn.prepareStatement(

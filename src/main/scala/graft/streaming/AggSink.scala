@@ -70,12 +70,17 @@ object AggSink {
       val versions = Versioned.versions(spark, table)
       val latest = versions.lastOption
       // the LakeSink walk, with no-queryId (test-driven) calls
-      // matching ANY query's marker — the pre-walk behavior
+      // matching ANY query's marker — the pre-walk behavior. A marker
+      // carrying batchId but NO queryId key is a legacy (pre-stamp)
+      // fold marker: it must match a live query too, else a checkpoint
+      // replay onto a pre-upgrade table sees lastFolded = -1 and
+      // re-folds an already-committed batch (double count).
       val lastFolded = versions.reverseIterator
         .map(v => Versioned.readMeta(spark, table, v))
         .collectFirst {
           case m if m.contains("batchId") &&
-              (queryId.isEmpty || m.get("queryId") == queryId) =>
+              (queryId.isEmpty || !m.contains("queryId") ||
+                m.get("queryId") == queryId) =>
             m("batchId").toLong
         }.getOrElse(-1L)
       if (batchId <= lastFolded) return // checkpoint replay: folded

@@ -299,6 +299,34 @@ class ManifestLogSpec extends SparkSpec {
     intercept[Exception] { Versioned.read(spark, t).count() }
   }
 
+  test("the writer-protocol gate reads HEADERS only: past the cache " +
+    "bound, maintenance on a pointer table pays no gate-side body fetch") {
+    val t = tmpDir("mlog-wgate") + "/t"
+    Versioned.commit((1 to 3000).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(300), t) // 300 files: pointer + gz body form
+    val oldMax = Versioned.ManifestCacheLineMax
+    // simulate a million-file table: expanded manifests too big to
+    // cache, so every BODY consumer pays a physical sidecar fetch —
+    // exactly the regime where a gate reading manifestLines doubles
+    // the per-operation sidecar downloads
+    Versioned.ManifestCacheLineMax = 10
+    try {
+      Versioned.clearManifestCache()
+      val before = Versioned.sidecarReads.get()
+      // vacuum that drops nothing: the writer gate (header-only) +
+      // the keep-side sweep accounting (the ONE legitimate body read)
+      Versioned.vacuum(spark, t, keepLast = 5)
+      val fetches = Versioned.sidecarReads.get() - before
+      assert(fetches == 1,
+        s"expected exactly 1 sidecar fetch (sweep accounting), got " +
+          s"$fetches — a gate-side manifestLines read would make it 2")
+      assert(Versioned.versions(spark, t) == Seq(0L))
+    } finally {
+      Versioned.ManifestCacheLineMax = oldMax
+      Versioned.clearManifestCache()
+    }
+  }
+
   test("dropping the last duty stamps the table back down to writer=1 " +
     "— an empty carried contract key imposes no duty") {
     val t = tmpDir("mlog-wdown") + "/t"

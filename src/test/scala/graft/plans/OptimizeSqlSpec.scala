@@ -200,6 +200,34 @@ class OptimizeSqlSpec extends SparkSpec {
       Set((1, "where"), (2, "x WHERE 1")))
   }
 
+  test("SET/WHERE split is backtick-aware and boundary-relaxed: a " +
+    "backquoted `…where…` name stays with the SET, WHERE( splits") {
+    // parser-level pins (splitTopLevelWhere is package-visible):
+    // 1. a backquoted identifier CONTAINING 'where' must not split —
+    //    pre-fix this produced a malformed-assignment error
+    assert(GraftSqlParser.splitTopLevelWhere("`a where b` = 1") ==
+      (("`a where b` = 1", None)))
+    assert(GraftSqlParser.splitTopLevelWhere(
+      "`a where b` = 1 WHERE k = 2") ==
+      (("`a where b` = 1", Some("k = 2"))))
+    // 2. WHERE followed by '(' is a keyword boundary
+    assert(GraftSqlParser.splitTopLevelWhere("v = 1 WHERE(k = 2)") ==
+      (("v = 1", Some("(k = 2)"))))
+    // 3. an identifier PREFIXED by where must still not split
+    assert(GraftSqlParser.splitTopLevelWhere("v = whereabouts") ==
+      (("v = whereabouts", None)))
+    // 4. comma-split is backtick-aware too
+    assert(GraftSqlParser.splitTopLevel("`a,b` = 1, c = 2") ==
+      Seq("`a,b` = 1", "c = 2"))
+    // and end-to-end: WHERE( boundary through a real statement
+    import graft.operators.Versioned
+    val t = tmpDir("updtick") + "/t"
+    Versioned.commit(Seq((1, 10L), (2, 20L)).toDF("k", "v"), t)
+    spark.sql(s"UPDATE '$t' SET v = 99 WHERE(k = 2)")
+    assert(Versioned.read(spark, t).as[(Int, Long)].collect().toSet ==
+      Set((1, 10L), (2, 99L)))
+  }
+
   test("UPDATE/DELETE on a snapshot path: simultaneous assignments, " +
     "NULL-predicate rows kept, each statement one time-travelable version") {
     import graft.operators.Versioned

@@ -37,6 +37,27 @@ class JdbcStoresSpec extends AnyFunSuite {
     assert(results.forall(_.isEmpty))
   }
 
+  test("ensure memo SELF-HEALS after a drop/recreate under the same " +
+    "URL: the first statement failure re-probes and re-creates " +
+    "instead of failing forever") {
+    val db = "wmjdbcheal"
+    val store = new JdbcWatermarkStore(url(db), "", "")
+    val t1 = Timestamp.valueOf("2026-03-01 00:00:00")
+    store.commit("sys", "db", "t", t1, insertIfMissing = true)
+    assert(store.lastLoad("sys", "db", "t").contains(t1))
+    // drop the WHOLE in-memory database — the memo still remembers
+    // (url, table) as ensured, so pre-fix the next call died on the
+    // first statement with 42X05 and never recovered
+    try java.sql.DriverManager.getConnection(
+      s"jdbc:derby:memory:$db;drop=true")
+    catch { case _: java.sql.SQLException => () } // 08006 = success
+    assert(store.lastLoad("sys", "db", "t").isEmpty,
+      "post-reset read must self-heal (re-create the table) and see " +
+        "an empty store, not throw table-not-found")
+    store.commit("sys", "db", "t", t1, insertIfMissing = true)
+    assert(store.lastLoad("sys", "db", "t").contains(t1))
+  }
+
   test("JdbcWatermarkStore MERGE: update-when-matched, " +
     "insert-only-when-flagged, round-trips over JDBC") {
     val store = new JdbcWatermarkStore(url("wmjdbc1"), "", "")

@@ -321,6 +321,46 @@ class EventStreamSpec extends SparkSpec {
     assert(state() == s2)
   }
 
+  test("AggSink replay walk accepts LEGACY markers (batchId but no " +
+    "queryId key): a checkpoint replay with a live queryId onto a " +
+    "pre-upgrade table must not re-fold the committed batch") {
+    import graft.operators.Versioned
+    val table = tmpDir("aggsink_legacy") + "/rollup"
+    // batch 0 folded OUTSIDE a streaming query: queryId = None, so the
+    // marker carries batchId only — exactly a pre-stamp build's marker
+    AggSink.foldBatch(Seq(("a", 2L), ("b", 5L)).toDF("grp", "v"),
+      table, Seq("grp"), "n", Seq("v" -> "sum_v"), batchId = 0L)
+    val v0 = Versioned.versions(spark, table).last
+    val m0 = Versioned.readMeta(spark, table, v0)
+    assert(m0.contains("batchId") && !m0.contains("queryId"),
+      s"precondition: legacy marker shape, got $m0")
+    val s0 = Versioned.read(spark, table)
+      .select($"grp", $"n").as[(String, Long)].collect().toMap
+    // replay the SAME batch under a live queryId (post-upgrade restart
+    // from the old checkpoint): the legacy marker must match
+    val key = org.apache.spark.sql.execution.streaming.runtime
+      .StreamExecution.QUERY_ID_KEY
+    spark.sparkContext.setLocalProperty(key, "11111111-replay-query")
+    try {
+      AggSink.foldBatch(Seq(("a", 2L), ("b", 5L)).toDF("grp", "v"),
+        table, Seq("grp"), "n", Seq("v" -> "sum_v"), batchId = 0L)
+      assert(Versioned.versions(spark, table).last == v0,
+        "a legacy (queryId-less) marker must satisfy a live-queryId " +
+          "replay walk — re-folding double-counts")
+      // a genuinely NEW batch under the live queryId still folds,
+      // and its marker now carries the queryId stamp
+      AggSink.foldBatch(Seq(("a", 100L)).toDF("grp", "v"),
+        table, Seq("grp"), "n", Seq("v" -> "sum_v"), batchId = 1L)
+      val v1 = Versioned.versions(spark, table).last
+      assert(v1 != v0)
+      assert(Versioned.readMeta(spark, table, v1).get("queryId")
+        .contains("11111111-replay-query"))
+      val s1 = Versioned.read(spark, table)
+        .select($"grp", $"n").as[(String, Long)].collect().toMap
+      assert(s1("a") == s0("a") + 1 && s1("b") == s0("b"))
+    } finally spark.sparkContext.setLocalProperty(key, null)
+  }
+
   test("AggSink merges NULL-keyed groups null-safely: one row per " +
     "group across batches, never a duplicate per micro-batch") {
     import graft.operators.Versioned
