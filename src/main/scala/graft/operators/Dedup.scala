@@ -211,20 +211,61 @@ object Dedup {
 
   // ---------- incremental (chunk-vs-corpus) ----------
 
-  /** Persist the corpus's MinHash band index: (band_id, band_hash, id),
-    * partitioned by band. This is the production shape of dedup at
-    * 100 TB — the corpus is indexed ONCE; each arriving chunk probes
-    * the index instead of re-signaturing the corpus. At full scale the
-    * index is additionally bucketed by band_hash so the chunk probe is
-    * a shuffle-free co-located join; new chunks' bands append here. */
+  /** Persist the corpus's MinHash band index: (band_id, band_hash, id)
+    * as a snapshot table BUCKETED by band_hash. This is the production
+    * shape of dedup at 100 TB — the corpus is indexed ONCE; each
+    * arriving chunk probes the index instead of re-signaturing the
+    * corpus. The bucketing is the scale story: the index's catalog
+    * scan reports KeyGroupedPartitioning over bucket(n, band_hash), so
+    * the probe join shuffles ONLY the chunk (into the index's layout,
+    * via the V2 bucket function) and the index side — whose 100-TB
+    * form is itself huge — is read co-located with ZERO Exchange
+    * (plan-proved in BandIndexSpec). `mode="append"` adds a new
+    * chunk's bands under the same declared layout. */
   def writeBandIndex(df: DataFrame, text: Column, id: String, path: String,
-      shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4): Unit = {
+      shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      buckets: Int = 16, mode: String = "overwrite"): Unit = {
     requireBands(numHashes, bands)
-    withBands(withMinhashSignature(df, text, shingleSize, numHashes),
-      bands, numHashes / bands)
-      .select(col("band_id"), col("band_hash"), col(id))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("band_id").parquet(path)
+    Versioned.commitBucketed(
+      withBands(withMinhashSignature(df, text, shingleSize, numHashes),
+        bands, numHashes / bands)
+        .select(col("band_id"), col("band_hash"), col(id)),
+      path, "band_hash", buckets, mode)
+  }
+
+  /** The band index as a catalog-scanned DataFrame: the DSv2 scan is
+    * what reports the bucketed layout (KeyGroupedPartitioning) to the
+    * planner — a plain path read would be correct but shuffle the
+    * index side of every probe. Pre-bucketing (plain parquet) index
+    * dirs from older builds still read through the legacy path. */
+  private def bandIndexFrame(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(p, Versioned.LogDir))) {
+      val cat = "graft_bandidx_" + java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(indexPath).toLong
+          & 0xffffffL)
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", p.getParent.toString)
+      spark.table(s"$cat.`${p.getName}`")
+    } else
+      // an index built from a corpus with NO banded docs (every doc
+      // shorter than the shingle size) on the LEGACY plain-parquet
+      // layout is a schema-less empty dir — probe against nothing
+      // instead of failing the chunk (the bucketed form commits an
+      // empty version with schema, so only the legacy path needs this)
+      try spark.read.parquet(indexPath)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+          import org.apache.spark.sql.types._
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("band_id", IntegerType),
+              StructField("band_hash", LongType))))
+      }
   }
 
   /** Incremental near-dedup: flag each chunk doc that (a) collides with
@@ -250,21 +291,8 @@ object Dedup {
       bands, numHashes / bands)
       .select(col("band_id"), col("band_hash"), col(id))
       .localCheckpoint(true)
-    // an index built from a corpus with NO banded docs (every doc
-    // shorter than the shingle size) is a schema-less empty dir —
-    // probe against nothing instead of failing the chunk
-    val index =
-      try spark.read.parquet(indexPath)
-        .select(col("band_id"), col("band_hash"))
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
-          import org.apache.spark.sql.types._
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            StructType(Seq(StructField("band_id", IntegerType),
-              StructField("band_hash", LongType))))
-      }
+    val index = bandIndexFrame(spark, indexPath)
+      .select(col("band_id"), col("band_hash"))
     val corpusDup = cband
       .join(index, Seq("band_id", "band_hash"), "left_semi")
       .select(col(id)).distinct()

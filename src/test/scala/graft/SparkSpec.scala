@@ -16,6 +16,9 @@ object TestSpark {
       // storage-partitioned joins over bucketed graft tables
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      // one-side-shuffle SPJ: a computed frame joined against a
+      // bucketed scan shuffles ONLY itself into the table's layout
+      .config("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
+import org.apache.spark.sql.execution.joins.BaseJoinExec
+import org.apache.spark.sql.functions._
+
+/** The persisted MinHash band index's 100-TB contract: the index is a
+  * snapshot table BUCKETED by band_hash, so a chunk probe is a
+  * co-located join — the chunk shuffles ONCE into the index's layout
+  * (one-side-shuffle storage-partitioned join, the Iceberg
+  * `bucket`-transform precedent) and the index side, whose full-scale
+  * form is itself enormous, is read with ZERO Exchange. Proved on the
+  * physical plan, not claimed in a comment. */
+class BandIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Pairwise-independent texts (12 md5 tokens): distinct docs share
+    * no shingles, so LSH flags are deterministic (OperatorSpec's
+    * device). */
+  private def synth(ids: Seq[Long]): DataFrame =
+    ids.toDF("doc_id").select($"doc_id",
+      concat_ws(" ", (0 until 12).map(i =>
+        md5(concat($"doc_id".cast("string"), lit(s"_$i")))): _*).as("text"))
+
+  private def resolve(p: SparkPlan): SparkPlan = p match {
+    case a: AdaptiveSparkPlanExec => resolve(a.executedPlan)
+    case q: QueryStageExec => resolve(q.plan)
+    case r: ReusedExchangeExec => resolve(r.child)
+    case other => other
+  }
+  private def kids(p: SparkPlan): Seq[SparkPlan] =
+    resolve(p).children.map(resolve)
+  private def subtree(p: SparkPlan): Seq[SparkPlan] = {
+    val r = resolve(p)
+    r +: kids(r).flatMap(subtree)
+  }
+  private def isIndexScan(p: SparkPlan): Boolean = p match {
+    case b: BatchScanExec => b.scan.getClass.getName.startsWith("graft.")
+    case _ => false
+  }
+
+  /** The child subtree of the probe join that contains the index's
+    * catalog scan (the innermost such join). */
+  private def indexSideOfProbe(df: DataFrame): Seq[SparkPlan] = {
+    df.collect() // AQE: final plan only materializes after execution
+    val root = resolve(df.queryExecution.executedPlan)
+    val joins = subtree(root).collect {
+      case j: BaseJoinExec if subtree(j).exists(isIndexScan) => j
+    }
+    assert(joins.nonEmpty, s"no join over the index scan in:\n$root")
+    val innermost = joins.last
+    val side = kids(innermost).filter(s => subtree(s).exists(isIndexScan))
+    assert(side.size == 1, s"index scan on both sides of:\n$innermost")
+    subtree(side.head)
+  }
+
+  test("chunk probe against the bucketed band index: the index side " +
+    "joins CO-LOCATED — zero Exchange between the scan and the join") {
+    val ix = tmpDir("bandix") + "/index"
+    Dedup.writeBandIndex(synth(1L to 400L), $"text", "doc_id", ix)
+    // the layout is declared, not incidental: band_hash, 16 buckets
+    assert(Versioned.bucketSpec(spark, ix).contains(("band_hash", 16)))
+
+    val chunk = synth(1001L to 1040L)                     // clean originals
+      .union(synth(1L to 8L).select($"doc_id" + 5000, $"text")) // corpus dups
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast: the probe must survive on co-location alone
+      // (at 100 TB the index never fits a broadcast)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val flags = Dedup.dedupChunkAgainstIndex(chunk, $"text", "doc_id", ix)
+      val indexSide = indexSideOfProbe(flags)
+      val exchanges = indexSide.collect { case e: Exchange => e }
+      assert(exchanges.isEmpty,
+        s"index side of the probe must not exchange, found:\n" +
+          exchanges.mkString("\n---\n"))
+      // and the probe is still exact: every injected corpus copy
+      // flagged, every clean original untouched
+      val m = flags.collect()
+        .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+      (1001L to 1040L).foreach(id => assert(m(id) == ((false, false)), id))
+      (5001L to 5008L).foreach(id => assert(m(id)._1, s"$id not flagged"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("append mode grows the index under the SAME declared layout; " +
+    "the probe sees both generations") {
+    val ix = tmpDir("bandixa") + "/index"
+    Dedup.writeBandIndex(synth(1L to 50L), $"text", "doc_id", ix)
+    Dedup.writeBandIndex(synth(51L to 100L), $"text", "doc_id", ix,
+      mode = "append")
+    assert(Versioned.bucketSpec(spark, ix).contains(("band_hash", 16)))
+    assert(Versioned.versions(spark, ix).size == 2)
+    val chunk = synth(Seq(10L, 90L))
+      .select(($"doc_id" + 5000).as("doc_id"), $"text")
+      .union(synth(Seq(2001L)))
+    val m = Dedup.dedupChunkAgainstIndex(chunk, $"text", "doc_id", ix)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(m(5010L) && m(5090L) && !m(2001L),
+      s"both index generations must answer the probe, got $m")
+  }
+
+  test("an all-short corpus (no banded docs) still writes a probeable " +
+    "index: empty version WITH schema, chunk probes clean") {
+    val ix = tmpDir("bandixe") + "/index"
+    val shorts = Seq((1L, "alpha"), (2L, "x y")).toDF("doc_id", "text")
+    Dedup.writeBandIndex(shorts, $"text", "doc_id", ix)
+    val flags = Dedup.dedupChunkAgainstIndex(
+      synth(Seq(7L)), $"text", "doc_id", ix)
+    assert(flags.where($"dup_of_corpus" || $"dup_in_chunk").count() == 0)
+  }
+}
