@@ -399,4 +399,43 @@ class StatsPruningSpec extends SparkSpec {
       s"sizeInBytes must equal the manifest bytes sum: " +
         s"${st.sizeInBytes().getAsLong} vs $manifestSum")
   }
+
+  test("stats-less manifest lines degrade estimateStatistics to the " +
+    "delegate: size still served (file listing), exact rows withheld") {
+    val rootDir = tmpDir("stats_fb")
+    val t = s"$rootDir/lake/d"
+    Versioned.commit((1 to 50).map(i => (i.toLong, s"d$i"))
+      .toDF("k", "name").coalesce(1), t)
+    // strip the single file line's stats suffix (legacy-manifest form)
+    val root = new org.apache.hadoop.fs.Path(t)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mf = new org.apache.hadoop.fs.Path(root, "_graft_log/0.manifest")
+    val in = hfs.open(mf)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList finally in.close()
+    val doctored = lines.map(l =>
+      if (l.startsWith("#")) l else l.split('\t').head)
+    assert(doctored != lines, "expected a stats-bearing file line")
+    val out = hfs.create(mf, true)
+    try out.write(doctored.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    graft.operators.Versioned.clearManifestCache() // out-of-band edit
+    val c = spark.newSession()
+    c.conf.set("spark.sql.catalog.gfb", classOf[GraftCatalog].getName)
+    c.conf.set("spark.sql.catalog.gfb.root", rootDir)
+    val q = c.sql("SELECT * FROM gfb.lake.d")
+    q.collect()
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec if b.scan.isInstanceOf[RuntimeSkippingScan] =>
+        b.scan.asInstanceOf[RuntimeSkippingScan]
+    }.getOrElse(fail("no RuntimeSkippingScan leaf"))
+    val st = scan.estimateStatistics()
+    // the delegate's file-size estimate still sizes the scan; an exact
+    // row count is NOT invented for a stats-less manifest
+    assert(st.sizeInBytes().isPresent && st.sizeInBytes().getAsLong > 0,
+      "delegate sizeInBytes must back a stats-less manifest")
+    assert(!st.numRows().isPresent || st.numRows().getAsLong != 50,
+      "a stats-less manifest must not claim the exact manifest count")
+    assert(q.count() == 50, "the scan itself is unaffected")
+  }
 }
