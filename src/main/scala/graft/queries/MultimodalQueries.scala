@@ -145,6 +145,70 @@ object MultimodalQueries {
             END AS duration_ms
         FROM documents""")),
 
+    // ---- MM5 REAL PNG pixel decode (operators.PngCodec): payloads
+    // are genuine zlib-compressed PNGs — signature, IHDR, deflated
+    // IDAT, true CRCs — with per-scanline filters cycling through ALL
+    // FIVE RFC 2083 types, so one wrong defilter path breaks the hash
+    // against the closed-form oracle. Pixel (x,y,c) = x + 2y + 7c + k
+    // (k = doc_id%190; bounded under 256, so channel sums are exact
+    // and each mean is one IEEE division of exact integers — the
+    // oracle reproduces it bit-for-bit). Classes by doc_id%7:
+    // gray / RGB / RGBA, and %7==6 truncates the tail (IEND + part of
+    // the IDAT CRC) — the malformed class must contain to
+    // valid=false, never fail the stage.
+    "mm5_png_pixels" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.PngCodec
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val payloads = Tables(s, dir, "documents").select("doc_id")
+          .rdd.map { r =>
+            val id = r.getLong(0)
+            val w = (id % 16 + 1).toInt
+            val h = (id % 12 + 1).toInt
+            val k = (id % 190).toInt
+            val colorType = (id % 7) match {
+              case 0 | 1 | 6 => 0
+              case 2 | 3 => 2
+              case _ => 6
+            }
+            val png = PngCodec.encode(w, h, colorType,
+              (x, y, c) => x + 2 * y + 7 * c + k,
+              y => ((y + id) % 5).toInt)
+            Row(id, if (id % 7 == 6) png.dropRight(16) else png)
+          }
+        val media = s.createDataFrame(payloads, StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("payload", BinaryType, nullable = true))))
+        graft.operators.Multimodal.pngPixelStats(media)
+      },
+      Some("""SELECT doc_id,
+          doc_id % 7 <> 6 AS valid,
+          CASE WHEN doc_id % 7 <> 6
+            THEN CAST(doc_id % 16 + 1 AS INT) END AS width,
+          CASE WHEN doc_id % 7 <> 6
+            THEN CAST(doc_id % 12 + 1 AS INT) END AS height,
+          CASE WHEN doc_id % 7 <> 6 THEN CAST(
+            CASE WHEN doc_id % 7 <= 1 THEN 1
+                 WHEN doc_id % 7 <= 3 THEN 3 ELSE 4 END AS INT)
+            END AS channels,
+          CASE WHEN doc_id % 7 <> 6
+            THEN CAST((doc_id % 16 + 1) * (doc_id % 12 + 1) AS BIGINT)
+            END AS n_px,
+          CASE WHEN doc_id % 7 <> 6
+            THEN (doc_id % 16) / 2.0 + (doc_id % 12) + (doc_id % 190)
+            END AS mean_c0,
+          CASE WHEN doc_id % 7 IN (2, 3, 4, 5)
+            THEN (doc_id % 16) / 2.0 + (doc_id % 12) + 7 + (doc_id % 190)
+            END AS mean_c1,
+          CASE WHEN doc_id % 7 IN (2, 3, 4, 5)
+            THEN (doc_id % 16) / 2.0 + (doc_id % 12) + 14 + (doc_id % 190)
+            END AS mean_c2,
+          CASE WHEN doc_id % 7 IN (4, 5)
+            THEN (doc_id % 16) / 2.0 + (doc_id % 12) + 21 + (doc_id % 190)
+            END AS mean_c3
+        FROM documents""")),
+
     // ---- MM2 self-check: the frame hashes have no DuckDB mirror, but
     // the sampling arithmetic does — stride-2 over declared_frames =
     // len%10+1 frames yields floor((n-1)/2)+1 samples ending at
