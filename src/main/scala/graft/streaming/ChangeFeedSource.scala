@@ -91,13 +91,20 @@ class ChangeFeedSourceProvider extends StreamSourceProvider
       require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $n")
       n
     }
+    val byteBudget = params.get("maxBytesPerTrigger").map { v =>
+      // Delta's option shape: plain bytes or a size string ("512m")
+      val n = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)
+      require(n >= 1, s"maxBytesPerTrigger must be >= 1 byte, got $v")
+      n
+    }
     val startingVersion = params.get("startingVersion").map { v =>
       val n = v.toLong
       require(n >= 0, s"startingVersion must be >= 0, got $n")
       n
     }
     new ChangeFeedSource(ctx, path, frozen, pace, startingVersion,
-      rowCdf = cdfOf(params), metadataPath = metadataPath)
+      rowCdf = cdfOf(params), metadataPath = metadataPath,
+      maxBytesPerTrigger = byteBudget)
   }
 }
 
@@ -120,7 +127,14 @@ class ChangeFeedSource(ctx: SQLContext, table: String,
     // initial snapshot arrives as `insert` rows, same as Delta's
     // startingVersion=0 CDF read.
     rowCdf: Boolean = false,
-    metadataPath: String = "") extends Source
+    metadataPath: String = "",
+    // Delta's maxBytesPerTrigger: a SOFT byte cap per micro-batch from
+    // the manifests' bytes= stats — versions are admitted until the
+    // cumulative ADDED bytes would exceed the budget, always at least
+    // one (progress is never starved). This is the knob a production
+    // tailer actually sets: after long downtime the backlog's depth in
+    // VERSIONS says nothing about batch cost, its bytes do.
+    maxBytesPerTrigger: Option[Long] = None) extends Source
     with SupportsTriggerAvailableNow with Logging {
 
   override def schema: StructType = frozenSchema
@@ -152,7 +166,60 @@ class ChangeFeedSource(ctx: SQLContext, table: String,
       case (Some(s), Some(m)) => capped.map(math.min(_, versionOf(s) + m))
       case _ => capped
     }
-    paced.map(LongOffset(_)).orNull
+    val byted = (Option(start), maxBytesPerTrigger) match {
+      case (Some(s), Some(budget)) =>
+        paced.map(cap => admitByBytes(versionOf(s), cap, budget))
+      case _ => paced
+    }
+    byted.map(LongOffset(_)).orNull
+  }
+
+  /** Walk versions (from, cap] admitting while the cumulative added
+    * bytes stay within budget — at least one, soft overshoot on the
+    * last (Delta's maxBytesPerTrigger semantics). Only the manifests
+    * of versions actually admitted (+1) are consulted, so a deep
+    * backlog costs O(admitted) manifest diffs per trigger, not
+    * O(backlog). */
+  private def admitByBytes(from: Long, cap: Long, budget: Long): Long = {
+    var end = from
+    var acc = 0L
+    var v = from + 1
+    while (v <= cap && acc < budget) {
+      acc += bytesAddedIn(v)
+      end = v
+      v += 1
+    }
+    end
+  }
+
+  /** Bytes the manifest says version v ADDED over v-1: stats-borne
+    * (`bytes=`) where present, file-status fallback for legacy lines,
+    * and a budget-filling sentinel when the diff itself is unreadable
+    * (e.g. a vacuumed predecessor) — conservative single-version
+    * admission beats a dead stream or an unbounded batch. */
+  private def bytesAddedIn(v: Long): Long = {
+    val spark = ctx.sparkSession
+    try {
+      val added = Versioned.changedFiles(spark, table, v - 1, v)._1
+      if (added.isEmpty) 0L
+      else {
+        val stats = Versioned.fileStats(spark, table, Some(v))
+        added.iterator.map { f =>
+          stats.get(f).flatMap(_.bytes).getOrElse {
+            val p = new org.apache.hadoop.fs.Path(f)
+            val fs = p.getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            try fs.getFileStatus(p).getLen
+            catch { case _: java.io.FileNotFoundException => 0L }
+          }
+        }.sum
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"could not size version $v of $table for " +
+          s"maxBytesPerTrigger (${e.getMessage}); admitting it alone")
+        Long.MaxValue / 4
+    }
   }
 
   /** Latest committed version, as the stream's high-water offset. */

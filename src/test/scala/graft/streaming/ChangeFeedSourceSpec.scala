@@ -89,6 +89,57 @@ class ChangeFeedSourceSpec extends SparkSpec {
     assert(commits == 5, s"expected 1 + 4 paced batches, got $commits")
   }
 
+  test("maxBytesPerTrigger paces a fat backlog by the manifests' " +
+    "bytes= stats: tiny budget = one version per batch, big budget = " +
+    "one batch; offsets replay-stable, no rows lost or duplicated") {
+    val base = tmpDir("cfbytes")
+    val t = s"$base/t"
+    Versioned.commit(Seq((0, "x")).toDF("k", "v"), t)            // v0
+    def drainBudget(budget: String, cp: String, out: String): Unit = {
+      val q = spark.readStream.format("graft-changes")
+        .option("path", t)
+        .option("maxBytesPerTrigger", budget)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    def commitsIn(cp: String): Int =
+      new java.io.File(s"$cp/commits").list().count(!_.startsWith("."))
+
+    val cp1 = s"$base/cp1"; val out1 = s"$base/out1"
+    drainBudget("1", cp1, out1) // prime: snapshot batch lands the offset
+    (1 to 4).foreach(i =>                                        // v1..v4
+      Versioned.commit(Seq((i, "x")).toDF("k", "v"), t, "append"))
+    // every version's parquet exceeds ONE byte: the soft cap admits
+    // exactly one version per batch, four paced batches
+    drainBudget("1", cp1, out1)
+    assert(spark.read.parquet(out1).count() == 5)
+    assert(spark.read.parquet(out1).select("k").distinct().count() == 5,
+      "paced drain must deliver each version exactly once")
+    assert(commitsIn(cp1) == 5,
+      s"expected 1 prime + 4 byte-paced batches, got ${commitsIn(cp1)}")
+
+    // a generous budget drains the same backlog in ONE delta batch
+    // (and the size-string option form parses)
+    val cp2 = s"$base/cp2"; val out2 = s"$base/out2"
+    drainBudget("1g", cp2, out2) // fresh stream: snapshot batch
+    Versioned.commit(Seq((9, "y")).toDF("k", "v"), t, "append")  // v5
+    Versioned.commit(Seq((10, "y")).toDF("k", "v"), t, "append") // v6
+    drainBudget("1g", cp2, out2)
+    assert(spark.read.parquet(out2).count() == 7)
+    assert(commitsIn(cp2) == 2,
+      s"1g budget should admit both versions in one batch, got " +
+        s"${commitsIn(cp2)}")
+
+    // replay stability: re-running the drained stream adds nothing
+    drainBudget("1", cp1, out1)
+    assert(spark.read.parquet(out1).count() == 7,
+      "replay after drain must deliver only the v5/v6 delta once")
+  }
+
   test("startingVersion tails from a chosen commit: history before it " +
     "is skipped, later commits arrive incrementally") {
     val base = tmpDir("cfstream")
