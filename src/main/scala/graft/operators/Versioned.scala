@@ -3251,8 +3251,12 @@ object Versioned {
   private val ManifestCacheMax = 1024
   // var for tests only: ManifestLogSpec lowers it to simulate a
   // beyond-cache-bound table (where the header-only writer gate
-  // matters) without committing 200k files
-  private[graft] var ManifestCacheLineMax = 200000
+  // matters) without committing 200k files. volatile so readers on
+  // other threads (AQE planning) always see the current bound; the
+  // global-override window is safe because forked test suites run
+  // sequentially (Test/fork=true, testForkedParallel defaults false)
+  // and the spec restores under try/finally.
+  @volatile private[graft] var ManifestCacheLineMax = 200000
 
   /** One access-ordered bounded LRU shape for every log-layer cache —
     * the per-cache BOUNDS (entry count here, entry SIZE at each put

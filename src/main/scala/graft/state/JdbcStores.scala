@@ -105,12 +105,28 @@ object JdbcStateSchema {
   private val MissingTableStates = Set("42X05", "42P01", "42S02", "S0002")
 
   private def isMissingTable(e: java.sql.SQLException): Boolean = {
-    var cur: java.sql.SQLException = e
+    // walk BOTH linkage conventions, bounded: the JDBC spec chains
+    // via getNextException, but pools/wrappers (HikariCP, Spring)
+    // re-throw with the stateful exception as the CAUSE instead
+    var frontier: List[Throwable] = List(e)
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Throwable, java.lang.Boolean]())
     var hops = 0
-    while (cur != null && hops < 8) {
-      if (MissingTableStates.contains(Option(cur.getSQLState).getOrElse("")))
-        return true
-      cur = cur.getNextException
+    while (frontier.nonEmpty && hops < 16) {
+      val t = frontier.head
+      frontier = frontier.tail
+      if (seen.add(t)) {
+        t match {
+          case s: java.sql.SQLException =>
+            if (MissingTableStates.contains(
+                Option(s.getSQLState).getOrElse(""))) return true
+            if (s.getNextException != null)
+              frontier = s.getNextException :: frontier
+          case _ =>
+        }
+        if (t.getCause != null && (t.getCause ne t))
+          frontier = t.getCause :: frontier
+      }
       hops += 1
     }
     false
