@@ -100,11 +100,13 @@ object JdbcStateSchema {
 
   /** Missing-table SQLStates across the databases this layer targets:
     * Derby 42X05, Postgres 42P01, MySQL/ODBC 42S02, SQL Server S0002.
-    * Walked through the chained-exception list — drivers often wrap
-    * the stateful exception one level down. */
+    * Walked through BOTH linkage conventions — the JDBC
+    * `getNextException` chain AND the `getCause` chain (pools and
+    * wrappers like HikariCP/Spring re-throw with the stateful
+    * exception as the cause) — bounded and cycle-safe. */
   private val MissingTableStates = Set("42X05", "42P01", "42S02", "S0002")
 
-  private def isMissingTable(e: java.sql.SQLException): Boolean = {
+  private[state] def isMissingTable(e: java.sql.SQLException): Boolean = {
     // walk BOTH linkage conventions, bounded: the JDBC spec chains
     // via getNextException, but pools/wrappers (HikariCP, Spring)
     // re-throw with the stateful exception as the CAUSE instead
@@ -126,8 +128,11 @@ object JdbcStateSchema {
         }
         if (t.getCause != null && (t.getCause ne t))
           frontier = t.getCause :: frontier
+        // count DISTINCT throwables against the budget: a node can be
+        // enqueued twice (nextException + cause) before its dedup-on-
+        // pop, and duplicates must not eat traversal depth
+        hops += 1
       }
-      hops += 1
     }
     false
   }

@@ -129,6 +129,78 @@ class JdbcStoresSpec extends AnyFunSuite {
       .contains("billing__Ward,Invoice"))
   }
 
+  // ---- isMissingTable chain-walk (spec-pins the r12 behavior
+  // change: cause-chain detection alongside getNextException) ----
+
+  private def sqlEx(state: String) = new java.sql.SQLException("x", state)
+
+  test("isMissingTable: SQLState on the direct exception and on the " +
+    "getNextException chain") {
+    assert(JdbcStateSchema.isMissingTable(sqlEx("42X05")))
+    assert(JdbcStateSchema.isMissingTable(sqlEx("42P01")))
+    assert(!JdbcStateSchema.isMissingTable(sqlEx("23505")))
+    assert(!JdbcStateSchema.isMissingTable(new java.sql.SQLException("x")))
+    val chained = sqlEx("08006")
+    chained.setNextException(sqlEx("42S02"))
+    assert(JdbcStateSchema.isMissingTable(chained))
+  }
+
+  test("isMissingTable: SQLState found through a getCause chain, " +
+    "including a wrapped NON-SQL intermediate cause") {
+    // pool-style: SQLException(cause = SQLException(42X05))
+    val direct = new java.sql.SQLException("wrapped", sqlEx("42X05"))
+    assert(JdbcStateSchema.isMissingTable(direct))
+    // Spring-style: SQLException(cause = RuntimeException(cause =
+    // SQLException(S0002))) — the non-SQL hop must be walked THROUGH
+    val viaRuntime = new java.sql.SQLException("outer",
+      new RuntimeException("mid", sqlEx("S0002")))
+    assert(JdbcStateSchema.isMissingTable(viaRuntime))
+    // a non-SQL cause terminating the chain is simply not a match
+    val dead = new java.sql.SQLException("outer",
+      new RuntimeException("mid"))
+    assert(!JdbcStateSchema.isMissingTable(dead))
+  }
+
+  test("isMissingTable: cyclic chains terminate (identity dedup), " +
+    "and the stateful node is still found despite the cycle") {
+    val a = sqlEx("08006"); val b = sqlEx("08003")
+    a.setNextException(b)
+    b.setNextException(a) // cycle a -> b -> a
+    assert(!JdbcStateSchema.isMissingTable(a))
+    b.initCause(sqlEx("42P01")) // reachable only past the cycle edge
+    assert(JdbcStateSchema.isMissingTable(a))
+  }
+
+  test("isMissingTable: the 16-hop bound counts DISTINCT throwables — " +
+    "a state at depth 15 is found, one past the bound is not") {
+    def chainOf(depth: Int, tail: java.sql.SQLException)
+        : java.sql.SQLException = {
+      var cur: java.sql.SQLException = tail
+      (1 to depth).foreach { _ =>
+        cur = new java.sql.SQLException("hop", "08006", cur)
+      }
+      cur
+    }
+    // 15 wrappers + the stateful tail = 16 distinct nodes: found
+    assert(JdbcStateSchema.isMissingTable(chainOf(15, sqlEx("42X05"))))
+    // 16 wrappers push the tail to node #17: bounded out
+    assert(!JdbcStateSchema.isMissingTable(chainOf(16, sqlEx("42X05"))))
+    // duplicates must NOT consume the budget: each wrapper also chains
+    // its cause via setNextException (two edges to the same node) —
+    // depth 15 must still be found
+    def doubleLinked(depth: Int, tail: java.sql.SQLException)
+        : java.sql.SQLException = {
+      var cur: java.sql.SQLException = tail
+      (1 to depth).foreach { _ =>
+        val nxt = new java.sql.SQLException("hop", "08006", cur)
+        nxt.setNextException(cur)
+        cur = nxt
+      }
+      cur
+    }
+    assert(JdbcStateSchema.isMissingTable(doubleLinked(15, sqlEx("42X05"))))
+  }
+
   test("JdbcConfigStore upsert inserts then updates on (group,name), " +
     "case-insensitively") {
     val store = new JdbcConfigStore(url("cfgjdbc1"), "", "")
