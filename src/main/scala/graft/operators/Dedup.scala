@@ -211,6 +211,33 @@ object Dedup {
 
   // ---------- incremental (chunk-vs-corpus) ----------
 
+  /** Bucket-count sizing for the band index. The count is a LAYOUT
+    * DECISION inherited by every later append, so it must scale with
+    * the corpus, not sit at a constant: 16 buckets at 100 TB is a
+    * 16-way parallelism ceiling on the co-located probe path and
+    * multi-TB single buckets. Rule: one bucket per ~[[TargetBucketBytes]]
+    * of estimated index data, rounded UP to a power of two (stable
+    * doubling steps; a future bucket-count halving/merging keeps
+    * alignment), clamped to [[[MinIndexBuckets]], [[MaxIndexBuckets]]].
+    * 64 MB buckets keep a probe task's index side comfortably
+    * in-memory; 65536 caps the file count (and sits under
+    * commitBucketed's 100k sanity bound) — a 12 TB index (≈100 TB
+    * corpus × 4 bands × ~32 B/row) lands at 65536 × ~200 MB. */
+  private[graft] val MinIndexBuckets = 16
+  private[graft] val MaxIndexBuckets = 65536
+  private[graft] val TargetBucketBytes: Long = 64L << 20
+  /** Parquet-encoded estimate per (band_id, band_hash, id) row. */
+  private[graft] val BytesPerIndexRow = 32L
+
+  private[graft] def bucketsForIndexBytes(bytes: Long): Int = {
+    val need = math.max(1L,
+      (math.max(0L, bytes) + TargetBucketBytes - 1) / TargetBucketBytes)
+    val hi = java.lang.Long.highestOneBit(need)
+    val pow = if (hi == need) need else hi << 1
+    math.min(MaxIndexBuckets.toLong,
+      math.max(MinIndexBuckets.toLong, pow)).toInt
+  }
+
   /** Persist the corpus's MinHash band index: (band_id, band_hash, id)
     * as a snapshot table BUCKETED by band_hash. This is the production
     * shape of dedup at 100 TB — the corpus is indexed ONCE; each
@@ -221,16 +248,66 @@ object Dedup {
     * via the V2 bucket function) and the index side — whose 100-TB
     * form is itself huge — is read co-located with ZERO Exchange
     * (plan-proved in BandIndexSpec). `mode="append"` adds a new
-    * chunk's bands under the same declared layout. */
+    * chunk's bands under the same declared layout.
+    *
+    * `buckets = 0` (the default) is AUTO: on a fresh index the count
+    * comes from [[bucketsForIndexBytes]] over `count(df) × bands ×
+    * [[BytesPerIndexRow]]` — one count job over the source (metadata-
+    * cheap for a parquet-backed corpus; docs too short to band only
+    * over-estimate, which over-provisions buckets harmlessly); on
+    * append it INHERITS the declared layout, so chunk writers never
+    * need to know the count. An index that has outgrown its layout is
+    * migrated with [[rebucketBandIndex]]. */
   def writeBandIndex(df: DataFrame, text: Column, id: String, path: String,
       shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      buckets: Int = 16, mode: String = "overwrite"): Unit = {
+      buckets: Int = 0, mode: String = "overwrite"): Unit = {
     requireBands(numHashes, bands)
+    require(buckets >= 0, s"buckets must be >= 0 (0 = auto): $buckets")
+    val declared =
+      if (mode == "append")
+        Versioned.bucketSpec(df.sparkSession, path).map(_._2)
+      else None
+    val n =
+      if (buckets > 0) buckets
+      else declared.getOrElse(
+        bucketsForIndexBytes(df.count() * bands * BytesPerIndexRow))
     Versioned.commitBucketed(
       withBands(withMinhashSignature(df, text, shingleSize, numHashes),
         bands, numHashes / bands)
         .select(col("band_id"), col("band_hash"), col(id)),
-      path, "band_hash", buckets, mode)
+      path, "band_hash", n, mode)
+  }
+
+  /** Rewrite the band index under a new bucket count — the migration
+    * path for an index that outgrew its initial layout (append inherits
+    * the declared count forever, so growth can only be fixed by a
+    * rewrite). `newBuckets = 0` sizes from the index's ACTUAL bytes
+    * ([[Versioned.tableBytes]], manifest `bytes=` stats — zero data
+    * scans for the decision). One shuffle of the index rows into the
+    * new layout; old segments stay behind for time travel (VACUUM
+    * reclaims them). Also migrates a LEGACY plain-parquet index dir to
+    * the bucketed snapshot form (its loose files are left in place —
+    * outside the manifest, so invisible to readers, but not
+    * VACUUM-tracked; delete them once the new version is verified).
+    * Returns the bucket count written. */
+  def rebucketBandIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, newBuckets: Int = 0): Int = {
+    require(newBuckets >= 0, s"newBuckets must be >= 0 (0 = auto): $newBuckets")
+    val cur = bandIndexFrame(spark, indexPath)
+    val n =
+      if (newBuckets > 0) newBuckets
+      else {
+        val bytes = Versioned.tableBytes(spark, indexPath).getOrElse {
+          // legacy dir: sum the loose parquet files directly
+          val p = new org.apache.hadoop.fs.Path(indexPath)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(p)) 0L
+          else fs.listStatus(p).filterNot(_.isDirectory).map(_.getLen).sum
+        }
+        bucketsForIndexBytes(bytes)
+      }
+    Versioned.commitBucketed(cur, indexPath, "band_hash", n, "overwrite")
+    n
   }
 
   /** The band index as a catalog-scanned DataFrame: the DSv2 scan is

@@ -414,6 +414,28 @@ object Versioned {
     * dir — a half-bucketed version (foreign append, hand-edited
     * manifest) reports None, so readers can never claim a partitioning
     * the files don't deliver. */
+  /** Total LIVE data bytes of a version (default latest), summed from
+    * the manifest's `bytes=` stats — zero data reads; one filesystem
+    * probe only per legacy line written before stats existed (an
+    * unreachable legacy file counts 0 rather than failing a sizing
+    * decision). None when the table has no committed version. Sizing
+    * decisions (bucket counts, compaction thresholds) should come from
+    * here, never from a data scan. */
+  def tableBytes(spark: SparkSession, table: String,
+      version: Option[Long] = None): Option[Long] = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    version.orElse(latestVersion(fs, root)).map { v =>
+      readFileLines(fs, root, v).map { line =>
+        val (rel, stats, _) = parseLine(line)
+        stats.flatMap(SegmentStats.parse).flatMap(_.bytes).getOrElse {
+          try fs.getFileStatus(new Path(root, rel)).getLen
+          catch { case scala.util.control.NonFatal(_) => 0L }
+        }
+      }.sum
+    }
+  }
+
   def bucketSpec(spark: SparkSession, table: String,
       version: Option[Long] = None): Option[(String, Int)] = {
     val root = new Path(table)

@@ -105,6 +105,73 @@ class BandIndexSpec extends SparkSpec {
       s"both index generations must answer the probe, got $m")
   }
 
+  test("bucket sizing rule: 64 MB/bucket, power-of-two, clamped to " +
+    "[16, 65536] — scale-aware, never a constant") {
+    assert(Dedup.bucketsForIndexBytes(0L) == 16)
+    assert(Dedup.bucketsForIndexBytes(1L << 20) == 16) // tiny → floor
+    // 16 × 64 MB = 1 GiB is the last floor-clamped size
+    assert(Dedup.bucketsForIndexBytes(1L << 30) == 16)
+    assert(Dedup.bucketsForIndexBytes((1L << 30) + 1) == 32) // next pow2
+    assert(Dedup.bucketsForIndexBytes(100L << 30) == 2048) // 100 GiB
+    // 12 TB index (≈100 TB corpus) → ceiling, ~200 MB buckets
+    assert(Dedup.bucketsForIndexBytes(12L << 40) == 65536)
+    assert(Dedup.bucketsForIndexBytes(Long.MaxValue / 4) == 65536)
+  }
+
+  test("REBUCKET migrates an index that outgrew its layout: the " +
+    "probe is still co-located (zero index-side Exchange) at the new " +
+    "count, and append inherits the NEW layout") {
+    val ix = tmpDir("bandixr") + "/index"
+    Dedup.writeBandIndex(synth(1L to 200L), $"text", "doc_id", ix)
+    assert(Versioned.bucketSpec(spark, ix).contains(("band_hash", 16)),
+      "auto sizing on a tiny corpus must clamp to the 16-bucket floor")
+    val written = Dedup.rebucketBandIndex(spark, ix, newBuckets = 32)
+    assert(written == 32)
+    assert(Versioned.bucketSpec(spark, ix).contains(("band_hash", 32)))
+    // auto-inheriting append under the NEW layout (buckets left 0)
+    Dedup.writeBandIndex(synth(201L to 260L), $"text", "doc_id", ix,
+      mode = "append")
+    assert(Versioned.bucketSpec(spark, ix).contains(("band_hash", 32)),
+      "append must inherit the rebucketed layout without being told")
+    val chunk = synth(Seq(10L, 230L))
+      .select(($"doc_id" + 5000).as("doc_id"), $"text")
+      .union(synth(Seq(3001L)))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val flags = Dedup.dedupChunkAgainstIndex(chunk, $"text", "doc_id", ix)
+      val exchanges = indexSideOfProbe(flags)
+        .collect { case e: Exchange => e }
+      assert(exchanges.isEmpty,
+        s"rebucketed index side must not exchange, found:\n" +
+          exchanges.mkString("\n---\n"))
+      val m = flags.collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(m(5010L) && m(5230L) && !m(3001L),
+        s"pre- and post-rebucket generations must answer, got $m")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("REBUCKET migrates a LEGACY plain-parquet index dir to the " +
+    "bucketed snapshot form (auto-sized)") {
+    val ix = tmpDir("bandixl") + "/index"
+    // the pre-bucketing layout older builds wrote: loose parquet
+    Dedup.withBands(Dedup.withMinhashSignature(
+        synth(1L to 120L), $"text", shingleSize = 3, numHashes = 16),
+        bands = 4, rowsPerBand = 4)
+      .select($"band_id", $"band_hash", $"doc_id")
+      .write.parquet(ix)
+    assert(Versioned.bucketSpec(spark, ix).isEmpty)
+    val n = Dedup.rebucketBandIndex(spark, ix) // auto from actual bytes
+    assert(n == 16, s"tiny legacy index must clamp to the floor, got $n")
+    assert(Versioned.bucketSpec(spark, ix).contains(("band_hash", 16)))
+    val flags = Dedup.dedupChunkAgainstIndex(
+      synth(Seq(7L)).select(($"doc_id" + 9000).as("doc_id"), $"text"),
+      $"text", "doc_id", ix)
+    assert(flags.collect().head.getBoolean(1),
+      "migrated index must still flag a corpus duplicate")
+  }
+
   test("an all-short corpus (no banded docs) still writes a probeable " +
     "index: empty version WITH schema, chunk probes clean") {
     val ix = tmpDir("bandixe") + "/index"
