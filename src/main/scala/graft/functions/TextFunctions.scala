@@ -10,8 +10,12 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokenization (SURVEY §2.7 F8 split applied to columns). */
-  def tokens(text: Column): Column = split(text, "\\s+")
+  /** Whitespace tokenization (SURVEY §2.7 F8 split applied to
+    * columns). Native byte-scan expression, bit-identical to
+    * `split(text, "\\s+")` — see [[WhitespaceTokens]] for why the
+    * built-in (per-row regex + String round-trip) is ~100× slower on
+    * this, the hottest path in the text pipeline. */
+  def tokens(text: Column): Column = WhitespaceTokens(text)
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -53,7 +53,7 @@ object CapstoneQueries {
     * normalize. Projections and one filter — zero shuffles, so the
     * SAME gate runs unchanged over the streaming change feed
     * (st16's incremental variant). Every term mirrors closed-form. */
-  private[queries] def gate(docs: DataFrame): DataFrame = {
+  private[graft] def gate(docs: DataFrame): DataFrame = {
     // tokens are materialized ONCE as an attribute column: the gate
     // references them from FIVE expressions, and shinglesFromTokens'
     // lambda evaluates its argument per element — the expression-tree

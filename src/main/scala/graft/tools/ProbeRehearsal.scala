@@ -108,12 +108,15 @@ object ProbeRehearsal {
         var bytes = 0L
         (1 to 2).foreach { _ =>
           val p0 = System.nanoTime()
-          val flags = graft.operators.Dedup.dedupChunkAgainstIndex(
-            chunk, $"text", "doc_id", path)
-          val flagged = flags
-            .where($"dup_of_corpus" || $"dup_in_chunk").count()
+          // collect() (chunk-bounded: flagged rows only) so the SQL
+          // metrics land on THIS QueryExecution — count() would spawn
+          // its own and read back zeros
+          val flagsQ = graft.operators.Dedup.dedupChunkAgainstIndex(
+              chunk, $"text", "doc_id", path)
+            .where($"dup_of_corpus" || $"dup_in_chunk")
+          val flagged = flagsQ.collect().length
           val s = (System.nanoTime() - p0) / 1e9
-          if (s < bestS) { bestS = s; bytes = shuffleBytes(flags) }
+          if (s < bestS) { bestS = s; bytes = shuffleBytes(flagsQ) }
           if (label == "bucketed" && flagged == 0)
             sys.error("probe flagged nothing — chunk recipe broken")
         }
