@@ -25,6 +25,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * with no regex, no String round-trip, and no per-row compile.
   * Parity with the built-in is pinned by a ScalaCheck spec
   * (WhitespaceTokensSpec) over adversarial inputs.
+  *
+  * INTENDED divergence on invalid UTF-8: parquet stores string bytes
+  * verbatim, and a dirty 100-TB corpus can carry malformed sequences.
+  * The built-in round-trips through `java.lang.String`, so malformed
+  * bytes become U+FFFD in every output token; this scanner slices the
+  * RAW bytes through unchanged (whitespace is ASCII either way, so
+  * token BOUNDARIES agree — only the malformed token content
+  * differs). Raw-byte is the behavior we want — tokens/shingles/
+  * MinHash stay a function of the stored bytes instead of collapsing
+  * all malformed sequences onto one replacement char (which would
+  * make distinct dirty docs spuriously identical). Pinned by the
+  * "invalid UTF-8" WhitespaceTokensSpec case.
   */
 case class WhitespaceTokens(child: Expression) extends UnaryExpression {
 

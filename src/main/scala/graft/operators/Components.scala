@@ -45,19 +45,25 @@ import org.apache.spark.sql.functions._
 object Components {
 
   /** Edge-count bound for the single-task solve: 4M canonical pairs
-    * (~64 MB of two longs) union-find in one executor task in
-    * milliseconds, versus ~5 star-contraction rounds of multi-stage
-    * jobs whose FIXED cost dominates at that size (measured: 296
-    * edges cost 2.2 s through the loop, <0.2 s here). Duplicate
-    * clusters — the dedup workload — are small and numerous, so this
-    * is the overwhelmingly common case even at 100 TB; an edge set
-    * past the bound (a pathological near-dup blowup) takes the
-    * shuffle-bounded O(log n) loop unchanged. */
+    * union-find in one executor task in milliseconds, versus ~5
+    * star-contraction rounds of multi-stage jobs whose FIXED cost
+    * dominates at that size (measured: 296 edges cost 2.2 s through
+    * the loop, <0.2 s here). Honest memory budget at the bound: ≤8M
+    * distinct nodes → ≤8M entries in the primitive parent map
+    * ([[LongLongMap]], two long arrays at load ≤1/2) ≈ 256 MB peak in
+    * the one task — sized to fit a 4 GB-per-task executor with
+    * headroom, NOT the "~64 MB of raw pairs" (which is only the input
+    * size). Duplicate clusters — the dedup workload — are small and
+    * numerous, so this is the overwhelmingly common case even at
+    * 100 TB; an edge set past the bound (a pathological near-dup
+    * blowup) takes the shuffle-bounded O(log n) loop unchanged. */
   private[operators] val SingleTaskMaxEdges = 4000000L
 
   /** (id, component) for every node appearing in `edges`; component =
     * the minimum node id reachable. Self-loops are ignored.
-    * `singleTaskMaxEdges` is a test seam (0 forces the loop path). */
+    * `singleTaskMaxEdges` is a test seam: pass -1 to force the loop
+    * path (0 would still send an EMPTY canonical edge set down the
+    * single-task path, since 0 <= 0). */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 30,
       singleTaskMaxEdges: Long = SingleTaskMaxEdges): DataFrame = {
@@ -94,11 +100,74 @@ object Components {
       .distinct()
   }
 
+  /** Minimal primitive open-addressed long→long hash map (linear
+    * probing, power-of-two capacity, max load 1/2, Long.MinValue as
+    * the empty-slot sentinel with that one key carried out-of-band so
+    * the full long domain is usable). Exists because
+    * [[singleTaskComponents]] holds the WHOLE parent map in one task:
+    * a boxed `java.util.HashMap[Long, Long]` costs ~48 bytes of entry
+    * object + two Long boxes per mapping — near the
+    * [[SingleTaskMaxEdges]] bound (≤8M nodes) that is 400 MB–1 GB in
+    * a single task, the exact OOM the bound exists to avoid. Two bare
+    * long arrays cap the same map at ~256 MB. */
+  private final class LongLongMap(initialCapacityPow2: Int) {
+    private[this] final val Empty = Long.MinValue
+    private[this] var cap = java.lang.Integer.highestOneBit(
+      math.max(16, initialCapacityPow2))
+    private[this] var ks = new Array[Long](cap)
+    private[this] var vs = new Array[Long](cap)
+    private[this] var n = 0
+    private[this] var hasMinKey = false
+    private[this] var minKeyVal = 0L
+    java.util.Arrays.fill(ks, Empty)
+
+    private def slot(k: Long): Int = {
+      // Fibonacci-ish multiplicative mix, then linear probe
+      var h = k * -7046029254386353131L
+      h ^= h >>> 32
+      var i = h.toInt & (cap - 1)
+      while (ks(i) != Empty && ks(i) != k) i = (i + 1) & (cap - 1)
+      i
+    }
+    private def grow(): Unit = {
+      val ok = ks; val ov = vs
+      cap <<= 1
+      ks = new Array[Long](cap); vs = new Array[Long](cap)
+      java.util.Arrays.fill(ks, Empty)
+      var i = 0
+      while (i < ok.length) {
+        if (ok(i) != Empty) { val s = slot(ok(i)); ks(s) = ok(i); vs(s) = ov(i) }
+        i += 1
+      }
+    }
+    def getOrElse(k: Long, dflt: Long): Long =
+      if (k == Empty) { if (hasMinKey) minKeyVal else dflt }
+      else { val i = slot(k); if (ks(i) == Empty) dflt else vs(i) }
+    def put(k: Long, v: Long): Unit =
+      if (k == Empty) { hasMinKey = true; minKeyVal = v }
+      else {
+        val i = slot(k)
+        if (ks(i) == Empty) {
+          ks(i) = k; vs(i) = v; n += 1
+          if ((n << 1) > cap) grow()
+        } else vs(i) = v
+      }
+    /** Walks the backing array; safe against concurrent value UPDATES
+      * (entries never relocate without an insert) but not inserts. */
+    def keysIterator: Iterator[Long] = {
+      val snapshot = ks // growth during iteration would swap arrays
+      (if (hasMinKey) Iterator.single(Empty) else Iterator.empty) ++
+        snapshot.iterator.filter(_ != Empty)
+    }
+  }
+
   /** Union-find over a checkpointed canonical pair set small enough
     * for one executor task (path-halving, union-by-min so the root IS
     * the component's minimum id). `mapPartitions` on the single
     * coalesced partition — executor-side, never a driver collect; the
-    * caller guarantees the size bound. Emits (id, component) for
+    * caller guarantees the size bound, and the parent map is a
+    * primitive [[LongLongMap]] so the near-bound footprint is ~256 MB,
+    * not the ~1 GB a boxed map would cost. Emits (id, component) for
     * every node, roots included, matching the loop's output. */
   private def singleTaskComponents(canon: DataFrame): DataFrame = {
     val spark = canon.sparkSession
@@ -106,13 +175,13 @@ object Components {
     canon.select(col("a"), col("b")).as[(Long, Long)]
       .coalesce(1)
       .mapPartitions { it =>
-        val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+        val parent = new LongLongMap(1 << 16)
         def find(x: Long): Long = {
           var r = x
-          var p = parent.getOrDefault(r, r)
+          var p = parent.getOrElse(r, r)
           while (p != r) { // path halving
-            val gp = parent.getOrDefault(p, p)
-            parent.put(r, gp); r = gp; p = parent.getOrDefault(r, r)
+            val gp = parent.getOrElse(p, p)
+            parent.put(r, gp); r = gp; p = parent.getOrElse(r, r)
           }
           r
         }
@@ -121,17 +190,19 @@ object Components {
           if (ra < rb) parent.put(rb, ra)
           else if (rb < ra) parent.put(ra, rb)
         }
-        val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-        val keys = parent.keySet().toArray(Array.empty[java.lang.Long])
-        keys.foreach(k => out += ((k.longValue(), find(k.longValue()))))
-        // roots never enter `parent` as keys; emit them from the value
-        // side so every node of the edge set is labeled
-        val seen = new java.util.HashSet[java.lang.Long](parent.keySet())
-        keys.foreach { k =>
-          val r = find(k.longValue())
-          if (seen.add(r)) out += ((r, r))
-        }
-        out.iterator
+        // Union-by-min means every stored value is strictly smaller
+        // than its key, so no key is ever a root and compression via
+        // find() only UPDATES existing keys (never inserts — the map
+        // cannot grow mid-iteration). Roots therefore never appear as
+        // keys; collect them during the keyed sweep and emit (r, r)
+        // afterwards so every node of the edge set is labeled.
+        // (Iterator.++ is lazy in its argument: the root sweep is
+        // built only after the keyed sweep has drained and populated
+        // `roots`.)
+        val roots = new LongLongMap(1 << 10) // used as a set
+        parent.keysIterator.map { k =>
+          val r = find(k); roots.put(r, r); (k, r)
+        } ++ roots.keysIterator.map(r => (r, r))
       }.toDF("id", "component")
   }
 

@@ -238,6 +238,38 @@ object Dedup {
       math.max(MinIndexBuckets.toLong, pow)).toInt
   }
 
+  /** What a [[writeBandIndex]] commit actually wrote, plus the count
+    * the index's POST-COMMIT manifest bytes would choose today
+    * ([[bucketsForIndexBytes]] over `Versioned.tableBytes` — zero
+    * data scans). `rebucketRecommended` fires when the two diverge
+    * ≥4× in either direction: the signal that an appended index has
+    * outgrown (or a shrunken one over-provisions) its inherited
+    * layout and [[rebucketBandIndex]] is due — otherwise the
+    * migration path stays tribal knowledge. Also logged at WARN so
+    * unattended chunk writers leave a trail. */
+  case class BandIndexWrite(buckets: Int, recommendedBuckets: Int) {
+    def rebucketRecommended: Boolean =
+      recommendedBuckets >= 4 * buckets || buckets >= 4 * recommendedBuckets
+  }
+
+  /** Exact source row count available WITHOUT a scan job: the
+    * optimized plan is projections over one leaf that reports an
+    * exact rowCount in its stats (our catalog snapshot scans do —
+    * manifest `rows=` stats, the vt6 metadata-only-aggregate
+    * machinery; plain-parquet reads report None). A Filter/Join/agg
+    * anywhere → None, since the leaf count would over-state. */
+  private[operators] def statsRowCount(df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def leafOf(p: LogicalPlan): Option[LeafNode] = p match {
+      case Project(_, c) => leafOf(c)
+      case SubqueryAlias(_, c) => leafOf(c)
+      case l: LeafNode => Some(l)
+      case _ => None
+    }
+    leafOf(df.queryExecution.optimizedPlan)
+      .flatMap(_.stats.rowCount).map(_.toLong)
+  }
+
   /** Persist the corpus's MinHash band index: (band_id, band_hash, id)
     * as a snapshot table BUCKETED by band_hash. This is the production
     * shape of dedup at 100 TB — the corpus is indexed ONCE; each
@@ -251,31 +283,45 @@ object Dedup {
     * chunk's bands under the same declared layout.
     *
     * `buckets = 0` (the default) is AUTO: on a fresh index the count
-    * comes from [[bucketsForIndexBytes]] over `count(df) × bands ×
-    * [[BytesPerIndexRow]]` — one count job over the source (metadata-
-    * cheap for a parquet-backed corpus; docs too short to band only
-    * over-estimate, which over-provisions buckets harmlessly); on
-    * append it INHERITS the declared layout, so chunk writers never
-    * need to know the count. An index that has outgrown its layout is
-    * migrated with [[rebucketBandIndex]]. */
+    * comes from [[bucketsForIndexBytes]] over `rows × bands ×
+    * [[BytesPerIndexRow]]`, where `rows` is the leaf's exact stats
+    * rowCount when the corpus is a bare scan of a snapshot table
+    * ([[statsRowCount]] — ZERO jobs for the sizing decision) and one
+    * count job otherwise (metadata-cheap for parquet; docs too short
+    * to band only over-estimate, which over-provisions buckets
+    * harmlessly); on append it INHERITS the declared layout, so chunk
+    * writers never need to know the count. An index that has outgrown
+    * its layout is migrated with [[rebucketBandIndex]]; the returned
+    * [[BandIndexWrite]] says when that is due. */
   def writeBandIndex(df: DataFrame, text: Column, id: String, path: String,
       shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      buckets: Int = 0, mode: String = "overwrite"): Unit = {
+      buckets: Int = 0, mode: String = "overwrite"): BandIndexWrite = {
     requireBands(numHashes, bands)
     require(buckets >= 0, s"buckets must be >= 0 (0 = auto): $buckets")
+    val spark = df.sparkSession
     val declared =
-      if (mode == "append")
-        Versioned.bucketSpec(df.sparkSession, path).map(_._2)
+      if (mode == "append") Versioned.bucketSpec(spark, path).map(_._2)
       else None
     val n =
       if (buckets > 0) buckets
-      else declared.getOrElse(
-        bucketsForIndexBytes(df.count() * bands * BytesPerIndexRow))
+      else declared.getOrElse {
+        val rows = statsRowCount(df).getOrElse(df.count())
+        bucketsForIndexBytes(rows * bands * BytesPerIndexRow)
+      }
     Versioned.commitBucketed(
       withBands(withMinhashSignature(df, text, shingleSize, numHashes),
         bands, numHashes / bands)
         .select(col("band_id"), col("band_hash"), col(id)),
       path, "band_hash", n, mode)
+    val rec = Versioned.tableBytes(spark, path)
+      .map(bucketsForIndexBytes).getOrElse(n)
+    val res = BandIndexWrite(n, rec)
+    if (res.rebucketRecommended)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"band index $path: declared layout $n buckets vs " +
+          s"$rec recommended for its current bytes — " +
+          "rebucketBandIndex(spark, path) migration recommended")
+    res
   }
 
   /** Rewrite the band index under a new bucket count — the migration

@@ -117,8 +117,12 @@ object ProbeRehearsal {
           val flagged = flagsQ.collect().length
           val s = (System.nanoTime() - p0) / 1e9
           if (s < bestS) { bestS = s; bytes = shuffleBytes(flagsQ) }
-          if (label == "bucketed" && flagged == 0)
-            sys.error("probe flagged nothing — chunk recipe broken")
+          // both layouts: a zero-flag legacy probe (e.g. schema drift
+          // in the loose-parquet index) would otherwise print a
+          // plausible timing line and silently invalidate the
+          // bucketed-vs-legacy comparison
+          if (flagged == 0)
+            sys.error(s"$label probe flagged nothing — chunk recipe broken")
         }
         println(f"""{"phase":"probe","layout":"$label","chunk":"$chunkDir","probe_s":$bestS%.2f,"shuffle_bytes":$bytes}""")
     }

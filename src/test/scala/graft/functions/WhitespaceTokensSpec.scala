@@ -45,7 +45,12 @@ class WhitespaceTokensSpec extends SparkSpec {
       6 -> Gen.alphaNumChar,
       3 -> Gen.oneOf(' ', '\t', '\n', '', '\f', '\r'),
       1 -> Gen.oneOf('é', '日', ' ', ' ', 'ß'))
-    val strGen = Gen.listOf(ch).map(_.mkString)
+    val frag = Gen.frequency(
+      9 -> ch.map(_.toString),
+      // 4-byte UTF-8 (surrogate pairs in the Java string): the byte
+      // scanner must slice through them exactly like the regex
+      1 -> Gen.oneOf("🙂", "𝕏", "👍\t👍"))
+    val strGen = Gen.listOf(frag).map(_.mkString)
     val prop = Prop.forAll(Gen.listOfN(50, strGen)) { texts =>
       val rows = texts.toDF("t")
         .select(WhitespaceTokens(col("t")), split(col("t"), "\\s+"))
@@ -54,6 +59,30 @@ class WhitespaceTokensSpec extends SparkSpec {
     }
     val res = check(Parameters.default.withMinSuccessfulTests(20), prop)
     assert(res.passed, res.status.toString)
+  }
+
+  test("invalid UTF-8: raw bytes pass through unchanged (INTENDED " +
+    "divergence from the built-in, which replaces them with U+FFFD)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // "a<0xFF> b<0xC3>" — 0xFF can start no UTF-8 sequence; the
+    // trailing 0xC3 is a truncated 2-byte lead. Parquet would store
+    // these bytes verbatim; the scanner must slice, not transcode.
+    val dirty = Array[Byte](0x61, 0xFF.toByte, 0x20, 0x62, 0xC3.toByte)
+    val e = WhitespaceTokens(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        UTF8String.fromBytes(dirty),
+        org.apache.spark.sql.types.StringType))
+    val v = e.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val toks = (0 until v.numElements()).map(v.getUTF8String(_).getBytes.toSeq)
+    // boundaries on the ASCII space; malformed bytes preserved raw
+    assert(toks == Seq(Seq[Byte](0x61, 0xFF.toByte),
+      Seq[Byte](0x62, 0xC3.toByte)))
+    // and the built-in really does diverge here (documents WHY the
+    // ScalaCheck parity property cannot cover invalid UTF-8): a
+    // String round-trip mangles the malformed bytes to U+FFFD
+    val mangled = UTF8String.fromString(UTF8String.fromBytes(dirty).toString)
+    assert(!java.util.Arrays.equals(mangled.getBytes, dirty))
   }
 
   test("null containment and codegen/interpreted parity") {

@@ -118,6 +118,79 @@ class BandIndexSpec extends SparkSpec {
     assert(Dedup.bucketsForIndexBytes(Long.MaxValue / 4) == 65536)
   }
 
+  test("sizing a fresh index from a snapshot-backed corpus is " +
+    "manifest-only: exact stats rowCount, ZERO jobs for the decision") {
+    val root = tmpDir("bandixs")
+    Versioned.commit(synth(1L to 120L), s"$root/corpus")
+    val cat = "graft_bandix_stats"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val corpus = spark.table(s"$cat.corpus").select($"doc_id", $"text")
+    // suites share the session and run concurrently: count only jobs
+    // carrying THIS test's job group (thread-local, so any job the
+    // sizing decision spawned on this thread would inherit it)
+    val group = "bandix-sizing-probe"
+    val jobs = new java.util.concurrent.CopyOnWriteArrayList[Integer]()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (Option(j.properties)
+            .exists(_.getProperty("spark.jobGroup.id") == group)) {
+          jobs.add(j.jobId); ()
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    spark.sparkContext.setJobGroup(group, "band index sizing decision")
+    try {
+      assert(Dedup.statsRowCount(corpus).contains(120L),
+        "catalog snapshot scan must expose its exact manifest rowCount")
+      // marker job: the listener bus is FIFO, so once the marker's
+      // start lands, any job the sizing decision had spawned would
+      // already have been recorded before it
+      spark.sparkContext.parallelize(Seq(1), 1).count()
+      val deadline = System.currentTimeMillis() + 30000
+      while (jobs.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(jobs.size == 1,
+        s"sizing decision must spawn ZERO jobs (marker only), saw $jobs")
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(l)
+    }
+    // a filter makes the leaf count an over-statement → must decline
+    assert(Dedup.statsRowCount(corpus.where($"doc_id" > 60L)).isEmpty)
+    // plain-parquet reads report no exact rowCount → count-job fallback
+    assert(Dedup.statsRowCount(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")).isEmpty)
+    // and the zero-job sizing feeds the same layout the count() path
+    // would have chosen
+    val ix = s"$root/index"
+    Dedup.writeBandIndex(corpus, $"text", "doc_id", ix)
+    assert(Versioned.bucketSpec(spark, ix).contains(("band_hash", 16)))
+  }
+
+  test("append reports REBUCKET RECOMMENDED when the index has " +
+    "outgrown its inherited layout >=4x") {
+    val ix = tmpDir("bandixw") + "/index"
+    // deliberately under-provisioned layout: 1 bucket, pinned
+    val fresh = Dedup.writeBandIndex(synth(1L to 150L), $"text", "doc_id",
+      ix, buckets = 1)
+    assert(fresh.buckets == 1 && fresh.recommendedBuckets == 16 &&
+      fresh.rebucketRecommended)
+    // append inherits the outgrown layout — and says so
+    val app = Dedup.writeBandIndex(synth(151L to 200L), $"text", "doc_id",
+      ix, mode = "append")
+    assert(app.buckets == 1, "append must still inherit the declared layout")
+    assert(app.recommendedBuckets == 16 && app.rebucketRecommended,
+      s"outgrown inherited layout must recommend a rebucket, got $app")
+    // a well-sized auto build recommends nothing
+    val ok = Dedup.writeBandIndex(synth(1L to 150L), $"text", "doc_id",
+      tmpDir("bandixok") + "/index")
+    assert(ok.buckets == 16 && !ok.rebucketRecommended, ok.toString)
+  }
+
   test("REBUCKET migrates an index that outgrew its layout: the " +
     "probe is still co-located (zero index-side Exchange) at the new " +
     "count, and append inherits the NEW layout") {

@@ -9,13 +9,15 @@ class ComponentsSpec extends SparkSpec {
 
   /** Both physical paths must agree everywhere: the single-task
     * union-find (the default at test sizes) and the star-contraction
-    * loop (forced via the singleTaskMaxEdges=0 test seam — the 100-TB
-    * path must not lose coverage to the fast path). */
+    * loop (forced via the singleTaskMaxEdges=-1 test seam — the
+    * 100-TB path must not lose coverage to the fast path; -1 rather
+    * than 0 so an EMPTY canonical edge set also takes the loop here,
+    * 0 <= 0 would silently compare fast-path vs fast-path). */
   private def run(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val fast = Components.connectedComponents(edges.toDF("s", "d"), "s", "d")
       .as[(Long, Long)].collect().toMap
     val loop = Components.connectedComponents(edges.toDF("s", "d"), "s", "d",
-        singleTaskMaxEdges = 0L)
+        singleTaskMaxEdges = -1L)
       .as[(Long, Long)].collect().toMap
     assert(fast == loop,
       s"single-task and star-contraction paths diverge: $fast vs $loop")
@@ -49,6 +51,17 @@ class ComponentsSpec extends SparkSpec {
     val got = run(edges)
     assert(got == Map(1L -> 1L, 5L -> 1L, 6L -> 1L, 7L -> 1L,
       20L -> 20L, 30L -> 20L, 40L -> 20L))
+  }
+
+  test("extreme ids: full long domain incl. the MinValue sentinel") {
+    // Long.MinValue is the primitive parent map's empty-slot sentinel
+    // (carried out-of-band); MaxValue probes mixing/overflow edges.
+    val edges = Seq((Long.MinValue, -7L), (Long.MaxValue, -7L),
+      (0L, 1L))
+    val got = run(edges)
+    assert(got == Map(Long.MinValue -> Long.MinValue,
+      -7L -> Long.MinValue, Long.MaxValue -> Long.MinValue,
+      0L -> 0L, 1L -> 0L))
   }
 
   test("assign labels isolated nodes as singletons") {
