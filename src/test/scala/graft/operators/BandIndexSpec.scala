@@ -245,6 +245,50 @@ class BandIndexSpec extends SparkSpec {
       "migrated index must still flag a corpus duplicate")
   }
 
+  test("probe under CONCURRENT index append — the production " +
+    "interleave: every probe reads a consistent committed snapshot " +
+    "(base dups always flagged, clean docs never, no errors), and " +
+    "the final probe sees the appended generations") {
+    val ix = tmpDir("bandixq") + "/index"
+    Dedup.writeBandIndex(synth(1L to 60L), $"text", "doc_id", ix)
+    val appendErr =
+      new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val writer = new Thread(() => {
+      try (0 until 6).foreach { g =>
+        val lo = 100L + g * 10
+        Dedup.writeBandIndex(synth(lo until lo + 10L), $"text", "doc_id",
+          ix, mode = "append")
+      } catch { case t: Throwable => appendErr.set(t) }
+    }, "bandix-appender")
+    writer.start()
+    try {
+      // copies of base-corpus docs + never-indexed cleans: their flags
+      // are interleave-INDEPENDENT, so any torn/partial manifest read
+      // mid-append shows up as a wrong flag or a probe error here
+      val chunk = synth(Seq(3L, 17L, 42L))
+        .select(($"doc_id" + 5000).as("doc_id"), $"text")
+        .union(synth(Seq(9001L, 9002L)))
+      (1 to 5).foreach { i =>
+        val m = Dedup.dedupChunkAgainstIndex(chunk, $"text", "doc_id", ix)
+          .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+        assert(m(5003L) && m(5017L) && m(5042L),
+          s"probe $i lost base-corpus dups mid-append: $m")
+        assert(!m(9001L) && !m(9002L),
+          s"probe $i spuriously flagged a clean doc mid-append: $m")
+      }
+    } finally writer.join(180000)
+    assert(!writer.isAlive, "appender did not finish")
+    assert(appendErr.get() == null,
+      s"append failed under concurrent probes: ${appendErr.get()}")
+    // quiesced: a copy of a doc from the LAST appended generation
+    val fin = Dedup.dedupChunkAgainstIndex(
+      synth(Seq(155L)).select(($"doc_id" + 7000).as("doc_id"), $"text"),
+      $"text", "doc_id", ix)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(fin(7155L), s"appended generation invisible after quiesce: $fin")
+    assert(Versioned.versions(spark, ix).size == 7)
+  }
+
   test("an all-short corpus (no banded docs) still writes a probeable " +
     "index: empty version WITH schema, chunk probes clean") {
     val ix = tmpDir("bandixe") + "/index"
