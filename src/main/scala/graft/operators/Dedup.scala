@@ -396,6 +396,20 @@ object Dedup {
     * in the SAME chunk (keep-first, minhashDedup's rule). Cost tracks
     * the CHUNK: the chunk is signatured and shuffled; the corpus
     * contributes only the index join — its documents are never read.
+    *
+    * Scale split, measured over three index decades (ProbeRehearsal,
+    * 18k/1.8M/18M index rows, same 1× chunk): the probe's SHUFFLE is
+    * byte-identical at every decade (231,319 bytes — the chunk bands
+    * moving once into the index's bucket layout; the index side moves
+    * ZERO bytes), while the probe's index-side columnar SCAN grows
+    * with the index (wall 1.0 → 1.0 → 2.3 s single-box). That split
+    * is the design: band hashes are uniform, so no static layout can
+    * skip index row groups for an arbitrary chunk — the scan term is
+    * irreducible but embarrassingly parallel (scales with executors,
+    * no network), whereas a non-bucketed layout would instead grow
+    * the SHUFFLE linearly with the index (measured 439 KB → 23 MB →
+    * 229 MB) — the term that does NOT scale out, since it serializes
+    * every index row through the network each probe.
     * Returns (id, dup_of_corpus, dup_in_chunk). */
   def dedupChunkAgainstIndex(chunk: DataFrame, text: Column, id: String,
       indexPath: String, shingleSize: Int = 3, numHashes: Int = 16,

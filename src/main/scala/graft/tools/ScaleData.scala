@@ -30,16 +30,33 @@ import org.apache.spark.sql.functions._
   * isometry: within-copy cosine structure exact, cross-copy cosines
   * decorrelate to ~0).
   *
-  * Usage: ScaleData <srcDir> <dstDir> <factor> [corpus]
+  * With `documents` instead, ONLY the documents corpus is derived
+  * (same permuted-copy recipe) — the relational tables are skipped
+  * entirely, which is what the dd10/st16 rehearsals read and the only
+  * mode where factors past 100 are sane (1000× lineitem would be
+  * 600M rows of data nothing in the rehearsal touches). At 1000
+  * copies over the 9! = 362,880 letter permutations ~1–2 coincident
+  * copy PAIRS are expected (birthday bound) — a few thousand extra
+  * cross-copy near-dup rows in a 5M-doc corpus, noted because it
+  * slightly ENLARGES the index's duplicate structure, i.e. it can
+  * only overstate, never flatter, probe-side cost.
+  *
+  * Usage: ScaleData <srcDir> <dstDir> <factor> [corpus|documents]
   */
 object ScaleData {
   def main(args: Array[String]): Unit = {
     require(args.length == 3 || args.length == 4,
-      "usage: ScaleData <srcDir> <dstDir> <factor> [corpus]")
+      "usage: ScaleData <srcDir> <dstDir> <factor> [corpus|documents]")
     val Array(src, dst, fs) = args.take(3)
-    val scaleCorpus = args.length == 4 && args(3) == "corpus"
+    val mode = if (args.length == 4) args(3) else ""
+    require(mode.isEmpty || mode == "corpus" || mode == "documents",
+      s"unknown mode: $mode")
+    val scaleCorpus = mode == "corpus"
+    val documentsOnly = mode == "documents"
     val factor = fs.toInt
-    require(factor >= 1 && factor <= 100, s"factor out of range: $factor")
+    val maxFactor = if (documentsOnly) 1000 else 100
+    require(factor >= 1 && factor <= maxFactor,
+      s"factor out of range (max $maxFactor for mode '$mode'): $factor")
     require(!src.contains("/root/testdata") || dst.startsWith("/tmp"),
       "derived data must land under /tmp")
     val spark = SparkSession.builder()
@@ -51,8 +68,10 @@ object ScaleData {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val copyVerbatim = Seq("region", "nation", "customer", "supplier",
-      "part") ++ (if (scaleCorpus) Nil else Seq("documents", "embeddings"))
+    val copyVerbatim =
+      if (documentsOnly) Nil
+      else Seq("region", "nation", "customer", "supplier", "part") ++
+        (if (scaleCorpus) Nil else Seq("documents", "embeddings"))
     copyVerbatim.foreach { t =>
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
@@ -66,25 +85,35 @@ object ScaleData {
     def scaled(t: String)(shift: (org.apache.spark.sql.DataFrame, Int)
         => org.apache.spark.sql.DataFrame): Unit = {
       val base = spark.read.parquet(s"$src/$t.parquet")
-      (0 until factor).map(i => shift(base, i))
-        .reduce(_.unionByName(_))
-        .write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
+      // batches of <=100 copies per write keep the union plan bounded
+      // when factors reach 1000 (a single 1000-child Union is all
+      // analyzer/codegen overhead for zero execution win)
+      (0 until factor).grouped(100).zipWithIndex.foreach {
+        case (batch, bi) =>
+          batch.map(i => shift(base, i))
+            .reduce(_.unionByName(_))
+            .write
+            .mode(if (bi == 0) SaveMode.Overwrite else SaveMode.Append)
+            .parquet(s"$dst/$t.parquet")
+      }
       println(s"scaled $t x$factor -> " +
         spark.read.parquet(s"$dst/$t.parquet").count())
     }
 
-    scaled("orders") { (df, i) =>
-      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * OrderShift))
-    }
-    scaled("lineitem") { (df, i) =>
-      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * OrderShift))
-    }
-    scaled("events") { (df, i) =>
-      df.withColumn("event_id", col("event_id") + lit(i * EventShift))
-        .withColumn("user_id", col("user_id") + lit(i * UserShift))
+    if (!documentsOnly) {
+      scaled("orders") { (df, i) =>
+        df.withColumn("o_orderkey", col("o_orderkey") + lit(i * OrderShift))
+      }
+      scaled("lineitem") { (df, i) =>
+        df.withColumn("l_orderkey", col("l_orderkey") + lit(i * OrderShift))
+      }
+      scaled("events") { (df, i) =>
+        df.withColumn("event_id", col("event_id") + lit(i * EventShift))
+          .withColumn("user_id", col("user_id") + lit(i * UserShift))
+      }
     }
 
-    if (scaleCorpus) {
+    if (scaleCorpus || documentsOnly) {
       val DocShift = 10000000L
       // copy i's letter permutation (copy 0 = identity), derived by a
       // fixed LCG Fisher-Yates so the mapping is stable across JVMs
@@ -111,7 +140,7 @@ object ScaleData {
             translate(col("text"), letters + letters.toUpperCase,
               permOf(i) + permOf(i).toUpperCase))
       }
-      scaled("embeddings") { (df, i) =>
+      if (!documentsOnly) scaled("embeddings") { (df, i) =>
         // per-(copy, dimension) sign flips: an isometry of the copy;
         // copy 0 stays the identity so 1x comparisons hold
         val shifted = df.withColumn("vec_id",
