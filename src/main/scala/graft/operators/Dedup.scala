@@ -339,21 +339,48 @@ object Dedup {
   def rebucketBandIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, newBuckets: Int = 0): Int = {
     require(newBuckets >= 0, s"newBuckets must be >= 0 (0 = auto): $newBuckets")
-    val cur = bandIndexFrame(spark, indexPath)
-    val n =
-      if (newBuckets > 0) newBuckets
-      else {
-        val bytes = Versioned.tableBytes(spark, indexPath).getOrElse {
-          // legacy dir: sum the loose parquet files directly
-          val p = new org.apache.hadoop.fs.Path(indexPath)
-          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(p, Versioned.LogDir))) {
+      // legacy plain-parquet dir: no commit log, so no CAS to race —
+      // the migration is inherently single-writer here (documented);
+      // the committed RESULT is a snapshot table, so every migration
+      // after this one takes the guarded path below
+      val n =
+        if (newBuckets > 0) newBuckets
+        else bucketsForIndexBytes(
           if (!fs.exists(p)) 0L
-          else fs.listStatus(p).filterNot(_.isDirectory).map(_.getLen).sum
-        }
-        bucketsForIndexBytes(bytes)
-      }
-    Versioned.commitBucketed(cur, indexPath, "band_hash", n, "overwrite")
-    n
+          else fs.listStatus(p).filterNot(_.isDirectory).map(_.getLen).sum)
+      Versioned.commitBucketed(bandIndexFrame(spark, indexPath),
+        indexPath, "band_hash", n, "overwrite")
+      return n
+    }
+    // Snapshot index: read-rewrite-overwrite is only correct if the
+    // base is STILL the version we read when the commit lands — a
+    // chunk append interleaving would otherwise be silently dropped
+    // from the rewritten index (its docs then re-admitted as "new"
+    // by every later probe). commitIf is the CAS; on conflict re-read
+    // the new latest (which contains the interleaved append) and
+    // retry, like OPTIMIZE/rewrite.
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (attempts > 5) throw new IllegalStateException(
+        s"rebucket of $indexPath kept racing appends ($attempts " +
+          "attempts) — retry when the chunk-writer storm subsides")
+      val vs = Versioned.versions(spark, indexPath)
+      require(vs.nonEmpty, s"no committed version in $indexPath")
+      val base = vs.max
+      val n =
+        if (newBuckets > 0) newBuckets
+        else bucketsForIndexBytes(
+          Versioned.tableBytes(spark, indexPath, Some(base)).getOrElse(0L))
+      val pinned = Versioned.read(spark, indexPath, Some(base))
+      if (Versioned.commitIf(pinned, indexPath, "overwrite", Map.empty,
+          base, Some(("band_hash", n))).isDefined)
+        return n
+    }
+    -1 // unreachable
   }
 
   /** The band index as a catalog-scanned DataFrame: the DSv2 scan is

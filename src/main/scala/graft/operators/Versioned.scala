@@ -163,6 +163,21 @@ object Versioned {
   final class CreateConflict(table: String) extends IllegalStateException(
     s"snapshot table $table already exists")
 
+  /** Thrown by a bucketed APPEND whose commit attempt lands on a base
+    * whose declared bucket layout no longer matches the layout the
+    * append's segment files were hashed under — a REBUCKET (or any
+    * layout-changing overwrite) interleaved between the append's
+    * layout check and its commit. Committing anyway would declare one
+    * layout over files hashed under another (a silently corrupt
+    * KeyGroupedPartitioning report: co-located joins would MISS rows),
+    * so the append refuses loudly; re-running it re-buckets the same
+    * rows under the landed layout. */
+  final class BucketLayoutChanged(table: String, staged: String,
+      landed: String) extends IllegalStateException(
+    s"bucket layout of $table changed concurrently under append: " +
+      s"segment staged as $staged but the landed base declares " +
+      s"$landed — re-run the append (it will hash under the new layout)")
+
   /** Commit `df` as the next version. `mode` is "overwrite" (snapshot =
     * just these files), "append" (snapshot = previous latest's files +
     * these) or "create" (overwrite that REFUSES atomically — a
@@ -392,6 +407,21 @@ object Versioned {
         baseV, mode, newLines, mapping, { base =>
           if (mode == "create" && base.isDefined)
             throw new CreateConflict(table)
+          // the spec-matches-base check above ran at baseV; if the
+          // base MOVED before this attempt, re-check the LANDED
+          // base's declared layout — an interleaved REBUCKET would
+          // otherwise rebase old-count gb-* files under a new-count
+          // declaration (BucketKey is deliberately not a merged
+          // contract key: layouts don't three-way-merge)
+          if (mode == "append" && base != baseV) {
+            val landed = base.flatMap(v =>
+              parseBucketMeta(readMeta(spark, table, v)))
+            if (!landed.exists(d => d._1.equalsIgnoreCase(physCol) &&
+                d._2 == numBuckets))
+              throw new BucketLayoutChanged(table,
+                s"$physCol/$numBuckets",
+                landed.map(d => s"${d._1}/${d._2}").getOrElse("<none>"))
+          }
           val prevLines =
             if (mode == "append")
               base.toSeq.flatMap(v => readFileLines(fs, root, v))
@@ -399,7 +429,7 @@ object Versioned {
           prevLines ++ newLines
         })
       catch {
-        case e: CreateConflict =>
+        case e @ (_: CreateConflict | _: BucketLayoutChanged) =>
           deleteAbandonedSegment(fs, root, newLines)
           throw e
       }

@@ -289,6 +289,68 @@ class BandIndexSpec extends SparkSpec {
     assert(Versioned.versions(spark, ix).size == 7)
   }
 
+  test("REBUCKET is a CAS: a stale read-rewrite-overwrite cannot drop " +
+    "an interleaved chunk append; the guarded migration keeps it") {
+    val ix = tmpDir("bandixcas") + "/index"
+    Dedup.writeBandIndex(synth(1L to 60L), $"text", "doc_id", ix) // v0
+    Dedup.writeBandIndex(synth(200L to 220L), $"text", "doc_id", ix,
+      mode = "append") // v1 — the chunk a lost-update rebucket would drop
+    // the lost-update shape rebucketBandIndex used to have: a rewrite
+    // of the rows read at v0, committed as an unconditional overwrite,
+    // silently drops v1 (its docs then re-admitted as "new" by every
+    // later probe). The CAS must refuse to land on a moved base.
+    val stale = Versioned.commitIf(
+      Versioned.read(spark, ix, Some(0L)), ix, "overwrite", Map.empty,
+      expectedBase = 0L, bucket = Some(("band_hash", 32)))
+    assert(stale.isEmpty, "stale overwrite must not land on a moved base")
+    assert(Versioned.versions(spark, ix).max == 1L,
+      "refused CAS must leave the version chain untouched")
+    assert(Versioned.bucketSpec(spark, ix).contains(("band_hash", 16)))
+    // the guarded migration reads the REAL latest: append survives
+    assert(Dedup.rebucketBandIndex(spark, ix, 32) == 32)
+    assert(Versioned.bucketSpec(spark, ix).contains(("band_hash", 32)))
+    val m = Dedup.dedupChunkAgainstIndex(
+      synth(Seq(205L)).select(($"doc_id" + 9000).as("doc_id"), $"text"),
+      $"text", "doc_id", ix)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(m(9205L),
+      "the interleaved append's docs must survive the migration")
+  }
+
+  test("append REFUSES (BucketLayoutChanged) when a REBUCKET lands in " +
+    "its check-to-commit window — never old-layout files under the " +
+    "new declaration; a re-run buckets under the landed layout") {
+    val ix = tmpDir("bandixlc") + "/index"
+    Dedup.writeBandIndex(synth(1L to 60L), $"text", "doc_id", ix,
+      buckets = 4)
+    @volatile var fired = false
+    Versioned.commitTestHook = () => {
+      Versioned.commitTestHook = () => () // inner commits must not recurse
+      fired = true
+      Dedup.rebucketBandIndex(spark, ix, 16)
+      ()
+    }
+    val e =
+      try intercept[Versioned.BucketLayoutChanged] {
+        Dedup.writeBandIndex(synth(100L to 110L), $"text", "doc_id", ix,
+          mode = "append")
+      } finally Versioned.commitTestHook = () => ()
+    assert(fired, "the interleave hook must have run")
+    assert(e.getMessage.contains("band_hash/4") &&
+      e.getMessage.contains("band_hash/16"),
+      s"refusal must name both layouts: ${e.getMessage}")
+    // nothing half-landed: the rebucket IS the latest, its rows intact
+    assert(Versioned.bucketSpec(spark, ix).contains(("band_hash", 16)))
+    // the re-run hashes under the landed layout and sticks
+    assert(Dedup.writeBandIndex(synth(100L to 110L), $"text", "doc_id",
+      ix, mode = "append").buckets == 16)
+    val m = Dedup.dedupChunkAgainstIndex(
+      synth(Seq(105L)).select(($"doc_id" + 9000).as("doc_id"), $"text"),
+      $"text", "doc_id", ix)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(m(9105L), "re-run append must be probeable under the new layout")
+  }
+
   test("an all-short corpus (no banded docs) still writes a probeable " +
     "index: empty version WITH schema, chunk probes clean") {
     val ix = tmpDir("bandixe") + "/index"
