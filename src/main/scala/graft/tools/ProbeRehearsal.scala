@@ -100,12 +100,22 @@ object ProbeRehearsal {
         .flatMap(_.metrics.collect {
           case (k, m) if k == "shuffleBytesWritten" => m.value
         }).sum
+    // rows emitted by every SCAN in the executed plan: separates the
+    // probe's index-side scan term (linear in the index, zero network,
+    // parallelizes with executors) from its shuffle term (the one that
+    // must stay chunk-sized) — so "wall grew because of the scan" is a
+    // measurement, not an inference
+    def scanRows(df: DataFrame): Long =
+      subtree(df.queryExecution.executedPlan)
+        .collect { case s if s.children.isEmpty => s }
+        .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
 
     // ---- probe each layout twice, keep the better pass
     Seq("bucketed" -> bucketedPath, "legacy" -> legacyPath).foreach {
       case (label, path) =>
         var bestS = Double.MaxValue
         var bytes = 0L
+        var scanned = 0L
         (1 to 2).foreach { _ =>
           val p0 = System.nanoTime()
           // collect() (chunk-bounded: flagged rows only) so the SQL
@@ -116,7 +126,9 @@ object ProbeRehearsal {
             .where($"dup_of_corpus" || $"dup_in_chunk")
           val flagged = flagsQ.collect().length
           val s = (System.nanoTime() - p0) / 1e9
-          if (s < bestS) { bestS = s; bytes = shuffleBytes(flagsQ) }
+          if (s < bestS) {
+            bestS = s; bytes = shuffleBytes(flagsQ); scanned = scanRows(flagsQ)
+          }
           // both layouts: a zero-flag legacy probe (e.g. schema drift
           // in the loose-parquet index) would otherwise print a
           // plausible timing line and silently invalidate the
@@ -124,7 +136,7 @@ object ProbeRehearsal {
           if (flagged == 0)
             sys.error(s"$label probe flagged nothing — chunk recipe broken")
         }
-        println(f"""{"phase":"probe","layout":"$label","chunk":"$chunkDir","probe_s":$bestS%.2f,"shuffle_bytes":$bytes}""")
+        println(f"""{"phase":"probe","layout":"$label","chunk":"$chunkDir","probe_s":$bestS%.2f,"shuffle_bytes":$bytes,"scan_rows":$scanned}""")
     }
     spark.stop()
   }

@@ -324,7 +324,12 @@ class BandIndexSpec extends SparkSpec {
     Dedup.writeBandIndex(synth(1L to 60L), $"text", "doc_id", ix,
       buckets = 4)
     @volatile var fired = false
-    Versioned.commitTestHook = () => {
+    // suites run in PARALLEL against the shared session: guard the
+    // global hook to THIS thread, or another suite's commit fires it
+    // first (stealing the interleave from our append — and running a
+    // rebucket inside an innocent suite's commit flow)
+    val self = Thread.currentThread()
+    Versioned.commitTestHook = () => if (Thread.currentThread() eq self) {
       Versioned.commitTestHook = () => () // inner commits must not recurse
       fired = true
       Dedup.rebucketBandIndex(spark, ix, 16)

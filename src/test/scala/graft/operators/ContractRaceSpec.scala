@@ -22,11 +22,17 @@ class ContractRaceSpec extends SparkSpec {
     try f finally spark.conf.unset(SchemaEnforce.WidenConf)
   }
 
-  private def onceHook(f: => Unit): Unit =
-    Versioned.commitTestHook = () => {
+  private def onceHook(f: => Unit): Unit = {
+    // suites run in PARALLEL against the shared session: fire only on
+    // THIS test's thread, or a concurrent suite's unrelated commit
+    // consumes the one-shot interleave (and runs our payload inside
+    // its own commit flow)
+    val self = Thread.currentThread()
+    Versioned.commitTestHook = () => if (Thread.currentThread() eq self) {
       Versioned.commitTestHook = () => () // the inner commit must not recurse
       f
     }
+  }
 
   test("a CARRIER-LESS append racing a widening append re-carries the " +
     "landed schema carrier — the latest version stays readable wide") {
@@ -179,7 +185,11 @@ class ContractRaceSpec extends SparkSpec {
     // would make it explicit intent and resurrect the dropped rule.
     // (phases 2 and 4 are the DDLs' own metadata-commit hook firings)
     var phase = 0
-    Versioned.commitTestHook = () => {
+    // thread-guarded like onceHook: a concurrent suite's commit must
+    // not advance the phase counter (the DDLs' own same-thread inner
+    // firings are phases 2 and 4 by design and still count)
+    val self = Thread.currentThread()
+    Versioned.commitTestHook = () => if (Thread.currentThread() eq self) {
       phase += 1
       if (phase == 1)
         Versioned.addInvariants(spark, t,

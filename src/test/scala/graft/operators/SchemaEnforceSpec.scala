@@ -169,7 +169,8 @@ class SchemaEnforceSpec extends SparkSpec {
     // hook: between OUR enforcement (which read the current carrier)
     // and OUR commit, another append lands carrying a NEW column —
     // our pre-computed carrier knows nothing about `tag`
-    Versioned.commitTestHook = () => {
+    val self = Thread.currentThread()
+    Versioned.commitTestHook = () => if (Thread.currentThread() eq self) {
       Versioned.commitTestHook = () => () // the inner commit must not recurse
       Versioned.commit(Seq((200L, 2.0, "x")).toDF("k", "v", "tag")
         .coalesce(1), t, "append")

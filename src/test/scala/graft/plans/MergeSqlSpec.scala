@@ -724,9 +724,13 @@ class MergeSqlSpec extends SparkSpec {
         WHEN MATCHED THEN UPDATE SET v = S.v""")
     // 1) append OUTSIDE the source key domain (k=500 vs window [1,1]):
     //    the merge must commit WITHOUT recompute, carrying the append
+    // thread-guarded: suites run in parallel, and a foreign MERGE's
+    // rebase window must not consume (or mis-time) this interleave
+    val self = Thread.currentThread()
     val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
     Versioned.rebaseTestHook = () => {
-      if (fired.compareAndSet(false, true))
+      if ((Thread.currentThread() eq self) &&
+          fired.compareAndSet(false, true))
         Versioned.commit(Seq((500L, 5.0)).toDF("k", "v").coalesce(1),
           t, "append")
     }
@@ -741,7 +745,8 @@ class MergeSqlSpec extends SparkSpec {
     //    the merge would have matched — refuse, never silently rebase
     val fired2 = new java.util.concurrent.atomic.AtomicBoolean(false)
     Versioned.rebaseTestHook = () => {
-      if (fired2.compareAndSet(false, true))
+      if ((Thread.currentThread() eq self) &&
+          fired2.compareAndSet(false, true))
         Versioned.commit(Seq((1L, 9.0)).toDF("k", "v").coalesce(1),
           t, "append")
     }
@@ -755,7 +760,8 @@ class MergeSqlSpec extends SparkSpec {
     // 3) a touched base line (concurrent DV delete): stale read → refuse
     val fired3 = new java.util.concurrent.atomic.AtomicBoolean(false)
     Versioned.rebaseTestHook = () => {
-      if (fired3.compareAndSet(false, true))
+      if ((Thread.currentThread() eq self) &&
+          fired3.compareAndSet(false, true))
         Versioned.deleteWithDv(spark, t, _ => true,
           org.apache.spark.sql.functions.col("k") === 3L)
     }
