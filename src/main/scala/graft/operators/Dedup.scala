@@ -366,7 +366,7 @@ object Dedup {
     while (true) {
       attempts += 1
       if (attempts > 5) throw new IllegalStateException(
-        s"rebucket of $indexPath kept racing appends ($attempts " +
+        s"rebucket of $indexPath kept racing appends (${attempts - 1} " +
           "attempts) — retry when the chunk-writer storm subsides")
       val vs = Versioned.versions(spark, indexPath)
       require(vs.nonEmpty, s"no committed version in $indexPath")
@@ -380,7 +380,7 @@ object Dedup {
           base, Some(("band_hash", n))).isDefined)
         return n
     }
-    -1 // unreachable
+    sys.error("unreachable: the CAS loop returns or throws")
   }
 
   /** The band index as a catalog-scanned DataFrame: the DSv2 scan is
