@@ -110,7 +110,8 @@ object Components {
     * [[SingleTaskMaxEdges]] bound (≤8M nodes) that is 400 MB–1 GB in
     * a single task, the exact OOM the bound exists to avoid. Two bare
     * long arrays cap the same map at ~256 MB. */
-  private final class LongLongMap(initialCapacityPow2: Int) {
+  private final class LongLongMap(initialCapacityPow2: Int,
+      decreasingValues: Boolean = false) {
     private[this] final val Empty = Long.MinValue
     private[this] var cap = java.lang.Integer.highestOneBit(
       math.max(16, initialCapacityPow2))
@@ -146,6 +147,15 @@ object Components {
     def put(k: Long, v: Long): Unit =
       if (k == Empty) { hasMinKey = true; minKeyVal = v }
       else {
+        // keysIterator's no-insert-during-iteration safety rests on the
+        // union-by-min invariant (every stored value < its key, so
+        // find() during the sweep only UPDATES existing keys) — a put
+        // violating it must fail loudly here, not corrupt the sweep
+        // after a grow() (r14 ADVICE). Instances used as plain maps/
+        // sets (the roots set stores k -> k) opt out at construction.
+        require(!decreasingValues || v < k,
+          s"union-by-min invariant violated: put($k, $v) with value " +
+            ">= key would make a key a root and break keysIterator")
         val i = slot(k)
         if (ks(i) == Empty) {
           ks(i) = k; vs(i) = v; n += 1
@@ -175,7 +185,7 @@ object Components {
     canon.select(col("a"), col("b")).as[(Long, Long)]
       .coalesce(1)
       .mapPartitions { it =>
-        val parent = new LongLongMap(1 << 16)
+        val parent = new LongLongMap(1 << 16, decreasingValues = true)
         def find(x: Long): Long = {
           var r = x
           var p = parent.getOrElse(r, r)

@@ -254,20 +254,31 @@ object Dedup {
 
   /** Exact source row count available WITHOUT a scan job: the
     * optimized plan is projections over one leaf that reports an
-    * exact rowCount in its stats (our catalog snapshot scans do —
-    * manifest `rows=` stats, the vt6 metadata-only-aggregate
-    * machinery; plain-parquet reads report None). A Filter/Join/agg
-    * anywhere → None, since the leaf count would over-state. */
+    * exact rowCount in its stats. Only leaves whose exactness is OURS
+    * to guarantee qualify — a graft DSv2 snapshot scan (manifest
+    * `rows=` stats, the vt6 metadata-only-aggregate machinery) or an
+    * in-memory LocalRelation (row count exact by construction). Any
+    * other relation returns None even when it CARRIES a rowCount:
+    * e.g. a catalog table's ANALYZE estimate can be stale, and sizing
+    * a bucket layout from it would silently violate this method's
+    * exactness contract (r14 ADVICE). A Filter/Join/agg anywhere →
+    * None, since the leaf count would over-state. */
   private[operators] def statsRowCount(df: DataFrame): Option[Long] = {
     import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
     def leafOf(p: LogicalPlan): Option[LeafNode] = p match {
       case Project(_, c) => leafOf(c)
       case SubqueryAlias(_, c) => leafOf(c)
       case l: LeafNode => Some(l)
       case _ => None
     }
-    leafOf(df.queryExecution.optimizedPlan)
-      .flatMap(_.stats.rowCount).map(_.toLong)
+    leafOf(df.queryExecution.optimizedPlan).flatMap {
+      case r: DataSourceV2ScanRelation
+          if r.scan.getClass.getName.startsWith("graft.sources.") =>
+        r.stats.rowCount.map(_.toLong)
+      case l: LocalRelation => l.stats.rowCount.map(_.toLong)
+      case _ => None
+    }
   }
 
   /** Persist the corpus's MinHash band index: (band_id, band_hash, id)
@@ -295,7 +306,8 @@ object Dedup {
     * [[BandIndexWrite]] says when that is due. */
   def writeBandIndex(df: DataFrame, text: Column, id: String, path: String,
       shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      buckets: Int = 0, mode: String = "overwrite"): BandIndexWrite = {
+      buckets: Int = 0, mode: String = "overwrite",
+      meta: Map[String, String] = Map.empty): BandIndexWrite = {
     requireBands(numHashes, bands)
     require(buckets >= 0, s"buckets must be >= 0 (0 = auto): $buckets")
     val spark = df.sparkSession
@@ -308,12 +320,16 @@ object Dedup {
         val rows = statsRowCount(df).getOrElse(df.count())
         bucketsForIndexBytes(rows * bands * BytesPerIndexRow)
       }
-    Versioned.commitBucketed(
+    val committedV = Versioned.commitBucketed(
       withBands(withMinhashSignature(df, text, shingleSize, numHashes),
         bands, numHashes / bands)
         .select(col("band_id"), col("band_hash"), col(id)),
-      path, "band_hash", n, mode)
-    val rec = Versioned.tableBytes(spark, path)
+      path, "band_hash", n, mode, meta)
+    // size the recommendation from the version THIS call committed,
+    // not the table's latest — a concurrent append/rebucket landing
+    // in the window would otherwise make the WARN and the returned
+    // BandIndexWrite describe a different snapshot (r14 ADVICE)
+    val rec = Versioned.tableBytes(spark, path, Some(committedV))
       .map(bucketsForIndexBytes).getOrElse(n)
     val res = BandIndexWrite(n, rec)
     if (res.rebucketRecommended)

@@ -34,13 +34,24 @@ class ComponentsSpec extends SparkSpec {
     // that one signature with a logged bounded retry — semantic
     // divergence (the assert above) still fails on the FIRST attempt,
     // and anything else still propagates with its full stack.
+    // Retry ONLY when the throw originated inside Spark internals: the
+    // first graft.* or org.apache.spark.* frame walking the stack
+    // top-down must be Spark's. A NoSuchElementException raised from
+    // graft code (e.g. a closure Spark invokes — graft frames sit
+    // above Spark's) is a real defect and must fail on the first
+    // attempt (r14 ADVICE).
+    def sparkInternalOrigin(e: Throwable): Boolean =
+      e.getStackTrace.iterator.map(_.getClassName)
+        .find(c => c.startsWith("graft.") || c.startsWith("org.apache.spark."))
+        .exists(_.startsWith("org.apache.spark."))
     var attempt = 0
     while (true) {
       try return once()
       catch {
         case e: java.util.NoSuchElementException
             if e.getMessage != null &&
-              e.getMessage.startsWith("key not found") && attempt < 2 =>
+              e.getMessage.startsWith("key not found") &&
+              sparkInternalOrigin(e) && attempt < 2 =>
           attempt += 1
           val sw = new java.io.StringWriter()
           e.printStackTrace(new java.io.PrintWriter(sw))
