@@ -246,8 +246,11 @@ object Dedup {
     * outgrown (or a shrunken one over-provisions) its inherited
     * layout and [[rebucketBandIndex]] is due — otherwise the
     * migration path stays tribal knowledge. Also logged at WARN so
-    * unattended chunk writers leave a trail. */
-  case class BandIndexWrite(buckets: Int, recommendedBuckets: Int) {
+    * unattended chunk writers leave a trail. `version` is the manifest
+    * version this write committed — callers coordinating with other
+    * writers (the streaming near-dedup ledger) key off it. */
+  case class BandIndexWrite(buckets: Int, recommendedBuckets: Int,
+      version: Long) {
     def rebucketRecommended: Boolean =
       recommendedBuckets >= 4 * buckets || buckets >= 4 * recommendedBuckets
   }
@@ -331,7 +334,7 @@ object Dedup {
     // BandIndexWrite describe a different snapshot (r14 ADVICE)
     val rec = Versioned.tableBytes(spark, path, Some(committedV))
       .map(bucketsForIndexBytes).getOrElse(n)
-    val res = BandIndexWrite(n, rec)
+    val res = BandIndexWrite(n, rec, committedV)
     if (res.rebucketRecommended)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"band index $path: declared layout $n buckets vs " +

@@ -732,6 +732,96 @@ object StreamingQueries {
           AND round(len(list_filter(string_split_regex(lower(text), '\s+'),
                 tk -> tk IN ('the','a','and','of','to','in','is')
               ))::DOUBLE / len(string_split_regex(lower(text), '\s+')), 6)
-            > 0.01"""))
+            > 0.01""")),
+
+    // ---- ST17 streaming NEAR-dedup against the persisted band index
+    // — st16 composed with dd10 (graft.streaming.NearDedup): the same
+    // change-feed + admission gate, but dedup state is the PERSISTED
+    // MinHash band index instead of dropDuplicates' unbounded state
+    // store — each micro-batch probes the index at chunk cost and
+    // appends its own bands (CAS commit, batch-id ledger meta). Batch
+    // 1 indexes the v0 snapshot; v1 injects EXACT copies across the
+    // batch boundary (of v0 docs — caught via the index:
+    // dup_of_corpus) and within the batch (of v1 docs — caught by
+    // keep-first domination: dup_in_chunk). Copies share the full
+    // signature, so every band collides — recall on both classes is
+    // closed-form (the dd10 count device); id offsets are multiples
+    // of 97, so a copy passes the eval carve-out iff its source does.
+    // Snapshot originals prove batch 1 probed an EMPTY index (zero
+    // dup_of_corpus); per-doc flags on originals are legitimately
+    // non-closed-form (the corpus carries true near-duplicates), so
+    // per-doc behavior is spec-pinned on pairwise-independent texts
+    // in NearDedupSpec instead — along with checkpoint-restart
+    // convergence and replay idempotence.
+    "st17_streaming_near_dedup" -> QueryDef(
+      (s, dir) => {
+        val c = streamSession(s)
+        import c.implicits._
+        val corpusCopyOff = 97L * 200000 // 19.4M: beyond any sf's ids
+        val chunkCopyOff = 97L * 400000 // disjoint, so classes can't mix
+        val base = java.nio.file.Files.createTempDirectory("st17").toString
+        val table = base + "/docs"
+        val docs = Tables(c, dir, "documents")
+          .select($"doc_id", $"text", $"n_chars")
+        graft.operators.Versioned.commit(
+          docs.where($"doc_id" % 3 === 0).coalesce(2), table) // v0
+        val q = c.readStream.format("graft-changes")
+          .option("path", table).load()
+          .transform(CapstoneQueries.gate)
+          .writeStream
+          .foreachBatch(graft.streaming.NearDedup.sink(
+            $"text", "doc_id", base + "/index", base + "/out"))
+          .option("checkpointLocation", base + "/ckpt")
+          .outputMode("update").start()
+        try {
+          q.processAllAvailable() // batch 1: the v0 snapshot
+          val originals = docs.where($"doc_id" % 3 =!= 0)
+          val corpusCopies = docs.where($"doc_id" % 3 === 0 && $"doc_id" < 60)
+            .withColumn("doc_id", $"doc_id" + corpusCopyOff)
+          val chunkCopies = originals.where($"doc_id" < 60)
+            .withColumn("doc_id", $"doc_id" + chunkCopyOff)
+          graft.operators.Versioned.commit(
+            originals.unionByName(corpusCopies).unionByName(chunkCopies)
+              .coalesce(2), table, "append") // v1 lands mid-stream
+          q.processAllAvailable() // batch 2: the (v0, v1] delta
+        } finally q.stop()
+        c.read.parquet(base + "/out/flags")
+          .select(
+            when($"doc_id" >= chunkCopyOff, lit("chunk_copy"))
+              .when($"doc_id" >= corpusCopyOff, lit("corpus_copy"))
+              .when($"doc_id" % 3 === 0, lit("snapshot_originals"))
+              .otherwise(lit(null)).as("kind"),
+            when($"doc_id" >= chunkCopyOff, $"dup_in_chunk")
+              .otherwise($"dup_of_corpus").cast("long").as("flagged"))
+          .where($"kind".isNotNull)
+          .groupBy($"kind")
+          .agg(count(lit(1)).as("n"), sum($"flagged").as("n_flagged"))
+      },
+      Some("""WITH gated AS (
+          SELECT doc_id FROM documents
+          WHERE doc_id % 97 <> 0
+            AND n_chars BETWEEN 60 AND 520
+            AND len(string_split_regex(lower(text), '\s+')) >= 5
+            AND 1.0 - len(list_distinct(list_transform(
+                  range(1, len(string_split_regex(lower(text), '\s+')) - 1),
+                  i -> string_split_regex(lower(text), '\s+')[i] || ' ' ||
+                       string_split_regex(lower(text), '\s+')[i+1] || ' ' ||
+                       string_split_regex(lower(text), '\s+')[i+2]
+                )))::DOUBLE /
+                greatest(len(string_split_regex(lower(text), '\s+')) - 2, 1)
+              <= 0.3
+            AND round(len(list_filter(string_split_regex(lower(text), '\s+'),
+                  tk -> tk IN ('the','a','and','of','to','in','is')
+                ))::DOUBLE / len(string_split_regex(lower(text), '\s+')), 6)
+              > 0.01)
+        SELECT 'chunk_copy' AS kind, count(*) AS n,
+            CAST(count(*) AS BIGINT) AS n_flagged
+          FROM gated WHERE doc_id % 3 <> 0 AND doc_id < 60
+        UNION ALL
+        SELECT 'corpus_copy', count(*), CAST(count(*) AS BIGINT)
+          FROM gated WHERE doc_id % 3 = 0 AND doc_id < 60
+        UNION ALL
+        SELECT 'snapshot_originals', count(*), CAST(0 AS BIGINT)
+          FROM gated WHERE doc_id % 3 = 0"""))
   )
 }

@@ -1,0 +1,150 @@
+package graft.streaming
+
+import graft.operators.{Dedup, Versioned}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming NEAR-dedup against the persisted MinHash band index —
+  * the composition of st16's incremental curation stream with dd10's
+  * chunk-vs-corpus probe ([EXT]; the production incremental-ingest +
+  * incremental-dedup loop). Each micro-batch:
+  *
+  *   1. probes the persisted index ([[Dedup.dedupChunkAgainstIndex]]):
+  *      cost tracks the BATCH — the batch is signatured and its bands
+  *      shuffled once into the index's bucket layout; the index side
+  *      moves zero bytes (the dd10 scale proof, byte-identical probe
+  *      shuffle across three index decades);
+  *   2. writes the per-doc flag ledger and the surviving docs, each to
+  *      a per-batch directory (overwrite — idempotent under replay);
+  *   3. appends the WHOLE admitted batch's bands to the index
+  *      ([[Dedup.writeBandIndex]] append), tagged with the batch id.
+  *
+  * The index — not Spark's state store — is the stream's dedup state,
+  * which is what bounds it: st16's `dropDuplicates` holds every key in
+  * executor state forever, while the band index lives on storage,
+  * shared with batch writers, rebucketable as it grows, and probed at
+  * chunk cost. The index records every ADMITTED doc (not just
+  * survivors): near-duplicate similarity is not transitive, so a
+  * survivors-only index could miss a doc near-identical to a dropped
+  * doc but not to that doc's own dominator — indexing everything seen
+  * anchors the keep-first rule to first OCCURRENCE, dd10's semantics.
+  *
+  * Exactly-once across restarts WITHOUT relying on Spark committing
+  * the checkpoint before side effects land: the index commit itself is
+  * the ledger. Each append carries `neardedup_batch=<id>` in its
+  * manifest meta; a replayed batch (checkpoint lost after the sink ran)
+  * finds its id already recorded and skips — re-running the probe
+  * after the batch's own bands were appended would otherwise flag the
+  * whole batch as `dup_of_corpus` and overwrite the survivor dir with
+  * an empty one. Side-effect ORDER makes the ledger sufficient:
+  * flags/survivors (overwrite, idempotent) land BEFORE the index
+  * append, so a crash in between replays the whole batch (same probe
+  * result — the index is unchanged), and a crash after the append
+  * skips everything (the outputs are already complete).
+  *
+  * Concurrency: the append rides `commitBucketed`'s CAS, so batch
+  * writers and OTHER chunk appenders interleave safely; a rebucket
+  * migration landing mid-batch surfaces as `BucketLayoutChanged`,
+  * failing the batch — the restart re-probes under the landed layout
+  * and retries the append with the inherited (new) bucket count.
+  */
+object NearDedup {
+
+  /** Manifest meta key carrying the last applied foreachBatch id. */
+  val BatchKey = "neardedup_batch"
+
+  /** What one micro-batch did. `indexVersion` is the index manifest
+    * version the batch's append committed (-1 when replayed: nothing
+    * was committed this invocation). */
+  case class BatchOutcome(batchId: Long, admitted: Long,
+      dupOfCorpus: Long, dupInChunk: Long, survivors: Long,
+      indexVersion: Long, replayed: Boolean)
+
+  /** Highest batch id recorded in the index's commit ledger, scanning
+    * versions newest-first until one carries [[BatchKey]] — normally
+    * ONE manifest-header read (the latest version is this stream's own
+    * last append); interleaved foreign commits (chunk appends, a
+    * rebucket overwrite, OPTIMIZE) are skipped over, never mistaken
+    * for stream progress. None when the stream has never committed. */
+  def lastAppliedBatch(spark: SparkSession, indexPath: String): Option[Long] =
+    Versioned.versions(spark, indexPath).sorted.reverseIterator
+      .flatMap(v => Versioned.readMeta(spark, indexPath, v).get(BatchKey))
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .nextOption()
+
+  /** Seed an EMPTY index at the minimum layout iff none exists, so the
+    * first micro-batch probes against nothing instead of failing.
+    * `create` mode makes the race benign: two streams (or a stream and
+    * a batch indexer) starting together commit once — the loser sees
+    * CreateConflict and proceeds against the winner's version.
+    * Production deployments with an existing corpus should instead
+    * pre-build the index with [[Dedup.writeBandIndex]] over it, sized
+    * for the corpus; this seed's 16-bucket layout is for genuinely
+    * empty starts, and `rebucketRecommended` flags the migration once
+    * appends outgrow it. */
+  private def ensureIndex(chunk: DataFrame, text: Column, id: String,
+      indexPath: String, shingleSize: Int, numHashes: Int,
+      bands: Int): Unit =
+    if (Versioned.versions(chunk.sparkSession, indexPath).isEmpty)
+      try Versioned.commitBucketed(
+        Dedup.withBands(
+          Dedup.withMinhashSignature(chunk.limit(0), text, shingleSize,
+            numHashes), bands, numHashes / bands)
+          .select(col("band_id"), col("band_hash"), col(id)),
+        indexPath, "band_hash", Dedup.MinIndexBuckets, "create")
+      catch { case _: Versioned.CreateConflict => () }
+
+  /** Process one micro-batch (the foreachBatch body, callable directly
+    * so specs can drive replay/crash schedules deterministically).
+    * `batch` must already be admission-gated — this method dedups, it
+    * does not curate. Writes `<outPath>/flags/batch=<id>` (the per-doc
+    * (id, dup_of_corpus, dup_in_chunk) decision ledger — the audit
+    * trail batch dedup gets from dd10's returned frame) and
+    * `<outPath>/survivors/batch=<id>` (batch rows flagged by neither),
+    * then appends the batch's bands to the index. */
+  def processBatch(batch: DataFrame, batchId: Long, text: Column,
+      id: String, indexPath: String, outPath: String,
+      shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4)
+      : BatchOutcome = {
+    val spark = batch.sparkSession
+    ensureIndex(batch, text, id, indexPath, shingleSize, numHashes, bands)
+    if (lastAppliedBatch(spark, indexPath).exists(_ >= batchId))
+      return BatchOutcome(batchId, -1, -1, -1, -1, -1, replayed = true)
+    // one materialization of the (gated) batch: it feeds the probe,
+    // the survivor join and the index append — the upstream micro-batch
+    // scan + gate would otherwise re-run per consumer
+    val chunk = batch.localCheckpoint(true)
+    // eager: the probe must execute BEFORE this batch's own bands are
+    // appended below — a lazy frame re-evaluated after the append would
+    // see the batch in the index and flag every doc dup_of_corpus
+    val flags = Dedup.dedupChunkAgainstIndex(chunk, text, id, indexPath,
+      shingleSize, numHashes, bands).localCheckpoint(true)
+    flags.write.mode("overwrite").parquet(s"$outPath/flags/batch=$batchId")
+    val survivors = chunk.join(
+      flags.where(!col("dup_of_corpus") && !col("dup_in_chunk"))
+        .select(col(id)),
+      Seq(id), "left_semi")
+    survivors.write.mode("overwrite")
+      .parquet(s"$outPath/survivors/batch=$batchId")
+    val w = Dedup.writeBandIndex(chunk, text, id, indexPath, shingleSize,
+      numHashes, bands, mode = "append",
+      meta = Map(BatchKey -> batchId.toString))
+    val Seq(adm, dc, dk, srv) = flags.agg(count(lit(1)),
+      sum(col("dup_of_corpus").cast("long")),
+      sum(col("dup_in_chunk").cast("long")),
+      sum((!col("dup_of_corpus") && !col("dup_in_chunk")).cast("long")))
+      .head().toSeq.map(v => Option(v).fold(0L)(_.asInstanceOf[Long]))
+    BatchOutcome(batchId, adm, dc, dk, srv, w.version, replayed = false)
+  }
+
+  /** The foreachBatch sink: `writeStream.foreachBatch(NearDedup.sink(
+    * col("text"), "doc_id", indexPath, outPath))`. */
+  def sink(text: Column, id: String, indexPath: String, outPath: String,
+      shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4)
+      : (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      processBatch(batch, batchId, text, id, indexPath, outPath,
+        shingleSize, numHashes, bands)
+      ()
+    }
+}

@@ -1,0 +1,160 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.{Dedup, Versioned}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The st16+dd10 composition (graft.streaming.NearDedup): per-doc
+  * behavior on pairwise-independent texts (unique token vocabularies —
+  * no shared shingles, so LSH collisions happen iff texts are copies
+  * and every expectation is closed-form), checkpoint-restart
+  * convergence through a real stop/start, and replay idempotence via
+  * the index commit ledger (the guarantee Spark's checkpoint alone
+  * cannot give a side-effecting sink). */
+class NearDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Five unique tokens per doc — enough for 3-shingles, disjoint
+    * across keys so distinct docs never share a shingle. */
+  private def text(key: Int): String =
+    (0 until 5).map(j => s"w${key}x$j").mkString(" ")
+
+  private def docs(rows: (Long, Int)*): DataFrame =
+    rows.map { case (id, k) => (id, text(k)) }.toDF("doc_id", "text")
+
+  private def batchKeys(index: String): Seq[(Long, Long)] =
+    Versioned.versions(spark, index).sorted.flatMap { v =>
+      Versioned.readMeta(spark, index, v).get(NearDedup.BatchKey)
+        .map(b => (v, b.toLong))
+    }
+
+  test("streaming near-dedup: cross-batch copies die via the index, " +
+    "in-batch copies via keep-first, across a checkpoint restart") {
+    val base = tmpDir("neardedup")
+    val table = s"$base/docs"
+    val index = s"$base/index"
+    val out = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    def startStream() = spark.readStream.format("graft-changes")
+      .option("path", table).load()
+      .select($"doc_id", $"text")
+      .writeStream
+      .foreachBatch(NearDedup.sink($"text", "doc_id", index, out))
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+
+    // v0: three independent docs — batch 0 probes an EMPTY index
+    Versioned.commit(docs(1L -> 1, 2L -> 2, 3L -> 3), table)
+    val q1 = startStream()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // RESTART from the same checkpoint: batch numbering must continue,
+    // and the index — not any in-memory state — must still know batch
+    // 0's docs. v1: two new docs, one cross-batch copy (of doc 1, from
+    // before the restart), one in-batch copy (of doc 12, same batch).
+    Versioned.commit(docs(10L -> 10, 11L -> 1, 12L -> 12, 13L -> 12),
+      table, "append")
+    val q2 = startStream()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val flags = spark.read.parquet(s"$out/flags")
+      .select($"doc_id", $"dup_of_corpus", $"dup_in_chunk")
+      .as[(Long, Boolean, Boolean)].collect()
+      .map { case (id, dc, dk) => id -> ((dc, dk)) }.toMap
+    assert(flags == Map(
+      1L -> (false, false), 2L -> (false, false), 3L -> (false, false),
+      10L -> (false, false),
+      11L -> (true, false), // exact copy of pre-restart doc 1: the INDEX caught it
+      12L -> (false, false),
+      13L -> (false, true)), // same-batch copy of 12: keep-first domination
+      s"per-doc flags diverged: $flags")
+    val survivors = spark.read.parquet(s"$out/survivors")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 2L, 3L, 10L, 12L),
+      s"survivors diverged: $survivors")
+
+    // ledger shape: versions contiguous; the seed carries no batch id;
+    // exactly one append per processed batch, ids strictly increasing
+    val vs = Versioned.versions(spark, index).sorted
+    assert(vs == (vs.min to vs.max), s"non-contiguous versions: $vs")
+    val keys = batchKeys(index)
+    assert(keys.map(_._2) == keys.map(_._2).sorted &&
+      keys.map(_._2).distinct == keys.map(_._2),
+      s"batch ids not strictly increasing: $keys")
+    assert(keys.size == vs.size - 1,
+      s"expected one ledgered append per batch over a seed: $vs vs $keys")
+    assert(NearDedup.lastAppliedBatch(spark, index)
+      .contains(keys.map(_._2).max))
+
+    // ---- replay idempotence, driven directly (the schedule Spark
+    // takes when the sink ran but the checkpoint commit was lost):
+    // re-running the LAST batch must not probe-then-append again —
+    // the batch's own bands are in the index now, so a recompute
+    // would flag everything dup_of_corpus and clobber the survivors.
+    val last = keys.map(_._2).max
+    val replay = NearDedup.processBatch(
+      docs(10L -> 10, 11L -> 1, 12L -> 12, 13L -> 12),
+      last, $"text", "doc_id", index, out)
+    assert(replay.replayed && replay.indexVersion == -1L)
+    assert(Versioned.versions(spark, index).sorted == vs,
+      "replay committed a version")
+    assert(spark.read.parquet(s"$out/survivors")
+      .select($"doc_id").as[Long].collect().toSet == survivors,
+      "replay rewrote the survivor output")
+
+    // ---- crash-window retry on a NEW batch: first run commits, the
+    // duplicate delivery (same id) is a no-op — exactly one ledger
+    // entry, outputs intact. Doc 21 copies doc 10 (a batch-1 ADMITTED
+    // doc): the index records everything admitted, so it's caught.
+    val next = docs(20L -> 20, 21L -> 10)
+    val first = NearDedup.processBatch(next, last + 1, $"text", "doc_id",
+      index, out)
+    assert(!first.replayed && first.admitted == 2 &&
+      first.dupOfCorpus == 1 && first.dupInChunk == 0 &&
+      first.survivors == 1, s"unexpected outcome: $first")
+    val retry = NearDedup.processBatch(next, last + 1, $"text", "doc_id",
+      index, out)
+    assert(retry.replayed)
+    assert(batchKeys(index).count(_._2 == last + 1) == 1,
+      "duplicate delivery double-committed")
+    assert(spark.read.parquet(s"$out/survivors")
+      .select($"doc_id").as[Long].collect().toSet == survivors + 20L)
+  }
+
+  test("stream batch racing a foreign chunk appender: both land, the " +
+    "ledger skips over the foreign commit, no batch id doubles") {
+    val base = tmpDir("neardedup_race")
+    val index = s"$base/index"
+    val out = s"$base/out"
+    // the production interleave: the stream's batch 0 (which also
+    // seeds the missing index) races a BATCH chunk writer appending
+    // its own bands to the same index — both ride commitBucketed's
+    // CAS, so neither append is lost whichever order they land in
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val stream = scala.concurrent.Future(NearDedup.processBatch(
+        docs(1L -> 1, 2L -> 2), 0L, $"text", "doc_id", index, out))
+      val foreign = scala.concurrent.Future(Dedup.writeBandIndex(
+        docs(100L -> 100), $"text", "doc_id", index, mode = "append",
+        buckets = Dedup.MinIndexBuckets))
+      val r = scala.concurrent.Await.result(stream,
+        scala.concurrent.duration.Duration(120, "s"))
+      scala.concurrent.Await.result(foreign,
+        scala.concurrent.duration.Duration(120, "s"))
+      assert(!r.replayed && r.admitted == 2)
+      val vs = Versioned.versions(spark, index).sorted
+      assert(vs == (vs.min to vs.max), s"non-contiguous versions: $vs")
+      // exactly one ledgered batch; the foreign append carries no key,
+      // and lastAppliedBatch skips over it even when it landed LAST
+      assert(batchKeys(index).map(_._2) == Seq(0L))
+      assert(NearDedup.lastAppliedBatch(spark, index).contains(0L))
+      // no append was lost: both writers' band rows are in the index
+      val ids = Versioned.read(spark, index).select($"doc_id")
+        .as[Long].collect().toSet
+      assert(ids == Set(1L, 2L, 100L), s"lost append: $ids")
+    } finally pool.shutdown()
+  }
+}
