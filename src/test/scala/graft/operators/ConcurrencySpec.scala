@@ -116,4 +116,137 @@ class ConcurrencySpec extends SparkSpec {
     // the history surface stays consistent under all of it
     assert(Versioned.history(spark, t).size == vs.size)
   }
+
+  /** Five unique tokens per doc key — disjoint vocabularies, so LSH
+    * collisions happen iff two docs are copies (closed-form probes). */
+  private def bandText(key: Long): String =
+    (0 until 5).map(j => s"bw${key}x$j").mkString(" ")
+
+  private def bandDocs(rows: (Long, Long)*) = {
+    import spark.implicits._
+    rows.map { case (id, k) => (id, bandText(k)) }.toDF("doc_id", "text")
+  }
+
+  test("band-index writer storm: 6 chunk appenders vs a rebucket loop " +
+    "vs live probes — contiguous versions, no lost append, final index " +
+    "equals the serial model, every mid-storm probe correct") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val t = tmpDir("bandstorm") + "/index"
+    // seed corpus: ids 0-9 — every later probe must still flag a copy
+    // of doc 0 as a corpus dup, whatever layout the index is under
+    val seed = bandDocs((0L until 10L).map(i => (i, i)): _*)
+    Dedup.writeBandIndex(seed, $"text", "doc_id", t,
+      buckets = Dedup.MinIndexBuckets)
+    val writers = 6
+    val chunksPerWriter = 3
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers + 2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val appendVersions =
+      new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val rebucketsLanded = new java.util.concurrent.atomic.AtomicInteger(0)
+    // a REAL chunk writer's loop: BucketLayoutChanged and commit-race
+    // exhaustion both mean "re-run the append" (writeBandIndex re-reads
+    // the declared layout each attempt, so the retry re-buckets under
+    // whatever the rebucket loop landed)
+    def appendRetrying(chunk: org.apache.spark.sql.DataFrame): Long = {
+      var last: Throwable = null
+      for (_ <- 0 until 60) {
+        try return Dedup.writeBandIndex(chunk, $"text", "doc_id", t,
+          mode = "append").version
+        catch {
+          case e: Versioned.BucketLayoutChanged => last = e
+          case e: IllegalStateException
+              if e.getMessage != null &&
+                e.getMessage.contains("losing the commit race") =>
+            last = e; Thread.sleep(100)
+        }
+      }
+      throw last
+    }
+    try {
+      val writerFs = (0 until writers).map { i =>
+        Future {
+          (0 until chunksPerWriter).foreach { j =>
+            val lo = 1000L * (i + 1) + 100L * j
+            appendVersions.add(appendRetrying(
+              bandDocs((lo until lo + 5).map(k => (k, k)): _*)))
+          }
+        }
+      }
+      val rebucketer = Future {
+        // alternate layouts so appends genuinely cross a layout change;
+        // the bounded give-up (storm error) is the documented outcome
+        // when appends never leave a wide-enough window
+        Seq(32, 16, 32).foreach { n =>
+          try {
+            Dedup.rebucketBandIndex(spark, t, n)
+            rebucketsLanded.incrementAndGet()
+          } catch {
+            case e: IllegalStateException
+                if e.getMessage != null &&
+                  e.getMessage.contains("kept racing appends") => ()
+          }
+          Thread.sleep(150)
+        }
+      }
+      val prober = Future {
+        var n = 0L
+        var probes = 0
+        while (!stop.get()) {
+          // copy of seed doc 0 → always a corpus dup (rebucket keeps
+          // every row); a never-indexed fresh doc → never flagged
+          val got = Dedup.dedupChunkAgainstIndex(
+            bandDocs(9000000L + n -> 0L, 9500000L + n -> (8000000L + n)),
+            $"text", "doc_id", t)
+            .select($"doc_id" >= 9500000L, $"dup_of_corpus",
+              $"dup_in_chunk")
+            .as[(Boolean, Boolean, Boolean)].collect()
+            .map { case (fresh, dc, dk) => fresh -> ((dc, dk)) }.toMap
+          assert(got == Map(false -> ((true, false)),
+            true -> ((false, false))),
+            s"mid-storm probe $n diverged: $got")
+          n += 1; probes += 1
+        }
+        probes
+      }
+      Await.result(Future.sequence(writerFs), 600.seconds)
+      stop.set(true)
+      Await.result(rebucketer, 120.seconds)
+      assert(Await.result(prober, 120.seconds) > 0,
+        "the prober never completed a probe during the storm")
+    } finally { stop.set(true); pool.shutdown() }
+
+    val vs = Versioned.versions(spark, t)
+    assert(vs == (vs.head to vs.last),
+      s"surviving versions must be contiguous (no fork, no gap): $vs")
+    assert(appendVersions.size == writers * chunksPerWriter &&
+      appendVersions.toArray.distinct.length == writers * chunksPerWriter,
+      "every chunk append must land its own distinct version")
+    // serial model: append-only band rows commute (and rebucket only
+    // re-lays them out), so the final index must hold EXACTLY the
+    // bands of seed + every appended chunk
+    val allDocs = seed.unionByName(bandDocs((0 until writers).flatMap {
+      i => (0 until chunksPerWriter).flatMap { j =>
+        val lo = 1000L * (i + 1) + 100L * j
+        (lo until lo + 5).map(k => (k, k))
+      }
+    }: _*))
+    val expected = Dedup.withBands(
+      Dedup.withMinhashSignature(allDocs, $"text", 3, 16), 4, 4)
+      .select($"band_id", $"band_hash", $"doc_id")
+      .as[(Int, Long, Long)].collect().toSet
+    val got = Versioned.read(spark, t)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(got == expected,
+      s"index diverged from the serial model: " +
+        s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    // whatever landed last, the declared layout is one of the storm's
+    // and every file agrees with it (bucketSpec reports None otherwise)
+    val spec = Versioned.bucketSpec(spark, t)
+    assert(spec.exists(s => s._1.equalsIgnoreCase("band_hash") &&
+      (s._2 == 16 || s._2 == 32)), s"inconsistent final layout: $spec")
+    info(s"rebuckets landed mid-storm: ${rebucketsLanded.get()} of 3")
+  }
 }
