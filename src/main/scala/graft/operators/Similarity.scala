@@ -145,6 +145,15 @@ object Similarity {
     * nprobe/nlist of the data — partition pruning, same story as the
     * LSH variant but with data-adaptive cells. */
   private def assign(df: DataFrame, embedding: String,
+      cents: Array[(Long, Array[Double])]): DataFrame =
+    assignWithSim(df, embedding, cents).drop(AssignSimCol)
+
+  /** Cosine similarity of each row to its ASSIGNED centroid — the
+    * per-batch signal [[appendToPersistedIvf]]'s drift check compares
+    * against the build-time baseline. */
+  private[operators] val AssignSimCol = "__ivf_sim"
+
+  private def assignWithSim(df: DataFrame, embedding: String,
       cents: Array[(Long, Array[Double])]): DataFrame = {
     val centroidLit = array(cents.map { case (cid, vec) =>
       struct(lit(cid).as("list_id"), lit(vec).as("c"))
@@ -157,6 +166,7 @@ object Similarity {
         col("__cands")(
           array_position(col("__scores"), array_max(col("__scores"))) - 1
         ).getField("list_id"))
+      .withColumn(AssignSimCol, array_max(col("__scores")))
       .drop("__cands", "__scores")
   }
 
@@ -195,18 +205,128 @@ object Similarity {
       .limit(k)
   }
 
+  /** Assignment quality of one cohort of vectors: how many, and their
+    * mean cosine to the centroid each was assigned. Written as the
+    * `_ivf_stats.json` sidecar at build time (underscore-prefixed, so
+    * parquet readers never see it) — the baseline every later append's
+    * drift check compares against. */
+  final case class IvfStats(vectors: Long, meanSim: Double)
+
+  /** What [[appendToPersistedIvf]] did. `retrainRecommended` is the
+    * IVF analogue of the band index's `rebucketRecommended`: it fires
+    * when the appended cohort's mean assignment DISTANCE (1 − cosine)
+    * is ≥2× the build-time baseline (floored at 0.01 so a perfectly
+    * tight build doesn't flag on noise) — the signal that the frozen
+    * codebook no longer describes the arriving distribution (cells too
+    * coarse where the new mass sits → recall degrades at fixed
+    * nprobe) and a rebuild/re-Lloyd is due. Also logged at WARN so
+    * unattended ingest jobs leave a trail. */
+  final case class IvfAppend(appended: Long, meanSim: Double,
+      build: IvfStats) {
+    def retrainRecommended: Boolean =
+      appended > 0 &&
+        (1.0 - meanSim) >= 2.0 * math.max(1.0 - build.meanSim, 0.01)
+  }
+
+  private def statsPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_ivf_stats.json")
+
+  private def writeStats(spark: org.apache.spark.sql.SparkSession,
+      path: String, s: IvfStats): Unit = {
+    val p = statsPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"vectors":${s.vectors},"mean_sim":${s.meanSim}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Build-time assignment baseline of a persisted IVF index; None for
+    * a pre-stats index directory (older builds). */
+  def readIvfStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[IvfStats] = {
+    val p = statsPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val raw = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val arr = new Array[Byte](4096)
+        var n = in.read(arr)
+        while (n >= 0) { buf.write(arr, 0, n); n = in.read(arr) }
+        new String(buf.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+      val m = raw.stripPrefix("{").stripSuffix("}").split(",").map { kv =>
+        val Array(k, v) = kv.split(":", 2)
+        k.replaceAll("\"", "") -> v
+      }.toMap
+      Some(IvfStats(m("vectors").toLong, m("mean_sim").toDouble))
+    }
+  }
+
+  /** Mean assigned-centroid cosine of `df` under `cents` — ONE narrow
+    * scan + a scalar aggregate. */
+  private def assignmentQuality(df: DataFrame, embedding: String,
+      cents: Array[(Long, Array[Double])]): IvfStats = {
+    val r = assignWithSim(df, embedding, cents)
+      .agg(count(lit(1)), avg(col(AssignSimCol))).head()
+    IvfStats(r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
+  }
+
   /** Persist the IVF index PARTITIONED BY list_id — nlist directories,
     * each holding one cell's vectors. [[ivfTopK]] over a read of this
     * layout prunes to its nprobe cells at DIRECTORY level (the `isin`
     * on the partition column is a partition filter), so a probe lists
     * and reads nprobe/nlist of the corpus — the on-disk counterpart of
     * the in-memory index, same story as the LSH variant but with
-    * data-adaptive cells. */
+    * data-adaptive cells. Also records the build-time assignment
+    * quality (`_ivf_stats.json`) as [[appendToPersistedIvf]]'s drift
+    * baseline — one extra narrow scan, paid once per corpus on the
+    * build path. Returns that baseline. */
   def writePersistedIvf(df: DataFrame, embedding: String,
-      codebook: IvfCodebook, path: String): Unit =
+      codebook: IvfCodebook, path: String): IvfStats = {
     ivfAssign(df, embedding, codebook)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("list_id").parquet(path)
+    val stats = assignmentQuality(df, embedding, codebook.entries)
+    writeStats(df.sparkSession, path, stats)
+    stats
+  }
+
+  /** Append new vectors to a persisted IVF index: assign against the
+    * FROZEN codebook (the one the index was built with — mixing
+    * codebooks would route probes to cells the rows aren't in) and
+    * append into the existing `list_id=` cell dirs. A production ANN
+    * corpus grows; rebuilding nlist cells per arriving chunk is the
+    * thing this avoids — the append touches only the chunk, and
+    * dir-pruned probes see old and new rows alike. Single-writer like
+    * the parquet LSH index (plain-directory layout, no commit
+    * protocol); the returned [[IvfAppend]] carries the drift check
+    * against the build baseline, so the caller learns when the frozen
+    * codebook has gone stale instead of silently degrading recall. */
+  def appendToPersistedIvf(df: DataFrame, embedding: String,
+      codebook: IvfCodebook, path: String): IvfAppend = {
+    val build = readIvfStats(df.sparkSession, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path has no _ivf_stats.json build baseline — build it with " +
+          "writePersistedIvf first (appending to an index whose " +
+          "codebook is unknown would corrupt cell routing)"))
+    ivfAssign(df, embedding, codebook)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("list_id").parquet(path)
+    val q = assignmentQuality(df, embedding, codebook.entries)
+    val res = IvfAppend(q.vectors, q.meanSim, build)
+    if (res.retrainRecommended)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"IVF index $path: appended cohort mean assignment sim " +
+          f"${q.meanSim}%.4f vs build baseline ${build.meanSim}%.4f — " +
+          "the frozen codebook no longer fits the arriving " +
+          "distribution; rebuild (retrain) recommended")
+    res
+  }
 
   /** Top-k probe against a persisted IVF index (directory-pruned). */
   def probePersistedIvf(spark: org.apache.spark.sql.SparkSession,

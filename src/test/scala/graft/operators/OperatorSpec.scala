@@ -254,6 +254,90 @@ class OperatorSpec extends SparkSpec {
     assert(ivf.toSeq == brute.toSeq)
   }
 
+  test("persisted IVF append: frozen-codebook assignment, post-append " +
+    "full probe equals brute force on the union, dir-pruning intact, " +
+    "in-distribution append does NOT flag retrain") {
+    val emb = graft.Tables(spark, sfDir, "embeddings")
+    val q = emb.where($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    // build on the even half, append the odd half (same distribution)
+    val corpus = emb.where($"vec_id" =!= 0)
+    val build = corpus.where($"vec_id" % 2 === 0)
+    val extra = corpus.where($"vec_id" % 2 === 1)
+    val cb = Similarity.buildCodebook(build, "embedding", "vec_id",
+      nlist = 8)
+    val path = tmpDir("ivfappend") + "/index"
+    val baseline = Similarity.writePersistedIvf(build, "embedding", cb, path)
+    assert(baseline.vectors == build.count() && baseline.meanSim > 0.0)
+    assert(Similarity.readIvfStats(spark, path).contains(baseline))
+    val app = Similarity.appendToPersistedIvf(extra, "embedding", cb, path)
+    assert(app.appended == extra.count())
+    assert(!app.retrainRecommended,
+      s"in-distribution append must not flag retrain: $app vs $baseline")
+    // full probe (nprobe = nlist) over the appended index is EXACT on
+    // the union corpus — no appended row lost, none mis-routed
+    val probed = Similarity.probePersistedIvf(spark, path, "embedding",
+      "vec_id", q, cb, nprobe = 8, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val brute = Similarity.bruteForceTopK(corpus, "embedding", "vec_id",
+      q, 5).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(probed.toSeq == brute.toSeq)
+    // dir-pruning survives the append: a narrow probe still reads
+    // <= nprobe list_id dirs
+    val narrow = Similarity.probePersistedIvf(spark, path, "embedding",
+      "vec_id", q, cb, nprobe = 2, k = 5)
+    val scan = narrow.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+    assert(scan.partitionFilters.nonEmpty, "no partition filters in probe")
+    val readDirs = scan.relation.location
+      .listFiles(scan.partitionFilters, Nil)
+      .flatMap(_.files.map(_.getPath.getParent.getName)).distinct
+    assert(readDirs.nonEmpty && readDirs.size <= 2 &&
+      readDirs.forall(_.startsWith("list_id=")), s"dirs read: $readDirs")
+  }
+
+  test("persisted IVF append: a shifted distribution fires " +
+    "retrainRecommended; appending without a build baseline refuses") {
+    // closed-form clusterable corpus: one-hot axis vectors in 16 dims.
+    // The 8 seed centroids (lowest ids) cover axes 0-7 exactly, so the
+    // build cohort assigns at cosine 1.0 (distance 0 — the tight-build
+    // floor case). A cohort on axes 8-15 is orthogonal to EVERY cell:
+    // best sim 0, distance 1.0 >= 2 x the 0.01 floor — genuine drift.
+    // (The real `embeddings` table is deliberately NOT used here: its
+    // near-uniform vectors give a ~0.82 build distance that nothing
+    // can double — on unclusterable data the quality signal staying
+    // silent is the correct behavior, proven by the in-distribution
+    // case above.)
+    def oneHot(axis: Int): Array[Float] =
+      Array.tabulate(16)(d => if (d == axis) 1f else 0f)
+    val build = (1L to 80L).map(i => (i, oneHot((i % 8).toInt)))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.buildCodebook(build, "embedding", "vec_id",
+      nlist = 8)
+    val path = tmpDir("ivfdrift") + "/index"
+    val baseline = Similarity.writePersistedIvf(build, "embedding", cb, path)
+    assert(math.abs(baseline.meanSim - 1.0) < 1e-9, s"$baseline")
+    val inDist = (100L to 119L).map(i => (i, oneHot((i % 8).toInt)))
+      .toDF("vec_id", "embedding")
+    assert(!Similarity.appendToPersistedIvf(inDist, "embedding", cb, path)
+      .retrainRecommended, "in-distribution cohort must not flag")
+    val shifted = (200L to 219L).map(i => (i, oneHot(8 + (i % 8).toInt)))
+      .toDF("vec_id", "embedding")
+    val app = Similarity.appendToPersistedIvf(shifted, "embedding", cb, path)
+    assert(app.retrainRecommended,
+      s"orthogonal cohort must flag retrain: $app vs $baseline")
+    // no baseline sidecar => loud refusal, not a silent append
+    val bare = tmpDir("ivfbare") + "/index"
+    Similarity.ivfAssign(build, "embedding", cb)
+      .write.partitionBy("list_id").parquet(bare)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToPersistedIvf(build, "embedding", cb, bare)
+    }
+    assert(e.getMessage.contains("_ivf_stats.json"))
+  }
+
   test("fingerprint is deterministic and text-sensitive") {
     val fps = docs.limit(10)
       .select(TextFunctions.fingerprint($"text").as("fp")).as[Long].collect()
