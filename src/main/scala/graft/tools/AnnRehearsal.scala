@@ -1,0 +1,128 @@
+package graft.tools
+
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.functions._
+
+/** Scale-rehearsal driver for the persisted-IVF path (sim3 + the r15
+  * append API) — the ANN counterpart of ProbeRehearsal's dd10 story.
+  * Run against 1×/100×/1000× embedding corpora (ScaleData `embeddings`
+  * mode) it measures, per decade:
+  *
+  *  - `build`: one writePersistedIvf pass (codebook assignment +
+  *    partitionBy(list_id) write + quality baseline) — linear in the
+  *    corpus, paid once.
+  *  - `probe`: probePersistedIvf at fixed nlist/nprobe vs
+  *    bruteForceTopK over the SAME files. The claim under test: the
+  *    probe's directory pruning holds at every decade — it reads
+  *    ~nprobe/nlist of the bytes the brute scan reads (`bytes_read`
+  *    from the executed plan's scan metrics, the Spark UI's numbers),
+  *    so the probed fraction is a LAYOUT property, independent of
+  *    corpus size. Probe wall grows with its cells (they hold 1/nlist
+  *    of a growing corpus — irreducible, embarrassingly parallel scan,
+  *    same attribution as dd10's scan term), never with the corpus
+  *    outside them.
+  *  - `append`: appendToPersistedIvf of the SAME fixed 1× cohort at
+  *    every decade — append cost must track the CHUNK, not the index
+  *    (the incremental-ingest claim, st16/dd10's delta-batch shape
+  *    applied to ANN); the in-distribution cohort must not flag
+  *    retrainRecommended at any decade.
+  *
+  * The codebook is seeded from the lowest `nlist` vec_ids — copy 0 of
+  * the scaled corpus at every factor — so all decades probe under the
+  * IDENTICAL codebook and measured differences are corpus-size
+  * effects, not clustering drift.
+  *
+  * Usage: AnnRehearsal <embDir> <workDir>
+  * Prints one JSON line per phase.
+  */
+object AnnRehearsal {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: AnnRehearsal <embDir> <workDir>")
+    val Array(embDir, workDir) = args
+    require(workDir.startsWith("/tmp"), "workDir must be under /tmp")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+      .appName("graft-ann-rehearsal")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val NList = 64
+    val NProbe = 4
+    val K = 10
+    val corpus = spark.read.parquet(s"$embDir/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    // copy 0 exists identically at every scale factor: same query
+    // vector, same codebook seeds, same append cohort across decades
+    val q = corpus.where($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val appendCohort = corpus.where($"vec_id" > 0 && $"vec_id" < 1000)
+      .select(($"vec_id" + 900000000L).as("vec_id"), $"embedding")
+      .localCheckpoint(true) // append timing must not include cohort IO
+
+    val t0 = System.nanoTime()
+    val cb = Similarity.buildCodebook(corpus, "embedding", "vec_id", NList)
+    val path = s"$workDir/ivf"
+    val baseline = Similarity.writePersistedIvf(corpus, "embedding", cb, path)
+    val buildS = (System.nanoTime() - t0) / 1e9
+    println(f"""{"phase":"build","corpus":"$embDir","nlist":$NList,"vectors":${baseline.vectors},"mean_sim":${baseline.meanSim}%.4f,"build_s":$buildS%.2f}""")
+
+    def resolve(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => resolve(a.executedPlan)
+      case s: QueryStageExec => resolve(s.plan)
+      case other => other
+    }
+    def subtree(p: SparkPlan): Seq[SparkPlan] = {
+      val r = resolve(p)
+      r +: r.children.flatMap(subtree)
+    }
+    // bytes each scan in the executed plan actually selected ("size of
+    // files read") — directory pruning shows up here, not in row counts
+    def bytesRead(df: DataFrame): Long =
+      subtree(df.queryExecution.executedPlan)
+        .collect { case s if s.children.isEmpty => s }
+        .flatMap(_.metrics.collect {
+          case (k, m) if k == "filesSize" => m.value
+        }).sum
+
+    // ---- probe vs brute over the SAME persisted files, best of two
+    def timed(label: String)(mk: => DataFrame): (Double, Long, Seq[Long]) = {
+      var bestS = Double.MaxValue
+      var bytes = 0L
+      var ids: Seq[Long] = Nil
+      (1 to 2).foreach { _ =>
+        val p0 = System.nanoTime()
+        val df = mk
+        val rows = df.collect()
+        val s = (System.nanoTime() - p0) / 1e9
+        if (s < bestS) { bestS = s; bytes = bytesRead(df); ids = rows.map(_.getLong(0)).toSeq }
+      }
+      require(ids.nonEmpty, s"$label returned no rows")
+      (bestS, bytes, ids)
+    }
+    val (probeS, probeBytes, probeIds) = timed("probe")(
+      Similarity.probePersistedIvf(spark, path, "embedding", "vec_id", q,
+        cb, NProbe, K))
+    val (bruteS, bruteBytes, bruteIds) = timed("brute")(
+      Similarity.bruteForceTopK(spark.read.parquet(path), "embedding",
+        "vec_id", q, K))
+    val recall = probeIds.toSet.intersect(bruteIds.toSet).size.toDouble / K
+    println(f"""{"phase":"probe","nprobe":$NProbe,"k":$K,"probe_s":$probeS%.2f,"brute_s":$bruteS%.2f,"probe_bytes":$probeBytes,"brute_bytes":$bruteBytes,"bytes_fraction":${probeBytes.toDouble / math.max(1L, bruteBytes)}%.4f,"recall_at_k":$recall%.2f}""")
+
+    // ---- fixed 1x cohort append: chunk-cost claim + no false drift
+    val a0 = System.nanoTime()
+    val app = Similarity.appendToPersistedIvf(appendCohort, "embedding",
+      cb, path)
+    val appendS = (System.nanoTime() - a0) / 1e9
+    require(!app.retrainRecommended,
+      s"in-distribution cohort flagged retrain at $embDir: $app")
+    println(f"""{"phase":"append","appended":${app.appended},"mean_sim":${app.meanSim}%.4f,"append_s":$appendS%.2f,"retrain":${app.retrainRecommended}}""")
+    spark.stop()
+  }
+}

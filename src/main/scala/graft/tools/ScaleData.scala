@@ -41,20 +41,26 @@ import org.apache.spark.sql.functions._
   * slightly ENLARGES the index's duplicate structure, i.e. it can
   * only overstate, never flatter, probe-side cost.
   *
-  * Usage: ScaleData <srcDir> <dstDir> <factor> [corpus|documents]
+  * With `embeddings`, ONLY the embedding corpus is derived (same
+  * sign-flip isometry recipe, copy 0 = identity) — the AnnRehearsal
+  * counterpart of `documents`, and like it sane past 100×.
+  *
+  * Usage: ScaleData <srcDir> <dstDir> <factor> [corpus|documents|embeddings]
   */
 object ScaleData {
   def main(args: Array[String]): Unit = {
     require(args.length == 3 || args.length == 4,
-      "usage: ScaleData <srcDir> <dstDir> <factor> [corpus|documents]")
+      "usage: ScaleData <srcDir> <dstDir> <factor> " +
+        "[corpus|documents|embeddings]")
     val Array(src, dst, fs) = args.take(3)
     val mode = if (args.length == 4) args(3) else ""
-    require(mode.isEmpty || mode == "corpus" || mode == "documents",
-      s"unknown mode: $mode")
+    require(mode.isEmpty || mode == "corpus" || mode == "documents" ||
+      mode == "embeddings", s"unknown mode: $mode")
     val scaleCorpus = mode == "corpus"
     val documentsOnly = mode == "documents"
+    val embeddingsOnly = mode == "embeddings"
     val factor = fs.toInt
-    val maxFactor = if (documentsOnly) 1000 else 100
+    val maxFactor = if (documentsOnly || embeddingsOnly) 1000 else 100
     require(factor >= 1 && factor <= maxFactor,
       s"factor out of range (max $maxFactor for mode '$mode'): $factor")
     require(!src.contains("/root/testdata") || dst.startsWith("/tmp"),
@@ -69,7 +75,7 @@ object ScaleData {
     spark.sparkContext.setLogLevel("WARN")
 
     val copyVerbatim =
-      if (documentsOnly) Nil
+      if (documentsOnly || embeddingsOnly) Nil
       else Seq("region", "nation", "customer", "supplier", "part") ++
         (if (scaleCorpus) Nil else Seq("documents", "embeddings"))
     copyVerbatim.foreach { t =>
@@ -100,7 +106,7 @@ object ScaleData {
         spark.read.parquet(s"$dst/$t.parquet").count())
     }
 
-    if (!documentsOnly) {
+    if (!documentsOnly && !embeddingsOnly) {
       scaled("orders") { (df, i) =>
         df.withColumn("o_orderkey", col("o_orderkey") + lit(i * OrderShift))
       }
@@ -113,7 +119,7 @@ object ScaleData {
       }
     }
 
-    if (scaleCorpus || documentsOnly) {
+    if (scaleCorpus || documentsOnly || embeddingsOnly) {
       val DocShift = 10000000L
       // copy i's letter permutation (copy 0 = identity), derived by a
       // fixed LCG Fisher-Yates so the mapping is stable across JVMs
@@ -134,7 +140,7 @@ object ScaleData {
         }
         new String(a)
       }
-      scaled("documents") { (df, i) =>
+      if (!embeddingsOnly) scaled("documents") { (df, i) =>
         df.withColumn("doc_id", col("doc_id") + lit(i * DocShift))
           .withColumn("text",
             translate(col("text"), letters + letters.toUpperCase,
