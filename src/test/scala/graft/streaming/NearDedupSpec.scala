@@ -122,6 +122,46 @@ class NearDedupSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().toSet == survivors + 20L)
   }
 
+  test("a rebucket landing MID-BATCH fails the batch loudly with no " +
+    "ledger entry; the replayed batch converges under the landed " +
+    "layout and the ledger survives the migration") {
+    val base = tmpDir("neardedup_rebucket")
+    val index = s"$base/index"
+    val out = s"$base/out"
+    assert(!NearDedup.processBatch(docs(1L -> 1, 2L -> 2), 0L, $"text",
+      "doc_id", index, out).replayed)
+    // one-shot hook on THIS thread (suites run in parallel against the
+    // shared session): a rebucket to 32 buckets lands inside batch 1's
+    // append commit window — after its segment was hashed under the
+    // inherited 16-bucket layout
+    val self = Thread.currentThread()
+    Versioned.commitTestHook = () => if (Thread.currentThread() eq self) {
+      Versioned.commitTestHook = () => ()
+      Dedup.rebucketBandIndex(spark, index, 32)
+      ()
+    }
+    val b1 = docs(10L -> 10, 11L -> 1) // 11 copies PRE-migration doc 1
+    try intercept[Versioned.BucketLayoutChanged] {
+      NearDedup.processBatch(b1, 1L, $"text", "doc_id", index, out)
+    } finally Versioned.commitTestHook = () => ()
+    // the failed batch must leave NO ledger entry — a half-applied
+    // batch that recorded itself would be skipped forever on restart
+    assert(NearDedup.lastAppliedBatch(spark, index).contains(0L))
+    // the restart's replay proceeds (not ledgered), probes the
+    // MIGRATED index — doc 11 still collides with doc 1 because the
+    // rebucket re-laid out every row — and appends under 32 buckets
+    val r = NearDedup.processBatch(b1, 1L, $"text", "doc_id", index, out)
+    assert(!r.replayed && r.dupOfCorpus == 1 && r.survivors == 1, s"$r")
+    assert(Versioned.bucketSpec(spark, index).exists(_._2 == 32))
+    // the ledger survives the migration: batch 1's entry sits past the
+    // rebucket's (key-less) overwrite and a duplicate delivery skips
+    assert(NearDedup.lastAppliedBatch(spark, index).contains(1L))
+    assert(NearDedup.processBatch(b1, 1L, $"text", "doc_id", index, out)
+      .replayed)
+    assert(spark.read.parquet(s"$out/survivors")
+      .select($"doc_id").as[Long].collect().toSet == Set(1L, 2L, 10L))
+  }
+
   test("stream batch racing a foreign chunk appender: both land, the " +
     "ledger skips over the foreign commit, no batch id doubles") {
     val base = tmpDir("neardedup_race")
