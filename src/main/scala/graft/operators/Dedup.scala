@@ -284,6 +284,55 @@ object Dedup {
     }
   }
 
+  /** The (band_id, band_hash, id) band frame of a corpus/chunk — the
+    * shared currency of the index paths: [[writeBandIndex]] commits
+    * it, [[dedupChunkAgainstIndex]] probes with it, and a caller doing
+    * BOTH on the same rows (the streaming near-dedup batch) computes
+    * it ONCE (checkpointed) and hands it to [[commitBands]]. The
+    * signature pass (tokenize + shingle + minhash) is the dominant
+    * PER-ROW compute of the index paths — at rehearsal batch sizes
+    * (~500 docs) fixed per-batch job overhead masks the saving
+    * (measured ~1% of st17), but per-row cost is what scales with a
+    * production micro-batch, so it is paid once by construction. */
+  private[graft] def bandFrame(df: DataFrame, text: Column, id: String,
+      shingleSize: Int, numHashes: Int, bands: Int): DataFrame = {
+    requireBands(numHashes, bands)
+    withBands(withMinhashSignature(df, text, shingleSize, numHashes),
+      bands, numHashes / bands)
+      .select(col("band_id"), col("band_hash"), col(id))
+  }
+
+  /** Commit an already-banded frame under [[writeBandIndex]]'s layout
+    * rules (explicit > declared-on-append > auto from `sizingRows`). */
+  private[graft] def commitBands(banded: DataFrame, path: String,
+      bands: Int, buckets: Int, mode: String, meta: Map[String, String],
+      sizingRows: => Long): BandIndexWrite = {
+    require(buckets >= 0, s"buckets must be >= 0 (0 = auto): $buckets")
+    val spark = banded.sparkSession
+    val declared =
+      if (mode == "append") Versioned.bucketSpec(spark, path).map(_._2)
+      else None
+    val n =
+      if (buckets > 0) buckets
+      else declared.getOrElse(
+        bucketsForIndexBytes(sizingRows * bands * BytesPerIndexRow))
+    val committedV = Versioned.commitBucketed(banded, path, "band_hash",
+      n, mode, meta)
+    // size the recommendation from the version THIS call committed,
+    // not the table's latest — a concurrent append/rebucket landing
+    // in the window would otherwise make the WARN and the returned
+    // BandIndexWrite describe a different snapshot (r14 ADVICE)
+    val rec = Versioned.tableBytes(spark, path, Some(committedV))
+      .map(bucketsForIndexBytes).getOrElse(n)
+    val res = BandIndexWrite(n, rec, committedV)
+    if (res.rebucketRecommended)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"band index $path: declared layout $n buckets vs " +
+          s"$rec recommended for its current bytes — " +
+          "rebucketBandIndex(spark, path) migration recommended")
+    res
+  }
+
   /** Persist the corpus's MinHash band index: (band_id, band_hash, id)
     * as a snapshot table BUCKETED by band_hash. This is the production
     * shape of dedup at 100 TB — the corpus is indexed ONCE; each
@@ -303,45 +352,19 @@ object Dedup {
     * ([[statsRowCount]] — ZERO jobs for the sizing decision) and one
     * count job otherwise (metadata-cheap for parquet; docs too short
     * to band only over-estimate, which over-provisions buckets
-    * harmlessly); on append it INHERITS the declared layout, so chunk
-    * writers never need to know the count. An index that has outgrown
-    * its layout is migrated with [[rebucketBandIndex]]; the returned
-    * [[BandIndexWrite]] says when that is due. */
+    * harmlessly; the sizing count is LAZY — never run when an explicit
+    * or declared count applies); on append it INHERITS the declared
+    * layout, so chunk writers never need to know the count. An index
+    * that has outgrown its layout is migrated with
+    * [[rebucketBandIndex]]; the returned [[BandIndexWrite]] says when
+    * that is due. */
   def writeBandIndex(df: DataFrame, text: Column, id: String, path: String,
       shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
       buckets: Int = 0, mode: String = "overwrite",
-      meta: Map[String, String] = Map.empty): BandIndexWrite = {
-    requireBands(numHashes, bands)
-    require(buckets >= 0, s"buckets must be >= 0 (0 = auto): $buckets")
-    val spark = df.sparkSession
-    val declared =
-      if (mode == "append") Versioned.bucketSpec(spark, path).map(_._2)
-      else None
-    val n =
-      if (buckets > 0) buckets
-      else declared.getOrElse {
-        val rows = statsRowCount(df).getOrElse(df.count())
-        bucketsForIndexBytes(rows * bands * BytesPerIndexRow)
-      }
-    val committedV = Versioned.commitBucketed(
-      withBands(withMinhashSignature(df, text, shingleSize, numHashes),
-        bands, numHashes / bands)
-        .select(col("band_id"), col("band_hash"), col(id)),
-      path, "band_hash", n, mode, meta)
-    // size the recommendation from the version THIS call committed,
-    // not the table's latest — a concurrent append/rebucket landing
-    // in the window would otherwise make the WARN and the returned
-    // BandIndexWrite describe a different snapshot (r14 ADVICE)
-    val rec = Versioned.tableBytes(spark, path, Some(committedV))
-      .map(bucketsForIndexBytes).getOrElse(n)
-    val res = BandIndexWrite(n, rec, committedV)
-    if (res.rebucketRecommended)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"band index $path: declared layout $n buckets vs " +
-          s"$rec recommended for its current bytes — " +
-          "rebucketBandIndex(spark, path) migration recommended")
-    res
-  }
+      meta: Map[String, String] = Map.empty): BandIndexWrite =
+    commitBands(bandFrame(df, text, id, shingleSize, numHashes, bands),
+      path, bands, buckets, mode, meta,
+      sizingRows = statsRowCount(df).getOrElse(df.count()))
 
   /** Rewrite the band index under a new bucket count — the migration
     * path for an index that outgrew its initial layout (append inherits
@@ -460,8 +483,6 @@ object Dedup {
   def dedupChunkAgainstIndex(chunk: DataFrame, text: Column, id: String,
       indexPath: String, shingleSize: Int = 3, numHashes: Int = 16,
       bands: Int = 4): DataFrame = {
-    requireBands(numHashes, bands)
-    val spark = chunk.sparkSession
     // the banded frame feeds THREE consumers (index probe, bucket-min,
     // domination join) — an eager localCheckpoint materializes the
     // chunk's signatures once instead of re-signaturing per consumer,
@@ -469,11 +490,18 @@ object Dedup {
     // ContextCleaner once the returned frame is collected/GC'd, so
     // repeated invocations don't accumulate cache (the nearDupPairs
     // lesson from round 2's review)
-    val cband = withBands(
-      withMinhashSignature(chunk, text, shingleSize, numHashes),
-      bands, numHashes / bands)
-      .select(col("band_id"), col("band_hash"), col(id))
+    val cband = bandFrame(chunk, text, id, shingleSize, numHashes, bands)
       .localCheckpoint(true)
+    dedupBandedAgainstIndex(chunk, cband, id, indexPath)
+  }
+
+  /** [[dedupChunkAgainstIndex]] over a caller-materialized band frame
+    * (the [[bandFrame]] of the SAME chunk, checkpointed) — for callers
+    * that also commit those bands ([[commitBands]]) and must not pay
+    * the signature pass twice (graft.streaming.NearDedup). */
+  private[graft] def dedupBandedAgainstIndex(chunk: DataFrame,
+      cband: DataFrame, id: String, indexPath: String): DataFrame = {
+    val spark = chunk.sparkSession
     val index = bandIndexFrame(spark, indexPath)
       .select(col("band_id"), col("band_hash"))
     val corpusDup = cband

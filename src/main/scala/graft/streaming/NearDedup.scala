@@ -87,10 +87,8 @@ object NearDedup {
       bands: Int): Unit =
     if (Versioned.versions(chunk.sparkSession, indexPath).isEmpty)
       try Versioned.commitBucketed(
-        Dedup.withBands(
-          Dedup.withMinhashSignature(chunk.limit(0), text, shingleSize,
-            numHashes), bands, numHashes / bands)
-          .select(col("band_id"), col("band_hash"), col(id)),
+        Dedup.bandFrame(chunk.limit(0), text, id, shingleSize, numHashes,
+          bands),
         indexPath, "band_hash", Dedup.MinIndexBuckets, "create")
       catch { case _: Versioned.CreateConflict => () }
 
@@ -114,11 +112,16 @@ object NearDedup {
     // the survivor join and the index append — the upstream micro-batch
     // scan + gate would otherwise re-run per consumer
     val chunk = batch.localCheckpoint(true)
+    // the batch is SIGNATURED ONCE: this band frame feeds the probe's
+    // three consumers AND the index append below — the per-row
+    // signature pass is what scales with a production micro-batch
+    val cband = Dedup.bandFrame(chunk, text, id, shingleSize, numHashes,
+      bands).localCheckpoint(true)
     // eager: the probe must execute BEFORE this batch's own bands are
     // appended below — a lazy frame re-evaluated after the append would
     // see the batch in the index and flag every doc dup_of_corpus
-    val flags = Dedup.dedupChunkAgainstIndex(chunk, text, id, indexPath,
-      shingleSize, numHashes, bands).localCheckpoint(true)
+    val flags = Dedup.dedupBandedAgainstIndex(chunk, cband, id, indexPath)
+      .localCheckpoint(true)
     flags.write.mode("overwrite").parquet(s"$outPath/flags/batch=$batchId")
     val survivors = chunk.join(
       flags.where(!col("dup_of_corpus") && !col("dup_in_chunk"))
@@ -126,9 +129,11 @@ object NearDedup {
       Seq(id), "left_semi")
     survivors.write.mode("overwrite")
       .parquet(s"$outPath/survivors/batch=$batchId")
-    val w = Dedup.writeBandIndex(chunk, text, id, indexPath, shingleSize,
-      numHashes, bands, mode = "append",
-      meta = Map(BatchKey -> batchId.toString))
+    val w = Dedup.commitBands(cband, indexPath, bands, buckets = 0,
+      mode = "append", meta = Map(BatchKey -> batchId.toString),
+      sizingRows = 0L) // append inherits the declared layout; the
+      // lazy sizing thunk is never forced (ensureIndex guarantees a
+      // declared base exists)
     val Seq(adm, dc, dk, srv) = flags.agg(count(lit(1)),
       sum(col("dup_of_corpus").cast("long")),
       sum(col("dup_in_chunk").cast("long")),
