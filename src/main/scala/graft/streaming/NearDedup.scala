@@ -148,8 +148,17 @@ object NearDedup {
       shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4)
       : (DataFrame, Long) => Unit =
     (batch, batchId) => {
-      processBatch(batch, batchId, text, id, indexPath, outPath,
+      val o = processBatch(batch, batchId, text, id, indexPath, outPath,
         shingleSize, numHashes, bands)
+      // the per-batch dedup ledger an unattended stream leaves behind
+      // (the outcome aggregate is computed for this line — one tiny
+      // job over the checkpointed flags)
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        if (o.replayed)
+          s"near-dedup batch ${o.batchId}: replay detected, skipped"
+        else s"near-dedup batch ${o.batchId}: admitted=${o.admitted} " +
+          s"dup_of_corpus=${o.dupOfCorpus} dup_in_chunk=${o.dupInChunk} " +
+          s"survivors=${o.survivors} index_v=${o.indexVersion}")
       ()
     }
 }
