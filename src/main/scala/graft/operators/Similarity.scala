@@ -231,7 +231,7 @@ object Similarity {
   private def statsPath(path: String) =
     new org.apache.hadoop.fs.Path(path, "_ivf_stats.json")
 
-  private def writeStats(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def writeIvfStats(spark: org.apache.spark.sql.SparkSession,
       path: String, s: IvfStats): Unit = {
     val p = statsPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -269,7 +269,7 @@ object Similarity {
 
   /** Mean assigned-centroid cosine of `df` under `cents` — ONE narrow
     * scan + a scalar aggregate. */
-  private def assignmentQuality(df: DataFrame, embedding: String,
+  private[graft] def assignmentQuality(df: DataFrame, embedding: String,
       cents: Array[(Long, Array[Double])]): IvfStats = {
     val r = assignWithSim(df, embedding, cents)
       .agg(count(lit(1)), avg(col(AssignSimCol))).head()
@@ -292,7 +292,7 @@ object Similarity {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("list_id").parquet(path)
     val stats = assignmentQuality(df, embedding, codebook.entries)
-    writeStats(df.sparkSession, path, stats)
+    writeIvfStats(df.sparkSession, path, stats)
     stats
   }
 

@@ -158,7 +158,7 @@ object SimilarityQueries {
 
   /** Exact cosine top-10 in DuckDB (double-precision arithmetic spelled
     * out — the builtin list_cosine_similarity accumulates in float32). */
-  private val bruteForceSql: String =
+  private[queries] val bruteForceSql: String =
     """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
       SELECT vec_id, round(
         list_sum(list_transform(range(1, len(embedding) + 1),

@@ -822,6 +822,59 @@ object StreamingQueries {
           FROM gated WHERE doc_id % 3 = 0 AND doc_id < 60
         UNION ALL
         SELECT 'snapshot_originals', count(*), CAST(0 AS BIGINT)
-          FROM gated WHERE doc_id % 3 = 0"""))
+          FROM gated WHERE doc_id % 3 = 0""")),
+
+    // ---- ST18 streaming ANN ingest — the similarity-search family's
+    // incremental loop (graft.streaming.AnnIngest): an embeddings
+    // snapshot table grows by commits; each micro-batch is assigned
+    // against a codebook FROZEN before the stream started and written
+    // to its own batch=<id>/list_id=<cell> partition dirs, so probes
+    // dir-prune on list_id across all batches and the index grows at
+    // chunk cost. No ledger: assignment depends only on the frozen
+    // codebook, so a replayed batch is a byte-identical rewrite of its
+    // own dir (idempotence by construction — contrast st17, whose
+    // probe depends on index state and needs the commit-meta ledger).
+    // The declared result is a FULL probe (nprobe = nlist) of the
+    // streamed-in index, which degrades IVF to exact search: it must
+    // equal brute-force cosine top-10 over everything ingested —
+    // sim1's DuckDB oracle verbatim. Per-batch drift stats ride the
+    // same _ivf_stats.json baseline as the batch append path.
+    "st18_streaming_ann_ingest" -> QueryDef(
+      (s, dir) => {
+        val c = streamSession(s)
+        import c.implicits._
+        val base = java.nio.file.Files.createTempDirectory("st18").toString
+        val table = base + "/vecs"
+        val emb = Tables(c, dir, "embeddings")
+          .select($"vec_id", $"embedding")
+        val corpus = emb.where($"vec_id" =!= 0)
+        val q = emb.where($"vec_id" === 0).select($"embedding")
+          .head().getSeq[Float](0).toArray
+        // frozen BEFORE the stream: seeds come from the v0 half only —
+        // the full probe is exact regardless, which is the point of
+        // declaring the full-probe result rather than a recall number
+        val cb = graft.operators.Similarity.buildCodebook(
+          corpus.where($"vec_id" % 2 === 0), "embedding", "vec_id",
+          nlist = 16)
+        graft.operators.Versioned.commit(
+          corpus.where($"vec_id" % 2 === 0).coalesce(2), table) // v0
+        val sq = c.readStream.format("graft-changes")
+          .option("path", table).load()
+          .writeStream
+          .foreachBatch(graft.streaming.AnnIngest.sink(
+            "embedding", cb, base + "/ivf"))
+          .option("checkpointLocation", base + "/ckpt")
+          .outputMode("update").start()
+        try {
+          sq.processAllAvailable() // batch 1: the v0 snapshot
+          graft.operators.Versioned.commit(
+            corpus.where($"vec_id" % 2 =!= 0).coalesce(2),
+            table, "append") // v1 lands mid-stream
+          sq.processAllAvailable() // batch 2: the (v0, v1] delta
+        } finally sq.stop()
+        graft.operators.Similarity.probePersistedIvf(c, base + "/ivf",
+          "embedding", "vec_id", q, cb, nprobe = 16, k = 10)
+      },
+      Some(SimilarityQueries.bruteForceSql))
   )
 }

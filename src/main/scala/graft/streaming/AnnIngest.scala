@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Streaming ANN ingest: grow a persisted IVF index from a change
+  * feed ([EXT] — the incremental-ingest loop of the similarity-search
+  * family, st17's sibling). Each micro-batch is assigned against a
+  * FROZEN codebook and written to its own partition directory
+  * (`<path>/batch=<id>/list_id=<cell>/`), so a probe prunes on
+  * `list_id` across every batch dir exactly as it does on a
+  * build-once index, and the index grows at chunk cost.
+  *
+  * Exactly-once needs NO ledger here — the deliberate contrast with
+  * [[NearDedup]]: a near-dedup batch's PROBE depends on the index
+  * state, so a replay after the batch's own append must be detected
+  * (the commit-meta ledger); an IVF assignment depends ONLY on the
+  * frozen codebook, so recomputing a batch is deterministic whatever
+  * the index holds, and the per-batch-dir overwrite makes a replay a
+  * byte-identical rewrite. Idempotence by construction beats
+  * idempotence by protocol when the computation permits it.
+  *
+  * Drift: the first batch seeds the `_ivf_stats.json` baseline (or an
+  * existing one from [[Similarity.writePersistedIvf]] is kept); every
+  * batch's mean assigned-centroid cosine is compared against it and
+  * `retrainRecommended` (the [[Similarity.IvfAppend]] rule) is logged
+  * at WARN — the signal that the frozen codebook has stopped
+  * describing the arriving distribution and a rebuild is due.
+  */
+object AnnIngest {
+
+  /** What one micro-batch did. */
+  case class BatchOutcome(batchId: Long, appended: Long, meanSim: Double,
+      retrainRecommended: Boolean)
+
+  /** Process one micro-batch (the foreachBatch body, callable directly
+    * so specs can drive replay schedules deterministically). */
+  def processBatch(batch: DataFrame, batchId: Long, embedding: String,
+      codebook: Similarity.IvfCodebook, path: String): BatchOutcome = {
+    val spark = batch.sparkSession
+    Similarity.ivfAssign(batch, embedding, codebook)
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$path/batch=$batchId")
+    val q = Similarity.assignmentQuality(batch, embedding, codebook.entries)
+    val base = Similarity.readIvfStats(spark, path).getOrElse {
+      // first writer seeds the baseline from its own cohort — the
+      // distribution at stream start; a replay rewrites the same value
+      Similarity.writeIvfStats(spark, path, q)
+      q
+    }
+    val drift = Similarity.IvfAppend(q.vectors, q.meanSim, base)
+    if (drift.retrainRecommended)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"IVF stream index $path batch $batchId: cohort mean sim " +
+          f"${q.meanSim}%.4f vs baseline ${base.meanSim}%.4f — frozen " +
+          "codebook no longer fits the arriving distribution; " +
+          "rebuild (retrain) recommended")
+    BatchOutcome(batchId, q.vectors, q.meanSim, drift.retrainRecommended)
+  }
+
+  /** The foreachBatch sink: `writeStream.foreachBatch(AnnIngest.sink(
+    * "embedding", codebook, indexPath))`. */
+  def sink(embedding: String, codebook: Similarity.IvfCodebook,
+      path: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val o = processBatch(batch, batchId, embedding, codebook, path)
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"ann-ingest batch ${o.batchId}: appended=${o.appended} " +
+          f"mean_sim=${o.meanSim}%.4f retrain=${o.retrainRecommended}")
+      ()
+    }
+}
