@@ -335,6 +335,36 @@ object Similarity {
     ivfTopK(spark.read.parquet(path), embedding, id, query, codebook,
       nprobe, k)
 
+  /** Retrain a drifted persisted IVF index: build a FRESH codebook from
+    * everything the index now holds (build rows + every appended
+    * cohort — the union is the current distribution, which is exactly
+    * what drifted away from the old codebook) and rewrite into
+    * `dstPath` — the drift loop's closing move once
+    * `retrainRecommended` fires (the [[appendToPersistedIvf]] /
+    * AnnIngest WARN), mirroring `rebucketBandIndex` for the band
+    * index. The rewrite lands at a NEW path by design: the plain-dir
+    * parquet layout has no commit protocol, so an in-place overwrite
+    * would race live probes (the band index can migrate in place only
+    * because it IS a snapshot table with CAS commits); the caller
+    * swaps probes to `dstPath` once this returns, then deletes the old
+    * dir. One assignment pass over the index plus the quality scan —
+    * linear in the index, paid only when drift says so. Returns the
+    * new codebook and its baseline. The multi-batch `batch=` layout a
+    * streaming ingest leaves behind reads through the same partition
+    * discovery, so stream-grown indexes retrain identically. */
+  def retrainPersistedIvf(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String, embedding: String, id: String,
+      nlist: Int, refineIters: Int = 0): (IvfCodebook, IvfStats) = {
+    require(srcPath != dstPath,
+      "retrain must land at a NEW path — an in-place overwrite of a " +
+        "plain-dir index would race live probes (see scaladoc)")
+    val rows = spark.read.parquet(srcPath)
+      .select(col(id), col(embedding)) // drop list_id/batch partitions
+    val cb = buildCodebook(rows, embedding, id, nlist, refineIters)
+    val stats = writePersistedIvf(rows, embedding, cb, dstPath)
+    (cb, stats)
+  }
+
   /** Round-1-shaped overload: rebuilds the seed codebook from the
     * indexed frame (valid only for unrefined indexes). */
   def ivfTopK(indexed: DataFrame, embedding: String, id: String,

@@ -338,6 +338,56 @@ class OperatorSpec extends SparkSpec {
     assert(e.getMessage.contains("_ivf_stats.json"))
   }
 
+  test("retrainPersistedIvf closes the drift loop: the rebuilt codebook " +
+    "covers the shifted mass, the baseline resets, the same cohort " +
+    "class no longer flags, and the full probe stays exact") {
+    def oneHot(axis: Int): Array[Float] =
+      Array.tabulate(16)(d => if (d == axis) 1f else 0f)
+    // build corpus on axes 0-7 with ids 9-88: the 8 seeds (ids 9-16)
+    // cover its axes exactly — baseline 1.0
+    val build = (9L to 88L).map(i => (i, oneHot((i % 8).toInt)))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.buildCodebook(build, "embedding", "vec_id",
+      nlist = 8)
+    val src = tmpDir("ivfretrain") + "/src"
+    assert(math.abs(Similarity
+      .writePersistedIvf(build, "embedding", cb, src).meanSim - 1.0) < 1e-9)
+    // drifted cohort on axes 8-15 with ids 1-8 — orthogonal to every
+    // cell: flags retrain
+    val shifted = (1L to 8L).map(i => (i, oneHot(8 + (i % 8).toInt)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.appendToPersistedIvf(shifted, "embedding", cb, src)
+      .retrainRecommended)
+    // retrain over everything the index holds, at nlist 16: the new
+    // seeds (lowest 16 ids = the shifted 1-8 + build 9-16) cover ALL
+    // 16 axes, so the union assigns at exactly 1.0 again
+    val dst = tmpDir("ivfretrain") + "/dst"
+    val (cb2, stats2) = Similarity.retrainPersistedIvf(spark, src, dst,
+      "embedding", "vec_id", nlist = 16)
+    assert(stats2.vectors == 88 && math.abs(stats2.meanSim - 1.0) < 1e-9,
+      s"retrained baseline must reset to 1.0: $stats2")
+    // the cohort class that drifted the OLD codebook is in-distribution
+    // for the new one
+    val again = (200L to 207L).map(i => (i, oneHot(8 + (i % 8).toInt)))
+      .toDF("vec_id", "embedding")
+    assert(!Similarity.appendToPersistedIvf(again, "embedding", cb2, dst)
+      .retrainRecommended)
+    // and the retrained index is still exact under a full probe
+    val q = oneHot(12)
+    val probed = Similarity.probePersistedIvf(spark, dst, "embedding",
+      "vec_id", q, cb2, nprobe = 16, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val brute = Similarity.bruteForceTopK(
+      build.unionByName(shifted).unionByName(again), "embedding",
+      "vec_id", q, 5).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(probed.toSeq == brute.toSeq)
+    // in-place retrain refuses: the plain-dir layout would race probes
+    assert(intercept[IllegalArgumentException] {
+      Similarity.retrainPersistedIvf(spark, dst, dst, "embedding",
+        "vec_id", 16)
+    }.getMessage.contains("NEW path"))
+  }
+
   test("fingerprint is deterministic and text-sensitive") {
     val fps = docs.limit(10)
       .select(TextFunctions.fingerprint($"text").as("fp")).as[Long].collect()
