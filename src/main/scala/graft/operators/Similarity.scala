@@ -65,6 +65,19 @@ object Similarity {
       if (d > 0) 1L << i else 0L
     }.sum
 
+  /** Append new vectors to a persisted hyperplane-LSH index: bucket
+    * under the SAME plane family (it is a pure function of
+    * (numPlanes, dim) — no codebook to freeze, so growth needs no
+    * baseline machinery at all) and append into the `bucket=` dirs.
+    * Replaying an append is NOT idempotent on this layout (plain
+    * parquet append); callers driving it from a stream should write
+    * per-batch dirs the AnnIngest way. Single-writer, like the build. */
+  def appendToPersistedIndex(df: DataFrame, embedding: String,
+      numPlanes: Int, dim: Int, path: String): Unit =
+    index(df, embedding, numPlanes, dim)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("bucket").parquet(path)
+
   def probePersistedIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, embedding: String, id: String, query: Array[Float],
       numPlanes: Int, k: Int, probeHamming: Int = 1): DataFrame = {

@@ -254,6 +254,28 @@ class OperatorSpec extends SparkSpec {
     assert(ivf.toSeq == brute.toSeq)
   }
 
+  test("persisted LSH append: same plane family, post-append probe " +
+    "equals the in-memory probe on the union") {
+    val emb = graft.Tables(spark, sfDir, "embeddings")
+    val corpus = emb.where($"vec_id" =!= 0)
+    val build = corpus.where($"vec_id" % 2 === 0)
+    val extra = corpus.where($"vec_id" % 2 === 1)
+    val q = emb.where($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val path = tmpDir("lshappend") + "/index"
+    Similarity.writePersistedIndex(build, "embedding", 6, 64, path)
+    Similarity.appendToPersistedIndex(extra, "embedding", 6, 64, path)
+    val probed = Similarity.probePersistedIndex(spark, path, "embedding",
+      "vec_id", q, numPlanes = 6, k = 5, probeHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val inMem = Similarity.lshTopK(
+      Similarity.index(corpus, "embedding", 6, 64),
+      "embedding", "vec_id", q, 6, 5, probeHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(probed.toSeq == inMem.toSeq,
+      s"appended LSH index probe diverged: ${probed.toSeq} vs ${inMem.toSeq}")
+  }
+
   test("persisted IVF append: frozen-codebook assignment, post-append " +
     "full probe equals brute force on the union, dir-pruning intact, " +
     "in-distribution append does NOT flag retrain") {
