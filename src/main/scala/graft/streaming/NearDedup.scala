@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   *   2. writes the per-doc flag ledger and the surviving docs, each to
   *      a per-batch directory (overwrite — idempotent under replay);
   *   3. appends the WHOLE admitted batch's bands to the index
-  *      ([[Dedup.writeBandIndex]] append), tagged with the batch id.
+  *      ([[Dedup.commitBands]] over the probe's own band frame — the
+  *      batch is signatured once), tagged with the batch id.
   *
   * The index — not Spark's state store — is the stream's dedup state,
   * which is what bounds it: st16's `dropDuplicates` holds every key in
@@ -47,6 +48,13 @@ import org.apache.spark.sql.functions._
   * migration landing mid-batch surfaces as `BucketLayoutChanged`,
   * failing the batch — the restart re-probes under the landed layout
   * and retries the append with the inherited (new) bucket count.
+  *
+  * The ledger binds to ONE checkpoint's batch numbering: deleting the
+  * checkpoint and restarting against the same index resets batch ids
+  * to 0, which the ledger reads as replays — correct for the docs the
+  * old stream already processed (they ARE in the index), but a
+  * genuinely new pipeline over an old index should start from a fresh
+  * index path (or rebucket-migrate the old one into it).
   */
 object NearDedup {
 
