@@ -43,10 +43,68 @@ object Similarity {
     * [[probePersistedIndex]] and the PlanSpec-style assertion in
     * OperatorSpec), instead of scanning everything and filtering. */
   def writePersistedIndex(df: DataFrame, embedding: String, numPlanes: Int,
-      dim: Int, path: String): Unit =
+      dim: Int, path: String): Unit = {
     index(df, embedding, numPlanes, dim)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("bucket").parquet(path)
+    writePlaneSidecar(df.sparkSession, path, numPlanes, dim)
+  }
+
+  /** The `_lsh_planes.json` sidecar: the (numPlanes, dim) family an
+    * index's buckets were hashed under. Appends and probes with a
+    * DIFFERENT family would silently place/look for vectors in the
+    * wrong `bucket=` dirs (recall loss with no error), so both verify
+    * against it — the LSH analogue of the IVF paths' frozen-codebook
+    * guard. */
+  private def planesPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_lsh_planes.json")
+
+  private def writePlaneSidecar(spark: org.apache.spark.sql.SparkSession,
+      path: String, numPlanes: Int, dim: Int): Unit = {
+    val p = planesPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"""{"num_planes":$numPlanes,"dim":$dim}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Plane family of a persisted LSH index; None for pre-sidecar dirs. */
+  def readPlaneSidecar(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[(Int, Int)] = {
+    val p = planesPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val raw = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val arr = new Array[Byte](4096)
+        var n = in.read(arr)
+        while (n >= 0) { buf.write(arr, 0, n); n = in.read(arr) }
+        new String(buf.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+      val m = raw.stripPrefix("{").stripSuffix("}").split(",").map { kv =>
+        val Array(k, v) = kv.split(":", 2)
+        k.replaceAll("\"", "") -> v
+      }.toMap
+      Some((m("num_planes").toInt, m("dim").toInt))
+    }
+  }
+
+  /** Refuse when a caller's (numPlanes, dim) disagree with the index's
+    * recorded family; pre-sidecar dirs (no record) pass through with
+    * the caller's word — the legacy behavior. */
+  private def requirePlaneFamily(spark: org.apache.spark.sql.SparkSession,
+      path: String, numPlanes: Int, dim: Int, what: String): Unit =
+    readPlaneSidecar(spark, path).foreach { case (np, d) =>
+      require(np == numPlanes && d == dim,
+        s"$what with plane family ($numPlanes, $dim) against $path " +
+          s"built under ($np, $d) — vectors would land in (or be " +
+          "sought in) the wrong bucket= dirs; use the recorded family " +
+          "or rebuild with writePersistedIndex")
+    }
 
   /** Top-k probe against a persisted index. The Hamming-radius predicate
     * is a deterministic function of the PARTITION column, so Catalyst
@@ -68,19 +126,24 @@ object Similarity {
   /** Append new vectors to a persisted hyperplane-LSH index: bucket
     * under the SAME plane family (it is a pure function of
     * (numPlanes, dim) — no codebook to freeze, so growth needs no
-    * baseline machinery at all) and append into the `bucket=` dirs.
-    * Replaying an append is NOT idempotent on this layout (plain
-    * parquet append); callers driving it from a stream should write
-    * per-batch dirs the AnnIngest way. Single-writer, like the build. */
+    * drift baseline; the `_lsh_planes.json` sidecar still pins the
+    * family so a mismatched append refuses instead of silently
+    * corrupting bucket routing). Replaying an append is NOT idempotent
+    * on this layout (plain parquet append); callers driving it from a
+    * stream should write per-batch dirs the AnnIngest way.
+    * Single-writer, like the build. */
   def appendToPersistedIndex(df: DataFrame, embedding: String,
-      numPlanes: Int, dim: Int, path: String): Unit =
+      numPlanes: Int, dim: Int, path: String): Unit = {
+    requirePlaneFamily(df.sparkSession, path, numPlanes, dim, "append")
     index(df, embedding, numPlanes, dim)
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("bucket").parquet(path)
+  }
 
   def probePersistedIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, embedding: String, id: String, query: Array[Float],
       numPlanes: Int, k: Int, probeHamming: Int = 1): DataFrame = {
+    requirePlaneFamily(spark, path, numPlanes, query.length, "probe")
     val planes = makePlanes(numPlanes, query.length)
     val qBucket = queryBucket(planes, query)
     val q = lit(query.map(_.toDouble))
@@ -164,7 +227,7 @@ object Similarity {
   /** Cosine similarity of each row to its ASSIGNED centroid — the
     * per-batch signal [[appendToPersistedIvf]]'s drift check compares
     * against the build-time baseline. */
-  private[operators] val AssignSimCol = "__ivf_sim"
+  private[graft] val AssignSimCol = "__ivf_sim"
 
   private def assignWithSim(df: DataFrame, embedding: String,
       cents: Array[(Long, Array[Double])]): DataFrame = {
@@ -233,11 +296,16 @@ object Similarity {
     * codebook no longer describes the arriving distribution (cells too
     * coarse where the new mass sits → recall degrades at fixed
     * nprobe) and a rebuild/re-Lloyd is due. Also logged at WARN so
-    * unattended ingest jobs leave a trail. */
+    * unattended ingest jobs leave a trail. A ZERO-vector baseline
+    * carries no evidence (its 0.0 meanSim would set the threshold at
+    * meanSim ≤ −1, silencing the flag forever — the exact silent
+    * degradation the signal exists to catch), so it never justifies a
+    * verdict either way; the append paths RE-SEED such a baseline from
+    * the first non-empty cohort instead. */
   final case class IvfAppend(appended: Long, meanSim: Double,
       build: IvfStats) {
     def retrainRecommended: Boolean =
-      appended > 0 &&
+      appended > 0 && build.vectors > 0 &&
         (1.0 - meanSim) >= 2.0 * math.max(1.0 - build.meanSim, 0.01)
   }
 
@@ -283,11 +351,23 @@ object Similarity {
   /** Mean assigned-centroid cosine of `df` under `cents` — ONE narrow
     * scan + a scalar aggregate. */
   private[graft] def assignmentQuality(df: DataFrame, embedding: String,
-      cents: Array[(Long, Array[Double])]): IvfStats = {
-    val r = assignWithSim(df, embedding, cents)
-      .agg(count(lit(1)), avg(col(AssignSimCol))).head()
+      cents: Array[(Long, Array[Double])]): IvfStats =
+    qualityOf(assignWithSim(df, embedding, cents))
+
+  /** The quality aggregate over a frame that already carries
+    * [[AssignSimCol]] — so append paths that materialized the
+    * assignment once (for the write) don't recompute it. */
+  private[graft] def qualityOf(assigned: DataFrame): IvfStats = {
+    val r = assigned.agg(count(lit(1)), avg(col(AssignSimCol))).head()
     IvfStats(r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
   }
+
+  /** [[ivfAssign]] keeping the per-row assigned-centroid cosine
+    * ([[AssignSimCol]]) — for callers that write AND measure the same
+    * cohort and must pay the argmax pass once. */
+  private[graft] def ivfAssignWithSim(df: DataFrame, embedding: String,
+      codebook: IvfCodebook): DataFrame =
+    assignWithSim(df, embedding, codebook.entries)
 
   /** Persist the IVF index PARTITIONED BY list_id — nlist directories,
     * each holding one cell's vectors. [[ivfTopK]] over a read of this
@@ -322,15 +402,28 @@ object Similarity {
     * codebook has gone stale instead of silently degrading recall. */
   def appendToPersistedIvf(df: DataFrame, embedding: String,
       codebook: IvfCodebook, path: String): IvfAppend = {
-    val build = readIvfStats(df.sparkSession, path).getOrElse(
+    val spark = df.sparkSession
+    val stored = readIvfStats(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"$path has no _ivf_stats.json build baseline — build it with " +
           "writePersistedIvf first (appending to an index whose " +
           "codebook is unknown would corrupt cell routing)"))
-    ivfAssign(df, embedding, codebook)
+    // ONE assignment pass (the dominant per-row compute), materialized
+    // chunk-local: the write and the quality aggregate both read it
+    val assigned = ivfAssignWithSim(df, embedding, codebook)
+      .localCheckpoint(true)
+    assigned.drop(AssignSimCol)
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("list_id").parquet(path)
-    val q = assignmentQuality(df, embedding, codebook.entries)
+    val q = qualityOf(assigned)
+    // a zero-vector baseline (empty build corpus) carries no evidence:
+    // re-seed it from the first non-empty cohort so the drift signal
+    // arms instead of staying silent forever
+    val build =
+      if (stored.vectors == 0 && q.vectors > 0) {
+        writeIvfStats(spark, path, q)
+        q
+      } else stored
     val res = IvfAppend(q.vectors, q.meanSim, build)
     if (res.retrainRecommended)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(

@@ -38,15 +38,25 @@ object AnnIngest {
   def processBatch(batch: DataFrame, batchId: Long, embedding: String,
       codebook: Similarity.IvfCodebook, path: String): BatchOutcome = {
     val spark = batch.sparkSession
-    Similarity.ivfAssign(batch, embedding, codebook)
+    // ONE assignment pass (the dominant per-row compute) and ONE read
+    // of the micro-batch source, materialized chunk-local: the dir
+    // write and the drift aggregate both consume it
+    val assigned = Similarity.ivfAssignWithSim(batch, embedding, codebook)
+      .localCheckpoint(true)
+    assigned.drop(Similarity.AssignSimCol)
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$path/batch=$batchId")
-    val q = Similarity.assignmentQuality(batch, embedding, codebook.entries)
-    val base = Similarity.readIvfStats(spark, path).getOrElse {
-      // first writer seeds the baseline from its own cohort — the
-      // distribution at stream start; a replay rewrites the same value
-      Similarity.writeIvfStats(spark, path, q)
-      q
+    val q = Similarity.qualityOf(assigned)
+    // the first NON-EMPTY cohort seeds the baseline — the distribution
+    // at stream start; a replay rewrites the same value. An empty
+    // batch must never seed: IvfStats(0, 0.0) would silence
+    // retrainRecommended for the stream's lifetime, and a degenerate
+    // baseline left by an older writer is re-seeded the same way.
+    val base = Similarity.readIvfStats(spark, path) match {
+      case Some(s) if s.vectors > 0 => s
+      case _ if q.vectors > 0 =>
+        Similarity.writeIvfStats(spark, path, q); q
+      case other => other.getOrElse(q) // nothing non-empty yet: no seed
     }
     val drift = Similarity.IvfAppend(q.vectors, q.meanSim, base)
     if (drift.retrainRecommended)

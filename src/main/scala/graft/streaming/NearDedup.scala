@@ -73,12 +73,52 @@ object NearDedup {
     * ONE manifest-header read (the latest version is this stream's own
     * last append); interleaved foreign commits (chunk appends, a
     * rebucket overwrite, OPTIMIZE) are skipped over, never mistaken
-    * for stream progress. None when the stream has never committed. */
-  def lastAppliedBatch(spark: SparkSession, indexPath: String): Option[Long] =
-    Versioned.versions(spark, indexPath).sorted.reverseIterator
+    * for stream progress. None when the stream has never committed.
+    *
+    * Because `Versioned.vacuum` on the SHARED index can drop the old
+    * manifests that carry the stream's last [[BatchKey]] (foreign
+    * commits land on top, retention sweeps below), the batch id is
+    * ALSO mirrored to `<outPath>/_neardedup_batch` after every append
+    * — a file retention never touches, read here as a second source.
+    * The manifest stays primary (it commits atomically WITH the
+    * bands); the mirror only has to be ≥ any id vacuum could erase,
+    * which holds because it is written after the commit and a crash
+    * between the two leaves the manifest — not yet vacuumable past
+    * foreign commits within one batch turnaround — to answer. */
+  def lastAppliedBatch(spark: SparkSession, indexPath: String,
+      outPath: String): Option[Long] = {
+    val fromMeta = Versioned.versions(spark, indexPath).sorted
+      .reverseIterator
       .flatMap(v => Versioned.readMeta(spark, indexPath, v).get(BatchKey))
       .flatMap(s => scala.util.Try(s.toLong).toOption)
       .nextOption()
+    val p = new org.apache.hadoop.fs.Path(outPath, "_neardedup_batch")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fromFile =
+      if (!fs.exists(p)) None
+      else scala.util.Try {
+        val in = fs.open(p)
+        try new String(
+          { val b = new java.io.ByteArrayOutputStream()
+            val a = new Array[Byte](64)
+            var n = in.read(a)
+            while (n >= 0) { b.write(a, 0, n); n = in.read(a) }
+            b.toByteArray },
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      }.toOption
+    (fromMeta ++ fromFile).maxOption
+  }
+
+  private def mirrorBatch(spark: SparkSession, outPath: String,
+      batchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(outPath, "_neardedup_batch")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(batchId.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   /** Seed an EMPTY index at the minimum layout iff none exists, so the
     * first micro-batch probes against nothing instead of failing.
@@ -93,12 +133,27 @@ object NearDedup {
   private def ensureIndex(chunk: DataFrame, text: Column, id: String,
       indexPath: String, shingleSize: Int, numHashes: Int,
       bands: Int): Unit =
-    if (Versioned.versions(chunk.sparkSession, indexPath).isEmpty)
+    if (Versioned.versions(chunk.sparkSession, indexPath).isEmpty) {
+      // a NON-EMPTY dir without a commit log is a LEGACY plain-parquet
+      // band index: seeding a snapshot over it would permanently
+      // shadow every legacy corpus band (the catalog read wins once a
+      // LogDir exists) and re-admit all historical duplicates — refuse
+      // and point at the migration instead
+      val p = new org.apache.hadoop.fs.Path(indexPath)
+      val fs = p.getFileSystem(
+        chunk.sparkSession.sparkContext.hadoopConfiguration)
+      if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+        throw new IllegalStateException(
+          s"$indexPath holds files but no commit log — a legacy " +
+            "plain-parquet band index; migrate it first with " +
+            "Dedup.rebucketBandIndex(spark, path) so its corpus bands " +
+            "stay visible to the stream's probes")
       try Versioned.commitBucketed(
         Dedup.bandFrame(chunk.limit(0), text, id, shingleSize, numHashes,
           bands),
         indexPath, "band_hash", Dedup.MinIndexBuckets, "create")
       catch { case _: Versioned.CreateConflict => () }
+    }
 
   /** Process one micro-batch (the foreachBatch body, callable directly
     * so specs can drive replay/crash schedules deterministically).
@@ -114,7 +169,7 @@ object NearDedup {
       : BatchOutcome = {
     val spark = batch.sparkSession
     ensureIndex(batch, text, id, indexPath, shingleSize, numHashes, bands)
-    if (lastAppliedBatch(spark, indexPath).exists(_ >= batchId))
+    if (lastAppliedBatch(spark, indexPath, outPath).exists(_ >= batchId))
       return BatchOutcome(batchId, -1, -1, -1, -1, -1, replayed = true)
     // one materialization of the (gated) batch: it feeds the probe,
     // the survivor join and the index append — the upstream micro-batch
@@ -142,6 +197,8 @@ object NearDedup {
       sizingRows = 0L) // append inherits the declared layout; the
       // lazy sizing thunk is never forced (ensureIndex guarantees a
       // declared base exists)
+    // after the commit: the vacuum-proof mirror (see lastAppliedBatch)
+    mirrorBatch(spark, outPath, batchId)
     val Seq(adm, dc, dk, srv) = flags.agg(count(lit(1)),
       sum(col("dup_of_corpus").cast("long")),
       sum(col("dup_in_chunk").cast("long")),

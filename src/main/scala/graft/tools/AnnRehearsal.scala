@@ -62,8 +62,11 @@ object AnnRehearsal {
     // vector, same codebook seeds, same append cohort across decades
     val q = corpus.where($"vec_id" === 0).select("embedding")
       .head().getSeq[Float](0).toArray
+    // offset beyond 1000 copies x 10M DocShift: ScaleData copy i holds
+    // ids i*10M+orig, so anything under 10^10 would collide with a
+    // high copy's range at the 100x/1000x decades
     val appendCohort = corpus.where($"vec_id" > 0 && $"vec_id" < 1000)
-      .select(($"vec_id" + 900000000L).as("vec_id"), $"embedding")
+      .select(($"vec_id" + 20000000000L).as("vec_id"), $"embedding")
       .localCheckpoint(true) // append timing must not include cohort IO
 
     val t0 = System.nanoTime()

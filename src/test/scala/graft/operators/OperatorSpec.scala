@@ -274,6 +274,17 @@ class OperatorSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(probed.toSeq == inMem.toSeq,
       s"appended LSH index probe diverged: ${probed.toSeq} vs ${inMem.toSeq}")
+    // a mismatched plane family refuses on BOTH write and read paths —
+    // the buckets were hashed under (6, 64); family-8 rows would land
+    // in (and family-8 probes look in) the wrong bucket= dirs
+    assert(Similarity.readPlaneSidecar(spark, path).contains((6, 64)))
+    assert(intercept[IllegalArgumentException] {
+      Similarity.appendToPersistedIndex(extra, "embedding", 8, 64, path)
+    }.getMessage.contains("plane family"))
+    assert(intercept[IllegalArgumentException] {
+      Similarity.probePersistedIndex(spark, path, "embedding", "vec_id",
+        q, numPlanes = 8, k = 5)
+    }.getMessage.contains("plane family"))
   }
 
   test("persisted IVF append: frozen-codebook assignment, post-append " +

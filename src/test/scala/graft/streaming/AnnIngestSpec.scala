@@ -59,6 +59,28 @@ class AnnIngestSpec extends SparkSpec {
     assert(shifted.retrainRecommended, s"orthogonal batch silent: $shifted")
   }
 
+  test("an EMPTY first batch never seeds the drift baseline — the first " +
+    "non-empty cohort does, so the signal still arms") {
+    val path = tmpDir("annempty") + "/ivf"
+    val b0 = vecs((1L to 8L).map(i => (i, (i % 8).toInt)): _*)
+    val cb = Similarity.buildCodebook(b0, "embedding", "vec_id", nlist = 8)
+    // batch 0 delivers zero rows: an IvfStats(0, 0.0) baseline would
+    // set the drift threshold at meanSim <= -1, silencing the flag for
+    // the stream's lifetime
+    assert(AnnIngest.processBatch(b0.limit(0), 0L, "embedding", cb, path)
+      .appended == 0)
+    assert(Similarity.readIvfStats(spark, path).isEmpty,
+      "empty batch must not seed the baseline")
+    assert(!AnnIngest.processBatch(b0, 1L, "embedding", cb, path)
+      .retrainRecommended)
+    assert(Similarity.readIvfStats(spark, path)
+      .exists(s => s.vectors == 8 && math.abs(s.meanSim - 1.0) < 1e-9))
+    // with the baseline armed by the non-empty batch, drift still fires
+    assert(AnnIngest.processBatch(
+      vecs((200L to 207L).map(i => (i, 8 + (i % 8).toInt)): _*),
+      2L, "embedding", cb, path).retrainRecommended)
+  }
+
   test("checkpoint-restart through a real stream: the full probe of the " +
     "streamed-in multi-batch index equals brute force on the union, " +
     "and a narrow probe still dir-prunes on list_id") {

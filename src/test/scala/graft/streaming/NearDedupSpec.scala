@@ -84,7 +84,7 @@ class NearDedupSpec extends SparkSpec {
       s"batch ids not strictly increasing: $keys")
     assert(keys.size == vs.size - 1,
       s"expected one ledgered append per batch over a seed: $vs vs $keys")
-    assert(NearDedup.lastAppliedBatch(spark, index)
+    assert(NearDedup.lastAppliedBatch(spark, index, out)
       .contains(keys.map(_._2).max))
 
     // ---- replay idempotence, driven directly (the schedule Spark
@@ -146,7 +146,7 @@ class NearDedupSpec extends SparkSpec {
     } finally Versioned.commitTestHook = () => ()
     // the failed batch must leave NO ledger entry — a half-applied
     // batch that recorded itself would be skipped forever on restart
-    assert(NearDedup.lastAppliedBatch(spark, index).contains(0L))
+    assert(NearDedup.lastAppliedBatch(spark, index, out).contains(0L))
     // the restart's replay proceeds (not ledgered), probes the
     // MIGRATED index — doc 11 still collides with doc 1 because the
     // rebucket re-laid out every row — and appends under 32 buckets
@@ -155,11 +155,51 @@ class NearDedupSpec extends SparkSpec {
     assert(Versioned.bucketSpec(spark, index).exists(_._2 == 32))
     // the ledger survives the migration: batch 1's entry sits past the
     // rebucket's (key-less) overwrite and a duplicate delivery skips
-    assert(NearDedup.lastAppliedBatch(spark, index).contains(1L))
+    assert(NearDedup.lastAppliedBatch(spark, index, out).contains(1L))
     assert(NearDedup.processBatch(b1, 1L, $"text", "doc_id", index, out)
       .replayed)
     assert(spark.read.parquet(s"$out/survivors")
       .select($"doc_id").as[Long].collect().toSet == Set(1L, 2L, 10L))
+  }
+
+  test("vacuum on the shared index cannot erase the replay ledger " +
+    "(the outPath mirror answers), and a legacy plain-parquet index " +
+    "refuses instead of being silently shadowed") {
+    val base = tmpDir("neardedup_vacuum")
+    val index = s"$base/index"
+    val out = s"$base/out"
+    NearDedup.processBatch(docs(1L -> 1, 2L -> 2), 0L, $"text", "doc_id",
+      index, out)
+    NearDedup.processBatch(docs(10L -> 10), 1L, $"text", "doc_id",
+      index, out)
+    // a foreign chunk append lands on top (no BatchKey), then routine
+    // retention sweeps every version below it — including both
+    // manifests that carried the stream's ledger entries
+    Dedup.writeBandIndex(docs(100L -> 100), $"text", "doc_id", index,
+      mode = "append")
+    Versioned.vacuum(spark, index, keepLast = 1)
+    assert(Versioned.versions(spark, index).flatMap(v =>
+      Versioned.readMeta(spark, index, v).get(NearDedup.BatchKey)).isEmpty,
+      "precondition: vacuum erased every manifest ledger entry")
+    // the mirror still answers: the replay is detected, not re-applied
+    assert(NearDedup.lastAppliedBatch(spark, index, out).contains(1L))
+    assert(NearDedup.processBatch(docs(10L -> 10), 1L, $"text", "doc_id",
+      index, out).replayed,
+      "post-vacuum replay double-applied — batch would self-flag")
+    // and a NEW batch still proceeds and is caught by the index
+    val next = NearDedup.processBatch(docs(20L -> 1), 2L, $"text",
+      "doc_id", index, out)
+    assert(!next.replayed && next.dupOfCorpus == 1)
+
+    // legacy plain-parquet band index (files, no commit log): seeding a
+    // snapshot over it would shadow every legacy band — refuse loudly
+    val legacy = s"$base/legacy"
+    Dedup.bandFrame(docs(1L -> 1), $"text", "doc_id", 3, 16, 4)
+      .write.parquet(legacy)
+    assert(intercept[IllegalStateException] {
+      NearDedup.processBatch(docs(2L -> 2), 0L, $"text", "doc_id",
+        legacy, s"$base/out2")
+    }.getMessage.contains("rebucketBandIndex"))
   }
 
   test("stream batch racing a foreign chunk appender: both land, the " +
@@ -190,7 +230,7 @@ class NearDedupSpec extends SparkSpec {
       // exactly one ledgered batch; the foreign append carries no key,
       // and lastAppliedBatch skips over it even when it landed LAST
       assert(batchKeys(index).map(_._2) == Seq(0L))
-      assert(NearDedup.lastAppliedBatch(spark, index).contains(0L))
+      assert(NearDedup.lastAppliedBatch(spark, index, out).contains(0L))
       // no append was lost: both writers' band rows are in the index
       val ids = Versioned.read(spark, index).select($"doc_id")
         .as[Long].collect().toSet
