@@ -202,6 +202,47 @@ class NearDedupSpec extends SparkSpec {
     }.getMessage.contains("rebucketBandIndex"))
   }
 
+  test("property: with ids monotone across batches, streaming survivors " +
+    "equal batch minhashDedup on the union (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.propBoolean
+    import org.scalacheck.Test.{check, Parameters}
+    // random class multiset split into 2-3 batches; ids are assigned in
+    // PROCESSING order so earliest-seen == lowest-id — exactly the
+    // regime where the stream's keep-first (anchored to first
+    // occurrence via the index) must coincide with the batch
+    // operator's keep-lowest-id. Pairwise-independent texts make the
+    // expected survivor set closed-form: the min id per class.
+    val gen = for {
+      classes <- Gen.listOfN(10, Gen.choose(1, 5)) // class key per row
+      cut1 <- Gen.choose(1, 8)
+      cut2 <- Gen.choose(cut1 + 1, 9)
+    } yield (classes.zipWithIndex.map { case (c, i) => (i + 1L, c) },
+      cut1, cut2)
+    val prop = Prop.forAll(gen) { case (rows, cut1, cut2) =>
+      val base = tmpDir("neardedup_prop")
+      val index = s"$base/index"
+      val out = s"$base/out"
+      val batches = Seq(rows.take(cut1), rows.slice(cut1, cut2),
+        rows.drop(cut2)).filter(_.nonEmpty)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        NearDedup.processBatch(docs(b: _*), i.toLong, $"text", "doc_id",
+          index, out)
+      }
+      val streamed = spark.read.parquet(s"$out/survivors")
+        .select($"doc_id").as[Long].collect().toSet
+      val batch = Dedup.minhashDedup(docs(rows: _*), $"text", "doc_id")
+        .select($"doc_id").as[Long].collect().toSet
+      val closedForm = rows.groupBy(_._2).values.map(_.map(_._1).min).toSet
+      (streamed == closedForm && batch == closedForm) :| {
+        s"streamed=$streamed batch=$batch expected=$closedForm rows=$rows " +
+          s"cuts=($cut1, $cut2)"
+      }
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("stream batch racing a foreign chunk appender: both land, the " +
     "ledger skips over the foreign commit, no batch id doubles") {
     val base = tmpDir("neardedup_race")
