@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Tiny sidecar files (flat one-object JSON or a bare value) next to
+  * persisted indexes: the IVF drift baseline (`_ivf_stats.json`), the
+  * LSH plane family (`_lsh_planes.json`), the streaming near-dedup
+  * batch mirror (`_neardedup_batch`). One read/write/parse
+  * implementation so the four call sites cannot drift — and so a
+  * TRUNCATED sidecar (a crash between create and write leaves a
+  * zero-byte file) fails with a named, actionable error instead of a
+  * bare MatchError. */
+private[graft] object Sidecars {
+
+  def write(spark: SparkSession, p: Path, content: String): Unit = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** None iff the file does not exist; an existing file is read fully. */
+  def read(spark: SparkSession, p: Path): Option[String] = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val arr = new Array[Byte](4096)
+        var n = in.read(arr)
+        while (n >= 0) { buf.write(arr, 0, n); n = in.read(arr) }
+        Some(new String(buf.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+  }
+
+  /** Parse `{"k":v,...}` (values contain no commas/colons — ours are
+    * numbers and plain path strings written by [[write]]). A corrupt
+    * or truncated payload names the file and the remedy. */
+  def parseFlatJson(raw: String, p: Path): Map[String, String] = {
+    val body = raw.trim.stripPrefix("{").stripSuffix("}")
+    val pairs = body.split(",").filter(_.nonEmpty).map { kv =>
+      kv.split(":", 2) match {
+        case Array(k, v) =>
+          k.trim.replaceAll("\"", "") -> v.trim.replaceAll("\"", "")
+        case _ => throw new IllegalStateException(
+          s"corrupt sidecar $p: ${raw.take(80)} — a crash may have " +
+            "truncated it; delete the file (or rebuild the index) and " +
+            "re-run")
+      }
+    }
+    if (pairs.isEmpty) throw new IllegalStateException(
+      s"corrupt sidecar $p: empty — a crash may have truncated it; " +
+        "delete the file (or rebuild the index) and re-run")
+    pairs.toMap
+  }
+}

@@ -44,10 +44,14 @@ object Similarity {
     * OperatorSpec), instead of scanning everything and filtering. */
   def writePersistedIndex(df: DataFrame, embedding: String, numPlanes: Int,
       dim: Int, path: String): Unit = {
+    // sidecar FIRST: a crash after the data write but before the
+    // sidecar would leave a guard-less index that silently accepts
+    // mismatched-family appends; sidecar-then-data means a crash
+    // leaves either no data (harmless) or a fully guarded index
+    writePlaneSidecar(df.sparkSession, path, numPlanes, dim)
     index(df, embedding, numPlanes, dim)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("bucket").parquet(path)
-    writePlaneSidecar(df.sparkSession, path, numPlanes, dim)
   }
 
   /** The `_lsh_planes.json` sidecar: the (numPlanes, dim) family an
@@ -60,36 +64,19 @@ object Similarity {
     new org.apache.hadoop.fs.Path(path, "_lsh_planes.json")
 
   private def writePlaneSidecar(spark: org.apache.spark.sql.SparkSession,
-      path: String, numPlanes: Int, dim: Int): Unit = {
-    val p = planesPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(s"""{"num_planes":$numPlanes,"dim":$dim}"""
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+      path: String, numPlanes: Int, dim: Int): Unit =
+    Sidecars.write(spark, planesPath(path),
+      s"""{"num_planes":$numPlanes,"dim":$dim}""")
 
-  /** Plane family of a persisted LSH index; None for pre-sidecar dirs. */
+  /** Plane family of a persisted LSH index; None for pre-sidecar dirs.
+    * A truncated/corrupt sidecar fails with a named error, never a
+    * silent pass-through. */
   def readPlaneSidecar(spark: org.apache.spark.sql.SparkSession,
       path: String): Option[(Int, Int)] = {
     val p = planesPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val raw = try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val arr = new Array[Byte](4096)
-        var n = in.read(arr)
-        while (n >= 0) { buf.write(arr, 0, n); n = in.read(arr) }
-        new String(buf.toByteArray,
-          java.nio.charset.StandardCharsets.UTF_8)
-      } finally in.close()
-      val m = raw.stripPrefix("{").stripSuffix("}").split(",").map { kv =>
-        val Array(k, v) = kv.split(":", 2)
-        k.replaceAll("\"", "") -> v
-      }.toMap
-      Some((m("num_planes").toInt, m("dim").toInt))
+    Sidecars.read(spark, p).map { raw =>
+      val m = Sidecars.parseFlatJson(raw, p)
+      (m("num_planes").toInt, m("dim").toInt)
     }
   }
 
@@ -134,7 +121,13 @@ object Similarity {
     * Single-writer, like the build. */
   def appendToPersistedIndex(df: DataFrame, embedding: String,
       numPlanes: Int, dim: Int, path: String): Unit = {
-    requirePlaneFamily(df.sparkSession, path, numPlanes, dim, "append")
+    val spark = df.sparkSession
+    requirePlaneFamily(spark, path, numPlanes, dim, "append")
+    // heal-on-append: a pre-sidecar (or sidecar-crashed) index passed
+    // the check on the caller's word — record that family now so the
+    // unguarded window closes instead of staying open forever
+    if (readPlaneSidecar(spark, path).isEmpty)
+      writePlaneSidecar(spark, path, numPlanes, dim)
     index(df, embedding, numPlanes, dim)
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("bucket").parquet(path)
@@ -313,38 +306,19 @@ object Similarity {
     new org.apache.hadoop.fs.Path(path, "_ivf_stats.json")
 
   private[graft] def writeIvfStats(spark: org.apache.spark.sql.SparkSession,
-      path: String, s: IvfStats): Unit = {
-    val p = statsPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(
-      s"""{"vectors":${s.vectors},"mean_sim":${s.meanSim}}"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+      path: String, s: IvfStats): Unit =
+    Sidecars.write(spark, statsPath(path),
+      s"""{"vectors":${s.vectors},"mean_sim":${s.meanSim}}""")
 
   /** Build-time assignment baseline of a persisted IVF index; None for
-    * a pre-stats index directory (older builds). */
+    * a pre-stats index directory (older builds); a truncated/corrupt
+    * sidecar fails with a named error. */
   def readIvfStats(spark: org.apache.spark.sql.SparkSession,
       path: String): Option[IvfStats] = {
     val p = statsPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val raw = try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val arr = new Array[Byte](4096)
-        var n = in.read(arr)
-        while (n >= 0) { buf.write(arr, 0, n); n = in.read(arr) }
-        new String(buf.toByteArray,
-          java.nio.charset.StandardCharsets.UTF_8)
-      } finally in.close()
-      val m = raw.stripPrefix("{").stripSuffix("}").split(",").map { kv =>
-        val Array(k, v) = kv.split(":", 2)
-        k.replaceAll("\"", "") -> v
-      }.toMap
-      Some(IvfStats(m("vectors").toLong, m("mean_sim").toDouble))
+    Sidecars.read(spark, p).map { raw =>
+      val m = Sidecars.parseFlatJson(raw, p)
+      IvfStats(m("vectors").toLong, m("mean_sim").toDouble)
     }
   }
 

@@ -20,14 +20,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * byte-identical rewrite. Idempotence by construction beats
   * idempotence by protocol when the computation permits it.
   *
-  * Drift: the first batch seeds the `_ivf_stats.json` baseline (or an
-  * existing one from [[Similarity.writePersistedIvf]] is kept); every
-  * batch's mean assigned-centroid cosine is compared against it and
-  * `retrainRecommended` (the [[Similarity.IvfAppend]] rule) is logged
-  * at WARN — the signal that the frozen codebook has stopped
-  * describing the arriving distribution and a rebuild is due.
+  * Drift: the first non-empty batch seeds the `_ivf_stats.json`
+  * baseline; every batch's mean assigned-centroid cosine is compared
+  * against it and `retrainRecommended` (the [[Similarity.IvfAppend]]
+  * rule) is logged at WARN — the signal that the frozen codebook has
+  * stopped describing the arriving distribution and a rebuild is due.
+  *
+  * The stream's `batch=/list_id=` layout and
+  * [[Similarity.writePersistedIvf]]'s root-level `list_id=` layout
+  * cannot share a directory — parquet partition discovery refuses
+  * leaf files at conflicting depths, so EVERY read of a mixed dir
+  * would fail. The sink refuses a build-once-layout path up front;
+  * migrate an existing index into a stream-fed one with
+  * [[Similarity.retrainPersistedIvf]] to a fresh path and point the
+  * stream there.
   */
 object AnnIngest {
+
+  /** Refuse a root-level `list_id=` (build-once) layout before the
+    * first byte lands — a mixed dir is unreadable with no write-time
+    * error otherwise. One listing per batch (object-store-cheap). */
+  private def requireBatchLayout(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("list_id=")))
+      throw new IllegalStateException(
+        s"$path holds a root-level list_id= layout (writePersistedIvf's " +
+          "build-once shape) — streaming batch= dirs into it would mix " +
+          "partition depths and make every read fail; start the stream " +
+          "on a fresh path (retrainPersistedIvf migrates the existing " +
+          "index into one)")
+  }
 
   /** What one micro-batch did. */
   case class BatchOutcome(batchId: Long, appended: Long, meanSim: Double,
@@ -38,6 +63,7 @@ object AnnIngest {
   def processBatch(batch: DataFrame, batchId: Long, embedding: String,
       codebook: Similarity.IvfCodebook, path: String): BatchOutcome = {
     val spark = batch.sparkSession
+    requireBatchLayout(spark, path)
     // ONE assignment pass (the dominant per-row compute) and ONE read
     // of the micro-batch source, materialized chunk-local: the dir
     // write and the drift aggregate both consume it

@@ -92,33 +92,26 @@ object NearDedup {
       .flatMap(v => Versioned.readMeta(spark, indexPath, v).get(BatchKey))
       .flatMap(s => scala.util.Try(s.toLong).toOption)
       .nextOption()
+    // the mirror is SCOPED to its index: a stale mirror left in a
+    // reused out dir must not mark a NEW stream's (fresh-index)
+    // batches as replays — a mirror recording a different index path
+    // is ignored. (An unparseable mirror is also ignored — the
+    // manifest is primary; the mirror only exists for the
+    // vacuum-erased-manifest case.)
     val p = new org.apache.hadoop.fs.Path(outPath, "_neardedup_batch")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fromFile =
-      if (!fs.exists(p)) None
-      else scala.util.Try {
-        val in = fs.open(p)
-        try new String(
-          { val b = new java.io.ByteArrayOutputStream()
-            val a = new Array[Byte](64)
-            var n = in.read(a)
-            while (n >= 0) { b.write(a, 0, n); n = in.read(a) }
-            b.toByteArray },
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-        finally in.close()
-      }.toOption
+    val fromFile = graft.operators.Sidecars.read(spark, p)
+      .flatMap(raw => scala.util.Try {
+        val m = graft.operators.Sidecars.parseFlatJson(raw, p)
+        if (m("index") == indexPath) Some(m("batch").toLong) else None
+      }.toOption.flatten)
     (fromMeta ++ fromFile).maxOption
   }
 
   private def mirrorBatch(spark: SparkSession, outPath: String,
-      batchId: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(outPath, "_neardedup_batch")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(batchId.toString
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+      indexPath: String, batchId: Long): Unit =
+    graft.operators.Sidecars.write(spark,
+      new org.apache.hadoop.fs.Path(outPath, "_neardedup_batch"),
+      s"""{"batch":$batchId,"index":"$indexPath"}""")
 
   /** Seed an EMPTY index at the minimum layout iff none exists, so the
     * first micro-batch probes against nothing instead of failing.
@@ -134,18 +127,26 @@ object NearDedup {
       indexPath: String, shingleSize: Int, numHashes: Int,
       bands: Int): Unit =
     if (Versioned.versions(chunk.sparkSession, indexPath).isEmpty) {
-      // a NON-EMPTY dir without a commit log is a LEGACY plain-parquet
-      // band index: seeding a snapshot over it would permanently
-      // shadow every legacy corpus band (the catalog read wins once a
-      // LogDir exists) and re-admit all historical duplicates — refuse
-      // and point at the migration instead
+      // loose ROOT-LEVEL .parquet files without a commit log are a
+      // LEGACY plain-parquet band index: seeding a snapshot over it
+      // would permanently shadow every legacy corpus band (the catalog
+      // read wins once a LogDir exists) and re-admit all historical
+      // duplicates — refuse and point at the migration instead. Only
+      // that exact signature refuses: orphan gb-* segment DIRS and
+      // _graft_log leftovers from a crashed first commit (or a racing
+      // creator) are invisible to readers and must not brick the
+      // stream — the create below retries/absorbs them.
       val p = new org.apache.hadoop.fs.Path(indexPath)
       val fs = p.getFileSystem(
         chunk.sparkSession.sparkContext.hadoopConfiguration)
-      if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+      if (fs.exists(p) && fs.listStatus(p).exists { st =>
+          val n = st.getPath.getName
+          !st.isDirectory && n.endsWith(".parquet") &&
+            !n.startsWith("_") && !n.startsWith(".")
+        })
         throw new IllegalStateException(
-          s"$indexPath holds files but no commit log — a legacy " +
-            "plain-parquet band index; migrate it first with " +
+          s"$indexPath holds loose parquet files but no commit log — a " +
+            "legacy plain-parquet band index; migrate it first with " +
             "Dedup.rebucketBandIndex(spark, path) so its corpus bands " +
             "stay visible to the stream's probes")
       try Versioned.commitBucketed(
@@ -198,7 +199,7 @@ object NearDedup {
       // lazy sizing thunk is never forced (ensureIndex guarantees a
       // declared base exists)
     // after the commit: the vacuum-proof mirror (see lastAppliedBatch)
-    mirrorBatch(spark, outPath, batchId)
+    mirrorBatch(spark, outPath, indexPath, batchId)
     val Seq(adm, dc, dk, srv) = flags.agg(count(lit(1)),
       sum(col("dup_of_corpus").cast("long")),
       sum(col("dup_in_chunk").cast("long")),

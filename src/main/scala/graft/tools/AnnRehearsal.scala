@@ -2,8 +2,6 @@ package graft.tools
 
 import graft.operators.Similarity
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.functions._
 
 /** Scale-rehearsal driver for the persisted-IVF path (sim3 + the r15
@@ -76,23 +74,7 @@ object AnnRehearsal {
     val buildS = (System.nanoTime() - t0) / 1e9
     println(f"""{"phase":"build","corpus":"$embDir","nlist":$NList,"vectors":${baseline.vectors},"mean_sim":${baseline.meanSim}%.4f,"build_s":$buildS%.2f}""")
 
-    def resolve(p: SparkPlan): SparkPlan = p match {
-      case a: AdaptiveSparkPlanExec => resolve(a.executedPlan)
-      case s: QueryStageExec => resolve(s.plan)
-      case other => other
-    }
-    def subtree(p: SparkPlan): Seq[SparkPlan] = {
-      val r = resolve(p)
-      r +: r.children.flatMap(subtree)
-    }
-    // bytes each scan in the executed plan actually selected ("size of
-    // files read") — directory pruning shows up here, not in row counts
-    def bytesRead(df: DataFrame): Long =
-      subtree(df.queryExecution.executedPlan)
-        .collect { case s if s.children.isEmpty => s }
-        .flatMap(_.metrics.collect {
-          case (k, m) if k == "filesSize" => m.value
-        }).sum
+    import PlanMetrics.bytesRead
 
     // ---- probe vs brute over the SAME persisted files, best of two
     def timed(label: String)(mk: => DataFrame): (Double, Long, Seq[Long]) = {

@@ -1,9 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 import org.apache.spark.sql.functions._
 
 /** Scale rehearsal for the st17 COMPOSITION: one full
@@ -66,17 +63,6 @@ object NearDedupRehearsal {
     val indexRows = graft.operators.Versioned.read(spark, indexPath).count()
     println(f"""{"phase":"build","corpus":"$corpusDir","buckets":${w.buckets},"index_rows":$indexRows,"build_s":$buildS%.2f}""")
 
-    def resolve(p: SparkPlan): SparkPlan = p match {
-      case a: AdaptiveSparkPlanExec => resolve(a.executedPlan)
-      case q: QueryStageExec => resolve(q.plan)
-      case r: ReusedExchangeExec => resolve(r.child)
-      case other => other
-    }
-    def subtree(p: SparkPlan): Seq[SparkPlan] = {
-      val r = resolve(p)
-      r +: r.children.flatMap(subtree)
-    }
-
     // metric attribution FIRST, against the pristine decade index (the
     // same plan ProbeRehearsal measures — probing after a processBatch
     // would count the batch's own appended bands in the scan term)
@@ -84,13 +70,8 @@ object NearDedupRehearsal {
       chunk, $"text", "doc_id", indexPath)
       .where($"dup_of_corpus" || $"dup_in_chunk")
     flagsQ.collect()
-    val shuffleBytes = subtree(flagsQ.queryExecution.executedPlan)
-      .flatMap(_.metrics.collect {
-        case (k, m) if k == "shuffleBytesWritten" => m.value
-      }).sum
-    val scanRows = subtree(flagsQ.queryExecution.executedPlan)
-      .collect { case s2 if s2.children.isEmpty => s2 }
-      .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+    val shuffleBytes = PlanMetrics.shuffleBytes(flagsQ)
+    val scanRows = PlanMetrics.scanRows(flagsQ)
     // batch 0: the composed sink against the pristine index — the
     // decade claim. Batch 1 re-processes the SAME chunk under a new id
     // (its docs are now IN the index, so everything flags corpus-dup):

@@ -1,9 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 import org.apache.spark.sql.functions._
 
 /** Scale-rehearsal driver for the dd10 probe path: build the MinHash
@@ -85,30 +82,11 @@ object ProbeRehearsal {
     val indexRows = spark.read.parquet(legacyPath).count()
     println(f"""{"phase":"build","corpus":"$corpusDir","buckets":$buckets,"index_rows":$indexRows,"build_s":$buildS%.2f}""")
 
-    def resolve(p: SparkPlan): SparkPlan = p match {
-      case a: AdaptiveSparkPlanExec => resolve(a.executedPlan)
-      case q: QueryStageExec => resolve(q.plan)
-      case r: ReusedExchangeExec => resolve(r.child)
-      case other => other
-    }
-    def subtree(p: SparkPlan): Seq[SparkPlan] = {
-      val r = resolve(p)
-      r +: r.children.flatMap(subtree)
-    }
-    def shuffleBytes(df: DataFrame): Long =
-      subtree(df.queryExecution.executedPlan)
-        .flatMap(_.metrics.collect {
-          case (k, m) if k == "shuffleBytesWritten" => m.value
-        }).sum
-    // rows emitted by every SCAN in the executed plan: separates the
-    // probe's index-side scan term (linear in the index, zero network,
-    // parallelizes with executors) from its shuffle term (the one that
-    // must stay chunk-sized) — so "wall grew because of the scan" is a
-    // measurement, not an inference
-    def scanRows(df: DataFrame): Long =
-      subtree(df.queryExecution.executedPlan)
-        .collect { case s if s.children.isEmpty => s }
-        .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+    // scanRows separates the probe's index-side scan term (linear in
+    // the index, zero network, parallelizes with executors) from its
+    // shuffle term (the one that must stay chunk-sized) — so "wall
+    // grew because of the scan" is a measurement, not an inference
+    import PlanMetrics.{shuffleBytes, scanRows}
 
     // ---- probe each layout twice, keep the better pass
     Seq("bucketed" -> bucketedPath, "legacy" -> legacyPath).foreach {

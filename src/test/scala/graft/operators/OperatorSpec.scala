@@ -285,6 +285,23 @@ class OperatorSpec extends SparkSpec {
       Similarity.probePersistedIndex(spark, path, "embedding", "vec_id",
         q, numPlanes = 8, k = 5)
     }.getMessage.contains("plane family"))
+    // heal-on-append: a pre-sidecar (legacy) index gets its family
+    // recorded by the first guarded append, closing the window where
+    // a later mismatched append would pass on the caller's word
+    val bare = tmpDir("lshheal") + "/index"
+    Similarity.index(build, "embedding", 6, 64)
+      .write.partitionBy("bucket").parquet(bare)
+    assert(Similarity.readPlaneSidecar(spark, bare).isEmpty)
+    Similarity.appendToPersistedIndex(extra, "embedding", 6, 64, bare)
+    assert(Similarity.readPlaneSidecar(spark, bare).contains((6, 64)))
+    // a truncated sidecar (crash between create and write) fails with
+    // a NAMED error pointing at the file, never a bare MatchError
+    val sc = new org.apache.hadoop.fs.Path(bare, "_lsh_planes.json")
+    sc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(sc, true).close() // zero bytes
+    assert(intercept[IllegalStateException] {
+      Similarity.readPlaneSidecar(spark, bare)
+    }.getMessage.contains("corrupt sidecar"))
   }
 
   test("persisted IVF append: frozen-codebook assignment, post-append " +

@@ -59,6 +59,17 @@ class AnnIngestSpec extends SparkSpec {
     assert(shifted.retrainRecommended, s"orthogonal batch silent: $shifted")
   }
 
+  test("streaming onto a build-once (root list_id=) layout refuses up " +
+    "front — a mixed dir would be unreadable with no write-time error") {
+    val path = tmpDir("annmixed") + "/ivf"
+    val b0 = vecs((1L to 8L).map(i => (i, (i % 8).toInt)): _*)
+    val cb = Similarity.buildCodebook(b0, "embedding", "vec_id", nlist = 8)
+    Similarity.writePersistedIvf(b0, "embedding", cb, path)
+    assert(intercept[IllegalStateException] {
+      AnnIngest.processBatch(vecs(100L -> 1), 0L, "embedding", cb, path)
+    }.getMessage.contains("fresh path"))
+  }
+
   test("an EMPTY first batch never seeds the drift baseline — the first " +
     "non-empty cohort does, so the signal still arms") {
     val path = tmpDir("annempty") + "/ivf"

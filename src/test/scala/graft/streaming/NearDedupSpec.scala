@@ -191,8 +191,17 @@ class NearDedupSpec extends SparkSpec {
       "doc_id", index, out)
     assert(!next.replayed && next.dupOfCorpus == 1)
 
-    // legacy plain-parquet band index (files, no commit log): seeding a
-    // snapshot over it would shadow every legacy band — refuse loudly
+    // a STALE mirror in a reused out dir must not mark a NEW stream's
+    // (fresh-index) batches as replays: the mirror is index-scoped
+    val index2 = s"$base/index2"
+    val fresh = NearDedup.processBatch(docs(1L -> 1), 0L, $"text",
+      "doc_id", index2, out)
+    assert(!fresh.replayed,
+      "stale mirror from the old index replay-skipped a fresh stream")
+
+    // legacy plain-parquet band index (loose .parquet files, no commit
+    // log): seeding a snapshot over it would shadow every legacy band
+    // — refuse loudly
     val legacy = s"$base/legacy"
     Dedup.bandFrame(docs(1L -> 1), $"text", "doc_id", 3, 16, 4)
       .write.parquet(legacy)
@@ -200,6 +209,16 @@ class NearDedupSpec extends SparkSpec {
       NearDedup.processBatch(docs(2L -> 2), 0L, $"text", "doc_id",
         legacy, s"$base/out2")
     }.getMessage.contains("rebucketBandIndex"))
+    // ...but ORPHANS of a crashed first commit (segment dirs, log
+    // leftovers — no loose root parquet) must not brick the stream:
+    // the guarded create absorbs them
+    val orphaned = s"$base/orphaned"
+    val fs = new org.apache.hadoop.fs.Path(orphaned)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(orphaned, "gb-0"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(orphaned, Versioned.LogDir))
+    assert(!NearDedup.processBatch(docs(3L -> 3), 0L, $"text", "doc_id",
+      orphaned, s"$base/out3").replayed)
   }
 
   test("property: with ids monotone across batches, streaming survivors " +
