@@ -15,9 +15,25 @@ private[graft] object Sidecars {
 
   def write(spark: SparkSession, p: Path, content: String): Unit = {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    // temp + rename, never an in-place overwrite: the re-seed paths
+    // rewrite a sidecar a concurrent reader may be mid-read, and a
+    // crash mid-write would leave a truncated file that fails every
+    // later read until manually deleted (r15 ADVICE). The rename is
+    // atomic-enough on the Hadoop filesystems we target.
+    val tmp = new Path(p.getParent,
+      s".${p.getName}.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, fs.getConf)
+      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException | _: java.io.IOException =>
+        if (fs.exists(p)) fs.delete(p, false)
+        require(fs.rename(tmp, p), s"could not write sidecar $p")
+    }
   }
 
   /** None iff the file does not exist; an existing file is read fully. */

@@ -44,14 +44,17 @@ object Similarity {
     * OperatorSpec), instead of scanning everything and filtering. */
   def writePersistedIndex(df: DataFrame, embedding: String, numPlanes: Int,
       dim: Int, path: String): Unit = {
-    // sidecar FIRST: a crash after the data write but before the
-    // sidecar would leave a guard-less index that silently accepts
-    // mismatched-family appends; sidecar-then-data means a crash
-    // leaves either no data (harmless) or a fully guarded index
-    writePlaneSidecar(df.sparkSession, path, numPlanes, dim)
+    // data FIRST, sidecar after: SaveMode.Overwrite deletes the whole
+    // output path before writing, so a sidecar written first is erased
+    // by the very write it guards — every fresh index would be
+    // guard-less (r15 ADVICE, empirically confirmed). Data-then-sidecar
+    // leaves a crash window with an unguarded index, which the first
+    // guarded append heals (heal-on-append below) — the same window the
+    // pre-sidecar legacy dirs already live in.
     index(df, embedding, numPlanes, dim)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("bucket").parquet(path)
+    writePlaneSidecar(df.sparkSession, path, numPlanes, dim)
   }
 
   /** The `_lsh_planes.json` sidecar: the (numPlanes, dim) family an

@@ -95,23 +95,49 @@ object NearDedup {
     // the mirror is SCOPED to its index: a stale mirror left in a
     // reused out dir must not mark a NEW stream's (fresh-index)
     // batches as replays — a mirror recording a different index path
-    // is ignored. (An unparseable mirror is also ignored — the
-    // manifest is primary; the mirror only exists for the
-    // vacuum-erased-manifest case.)
+    // is ignored. Paths are compared NORMALIZED (qualified URI), so
+    // the same index spelled with a trailing slash or scheme-qualified
+    // across restarts cannot silently disable the vacuum-erasure
+    // protection (r15 verdict). (An unparseable mirror is also
+    // ignored — the manifest is primary; the mirror only exists for
+    // the vacuum-erased-manifest case.)
     val p = new org.apache.hadoop.fs.Path(outPath, "_neardedup_batch")
     val fromFile = graft.operators.Sidecars.read(spark, p)
       .flatMap(raw => scala.util.Try {
         val m = graft.operators.Sidecars.parseFlatJson(raw, p)
-        if (m("index") == indexPath) Some(m("batch").toLong) else None
+        if (m("index") == normalizedIndex(spark, indexPath))
+          Some(m("batch").toLong)
+        else None
       }.toOption.flatten)
     (fromMeta ++ fromFile).maxOption
   }
 
+  /** Canonical spelling of the index path as written into (and
+    * compared against) the mirror: the filesystem-qualified URI, so
+    * trailing slashes, relative forms and bare-vs-scheme spellings all
+    * collapse to one string. */
+  private def normalizedIndex(spark: SparkSession,
+      indexPath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toUri.toString
+  }
+
   private def mirrorBatch(spark: SparkSession, outPath: String,
-      indexPath: String, batchId: Long): Unit =
+      indexPath: String, batchId: Long): Unit = {
+    val norm = normalizedIndex(spark, indexPath)
+    // the flat-JSON sidecar format splits on commas and strips quotes,
+    // so a path containing either would round-trip WRONG (mis-split →
+    // diagnosed as corrupt, or scope-compared against a mangled
+    // string). Such paths are exotic enough to refuse loudly at the
+    // first batch rather than escape (r15 ADVICE).
+    require(!norm.contains(',') && !norm.contains('"'),
+      s"index path unencodable in the batch mirror (contains , or \"): " +
+        s"$norm — use a comma/quote-free index path")
     graft.operators.Sidecars.write(spark,
       new org.apache.hadoop.fs.Path(outPath, "_neardedup_batch"),
-      s"""{"batch":$batchId,"index":"$indexPath"}""")
+      s"""{"batch":$batchId,"index":"$norm"}""")
+  }
 
   /** Seed an EMPTY index at the minimum layout iff none exists, so the
     * first micro-batch probes against nothing instead of failing.
@@ -170,8 +196,17 @@ object NearDedup {
       : BatchOutcome = {
     val spark = batch.sparkSession
     ensureIndex(batch, text, id, indexPath, shingleSize, numHashes, bands)
-    if (lastAppliedBatch(spark, indexPath, outPath).exists(_ >= batchId))
+    val applied = lastAppliedBatch(spark, indexPath, outPath)
+    if (applied.exists(_ >= batchId)) {
+      // re-converge the mirror on the replay-skip path too: a crash
+      // between commitBands and mirrorBatch followed by a replay-skip
+      // would otherwise leave the mirror permanently behind the
+      // manifest, and a later vacuum could erase the only record of
+      // that batch id (r15 ADVICE). `applied` is the max of both
+      // sources, so rewriting it is monotone.
+      applied.foreach(a => mirrorBatch(spark, outPath, indexPath, a))
       return BatchOutcome(batchId, -1, -1, -1, -1, -1, replayed = true)
+    }
     // one materialization of the (gated) batch: it feeds the probe,
     // the survivor join and the index append — the upstream micro-batch
     // scan + gate would otherwise re-run per consumer

@@ -264,6 +264,12 @@ class OperatorSpec extends SparkSpec {
       .head().getSeq[Float](0).toArray
     val path = tmpDir("lshappend") + "/index"
     Similarity.writePersistedIndex(build, "embedding", 6, 64, path)
+    // the family guard must exist right after the BUILD, before any
+    // append re-creates it: SaveMode.Overwrite deletes the output path
+    // first, so a sidecar written before the data write is erased by
+    // it — the r15 ADVICE bug this pins closed
+    assert(Similarity.readPlaneSidecar(spark, path).contains((6, 64)),
+      "freshly built LSH index is guard-less")
     Similarity.appendToPersistedIndex(extra, "embedding", 6, 64, path)
     val probed = Similarity.probePersistedIndex(spark, path, "embedding",
       "vec_id", q, numPlanes = 6, k = 5, probeHamming = 2)

@@ -221,6 +221,46 @@ class NearDedupSpec extends SparkSpec {
       orphaned, s"$base/out3").replayed)
   }
 
+  test("mirror protocol: slash-variant index spellings share one scope, " +
+    "replay-skip re-converges a lagging mirror, unencodable paths refuse") {
+    val base = tmpDir("neardedup_mirror")
+    val index = s"$base/index"
+    val out = s"$base/out"
+    NearDedup.processBatch(docs(1L -> 1), 0L, $"text", "doc_id", index, out)
+    NearDedup.processBatch(docs(2L -> 2), 1L, $"text", "doc_id", index, out)
+    // replay-skip re-converges a LAGGING mirror (crash between
+    // commitBands and mirrorBatch): wind the mirror back to batch 0
+    // while the MANIFEST still records batch 1 — the skip must rewrite
+    // the mirror to the highest applied id, not leave it behind
+    val mirrorP = new org.apache.hadoop.fs.Path(out, "_neardedup_batch")
+    val mirrorIndex = graft.operators.Sidecars.parseFlatJson(
+      graft.operators.Sidecars.read(spark, mirrorP).get, mirrorP)("index")
+    graft.operators.Sidecars.write(spark, mirrorP,
+      s"""{"batch":0,"index":"$mirrorIndex"}""")
+    assert(NearDedup.processBatch(docs(2L -> 2), 1L, $"text", "doc_id",
+      index, out).replayed) // manifest still has batch 1: skip + heal
+    // now vacuum erases every manifest ledger entry: ONLY the healed
+    // mirror knows batch 1
+    Dedup.writeBandIndex(docs(100L -> 100), $"text", "doc_id", index,
+      mode = "append")
+    Versioned.vacuum(spark, index, keepLast = 1)
+    assert(NearDedup.lastAppliedBatch(spark, index, out).contains(1L),
+      "replay-skip left the mirror lagging — vacuum erased batch 1")
+    // the SAME index spelled with a trailing slash must still see that
+    // mirror (normalized comparison), so the replay is detected
+    assert(NearDedup.lastAppliedBatch(spark, s"$index/", out).contains(1L),
+      "slash-variant index path silently ignored the mirror")
+    assert(NearDedup.processBatch(docs(2L -> 2), 1L, $"text", "doc_id",
+      s"$index/", out).replayed)
+    // a comma in the index path cannot round-trip through the mirror's
+    // flat-JSON format: refused loudly at the first batch
+    val weird = s"$base/weird,index"
+    assert(intercept[IllegalArgumentException] {
+      NearDedup.processBatch(docs(3L -> 3), 0L, $"text", "doc_id",
+        weird, s"$base/out2")
+    }.getMessage.contains("unencodable"))
+  }
+
   test("property: with ids monotone across batches, streaming survivors " +
     "equal batch minhashDedup on the union (ScalaCheck)") {
     import org.scalacheck.{Gen, Prop}
