@@ -432,17 +432,9 @@ object Dedup {
     * dirs from older builds still read through the legacy path. */
   private def bandIndexFrame(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(p, Versioned.LogDir))) {
-      val cat = "graft_bandidx_" + java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(indexPath).toLong
-          & 0xffffffL)
-      spark.conf.set(s"spark.sql.catalog.$cat",
-        classOf[graft.sources.GraftCatalog].getName)
-      spark.conf.set(s"spark.sql.catalog.$cat.root", p.getParent.toString)
-      spark.table(s"$cat.`${p.getName}`")
-    } else
+    if (SnapshotScan.isSnapshot(spark, indexPath))
+      SnapshotScan.frame(spark, indexPath)
+    else
       // an index built from a corpus with NO banded docs (every doc
       // shorter than the shingle size) on the LEGACY plain-parquet
       // layout is a schema-less empty dir — probe against nothing

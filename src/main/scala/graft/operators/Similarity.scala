@@ -36,25 +36,89 @@ object Similarity {
     df.withColumn("bucket",
       hyperplaneBucket(col(embedding), makePlanes(numPlanes, dim)))
 
-  /** Persist the index PARTITIONED BY bucket — the on-disk shape the
-    * 100 TB story needs: 2^numPlanes directories, each holding only its
-    * bucket's vectors. A probe then reads probed-buckets/2^numPlanes of
-    * the corpus via directory-level partition pruning (see
-    * [[probePersistedIndex]] and the PlanSpec-style assertion in
-    * OperatorSpec), instead of scanning everything and filtering. */
+  /** Manifest meta key carrying an LSH index's plane family as
+    * `<numPlanes>/<dim>` — the snapshot-layout successor of the
+    * `_lsh_planes.json` sidecar: it commits ATOMICALLY with the rows
+    * it describes (the r15 sidecar could be erased by the very write
+    * it guarded), and every append re-emits it so the newest
+    * descriptor-carrying version always answers. */
+  private[graft] val LshPlanesKey = "lsh_planes"
+
+  /** Bucket count for a persisted LSH index: one bucket per possible
+    * sign pattern up to a cap — past the cap, multiple patterns share
+    * a bucket (pruning keeps the same BALL-SIZE/cap fraction; the
+    * pushed-down bucket filter absorbs the collisions). */
+  private[graft] val MaxLshBuckets = 1024
+  private def lshBuckets(numPlanes: Int): Int =
+    math.min(1L << math.min(numPlanes, 30), MaxLshBuckets.toLong).toInt
+
+  private def lshMeta(numPlanes: Int, dim: Int): Map[String, String] =
+    Map(LshPlanesKey -> s"$numPlanes/$dim")
+
+  /** Plane family + pinned version of a persisted snapshot LSH index:
+    * latest version resolved once, meta scanned newest-first from it
+    * (foreign commits without the key are skipped over). */
+  private def lshState(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[(Long, Int, Int)] = {
+    val vs = Versioned.versions(spark, path).sorted
+    if (vs.isEmpty) return None
+    val latest = vs.max
+    vs.reverseIterator
+      .flatMap(v => Versioned.readMeta(spark, path, v).get(LshPlanesKey))
+      .nextOption().map { s =>
+        val cut = s.indexOf('/')
+        (latest, s.substring(0, cut).toInt, s.substring(cut + 1).toInt)
+      }
+  }
+
+  /** The recorded plane family of a persisted LSH index — commit-meta
+    * descriptor for snapshot indexes, the legacy `_lsh_planes.json`
+    * sidecar for plain dirs; None for a bare pre-guard dir. */
+  def planeFamilyOf(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[(Int, Int)] =
+    if (SnapshotScan.isSnapshot(spark, path))
+      lshState(spark, path).map { case (_, np, d) => (np, d) }
+    else readPlaneSidecar(spark, path)
+
+  /** Persist the index as a snapshot table BUCKETED by the sign
+    * pattern — the on-disk shape the 100 TB story needs: a probe
+    * enumerates its Hamming ball driver-side and the `isin` predicate
+    * bucket-prunes the scan to ball/2^numPlanes of the files at PLAN
+    * time (see [[probePersistedIndex]] and the plan assertion in
+    * OperatorSpec), instead of scanning everything and filtering. The
+    * plane family commits atomically with the rows. */
   def writePersistedIndex(df: DataFrame, embedding: String, numPlanes: Int,
       dim: Int, path: String): Unit = {
-    // data FIRST, sidecar after: SaveMode.Overwrite deletes the whole
-    // output path before writing, so a sidecar written first is erased
-    // by the very write it guards — every fresh index would be
-    // guard-less (r15 ADVICE, empirically confirmed). Data-then-sidecar
-    // leaves a crash window with an unguarded index, which the first
-    // guarded append heals (heal-on-append below) — the same window the
-    // pre-sidecar legacy dirs already live in.
-    index(df, embedding, numPlanes, dim)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("bucket").parquet(path)
-    writePlaneSidecar(df.sparkSession, path, numPlanes, dim)
+    Versioned.commitBucketed(index(df, embedding, numPlanes, dim),
+      path, "bucket", lshBuckets(numPlanes), mode = "overwrite",
+      meta = lshMeta(numPlanes, dim))
+    ()
+  }
+
+  /** Migrate a LEGACY plain-dir LSH index (`bucket=` partition dirs)
+    * into the snapshot layout IN PLACE — the rebucketBandIndex shape:
+    * the legacy dir has no commit log, so there is no CAS to race and
+    * the migration is inherently single-writer; the committed RESULT
+    * is a snapshot table, so every later append/probe takes the
+    * guarded paths. The loose legacy files are left in place — outside
+    * the manifest, invisible to readers, but not VACUUM-tracked;
+    * delete them once the new version is verified. The family comes
+    * from the legacy sidecar when present (checked against the
+    * caller's), else the caller's word — the heal-on-migrate
+    * counterpart of the old heal-on-append. */
+  def migratePersistedIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, numPlanes: Int, dim: Int): Unit = {
+    require(!SnapshotScan.isSnapshot(spark, path),
+      s"$path is already a snapshot LSH index")
+    requirePlaneFamily(spark, path, numPlanes, dim, "migrate")
+    val rows = spark.read.parquet(path)
+    // partition-dir inference types `bucket=` values as INT; the
+    // layout hash and the probes' ball literals are LONG — unify
+    val typed = rows.withColumn("bucket", col("bucket").cast("long"))
+    Versioned.commitBucketed(typed, path, "bucket",
+      lshBuckets(numPlanes), mode = "overwrite",
+      meta = lshMeta(numPlanes, dim))
+    ()
   }
 
   /** The `_lsh_planes.json` sidecar: the (numPlanes, dim) family an
@@ -66,14 +130,10 @@ object Similarity {
   private def planesPath(path: String) =
     new org.apache.hadoop.fs.Path(path, "_lsh_planes.json")
 
-  private def writePlaneSidecar(spark: org.apache.spark.sql.SparkSession,
-      path: String, numPlanes: Int, dim: Int): Unit =
-    Sidecars.write(spark, planesPath(path),
-      s"""{"num_planes":$numPlanes,"dim":$dim}""")
-
-  /** Plane family of a persisted LSH index; None for pre-sidecar dirs.
-    * A truncated/corrupt sidecar fails with a named error, never a
-    * silent pass-through. */
+  /** LEGACY plane family sidecar of a plain-dir LSH index; None for
+    * pre-sidecar dirs. A truncated/corrupt sidecar fails with a named
+    * error, never a silent pass-through. (Snapshot indexes carry the
+    * family in commit meta — [[planeFamilyOf]].) */
   def readPlaneSidecar(spark: org.apache.spark.sql.SparkSession,
       path: String): Option[(Int, Int)] = {
     val p = planesPath(path)
@@ -116,35 +176,109 @@ object Similarity {
   /** Append new vectors to a persisted hyperplane-LSH index: bucket
     * under the SAME plane family (it is a pure function of
     * (numPlanes, dim) — no codebook to freeze, so growth needs no
-    * drift baseline; the `_lsh_planes.json` sidecar still pins the
-    * family so a mismatched append refuses instead of silently
-    * corrupting bucket routing). Replaying an append is NOT idempotent
-    * on this layout (plain parquet append); callers driving it from a
-    * stream should write per-batch dirs the AnnIngest way.
-    * Single-writer, like the build. */
+    * drift baseline; the commit-meta descriptor still pins the family
+    * so a mismatched append refuses instead of silently corrupting
+    * bucket routing). The commit is CAS'd on the version the family
+    * was verified against — a family-changing overwrite interleaving
+    * would otherwise land rows hashed under the wrong planes; an
+    * interleaved same-family APPEND just rebases and retries.
+    * Replaying an append still duplicates rows (no ledger here —
+    * stream drivers should ride AnnIngest's discipline). */
   def appendToPersistedIndex(df: DataFrame, embedding: String,
       numPlanes: Int, dim: Int, path: String): Unit = {
     val spark = df.sparkSession
-    requirePlaneFamily(spark, path, numPlanes, dim, "append")
-    // heal-on-append: a pre-sidecar (or sidecar-crashed) index passed
-    // the check on the caller's word — record that family now so the
-    // unguarded window closes instead of staying open forever
-    if (readPlaneSidecar(spark, path).isEmpty)
-      writePlaneSidecar(spark, path, numPlanes, dim)
-    index(df, embedding, numPlanes, dim)
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .partitionBy("bucket").parquet(path)
+    if (!SnapshotScan.isSnapshot(spark, path))
+      throw new IllegalArgumentException(
+        s"$path is not a snapshot LSH index (no commit log) — migrate " +
+          "the legacy plain-dir index first with migratePersistedIndex")
+    val ixed = index(df, embedding, numPlanes, dim)
+    var attempts = 0
+    while (attempts < 5) {
+      attempts += 1
+      val (v, np, d) = lshState(spark, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"append: $path carries no plane-family descriptor — " +
+            "rebuild it with writePersistedIndex"))
+      require(np == numPlanes && d == dim,
+        s"append with plane family ($numPlanes, $dim) against $path " +
+          s"built under ($np, $d) — vectors would land in the wrong " +
+          "buckets; use the recorded family or rebuild with " +
+          "writePersistedIndex")
+      val n = Versioned.bucketSpec(spark, path, Some(v)).map(_._2)
+        .getOrElse(throw new IllegalStateException(
+          s"$path latest version declares no bucket layout — rebuild " +
+            "with writePersistedIndex"))
+      if (Versioned.commitIf(ixed, path, "append",
+          lshMeta(numPlanes, dim), v, Some(("bucket", n))).isDefined)
+        return
+    }
+    throw new IllegalStateException(
+      s"append to $path kept racing commits ($attempts attempts) — " +
+        "retry when the writer storm subsides")
+  }
+
+  /** All bucket values within Hamming `radius` of `center` over
+    * `numPlanes` bits — the driver-side ball a persisted probe prunes
+    * with. None when the ball exceeds [[MaxProbeBall]] literals (the
+    * caller falls back to a full-scan bit_count filter — correct,
+    * just unpruned). */
+  private[graft] val MaxProbeBall = 4096
+  private[graft] def hammingBall(center: Long, numPlanes: Int,
+      radius: Int): Option[Seq[Long]] = {
+    val r = math.min(radius, numPlanes)
+    // running binomial with EARLY exit at the cap: C(63, 31) would
+    // overflow a Long, but the loop stops as soon as the cumulative
+    // ball exceeds the (small) cap, long before overflow territory
+    var size = 0L
+    var c = 1L
+    var i = 0
+    while (i <= r && size <= MaxProbeBall) {
+      size += c
+      c = c * (numPlanes - i) / (i + 1)
+      i += 1
+    }
+    if (size > MaxProbeBall) None
+    else Some((0 to r).flatMap(k =>
+      (0 until numPlanes).combinations(k).map(flip =>
+        flip.foldLeft(center)((a, b) => a ^ (1L << b))).toSeq))
   }
 
   def probePersistedIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, embedding: String, id: String, query: Array[Float],
       numPlanes: Int, k: Int, probeHamming: Int = 1): DataFrame = {
-    requirePlaneFamily(spark, path, numPlanes, query.length, "probe")
     val planes = makePlanes(numPlanes, query.length)
     val qBucket = queryBucket(planes, query)
     val q = lit(query.map(_.toDouble))
-    spark.read.parquet(path)
-      .where(bit_count(col("bucket").bitwiseXOR(lit(qBucket))) <= probeHamming)
+    val rows =
+      if (SnapshotScan.isSnapshot(spark, path)) {
+        val (v, np, d) = lshState(spark, path).getOrElse(
+          throw new IllegalArgumentException(
+            s"probe: $path carries no plane-family descriptor — " +
+              "rebuild it with writePersistedIndex"))
+        require(np == numPlanes && d == query.length,
+          s"probe with plane family ($numPlanes, ${query.length}) " +
+            s"against $path built under ($np, $d) — the wrong buckets " +
+            "would be searched; use the recorded family")
+        val frame = SnapshotScan.frameAt(spark, path, v)
+        // the Hamming ball, enumerated driver-side: the isin on the
+        // bucket column is what BUCKET-PRUNES the snapshot scan (a
+        // bit_count expression cannot — it is not an equality/IN
+        // constraint the layout hash can evaluate at plan time)
+        hammingBall(qBucket, numPlanes, probeHamming) match {
+          case Some(ball) => frame.where(col("bucket").isin(ball: _*))
+          case None => frame.where(
+            bit_count(col("bucket").bitwiseXOR(lit(qBucket)))
+              <= probeHamming)
+        }
+      } else {
+        // legacy plain dir: the bit_count predicate on the PARTITION
+        // column prunes bucket= dirs at planning time, as before
+        requirePlaneFamily(spark, path, numPlanes, query.length, "probe")
+        spark.read.parquet(path)
+          .where(bit_count(col("bucket").bitwiseXOR(lit(qBucket)))
+            <= probeHamming)
+      }
+    rows
       .withColumn("score", CosineSimilarity(col(embedding), q))
       .select(col(id), round(col("score"), 4).as("score"))
       .orderBy(col("score").desc, col(id).asc)
@@ -252,11 +386,11 @@ object Similarity {
       nlist: Int): DataFrame =
     ivfAssign(df, embedding, buildCodebook(df, embedding, id, nlist))
 
-  def ivfTopK(indexed: DataFrame, embedding: String, id: String,
-      query: Array[Float], codebook: IvfCodebook, nprobe: Int,
-      k: Int): DataFrame = {
-    // nprobe nearest centroid lists for the query, computed driver-side
-    // against the SAME codebook the index was assigned with
+  /** The `nprobe` nearest centroid cells for a query, computed
+    * driver-side against the codebook the index was assigned with —
+    * the cell set a probe prunes its scan to. */
+  private[graft] def probeCells(codebook: IvfCodebook, query: Array[Float],
+      nprobe: Int): Array[Long] = {
     def cos(a: Array[Float], b: Array[Double]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
@@ -266,9 +400,15 @@ object Similarity {
       }
       if (na == 0 || nb == 0) -2.0 else d / (math.sqrt(na) * math.sqrt(nb))
     }
-    val probeLists = codebook.entries
+    codebook.entries
       .sortBy { case (cid, c) => (-cos(query, c), cid) }
       .take(nprobe).map(_._1)
+  }
+
+  def ivfTopK(indexed: DataFrame, embedding: String, id: String,
+      query: Array[Float], codebook: IvfCodebook, nprobe: Int,
+      k: Int): DataFrame = {
+    val probeLists = probeCells(codebook, query, nprobe)
     val q = lit(query.map(_.toDouble))
     indexed.where(col("list_id").isin(probeLists.toSeq: _*))
       .withColumn("score", CosineSimilarity(col(embedding), q))
@@ -305,25 +445,147 @@ object Similarity {
         (1.0 - meanSim) >= 2.0 * math.max(1.0 - build.meanSim, 0.01)
   }
 
-  private def statsPath(path: String) =
-    new org.apache.hadoop.fs.Path(path, "_ivf_stats.json")
+  // ---------- persisted IVF: the Versioned snapshot layout ----------
+  //
+  // The index is a snapshot table BUCKETED by list_id (one bucket per
+  // codebook cell), so builds/appends/retrains are manifest COMMITS —
+  // CAS-guarded, time-travelable, vacuumable, multi-writer-safe — and
+  // a probe's `list_id isin (cells)` predicate bucket-prunes the scan
+  // to ~nprobe/nlist of the files at PLAN time (BucketPruning; the
+  // same machinery the dd10 band index rides). The full index
+  // descriptor rides each commit:
+  //
+  //  - `ivf_codebook` — name of the codebook sidecar file (root-level
+  //    `_ivf_codebook-<fp>.txt`, content-addressed by fingerprint;
+  //    written BEFORE the commit that references it, so a crash leaves
+  //    an orphan file, never a referenced-but-missing codebook; vacuum
+  //    sweeps only data/dv/bloom families, so the file outlives any
+  //    retention). The codebook is nlist x dim doubles — driver-sized
+  //    by construction (the assignment bakes it into the plan as a
+  //    literal), so a flat file is the right representation.
+  //  - `ivf_fp` — the codebook fingerprint. Probes/appends carrying a
+  //    caller codebook verify against it: a stale codebook (the index
+  //    was retrained underneath) REFUSES instead of silently probing
+  //    cells the rows are no longer assigned to.
+  //  - `ivf_baseline` — the drift baseline (vectors/meanSim). Riding
+  //    the manifest means a re-seed is crash-atomic with the append
+  //    that justified it (the r15 sidecar could land without its
+  //    append, or vice versa).
+  //
+  // Reading (version, meta, codebook, data) all off ONE pinned version
+  // makes retrain-in-place legal: the overwrite commit IS the swap,
+  // and a live probe either resolved the old version (reads old cells,
+  // old codebook — consistent) or the new one. The plain-dir layout
+  // this replaces (r15) could not retrain in place for exactly that
+  // reason.
 
-  private[graft] def writeIvfStats(spark: org.apache.spark.sql.SparkSession,
-      path: String, s: IvfStats): Unit =
-    Sidecars.write(spark, statsPath(path),
-      s"""{"vectors":${s.vectors},"mean_sim":${s.meanSim}}""")
+  private[graft] val IvfCodebookKey = "ivf_codebook"
+  private[graft] val IvfFpKey = "ivf_fp"
+  private[graft] val IvfBaselineKey = "ivf_baseline"
 
-  /** Build-time assignment baseline of a persisted IVF index; None for
-    * a pre-stats index directory (older builds); a truncated/corrupt
-    * sidecar fails with a named error. */
-  def readIvfStats(spark: org.apache.spark.sql.SparkSession,
-      path: String): Option[IvfStats] = {
-    val p = statsPath(path)
-    Sidecars.read(spark, p).map { raw =>
-      val m = Sidecars.parseFlatJson(raw, p)
-      IvfStats(m("vectors").toLong, m("mean_sim").toDouble)
+  /** Canonical text form of a codebook: one `id:v1,v2,...` line per
+    * centroid. `java.lang.Double.toString` round-trips exactly, so
+    * decode(encode(cb)) == cb bit-for-bit. */
+  private def encodeCodebook(cb: IvfCodebook): String =
+    cb.entries.map { case (cid, v) =>
+      s"$cid:" + v.map(java.lang.Double.toString).mkString(",")
+    }.mkString("\n")
+
+  private def decodeCodebook(s: String): IvfCodebook =
+    IvfCodebook(s.split('\n').filter(_.nonEmpty).map { line =>
+      val cut = line.indexOf(':')
+      require(cut > 0, s"corrupt codebook line: ${line.take(40)}")
+      (line.substring(0, cut).toLong,
+        line.substring(cut + 1).split(',').map(_.toDouble))
+    })
+
+  /** Content fingerprint of a codebook (MD5 of the canonical encoding)
+    * — the identity appends and probes are checked against. */
+  def fingerprint(cb: IvfCodebook): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(encodeCodebook(cb).getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    d.map(b => f"$b%02x").mkString
+  }
+
+  private def codebookFileOf(fp: String) = s"_ivf_codebook-$fp.txt"
+
+  /** Write the codebook sidecar (content-addressed — rewrites are
+    * byte-identical, so concurrent writers of the same codebook are
+    * benign) and return its file name for the commit meta. */
+  private def writeCodebookSidecar(spark: org.apache.spark.sql.SparkSession,
+      path: String, cb: IvfCodebook, fp: String): String = {
+    val name = codebookFileOf(fp)
+    Sidecars.write(spark,
+      new org.apache.hadoop.fs.Path(path, name), encodeCodebook(cb))
+    name
+  }
+
+  private def ivfMeta(cbFile: String, fp: String,
+      baseline: IvfStats): Map[String, String] = Map(
+    IvfCodebookKey -> cbFile,
+    IvfFpKey -> fp,
+    IvfBaselineKey ->
+      s"${baseline.vectors}/${java.lang.Double.toString(baseline.meanSim)}")
+
+  /** Everything a reader needs about a persisted IVF index, resolved
+    * from ONE pinned version: `version` is the data snapshot probes
+    * must scan, `codebook`/`fingerprint` the assignment family,
+    * `baseline` the drift reference, `buckets` the declared layout
+    * appends must keep. */
+  final case class IvfIndexState(version: Long, codebook: IvfCodebook,
+      fingerprint: String, codebookFile: String, baseline: IvfStats,
+      buckets: Int)
+
+  /** Resolve the current state of a persisted IVF index: pin the
+    * latest version, then scan manifest meta newest-first from it for
+    * the IVF descriptor (foreign commits — OPTIMIZE, VACUUM's
+    * checkpoint rewrites — carry none and are skipped over, exactly
+    * like the band index's batch ledger). None when the path holds no
+    * snapshot table or no version carries a descriptor. */
+  def loadPersistedIvf(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[IvfIndexState] = {
+    val vs = Versioned.versions(spark, path).sorted
+    if (vs.isEmpty) return None
+    val latest = vs.max
+    vs.reverseIterator.flatMap { v =>
+      val m = Versioned.readMeta(spark, path, v)
+      for {
+        f <- m.get(IvfCodebookKey)
+        fp <- m.get(IvfFpKey)
+        b <- m.get(IvfBaselineKey)
+      } yield (f, fp, b)
+    }.nextOption().map { case (f, fp, b) =>
+      val p = new org.apache.hadoop.fs.Path(path, f)
+      val raw = Sidecars.read(spark, p).getOrElse(
+        throw new IllegalStateException(
+          s"IVF index $path references codebook sidecar $f which does " +
+            "not exist — the sidecar was deleted out-of-band; rebuild " +
+            "or retrain the index"))
+      val cut = b.lastIndexOf('/')
+      IvfIndexState(latest, decodeCodebook(raw), fp, f,
+        IvfStats(b.substring(0, cut).toLong, b.substring(cut + 1).toDouble),
+        Versioned.bucketSpec(spark, path, Some(latest)).map(_._2)
+          .getOrElse(0))
     }
   }
+
+  private def requireIvfState(spark: org.apache.spark.sql.SparkSession,
+      path: String, what: String): IvfIndexState =
+    loadPersistedIvf(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$what: $path is not a snapshot IVF index (no committed " +
+          "version carries an IVF descriptor) — build it with " +
+          "writePersistedIvf, or migrate a legacy plain-dir index with " +
+          "migratePersistedIvf"))
+
+  private def requireFingerprint(st: IvfIndexState, cb: IvfCodebook,
+      path: String, what: String): Unit =
+    require(st.fingerprint == fingerprint(cb),
+      s"$what codebook does not match $path (index fingerprint " +
+        s"${st.fingerprint}) — the index was built or retrained under " +
+        "a different codebook; resolve the committed one with " +
+        "loadPersistedIvf (or probe without a codebook argument)")
 
   /** Mean assigned-centroid cosine of `df` under `cents` — ONE narrow
     * scan + a scalar aggregate. */
@@ -346,101 +608,256 @@ object Similarity {
       codebook: IvfCodebook): DataFrame =
     assignWithSim(df, embedding, codebook.entries)
 
-  /** Persist the IVF index PARTITIONED BY list_id — nlist directories,
-    * each holding one cell's vectors. [[ivfTopK]] over a read of this
-    * layout prunes to its nprobe cells at DIRECTORY level (the `isin`
-    * on the partition column is a partition filter), so a probe lists
-    * and reads nprobe/nlist of the corpus — the on-disk counterpart of
-    * the in-memory index, same story as the LSH variant but with
-    * data-adaptive cells. Also records the build-time assignment
-    * quality (`_ivf_stats.json`) as [[appendToPersistedIvf]]'s drift
-    * baseline — one extra narrow scan, paid once per corpus on the
-    * build path. Returns that baseline. */
+  /** Persist the IVF index as a snapshot table BUCKETED by list_id —
+    * one bucket per codebook cell, committed with the full IVF
+    * descriptor (codebook sidecar reference, fingerprint, drift
+    * baseline) in the manifest meta. [[ivfTopK]] over the catalog scan
+    * of this layout prunes its `isin(cells)` predicate to the probed
+    * cells' buckets at PLAN time, so a probe lists and reads
+    * ~nprobe/nlist of the corpus — the on-disk counterpart of the
+    * in-memory index. (Cells share a bucket when their ids collide
+    * under the layout hash — a small constant read amplification the
+    * pushed-down parquet filter absorbs; the PRUNED fraction is what
+    * scales.) ONE assignment pass: the checkpointed frame feeds both
+    * the bucketed write and the baseline aggregate. Returns the
+    * baseline. Legacy plain-dir files under `path` (a pre-snapshot
+    * build) are left in place — invisible to snapshot readers; delete
+    * them once the new version is verified (rebucketBandIndex's
+    * migration wording). */
   def writePersistedIvf(df: DataFrame, embedding: String,
       codebook: IvfCodebook, path: String): IvfStats = {
-    ivfAssign(df, embedding, codebook)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("list_id").parquet(path)
-    val stats = assignmentQuality(df, embedding, codebook.entries)
-    writeIvfStats(df.sparkSession, path, stats)
+    require(codebook.entries.nonEmpty, "empty codebook")
+    val spark = df.sparkSession
+    val assigned = ivfAssignWithSim(df, embedding, codebook)
+      .localCheckpoint(true)
+    val stats = qualityOf(assigned)
+    val fp = fingerprint(codebook)
+    // sidecar BEFORE the commit that references it: a crash in between
+    // leaves an orphan file, never a referenced-but-missing codebook
+    val cbFile = writeCodebookSidecar(spark, path, codebook, fp)
+    Versioned.commitBucketed(assigned.drop(AssignSimCol), path, "list_id",
+      numBuckets = codebook.entries.length, mode = "overwrite",
+      meta = ivfMeta(cbFile, fp, stats))
     stats
   }
 
   /** Append new vectors to a persisted IVF index: assign against the
-    * FROZEN codebook (the one the index was built with — mixing
-    * codebooks would route probes to cells the rows aren't in) and
-    * append into the existing `list_id=` cell dirs. A production ANN
-    * corpus grows; rebuilding nlist cells per arriving chunk is the
-    * thing this avoids — the append touches only the chunk, and
-    * dir-pruned probes see old and new rows alike. Single-writer like
-    * the parquet LSH index (plain-directory layout, no commit
-    * protocol); the returned [[IvfAppend]] carries the drift check
-    * against the build baseline, so the caller learns when the frozen
-    * codebook has gone stale instead of silently degrading recall. */
+    * FROZEN codebook (the one the index was committed with — verified
+    * by fingerprint; mixing codebooks would route probes to cells the
+    * rows aren't in) and commit as the next snapshot version under the
+    * declared bucket layout. A production ANN corpus grows; rebuilding
+    * nlist cells per arriving chunk is the thing this avoids — the
+    * append touches only the chunk, and bucket-pruned probes see old
+    * and new rows alike. The append rides `commitBucketed`'s CAS, so
+    * concurrent appenders interleave safely and a RETRAIN landing
+    * mid-append surfaces as `BucketLayoutChanged`/fingerprint refusal
+    * instead of silent mis-routing. The returned [[IvfAppend]] carries
+    * the drift check against the committed baseline; a re-seeded
+    * baseline (zero-vector build) rides THIS append's manifest meta —
+    * crash-atomic with the rows that justified it. `extraMeta` rides
+    * the same commit (the streaming ingest's batch ledger). */
   def appendToPersistedIvf(df: DataFrame, embedding: String,
-      codebook: IvfCodebook, path: String): IvfAppend = {
-    val spark = df.sparkSession
-    val stored = readIvfStats(spark, path).getOrElse(
-      throw new IllegalArgumentException(
-        s"$path has no _ivf_stats.json build baseline — build it with " +
-          "writePersistedIvf first (appending to an index whose " +
-          "codebook is unknown would corrupt cell routing)"))
-    // ONE assignment pass (the dominant per-row compute), materialized
-    // chunk-local: the write and the quality aggregate both read it
-    val assigned = ivfAssignWithSim(df, embedding, codebook)
-      .localCheckpoint(true)
-    assigned.drop(AssignSimCol)
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .partitionBy("list_id").parquet(path)
-    val q = qualityOf(assigned)
-    // a zero-vector baseline (empty build corpus) carries no evidence:
-    // re-seed it from the first non-empty cohort so the drift signal
-    // arms instead of staying silent forever
-    val build =
-      if (stored.vectors == 0 && q.vectors > 0) {
-        writeIvfStats(spark, path, q)
-        q
-      } else stored
-    val res = IvfAppend(q.vectors, q.meanSim, build)
-    if (res.retrainRecommended)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"IVF index $path: appended cohort mean assignment sim " +
-          f"${q.meanSim}%.4f vs build baseline ${build.meanSim}%.4f — " +
-          "the frozen codebook no longer fits the arriving " +
-          "distribution; rebuild (retrain) recommended")
-    res
+      codebook: IvfCodebook, path: String,
+      extraMeta: Map[String, String] = Map.empty): IvfAppend = {
+    val st = requireIvfState(df.sparkSession, path, "append")
+    requireFingerprint(st, codebook, path, "append")
+    appendUnderState(df, embedding, path, st, extraMeta,
+      onRetrainRace = st2 =>
+        // a RETRAIN landed mid-append: the caller's codebook is stale
+        // now — refuse with the standard message (re-running the
+        // append under the reloaded codebook is the caller's call)
+        requireFingerprint(st2, codebook, path, "append"))
   }
 
-  /** Top-k probe against a persisted IVF index (directory-pruned). */
+  /** [[appendToPersistedIvf]] assigning under the COMMITTED codebook
+    * (resolved from the index itself) — the streaming-ingest form: the
+    * stream never holds a codebook that can go stale, so a RETRAIN
+    * landing mid-stream hands off automatically — the next assignment
+    * resolves the retrained codebook from the commit it rode in on. */
+  private[graft] def appendResolvedToPersistedIvf(df: DataFrame,
+      embedding: String, path: String,
+      extraMeta: Map[String, String]): IvfAppend = {
+    val st = requireIvfState(df.sparkSession, path, "append")
+    appendUnderState(df, embedding, path, st, extraMeta,
+      onRetrainRace = _ => ())
+  }
+
+  /** The append commit loop. The commit is CAS'd on the EXACT version
+    * the codebook was verified against (`commitIf`, not a plain
+    * append): a retrain interleaving between assignment and commit
+    * would otherwise land rows assigned under the OLD codebook onto
+    * the retrained snapshot — silently mis-routed (same-nlist retrains
+    * don't even change the bucket layout, so no other guard fires).
+    * On conflict: an interleaved APPEND (same fingerprint) just
+    * rebases — the staged assignment is still valid; an interleaved
+    * RETRAIN re-assigns under the new codebook (after `onRetrainRace`,
+    * which for caller-held codebooks refuses instead). */
+  private def appendUnderState(df: DataFrame, embedding: String,
+      path: String, st0: IvfIndexState, extraMeta: Map[String, String],
+      onRetrainRace: IvfIndexState => Unit): IvfAppend = {
+    val spark = df.sparkSession
+    var st = st0
+    // ONE assignment pass (the dominant per-row compute), materialized
+    // chunk-local: the write and the quality aggregate both read it,
+    // and a lost CAS re-stages the same blocks without recomputing
+    var assigned = ivfAssignWithSim(df, embedding, st.codebook)
+      .localCheckpoint(true)
+    var q = qualityOf(assigned)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (attempts > 5) throw new IllegalStateException(
+        s"append to $path kept racing commits (${attempts - 1} " +
+          "attempts) — retry when the writer storm subsides")
+      require(st.buckets > 0,
+        s"$path latest version declares no bucket layout — a foreign " +
+          "unbucketed commit landed on the index; retrain it " +
+          "(retrainPersistedIvf) to restore the layout")
+      // a zero-vector baseline (empty build corpus) carries no
+      // evidence: re-seed it from the first non-empty cohort so the
+      // drift signal arms instead of staying silent forever — the
+      // re-seed rides THIS commit's meta, crash-atomic with its rows
+      val build =
+        if (st.baseline.vectors == 0 && q.vectors > 0) q else st.baseline
+      if (Versioned.commitIf(assigned.drop(AssignSimCol), path, "append",
+          ivfMeta(st.codebookFile, st.fingerprint, build) ++ extraMeta,
+          st.version, Some(("list_id", st.buckets))).isDefined) {
+        val res = IvfAppend(q.vectors, q.meanSim, build)
+        if (res.retrainRecommended)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"IVF index $path: appended cohort mean assignment sim " +
+              f"${q.meanSim}%.4f vs build baseline ${build.meanSim}%.4f" +
+              " — the frozen codebook no longer fits the arriving " +
+              "distribution; rebuild (retrain) recommended")
+        return res
+      }
+      val st2 = requireIvfState(spark, path, "append")
+      if (st2.fingerprint != st.fingerprint) {
+        onRetrainRace(st2) // caller-held codebooks refuse here
+        assigned = ivfAssignWithSim(df, embedding, st2.codebook)
+          .localCheckpoint(true)
+        q = qualityOf(assigned)
+      }
+      st = st2
+    }
+    sys.error("unreachable: the CAS loop returns or throws")
+  }
+
+  /** Seed an EMPTY snapshot IVF index iff none exists — create-mode
+    * CAS, so of two racing seeders exactly one commits version 0 and
+    * the loser proceeds against it (the band index's ensureIndex
+    * shape). `carrier` supplies the row schema; its rows are NOT
+    * written. The zero-vector baseline it commits never justifies a
+    * drift verdict — the first non-empty append re-seeds it. */
+  private[graft] def ensurePersistedIvf(carrier: DataFrame,
+      embedding: String, codebook: IvfCodebook, path: String): Unit = {
+    val spark = carrier.sparkSession
+    if (Versioned.versions(spark, path).nonEmpty) return
+    val fp = fingerprint(codebook)
+    val cbFile = writeCodebookSidecar(spark, path, codebook, fp)
+    try Versioned.commitBucketed(
+      ivfAssign(carrier.limit(0), embedding, codebook), path, "list_id",
+      codebook.entries.length, "create",
+      ivfMeta(cbFile, fp, IvfStats(0, 0.0)))
+    catch { case _: Versioned.CreateConflict => () }
+  }
+
+  /** Top-k probe against a persisted IVF index, resolving the
+    * COMMITTED codebook: pin the latest version, read its descriptor,
+    * scan exactly that version — so a retrain landing concurrently is
+    * invisible (old snapshot, old codebook: consistent) and the NEXT
+    * probe sees the new index atomically. The commit is the swap;
+    * probes never need a side-channel handoff. */
+  def probePersistedIvf(spark: org.apache.spark.sql.SparkSession,
+      path: String, embedding: String, id: String, query: Array[Float],
+      nprobe: Int, k: Int): DataFrame = {
+    val st = requireIvfState(spark, path, "probe")
+    ivfTopK(SnapshotScan.frameAt(spark, path, st.version), embedding, id,
+      query, st.codebook, nprobe, k)
+  }
+
+  /** [[probePersistedIvf]] with a caller-held codebook — verified by
+    * fingerprint against the committed descriptor, so a probe holding
+    * a codebook the index was RETRAINED away from refuses loudly
+    * instead of silently scanning the wrong cells. Legacy plain-dir
+    * indexes (no commit log) are probed as before, on the caller's
+    * word. */
   def probePersistedIvf(spark: org.apache.spark.sql.SparkSession,
       path: String, embedding: String, id: String, query: Array[Float],
       codebook: IvfCodebook, nprobe: Int, k: Int): DataFrame =
-    ivfTopK(spark.read.parquet(path), embedding, id, query, codebook,
-      nprobe, k)
+    if (SnapshotScan.isSnapshot(spark, path)) {
+      val st = requireIvfState(spark, path, "probe")
+      requireFingerprint(st, codebook, path, "probe")
+      ivfTopK(SnapshotScan.frameAt(spark, path, st.version), embedding,
+        id, query, codebook, nprobe, k)
+    } else
+      ivfTopK(spark.read.parquet(path), embedding, id, query, codebook,
+        nprobe, k)
 
-  /** Retrain a drifted persisted IVF index: build a FRESH codebook from
-    * everything the index now holds (build rows + every appended
-    * cohort — the union is the current distribution, which is exactly
-    * what drifted away from the old codebook) and rewrite into
-    * `dstPath` — the drift loop's closing move once
-    * `retrainRecommended` fires (the [[appendToPersistedIvf]] /
-    * AnnIngest WARN), mirroring `rebucketBandIndex` for the band
-    * index. The rewrite lands at a NEW path by design: the plain-dir
-    * parquet layout has no commit protocol, so an in-place overwrite
-    * would race live probes (the band index can migrate in place only
-    * because it IS a snapshot table with CAS commits); the caller
-    * swaps probes to `dstPath` once this returns, then deletes the old
-    * dir. One assignment pass over the index plus the quality scan —
-    * linear in the index, paid only when drift says so. Returns the
-    * new codebook and its baseline. The multi-batch `batch=` layout a
-    * streaming ingest leaves behind reads through the same partition
-    * discovery, so stream-grown indexes retrain identically. */
+  /** Retrain a drifted persisted IVF index IN PLACE: build a FRESH
+    * codebook from everything the index now holds (build rows + every
+    * appended cohort — the union is the current distribution, which is
+    * exactly what drifted away from the old codebook), re-assign, and
+    * commit the rewrite as the next snapshot version — the drift
+    * loop's closing move once `retrainRecommended` fires. In-place is
+    * legal precisely because the index is a snapshot table now: the
+    * overwrite is a CAS commit, live probes pinned to the old version
+    * keep reading its files (until VACUUM), and the next probe
+    * resolves the new codebook and data from one version — the commit
+    * IS the retrain→probe handoff. An append interleaving with the
+    * rewrite wins or loses the CAS cleanly: on conflict the retrain
+    * re-reads the new latest (which contains the interleaved rows) and
+    * retries, like OPTIMIZE. One assignment pass over the index plus
+    * the quality aggregate — linear in the index, paid only when drift
+    * says so. Returns the new codebook and its baseline. */
   def retrainPersistedIvf(spark: org.apache.spark.sql.SparkSession,
+      path: String, embedding: String, id: String, nlist: Int,
+      refineIters: Int = 0): (IvfCodebook, IvfStats) = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (attempts > 5) throw new IllegalStateException(
+        s"retrain of $path kept racing appends (${attempts - 1} " +
+          "attempts) — retry when the ingest storm subsides")
+      val vs = Versioned.versions(spark, path)
+      require(vs.nonEmpty, s"no committed version in $path — build the " +
+        "index with writePersistedIvf (or migrate a legacy dir with " +
+        "migratePersistedIvf) before retraining")
+      val base = vs.max
+      val rows = SnapshotScan.frameAt(spark, path, base)
+        .select(col(id), col(embedding))
+      val cb = buildCodebook(rows, embedding, id, nlist, refineIters)
+      val assigned = ivfAssignWithSim(rows, embedding, cb)
+        .localCheckpoint(true)
+      val stats = qualityOf(assigned)
+      val fp = fingerprint(cb)
+      val cbFile = writeCodebookSidecar(spark, path, cb, fp)
+      if (Versioned.commitIf(assigned.drop(AssignSimCol), path,
+          "overwrite", ivfMeta(cbFile, fp, stats), base,
+          Some(("list_id", nlist))).isDefined)
+        return (cb, stats)
+      // lost the CAS to an interleaved append: its rows must be in the
+      // retrained index — re-read and retry (the orphan codebook
+      // sidecar is content-addressed and tiny; a later retrain to the
+      // same codebook would reuse it)
+    }
+    sys.error("unreachable: the CAS loop returns or throws")
+  }
+
+  /** Migrate a LEGACY plain-dir IVF index (`list_id=` partition dirs,
+    * or the pre-r16 streaming `batch=<id>/list_id=` layout) — or any
+    * readable vector parquet — into the snapshot layout at `dstPath`,
+    * retraining a fresh codebook over everything it holds. The
+    * plain-dir source has no commit protocol, so the migration is
+    * inherently single-writer on the source side and must land at a
+    * NEW path (readers swap once it returns); every later retrain then
+    * takes the in-place CAS path above. */
+  def migratePersistedIvf(spark: org.apache.spark.sql.SparkSession,
       srcPath: String, dstPath: String, embedding: String, id: String,
       nlist: Int, refineIters: Int = 0): (IvfCodebook, IvfStats) = {
     require(srcPath != dstPath,
-      "retrain must land at a NEW path — an in-place overwrite of a " +
-        "plain-dir index would race live probes (see scaladoc)")
+      "migration must land at a NEW path — the plain-dir source has " +
+        "no commit protocol to swap in place under live probes")
     val rows = spark.read.parquet(srcPath)
       .select(col(id), col(embedding)) // drop list_id/batch partitions
     val cb = buildCodebook(rows, embedding, id, nlist, refineIters)

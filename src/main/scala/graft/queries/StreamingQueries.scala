@@ -826,19 +826,22 @@ object StreamingQueries {
 
     // ---- ST18 streaming ANN ingest — the similarity-search family's
     // incremental loop (graft.streaming.AnnIngest): an embeddings
-    // snapshot table grows by commits; each micro-batch is assigned
-    // against a codebook FROZEN before the stream started and written
-    // to its own batch=<id>/list_id=<cell> partition dirs, so probes
-    // dir-prune on list_id across all batches and the index grows at
-    // chunk cost. No ledger: assignment depends only on the frozen
-    // codebook, so a replayed batch is a byte-identical rewrite of its
-    // own dir (idempotence by construction — contrast st17, whose
-    // probe depends on index state and needs the commit-meta ledger).
-    // The declared result is a FULL probe (nprobe = nlist) of the
-    // streamed-in index, which degrades IVF to exact search: it must
-    // equal brute-force cosine top-10 over everything ingested —
-    // sim1's DuckDB oracle verbatim. Per-batch drift stats ride the
-    // same _ivf_stats.json baseline as the batch append path.
+    // snapshot table grows by commits; the IVF index is ITSELF a
+    // snapshot table bucketed by list_id (the r16 layout), and each
+    // micro-batch is one CAS-guarded append assigned under the index's
+    // COMMITTED codebook (seeded from the v0 half before the stream) —
+    // probes bucket-prune on list_id across every batch's rows and the
+    // index grows at chunk cost. Exactly-once rides the annbatch
+    // commit-meta ledger (st17's discipline — a snapshot append
+    // replayed blindly would duplicate vectors), and retrain handoff
+    // is by construction: batches and the final probe both resolve the
+    // codebook from the index's own commits, so an in-place retrain
+    // needs no side channel. The declared result is a FULL probe
+    // (nprobe = nlist) of the streamed-in index via the no-codebook
+    // (descriptor-resolving) probe, which degrades IVF to exact
+    // search: it must equal brute-force cosine top-10 over everything
+    // ingested — sim1's DuckDB oracle verbatim. Per-batch drift stats
+    // ride the commit-meta baseline, crash-atomic with their append.
     "st18_streaming_ann_ingest" -> QueryDef(
       (s, dir) => {
         val c = streamSession(s)
@@ -850,9 +853,10 @@ object StreamingQueries {
         val corpus = emb.where($"vec_id" =!= 0)
         val q = emb.where($"vec_id" === 0).select($"embedding")
           .head().getSeq[Float](0).toArray
-        // frozen BEFORE the stream: seeds come from the v0 half only —
-        // the full probe is exact regardless, which is the point of
-        // declaring the full-probe result rather than a recall number
+        // the SEED codebook, from the v0 half only — committed into
+        // the index at creation; the full probe is exact regardless,
+        // which is the point of declaring the full-probe result
+        // rather than a recall number
         val cb = graft.operators.Similarity.buildCodebook(
           corpus.where($"vec_id" % 2 === 0), "embedding", "vec_id",
           nlist = 16)
@@ -873,7 +877,7 @@ object StreamingQueries {
           sq.processAllAvailable() // batch 2: the (v0, v1] delta
         } finally sq.stop()
         graft.operators.Similarity.probePersistedIvf(c, base + "/ivf",
-          "embedding", "vec_id", q, cb, nprobe = 16, k = 10)
+          "embedding", "vec_id", q, nprobe = 16, k = 10)
       },
       Some(SimilarityQueries.bruteForceSql))
   )

@@ -212,6 +212,25 @@ private[sources] final class BucketKeyedPartition(bucket: Int,
     inner.preferredLocations()
 }
 
+/** Bytes a graft DSv2 scan PLANNED to read, summed from its input
+  * partitions' file lengths — the v2 counterpart of the v1 scan's
+  * `filesSize` metric (which the ParquetScan delegate does not
+  * surface), so the rehearsal tools can attribute bucket pruning in
+  * bytes on snapshot-table probes. */
+private[graft] object ScanBytes {
+  def plannedBytes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Option[Long] = p match {
+    case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        if b.scan.getClass.getName.startsWith("graft.") =>
+      Some(b.inputPartitions.map {
+        case bk: BucketKeyedPartition => bk.inner.files.map(_.length).sum
+        case fp: FilePartition => fp.files.map(_.length).sum
+        case _ => 0L
+      }.sum)
+    case _ => None
+  }
+}
+
 private[sources] final class UnwrapReaderFactory(
     inner: PartitionReaderFactory) extends PartitionReaderFactory {
   private def unwrap(p: InputPartition): FilePartition =

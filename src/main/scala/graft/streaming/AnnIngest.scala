@@ -1,107 +1,141 @@
 package graft.streaming
 
-import graft.operators.Similarity
+import graft.operators.{Similarity, Versioned}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Streaming ANN ingest: grow a persisted IVF index from a change
   * feed ([EXT] — the incremental-ingest loop of the similarity-search
-  * family, st17's sibling). Each micro-batch is assigned against a
-  * FROZEN codebook and written to its own partition directory
-  * (`<path>/batch=<id>/list_id=<cell>/`), so a probe prunes on
-  * `list_id` across every batch dir exactly as it does on a
-  * build-once index, and the index grows at chunk cost.
+  * family, st17's sibling). The index is a Versioned snapshot table
+  * bucketed by `list_id` (graft.operators.Similarity's r16 layout), so
+  * each micro-batch is one CAS-guarded manifest COMMIT: the batch is
+  * assigned against the index's COMMITTED codebook and appended under
+  * the declared bucket layout — probes bucket-prune on `list_id`
+  * across every batch's rows exactly as on a build-once index, and the
+  * index grows at chunk cost.
   *
-  * Exactly-once needs NO ledger here — the deliberate contrast with
-  * [[NearDedup]]: a near-dedup batch's PROBE depends on the index
-  * state, so a replay after the batch's own append must be detected
-  * (the commit-meta ledger); an IVF assignment depends ONLY on the
-  * frozen codebook, so recomputing a batch is deterministic whatever
-  * the index holds, and the per-batch-dir overwrite makes a replay a
-  * byte-identical rewrite. Idempotence by construction beats
-  * idempotence by protocol when the computation permits it.
+  * Exactly-once across restarts WITHOUT trusting Spark's checkpoint
+  * (the NearDedup discipline): each append carries `annbatch=<id>` in
+  * its manifest meta — committed atomically WITH the rows — and a
+  * replayed batch (checkpoint lost after the sink ran) finds its id
+  * recorded and skips, where a snapshot append replayed blindly would
+  * DUPLICATE the batch's vectors. (The pre-r16 plain-dir layout was
+  * idempotent by construction — per-batch dir overwrites — but paid
+  * for it with no commit protocol at all: no concurrent writers, no
+  * in-place retrain, mixed-layout read failures. The ledger is the
+  * price of the snapshot layout's multi-writer safety, and it is the
+  * same ledger st17 already proved.) A root-level `_annbatch` mirror
+  * backstops the manifest against vacuum erasure, exactly like
+  * NearDedup's (see [[BatchMirror]]).
   *
-  * Drift: the first non-empty batch seeds the `_ivf_stats.json`
-  * baseline; every batch's mean assigned-centroid cosine is compared
-  * against it and `retrainRecommended` (the [[Similarity.IvfAppend]]
-  * rule) is logged at WARN — the signal that the frozen codebook has
-  * stopped describing the arriving distribution and a rebuild is due.
+  * Retrain handoff is BY CONSTRUCTION: batches assign under the
+  * codebook resolved from the index's own latest commit, and the
+  * append is CAS'd on that exact version, so a retrain landing
+  * mid-stream either precedes the batch (which then assigns under the
+  * NEW codebook) or conflicts the CAS (the batch re-resolves and
+  * re-assigns). The caller's codebook only SEEDS a missing index; it
+  * is never trusted afterwards.
   *
-  * The stream's `batch=/list_id=` layout and
-  * [[Similarity.writePersistedIvf]]'s root-level `list_id=` layout
-  * cannot share a directory — parquet partition discovery refuses
-  * leaf files at conflicting depths, so EVERY read of a mixed dir
-  * would fail. The sink refuses a build-once-layout path up front;
-  * migrate an existing index into a stream-fed one with
-  * [[Similarity.retrainPersistedIvf]] to a fresh path and point the
+  * Drift: the seed commits a zero-vector baseline (which never
+  * justifies a verdict); the first non-empty batch re-seeds it
+  * crash-atomically in its own commit meta, and every batch's mean
+  * assigned-centroid cosine is compared against it —
+  * `retrainRecommended` (the [[Similarity.IvfAppend]] rule) is logged
+  * at WARN, the signal to run `Similarity.retrainPersistedIvf` (now
+  * in-place; the stream picks the new codebook up automatically).
+  *
+  * A LEGACY pre-r16 dir (`batch=<id>/list_id=` stream layout or a
+  * root-level `list_id=` plain build, no commit log) refuses up front:
+  * committing a snapshot over it would permanently shadow every legacy
+  * vector from the catalog read. Migrate with
+  * [[Similarity.migratePersistedIvf]] to a fresh path and point the
   * stream there.
   */
 object AnnIngest {
 
-  /** Refuse a root-level `list_id=` (build-once) layout before the
-    * first byte lands — a mixed dir is unreadable with no write-time
-    * error otherwise. One listing per batch (object-store-cheap). */
-  private def requireBatchLayout(spark: org.apache.spark.sql.SparkSession,
+  /** Manifest meta key carrying the last applied foreachBatch id. */
+  val BatchKey = "annbatch"
+
+  private def mirrorFile(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_annbatch")
+
+  /** Highest batch id recorded in the index's commit ledger (manifest
+    * meta, newest-first — foreign commits without the key are skipped
+    * over) or its vacuum-proof mirror, whichever is higher. None when
+    * the stream has never committed. */
+  def lastAppliedBatch(spark: SparkSession, path: String): Option[Long] = {
+    val fromMeta = Versioned.versions(spark, path).sorted
+      .reverseIterator
+      .flatMap(v => Versioned.readMeta(spark, path, v).get(BatchKey))
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .nextOption()
+    val fromFile = BatchMirror.read(spark, mirrorFile(path), path)
+    (fromMeta ++ fromFile).maxOption
+  }
+
+  /** Refuse a legacy plain-dir layout before the first commit lands —
+    * a snapshot committed over it would shadow every legacy vector
+    * with no write-time error. One listing per stream start. */
+  private def requireSnapshotOrEmpty(spark: SparkSession,
       path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).exists(st =>
-        st.isDirectory && st.getPath.getName.startsWith("list_id=")))
-      throw new IllegalStateException(
-        s"$path holds a root-level list_id= layout (writePersistedIvf's " +
-          "build-once shape) — streaming batch= dirs into it would mix " +
-          "partition depths and make every read fail; start the stream " +
-          "on a fresh path (retrainPersistedIvf migrates the existing " +
-          "index into one)")
+    if (!fs.exists(p) ||
+        fs.exists(new org.apache.hadoop.fs.Path(p, Versioned.LogDir)))
+      return
+    val legacy = fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      (st.isDirectory &&
+        (n.startsWith("list_id=") || n.startsWith("batch="))) ||
+        (!st.isDirectory && n.endsWith(".parquet") && !n.startsWith("_") &&
+          !n.startsWith("."))
+    }
+    if (legacy) throw new IllegalStateException(
+      s"$path holds a legacy plain-dir IVF layout (pre-snapshot " +
+        "list_id=/batch= dirs) but no commit log — committing a " +
+        "snapshot over it would shadow every legacy vector; migrate " +
+        "it first with Similarity.migratePersistedIvf to a fresh path " +
+        "and point the stream there")
   }
 
-  /** What one micro-batch did. */
+  /** What one micro-batch did (`appended` = -1 when replayed: nothing
+    * was committed this invocation). */
   case class BatchOutcome(batchId: Long, appended: Long, meanSim: Double,
-      retrainRecommended: Boolean)
+      retrainRecommended: Boolean, replayed: Boolean)
 
   /** Process one micro-batch (the foreachBatch body, callable directly
-    * so specs can drive replay schedules deterministically). */
+    * so specs can drive replay/retrain schedules deterministically). */
   def processBatch(batch: DataFrame, batchId: Long, embedding: String,
-      codebook: Similarity.IvfCodebook, path: String): BatchOutcome = {
+      seedCodebook: Similarity.IvfCodebook, path: String): BatchOutcome = {
     val spark = batch.sparkSession
-    requireBatchLayout(spark, path)
-    // ONE assignment pass (the dominant per-row compute) and ONE read
-    // of the micro-batch source, materialized chunk-local: the dir
-    // write and the drift aggregate both consume it
-    val assigned = Similarity.ivfAssignWithSim(batch, embedding, codebook)
-      .localCheckpoint(true)
-    assigned.drop(Similarity.AssignSimCol)
-      .write.mode("overwrite").partitionBy("list_id")
-      .parquet(s"$path/batch=$batchId")
-    val q = Similarity.qualityOf(assigned)
-    // the first NON-EMPTY cohort seeds the baseline — the distribution
-    // at stream start; a replay rewrites the same value. An empty
-    // batch must never seed: IvfStats(0, 0.0) would silence
-    // retrainRecommended for the stream's lifetime, and a degenerate
-    // baseline left by an older writer is re-seeded the same way.
-    val base = Similarity.readIvfStats(spark, path) match {
-      case Some(s) if s.vectors > 0 => s
-      case _ if q.vectors > 0 =>
-        Similarity.writeIvfStats(spark, path, q); q
-      case other => other.getOrElse(q) // nothing non-empty yet: no seed
+    requireSnapshotOrEmpty(spark, path)
+    Similarity.ensurePersistedIvf(batch, embedding, seedCodebook, path)
+    val applied = lastAppliedBatch(spark, path)
+    if (applied.exists(_ >= batchId)) {
+      // re-converge a lagging mirror on the skip path too (a crash
+      // between the commit and the mirror write) — monotone rewrite
+      applied.foreach(a => BatchMirror.write(spark, mirrorFile(path),
+        path, a))
+      return BatchOutcome(batchId, -1, 0.0, retrainRecommended = false,
+        replayed = true)
     }
-    val drift = Similarity.IvfAppend(q.vectors, q.meanSim, base)
-    if (drift.retrainRecommended)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"IVF stream index $path batch $batchId: cohort mean sim " +
-          f"${q.meanSim}%.4f vs baseline ${base.meanSim}%.4f — frozen " +
-          "codebook no longer fits the arriving distribution; " +
-          "rebuild (retrain) recommended")
-    BatchOutcome(batchId, q.vectors, q.meanSim, drift.retrainRecommended)
+    val app = Similarity.appendResolvedToPersistedIvf(batch, embedding,
+      path, Map(BatchKey -> batchId.toString))
+    // after the commit: the vacuum-proof mirror (see lastAppliedBatch)
+    BatchMirror.write(spark, mirrorFile(path), path, batchId)
+    BatchOutcome(batchId, app.appended, app.meanSim,
+      app.retrainRecommended, replayed = false)
   }
 
   /** The foreachBatch sink: `writeStream.foreachBatch(AnnIngest.sink(
-    * "embedding", codebook, indexPath))`. */
-  def sink(embedding: String, codebook: Similarity.IvfCodebook,
+    * "embedding", seedCodebook, indexPath))`. */
+  def sink(embedding: String, seedCodebook: Similarity.IvfCodebook,
       path: String): (DataFrame, Long) => Unit =
     (batch, batchId) => {
-      val o = processBatch(batch, batchId, embedding, codebook, path)
+      val o = processBatch(batch, batchId, embedding, seedCodebook, path)
       org.slf4j.LoggerFactory.getLogger(getClass).info(
-        s"ann-ingest batch ${o.batchId}: appended=${o.appended} " +
+        if (o.replayed)
+          s"ann-ingest batch ${o.batchId}: replay detected, skipped"
+        else s"ann-ingest batch ${o.batchId}: appended=${o.appended} " +
           f"mean_sim=${o.meanSim}%.4f retrain=${o.retrainRecommended}")
       ()
     }

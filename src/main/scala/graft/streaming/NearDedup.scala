@@ -101,43 +101,16 @@ object NearDedup {
     // protection (r15 verdict). (An unparseable mirror is also
     // ignored — the manifest is primary; the mirror only exists for
     // the vacuum-erased-manifest case.)
-    val p = new org.apache.hadoop.fs.Path(outPath, "_neardedup_batch")
-    val fromFile = graft.operators.Sidecars.read(spark, p)
-      .flatMap(raw => scala.util.Try {
-        val m = graft.operators.Sidecars.parseFlatJson(raw, p)
-        if (m("index") == normalizedIndex(spark, indexPath))
-          Some(m("batch").toLong)
-        else None
-      }.toOption.flatten)
+    val fromFile = BatchMirror.read(spark,
+      new org.apache.hadoop.fs.Path(outPath, "_neardedup_batch"), indexPath)
     (fromMeta ++ fromFile).maxOption
   }
 
-  /** Canonical spelling of the index path as written into (and
-    * compared against) the mirror: the filesystem-qualified URI, so
-    * trailing slashes, relative forms and bare-vs-scheme spellings all
-    * collapse to one string. */
-  private def normalizedIndex(spark: SparkSession,
-      indexPath: String): String = {
-    val p = new org.apache.hadoop.fs.Path(indexPath)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .makeQualified(p).toUri.toString
-  }
-
   private def mirrorBatch(spark: SparkSession, outPath: String,
-      indexPath: String, batchId: Long): Unit = {
-    val norm = normalizedIndex(spark, indexPath)
-    // the flat-JSON sidecar format splits on commas and strips quotes,
-    // so a path containing either would round-trip WRONG (mis-split →
-    // diagnosed as corrupt, or scope-compared against a mangled
-    // string). Such paths are exotic enough to refuse loudly at the
-    // first batch rather than escape (r15 ADVICE).
-    require(!norm.contains(',') && !norm.contains('"'),
-      s"index path unencodable in the batch mirror (contains , or \"): " +
-        s"$norm — use a comma/quote-free index path")
-    graft.operators.Sidecars.write(spark,
+      indexPath: String, batchId: Long): Unit =
+    BatchMirror.write(spark,
       new org.apache.hadoop.fs.Path(outPath, "_neardedup_batch"),
-      s"""{"batch":$batchId,"index":"$norm"}""")
-  }
+      indexPath, batchId)
 
   /** Seed an EMPTY index at the minimum layout iff none exists, so the
     * first micro-batch probes against nothing instead of failing.

@@ -95,7 +95,8 @@ object AnnRehearsal {
       Similarity.probePersistedIvf(spark, path, "embedding", "vec_id", q,
         cb, NProbe, K))
     val (bruteS, bruteBytes, bruteIds) = timed("brute")(
-      Similarity.bruteForceTopK(spark.read.parquet(path), "embedding",
+      Similarity.bruteForceTopK(
+        graft.operators.Versioned.read(spark, path), "embedding",
         "vec_id", q, K))
     val recall = probeIds.toSet.intersect(bruteIds.toSet).size.toDouble / K
     println(f"""{"phase":"probe","nprobe":$NProbe,"k":$K,"probe_s":$probeS%.2f,"brute_s":$bruteS%.2f,"probe_bytes":$probeBytes,"brute_bytes":$bruteBytes,"bytes_fraction":${probeBytes.toDouble / math.max(1L, bruteBytes)}%.4f,"recall_at_k":$recall%.2f}""")

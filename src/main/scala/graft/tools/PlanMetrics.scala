@@ -40,11 +40,17 @@ private[tools] object PlanMetrics {
       .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
 
   /** Bytes each scan actually selected ("size of files read") —
-    * directory pruning shows up here, not in row counts. */
+    * directory/bucket pruning shows up here, not in row counts. V1
+    * file scans report it as the `filesSize` metric; graft DSv2
+    * snapshot scans expose no such metric, so their planned input
+    * partitions' file lengths are summed instead (same quantity:
+    * bytes surviving pruning at plan time). */
   def bytesRead(df: DataFrame): Long =
     subtree(df.queryExecution.executedPlan)
       .collect { case s if s.children.isEmpty => s }
-      .flatMap(_.metrics.collect {
-        case (k, m) if k == "filesSize" => m.value
-      }).sum
+      .map(s => graft.sources.ScanBytes.plannedBytes(s).getOrElse(
+        s.metrics.collect {
+          case (k, m) if k == "filesSize" => m.value
+        }.sum))
+      .sum
 }

@@ -249,4 +249,138 @@ class ConcurrencySpec extends SparkSpec {
       (s._2 == 16 || s._2 == 32)), s"inconsistent final layout: $spec")
     info(s"rebuckets landed mid-storm: ${rebucketsLanded.get()} of 3")
   }
+
+  /** One-hot 32-dim vectors, axis = id % 8: closed-form cosines (1.0
+    * same axis, 0.0 across), so probe outcomes are decidable whatever
+    * interleaving lands. */
+  private def ivfVecs(ids: Seq[Long]) = {
+    import spark.implicits._
+    ids.map(i => (i, Array.tabulate(32)(d =>
+      if (d == (i % 8).toInt) 1f else 0f))).toDF("vec_id", "embedding")
+  }
+
+  test("IVF index storm: 4 appenders vs an IN-PLACE retrain loop vs " +
+    "live no-codebook probes — contiguous versions, no lost or " +
+    "mis-assigned append, every mid-storm probe internally consistent, " +
+    "final full probe equals brute force") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val t = tmpDir("ivfstorm") + "/index"
+    val seedIds = (1L to 16L)
+    val seed = ivfVecs(seedIds)
+    val cb0 = Similarity.buildCodebook(seed, "embedding", "vec_id",
+      nlist = 8)
+    Similarity.writePersistedIvf(seed, "embedding", cb0, t)
+    val writers = 4
+    val cohortsPerWriter = 3
+    def cohortIds(i: Int, j: Int): Seq[Long] = {
+      val lo = 1000L * (i + 1) + 10L * j
+      lo until lo + 5
+    }
+    // a REAL appender's loop: a stale codebook (an in-place retrain
+    // landed underneath — the fingerprint refusal) means "reload the
+    // committed codebook and re-append"; CAS exhaustion means wait out
+    // the storm. Silent outcomes are what this storm exists to rule
+    // out: rows assigned under a codebook the index no longer uses.
+    def appendRetrying(ids: Seq[Long]): Unit = {
+      var last: Throwable = null
+      for (_ <- 0 until 60) {
+        val cb = Similarity.loadPersistedIvf(spark, t).get.codebook
+        try {
+          Similarity.appendToPersistedIvf(ivfVecs(ids), "embedding", cb, t)
+          return
+        } catch {
+          case e: IllegalArgumentException
+              if e.getMessage != null &&
+                e.getMessage.contains("fingerprint") => last = e
+          case e: IllegalStateException
+              if e.getMessage != null &&
+                e.getMessage.contains("racing") =>
+            last = e; Thread.sleep(100)
+        }
+      }
+      throw last
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers + 2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val retrainsLanded = new java.util.concurrent.atomic.AtomicInteger(0)
+    try {
+      val writerFs = (0 until writers).map { i =>
+        Future {
+          (0 until cohortsPerWriter).foreach(j =>
+            appendRetrying(cohortIds(i, j)))
+        }
+      }
+      val retrainer = Future {
+        // SAME nlist on purpose — the layout doesn't change, so only
+        // the fingerprint CAS stands between an interleaved append and
+        // silently mis-assigned rows
+        (0 until 3).foreach { _ =>
+          try {
+            Similarity.retrainPersistedIvf(spark, t, "embedding",
+              "vec_id", nlist = 8)
+            retrainsLanded.incrementAndGet()
+          } catch {
+            case e: IllegalStateException
+                if e.getMessage != null &&
+                  e.getMessage.contains("racing") => ()
+          }
+          Thread.sleep(150)
+        }
+      }
+      val prober = Future {
+        val q = Array.tabulate(32)(d => if (d == 3) 1f else 0f)
+        var probes = 0
+        while (!stop.get()) {
+          // the no-codebook probe resolves (version, codebook, data)
+          // off ONE pinned commit: whatever retrain/append interleaves,
+          // the result must be internally consistent — axis-3 rows
+          // score exactly 1.0, others 0.0, and NO id appears twice (a
+          // torn old+new read would duplicate rows)
+          val rows = Similarity.probePersistedIvf(spark, t, "embedding",
+            "vec_id", q, nprobe = 8, k = 8)
+            .as[(Long, Double)].collect()
+          assert(rows.map(_._1).distinct.length == rows.length,
+            s"mid-storm probe returned a duplicated id: ${rows.toSeq}")
+          rows.foreach { case (id, score) =>
+            assert(score == (if (id % 8 == 3) 1.0 else 0.0),
+              s"mid-storm probe score diverged: ($id, $score)")
+          }
+          probes += 1
+        }
+        probes
+      }
+      Await.result(Future.sequence(writerFs), 600.seconds)
+      stop.set(true)
+      Await.result(retrainer, 300.seconds)
+      assert(Await.result(prober, 120.seconds) > 0,
+        "the prober never completed a probe during the storm")
+    } finally { stop.set(true); pool.shutdown() }
+
+    val vs = Versioned.versions(spark, t)
+    assert(vs == (vs.head to vs.last),
+      s"surviving versions must be contiguous (no fork, no gap): $vs")
+    // serial model: no append lost, none doubled, none mis-assigned —
+    // the final full probe over the catalog scan must equal brute
+    // force over seed + every cohort exactly
+    val allIds = (seedIds ++ (0 until writers).flatMap(i =>
+      (0 until cohortsPerWriter).flatMap(j => cohortIds(i, j)))).sorted
+    val got = Versioned.read(spark, t).select($"vec_id")
+      .as[Long].collect().sorted.toSeq
+    assert(got == allIds,
+      s"index diverged: missing=${(allIds.toSet -- got.toSet).take(5)} " +
+        s"extra/doubled=${got.diff(allIds).take(5)}")
+    val q = Array.tabulate(32)(d => if (d == 5) 1f else 0f)
+    val fullProbe = Similarity.probePersistedIvf(spark, t, "embedding",
+      "vec_id", q, nprobe = 8, k = 12)
+      .as[(Long, Double)].collect().toSeq
+    val brute = Similarity.bruteForceTopK(ivfVecs(allIds), "embedding",
+      "vec_id", q, 12).as[(Long, Double)].collect().toSeq
+    assert(fullProbe == brute,
+      s"post-storm full probe diverged: $fullProbe vs $brute")
+    assert(Versioned.bucketSpec(spark, t)
+      .exists(s => s._1.equalsIgnoreCase("list_id") && s._2 == 8))
+    info(s"retrains landed mid-storm: ${retrainsLanded.get()} of 3")
+  }
 }

@@ -162,8 +162,8 @@ class OperatorSpec extends SparkSpec {
     assert(ivf.toSeq == brute.toSeq)
   }
 
-  test("persisted bucket-partitioned index: probe prunes to matching " +
-    "bucket dirs and matches the in-memory LSH probe") {
+  test("persisted bucket-partitioned LSH index: probe bucket-prunes to " +
+    "the Hamming ball's buckets and matches the in-memory LSH probe") {
     val emb = graft.Tables(spark, sfDir, "embeddings")
     val corpus = emb.where($"vec_id" =!= 0)
     val q = emb.where($"vec_id" === 0).select("embedding")
@@ -172,24 +172,20 @@ class OperatorSpec extends SparkSpec {
     Similarity.writePersistedIndex(corpus, "embedding", 6, 64, path)
     val probed = Similarity.probePersistedIndex(spark, path, "embedding",
       "vec_id", q, numPlanes = 6, k = 5, probeHamming = 2)
-    // the Hamming predicate must prune DIRECTORIES, not filter rows:
-    // every file the scan selects lives in a bucket dir within radius 2
-    val scan = probed.queryExecution.executedPlan.collectLeaves().collectFirst {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-    }.get
-    assert(scan.partitionFilters.nonEmpty, "no partition filters in probe scan")
+    // the driver-enumerated Hamming ball must prune FILES at plan
+    // time: the scan's planned partitions cover only buckets the
+    // ball's values hash to
     val planes = graft.functions.VectorFunctions.makePlanes(6, 64)
     val qBucket = planes.zipWithIndex.map { case (p, i) =>
       val d = p.zip(q).map { case (w, x) => w * x.toDouble }.sum
       if (d > 0) 1L << i else 0L
     }.sum
-    val readDirs = scan.relation.location
-      .listFiles(scan.partitionFilters, Nil)
-      .flatMap(_.files.map(_.getPath.getParent.getName)).distinct
-    assert(readDirs.nonEmpty && readDirs.forall { d =>
-      val b = d.stripPrefix("bucket=").toLong
-      java.lang.Long.bitCount(b ^ qBucket) <= 2
-    }, s"dirs read: $readDirs")
+    val ball = Similarity.hammingBall(qBucket, 6, 2).get
+    assert(ball.size == 1 + 6 + 15) // C(6,0)+C(6,1)+C(6,2)
+    val expected = ball.map(bucketOfLong(_, 64)).toSet
+    val read = scanBuckets(probed)
+    assert(read.nonEmpty && read.subsetOf(expected),
+      s"probe scanned buckets $read, ball hashes to $expected")
     // and the probe result equals the in-memory index probe
     val inMem = Similarity.lshTopK(
       Similarity.index(corpus, "embedding", 6, 64),
@@ -197,10 +193,41 @@ class OperatorSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(probed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       == inMem.toSeq)
+    // an over-wide ball falls back to the bit_count filter — same rows
+    assert(Similarity.hammingBall(0L, 63, 20).isEmpty)
+    val full = Similarity.probePersistedIndex(spark, path, "embedding",
+      "vec_id", q, numPlanes = 6, k = 5, probeHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val brute = Similarity.bruteForceTopK(corpus, "embedding", "vec_id",
+      q, 5).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(full.toSeq == brute.toSeq)
   }
 
-  test("persisted IVF index: probe prunes to nprobe list_id dirs and " +
-    "matches the in-memory probe") {
+  /** Buckets a graft snapshot probe plan actually scans: the partition
+    * keys of the DSv2 scan's planned input partitions — empty-set
+    * assertion-safe because BucketGroupedBatch keys every split. */
+  private def scanBuckets(df: org.apache.spark.sql.DataFrame): Set[Int] = {
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.getClass.getName.startsWith("graft.") => b
+    }
+    assert(scans.nonEmpty, "no graft snapshot scan in the probe plan")
+    scans.flatMap(_.inputPartitions.collect {
+      case h: org.apache.spark.sql.connector.read.HasPartitionKey =>
+        h.partitionKey().getInt(0)
+    }).toSet
+  }
+
+  /** The layout-hash bucket of a long key — must match
+    * Versioned.commitBucketed's write-side split. */
+  private def bucketOfLong(v: Long, n: Int): Int = {
+    val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(v, 42)
+    ((h % n) + n) % n
+  }
+
+  test("persisted IVF index: probe bucket-prunes to the probed cells' " +
+    "buckets and matches the in-memory probe; the no-codebook probe " +
+    "resolves the committed descriptor") {
     val emb = graft.Tables(spark, sfDir, "embeddings")
     val corpus = emb.where($"vec_id" =!= 0)
     val q = emb.where($"vec_id" === 0).select("embedding")
@@ -210,18 +237,13 @@ class OperatorSpec extends SparkSpec {
     Similarity.writePersistedIvf(corpus, "embedding", cb, path)
     val probed = Similarity.probePersistedIvf(spark, path, "embedding",
       "vec_id", q, cb, nprobe = 2, k = 5)
-    // the isin(list_id) predicate must prune DIRECTORIES: the scan reads
-    // exactly the nprobe probed cells' dirs
-    val scan = probed.queryExecution.executedPlan.collectLeaves().collectFirst {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-    }.get
-    assert(scan.partitionFilters.nonEmpty, "no partition filters in probe scan")
-    val readDirs = scan.relation.location
-      .listFiles(scan.partitionFilters, Nil)
-      .flatMap(_.files.map(_.getPath.getParent.getName)).distinct
-    assert(readDirs.nonEmpty && readDirs.size <= 2,
-      s"probe must read <= nprobe dirs: $readDirs")
-    assert(readDirs.forall(_.startsWith("list_id=")), s"$readDirs")
+    // the isin(list_id) predicate must prune FILES at plan time: the
+    // scan's planned partitions cover only the probed cells' buckets
+    val expected = Similarity.probeCells(cb, q, 2)
+      .map(bucketOfLong(_, 8)).toSet
+    val read = scanBuckets(probed)
+    assert(read.nonEmpty && read.subsetOf(expected),
+      s"probe scanned buckets $read, probed cells hash to $expected")
     // and the probe result equals the in-memory index probe
     val inMem = Similarity.ivfTopK(
       Similarity.ivfAssign(corpus, "embedding", cb),
@@ -229,6 +251,21 @@ class OperatorSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(probed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       == inMem.toSeq)
+    // the no-codebook probe resolves the COMMITTED codebook (the
+    // retrain-handoff surface) and returns the same rows
+    val resolved = Similarity.probePersistedIvf(spark, path, "embedding",
+      "vec_id", q, nprobe = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(resolved.toSeq == inMem.toSeq)
+    // a caller holding a DIFFERENT codebook refuses loudly — silently
+    // probing cells the rows aren't assigned to is the recall bug the
+    // fingerprint exists to prevent
+    val other = Similarity.buildCodebook(corpus, "embedding", "vec_id",
+      nlist = 8, refineIters = 1)
+    assert(intercept[IllegalArgumentException] {
+      Similarity.probePersistedIvf(spark, path, "embedding", "vec_id",
+        q, other, nprobe = 2, k = 5)
+    }.getMessage.contains("fingerprint"))
   }
 
   test("Lloyd-refined codebook: assignment still partitions the corpus, " +
@@ -265,12 +302,13 @@ class OperatorSpec extends SparkSpec {
     val path = tmpDir("lshappend") + "/index"
     Similarity.writePersistedIndex(build, "embedding", 6, 64, path)
     // the family guard must exist right after the BUILD, before any
-    // append re-creates it: SaveMode.Overwrite deletes the output path
-    // first, so a sidecar written before the data write is erased by
-    // it — the r15 ADVICE bug this pins closed
-    assert(Similarity.readPlaneSidecar(spark, path).contains((6, 64)),
+    // append: it rides the build's own commit meta, atomically with
+    // the rows (the r15 ADVICE bug — a sidecar erased by the very
+    // overwrite it guarded — cannot exist on this layout)
+    assert(Similarity.planeFamilyOf(spark, path).contains((6, 64)),
       "freshly built LSH index is guard-less")
     Similarity.appendToPersistedIndex(extra, "embedding", 6, 64, path)
+    assert(Versioned.versions(spark, path).sorted == Seq(0L, 1L))
     val probed = Similarity.probePersistedIndex(spark, path, "embedding",
       "vec_id", q, numPlanes = 6, k = 5, probeHamming = 2)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
@@ -282,8 +320,8 @@ class OperatorSpec extends SparkSpec {
       s"appended LSH index probe diverged: ${probed.toSeq} vs ${inMem.toSeq}")
     // a mismatched plane family refuses on BOTH write and read paths —
     // the buckets were hashed under (6, 64); family-8 rows would land
-    // in (and family-8 probes look in) the wrong bucket= dirs
-    assert(Similarity.readPlaneSidecar(spark, path).contains((6, 64)))
+    // in (and family-8 probes look in) the wrong buckets
+    assert(Similarity.planeFamilyOf(spark, path).contains((6, 64)))
     assert(intercept[IllegalArgumentException] {
       Similarity.appendToPersistedIndex(extra, "embedding", 8, 64, path)
     }.getMessage.contains("plane family"))
@@ -291,22 +329,35 @@ class OperatorSpec extends SparkSpec {
       Similarity.probePersistedIndex(spark, path, "embedding", "vec_id",
         q, numPlanes = 8, k = 5)
     }.getMessage.contains("plane family"))
-    // heal-on-append: a pre-sidecar (legacy) index gets its family
-    // recorded by the first guarded append, closing the window where
-    // a later mismatched append would pass on the caller's word
+    // a LEGACY plain-dir index: appends refuse with the migration
+    // pointer; migratePersistedIndex commits it as a snapshot in place
+    // (recording the family), after which the guarded paths serve it
     val bare = tmpDir("lshheal") + "/index"
     Similarity.index(build, "embedding", 6, 64)
       .write.partitionBy("bucket").parquet(bare)
-    assert(Similarity.readPlaneSidecar(spark, bare).isEmpty)
+    assert(Similarity.planeFamilyOf(spark, bare).isEmpty)
+    assert(intercept[IllegalArgumentException] {
+      Similarity.appendToPersistedIndex(extra, "embedding", 6, 64, bare)
+    }.getMessage.contains("migratePersistedIndex"))
+    Similarity.migratePersistedIndex(spark, bare, 6, 64)
+    assert(Similarity.planeFamilyOf(spark, bare).contains((6, 64)))
     Similarity.appendToPersistedIndex(extra, "embedding", 6, 64, bare)
-    assert(Similarity.readPlaneSidecar(spark, bare).contains((6, 64)))
-    // a truncated sidecar (crash between create and write) fails with
-    // a NAMED error pointing at the file, never a bare MatchError
-    val sc = new org.apache.hadoop.fs.Path(bare, "_lsh_planes.json")
+    val migProbe = Similarity.probePersistedIndex(spark, bare, "embedding",
+      "vec_id", q, numPlanes = 6, k = 5, probeHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(migProbe.toSeq == inMem.toSeq,
+      s"migrated+appended probe diverged: ${migProbe.toSeq}")
+    // a truncated LEGACY sidecar (crash between create and write)
+    // fails with a NAMED error pointing at the file, never a bare
+    // MatchError
+    val bare2 = tmpDir("lshcorrupt") + "/index"
+    Similarity.index(build, "embedding", 6, 64)
+      .write.partitionBy("bucket").parquet(bare2)
+    val sc = new org.apache.hadoop.fs.Path(bare2, "_lsh_planes.json")
     sc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .create(sc, true).close() // zero bytes
     assert(intercept[IllegalStateException] {
-      Similarity.readPlaneSidecar(spark, bare)
+      Similarity.readPlaneSidecar(spark, bare2)
     }.getMessage.contains("corrupt sidecar"))
   }
 
@@ -325,11 +376,18 @@ class OperatorSpec extends SparkSpec {
     val path = tmpDir("ivfappend") + "/index"
     val baseline = Similarity.writePersistedIvf(build, "embedding", cb, path)
     assert(baseline.vectors == build.count() && baseline.meanSim > 0.0)
-    assert(Similarity.readIvfStats(spark, path).contains(baseline))
+    assert(Similarity.loadPersistedIvf(spark, path)
+      .exists(st => st.baseline == baseline &&
+        st.fingerprint == Similarity.fingerprint(cb) && st.buckets == 8))
     val app = Similarity.appendToPersistedIvf(extra, "embedding", cb, path)
     assert(app.appended == extra.count())
     assert(!app.retrainRecommended,
       s"in-distribution append must not flag retrain: $app vs $baseline")
+    // the append committed a new snapshot version carrying the same
+    // descriptor (baseline inherited, not re-seeded)
+    assert(Versioned.versions(spark, path).sorted == Seq(0L, 1L))
+    assert(Similarity.loadPersistedIvf(spark, path)
+      .exists(st => st.version == 1L && st.baseline == baseline))
     // full probe (nprobe = nlist) over the appended index is EXACT on
     // the union corpus — no appended row lost, none mis-routed
     val probed = Similarity.probePersistedIvf(spark, path, "embedding",
@@ -338,20 +396,21 @@ class OperatorSpec extends SparkSpec {
     val brute = Similarity.bruteForceTopK(corpus, "embedding", "vec_id",
       q, 5).collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(probed.toSeq == brute.toSeq)
-    // dir-pruning survives the append: a narrow probe still reads
-    // <= nprobe list_id dirs
+    // bucket-pruning survives the append: a narrow probe's planned
+    // partitions still cover only the probed cells' buckets
     val narrow = Similarity.probePersistedIvf(spark, path, "embedding",
       "vec_id", q, cb, nprobe = 2, k = 5)
-    val scan = narrow.queryExecution.executedPlan.collectLeaves()
-      .collectFirst {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-      }.get
-    assert(scan.partitionFilters.nonEmpty, "no partition filters in probe")
-    val readDirs = scan.relation.location
-      .listFiles(scan.partitionFilters, Nil)
-      .flatMap(_.files.map(_.getPath.getParent.getName)).distinct
-    assert(readDirs.nonEmpty && readDirs.size <= 2 &&
-      readDirs.forall(_.startsWith("list_id=")), s"dirs read: $readDirs")
+    val expected = Similarity.probeCells(cb, q, 2)
+      .map(bucketOfLong(_, 8)).toSet
+    val read = scanBuckets(narrow)
+    assert(read.nonEmpty && read.subsetOf(expected),
+      s"post-append probe scanned buckets $read vs cells' $expected")
+    // appending with a DIFFERENT codebook refuses (fingerprint guard)
+    val other = Similarity.buildCodebook(build, "embedding", "vec_id",
+      nlist = 8, refineIters = 1)
+    assert(intercept[IllegalArgumentException] {
+      Similarity.appendToPersistedIvf(extra, "embedding", other, path)
+    }.getMessage.contains("fingerprint"))
   }
 
   test("persisted IVF append: a shifted distribution fires " +
@@ -384,19 +443,22 @@ class OperatorSpec extends SparkSpec {
     val app = Similarity.appendToPersistedIvf(shifted, "embedding", cb, path)
     assert(app.retrainRecommended,
       s"orthogonal cohort must flag retrain: $app vs $baseline")
-    // no baseline sidecar => loud refusal, not a silent append
+    // a LEGACY plain-dir index (no commit log, no descriptor) refuses
+    // the append loudly and points at the migration, not a silent
+    // append whose codebook nobody recorded
     val bare = tmpDir("ivfbare") + "/index"
     Similarity.ivfAssign(build, "embedding", cb)
       .write.partitionBy("list_id").parquet(bare)
     val e = intercept[IllegalArgumentException] {
       Similarity.appendToPersistedIvf(build, "embedding", cb, bare)
     }
-    assert(e.getMessage.contains("_ivf_stats.json"))
+    assert(e.getMessage.contains("migratePersistedIvf"))
   }
 
-  test("retrainPersistedIvf closes the drift loop: the rebuilt codebook " +
-    "covers the shifted mass, the baseline resets, the same cohort " +
-    "class no longer flags, and the full probe stays exact") {
+  test("retrainPersistedIvf closes the drift loop IN PLACE: the rebuilt " +
+    "codebook covers the shifted mass, the baseline resets, a stale " +
+    "codebook refuses, old versions stay probe-able, and the full " +
+    "probe stays exact") {
     def oneHot(axis: Int): Array[Float] =
       Array.tabulate(16)(d => if (d == axis) 1f else 0f)
     // build corpus on axes 0-7 with ids 9-88: the 8 seeds (ids 9-16)
@@ -405,41 +467,56 @@ class OperatorSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     val cb = Similarity.buildCodebook(build, "embedding", "vec_id",
       nlist = 8)
-    val src = tmpDir("ivfretrain") + "/src"
+    val path = tmpDir("ivfretrain") + "/index"
     assert(math.abs(Similarity
-      .writePersistedIvf(build, "embedding", cb, src).meanSim - 1.0) < 1e-9)
+      .writePersistedIvf(build, "embedding", cb, path).meanSim - 1.0) < 1e-9)
     // drifted cohort on axes 8-15 with ids 1-8 — orthogonal to every
     // cell: flags retrain
     val shifted = (1L to 8L).map(i => (i, oneHot(8 + (i % 8).toInt)))
       .toDF("vec_id", "embedding")
-    assert(Similarity.appendToPersistedIvf(shifted, "embedding", cb, src)
+    assert(Similarity.appendToPersistedIvf(shifted, "embedding", cb, path)
       .retrainRecommended)
-    // retrain over everything the index holds, at nlist 16: the new
-    // seeds (lowest 16 ids = the shifted 1-8 + build 9-16) cover ALL
-    // 16 axes, so the union assigns at exactly 1.0 again
-    val dst = tmpDir("ivfretrain") + "/dst"
-    val (cb2, stats2) = Similarity.retrainPersistedIvf(spark, src, dst,
+    val preRetrainV = Versioned.versions(spark, path).max
+    // retrain IN PLACE over everything the index holds, at nlist 16:
+    // the new seeds (lowest 16 ids = the shifted 1-8 + build 9-16)
+    // cover ALL 16 axes, so the union assigns at exactly 1.0 again —
+    // the overwrite commit IS the swap
+    val (cb2, stats2) = Similarity.retrainPersistedIvf(spark, path,
       "embedding", "vec_id", nlist = 16)
     assert(stats2.vectors == 88 && math.abs(stats2.meanSim - 1.0) < 1e-9,
       s"retrained baseline must reset to 1.0: $stats2")
+    assert(Similarity.loadPersistedIvf(spark, path)
+      .exists(st => st.fingerprint == Similarity.fingerprint(cb2) &&
+        st.buckets == 16 && st.baseline == stats2))
+    // the OLD codebook is stale now: appends and probes holding it
+    // refuse instead of silently mis-routing
+    assert(intercept[IllegalArgumentException] {
+      Similarity.appendToPersistedIvf(shifted, "embedding", cb, path)
+    }.getMessage.contains("fingerprint"))
     // the cohort class that drifted the OLD codebook is in-distribution
     // for the new one
     val again = (200L to 207L).map(i => (i, oneHot(8 + (i % 8).toInt)))
       .toDF("vec_id", "embedding")
-    assert(!Similarity.appendToPersistedIvf(again, "embedding", cb2, dst)
+    assert(!Similarity.appendToPersistedIvf(again, "embedding", cb2, path)
       .retrainRecommended)
-    // and the retrained index is still exact under a full probe
+    // and the retrained index is still exact under a full probe — via
+    // the no-codebook probe (the handoff surface: nobody had to be
+    // told about the retrain)
     val q = oneHot(12)
-    val probed = Similarity.probePersistedIvf(spark, dst, "embedding",
-      "vec_id", q, cb2, nprobe = 16, k = 5)
+    val probed = Similarity.probePersistedIvf(spark, path, "embedding",
+      "vec_id", q, nprobe = 16, k = 5)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     val brute = Similarity.bruteForceTopK(
       build.unionByName(shifted).unionByName(again), "embedding",
       "vec_id", q, 5).collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(probed.toSeq == brute.toSeq)
-    // in-place retrain refuses: the plain-dir layout would race probes
+    // time travel: the pre-retrain snapshot is still readable (a live
+    // probe pinned to it mid-retrain reads consistent old data)
+    assert(Versioned.read(spark, path, Some(preRetrainV)).count() == 88)
+    // legacy migration still refuses same-path (no commit protocol on
+    // the plain-dir source to swap under live probes)
     assert(intercept[IllegalArgumentException] {
-      Similarity.retrainPersistedIvf(spark, dst, dst, "embedding",
+      Similarity.migratePersistedIvf(spark, path, path, "embedding",
         "vec_id", 16)
     }.getMessage.contains("NEW path"))
   }

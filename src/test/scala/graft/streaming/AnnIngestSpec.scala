@@ -1,14 +1,15 @@
 package graft.streaming
 
 import graft.SparkSpec
-import graft.operators.Similarity
+import graft.operators.{Similarity, Versioned}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** The streaming ANN ingest (graft.streaming.AnnIngest): replay
-  * idempotence BY CONSTRUCTION (no ledger — assignment depends only on
-  * the frozen codebook), drift detection against the stream-seeded
-  * baseline, dir-pruning over the multi-batch layout, and
+/** The streaming ANN ingest (graft.streaming.AnnIngest) on the r16
+  * snapshot layout: replay idempotence via the `annbatch` commit-meta
+  * ledger (+ vacuum-proof mirror), drift detection against the
+  * commit-meta baseline, retrain handoff by construction (batches
+  * assign under the COMMITTED codebook), legacy-layout refusal, and
   * checkpoint-restart convergence through a real stop/start. */
 class AnnIngestSpec extends SparkSpec {
   import spark.implicits._
@@ -22,79 +23,153 @@ class AnnIngestSpec extends SparkSpec {
   private def vecs(rows: (Long, Int)*): DataFrame =
     rows.map { case (id, a) => (id, oneHot(a)) }.toDF("vec_id", "embedding")
 
-  test("replay is a byte-identical rewrite: same batch id twice leaves " +
-    "the index and the baseline unchanged — no ledger needed") {
+  private def baselineOf(path: String): Similarity.IvfStats =
+    Similarity.loadPersistedIvf(spark, path).get.baseline
+
+  test("replay skips via the commit ledger: same batch id twice leaves " +
+    "the index, the version chain and the baseline unchanged — a " +
+    "snapshot append replayed blindly would duplicate the vectors") {
     val path = tmpDir("annreplay") + "/ivf"
     val b0 = vecs((1L to 8L).map(i => (i, (i % 8).toInt)): _*)
     val cb = Similarity.buildCodebook(b0, "embedding", "vec_id", nlist = 8)
     val first = AnnIngest.processBatch(b0, 0L, "embedding", cb, path)
-    assert(first.appended == 8 && !first.retrainRecommended)
-    val rows = spark.read.parquet(path)
+    assert(!first.replayed && first.appended == 8 &&
+      !first.retrainRecommended)
+    val vs = Versioned.versions(spark, path).sorted
+    val rows = Versioned.read(spark, path)
       .select($"vec_id", $"list_id").as[(Long, Long)].collect().toSet
-    val base = Similarity.readIvfStats(spark, path)
+    assert(rows.map(_._1) == (1L to 8L).toSet)
+    val base = baselineOf(path)
     val replay = AnnIngest.processBatch(b0, 0L, "embedding", cb, path)
-    assert(replay == first, s"replay outcome diverged: $replay vs $first")
-    assert(spark.read.parquet(path)
+    assert(replay.replayed && replay.appended == -1)
+    assert(Versioned.versions(spark, path).sorted == vs,
+      "replay committed a version")
+    assert(Versioned.read(spark, path)
       .select($"vec_id", $"list_id").as[(Long, Long)].collect().toSet
       == rows, "replay changed the index contents")
-    assert(Similarity.readIvfStats(spark, path) == base,
-      "replay changed the drift baseline")
+    assert(baselineOf(path) == base, "replay changed the drift baseline")
+    assert(AnnIngest.lastAppliedBatch(spark, path).contains(0L))
   }
 
-  test("drift: the first batch seeds the baseline; an orthogonal later " +
-    "batch flags retrainRecommended, an in-distribution one does not") {
+  test("drift: the first non-empty batch seeds the baseline (an EMPTY " +
+    "first batch never does); an orthogonal later batch flags " +
+    "retrainRecommended, an in-distribution one does not") {
     val path = tmpDir("anndrift") + "/ivf"
     val b0 = vecs((1L to 16L).map(i => (i, (i % 8).toInt)): _*)
     val cb = Similarity.buildCodebook(b0, "embedding", "vec_id", nlist = 8)
-    assert(!AnnIngest.processBatch(b0, 0L, "embedding", cb, path)
+    // batch 0 delivers zero rows: an armed IvfStats(0, 0.0) baseline
+    // would set the drift threshold at meanSim <= -1, silencing the
+    // flag for the stream's lifetime — the seed's zero-vector baseline
+    // must never justify a verdict
+    assert(AnnIngest.processBatch(b0.limit(0), 0L, "embedding", cb, path)
+      .appended == 0)
+    assert(baselineOf(path).vectors == 0,
+      "empty batch must not arm the baseline")
+    assert(!AnnIngest.processBatch(b0, 1L, "embedding", cb, path)
       .retrainRecommended)
-    assert(Similarity.readIvfStats(spark, path)
-      .exists(s => math.abs(s.meanSim - 1.0) < 1e-9))
+    assert {
+      val b = baselineOf(path)
+      b.vectors == 16 && math.abs(b.meanSim - 1.0) < 1e-9
+    }
     assert(!AnnIngest.processBatch(
       vecs((100L to 107L).map(i => (i, (i % 8).toInt)): _*),
-      1L, "embedding", cb, path).retrainRecommended)
+      2L, "embedding", cb, path).retrainRecommended)
     val shifted = AnnIngest.processBatch(
       vecs((200L to 207L).map(i => (i, 8 + (i % 8).toInt)): _*),
-      2L, "embedding", cb, path)
+      3L, "embedding", cb, path)
     assert(shifted.retrainRecommended, s"orthogonal batch silent: $shifted")
   }
 
-  test("streaming onto a build-once (root list_id=) layout refuses up " +
-    "front — a mixed dir would be unreadable with no write-time error") {
-    val path = tmpDir("annmixed") + "/ivf"
-    val b0 = vecs((1L to 8L).map(i => (i, (i % 8).toInt)): _*)
+  test("retrain handoff by construction: an in-place retrain lands " +
+    "mid-stream and the NEXT batch assigns under the retrained " +
+    "codebook with no operator intervention; the seed codebook is " +
+    "never trusted again") {
+    val path = tmpDir("annretrain") + "/ivf"
+    val b0 = vecs((9L to 16L).map(i => (i, (i % 8).toInt)): _*)
     val cb = Similarity.buildCodebook(b0, "embedding", "vec_id", nlist = 8)
-    Similarity.writePersistedIvf(b0, "embedding", cb, path)
-    assert(intercept[IllegalStateException] {
-      AnnIngest.processBatch(vecs(100L -> 1), 0L, "embedding", cb, path)
-    }.getMessage.contains("fresh path"))
+    assert(AnnIngest.processBatch(b0, 0L, "embedding", cb, path)
+      .appended == 8)
+    // drifted cohort arrives, flags retrain
+    val drifted = vecs((1L to 8L).map(i => (i, 8 + (i % 8).toInt)): _*)
+    assert(AnnIngest.processBatch(drifted, 1L, "embedding", cb, path)
+      .retrainRecommended)
+    // the operator retrains IN PLACE (nlist 16 covers all axes now)
+    val (cb2, stats2) = Similarity.retrainPersistedIvf(spark, path,
+      "embedding", "vec_id", nlist = 16)
+    assert(math.abs(stats2.meanSim - 1.0) < 1e-9)
+    // the stream keeps running with its ORIGINAL seed codebook object:
+    // the next batch must assign under cb2 (resolved from the commit),
+    // so the same cohort class no longer flags drift
+    val next = AnnIngest.processBatch(
+      vecs((300L to 307L).map(i => (i, 8 + (i % 8).toInt)): _*),
+      2L, "embedding", cb, path)
+    assert(!next.replayed && !next.retrainRecommended,
+      s"post-retrain batch still assigned under the stale codebook: $next")
+    assert(math.abs(next.meanSim - 1.0) < 1e-9, s"$next")
+    // and the full probe over seed+drift+post-retrain rows is exact
+    val q = oneHot(12)
+    val all = b0.unionByName(drifted).unionByName(
+      vecs((300L to 307L).map(i => (i, 8 + (i % 8).toInt)): _*))
+    val probed = Similarity.probePersistedIvf(spark, path, "embedding",
+      "vec_id", q, nprobe = 16, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val brute = Similarity.bruteForceTopK(all, "embedding", "vec_id", q, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(probed.toSeq == brute.toSeq)
   }
 
-  test("an EMPTY first batch never seeds the drift baseline — the first " +
-    "non-empty cohort does, so the signal still arms") {
-    val path = tmpDir("annempty") + "/ivf"
+  test("vacuum on the index cannot erase the replay ledger (the mirror " +
+    "answers); a legacy plain-dir layout refuses up front") {
+    val path = tmpDir("annvacuum") + "/ivf"
     val b0 = vecs((1L to 8L).map(i => (i, (i % 8).toInt)): _*)
     val cb = Similarity.buildCodebook(b0, "embedding", "vec_id", nlist = 8)
-    // batch 0 delivers zero rows: an IvfStats(0, 0.0) baseline would
-    // set the drift threshold at meanSim <= -1, silencing the flag for
-    // the stream's lifetime
-    assert(AnnIngest.processBatch(b0.limit(0), 0L, "embedding", cb, path)
-      .appended == 0)
-    assert(Similarity.readIvfStats(spark, path).isEmpty,
-      "empty batch must not seed the baseline")
-    assert(!AnnIngest.processBatch(b0, 1L, "embedding", cb, path)
-      .retrainRecommended)
-    assert(Similarity.readIvfStats(spark, path)
-      .exists(s => s.vectors == 8 && math.abs(s.meanSim - 1.0) < 1e-9))
-    // with the baseline armed by the non-empty batch, drift still fires
-    assert(AnnIngest.processBatch(
-      vecs((200L to 207L).map(i => (i, 8 + (i % 8).toInt)): _*),
-      2L, "embedding", cb, path).retrainRecommended)
+    AnnIngest.processBatch(b0, 0L, "embedding", cb, path)
+    AnnIngest.processBatch(vecs(100L -> 1), 1L, "embedding", cb, path)
+    // a foreign batch append lands on top (no annbatch key), then
+    // retention sweeps every version below it
+    Similarity.appendToPersistedIvf(vecs(200L -> 2), "embedding",
+      Similarity.loadPersistedIvf(spark, path).get.codebook, path)
+    Versioned.vacuum(spark, path, keepLast = 1)
+    assert(Versioned.versions(spark, path).flatMap(v =>
+      Versioned.readMeta(spark, path, v).get(AnnIngest.BatchKey)).isEmpty,
+      "precondition: vacuum erased every manifest ledger entry")
+    assert(AnnIngest.lastAppliedBatch(spark, path).contains(1L),
+      "mirror lost the ledger to vacuum")
+    assert(AnnIngest.processBatch(vecs(100L -> 1), 1L, "embedding", cb,
+      path).replayed, "post-vacuum replay double-applied")
+    // a NEW batch still proceeds
+    assert(!AnnIngest.processBatch(vecs(300L -> 3), 2L, "embedding", cb,
+      path).replayed)
+
+    // legacy layouts refuse before any commit: the pre-r16 streaming
+    // batch= shape and the plain list_id= build shape alike
+    val legacyBatch = tmpDir("annlegacy") + "/ivf"
+    Similarity.ivfAssign(b0, "embedding", cb)
+      .write.partitionBy("list_id").parquet(s"$legacyBatch/batch=0")
+    assert(intercept[IllegalStateException] {
+      AnnIngest.processBatch(vecs(400L -> 4), 0L, "embedding", cb,
+        legacyBatch)
+    }.getMessage.contains("migratePersistedIvf"))
+    val legacyPlain = tmpDir("annlegacy2") + "/ivf"
+    Similarity.ivfAssign(b0, "embedding", cb)
+      .write.partitionBy("list_id").parquet(legacyPlain)
+    assert(intercept[IllegalStateException] {
+      AnnIngest.processBatch(vecs(400L -> 4), 0L, "embedding", cb,
+        legacyPlain)
+    }.getMessage.contains("migratePersistedIvf"))
+    // ...and migratePersistedIvf turns the legacy dir into a snapshot
+    // index the stream can then run against
+    val migrated = tmpDir("annlegacy3") + "/ivf"
+    val (cbM, _) = Similarity.migratePersistedIvf(spark, legacyPlain,
+      migrated, "embedding", "vec_id", nlist = 8)
+    assert(!AnnIngest.processBatch(vecs(400L -> 4), 0L, "embedding", cbM,
+      migrated).replayed)
+    assert(Versioned.read(spark, migrated).count() == 9)
   }
 
   test("checkpoint-restart through a real stream: the full probe of the " +
-    "streamed-in multi-batch index equals brute force on the union, " +
-    "and a narrow probe still dir-prunes on list_id") {
+    "streamed-in snapshot index equals brute force on the union, and " +
+    "a narrow probe still bucket-prunes on list_id") {
     val base = tmpDir("annstream")
     val table = s"$base/vecs"
     val idx = s"$base/ivf"
@@ -127,19 +202,22 @@ class AnnIngestSpec extends SparkSpec {
       q, 5).collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(probed.toSeq == brute.toSeq,
       s"streamed index full probe diverged: ${probed.toSeq} vs ${brute.toSeq}")
-    // dir-pruning holds across batch dirs: the innermost dirs a narrow
-    // probe reads are <= nprobe distinct list_id= partitions
+    // bucket-pruning holds across the streamed-in versions: a narrow
+    // probe's planned partitions cover only the probed cells' buckets
     val narrow = Similarity.probePersistedIvf(spark, idx, "embedding",
       "vec_id", q, cb, nprobe = 2, k = 5)
-    val scan = narrow.queryExecution.executedPlan.collectLeaves()
-      .collectFirst {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-      }.get
-    assert(scan.partitionFilters.nonEmpty, "no partition filters in probe")
-    val readCells = scan.relation.location
-      .listFiles(scan.partitionFilters, Nil)
-      .flatMap(_.files.map(_.getPath.getParent.getName)).distinct
-    assert(readCells.nonEmpty && readCells.size <= 2 &&
-      readCells.forall(_.startsWith("list_id=")), s"dirs read: $readCells")
+    val expected = Similarity.probeCells(cb, q, 2).map { v =>
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(v, 42)
+      ((h % 8) + 8) % 8
+    }.toSet
+    val read = narrow.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.getClass.getName.startsWith("graft.") => b
+    }.flatMap(_.inputPartitions.collect {
+      case h: org.apache.spark.sql.connector.read.HasPartitionKey =>
+        h.partitionKey().getInt(0)
+    }).toSet
+    assert(read.nonEmpty && read.subsetOf(expected),
+      s"probe scanned buckets $read, probed cells hash to $expected")
   }
 }
