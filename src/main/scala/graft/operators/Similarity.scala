@@ -44,13 +44,21 @@ object Similarity {
     * descriptor-carrying version always answers. */
   private[graft] val LshPlanesKey = "lsh_planes"
 
-  /** Bucket count for a persisted LSH index: one bucket per possible
-    * sign pattern up to a cap — past the cap, multiple patterns share
-    * a bucket (pruning keeps the same BALL-SIZE/cap fraction; the
-    * pushed-down bucket filter absorbs the collisions). */
-  private[graft] val MaxLshBuckets = 1024
-  private def lshBuckets(numPlanes: Int): Int =
-    math.min(1L << math.min(numPlanes, 30), MaxLshBuckets.toLong).toInt
+  /** Bucket counts for the persisted ANN indexes. The cell/pattern
+    * values hash into buckets (pmod(murmur3, n)), so at n = #cells the
+    * birthday effect co-locates ~2 cells per occupied bucket and a
+    * probe reads ~2× the rows its cells hold (measured 0.146 vs the
+    * ideal 0.0625 fraction at 200k vectors). OVER-PROVISIONING 16×
+    * makes sharing rare — and costs nothing: empty buckets produce no
+    * files, so files-per-version stays bounded by the occupied cell
+    * count, not n. Capped at 65536 (under commitBucketed's sanity
+    * bound); at the cap the amplification returns gradually —
+    * documented, not hidden. */
+  private[graft] val MaxAnnBuckets = 65536
+  private[graft] def ivfBuckets(nlist: Int): Int =
+    math.min(16L * nlist, MaxAnnBuckets.toLong).toInt
+  private[graft] def lshBuckets(numPlanes: Int): Int =
+    math.min(16L << math.min(numPlanes, 30), MaxAnnBuckets.toLong).toInt
 
   private def lshMeta(numPlanes: Int, dim: Int): Map[String, String] =
     Map(LshPlanesKey -> s"$numPlanes/$dim")
@@ -193,6 +201,7 @@ object Similarity {
           "the legacy plain-dir index first with migratePersistedIndex")
     val ixed = index(df, embedding, numPlanes, dim)
     var attempts = 0
+    var schemaChecked = false
     while (attempts < 5) {
       attempts += 1
       val (v, np, d) = lshState(spark, path).getOrElse(
@@ -208,6 +217,10 @@ object Similarity {
         .getOrElse(throw new IllegalStateException(
           s"$path latest version declares no bucket layout — rebuild " +
             "with writePersistedIndex"))
+      if (!schemaChecked) { // same family every attempt: check once
+        requireAppendSchema(ixed, spark, path, v)
+        schemaChecked = true
+      }
       if (Versioned.commitIf(ixed, path, "append",
           lshMeta(numPlanes, dim), v, Some(("bucket", n))).isDefined)
         return
@@ -636,7 +649,8 @@ object Similarity {
     // leaves an orphan file, never a referenced-but-missing codebook
     val cbFile = writeCodebookSidecar(spark, path, codebook, fp)
     Versioned.commitBucketed(assigned.drop(AssignSimCol), path, "list_id",
-      numBuckets = codebook.entries.length, mode = "overwrite",
+      numBuckets = ivfBuckets(codebook.entries.length),
+      mode = "overwrite",
       meta = ivfMeta(cbFile, fp, stats))
     stats
   }
@@ -692,6 +706,26 @@ object Similarity {
     * rebases — the staged assignment is still valid; an interleaved
     * RETRAIN re-assigns under the new codebook (after `onRetrainRace`,
     * which for caller-held codebooks refuses instead). */
+  /** Fail-fast schema gate for the commitIf append paths: commitIf
+    * skips `commit`'s write-time enforceAppend (it exists for MERGE
+    * rewrites), so without this a mis-typed append would COMMIT and
+    * only fail at the next read — with the bad segment already in the
+    * manifest. Strict name/type equality: the index table's schema is
+    * ours, evolution happens through rebuild/retrain, never through
+    * an append. */
+  private def requireAppendSchema(incoming: DataFrame, spark:
+      org.apache.spark.sql.SparkSession, path: String, v: Long): Unit = {
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) ->
+        f.dataType.catalogString).sortBy(_._1).toSeq
+    val idx = shape(SnapshotScan.frameAt(spark, path, v).schema)
+    val in = shape(incoming.schema)
+    require(in == idx,
+      s"append schema ${in.mkString(",")} does not match index $path " +
+        s"schema ${idx.mkString(",")} — rebuild the index to change " +
+        "its schema")
+  }
+
   private def appendUnderState(df: DataFrame, embedding: String,
       path: String, st0: IvfIndexState, extraMeta: Map[String, String],
       onRetrainRace: IvfIndexState => Unit): IvfAppend = {
@@ -700,6 +734,9 @@ object Similarity {
     // ONE assignment pass (the dominant per-row compute), materialized
     // chunk-local: the write and the quality aggregate both read it,
     // and a lost CAS re-stages the same blocks without recomputing
+    requireAppendSchema(
+      ivfAssignWithSim(df, embedding, st.codebook).drop(AssignSimCol),
+      spark, path, st.version)
     var assigned = ivfAssignWithSim(df, embedding, st.codebook)
       .localCheckpoint(true)
     var q = qualityOf(assigned)
@@ -757,7 +794,7 @@ object Similarity {
     val cbFile = writeCodebookSidecar(spark, path, codebook, fp)
     try Versioned.commitBucketed(
       ivfAssign(carrier.limit(0), embedding, codebook), path, "list_id",
-      codebook.entries.length, "create",
+      ivfBuckets(codebook.entries.length), "create",
       ivfMeta(cbFile, fp, IvfStats(0, 0.0)))
     catch { case _: Versioned.CreateConflict => () }
   }
@@ -834,7 +871,7 @@ object Similarity {
       val cbFile = writeCodebookSidecar(spark, path, cb, fp)
       if (Versioned.commitIf(assigned.drop(AssignSimCol), path,
           "overwrite", ivfMeta(cbFile, fp, stats), base,
-          Some(("list_id", nlist))).isDefined)
+          Some(("list_id", ivfBuckets(nlist)))).isDefined)
         return (cb, stats)
       // lost the CAS to an interleaved append: its rows must be in the
       // retrained index — re-read and retry (the orphan codebook

@@ -12,55 +12,25 @@ class ComponentsSpec extends SparkSpec {
     * loop (forced via the singleTaskMaxEdges=-1 test seam — the
     * 100-TB path must not lose coverage to the fast path; -1 rather
     * than 0 so an EMPTY canonical edge set also takes the loop here,
-    * 0 <= 0 would silently compare fast-path vs fast-path). */
+    * 0 <= 0 would silently compare fast-path vs fast-path).
+    *
+    * History: r14 saw a transient Spark-internal
+    * `NoSuchElementException: key not found` under full-suite parallel
+    * load and rode it out with a bounded, stack-filtered retry here.
+    * The retry never fired again across 38+ consecutive full-suite
+    * runs (PERFORMANCE.md soak ledger), meeting its own removal
+    * criterion — it is gone (r15 verdict #2), so any recurrence now
+    * fails loudly with its full stack instead of hiding behind dead
+    * hardening. */
   private def run(edges: Seq[(Long, Long)]): Map[Long, Long] = {
-    def once(): Map[Long, Long] = {
-      val fast = Components.connectedComponents(edges.toDF("s", "d"), "s", "d")
-        .as[(Long, Long)].collect().toMap
-      val loop = Components.connectedComponents(edges.toDF("s", "d"), "s", "d",
-          singleTaskMaxEdges = -1L)
-        .as[(Long, Long)].collect().toMap
-      assert(fast == loop,
-        s"single-task and star-contraction paths diverge: $fast vs $loop")
-      fast
-    }
-    // r14 forensics: under full-suite parallel load the shared session
-    // intermittently threw a RAW `NoSuchElementException: key not
-    // found: <small int>` from Spark's driver internals (session-unique
-    // id — a shuffle/stage table) PERSISTENTLY for ~30 s, then cleared;
-    // the shrunk edge lists reproduce nothing in isolation and the
-    // union-find model provably covers every endpoint, so it is test-
-    // environment infrastructure, not Components semantics. Ride out
-    // that one signature with a logged bounded retry — semantic
-    // divergence (the assert above) still fails on the FIRST attempt,
-    // and anything else still propagates with its full stack.
-    // Retry ONLY when the throw originated inside Spark internals: the
-    // first graft.* or org.apache.spark.* frame walking the stack
-    // top-down must be Spark's. A NoSuchElementException raised from
-    // graft code (e.g. a closure Spark invokes — graft frames sit
-    // above Spark's) is a real defect and must fail on the first
-    // attempt (r14 ADVICE).
-    def sparkInternalOrigin(e: Throwable): Boolean =
-      e.getStackTrace.iterator.map(_.getClassName)
-        .find(c => c.startsWith("graft.") || c.startsWith("org.apache.spark."))
-        .exists(_.startsWith("org.apache.spark."))
-    var attempt = 0
-    while (true) {
-      try return once()
-      catch {
-        case e: java.util.NoSuchElementException
-            if e.getMessage != null &&
-              e.getMessage.startsWith("key not found") &&
-              sparkInternalOrigin(e) && attempt < 2 =>
-          attempt += 1
-          val sw = new java.io.StringWriter()
-          e.printStackTrace(new java.io.PrintWriter(sw))
-          info(s"transient Spark-internal lookup failure " +
-            s"(attempt $attempt, retrying in 15 s): $sw")
-          Thread.sleep(15000)
-      }
-    }
-    sys.error("unreachable")
+    val fast = Components.connectedComponents(edges.toDF("s", "d"), "s", "d")
+      .as[(Long, Long)].collect().toMap
+    val loop = Components.connectedComponents(edges.toDF("s", "d"), "s", "d",
+        singleTaskMaxEdges = -1L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == loop,
+      s"single-task and star-contraction paths diverge: $fast vs $loop")
+    fast
   }
 
   /** Driver-side union-find ground truth (path compression, min root). */

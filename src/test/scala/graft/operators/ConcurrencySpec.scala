@@ -380,7 +380,8 @@ class ConcurrencySpec extends SparkSpec {
     assert(fullProbe == brute,
       s"post-storm full probe diverged: $fullProbe vs $brute")
     assert(Versioned.bucketSpec(spark, t)
-      .exists(s => s._1.equalsIgnoreCase("list_id") && s._2 == 8))
+      .exists(s => s._1.equalsIgnoreCase("list_id") &&
+      s._2 == Similarity.ivfBuckets(8)))
     info(s"retrains landed mid-storm: ${retrainsLanded.get()} of 3")
   }
 }

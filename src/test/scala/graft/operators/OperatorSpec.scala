@@ -182,7 +182,7 @@ class OperatorSpec extends SparkSpec {
     }.sum
     val ball = Similarity.hammingBall(qBucket, 6, 2).get
     assert(ball.size == 1 + 6 + 15) // C(6,0)+C(6,1)+C(6,2)
-    val expected = ball.map(bucketOfLong(_, 64)).toSet
+    val expected = ball.map(bucketOfLong(_, Similarity.lshBuckets(6))).toSet
     val read = scanBuckets(probed)
     assert(read.nonEmpty && read.subsetOf(expected),
       s"probe scanned buckets $read, ball hashes to $expected")
@@ -240,7 +240,7 @@ class OperatorSpec extends SparkSpec {
     // the isin(list_id) predicate must prune FILES at plan time: the
     // scan's planned partitions cover only the probed cells' buckets
     val expected = Similarity.probeCells(cb, q, 2)
-      .map(bucketOfLong(_, 8)).toSet
+      .map(bucketOfLong(_, Similarity.ivfBuckets(8))).toSet
     val read = scanBuckets(probed)
     assert(read.nonEmpty && read.subsetOf(expected),
       s"probe scanned buckets $read, probed cells hash to $expected")
@@ -378,7 +378,8 @@ class OperatorSpec extends SparkSpec {
     assert(baseline.vectors == build.count() && baseline.meanSim > 0.0)
     assert(Similarity.loadPersistedIvf(spark, path)
       .exists(st => st.baseline == baseline &&
-        st.fingerprint == Similarity.fingerprint(cb) && st.buckets == 8))
+        st.fingerprint == Similarity.fingerprint(cb) &&
+        st.buckets == Similarity.ivfBuckets(8)))
     val app = Similarity.appendToPersistedIvf(extra, "embedding", cb, path)
     assert(app.appended == extra.count())
     assert(!app.retrainRecommended,
@@ -401,7 +402,7 @@ class OperatorSpec extends SparkSpec {
     val narrow = Similarity.probePersistedIvf(spark, path, "embedding",
       "vec_id", q, cb, nprobe = 2, k = 5)
     val expected = Similarity.probeCells(cb, q, 2)
-      .map(bucketOfLong(_, 8)).toSet
+      .map(bucketOfLong(_, Similarity.ivfBuckets(8))).toSet
     val read = scanBuckets(narrow)
     assert(read.nonEmpty && read.subsetOf(expected),
       s"post-append probe scanned buckets $read vs cells' $expected")
@@ -411,6 +412,16 @@ class OperatorSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       Similarity.appendToPersistedIvf(extra, "embedding", other, path)
     }.getMessage.contains("fingerprint"))
+    // a MIS-TYPED append refuses BEFORE committing: commitIf skips the
+    // write-time enforceAppend (it exists for MERGE rewrites), so this
+    // gate is the index's own — without it the bad segment would land
+    // in the manifest and fail only at the next read
+    val mistyped = extra.withColumn("vec_id", $"vec_id".cast("int"))
+    assert(intercept[IllegalArgumentException] {
+      Similarity.appendToPersistedIvf(mistyped, "embedding", cb, path)
+    }.getMessage.contains("does not match index"))
+    assert(Versioned.versions(spark, path).sorted == Seq(0L, 1L),
+      "mis-typed append committed a version")
   }
 
   test("persisted IVF append: a shifted distribution fires " +
@@ -487,7 +498,7 @@ class OperatorSpec extends SparkSpec {
       s"retrained baseline must reset to 1.0: $stats2")
     assert(Similarity.loadPersistedIvf(spark, path)
       .exists(st => st.fingerprint == Similarity.fingerprint(cb2) &&
-        st.buckets == 16 && st.baseline == stats2))
+        st.buckets == Similarity.ivfBuckets(16) && st.baseline == stats2))
     // the OLD codebook is stale now: appends and probes holding it
     // refuse instead of silently mis-routing
     assert(intercept[IllegalArgumentException] {

@@ -206,9 +206,10 @@ class AnnIngestSpec extends SparkSpec {
     // probe's planned partitions cover only the probed cells' buckets
     val narrow = Similarity.probePersistedIvf(spark, idx, "embedding",
       "vec_id", q, cb, nprobe = 2, k = 5)
+    val n = Similarity.ivfBuckets(8)
     val expected = Similarity.probeCells(cb, q, 2).map { v =>
       val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(v, 42)
-      ((h % 8) + 8) % 8
+      ((h % n) + n) % n
     }.toSet
     val read = narrow.queryExecution.executedPlan.collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
