@@ -40,8 +40,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * crash-atomically in its own commit meta, and every batch's mean
   * assigned-centroid cosine is compared against it —
   * `retrainRecommended` (the [[Similarity.IvfAppend]] rule) is logged
-  * at WARN, the signal to run `Similarity.retrainPersistedIvf` (now
-  * in-place; the stream picks the new codebook up automatically).
+  * at WARN. With an [[AutoRetrain]] policy the sink CLOSES the loop
+  * itself: the flagged batch triggers `Similarity.retrainPersistedIvf`
+  * in place, and because the retrain is one CAS'd overwrite commit,
+  * probes pinned before it keep reading the old (version, codebook,
+  * data) triple while the next probe resolves the new one atomically
+  * — the commit IS the swap, no pointer file or probe repoint needed.
+  * Without the policy the WARN remains the operator's signal.
   *
   * A LEGACY pre-r16 dir (`batch=<id>/list_id=` stream layout or a
   * root-level `list_id=` plain build, no commit log) refuses up front:
@@ -97,15 +102,37 @@ object AnnIngest {
         "and point the stream there")
   }
 
+  /** In-stream drift response: when a batch's drift check fires, the
+    * sink retrains the index IN PLACE instead of only WARNing — the
+    * drift loop's last manual step, automated. `id` names the vector
+    * id column (the codebook builder needs it); `nlist` = 0 keeps the
+    * current codebook's cell count, a positive value re-sizes the
+    * codebook (the usual response when drift means the corpus outgrew
+    * it). The retrain runs AFTER the batch's ledger commit, so a crash
+    * in between loses only the retrain, never the batch: the replayed
+    * batch skips, and the still-drifted distribution re-fires the flag
+    * on its next cohort — the signal is self-healing, which is why the
+    * retrain needs no ledger of its own. Cost is one assignment pass
+    * over the index per FIRE (not per batch), and a post-retrain
+    * baseline describes the whole corpus, so a stationary-after-shift
+    * stream fires once, not forever. */
+  final case class AutoRetrain(id: String, nlist: Int = 0,
+      refineIters: Int = 0) {
+    require(nlist >= 0, s"nlist must be >= 0, got $nlist")
+  }
+
   /** What one micro-batch did (`appended` = -1 when replayed: nothing
-    * was committed this invocation). */
+    * was committed this invocation; `retrained` = the sink's
+    * [[AutoRetrain]] policy fired and the in-place retrain committed). */
   case class BatchOutcome(batchId: Long, appended: Long, meanSim: Double,
-      retrainRecommended: Boolean, replayed: Boolean)
+      retrainRecommended: Boolean, replayed: Boolean,
+      retrained: Boolean = false)
 
   /** Process one micro-batch (the foreachBatch body, callable directly
     * so specs can drive replay/retrain schedules deterministically). */
   def processBatch(batch: DataFrame, batchId: Long, embedding: String,
-      seedCodebook: Similarity.IvfCodebook, path: String): BatchOutcome = {
+      seedCodebook: Similarity.IvfCodebook, path: String,
+      autoRetrain: Option[AutoRetrain] = None): BatchOutcome = {
     val spark = batch.sparkSession
     requireSnapshotOrEmpty(spark, path)
     Similarity.ensurePersistedIvf(batch, embedding, seedCodebook, path)
@@ -122,21 +149,42 @@ object AnnIngest {
       path, Map(BatchKey -> batchId.toString))
     // after the commit: the vacuum-proof mirror (see lastAppliedBatch)
     BatchMirror.write(spark, mirrorFile(path), path, batchId)
+    val retrained = app.retrainRecommended && autoRetrain.exists { ar =>
+      val nlist =
+        if (ar.nlist > 0) ar.nlist
+        else Similarity.loadPersistedIvf(spark, path)
+          .map(_.codebook.entries.length)
+          .getOrElse(throw new IllegalStateException(
+            s"$path lost its IVF descriptor between the append and the " +
+              "auto-retrain — a foreign overwrite landed; rebuild the " +
+              "index"))
+      val (_, stats) = Similarity.retrainPersistedIvf(spark, path,
+        embedding, ar.id, nlist, ar.refineIters)
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"ann-ingest batch $batchId: drift fired, retrained $path in " +
+          f"place (nlist=$nlist, new baseline ${stats.vectors} vectors " +
+          f"@ mean_sim=${stats.meanSim}%.4f)")
+      true
+    }
     BatchOutcome(batchId, app.appended, app.meanSim,
-      app.retrainRecommended, replayed = false)
+      app.retrainRecommended, replayed = false, retrained = retrained)
   }
 
   /** The foreachBatch sink: `writeStream.foreachBatch(AnnIngest.sink(
-    * "embedding", seedCodebook, indexPath))`. */
+    * "embedding", seedCodebook, indexPath))`. Pass an [[AutoRetrain]]
+    * policy to close the drift loop in-stream. */
   def sink(embedding: String, seedCodebook: Similarity.IvfCodebook,
-      path: String): (DataFrame, Long) => Unit =
+      path: String, autoRetrain: Option[AutoRetrain] = None):
+      (DataFrame, Long) => Unit =
     (batch, batchId) => {
-      val o = processBatch(batch, batchId, embedding, seedCodebook, path)
+      val o = processBatch(batch, batchId, embedding, seedCodebook, path,
+        autoRetrain)
       org.slf4j.LoggerFactory.getLogger(getClass).info(
         if (o.replayed)
           s"ann-ingest batch ${o.batchId}: replay detected, skipped"
         else s"ann-ingest batch ${o.batchId}: appended=${o.appended} " +
-          f"mean_sim=${o.meanSim}%.4f retrain=${o.retrainRecommended}")
+          f"mean_sim=${o.meanSim}%.4f retrain=${o.retrainRecommended} " +
+          s"retrained=${o.retrained}")
       ()
     }
 }

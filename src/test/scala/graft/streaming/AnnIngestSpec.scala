@@ -118,6 +118,68 @@ class AnnIngestSpec extends SparkSpec {
     assert(probed.toSeq == brute.toSeq)
   }
 
+  test("auto-retrain handoff: drift fires mid-stream and the SINK " +
+    "retrains in place — probes pinned before the retrain read the old " +
+    "(version, codebook, data) triple, the next probe resolves the new " +
+    "one, and the re-seeded baseline stops the same class re-firing") {
+    val path = tmpDir("annauto") + "/ivf"
+    val policy = Some(AnnIngest.AutoRetrain("vec_id", nlist = 16))
+    val b0 = vecs((1L to 8L).map(i => (i, (i % 8).toInt)): _*)
+    val cb = Similarity.buildCodebook(b0, "embedding", "vec_id", nlist = 8)
+    val first = AnnIngest.processBatch(b0, 0L, "embedding", cb, path, policy)
+    assert(!first.retrainRecommended && !first.retrained)
+    val stOld = Similarity.loadPersistedIvf(spark, path).get
+    // the drifted cohort: the flag fires AND the sink retrains itself
+    val drifted = vecs((200L to 207L).map(i => (i, 8 + (i % 8).toInt)): _*)
+    val hit = AnnIngest.processBatch(drifted, 1L, "embedding", cb, path,
+      policy)
+    assert(hit.retrainRecommended && hit.retrained, s"$hit")
+    val stNew = Similarity.loadPersistedIvf(spark, path).get
+    assert(stNew.fingerprint != stOld.fingerprint &&
+      stNew.codebook.entries.length == 16 &&
+      stNew.version > stOld.version,
+      s"retrain did not land: $stOld -> $stNew")
+    // exactly ONE commit past the batch-1 append: seed, b0, b1, retrain
+    assert(Versioned.versions(spark, path).sorted.length == 4)
+    // old-then-new atomicity: a probe pinned BEFORE the retrain reads
+    // the old snapshot under the old codebook — internally consistent
+    // (it equals brute force over exactly the rows that version held)
+    val q = oneHot(3)
+    val oldProbe = Similarity.ivfTopK(
+      graft.operators.SnapshotScan.frameAt(spark, path, stOld.version),
+      "embedding", "vec_id", q, stOld.codebook, nprobe = 8, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val oldBrute = Similarity.bruteForceTopK(b0, "embedding", "vec_id",
+      q, 3).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(oldProbe.toSeq == oldBrute.toSeq)
+    // ...and a fresh probe resolves the retrained triple: exact over
+    // EVERYTHING ingested, including the drifted cohort the old
+    // codebook could not cell apart
+    val q2 = oneHot(12)
+    val newProbe = Similarity.probePersistedIvf(spark, path, "embedding",
+      "vec_id", q2, nprobe = 16, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val newBrute = Similarity.bruteForceTopK(b0.unionByName(drifted),
+      "embedding", "vec_id", q2, 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(newProbe.toSeq == newBrute.toSeq)
+    // the retrain re-seeded the baseline over the whole corpus, so the
+    // same shifted class is in-distribution now: no re-fire, no loop
+    val again = AnnIngest.processBatch(
+      vecs((300L to 307L).map(i => (i, 8 + (i % 8).toInt)): _*),
+      2L, "embedding", cb, path, policy)
+    assert(!again.retrainRecommended && !again.retrained, s"$again")
+    assert(math.abs(again.meanSim - 1.0) < 1e-9, s"$again")
+    // without a policy the flag still only WARNs (the pre-r16 contract)
+    val manual = tmpDir("annmanual") + "/ivf"
+    AnnIngest.processBatch(b0, 0L, "embedding", cb, manual)
+    val warned = AnnIngest.processBatch(drifted, 1L, "embedding", cb,
+      manual)
+    assert(warned.retrainRecommended && !warned.retrained)
+    assert(Similarity.loadPersistedIvf(spark, manual).get.fingerprint ==
+      Similarity.fingerprint(cb), "no-policy sink retrained anyway")
+  }
+
   test("vacuum on the index cannot erase the replay ledger (the mirror " +
     "answers); a legacy plain-dir layout refuses up front") {
     val path = tmpDir("annvacuum") + "/ivf"
