@@ -4,10 +4,11 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
 /** Tiny sidecar files (flat one-object JSON or a bare value) next to
-  * persisted indexes: the IVF drift baseline (`_ivf_stats.json`), the
-  * LSH plane family (`_lsh_planes.json`), the streaming near-dedup
-  * batch mirror (`_neardedup_batch`). One read/write/parse
-  * implementation so the four call sites cannot drift — and so a
+  * persisted indexes: the content-addressed IVF codebook
+  * (`_ivf_codebook-<fp>.txt`), the legacy plain-dir LSH plane family
+  * (`_lsh_planes.json`), the streaming batch mirrors
+  * (`_neardedup_batch`, `_annbatch`). One read/write/parse
+  * implementation so the call sites cannot drift — and so a
   * TRUNCATED sidecar (a crash between create and write leaves a
   * zero-byte file) fails with a named, actionable error instead of a
   * bare MatchError. */
@@ -30,7 +31,14 @@ private[graft] object Sidecars {
         fs.getUri, fs.getConf)
       fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     } catch {
-      case _: UnsupportedOperationException | _: java.io.IOException =>
+      // ONLY capability errors (no AbstractFileSystem binding / no
+      // atomic-overwrite rename) downgrade to delete+rename — a
+      // TRANSIENT IOException must propagate, because the fallback
+      // deletes the existing sidecar first and a second failure (or a
+      // crash) in that window would leave NO sidecar where stale-but-
+      // valid content previously survived.
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException |
+          _: UnsupportedOperationException =>
         if (fs.exists(p)) fs.delete(p, false)
         require(fs.rename(tmp, p), s"could not write sidecar $p")
     }

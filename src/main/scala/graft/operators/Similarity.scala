@@ -63,21 +63,15 @@ object Similarity {
   private def lshMeta(numPlanes: Int, dim: Int): Map[String, String] =
     Map(LshPlanesKey -> s"$numPlanes/$dim")
 
-  /** Plane family + pinned version of a persisted snapshot LSH index:
-    * latest version resolved once, meta scanned newest-first from it
-    * (foreign commits without the key are skipped over). */
+  /** Plane family + pinned version of a persisted snapshot LSH index
+    * (the [[Versioned.latestMeta]] newest-first descriptor read). */
   private def lshState(spark: org.apache.spark.sql.SparkSession,
-      path: String): Option[(Long, Int, Int)] = {
-    val vs = Versioned.versions(spark, path).sorted
-    if (vs.isEmpty) return None
-    val latest = vs.max
-    vs.reverseIterator
-      .flatMap(v => Versioned.readMeta(spark, path, v).get(LshPlanesKey))
-      .nextOption().map { s =>
+      path: String): Option[(Long, Int, Int)] =
+    Versioned.latestMeta(spark, path)(_.get(LshPlanesKey)).map {
+      case (latest, s) =>
         val cut = s.indexOf('/')
         (latest, s.substring(0, cut).toInt, s.substring(cut + 1).toInt)
-      }
-  }
+    }
 
   /** The recorded plane family of a persisted LSH index — commit-meta
     * descriptor for snapshot indexes, the legacy `_lsh_planes.json`
@@ -199,7 +193,11 @@ object Similarity {
       throw new IllegalArgumentException(
         s"$path is not a snapshot LSH index (no commit log) — migrate " +
           "the legacy plain-dir index first with migratePersistedIndex")
-    val ixed = index(df, embedding, numPlanes, dim)
+    // ONE assignment pass (source scan + hyperplane dot products),
+    // materialized chunk-local: the schema check and every commitIf
+    // attempt re-stage from the checkpointed blocks instead of
+    // re-running the plan per CAS retry (the IVF append's discipline)
+    val ixed = index(df, embedding, numPlanes, dim).localCheckpoint(true)
     var attempts = 0
     var schemaChecked = false
     while (attempts < 5) {
@@ -431,10 +429,10 @@ object Similarity {
   }
 
   /** Assignment quality of one cohort of vectors: how many, and their
-    * mean cosine to the centroid each was assigned. Written as the
-    * `_ivf_stats.json` sidecar at build time (underscore-prefixed, so
-    * parquet readers never see it) — the baseline every later append's
-    * drift check compares against. */
+    * mean cosine to the centroid each was assigned. Committed as the
+    * `ivf_baseline` manifest-meta key (crash-atomic with the rows it
+    * describes) — the baseline every later append's drift check
+    * compares against. */
   final case class IvfStats(vectors: Long, meanSim: Double)
 
   /** What [[appendToPersistedIvf]] did. `retrainRecommended` is the
@@ -450,12 +448,25 @@ object Similarity {
     * meanSim ≤ −1, silencing the flag forever — the exact silent
     * degradation the signal exists to catch), so it never justifies a
     * verdict either way; the append paths RE-SEED such a baseline from
-    * the first non-empty cohort instead. */
+    * the first non-empty cohort instead.
+    *
+    * A second, ABSOLUTE trigger backs the relative rule: a cohort
+    * whose mean assignment cosine is ≤ 0 sits orthogonal-or-worse to
+    * every centroid it was assigned — the codebook routes it no better
+    * than chance, whatever the build looked like. Without the floor a
+    * LOOSE baseline silently disarms drift detection outright: at
+    * build meanSim b the 2× rule demands cohort sim ≤ 2b − 1, and for
+    * b < 0.5 that is below what ANY cohort can reach against spread
+    * centroids (the minimax of max-cosine over nlist directions is
+    * only mildly negative) — measured on the sf0.1 embeddings at
+    * nlist=16: b = 0.234 demanded sim ≤ −0.53 while the most
+    * adversarial constructible cohort measured −0.07. */
   final case class IvfAppend(appended: Long, meanSim: Double,
       build: IvfStats) {
     def retrainRecommended: Boolean =
       appended > 0 && build.vectors > 0 &&
-        (1.0 - meanSim) >= 2.0 * math.max(1.0 - build.meanSim, 0.01)
+        ((1.0 - meanSim) >= 2.0 * math.max(1.0 - build.meanSim, 0.01) ||
+          meanSim <= 0.0)
   }
 
   // ---------- persisted IVF: the Versioned snapshot layout ----------
@@ -557,18 +568,14 @@ object Similarity {
     * like the band index's batch ledger). None when the path holds no
     * snapshot table or no version carries a descriptor. */
   def loadPersistedIvf(spark: org.apache.spark.sql.SparkSession,
-      path: String): Option[IvfIndexState] = {
-    val vs = Versioned.versions(spark, path).sorted
-    if (vs.isEmpty) return None
-    val latest = vs.max
-    vs.reverseIterator.flatMap { v =>
-      val m = Versioned.readMeta(spark, path, v)
+      path: String): Option[IvfIndexState] =
+    Versioned.latestMeta(spark, path) { m =>
       for {
         f <- m.get(IvfCodebookKey)
         fp <- m.get(IvfFpKey)
         b <- m.get(IvfBaselineKey)
       } yield (f, fp, b)
-    }.nextOption().map { case (f, fp, b) =>
+    }.map { case (latest, (f, fp, b)) =>
       val p = new org.apache.hadoop.fs.Path(path, f)
       val raw = Sidecars.read(spark, p).getOrElse(
         throw new IllegalStateException(
@@ -581,7 +588,6 @@ object Similarity {
         Versioned.bucketSpec(spark, path, Some(latest)).map(_._2)
           .getOrElse(0))
     }
-  }
 
   private def requireIvfState(spark: org.apache.spark.sql.SparkSession,
       path: String, what: String): IvfIndexState =

@@ -24,11 +24,22 @@ private[graft] object SnapshotScan {
   /** Register (idempotently) a per-table catalog rooted at the table's
     * parent dir and return the backtick-quoted `cat.table` identifier.
     * The catalog name is a pure function of the path, so repeated
-    * reads reuse one catalog instance (and its caches). */
+    * reads reuse one catalog instance (and its caches). The name
+    * carries 64 hash bits: Spark's CatalogManager caches the catalog
+    * INSTANCE by name with the root it was initialized with, so a
+    * name collision between two table paths would silently serve the
+    * first path's parent for both — wrong-table reads, not an error.
+    * At 64 bits a collision needs ~10^9 distinct table paths in one
+    * session; the 24-bit form this replaces collided at birthday odds
+    * of ~3% by 1000 tables. */
+  private[graft] def pathToken(path: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+
   private def identifierOf(spark: SparkSession, path: String): String = {
     val p = new Path(path)
-    val cat = "graft_snap_" + java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(path).toLong & 0xffffffL)
+    val cat = "graft_snap_" + pathToken(path)
     spark.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.sources.GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", p.getParent.toString)

@@ -3269,6 +3269,26 @@ object Versioned {
     readMetaRaw(fs, root, v)
   }
 
+  /** Pin the table's LATEST version, then scan manifest meta
+    * newest-first from it for the first commit where `select` yields a
+    * value — the shared "my descriptor/ledger rides the newest commit
+    * that carries it; FOREIGN commits (OPTIMIZE, VACUUM checkpoint
+    * rewrites, other writers' appends) carry none and are skipped
+    * over" read, used by the persisted-index descriptors (LSH plane
+    * family, IVF codebook) and the streaming batch ledgers. Returns
+    * (the pinned latest version — the snapshot a reader must scan, NOT
+    * necessarily the version that carried the value — and the value);
+    * None when the table has no versions or none carries it. */
+  def latestMeta[A](spark: SparkSession, table: String)(
+      select: Map[String, String] => Option[A]): Option[(Long, A)] = {
+    val vs = versions(spark, table).sorted
+    vs.lastOption.flatMap { latest =>
+      vs.reverseIterator
+        .flatMap(v => select(readMeta(spark, table, v)))
+        .nextOption().map((latest, _))
+    }
+  }
+
   /** [[readMeta]] from an already-resolved (fs, root) — the form the
     * commit loop's contract-key re-merge uses under the lock (the
     * manifest cache makes it one map lookup on the hot path). */

@@ -150,8 +150,7 @@ object SourceQueries {
         // catalog name carries the sf-dir hash: the catalog manager
         // caches the plugin per NAME at first use, so a second sf dir
         // in the same session must resolve to its own catalog instance
-        val cat = "graft_vt3_" + java.lang.Long.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffL)
+        val cat = "graft_vt3_" + graft.operators.SnapshotScan.pathToken(dir)
         s.conf.set(s"spark.sql.catalog.$cat",
           classOf[graft.sources.GraftCatalog].getName)
         s.conf.set(s"spark.sql.catalog.$cat.root", rootDir)
@@ -174,8 +173,7 @@ object SourceQueries {
     "vt4_catalog_write" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val cat = "graft_vt4_" + java.lang.Long.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffL)
+        val cat = "graft_vt4_" + graft.operators.SnapshotScan.pathToken(dir)
         val rootDir = stages.computeIfAbsent(s"$dir|vt4|root", { _ =>
           java.nio.file.Files.createTempDirectory("vt4").toString
         })
@@ -730,8 +728,7 @@ object SourceQueries {
       (s, dir) => {
         import s.implicits._
         val V = graft.operators.Versioned
-        val cat = "graft_vt14_" + java.lang.Long.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffL)
+        val cat = "graft_vt14_" + graft.operators.SnapshotScan.pathToken(dir)
         val rootDir = stages.computeIfAbsent(s"$dir|vt14", { _ =>
           val r = java.nio.file.Files.createTempDirectory("vt14").toString
           val td = s"$r/lake/t"
@@ -794,8 +791,7 @@ object SourceQueries {
     "vt6_meta_agg" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val cat = "graft_vt6_" + java.lang.Long.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffL)
+        val cat = "graft_vt6_" + graft.operators.SnapshotScan.pathToken(dir)
         val rootDir = stages.computeIfAbsent(s"$dir|vt6|root", { _ =>
           val r = java.nio.file.Files.createTempDirectory("vt6").toString
           val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_shipdate",
@@ -837,8 +833,7 @@ object SourceQueries {
     , "spj1_bucketed_join" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val cat = "graft_spj_" + java.lang.Long.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffL)
+        val cat = "graft_spj_" + graft.operators.SnapshotScan.pathToken(dir)
         val rootDir = stages.computeIfAbsent(s"$dir|spj|root", { _ =>
           val r = java.nio.file.Files.createTempDirectory("spj").toString
           graft.operators.Versioned.commitBucketed(
@@ -879,8 +874,7 @@ object SourceQueries {
     // per-key sums to a compact closed-form row the oracle recomputes.
     , "spj2_bucketed_agg" -> QueryDef(
       (s, dir) => {
-        val cat = "graft_spj_" + java.lang.Long.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffL)
+        val cat = "graft_spj_" + graft.operators.SnapshotScan.pathToken(dir)
         // reuse spj1's staged lake (stages map is idempotent per sf dir)
         val rootDir = stages.get(s"$dir|spj|root") match {
           case null =>
@@ -930,8 +924,7 @@ object SourceQueries {
         c.conf.set("spark.sql.sources.v2.bucketing" +
           ".partiallyClusteredDistribution.enabled", "true")
         import c.implicits._
-        val cat = "graft_pcd_" + java.lang.Long.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffL)
+        val cat = "graft_pcd_" + graft.operators.SnapshotScan.pathToken(dir)
         val rootDir = stages.computeIfAbsent(s"$dir|spj3|root", { _ =>
           val r = java.nio.file.Files.createTempDirectory("spj3").toString
           val li = t(c, dir, "lineitem")
@@ -974,8 +967,7 @@ object SourceQueries {
     , "spj4_bucket_pruned_lookup" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val cat = "graft_spj_" + java.lang.Long.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffL)
+        val cat = "graft_spj_" + graft.operators.SnapshotScan.pathToken(dir)
         val rootDir = stages.computeIfAbsent(s"$dir|spj|root", { _ =>
           val r = java.nio.file.Files.createTempDirectory("spj").toString
           graft.operators.Versioned.commitBucketed(

@@ -68,18 +68,18 @@ object AnnIngest {
     * over) or its vacuum-proof mirror, whichever is higher. None when
     * the stream has never committed. */
   def lastAppliedBatch(spark: SparkSession, path: String): Option[Long] = {
-    val fromMeta = Versioned.versions(spark, path).sorted
-      .reverseIterator
-      .flatMap(v => Versioned.readMeta(spark, path, v).get(BatchKey))
-      .flatMap(s => scala.util.Try(s.toLong).toOption)
-      .nextOption()
+    val fromMeta = Versioned.latestMeta(spark, path)(
+      _.get(BatchKey).flatMap(s => scala.util.Try(s.toLong).toOption))
+      .map(_._2)
     val fromFile = BatchMirror.read(spark, mirrorFile(path), path)
     (fromMeta ++ fromFile).maxOption
   }
 
   /** Refuse a legacy plain-dir layout before the first commit lands —
     * a snapshot committed over it would shadow every legacy vector
-    * with no write-time error. One listing per stream start. */
+    * with no write-time error. Runs per micro-batch (one exists +
+    * listing); it short-circuits on the commit log's presence, so the
+    * listing only happens while the dir is still uncommitted. */
   private def requireSnapshotOrEmpty(spark: SparkSession,
       path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)

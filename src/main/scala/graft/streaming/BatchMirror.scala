@@ -27,13 +27,17 @@ private[graft] object BatchMirror {
   /** Batch id recorded in the mirror, iff it is scoped to `scopePath`.
     * An unparseable or foreign-scoped mirror reads as None — the
     * manifest is primary; the mirror only exists for the
-    * vacuum-erased-manifest case. */
+    * vacuum-erased-manifest case. BOTH sides of the scope comparison
+    * are normalized: mirrors written before the normalization landed
+    * recorded the RAW index path, and reading them as foreign would
+    * silently drop exactly the vacuum-erasure protection they carry —
+    * a spelling that qualifies to the same URI is the same index. */
   def read(spark: SparkSession, file: Path, scopePath: String)
       : Option[Long] =
     graft.operators.Sidecars.read(spark, file)
       .flatMap(raw => scala.util.Try {
         val m = graft.operators.Sidecars.parseFlatJson(raw, file)
-        if (m("index") == normalize(spark, scopePath))
+        if (normalize(spark, m("index")) == normalize(spark, scopePath))
           Some(m("batch").toLong)
         else None
       }.toOption.flatten)

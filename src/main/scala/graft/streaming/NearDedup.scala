@@ -87,11 +87,9 @@ object NearDedup {
     * foreign commits within one batch turnaround — to answer. */
   def lastAppliedBatch(spark: SparkSession, indexPath: String,
       outPath: String): Option[Long] = {
-    val fromMeta = Versioned.versions(spark, indexPath).sorted
-      .reverseIterator
-      .flatMap(v => Versioned.readMeta(spark, indexPath, v).get(BatchKey))
-      .flatMap(s => scala.util.Try(s.toLong).toOption)
-      .nextOption()
+    val fromMeta = Versioned.latestMeta(spark, indexPath)(
+      _.get(BatchKey).flatMap(s => scala.util.Try(s.toLong).toOption))
+      .map(_._2)
     // the mirror is SCOPED to its index: a stale mirror left in a
     // reused out dir must not mark a NEW stream's (fresh-index)
     // batches as replays — a mirror recording a different index path

@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   *   3. st17 streaming near-dedup batches over arriving docs (fresh +
   *      corpus copies + in-chunk copies — closed-form outcomes);
   *   4. st18 streaming ANN ingest batches over their embeddings
-  *      (snapshot IVF index, ledgered appends);
+  *      (snapshot IVF index, ledgered appends), then a DRIFTED cohort
+  *      that fires the AutoRetrain policy — the sink retrains the
+  *      index in place itself, mid-day, under no operator;
   *   5. maintenance: rebucket/retrain (the indexes' OPTIMIZE) +
   *      VACUUM on both shared indexes — then the checks a 100 TB
   *      operator cares about: a replayed batch still skips (the
@@ -133,6 +135,37 @@ object ProductionDayRehearsal {
     }
     println(f"""{"stage":"st18_batches","wall_s":${st18aS + st18bS}%.2f,"appended":${a0.appended + a1.appended},"retrain_flagged":${a0.retrainRecommended || a1.retrainRecommended},"index_versions":${versionsOf(ivfIndex)}}""")
 
+    // ---- stage 4b: a DRIFTED cohort under the AutoRetrain policy:
+    // the sink must flag the drift AND close the loop itself — the
+    // in-place retrain commit is the swap, no operator intervention.
+    // The cohort is the NEGATED MEAN of the committed centroids
+    // (resolved from the index's own descriptor): embeddings live in a
+    // cone, so every centroid has substantial positive cosine to their
+    // mean, and the negation is anti-correlated with ALL of them —
+    // mean assignment sim goes negative, which clears the 2×-distance
+    // drift bar against any baseline (plain per-vector negation does
+    // NOT: some centroid is usually anti-correlated with any single
+    // vector, and the cohort measured sim 0.22 — too mild to flag
+    // against this corpus's ~0.6 baseline).
+    val cbCommitted = graft.operators.Similarity
+      .loadPersistedIvf(spark, ivfIndex).get.codebook.entries
+    val dim = cbCommitted.head._2.length
+    val anti = Array.tabulate(dim) { d =>
+      (-cbCommitted.map(_._2(d)).sum / cbCommitted.length).toFloat
+    }
+    val driftedB = half1.limit(1000)
+      .select(($"vec_id" + 90000000L).as("vec_id"),
+        typedLit(anti).as("embedding"))
+      .localCheckpoint(true)
+    val (a2, st18cS) = timed {
+      graft.streaming.AnnIngest.processBatch(driftedB, 2L, "embedding",
+        cb, ivfIndex,
+        Some(graft.streaming.AnnIngest.AutoRetrain("vec_id")))
+    }
+    require(a2.retrainRecommended && a2.retrained,
+      s"drifted ANN batch did not auto-retrain: $a2")
+    println(f"""{"stage":"st18_drift_auto_retrain","wall_s":$st18cS%.2f,"appended":${a2.appended},"retrained":${a2.retrained},"index_versions":${versionsOf(ivfIndex)}}""")
+
     // ---- stage 5: maintenance — the indexes' OPTIMIZE analogues plus
     // retention on both shared tables
     val (_, maintS) = timed {
@@ -171,8 +204,10 @@ object ProductionDayRehearsal {
     val probed = graft.operators.Similarity.probePersistedIvf(spark,
       ivfIndex, "embedding", "vec_id", q, nprobe = 16, k = 10)
       .collect().map(_.getLong(0)).toSeq
+    // brute over EVERYTHING ingested (incl. the drifted cohort — a
+    // negated vector can outscore a real one against an arbitrary q)
     val brute = graft.operators.Similarity.bruteForceTopK(
-      emb, "embedding", "vec_id", q, 10)
+      emb.unionByName(driftedB), "embedding", "vec_id", q, 10)
       .collect().map(_.getLong(0)).toSeq
     require(probed == brute,
       s"post-maintenance ANN probe diverged: $probed vs $brute")

@@ -433,9 +433,9 @@ class OperatorSpec extends SparkSpec {
     // best sim 0, distance 1.0 >= 2 x the 0.01 floor — genuine drift.
     // (The real `embeddings` table is deliberately NOT used here: its
     // near-uniform vectors give a ~0.82 build distance that nothing
-    // can double — on unclusterable data the quality signal staying
-    // silent is the correct behavior, proven by the in-distribution
-    // case above.)
+    // can double — on unclusterable data the RELATIVE rule staying
+    // silent for mildly-degraded cohorts is correct; the ABSOLUTE
+    // floor for anti-correlated cohorts has its own test below.)
     def oneHot(axis: Int): Array[Float] =
       Array.tabulate(16)(d => if (d == axis) 1f else 0f)
     val build = (1L to 80L).map(i => (i, oneHot((i % 8).toInt)))
@@ -464,6 +464,46 @@ class OperatorSpec extends SparkSpec {
       Similarity.appendToPersistedIvf(build, "embedding", cb, bare)
     }
     assert(e.getMessage.contains("migratePersistedIvf"))
+  }
+
+  test("drift floor: a cohort orthogonal-or-worse to EVERY centroid " +
+    "fires even against a LOOSE baseline — where the relative 2x rule " +
+    "is geometrically unreachable (build meanSim < 0.5 demands a " +
+    "cohort sim below what spread centroids admit)") {
+    // the rule in isolation: loose baseline b = 0.25 puts the relative
+    // threshold at cohort sim <= -0.5 — unreachable; the floor fires
+    // exactly on anti-correlated cohorts and nothing milder
+    val loose = Similarity.IvfStats(100, 0.25)
+    assert(!Similarity.IvfAppend(10, 0.10, loose).retrainRecommended,
+      "mildly-degraded cohort must stay silent on a loose baseline")
+    assert(Similarity.IvfAppend(10, -0.05, loose).retrainRecommended,
+      "anti-correlated cohort must fire via the floor")
+    assert(!Similarity.IvfAppend(0, -1.0, loose).retrainRecommended,
+      "empty cohort never fires")
+    assert(!Similarity.IvfAppend(10, -1.0, Similarity.IvfStats(0, 0.0))
+      .retrainRecommended, "unarmed baseline never justifies a verdict")
+    // end-to-end: all-ones build rows against one-hot axis centroids
+    // assign at cos 1/4 = a 0.25 baseline; the NEGATED cohort assigns
+    // at -0.25 — the relative rule needs <= -0.5 (silent), the floor
+    // fires, and the in-distribution cohort stays silent
+    val axes = Similarity.IvfCodebook((0L until 8L).map(a =>
+      (a, Array.tabulate(16)(d => if (d == a) 1.0 else 0.0))).toArray)
+    val ones = Array.fill(16)(1f)
+    val anti = Array.fill(16)(-1f)
+    val build = (1L to 40L).map(i => (i, ones)).toDF("vec_id", "embedding")
+    val path = tmpDir("ivffloor") + "/index"
+    val baseline = Similarity.writePersistedIvf(build, "embedding", axes,
+      path)
+    assert(math.abs(baseline.meanSim - 0.25) < 1e-9, s"$baseline")
+    assert(!Similarity.appendToPersistedIvf(
+      (100L to 109L).map(i => (i, ones)).toDF("vec_id", "embedding"),
+      "embedding", axes, path).retrainRecommended,
+      "in-distribution cohort flagged on the loose baseline")
+    val app = Similarity.appendToPersistedIvf(
+      (200L to 209L).map(i => (i, anti)).toDF("vec_id", "embedding"),
+      "embedding", axes, path)
+    assert(math.abs(app.meanSim + 0.25) < 1e-9 && app.retrainRecommended,
+      s"anti-correlated cohort must fire via the floor: $app")
   }
 
   test("retrainPersistedIvf closes the drift loop IN PLACE: the rebuilt " +

@@ -252,6 +252,16 @@ class NearDedupSpec extends SparkSpec {
       "slash-variant index path silently ignored the mirror")
     assert(NearDedup.processBatch(docs(2L -> 2), 1L, $"text", "doc_id",
       s"$index/", out).replayed)
+    // a PRE-NORMALIZATION mirror recorded the RAW index path (no
+    // scheme qualification): it must still be accepted — reading it as
+    // foreign-scoped would silently drop exactly the vacuum-erasure
+    // protection it carries for streams upgraded in place
+    graft.operators.Sidecars.write(spark, mirrorP,
+      s"""{"batch":1,"index":"$index"}""")
+    assert(!index.startsWith("file:") && mirrorIndex.startsWith("file:"),
+      s"precondition: raw $index vs normalized $mirrorIndex")
+    assert(NearDedup.lastAppliedBatch(spark, index, out).contains(1L),
+      "legacy raw-path mirror read as foreign-scoped")
     // a comma in the index path cannot round-trip through the mirror's
     // flat-JSON format: refused loudly at the first batch
     val weird = s"$base/weird,index"
