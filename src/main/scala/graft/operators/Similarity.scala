@@ -194,38 +194,43 @@ object Similarity {
         s"$path is not a snapshot LSH index (no commit log) — migrate " +
           "the legacy plain-dir index first with migratePersistedIndex")
     // ONE assignment pass (source scan + hyperplane dot products),
-    // materialized chunk-local: the schema check and every commitIf
-    // attempt re-stage from the checkpointed blocks instead of
-    // re-running the plan per CAS retry (the IVF append's discipline)
+    // materialized chunk-local and staged ONCE: interleaved same-
+    // family appends rebase at manifest cost via the adjudication
+    // (the IVF append's discipline — no per-attempt re-staging)
     val ixed = index(df, embedding, numPlanes, dim).localCheckpoint(true)
-    var attempts = 0
-    var schemaChecked = false
-    while (attempts < 5) {
-      attempts += 1
-      val (v, np, d) = lshState(spark, path).getOrElse(
-        throw new IllegalArgumentException(
-          s"append: $path carries no plane-family descriptor — " +
-            "rebuild it with writePersistedIndex"))
+    def state(): (Long, Int, Int) = lshState(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"append: $path carries no plane-family descriptor — " +
+          "rebuild it with writePersistedIndex"))
+    def requireFamily(np: Int, d: Int): Unit =
       require(np == numPlanes && d == dim,
         s"append with plane family ($numPlanes, $dim) against $path " +
           s"built under ($np, $d) — vectors would land in the wrong " +
           "buckets; use the recorded family or rebuild with " +
           "writePersistedIndex")
-      val n = Versioned.bucketSpec(spark, path, Some(v)).map(_._2)
-        .getOrElse(throw new IllegalStateException(
-          s"$path latest version declares no bucket layout — rebuild " +
-            "with writePersistedIndex"))
-      if (!schemaChecked) { // same family every attempt: check once
-        requireAppendSchema(ixed, spark, path, v)
-        schemaChecked = true
-      }
-      if (Versioned.commitIf(ixed, path, "append",
-          lshMeta(numPlanes, dim), v, Some(("bucket", n))).isDefined)
-        return
+    val (v0, np0, d0) = state()
+    requireFamily(np0, d0)
+    val n0 = Versioned.bucketSpec(spark, path, Some(v0)).map(_._2)
+      .getOrElse(throw new IllegalStateException(
+        s"$path latest version declares no bucket layout — rebuild " +
+          "with writePersistedIndex"))
+    requireAppendSchema(ixed, spark, path, v0)
+    val landed = Versioned.commitIfAdjudicated(ixed, path,
+      lshMeta(numPlanes, dim), v0, Some(("bucket", n0)),
+      adjudicate = () => lshState(spark, path) match {
+        case Some((v, np, d)) if np == numPlanes && d == dim &&
+            Versioned.bucketSpec(spark, path, Some(v)).map(_._2)
+              .contains(n0) =>
+          Some((v, lshMeta(numPlanes, dim)))
+        case _ => None // family/layout changed underneath: fail loudly
+      })
+    if (landed.isEmpty) {
+      val (_, np2, d2) = state()
+      requireFamily(np2, d2) // the adjudication's actual refusal cause
+      throw new IllegalStateException(
+        s"append to $path kept racing commits — retry when the " +
+          "writer storm subsides")
     }
-    throw new IllegalStateException(
-      s"append to $path kept racing commits ($attempts attempts) — " +
-        "retry when the writer storm subsides")
   }
 
   /** All bucket values within Hamming `radius` of `center` over
@@ -724,7 +729,12 @@ object Similarity {
     def shape(s: org.apache.spark.sql.types.StructType) =
       s.fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) ->
         f.dataType.catalogString).sortBy(_._1).toSeq
-    val idx = shape(SnapshotScan.frameAt(spark, path, v).schema)
+    // versionSchema is the cheap path: schema carrier or a cached
+    // per-(table, version) inference — no catalog scan plan built just
+    // to read a schema. The frameAt fallback covers a file-less
+    // carrier-less version (the empty seed commit).
+    val idx = shape(Versioned.versionSchema(spark, path, Some(v))
+      .getOrElse(SnapshotScan.frameAt(spark, path, v).schema))
     val in = shape(incoming.schema)
     require(in == idx,
       s"append schema ${in.mkString(",")} does not match index $path " +
@@ -760,18 +770,39 @@ object Similarity {
       // evidence: re-seed it from the first non-empty cohort so the
       // drift signal arms instead of staying silent forever — the
       // re-seed rides THIS commit's meta, crash-atomic with its rows
-      val build =
-        if (st.baseline.vectors == 0 && q.vectors > 0) q else st.baseline
-      if (Versioned.commitIf(assigned.drop(AssignSimCol), path, "append",
-          ivfMeta(st.codebookFile, st.fingerprint, build) ++ extraMeta,
-          st.version, Some(("list_id", st.buckets))).isDefined) {
-        val res = IvfAppend(q.vectors, q.meanSim, build)
+      def buildFrom(s: IvfIndexState): IvfStats =
+        if (s.baseline.vectors == 0 && q.vectors > 0) q else s.baseline
+      // stage ONCE; interleaved SAME-fingerprint appends rebase at
+      // manifest cost via the adjudication (no per-attempt re-staging
+      // — at N concurrent appenders that would be O(N²) segment
+      // writes); a fingerprint or layout change underneath abandons
+      // to the re-assign path below
+      var committedBuild = buildFrom(st)
+      val landed = Versioned.commitIfAdjudicated(
+        assigned.drop(AssignSimCol), path,
+        ivfMeta(st.codebookFile, st.fingerprint, committedBuild) ++
+          extraMeta,
+        st.version, Some(("list_id", st.buckets)),
+        adjudicate = () => {
+          val stN = requireIvfState(spark, path, "append")
+          if (stN.fingerprint != st.fingerprint ||
+              stN.buckets != st.buckets) None
+          else {
+            committedBuild = buildFrom(stN)
+            Some((stN.version,
+              ivfMeta(stN.codebookFile, stN.fingerprint,
+                committedBuild) ++ extraMeta))
+          }
+        })
+      if (landed.isDefined) {
+        val res = IvfAppend(q.vectors, q.meanSim, committedBuild)
         if (res.retrainRecommended)
           org.slf4j.LoggerFactory.getLogger(getClass).warn(
             s"IVF index $path: appended cohort mean assignment sim " +
-              f"${q.meanSim}%.4f vs build baseline ${build.meanSim}%.4f" +
-              " — the frozen codebook no longer fits the arriving " +
-              "distribution; rebuild (retrain) recommended")
+              f"${q.meanSim}%.4f vs build baseline " +
+              f"${committedBuild.meanSim}%.4f — the frozen codebook " +
+              "no longer fits the arriving distribution; rebuild " +
+              "(retrain) recommended")
         return res
       }
       val st2 = requireIvfState(spark, path, "append")

@@ -551,6 +551,72 @@ object Versioned {
     }
   }
 
+  /** [[commitIf]] (append mode) for CAS-RETRY loops: the segment is
+    * staged ONCE and the conditional commit retried across interleaved
+    * commits, with the CALLER adjudicating each retry. Without this, a
+    * caller looping plain [[commitIf]] pays the full staging write
+    * (shuffle + one file per non-empty bucket) PER LOST ATTEMPT — at N
+    * concurrent appenders that is O(N²) staging work for O(N) commits,
+    * the kind of quadratic a 1000-executor ingest into one index table
+    * turns into a real bottleneck. Here a lost CAS costs one manifest
+    * re-read and one adjudication callback.
+    *
+    * `adjudicate()` runs after each conflict and returns the NEW
+    * (expectedBase, meta) to retry on — Some iff the staged rows are
+    * still valid under the table's new latest (for the ANN appends:
+    * the codebook fingerprint and bucket layout they were assigned
+    * under survive) — or None to abandon (staged segment deleted,
+    * returns None; the caller re-runs its slow path). Two guards stay
+    * HERE because the staged bytes were validated/written under the
+    * first base's contract: a retry base whose invariant rule set or
+    * column mapping differs from the first base's abandons regardless
+    * of the adjudication — rows never land unvalidated and bytes never
+    * land under a mapping they were not written for. */
+  def commitIfAdjudicated(df: DataFrame, table: String,
+      meta: Map[String, String], expectedBase: Long,
+      bucket: Option[(String, Int)],
+      adjudicate: () => Option[(Long, Map[String, String])]): Option[Long] = {
+    val spark = df.sparkSession
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mapping = columnMapping(spark, table, Some(expectedBase))
+    val invMeta = readMeta(spark, table, expectedBase)
+      .view.filterKeys(_ == Invariants.MetaKey).toMap
+    val newLines = writeSegmentLines(spark, fs, root,
+      mapping.applyWrite(df), bucket)
+    enforceStaged(spark, fs, root, newLines,
+      Invariants.decode(meta ++ invMeta),
+      "conditional snapshot commit", mapping)
+    val bucketMeta = bucket.map { case (c, n) => BucketKey -> s"$c/$n" }
+    var expected = expectedBase
+    var curMeta = meta
+    var attempts = 0
+    while (attempts < 50) { // backstop far above any real storm
+      attempts += 1
+      try return Some(commitManifest(fs, root,
+        curMeta ++ mapping.toMeta ++ invMeta ++ bucketMeta, { base =>
+          if (base != Some(expected)) throw new RewriteConflict
+          base.toSeq.flatMap(v => readFileLines(fs, root, v)) ++ newLines
+        }))
+      catch {
+        case _: RewriteConflict =>
+          val next = adjudicate().filter { case (b, _) =>
+            readMeta(spark, table, b).get(Invariants.MetaKey) ==
+              invMeta.get(Invariants.MetaKey) &&
+              columnMapping(spark, table, Some(b)) == mapping
+          }
+          next match {
+            case Some((b, m)) => expected = b; curMeta = m
+            case None =>
+              deleteAbandonedSegment(fs, root, newLines)
+              return None
+          }
+      }
+    }
+    deleteAbandonedSegment(fs, root, newLines)
+    None
+  }
+
   /** Test-only seam: invoked by [[commitIfAppendRebase]] between
     * staging the snapshot segment and the commit attempt — the window
     * a concurrent commit lands in. Production value is a no-op. */

@@ -384,4 +384,55 @@ class ConcurrencySpec extends SparkSpec {
       s._2 == Similarity.ivfBuckets(8)))
     info(s"retrains landed mid-storm: ${retrainsLanded.get()} of 3")
   }
+
+  test("commitIfAdjudicated: an interleaved append rebases at MANIFEST " +
+    "cost — ONE staged segment for the landed commit; caller refusal " +
+    "and an invariant-set change both abandon with the segment deleted") {
+    val t = tmpDir("adjud") + "/t"
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def segDirs(): Set[String] = {
+      val d = new org.apache.hadoop.fs.Path(t, "data")
+      if (!fs.exists(d)) Set.empty[String]
+      else fs.listStatus(d).map(_.getPath.getName).toSet
+    }
+    def rows(k0: Int, n: Int) =
+      (k0 until k0 + n).map(i => (i.toLong, s"r$i")).toDF("k", "v")
+    Versioned.commitBucketed(rows(0, 8), t, "k", 4) // v0
+    // a foreign append lands (v1) AFTER the caller read base 0 — the
+    // exact staging-window race the adjudication exists for
+    assert(Versioned.commitIf(rows(100, 4), t, "append", Map.empty, 0L,
+      Some(("k", 4))).contains(1L))
+    val before = segDirs()
+    val landed = Versioned.commitIfAdjudicated(rows(200, 4), t,
+      Map("who" -> "stale-base-caller"), expectedBase = 0L,
+      Some(("k", 4)),
+      adjudicate = () => Some((Versioned.versions(spark, t).max,
+        Map("who" -> "rebased-caller"))))
+    assert(landed.contains(2L), s"rebase did not land: $landed")
+    assert((segDirs() -- before).size == 1,
+      "rebase re-staged instead of reusing the staged segment")
+    assert(Versioned.readMeta(spark, t, 2L).get("who")
+      .contains("rebased-caller"), "adjudicated meta did not ride")
+    assert(Versioned.read(spark, t).count() == 16)
+    // caller refusal: conflict + adjudicate None → no commit, staged
+    // segment deleted, table byte-identical
+    val preRefuse = segDirs()
+    assert(Versioned.commitIfAdjudicated(rows(300, 4), t, Map.empty,
+      expectedBase = 0L, Some(("k", 4)), adjudicate = () => None).isEmpty)
+    assert(segDirs() == preRefuse, "abandoned segment not deleted")
+    assert(Versioned.versions(spark, t).max == 2L)
+    // invariant guard: the retry base declares a rule the staged rows
+    // were never validated against — the adjudication is overridden
+    // and the commit abandons even though the caller said retry
+    Versioned.commit(rows(0, 16), t, "append",
+      Invariants.encode(Seq(Invariants.NotNull("v"))))
+    val preInv = segDirs()
+    assert(Versioned.commitIfAdjudicated(rows(400, 4), t, Map.empty,
+      expectedBase = 0L, Some(("k", 4)),
+      adjudicate = () => Some((Versioned.versions(spark, t).max,
+        Map.empty[String, String]))).isEmpty,
+      "commit landed past an invariant-set change it never validated")
+    assert(segDirs() == preInv)
+  }
 }
