@@ -193,11 +193,6 @@ object Similarity {
       throw new IllegalArgumentException(
         s"$path is not a snapshot LSH index (no commit log) — migrate " +
           "the legacy plain-dir index first with migratePersistedIndex")
-    // ONE assignment pass (source scan + hyperplane dot products),
-    // materialized chunk-local and staged ONCE: interleaved same-
-    // family appends rebase at manifest cost via the adjudication
-    // (the IVF append's discipline — no per-attempt re-staging)
-    val ixed = index(df, embedding, numPlanes, dim).localCheckpoint(true)
     def state(): (Long, Int, Int) = lshState(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"append: $path carries no plane-family descriptor — " +
@@ -208,25 +203,41 @@ object Similarity {
           s"built under ($np, $d) — vectors would land in the wrong " +
           "buckets; use the recorded family or rebuild with " +
           "writePersistedIndex")
+    def layoutOf(v: Long): Option[Int] =
+      Versioned.bucketSpec(spark, path, Some(v)).map(_._2)
     val (v0, np0, d0) = state()
     requireFamily(np0, d0)
-    val n0 = Versioned.bucketSpec(spark, path, Some(v0)).map(_._2)
-      .getOrElse(throw new IllegalStateException(
-        s"$path latest version declares no bucket layout — rebuild " +
-          "with writePersistedIndex"))
-    requireAppendSchema(ixed, spark, path, v0)
+    val n0 = layoutOf(v0).getOrElse(throw new IllegalStateException(
+      s"$path latest version declares no bucket layout — rebuild " +
+        "with writePersistedIndex"))
+    // every validation runs on the LAZY plan (its schema needs no
+    // execution) so a refused append costs nothing; only then is the
+    // ONE assignment pass (source scan + hyperplane dot products)
+    // materialized chunk-local and staged ONCE — interleaved same-
+    // family appends rebase at manifest cost via the adjudication
+    // (the IVF append's discipline, no per-attempt re-staging)
+    val ixedPlan = index(df, embedding, numPlanes, dim)
+    requireAppendSchema(ixedPlan, spark, path, v0)
+    val ixed = ixedPlan.localCheckpoint(true)
     val landed = Versioned.commitIfAdjudicated(ixed, path,
       lshMeta(numPlanes, dim), v0, Some(("bucket", n0)),
       adjudicate = () => lshState(spark, path) match {
         case Some((v, np, d)) if np == numPlanes && d == dim &&
-            Versioned.bucketSpec(spark, path, Some(v)).map(_._2)
-              .contains(n0) =>
+            layoutOf(v).contains(n0) =>
           Some((v, lshMeta(numPlanes, dim)))
         case _ => None // family/layout changed underneath: fail loudly
       })
     if (landed.isEmpty) {
-      val (_, np2, d2) = state()
-      requireFamily(np2, d2) // the adjudication's actual refusal cause
+      // diagnose the ACTUAL refusal cause — "retry the storm" advice
+      // on a persistent family/layout problem would send the operator
+      // in circles
+      val (v2, np2, d2) = state()
+      requireFamily(np2, d2)
+      val n2 = layoutOf(v2)
+      if (!n2.contains(n0)) throw new IllegalStateException(
+        s"$path bucket layout changed mid-append " +
+          s"(${n2.fold("none")(_.toString)} vs staged $n0) — the index " +
+          "was rebuilt underneath; re-run the append")
       throw new IllegalStateException(
         s"append to $path kept racing commits — retry when the " +
           "writer storm subsides")
@@ -731,10 +742,15 @@ object Similarity {
         f.dataType.catalogString).sortBy(_._1).toSeq
     // versionSchema is the cheap path: schema carrier or a cached
     // per-(table, version) inference — no catalog scan plan built just
-    // to read a schema. The frameAt fallback covers a file-less
-    // carrier-less version (the empty seed commit).
-    val idx = shape(Versioned.versionSchema(spark, path, Some(v))
-      .getOrElse(SnapshotScan.frameAt(spark, path, v).schema))
+    // to read a schema. It returns the PHYSICAL schema, so it can only
+    // stand in for the logical comparison when the column mapping is
+    // empty (logical == physical); a mapped table — or a file-less
+    // carrier-less seed version — falls back to frameAt's logical view.
+    val idx = shape(
+      (if (Versioned.columnMapping(spark, path, Some(v)).isEmpty)
+        Versioned.versionSchema(spark, path, Some(v))
+      else None)
+        .getOrElse(SnapshotScan.frameAt(spark, path, v).schema))
     val in = shape(incoming.schema)
     require(in == idx,
       s"append schema ${in.mkString(",")} does not match index $path " +

@@ -32,10 +32,14 @@ private[graft] object SnapshotScan {
     * At 64 bits a collision needs ~10^9 distinct table paths in one
     * session; the 24-bit form this replaces collided at birthday odds
     * of ~3% by 1000 tables. */
-  private[graft] def pathToken(path: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(path.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(8).map(b => f"$b%02x").mkString
+  /** 64 hash bits from two seeded murmur passes — NOT MessageDigest:
+    * this runs on the universal read path, and a FIPS-restricted JVM
+    * throws on MD5 where pure-JVM hashing always works. */
+  private[graft] def pathToken(path: String): String = {
+    val h1 = scala.util.hashing.MurmurHash3.stringHash(path, 0x9747b28c)
+    val h2 = scala.util.hashing.MurmurHash3.stringHash(path, 0x85ebca6b)
+    java.lang.Long.toHexString((h1.toLong << 32) | (h2 & 0xffffffffL))
+  }
 
   private def identifierOf(spark: SparkSession, path: String): String = {
     val p = new Path(path)

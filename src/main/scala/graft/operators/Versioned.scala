@@ -600,11 +600,18 @@ object Versioned {
         }))
       catch {
         case _: RewriteConflict =>
-          val next = adjudicate().filter { case (b, _) =>
-            readMeta(spark, table, b).get(Invariants.MetaKey) ==
-              invMeta.get(Invariants.MetaKey) &&
-              columnMapping(spark, table, Some(b)) == mapping
-          }
+          // an adjudication that THROWS must not leak the staged
+          // segment (it is invisible to VACUUM) — delete, then rethrow
+          val next =
+            try adjudicate().filter { case (b, _) =>
+              readMeta(spark, table, b).get(Invariants.MetaKey) ==
+                invMeta.get(Invariants.MetaKey) &&
+                columnMapping(spark, table, Some(b)) == mapping
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                deleteAbandonedSegment(fs, root, newLines)
+                throw e
+            }
           next match {
             case Some((b, m)) => expected = b; curMeta = m
             case None =>
