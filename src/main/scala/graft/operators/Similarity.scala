@@ -718,23 +718,13 @@ object Similarity {
       onRetrainRace = _ => ())
   }
 
-  /** The append commit loop. The commit is CAS'd on the EXACT version
-    * the codebook was verified against (`commitIf`, not a plain
-    * append): a retrain interleaving between assignment and commit
-    * would otherwise land rows assigned under the OLD codebook onto
-    * the retrained snapshot — silently mis-routed (same-nlist retrains
-    * don't even change the bucket layout, so no other guard fires).
-    * On conflict: an interleaved APPEND (same fingerprint) just
-    * rebases — the staged assignment is still valid; an interleaved
-    * RETRAIN re-assigns under the new codebook (after `onRetrainRace`,
-    * which for caller-held codebooks refuses instead). */
-  /** Fail-fast schema gate for the commitIf append paths: commitIf
-    * skips `commit`'s write-time enforceAppend (it exists for MERGE
-    * rewrites), so without this a mis-typed append would COMMIT and
-    * only fail at the next read — with the bad segment already in the
-    * manifest. Strict name/type equality: the index table's schema is
-    * ours, evolution happens through rebuild/retrain, never through
-    * an append. */
+  /** Fail-fast schema gate for the conditional-commit append paths:
+    * commitIf/commitIfAdjudicated skip `commit`'s write-time
+    * enforceAppend (it exists for MERGE rewrites), so without this a
+    * mis-typed append would COMMIT and only fail at the next read —
+    * with the bad segment already in the manifest. Strict name/type
+    * equality: the index table's schema is ours, evolution happens
+    * through rebuild/retrain, never through an append. */
   private def requireAppendSchema(incoming: DataFrame, spark:
       org.apache.spark.sql.SparkSession, path: String, v: Long): Unit = {
     def shape(s: org.apache.spark.sql.types.StructType) =
@@ -758,6 +748,18 @@ object Similarity {
         "its schema")
   }
 
+  /** The append commit loop. The commit is CAS'd on the EXACT version
+    * the codebook was verified against: a retrain interleaving between
+    * assignment and commit would otherwise land rows assigned under
+    * the OLD codebook onto the retrained snapshot — silently
+    * mis-routed (same-nlist retrains don't even change the bucket
+    * layout, so no other guard fires). On conflict: an interleaved
+    * APPEND (same fingerprint) rebases AT MANIFEST COST via
+    * [[Versioned.commitIfAdjudicated]]'s adjudication — the staged
+    * assignment is still valid, no re-staging; an interleaved RETRAIN
+    * abandons to the outer loop, which re-assigns under the new
+    * codebook (after `onRetrainRace`, which for caller-held codebooks
+    * refuses instead). */
   private def appendUnderState(df: DataFrame, embedding: String,
       path: String, st0: IvfIndexState, extraMeta: Map[String, String],
       onRetrainRace: IvfIndexState => Unit): IvfAppend = {

@@ -613,7 +613,15 @@ object Versioned {
                 throw e
             }
           next match {
-            case Some((b, m)) => expected = b; curMeta = m
+            case Some((b, m)) =>
+              expected = b; curMeta = m
+              // jittered linear backoff: in-JVM storms serialize on
+              // the commit lock, but CROSS-PROCESS writers racing the
+              // same table would otherwise spin the manifest CAS hot;
+              // bounded at 200 ms so a converging storm stays fast
+              if (attempts > 1) Thread.sleep(
+                math.min(200L, 10L * attempts) +
+                  scala.util.Random.nextInt(10))
             case None =>
               deleteAbandonedSegment(fs, root, newLines)
               return None
