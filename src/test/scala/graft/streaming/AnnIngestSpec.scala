@@ -229,6 +229,48 @@ class AnnIngestSpec extends SparkSpec {
     assert(Versioned.read(spark, migrated).count() == 9)
   }
 
+  test("auto-retrain through a REAL stream: a drifted commit arrives on " +
+    "the change feed, the foreachBatch sink flags and retrains in " +
+    "place mid-stream, and the post-stream probe resolves the " +
+    "retrained codebook exactly") {
+    val base = tmpDir("annautostream")
+    val table = s"$base/vecs"
+    val idx = s"$base/ivf"
+    val b0 = vecs((1L to 16L).map(i => (i, (i % 8).toInt)): _*)
+    val drifted = vecs((200L to 215L).map(i => (i, 8 + (i % 8).toInt)): _*)
+    val cb = Similarity.buildCodebook(b0, "embedding", "vec_id", nlist = 8)
+    def start() = spark.readStream.format("graft-changes")
+      .option("path", table).load()
+      .writeStream
+      .foreachBatch(AnnIngest.sink("embedding", cb, idx,
+        Some(AnnIngest.AutoRetrain("vec_id", nlist = 16))))
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("update").start()
+    Versioned.commit(b0.coalesce(1), table) // v0: in-distribution
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val st0 = Similarity.loadPersistedIvf(spark, idx).get
+    assert(st0.fingerprint == Similarity.fingerprint(cb),
+      "in-distribution batch must not retrain")
+    // the drifted cohort lands on the FEED, not via processBatch — the
+    // sink itself must close the loop inside the running stream
+    Versioned.commit(drifted.coalesce(1), table, "append") // v1
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val st1 = Similarity.loadPersistedIvf(spark, idx).get
+    assert(st1.fingerprint != st0.fingerprint &&
+      st1.codebook.entries.length == 16,
+      s"stream did not auto-retrain: $st0 -> $st1")
+    val q = oneHot(12)
+    val probed = Similarity.probePersistedIvf(spark, idx, "embedding",
+      "vec_id", q, nprobe = 16, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val brute = Similarity.bruteForceTopK(b0.unionByName(drifted),
+      "embedding", "vec_id", q, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(probed.toSeq == brute.toSeq)
+  }
+
   test("checkpoint-restart through a real stream: the full probe of the " +
     "streamed-in snapshot index equals brute force on the union, and " +
     "a narrow probe still bucket-prunes on list_id") {
