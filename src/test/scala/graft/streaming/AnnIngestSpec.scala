@@ -229,6 +229,54 @@ class AnnIngestSpec extends SparkSpec {
     assert(Versioned.read(spark, migrated).count() == 9)
   }
 
+  test("maintenance composition: threshold COMPACT folds a night of " +
+    "streamed appends into the declared bucket layout — the IVF " +
+    "descriptor and the replay ledger survive the foreign commit, the " +
+    "full probe stays exact, and the stream keeps appending") {
+    val path = tmpDir("anncompact") + "/ivf"
+    val cb = Similarity.buildCodebook(
+      vecs((1L to 8L).map(i => (i, (i % 8).toInt)): _*),
+      "embedding", "vec_id", nlist = 8)
+    // four streamed batches: one small file per non-empty bucket per
+    // batch — the shape a night of micro-batches leaves behind
+    (0 until 4).foreach { b =>
+      AnnIngest.processBatch(
+        vecs((1L to 8L).map(i => (b * 100L + i, (i % 8).toInt)): _*),
+        b.toLong, "embedding", cb, path)
+    }
+    val before = Versioned.versionFiles(spark, path).size
+    val fpBefore = Similarity.loadPersistedIvf(spark, path).get.fingerprint
+    val res = Versioned.compactSmall(spark, path, minBytes = 1000000L)
+    assert(res.isDefined, "nothing compacted")
+    assert(Versioned.versionFiles(spark, path).size < before,
+      s"file count did not drop from $before")
+    // the compaction commit carries NO ivf descriptor or annbatch key:
+    // both reads must skip over it to the newest carrying commit
+    val st = Similarity.loadPersistedIvf(spark, path).get
+    assert(st.fingerprint == fpBefore && st.buckets ==
+      Similarity.ivfBuckets(8),
+      s"descriptor lost to the foreign compaction commit: $st")
+    assert(AnnIngest.lastAppliedBatch(spark, path).contains(3L),
+      "replay ledger lost to the foreign compaction commit")
+    assert(AnnIngest.processBatch(vecs(999L -> 1), 3L, "embedding", cb,
+      path).replayed, "post-compaction replay was re-applied")
+    // probe exactness over everything, against the compacted files
+    val q = oneHot(5)
+    val all = (0 until 4).flatMap(b => (1L to 8L).map(i =>
+      (b * 100L + i, (i % 8).toInt)))
+    val probed = Similarity.probePersistedIvf(spark, path, "embedding",
+      "vec_id", q, nprobe = 8, k = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val brute = Similarity.bruteForceTopK(vecs(all: _*), "embedding",
+      "vec_id", q, 4).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(probed.toSeq == brute.toSeq)
+    // and the stream keeps going: a NEW batch CAS-appends on top of
+    // the compaction version under the carried bucket declaration
+    assert(!AnnIngest.processBatch(vecs(500L -> 2), 4L, "embedding", cb,
+      path).replayed)
+    assert(AnnIngest.lastAppliedBatch(spark, path).contains(4L))
+  }
+
   test("auto-retrain through a REAL stream: a drifted commit arrives on " +
     "the change feed, the foreachBatch sink flags and retrains in " +
     "place mid-stream, and the post-stream probe resolves the " +
