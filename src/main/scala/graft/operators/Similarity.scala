@@ -964,6 +964,58 @@ object Similarity {
     ivfTopK(indexed, embedding, id, query,
       buildCodebook(indexed, embedding, id, nlist), nprobe, k)
 
+  /** BATCH top-k probe: every row of `queries` probed in ONE join —
+    * the form a training pipeline actually uses (millions of queries
+    * against one index), where a driver-side loop of single probes
+    * would be a plan per query. Per-query probe cells are computed
+    * DISTRIBUTED over the codebook literal (nlist × dim doubles —
+    * driver-sized by construction, the same literal the single probe
+    * bakes in): cosine to every centroid, `array_sort` on
+    * (−cos, cid) — exactly [[probeCells]]'s order — sliced to nprobe
+    * and exploded to (query, cell) pairs, which join the index on
+    * `list_id`. The probe side is the SMALL side (nprobe rows per
+    * query, no corpus data), so Catalyst broadcasts it and the index
+    * side streams without a shuffle; per-query top-k is one window
+    * rank over the joined candidates. At nprobe = nlist this
+    * degrades to exact per-query brute force (the oracle form);
+    * below it, each query reads only its own cells' rows.
+    * `queries` column names must not collide with the index's. */
+  def ivfTopKMany(indexed: DataFrame, embedding: String, id: String,
+      queries: DataFrame, qid: String, qEmbedding: String,
+      codebook: IvfCodebook, nprobe: Int, k: Int): DataFrame = {
+    require(qid != id && qEmbedding != embedding,
+      s"query columns ($qid, $qEmbedding) must not collide with index " +
+        s"columns ($id, $embedding) — alias the query frame first")
+    val cbLit = array(codebook.entries.map { case (cid, c) =>
+      struct(lit(cid).as("cid"), lit(c).as("cent")) }: _*)
+    val scored = transform(cbLit, s => struct(
+      (-CosineSimilarity(col(qEmbedding), s.getField("cent"))).as("neg"),
+      s.getField("cid").as("cid")))
+    val probes = queries.select(col(qid), col(qEmbedding),
+      explode(transform(slice(array_sort(scored), 1, nprobe),
+        s => s.getField("cid"))).as("__cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qid))
+      .orderBy(col("score").desc, col(id).asc)
+    indexed.join(probes, col("list_id") === col("__cell"))
+      .withColumn("score",
+        round(CosineSimilarity(col(embedding), col(qEmbedding)), 4))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col(qid), col(id), col("score"))
+  }
+
+  /** [[ivfTopKMany]] against a persisted snapshot index, resolving
+    * the COMMITTED codebook off one pinned version (the single
+    * probe's atomic-read discipline). */
+  def probePersistedIvfMany(spark: org.apache.spark.sql.SparkSession,
+      path: String, embedding: String, id: String, queries: DataFrame,
+      qid: String, qEmbedding: String, nprobe: Int, k: Int): DataFrame = {
+    val st = requireIvfState(spark, path, "probe")
+    ivfTopKMany(SnapshotScan.frameAt(spark, path, st.version), embedding,
+      id, queries, qid, qEmbedding, st.codebook, nprobe, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs, LSH-bucketed: pairs are
     * generated only within a bucket (plus its full-signature match),
     * never corpus × corpus. */

@@ -94,6 +94,49 @@ object SimilarityQueries {
       },
       Some(bruteForceSql)),
 
+    // ---- SIM4 BATCH probe: ten query vectors against the corpus in
+    // ONE join (per-query probe cells over the codebook literal →
+    // explode → join on list_id → window top-k) — the shape a
+    // training pipeline probes in, where a driver loop of single
+    // probes would compile a plan per query. Declared at nprobe =
+    // nlist, which degrades every query to exact search: the DuckDB
+    // oracle is the per-query brute-force cross join.
+    "sim4_batch_probe" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+        val corpus = emb.where(col("vec_id") >= 10)
+        val cb = Similarity.buildCodebook(corpus, "embedding", "vec_id",
+          nlist = 16, refineIters = 2)
+        Similarity.ivfTopKMany(
+          Similarity.ivfAssign(corpus, "embedding", cb),
+          "embedding", "vec_id", queries, "qid", "qemb", cb,
+          nprobe = 16, k = 5)
+      },
+      Some("""SELECT qid, vec_id, score FROM (
+          SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+            round(
+              list_sum(list_transform(range(1, len(c.embedding) + 1),
+                i -> c.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)) /
+              (sqrt(list_sum(list_transform(c.embedding,
+                 x -> x::DOUBLE * x::DOUBLE))) *
+               sqrt(list_sum(list_transform(q.embedding,
+                 x -> x::DOUBLE * x::DOUBLE)))), 4) AS score,
+            row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              round(
+                list_sum(list_transform(range(1, len(c.embedding) + 1),
+                  i -> c.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)) /
+                (sqrt(list_sum(list_transform(c.embedding,
+                   x -> x::DOUBLE * x::DOUBLE))) *
+                 sqrt(list_sum(list_transform(q.embedding,
+                   x -> x::DOUBLE * x::DOUBLE)))), 4) DESC,
+              c.vec_id ASC) AS rn
+          FROM embeddings q, embeddings c
+          WHERE q.vec_id < 10 AND c.vec_id >= 10
+        ) WHERE rn <= 5"""),
+      doc = "batch ANN probe at nprobe = nlist: exact per query"),
+
     // ---- EMB1 per-label centroids (the k-means E-step / class-
     // prototype shape): posexplode each vector once, ONE hash shuffle
     // on (label, dim), elementwise mean. Never collects vectors — the

@@ -466,6 +466,55 @@ class OperatorSpec extends SparkSpec {
     assert(e.getMessage.contains("migratePersistedIvf"))
   }
 
+  test("batch probe ivfTopKMany: each query's top-k equals its single " +
+    "probe at the same nprobe (pruned AND full), the persisted form " +
+    "equals per-query probePersistedIvf, and colliding column names " +
+    "refuse") {
+    def oneHot(axis: Int): Array[Float] =
+      Array.tabulate(16)(d => if (d == axis) 1f else 0f)
+    val corpus = (1L to 64L).map(i => (i, oneHot((i % 8).toInt)))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.buildCodebook(corpus, "embedding", "vec_id",
+      nlist = 8)
+    val indexed = Similarity.ivfAssign(corpus, "embedding", cb)
+    val queries = Seq(0, 3, 5, 7).map(a => (a.toLong, oneHot(a)))
+      .toDF("qid", "qemb")
+    def manyAsMap(nprobe: Int, k: Int,
+        frame: org.apache.spark.sql.DataFrame)
+        : Map[Long, Seq[(Long, Double)]] =
+      frame.collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    for (nprobe <- Seq(2, 8)) { // pruned and full
+      val many = manyAsMap(nprobe, 3, Similarity.ivfTopKMany(indexed,
+        "embedding", "vec_id", queries, "qid", "qemb", cb, nprobe, k = 3))
+      Seq(0, 3, 5, 7).foreach { a =>
+        val single = Similarity.ivfTopK(indexed, "embedding", "vec_id",
+          oneHot(a), cb, nprobe, k = 3)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(many(a.toLong) == single,
+          s"nprobe=$nprobe query axis $a: ${many(a.toLong)} vs $single")
+      }
+    }
+    // persisted form: resolved codebook, same per-query results
+    val path = tmpDir("ivfmany") + "/index"
+    Similarity.writePersistedIvf(corpus, "embedding", cb, path)
+    val manyP = manyAsMap(8, 3, Similarity.probePersistedIvfMany(spark,
+      path, "embedding", "vec_id", queries, "qid", "qemb", nprobe = 8,
+      k = 3))
+    Seq(0, 3, 5, 7).foreach { a =>
+      val single = Similarity.probePersistedIvf(spark, path, "embedding",
+        "vec_id", oneHot(a), nprobe = 8, k = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(manyP(a.toLong) == single)
+    }
+    // a query frame whose columns collide with the index's refuses
+    assert(intercept[IllegalArgumentException] {
+      Similarity.ivfTopKMany(indexed, "embedding", "vec_id",
+        corpus, "vec_id", "embedding", cb, 2, 3)
+    }.getMessage.contains("collide"))
+  }
+
   test("drift floor: a cohort orthogonal-or-worse to EVERY centroid " +
     "fires even against a LOOSE baseline — where the relative 2x rule " +
     "is geometrically unreachable (build meanSim < 0.5 demands a " +
