@@ -979,13 +979,18 @@ object Similarity {
     * rank over the joined candidates. At nprobe = nlist this
     * degrades to exact per-query brute force (the oracle form);
     * below it, each query reads only its own cells' rows.
-    * `queries` column names must not collide with the index's. */
+    * `queries` column names must not collide with the index's (or the
+    * internal `list_id`/`score` names), and `qid` must be UNIQUE per
+    * query row — two rows sharing a qid would have their candidates
+    * ranked in one merged partition. */
   def ivfTopKMany(indexed: DataFrame, embedding: String, id: String,
       queries: DataFrame, qid: String, qEmbedding: String,
       codebook: IvfCodebook, nprobe: Int, k: Int): DataFrame = {
-    require(qid != id && qEmbedding != embedding,
+    val reserved = Set(id, embedding, "list_id", "score", "__rn", "__cell")
+    require(!reserved.contains(qid) && !reserved.contains(qEmbedding),
       s"query columns ($qid, $qEmbedding) must not collide with index " +
-        s"columns ($id, $embedding) — alias the query frame first")
+        s"or internal columns (${reserved.mkString(", ")}) — alias the " +
+        "query frame first")
     val cbLit = array(codebook.entries.map { case (cid, c) =>
       struct(lit(cid).as("cid"), lit(c).as("cent")) }: _*)
     val scored = transform(cbLit, s => struct(
