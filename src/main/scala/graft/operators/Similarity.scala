@@ -971,38 +971,66 @@ object Similarity {
     * DISTRIBUTED over the codebook literal (nlist × dim doubles —
     * driver-sized by construction, the same literal the single probe
     * bakes in): cosine to every centroid, `array_sort` on
-    * (−cos, cid) — exactly [[probeCells]]'s order — sliced to nprobe
-    * and exploded to (query, cell) pairs, which join the index on
-    * `list_id`. The probe side is the SMALL side (nprobe rows per
-    * query, no corpus data), so Catalyst broadcasts it and the index
-    * side streams without a shuffle; per-query top-k is one window
-    * rank over the joined candidates. At nprobe = nlist this
-    * degrades to exact per-query brute force (the oracle form);
-    * below it, each query reads only its own cells' rows.
-    * `queries` column names must not collide with the index's (or the
-    * internal `list_id`/`score` names), and `qid` must be UNIQUE per
-    * query row — two rows sharing a qid would have their candidates
-    * ranked in one merged partition. */
+    * (−cos, cid) — exactly [[probeCells]]'s order, with a null
+    * cosine (zero-norm centroid) coalesced to sort LAST like
+    * probeCells' −2.0 sentinel — sliced to nprobe and exploded to
+    * (query, cell) pairs, which join the index on `list_id`. Before
+    * the join, the DISTINCT probed cells (≤ nlist longs — driver-sized
+    * whatever the query count) are collected and applied to the index
+    * as a static `isin` filter, so plan-time bucket pruning fires
+    * exactly as for the single probe: a small batch at nprobe ≪ nlist
+    * reads only its cells' buckets, a batch whose cells cover the
+    * index reads it all — the filter costs one extra embedding-free
+    * pass over `queries`. Join strategy is Catalyst's: a small probe
+    * side broadcasts; at millions of queries it is a shuffle join
+    * whose parallelism is bounded by the probed-cell count — size
+    * nlist for the corpus (√N-scale) and leave AQE skew handling on,
+    * as for any key-bounded join. Per-query top-k is one window rank
+    * over the joined candidates. At nprobe = nlist this degrades to
+    * exact per-query brute force (the oracle form). Column names must
+    * not collide (checked BOTH ways), `qid` must be UNIQUE per query
+    * row — two rows sharing a qid would have their candidates ranked
+    * in one merged partition — and null-embedding query rows are
+    * dropped (a null cosine can rank nothing). */
   def ivfTopKMany(indexed: DataFrame, embedding: String, id: String,
       queries: DataFrame, qid: String, qEmbedding: String,
       codebook: IvfCodebook, nprobe: Int, k: Int): DataFrame = {
-    val reserved = Set(id, embedding, "list_id", "score", "__rn", "__cell")
+    val internal = Set("list_id", "score", "__rn", "__cell")
+    val reserved = internal ++ Set(id, embedding)
     require(!reserved.contains(qid) && !reserved.contains(qEmbedding),
       s"query columns ($qid, $qEmbedding) must not collide with index " +
         s"or internal columns (${reserved.mkString(", ")}) — alias the " +
         "query frame first")
+    val idxClash = indexed.columns
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      .intersect(Set(qid, qEmbedding, "__cell", "__rn")
+        .map(_.toLowerCase(java.util.Locale.ROOT)))
+    require(idxClash.isEmpty,
+      s"index columns ${idxClash.mkString(", ")} collide with the " +
+        "query/internal columns — alias or drop them on the index " +
+        "frame first")
     val cbLit = array(codebook.entries.map { case (cid, c) =>
       struct(lit(cid).as("cid"), lit(c).as("cent")) }: _*)
+    // null cosine (zero-norm pair) → 2.0: sorts after every real −cos,
+    // the same last-resort rank probeCells gives its −2.0 sentinel
     val scored = transform(cbLit, s => struct(
-      (-CosineSimilarity(col(qEmbedding), s.getField("cent"))).as("neg"),
+      coalesce(-CosineSimilarity(col(qEmbedding), s.getField("cent")),
+        lit(2.0)).as("neg"),
       s.getField("cid").as("cid")))
-    val probes = queries.select(col(qid), col(qEmbedding),
-      explode(transform(slice(array_sort(scored), 1, nprobe),
-        s => s.getField("cid"))).as("__cell"))
+    def cellsOf = explode(transform(slice(array_sort(scored), 1, nprobe),
+      s => s.getField("cid")))
+    val live = queries.where(col(qEmbedding).isNotNull)
+    // static cell-set filter: ≤ nlist distinct longs whatever the
+    // query count — restores plan-time bucket pruning for the join
+    val probedCells = live.select(cellsOf.as("__cell"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val probes = live.select(col(qid), col(qEmbedding),
+      cellsOf.as("__cell"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(qid))
       .orderBy(col("score").desc, col(id).asc)
-    indexed.join(probes, col("list_id") === col("__cell"))
+    indexed.where(col("list_id").isin(probedCells.toSeq: _*))
+      .join(probes, col("list_id") === col("__cell"))
       .withColumn("score",
         round(CosineSimilarity(col(embedding), col(qEmbedding)), 4))
       .withColumn("__rn", row_number().over(w))

@@ -113,12 +113,18 @@ object AnnIngest {
     * batch skips, and the still-drifted distribution re-fires the flag
     * on its next cohort — the signal is self-healing, which is why the
     * retrain needs no ledger of its own. Cost is one assignment pass
-    * over the index per FIRE (not per batch), and a post-retrain
-    * baseline describes the whole corpus, so a stationary-after-shift
-    * stream fires once, not forever. */
+    * over the index per FIRE (not per batch) plus `refineIters` Lloyd
+    * passes — the default of 1 is deliberate: `buildCodebook` seeds
+    * from the LOWEST ids, which on a drifted index are the PRE-drift
+    * rows, and without at least one Lloyd pass the rebuilt codebook
+    * can fail to place any centroid in the arrived mass (the drift
+    * flag then re-fires every batch instead of once). With refinement
+    * the post-retrain baseline describes the whole corpus, so a
+    * stationary-after-shift stream fires once, not forever. */
   final case class AutoRetrain(id: String, nlist: Int = 0,
-      refineIters: Int = 0) {
+      refineIters: Int = 1) {
     require(nlist >= 0, s"nlist must be >= 0, got $nlist")
+    require(refineIters >= 0, s"refineIters must be >= 0, got $refineIters")
   }
 
   /** What one micro-batch did (`appended` = -1 when replayed: nothing

@@ -479,14 +479,13 @@ class OperatorSpec extends SparkSpec {
     val indexed = Similarity.ivfAssign(corpus, "embedding", cb)
     val queries = Seq(0, 3, 5, 7).map(a => (a.toLong, oneHot(a)))
       .toDF("qid", "qemb")
-    def manyAsMap(nprobe: Int, k: Int,
-        frame: org.apache.spark.sql.DataFrame)
+    def manyAsMap(frame: org.apache.spark.sql.DataFrame)
         : Map[Long, Seq[(Long, Double)]] =
       frame.collect()
         .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
         .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
     for (nprobe <- Seq(2, 8)) { // pruned and full
-      val many = manyAsMap(nprobe, 3, Similarity.ivfTopKMany(indexed,
+      val many = manyAsMap(Similarity.ivfTopKMany(indexed,
         "embedding", "vec_id", queries, "qid", "qemb", cb, nprobe, k = 3))
       Seq(0, 3, 5, 7).foreach { a =>
         val single = Similarity.ivfTopK(indexed, "embedding", "vec_id",
@@ -499,7 +498,7 @@ class OperatorSpec extends SparkSpec {
     // persisted form: resolved codebook, same per-query results
     val path = tmpDir("ivfmany") + "/index"
     Similarity.writePersistedIvf(corpus, "embedding", cb, path)
-    val manyP = manyAsMap(8, 3, Similarity.probePersistedIvfMany(spark,
+    val manyP = manyAsMap(Similarity.probePersistedIvfMany(spark,
       path, "embedding", "vec_id", queries, "qid", "qemb", nprobe = 8,
       k = 3))
     Seq(0, 3, 5, 7).foreach { a =>
@@ -508,10 +507,62 @@ class OperatorSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(manyP(a.toLong) == single)
     }
-    // a query frame whose columns collide with the index's refuses
+    // the static cell-set filter restores plan-time BUCKET PRUNING for
+    // the batch join: a 1-query nprobe=2 batch scans only that query's
+    // cells' buckets, exactly like the single probe's isin literal
+    val narrow = Similarity.probePersistedIvfMany(spark, path,
+      "embedding", "vec_id", queries.where($"qid" === 3L), "qid",
+      "qemb", nprobe = 2, k = 3)
+    val n = Similarity.ivfBuckets(8)
+    val expectedBuckets = Similarity.probeCells(cb, oneHot(3), 2).map {
+      v =>
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(v, 42)
+        ((h % n) + n) % n
+    }.toSet
+    narrow.collect() // materialize so AQE finalizes the join plan
+    def resolve(p: org.apache.spark.sql.execution.SparkPlan)
+        : org.apache.spark.sql.execution.SparkPlan = p match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => resolve(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        resolve(q.plan)
+      case r: org.apache.spark.sql.execution.exchange
+          .ReusedExchangeExec => resolve(r.child)
+      case other => other
+    }
+    def subtree(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val r = resolve(p)
+      r +: r.children.flatMap(subtree)
+    }
+    val readBuckets = subtree(narrow.queryExecution.executedPlan)
+      .collect {
+        case b: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec
+            if b.scan.getClass.getName.startsWith("graft.") => b
+      }.flatMap(_.inputPartitions.collect {
+        case h: org.apache.spark.sql.connector.read.HasPartitionKey =>
+          h.partitionKey().getInt(0)
+      }).toSet
+    assert(readBuckets.nonEmpty && readBuckets.subsetOf(expectedBuckets),
+      s"batch probe scanned buckets $readBuckets beyond the probed " +
+        s"cells' $expectedBuckets")
+    // a null-embedding query row is DROPPED (a null cosine can rank
+    // nothing), not answered with k null-scored rows
+    val withNull = queries.unionByName(
+      Seq((99L, null.asInstanceOf[Array[Float]])).toDF("qid", "qemb"))
+    val nm = manyAsMap(Similarity.ivfTopKMany(indexed, "embedding",
+      "vec_id", withNull, "qid", "qemb", cb, 8, k = 3))
+    assert(!nm.contains(99L) && nm.keySet == Set(0L, 3L, 5L, 7L))
+    // collisions refuse BOTH ways: query columns shadowing the
+    // index's, and index columns shadowing the query's
     assert(intercept[IllegalArgumentException] {
       Similarity.ivfTopKMany(indexed, "embedding", "vec_id",
         corpus, "vec_id", "embedding", cb, 2, 3)
+    }.getMessage.contains("collide"))
+    assert(intercept[IllegalArgumentException] {
+      Similarity.ivfTopKMany(indexed.withColumn("qid", lit(1L)),
+        "embedding", "vec_id", queries, "qid", "qemb", cb, 2, 3)
     }.getMessage.contains("collide"))
   }
 

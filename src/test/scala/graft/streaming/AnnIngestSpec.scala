@@ -317,6 +317,18 @@ class AnnIngestSpec extends SparkSpec {
       "embedding", "vec_id", q, 5)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(probed.toSeq == brute.toSeq)
+    // the retrained codebook must actually COVER the drifted mass —
+    // an exhaustive probe is exact for ANY codebook, so assert with a
+    // PRUNED one: a drifted-axis query's nearest cells contain drifted
+    // vectors (this is what AutoRetrain's default Lloyd pass buys;
+    // seeds alone are all pre-drift rows and would leave the arrived
+    // mass cell-less, re-firing the flag forever)
+    val pruned = Similarity.probePersistedIvf(spark, idx, "embedding",
+      "vec_id", q, nprobe = 2, k = 3)
+      .collect().map(_.getLong(0))
+    assert(pruned.nonEmpty && pruned.exists(_ >= 200L),
+      s"pruned probe found no drifted vector post-retrain: " +
+        s"${pruned.toSeq}")
   }
 
   test("checkpoint-restart through a real stream: the full probe of the " +
