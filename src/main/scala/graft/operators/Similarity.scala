@@ -1021,15 +1021,24 @@ object Similarity {
       s => s.getField("cid")))
     val live = queries.where(col(qEmbedding).isNotNull)
     // static cell-set filter: ≤ nlist distinct longs whatever the
-    // query count — restores plan-time bucket pruning for the join
-    val probedCells = live.select(cellsOf.as("__cell"))
-      .distinct().collect().map(_.getLong(0)).sorted
+    // query count — restores plan-time bucket pruning for the join.
+    // At nprobe ≥ nlist every query provably emits ALL cells, so the
+    // filter is a tautology and the extra queries pass is skipped
+    // (the declared exact-probe form pays nothing for the pruning
+    // machinery it cannot use).
+    val pruned =
+      if (nprobe >= codebook.entries.length) indexed
+      else {
+        val probedCells = live.select(cellsOf.as("__cell"))
+          .distinct().collect().map(_.getLong(0)).sorted
+        indexed.where(col("list_id").isin(probedCells.toSeq: _*))
+      }
     val probes = live.select(col(qid), col(qEmbedding),
       cellsOf.as("__cell"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(qid))
       .orderBy(col("score").desc, col(id).asc)
-    indexed.where(col("list_id").isin(probedCells.toSeq: _*))
+    pruned
       .join(probes, col("list_id") === col("__cell"))
       .withColumn("score",
         round(CosineSimilarity(col(embedding), col(qEmbedding)), 4))
