@@ -476,7 +476,13 @@ object Similarity {
     * centroids (the minimax of max-cosine over nlist directions is
     * only mildly negative) — measured on the sf0.1 embeddings at
     * nlist=16: b = 0.234 demanded sim ≤ −0.53 while the most
-    * adversarial constructible cohort measured −0.07. */
+    * adversarial constructible cohort measured −0.07.
+    *
+    * A NaN `meanSim` (cohort had rows but NO measurable assignment
+    * cosine — every sim null, e.g. zero-norm embeddings) renders NO
+    * verdict: NaN compares false in both disjuncts by IEEE-754, so a
+    * no-evidence batch can neither trigger a retrain nor be mistaken
+    * for a healthy one. */
   final case class IvfAppend(appended: Long, meanSim: Double,
       build: IvfStats) {
     def retrainRecommended: Boolean =
@@ -633,7 +639,18 @@ object Similarity {
     * assignment once (for the write) don't recompute it. */
   private[graft] def qualityOf(assigned: DataFrame): IvfStats = {
     val r = assigned.agg(count(lit(1)), avg(col(AssignSimCol))).head()
-    IvfStats(r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
+    // rows but NO measurable sim (every assignment cosine null — e.g.
+    // a cohort of zero-norm embeddings): NaN, not 0.0. A 0.0 here
+    // would trip the absolute drift floor (meanSim ≤ 0) and trigger a
+    // full-index retrain off one garbage batch with no real drift;
+    // NaN compares false in every retrainRecommended disjunct, so a
+    // no-evidence cohort renders no verdict. An EMPTY cohort stays
+    // 0.0 (the zero-vector-baseline convention the re-seed path keys
+    // on).
+    IvfStats(r.getLong(0),
+      if (!r.isNullAt(1)) r.getDouble(1)
+      else if (r.getLong(0) == 0) 0.0
+      else Double.NaN)
   }
 
   /** [[ivfAssign]] keeping the per-row assigned-centroid cosine
@@ -788,8 +805,13 @@ object Similarity {
       // evidence: re-seed it from the first non-empty cohort so the
       // drift signal arms instead of staying silent forever — the
       // re-seed rides THIS commit's meta, crash-atomic with its rows
+      // ...but never from a NaN-quality cohort (all assignment sims
+      // null): it carries no more evidence than the empty baseline it
+      // would replace, and would disarm the relative rule forever
       def buildFrom(s: IvfIndexState): IvfStats =
-        if (s.baseline.vectors == 0 && q.vectors > 0) q else s.baseline
+        if (s.baseline.vectors == 0 && q.vectors > 0 && !q.meanSim.isNaN)
+          q
+        else s.baseline
       // stage ONCE; interleaved SAME-fingerprint appends rebase at
       // manifest cost via the adjudication (no per-attempt re-staging
       // — at N concurrent appenders that would be O(N²) segment
@@ -916,9 +938,14 @@ object Similarity {
         "index with writePersistedIvf (or migrate a legacy dir with " +
         "migratePersistedIvf) before retraining")
       val base = vs.max
-      val rows = SnapshotScan.frameAt(spark, path, base)
-        .select(col(id), col(embedding))
-      val cb = buildCodebook(rows, embedding, id, nlist, refineIters)
+      // Keep the FULL row schema (minus the recomputed list_id): an
+      // index whose streamed batches carry extra columns must come out
+      // of a retrain schema-identical, or the next micro-batch's
+      // requireAppendSchema refuses and crashes the stream — the
+      // retrain re-ASSIGNS rows, it never narrows them.
+      val rows = SnapshotScan.frameAt(spark, path, base).drop("list_id")
+      val cb = buildCodebook(rows.select(col(id), col(embedding)),
+        embedding, id, nlist, refineIters)
       val assigned = ivfAssignWithSim(rows, embedding, cb)
         .localCheckpoint(true)
       val stats = qualityOf(assigned)
@@ -950,9 +977,11 @@ object Similarity {
     require(srcPath != dstPath,
       "migration must land at a NEW path — the plain-dir source has " +
         "no commit protocol to swap in place under live probes")
-    val rows = spark.read.parquet(srcPath)
-      .select(col(id), col(embedding)) // drop list_id/batch partitions
-    val cb = buildCodebook(rows, embedding, id, nlist, refineIters)
+    // drop only the layout partitions — extra payload columns migrate
+    // with their rows (the retrain-in-place discipline above)
+    val rows = spark.read.parquet(srcPath).drop("list_id", "batch")
+    val cb = buildCodebook(rows.select(col(id), col(embedding)),
+      embedding, id, nlist, refineIters)
     val stats = writePersistedIvf(rows, embedding, cb, dstPath)
     (cb, stats)
   }
@@ -997,7 +1026,13 @@ object Similarity {
       codebook: IvfCodebook, nprobe: Int, k: Int): DataFrame = {
     val internal = Set("list_id", "score", "__rn", "__cell")
     val reserved = internal ++ Set(id, embedding)
-    require(!reserved.contains(qid) && !reserved.contains(qEmbedding),
+    // Case-INSENSITIVE, like Spark's default resolution (and the
+    // idxClash check below): a qid named "Score" would pass a
+    // case-sensitive guard and then be silently replaced by
+    // withColumn("score"), corrupting the window partitioning.
+    val reservedLc = reserved.map(_.toLowerCase(java.util.Locale.ROOT))
+    require(!reservedLc.contains(qid.toLowerCase(java.util.Locale.ROOT)) &&
+        !reservedLc.contains(qEmbedding.toLowerCase(java.util.Locale.ROOT)),
       s"query columns ($qid, $qEmbedding) must not collide with index " +
         s"or internal columns (${reserved.mkString(", ")}) — alias the " +
         "query frame first")
@@ -1019,19 +1054,28 @@ object Similarity {
       s.getField("cid").as("cid")))
     def cellsOf = explode(transform(slice(array_sort(scored), 1, nprobe),
       s => s.getField("cid")))
-    val live = queries.where(col(qEmbedding).isNotNull)
+    val live0 = queries.where(col(qEmbedding).isNotNull)
     // static cell-set filter: ≤ nlist distinct longs whatever the
     // query count — restores plan-time bucket pruning for the join.
     // At nprobe ≥ nlist every query provably emits ALL cells, so the
     // filter is a tautology and the extra queries pass is skipped
     // (the declared exact-probe form pays nothing for the pruning
     // machinery it cannot use).
-    val pruned =
-      if (nprobe >= codebook.entries.length) indexed
+    val (live, pruned) =
+      if (nprobe >= codebook.entries.length) (live0, indexed)
       else {
-        val probedCells = live.select(cellsOf.as("__cell"))
+        // Pin the query frame ONCE before the cell-set collect: the
+        // probe join below must see the SAME rows that populated the
+        // isin filter — a non-deterministic queries frame (rand/
+        // sample/changing source) re-evaluated on the second pass
+        // could emit cells absent from the filter and silently drop
+        // candidates. localCheckpoint lives at the RDD layer (no
+        // CacheManager entry), so its blocks are freed by the
+        // ContextCleaner once the returned frame is GC'd.
+        val pinned = live0.localCheckpoint(true)
+        val probedCells = pinned.select(cellsOf.as("__cell"))
           .distinct().collect().map(_.getLong(0)).sorted
-        indexed.where(col("list_id").isin(probedCells.toSeq: _*))
+        (pinned, indexed.where(col("list_id").isin(probedCells.toSeq: _*)))
       }
     val probes = live.select(col(qid), col(qEmbedding),
       cellsOf.as("__cell"))

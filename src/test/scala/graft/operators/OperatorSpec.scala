@@ -564,6 +564,54 @@ class OperatorSpec extends SparkSpec {
       Similarity.ivfTopKMany(indexed.withColumn("qid", lit(1L)),
         "embedding", "vec_id", queries, "qid", "qemb", cb, 2, 3)
     }.getMessage.contains("collide"))
+    // ...and CASE-INSENSITIVELY, like Spark's resolution: a qid named
+    // "Score" would slip a case-sensitive guard and then be silently
+    // replaced by withColumn("score"), corrupting the ranking window
+    assert(intercept[IllegalArgumentException] {
+      Similarity.ivfTopKMany(indexed, "embedding", "vec_id",
+        queries.withColumnRenamed("qid", "Score"), "Score", "qemb",
+        cb, 2, 3)
+    }.getMessage.contains("collide"))
+    assert(intercept[IllegalArgumentException] {
+      Similarity.ivfTopKMany(indexed, "embedding", "vec_id",
+        queries.withColumnRenamed("qemb", "__RN"), "qid", "__RN",
+        cb, 2, 3)
+    }.getMessage.contains("collide"))
+  }
+
+  test("batch probe pins a NON-DETERMINISTIC queries frame once: the " +
+    "cell-set filter and the probe join see the SAME rows, so no " +
+    "candidate is silently dropped by a second evaluation emitting " +
+    "cells absent from the isin") {
+    def oneHot(axis: Int): Array[Float] =
+      Array.tabulate(16)(d => if (d == axis) 1f else 0f)
+    val corpus = (1L to 64L).map(i => (i, oneHot((i % 8).toInt)))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.buildCodebook(corpus, "embedding", "vec_id",
+      nlist = 8)
+    val indexed = Similarity.ivfAssign(corpus, "embedding", cb)
+    // every evaluation hands out the NEXT axis — a frame that answers
+    // differently each pass, the adversarial shape for any two-pass
+    // plan (rand()/sample()/changing-source stand-in)
+    OperatorSpec.evalCounter.set(0)
+    val shifty = udf { () =>
+      oneHot(OperatorSpec.evalCounter.getAndIncrement() % 8)
+    }.asNondeterministic()
+    val queries = spark.range(4).select($"id".as("qid"),
+      shifty().as("qemb"))
+    val res = Similarity.ivfTopKMany(indexed, "embedding", "vec_id",
+      queries, "qid", "qemb", cb, nprobe = 1, k = 3).collect()
+    // pre-fix: the second evaluation emits cells outside the collected
+    // isin set and whole queries return ZERO candidates; pinned, every
+    // query ranks a full top-k against whichever axis it materialized
+    val byQid = res.groupBy(_.getLong(0))
+    assert(byQid.keySet == Set(0L, 1L, 2L, 3L),
+      s"queries lost their candidates: ${byQid.keySet}")
+    byQid.foreach { case (q, rows) =>
+      assert(rows.length == 3, s"qid=$q returned ${rows.length} rows")
+      assert(rows.map(_.getDouble(2)).max == 1.0,
+        s"qid=$q top score ${rows.map(_.getDouble(2)).max}")
+    }
   }
 
   test("drift floor: a cohort orthogonal-or-worse to EVERY centroid " +
@@ -604,6 +652,32 @@ class OperatorSpec extends SparkSpec {
       "embedding", axes, path)
     assert(math.abs(app.meanSim + 0.25) < 1e-9 && app.retrainRecommended,
       s"anti-correlated cohort must fire via the floor: $app")
+    // a NO-EVIDENCE cohort (every assignment sim null — zero-norm
+    // embeddings) renders NO verdict: its quality is NaN, not the 0.0
+    // that would trip the absolute floor and retrain a healthy index
+    // off one garbage batch
+    assert(!Similarity.IvfAppend(10, Double.NaN, loose)
+      .retrainRecommended, "NaN cohort fired the floor")
+    val zeros = (300L to 309L).map(i => (i, Array.fill(16)(0f)))
+      .toDF("vec_id", "embedding")
+    val degenerate = Similarity.appendToPersistedIvf(zeros, "embedding",
+      axes, path)
+    assert(degenerate.meanSim.isNaN && !degenerate.retrainRecommended,
+      s"zero-norm cohort must render no verdict: $degenerate")
+    // ...and a NaN cohort never RE-SEEDS an unarmed baseline: on a
+    // fresh index the first measurable cohort arms it, not the garbage
+    val fresh = tmpDir("ivfnanseed") + "/index"
+    Similarity.ensurePersistedIvf(zeros, "embedding", axes, fresh)
+    Similarity.appendToPersistedIvf(zeros, "embedding", axes, fresh)
+    val afterNaN = Similarity.loadPersistedIvf(spark, fresh).get.baseline
+    assert(afterNaN.vectors == 0,
+      s"NaN cohort re-seeded the baseline: $afterNaN")
+    Similarity.appendToPersistedIvf(
+      (400L to 409L).map(i => (i, ones)).toDF("vec_id", "embedding"),
+      "embedding", axes, fresh)
+    val armed = Similarity.loadPersistedIvf(spark, fresh).get.baseline
+    assert(armed.vectors == 10 && math.abs(armed.meanSim - 0.25) < 1e-9,
+      s"first measurable cohort did not arm the baseline: $armed")
   }
 
   test("retrainPersistedIvf closes the drift loop IN PLACE: the rebuilt " +
@@ -692,4 +766,11 @@ class OperatorSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(media, 2)
     assert(frames.count() > 0)
   }
+}
+
+/** Shared mutable state for the non-determinism probe above — a
+  * static cell so executor-thread udf invocations (local[n], one JVM)
+  * all advance one counter. */
+object OperatorSpec {
+  val evalCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 }

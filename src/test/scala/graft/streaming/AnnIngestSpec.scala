@@ -180,6 +180,38 @@ class AnnIngestSpec extends SparkSpec {
       Similarity.fingerprint(cb), "no-policy sink retrained anyway")
   }
 
+  test("auto-retrain preserves the FULL batch schema: an index whose " +
+    "streamed batches carry extra columns is not narrowed by the " +
+    "retrain, so the next micro-batch's append-schema check passes " +
+    "instead of crashing the stream") {
+    val path = tmpDir("annwide") + "/ivf"
+    val policy = Some(AnnIngest.AutoRetrain("vec_id", nlist = 16))
+    def wide(rows: (Long, Int)*): DataFrame =
+      vecs(rows: _*).withColumn("source", concat(lit("shard-"),
+        $"vec_id" % 4))
+    val b0 = wide((1L to 8L).map(i => (i, (i % 8).toInt)): _*)
+    val cb = Similarity.buildCodebook(b0, "embedding", "vec_id", nlist = 8)
+    assert(!AnnIngest.processBatch(b0, 0L, "embedding", cb, path, policy)
+      .retrained)
+    val hit = AnnIngest.processBatch(
+      wide((200L to 207L).map(i => (i, 8 + (i % 8).toInt)): _*),
+      1L, "embedding", cb, path, policy)
+    assert(hit.retrainRecommended && hit.retrained, s"$hit")
+    // the retrained index still carries the payload column, row-correct
+    val post = Versioned.read(spark, path)
+    assert(post.columns.contains("source"),
+      s"retrain narrowed the schema to ${post.columns.mkString(",")}")
+    assert(post.where($"source" === "shard-1").count() ==
+      post.select("vec_id").where($"vec_id" % 4 === 1).count())
+    // the NEXT batch appends against the retrained index — this is the
+    // line that crashed with requireAppendSchema before the fix
+    val next = AnnIngest.processBatch(wide(300L -> 9), 2L, "embedding",
+      cb, path, policy)
+    assert(!next.replayed && next.appended == 1, s"$next")
+    assert(Versioned.read(spark, path).where($"vec_id" === 300L)
+      .select("source").head().getString(0) == "shard-0")
+  }
+
   test("vacuum on the index cannot erase the replay ledger (the mirror " +
     "answers); a legacy plain-dir layout refuses up front") {
     val path = tmpDir("annvacuum") + "/ivf"
