@@ -1102,6 +1102,101 @@ object Similarity {
       id, queries, qid, qEmbedding, st.codebook, nprobe, k)
   }
 
+  /** BATCH top-k probe against a hyperplane-LSH index — [[ivfTopKMany]]'s
+    * shape for the OTHER index family, so a training pipeline
+    * batch-probing both kinds takes one join either way. Per-query
+    * buckets are computed DISTRIBUTED with the executor-side
+    * [[graft.functions.VectorFunctions.hyperplaneBucket]] (bit-for-bit
+    * the bucket the index rows were hashed under), and the Hamming
+    * ball is applied as a query-INDEPENDENT set of XOR masks
+    * {m : popcount(m) ≤ probeHamming} — ball(q) = {bucket(q) ^ m}, so
+    * one driver-side mask literal (≤ [[MaxProbeBall]], else this form
+    * refuses: a batch join cannot fall back to the single probe's
+    * full-scan bit_count filter without going nested-loop) serves
+    * every query. The DISTINCT probed cells are collected (capped at
+    * [[MaxProbeBall]] literals — past that the isin is dropped and the
+    * equi-join alone restricts, correct just unpruned) and applied as
+    * a static `isin` so plan-time bucket pruning fires exactly as for
+    * the single probe. `probeHamming ≥ numPlanes` means every bucket
+    * is in-ball: the probe degrades to exact per-query brute force via
+    * ONE cross join (the oracle form, [[ivfTopKMany]]'s nprobe = nlist
+    * analogue). The queries frame is pinned once (localCheckpoint)
+    * before the two passes, `qid` must be UNIQUE per row, and
+    * null-embedding query rows are dropped. */
+  def lshTopKMany(indexed: DataFrame, embedding: String, id: String,
+      queries: DataFrame, qid: String, qEmbedding: String,
+      numPlanes: Int, dim: Int, probeHamming: Int, k: Int): DataFrame = {
+    val internal = Set("bucket", "score", "__rn", "__cell")
+    val reserved = internal ++ Set(id, embedding)
+    val lc = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
+    val reservedLc = reserved.map(lc)
+    require(!reservedLc.contains(lc(qid)) &&
+        !reservedLc.contains(lc(qEmbedding)),
+      s"query columns ($qid, $qEmbedding) must not collide with index " +
+        s"or internal columns (${reserved.mkString(", ")}) — alias the " +
+        "query frame first")
+    val idxClash = indexed.columns.map(lc).toSet
+      .intersect(Set(qid, qEmbedding, "__cell", "__rn").map(lc))
+    require(idxClash.isEmpty,
+      s"index columns ${idxClash.mkString(", ")} collide with the " +
+        "query/internal columns — alias or drop them on the index " +
+        "frame first")
+    val planes = makePlanes(numPlanes, dim)
+    val qBucket = hyperplaneBucket(col(qEmbedding), planes)
+    val live0 = queries.where(col(qEmbedding).isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qid))
+      .orderBy(col("score").desc, col(id).asc)
+    def rank(joined: DataFrame): DataFrame = joined
+      .withColumn("score",
+        round(CosineSimilarity(col(embedding), col(qEmbedding)), 4))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col(qid), col(id), col("score"))
+    if (probeHamming >= numPlanes)
+      // every bucket is within the ball: exact brute force, one join
+      // with no key — each query scores the whole index
+      return rank(indexed.crossJoin(live0))
+    val masks = hammingBall(0L, numPlanes, probeHamming).getOrElse(
+      throw new IllegalArgumentException(
+        s"batch probe ball exceeds $MaxProbeBall cells " +
+          s"(numPlanes=$numPlanes, probeHamming=$probeHamming) — a " +
+          "batch join needs an enumerable ball; lower probeHamming or " +
+          "probe per query with probePersistedIndex/lshTopK"))
+    // pin the (possibly non-deterministic) query frame ONCE: the
+    // cell-set collect and the probe join must see the same rows
+    // (ivfTopKMany's discipline)
+    val pinned = live0.localCheckpoint(true)
+    val cellsOf = explode(transform(lit(masks.toArray),
+      m => qBucket.bitwiseXOR(m)))
+    val probedCells = pinned.select(cellsOf.as("__cell")).distinct()
+      .limit(MaxProbeBall + 1).collect().map(_.getLong(0)).sorted
+    val pruned =
+      if (probedCells.length > MaxProbeBall) indexed
+      else indexed.where(col("bucket").isin(probedCells.toSeq: _*))
+    val probes = pinned.select(col(qid), col(qEmbedding),
+      cellsOf.as("__cell"))
+    rank(pruned.join(probes, col("bucket") === col("__cell")))
+  }
+
+  /** [[lshTopKMany]] against a persisted snapshot LSH index, resolving
+    * the COMMITTED plane family off one pinned version. Every query
+    * embedding must have the index's recorded dim. */
+  def probePersistedLshMany(spark: org.apache.spark.sql.SparkSession,
+      path: String, embedding: String, id: String, queries: DataFrame,
+      qid: String, qEmbedding: String, k: Int,
+      probeHamming: Int = 1): DataFrame = {
+    require(SnapshotScan.isSnapshot(spark, path),
+      s"$path is not a snapshot LSH index (no commit log) — migrate " +
+        "the legacy plain-dir index first with migratePersistedIndex")
+    val (v, np, d) = lshState(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"probe: $path carries no plane-family descriptor — rebuild " +
+          "it with writePersistedIndex"))
+    lshTopKMany(SnapshotScan.frameAt(spark, path, v), embedding, id,
+      queries, qid, qEmbedding, np, d, probeHamming, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs, LSH-bucketed: pairs are
     * generated only within a bucket (plus its full-signature match),
     * never corpus × corpus. */

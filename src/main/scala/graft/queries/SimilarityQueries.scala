@@ -137,6 +137,109 @@ object SimilarityQueries {
         ) WHERE rn <= 5"""),
       doc = "batch ANN probe at nprobe = nlist: exact per query"),
 
+    // ---- SIM5 PRUNED batch probe: sim4's shape at nprobe ≪ nlist —
+    // the production form, where the static cell-set isin restores
+    // plan-time bucket pruning and each query reads ~nprobe/nlist of
+    // the index. Approximate by design (rows-only); the guaranteed
+    // fraction of its recall is hash-checked by sim5_pruned_recall.
+    "sim5_batch_probe_pruned" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+        val corpus = emb.where(col("vec_id") >= 10)
+        val cb = Similarity.buildCodebook(corpus, "embedding", "vec_id",
+          nlist = 16, refineIters = 2)
+        Similarity.ivfTopKMany(
+          Similarity.ivfAssign(corpus, "embedding", cb),
+          "embedding", "vec_id", queries, "qid", "qemb", cb,
+          nprobe = 4, k = 5)
+      },
+      None,
+      doc = "rows-only: cell pruning changes the candidate set"),
+
+    // ---- SIM5 self-check: an exact COPY of each query vector injected
+    // into the corpus is GUARANTEED retrievable by the pruned probe —
+    // the copy's assignment cell is the query's own top-1 probe cell
+    // (identical vector, identical argmax), so any nprobe ≥ 1 finds it
+    // at cosine exactly 1.0. SQL-predictable (the dd3/dd6 self-check
+    // pattern), hash-checked.
+    "sim5_pruned_recall" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+        val corpus = emb.where(col("vec_id") >= 10).unionByName(
+          emb.where(col("vec_id") < 10)
+            .withColumn("vec_id", col("vec_id") + 1000000L))
+        val cb = Similarity.buildCodebook(corpus, "embedding", "vec_id",
+          nlist = 16, refineIters = 2)
+        Similarity.ivfTopKMany(
+            Similarity.ivfAssign(corpus, "embedding", cb),
+            "embedding", "vec_id", queries, "qid", "qemb", cb,
+            nprobe = 4, k = 5)
+          .where(col("vec_id") === col("qid") + 1000000L)
+          .select(col("qid"), col("vec_id").as("hit_id"), col("score"))
+      },
+      Some("""SELECT vec_id AS qid, vec_id + 1000000 AS hit_id,
+          1.0 AS score
+        FROM embeddings WHERE vec_id < 10""")),
+
+    // ---- SIM6 LSH batch probe, pruned: every query's Hamming ball as
+    // one query-independent XOR-mask explode, joined on the bucket —
+    // the lshTopKMany ball path the spec pins against the single
+    // probe. Approximate (rows-only), like sim2.
+    "sim6_lsh_batch_probe" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+        val indexed = Similarity.index(emb.where(col("vec_id") >= 10),
+          "embedding", numPlanes = 6, dim = 64)
+        Similarity.lshTopKMany(indexed, "embedding", "vec_id", queries,
+          "qid", "qemb", numPlanes = 6, dim = 64, probeHamming = 2,
+          k = 5)
+      },
+      None,
+      doc = "rows-only: bucket-ball pruning changes the candidate set"),
+
+    // ---- SIM6 self-check: probeHamming = numPlanes makes every
+    // bucket in-ball, degrading the batch to exact per-query brute
+    // force (the cross-join path) — hash-checked against the same
+    // per-query DuckDB brute force as sim4.
+    "sim6_full_probe" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+        val indexed = Similarity.index(emb.where(col("vec_id") >= 10),
+          "embedding", numPlanes = 6, dim = 64)
+        Similarity.lshTopKMany(indexed, "embedding", "vec_id", queries,
+          "qid", "qemb", numPlanes = 6, dim = 64, probeHamming = 6,
+          k = 5)
+      },
+      Some("""SELECT qid, vec_id, score FROM (
+          SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+            round(
+              list_sum(list_transform(range(1, len(c.embedding) + 1),
+                i -> c.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)) /
+              (sqrt(list_sum(list_transform(c.embedding,
+                 x -> x::DOUBLE * x::DOUBLE))) *
+               sqrt(list_sum(list_transform(q.embedding,
+                 x -> x::DOUBLE * x::DOUBLE)))), 4) AS score,
+            row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              round(
+                list_sum(list_transform(range(1, len(c.embedding) + 1),
+                  i -> c.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)) /
+                (sqrt(list_sum(list_transform(c.embedding,
+                   x -> x::DOUBLE * x::DOUBLE))) *
+                 sqrt(list_sum(list_transform(q.embedding,
+                   x -> x::DOUBLE * x::DOUBLE)))), 4) DESC,
+              c.vec_id ASC) AS rn
+          FROM embeddings q, embeddings c
+          WHERE q.vec_id < 10 AND c.vec_id >= 10
+        ) WHERE rn <= 5""")),
+
     // ---- EMB1 per-label centroids (the k-means E-step / class-
     // prototype shape): posexplode each vector once, ONE hash shuffle
     // on (label, dim), elementwise mean. Never collects vectors — the

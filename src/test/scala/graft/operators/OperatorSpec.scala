@@ -11,6 +11,38 @@ class OperatorSpec extends SparkSpec {
 
   private lazy val docs = graft.Tables(spark, sfDir, "documents")
 
+  /** Physical bucket ids actually SCANNED by a materialized frame's
+    * graft snapshot reads — the plan-level evidence that an `isin` on
+    * the layout column bucket-pruned. Call after an action so AQE has
+    * finalized the join plan. */
+  private def scannedGraftBuckets(frame: org.apache.spark.sql.DataFrame)
+      : Set[Int] = {
+    def resolve(p: org.apache.spark.sql.execution.SparkPlan)
+        : org.apache.spark.sql.execution.SparkPlan = p match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => resolve(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        resolve(q.plan)
+      case r: org.apache.spark.sql.execution.exchange
+          .ReusedExchangeExec => resolve(r.child)
+      case other => other
+    }
+    def subtree(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val r = resolve(p)
+      r +: r.children.flatMap(subtree)
+    }
+    subtree(frame.queryExecution.executedPlan)
+      .collect {
+        case b: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec
+            if b.scan.getClass.getName.startsWith("graft.") => b
+      }.flatMap(_.inputPartitions.collect {
+        case h: org.apache.spark.sql.connector.read.HasPartitionKey =>
+          h.partitionKey().getInt(0)
+      }).toSet
+  }
+
   test("exactDedup keeps lowest id per duplicated text") {
     val withDups = docs.union(docs.withColumn("doc_id", $"doc_id" + 100000))
     val kept = Dedup.exactDedup(withDups, $"text", $"doc_id")
@@ -520,30 +552,7 @@ class OperatorSpec extends SparkSpec {
         ((h % n) + n) % n
     }.toSet
     narrow.collect() // materialize so AQE finalizes the join plan
-    def resolve(p: org.apache.spark.sql.execution.SparkPlan)
-        : org.apache.spark.sql.execution.SparkPlan = p match {
-      case a: org.apache.spark.sql.execution.adaptive
-          .AdaptiveSparkPlanExec => resolve(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        resolve(q.plan)
-      case r: org.apache.spark.sql.execution.exchange
-          .ReusedExchangeExec => resolve(r.child)
-      case other => other
-    }
-    def subtree(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-      val r = resolve(p)
-      r +: r.children.flatMap(subtree)
-    }
-    val readBuckets = subtree(narrow.queryExecution.executedPlan)
-      .collect {
-        case b: org.apache.spark.sql.execution.datasources.v2
-            .BatchScanExec
-            if b.scan.getClass.getName.startsWith("graft.") => b
-      }.flatMap(_.inputPartitions.collect {
-        case h: org.apache.spark.sql.connector.read.HasPartitionKey =>
-          h.partitionKey().getInt(0)
-      }).toSet
+    val readBuckets = scannedGraftBuckets(narrow)
     assert(readBuckets.nonEmpty && readBuckets.subsetOf(expectedBuckets),
       s"batch probe scanned buckets $readBuckets beyond the probed " +
         s"cells' $expectedBuckets")
@@ -612,6 +621,92 @@ class OperatorSpec extends SparkSpec {
       assert(rows.map(_.getDouble(2)).max == 1.0,
         s"qid=$q top score ${rows.map(_.getDouble(2)).max}")
     }
+  }
+
+  test("batch probe lshTopKMany: each query's top-k equals its single " +
+    "probe at the same radius (pruned AND exact), the persisted form " +
+    "equals per-query probePersistedIndex and bucket-prunes to the " +
+    "probed balls, and unenumerable balls / collisions / null " +
+    "queries behave") {
+    val emb = graft.Tables(spark, sfDir, "embeddings")
+    val corpus = emb.where($"vec_id" > 10)
+    val qids = Seq(0L, 3L, 5L, 7L)
+    val queries = emb.where($"vec_id".isin(qids: _*))
+      .select($"vec_id".as("qid"), $"embedding".as("qemb"))
+    def qVec(i: Long): Array[Float] = emb.where($"vec_id" === i)
+      .select("embedding").head().getSeq[Float](0).toArray
+    def manyAsMap(frame: org.apache.spark.sql.DataFrame)
+        : Map[Long, Seq[(Long, Double)]] =
+      frame.collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val indexed = Similarity.index(corpus, "embedding", 6, 64)
+    for (radius <- Seq(2, 6)) { // pruned ball and exact cross-join
+      val many = manyAsMap(Similarity.lshTopKMany(indexed, "embedding",
+        "vec_id", queries, "qid", "qemb", numPlanes = 6, dim = 64,
+        probeHamming = radius, k = 5))
+      qids.foreach { i =>
+        val single = Similarity.lshTopK(indexed, "embedding", "vec_id",
+          qVec(i), 6, 5, probeHamming = radius)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(many(i) == single,
+          s"radius=$radius qid=$i: ${many(i)} vs $single")
+      }
+    }
+    // persisted form: family resolved from the committed descriptor,
+    // per-query parity with the single persisted probe
+    val path = tmpDir("lshmany") + "/index"
+    Similarity.writePersistedIndex(corpus, "embedding", 6, 64, path)
+    val manyP = manyAsMap(Similarity.probePersistedLshMany(spark, path,
+      "embedding", "vec_id", queries, "qid", "qemb", k = 5,
+      probeHamming = 2))
+    qids.foreach { i =>
+      val single = Similarity.probePersistedIndex(spark, path,
+        "embedding", "vec_id", qVec(i), numPlanes = 6, k = 5,
+        probeHamming = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(manyP(i) == single)
+    }
+    // the static cell-set isin restores plan-time BUCKET PRUNING: a
+    // 1-query radius-1 batch scans only that query's ball's buckets
+    val narrow = Similarity.probePersistedLshMany(spark, path,
+      "embedding", "vec_id", queries.where($"qid" === 3L), "qid",
+      "qemb", k = 5, probeHamming = 1)
+    narrow.collect() // materialize so AQE finalizes the join plan
+    val planes = graft.functions.VectorFunctions.makePlanes(6, 64)
+    val q3 = qVec(3L)
+    val qBucket = planes.zipWithIndex.map { case (p, i) =>
+      val d = p.zip(q3).map { case (w, x) => w * x.toDouble }.sum
+      if (d > 0) 1L << i else 0L
+    }.sum
+    val expected = Similarity.hammingBall(qBucket, 6, 1).get
+      .map(bucketOfLong(_, Similarity.lshBuckets(6))).toSet
+    val read = scannedGraftBuckets(narrow)
+    assert(read.nonEmpty && read.subsetOf(expected),
+      s"batch probe scanned buckets $read beyond the ball's $expected")
+    // an unenumerable ball refuses with guidance (the batch join has
+    // no nested-loop fallback), while radius >= numPlanes is exact
+    assert(intercept[IllegalArgumentException] {
+      Similarity.lshTopKMany(indexed, "embedding", "vec_id", queries,
+        "qid", "qemb", numPlanes = 63, dim = 64, probeHamming = 20,
+        k = 5)
+    }.getMessage.contains("enumerable"))
+    // null-embedding query rows are dropped, not answered
+    val withNull = queries.unionByName(Seq(
+      (99L, null.asInstanceOf[Array[Float]])).toDF("qid", "qemb"))
+    assert(manyAsMap(Similarity.lshTopKMany(indexed, "embedding",
+      "vec_id", withNull, "qid", "qemb", 6, 64, 2, 5)).keySet ==
+      qids.toSet)
+    // collisions refuse case-insensitively, both ways
+    assert(intercept[IllegalArgumentException] {
+      Similarity.lshTopKMany(indexed, "embedding", "vec_id",
+        queries.withColumnRenamed("qid", "Bucket"), "Bucket", "qemb",
+        6, 64, 2, 5)
+    }.getMessage.contains("collide"))
+    assert(intercept[IllegalArgumentException] {
+      Similarity.lshTopKMany(indexed.withColumn("qemb", lit(1)),
+        "embedding", "vec_id", queries, "qid", "qemb", 6, 64, 2, 5)
+    }.getMessage.contains("collide"))
   }
 
   test("drift floor: a cohort orthogonal-or-worse to EVERY centroid " +
