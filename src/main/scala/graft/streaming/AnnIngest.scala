@@ -129,16 +129,19 @@ object AnnIngest {
 
   /** What one micro-batch did (`appended` = -1 when replayed: nothing
     * was committed this invocation; `retrained` = the sink's
-    * [[AutoRetrain]] policy fired and the in-place retrain committed). */
+    * [[AutoRetrain]] policy fired and the in-place retrain committed;
+    * `compacted` = the sink's [[AutoCompact]] policy folded small
+    * segments after this batch's commit). */
   case class BatchOutcome(batchId: Long, appended: Long, meanSim: Double,
       retrainRecommended: Boolean, replayed: Boolean,
-      retrained: Boolean = false)
+      retrained: Boolean = false, compacted: Boolean = false)
 
   /** Process one micro-batch (the foreachBatch body, callable directly
     * so specs can drive replay/retrain schedules deterministically). */
   def processBatch(batch: DataFrame, batchId: Long, embedding: String,
       seedCodebook: Similarity.IvfCodebook, path: String,
-      autoRetrain: Option[AutoRetrain] = None): BatchOutcome = {
+      autoRetrain: Option[AutoRetrain] = None,
+      autoCompact: Option[AutoCompact] = None): BatchOutcome = {
     val spark = batch.sparkSession
     requireSnapshotOrEmpty(spark, path)
     Similarity.ensurePersistedIvf(batch, embedding, seedCodebook, path)
@@ -172,19 +175,27 @@ object AnnIngest {
           f"@ mean_sim=${stats.meanSim}%.4f)")
       true
     }
+    // segment hygiene LAST: a retrain just rewrote everything (nothing
+    // small left), and the fold must see this batch's segments. A
+    // compaction here is a foreign commit to the ledger/descriptor
+    // scans — see [[AutoCompact]] for why that composes.
+    val compacted = !retrained &&
+      autoCompact.exists(_.maybeCompact(spark, path).isDefined)
     BatchOutcome(batchId, app.appended, app.meanSim,
-      app.retrainRecommended, replayed = false, retrained = retrained)
+      app.retrainRecommended, replayed = false, retrained = retrained,
+      compacted = compacted)
   }
 
   /** The foreachBatch sink: `writeStream.foreachBatch(AnnIngest.sink(
     * "embedding", seedCodebook, indexPath))`. Pass an [[AutoRetrain]]
     * policy to close the drift loop in-stream. */
   def sink(embedding: String, seedCodebook: Similarity.IvfCodebook,
-      path: String, autoRetrain: Option[AutoRetrain] = None):
+      path: String, autoRetrain: Option[AutoRetrain] = None,
+      autoCompact: Option[AutoCompact] = None):
       (DataFrame, Long) => Unit =
     (batch, batchId) => {
       val o = processBatch(batch, batchId, embedding, seedCodebook, path,
-        autoRetrain)
+        autoRetrain, autoCompact)
       org.slf4j.LoggerFactory.getLogger(getClass).info(
         if (o.replayed)
           s"ann-ingest batch ${o.batchId}: replay detected, skipped"

@@ -63,10 +63,12 @@ object NearDedup {
 
   /** What one micro-batch did. `indexVersion` is the index manifest
     * version the batch's append committed (-1 when replayed: nothing
-    * was committed this invocation). */
+    * was committed this invocation); `compacted` = the sink's
+    * [[AutoCompact]] policy folded small segments after the commit. */
   case class BatchOutcome(batchId: Long, admitted: Long,
       dupOfCorpus: Long, dupInChunk: Long, survivors: Long,
-      indexVersion: Long, replayed: Boolean)
+      indexVersion: Long, replayed: Boolean,
+      compacted: Boolean = false)
 
   /** Highest batch id recorded in the index's commit ledger, scanning
     * versions newest-first until one carries [[BatchKey]] — normally
@@ -163,7 +165,8 @@ object NearDedup {
     * then appends the batch's bands to the index. */
   def processBatch(batch: DataFrame, batchId: Long, text: Column,
       id: String, indexPath: String, outPath: String,
-      shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4)
+      shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      autoCompact: Option[AutoCompact] = None)
       : BatchOutcome = {
     val spark = batch.sparkSession
     ensureIndex(batch, text, id, indexPath, shingleSize, numHashes, bands)
@@ -206,22 +209,29 @@ object NearDedup {
       // declared base exists)
     // after the commit: the vacuum-proof mirror (see lastAppliedBatch)
     mirrorBatch(spark, outPath, indexPath, batchId)
+    // segment hygiene: fold a backlog of small streamed band segments
+    // once the threshold crosses — a foreign commit the ledger and
+    // band-layout scans skip over by construction (see [[AutoCompact]])
+    val compacted =
+      autoCompact.exists(_.maybeCompact(spark, indexPath).isDefined)
     val Seq(adm, dc, dk, srv) = flags.agg(count(lit(1)),
       sum(col("dup_of_corpus").cast("long")),
       sum(col("dup_in_chunk").cast("long")),
       sum((!col("dup_of_corpus") && !col("dup_in_chunk")).cast("long")))
       .head().toSeq.map(v => Option(v).fold(0L)(_.asInstanceOf[Long]))
-    BatchOutcome(batchId, adm, dc, dk, srv, w.version, replayed = false)
+    BatchOutcome(batchId, adm, dc, dk, srv, w.version, replayed = false,
+      compacted = compacted)
   }
 
   /** The foreachBatch sink: `writeStream.foreachBatch(NearDedup.sink(
     * col("text"), "doc_id", indexPath, outPath))`. */
   def sink(text: Column, id: String, indexPath: String, outPath: String,
-      shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4)
+      shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      autoCompact: Option[AutoCompact] = None)
       : (DataFrame, Long) => Unit =
     (batch, batchId) => {
       val o = processBatch(batch, batchId, text, id, indexPath, outPath,
-        shingleSize, numHashes, bands)
+        shingleSize, numHashes, bands, autoCompact)
       // the per-batch dedup ledger an unattended stream leaves behind
       // (the outcome aggregate is computed for this line — one tiny
       // job over the checkpointed flags)

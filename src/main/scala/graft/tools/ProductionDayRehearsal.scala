@@ -100,11 +100,18 @@ object ProductionDayRehearsal {
       .unionByName(arriving.where($"doc_id" % 40 === 10) // in-chunk 2nd
         .select(($"doc_id" + 65000000L).as("doc_id"), $"text")) // copies
       .localCheckpoint(true)
+    // segment hygiene rides the SINKS now (r17): the AutoCompact
+    // policy folds the streamed small segments in-stream, so the
+    // maintenance stage below no longer needs a manual compactSmall
+    val hygiene = Some(graft.streaming.AutoCompact(
+      minBytes = 4L << 20, minSmallFiles = 48))
+    def filesOf(path: String): Int =
+      graft.operators.Versioned.fileStats(spark, path).size
     val (o0, st17aS) = timed {
       graft.streaming.NearDedup.processBatch(fresh0, 0L, $"text",
-        "doc_id", bandIndex, out)
+        "doc_id", bandIndex, out, autoCompact = hygiene)
     }
-    println(f"""{"stage":"st17_batch0","wall_s":$st17aS%.2f,"admitted":${o0.admitted},"dup_of_corpus":${o0.dupOfCorpus},"survivors":${o0.survivors},"index_versions":${versionsOf(bandIndex)}}""")
+    println(f"""{"stage":"st17_batch0","wall_s":$st17aS%.2f,"admitted":${o0.admitted},"dup_of_corpus":${o0.dupOfCorpus},"survivors":${o0.survivors},"compacted":${o0.compacted},"index_files":${filesOf(bandIndex)},"index_versions":${versionsOf(bandIndex)}}""")
     // probe attribution for the batch-1 shape (the chunk-vs-index claim)
     val probeQ = graft.operators.Dedup.dedupChunkAgainstIndex(
       batch1, $"text", "doc_id", bandIndex)
@@ -113,9 +120,9 @@ object ProductionDayRehearsal {
     val probeShuffle = PlanMetrics.shuffleBytes(probeQ)
     val (o1, st17bS) = timed {
       graft.streaming.NearDedup.processBatch(batch1, 1L, $"text",
-        "doc_id", bandIndex, out)
+        "doc_id", bandIndex, out, autoCompact = hygiene)
     }
-    println(f"""{"stage":"st17_batch1","wall_s":$st17bS%.2f,"probe_shuffle_bytes":$probeShuffle,"admitted":${o1.admitted},"dup_of_corpus":${o1.dupOfCorpus},"dup_in_chunk":${o1.dupInChunk},"survivors":${o1.survivors},"index_versions":${versionsOf(bandIndex)}}""")
+    println(f"""{"stage":"st17_batch1","wall_s":$st17bS%.2f,"probe_shuffle_bytes":$probeShuffle,"admitted":${o1.admitted},"dup_of_corpus":${o1.dupOfCorpus},"dup_in_chunk":${o1.dupInChunk},"survivors":${o1.survivors},"compacted":${o1.compacted},"index_files":${filesOf(bandIndex)},"index_versions":${versionsOf(bandIndex)}}""")
 
     // ---- stage 4: st18 batches over the embeddings of the corpus —
     // codebook seeded from the first batch's half, snapshot appends
@@ -127,13 +134,13 @@ object ProductionDayRehearsal {
       "vec_id", nlist = 16)
     val (a0, st18aS) = timed {
       graft.streaming.AnnIngest.processBatch(half0, 0L, "embedding", cb,
-        ivfIndex)
+        ivfIndex, autoCompact = hygiene)
     }
     val (a1, st18bS) = timed {
       graft.streaming.AnnIngest.processBatch(half1, 1L, "embedding", cb,
-        ivfIndex)
+        ivfIndex, autoCompact = hygiene)
     }
-    println(f"""{"stage":"st18_batches","wall_s":${st18aS + st18bS}%.2f,"appended":${a0.appended + a1.appended},"retrain_flagged":${a0.retrainRecommended || a1.retrainRecommended},"index_versions":${versionsOf(ivfIndex)}}""")
+    println(f"""{"stage":"st18_batches","wall_s":${st18aS + st18bS}%.2f,"appended":${a0.appended + a1.appended},"retrain_flagged":${a0.retrainRecommended || a1.retrainRecommended},"compacted":${a0.compacted || a1.compacted},"index_files":${filesOf(ivfIndex)},"index_versions":${versionsOf(ivfIndex)}}""")
 
     // ---- stage 4b: a DRIFTED cohort under the AutoRetrain policy:
     // the sink must flag the drift AND close the loop itself — the
@@ -160,7 +167,7 @@ object ProductionDayRehearsal {
     val (a2, st18cS) = timed {
       graft.streaming.AnnIngest.processBatch(driftedB, 2L, "embedding",
         cb, ivfIndex,
-        Some(graft.streaming.AnnIngest.AutoRetrain("vec_id")))
+        Some(graft.streaming.AnnIngest.AutoRetrain("vec_id")), hygiene)
     }
     require(a2.retrainRecommended && a2.retrained,
       s"drifted ANN batch did not auto-retrain: $a2")

@@ -31,7 +31,8 @@ class ConcurrencySpec extends SparkSpec {
         case e: IllegalStateException
             if e.getMessage != null &&
               (e.getMessage.contains("losing the commit race") ||
-                e.getMessage.contains("racing a concurrent VACUUM")) =>
+                e.getMessage.contains("racing a concurrent VACUUM") ||
+                e.getMessage.contains("kept racing")) =>
           last = e; Thread.sleep(200)
       }
     }
@@ -383,6 +384,114 @@ class ConcurrencySpec extends SparkSpec {
       .exists(s => s._1.equalsIgnoreCase("list_id") &&
       s._2 == Similarity.ivfBuckets(8)))
     info(s"retrains landed mid-storm: ${retrainsLanded.get()} of 3")
+  }
+
+  test("auto-compact vs a live ingest storm: the streaming sink's " +
+    "threshold COMPACT lands amid direct appenders and probes — no " +
+    "lost or doubled row, every mid-storm probe exact, the replay " +
+    "ledger and IVF descriptor survive the foreign commits, and the " +
+    "segment backlog actually folds") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    import graft.streaming.{AnnIngest, AutoCompact}
+    val t = tmpDir("autocompact") + "/index"
+    val seedIds = 1L to 16L
+    val cb0 = Similarity.buildCodebook(ivfVecs(seedIds), "embedding",
+      "vec_id", nlist = 8)
+    // seed BEFORE the storm: a concurrent build-or-append fallback
+    // would be its own (overwrite) race, not the one under test
+    Similarity.writePersistedIvf(ivfVecs(seedIds), "embedding", cb0, t)
+    // tiny thresholds so the fold fires repeatedly at spec scale; the
+    // folded output (≤ 1 file per non-empty bucket) stays under
+    // minSmallFiles, so the policy self-quiesces instead of re-folding
+    val policy = AutoCompact(minBytes = 1L << 20, minSmallFiles = 10)
+    val streamBatches = 6
+    // disjoint from the seed ids (1-16) and the appenders' (10000+):
+    // ids double as identity here, and the probe asserts no id is
+    // returned twice
+    def streamIds(b: Int): Seq[Long] =
+      (1000L + 100L * b) until (1000L + 100L * b + 30L)
+    def appenderIds(i: Int, j: Int): Seq[Long] = {
+      val lo = 10000L * (i + 1) + 10L * j
+      lo until lo + 5
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val compactions = new java.util.concurrent.atomic.AtomicInteger(0)
+    try {
+      val stream = Future {
+        (0 until streamBatches).foreach { b =>
+          val o = retry(AnnIngest.processBatch(ivfVecs(streamIds(b)),
+            b.toLong, "embedding", cb0, t, autoRetrain = None,
+            autoCompact = Some(policy)))
+          if (o.compacted) compactions.incrementAndGet()
+        }
+      }
+      val appenders = (0 until 2).map { i =>
+        Future {
+          (0 until 3).foreach { j =>
+            retry {
+              val cb = Similarity.loadPersistedIvf(spark, t).get.codebook
+              Similarity.appendToPersistedIvf(
+                ivfVecs(appenderIds(i, j)), "embedding", cb, t)
+            }
+          }
+        }
+      }
+      val prober = Future {
+        val q = Array.tabulate(32)(d => if (d == 3) 1f else 0f)
+        var probes = 0
+        while (!stop.get()) {
+          val rows = Similarity.probePersistedIvf(spark, t, "embedding",
+            "vec_id", q, nprobe = 8, k = 8)
+            .as[(Long, Double)].collect()
+          assert(rows.map(_._1).distinct.length == rows.length,
+            s"mid-storm probe returned a duplicated id: ${rows.toSeq}")
+          rows.foreach { case (id, score) =>
+            assert(score == (if (id % 8 == 3) 1.0 else 0.0),
+              s"mid-storm probe score diverged: ($id, $score)")
+          }
+          probes += 1
+        }
+        probes
+      }
+      Await.result(Future.sequence(appenders :+ stream), 600.seconds)
+      stop.set(true)
+      assert(Await.result(prober, 120.seconds) > 0,
+        "the prober never completed a probe during the storm")
+    } finally { stop.set(true); pool.shutdown() }
+    assert(compactions.get() >= 1,
+      "the threshold never crossed — the storm exercised nothing")
+    // serial model: no row lost to a fold, none doubled by one
+    val allIds = (seedIds ++ (0 until streamBatches).flatMap(streamIds) ++
+      (0 until 2).flatMap(i => (0 until 3).flatMap(appenderIds(i, _))))
+      .sorted
+    val got = Versioned.read(spark, t).select($"vec_id")
+      .as[Long].collect().sorted.toSeq
+    assert(got == allIds,
+      s"index diverged: missing=${(allIds.toSet -- got.toSet).take(5)} " +
+        s"extra/doubled=${got.diff(allIds).take(5)}")
+    val vs = Versioned.versions(spark, t)
+    assert(vs == (vs.head to vs.last),
+      s"surviving versions must be contiguous: $vs")
+    // the ledger scans PAST the foreign compaction commits
+    assert(AnnIngest.lastAppliedBatch(spark, t)
+      .contains(streamBatches - 1L))
+    // ...and so does the descriptor: the full probe resolves the
+    // committed codebook and equals brute force over everything
+    val q = Array.tabulate(32)(d => if (d == 5) 1f else 0f)
+    val fullProbe = Similarity.probePersistedIvf(spark, t, "embedding",
+      "vec_id", q, nprobe = 8, k = 12)
+      .as[(Long, Double)].collect().toSeq
+    val brute = Similarity.bruteForceTopK(ivfVecs(allIds), "embedding",
+      "vec_id", q, 12).as[(Long, Double)].collect().toSeq
+    assert(fullProbe == brute,
+      s"post-storm full probe diverged: $fullProbe vs $brute")
+    // the backlog genuinely folded: ~12 data commits × up to 8
+    // non-empty cells each would leave ~80+ segment files uncompacted
+    val files = Versioned.fileStats(spark, t).size
+    assert(files < 40, s"segment backlog did not fold: $files files")
   }
 
   test("commitIfAdjudicated: an interleaved append rebases at MANIFEST " +

@@ -347,4 +347,41 @@ class NearDedupSpec extends SparkSpec {
       assert(ids == Set(1L, 2L, 100L), s"lost append: $ids")
     } finally pool.shutdown()
   }
+
+  test("auto-compact on the dedup sink: a run of micro-batches folds " +
+    "its small band segments once the threshold crosses, the replay " +
+    "ledger survives the foreign optimize commits, and post-fold " +
+    "probes still classify exactly") {
+    val base = tmpDir("ndcompact")
+    val index = s"$base/index"
+    val out = s"$base/out"
+    val policy = Some(AutoCompact(minBytes = 1L << 20, minSmallFiles = 12))
+    var compactions = 0
+    (0 until 5).foreach { b =>
+      val o = NearDedup.processBatch(
+        docs((1L to 6L).map(i => (100L * b + i, (100 * b + i).toInt)): _*),
+        b.toLong, $"text", "doc_id", index, out, autoCompact = policy)
+      assert(!o.replayed && o.admitted == 6 && o.survivors == 6)
+      if (o.compacted) compactions += 1
+    }
+    assert(compactions >= 1, "the threshold never crossed")
+    // folded backlog: 5 batches x one small file per touched bucket
+    // would pile up ~20+ files; the policy keeps the manifest short
+    assert(Versioned.fileStats(spark, index).size <
+      Dedup.MinIndexBuckets + 6,
+      s"backlog did not fold: ${Versioned.fileStats(spark, index).size}")
+    // the ledger scans past the optimize commits...
+    assert(NearDedup.lastAppliedBatch(spark, index, out).contains(4L))
+    assert(NearDedup.processBatch(docs(999L -> 999), 4L, $"text",
+      "doc_id", index, out, autoCompact = policy).replayed)
+    // ...and a post-fold batch still classifies against EVERY folded
+    // band: a copy of a batch-0 doc flags dup_of_corpus, a fresh doc
+    // survives, an in-batch pair resolves keep-first
+    val probe = NearDedup.processBatch(
+      docs(5000L -> 1, 5001L -> 7777, 5002L -> 8888, 5003L -> 8888),
+      5L, $"text", "doc_id", index, out, autoCompact = policy)
+    assert(probe.dupOfCorpus == 1 && probe.dupInChunk == 1 &&
+      probe.survivors == 2, s"post-fold classification diverged: $probe")
+  }
 }
+
