@@ -74,7 +74,16 @@ object Bench {
     // (BENCH_r01/r02). The stdout line carries the total, the count, and
     // the slowest 40 queries (everything the baseline comparison ranks
     // on); the complete map is in bench_out.json.
-    val slowest = results.toSeq.sortBy(-_._2).take(40).sortBy(_._1)
+    // The TWO window canaries always ride the stdout line, ranked or
+    // not: pf2 (CPU/expression-bound) tracks compute throttle, vt1
+    // (three real segment commits) tracks IO throttle — the r16 bench
+    // saga showed a CPU canary alone is blind to IO-throttle phases,
+    // and adjudicating without both costs whole re-runs. A regression
+    // call requires BOTH canaries near their clean references (see
+    // PERFORMANCE.md, canary protocol).
+    val canaries = Set("pf2_profile_approx_bound", "vt1_time_travel")
+    val slowest = (results.toSeq.sortBy(-_._2).take(40) ++
+      results.toSeq.filter(kv => canaries(kv._1))).distinct.sortBy(_._1)
     val omitted = results.size - slowest.size
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""nqueries":${results.size},"queries_omitted":$omitted,""" +
