@@ -1,0 +1,81 @@
+package graft.tools
+
+import graft.operators.{Similarity, Versioned}
+import graft.streaming.{AnnIngest, AutoCompact}
+import org.apache.spark.sql.SparkSession
+
+/** Measures what [[graft.streaming.AutoCompact]] actually buys: the
+  * same night-of-micro-batches ingested twice into persisted IVF
+  * indexes — once bare, once under the policy — then both probed.
+  * The claim: without the fold, a probe's bucket-pruned read opens
+  * one file per (batch × probed bucket) and its wall grows with the
+  * BATCH COUNT; with it, file count and probe wall stay flat at the
+  * bucket layout's size whatever the night looked like. Per-batch
+  * ingest wall is also reported so the fold's amortized cost is
+  * visible next to its benefit.
+  *
+  * Usage: HygieneRehearsal <embDir> <workDir> [nBatches]
+  * Prints one JSON line per arm.
+  */
+object HygieneRehearsal {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: HygieneRehearsal <embDir> <workDir> [nBatches]")
+    val embDir = args(0)
+    val workDir = args(1)
+    val nBatches = if (args.length > 2) args(2).toInt else 30
+    require(workDir.startsWith("/tmp"), "workDir must be under /tmp")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+      .appName("graft-hygiene-rehearsal")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val NList = 64
+    val corpus = spark.read.parquet(s"$embDir/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val cb = Similarity.buildCodebook(corpus, "embedding", "vec_id", NList)
+    val q = corpus.where($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    // one batch = 200 id-shifted in-distribution vectors, pre-staged
+    // so both arms ingest literally identical frames
+    val batches = (0 until nBatches).map { b =>
+      corpus.where($"vec_id" > 0 && $"vec_id" <= 200)
+        .select(($"vec_id" + 40000000000L + b.toLong * 1000000L)
+          .as("vec_id"), $"embedding")
+        .localCheckpoint(true)
+    }
+
+    def runArm(arm: String, policy: Option[AutoCompact]): Unit = {
+      val path = s"$workDir/ivf_$arm"
+      Similarity.writePersistedIvf(corpus, "embedding", cb, path)
+      val t0 = System.nanoTime()
+      var folds = 0
+      batches.zipWithIndex.foreach { case (batch, b) =>
+        val o = AnnIngest.processBatch(batch, b.toLong, "embedding", cb,
+          path, autoRetrain = None, autoCompact = policy)
+        if (o.compacted) folds += 1
+      }
+      val ingestS = (System.nanoTime() - t0) / 1e9
+      val files = Versioned.fileStats(spark, path).size
+      // probe wall, best of three (per-file open overhead is what the
+      // backlog costs; the pruned probe opens probed-bucket files only)
+      def probeBest(): Double = (1 to 3).map { _ =>
+        val p0 = System.nanoTime()
+        Similarity.probePersistedIvf(spark, path, "embedding", "vec_id",
+          q, nprobe = 4, k = 10).collect()
+        (System.nanoTime() - p0) / 1e9
+      }.min
+      val probeS = probeBest()
+      println(f"""{"arm":"$arm","batches":$nBatches,"folds":$folds,"ingest_s":$ingestS%.2f,"s_per_batch":${ingestS / nBatches}%.2f,"manifest_files":$files,"pruned_probe_s":$probeS%.3f}""")
+    }
+    runArm("bare", None)
+    runArm("hygiene", Some(AutoCompact(minBytes = 8L << 20,
+      minSmallFiles = 256)))
+    spark.stop()
+  }
+}
