@@ -110,6 +110,48 @@ object AnnRehearsal {
       s"in-distribution cohort flagged retrain at $embDir: $app")
     println(f"""{"phase":"append","appended":${app.appended},"mean_sim":${app.meanSim}%.4f,"append_s":$appendS%.2f,"retrain":${app.retrainRecommended}}""")
 
+    // ---- LSH batch probe (r17): the hyperplane index's batch form
+    // (probePersistedLshMany) against per-query brute force over the
+    // same files — the claim mirrors the IVF probe's: the static
+    // cell-set isin bucket-prunes the ONE join to the probed balls'
+    // buckets, so batch-probe bytes are a LAYOUT fraction (~ball/2^p
+    // of the corpus), not a corpus-size effect, and per-query recall
+    // matches the single probe by construction (spec-pinned parity).
+    val NPlanes = 6
+    val lshPath = s"$workDir/lsh"
+    Similarity.writePersistedIndex(corpus, "embedding", NPlanes, 64,
+      lshPath)
+    val queries10 = corpus.where($"vec_id" > 0 && $"vec_id" <= 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qemb"))
+      .localCheckpoint(true)
+    def timedBatch(mk: => DataFrame): (Double, Long, Long) = {
+      var bestS = Double.MaxValue; var bytes = 0L; var rows = 0L
+      (1 to 2).foreach { _ =>
+        val p0 = System.nanoTime()
+        val df = mk
+        val n = df.collect().length
+        val s = (System.nanoTime() - p0) / 1e9
+        if (s < bestS) { bestS = s; bytes = bytesRead(df); rows = n }
+      }
+      (bestS, bytes, rows)
+    }
+    val (_, lshExactBytes, _) = timedBatch(
+      Similarity.lshTopKMany(
+        graft.operators.SnapshotScan.frame(spark, lshPath),
+        "embedding", "vec_id", queries10, "qid", "qemb", NPlanes, 64,
+        probeHamming = NPlanes, k = K))
+    // 1 query = one Hamming ball (the single probe's fraction); 10
+    // diverse queries = the UNION of their balls — the batch fraction
+    // is bounded by probed-cell diversity, not query count, and both
+    // are LAYOUT properties that must hold flat across decades
+    Seq(1, 10).foreach { nq =>
+      val (s, bytes, rows) = timedBatch(
+        Similarity.probePersistedLshMany(spark, lshPath, "embedding",
+          "vec_id", queries10.where($"qid" <= nq), "qid", "qemb",
+          k = K, probeHamming = 1))
+      println(f"""{"phase":"lsh_batch_probe","queries":$nq,"radius":1,"result_rows":$rows,"probe_s":$s%.2f,"probe_bytes":$bytes,"exact_bytes":$lshExactBytes,"bytes_fraction":${bytes.toDouble / math.max(1L, lshExactBytes)}%.4f}""")
+    }
+
     // ---- chunk-size amortization: the OTHER axis of the append
     // claim. The commit machinery (stage + CAS + manifest + ledger +
     // mirror) is a FIXED cost per batch — proven decade-invariant vs
