@@ -182,7 +182,7 @@ object SimilarityQueries {
           .select(col("qid"), col("vec_id").as("hit_id"), col("score"))
       },
       Some("""SELECT vec_id AS qid, vec_id + 1000000 AS hit_id,
-          1.0 AS score
+          CAST(1.0 AS DOUBLE) AS score
         FROM embeddings WHERE vec_id < 10""")),
 
     // ---- SIM6 LSH batch probe, pruned: every query's Hamming ball as
