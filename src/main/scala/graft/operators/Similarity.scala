@@ -395,9 +395,18 @@ object Similarity {
       .withColumn("__scores",
         transform(col("__cands"),
           c => CosineSimilarity(col(embedding), c.getField("c"))))
+      // get(), not apply(): a zero-norm row's scores are ALL null, and
+      // while the interpreted path resolves the max/position chain to
+      // a null index, Spark's predicate-codegen path (e.g. the
+      // ConvertToLocalRelation rule evaluating an isin over a local
+      // plan) resolves it to 0 → index −1 → a hard
+      // INVALID_ARRAY_INDEX error instead of a null assignment. get()
+      // returns null for any out-of-range index under BOTH engines,
+      // which is exactly the meaning of "this row assigns nowhere".
       .withColumn("list_id",
-        col("__cands")(
-          array_position(col("__scores"), array_max(col("__scores"))) - 1
+        get(col("__cands"),
+          (array_position(col("__scores"), array_max(col("__scores")))
+            - 1).cast("int")
         ).getField("list_id"))
       .withColumn(AssignSimCol, array_max(col("__scores")))
       .drop("__cands", "__scores")
@@ -1195,6 +1204,66 @@ object Similarity {
           "it with writePersistedIndex"))
     lshTopKMany(SnapshotScan.frameAt(spark, path, v), embedding, id,
       queries, qid, qEmbedding, np, d, probeHamming, k)
+  }
+
+  // ---------- IVF-PQ: int8-quantized inverted lists ----------
+
+  /** The PQ form of [[ivfAssign]]: vectors are stored as symmetric
+    * int8 codes (q_i = round(v_i / scale), scale = max|v| / 127 —
+    * emb2's quantization scheme) instead of float32, so the inverted
+    * lists a probe scans carry ~1/4 the bytes — at 100 TB the probe's
+    * IO term drops 4× for a bounded ranking error (per-dim
+    * reconstruction error ≤ scale/2 by round-to-nearest). Cell
+    * assignment happens on the TRUE embedding BEFORE quantization, so
+    * an exact copy of a query still lands in the query's own top-1
+    * probe cell. Output columns: (id, list_id, pq_scale, pq_code);
+    * a zero-norm vector gets null codes — it can rank nothing, like
+    * the float path's null cosine. The true embeddings live in the
+    * SOURCE table ([[ivfPqTopK]] joins back for exact rescoring);
+    * this frame deliberately does not carry them. */
+  def ivfPqIndex(df: DataFrame, embedding: String, id: String,
+      codebook: IvfCodebook): DataFrame =
+    ivfAssign(df, embedding, codebook)
+      .withColumn("pq_scale",
+        array_max(transform(col(embedding),
+          x => abs(x.cast("double")))) / lit(127.0))
+      .withColumn("pq_code",
+        when(col("pq_scale") > 0,
+          transform(col(embedding),
+            x => round(x.cast("double") / col("pq_scale")).cast("byte"))))
+      .select(col(id), col("list_id"), col("pq_scale"), col("pq_code"))
+
+  /** Two-stage PQ probe: (1) rank the probed cells' CODES by
+    * approximate cosine (the reconstructed v̂ = code·scale against the
+    * query — the cheap pass over 1/4 the bytes), keep the top `m`;
+    * (2) fetch ONLY those m rows' true embeddings from `source` (a
+    * broadcast semi-join on the id — the point-lookup shape a
+    * bloom-indexed corpus serves at scale) and rescore EXACTLY,
+    * returning the top `k`. `m` is the recall/IO dial: the exact pass
+    * touches m rows however big the corpus, and a candidate the
+    * approximate ranking puts outside the top m is the (bounded)
+    * approximation this index trades for its 4× scan. `source` must
+    * carry (`id`, `embedding`); null/zero-norm codes rank nothing. */
+  def ivfPqTopK(pqIndexed: DataFrame, source: DataFrame,
+      embedding: String, id: String, query: Array[Float],
+      codebook: IvfCodebook, nprobe: Int, m: Int, k: Int): DataFrame = {
+    require(m >= k, s"rescore budget m=$m must be >= k=$k")
+    val cells = probeCells(codebook, query, nprobe)
+    val q = lit(query.map(_.toDouble))
+    val shortlist = pqIndexed
+      .where(col("list_id").isin(cells.toSeq: _*))
+      .withColumn("__approx", CosineSimilarity(
+        transform(col("pq_code"), c => c.cast("double") * col("pq_scale")),
+        q))
+      .where(col("__approx").isNotNull)
+      .orderBy(col("__approx").desc, col(id).asc)
+      .limit(m)
+      .select(col(id))
+    source.join(broadcast(shortlist), Seq(id))
+      .withColumn("score", round(CosineSimilarity(col(embedding), q), 4))
+      .select(col(id), col("score"))
+      .orderBy(col("score").desc, col(id).asc)
+      .limit(k)
   }
 
   /** Embedding-cosine near-duplicate pairs, LSH-bucketed: pairs are

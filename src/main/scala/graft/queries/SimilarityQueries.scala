@@ -240,6 +240,52 @@ object SimilarityQueries {
           WHERE q.vec_id < 10 AND c.vec_id >= 10
         ) WHERE rn <= 5""")),
 
+    // ---- SIM7 IVF-PQ: int8-quantized inverted lists (emb2's
+    // symmetric scheme inside sim3's cells — the probe's scan reads
+    // ~1/4 the bytes) + exact rescore of the approximate top-m via a
+    // broadcast point-fetch of true embeddings. Approximate by design
+    // (rows-only); the guaranteed fraction of its recall is
+    // hash-checked by sim7_pq_recall.
+    "sim7_ivfpq_topk" -> QueryDef(
+      (s, dir) => {
+        val q = queryVec(s, dir)
+        val corpus = t(s, dir, "embeddings").where(col("vec_id") =!= 0)
+        val cb = Similarity.buildCodebook(corpus, "embedding", "vec_id",
+          nlist = 16, refineIters = 2)
+        Similarity.ivfPqTopK(
+          Similarity.ivfPqIndex(corpus, "embedding", "vec_id", cb),
+          corpus, "embedding", "vec_id", q, cb,
+          nprobe = 4, m = 30, k = 10)
+      },
+      None,
+      doc = "rows-only: int8 quantization + cell pruning change the candidate set"),
+
+    // ---- SIM7 self-check: an exact COPY of the query injected into
+    // the corpus is GUARANTEED retrieved — its true embedding assigns
+    // it to the query's own top-1 probe cell (quantization happens
+    // AFTER assignment), its approximate code-space cosine (~0.9999)
+    // clears every natural candidate (measured max natural cosine to
+    // a query on this corpus ≈ 0.49, far beyond int8's bounded
+    // ranking error), and the exact rescore returns cosine exactly
+    // 1.0. SQL-predictable, hash-checked.
+    "sim7_pq_recall" -> QueryDef(
+      (s, dir) => {
+        val q = queryVec(s, dir)
+        val emb = t(s, dir, "embeddings")
+        val corpus = emb.where(col("vec_id") =!= 0).unionByName(
+          emb.where(col("vec_id") === 0)
+            .withColumn("vec_id", col("vec_id") + 1000000L))
+        val cb = Similarity.buildCodebook(corpus, "embedding", "vec_id",
+          nlist = 16, refineIters = 2)
+        Similarity.ivfPqTopK(
+            Similarity.ivfPqIndex(corpus, "embedding", "vec_id", cb),
+            corpus, "embedding", "vec_id", q, cb,
+            nprobe = 4, m = 10, k = 1)
+          .where(col("vec_id") === 1000000L)
+      },
+      Some("""SELECT CAST(1000000 AS BIGINT) AS vec_id,
+          CAST(1.0 AS DOUBLE) AS score""")),
+
     // ---- EMB1 per-label centroids (the k-means E-step / class-
     // prototype shape): posexplode each vector once, ONE hash shuffle
     // on (label, dim), elementwise mean. Never collects vectors — the

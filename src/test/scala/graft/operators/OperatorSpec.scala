@@ -709,6 +709,64 @@ class OperatorSpec extends SparkSpec {
     }.getMessage.contains("collide"))
   }
 
+  test("IVF-PQ: one-hot vectors quantize exactly so the full PQ probe " +
+    "equals brute force; the codes-only index never carries the " +
+    "embedding; zero-norm rows rank nothing; an injected query copy " +
+    "is retrieved at exact cosine 1.0 on real embeddings; m < k " +
+    "refuses") {
+    def oneHot(axis: Int): Array[Float] =
+      Array.tabulate(16)(d => if (d == axis) 1f else 0f)
+    val corpus = (1L to 64L).map(i => (i, oneHot((i % 8).toInt)))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.buildCodebook(corpus, "embedding", "vec_id",
+      nlist = 8)
+    val pq = Similarity.ivfPqIndex(corpus, "embedding", "vec_id", cb)
+    assert(pq.columns.toSet ==
+      Set("vec_id", "list_id", "pq_scale", "pq_code"),
+      s"PQ index must be codes-only: ${pq.columns.mkString(",")}")
+    // one-hot components are 0/1 with scale 1/127: codes 0/127
+    // reconstruct bit-exactly, so approximate == exact and the full
+    // probe reproduces brute force including scores
+    val full = Similarity.ivfPqTopK(pq, corpus, "embedding", "vec_id",
+      oneHot(3), cb, nprobe = 8, m = 64, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = Similarity.bruteForceTopK(corpus, "embedding", "vec_id",
+      oneHot(3), 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == brute, s"$full vs $brute")
+    // zero-norm rows carry null codes and are never ranked
+    val withZero = corpus.unionByName(
+      Seq((999L, Array.fill(16)(0f))).toDF("vec_id", "embedding"))
+    val pqz = Similarity.ivfPqIndex(withZero, "embedding", "vec_id", cb)
+    assert(pqz.where($"vec_id" === 999L).head().isNullAt(
+      pqz.columns.indexOf("pq_code")))
+    assert(!Similarity.ivfPqTopK(pqz, withZero, "embedding", "vec_id",
+      oneHot(3), cb, 8, 65, 65).collect().map(_.getLong(0))
+      .contains(999L))
+    // real embeddings: the injected exact copy of the query wins the
+    // approximate shortlist (max natural cosine ~0.49 on this corpus,
+    // int8 ranking error bounded far below that margin) and rescores
+    // at exactly 1.0
+    val emb = graft.Tables(spark, sfDir, "embeddings")
+    val q = emb.where($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val real = emb.where($"vec_id" =!= 0).select($"vec_id", $"embedding")
+      .unionByName(emb.where($"vec_id" === 0)
+        .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding"))
+    val cbR = Similarity.buildCodebook(real, "embedding", "vec_id",
+      nlist = 16, refineIters = 2)
+    val top = Similarity.ivfPqTopK(
+      Similarity.ivfPqIndex(real, "embedding", "vec_id", cbR),
+      real, "embedding", "vec_id", q, cbR, nprobe = 4, m = 10, k = 1)
+      .head()
+    assert(top.getLong(0) == 1000000L && top.getDouble(1) == 1.0,
+      s"copy not retrieved: $top")
+    assert(intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(pq, corpus, "embedding", "vec_id", oneHot(3),
+        cb, 8, m = 3, k = 5)
+    }.getMessage.contains("m=3"))
+  }
+
   test("drift floor: a cohort orthogonal-or-worse to EVERY centroid " +
     "fires even against a LOOSE baseline — where the relative 2x rule " +
     "is geometrically unreachable (build meanSim < 0.5 demands a " +
