@@ -535,6 +535,7 @@ object Similarity {
   // reason.
 
   private[graft] val IvfCodebookKey = "ivf_codebook"
+  private[graft] val IvfPqKey = "ivf_pq"
   private[graft] val IvfFpKey = "ivf_fp"
   private[graft] val IvfBaselineKey = "ivf_baseline"
 
@@ -590,7 +591,7 @@ object Similarity {
     * appends must keep. */
   final case class IvfIndexState(version: Long, codebook: IvfCodebook,
       fingerprint: String, codebookFile: String, baseline: IvfStats,
-      buckets: Int)
+      buckets: Int, pq: Boolean = false)
 
   /** Resolve the current state of a persisted IVF index: pin the
     * latest version, then scan manifest meta newest-first from it for
@@ -605,8 +606,8 @@ object Similarity {
         f <- m.get(IvfCodebookKey)
         fp <- m.get(IvfFpKey)
         b <- m.get(IvfBaselineKey)
-      } yield (f, fp, b)
-    }.map { case (latest, (f, fp, b)) =>
+      } yield (f, fp, b, m.contains(IvfPqKey))
+    }.map { case (latest, (f, fp, b, pq)) =>
       val p = new org.apache.hadoop.fs.Path(path, f)
       val raw = Sidecars.read(spark, p).getOrElse(
         throw new IllegalStateException(
@@ -617,7 +618,7 @@ object Similarity {
       IvfIndexState(latest, decodeCodebook(raw), fp, f,
         IvfStats(b.substring(0, cut).toLong, b.substring(cut + 1).toDouble),
         Versioned.bucketSpec(spark, path, Some(latest)).map(_._2)
-          .getOrElse(0))
+          .getOrElse(0), pq)
     }
 
   private def requireIvfState(spark: org.apache.spark.sql.SparkSession,
@@ -722,6 +723,8 @@ object Similarity {
       codebook: IvfCodebook, path: String,
       extraMeta: Map[String, String] = Map.empty): IvfAppend = {
     val st = requireIvfState(df.sparkSession, path, "append")
+    require(!st.pq, s"$path is an IVF-PQ index (codes, no embedding " +
+      "column) — append with appendToPersistedIvfPq")
     requireFingerprint(st, codebook, path, "append")
     appendUnderState(df, embedding, path, st, extraMeta,
       onRetrainRace = st2 =>
@@ -740,6 +743,9 @@ object Similarity {
       embedding: String, path: String,
       extraMeta: Map[String, String]): IvfAppend = {
     val st = requireIvfState(df.sparkSession, path, "append")
+    require(!st.pq, s"$path is an IVF-PQ index — the streaming float " +
+      "ingest cannot append codes; build a float index for AnnIngest " +
+      "or append with appendToPersistedIvfPq")
     appendUnderState(df, embedding, path, st, extraMeta,
       onRetrainRace = _ => ())
   }
@@ -788,16 +794,21 @@ object Similarity {
     * refuses instead). */
   private def appendUnderState(df: DataFrame, embedding: String,
       path: String, st0: IvfIndexState, extraMeta: Map[String, String],
-      onRetrainRace: IvfIndexState => Unit): IvfAppend = {
+      onRetrainRace: IvfIndexState => Unit,
+      shape: DataFrame => DataFrame = identity): IvfAppend = {
     val spark = df.sparkSession
     var st = st0
     // ONE assignment pass (the dominant per-row compute), materialized
     // chunk-local: the write and the quality aggregate both read it,
-    // and a lost CAS re-stages the same blocks without recomputing
+    // and a lost CAS re-stages the same blocks without recomputing.
+    // `shape` is the staged-row projection (identity for the float
+    // index, quantize-and-narrow for the PQ form) — it must preserve
+    // AssignSimCol for the quality aggregate.
     requireAppendSchema(
-      ivfAssignWithSim(df, embedding, st.codebook).drop(AssignSimCol),
+      shape(ivfAssignWithSim(df, embedding, st.codebook))
+        .drop(AssignSimCol),
       spark, path, st.version)
-    var assigned = ivfAssignWithSim(df, embedding, st.codebook)
+    var assigned = shape(ivfAssignWithSim(df, embedding, st.codebook))
       .localCheckpoint(true)
     var q = qualityOf(assigned)
     var attempts = 0
@@ -857,7 +868,7 @@ object Similarity {
       val st2 = requireIvfState(spark, path, "append")
       if (st2.fingerprint != st.fingerprint) {
         onRetrainRace(st2) // caller-held codebooks refuse here
-        assigned = ivfAssignWithSim(df, embedding, st2.codebook)
+        assigned = shape(ivfAssignWithSim(df, embedding, st2.codebook))
           .localCheckpoint(true)
         q = qualityOf(assigned)
       }
@@ -895,6 +906,8 @@ object Similarity {
       path: String, embedding: String, id: String, query: Array[Float],
       nprobe: Int, k: Int): DataFrame = {
     val st = requireIvfState(spark, path, "probe")
+    require(!st.pq, s"$path is an IVF-PQ index (codes, no embedding " +
+      "column) — probe it with probePersistedIvfPq")
     ivfTopK(SnapshotScan.frameAt(spark, path, st.version), embedding, id,
       query, st.codebook, nprobe, k)
   }
@@ -946,6 +959,10 @@ object Similarity {
       require(vs.nonEmpty, s"no committed version in $path — build the " +
         "index with writePersistedIvf (or migrate a legacy dir with " +
         "migratePersistedIvf) before retraining")
+      require(!loadPersistedIvf(spark, path).exists(_.pq),
+        s"$path is an IVF-PQ index: its rows are lossy int8 codes, so " +
+          "an in-place retrain cannot recover the true embeddings — " +
+          "rebuild from the source table with writePersistedIvfPq")
       val base = vs.max
       // Keep the FULL row schema (minus the recomputed list_id): an
       // index whose streamed batches carry extra columns must come out
@@ -1223,15 +1240,104 @@ object Similarity {
     * this frame deliberately does not carry them. */
   def ivfPqIndex(df: DataFrame, embedding: String, id: String,
       codebook: IvfCodebook): DataFrame =
-    ivfAssign(df, embedding, codebook)
-      .withColumn("pq_scale",
+    withPqCodes(ivfAssign(df, embedding, codebook), embedding)
+      .select(col(id), col("list_id"), col("pq_scale"), col("pq_code"))
+
+  /** Symmetric int8 quantization columns from `embedding` (emb2's
+    * scheme): `pq_scale` = max|v|/127, `pq_code` = round(v/scale) as
+    * bytes; null codes for a zero-norm row. */
+  private def withPqCodes(df: DataFrame, embedding: String): DataFrame =
+    df.withColumn("pq_scale",
         array_max(transform(col(embedding),
           x => abs(x.cast("double")))) / lit(127.0))
       .withColumn("pq_code",
         when(col("pq_scale") > 0,
           transform(col(embedding),
             x => round(x.cast("double") / col("pq_scale")).cast("byte"))))
-      .select(col(id), col("list_id"), col("pq_scale"), col("pq_code"))
+
+  /** The approximate code-space cosine of `pq_code`/`pq_scale` rows
+    * against a query literal — the reconstructed v̂ = code·scale fed
+    * to the same native cosine the float path uses. */
+  private def pqApprox(q: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    CosineSimilarity(
+      transform(col("pq_code"), c => c.cast("double") * col("pq_scale")),
+      q)
+
+  /** Persist an IVF-PQ index on the Versioned snapshot layout: the
+    * same bucketed commit, descriptor (codebook sidecar + fingerprint
+    * + drift baseline) and CAS machinery as [[writePersistedIvf]],
+    * but the staged rows are CODES (id, list_id, pq_scale, pq_code) —
+    * on disk the inverted lists carry ~1/4 the bytes, which is where
+    * the PQ trade actually pays (a probe's pruned scan reads 4× less
+    * IO). The `ivf_pq` marker rides the descriptor so the float
+    * probe/retrain refuse this layout loudly instead of failing on a
+    * missing embedding column. The true embeddings stay in the SOURCE
+    * table; [[probePersistedIvfPq]] rescores against it. Quality
+    * baseline is computed from the TRUE embeddings before they are
+    * dropped, so drift checks are quantization-independent. */
+  def writePersistedIvfPq(df: DataFrame, embedding: String, id: String,
+      codebook: IvfCodebook, path: String): IvfStats = {
+    require(codebook.entries.nonEmpty, "empty codebook")
+    val spark = df.sparkSession
+    val staged = withPqCodes(ivfAssignWithSim(df, embedding, codebook),
+        embedding)
+      .select(col(id), col("list_id"), col("pq_scale"), col("pq_code"),
+        col(AssignSimCol))
+      .localCheckpoint(true)
+    val stats = qualityOf(staged)
+    val fp = fingerprint(codebook)
+    val cbFile = writeCodebookSidecar(spark, path, codebook, fp)
+    Versioned.commitBucketed(staged.drop(AssignSimCol), path, "list_id",
+      numBuckets = ivfBuckets(codebook.entries.length),
+      mode = "overwrite",
+      meta = ivfMeta(cbFile, fp, stats) + (IvfPqKey -> "1"))
+    stats
+  }
+
+  /** Append a chunk to a persisted IVF-PQ index: assign on the TRUE
+    * embeddings against the frozen codebook (fingerprint-verified),
+    * quantize, and ride the same stage-once/CAS-many append as the
+    * float index — drift quality comes from the pre-quantization
+    * assignment sims, so the baseline means the same thing on both
+    * layouts. */
+  def appendToPersistedIvfPq(df: DataFrame, embedding: String,
+      id: String, codebook: IvfCodebook, path: String,
+      extraMeta: Map[String, String] = Map.empty): IvfAppend = {
+    val st = requireIvfState(df.sparkSession, path, "append")
+    require(st.pq, s"$path is a float IVF index — append with " +
+      "appendToPersistedIvf (codes would corrupt its schema)")
+    requireFingerprint(st, codebook, path, "append")
+    val shape = (d: DataFrame) => withPqCodes(d, embedding)
+      .select(col(id), col("list_id"), col("pq_scale"), col("pq_code"),
+        col(AssignSimCol))
+    // the PQ marker must ride EVERY descriptor-carrying commit: the
+    // newest-first descriptor scan resolves from this append, and an
+    // append that dropped the marker would demote the index to float
+    // in every later reader's eyes (probes would then look for an
+    // embedding column the rows don't carry)
+    appendUnderState(df, embedding, path, st,
+      extraMeta + (IvfPqKey -> "1"),
+      onRetrainRace = st2 =>
+        requireFingerprint(st2, codebook, path, "append"),
+      shape = shape)
+  }
+
+  /** [[ivfPqTopK]] against a persisted snapshot PQ index: codebook,
+    * codes and version resolve off ONE pinned commit; the probed
+    * cells' `isin` bucket-prunes the codes scan at plan time, and the
+    * exact rescore point-fetches the approximate top-m from `source`
+    * (which must carry `id` + `embedding` — typically the corpus
+    * table the index was built from). */
+  def probePersistedIvfPq(spark: org.apache.spark.sql.SparkSession,
+      path: String, source: DataFrame, embedding: String, id: String,
+      query: Array[Float], nprobe: Int, m: Int, k: Int): DataFrame = {
+    val st = requireIvfState(spark, path, "probe")
+    require(st.pq, s"$path is a float IVF index — probe it with " +
+      "probePersistedIvf")
+    ivfPqTopK(SnapshotScan.frameAt(spark, path, st.version), source,
+      embedding, id, query, st.codebook, nprobe, m, k)
+  }
 
   /** Two-stage PQ probe: (1) rank the probed cells' CODES by
     * approximate cosine (the reconstructed v̂ = code·scale against the
@@ -1252,9 +1358,7 @@ object Similarity {
     val q = lit(query.map(_.toDouble))
     val shortlist = pqIndexed
       .where(col("list_id").isin(cells.toSeq: _*))
-      .withColumn("__approx", CosineSimilarity(
-        transform(col("pq_code"), c => c.cast("double") * col("pq_scale")),
-        q))
+      .withColumn("__approx", pqApprox(q))
       .where(col("__approx").isNotNull)
       .orderBy(col("__approx").desc, col(id).asc)
       .limit(m)

@@ -11,7 +11,7 @@ import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
   * listener race. One implementation: a future fix (a new AQE wrapper
   * node, reused-exchange dedup) lands in every rehearsal at once
   * instead of silently skewing whichever tool was missed. */
-private[tools] object PlanMetrics {
+private[graft] object PlanMetrics {
 
   private def resolve(p: SparkPlan): SparkPlan = p match {
     case a: AdaptiveSparkPlanExec => resolve(a.executedPlan)

@@ -767,6 +767,99 @@ class OperatorSpec extends SparkSpec {
     }.getMessage.contains("m=3"))
   }
 
+  test("persisted IVF-PQ: the codes ride the snapshot layout — full " +
+    "probe equals brute force on exactly-quantizable vectors, the " +
+    "pruned probe bucket-prunes AND reads ~1/4 the bytes of the float " +
+    "index, appends drift-check on true embeddings, and the float " +
+    "paths refuse the PQ layout (and vice versa)") {
+    def oneHot(axis: Int): Array[Float] =
+      Array.tabulate(16)(d => if (d == axis) 1f else 0f)
+    val corpus = (1L to 80L).map(i => (i, oneHot((i % 8).toInt)))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.buildCodebook(corpus, "embedding", "vec_id",
+      nlist = 8)
+    val pqPath = tmpDir("ivfpq") + "/index"
+    val floatPath = tmpDir("ivfpqf") + "/index"
+    val baseline = Similarity.writePersistedIvfPq(corpus, "embedding",
+      "vec_id", cb, pqPath)
+    Similarity.writePersistedIvf(corpus, "embedding", cb, floatPath)
+    assert(math.abs(baseline.meanSim - 1.0) < 1e-9, s"$baseline")
+    // full probe == brute force (one-hots quantize exactly)
+    val full = Similarity.probePersistedIvfPq(spark, pqPath, corpus,
+      "embedding", "vec_id", oneHot(3), nprobe = 8, m = 80, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = Similarity.bruteForceTopK(corpus, "embedding", "vec_id",
+      oneHot(3), 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == brute, s"$full vs $brute")
+    // the pruned codes scan bucket-prunes to the probed cells...
+    val pruned = Similarity.probePersistedIvfPq(spark, pqPath, corpus,
+      "embedding", "vec_id", oneHot(3), nprobe = 2, m = 20, k = 5)
+    pruned.collect()
+    val expected = Similarity.probeCells(cb, oneHot(3), 2)
+      .map(bucketOfLong(_, Similarity.ivfBuckets(8))).toSet
+    val read = scannedGraftBuckets(pruned)
+    assert(read.nonEmpty && read.subsetOf(expected),
+      s"PQ probe scanned buckets $read beyond the probed cells' $expected")
+    // ...and reads a fraction of the float index's bytes for the SAME
+    // cells. Measured on an INCOMPRESSIBLE random corpus — one-hot
+    // vectors dictionary-encode to nothing on both layouts and the
+    // parquet footers dominate, hiding the payload shrink the int8
+    // codes buy (codes are 1/4 the width; footer overhead keeps the
+    // measured ratio under ~0.6 rather than 0.25).
+    def bytesOf(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect(); graft.tools.PlanMetrics.bytesRead(df)
+    }
+    val rnd = new scala.util.Random(7)
+    val dense = (1L to 2000L)
+      .map(i => (i, Array.fill(64)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val cbD = Similarity.buildCodebook(dense, "embedding", "vec_id", 8)
+    val densePq = tmpDir("ivfpqd") + "/index"
+    val denseFloat = tmpDir("ivfpqdf") + "/index"
+    Similarity.writePersistedIvfPq(dense, "embedding", "vec_id", cbD,
+      densePq)
+    Similarity.writePersistedIvf(dense, "embedding", cbD, denseFloat)
+    val qd = dense.where($"vec_id" === 1L).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val pqBytes = bytesOf(Similarity.probePersistedIvfPq(spark, densePq,
+      dense, "embedding", "vec_id", qd, nprobe = 8, m = 50, k = 5))
+    val floatBytes = bytesOf(Similarity.probePersistedIvf(spark,
+      denseFloat, "embedding", "vec_id", qd, nprobe = 8, k = 5))
+    assert(pqBytes > 0 && pqBytes < (floatBytes * 6) / 10,
+      s"PQ probe read $pqBytes bytes vs float $floatBytes — the 4x " +
+        "shrink did not materialize")
+    // append: assigns + quantizes, drift quality from TRUE embeddings
+    val app = Similarity.appendToPersistedIvfPq(
+      (100L to 109L).map(i => (i, oneHot(8 + (i % 8).toInt)))
+        .toDF("vec_id", "embedding"),
+      "embedding", "vec_id", cb, pqPath)
+    assert(app.appended == 10 && app.retrainRecommended,
+      s"orthogonal PQ cohort must flag drift: $app")
+    assert(Versioned.read(spark, pqPath).count() == 90)
+    // cross-guards: float paths refuse the PQ layout and vice versa,
+    // and a lossy in-place retrain refuses with the rebuild pointer
+    assert(intercept[IllegalArgumentException] {
+      Similarity.probePersistedIvf(spark, pqPath, "embedding", "vec_id",
+        oneHot(3), nprobe = 8, k = 5)
+    }.getMessage.contains("probePersistedIvfPq"))
+    assert(intercept[IllegalArgumentException] {
+      Similarity.appendToPersistedIvf(corpus, "embedding", cb, pqPath)
+    }.getMessage.contains("appendToPersistedIvfPq"))
+    assert(intercept[IllegalArgumentException] {
+      Similarity.probePersistedIvfPq(spark, floatPath, corpus,
+        "embedding", "vec_id", oneHot(3), 8, 80, 5)
+    }.getMessage.contains("probePersistedIvf"))
+    assert(intercept[IllegalArgumentException] {
+      Similarity.appendToPersistedIvfPq(corpus, "embedding", "vec_id",
+        cb, floatPath)
+    }.getMessage.contains("appendToPersistedIvf"))
+    assert(intercept[IllegalArgumentException] {
+      Similarity.retrainPersistedIvf(spark, pqPath, "embedding",
+        "vec_id", nlist = 8)
+    }.getMessage.contains("writePersistedIvfPq"))
+  }
+
   test("drift floor: a cohort orthogonal-or-worse to EVERY centroid " +
     "fires even against a LOOSE baseline — where the relative 2x rule " +
     "is geometrically unreachable (build meanSim < 0.5 demands a " +
