@@ -1342,28 +1342,35 @@ object Similarity {
   /** Two-stage PQ probe: (1) rank the probed cells' CODES by
     * approximate cosine (the reconstructed v̂ = code·scale against the
     * query — the cheap pass over 1/4 the bytes), keep the top `m`;
-    * (2) fetch ONLY those m rows' true embeddings from `source` (a
-    * broadcast semi-join on the id — the point-lookup shape a
-    * bloom-indexed corpus serves at scale) and rescore EXACTLY,
-    * returning the top `k`. `m` is the recall/IO dial: the exact pass
-    * touches m rows however big the corpus, and a candidate the
-    * approximate ranking puts outside the top m is the (bounded)
-    * approximation this index trades for its 4× scan. `source` must
-    * carry (`id`, `embedding`); null/zero-norm codes rank nothing. */
+    * (2) fetch ONLY those m rows' true embeddings from `source` and
+    * rescore EXACTLY, returning the top `k`. The shortlist ids are
+    * COLLECTED (m values — driver-sized by construction, m is the
+    * dial) and pushed into the source scan as a static `isin`, so the
+    * fetch is a point lookup the scan prunes at PLAN time (parquet
+    * row-group stats; file skipping on a bloom-indexed snapshot
+    * corpus) — a broadcast join would instead scan the whole source
+    * to probe it. `m` is the recall/IO dial: the exact pass touches m
+    * rows however big the corpus, and a candidate the approximate
+    * ranking puts outside the top m is the (bounded) approximation
+    * this index trades for its 4× scan. `source` must carry (`id`,
+    * `embedding`); null/zero-norm codes rank nothing. NOTE: the
+    * shortlist executes at CALL time (the cell-set collect
+    * discipline of [[ivfTopKMany]]). */
   def ivfPqTopK(pqIndexed: DataFrame, source: DataFrame,
       embedding: String, id: String, query: Array[Float],
       codebook: IvfCodebook, nprobe: Int, m: Int, k: Int): DataFrame = {
     require(m >= k, s"rescore budget m=$m must be >= k=$k")
     val cells = probeCells(codebook, query, nprobe)
     val q = lit(query.map(_.toDouble))
-    val shortlist = pqIndexed
+    val shortIds = pqIndexed
       .where(col("list_id").isin(cells.toSeq: _*))
       .withColumn("__approx", pqApprox(q))
       .where(col("__approx").isNotNull)
       .orderBy(col("__approx").desc, col(id).asc)
       .limit(m)
       .select(col(id))
-    source.join(broadcast(shortlist), Seq(id))
+      .collect().map(_.get(0))
+    source.where(col(id).isin(shortIds.toSeq: _*))
       .withColumn("score", round(CosineSimilarity(col(embedding), q), 4))
       .select(col(id), col("score"))
       .orderBy(col("score").desc, col(id).asc)

@@ -110,6 +110,33 @@ object AnnRehearsal {
       s"in-distribution cohort flagged retrain at $embDir: $app")
     println(f"""{"phase":"append","appended":${app.appended},"mean_sim":${app.meanSim}%.4f,"append_s":$appendS%.2f,"retrain":${app.retrainRecommended}}""")
 
+    // ---- IVF-PQ (r17): the quantized index against the SAME corpus
+    // and codebook — the probe's scan term at 1/4 the payload. The
+    // claim: the PQ probe prunes to the same cells as the float probe
+    // (same codebook, same isin) but reads ~1/4 its bytes, and the
+    // exact rescore of the top-m restores the float probe's results.
+    val pqPath = s"$workDir/ivf_pq"
+    Similarity.writePersistedIvfPq(corpus, "embedding", "vec_id", cb,
+      pqPath)
+    // the SCAN TERM (the 4x claim) attributed alone: the codes scan
+    // over the probed cells, vs the float probe's scan of the same
+    // cells; the rescore is a separate m-bounded point fetch whose IO
+    // is a property of the SOURCE's lookup structure, not the index
+    val stPq = Similarity.loadPersistedIvf(spark, pqPath).get
+    val codesScan = graft.operators.SnapshotScan
+      .frameAt(spark, pqPath, stPq.version)
+      .where(col("list_id").isin(
+        Similarity.probeCells(stPq.codebook, q, NProbe).toSeq: _*))
+    codesScan.collect()
+    val codesBytes = bytesRead(codesScan)
+    val p0 = System.nanoTime()
+    val pqIds = Similarity.probePersistedIvfPq(spark, pqPath, corpus,
+      "embedding", "vec_id", q, NProbe, m = 5 * K, k = K)
+      .collect().map(_.getLong(0)).toSeq
+    val pqS = (System.nanoTime() - p0) / 1e9
+    val floatMatch = pqIds.toSet.intersect(probeIds.toSet).size.toDouble / K
+    println(f"""{"phase":"pq_probe","nprobe":$NProbe,"m":${5 * K},"k":$K,"pq_probe_s":$pqS%.2f,"codes_scan_bytes":$codesBytes,"float_probe_bytes":$probeBytes,"pq_vs_float_bytes":${codesBytes.toDouble / math.max(1L, probeBytes)}%.4f,"pq_vs_brute_bytes":${codesBytes.toDouble / math.max(1L, bruteBytes)}%.4f,"match_vs_float_probe":$floatMatch%.2f}""")
+
     // ---- LSH batch probe (r17): the hyperplane index's batch form
     // (probePersistedLshMany) against per-query brute force over the
     // same files — the claim mirrors the IVF probe's: the static

