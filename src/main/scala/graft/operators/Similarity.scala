@@ -896,6 +896,46 @@ object Similarity {
     catch { case _: Versioned.CreateConflict => () }
   }
 
+  /** [[ensurePersistedIvf]]'s PQ form: the empty seed commits the
+    * CODES schema (id, list_id, pq_scale, pq_code) under the `ivf_pq`
+    * marker, so the first streamed batch's append-schema gate sees
+    * the layout every later batch must keep. */
+  private[graft] def ensurePersistedIvfPq(carrier: DataFrame,
+      embedding: String, id: String, codebook: IvfCodebook,
+      path: String): Unit = {
+    val spark = carrier.sparkSession
+    if (Versioned.versions(spark, path).nonEmpty) return
+    val fp = fingerprint(codebook)
+    val cbFile = writeCodebookSidecar(spark, path, codebook, fp)
+    try Versioned.commitBucketed(
+      withPqCodes(ivfAssign(carrier.limit(0), embedding, codebook),
+          embedding)
+        .select(col(id), col("list_id"), col("pq_scale"),
+          col("pq_code")),
+      path, "list_id", ivfBuckets(codebook.entries.length), "create",
+      ivfMeta(cbFile, fp, IvfStats(0, 0.0)) + (IvfPqKey -> "1"))
+    catch { case _: Versioned.CreateConflict => () }
+  }
+
+  /** [[appendResolvedToPersistedIvf]]'s PQ form — the streaming-ingest
+    * append for quantized indexes: assign on TRUE embeddings under the
+    * COMMITTED codebook, quantize, stage codes. A codebook change
+    * underneath (a writePersistedIvfPq rebuild) just re-resolves and
+    * re-assigns, like the float stream under a retrain. */
+  private[graft] def appendResolvedToPersistedIvfPq(df: DataFrame,
+      embedding: String, id: String, path: String,
+      extraMeta: Map[String, String]): IvfAppend = {
+    val st = requireIvfState(df.sparkSession, path, "append")
+    require(st.pq, s"$path is a float IVF index — append with the " +
+      "float ingest path (codes would corrupt its schema)")
+    val shape = (d: DataFrame) => withPqCodes(d, embedding)
+      .select(col(id), col("list_id"), col("pq_scale"), col("pq_code"),
+        col(AssignSimCol))
+    appendUnderState(df, embedding, path, st,
+      extraMeta + (IvfPqKey -> "1"),
+      onRetrainRace = _ => (), shape = shape)
+  }
+
   /** Top-k probe against a persisted IVF index, resolving the
     * COMMITTED codebook: pin the latest version, read its descriptor,
     * scan exactly that version — so a retrain landing concurrently is

@@ -141,10 +141,27 @@ object AnnIngest {
   def processBatch(batch: DataFrame, batchId: Long, embedding: String,
       seedCodebook: Similarity.IvfCodebook, path: String,
       autoRetrain: Option[AutoRetrain] = None,
-      autoCompact: Option[AutoCompact] = None): BatchOutcome = {
+      autoCompact: Option[AutoCompact] = None,
+      pqId: Option[String] = None): BatchOutcome = {
     val spark = batch.sparkSession
+    // pqId names the vector-id column and switches the sink to the
+    // IVF-PQ layout: batches assign on TRUE embeddings, quantize, and
+    // append codes (~1/4 the index bytes). AutoRetrain cannot compose
+    // with it — a PQ index's rows are lossy codes, so an in-place
+    // rebuild has nothing to retrain FROM; refuse up front rather
+    // than on the first drifted batch mid-stream.
+    require(autoRetrain.isEmpty || pqId.isEmpty,
+      "AutoRetrain cannot rebuild an IVF-PQ index from its lossy " +
+        "codes — retrain from the source table with " +
+        "writePersistedIvfPq, or stream into a float index")
     requireSnapshotOrEmpty(spark, path)
-    Similarity.ensurePersistedIvf(batch, embedding, seedCodebook, path)
+    pqId match {
+      case Some(id) =>
+        Similarity.ensurePersistedIvfPq(batch, embedding, id,
+          seedCodebook, path)
+      case None =>
+        Similarity.ensurePersistedIvf(batch, embedding, seedCodebook, path)
+    }
     val applied = lastAppliedBatch(spark, path)
     if (applied.exists(_ >= batchId)) {
       // re-converge a lagging mirror on the skip path too (a crash
@@ -154,8 +171,12 @@ object AnnIngest {
       return BatchOutcome(batchId, -1, 0.0, retrainRecommended = false,
         replayed = true)
     }
-    val app = Similarity.appendResolvedToPersistedIvf(batch, embedding,
-      path, Map(BatchKey -> batchId.toString))
+    val app = pqId match {
+      case Some(id) => Similarity.appendResolvedToPersistedIvfPq(batch,
+        embedding, id, path, Map(BatchKey -> batchId.toString))
+      case None => Similarity.appendResolvedToPersistedIvf(batch,
+        embedding, path, Map(BatchKey -> batchId.toString))
+    }
     // after the commit: the vacuum-proof mirror (see lastAppliedBatch)
     BatchMirror.write(spark, mirrorFile(path), path, batchId)
     val retrained = app.retrainRecommended && autoRetrain.exists { ar =>
@@ -191,11 +212,16 @@ object AnnIngest {
     * policy to close the drift loop in-stream. */
   def sink(embedding: String, seedCodebook: Similarity.IvfCodebook,
       path: String, autoRetrain: Option[AutoRetrain] = None,
-      autoCompact: Option[AutoCompact] = None):
-      (DataFrame, Long) => Unit =
+      autoCompact: Option[AutoCompact] = None,
+      pqId: Option[String] = None):
+      (DataFrame, Long) => Unit = {
+    require(autoRetrain.isEmpty || pqId.isEmpty,
+      "AutoRetrain cannot rebuild an IVF-PQ index from its lossy " +
+        "codes — fail at sink construction, not on the first drifted " +
+        "batch")
     (batch, batchId) => {
       val o = processBatch(batch, batchId, embedding, seedCodebook, path,
-        autoRetrain, autoCompact)
+        autoRetrain, autoCompact, pqId)
       org.slf4j.LoggerFactory.getLogger(getClass).info(
         if (o.replayed)
           s"ann-ingest batch ${o.batchId}: replay detected, skipped"
@@ -204,4 +230,5 @@ object AnnIngest {
           s"retrained=${o.retrained}")
       ()
     }
+  }
 }

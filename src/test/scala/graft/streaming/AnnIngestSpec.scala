@@ -212,6 +212,66 @@ class AnnIngestSpec extends SparkSpec {
       .select("source").head().getString(0) == "shard-0")
   }
 
+  test("PQ streaming ingest: batches assign on true embeddings and " +
+    "append int8 codes under the ledger; replay skips; the full PQ " +
+    "probe over everything streamed equals brute force; drift still " +
+    "WARNs from pre-quantization sims; AutoRetrain + PQ refuses at " +
+    "construction; layout mismatches refuse by name") {
+    val path = tmpDir("annpq") + "/ivf"
+    val b0 = vecs((1L to 16L).map(i => (i, (i % 8).toInt)): _*)
+    val cb = Similarity.buildCodebook(b0, "embedding", "vec_id", nlist = 8)
+    val pq = Some("vec_id")
+    val o0 = AnnIngest.processBatch(b0, 0L, "embedding", cb, path,
+      pqId = pq)
+    assert(!o0.replayed && o0.appended == 16 &&
+      math.abs(o0.meanSim - 1.0) < 1e-9, s"$o0")
+    // the index holds CODES, not embeddings
+    assert(Versioned.read(spark, path).columns.toSet ==
+      Set("vec_id", "list_id", "pq_scale", "pq_code"))
+    val b1 = vecs((100L to 107L).map(i => (i, (i % 8).toInt)): _*)
+    assert(!AnnIngest.processBatch(b1, 1L, "embedding", cb, path,
+      pqId = pq).replayed)
+    // replay skips via the ledger, exactly like the float stream
+    assert(AnnIngest.processBatch(b1, 1L, "embedding", cb, path,
+      pqId = pq).replayed)
+    // full PQ probe (m covers everything) == brute force over the union
+    val q = oneHot(5)
+    val probed = Similarity.probePersistedIvfPq(spark, path,
+      b0.unionByName(b1), "embedding", "vec_id", q, nprobe = 8,
+      m = 24, k = 6).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val brute = Similarity.bruteForceTopK(b0.unionByName(b1),
+      "embedding", "vec_id", q, 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(probed.toSeq == brute.toSeq, s"${probed.toSeq} vs ${brute.toSeq}")
+    // drift detection is quantization-independent: an orthogonal
+    // cohort flags (true-embedding sims), but nothing retrains
+    val drifted = AnnIngest.processBatch(
+      vecs((200L to 207L).map(i => (i, 8 + (i % 8).toInt)): _*),
+      2L, "embedding", cb, path, pqId = pq)
+    assert(drifted.retrainRecommended && !drifted.retrained, s"$drifted")
+    // AutoRetrain cannot compose with a lossy-codes index: refuse at
+    // sink construction AND at processBatch
+    assert(intercept[IllegalArgumentException] {
+      AnnIngest.sink("embedding", cb, path,
+        autoRetrain = Some(AnnIngest.AutoRetrain("vec_id")), pqId = pq)
+    }.getMessage.contains("lossy"))
+    assert(intercept[IllegalArgumentException] {
+      AnnIngest.processBatch(b1, 3L, "embedding", cb, path,
+        Some(AnnIngest.AutoRetrain("vec_id")), None, pq)
+    }.getMessage.contains("lossy"))
+    // a float stream pointed at the PQ index refuses by name, and a
+    // PQ stream pointed at a float index refuses by name
+    assert(intercept[IllegalArgumentException] {
+      AnnIngest.processBatch(vecs(300L -> 3), 3L, "embedding", cb, path)
+    }.getMessage.contains("float ingest"))
+    val floatPath = tmpDir("annpqf") + "/ivf"
+    AnnIngest.processBatch(b0, 0L, "embedding", cb, floatPath)
+    assert(intercept[IllegalArgumentException] {
+      AnnIngest.processBatch(vecs(300L -> 3), 1L, "embedding", cb,
+        floatPath, pqId = pq)
+    }.getMessage.contains("float IVF index"))
+  }
+
   test("vacuum on the index cannot erase the replay ledger (the mirror " +
     "answers); a legacy plain-dir layout refuses up front") {
     val path = tmpDir("annvacuum") + "/ivf"
