@@ -48,6 +48,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * — the commit IS the swap, no pointer file or probe repoint needed.
   * Without the policy the WARN remains the operator's signal.
   *
+  * With `pqId` set, the sink grows an IVF-PQ index instead: batches
+  * assign on TRUE embeddings, quantize to int8 codes, and append
+  * ~1/4 the bytes — same ledger, same mirror, same drift signal
+  * (pre-quantization sims). [[AutoRetrain]] refuses to compose with
+  * it: lossy codes cannot rebuild a codebook; retrain PQ indexes
+  * from the source table with `writePersistedIvfPq`.
+  *
   * A LEGACY pre-r16 dir (`batch=<id>/list_id=` stream layout or a
   * root-level `list_id=` plain build, no commit log) refuses up front:
   * committing a snapshot over it would permanently shadow every legacy
