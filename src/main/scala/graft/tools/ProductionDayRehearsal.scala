@@ -142,6 +142,33 @@ object ProductionDayRehearsal {
     }
     println(f"""{"stage":"st18_batches","wall_s":${st18aS + st18bS}%.2f,"appended":${a0.appended + a1.appended},"retrain_flagged":${a0.retrainRecommended || a1.retrainRecommended},"compacted":${a0.compacted || a1.compacted},"index_files":${filesOf(ivfIndex)},"index_versions":${versionsOf(ivfIndex)}}""")
 
+    // ---- stage 4a: the SAME stream shape into an IVF-PQ sibling
+    // index (r17): codes at ~1/4 the bytes, same ledger discipline;
+    // the full PQ probe (rescore budget covering everything) must
+    // equal brute force over both halves — the composed proof that
+    // quantize-on-ingest loses nothing the rescore can't recover.
+    val pqIndex = s"$workDir/ivf_pq_index"
+    val (pqOut, st18pqS) = timed {
+      val p0 = graft.streaming.AnnIngest.processBatch(half0, 0L,
+        "embedding", cb, pqIndex, autoCompact = hygiene,
+        pqId = Some("vec_id"))
+      val p1 = graft.streaming.AnnIngest.processBatch(half1, 1L,
+        "embedding", cb, pqIndex, autoCompact = hygiene,
+        pqId = Some("vec_id"))
+      (p0, p1)
+    }
+    val qPq = emb.where($"vec_id" === 2).select($"embedding")
+      .head().getSeq[Float](0).toArray
+    val allEmb = half0.unionByName(half1)
+    val pqProbe = graft.operators.Similarity.probePersistedIvfPq(spark,
+      pqIndex, allEmb, "embedding", "vec_id", qPq, nprobe = 16,
+      m = 50, k = 10).collect().map(_.getLong(0)).toSeq
+    val pqBrute = graft.operators.Similarity.bruteForceTopK(allEmb,
+      "embedding", "vec_id", qPq, 10).collect().map(_.getLong(0)).toSeq
+    require(pqProbe == pqBrute,
+      s"streamed PQ probe diverged: $pqProbe vs $pqBrute")
+    println(f"""{"stage":"st18_pq_batches","wall_s":$st18pqS%.2f,"appended":${pqOut._1.appended + pqOut._2.appended},"probe_exact":true,"index_files":${filesOf(pqIndex)},"index_versions":${versionsOf(pqIndex)}}""")
+
     // ---- stage 4b: a DRIFTED cohort under the AutoRetrain policy:
     // the sink must flag the drift AND close the loop itself — the
     // in-place retrain commit is the swap, no operator intervention.
