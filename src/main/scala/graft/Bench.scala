@@ -82,6 +82,16 @@ object Bench {
     // call requires BOTH canaries near their clean references (see
     // PERFORMANCE.md, canary protocol).
     val canaries = Set("pf2_profile_approx_bound", "vt1_time_travel")
+    // the adjudication protocol is only as good as its data: a renamed
+    // or dropped canary must not silently vanish from the stdout line
+    // (the filter below would just match nothing)
+    val missing = canaries -- results.keySet -- errors.keySet --
+      (if (only.isEmpty) Set.empty[String]
+       else canaries) // a targeted local run legitimately skips them
+    missing.foreach(c => System.err.println(
+      s"WARN: bench canary $c produced no timing — the two-canary " +
+        "adjudication protocol is blind this round; check the query " +
+        "name in SparkEntry.queries"))
     val slowest = (results.toSeq.sortBy(-_._2).take(40) ++
       results.toSeq.filter(kv => canaries(kv._1))).distinct.sortBy(_._1)
     val omitted = results.size - slowest.size

@@ -163,6 +163,20 @@ object Versioned {
   final class CreateConflict(table: String) extends IllegalStateException(
     s"snapshot table $table already exists")
 
+  /** Thrown when a rewrite-shaped operation (OPTIMIZE/compactSmall,
+    * MERGE/DML rewrite, DV write) exhausts its CAS attempts under a
+    * writer storm. A TYPED class, not a bare IllegalStateException:
+    * best-effort callers (the streaming sinks' AutoCompact) must
+    * distinguish "maintenance lost the race — defer" from every other
+    * illegal state, and matching on message text breaks the moment
+    * the wording changes (r17 ADVICE). The retry is safe by contract:
+    * nothing from the failed attempt is committed, and abandoned
+    * segment files were already deleted. */
+  final class CommitRaceExhausted(what: String, attempts: Int)
+    extends IllegalStateException(
+      s"$what kept losing the commit race ($attempts attempts) — " +
+        "retry when the writer storm subsides")
+
   /** Thrown by a bucketed APPEND whose commit attempt lands on a base
     * whose declared bucket layout no longer matches the layout the
     * append's segment files were hashed under — a REBUCKET (or any
@@ -978,10 +992,7 @@ object Versioned {
           // like a conflict: the next attempt re-reads the latest's
           // declaration and validates its output against it
           case _: RewriteConflict | _: InvariantsChanged if attempt >= 4 =>
-            throw new IllegalStateException(
-              s"rewrite of $table kept losing the commit race " +
-                s"(${attempt + 1} attempts) — retry when the writer " +
-                "storm subsides")
+            throw new CommitRaceExhausted(s"rewrite of $table", attempt + 1)
           case _: RewriteConflict | _: InvariantsChanged =>
             attempt += 1
             deleteAbandonedSegment(fs, root, newLines)
@@ -2814,9 +2825,7 @@ object Versioned {
           deleteAbandonedSegment(fs, root, newLines)
       }
     }
-    throw new IllegalStateException(
-      s"compactSmall on $table kept losing the commit race ($attempt " +
-        "attempts) — retry when the writer storm subsides")
+    throw new CommitRaceExhausted(s"compactSmall on $table", attempt)
   }
 
   /** Merge-on-read UPDATE (the DV-update shape Delta ships as
@@ -3013,10 +3022,8 @@ object Versioned {
         // InvariantsChanged resolves like a conflict: the next attempt
         // re-reads the latest's declaration and validates against it
         case _: RewriteConflict | _: InvariantsChanged if attempt >= 4 =>
-          throw new IllegalStateException(
-            s"DV $opName on $table kept losing the commit race " +
-              s"(${attempt + 1} attempts) — retry when the writer " +
-              "storm subsides")
+          throw new CommitRaceExhausted(s"DV $opName on $table",
+            attempt + 1)
         case _: RewriteConflict | _: InvariantsChanged =>
           attempt += 1
           cleanup(postLines)

@@ -286,6 +286,59 @@ object SimilarityQueries {
       Some("""SELECT CAST(1000000 AS BIGINT) AS vec_id,
           CAST(1.0 AS DOUBLE) AS score""")),
 
+    // ---- SIM7 BATCH probe: ten queries against the quantized index
+    // in ONE codes join + ONE exact rescore pass — the form a training
+    // pipeline batch-scores in (the single probe's per-call shortlist
+    // collect would be a plan + a driver round-trip per query).
+    // Pruned (nprobe ≪ nlist) and approximate by design (rows-only);
+    // the guaranteed fraction of its recall is hash-checked by
+    // sim7_pq_batch_recall.
+    "sim7_pq_batch" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+        val corpus = emb.where(col("vec_id") >= 10)
+        val cb = Similarity.buildCodebook(corpus, "embedding", "vec_id",
+          nlist = 16, refineIters = 2)
+        Similarity.ivfPqTopKMany(
+          Similarity.ivfPqIndex(corpus, "embedding", "vec_id", cb),
+          corpus, "embedding", "vec_id", queries, "qid", "qemb", cb,
+          nprobe = 4, m = 30, k = 5)
+      },
+      None,
+      doc = "rows-only: int8 quantization + cell pruning change the candidate set"),
+
+    // ---- SIM7 batch self-check: an exact COPY of each query injected
+    // into the corpus is GUARANTEED retrieved by the batch probe —
+    // assignment happens on TRUE embeddings (the copy lands in the
+    // query's own top-1 probe cell), its approximate code-space cosine
+    // (~0.9999) clears every natural candidate (measured max natural
+    // cosine ≈ 0.49 on this corpus, far beyond int8's bounded ranking
+    // error) so it survives the top-m shortlist, and the exact rescore
+    // returns cosine exactly 1.0. The sim5_pruned_recall pattern on
+    // the quantized layout; SQL-predictable, hash-checked.
+    "sim7_pq_batch_recall" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+        val corpus = emb.where(col("vec_id") >= 10).unionByName(
+          emb.where(col("vec_id") < 10)
+            .withColumn("vec_id", col("vec_id") + 1000000L))
+        val cb = Similarity.buildCodebook(corpus, "embedding", "vec_id",
+          nlist = 16, refineIters = 2)
+        Similarity.ivfPqTopKMany(
+            Similarity.ivfPqIndex(corpus, "embedding", "vec_id", cb),
+            corpus, "embedding", "vec_id", queries, "qid", "qemb", cb,
+            nprobe = 4, m = 10, k = 5)
+          .where(col("vec_id") === col("qid") + 1000000L)
+          .select(col("qid"), col("vec_id").as("hit_id"), col("score"))
+      },
+      Some("""SELECT vec_id AS qid, vec_id + 1000000 AS hit_id,
+          CAST(1.0 AS DOUBLE) AS score
+        FROM embeddings WHERE vec_id < 10""")),
+
     // ---- EMB1 per-label centroids (the k-means E-step / class-
     // prototype shape): posexplode each vector once, ONE hash shuffle
     // on (label, dim), elementwise mean. Never collects vectors — the

@@ -52,8 +52,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * assign on TRUE embeddings, quantize to int8 codes, and append
   * ~1/4 the bytes — same ledger, same mirror, same drift signal
   * (pre-quantization sims). [[AutoRetrain]] refuses to compose with
-  * it: lossy codes cannot rebuild a codebook; retrain PQ indexes
-  * from the source table with `writePersistedIvfPq`.
+  * it (lossy codes cannot rebuild a codebook); the quantized sink's
+  * drift response is [[AutoRebuild]], which retrains from the SOURCE
+  * table's true embeddings via
+  * [[Similarity.rebuildPersistedIvfPq]].
   *
   * A LEGACY pre-r16 dir (`batch=<id>/list_id=` stream layout or a
   * root-level `list_id=` plain build, no commit log) refuses up front:
@@ -134,9 +136,37 @@ object AnnIngest {
     require(refineIters >= 0, s"refineIters must be >= 0, got $refineIters")
   }
 
+  /** [[AutoRetrain]]'s counterpart for the QUANTIZED sink (`pqId`
+    * set), closing the PQ drift loop AutoRetrain correctly refuses:
+    * a PQ index's rows are lossy int8 codes, so an in-place retrain
+    * has nothing to rebuild FROM — but the SOURCE table (which every
+    * PQ probe already rescores against, so it exists and stays in
+    * sync by the layout's own contract) carries the true embeddings.
+    * When a batch's drift check fires, the sink calls
+    * [[Similarity.rebuildPersistedIvfPq]]: fresh codebook over the
+    * source, re-assign, re-quantize, ONE CAS'd in-place overwrite —
+    * probes handoff atomically exactly as under AutoRetrain. `source`
+    * resolves the corpus frame per fire (a function, not a captured
+    * frame, so a long-lived stream always reads the source's CURRENT
+    * rows); it must cover everything streamed into the index — index
+    * rows absent from it are dropped by the rebuild (the source is
+    * the truth). Crash discipline is AutoRetrain's: the rebuild runs
+    * AFTER the batch's ledger commit, so a crash in between loses
+    * only the rebuild, and the still-drifted distribution re-fires on
+    * the next cohort. `nlist` = 0 keeps the current cell count;
+    * `refineIters` defaults to 1 for the same seed-placement reason
+    * as AutoRetrain's. */
+  final case class AutoRebuild(
+      source: SparkSession => org.apache.spark.sql.DataFrame,
+      id: String, nlist: Int = 0, refineIters: Int = 1) {
+    require(nlist >= 0, s"nlist must be >= 0, got $nlist")
+    require(refineIters >= 0, s"refineIters must be >= 0, got $refineIters")
+  }
+
   /** What one micro-batch did (`appended` = -1 when replayed: nothing
     * was committed this invocation; `retrained` = the sink's
-    * [[AutoRetrain]] policy fired and the in-place retrain committed;
+    * [[AutoRetrain]] (or, on a PQ index, [[AutoRebuild]]) policy
+    * fired and the in-place retrain/rebuild committed;
     * `compacted` = the sink's [[AutoCompact]] policy folded small
     * segments after this batch's commit). */
   case class BatchOutcome(batchId: Long, appended: Long, meanSim: Double,
@@ -149,18 +179,24 @@ object AnnIngest {
       seedCodebook: Similarity.IvfCodebook, path: String,
       autoRetrain: Option[AutoRetrain] = None,
       autoCompact: Option[AutoCompact] = None,
-      pqId: Option[String] = None): BatchOutcome = {
+      pqId: Option[String] = None,
+      autoRebuild: Option[AutoRebuild] = None): BatchOutcome = {
     val spark = batch.sparkSession
     // pqId names the vector-id column and switches the sink to the
     // IVF-PQ layout: batches assign on TRUE embeddings, quantize, and
     // append codes (~1/4 the index bytes). AutoRetrain cannot compose
     // with it — a PQ index's rows are lossy codes, so an in-place
     // rebuild has nothing to retrain FROM; refuse up front rather
-    // than on the first drifted batch mid-stream.
+    // than on the first drifted batch mid-stream. The PQ drift
+    // response is AutoRebuild, which retrains from the SOURCE table.
     require(autoRetrain.isEmpty || pqId.isEmpty,
       "AutoRetrain cannot rebuild an IVF-PQ index from its lossy " +
-        "codes — retrain from the source table with " +
-        "writePersistedIvfPq, or stream into a float index")
+        "codes — use AutoRebuild(source, ...) to retrain from the " +
+        "source table, or stream into a float index")
+    require(autoRebuild.isEmpty || pqId.nonEmpty,
+      "AutoRebuild retrains from the source table a PQ probe rescores " +
+        "against — it only composes with pqId; a float index retrains " +
+        "in place with AutoRetrain")
     requireSnapshotOrEmpty(spark, path)
     pqId match {
       case Some(id) =>
@@ -186,15 +222,16 @@ object AnnIngest {
     }
     // after the commit: the vacuum-proof mirror (see lastAppliedBatch)
     BatchMirror.write(spark, mirrorFile(path), path, batchId)
-    val retrained = app.retrainRecommended && autoRetrain.exists { ar =>
-      val nlist =
-        if (ar.nlist > 0) ar.nlist
-        else Similarity.loadPersistedIvf(spark, path)
-          .map(_.codebook.entries.length)
-          .getOrElse(throw new IllegalStateException(
-            s"$path lost its IVF descriptor between the append and the " +
-              "auto-retrain — a foreign overwrite landed; rebuild the " +
-              "index"))
+    def currentNlist(declared: Int): Int =
+      if (declared > 0) declared
+      else Similarity.loadPersistedIvf(spark, path)
+        .map(_.codebook.entries.length)
+        .getOrElse(throw new IllegalStateException(
+          s"$path lost its IVF descriptor between the append and the " +
+            "auto-retrain — a foreign overwrite landed; rebuild the " +
+            "index"))
+    val retrained = app.retrainRecommended && (autoRetrain.exists { ar =>
+      val nlist = currentNlist(ar.nlist)
       val (_, stats) = Similarity.retrainPersistedIvf(spark, path,
         embedding, ar.id, nlist, ar.refineIters)
       org.slf4j.LoggerFactory.getLogger(getClass).info(
@@ -202,7 +239,17 @@ object AnnIngest {
           f"place (nlist=$nlist, new baseline ${stats.vectors} vectors " +
           f"@ mean_sim=${stats.meanSim}%.4f)")
       true
-    }
+    } || autoRebuild.exists { ar =>
+      val nlist = currentNlist(ar.nlist)
+      val (_, stats) = Similarity.rebuildPersistedIvfPq(spark, path,
+        ar.source(spark), embedding, ar.id, nlist, ar.refineIters)
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"ann-ingest batch $batchId: drift fired, rebuilt PQ index " +
+          s"$path in place from its source table (nlist=$nlist, new " +
+          f"baseline ${stats.vectors} vectors @ " +
+          f"mean_sim=${stats.meanSim}%.4f)")
+      true
+    })
     // segment hygiene LAST: a retrain just rewrote everything (nothing
     // small left), and the fold must see this batch's segments. A
     // compaction here is a foreign commit to the ledger/descriptor
@@ -216,19 +263,24 @@ object AnnIngest {
 
   /** The foreachBatch sink: `writeStream.foreachBatch(AnnIngest.sink(
     * "embedding", seedCodebook, indexPath))`. Pass an [[AutoRetrain]]
-    * policy to close the drift loop in-stream. */
+    * (float index) or [[AutoRebuild]] (PQ index, with `pqId`) policy
+    * to close the drift loop in-stream. */
   def sink(embedding: String, seedCodebook: Similarity.IvfCodebook,
       path: String, autoRetrain: Option[AutoRetrain] = None,
       autoCompact: Option[AutoCompact] = None,
-      pqId: Option[String] = None):
+      pqId: Option[String] = None,
+      autoRebuild: Option[AutoRebuild] = None):
       (DataFrame, Long) => Unit = {
     require(autoRetrain.isEmpty || pqId.isEmpty,
       "AutoRetrain cannot rebuild an IVF-PQ index from its lossy " +
         "codes — fail at sink construction, not on the first drifted " +
         "batch")
+    require(autoRebuild.isEmpty || pqId.nonEmpty,
+      "AutoRebuild only composes with pqId — fail at sink " +
+        "construction, not on the first drifted batch")
     (batch, batchId) => {
       val o = processBatch(batch, batchId, embedding, seedCodebook, path,
-        autoRetrain, autoCompact, pqId)
+        autoRetrain, autoCompact, pqId, autoRebuild)
       org.slf4j.LoggerFactory.getLogger(getClass).info(
         if (o.replayed)
           s"ann-ingest batch ${o.batchId}: replay detected, skipped"

@@ -36,7 +36,25 @@ import org.apache.spark.sql.SparkSession
   * stragglers, and the fold cost stays proportional to those
   * batches' bytes. Files whose manifest line carries no bytes stat
   * (legacy segments) don't count toward the trigger — `compactSmall`
-  * itself still probes and folds them once it runs. */
+  * itself still probes and folds them once it runs.
+  *
+  * ANTI-THRASH (r17 ADVICE): a bucketed fold re-buckets the small
+  * rows into one file per OCCUPIED bucket, so an index with more
+  * occupied buckets than `minSmallFiles` (nlist ≥ 64 at the default)
+  * comes out of a fold with the trigger still tripped — a naive
+  * count-only trigger would then rewrite the whole young index on
+  * EVERY micro-batch, forever. The policy instead remembers, per
+  * path, the small-file count the last fold LEFT (its irreducible
+  * residue) and fires only when at least `minSmallFiles` NEW small
+  * files have accumulated beyond it — each fold then provably
+  * reduces the file count by ≥ minSmallFiles, and the residue's
+  * per-bucket files graduate past `minBytes` as they grow. External
+  * maintenance shrinking the backlog below the remembered residue
+  * lowers the floor automatically (the effective residue is
+  * min(remembered, current)). One policy instance is expected per
+  * sink (that is how the sinks hold it) — the residue memory is
+  * per-path inside the instance, so sharing one instance across
+  * sinks is also safe. */
 final case class AutoCompact(minBytes: Long = 8L << 20,
     minSmallFiles: Int = 64) {
   require(minBytes > 0, s"minBytes must be positive, got $minBytes")
@@ -44,16 +62,25 @@ final case class AutoCompact(minBytes: Long = 8L << 20,
     s"minSmallFiles must be >= 2 (compaction of one file is a no-op), " +
       s"got $minSmallFiles")
 
-  /** Check the live manifest and compact iff the threshold is
-    * crossed. Returns (new version, files rewritten, files carried)
-    * when a compaction committed; None when the index is still tidy
-    * (or a concurrent compaction got there first and left fewer than
-    * two small files). */
+  /** Small-file count the last fold left behind, per path — the
+    * irreducible floor the trigger measures growth against. In the
+    * instance, not on disk: a restart just pays one possibly-
+    * unproductive fold to relearn it. */
+  private val residue =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  /** Check the live manifest and compact iff at least `minSmallFiles`
+    * small files accumulated beyond the last fold's residue. Returns
+    * (new version, files rewritten, files carried) when a compaction
+    * committed; None when the index is still tidy, a fold could not
+    * help, or a concurrent compaction got there first. */
   def maybeCompact(spark: SparkSession, path: String)
       : Option[(Long, Long, Long)] = {
-    val small = Versioned.fileStats(spark, path).valuesIterator
-      .count(_.bytes.exists(_ < minBytes))
-    if (small < minSmallFiles) None
+    def countSmall(): Long = Versioned.fileStats(spark, path)
+      .valuesIterator.count(_.bytes.exists(_ < minBytes)).toLong
+    val small = countSmall()
+    val floor = math.min(residue.getOrDefault(path, 0L), small)
+    if (small - floor < minSmallFiles) None
     else {
       // best-effort by contract: the micro-batch whose commit
       // triggered this fold has already landed — a compaction that
@@ -63,18 +90,26 @@ final case class AutoCompact(minBytes: Long = 8L << 20,
       val res =
         try Versioned.compactSmall(spark, path, minBytes)
         catch {
-          case e: IllegalStateException
-              if e.getMessage != null &&
-                e.getMessage.contains("losing the commit race") =>
+          case e: Versioned.CommitRaceExhausted =>
             org.slf4j.LoggerFactory.getLogger(getClass).warn(
               s"auto-compact $path lost its commit race to the writer " +
                 "storm; deferring to the next batch", e)
             None
         }
       res.foreach { case (v, rewritten, carried) =>
-        org.slf4j.LoggerFactory.getLogger(getClass).info(
-          s"auto-compact $path: folded $rewritten small files " +
-            s"(carried $carried) into version $v")
+        val post = countSmall()
+        residue.put(path, post)
+        if (post >= small)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"auto-compact $path: fold reduced nothing ($small -> " +
+              s"$post small files — per-bucket bytes still under " +
+              s"$minBytes across ${post} occupied buckets); deferring " +
+              s"until $minSmallFiles new small files accumulate")
+        else
+          org.slf4j.LoggerFactory.getLogger(getClass).info(
+            s"auto-compact $path: folded $rewritten small files " +
+              s"(carried $carried) into version $v ($small -> $post " +
+              "small)")
       }
       res
     }

@@ -76,6 +76,69 @@ object HygieneRehearsal {
     runArm("bare", None)
     runArm("hygiene", Some(AutoCompact(minBytes = 8L << 20,
       minSmallFiles = 256)))
+
+    // ---- production-chunk phase (r17 judge item #5): the hygiene
+    // arm's +s/batch ingest delta was claimed to be a toy-size
+    // artifact — every fold re-rewrites the whole accumulated small
+    // mass only because 200-vector batches never reach the packing
+    // threshold. Here every 10th batch is a PRODUCTION chunk (the
+    // corpus tiled 50x: ~100k vectors) whose folded/arrived files
+    // graduate past minBytes, so the measured contract is: graduated
+    // files are CARRIED verbatim by every later fold (their names
+    // survive to the final manifest untouched), and per-fold wall
+    // tracks the SMALL bytes standing at fire time, not the index.
+    {
+      val path = s"$workDir/ivf_prod"
+      val minBytes = 256L << 10
+      Similarity.writePersistedIvf(corpus, "embedding", cb, path)
+      val policy = AutoCompact(minBytes = minBytes, minSmallFiles = 32)
+      def stats() = Versioned.fileStats(spark, path)
+      def bigBatch(b: Int) = corpus
+        .crossJoin(spark.range(50).select($"id".as("__tile")))
+        .select(($"vec_id" + 50000000000L + b.toLong * 100000000L +
+          $"__tile" * 1000000L).as("vec_id"), $"embedding")
+        .localCheckpoint(true)
+      def smallBatch(b: Int) = corpus
+        .where($"vec_id" > 0 && $"vec_id" <= 200)
+        .select(($"vec_id" + 60000000000L + b.toLong * 1000000L)
+          .as("vec_id"), $"embedding")
+        .localCheckpoint(true)
+      var graduated = Set.empty[String]
+      val folds = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Long, Double, Double, Long, Long)]
+      (0 until nBatches).foreach { b =>
+        val batch = if (b % 10 == 9) bigBatch(b) else smallBatch(b)
+        AnnIngest.processBatch(batch, b.toLong, "embedding", cb, path)
+        val pre = stats()
+        val smallN = pre.valuesIterator
+          .count(_.bytes.exists(_ < minBytes))
+        val smallMb = pre.valuesIterator
+          .flatMap(_.bytes).filter(_ < minBytes).sum / 1e6
+        val t0 = System.nanoTime()
+        policy.maybeCompact(spark, path).foreach {
+          case (_, rewritten, carried) =>
+            folds += ((b, smallN.toLong,
+              smallMb, (System.nanoTime() - t0) / 1e9, rewritten,
+              carried))
+        }
+        // record every file that stands at/above the packing
+        // threshold — arrived big or folded past it; the contract
+        // says no later fold may ever rewrite one
+        graduated ++= stats().collect {
+          case (name, st) if st.bytes.exists(_ >= minBytes) => name
+        }
+      }
+      val finalNames = stats().keySet
+      val carriedVerbatim = graduated.subsetOf(finalNames)
+      val foldJson = folds.map { case (b, n, mb, s, rw, car) =>
+        f"""{"batch":$b,"small_files":$n,"small_mb":$mb%.2f,"fold_s":$s%.2f,"rewritten":$rw,"carried":$car}"""
+      }.mkString("[", ",", "]")
+      println(s"""{"arm":"production","batches":$nBatches,""" +
+        s""""big_every":10,"min_bytes":$minBytes,""" +
+        s""""graduated_files":${graduated.size},""" +
+        s""""graduated_carried_verbatim":$carriedVerbatim,""" +
+        s""""final_files":${finalNames.size},"folds":$foldJson}""")
+    }
     spark.stop()
   }
 }

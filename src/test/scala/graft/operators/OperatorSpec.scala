@@ -697,6 +697,21 @@ class OperatorSpec extends SparkSpec {
     assert(manyAsMap(Similarity.lshTopKMany(indexed, "embedding",
       "vec_id", withNull, "qid", "qemb", 6, 64, 2, 5)).keySet ==
       qids.toSet)
+    // a wrong-dim query row FAILS LOUDLY at execution (r17 ADVICE):
+    // HyperplaneBucket truncates its dot product, so without the
+    // guard the row would hash into the wrong bucket and silently
+    // return low/zero-recall results where the single probe refuses
+    val wrongDim = queries.unionByName(Seq(
+      (98L, Array.fill(32)(0.5f))).toDF("qid", "qemb"))
+    val dimErr = intercept[Exception] {
+      Similarity.lshTopKMany(indexed, "embedding", "vec_id", wrongDim,
+        "qid", "qemb", 6, 64, 2, 5).collect()
+    }
+    val dimMsg = Iterator.iterate(dimErr: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(dimMsg.contains("dim") && dimMsg.contains("32"),
+      s"wrong-dim query did not fail by dim: $dimMsg")
     // collisions refuse case-insensitively, both ways
     assert(intercept[IllegalArgumentException] {
       Similarity.lshTopKMany(indexed, "embedding", "vec_id",
@@ -884,6 +899,93 @@ class OperatorSpec extends SparkSpec {
       Similarity.retrainPersistedIvf(spark, pqPath, "embedding",
         "vec_id", nlist = 8)
     }.getMessage.contains("writePersistedIvfPq"))
+  }
+
+  test("batch probe ivfPqTopKMany: each query's top-k equals its " +
+    "single two-stage probe at the same (nprobe, m) — pruned AND full " +
+    "— the persisted form equals per-query probePersistedIvfPq, the " +
+    "broadcast-join rescore path matches the isin path bit-for-bit, " +
+    "and null queries / collisions / m<k behave") {
+    def oneHot(axis: Int): Array[Float] =
+      Array.tabulate(16)(d => if (d == axis) 1f else 0f)
+    val corpus = (1L to 64L).map(i => (i, oneHot((i % 8).toInt)))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.buildCodebook(corpus, "embedding", "vec_id",
+      nlist = 8)
+    val pq = Similarity.ivfPqIndex(corpus, "embedding", "vec_id", cb)
+    val queries = Seq(0, 3, 5, 7).map(a => (a.toLong, oneHot(a)))
+      .toDF("qid", "qemb")
+    def manyAsMap(frame: org.apache.spark.sql.DataFrame)
+        : Map[Long, Seq[(Long, Double)]] =
+      frame.collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    for (nprobe <- Seq(2, 8); m <- Seq(5, 64)) { // pruned/full × tight/wide
+      val many = manyAsMap(Similarity.ivfPqTopKMany(pq, corpus,
+        "embedding", "vec_id", queries, "qid", "qemb", cb, nprobe, m,
+        k = 3))
+      Seq(0, 3, 5, 7).foreach { a =>
+        val single = Similarity.ivfPqTopK(pq, corpus, "embedding",
+          "vec_id", oneHot(a), cb, nprobe, m, k = 3)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(many(a.toLong) == single,
+          s"nprobe=$nprobe m=$m axis $a: ${many(a.toLong)} vs $single")
+      }
+    }
+    // the rescore's two fetch paths (static isin point-fetch vs
+    // broadcast semi-join) must be results-identical: force the join
+    // path with a cap of 0 and compare against the literal path
+    val viaJoin = manyAsMap(Similarity.ivfPqTopKMany(pq, corpus,
+      "embedding", "vec_id", queries, "qid", "qemb", cb, 8, 10, 3,
+      idLiteralCap = 0))
+    val viaIsin = manyAsMap(Similarity.ivfPqTopKMany(pq, corpus,
+      "embedding", "vec_id", queries, "qid", "qemb", cb, 8, 10, 3))
+    assert(viaJoin == viaIsin, s"$viaJoin vs $viaIsin")
+    // persisted form: codebook/codes/version off one pinned commit
+    val path = tmpDir("ivfpqmany") + "/index"
+    Similarity.writePersistedIvfPq(corpus, "embedding", "vec_id", cb,
+      path)
+    val manyP = manyAsMap(Similarity.probePersistedIvfPqMany(spark,
+      path, corpus, "embedding", "vec_id", queries, "qid", "qemb",
+      nprobe = 2, m = 10, k = 3))
+    Seq(0, 3, 5, 7).foreach { a =>
+      val single = Similarity.probePersistedIvfPq(spark, path, corpus,
+        "embedding", "vec_id", oneHot(a), nprobe = 2, m = 10, k = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(manyP(a.toLong) == single)
+    }
+    // a float index refuses the PQ batch probe by name
+    val floatPath = tmpDir("ivfpqmanyf") + "/index"
+    Similarity.writePersistedIvf(corpus, "embedding", cb, floatPath)
+    assert(intercept[IllegalArgumentException] {
+      Similarity.probePersistedIvfPqMany(spark, floatPath, corpus,
+        "embedding", "vec_id", queries, "qid", "qemb", 2, 10, 3)
+    }.getMessage.contains("probePersistedIvfMany"))
+    // a null-embedding query row is DROPPED, not answered
+    val withNull = queries.unionByName(
+      Seq((99L, null.asInstanceOf[Array[Float]])).toDF("qid", "qemb"))
+    assert(manyAsMap(Similarity.ivfPqTopKMany(pq, corpus, "embedding",
+      "vec_id", withNull, "qid", "qemb", cb, 8, 10, 3))
+      .keySet == Set(0L, 3L, 5L, 7L))
+    // collisions refuse on all three frames: query vs reserved, index
+    // vs query/internal, source vs query/internal
+    assert(intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKMany(pq, corpus, "embedding", "vec_id",
+        queries.withColumnRenamed("qemb", "PQ_CODE"), "qid", "PQ_CODE",
+        cb, 2, 10, 3)
+    }.getMessage.contains("collide"))
+    assert(intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKMany(pq.withColumn("qid", lit(1L)), corpus,
+        "embedding", "vec_id", queries, "qid", "qemb", cb, 2, 10, 3)
+    }.getMessage.contains("collide"))
+    assert(intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKMany(pq, corpus.withColumn("Score", lit(1)),
+        "embedding", "vec_id", queries, "qid", "qemb", cb, 2, 10, 3)
+    }.getMessage.contains("collide"))
+    assert(intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKMany(pq, corpus, "embedding", "vec_id",
+        queries, "qid", "qemb", cb, 2, m = 2, k = 3)
+    }.getMessage.contains("m=2"))
   }
 
   test("drift floor: a cohort orthogonal-or-worse to EVERY centroid " +

@@ -272,6 +272,83 @@ class AnnIngestSpec extends SparkSpec {
     }.getMessage.contains("float IVF index"))
   }
 
+  test("auto-rebuild closes the PQ drift loop: a drifted batch fires " +
+    "the flag and the SINK rebuilds the quantized index in place from " +
+    "the SOURCE table's true embeddings — fresh codebook, descriptor-" +
+    "resolved full probe equals brute force over everything streamed, " +
+    "baseline re-seeded so the same class stops re-firing; the policy " +
+    "refuses without pqId") {
+    val path = tmpDir("annrebuild") + "/ivf"
+    val pq = Some("vec_id")
+    val b0 = vecs((1L to 8L).map(i => (i, (i % 8).toInt)): _*)
+    val drifted = vecs((200L to 207L).map(i => (i, 8 + (i % 8).toInt)): _*)
+    // the source table the probes rescore against — by contract it
+    // covers everything streamed; the spec accumulates it alongside
+    var source: DataFrame = b0
+    val policy = Some(AnnIngest.AutoRebuild(_ => source, "vec_id",
+      nlist = 16))
+    val cb = Similarity.buildCodebook(b0, "embedding", "vec_id", nlist = 8)
+    val first = AnnIngest.processBatch(b0, 0L, "embedding", cb, path,
+      pqId = pq, autoRebuild = policy)
+    assert(!first.retrainRecommended && !first.retrained, s"$first")
+    val stOld = Similarity.loadPersistedIvf(spark, path).get
+    assert(stOld.pq)
+    // the drifted cohort: the flag fires AND the sink rebuilds from
+    // the source — which must already contain the cohort (the stream
+    // lands vectors in the source before/alongside the index)
+    source = b0.unionByName(drifted)
+    val hit = AnnIngest.processBatch(drifted, 1L, "embedding", cb, path,
+      pqId = pq, autoRebuild = policy)
+    assert(hit.retrainRecommended && hit.retrained, s"$hit")
+    val stNew = Similarity.loadPersistedIvf(spark, path).get
+    assert(stNew.pq && stNew.fingerprint != stOld.fingerprint &&
+      stNew.codebook.entries.length == 16 &&
+      stNew.version > stOld.version,
+      s"rebuild did not land: $stOld -> $stNew")
+    // the rebuilt index still holds CODES, and a fresh probe resolves
+    // the new (version, codebook, codes) triple: exact over EVERYTHING
+    // streamed, including the drifted class the old codebook could not
+    // cell apart
+    assert(Versioned.read(spark, path).columns.toSet ==
+      Set("vec_id", "list_id", "pq_scale", "pq_code"))
+    val q2 = oneHot(12)
+    val probed = Similarity.probePersistedIvfPq(spark, path, source,
+      "embedding", "vec_id", q2, nprobe = 16, m = 16, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val brute = Similarity.bruteForceTopK(source, "embedding", "vec_id",
+      q2, 3).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(probed.toSeq == brute.toSeq,
+      s"${probed.toSeq} vs ${brute.toSeq}")
+    // the ledger survived the foreign rebuild commit: a replay of
+    // batch 1 skips
+    assert(AnnIngest.processBatch(drifted, 1L, "embedding", cb, path,
+      pqId = pq, autoRebuild = policy).replayed)
+    // re-seeded baseline: the same shifted class is in-distribution
+    // now — no re-fire, no rebuild loop
+    val again = vecs((300L to 307L).map(i => (i, 8 + (i % 8).toInt)): _*)
+    source = source.unionByName(again)
+    val o2 = AnnIngest.processBatch(again, 2L, "embedding", cb, path,
+      pqId = pq, autoRebuild = policy)
+    assert(!o2.retrainRecommended && !o2.retrained, s"$o2")
+    assert(math.abs(o2.meanSim - 1.0) < 1e-9, s"$o2")
+    // the policy only composes with pqId: refuse at sink construction
+    // AND at processBatch
+    assert(intercept[IllegalArgumentException] {
+      AnnIngest.sink("embedding", cb, path, autoRebuild = policy)
+    }.getMessage.contains("pqId"))
+    assert(intercept[IllegalArgumentException] {
+      AnnIngest.processBatch(b0, 3L, "embedding", cb, path,
+        autoRebuild = policy)
+    }.getMessage.contains("pqId"))
+    // and the manual surface refuses a float index by name
+    val floatPath = tmpDir("annrebuildf") + "/ivf"
+    AnnIngest.processBatch(b0, 0L, "embedding", cb, floatPath)
+    assert(intercept[IllegalArgumentException] {
+      Similarity.rebuildPersistedIvfPq(spark, floatPath, b0,
+        "embedding", "vec_id", nlist = 8)
+    }.getMessage.contains("retrainPersistedIvf"))
+  }
+
   test("vacuum on the index cannot erase the replay ledger (the mirror " +
     "answers); a legacy plain-dir layout refuses up front") {
     val path = tmpDir("annvacuum") + "/ivf"
