@@ -3,6 +3,7 @@ package graft.tools
 import graft.operators.{Similarity, Versioned}
 import graft.streaming.{AnnIngest, AutoCompact}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{lit, sin}
 
 /** Measures what [[graft.streaming.AutoCompact]] actually buys: the
   * same night-of-micro-batches ingested twice into persisted IVF
@@ -14,7 +15,8 @@ import org.apache.spark.sql.SparkSession
   * ingest wall is also reported so the fold's amortized cost is
   * visible next to its benefit.
   *
-  * Usage: HygieneRehearsal <embDir> <workDir> [nBatches]
+  * Usage: HygieneRehearsal <embDir> <workDir> [nBatches] [arms]
+  * (`arms` = comma list of bare,hygiene,production; default all.)
   * Prints one JSON line per arm.
   */
 object HygieneRehearsal {
@@ -24,6 +26,9 @@ object HygieneRehearsal {
     val embDir = args(0)
     val workDir = args(1)
     val nBatches = if (args.length > 2) args(2).toInt else 30
+    val arms: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet
+      else Set("bare", "hygiene", "production")
     require(workDir.startsWith("/tmp"), "workDir must be under /tmp")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
@@ -73,9 +78,9 @@ object HygieneRehearsal {
       val probeS = probeBest()
       println(f"""{"arm":"$arm","batches":$nBatches,"folds":$folds,"ingest_s":$ingestS%.2f,"s_per_batch":${ingestS / nBatches}%.2f,"manifest_files":$files,"pruned_probe_s":$probeS%.3f}""")
     }
-    runArm("bare", None)
-    runArm("hygiene", Some(AutoCompact(minBytes = 8L << 20,
-      minSmallFiles = 256)))
+    if (arms("bare")) runArm("bare", None)
+    if (arms("hygiene")) runArm("hygiene", Some(AutoCompact(
+      minBytes = 8L << 20, minSmallFiles = 256)))
 
     // ---- production-chunk phase (r17 judge item #5): the hygiene
     // arm's +s/batch ingest delta was claimed to be a toy-size
@@ -87,16 +92,23 @@ object HygieneRehearsal {
     // files are CARRIED verbatim by every later fold (their names
     // survive to the final manifest untouched), and per-fold wall
     // tracks the SMALL bytes standing at fire time, not the index.
-    {
+    if (arms("production")) {
       val path = s"$workDir/ivf_prod"
-      val minBytes = 256L << 10
+      val minBytes = 128L << 10
       Similarity.writePersistedIvf(corpus, "embedding", cb, path)
       val policy = AutoCompact(minBytes = minBytes, minSmallFiles = 32)
       def stats() = Versioned.fileStats(spark, path)
-      def bigBatch(b: Int) = corpus
-        .crossJoin(spark.range(50).select($"id".as("__tile")))
-        .select(($"vec_id" + 50000000000L + b.toLong * 100000000L +
-          $"__tile" * 1000000L).as("vec_id"), $"embedding")
+      // UNIQUE deterministic vectors (sin of id x dim): a tiled corpus
+      // dictionary-encodes to nothing and no file ever graduates —
+      // the production chunk must be incompressible like real
+      // embeddings. ~100k rows x 64 dims ≈ 26 MB over ~61 occupied
+      // buckets ≈ 430 KB/file, comfortably past minBytes on arrival.
+      def bigBatch(b: Int) = spark.range(100000).select(
+          ($"id" + 50000000000L + b.toLong * 1000000L).as("vec_id"),
+          org.apache.spark.sql.functions.transform(
+            org.apache.spark.sql.functions.sequence(lit(1), lit(64)),
+            i => sin(($"id" + b.toLong * 1000000L) * i.cast("double"))
+              .cast("float")).as("embedding"))
         .localCheckpoint(true)
       def smallBatch(b: Int) = corpus
         .where($"vec_id" > 0 && $"vec_id" <= 200)
