@@ -179,6 +179,48 @@ object AnnRehearsal {
       println(f"""{"phase":"lsh_batch_probe","queries":$nq,"radius":1,"result_rows":$rows,"probe_s":$s%.2f,"probe_bytes":$bytes,"exact_bytes":$lshExactBytes,"bytes_fraction":${bytes.toDouble / math.max(1L, lshExactBytes)}%.4f}""")
     }
 
+    // ---- IVF-PQ BATCH probe (r18): probePersistedIvfPqMany's two
+    // claims at scale. (1) The batch form replaces N single probes —
+    // each a plan + an m-row driver collect — with ONE codes join and
+    // ONE rescore pass: wall for 10 queries vs 10 sequential singles.
+    // (2) Its codes scan reads the UNION of the queries' probed
+    // cells (a layout fraction bounded by cell diversity, the
+    // lsh_batch lesson), not queries x single-probe bytes. Per-query
+    // results are spec-pinned equal to the single probe; the match
+    // column here just re-checks it at this decade.
+    {
+      val qVecs = queries10.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val b0 = System.nanoTime()
+      val batchRows = Similarity.probePersistedIvfPqMany(spark, pqPath,
+        corpus, "embedding", "vec_id", queries10, "qid", "qemb",
+        NProbe, m = 5 * K, k = K).collect()
+      val batchS = (System.nanoTime() - b0) / 1e9
+      val s0 = System.nanoTime()
+      val singleIds = qVecs.map { case (qid, v) =>
+        qid -> Similarity.probePersistedIvfPq(spark, pqPath, corpus,
+          "embedding", "vec_id", v, NProbe, m = 5 * K, k = K)
+          .collect().map(_.getLong(0)).toSet
+      }.toMap
+      val singlesS = (System.nanoTime() - s0) / 1e9
+      val byQid = batchRows.groupBy(_.getLong(0))
+        .map { case (qid, rs) => qid -> rs.map(_.getLong(1)).toSet }
+      val matchFrac = qVecs.map { case (qid, _) =>
+        byQid.getOrElse(qid, Set.empty[Long])
+          .intersect(singleIds(qid)).size
+      }.sum.toDouble / (qVecs.length * K)
+      // the batch's codes scan term, attributed alone: the UNION of
+      // all queries' probed cells (what the static isin prunes to)
+      val unionCells = qVecs.flatMap { case (_, v) =>
+        Similarity.probeCells(stPq.codebook, v, NProbe) }.distinct
+      val unionScan = graft.operators.SnapshotScan
+        .frameAt(spark, pqPath, stPq.version)
+        .where(col("list_id").isin(unionCells.toSeq: _*))
+      unionScan.collect()
+      val unionBytes = bytesRead(unionScan)
+      println(f"""{"phase":"pq_batch_probe","queries":${qVecs.length},"nprobe":$NProbe,"m":${5 * K},"k":$K,"batch_s":$batchS%.2f,"singles_s":$singlesS%.2f,"union_cells":${unionCells.length},"union_codes_bytes":$unionBytes,"vs_single_codes_bytes":${unionBytes.toDouble / math.max(1L, codesBytes)}%.2f,"vs_brute_bytes":${unionBytes.toDouble / math.max(1L, bruteBytes)}%.4f,"match_vs_singles":$matchFrac%.2f}""")
+    }
+
     // ---- chunk-size amortization: the OTHER axis of the append
     // claim. The commit machinery (stage + CAS + manifest + ledger +
     // mirror) is a FIXED cost per batch — proven decade-invariant vs
