@@ -221,6 +221,26 @@ object AnnRehearsal {
       println(f"""{"phase":"pq_batch_probe","queries":${qVecs.length},"nprobe":$NProbe,"m":${5 * K},"k":$K,"batch_s":$batchS%.2f,"singles_s":$singlesS%.2f,"union_cells":${unionCells.length},"union_codes_bytes":$unionBytes,"vs_single_codes_bytes":${unionBytes.toDouble / math.max(1L, codesBytes)}%.2f,"vs_brute_bytes":${unionBytes.toDouble / math.max(1L, bruteBytes)}%.4f,"match_vs_singles":$matchFrac%.2f}""")
     }
 
+    // ---- PQ drift rebuild (r18): the quantized drift loop's closing
+    // move, timed at this decade. rebuildPersistedIvfPq retrains from
+    // the SOURCE table's true embeddings (lossy codes cannot) — one
+    // codebook build + one assignment/quantize pass + one CAS'd
+    // overwrite, so its cost must track the SOURCE linearly, the same
+    // attribution as the build phase (and it is paid only when drift
+    // fires). The descriptor swap is the commit itself: the
+    // post-rebuild probe resolves the new codebook with no hand-off.
+    {
+      val r0 = System.nanoTime()
+      val (_, rstats) = Similarity.rebuildPersistedIvfPq(spark, pqPath,
+        corpus, "embedding", "vec_id", NList)
+      val rebuildS = (System.nanoTime() - r0) / 1e9
+      val postIds = Similarity.probePersistedIvfPq(spark, pqPath,
+        corpus, "embedding", "vec_id", q, NProbe, m = 5 * K, k = K)
+        .collect().map(_.getLong(0)).toSeq
+      val postMatch = postIds.toSet.intersect(pqIds.toSet).size.toDouble / K
+      println(f"""{"phase":"pq_rebuild","vectors":${rstats.vectors},"rebuild_s":$rebuildS%.2f,"vs_build_s":${rebuildS / buildS}%.2f,"post_probe_match":$postMatch%.2f}""")
+    }
+
     // ---- chunk-size amortization: the OTHER axis of the append
     // claim. The commit machinery (stage + CAS + manifest + ledger +
     // mirror) is a FIXED cost per batch — proven decade-invariant vs

@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   *   3. st17 streaming near-dedup batches over arriving docs (fresh +
   *      corpus copies + in-chunk copies — closed-form outcomes);
   *   4. st18 streaming ANN ingest batches over their embeddings
-  *      (snapshot IVF index, ledgered appends), then a DRIFTED cohort
-  *      that fires the AutoRetrain policy — the sink retrains the
-  *      index in place itself, mid-day, under no operator;
+  *      (snapshot IVF index, ledgered appends) — plus the SAME stream
+  *      into an IVF-PQ sibling — then a DRIFTED cohort into each:
+  *      the float sink fires AutoRetrain (in-place retrain), the
+  *      quantized sink fires AutoRebuild (retrain from the source
+  *      table's true embeddings) — both loops closed mid-day, under
+  *      no operator;
   *   5. maintenance: rebucket/retrain (the indexes' OPTIMIZE) +
   *      VACUUM on both shared indexes — then the checks a 100 TB
   *      operator cares about: a replayed batch still skips (the
@@ -199,6 +202,34 @@ object ProductionDayRehearsal {
     require(a2.retrainRecommended && a2.retrained,
       s"drifted ANN batch did not auto-retrain: $a2")
     println(f"""{"stage":"st18_drift_auto_retrain","wall_s":$st18cS%.2f,"appended":${a2.appended},"retrained":${a2.retrained},"index_versions":${versionsOf(ivfIndex)}}""")
+
+    // ---- stage 4c (r18): the SAME drifted cohort into the PQ
+    // sibling under AutoRebuild — lossy codes cannot retrain in
+    // place, so the sink rebuilds from the SOURCE table's true
+    // embeddings (which by the layout's contract covers everything
+    // streamed): the quantized drift loop closed in-stream, and the
+    // descriptor-resolved full probe must equal brute force over the
+    // rebuilt corpus with no operator hand-off.
+    val driftedPq = driftedB
+      .select(($"vec_id" + 5000000L).as("vec_id"), $"embedding")
+      .localCheckpoint(true)
+    val pqSource = allEmb.unionByName(driftedPq).localCheckpoint(true)
+    val (a3, st18dS) = timed {
+      graft.streaming.AnnIngest.processBatch(driftedPq, 2L, "embedding",
+        cb, pqIndex, autoCompact = hygiene, pqId = Some("vec_id"),
+        autoRebuild = Some(graft.streaming.AnnIngest.AutoRebuild(
+          _ => pqSource, "vec_id")))
+    }
+    require(a3.retrainRecommended && a3.retrained,
+      s"drifted PQ batch did not auto-rebuild: $a3")
+    val pqProbe2 = graft.operators.Similarity.probePersistedIvfPq(spark,
+      pqIndex, pqSource, "embedding", "vec_id", qPq, nprobe = 16,
+      m = 50, k = 10).collect().map(_.getLong(0)).toSeq
+    val pqBrute2 = graft.operators.Similarity.bruteForceTopK(pqSource,
+      "embedding", "vec_id", qPq, 10).collect().map(_.getLong(0)).toSeq
+    require(pqProbe2 == pqBrute2,
+      s"post-rebuild PQ probe diverged: $pqProbe2 vs $pqBrute2")
+    println(f"""{"stage":"st18_pq_drift_auto_rebuild","wall_s":$st18dS%.2f,"appended":${a3.appended},"rebuilt":${a3.retrained},"probe_exact":true,"index_versions":${versionsOf(pqIndex)}}""")
 
     // ---- stage 5: maintenance — the indexes' OPTIMIZE analogues plus
     // retention on both shared tables
