@@ -427,6 +427,16 @@ object Similarity {
     * the cell set a probe prunes its scan to. */
   private[graft] def probeCells(codebook: IvfCodebook, query: Array[Float],
       nprobe: Int): Array[Long] = {
+    // the cosine (native and driver-side alike) truncates to the
+    // shorter operand, so a wrong-dim query would rank cells on a
+    // PREFIX of the space — silently degraded recall. Refuse by dim,
+    // the LSH single probe's discipline; every single-probe IVF/PQ
+    // path routes through here.
+    codebook.entries.headOption.foreach { case (_, c) =>
+      require(query.length == c.length,
+        s"query embedding dim ${query.length} does not match the " +
+          s"codebook's ${c.length} — the wrong cells would be probed")
+    }
     def cos(a: Array[Float], b: Array[Double]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
@@ -1108,6 +1118,21 @@ object Similarity {
     * ONE definition shared by every batch-probe form (float and PQ),
     * so the distributed ranking cannot drift from the driver-side
     * single-probe ranking. */
+  /** Row filter that REFUSES a wrong-dim query embedding loudly at
+    * execution — the native cosine and the hyperplane hash both
+    * truncate to the shorter operand, so a wrong-dim row would
+    * otherwise rank cells/buckets on a PREFIX of the space and
+    * silently return degraded results. Rides the row filter (zero
+    * extra passes); null embeddings must be dropped before it. */
+  private def requireDimCol(qEmbedding: String, dim: Int,
+      what: String): Column =
+    when(size(col(qEmbedding)) === lit(dim), lit(true))
+      .otherwise(raise_error(concat(
+        lit(s"$what got a query embedding of dim "),
+        size(col(qEmbedding)).cast("string"),
+        lit(s" where the index was built at dim $dim — the wrong " +
+          "cells would be searched; fix the query frame"))))
+
   private def probeCellsExpr(codebook: IvfCodebook, qEmbedding: String,
       nprobe: Int): Column = {
     val cbLit = array(codebook.entries.map { case (cid, c) =>
@@ -1123,6 +1148,7 @@ object Similarity {
   def ivfTopKMany(indexed: DataFrame, embedding: String, id: String,
       queries: DataFrame, qid: String, qEmbedding: String,
       codebook: IvfCodebook, nprobe: Int, k: Int): DataFrame = {
+    require(codebook.entries.nonEmpty, "empty codebook")
     val internal = Set("list_id", "score", "__rn", "__cell")
     val reserved = internal ++ Set(id, embedding)
     // Case-INSENSITIVE, like Spark's default resolution (and the
@@ -1144,7 +1170,11 @@ object Similarity {
         "query/internal columns — alias or drop them on the index " +
         "frame first")
     def cellsOf = probeCellsExpr(codebook, qEmbedding, nprobe)
+    // wrong-dim rows refuse loudly (the cosine truncates — a silent
+    // prefix ranking otherwise); null rows are dropped first
     val live0 = queries.where(col(qEmbedding).isNotNull)
+      .where(requireDimCol(qEmbedding,
+        codebook.entries.head._2.length, "batch probe"))
     // static cell-set filter: ≤ nlist distinct longs whatever the
     // query count — restores plan-time bucket pruning for the join.
     // At nprobe ≥ nlist every query provably emits ALL cells, so the
@@ -1237,18 +1267,11 @@ object Similarity {
     // HyperplaneBucket truncates its dot product to the shorter of
     // (vector, plane), so a wrong-dim query row would hash into the
     // wrong bucket and silently return low/zero-recall results where
-    // the single probe hard-fails. The raise_error rides the row
-    // filter — zero extra passes, fails loudly at execution with the
-    // offending dim — mirroring probePersistedIndex's
-    // `require(d == query.length)`.
+    // the single probe hard-fails ([[requireDimCol]], mirroring
+    // probePersistedIndex's `require(d == query.length)`).
     val live0 = queries.where(col(qEmbedding).isNotNull)
-      .where(when(size(col(qEmbedding)) === lit(dim), lit(true))
-        .otherwise(raise_error(concat(
-          lit(s"batch probe against a ($numPlanes, $dim) plane family " +
-            "got a query embedding of dim "),
-          size(col(qEmbedding)).cast("string"),
-          lit(" — the wrong buckets would be searched; fix the query " +
-            "frame or use the index's recorded family")))))
+      .where(requireDimCol(qEmbedding, dim,
+        s"batch probe against a ($numPlanes, $dim) plane family"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(qid))
       .orderBy(col("score").desc, col(id).asc)
@@ -1568,6 +1591,7 @@ object Similarity {
       embedding: String, id: String, queries: DataFrame, qid: String,
       qEmbedding: String, codebook: IvfCodebook, nprobe: Int, m: Int,
       k: Int, idLiteralCap: Int): DataFrame = {
+    require(codebook.entries.nonEmpty, "empty codebook")
     require(m >= k, s"rescore budget m=$m must be >= k=$k")
     val lc = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
     val internal = Set("list_id", "pq_scale", "pq_code", "score",
@@ -1593,8 +1617,12 @@ object Similarity {
         "frame first")
     // pin the (possibly non-deterministic) query frame ONCE: the
     // cell-set collect, the probe join and the rescore join must all
-    // see the same rows (ivfTopKMany's discipline)
+    // see the same rows (ivfTopKMany's discipline). Wrong-dim rows
+    // refuse loudly at the pin (the cosine truncates — a silent
+    // prefix ranking otherwise); null rows are dropped first.
     val pinned = queries.where(col(qEmbedding).isNotNull)
+      .where(requireDimCol(qEmbedding,
+        codebook.entries.head._2.length, "batch probe"))
       .localCheckpoint(true)
     def cellsOf = probeCellsExpr(codebook, qEmbedding, nprobe)
     val prunedCodes =

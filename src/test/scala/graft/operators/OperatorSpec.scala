@@ -563,6 +563,23 @@ class OperatorSpec extends SparkSpec {
     val nm = manyAsMap(Similarity.ivfTopKMany(indexed, "embedding",
       "vec_id", withNull, "qid", "qemb", cb, 8, k = 3))
     assert(!nm.contains(99L) && nm.keySet == Set(0L, 3L, 5L, 7L))
+    // a wrong-dim query row FAILS LOUDLY (the cosine truncates to the
+    // shorter operand — silently ranking a PREFIX of the space
+    // otherwise), in BOTH the batch form and the single probe
+    val wrongDimQ = queries.unionByName(
+      Seq((98L, Array.fill(8)(0.5f))).toDF("qid", "qemb"))
+    val dimE = intercept[Exception] {
+      Similarity.ivfTopKMany(indexed, "embedding", "vec_id", wrongDimQ,
+        "qid", "qemb", cb, 2, 3).collect()
+    }
+    val dimM = Iterator.iterate(dimE: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(dimM.contains("dim") && dimM.contains("8"), dimM)
+    assert(intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(indexed, "embedding", "vec_id",
+        Array.fill(8)(0.5f), cb, 2, 3)
+    }.getMessage.contains("dim 8"))
     // collisions refuse BOTH ways: query columns shadowing the
     // index's, and index columns shadowing the query's
     assert(intercept[IllegalArgumentException] {
@@ -967,6 +984,17 @@ class OperatorSpec extends SparkSpec {
     assert(manyAsMap(Similarity.ivfPqTopKMany(pq, corpus, "embedding",
       "vec_id", withNull, "qid", "qemb", cb, 8, 10, 3))
       .keySet == Set(0L, 3L, 5L, 7L))
+    // a wrong-dim query row FAILS LOUDLY in the PQ batch form too
+    val wrongDimQ = queries.unionByName(
+      Seq((98L, Array.fill(8)(0.5f))).toDF("qid", "qemb"))
+    val dimE = intercept[Exception] {
+      Similarity.ivfPqTopKMany(pq, corpus, "embedding", "vec_id",
+        wrongDimQ, "qid", "qemb", cb, 2, 10, 3).collect()
+    }
+    val dimM = Iterator.iterate(dimE: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(dimM.contains("dim") && dimM.contains("8"), dimM)
     // collisions refuse on all three frames: query vs reserved, index
     // vs query/internal, source vs query/internal
     assert(intercept[IllegalArgumentException] {
