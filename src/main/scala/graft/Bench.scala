@@ -85,9 +85,9 @@ object Bench {
     // the adjudication protocol is only as good as its data: a renamed
     // or dropped canary must not silently vanish from the stdout line
     // (the filter below would just match nothing)
-    val missing = canaries -- results.keySet -- errors.keySet --
-      (if (only.isEmpty) Set.empty[String]
-       else canaries) // a targeted local run legitimately skips them
+    val missing = // a targeted local run legitimately skips canaries
+      if (only.nonEmpty) Set.empty[String]
+      else canaries -- results.keySet -- errors.keySet
     missing.foreach(c => System.err.println(
       s"WARN: bench canary $c produced no timing — the two-canary " +
         "adjudication protocol is blind this round; check the query " +

@@ -25,10 +25,15 @@ private[graft] object Sidecars {
     * identical-bytes rewrite still opens a reader-visible window
     * where the file does not exist. A retrain storm that keeps
     * producing the same seed codebook rewrites the same sidecar over
-    * and over; skipping the no-op write closes the window entirely on
-    * that path (r17 judge finding — it failed ConcurrencySpec's IVF
-    * storm). Non-content-addressed rewrites (the batch mirrors, whose
-    * content changes under a fixed name) keep the rename and are
+    * and over; skipping the no-op write closes the window on the
+    * rewrite path (r17 judge finding — it failed ConcurrencySpec's
+    * IVF storm). The CREATION path is guarded too: racing first-time
+    * creators of the same fingerprint both pass the exists() skip, so
+    * the rename runs WITHOUT overwrite — the loser gets a
+    * FileAlreadyExists refusal (its bytes are identical by
+    * construction) instead of delete-then-renaming the winner's file.
+    * Non-content-addressed rewrites (the batch mirrors, whose content
+    * changes under a fixed name) keep the overwrite rename and are
     * covered by [[readRetrying]] on the reader side. */
   def write(spark: SparkSession, p: Path, content: String,
       contentAddressed: Boolean = false): Unit = {
@@ -47,6 +52,23 @@ private[graft] object Sidecars {
     try {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(
         fs.getUri, fs.getConf)
+      if (contentAddressed) {
+        // FIRST creation of a content-addressed file: rename WITHOUT
+        // overwrite. Two writers racing to create the same new
+        // fingerprint both pass the exists() skip above; with
+        // Rename.OVERWRITE the loser would delete-then-rename the
+        // winner's file — reopening the missing-file window on the
+        // creation path. Rename.NONE refuses on an existing
+        // destination instead (the loser's bytes are identical by
+        // construction — drop its temp and return).
+        try fc.rename(tmp, p)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+              _: java.nio.file.FileAlreadyExistsException =>
+            fs.delete(tmp, false)
+        }
+        return
+      }
       fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     } catch {
       // ONLY capability errors (no AbstractFileSystem binding / no
@@ -57,8 +79,17 @@ private[graft] object Sidecars {
       // valid content previously survived.
       case _: org.apache.hadoop.fs.UnsupportedFileSystemException |
           _: UnsupportedOperationException =>
-        if (fs.exists(p)) fs.delete(p, false)
-        require(fs.rename(tmp, p), s"could not write sidecar $p")
+        if (contentAddressed) {
+          // never delete-then-rename a content-addressed destination:
+          // if it exists (a racing creator won) it is byte-identical —
+          // drop the temp; otherwise a plain rename suffices
+          if (fs.exists(p)) fs.delete(tmp, false)
+          else require(fs.rename(tmp, p) || fs.exists(p),
+            s"could not write sidecar $p")
+        } else {
+          if (fs.exists(p)) fs.delete(p, false)
+          require(fs.rename(tmp, p), s"could not write sidecar $p")
+        }
     }
   }
 

@@ -1460,30 +1460,37 @@ object Similarity {
     val st0 = requireIvfState(spark, path, "rebuild")
     require(st0.pq, s"$path is a float IVF index — retrain it in " +
       "place with retrainPersistedIvf (it carries its own embeddings)")
-    val cb = buildCodebook(source.select(col(id), col(embedding)),
-      embedding, id, nlist, refineIters)
-    val staged = withPqCodes(ivfAssignWithSim(source, embedding, cb),
-        embedding)
-      .select(col(id), col("list_id"), col("pq_scale"), col("pq_code"),
-        col(AssignSimCol))
-      .localCheckpoint(true)
-    val stats = qualityOf(staged)
-    val fp = fingerprint(cb)
-    val cbFile = writeCodebookSidecar(spark, path, cb, fp)
     var attempts = 0
     while (true) {
       attempts += 1
       if (attempts > 5) throw new IllegalStateException(
         s"rebuild of $path kept racing appends (${attempts - 1} " +
           "attempts) — retry when the ingest storm subsides")
+      // Pin the CAS base BEFORE staging (retrainPersistedIvf's
+      // discipline): an append landing between this read and the
+      // commit FAILS the CAS, and the retry re-reads the source —
+      // which by contract contains the appended rows — and re-stages.
+      // Reading the base after staging would let an interleaved
+      // append pass the CAS and be silently erased by the overwrite.
       val base = Versioned.versions(spark, path).max
+      val cb = buildCodebook(source.select(col(id), col(embedding)),
+        embedding, id, nlist, refineIters)
+      val staged = withPqCodes(ivfAssignWithSim(source, embedding, cb),
+          embedding)
+        .select(col(id), col("list_id"), col("pq_scale"), col("pq_code"),
+          col(AssignSimCol))
+        .localCheckpoint(true)
+      val stats = qualityOf(staged)
+      val fp = fingerprint(cb)
+      val cbFile = writeCodebookSidecar(spark, path, cb, fp)
       if (Versioned.commitIf(staged.drop(AssignSimCol), path,
           "overwrite", ivfMeta(cbFile, fp, stats) + (IvfPqKey -> "1"),
           base, Some(("list_id", ivfBuckets(nlist)))).isDefined)
         return (cb, stats)
-      // lost the CAS to an interleaved append: by contract its rows
-      // live in the source too (or are strays the rebuild drops), so
-      // the staged codes stay valid — re-read the base and retry
+      // lost the CAS to an interleaved append: loop — fresh source
+      // read, fresh staging (the orphan codebook sidecar is
+      // content-addressed and tiny; a retry converging on the same
+      // codebook reuses it)
     }
     sys.error("unreachable: the CAS loop returns or throws")
   }
@@ -1653,15 +1660,18 @@ object Similarity {
       .select(col(qid), col(id))
       .localCheckpoint(true)
     val ids = shortlist.select(col(id)).distinct()
+    // ONE capped collect decides the isin-vs-join switch AND supplies
+    // the literals (lshTopKMany's idiom) — a separate count() would
+    // run a second full distinct job over the shortlist per probe
+    val lits = ids.limit(idLiteralCap + 1).collect().map(_.get(0))
     val fetched =
-      if (ids.count() <= idLiteralCap) {
+      if (lits.length <= idLiteralCap)
         // point-fetch: the literal predicate prunes the source scan at
         // PLAN time (row-group stats / bloom skipping), the single
         // probe's shape
-        val lits = ids.collect().map(_.get(0))
         source.select(col(id), col(embedding))
           .where(col(id).isin(lits.toSeq: _*))
-      } else
+      else
         // broadcast semi-join: the source is scanned once and never
         // shuffled; the broadcast side is bounded by queries × m
         source.select(col(id), col(embedding))

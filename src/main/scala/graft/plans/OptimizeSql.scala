@@ -996,9 +996,7 @@ case class OptimizeVersionedCommand(path: String, zorderCols: Seq[String],
         case None => attempt += 1
       }
     }
-    throw new IllegalStateException(
-      s"OPTIMIZE of $path kept losing the commit race ($attempt " +
-        "attempts) — retry when the writer storm subsides")
+    throw new Versioned.CommitRaceExhausted(s"OPTIMIZE of $path", attempt)
   }
 }
 

@@ -79,7 +79,14 @@ final case class AutoCompact(minBytes: Long = 8L << 20,
     def countSmall(): Long = Versioned.fileStats(spark, path)
       .valuesIterator.count(_.bytes.exists(_ < minBytes)).toLong
     val small = countSmall()
-    val floor = math.min(residue.getOrDefault(path, 0L), small)
+    // external maintenance (a concurrent sink's fold, an operator
+    // OPTIMIZE) can shrink the backlog below the remembered residue —
+    // PERSIST the lowered floor, or it would chase the growing count
+    // back up and silently absorb (remembered − trough) new files
+    // before re-arming
+    val stored = residue.getOrDefault(path, 0L)
+    val floor = math.min(stored, small)
+    if (floor < stored) residue.put(path, floor)
     if (small - floor < minSmallFiles) None
     else {
       // best-effort by contract: the micro-batch whose commit

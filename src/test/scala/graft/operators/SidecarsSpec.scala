@@ -64,6 +64,50 @@ class SidecarsSpec extends SparkSpec {
     } finally { stop.set(true); pool.shutdown() }
   }
 
+  test("content-addressed CREATION race: writers racing to create the " +
+    "same NEW fingerprint never un-create it — once a reader sees the " +
+    "file, it never vanishes (the no-overwrite rename refuses the " +
+    "losers instead of delete-then-renaming the winner)") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val dir = tmpDir("sidecar-create")
+    val content = "0:" + (0 until 16).map(_ => "2.0").mkString(",")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // many rounds: each round is a fresh never-written fingerprint
+      // that 4 writers race to create while a reader polls for the
+      // seen-then-missing transition the old OVERWRITE rename allowed
+      (0 until 50).foreach { round =>
+        val p = new Path(dir, s"_ivf_codebook-create$round.txt")
+        val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val unCreated = new java.util.concurrent.atomic.AtomicInteger(0)
+        val reader = Future {
+          var seen = false
+          while (!stop.get()) {
+            val there = Sidecars.read(spark, p).isDefined
+            if (seen && !there) unCreated.incrementAndGet()
+            seen = seen || there
+          }
+          seen
+        }
+        val writers = (0 until 4).map { _ =>
+          Future { Sidecars.write(spark, p, content,
+            contentAddressed = true) }
+        }
+        Await.result(Future.sequence(writers), 60.seconds)
+        stop.set(true)
+        assert(Await.result(reader, 30.seconds),
+          s"round $round: reader never saw the file")
+        assert(unCreated.get() == 0,
+          s"round $round: the file vanished after creation " +
+            s"${unCreated.get()} times — a losing creator " +
+            "delete-then-renamed the winner's file")
+        assert(Sidecars.read(spark, p).contains(content))
+      }
+    } finally pool.shutdown()
+  }
+
   test("readRetrying absorbs a transient rename window and still " +
     "reports a genuine out-of-band deletion") {
     val dir = tmpDir("sidecar-retry")
