@@ -221,6 +221,20 @@ object AnnRehearsal {
       println(f"""{"phase":"pq_batch_probe","queries":${qVecs.length},"nprobe":$NProbe,"m":${5 * K},"k":$K,"batch_s":$batchS%.2f,"singles_s":$singlesS%.2f,"union_cells":${unionCells.length},"union_codes_bytes":$unionBytes,"vs_single_codes_bytes":${unionBytes.toDouble / math.max(1L, codesBytes)}%.2f,"vs_brute_bytes":${unionBytes.toDouble / math.max(1L, bruteBytes)}%.4f,"match_vs_singles":$matchFrac%.2f}""")
     }
 
+    // ---- PQ m-dial (r18): recall@k of the two-stage probe vs the
+    // rescore budget m — the documented recall/IO trade, measured.
+    // Ground truth is the float probe over the same cells (the PQ
+    // index's own ceiling at this nprobe); m rows are fetched however
+    // big the corpus, so the dial's COST is constant-bounded and this
+    // table is its RECALL side.
+    Seq(K, 5 * K, 20 * K).foreach { m =>
+      val ids = Similarity.probePersistedIvfPq(spark, pqPath, corpus,
+        "embedding", "vec_id", q, NProbe, m = m, k = K)
+        .collect().map(_.getLong(0)).toSet
+      val rec = ids.intersect(probeIds.toSet).size.toDouble / K
+      println(f"""{"phase":"pq_m_dial","nprobe":$NProbe,"m":$m,"k":$K,"recall_vs_float":$rec%.2f}""")
+    }
+
     // ---- PQ drift rebuild (r18): the quantized drift loop's closing
     // move, timed at this decade. rebuildPersistedIvfPq retrains from
     // the SOURCE table's true embeddings (lossy codes cannot) — one
