@@ -63,8 +63,13 @@ private[graft] object Sidecars {
         // construction — drop its temp and return).
         try fc.rename(tmp, p)
         catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-              _: java.nio.file.FileAlreadyExistsException =>
+          // FileAlreadyExistsException on well-behaved filesystems,
+          // but some object-store bindings surface the refusal as a
+          // plain IOException — any failure with the destination
+          // PRESENT means a racing creator won, and its bytes are
+          // identical by construction
+          case e: java.io.IOException =>
+            if (!fs.exists(p)) throw e
             fs.delete(tmp, false)
         }
         return
