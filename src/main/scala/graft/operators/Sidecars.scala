@@ -98,12 +98,19 @@ private[graft] object Sidecars {
     }
   }
 
-  /** None iff the file does not exist; an existing file is read fully. */
+  /** None iff the file does not exist; an existing file is read fully.
+    * The exists-then-open pair is a TOCTOU against a concurrent
+    * non-content-addressed rewrite (delete-then-rename can land
+    * between the two calls), so a FileNotFound on the open ALSO
+    * returns None — otherwise [[readRetrying]] would crash in the
+    * exact transient window it exists to absorb. */
   def read(spark: SparkSession, p: Path): Option[String] = {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
-      val in = fs.open(p)
+      val in =
+        try fs.open(p)
+        catch { case _: java.io.FileNotFoundException => return None }
       try {
         val buf = new java.io.ByteArrayOutputStream()
         val arr = new Array[Byte](4096)

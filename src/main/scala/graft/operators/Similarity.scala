@@ -1081,34 +1081,27 @@ object Similarity {
     ivfTopK(indexed, embedding, id, query,
       buildCodebook(indexed, embedding, id, nlist), nprobe, k)
 
-  /** BATCH top-k probe: every row of `queries` probed in ONE join —
-    * the form a training pipeline actually uses (millions of queries
-    * against one index), where a driver-side loop of single probes
-    * would be a plan per query. Per-query probe cells are computed
-    * DISTRIBUTED over the codebook literal (nlist × dim doubles —
-    * driver-sized by construction, the same literal the single probe
-    * bakes in): cosine to every centroid, `array_sort` on
-    * (−cos, cid) — exactly [[probeCells]]'s order, with a null
-    * cosine (zero-norm centroid) coalesced to sort LAST like
-    * probeCells' −2.0 sentinel — sliced to nprobe and exploded to
-    * (query, cell) pairs, which join the index on `list_id`. Before
-    * the join, the DISTINCT probed cells (≤ nlist longs — driver-sized
-    * whatever the query count) are collected and applied to the index
-    * as a static `isin` filter, so plan-time bucket pruning fires
-    * exactly as for the single probe: a small batch at nprobe ≪ nlist
-    * reads only its cells' buckets, a batch whose cells cover the
-    * index reads it all — the filter costs one extra embedding-free
-    * pass over `queries`. Join strategy is Catalyst's: a small probe
-    * side broadcasts; at millions of queries it is a shuffle join
-    * whose parallelism is bounded by the probed-cell count — size
-    * nlist for the corpus (√N-scale) and leave AQE skew handling on,
-    * as for any key-bounded join. Per-query top-k is one window rank
-    * over the joined candidates. At nprobe = nlist this degrades to
-    * exact per-query brute force (the oracle form). Column names must
-    * not collide (checked BOTH ways), `qid` must be UNIQUE per query
-    * row — two rows sharing a qid would have their candidates ranked
-    * in one merged partition — and null-embedding query rows are
-    * dropped (a null cosine can rank nothing). */
+  /** Row filter that REFUSES a wrong-dim query embedding loudly at
+    * execution — the native cosine and the hyperplane hash both
+    * truncate to the shorter operand, so a wrong-dim row would
+    * otherwise rank cells/buckets on a PREFIX of the space and
+    * silently return degraded results. Rides the row filter (zero
+    * extra passes). NULL-SAFE on its own: a null embedding passes the
+    * guard (it is dropped by the callers' isNotNull filter), so the
+    * contract does not depend on conjunct evaluation order — under
+    * ANSI semantics size(null) is null and a non-null-safe condition
+    * would route the row into raise_error whenever this filter
+    * evaluated first. */
+  private def requireDimCol(qEmbedding: String, dim: Int,
+      what: String): Column =
+    when(col(qEmbedding).isNull
+        .or(size(col(qEmbedding)) === lit(dim)), lit(true))
+      .otherwise(raise_error(concat(
+        lit(s"$what got a query embedding of dim "),
+        size(col(qEmbedding)).cast("string"),
+        lit(s" where the index was built at dim $dim — the wrong " +
+          "cells would be searched; fix the query frame"))))
+
   /** Per-query probe cells, computed DISTRIBUTED over the codebook
     * literal (nlist × dim doubles — driver-sized by construction):
     * cosine to every centroid, `array_sort` on (−cos, cid) — exactly
@@ -1118,21 +1111,6 @@ object Similarity {
     * ONE definition shared by every batch-probe form (float and PQ),
     * so the distributed ranking cannot drift from the driver-side
     * single-probe ranking. */
-  /** Row filter that REFUSES a wrong-dim query embedding loudly at
-    * execution — the native cosine and the hyperplane hash both
-    * truncate to the shorter operand, so a wrong-dim row would
-    * otherwise rank cells/buckets on a PREFIX of the space and
-    * silently return degraded results. Rides the row filter (zero
-    * extra passes); null embeddings must be dropped before it. */
-  private def requireDimCol(qEmbedding: String, dim: Int,
-      what: String): Column =
-    when(size(col(qEmbedding)) === lit(dim), lit(true))
-      .otherwise(raise_error(concat(
-        lit(s"$what got a query embedding of dim "),
-        size(col(qEmbedding)).cast("string"),
-        lit(s" where the index was built at dim $dim — the wrong " +
-          "cells would be searched; fix the query frame"))))
-
   private def probeCellsExpr(codebook: IvfCodebook, qEmbedding: String,
       nprobe: Int): Column = {
     val cbLit = array(codebook.entries.map { case (cid, c) =>
@@ -1145,30 +1123,69 @@ object Similarity {
       s => s.getField("cid")))
   }
 
-  def ivfTopKMany(indexed: DataFrame, embedding: String, id: String,
-      queries: DataFrame, qid: String, qEmbedding: String,
-      codebook: IvfCodebook, nprobe: Int, k: Int): DataFrame = {
-    require(codebook.entries.nonEmpty, "empty codebook")
-    val internal = Set("list_id", "score", "__rn", "__cell")
-    val reserved = internal ++ Set(id, embedding)
-    // Case-INSENSITIVE, like Spark's default resolution (and the
-    // idxClash check below): a qid named "Score" would pass a
-    // case-sensitive guard and then be silently replaced by
-    // withColumn("score"), corrupting the window partitioning.
-    val reservedLc = reserved.map(_.toLowerCase(java.util.Locale.ROOT))
-    require(!reservedLc.contains(qid.toLowerCase(java.util.Locale.ROOT)) &&
-        !reservedLc.contains(qEmbedding.toLowerCase(java.util.Locale.ROOT)),
+  /** Case-INSENSITIVE column-collision guards shared by every batch
+    * probe (IVF, LSH, PQ) — one wording, one case rule (Spark's
+    * default resolution): a qid named "Score" would pass a
+    * case-sensitive guard and then be silently replaced by
+    * withColumn("score"), corrupting the window partitioning. */
+  private def requireBatchColumns(reserved: Set[String], qid: String,
+      qEmbedding: String, indexed: DataFrame, indexClash: Set[String],
+      source: Option[(DataFrame, Set[String])] = None): Unit = {
+    val lc = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
+    val reservedLc = reserved.map(lc)
+    require(!reservedLc.contains(lc(qid)) &&
+        !reservedLc.contains(lc(qEmbedding)),
       s"query columns ($qid, $qEmbedding) must not collide with index " +
         s"or internal columns (${reserved.mkString(", ")}) — alias the " +
         "query frame first")
-    val idxClash = indexed.columns
-      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-      .intersect(Set(qid, qEmbedding, "__cell", "__rn")
-        .map(_.toLowerCase(java.util.Locale.ROOT)))
+    val idxClash = indexed.columns.map(lc).toSet
+      .intersect(indexClash.map(lc))
     require(idxClash.isEmpty,
       s"index columns ${idxClash.mkString(", ")} collide with the " +
         "query/internal columns — alias or drop them on the index " +
         "frame first")
+    source.foreach { case (src, set) =>
+      val srcClash = src.columns.map(lc).toSet.intersect(set.map(lc))
+      require(srcClash.isEmpty,
+        s"source columns ${srcClash.mkString(", ")} collide with the " +
+          "query/internal columns — alias or drop them on the source " +
+          "frame first")
+    }
+  }
+
+  /** BATCH top-k probe: every row of `queries` probed in ONE join —
+    * the form a training pipeline actually uses (millions of queries
+    * against one index), where a driver-side loop of single probes
+    * would be a plan per query. Per-query probe cells are computed
+    * DISTRIBUTED over the codebook literal ([[probeCellsExpr]] —
+    * exactly [[probeCells]]'s order), exploded to (query, cell)
+    * pairs, which join the index on `list_id`. Before the join, the
+    * DISTINCT probed cells (≤ nlist longs — driver-sized whatever the
+    * query count) are collected and applied to the index as a static
+    * `isin` filter, so plan-time bucket pruning fires exactly as for
+    * the single probe: a small batch at nprobe ≪ nlist reads only its
+    * cells' buckets, a batch whose cells cover the index reads it all
+    * — the filter costs one extra embedding-free pass over `queries`.
+    * Join strategy is Catalyst's: a small probe side broadcasts; at
+    * millions of queries it is a shuffle join whose parallelism is
+    * bounded by the probed-cell count — size nlist for the corpus
+    * (√N-scale) and leave AQE skew handling on, as for any
+    * key-bounded join. Per-query top-k is one window rank over the
+    * joined candidates. At nprobe = nlist this degrades to exact
+    * per-query brute force (the oracle form). Column names must not
+    * collide (checked BOTH ways), `qid` must be UNIQUE per query row
+    * — two rows sharing a qid would have their candidates ranked in
+    * one merged partition — null-embedding query rows are dropped (a
+    * null cosine can rank nothing), and wrong-dim query rows refuse
+    * loudly ([[requireDimCol]]). */
+  def ivfTopKMany(indexed: DataFrame, embedding: String, id: String,
+      queries: DataFrame, qid: String, qEmbedding: String,
+      codebook: IvfCodebook, nprobe: Int, k: Int): DataFrame = {
+    require(codebook.entries.nonEmpty, "empty codebook")
+    requireBatchColumns(
+      Set("list_id", "score", "__rn", "__cell", id, embedding),
+      qid, qEmbedding, indexed,
+      Set(qid, qEmbedding, "__cell", "__rn"))
     def cellsOf = probeCellsExpr(codebook, qEmbedding, nprobe)
     // wrong-dim rows refuse loudly (the cosine truncates — a silent
     // prefix ranking otherwise); null rows are dropped first
@@ -1246,21 +1263,10 @@ object Similarity {
   def lshTopKMany(indexed: DataFrame, embedding: String, id: String,
       queries: DataFrame, qid: String, qEmbedding: String,
       numPlanes: Int, dim: Int, probeHamming: Int, k: Int): DataFrame = {
-    val internal = Set("bucket", "score", "__rn", "__cell")
-    val reserved = internal ++ Set(id, embedding)
-    val lc = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
-    val reservedLc = reserved.map(lc)
-    require(!reservedLc.contains(lc(qid)) &&
-        !reservedLc.contains(lc(qEmbedding)),
-      s"query columns ($qid, $qEmbedding) must not collide with index " +
-        s"or internal columns (${reserved.mkString(", ")}) — alias the " +
-        "query frame first")
-    val idxClash = indexed.columns.map(lc).toSet
-      .intersect(Set(qid, qEmbedding, "__cell", "__rn").map(lc))
-    require(idxClash.isEmpty,
-      s"index columns ${idxClash.mkString(", ")} collide with the " +
-        "query/internal columns — alias or drop them on the index " +
-        "frame first")
+    requireBatchColumns(
+      Set("bucket", "score", "__rn", "__cell", id, embedding),
+      qid, qEmbedding, indexed,
+      Set(qid, qEmbedding, "__cell", "__rn"))
     val planes = makePlanes(numPlanes, dim)
     val qBucket = hyperplaneBucket(col(qEmbedding), planes)
     // ENFORCE the documented dim contract executor-side (r17 ADVICE):
@@ -1463,9 +1469,12 @@ object Similarity {
     var attempts = 0
     while (true) {
       attempts += 1
-      if (attempts > 5) throw new IllegalStateException(
-        s"rebuild of $path kept racing appends (${attempts - 1} " +
-          "attempts) — retry when the ingest storm subsides")
+      // TYPED exhaustion (the rewrite/compact/DV discipline): the
+      // streaming AutoRebuild policy must distinguish "maintenance
+      // lost the race — defer to the next drift fire" from every
+      // other illegal state without matching message text
+      if (attempts > 5) throw new Versioned.CommitRaceExhausted(
+        s"rebuild of $path", attempts - 1)
       // Pin the CAS base BEFORE staging (retrainPersistedIvf's
       // discipline): an append landing between this read and the
       // commit FAILS the CAS, and the retry re-reads the source —
@@ -1600,28 +1609,12 @@ object Similarity {
       k: Int, idLiteralCap: Int): DataFrame = {
     require(codebook.entries.nonEmpty, "empty codebook")
     require(m >= k, s"rescore budget m=$m must be >= k=$k")
-    val lc = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
-    val internal = Set("list_id", "pq_scale", "pq_code", "score",
-      "__rn", "__cell", "__approx")
-    val reserved = internal ++ Set(id, embedding)
-    val reservedLc = reserved.map(lc)
-    require(!reservedLc.contains(lc(qid)) &&
-        !reservedLc.contains(lc(qEmbedding)),
-      s"query columns ($qid, $qEmbedding) must not collide with index " +
-        s"or internal columns (${reserved.mkString(", ")}) — alias the " +
-        "query frame first")
-    val qCols = Set(qid, qEmbedding, "__cell", "__rn", "__approx").map(lc)
-    val idxClash = pqIndexed.columns.map(lc).toSet.intersect(qCols)
-    require(idxClash.isEmpty,
-      s"index columns ${idxClash.mkString(", ")} collide with the " +
-        "query/internal columns — alias or drop them on the index " +
-        "frame first")
-    val srcClash = source.columns.map(lc).toSet
-      .intersect(Set(qid, qEmbedding, "score", "__rn").map(lc))
-    require(srcClash.isEmpty,
-      s"source columns ${srcClash.mkString(", ")} collide with the " +
-        "query/internal columns — alias or drop them on the source " +
-        "frame first")
+    requireBatchColumns(
+      Set("list_id", "pq_scale", "pq_code", "score", "__rn", "__cell",
+        "__approx", id, embedding),
+      qid, qEmbedding, pqIndexed,
+      Set(qid, qEmbedding, "__cell", "__rn", "__approx"),
+      source = Some((source, Set(qid, qEmbedding, "score", "__rn"))))
     // pin the (possibly non-deterministic) query frame ONCE: the
     // cell-set collect, the probe join and the rescore join must all
     // see the same rows (ivfTopKMany's discipline). Wrong-dim rows

@@ -241,14 +241,28 @@ object AnnIngest {
       true
     } || autoRebuild.exists { ar =>
       val nlist = currentNlist(ar.nlist)
-      val (_, stats) = Similarity.rebuildPersistedIvfPq(spark, path,
-        ar.source(spark), embedding, ar.id, nlist, ar.refineIters)
-      org.slf4j.LoggerFactory.getLogger(getClass).info(
-        s"ann-ingest batch $batchId: drift fired, rebuilt PQ index " +
-          s"$path in place from its source table (nlist=$nlist, new " +
-          f"baseline ${stats.vectors} vectors @ " +
-          f"mean_sim=${stats.meanSim}%.4f)")
-      true
+      try {
+        val (_, stats) = Similarity.rebuildPersistedIvfPq(spark, path,
+          ar.source(spark), embedding, ar.id, nlist, ar.refineIters)
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"ann-ingest batch $batchId: drift fired, rebuilt PQ index " +
+            s"$path in place from its source table (nlist=$nlist, new " +
+            f"baseline ${stats.vectors} vectors @ " +
+            f"mean_sim=${stats.meanSim}%.4f)")
+        true
+      } catch {
+        // best-effort like AutoCompact: the batch's ledger commit has
+        // already landed — a rebuild that exhausts its CAS retries
+        // under an ingest storm WARNs and defers (the still-drifted
+        // distribution re-fires the flag on its next cohort), never
+        // crashes a stream whose data is safe
+        case e: Versioned.CommitRaceExhausted =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"ann-ingest batch $batchId: drift fired but the PQ " +
+              s"rebuild of $path lost its commit race to the ingest " +
+              "storm; deferring — drift re-fires on the next cohort", e)
+          false
+      }
     })
     // segment hygiene LAST: a retrain just rewrote everything (nothing
     // small left), and the fold must see this batch's segments. A

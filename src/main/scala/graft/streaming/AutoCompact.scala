@@ -76,8 +76,9 @@ final case class AutoCompact(minBytes: Long = 8L << 20,
     * help, or a concurrent compaction got there first. */
   def maybeCompact(spark: SparkSession, path: String)
       : Option[(Long, Long, Long)] = {
-    def countSmall(): Long = Versioned.fileStats(spark, path)
-      .valuesIterator.count(_.bytes.exists(_ < minBytes)).toLong
+    def countSmall(version: Option[Long] = None): Long =
+      Versioned.fileStats(spark, path, version)
+        .valuesIterator.count(_.bytes.exists(_ < minBytes)).toLong
     val small = countSmall()
     // external maintenance (a concurrent sink's fold, an operator
     // OPTIMIZE) can shrink the backlog below the remembered residue —
@@ -104,7 +105,11 @@ final case class AutoCompact(minBytes: Long = 8L << 20,
             None
         }
       res.foreach { case (v, rewritten, carried) =>
-        val post = countSmall()
+        // residue from the fold's OWN committed version, not the live
+        // manifest: a concurrent sink's append landing between the
+        // fold and this read would otherwise be baked into the floor
+        // and silently absorbed (never counting toward the re-arm)
+        val post = countSmall(Some(v))
         residue.put(path, post)
         if (post >= small)
           org.slf4j.LoggerFactory.getLogger(getClass).warn(

@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions.{lit, sin}
 object HygieneRehearsal {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: HygieneRehearsal <embDir> <workDir> [nBatches]")
+      "usage: HygieneRehearsal <embDir> <workDir> [nBatches] [arms]")
     val embDir = args(0)
     val workDir = args(1)
     val nBatches = if (args.length > 2) args(2).toInt else 30
