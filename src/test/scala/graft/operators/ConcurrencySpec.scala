@@ -386,6 +386,131 @@ class ConcurrencySpec extends SparkSpec {
     info(s"retrains landed mid-storm: ${retrainsLanded.get()} of 3")
   }
 
+  test("PQ rebuild storm: appenders racing rebuildPersistedIvfPq — the " +
+    "CAS base is pinned BEFORE staging, so an append landing " +
+    "mid-rebuild is never silently erased; the converged index equals " +
+    "the source exactly and every mid-storm probe is consistent") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val dir = tmpDir("pqrebuild")
+    val srcT = s"$dir/source"
+    val idxT = s"$dir/index"
+    val seedIds = 1L to 16L
+    // the SOURCE table is the truth: appenders land rows there FIRST,
+    // then append the same rows' codes to the index — the layout's
+    // own contract (probes rescore against the source)
+    Versioned.commit(ivfVecs(seedIds), srcT, "overwrite")
+    val cb0 = Similarity.buildCodebook(ivfVecs(seedIds), "embedding",
+      "vec_id", nlist = 8)
+    Similarity.writePersistedIvfPq(ivfVecs(seedIds), "embedding",
+      "vec_id", cb0, idxT)
+    val writers = 3
+    val cohortsPerWriter = 3
+    def cohortIds(i: Int, j: Int): Seq[Long] = {
+      val lo = 1000L * (i + 1) + 10L * j
+      lo until lo + 5
+    }
+    def src() = Versioned.read(spark, srcT)
+      .select($"vec_id", $"embedding")
+    def appendRetrying(ids: Seq[Long]): Unit = {
+      retry(Versioned.commit(ivfVecs(ids), srcT, "append"))
+      var last: Throwable = null
+      for (_ <- 0 until 60) {
+        val st = Similarity.loadPersistedIvf(spark, idxT).get
+        try {
+          Similarity.appendToPersistedIvfPq(ivfVecs(ids), "embedding",
+            "vec_id", st.codebook, idxT)
+          return
+        } catch {
+          case e: IllegalArgumentException
+              if e.getMessage != null &&
+                e.getMessage.contains("fingerprint") => last = e
+          case e: IllegalStateException
+              if e.getMessage != null &&
+                (e.getMessage.contains("racing") ||
+                  e.getMessage.contains("losing the commit race")) =>
+            last = e; Thread.sleep(100)
+        }
+      }
+      throw last
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers + 2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val rebuildsLanded = new java.util.concurrent.atomic.AtomicInteger(0)
+    try {
+      val writerFs = (0 until writers).map { i =>
+        Future {
+          (0 until cohortsPerWriter).foreach(j =>
+            appendRetrying(cohortIds(i, j)))
+        }
+      }
+      val rebuilder = Future {
+        (0 until 3).foreach { _ =>
+          try {
+            Similarity.rebuildPersistedIvfPq(spark, idxT, src(),
+              "embedding", "vec_id", nlist = 8)
+            rebuildsLanded.incrementAndGet()
+          } catch {
+            case e: Versioned.CommitRaceExhausted => () // storm too hot
+          }
+          Thread.sleep(150)
+        }
+      }
+      val prober = Future {
+        val q = Array.tabulate(32)(d => if (d == 3) 1f else 0f)
+        var probes = 0
+        while (!stop.get()) {
+          // descriptor-resolved probe: whatever rebuild/append
+          // interleaves, the result must be internally consistent —
+          // axis-3 rows rescore at exactly 1.0, and no id twice
+          val rows = Similarity.probePersistedIvfPq(spark, idxT,
+            src(), "embedding", "vec_id", q, nprobe = 8, m = 64, k = 8)
+            .as[(Long, Double)].collect()
+          assert(rows.map(_._1).distinct.length == rows.length,
+            s"mid-storm PQ probe returned a duplicated id: ${rows.toSeq}")
+          rows.foreach { case (id, score) =>
+            assert(score == (if (id % 8 == 3) 1.0 else 0.0),
+              s"mid-storm PQ probe score diverged: ($id, $score)")
+          }
+          probes += 1
+        }
+        probes
+      }
+      Await.result(Future.sequence(writerFs), 600.seconds)
+      stop.set(true)
+      Await.result(rebuilder, 300.seconds)
+      assert(Await.result(prober, 120.seconds) > 0,
+        "the prober never completed a probe during the storm")
+    } finally { stop.set(true); pool.shutdown() }
+    // serial model: source first, index second, rebuild-from-source —
+    // so after ONE final rebuild the index must hold EXACTLY the
+    // source's ids (an append erased by a mid-rebuild overwrite would
+    // be missing; pre-fix, the base-after-staging bug allowed that)
+    Similarity.rebuildPersistedIvfPq(spark, idxT, src(), "embedding",
+      "vec_id", nlist = 8)
+    val allIds = (seedIds ++ (0 until writers).flatMap(i =>
+      (0 until cohortsPerWriter).flatMap(j => cohortIds(i, j)))).sorted
+    assert(src().select($"vec_id").as[Long].collect().sorted.toSeq
+      == allIds, "source table diverged from the serial model")
+    val got = Versioned.read(spark, idxT).select($"vec_id")
+      .as[Long].collect().sorted.toSeq
+    assert(got == allIds,
+      s"index diverged after converging rebuild: " +
+        s"missing=${(allIds.toSet -- got.toSet).take(5)} " +
+        s"extra/doubled=${got.diff(allIds).take(5)}")
+    // and the full PQ probe over everything equals brute force
+    val q = Array.tabulate(32)(d => if (d == 5) 1f else 0f)
+    val fullProbe = Similarity.probePersistedIvfPq(spark, idxT, src(),
+      "embedding", "vec_id", q, nprobe = 8, m = allIds.length, k = 12)
+      .as[(Long, Double)].collect().toSeq
+    val brute = Similarity.bruteForceTopK(ivfVecs(allIds), "embedding",
+      "vec_id", q, 12).as[(Long, Double)].collect().toSeq
+    assert(fullProbe == brute,
+      s"post-storm full PQ probe diverged: $fullProbe vs $brute")
+    info(s"rebuilds landed mid-storm: ${rebuildsLanded.get()} of 3")
+  }
+
   test("auto-compact vs a live ingest storm: the streaming sink's " +
     "threshold COMPACT lands amid direct appenders and probes — no " +
     "lost or doubled row, every mid-storm probe exact, the replay " +
