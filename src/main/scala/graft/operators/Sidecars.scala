@@ -107,19 +107,22 @@ private[graft] object Sidecars {
   def read(spark: SparkSession, p: Path): Option[String] = {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
-    else {
-      val in =
-        try fs.open(p)
-        catch { case _: java.io.FileNotFoundException => return None }
+    else
+      // the catch covers the READ LOOP too, not just open(): an
+      // object-store binding can pass open()'s HEAD and surface the
+      // 404 on the first GET inside the loop (a local FS holds the
+      // fd, an object store does not)
       try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val arr = new Array[Byte](4096)
-        var n = in.read(arr)
-        while (n >= 0) { buf.write(arr, 0, n); n = in.read(arr) }
-        Some(new String(buf.toByteArray,
-          java.nio.charset.StandardCharsets.UTF_8))
-      } finally in.close()
-    }
+        val in = fs.open(p)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val arr = new Array[Byte](4096)
+          var n = in.read(arr)
+          while (n >= 0) { buf.write(arr, 0, n); n = in.read(arr) }
+          Some(new String(buf.toByteArray,
+            java.nio.charset.StandardCharsets.UTF_8))
+        } finally in.close()
+      } catch { case _: java.io.FileNotFoundException => None }
   }
 
   /** [[read]] with a bounded existence retry — for files the caller

@@ -1013,9 +1013,12 @@ object Similarity {
     var attempts = 0
     while (true) {
       attempts += 1
-      if (attempts > 5) throw new IllegalStateException(
-        s"retrain of $path kept racing appends (${attempts - 1} " +
-          "attempts) — retry when the ingest storm subsides")
+      // TYPED exhaustion (the rewrite/compact/DV/rebuild discipline):
+      // the streaming AutoRetrain policy must distinguish
+      // "maintenance lost the race — defer to the next drift fire"
+      // from every other illegal state without matching message text
+      if (attempts > 5) throw new Versioned.CommitRaceExhausted(
+        s"retrain of $path", attempts - 1)
       val vs = Versioned.versions(spark, path)
       require(vs.nonEmpty, s"no committed version in $path — build the " +
         "index with writePersistedIvf (or migrate a legacy dir with " +

@@ -232,13 +232,26 @@ object AnnIngest {
             "index"))
     val retrained = app.retrainRecommended && (autoRetrain.exists { ar =>
       val nlist = currentNlist(ar.nlist)
-      val (_, stats) = Similarity.retrainPersistedIvf(spark, path,
-        embedding, ar.id, nlist, ar.refineIters)
-      org.slf4j.LoggerFactory.getLogger(getClass).info(
-        s"ann-ingest batch $batchId: drift fired, retrained $path in " +
-          f"place (nlist=$nlist, new baseline ${stats.vectors} vectors " +
-          f"@ mean_sim=${stats.meanSim}%.4f)")
-      true
+      try {
+        val (_, stats) = Similarity.retrainPersistedIvf(spark, path,
+          embedding, ar.id, nlist, ar.refineIters)
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"ann-ingest batch $batchId: drift fired, retrained $path in " +
+            f"place (nlist=$nlist, new baseline ${stats.vectors} " +
+            f"vectors @ mean_sim=${stats.meanSim}%.4f)")
+        true
+      } catch {
+        // best-effort like the PQ rebuild below: the batch's ledger
+        // commit already landed — a retrain that exhausts its CAS
+        // retries under an ingest storm WARNs and defers (drift
+        // re-fires on the next cohort), never crashes the stream
+        case e: Versioned.CommitRaceExhausted =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"ann-ingest batch $batchId: drift fired but the retrain " +
+              s"of $path lost its commit race to the ingest storm; " +
+              "deferring — drift re-fires on the next cohort", e)
+          false
+      }
     } || autoRebuild.exists { ar =>
       val nlist = currentNlist(ar.nlist)
       try {

@@ -108,8 +108,13 @@ final case class AutoCompact(minBytes: Long = 8L << 20,
         // residue from the fold's OWN committed version, not the live
         // manifest: a concurrent sink's append landing between the
         // fold and this read would otherwise be baked into the floor
-        // and silently absorbed (never counting toward the re-arm)
-        val post = countSmall(Some(v))
+        // and silently absorbed (never counting toward the re-arm).
+        // Best-effort like everything here: a concurrent VACUUM can
+        // drop version v before this read — fall back to the live
+        // count rather than crash a stream over residue bookkeeping.
+        val post =
+          try countSmall(Some(v))
+          catch { case scala.util.control.NonFatal(_) => countSmall() }
         residue.put(path, post)
         if (post >= small)
           org.slf4j.LoggerFactory.getLogger(getClass).warn(

@@ -323,9 +323,7 @@ class ConcurrencySpec extends SparkSpec {
               "vec_id", nlist = 8)
             retrainsLanded.incrementAndGet()
           } catch {
-            case e: IllegalStateException
-                if e.getMessage != null &&
-                  e.getMessage.contains("racing") => ()
+            case _: Versioned.CommitRaceExhausted => () // storm too hot
           }
           Thread.sleep(150)
         }
@@ -461,14 +459,23 @@ class ConcurrencySpec extends SparkSpec {
         val q = Array.tabulate(32)(d => if (d == 3) 1f else 0f)
         var probes = 0
         while (!stop.get()) {
-          // descriptor-resolved probe: whatever rebuild/append
-          // interleaves, the result must be internally consistent —
-          // axis-3 rows rescore at exactly 1.0, and no id twice
+          // the INDEX invariant, checked on the pinned snapshot
+          // directly (the rescore output reads the source, where ids
+          // are unique by construction — it could never show a torn
+          // index): no vec_id may ever hold two code rows, whatever
+          // rebuild/append interleaving landed
+          val st = Similarity.loadPersistedIvf(spark, idxT).get
+          val dup = SnapshotScan.frameAt(spark, idxT, st.version)
+            .groupBy($"vec_id").count().where($"count" > 1).count()
+          assert(dup == 0,
+            s"mid-storm PQ index holds $dup duplicated vec_ids at " +
+              s"version ${st.version}")
+          // descriptor-resolved probe: whatever interleaves, the
+          // rescored result must be internally consistent — axis-3
+          // rows rescore at exactly 1.0, everything else at 0.0
           val rows = Similarity.probePersistedIvfPq(spark, idxT,
             src(), "embedding", "vec_id", q, nprobe = 8, m = 64, k = 8)
             .as[(Long, Double)].collect()
-          assert(rows.map(_._1).distinct.length == rows.length,
-            s"mid-storm PQ probe returned a duplicated id: ${rows.toSeq}")
           rows.foreach { case (id, score) =>
             assert(score == (if (id % 8 == 3) 1.0 else 0.0),
               s"mid-storm PQ probe score diverged: ($id, $score)")
