@@ -38,7 +38,20 @@ private[graft] object Sidecars {
   def write(spark: SparkSession, p: Path, content: String,
       contentAddressed: Boolean = false): Unit = {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (contentAddressed && fs.exists(p)) return
+    // Skip only a NON-EMPTY destination: the write path below never
+    // produces a truncated file (temp + rename), so a zero-byte
+    // destination is always out-of-band damage — and because the
+    // skip-on-exists otherwise trusts the name forever, a truncated
+    // codebook sidecar would never be repaired by any later rewrite
+    // (every probe fails until manual deletion). A damaged destination
+    // falls through to the OVERWRITE rename: the repair re-opens the
+    // rewrite window, but only on a file every reader already fails on.
+    val repairingDamage = contentAddressed && {
+      try {
+        if (fs.getFileStatus(p).getLen > 0) return
+        true
+      } catch { case _: java.io.FileNotFoundException => false }
+    }
     // temp + rename, never an in-place overwrite: the re-seed paths
     // rewrite a sidecar a concurrent reader may be mid-read, and a
     // crash mid-write would leave a truncated file that fails every
@@ -52,7 +65,7 @@ private[graft] object Sidecars {
     try {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(
         fs.getUri, fs.getConf)
-      if (contentAddressed) {
+      if (contentAddressed && !repairingDamage) {
         // FIRST creation of a content-addressed file: rename WITHOUT
         // overwrite. Two writers racing to create the same new
         // fingerprint both pass the exists() skip above; with
@@ -84,13 +97,20 @@ private[graft] object Sidecars {
       // valid content previously survived.
       case _: org.apache.hadoop.fs.UnsupportedFileSystemException |
           _: UnsupportedOperationException =>
-        if (contentAddressed) {
+        if (contentAddressed && !repairingDamage) {
           // never delete-then-rename a content-addressed destination:
           // if it exists (a racing creator won) it is byte-identical —
           // drop the temp; otherwise a plain rename suffices
           if (fs.exists(p)) fs.delete(tmp, false)
-          else require(fs.rename(tmp, p) || fs.exists(p),
-            s"could not write sidecar $p")
+          else if (!fs.rename(tmp, p)) {
+            // a racing creator won between the exists probe and the
+            // rename (its bytes are identical by construction) — but
+            // the loser's temp must still be swept, or
+            // .{name}.tmp-<uuid> files leak next to the index on every
+            // filesystem without a FileContext binding
+            require(fs.exists(p), s"could not write sidecar $p")
+            fs.delete(tmp, false)
+          }
         } else {
           if (fs.exists(p)) fs.delete(p, false)
           require(fs.rename(tmp, p), s"could not write sidecar $p")

@@ -549,6 +549,23 @@ object Similarity {
   private[graft] val IvfFpKey = "ivf_fp"
   private[graft] val IvfBaselineKey = "ivf_baseline"
 
+  /** Monotonic SOURCE-ABSORPTION epoch (r18 ADVICE). Bumped by every
+    * commit that rewrites the index from a SOURCE frame
+    * ([[rebuildPersistedIvfPq]], an overwrite [[writePersistedIvfPq]]/
+    * [[writePersistedIvf]] over an existing index) — i.e. every commit
+    * that may have ABSORBED rows an appender committed to the source
+    * but not yet to the index. Appends re-emit the current value
+    * unchanged; [[retrainPersistedIvf]] too (it re-assigns the index's
+    * own pinned rows — it can never absorb a row the index doesn't
+    * hold). The PQ append paths compare it against the caller's
+    * [[rebuildEpoch]] token: a mismatch means a source rewrite landed
+    * since the cohort entered the source, so the cohort is anti-joined
+    * against the index before staging — otherwise the fingerprint-
+    * refusal retry would re-append rows the rebuild already absorbed,
+    * leaving duplicate ids until the next rebuild. Missing key (pre-
+    * epoch indexes) reads as 0. */
+  private[graft] val IvfEpochKey = "ivf_epoch"
+
   /** Canonical text form of a codebook: one `id:v1,v2,...` line per
     * centroid. `java.lang.Double.toString` round-trips exactly, so
     * decode(encode(cb)) == cb bit-for-bit. */
@@ -595,11 +612,12 @@ object Similarity {
   }
 
   private def ivfMeta(cbFile: String, fp: String,
-      baseline: IvfStats): Map[String, String] = Map(
+      baseline: IvfStats, epoch: Long = 0L): Map[String, String] = Map(
     IvfCodebookKey -> cbFile,
     IvfFpKey -> fp,
     IvfBaselineKey ->
-      s"${baseline.vectors}/${java.lang.Double.toString(baseline.meanSim)}")
+      s"${baseline.vectors}/${java.lang.Double.toString(baseline.meanSim)}",
+    IvfEpochKey -> epoch.toString)
 
   /** Everything a reader needs about a persisted IVF index, resolved
     * from ONE pinned version: `version` is the data snapshot probes
@@ -608,7 +626,7 @@ object Similarity {
     * appends must keep. */
   final case class IvfIndexState(version: Long, codebook: IvfCodebook,
       fingerprint: String, codebookFile: String, baseline: IvfStats,
-      buckets: Int, pq: Boolean = false)
+      buckets: Int, pq: Boolean = false, epoch: Long = 0L)
 
   /** Resolve the current state of a persisted IVF index: pin the
     * latest version, then scan manifest meta newest-first from it for
@@ -623,8 +641,10 @@ object Similarity {
         f <- m.get(IvfCodebookKey)
         fp <- m.get(IvfFpKey)
         b <- m.get(IvfBaselineKey)
-      } yield (f, fp, b, m.contains(IvfPqKey))
-    }.map { case (latest, (f, fp, b, pq)) =>
+      } yield (f, fp, b, m.contains(IvfPqKey),
+        m.get(IvfEpochKey).flatMap(s =>
+          scala.util.Try(s.toLong).toOption).getOrElse(0L))
+    }.map { case (latest, (f, fp, b, pq, epoch)) =>
       val p = new org.apache.hadoop.fs.Path(path, f)
       // the sidecar is written BEFORE the commit that references it,
       // so a miss here is either a concurrent (non-content-addressed)
@@ -639,7 +659,7 @@ object Similarity {
       IvfIndexState(latest, decodeCodebook(raw), fp, f,
         IvfStats(b.substring(0, cut).toLong, b.substring(cut + 1).toDouble),
         Versioned.bucketSpec(spark, path, Some(latest)).map(_._2)
-          .getOrElse(0), pq)
+          .getOrElse(0), pq, epoch)
     }
 
   private def requireIvfState(spark: org.apache.spark.sql.SparkSession,
@@ -715,13 +735,18 @@ object Similarity {
       .localCheckpoint(true)
     val stats = qualityOf(assigned)
     val fp = fingerprint(codebook)
+    // a SOURCE-frame overwrite of an existing index bumps the
+    // absorption epoch ([[IvfEpochKey]]): rows an appender staged
+    // against the old index may already be in this frame
+    val epoch = loadPersistedIvf(spark, path).map(_.epoch + 1)
+      .getOrElse(0L)
     // sidecar BEFORE the commit that references it: a crash in between
     // leaves an orphan file, never a referenced-but-missing codebook
     val cbFile = writeCodebookSidecar(spark, path, codebook, fp)
     Versioned.commitBucketed(assigned.drop(AssignSimCol), path, "list_id",
       numBuckets = ivfBuckets(codebook.entries.length),
       mode = "overwrite",
-      meta = ivfMeta(cbFile, fp, stats))
+      meta = ivfMeta(cbFile, fp, stats, epoch))
     stats
   }
 
@@ -816,9 +841,30 @@ object Similarity {
   private def appendUnderState(df: DataFrame, embedding: String,
       path: String, st0: IvfIndexState, extraMeta: Map[String, String],
       onRetrainRace: IvfIndexState => Unit,
-      shape: DataFrame => DataFrame = identity): IvfAppend = {
+      shape: DataFrame => DataFrame = identity,
+      idCol: Option[String] = None,
+      sourceEpoch: Option[Long] = None): IvfAppend = {
     val spark = df.sparkSession
     var st = st0
+    // ABSORPTION guard (r18 ADVICE): when the index's source-rewrite
+    // epoch differs from the epoch the caller captured BEFORE its
+    // cohort entered the source, a rebuild may have read the source
+    // with the cohort already in it — committing the cohort's codes
+    // now would duplicate every absorbed id. Anti-join the cohort
+    // against the ids the rebased version already holds (one
+    // column-pruned id scan, paid ONLY on the rare epoch-mismatch
+    // path; epochs match on every ordinary append). Requires an id
+    // column — the PQ paths supply it; the float paths never absorb
+    // (retrain re-assigns the index's own pinned rows).
+    def cohortAt(s: IvfIndexState): DataFrame =
+      if (idCol.isDefined && sourceEpoch.exists(_ != s.epoch))
+        df.join(SnapshotScan.frameAt(spark, path, s.version)
+            .select(col(idCol.get)),
+          Seq(idCol.get), "left_anti")
+      else df
+    def stage(s: IvfIndexState): DataFrame =
+      shape(ivfAssignWithSim(cohortAt(s), embedding, s.codebook))
+        .localCheckpoint(true)
     // ONE assignment pass (the dominant per-row compute), materialized
     // chunk-local: the write and the quality aggregate both read it,
     // and a lost CAS re-stages the same blocks without recomputing.
@@ -829,8 +875,7 @@ object Similarity {
       shape(ivfAssignWithSim(df, embedding, st.codebook))
         .drop(AssignSimCol),
       spark, path, st.version)
-    var assigned = shape(ivfAssignWithSim(df, embedding, st.codebook))
-      .localCheckpoint(true)
+    var assigned = stage(st)
     var q = qualityOf(assigned)
     var attempts = 0
     while (true) {
@@ -861,18 +906,25 @@ object Similarity {
       var committedBuild = buildFrom(st)
       val landed = Versioned.commitIfAdjudicated(
         assigned.drop(AssignSimCol), path,
-        ivfMeta(st.codebookFile, st.fingerprint, committedBuild) ++
-          extraMeta,
+        ivfMeta(st.codebookFile, st.fingerprint, committedBuild,
+          st.epoch) ++ extraMeta,
         st.version, Some(("list_id", st.buckets)),
         adjudicate = () => {
           val stN = requireIvfState(spark, path, "append")
+          // the EPOCH must match too: a source rewrite landing
+          // mid-call can keep the SAME fingerprint (deterministic
+          // seeding over a stable id prefix converges on the same
+          // codebook) yet have absorbed the staged cohort from the
+          // source — rebasing over it would duplicate every absorbed
+          // id. Fall through to the re-stage path, which anti-joins.
           if (stN.fingerprint != st.fingerprint ||
-              stN.buckets != st.buckets) None
+              stN.buckets != st.buckets ||
+              stN.epoch != st.epoch) None
           else {
             committedBuild = buildFrom(stN)
             Some((stN.version,
               ivfMeta(stN.codebookFile, stN.fingerprint,
-                committedBuild) ++ extraMeta))
+                committedBuild, stN.epoch) ++ extraMeta))
           }
         })
       if (landed.isDefined) {
@@ -889,8 +941,13 @@ object Similarity {
       val st2 = requireIvfState(spark, path, "append")
       if (st2.fingerprint != st.fingerprint) {
         onRetrainRace(st2) // caller-held codebooks refuse here
-        assigned = shape(ivfAssignWithSim(df, embedding, st2.codebook))
-          .localCheckpoint(true)
+        assigned = stage(st2)
+        q = qualityOf(assigned)
+      } else if (st2.epoch != st.epoch) {
+        // same codebook, new epoch: a source rewrite landed mid-call
+        // (rebuild converging on the same fingerprint) — re-stage so
+        // the absorption anti-join runs against the rebased version
+        assigned = stage(st2)
         q = qualityOf(assigned)
       }
       st = st2
@@ -945,16 +1002,21 @@ object Similarity {
     * re-assigns, like the float stream under a retrain. */
   private[graft] def appendResolvedToPersistedIvfPq(df: DataFrame,
       embedding: String, id: String, path: String,
-      extraMeta: Map[String, String]): IvfAppend = {
+      extraMeta: Map[String, String],
+      sourceEpoch: Option[Long] = None): IvfAppend = {
     val st = requireIvfState(df.sparkSession, path, "append")
     require(st.pq, s"$path is a float IVF index — append with the " +
       "float ingest path (codes would corrupt its schema)")
     val shape = (d: DataFrame) => withPqCodes(d, embedding)
       .select(col(id), col("list_id"), col("pq_scale"), col("pq_code"),
         col(AssignSimCol))
+    // sourceEpoch default: the epoch at entry — closes every mid-call
+    // absorption window; see [[appendToPersistedIvfPq]]'s scaladoc for
+    // the caller-token protocol that closes the rest
     appendUnderState(df, embedding, path, st,
       extraMeta + (IvfPqKey -> "1"),
-      onRetrainRace = _ => (), shape = shape)
+      onRetrainRace = _ => (), shape = shape, idCol = Some(id),
+      sourceEpoch = sourceEpoch.orElse(Some(st.epoch)))
   }
 
   /** Top-k probe against a persisted IVF index, resolving the
@@ -1029,6 +1091,11 @@ object Similarity {
           "rebuild from the source table with rebuildPersistedIvfPq " +
           "(or writePersistedIvfPq to a fresh path)")
       val base = vs.max
+      // the retrain re-assigns the index's OWN pinned rows — it can
+      // never absorb a row the index doesn't hold, so the absorption
+      // epoch rides through unchanged
+      val epoch = loadPersistedIvf(spark, path).map(_.epoch)
+        .getOrElse(0L)
       // Keep the FULL row schema (minus the recomputed list_id): an
       // index whose streamed batches carry extra columns must come out
       // of a retrain schema-identical, or the next micro-batch's
@@ -1043,7 +1110,7 @@ object Similarity {
       val fp = fingerprint(cb)
       val cbFile = writeCodebookSidecar(spark, path, cb, fp)
       if (Versioned.commitIf(assigned.drop(AssignSimCol), path,
-          "overwrite", ivfMeta(cbFile, fp, stats), base,
+          "overwrite", ivfMeta(cbFile, fp, stats, epoch), base,
           Some(("list_id", ivfBuckets(nlist)))).isDefined)
         return (cb, stats)
       // lost the CAS to an interleaved append: its rows must be in the
@@ -1408,11 +1475,15 @@ object Similarity {
       .localCheckpoint(true)
     val stats = qualityOf(staged)
     val fp = fingerprint(codebook)
+    // a source-frame overwrite of an existing index bumps the
+    // absorption epoch — see [[IvfEpochKey]]
+    val epoch = loadPersistedIvf(spark, path).map(_.epoch + 1)
+      .getOrElse(0L)
     val cbFile = writeCodebookSidecar(spark, path, codebook, fp)
     Versioned.commitBucketed(staged.drop(AssignSimCol), path, "list_id",
       numBuckets = ivfBuckets(codebook.entries.length),
       mode = "overwrite",
-      meta = ivfMeta(cbFile, fp, stats) + (IvfPqKey -> "1"))
+      meta = ivfMeta(cbFile, fp, stats, epoch) + (IvfPqKey -> "1"))
     stats
   }
 
@@ -1422,9 +1493,34 @@ object Similarity {
     * float index — drift quality comes from the pre-quantization
     * assignment sims, so the baseline means the same thing on both
     * layouts. */
+  /** The index's current source-absorption epoch ([[IvfEpochKey]]) —
+    * the token of the duplicate-safe append protocol: capture it
+    * BEFORE committing a cohort to the SOURCE table, pass it to
+    * [[appendToPersistedIvfPq]]/[[appendResolvedToPersistedIvfPq]] as
+    * `sourceEpoch`. If a source-absorbing rebuild lands in between,
+    * the append detects the epoch advance and anti-joins the cohort
+    * against the index's ids, so the absorbed rows are never appended
+    * twice. 0 for an index that has never been source-rewritten. */
+  def rebuildEpoch(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long =
+    loadPersistedIvf(spark, path).map(_.epoch).getOrElse(0L)
+
+  /** `sourceEpoch` (r18 ADVICE) is the duplicate-safety token of the
+    * source-first protocol (rows land in the SOURCE, then their codes
+    * here): pass [[rebuildEpoch]] captured BEFORE the source commit,
+    * and a [[rebuildPersistedIvfPq]] interleaving anywhere between
+    * source commit and this append is detected by the epoch advance —
+    * the cohort is anti-joined against the index's current ids, so
+    * rows the rebuild already absorbed from the source are skipped
+    * instead of duplicated. Default None = the epoch at THIS call's
+    * entry: that still closes every mid-call window (including a
+    * rebuild converging on the same fingerprint, which no fingerprint
+    * check can see), but a rebuild that fully landed before the call
+    * is invisible without the caller's token. */
   def appendToPersistedIvfPq(df: DataFrame, embedding: String,
       id: String, codebook: IvfCodebook, path: String,
-      extraMeta: Map[String, String] = Map.empty): IvfAppend = {
+      extraMeta: Map[String, String] = Map.empty,
+      sourceEpoch: Option[Long] = None): IvfAppend = {
     val st = requireIvfState(df.sparkSession, path, "append")
     require(st.pq, s"$path is a float IVF index — append with " +
       "appendToPersistedIvf (codes would corrupt its schema)")
@@ -1441,7 +1537,8 @@ object Similarity {
       extraMeta + (IvfPqKey -> "1"),
       onRetrainRace = st2 =>
         requireFingerprint(st2, codebook, path, "append"),
-      shape = shape)
+      shape = shape, idCol = Some(id),
+      sourceEpoch = sourceEpoch.orElse(Some(st.epoch)))
   }
 
   /** Rebuild a drifted persisted IVF-PQ index IN PLACE from the
@@ -1485,6 +1582,13 @@ object Similarity {
       // Reading the base after staging would let an interleaved
       // append pass the CAS and be silently erased by the overwrite.
       val base = Versioned.versions(spark, path).max
+      // the rebuild ABSORBS the source: bump the epoch so an appender
+      // whose cohort entered the source before this read (but whose
+      // index append lands after this commit) detects the absorption
+      // and anti-joins instead of duplicating its ids — see
+      // [[IvfEpochKey]]
+      val epoch = loadPersistedIvf(spark, path).map(_.epoch + 1)
+        .getOrElse(0L)
       val cb = buildCodebook(source.select(col(id), col(embedding)),
         embedding, id, nlist, refineIters)
       val staged = withPqCodes(ivfAssignWithSim(source, embedding, cb),
@@ -1496,7 +1600,8 @@ object Similarity {
       val fp = fingerprint(cb)
       val cbFile = writeCodebookSidecar(spark, path, cb, fp)
       if (Versioned.commitIf(staged.drop(AssignSimCol), path,
-          "overwrite", ivfMeta(cbFile, fp, stats) + (IvfPqKey -> "1"),
+          "overwrite",
+          ivfMeta(cbFile, fp, stats, epoch) + (IvfPqKey -> "1"),
           base, Some(("list_id", ivfBuckets(nlist)))).isDefined)
         return (cb, stats)
       // lost the CAS to an interleaved append: loop — fresh source
@@ -1593,8 +1698,11 @@ object Similarity {
     * is exact per-query brute force (the oracle form). `m` is the
     * recall/IO dial, `m ≥ k` required; `qid` must be UNIQUE per row;
     * null-embedding query rows and zero-norm codes rank nothing.
-    * NOTE: stage 1 executes at CALL time (the pinning discipline of
-    * [[ivfTopKMany]]'s cell-set collect). */
+    * NOTE: BOTH stages execute at CALL time — the pinning discipline
+    * of [[ivfTopKMany]]'s cell-set collect, plus the result is
+    * materialized eagerly so the big checkpointed intermediates can
+    * be freed deterministically before returning (r18 ADVICE: a
+    * long-lived driver otherwise accumulates checkpoint blocks). */
   def ivfPqTopKMany(pqIndexed: DataFrame, source: DataFrame,
       embedding: String, id: String, queries: DataFrame, qid: String,
       qEmbedding: String, codebook: IvfCodebook, nprobe: Int, m: Int,
@@ -1675,7 +1783,7 @@ object Similarity {
     val wK = org.apache.spark.sql.expressions.Window
       .partitionBy(col(qid))
       .orderBy(col("score").desc, col(id).asc)
-    fetched
+    val result = fetched
       .join(shortlist, Seq(id))
       .join(pinned.select(col(qid), col(qEmbedding)), Seq(qid))
       .withColumn("score",
@@ -1683,6 +1791,18 @@ object Similarity {
       .withColumn("__rn", row_number().over(wK))
       .where(col("__rn") <= k)
       .select(col(qid), col(id), col("score"))
+      .localCheckpoint(true)
+    // Free the BIG checkpointed intermediates (the pinned query frame
+    // — queries × dim embeddings — and the queries × m shortlist)
+    // deterministically, now that the result is materialized and its
+    // lineage cut: a long-lived training driver batch-probing per
+    // micro-batch would otherwise accumulate checkpointed blocks
+    // until the ContextCleaner happened to GC them (r18 ADVICE). The
+    // returned frame is itself a local checkpoint, bounded by
+    // queries × k id/score rows — the small output, freed on GC.
+    org.apache.spark.sql.GraftShims.freeLocalCheckpoint(pinned)
+    org.apache.spark.sql.GraftShims.freeLocalCheckpoint(shortlist)
+    result
   }
 
   /** [[ivfPqTopKMany]] against a persisted snapshot PQ index:

@@ -150,7 +150,17 @@ object AnnIngest {
     * frame, so a long-lived stream always reads the source's CURRENT
     * rows); it must cover everything streamed into the index — index
     * rows absent from it are dropped by the rebuild (the source is
-    * the truth). Crash discipline is AutoRetrain's: the rebuild runs
+    * the truth). DUPLICATE safety: each batch's append carries the
+    * in-call absorption guard (Similarity's epoch anti-join), so a
+    * rebuild interleaving with a batch never doubles that batch's
+    * rows. The remaining window is a source that runs AHEAD of the
+    * change feed — rows committed to the source but not yet streamed
+    * are absorbed by a rebuild and appended again when they finally
+    * arrive; such deployments hold transient duplicates until the
+    * next rebuild re-converges on the source. A pipeline where the
+    * stream itself is the source's writer (or the feed IS the
+    * source's change feed, st18's shape) never opens that window.
+    * Crash discipline is AutoRetrain's: the rebuild runs
     * AFTER the batch's ledger commit, so a crash in between loses
     * only the rebuild, and the still-drifted distribution re-fires on
     * the next cohort. `nlist` = 0 keeps the current cell count;

@@ -77,6 +77,21 @@ object GraftShims {
     case _ => None
   }
 
+  /** Free the block-manager blocks behind an (eager) localCheckpoint
+    * frame NOW, instead of waiting for the ContextCleaner to notice
+    * the frame is unreachable — for internal intermediates a
+    * long-lived driver would otherwise accumulate without bound
+    * (one checkpointed shortlist per batch probe, say). The frame
+    * must not be read again afterwards: a localCheckpoint's lineage
+    * is truncated, so its blocks are the ONLY copy. No-op for any
+    * plan that is not a checkpoint's LogicalRDD. */
+  def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Re-wrap the DataFrame a v1 streaming Sink receives as a plain
     * batch frame over the SAME computed rows (the ForeachBatchSink
     * device: LogicalRDD over queryExecution.toRdd, isStreaming=false)
