@@ -1,0 +1,207 @@
+package graft.operators
+
+import graft.functions.PqExpressions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** TRUE product quantization ([EXT]; public algorithm — Jégou, Douze,
+  * Schmid, PAMI 2011): per-subspace codebooks + one byte per
+  * subvector, the 8–32× compression tier above the int8 scalar scheme
+  * (`Similarity`'s `ivf_pq` family, fixed 4×). This object owns the
+  * TRAINING and ENCODING halves — deterministic k-means per subspace,
+  * the canonical sidecar codec, and the Column-level encode/score
+  * helpers; the persisted-index integration (descriptor, commits,
+  * probes) lives in [[Similarity]] next to its scalar sibling.
+  *
+  * Training is distributed and driver-bounded exactly like
+  * [[Similarity.buildCodebook]]: seeds come from the lowest-id `k`
+  * vectors (stable identity across runs/executors), each Lloyd
+  * iteration is ONE scan (the codegen'd [[PqExpressions.PqEncode]]
+  * argmin pass) plus a shuffle of at most numSub·k·subDim
+  * partially-aggregated keys, and the driver only ever holds the
+  * codebooks (≤ 256·dim doubles). Empty cells keep their seed
+  * centroid, the float IVF convention.
+  */
+object ProductQuant {
+
+  /** The trained per-subspace codebooks: `numSub` subspaces of
+    * `subDim` dims, `k ≤ 256` centroids each, flattened as
+    * `flat[(s*k + c)*subDim + d]` (the shape the native expressions
+    * embed as a codegen reference object). */
+  final case class PqCodebooks(numSub: Int, subDim: Int, k: Int,
+      flat: Array[Double]) {
+    PqExpressions.requireShape(numSub, k, subDim, flat)
+    def dim: Int = numSub * subDim
+    /** ‖centroid(s,c)‖² per (s,c) — precomputed once per probe/score
+      * so ‖v̂‖² is numSub adds per candidate. */
+    lazy val sqNorms: Array[Double] = {
+      val out = new Array[Double](numSub * k)
+      var i = 0
+      while (i < out.length) {
+        var d2 = 0.0
+        var d = 0
+        while (d < subDim) {
+          val x = flat(i * subDim + d); d2 += x * x; d += 1
+        }
+        out(i) = d2
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Train PQ codebooks over `df`'s embedding column. `k` caps at the
+    * distinct seed supply (a corpus smaller than `k` trains a smaller
+    * codebook — codes stay dense in [0, k')); `iters` Lloyd
+    * refinements move each subspace's centroids to the per-cell mean.
+    * `dim % numSub == 0` is required — PQ splits contiguously. */
+  def train(df: DataFrame, embedding: String, id: String, numSub: Int,
+      k: Int = 256, iters: Int = 2): PqCodebooks = {
+    require(numSub > 0, s"numSub must be positive, got $numSub")
+    require(k > 0 && k <= 256, s"k=$k must fit one unsigned byte")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    // deterministic seeds: the lowest-id k vectors, one collect of at
+    // most k rows (buildCodebook's identity discipline)
+    val seeds = df.where(col(embedding).isNotNull)
+      .orderBy(col(id).asc).limit(k)
+      .select(col(embedding)).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(seeds.nonEmpty, "cannot train PQ codebooks on an empty frame")
+    val dim = seeds.head.length
+    require(dim % numSub == 0,
+      s"dim $dim is not divisible by numSub=$numSub — PQ splits the " +
+        "vector into equal contiguous subvectors")
+    val subDim = dim / numSub
+    val k0 = seeds.length // k' ≤ k when the corpus is small
+    var flat = new Array[Double](numSub * k0 * subDim)
+    for (s <- 0 until numSub; c <- 0 until k0; d <- 0 until subDim)
+      flat((s * k0 + c) * subDim + d) = seeds(c)(s * subDim + d)
+    var it = 0
+    while (it < iters) {
+      // ONE scan: codegen'd per-subspace argmin → (sub, code, subpos)
+      // means; the collect is ≤ numSub·k'·subDim rows — codebook-sized,
+      // never data-sized
+      val codes = PqExpressions.pqEncode(col(embedding), numSub, k0,
+        subDim, flat, asInts = true)
+      val means = df.where(col(embedding).isNotNull)
+        .select(codes.as("__c"),
+          posexplode(col(embedding)).as(Seq("pos", "x")))
+        .select((col("pos") / subDim).cast("int").as("s"),
+          (col("pos") % subDim).as("sp"),
+          element_at(col("__c"),
+            (col("pos") / subDim).cast("int") + 1).as("c"),
+          col("x"))
+        .groupBy(col("s"), col("c"), col("sp"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+      val next = flat.clone() // empty cells keep their previous centroid
+      means.foreach { r =>
+        next((r.getInt(0) * k0 + r.getInt(1)) * subDim +
+          r.getInt(2).toInt) = r.getDouble(3)
+      }
+      flat = next
+      it += 1
+    }
+    PqCodebooks(numSub, subDim, k0, flat)
+  }
+
+  /** Storage-form encode column: numSub raw bytes (BinaryType), null
+    * for a null or ZERO-NORM vector — a zero vector's reconstruction
+    * would be the nearest-to-origin centroids, which could RANK, where
+    * the whole similarity family's convention is that a zero-norm row
+    * ranks nothing (the float path's null cosine, the int8 path's
+    * null codes). */
+  def encodeCol(embedding: Column, cb: PqCodebooks): Column =
+    when(array_max(transform(embedding, x => abs(x.cast("double")))) > 0,
+      PqExpressions.pqEncode(embedding, cb.numSub, cb.k, cb.subDim,
+        cb.flat))
+
+  /** Asymmetric approximate cosine against a per-row query column
+    * (the batch probe's scorer). */
+  def approxCol(codes: Column, query: Column, cb: PqCodebooks): Column =
+    PqExpressions.pqApproxCosine(codes, query, cb.numSub, cb.k,
+      cb.subDim, cb.flat, cb.sqNorms)
+
+  /** ADC approximate cosine against a single query literal: the
+    * per-query dot LUT (numSub·k doubles) is computed HERE, once,
+    * driver-side; each candidate then costs numSub table adds. */
+  def adcCol(codes: Column, query: Array[Float], cb: PqCodebooks): Column = {
+    require(query.length == cb.dim,
+      s"query embedding dim ${query.length} does not match the " +
+        s"codebooks' ${cb.dim} — the wrong distances would be ranked")
+    var nq = 0.0
+    query.foreach(x => nq += x.toDouble * x.toDouble)
+    require(nq > 0.0, "zero-norm query ranks nothing")
+    val lut = new Array[Double](cb.numSub * cb.k)
+    var s = 0
+    while (s < cb.numSub) {
+      var c = 0
+      while (c < cb.k) {
+        val base = (s * cb.k + c) * cb.subDim
+        var dot = 0.0
+        var d = 0
+        while (d < cb.subDim) {
+          dot += query(s * cb.subDim + d).toDouble * cb.flat(base + d)
+          d += 1
+        }
+        lut(s * cb.k + c) = dot
+        c += 1
+      }
+      s += 1
+    }
+    PqExpressions.pqAdc(codes, cb.numSub, cb.k, lut, cb.sqNorms,
+      math.sqrt(nq))
+  }
+
+  /** Canonical text form (the IVF codebook sidecar's discipline —
+    * `java.lang.Double.toString` round-trips bit-exactly): a header
+    * line `numSub/subDim/k`, then one `s/c:v1,v2,...` line per
+    * centroid. */
+  private[operators] def encodeBooks(cb: PqCodebooks): String = {
+    val sb = new StringBuilder
+    sb.append(cb.numSub).append('/').append(cb.subDim).append('/')
+      .append(cb.k).append('\n')
+    for (s <- 0 until cb.numSub; c <- 0 until cb.k) {
+      sb.append(s).append('/').append(c).append(':')
+      val base = (s * cb.k + c) * cb.subDim
+      var d = 0
+      while (d < cb.subDim) {
+        if (d > 0) sb.append(',')
+        sb.append(java.lang.Double.toString(cb.flat(base + d)))
+        d += 1
+      }
+      sb.append('\n')
+    }
+    sb.toString
+  }
+
+  private[operators] def decodeBooks(raw: String): PqCodebooks = {
+    val lines = raw.split('\n').filter(_.nonEmpty)
+    require(lines.nonEmpty, "empty PQ codebook sidecar")
+    val hdr = lines.head.split('/')
+    require(hdr.length == 3, s"corrupt PQ codebook header: ${lines.head}")
+    val (numSub, subDim, k) = (hdr(0).toInt, hdr(1).toInt, hdr(2).toInt)
+    val flat = new Array[Double](numSub * k * subDim)
+    lines.tail.foreach { line =>
+      val cut = line.indexOf(':')
+      require(cut > 0, s"corrupt PQ codebook line: ${line.take(40)}")
+      val sc = line.substring(0, cut).split('/')
+      val base = (sc(0).toInt * k + sc(1).toInt) * subDim
+      val vs = line.substring(cut + 1).split(',')
+      require(vs.length == subDim,
+        s"corrupt PQ codebook line (dim ${vs.length} != $subDim)")
+      var d = 0
+      while (d < subDim) { flat(base + d) = vs(d).toDouble; d += 1 }
+    }
+    PqCodebooks(numSub, subDim, k, flat)
+  }
+
+  /** Content fingerprint (MD5 of the canonical encoding) — the
+    * identity probes/appends verify, the IVF fingerprint's sibling. */
+  def fingerprint(cb: PqCodebooks): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(encodeBooks(cb).getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    d.map(b => f"$b%02x").mkString
+  }
+}

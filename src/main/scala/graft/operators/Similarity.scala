@@ -566,6 +566,18 @@ object Similarity {
     * epoch indexes) reads as 0. */
   private[graft] val IvfEpochKey = "ivf_epoch"
 
+  /** TRUE product-quantization descriptor keys (scheme `ivf_pq` = "2",
+    * vs "1" for the int8 scalar scheme): the per-subspace codebooks
+    * ride a SECOND content-addressed sidecar ([[PqBooksKey]] names it,
+    * [[PqBooksFpKey]] fingerprints it — [[ProductQuant.fingerprint]]),
+    * committed with the same write-before-reference discipline as the
+    * IVF codebook. Scheme 1 rows carry (pq_scale, pq_code[dim] int8);
+    * scheme 2 rows carry ONE byte per SUBSPACE (pq_code binary,
+    * numSub bytes) — 8–32× compression vs float32 against scheme 1's
+    * fixed 4×. */
+  private[graft] val PqBooksKey = "ivf_pq_books"
+  private[graft] val PqBooksFpKey = "ivf_pq_books_fp"
+
   /** Canonical text form of a codebook: one `id:v1,v2,...` line per
     * centroid. `java.lang.Double.toString` round-trips exactly, so
     * decode(encode(cb)) == cb bit-for-bit. */
@@ -611,6 +623,21 @@ object Similarity {
     name
   }
 
+  private def pqBooksFileOf(fp: String) = s"_ivf_pqbooks-$fp.txt"
+
+  /** Write the product-codebooks sidecar — content-addressed like the
+    * IVF codebook's ([[writeCodebookSidecar]]): the fingerprint names
+    * the bytes, so an existing destination is byte-identical and the
+    * write is skipped (no delete-then-rename window). */
+  private def writePqBooksSidecar(spark: org.apache.spark.sql.SparkSession,
+      path: String, books: ProductQuant.PqCodebooks, fp: String): String = {
+    val name = pqBooksFileOf(fp)
+    Sidecars.write(spark,
+      new org.apache.hadoop.fs.Path(path, name),
+      ProductQuant.encodeBooks(books), contentAddressed = true)
+    name
+  }
+
   private def ivfMeta(cbFile: String, fp: String,
       baseline: IvfStats, epoch: Long = 0L): Map[String, String] = Map(
     IvfCodebookKey -> cbFile,
@@ -626,7 +653,10 @@ object Similarity {
     * appends must keep. */
   final case class IvfIndexState(version: Long, codebook: IvfCodebook,
       fingerprint: String, codebookFile: String, baseline: IvfStats,
-      buckets: Int, pq: Boolean = false, epoch: Long = 0L)
+      buckets: Int, pq: Boolean = false, epoch: Long = 0L,
+      pqBooks: Option[ProductQuant.PqCodebooks] = None,
+      pqBooksFile: Option[String] = None,
+      pqFingerprint: Option[String] = None)
 
   /** Resolve the current state of a persisted IVF index: pin the
     * latest version, then scan manifest meta newest-first from it for
@@ -643,8 +673,9 @@ object Similarity {
         b <- m.get(IvfBaselineKey)
       } yield (f, fp, b, m.contains(IvfPqKey),
         m.get(IvfEpochKey).flatMap(s =>
-          scala.util.Try(s.toLong).toOption).getOrElse(0L))
-    }.map { case (latest, (f, fp, b, pq, epoch)) =>
+          scala.util.Try(s.toLong).toOption).getOrElse(0L),
+        m.get(PqBooksKey), m.get(PqBooksFpKey))
+    }.map { case (latest, (f, fp, b, pq, epoch, booksFile, booksFp)) =>
       val p = new org.apache.hadoop.fs.Path(path, f)
       // the sidecar is written BEFORE the commit that references it,
       // so a miss here is either a concurrent (non-content-addressed)
@@ -655,11 +686,21 @@ object Similarity {
           s"IVF index $path references codebook sidecar $f which does " +
             "not exist — the sidecar was deleted out-of-band; rebuild " +
             "or retrain the index"))
+      // product-codebooks sidecar (scheme 2 only): same
+      // write-before-reference contract as the IVF codebook's
+      val books = booksFile.map { bf =>
+        ProductQuant.decodeBooks(Sidecars.readRetrying(spark,
+          new org.apache.hadoop.fs.Path(path, bf)).getOrElse(
+          throw new IllegalStateException(
+            s"IVF-PQ index $path references product-codebooks sidecar " +
+              s"$bf which does not exist — the sidecar was deleted " +
+              "out-of-band; rebuild the index")))
+      }
       val cut = b.lastIndexOf('/')
       IvfIndexState(latest, decodeCodebook(raw), fp, f,
         IvfStats(b.substring(0, cut).toLong, b.substring(cut + 1).toDouble),
         Versioned.bucketSpec(spark, path, Some(latest)).map(_._2)
-          .getOrElse(0), pq, epoch)
+          .getOrElse(0), pq, epoch, books, booksFile, booksFp)
     }
 
   private def requireIvfState(spark: org.apache.spark.sql.SparkSession,
@@ -841,11 +882,23 @@ object Similarity {
   private def appendUnderState(df: DataFrame, embedding: String,
       path: String, st0: IvfIndexState, extraMeta: Map[String, String],
       onRetrainRace: IvfIndexState => Unit,
-      shape: DataFrame => DataFrame = identity,
+      shape: (DataFrame, IvfIndexState) => DataFrame = (d, _) => d,
       idCol: Option[String] = None,
       sourceEpoch: Option[Long] = None): IvfAppend = {
     val spark = df.sparkSession
     var st = st0
+    // the FULL descriptor re-emitted by this append — including the
+    // quantization-scheme keys — comes from the LIVE state, not from
+    // caller-supplied extraMeta: an adjudicated rebase or a re-stage
+    // after a raced rebuild must carry the raced-in descriptor
+    // (e.g. the NEW product codebook sidecar), or the newest-first
+    // scan would resolve a stale one from this very commit
+    def schemeMeta(s: IvfIndexState): Map[String, String] =
+      if (!s.pq) Map.empty
+      else if (s.pqBooks.isEmpty) Map(IvfPqKey -> "1")
+      else Map(IvfPqKey -> "2") ++
+        s.pqBooksFile.map(PqBooksKey -> _) ++
+        s.pqFingerprint.map(PqBooksFpKey -> _)
     // ABSORPTION guard (r18 ADVICE): when the index's source-rewrite
     // epoch differs from the epoch the caller captured BEFORE its
     // cohort entered the source, a rebuild may have read the source
@@ -863,16 +916,17 @@ object Similarity {
           Seq(idCol.get), "left_anti")
       else df
     def stage(s: IvfIndexState): DataFrame =
-      shape(ivfAssignWithSim(cohortAt(s), embedding, s.codebook))
+      shape(ivfAssignWithSim(cohortAt(s), embedding, s.codebook), s)
         .localCheckpoint(true)
     // ONE assignment pass (the dominant per-row compute), materialized
     // chunk-local: the write and the quality aggregate both read it,
     // and a lost CAS re-stages the same blocks without recomputing.
     // `shape` is the staged-row projection (identity for the float
-    // index, quantize-and-narrow for the PQ form) — it must preserve
-    // AssignSimCol for the quality aggregate.
+    // index, quantize-and-narrow for the PQ forms, resolved against
+    // the state it stages under) — it must preserve AssignSimCol for
+    // the quality aggregate.
     requireAppendSchema(
-      shape(ivfAssignWithSim(df, embedding, st.codebook))
+      shape(ivfAssignWithSim(df, embedding, st.codebook), st)
         .drop(AssignSimCol),
       spark, path, st.version)
     var assigned = stage(st)
@@ -907,7 +961,7 @@ object Similarity {
       val landed = Versioned.commitIfAdjudicated(
         assigned.drop(AssignSimCol), path,
         ivfMeta(st.codebookFile, st.fingerprint, committedBuild,
-          st.epoch) ++ extraMeta,
+          st.epoch) ++ schemeMeta(st) ++ extraMeta,
         st.version, Some(("list_id", st.buckets)),
         adjudicate = () => {
           val stN = requireIvfState(spark, path, "append")
@@ -924,7 +978,8 @@ object Similarity {
             committedBuild = buildFrom(stN)
             Some((stN.version,
               ivfMeta(stN.codebookFile, stN.fingerprint,
-                committedBuild, stN.epoch) ++ extraMeta))
+                committedBuild, stN.epoch) ++ schemeMeta(stN) ++
+                extraMeta))
           }
         })
       if (landed.isDefined) {
@@ -1007,14 +1062,17 @@ object Similarity {
     val st = requireIvfState(df.sparkSession, path, "append")
     require(st.pq, s"$path is a float IVF index — append with the " +
       "float ingest path (codes would corrupt its schema)")
-    val shape = (d: DataFrame) => withPqCodes(d, embedding)
-      .select(col(id), col("list_id"), col("pq_scale"), col("pq_code"),
-        col(AssignSimCol))
+    require(st.pqBooks.isEmpty, s"$path is a product-quantized index " +
+      "— append with appendToPersistedIvfProduct (int8 codes would " +
+      "corrupt its schema)")
+    val shape = (d: DataFrame, _: IvfIndexState) =>
+      withPqCodes(d, embedding)
+        .select(col(id), col("list_id"), col("pq_scale"), col("pq_code"),
+          col(AssignSimCol))
     // sourceEpoch default: the epoch at entry — closes every mid-call
     // absorption window; see [[appendToPersistedIvfPq]]'s scaladoc for
     // the caller-token protocol that closes the rest
-    appendUnderState(df, embedding, path, st,
-      extraMeta + (IvfPqKey -> "1"),
+    appendUnderState(df, embedding, path, st, extraMeta,
       onRetrainRace = _ => (), shape = shape, idCol = Some(id),
       sourceEpoch = sourceEpoch.orElse(Some(st.epoch)))
   }
@@ -1524,17 +1582,21 @@ object Similarity {
     val st = requireIvfState(df.sparkSession, path, "append")
     require(st.pq, s"$path is a float IVF index — append with " +
       "appendToPersistedIvf (codes would corrupt its schema)")
+    require(st.pqBooks.isEmpty, s"$path is a product-quantized index " +
+      "— append with appendToPersistedIvfProduct (int8 codes would " +
+      "corrupt its schema)")
     requireFingerprint(st, codebook, path, "append")
-    val shape = (d: DataFrame) => withPqCodes(d, embedding)
-      .select(col(id), col("list_id"), col("pq_scale"), col("pq_code"),
-        col(AssignSimCol))
-    // the PQ marker must ride EVERY descriptor-carrying commit: the
-    // newest-first descriptor scan resolves from this append, and an
-    // append that dropped the marker would demote the index to float
-    // in every later reader's eyes (probes would then look for an
-    // embedding column the rows don't carry)
-    appendUnderState(df, embedding, path, st,
-      extraMeta + (IvfPqKey -> "1"),
+    val shape = (d: DataFrame, _: IvfIndexState) =>
+      withPqCodes(d, embedding)
+        .select(col(id), col("list_id"), col("pq_scale"), col("pq_code"),
+          col(AssignSimCol))
+    // the scheme marker must ride EVERY descriptor-carrying commit
+    // (schemeMeta inside appendUnderState): the newest-first
+    // descriptor scan resolves from this append, and an append that
+    // dropped the marker would demote the index to float in every
+    // later reader's eyes (probes would then look for an embedding
+    // column the rows don't carry)
+    appendUnderState(df, embedding, path, st, extraMeta,
       onRetrainRace = st2 =>
         requireFingerprint(st2, codebook, path, "append"),
       shape = shape, idCol = Some(id),
@@ -1566,6 +1628,9 @@ object Similarity {
     val st0 = requireIvfState(spark, path, "rebuild")
     require(st0.pq, s"$path is a float IVF index — retrain it in " +
       "place with retrainPersistedIvf (it carries its own embeddings)")
+    require(st0.pqBooks.isEmpty, s"$path is a product-quantized index " +
+      "— rebuild it with rebuildPersistedIvfProduct (the product " +
+      "codebooks must be retrained with the cells)")
     var attempts = 0
     while (true) {
       attempts += 1
@@ -1624,6 +1689,8 @@ object Similarity {
     val st = requireIvfState(spark, path, "probe")
     require(st.pq, s"$path is a float IVF index — probe it with " +
       "probePersistedIvf")
+    require(st.pqBooks.isEmpty, s"$path is a product-quantized index " +
+      "— probe it with probePersistedIvfProduct")
     ivfPqTopK(SnapshotScan.frameAt(spark, path, st.version), source,
       embedding, id, query, st.codebook, nprobe, m, k)
   }
@@ -1647,13 +1714,24 @@ object Similarity {
     * discipline of [[ivfTopKMany]]). */
   def ivfPqTopK(pqIndexed: DataFrame, source: DataFrame,
       embedding: String, id: String, query: Array[Float],
-      codebook: IvfCodebook, nprobe: Int, m: Int, k: Int): DataFrame = {
+      codebook: IvfCodebook, nprobe: Int, m: Int, k: Int): DataFrame =
+    pqTopKCore(pqIndexed, source, embedding, id, query, codebook,
+      nprobe, m, k, pqApprox(lit(query.map(_.toDouble))))
+
+  /** The shared single-probe shortlist-and-rescore core (both
+    * quantization schemes — [[pqBatchTopKMany]]'s single sibling);
+    * `approx` is the scheme's code-space scorer against the query
+    * literal. */
+  private def pqTopKCore(pqIndexed: DataFrame, source: DataFrame,
+      embedding: String, id: String, query: Array[Float],
+      codebook: IvfCodebook, nprobe: Int, m: Int, k: Int,
+      approx: Column): DataFrame = {
     require(m >= k, s"rescore budget m=$m must be >= k=$k")
     val cells = probeCells(codebook, query, nprobe)
     val q = lit(query.map(_.toDouble))
     val shortIds = pqIndexed
       .where(col("list_id").isin(cells.toSeq: _*))
-      .withColumn("__approx", pqApprox(q))
+      .withColumn("__approx", approx)
       .where(col("__approx").isNotNull)
       .orderBy(col("__approx").desc, col(id).asc)
       .limit(m)
@@ -1717,7 +1795,21 @@ object Similarity {
   private[graft] def ivfPqTopKMany(pqIndexed: DataFrame, source: DataFrame,
       embedding: String, id: String, queries: DataFrame, qid: String,
       qEmbedding: String, codebook: IvfCodebook, nprobe: Int, m: Int,
-      k: Int, idLiteralCap: Int): DataFrame = {
+      k: Int, idLiteralCap: Int): DataFrame =
+    pqBatchTopKMany(pqIndexed, source, embedding, id, queries, qid,
+      qEmbedding, codebook, nprobe, m, k, idLiteralCap,
+      pqApprox(col(qEmbedding)))
+
+  /** The shared batch shortlist-and-rescore core — ONE body for both
+    * quantization schemes, so the probe-join/shortlist/switchover
+    * machinery cannot drift between them; `approx` is the scheme's
+    * code-space scorer against `col(qEmbedding)` (int8 reconstruction
+    * cosine for scheme 1, [[ProductQuant.approxCol]]'s asymmetric
+    * centroid cosine for scheme 2). */
+  private def pqBatchTopKMany(pqIndexed: DataFrame, source: DataFrame,
+      embedding: String, id: String, queries: DataFrame, qid: String,
+      qEmbedding: String, codebook: IvfCodebook, nprobe: Int, m: Int,
+      k: Int, idLiteralCap: Int, approx: Column): DataFrame = {
     require(codebook.entries.nonEmpty, "empty codebook")
     require(m >= k, s"rescore budget m=$m must be >= k=$k")
     requireBatchColumns(
@@ -1753,11 +1845,7 @@ object Similarity {
     // without re-running the probe join
     val shortlist = prunedCodes
       .join(probes, col("list_id") === col("__cell"))
-      .withColumn("__approx",
-        CosineSimilarity(
-          transform(col("pq_code"),
-            c => c.cast("double") * col("pq_scale")),
-          col(qEmbedding)))
+      .withColumn("__approx", approx)
       .where(col("__approx").isNotNull)
       .withColumn("__rn", row_number().over(wM))
       .where(col("__rn") <= m)
@@ -1817,8 +1905,228 @@ object Similarity {
     val st = requireIvfState(spark, path, "probe")
     require(st.pq, s"$path is a float IVF index — batch-probe it with " +
       "probePersistedIvfMany")
+    require(st.pqBooks.isEmpty, s"$path is a product-quantized index " +
+      "— batch-probe it with probePersistedIvfProductMany")
     ivfPqTopKMany(SnapshotScan.frameAt(spark, path, st.version), source,
       embedding, id, queries, qid, qEmbedding, st.codebook, nprobe, m, k)
+  }
+
+  // ==================== TRUE product quantization (scheme 2) =======
+  //
+  // The int8 scalar scheme above compresses 4× and keeps one code per
+  // DIMENSION; true PQ (Jégou et al., PAMI 2011 — see
+  // [[graft.functions.PqExpressions]]) keeps one code per SUBSPACE:
+  // numSub bytes per vector, dim·4/numSub× compression (16× at dim 64
+  // / numSub 16), which at 100 TB is the difference between an index
+  // that fits the page cache and one that doesn't. Same inverted-list
+  // layout, same two-stage probe (approximate shortlist over the
+  // codes, exact rescore from the source), same snapshot descriptor —
+  // plus a SECOND content-addressed sidecar holding the per-subspace
+  // codebooks ([[PqBooksKey]]).
+
+  private def productMeta(bkFile: String, bfp: String): Map[String, String] =
+    Map(IvfPqKey -> "2", PqBooksKey -> bkFile, PqBooksFpKey -> bfp)
+
+  private def requireProductDims(codebook: IvfCodebook,
+      books: ProductQuant.PqCodebooks): Unit =
+    require(books.dim == codebook.entries.head._2.length,
+      s"product codebooks dim ${books.dim} != IVF codebook dim " +
+        s"${codebook.entries.head._2.length} — both must be trained " +
+        "on the same embedding space")
+
+  /** The product-quantized inverted-list frame: (id, list_id,
+    * pq_code binary[numSub]) — [[ivfPqIndex]]'s scheme-2 sibling.
+    * True embeddings stay in the SOURCE table; probes rescore against
+    * it. Null codes for a null or zero-norm embedding (ranks
+    * nothing, the family convention). */
+  def ivfProductIndex(df: DataFrame, embedding: String, id: String,
+      codebook: IvfCodebook, books: ProductQuant.PqCodebooks): DataFrame = {
+    requireProductDims(codebook, books)
+    ivfAssign(df, embedding, codebook)
+      .withColumn("pq_code", ProductQuant.encodeCol(col(embedding), books))
+      .select(col(id), col("list_id"), col("pq_code"))
+  }
+
+  /** Two-stage product-quantized probe — [[ivfPqTopK]]'s scheme-2
+    * sibling riding the same core: stage 1 ranks the probed cells'
+    * codes by ADC cosine (per-query lookup table — numSub table adds
+    * per candidate instead of a dim-D dot product, computed once
+    * driver-side in [[ProductQuant.adcCol]]), stage 2 point-fetches
+    * the top-m ids' true embeddings from `source` and rescores
+    * exactly. `m` is the recall/IO dial exactly as for scheme 1. */
+  def ivfProductTopK(pqIndexed: DataFrame, source: DataFrame,
+      embedding: String, id: String, query: Array[Float],
+      codebook: IvfCodebook, books: ProductQuant.PqCodebooks,
+      nprobe: Int, m: Int, k: Int): DataFrame = {
+    requireProductDims(codebook, books)
+    pqTopKCore(pqIndexed, source, embedding, id, query, codebook,
+      nprobe, m, k, ProductQuant.adcCol(col("pq_code"), query, books))
+  }
+
+  /** BATCH product-quantized probe — [[ivfPqTopKMany]]'s scheme-2
+    * sibling riding the same core (one codes join, static cell-set
+    * pruning, one shortlist, isin-vs-broadcast-semi-join rescore
+    * fetch, no per-query driver collects); the scorer is the
+    * asymmetric per-row centroid cosine ([[ProductQuant.approxCol]] —
+    * codegen'd, reconstruction never materialized). */
+  def ivfProductTopKMany(pqIndexed: DataFrame, source: DataFrame,
+      embedding: String, id: String, queries: DataFrame, qid: String,
+      qEmbedding: String, codebook: IvfCodebook,
+      books: ProductQuant.PqCodebooks, nprobe: Int, m: Int,
+      k: Int): DataFrame =
+    ivfProductTopKMany(pqIndexed, source, embedding, id, queries, qid,
+      qEmbedding, codebook, books, nprobe, m, k, MaxRescoreIdLiterals)
+
+  private[graft] def ivfProductTopKMany(pqIndexed: DataFrame,
+      source: DataFrame, embedding: String, id: String,
+      queries: DataFrame, qid: String, qEmbedding: String,
+      codebook: IvfCodebook, books: ProductQuant.PqCodebooks,
+      nprobe: Int, m: Int, k: Int, idLiteralCap: Int): DataFrame = {
+    requireProductDims(codebook, books)
+    pqBatchTopKMany(pqIndexed, source, embedding, id, queries, qid,
+      qEmbedding, codebook, nprobe, m, k, idLiteralCap,
+      ProductQuant.approxCol(col("pq_code"), col(qEmbedding), books))
+  }
+
+  /** Persist a product-quantized IVF index on the snapshot layout —
+    * [[writePersistedIvfPq]]'s scheme-2 sibling: same bucketed
+    * overwrite commit, same epoch bump (a source-frame overwrite of an
+    * existing index absorbs the source — see [[IvfEpochKey]]), plus
+    * the product-codebooks sidecar written BEFORE the commit that
+    * references it. Quality baseline from the TRUE embeddings (drift
+    * is quantization-independent). */
+  def writePersistedIvfProduct(df: DataFrame, embedding: String,
+      id: String, codebook: IvfCodebook,
+      books: ProductQuant.PqCodebooks, path: String): IvfStats = {
+    require(codebook.entries.nonEmpty, "empty codebook")
+    requireProductDims(codebook, books)
+    val spark = df.sparkSession
+    val staged = ivfAssignWithSim(df, embedding, codebook)
+      .withColumn("pq_code", ProductQuant.encodeCol(col(embedding), books))
+      .select(col(id), col("list_id"), col("pq_code"), col(AssignSimCol))
+      .localCheckpoint(true)
+    val stats = qualityOf(staged)
+    val fp = fingerprint(codebook)
+    val bfp = ProductQuant.fingerprint(books)
+    val epoch = loadPersistedIvf(spark, path).map(_.epoch + 1)
+      .getOrElse(0L)
+    val cbFile = writeCodebookSidecar(spark, path, codebook, fp)
+    val bkFile = writePqBooksSidecar(spark, path, books, bfp)
+    Versioned.commitBucketed(staged.drop(AssignSimCol), path, "list_id",
+      numBuckets = ivfBuckets(codebook.entries.length),
+      mode = "overwrite",
+      meta = ivfMeta(cbFile, fp, stats, epoch) ++ productMeta(bkFile, bfp))
+    stats
+  }
+
+  /** Append a chunk to a persisted product-quantized index. The
+    * encoding codebooks come from the LIVE state INSIDE the CAS loop
+    * (`shape` re-resolves on every re-stage): a rebuild racing this
+    * append swaps both the IVF codebook and the product books, and
+    * the re-staged cohort must be encoded under — and its descriptor
+    * re-emitted with — the raced-in pair, or the committed codes
+    * would decode against the wrong books. `sourceEpoch` is the
+    * duplicate-safety token of the source-first protocol, exactly as
+    * for scheme 1 ([[appendToPersistedIvfPq]]). */
+  def appendToPersistedIvfProduct(df: DataFrame, embedding: String,
+      id: String, path: String,
+      extraMeta: Map[String, String] = Map.empty,
+      sourceEpoch: Option[Long] = None): IvfAppend = {
+    val st = requireIvfState(df.sparkSession, path, "append")
+    require(st.pq && st.pqBooks.nonEmpty,
+      s"$path is not a product-quantized index — append with " +
+        "appendToPersistedIvf (float) or appendToPersistedIvfPq (int8)")
+    val shape = (d: DataFrame, s: IvfIndexState) =>
+      d.withColumn("pq_code", ProductQuant.encodeCol(col(embedding),
+          s.pqBooks.getOrElse(throw new IllegalStateException(
+            s"$path lost its product codebooks mid-append — a " +
+              "concurrent rewrite demoted the index to another " +
+              "scheme; re-append against the new layout"))))
+        .select(col(id), col("list_id"), col("pq_code"),
+          col(AssignSimCol))
+    appendUnderState(df, embedding, path, st, extraMeta,
+      onRetrainRace = _ => (), shape = shape, idCol = Some(id),
+      sourceEpoch = sourceEpoch.orElse(Some(st.epoch)))
+  }
+
+  /** [[ivfProductTopK]] against a persisted snapshot index: codebook,
+    * product books, codes and version resolve off ONE pinned commit. */
+  def probePersistedIvfProduct(spark: org.apache.spark.sql.SparkSession,
+      path: String, source: DataFrame, embedding: String, id: String,
+      query: Array[Float], nprobe: Int, m: Int, k: Int): DataFrame = {
+    val st = requireIvfState(spark, path, "probe")
+    require(st.pq && st.pqBooks.nonEmpty,
+      s"$path is not a product-quantized index — probe it with " +
+        "probePersistedIvf (float) or probePersistedIvfPq (int8)")
+    ivfProductTopK(SnapshotScan.frameAt(spark, path, st.version),
+      source, embedding, id, query, st.codebook, st.pqBooks.get,
+      nprobe, m, k)
+  }
+
+  /** [[ivfProductTopKMany]] against a persisted snapshot index. */
+  def probePersistedIvfProductMany(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      source: DataFrame, embedding: String, id: String,
+      queries: DataFrame, qid: String, qEmbedding: String, nprobe: Int,
+      m: Int, k: Int): DataFrame = {
+    val st = requireIvfState(spark, path, "probe")
+    require(st.pq && st.pqBooks.nonEmpty,
+      s"$path is not a product-quantized index — batch-probe it with " +
+        "probePersistedIvfMany (float) or probePersistedIvfPqMany (int8)")
+    ivfProductTopKMany(SnapshotScan.frameAt(spark, path, st.version),
+      source, embedding, id, queries, qid, qEmbedding, st.codebook,
+      st.pqBooks.get, nprobe, m, k, MaxRescoreIdLiterals)
+  }
+
+  /** Rebuild a drifted persisted product-quantized index IN PLACE
+    * from the SOURCE table's true embeddings —
+    * [[rebuildPersistedIvfPq]]'s scheme-2 sibling with identical CAS
+    * discipline (base pinned BEFORE staging, epoch bump, typed
+    * [[Versioned.CommitRaceExhausted]]); retrains BOTH the IVF
+    * codebook and the product books, since codes under stale books
+    * would decode against the wrong centroids. */
+  def rebuildPersistedIvfProduct(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      source: DataFrame, embedding: String, id: String, nlist: Int,
+      numSub: Int, kSub: Int = 256, refineIters: Int = 0,
+      pqIters: Int = 2): (IvfCodebook, ProductQuant.PqCodebooks, IvfStats) = {
+    val st0 = requireIvfState(spark, path, "rebuild")
+    require(st0.pq && st0.pqBooks.nonEmpty,
+      s"$path is not a product-quantized index — rebuild it with " +
+        "retrainPersistedIvf (float) or rebuildPersistedIvfPq (int8)")
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (attempts > 5) throw new Versioned.CommitRaceExhausted(
+        s"rebuild of $path", attempts - 1)
+      // CAS base pinned BEFORE staging (rebuildPersistedIvfPq's
+      // discipline): an interleaved append fails the CAS and the
+      // retry re-reads the source, so it can't be silently erased
+      val base = Versioned.versions(spark, path).max
+      val epoch = loadPersistedIvf(spark, path).map(_.epoch + 1)
+        .getOrElse(0L)
+      val narrow = source.select(col(id), col(embedding))
+      val cb = buildCodebook(narrow, embedding, id, nlist, refineIters)
+      val books = ProductQuant.train(narrow, embedding, id, numSub,
+        kSub, pqIters)
+      val staged = ivfAssignWithSim(source, embedding, cb)
+        .withColumn("pq_code",
+          ProductQuant.encodeCol(col(embedding), books))
+        .select(col(id), col("list_id"), col("pq_code"),
+          col(AssignSimCol))
+        .localCheckpoint(true)
+      val stats = qualityOf(staged)
+      val fp = fingerprint(cb)
+      val bfp = ProductQuant.fingerprint(books)
+      val cbFile = writeCodebookSidecar(spark, path, cb, fp)
+      val bkFile = writePqBooksSidecar(spark, path, books, bfp)
+      if (Versioned.commitIf(staged.drop(AssignSimCol), path,
+          "overwrite",
+          ivfMeta(cbFile, fp, stats, epoch) ++ productMeta(bkFile, bfp),
+          base, Some(("list_id", ivfBuckets(nlist)))).isDefined)
+        return (cb, books, stats)
+    }
+    sys.error("unreachable: the CAS loop returns or throws")
   }
 
   /** Embedding-cosine near-duplicate pairs, LSH-bucketed: pairs are

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.Similarity
+import graft.operators.{ProductQuant, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -332,6 +332,115 @@ object SimilarityQueries {
             Similarity.ivfPqIndex(corpus, "embedding", "vec_id", cb),
             corpus, "embedding", "vec_id", queries, "qid", "qemb", cb,
             nprobe = 4, m = 10, k = 5)
+          .where(col("vec_id") === col("qid") + 1000000L)
+          .select(col("qid"), col("vec_id").as("hit_id"), col("score"))
+      },
+      Some("""SELECT vec_id AS qid, vec_id + 1000000 AS hit_id,
+          CAST(1.0 AS DOUBLE) AS score
+        FROM embeddings WHERE vec_id < 10""")),
+
+    // ---- SIM8 TRUE product quantization (Jégou et al., PAMI 2011):
+    // per-subspace codebooks, ONE byte per 4-dim subvector — 16×
+    // compression at dim 64 vs int8's fixed 4× — probed by ADC lookup
+    // table (numSub table adds per candidate instead of a dim-D dot
+    // product) + exact rescore of the approximate top-m. Approximate
+    // by design (rows-only); the guaranteed fraction of its recall is
+    // hash-checked by sim8_product_recall.
+    "sim8_product_topk" -> QueryDef(
+      (s, dir) => {
+        val q = queryVec(s, dir)
+        val corpus = t(s, dir, "embeddings").where(col("vec_id") =!= 0)
+        val cb = Similarity.buildCodebook(corpus, "embedding", "vec_id",
+          nlist = 16, refineIters = 2)
+        val books = ProductQuant.train(corpus, "embedding", "vec_id",
+          numSub = 16, k = 256, iters = 2)
+        Similarity.ivfProductTopK(
+          Similarity.ivfProductIndex(corpus, "embedding", "vec_id",
+            cb, books),
+          corpus, "embedding", "vec_id", q, cb, books,
+          nprobe = 4, m = 30, k = 10)
+      },
+      None,
+      doc = "rows-only: product quantization + cell pruning change the candidate set"),
+
+    // ---- SIM8 self-check: an exact COPY of the query injected into
+    // the corpus is GUARANTEED retrieved — assignment happens on TRUE
+    // embeddings (the copy lands in the query's own top-1 probe cell),
+    // its approximate ADC cosine is cos(q, v̂_q) — the reconstruction
+    // cosine of the query itself, ≈0.98 under 256-centroid 4-dim
+    // subspace codebooks on this corpus — which clears every natural
+    // candidate's approximate score (≤ natural cosine ≈0.49 plus the
+    // same bounded reconstruction error), so it survives the top-m
+    // shortlist, and the exact rescore returns cosine exactly 1.0.
+    // The sim7_pq_recall pattern on the product layout;
+    // SQL-predictable, hash-checked.
+    "sim8_product_recall" -> QueryDef(
+      (s, dir) => {
+        val q = queryVec(s, dir)
+        val emb = t(s, dir, "embeddings")
+        val corpus = emb.where(col("vec_id") =!= 0).unionByName(
+          emb.where(col("vec_id") === 0)
+            .withColumn("vec_id", col("vec_id") + 1000000L))
+        val cb = Similarity.buildCodebook(corpus, "embedding", "vec_id",
+          nlist = 16, refineIters = 2)
+        val books = ProductQuant.train(corpus, "embedding", "vec_id",
+          numSub = 16, k = 256, iters = 2)
+        Similarity.ivfProductTopK(
+            Similarity.ivfProductIndex(corpus, "embedding", "vec_id",
+              cb, books),
+            corpus, "embedding", "vec_id", q, cb, books,
+            nprobe = 4, m = 10, k = 1)
+          .where(col("vec_id") === 1000000L)
+      },
+      Some("""SELECT CAST(1000000 AS BIGINT) AS vec_id,
+          CAST(1.0 AS DOUBLE) AS score""")),
+
+    // ---- SIM8 BATCH probe: ten queries against the product-quantized
+    // index in ONE codes join (per-row asymmetric centroid cosine —
+    // the codegen'd PqApproxCosine, reconstruction never materialized)
+    // + ONE exact rescore pass. Rows-only; recall guarantee
+    // hash-checked by sim8_product_batch_recall.
+    "sim8_product_batch" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+        val corpus = emb.where(col("vec_id") >= 10)
+        val cb = Similarity.buildCodebook(corpus, "embedding", "vec_id",
+          nlist = 16, refineIters = 2)
+        val books = ProductQuant.train(corpus, "embedding", "vec_id",
+          numSub = 16, k = 256, iters = 2)
+        Similarity.ivfProductTopKMany(
+          Similarity.ivfProductIndex(corpus, "embedding", "vec_id",
+            cb, books),
+          corpus, "embedding", "vec_id", queries, "qid", "qemb", cb,
+          books, nprobe = 4, m = 30, k = 5)
+      },
+      None,
+      doc = "rows-only: product quantization + cell pruning change the candidate set"),
+
+    // ---- SIM8 batch self-check: an exact COPY of each query injected
+    // into the corpus is GUARANTEED retrieved by the batch probe —
+    // the sim7_pq_batch_recall argument under the product scorer (the
+    // copy's approximate score is its own reconstruction cosine,
+    // clearing every natural candidate). SQL-predictable, hash-checked.
+    "sim8_product_batch_recall" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+        val corpus = emb.where(col("vec_id") >= 10).unionByName(
+          emb.where(col("vec_id") < 10)
+            .withColumn("vec_id", col("vec_id") + 1000000L))
+        val cb = Similarity.buildCodebook(corpus, "embedding", "vec_id",
+          nlist = 16, refineIters = 2)
+        val books = ProductQuant.train(corpus, "embedding", "vec_id",
+          numSub = 16, k = 256, iters = 2)
+        Similarity.ivfProductTopKMany(
+            Similarity.ivfProductIndex(corpus, "embedding", "vec_id",
+              cb, books),
+            corpus, "embedding", "vec_id", queries, "qid", "qemb", cb,
+            books, nprobe = 4, m = 10, k = 5)
           .where(col("vec_id") === col("qid") + 1000000L)
           .select(col("qid"), col("vec_id").as("hit_id"), col("score"))
       },

@@ -255,6 +255,78 @@ object AnnRehearsal {
       println(f"""{"phase":"pq_rebuild","vectors":${rstats.vectors},"rebuild_s":$rebuildS%.2f,"vs_build_s":${rebuildS / buildS}%.2f,"post_probe_match":$postMatch%.2f}""")
     }
 
+    // ---- TRUE product quantization (r19): the scheme-2 index on the
+    // SAME corpus and IVF codebook — the compression tier above int8.
+    // Three claims, attributed separately: (1) TRAIN is one codegen'd
+    // encode scan + a codebook-sized shuffle per Lloyd iteration —
+    // its wall must track the corpus like the build phase; (2) the
+    // codes SCAN over the same probed cells reads far below the int8
+    // scan (payload is numSub bytes/vector = 1/16 of float32 at dim
+    // 64/numSub 16, vs int8's 1/4; parquet structure overhead bounds
+    // the realized ratio); (3) the two-stage probe (ADC shortlist +
+    // exact rescore) restores the float probe's results at the same
+    // m dial, single and batch.
+    {
+      val prodPath = s"$workDir/ivf_product"
+      val t0 = System.nanoTime()
+      val books = graft.operators.ProductQuant.train(corpus,
+        "embedding", "vec_id", numSub = 16, k = 256, iters = 2)
+      val trainS = (System.nanoTime() - t0) / 1e9
+      val w0 = System.nanoTime()
+      Similarity.writePersistedIvfProduct(corpus, "embedding",
+        "vec_id", cb, books, prodPath)
+      val writeS = (System.nanoTime() - w0) / 1e9
+      val stProd = Similarity.loadPersistedIvf(spark, prodPath).get
+      val prodScan = graft.operators.SnapshotScan
+        .frameAt(spark, prodPath, stProd.version)
+        .where(col("list_id").isin(
+          Similarity.probeCells(cb, q, NProbe).toSeq: _*))
+      prodScan.collect()
+      val prodBytes = bytesRead(prodScan)
+      val pp0 = System.nanoTime()
+      val prodIds = Similarity.probePersistedIvfProduct(spark, prodPath,
+        corpus, "embedding", "vec_id", q, NProbe, m = 5 * K, k = K)
+        .collect().map(_.getLong(0)).toSeq
+      val prodS = (System.nanoTime() - pp0) / 1e9
+      val prodMatch = prodIds.toSet.intersect(probeIds.toSet)
+        .size.toDouble / K
+      println(f"""{"phase":"product_probe","numSub":16,"kSub":${books.k},"nprobe":$NProbe,"m":${5 * K},"k":$K,"train_s":$trainS%.2f,"write_s":$writeS%.2f,"probe_s":$prodS%.2f,"codes_scan_bytes":$prodBytes,"vs_int8_bytes":${prodBytes.toDouble / math.max(1L, codesBytes)}%.4f,"vs_float_bytes":${prodBytes.toDouble / math.max(1L, probeBytes)}%.4f,"vs_brute_bytes":${prodBytes.toDouble / math.max(1L, bruteBytes)}%.4f,"match_vs_float_probe":$prodMatch%.2f}""")
+      // m-dial recall against the float probe over the same cells
+      // (the index's own ceiling at this nprobe) — PQ's coarser
+      // approximation needs the dial more than int8 did; this row is
+      // where the operator reads how much
+      Seq(K, 5 * K, 20 * K).foreach { m =>
+        val ids = Similarity.probePersistedIvfProduct(spark, prodPath,
+          corpus, "embedding", "vec_id", q, NProbe, m = m, k = K)
+          .collect().map(_.getLong(0)).toSet
+        val rec = ids.intersect(probeIds.toSet).size.toDouble / K
+        println(f"""{"phase":"product_m_dial","nprobe":$NProbe,"m":$m,"k":$K,"recall_vs_float":$rec%.2f}""")
+      }
+      // batch parity + wall vs sequential singles (the r18 pq_batch
+      // claim on the product scorer — PqApproxCosine per row, no LUT)
+      val qVecs = queries10.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val b0 = System.nanoTime()
+      val batchRows = Similarity.probePersistedIvfProductMany(spark,
+        prodPath, corpus, "embedding", "vec_id", queries10, "qid",
+        "qemb", NProbe, m = 5 * K, k = K).collect()
+      val batchS = (System.nanoTime() - b0) / 1e9
+      val s0 = System.nanoTime()
+      val singleIds = qVecs.map { case (qid, v) =>
+        qid -> Similarity.probePersistedIvfProduct(spark, prodPath,
+          corpus, "embedding", "vec_id", v, NProbe, m = 5 * K, k = K)
+          .collect().map(_.getLong(0)).toSet
+      }.toMap
+      val singlesS = (System.nanoTime() - s0) / 1e9
+      val byQid = batchRows.groupBy(_.getLong(0))
+        .map { case (qid, rs) => qid -> rs.map(_.getLong(1)).toSet }
+      val matchFrac = qVecs.map { case (qid, _) =>
+        byQid.getOrElse(qid, Set.empty[Long])
+          .intersect(singleIds(qid)).size
+      }.sum.toDouble / (qVecs.length * K)
+      println(f"""{"phase":"product_batch_probe","queries":${qVecs.length},"nprobe":$NProbe,"m":${5 * K},"k":$K,"batch_s":$batchS%.2f,"singles_s":$singlesS%.2f,"match_vs_singles":$matchFrac%.2f}""")
+    }
+
     // ---- chunk-size amortization: the OTHER axis of the append
     // claim. The commit machinery (stage + CAS + manifest + ledger +
     // mirror) is a FIXED cost per batch — proven decade-invariant vs
