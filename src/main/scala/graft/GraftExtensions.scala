@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, MinHashes, NormalizeText}
+import graft.functions.{CosineSimilarity, HtmlExtract, MinHashes, NormalizeText}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
@@ -56,7 +56,12 @@ object GraftExtensions {
         }),
       ("normalize_text",
         "normalize_text(s) - NFKC-normalize and strip accents/combining marks",
-        args => NormalizeText(args(0))))
+        args => NormalizeText(args(0))),
+      ("html_extract",
+        "html_extract(s) - main-text extraction from HTML/markup " +
+          "(tags/scripts/comments stripped, entities decoded, " +
+          "majority-link blocks dropped as boilerplate)",
+        args => HtmlExtract(args(0))))
 
   /** Register on an already-built session (the extensions config only
     * applies at session construction). */

@@ -81,6 +81,44 @@ object PrepQueries {
           min(doc_id) AS first_doc
         FROM off GROUP BY 1""")),
 
+    // ---- PK3 SUBWORD sequence packing: pk1's distributed-prefix-sum
+    // pack assignment driven by the byte-level BPE token count
+    // (tx13's codegen'd expression) instead of whitespace words — the
+    // production-true budget a training pipeline actually packs by.
+    // The oracle reuses tx13's closed form (disjoint single-level
+    // merges → count = non-ws bytes − pair occurrences) inside pk1's
+    // windowed-offset SQL; every derived integer CAST AS BIGINT (the
+    // HUGEINT lesson).
+    "pk3_bpe_packing" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val toks = t(s, dir, "documents")
+          .select($"doc_id",
+            size(graft.functions.BpeTokens($"text",
+              TextQueries.bpeOracleMerges)).cast("long").as("bpe_tokens"))
+        graft.operators.Packing
+          .assignPacks(toks, "bpe_tokens", "doc_id",
+            budget = 2048L, numRanges = 8)
+          .select($"doc_id", $"tok_offset", $"pack_id", $"packs_spanned")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+          CAST(strlen(regexp_replace(text, '[ \t\n\v\f\r]+', '', 'g'))
+            - (strlen(text) - strlen(replace(text, 'th', ''))) // 2
+            - (strlen(text) - strlen(replace(text, 'an', ''))) // 2
+            - (strlen(text) - strlen(replace(text, 'qu', ''))) // 2
+            AS BIGINT) AS n
+          FROM documents),
+        off AS (SELECT doc_id, n,
+          CAST(COALESCE(sum(n) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS tok_offset FROM tok)
+        SELECT doc_id, tok_offset,
+          CAST(tok_offset // 2048 AS BIGINT) AS pack_id,
+          CAST(CASE WHEN n = 0 THEN 1 ELSE
+            (tok_offset + n - 1) // 2048 - tok_offset // 2048 + 1 END
+            AS INT) AS packs_spanned
+        FROM off""")),
+
     // ---- DC1 benchmark decontamination: eval set = doc_id % 97 == 0;
     // a corpus doc is contaminated iff it shares ANY 5-gram with any
     // eval doc. Shape: eval 5-grams exploded + distinct (small by

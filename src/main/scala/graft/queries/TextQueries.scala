@@ -234,6 +234,105 @@ object TextQueries {
           FROM toks2 GROUP BY token)
         SELECT doc_id, round(avg(log10(n / total)), 6) AS logprob
         FROM toks2 JOIN model USING (token), total
-        GROUP BY doc_id"""))
+        GROUP BY doc_id""")),
+
+    // ---- TX12 HTML main-text extraction (the curation pipeline's
+    // raw-markup front door — jusText/trafilatura-family link-density
+    // boilerplate dropping): each document is wrapped in a
+    // deterministic page template (head with script+style, a nav and
+    // a footer of pure links, the text entity-escaped inside <p>),
+    // every 7th doc additionally carries the MALFORMED class (stray
+    // close tag, unterminated trailing tag and comment) — and the
+    // extractor must return exactly the original text with whitespace
+    // collapsed: scripts/styles/comments dropped, nav+footer dropped
+    // as majority-link boilerplate, entities decoded back, malformed
+    // tails contained. Closed-form oracle; zero shuffle.
+    "tx12_html_extract" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val escaped = regexp_replace(regexp_replace(regexp_replace(
+          $"text", "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+        val page = concat(
+          when($"doc_id" % 7 === 0, lit("</div>")).otherwise(lit("")),
+          lit("<html><head><script>var x='<p>ghost</p>';</script>" +
+            "<style>p{color:red}</style></head><body>" +
+            "<nav><a href='/'>Home</a> <a href='/a'>About</a></nav>" +
+            "<p>"),
+          escaped,
+          lit("</p><footer><a href='/c'>Contact</a></footer></body>" +
+            "</html>"),
+          when($"doc_id" % 7 === 0, lit("<!-- unterminated <b"))
+            .otherwise(lit("")))
+        t(s, dir, "documents")
+          .select($"doc_id",
+            graft.functions.HtmlExtract(page).as("main_text"))
+      },
+      Some("""SELECT doc_id,
+          trim(regexp_replace(text, '[ \t\n\v\f\r]+', ' ', 'g'))
+            AS main_text
+        FROM documents""")),
+
+    // ---- TX13 subword (byte-level BPE) token counts — the count a
+    // real training pipeline packs/chunks by, where ws_tokens counts
+    // words. The oracle is CLOSED-FORM because the declared merges
+    // table is single-level over pairwise-DISJOINT letter pairs with
+    // distinct sides: occurrences of each pair never overlap, merging
+    // one can neither create nor destroy another (the merged symbol
+    // is not a table side), and the pairs never span whitespace — so
+    // the BPE count is exactly (non-whitespace BYTES) − Σ
+    // non-overlapping pair occurrences, which DuckDB computes by
+    // replace(). The full greedy semantics (rank priority, merge-all,
+    // multi-level chains) are hash-pinned by tx14 and the ScalaCheck
+    // spec; zero shuffle — a pure per-row codegen'd projection.
+    "tx13_bpe_tokens" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id",
+            size(graft.functions.BpeTokens($"text", bpeOracleMerges))
+              .cast("long").as("n_bpe"))
+      },
+      Some("""SELECT doc_id,
+          CAST(strlen(regexp_replace(text, '[ \t\n\v\f\r]+', '', 'g'))
+            - (strlen(text) - strlen(replace(text, 'th', ''))) // 2
+            - (strlen(text) - strlen(replace(text, 'an', ''))) // 2
+            - (strlen(text) - strlen(replace(text, 'qu', ''))) // 2
+            AS BIGINT) AS n_bpe
+        FROM documents""")),
+
+    // ---- TX14 BPE merge-semantics pin: the canonical adversarial
+    // cases (multi-level merge chains, rank priority over a shared
+    // symbol, merge-all-occurrences without overlap reuse, whitespace
+    // boundaries) on literal inputs with literal expected outputs —
+    // the driver-visible form of BpeTokensSpec's reference parity.
+    "tx14_bpe_semantics" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        def cased(id: Long, text: String,
+            merges: Seq[(String, String)]) =
+          Seq((id, text)).toDF("case_id", "t")
+            .select($"case_id", concat_ws("|",
+              graft.functions.BpeTokens($"t", merges)).as("toks"))
+        cased(1L, "low lower lowest",
+            Seq(("l", "o"), ("lo", "w")))
+          .unionByName(cased(2L, "abc", Seq(("a", "b"), ("b", "c"))))
+          .unionByName(cased(3L, "abc", Seq(("b", "c"), ("a", "b"))))
+          .unionByName(cased(4L, "aaa aaaa", Seq(("a", "a"))))
+          .unionByName(cased(5L, " the\ttheory ",
+            Seq(("t", "h"), ("th", "e"))))
+      },
+      Some("""SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), 'low|low|e|r|low|e|s|t'),
+          (CAST(2 AS BIGINT), 'ab|c'),
+          (CAST(3 AS BIGINT), 'a|bc'),
+          (CAST(4 AS BIGINT), 'aa|a|aa|aa'),
+          (CAST(5 AS BIGINT), 'the|the|o|r|y'))
+        AS v(case_id, toks)"""))
   )
+
+  /** The tx13/pk3 oracle merges table: single-level, pairwise-disjoint
+    * letter pairs with distinct sides — the construction whose BPE
+    * count has the closed form the DuckDB oracle computes. */
+  private[queries] val bpeOracleMerges: Seq[(String, String)] =
+    Seq(("t", "h"), ("a", "n"), ("q", "u"))
 }
