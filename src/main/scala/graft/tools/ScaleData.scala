@@ -54,17 +54,6 @@ object ScaleData {
         "[corpus|documents|embeddings]")
     val Array(src, dst, fs) = args.take(3)
     val mode = if (args.length == 4) args(3) else ""
-    require(mode.isEmpty || mode == "corpus" || mode == "documents" ||
-      mode == "embeddings", s"unknown mode: $mode")
-    val scaleCorpus = mode == "corpus"
-    val documentsOnly = mode == "documents"
-    val embeddingsOnly = mode == "embeddings"
-    val factor = fs.toInt
-    val maxFactor = if (documentsOnly || embeddingsOnly) 1000 else 100
-    require(factor >= 1 && factor <= maxFactor,
-      s"factor out of range (max $maxFactor for mode '$mode'): $factor")
-    require(!src.contains("/root/testdata") || dst.startsWith("/tmp"),
-      "derived data must land under /tmp")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .appName("graft-scale-data")
@@ -72,6 +61,25 @@ object ScaleData {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    derive(spark, src, dst, fs.toInt, mode)
+    spark.stop()
+  }
+
+  /** The derivation itself, on a CALLER-OWNED session (specs and
+    * composed rehearsals call this; `main` wraps it with its own
+    * session and stop). */
+  def derive(spark: SparkSession, src: String, dst: String,
+      factor: Int, mode: String = ""): Unit = {
+    require(mode.isEmpty || mode == "corpus" || mode == "documents" ||
+      mode == "embeddings", s"unknown mode: $mode")
+    val scaleCorpus = mode == "corpus"
+    val documentsOnly = mode == "documents"
+    val embeddingsOnly = mode == "embeddings"
+    val maxFactor = if (documentsOnly || embeddingsOnly) 1000 else 100
+    require(factor >= 1 && factor <= maxFactor,
+      s"factor out of range (max $maxFactor for mode '$mode'): $factor")
+    require(!src.contains("/root/testdata") || dst.startsWith("/tmp"),
+      "derived data must land under /tmp")
     spark.sparkContext.setLogLevel("WARN")
 
     val copyVerbatim =
@@ -158,6 +166,5 @@ object ScaleData {
             "ELSE -x END)"))
       }
     }
-    spark.stop()
   }
 }
