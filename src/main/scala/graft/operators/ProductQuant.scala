@@ -54,15 +54,38 @@ object ProductQuant {
     * distinct seed supply (a corpus smaller than `k` trains a smaller
     * codebook — codes stay dense in [0, k')); `iters` Lloyd
     * refinements move each subspace's centroids to the per-cell mean.
-    * `dim % numSub == 0` is required — PQ splits contiguously. */
+    * `dim % numSub == 0` is required — PQ splits contiguously.
+    *
+    * `sampleLimit` bounds the TRAINING SET, not the encodable corpus:
+    * each Lloyd iteration scans only the lowest-`sampleLimit`-id
+    * vectors (deterministic — same discipline as the seeds, so two
+    * trainers converge on identical books), which is the standard
+    * large-corpus practice (a 256-centroid 4-dim subspace is fully
+    * determined by a few hundred thousand points; the public ANN
+    * libraries train on samples for exactly this reason). At 2M
+    * vectors the full-scan train measured ~7 min/2 iters — linear in
+    * the corpus and all of it spent refining centroids that stopped
+    * moving; the default cap keeps training corpus-size-independent.
+    * Corpora at or below the cap are unaffected (the limit is a
+    * no-op). Pass `Int.MaxValue` to train on everything. */
   def train(df: DataFrame, embedding: String, id: String, numSub: Int,
-      k: Int = 256, iters: Int = 2): PqCodebooks = {
+      k: Int = 256, iters: Int = 2,
+      sampleLimit: Int = 1 << 18): PqCodebooks = {
     require(numSub > 0, s"numSub must be positive, got $numSub")
     require(k > 0 && k <= 256, s"k=$k must fit one unsigned byte")
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(sampleLimit >= k,
+      s"sampleLimit=$sampleLimit must cover at least k=$k seeds")
+    // the deterministic training sample; re-spread after the limit's
+    // single-partition collapse so the per-iteration encode scan stays
+    // parallel (16.7M exploded cells at the default cap)
+    val sample = df.where(col(embedding).isNotNull)
+      .orderBy(col(id).asc).limit(sampleLimit)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint(true)
     // deterministic seeds: the lowest-id k vectors, one collect of at
     // most k rows (buildCodebook's identity discipline)
-    val seeds = df.where(col(embedding).isNotNull)
+    val seeds = sample
       .orderBy(col(id).asc).limit(k)
       .select(col(embedding)).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
@@ -83,7 +106,7 @@ object ProductQuant {
       // never data-sized
       val codes = PqExpressions.pqEncode(col(embedding), numSub, k0,
         subDim, flat, asInts = true)
-      val means = df.where(col(embedding).isNotNull)
+      val means = sample
         .select(codes.as("__c"),
           posexplode(col(embedding)).as(Seq("pos", "x")))
         .select((col("pos") / subDim).cast("int").as("s"),
@@ -102,6 +125,10 @@ object ProductQuant {
       flat = next
       it += 1
     }
+    // free the training sample's checkpointed blocks deterministically
+    // (the batch probe's r18 discipline — a long-lived driver training
+    // per drift fire would otherwise accumulate them until GC)
+    org.apache.spark.sql.GraftShims.freeLocalCheckpoint(sample)
     PqCodebooks(numSub, subDim, k0, flat)
   }
 

@@ -2019,6 +2019,32 @@ object Similarity {
     stats
   }
 
+  /** [[ensurePersistedIvfPq]]'s product form: the empty seed commits
+    * the product-codes schema (id, list_id, pq_code binary) under the
+    * full scheme-2 descriptor (both sidecars written BEFORE the
+    * commit that references them), so the first streamed batch's
+    * append-schema gate sees the layout every later batch must keep.
+    * Create-mode CAS: of two racing seeders exactly one commits
+    * version 0. */
+  private[graft] def ensurePersistedIvfProduct(carrier: DataFrame,
+      embedding: String, id: String, codebook: IvfCodebook,
+      books: ProductQuant.PqCodebooks, path: String): Unit = {
+    requireProductDims(codebook, books)
+    val spark = carrier.sparkSession
+    if (Versioned.versions(spark, path).nonEmpty) return
+    val fp = fingerprint(codebook)
+    val bfp = ProductQuant.fingerprint(books)
+    val cbFile = writeCodebookSidecar(spark, path, codebook, fp)
+    val bkFile = writePqBooksSidecar(spark, path, books, bfp)
+    try Versioned.commitBucketed(
+      ivfAssign(carrier.limit(0), embedding, codebook)
+        .withColumn("pq_code", ProductQuant.encodeCol(col(embedding), books))
+        .select(col(id), col("list_id"), col("pq_code")),
+      path, "list_id", ivfBuckets(codebook.entries.length), "create",
+      ivfMeta(cbFile, fp, IvfStats(0, 0.0)) ++ productMeta(bkFile, bfp))
+    catch { case _: Versioned.CreateConflict => () }
+  }
+
   /** Append a chunk to a persisted product-quantized index. The
     * encoding codebooks come from the LIVE state INSIDE the CAS loop
     * (`shape` re-resolves on every re-stage): a rebuild racing this

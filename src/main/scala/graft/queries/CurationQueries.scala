@@ -171,6 +171,59 @@ object CurationQueries {
           ctoks[1] AS head_tok, ctoks[len(ctoks)] AS tail_tok
         FROM chunks""")),
 
+    // ---- CH2 SUBWORD chunking: ch1's sliding windows (64-token
+    // window, 48 stride) over the byte-level BPE token stream instead
+    // of whitespace words — the chunk geometry a real training
+    // pipeline cuts by. The oracle is exact because, for the tx13
+    // merges table (single-level, pairwise-disjoint, distinct-sided
+    // pairs that can never overlap), the BPE token STREAM equals
+    // leftmost-first regex alternation 'th|an|qu|.' per word —
+    // non-overlapping left-to-right matches are precisely what the
+    // merge-all pass produces when no two matches can contend. Both
+    // sides restrict to all-ASCII documents (strlen = length): on
+    // non-ASCII text the byte-level tokenizer emits per-BYTE tokens
+    // where regex '.' matches a codepoint, so the equivalence — and
+    // therefore the oracle — is ASCII-only by construction (today's
+    // corpus is 100% ASCII; the filter makes the oracle drift-proof,
+    // and the non-ASCII semantics are hash-pinned by tx14 + spec).
+    "ch2_bpe_chunks" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val chunks = t(s, dir, "documents")
+          .where(length($"text") === octet_length($"text"))
+          .select($"doc_id",
+            graft.functions.BpeTokens($"text",
+              TextQueries.bpeOracleMerges).as("toks"))
+          .select($"doc_id", $"toks", size($"toks").as("n"))
+          .select($"doc_id",
+            posexplode(transform(
+              sequence(lit(0),
+                greatest(lit(1),
+                  floor(($"n" + lit(31)) / lit(48.0)).cast("int")) - 1),
+              i => struct((i * 48).as("start_tok"),
+                slice($"toks", i * 48 + 1, lit(64)).as("ctoks"))))
+              .as(Seq("chunk_idx", "c")))
+        chunks.select($"doc_id", $"chunk_idx",
+          $"c.start_tok".as("start_tok"),
+          size($"c.ctoks").as("chunk_tokens"),
+          element_at($"c.ctoks", 1).as("head_tok"),
+          element_at($"c.ctoks", -1).as("tail_tok"))
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+          flatten(list_transform(string_split_regex(text, '\s+'),
+            w -> regexp_extract_all(w, 'th|an|qu|.'))) AS toks
+          FROM documents WHERE strlen(text) = length(text)),
+        sized AS (SELECT doc_id, toks, len(toks) AS n FROM tok),
+        chunks AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+            CAST(i * 48 AS INT) AS start_tok,
+            toks[(i * 48 + 1):(i * 48 + 64)] AS ctoks
+          FROM sized, LATERAL (SELECT unnest(range(0,
+            CAST(greatest(1, floor((n + 31) / 48.0)) AS BIGINT))) AS i) u)
+        SELECT doc_id, chunk_idx, start_tok,
+          CAST(len(ctoks) AS INT) AS chunk_tokens,
+          ctoks[1] AS head_tok, ctoks[len(ctoks)] AS tail_tok
+        FROM chunks""")),
+
     // ---- IR1 BM25 keyword ranking (k1=1.2, b=0.75) for a fixed
     // 3-term query: per-term tf is a per-row array filter (no explode,
     // no per-term shuffle); corpus stats (N, avgdl, per-term df) are

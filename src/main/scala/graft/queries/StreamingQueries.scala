@@ -879,6 +879,55 @@ object StreamingQueries {
         graft.operators.Similarity.probePersistedIvf(c, base + "/ivf",
           "embedding", "vec_id", q, nprobe = 16, k = 10)
       },
+      Some(SimilarityQueries.bruteForceSql)),
+
+    // ---- ST19 streaming PRODUCT-QUANTIZED ANN ingest: st18's shape
+    // on the scheme-2 layout — the seed commits the product-codes
+    // schema + both sidecars, each micro-batch encodes under the
+    // COMMITTED books (resolved from the descriptor inside the CAS
+    // loop, never the caller's), and the declared result is the
+    // full-radius two-stage probe: at nprobe = nlist with m covering
+    // the corpus, the ADC shortlist admits everything and the exact
+    // rescore against the source degrades the probe to brute force —
+    // so the whole streamed lifecycle (seed, two batches, ledger,
+    // descriptor resolution, ADC scorer, rescore) is hash-checked
+    // against the same DuckDB cosine oracle as sim1.
+    "st19_streaming_product_ingest" -> QueryDef(
+      (s, dir) => {
+        val c = streamSession(s)
+        import c.implicits._
+        val base = java.nio.file.Files.createTempDirectory("st19").toString
+        val table = base + "/vecs"
+        val emb = Tables(c, dir, "embeddings")
+          .select($"vec_id", $"embedding")
+        val corpus = emb.where($"vec_id" =!= 0)
+        val q = emb.where($"vec_id" === 0).select($"embedding")
+          .head().getSeq[Float](0).toArray
+        val half = corpus.where($"vec_id" % 2 === 0)
+        val cb = graft.operators.Similarity.buildCodebook(
+          half, "embedding", "vec_id", nlist = 16)
+        val books = graft.operators.ProductQuant.train(
+          half, "embedding", "vec_id", numSub = 16, k = 256, iters = 1)
+        graft.operators.Versioned.commit(half.coalesce(2), table) // v0
+        val sq = c.readStream.format("graft-changes")
+          .option("path", table).load()
+          .writeStream
+          .foreachBatch(graft.streaming.AnnIngest.sink(
+            "embedding", cb, base + "/ivfp", pqId = Some("vec_id"),
+            productBooks = Some(books)))
+          .option("checkpointLocation", base + "/ckpt")
+          .outputMode("update").start()
+        try {
+          sq.processAllAvailable() // batch 1: the v0 snapshot
+          graft.operators.Versioned.commit(
+            corpus.where($"vec_id" % 2 =!= 0).coalesce(2),
+            table, "append") // v1 lands mid-stream
+          sq.processAllAvailable() // batch 2: the (v0, v1] delta
+        } finally sq.stop()
+        graft.operators.Similarity.probePersistedIvfProduct(c,
+          base + "/ivfp", corpus, "embedding", "vec_id", q,
+          nprobe = 16, m = 1000000, k = 10)
+      },
       Some(SimilarityQueries.bruteForceSql))
   )
 }

@@ -57,6 +57,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * table's true embeddings via
   * [[Similarity.rebuildPersistedIvfPq]].
   *
+  * With `productBooks` additionally set (requires `pqId`), a MISSING
+  * index seeds as TRUE product quantization (scheme 2 — one byte per
+  * subvector, [[graft.operators.ProductQuant]]) instead of int8.
+  * After the seed, every batch follows the INDEX's resolved scheme,
+  * not the caller's arguments: the appended codes and the re-emitted
+  * descriptor come from the committed state inside the CAS loop, so
+  * a mid-stream rebuild that swaps the product books (or an operator
+  * migration between quantization schemes) hands off to the stream
+  * atomically, exactly like a float retrain. [[AutoRebuild]]
+  * composes with BOTH quantized schemes: it dispatches on the live
+  * state — [[Similarity.rebuildPersistedIvfProduct]] (keeping the
+  * current numSub/k shape) for a product index,
+  * [[Similarity.rebuildPersistedIvfPq]] for int8.
+  *
   * A LEGACY pre-r16 dir (`batch=<id>/list_id=` stream layout or a
   * root-level `list_id=` plain build, no commit log) refuses up front:
   * committing a snapshot over it would permanently shadow every legacy
@@ -190,8 +204,13 @@ object AnnIngest {
       autoRetrain: Option[AutoRetrain] = None,
       autoCompact: Option[AutoCompact] = None,
       pqId: Option[String] = None,
-      autoRebuild: Option[AutoRebuild] = None): BatchOutcome = {
+      autoRebuild: Option[AutoRebuild] = None,
+      productBooks: Option[graft.operators.ProductQuant.PqCodebooks] =
+        None): BatchOutcome = {
     val spark = batch.sparkSession
+    require(productBooks.isEmpty || pqId.nonEmpty,
+      "productBooks seeds a quantized index — it requires pqId (the " +
+        "vector-id column); a float index carries its own embeddings")
     // pqId names the vector-id column and switches the sink to the
     // IVF-PQ layout: batches assign on TRUE embeddings, quantize, and
     // append codes (~1/4 the index bytes). AutoRetrain cannot compose
@@ -208,11 +227,14 @@ object AnnIngest {
         "against — it only composes with pqId; a float index retrains " +
         "in place with AutoRetrain")
     requireSnapshotOrEmpty(spark, path)
-    pqId match {
-      case Some(id) =>
+    (pqId, productBooks) match {
+      case (Some(id), Some(books)) =>
+        Similarity.ensurePersistedIvfProduct(batch, embedding, id,
+          seedCodebook, books, path)
+      case (Some(id), None) =>
         Similarity.ensurePersistedIvfPq(batch, embedding, id,
           seedCodebook, path)
-      case None =>
+      case _ =>
         Similarity.ensurePersistedIvf(batch, embedding, seedCodebook, path)
     }
     val applied = lastAppliedBatch(spark, path)
@@ -224,7 +246,16 @@ object AnnIngest {
       return BatchOutcome(batchId, -1, 0.0, retrainRecommended = false,
         replayed = true)
     }
+    // the append follows the INDEX's resolved scheme (not the seed
+    // arguments): a stream pointed at a product index appends product
+    // codes even when seeded for int8, and vice versa — the committed
+    // descriptor is the single source of layout truth
     val app = pqId match {
+      case Some(id)
+          if Similarity.loadPersistedIvf(spark, path)
+            .exists(_.pqBooks.nonEmpty) =>
+        Similarity.appendToPersistedIvfProduct(batch, embedding, id,
+          path, Map(BatchKey -> batchId.toString))
       case Some(id) => Similarity.appendResolvedToPersistedIvfPq(batch,
         embedding, id, path, Map(BatchKey -> batchId.toString))
       case None => Similarity.appendResolvedToPersistedIvf(batch,
@@ -265,8 +296,22 @@ object AnnIngest {
     } || autoRebuild.exists { ar =>
       val nlist = currentNlist(ar.nlist)
       try {
-        val (_, stats) = Similarity.rebuildPersistedIvfPq(spark, path,
-          ar.source(spark), embedding, ar.id, nlist, ar.refineIters)
+        // dispatch on the LIVE scheme: a product index keeps its
+        // current subspace shape through the rebuild (the books are
+        // retrained, not reshaped — reshaping is an operator decision,
+        // not a drift response)
+        val stats = Similarity.loadPersistedIvf(spark, path)
+          .flatMap(_.pqBooks) match {
+          case Some(books) =>
+            Similarity.rebuildPersistedIvfProduct(spark, path,
+              ar.source(spark), embedding, ar.id, nlist,
+              numSub = books.numSub, kSub = books.k,
+              refineIters = ar.refineIters)._3
+          case None =>
+            Similarity.rebuildPersistedIvfPq(spark, path,
+              ar.source(spark), embedding, ar.id, nlist,
+              ar.refineIters)._2
+        }
         org.slf4j.LoggerFactory.getLogger(getClass).info(
           s"ann-ingest batch $batchId: drift fired, rebuilt PQ index " +
             s"$path in place from its source table (nlist=$nlist, new " +
@@ -306,7 +351,9 @@ object AnnIngest {
       path: String, autoRetrain: Option[AutoRetrain] = None,
       autoCompact: Option[AutoCompact] = None,
       pqId: Option[String] = None,
-      autoRebuild: Option[AutoRebuild] = None):
+      autoRebuild: Option[AutoRebuild] = None,
+      productBooks: Option[graft.operators.ProductQuant.PqCodebooks] =
+        None):
       (DataFrame, Long) => Unit = {
     require(autoRetrain.isEmpty || pqId.isEmpty,
       "AutoRetrain cannot rebuild an IVF-PQ index from its lossy " +
@@ -315,9 +362,12 @@ object AnnIngest {
     require(autoRebuild.isEmpty || pqId.nonEmpty,
       "AutoRebuild only composes with pqId — fail at sink " +
         "construction, not on the first drifted batch")
+    require(productBooks.isEmpty || pqId.nonEmpty,
+      "productBooks requires pqId — fail at sink construction, not " +
+        "on the first batch")
     (batch, batchId) => {
       val o = processBatch(batch, batchId, embedding, seedCodebook, path,
-        autoRetrain, autoCompact, pqId, autoRebuild)
+        autoRetrain, autoCompact, pqId, autoRebuild, productBooks)
       org.slf4j.LoggerFactory.getLogger(getClass).info(
         if (o.replayed)
           s"ann-ingest batch ${o.batchId}: replay detected, skipped"

@@ -184,6 +184,55 @@ class ProductQuantSpec extends SparkSpec {
     assert(reb == brute, s"$reb vs $brute")
   }
 
+  test("streaming product ingest (processBatch): seed commits scheme " +
+    "2, batches append product codes, replay skips, and AutoRebuild " +
+    "dispatches to the product rebuild on drift — post-rebuild full " +
+    "probe equals brute force") {
+    import graft.streaming.AnnIngest
+    val path = tmpDir("pqstream") + "/idx"
+    val b0 = corpus.where($"vec_id" <= 32L)
+    val b1 = corpus.where($"vec_id" > 32L)
+    val o0 = AnnIngest.processBatch(b0, 0L, "embedding", cb, path,
+      pqId = Some("vec_id"), productBooks = Some(books))
+    assert(o0.appended == 32 && !o0.replayed)
+    val st = Similarity.loadPersistedIvf(spark, path).get
+    assert(st.pqBooks.nonEmpty, "stream seed did not commit scheme 2")
+    // replay of batch 0 must skip without touching the index
+    val r0 = AnnIngest.processBatch(b0, 0L, "embedding", cb, path,
+      pqId = Some("vec_id"), productBooks = Some(books))
+    assert(r0.replayed && Versioned.read(spark, path).count() == 32)
+    val o1 = AnnIngest.processBatch(b1, 1L, "embedding", cb, path,
+      pqId = Some("vec_id"), productBooks = Some(books))
+    assert(o1.appended == 32)
+    // full probe over the streamed-in index == brute force
+    val brute = Similarity.bruteForceTopK(corpus, "embedding",
+      "vec_id", oneHot(3), 5).collect().toSeq
+    assert(Similarity.probePersistedIvfProduct(spark, path, corpus,
+      "embedding", "vec_id", oneHot(3), 8, 64, 5).collect().toSeq
+      == brute)
+    // a drifted cohort (negated vectors: assignment cosine <= 0 trips
+    // the absolute floor) under AutoRebuild → the PRODUCT rebuild
+    // fires, retraining books from the source; probe stays exact
+    val drifted = (500L to 515L)
+      .map(i => (i, oneHot((i % 16).toInt).map(x => -x)))
+      .toDF("vec_id", "embedding")
+    val source = corpus.unionByName(drifted)
+    val o2 = AnnIngest.processBatch(drifted, 2L, "embedding", cb, path,
+      pqId = Some("vec_id"),
+      autoRebuild = Some(AnnIngest.AutoRebuild(_ => source, "vec_id")))
+    assert(o2.retrainRecommended && o2.retrained,
+      s"drifted cohort did not fire the product rebuild: $o2")
+    val st2 = Similarity.loadPersistedIvf(spark, path).get
+    assert(st2.pqBooks.nonEmpty &&
+      st2.pqBooks.get.numSub == books.numSub,
+      "rebuild changed the subspace shape or demoted the scheme")
+    val brute2 = Similarity.bruteForceTopK(source, "embedding",
+      "vec_id", oneHot(9), 5).collect().toSeq
+    assert(Similarity.probePersistedIvfProduct(spark, path, source,
+      "embedding", "vec_id", oneHot(9), 8, 200, 5).collect().toSeq
+      == brute2)
+  }
+
   test("declared sim8 recall queries hold their oracle guarantee on " +
     "the real embeddings table (the driver's hash check, locally)") {
     val defs = graft.queries.SimilarityQueries.defs.toMap
