@@ -328,11 +328,53 @@ object TextQueries {
           (CAST(4 AS BIGINT), 'aa|a|aa|aa'),
           (CAST(5 AS BIGINT), 'the|the|o|r|y'))
         AS v(case_id, toks)"""))
-  )
+  ) ++ learnQueries
 
   /** The tx13/pk3 oracle merges table: single-level, pairwise-disjoint
     * letter pairs with distinct sides — the construction whose BPE
     * count has the closed form the DuckDB oracle computes. */
   private[queries] val bpeOracleMerges: Seq[(String, String)] =
     Seq(("t", "h"), ("a", "n"), ("q", "u"))
+
+  /** tx15/tx16: BPE merge LEARNING. tx15 pins the learner's exact
+    * output on the classic worked corpus (hand-derivable: the
+    * frequency-weighted pair census with deterministic lexicographic
+    * ties learns (e,s)(es,t)(l,o)(lo,w)); tx16 runs the whole
+    * train-then-tokenize loop on the real corpus (rows-only — an
+    * iterative greedy learner is not SQL-expressible; tx15 is its
+    * hash-green semantic companion, BpeTrainSpec its reference
+    * parity). */
+  private def learnQueries: Seq[(String, QueryDef)] = Seq(
+    "tx15_bpe_learn" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+          Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+        val merges = graft.operators.BpeTrain.learnMerges(
+          Seq(text).toDF("text"), "text", 4)
+        merges.zipWithIndex
+          .map { case ((l, r), i) => (i.toLong, l, r) }
+          .toDF("rank", "left_sym", "right_sym")
+      },
+      Some("""SELECT * FROM (VALUES
+          (CAST(0 AS BIGINT), 'e', 's'),
+          (CAST(1 AS BIGINT), 'es', 't'),
+          (CAST(2 AS BIGINT), 'l', 'o'),
+          (CAST(3 AS BIGINT), 'lo', 'w'))
+        AS v(rank, left_sym, right_sym)""")),
+
+    "tx16_learned_subword_tokens" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val merges = graft.operators.BpeTrain.learnMerges(
+          docs, "text", numMerges = 32)
+        docs.select($"doc_id",
+          size(graft.functions.BpeTokens($"text", merges))
+            .cast("long").as("n_subword"))
+      },
+      None,
+      doc = "rows-only: iterative greedy merge learning is not " +
+        "SQL-expressible; tx15 hash-pins the learner, tx13 the " +
+        "tokenizer's closed form"))
 }
