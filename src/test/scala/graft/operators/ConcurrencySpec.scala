@@ -523,6 +523,131 @@ class ConcurrencySpec extends SparkSpec {
     info(s"rebuilds landed mid-storm: ${rebuildsLanded.get()} of 3")
   }
 
+  test("PRODUCT rebuild storm (scheme 2): appenders racing " +
+    "rebuildPersistedIvfProduct — re-staged cohorts re-encode under " +
+    "the raced-in product books, the descriptor never loses its " +
+    "scheme keys, no duplicate ids, converged index equals the source") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val dir = tmpDir("prodrebuild")
+    val srcT = s"$dir/source"
+    val idxT = s"$dir/index"
+    val seedIds = 1L to 16L
+    Versioned.commit(ivfVecs(seedIds), srcT, "overwrite")
+    val cb0 = Similarity.buildCodebook(ivfVecs(seedIds), "embedding",
+      "vec_id", nlist = 8)
+    val books0 = ProductQuant.train(ivfVecs(seedIds), "embedding",
+      "vec_id", numSub = 8, k = 16, iters = 1)
+    Similarity.writePersistedIvfProduct(ivfVecs(seedIds), "embedding",
+      "vec_id", cb0, books0, idxT)
+    val writers = 3
+    val cohortsPerWriter = 3
+    def cohortIds(i: Int, j: Int): Seq[Long] = {
+      val lo = 1000L * (i + 1) + 10L * j
+      lo until lo + 5
+    }
+    def src() = Versioned.read(spark, srcT)
+      .select($"vec_id", $"embedding")
+    def appendRetrying(ids: Seq[Long]): Unit = {
+      // the duplicate-safe protocol, scheme-agnostic: epoch captured
+      // BEFORE the cohort enters the source
+      val epoch0 = Similarity.rebuildEpoch(spark, idxT)
+      retry(Versioned.commit(ivfVecs(ids), srcT, "append"))
+      var last: Throwable = null
+      for (_ <- 0 until 60) {
+        try {
+          Similarity.appendToPersistedIvfProduct(ivfVecs(ids),
+            "embedding", "vec_id", idxT, sourceEpoch = Some(epoch0))
+          return
+        } catch {
+          case e: IllegalStateException
+              if e.getMessage != null &&
+                (e.getMessage.contains("racing") ||
+                  e.getMessage.contains("losing the commit race")) =>
+            last = e; Thread.sleep(100)
+        }
+      }
+      throw last
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers + 2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val rebuildsLanded = new java.util.concurrent.atomic.AtomicInteger(0)
+    try {
+      val writerFs = (0 until writers).map { i =>
+        Future {
+          (0 until cohortsPerWriter).foreach(j =>
+            appendRetrying(cohortIds(i, j)))
+        }
+      }
+      val rebuilder = Future {
+        (0 until 3).foreach { _ =>
+          try {
+            Similarity.rebuildPersistedIvfProduct(spark, idxT, src(),
+              "embedding", "vec_id", nlist = 8, numSub = 8, kSub = 16,
+              pqIters = 1)
+            rebuildsLanded.incrementAndGet()
+          } catch {
+            case _: Versioned.CommitRaceExhausted => () // storm too hot
+          }
+          Thread.sleep(150)
+        }
+      }
+      val prober = Future {
+        val q = Array.tabulate(32)(d => if (d == 3) 1f else 0f)
+        var probes = 0
+        while (!stop.get()) {
+          val st = Similarity.loadPersistedIvf(spark, idxT).get
+          // the scheme keys must survive EVERY commit the storm lands
+          // — an append dropping them would demote the index and the
+          // next reader would decode garbage
+          assert(st.pqBooks.nonEmpty,
+            s"mid-storm descriptor lost its product books at " +
+              s"version ${st.version}")
+          val dup = SnapshotScan.frameAt(spark, idxT, st.version)
+            .groupBy($"vec_id").count().where($"count" > 1).count()
+          assert(dup == 0,
+            s"mid-storm product index holds $dup duplicated vec_ids " +
+              s"at version ${st.version}")
+          val rows = Similarity.probePersistedIvfProduct(spark, idxT,
+            src(), "embedding", "vec_id", q, nprobe = 8, m = 64, k = 8)
+            .as[(Long, Double)].collect()
+          rows.foreach { case (id, score) =>
+            assert(score == (if (id % 8 == 3) 1.0 else 0.0),
+              s"mid-storm product probe score diverged: ($id, $score)")
+          }
+          probes += 1
+        }
+        probes
+      }
+      Await.result(Future.sequence(writerFs), 600.seconds)
+      stop.set(true)
+      Await.result(rebuilder, 300.seconds)
+      assert(Await.result(prober, 120.seconds) > 0,
+        "the prober never completed a probe during the storm")
+    } finally { stop.set(true); pool.shutdown() }
+    Similarity.rebuildPersistedIvfProduct(spark, idxT, src(),
+      "embedding", "vec_id", nlist = 8, numSub = 8, kSub = 16,
+      pqIters = 1)
+    val allIds = (seedIds ++ (0 until writers).flatMap(i =>
+      (0 until cohortsPerWriter).flatMap(j => cohortIds(i, j)))).sorted
+    val got = Versioned.read(spark, idxT).select($"vec_id")
+      .as[Long].collect().sorted.toSeq
+    assert(got == allIds,
+      s"index diverged after converging rebuild: " +
+        s"missing=${(allIds.toSet -- got.toSet).take(5)} " +
+        s"extra/doubled=${got.diff(allIds).take(5)}")
+    val q = Array.tabulate(32)(d => if (d == 5) 1f else 0f)
+    val fullProbe = Similarity.probePersistedIvfProduct(spark, idxT,
+      src(), "embedding", "vec_id", q, nprobe = 8, m = allIds.length,
+      k = 12).as[(Long, Double)].collect().toSeq
+    val brute = Similarity.bruteForceTopK(ivfVecs(allIds), "embedding",
+      "vec_id", q, 12).as[(Long, Double)].collect().toSeq
+    assert(fullProbe == brute,
+      s"post-storm full product probe diverged: $fullProbe vs $brute")
+    info(s"rebuilds landed mid-storm: ${rebuildsLanded.get()} of 3")
+  }
+
   test("PQ rebuild absorption (r18 ADVICE): a cohort committed to the " +
     "source then absorbed by a rebuild is NOT duplicated when its " +
     "index append finally lands — the epoch token anti-joins it; a " +
