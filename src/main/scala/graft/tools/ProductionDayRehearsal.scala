@@ -231,6 +231,54 @@ object ProductionDayRehearsal {
       s"post-rebuild PQ probe diverged: $pqProbe2 vs $pqBrute2")
     println(f"""{"stage":"st18_pq_drift_auto_rebuild","wall_s":$st18dS%.2f,"appended":${a3.appended},"rebuilt":${a3.retrained},"probe_exact":true,"index_versions":${versionsOf(pqIndex)}}""")
 
+    // ---- stage 4d (r19): the PRODUCT-quantized sibling — the 16×
+    // compression tier streamed through the SAME composed lifecycle:
+    // books trained once on the seed half (sampled, corpus-size-
+    // independent), the sink seeds scheme 2 and each batch encodes
+    // under the COMMITTED books; the same drifted cohort fires
+    // AutoRebuild, which dispatches on the live scheme and retrains
+    // BOTH codebook families from the source keeping the subspace
+    // shape; the descriptor-resolved two-stage probe must equal brute
+    // force over the rebuilt corpus — quantize-on-ingest at 16×
+    // loses nothing the rescore can't recover, even across an
+    // in-stream rebuild.
+    val prodIndex = s"$workDir/ivf_product_index"
+    val books = graft.operators.ProductQuant.train(half0, "embedding",
+      "vec_id", numSub = 16, k = 256, iters = 1)
+    val driftedProd = driftedB
+      .select(($"vec_id" + 7000000L).as("vec_id"), $"embedding")
+      .localCheckpoint(true)
+    val prodSource = allEmb.unionByName(driftedProd).localCheckpoint(true)
+    val (prodOut, st18eS) = timed {
+      val p0 = graft.streaming.AnnIngest.processBatch(half0, 0L,
+        "embedding", cb, prodIndex, autoCompact = hygiene,
+        pqId = Some("vec_id"), productBooks = Some(books))
+      val p1 = graft.streaming.AnnIngest.processBatch(half1, 1L,
+        "embedding", cb, prodIndex, autoCompact = hygiene,
+        pqId = Some("vec_id"), productBooks = Some(books))
+      val p2 = graft.streaming.AnnIngest.processBatch(driftedProd, 2L,
+        "embedding", cb, prodIndex, autoCompact = hygiene,
+        pqId = Some("vec_id"), productBooks = Some(books),
+        autoRebuild = Some(graft.streaming.AnnIngest.AutoRebuild(
+          _ => prodSource, "vec_id")))
+      (p0, p1, p2)
+    }
+    require(prodOut._3.retrainRecommended && prodOut._3.retrained,
+      s"drifted product batch did not auto-rebuild: ${prodOut._3}")
+    val stProd = graft.operators.Similarity
+      .loadPersistedIvf(spark, prodIndex).get
+    require(stProd.pqBooks.nonEmpty &&
+      stProd.pqBooks.get.numSub == books.numSub,
+      "product rebuild changed the subspace shape or demoted the scheme")
+    val prodProbe = graft.operators.Similarity.probePersistedIvfProduct(
+      spark, prodIndex, prodSource, "embedding", "vec_id", qPq,
+      nprobe = 16, m = 200, k = 10).collect().map(_.getLong(0)).toSeq
+    val prodBrute = graft.operators.Similarity.bruteForceTopK(prodSource,
+      "embedding", "vec_id", qPq, 10).collect().map(_.getLong(0)).toSeq
+    require(prodProbe == prodBrute,
+      s"post-rebuild product probe diverged: $prodProbe vs $prodBrute")
+    println(f"""{"stage":"st18_product_lifecycle","wall_s":$st18eS%.2f,"appended":${prodOut._1.appended + prodOut._2.appended},"rebuilt":${prodOut._3.retrained},"probe_exact":true,"index_versions":${versionsOf(prodIndex)}}""")
+
     // ---- stage 5: maintenance — the indexes' OPTIMIZE analogues plus
     // retention on both shared tables
     val (_, maintS) = timed {
