@@ -353,7 +353,7 @@ object SimilarityQueries {
         val cb = Similarity.buildCodebook(corpus, "embedding", "vec_id",
           nlist = 16, refineIters = 2)
         val books = ProductQuant.train(corpus, "embedding", "vec_id",
-          numSub = 16, k = 256, iters = 2)
+          numSub = 16, k = 256, iters = 1)
         Similarity.ivfProductTopK(
           Similarity.ivfProductIndex(corpus, "embedding", "vec_id",
             cb, books),
@@ -384,7 +384,7 @@ object SimilarityQueries {
         val cb = Similarity.buildCodebook(corpus, "embedding", "vec_id",
           nlist = 16, refineIters = 2)
         val books = ProductQuant.train(corpus, "embedding", "vec_id",
-          numSub = 16, k = 256, iters = 2)
+          numSub = 16, k = 256, iters = 1)
         Similarity.ivfProductTopK(
             Similarity.ivfProductIndex(corpus, "embedding", "vec_id",
               cb, books),
@@ -409,7 +409,7 @@ object SimilarityQueries {
         val cb = Similarity.buildCodebook(corpus, "embedding", "vec_id",
           nlist = 16, refineIters = 2)
         val books = ProductQuant.train(corpus, "embedding", "vec_id",
-          numSub = 16, k = 256, iters = 2)
+          numSub = 16, k = 256, iters = 1)
         Similarity.ivfProductTopKMany(
           Similarity.ivfProductIndex(corpus, "embedding", "vec_id",
             cb, books),
@@ -435,7 +435,7 @@ object SimilarityQueries {
         val cb = Similarity.buildCodebook(corpus, "embedding", "vec_id",
           nlist = 16, refineIters = 2)
         val books = ProductQuant.train(corpus, "embedding", "vec_id",
-          numSub = 16, k = 256, iters = 2)
+          numSub = 16, k = 256, iters = 1)
         Similarity.ivfProductTopKMany(
             Similarity.ivfProductIndex(corpus, "embedding", "vec_id",
               cb, books),
