@@ -918,6 +918,60 @@ class OperatorSpec extends SparkSpec {
     }.getMessage.contains("writePersistedIvfPq"))
   }
 
+  test("persisted PRODUCT index: pruned probe bucket-prunes to the " +
+    "probed cells' buckets and its codes scan reads below the int8 " +
+    "codes scan for the same cells") {
+    val rnd = new scala.util.Random(11)
+    val dense = (1L to 2000L)
+      .map(i => (i, Array.fill(64)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val cbD = Similarity.buildCodebook(dense, "embedding", "vec_id", 8)
+    val books = ProductQuant.train(dense, "embedding", "vec_id",
+      numSub = 16, k = 64, iters = 1)
+    val prodPath = tmpDir("prodplan") + "/index"
+    val pqPath = tmpDir("prodplan8") + "/index"
+    Similarity.writePersistedIvfProduct(dense, "embedding", "vec_id",
+      cbD, books, prodPath)
+    Similarity.writePersistedIvfPq(dense, "embedding", "vec_id", cbD,
+      pqPath)
+    val qd = dense.where($"vec_id" === 1L).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val st = Similarity.loadPersistedIvf(spark, prodPath).get
+    val cells = Similarity.probeCells(st.codebook, qd, 2)
+    // plan-time bucket pruning: the codes scan's planned partitions
+    // cover only the probed cells' buckets (the float path's layout
+    // property, inherited unchanged by the scheme-2 rows)
+    val codesScan = SnapshotScan.frameAt(spark, prodPath, st.version)
+      .where($"list_id".isin(cells.toSeq: _*))
+    codesScan.collect()
+    val expected = cells.map(bucketOfLong(_, Similarity.ivfBuckets(8)))
+      .toSet
+    val read = scanBuckets(codesScan)
+    assert(read.nonEmpty && read.subsetOf(expected),
+      s"product codes scan read buckets $read, cells hash to $expected")
+    // the compression term: product codes (16 B/vector) vs the int8
+    // codes (64 B + scale) over the SAME cells — incompressible
+    // corpus, footers shared, so the payload shrink must show
+    def bytesOf(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect(); graft.tools.PlanMetrics.bytesRead(df)
+    }
+    val stPq = Similarity.loadPersistedIvf(spark, pqPath).get
+    val prodBytes = bytesOf(codesScan)
+    val pqBytes = bytesOf(
+      SnapshotScan.frameAt(spark, pqPath, stPq.version)
+        .where($"list_id".isin(cells.toSeq: _*)))
+    assert(prodBytes > 0 && prodBytes < (pqBytes * 7) / 10,
+      s"product codes scan read $prodBytes bytes vs int8 $pqBytes — " +
+        "the sub-byte-per-dim shrink did not materialize")
+    // and the two-stage probe at full m restores exact results
+    val full = Similarity.probePersistedIvfProduct(spark, prodPath,
+      dense, "embedding", "vec_id", qd, nprobe = 8, m = 2000, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = Similarity.bruteForceTopK(dense, "embedding", "vec_id",
+      qd, 5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == brute, s"full-m product probe diverged: $full vs $brute")
+  }
+
   test("batch probe ivfPqTopKMany: each query's top-k equals its " +
     "single two-stage probe at the same (nprobe, m) — pruned AND full " +
     "— the persisted form equals per-query probePersistedIvfPq, the " +
