@@ -173,7 +173,12 @@ object HtmlExtract {
         } else if (matches(i, "<style")) {
           i = skipPast(i + 6, "</style")
         } else {
-          // a tag: find '>', classify by name
+          // a tag: find '>', classify by name. The scan honors QUOTED
+          // attribute values — '>' inside "..." or '...' is attribute
+          // content, not the tag end (onclick="if(a>b)..." and
+          // title="x>y" are legal HTML); an unterminated quote runs
+          // to end-of-input and lands in the unterminated-tag
+          // containment below.
           var j = i + 1
           if (j < n && html.charAt(j) == '/') j += 1
           val nameStart = j
@@ -181,7 +186,14 @@ object HtmlExtract {
           val name = html.substring(nameStart, j)
             .toLowerCase(java.util.Locale.ROOT)
           var k = j
-          while (k < n && html.charAt(k) != '>') k += 1
+          while (k < n && html.charAt(k) != '>') {
+            val q = html.charAt(k)
+            if (q == '"' || q == '\'') {
+              k += 1
+              while (k < n && html.charAt(k) != q) k += 1
+              if (k < n) k += 1 // past the closing quote
+            } else k += 1
+          }
           if (k >= n) { i = n } // unterminated tag: contained drop
           else {
             val closing = i + 1 < n && html.charAt(i + 1) == '/'
@@ -233,12 +245,20 @@ object HtmlExtract {
         v > 0 && v <= 0xFFFF) (v, j + 1)
       else (-1, i)
     } else {
-      val named = Seq(("amp;", '&'), ("lt;", '<'), ("gt;", '>'),
-        ("quot;", '"'), ("apos;", '\''), ("nbsp;", ' '))
-      named.collectFirst {
-        case (pat, ch) if html.regionMatches(j, pat, 0, pat.length) =>
-          (ch.toInt, j + pat.length)
-      }.getOrElse((-1, i))
+      var e = 0
+      while (e < NamedEntities.length) {
+        val (pat, ch) = NamedEntities(e)
+        if (html.regionMatches(j, pat, 0, pat.length))
+          return (ch.toInt, j + pat.length)
+        e += 1
+      }
+      (-1, i)
     }
   }
+
+  // hoisted out of the per-'&' hot path: the decode runs inside a
+  // whole-stage-codegen projection, once per ampersand in the corpus
+  private val NamedEntities: Array[(String, Char)] = Array(
+    ("amp;", '&'), ("lt;", '<'), ("gt;", '>'),
+    ("quot;", '"'), ("apos;", '\''), ("nbsp;", ' '))
 }

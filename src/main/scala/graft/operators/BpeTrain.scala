@@ -54,6 +54,11 @@ object BpeTrain {
     // driver-bounded. The tail beyond the cap is rare words whose
     // pair mass is dominated by the head anyway (the public trainers
     // cap identically).
+    // the word column crosses to the driver as BINARY: a String
+    // round-trip would collapse malformed UTF-8 to U+FFFD, training
+    // merges over replacement bytes the tokenizer never sees on the
+    // real data (and spuriously merging distinct dirty words' counts)
+    // — the raw-byte discipline must hold end to end
     val freqs: Array[(Array[Byte], Long)] = df
       .select(explode(graft.functions.WhitespaceTokens(col(text)))
         .as("__w"))
@@ -61,9 +66,9 @@ object BpeTrain {
       .groupBy(col("__w")).agg(count(lit(1)).as("__n"))
       .orderBy(col("__n").desc, col("__w").asc)
       .limit(maxVocabWords)
+      .select(col("__w").cast("binary"), col("__n"))
       .collect()
-      .map(r => (r.getString(0).getBytes(
-        java.nio.charset.StandardCharsets.UTF_8), r.getLong(1)))
+      .map(r => (r.getAs[Array[Byte]](0), r.getLong(1)))
     learnFromFreqs(freqs, numMerges, minFrequency)
   }
 

@@ -208,6 +208,14 @@ object ProductQuant {
     val hdr = lines.head.split('/')
     require(hdr.length == 3, s"corrupt PQ codebook header: ${lines.head}")
     val (numSub, subDim, k) = (hdr(0).toInt, hdr(1).toInt, hdr(2).toInt)
+    // the encoder always writes exactly numSub*k centroid lines; a
+    // shorter sidecar is TRUNCATION damage and must refuse loudly —
+    // zero-filling the missing cells would silently score candidates
+    // against zero reconstructions, corrupting recall with no error
+    require(lines.length == 1 + numSub * k,
+      s"truncated PQ codebook sidecar: ${lines.length - 1} centroid " +
+        s"lines where the header declares ${numSub * k} — the file " +
+        "was damaged out-of-band; rebuild the index")
     val flat = new Array[Double](numSub * k * subDim)
     lines.tail.foreach { line =>
       val cut = line.indexOf(':')

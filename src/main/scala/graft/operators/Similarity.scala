@@ -776,19 +776,53 @@ object Similarity {
       .localCheckpoint(true)
     val stats = qualityOf(assigned)
     val fp = fingerprint(codebook)
-    // a SOURCE-frame overwrite of an existing index bumps the
-    // absorption epoch ([[IvfEpochKey]]): rows an appender staged
-    // against the old index may already be in this frame
-    val epoch = loadPersistedIvf(spark, path).map(_.epoch + 1)
-      .getOrElse(0L)
     // sidecar BEFORE the commit that references it: a crash in between
     // leaves an orphan file, never a referenced-but-missing codebook
     val cbFile = writeCodebookSidecar(spark, path, codebook, fp)
-    Versioned.commitBucketed(assigned.drop(AssignSimCol), path, "list_id",
-      numBuckets = ivfBuckets(codebook.entries.length),
-      mode = "overwrite",
-      meta = ivfMeta(cbFile, fp, stats, epoch))
+    commitIndexOverwrite(assigned.drop(AssignSimCol), path,
+      ivfBuckets(codebook.entries.length),
+      epoch => ivfMeta(cbFile, fp, stats, epoch))
     stats
+  }
+
+  /** Overwrite-commit an index build with an EPOCH-SAFE bump
+    * ([[IvfEpochKey]]): a source-frame overwrite of an existing index
+    * absorbs the source, so it must advance the epoch — and the new
+    * value must be derived from the SAME committed state the commit's
+    * CAS base pins. The previous read-increment-overwrite let a
+    * stalled builder commit a STALE lower epoch over a newer one,
+    * regressing the "monotonic" contract and re-arming epoch values
+    * already handed out as appender tokens (an absorbed cohort would
+    * then see epoch == token, skip its anti-join, and duplicate).
+    * Here a racing commit fails the CAS and the retry re-derives the
+    * epoch from the new head; the staged frame is a checkpoint, so
+    * retries recommit blocks without recompute. First build (no
+    * committed version) goes through create-mode CAS; losing THAT
+    * race falls through to the overwrite branch. */
+  private def commitIndexOverwrite(staged: DataFrame, path: String,
+      buckets: Int, meta: Long => Map[String, String]): Unit = {
+    val spark = staged.sparkSession
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (attempts > 5) throw new Versioned.CommitRaceExhausted(
+        s"index build of $path", attempts - 1)
+      val vs = Versioned.versions(spark, path)
+      if (vs.isEmpty) {
+        try {
+          Versioned.commitBucketed(staged, path, "list_id", buckets,
+            "create", meta(0L))
+          return
+        } catch { case _: Versioned.CreateConflict => () } // re-loop
+      } else {
+        val base = vs.max
+        val epoch = loadPersistedIvf(spark, path).map(_.epoch + 1)
+          .getOrElse(0L)
+        if (Versioned.commitIf(staged, path, "overwrite", meta(epoch),
+            base, Some(("list_id", buckets))).isDefined) return
+      }
+    }
+    sys.error("unreachable: the CAS loop returns or throws")
   }
 
   /** Append new vectors to a persisted IVF index: assign against the
@@ -934,9 +968,12 @@ object Similarity {
     var attempts = 0
     while (true) {
       attempts += 1
-      if (attempts > 5) throw new IllegalStateException(
-        s"append to $path kept racing commits (${attempts - 1} " +
-          "attempts) — retry when the writer storm subsides")
+      if (attempts > 5) {
+        org.apache.spark.sql.GraftShims.freeLocalCheckpoint(assigned)
+        throw new IllegalStateException(
+          s"append to $path kept racing commits (${attempts - 1} " +
+            "attempts) — retry when the writer storm subsides")
+      }
       require(st.buckets > 0,
         s"$path latest version declares no bucket layout — a foreign " +
           "unbucketed commit landed on the index; retrain it " +
@@ -983,6 +1020,10 @@ object Similarity {
           }
         })
       if (landed.isDefined) {
+        // free the staged cohort's checkpointed blocks now that the
+        // commit consumed them (the r18 discipline — a long-lived
+        // streaming driver otherwise accumulates blocks until GC)
+        org.apache.spark.sql.GraftShims.freeLocalCheckpoint(assigned)
         val res = IvfAppend(q.vectors, q.meanSim, committedBuild)
         if (res.retrainRecommended)
           org.slf4j.LoggerFactory.getLogger(getClass).warn(
@@ -996,12 +1037,16 @@ object Similarity {
       val st2 = requireIvfState(spark, path, "append")
       if (st2.fingerprint != st.fingerprint) {
         onRetrainRace(st2) // caller-held codebooks refuse here
+        // the superseded staging's blocks are dead — free before
+        // replacing (see the landed-path free above)
+        org.apache.spark.sql.GraftShims.freeLocalCheckpoint(assigned)
         assigned = stage(st2)
         q = qualityOf(assigned)
       } else if (st2.epoch != st.epoch) {
         // same codebook, new epoch: a source rewrite landed mid-call
         // (rebuild converging on the same fingerprint) — re-stage so
         // the absorption anti-join runs against the rebased version
+        org.apache.spark.sql.GraftShims.freeLocalCheckpoint(assigned)
         assigned = stage(st2)
         q = qualityOf(assigned)
       }
@@ -1533,15 +1578,12 @@ object Similarity {
       .localCheckpoint(true)
     val stats = qualityOf(staged)
     val fp = fingerprint(codebook)
-    // a source-frame overwrite of an existing index bumps the
-    // absorption epoch — see [[IvfEpochKey]]
-    val epoch = loadPersistedIvf(spark, path).map(_.epoch + 1)
-      .getOrElse(0L)
     val cbFile = writeCodebookSidecar(spark, path, codebook, fp)
-    Versioned.commitBucketed(staged.drop(AssignSimCol), path, "list_id",
-      numBuckets = ivfBuckets(codebook.entries.length),
-      mode = "overwrite",
-      meta = ivfMeta(cbFile, fp, stats, epoch) + (IvfPqKey -> "1"))
+    // epoch-safe overwrite ([[commitIndexOverwrite]]): the absorption
+    // bump is CAS'd against the state it was derived from
+    commitIndexOverwrite(staged.drop(AssignSimCol), path,
+      ivfBuckets(codebook.entries.length),
+      epoch => ivfMeta(cbFile, fp, stats, epoch) + (IvfPqKey -> "1"))
     stats
   }
 
@@ -1959,6 +2001,14 @@ object Similarity {
       codebook: IvfCodebook, books: ProductQuant.PqCodebooks,
       nprobe: Int, m: Int, k: Int): DataFrame = {
     requireProductDims(codebook, books)
+    require(m >= k, s"rescore budget m=$m must be >= k=$k")
+    // the family's zero-norm convention: a zero query RANKS NOTHING
+    // (the float/int8 probes return empty via their null cosines);
+    // adcCol would refuse at LUT construction, so short-circuit to
+    // the same empty (id, score) frame the siblings produce
+    if (!query.exists(_ != 0f))
+      return source.limit(0)
+        .select(col(id), lit(0.0).cast("double").as("score"))
     pqTopKCore(pqIndexed, source, embedding, id, query, codebook,
       nprobe, m, k, ProductQuant.adcCol(col("pq_code"), query, books))
   }
@@ -2008,14 +2058,14 @@ object Similarity {
     val stats = qualityOf(staged)
     val fp = fingerprint(codebook)
     val bfp = ProductQuant.fingerprint(books)
-    val epoch = loadPersistedIvf(spark, path).map(_.epoch + 1)
-      .getOrElse(0L)
     val cbFile = writeCodebookSidecar(spark, path, codebook, fp)
     val bkFile = writePqBooksSidecar(spark, path, books, bfp)
-    Versioned.commitBucketed(staged.drop(AssignSimCol), path, "list_id",
-      numBuckets = ivfBuckets(codebook.entries.length),
-      mode = "overwrite",
-      meta = ivfMeta(cbFile, fp, stats, epoch) ++ productMeta(bkFile, bfp))
+    // epoch-safe overwrite ([[commitIndexOverwrite]]): the absorption
+    // bump is CAS'd against the state it was derived from
+    commitIndexOverwrite(staged.drop(AssignSimCol), path,
+      ivfBuckets(codebook.entries.length),
+      epoch => ivfMeta(cbFile, fp, stats, epoch) ++
+        productMeta(bkFile, bfp))
     stats
   }
 

@@ -246,14 +246,19 @@ object AnnIngest {
       return BatchOutcome(batchId, -1, 0.0, retrainRecommended = false,
         replayed = true)
     }
+    // ONE descriptor resolution serves the scheme dispatch here AND
+    // the post-append policies (nlist default, AutoRebuild's scheme
+    // dispatch): the codebook family can't change during our own
+    // append (a raced rebuild keeps the scheme and the CAS loop
+    // re-resolves internally), so re-loading per use would only buy
+    // extra manifest scans and a dispatch/append race window
+    val preState = Similarity.loadPersistedIvf(spark, path)
     // the append follows the INDEX's resolved scheme (not the seed
     // arguments): a stream pointed at a product index appends product
     // codes even when seeded for int8, and vice versa — the committed
     // descriptor is the single source of layout truth
     val app = pqId match {
-      case Some(id)
-          if Similarity.loadPersistedIvf(spark, path)
-            .exists(_.pqBooks.nonEmpty) =>
+      case Some(id) if preState.exists(_.pqBooks.nonEmpty) =>
         Similarity.appendToPersistedIvfProduct(batch, embedding, id,
           path, Map(BatchKey -> batchId.toString))
       case Some(id) => Similarity.appendResolvedToPersistedIvfPq(batch,
@@ -265,12 +270,11 @@ object AnnIngest {
     BatchMirror.write(spark, mirrorFile(path), path, batchId)
     def currentNlist(declared: Int): Int =
       if (declared > 0) declared
-      else Similarity.loadPersistedIvf(spark, path)
+      else preState
         .map(_.codebook.entries.length)
         .getOrElse(throw new IllegalStateException(
-          s"$path lost its IVF descriptor between the append and the " +
-            "auto-retrain — a foreign overwrite landed; rebuild the " +
-            "index"))
+          s"$path carries no IVF descriptor — a foreign overwrite " +
+            "landed; rebuild the index"))
     val retrained = app.retrainRecommended && (autoRetrain.exists { ar =>
       val nlist = currentNlist(ar.nlist)
       try {
@@ -296,12 +300,11 @@ object AnnIngest {
     } || autoRebuild.exists { ar =>
       val nlist = currentNlist(ar.nlist)
       try {
-        // dispatch on the LIVE scheme: a product index keeps its
+        // dispatch on the resolved scheme: a product index keeps its
         // current subspace shape through the rebuild (the books are
         // retrained, not reshaped — reshaping is an operator decision,
         // not a drift response)
-        val stats = Similarity.loadPersistedIvf(spark, path)
-          .flatMap(_.pqBooks) match {
+        val stats = preState.flatMap(_.pqBooks) match {
           case Some(books) =>
             Similarity.rebuildPersistedIvfProduct(spark, path,
               ar.source(spark), embedding, ar.id, nlist,

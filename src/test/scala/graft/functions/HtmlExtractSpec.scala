@@ -69,6 +69,16 @@ class HtmlExtractSpec extends SparkSpec {
     assert(x("<p><a href='x'/>prose text here</p>") == "prose text here")
   }
 
+  test("quoted attribute values may contain '>': the tag ends at the " +
+    "first UNQUOTED '>', and an unterminated quote is contained") {
+    assert(x("<p><a href=\"#\" onclick=\"if(a>b)f()\">link</a> in a " +
+      "longer prose sentence</p>") == "link in a longer prose sentence")
+    assert(x("<div title=\"x>y\">text</div>") == "text")
+    assert(x("<div title='a>b' data-x='c>d'>kept</div>") == "kept")
+    // unterminated quote runs to end-of-input: contained, nothing leaks
+    assert(x("<p>before</p><div title=\"never closed > more") == "before")
+  }
+
   test("DataFrame path: codegen equals direct calls; null in null out") {
     val rows = Seq(Some("<p>a</p>"), None).toDF("h")
       .select(HtmlExtract($"h").as("t")).collect()

@@ -65,6 +65,24 @@ class BpeTrainSpec extends SparkSpec {
     assert(few.length < 10, few.toString)
   }
 
+  test("training preserves raw bytes end to end: invalid UTF-8 words " +
+    "train merges over THEIR bytes, not U+FFFD replacements") {
+    // 'c' + lone continuation byte 0xE9 — invalid UTF-8; a String
+    // round-trip would collapse it to EF BF BD and the learned sides
+    // would name bytes the tokenizer never sees on the real data
+    val dirty = Array[Byte](0x63, 0xE9.toByte)
+    val df = Seq.fill(4)(dirty).toDF("b")
+      .select($"b".cast("string").as("text"))
+    val merges = BpeTrain.learnMerges(df, "text", 1)
+    assert(merges == Seq(("c", "é")), merges.toString)
+    // and the learned table round-trips through the tokenizer: the
+    // dirty word becomes ONE token of the original raw bytes
+    val toks = df.limit(1)
+      .select(graft.functions.BpeTokens($"text", merges).as("t"))
+      .head().getSeq[String](0)
+    assert(toks.length == 1)
+  }
+
   test("learned merges reduce the real corpus's token count vs the " +
     "byte baseline (the compression the training exists for)") {
     val docs = graft.Tables(spark, sfDir, "documents").limit(300)

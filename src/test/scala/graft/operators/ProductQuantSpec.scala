@@ -61,6 +61,15 @@ class ProductQuantSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ProductQuant.decodeBooks("garbage-header\n")
     }
+    // a TRUNCATED sidecar (header + a prefix of centroid lines — the
+    // out-of-band damage class) must refuse loudly, never zero-fill
+    val enc = ProductQuant.encodeBooks(books)
+    val truncated = enc.split('\n').take(1 + books.numSub * books.k / 2)
+      .mkString("\n")
+    val e = intercept[IllegalArgumentException] {
+      ProductQuant.decodeBooks(truncated)
+    }
+    assert(e.getMessage.contains("truncated"))
   }
 
   test("single and batch product probes equal brute force at full " +
@@ -105,6 +114,14 @@ class ProductQuantSpec extends SparkSpec {
       Similarity.ivfProductIndex(corpus, "embedding", "vec_id", cb,
         ProductQuant.PqCodebooks(2, 4, 1, new Array[Double](8)))
     }
+    // zero-norm query RANKS NOTHING — the family convention (the
+    // float/int8 probes return empty via null cosines); the ADC
+    // probe must return the same empty frame, not throw
+    val zero = Similarity.ivfProductTopK(pq, corpus, "embedding",
+      "vec_id", Array.fill(16)(0f), cb, books, nprobe = 8, m = 20,
+      k = 3)
+    assert(zero.columns.toSeq == Seq("vec_id", "score") &&
+      zero.count() == 0)
   }
 
   test("persisted product index: write resolves scheme 2 with books, " +
