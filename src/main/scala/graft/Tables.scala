@@ -44,9 +44,37 @@ object Tables {
           "testdata encoding drifted again, extend Tables.normalizeTs")
     }
 
+  /** Inferred-schema cache, keyed by (path, file length, mtime) — the
+    * catalog role a lakehouse manifest plays at scale (guide §6: avoid
+    * re-deriving metadata per query). `spark.read.parquet` with no
+    * schema launches a footer-inference JOB on every call; across a
+    * 221-query bench that is ~450 pure-overhead jobs (~40 ms each,
+    * measured round 19), and at 100 TB schema inference over a
+    * million-file table is a driver-side stall. The cache only skips
+    * the INFERENCE — the returned frame is byte-identical (same
+    * relation, same pushdown) and a testdata swap invalidates via the
+    * (length, mtime) key. `events` is excluded: its encoding-drift
+    * detection (normalizeTs + the nanos fallback) must re-run per
+    * call by design. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), org.apache.spark.sql.types.StructType]()
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    if (name != "events") spark.read.parquet(path)
+    if (name != "events") {
+      val f = new java.io.File(path)
+      if (f.isFile) {
+        val key = (path, f.length(), f.lastModified())
+        val schema = schemaCache.get(key) match {
+          case null =>
+            val s = spark.read.parquet(path).schema
+            schemaCache.put(key, s)
+            s
+          case s => s
+        }
+        spark.read.schema(schema).parquet(path)
+      } else spark.read.parquet(path) // directory tables: infer as before
+    }
     else normalizeTs(
       try spark.read.parquet(path)
       catch {

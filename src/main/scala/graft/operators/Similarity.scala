@@ -386,11 +386,31 @@ object Similarity {
     * against the build-time baseline. */
   private[graft] val AssignSimCol = "__ivf_sim"
 
+  /** The codebook as ONE literal node (array<struct<idField,
+    * vecField>>) instead of a CreateArray/CreateStruct tree of
+    * nlist×(dim+1) Literal leaves: the values are identical, but the
+    * tree form costs every analyzer/optimizer pass a walk over ~10³
+    * nodes PER DERIVED FRAME (assign plans are re-planned by each
+    * localCheckpoint/commit in the probe and append paths) before
+    * ConstantFolding collapses it. One leaf keeps plan-time flat in
+    * nlist·dim — guide §1.2 step 2 (per-task/driver work). */
+  private def codebookLit(cents: Array[(Long, Array[Double])],
+      idField: String, vecField: String): Column = {
+    import org.apache.spark.sql.types._
+    val schema = ArrayType(StructType(Seq(
+      StructField(idField, LongType, nullable = false),
+      StructField(vecField, ArrayType(DoubleType, containsNull = false),
+        nullable = false))), containsNull = false)
+    val rows = cents.toSeq.map { case (cid, vec) =>
+      org.apache.spark.sql.Row(cid, vec.toSeq)
+    }
+    org.apache.spark.sql.GraftShims.toColumn(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(rows, schema))
+  }
+
   private def assignWithSim(df: DataFrame, embedding: String,
       cents: Array[(Long, Array[Double])]): DataFrame = {
-    val centroidLit = array(cents.map { case (cid, vec) =>
-      struct(lit(cid).as("list_id"), lit(vec).as("c"))
-    }: _*)
+    val centroidLit = codebookLit(cents, "list_id", "c")
     df.withColumn("__cands", centroidLit)
       .withColumn("__scores",
         transform(col("__cands"),
@@ -1286,8 +1306,7 @@ object Similarity {
     * single-probe ranking. */
   private def probeCellsExpr(codebook: IvfCodebook, qEmbedding: String,
       nprobe: Int): Column = {
-    val cbLit = array(codebook.entries.map { case (cid, c) =>
-      struct(lit(cid).as("cid"), lit(c).as("cent")) }: _*)
+    val cbLit = codebookLit(codebook.entries, "cid", "cent")
     val scored = transform(cbLit, s => struct(
       coalesce(-CosineSimilarity(col(qEmbedding), s.getField("cent")),
         lit(2.0)).as("neg"),
