@@ -122,17 +122,28 @@ object AnalyticsQueries {
     "q21_waiting_supplier" -> QueryDef(
       (s, dir) => {
         import s.implicits._
+        // The per-order (n_supp, n_late_supp) counts ride a WINDOW over
+        // the same l_orderkey partitioning instead of a separate
+        // aggregate joined back (optimization r19, guide §2.4): the
+        // aggregate+self-join form scanned AND shuffled the
+        // lineitem⋈orders fact twice (Exchange ×2 + Expand + SMJ —
+        // see plans/r19/q21_waiting_supplier_before.txt); the window
+        // form establishes the l_orderkey partitioning ONCE. Same
+        // values: size(collect_set(x)) ≡ count(DISTINCT x) per
+        // partition (both drop nulls), per-order supplier sets are
+        // tiny (≤7), and the surviving rows — the late lines of
+        // qualifying orders — are identical.
         val l = t(s, dir, "lineitem")
           .join(t(s, dir, "orders").where($"o_orderstatus" === "F"),
             $"l_orderkey" === $"o_orderkey")
           .withColumn("late",
             $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
-        val perOrder = l.groupBy($"l_orderkey".as("po_orderkey"))
-          .agg(countDistinct($"l_suppkey").as("n_supp"),
-            countDistinct(when($"late", $"l_suppkey")).as("n_late_supp"))
-          .where($"n_supp" > 1 && $"n_late_supp" === 1)
-        l.where($"late")
-          .join(perOrder, $"l_orderkey" === $"po_orderkey")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"l_orderkey")
+        l.withColumn("n_supp", size(collect_set($"l_suppkey").over(w)))
+          .withColumn("n_late_supp",
+            size(collect_set(when($"late", $"l_suppkey")).over(w)))
+          .where($"late" && $"n_supp" > 1 && $"n_late_supp" === 1)
           .join(t(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
           .groupBy($"s_name")
           .agg(countDistinct($"l_orderkey").as("numwait"))

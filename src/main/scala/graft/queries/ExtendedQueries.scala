@@ -240,14 +240,25 @@ object ExtendedQueries {
         t(s, dir, "lineitem").createOrReplaceTempView("q17_lineitem")
         // exact-integer sum, then two IEEE divisions (no terminal
         // round: identical exact inputs ⇒ identical quotient bits);
-        // the correlated avg threshold is exact on both engines
-        // (integral quantities sum exactly below 2^53)
-        s.sql("""SELECT CAST(sum(CAST(round(l1.l_extendedprice * 100)
+        // the avg threshold is exact on both engines (integral
+        // quantities sum exactly below 2^53, one division), so the
+        // window form below computes bit-identical thresholds.
+        // Optimization r19 (guide §2.4): Spark decorrelated the
+        // scalar subquery into a SECOND scan + aggregate of lineitem
+        // joined back on l_partkey (two scans, two exchanges —
+        // plans/r19/q17_small_quantity_before.txt); the per-part
+        // average is the same value as avg OVER (PARTITION BY
+        // l_partkey) — including the probe row on both forms — which
+        // establishes the partitioning once: one scan, one exchange,
+        // no join. Per-part groups are bounded (lines per part), so
+        // the window state is safe at any scale.
+        s.sql("""SELECT CAST(sum(CAST(round(l_extendedprice * 100)
               AS BIGINT)) AS DOUBLE) / 100.0 / 7.0 AS avg_yearly
-          FROM q17_lineitem l1
-          WHERE l1.l_quantity <
-            (SELECT 0.2 * avg(l2.l_quantity) FROM q17_lineitem l2
-             WHERE l2.l_partkey = l1.l_partkey)""")
+          FROM (
+            SELECT l_extendedprice, l_quantity,
+              avg(l_quantity) OVER (PARTITION BY l_partkey) AS part_avg
+            FROM q17_lineitem)
+          WHERE l_quantity < 0.2 * part_avg""")
       },
       Some("""SELECT CAST(sum(CAST(round(l1.l_extendedprice * 100)
             AS BIGINT)) AS DOUBLE) / 100.0 / 7.0 AS avg_yearly
@@ -659,22 +670,30 @@ object ExtendedQueries {
     // result is deterministic without a tiebreak)
     "q15_top_supplier" -> QueryDef(
       (s, dir) => {
-        t(s, dir, "lineitem").createOrReplaceTempView("q15_lineitem")
-        t(s, dir, "supplier").createOrReplaceTempView("q15_supplier")
+        import s.implicits._
         // the max-equality runs on the exact integer rev_e4 (ties kept
-        // exactly on any engine); only the final projection rescales
-        s.sql("""WITH rev AS (
-            SELECT l_suppkey,
-              sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_e4
-            FROM q15_lineitem
-            WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
-              AND l_shipdate < CAST('1996-04-01' AS TIMESTAMP)
-            GROUP BY l_suppkey)
-          SELECT s_suppkey, s_name,
-            CAST(rev_e4 AS DOUBLE) / 10000.0 AS total_rev
-          FROM q15_supplier JOIN rev ON s_suppkey = l_suppkey
-          WHERE rev_e4 = (SELECT max(rev_e4) FROM rev)""")
+        // exactly on any engine); only the final projection rescales.
+        // Optimization r19 (guide §2.4/§3): the SQL scalar-subquery
+        // form planned `rev` TWICE — a separate subquery plan
+        // re-scanned and re-aggregated lineitem (two AdaptiveSparkPlan
+        // roots in plans/r19/q15_top_supplier_before.txt). Here both
+        // consumers of `rev` live in ONE plan, the max is a broadcast
+        // one-row cross join (distributed partial max — never a
+        // global single-partition window, which would not survive a
+        // supplier count at 100 TB), and ReuseExchange dedups the
+        // groupBy shuffle, so lineitem is scanned and aggregated once.
+        val rev = t(s, dir, "lineitem")
+          .where($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+          .groupBy($"l_suppkey")
+          .agg(sum(Exact.revenueE4($"l_extendedprice", $"l_discount"))
+            .as("rev_e4"))
+        val mx = rev.agg(max($"rev_e4").as("__mx"))
+        rev.crossJoin(broadcast(mx))
+          .where($"rev_e4" === $"__mx")
+          .join(t(s, dir, "supplier"), $"s_suppkey" === $"l_suppkey")
+          .select($"s_suppkey", $"s_name",
+            ($"rev_e4".cast("double") / 10000.0).as("total_rev"))
       },
       Some("""WITH rev AS (
           SELECT l_suppkey,

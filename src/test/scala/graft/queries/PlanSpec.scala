@@ -123,9 +123,20 @@ class PlanSpec extends SparkSpec {
     val p = planOf("q21_waiting_supplier")
     assert(!p.contains("NestedLoop"),
       "correlation fell back to a nested-loop join:\n" + p)
-    // the decorrelated per-order aggregate is a real aggregate, and the
-    // late-line probe joins against it with a hash join
+    // the per-order counts ride a WINDOW over the single l_orderkey
+    // partitioning (optimization r19): the aggregate+self-join form
+    // would re-shuffle and sort-merge-join the fact against itself
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "the per-order counts regressed to an aggregate self-join:\n" + p)
     assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q17's per-part average threshold is a window, not a second " +
+    "scan+aggregate of lineitem joined back (optimization r19)") {
+    val p = planOf("q17_small_quantity")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop"), p)
   }
 
   test("dc1's eval-gram side broadcasts into a semi-join (corpus never " +
