@@ -346,8 +346,160 @@ object PqExpressions {
         newChild: Expression): Expression = copy(child = newChild)
   }
 
+  /** One fused Lloyd training step: encode each vector (the PqEncode
+    * argmin against the CURRENT codebooks) and accumulate per-cell
+    * subvector sums + counts in a single aggregation buffer —
+    * `struct(sums: array<double>[numSub·k·subDim], counts:
+    * array<long>[numSub·k])`, from which the driver derives the new
+    * per-cell means (sum/count; empty cells keep their previous
+    * centroid).
+    *
+    * Optimization r19 (guide §1.2 step 1 — remove passes/volume): the
+    * original mean-update materialized int codes per row, posexploded
+    * every vector to `dim` rows (64× row volume at dim 64 — 16.7M
+    * rows at the default training cap) and hash-aggregated them by
+    * (sub, code, subpos); that one job measured 0.75 s per training
+    * call at sf0.1 in a clean window. This form folds each row into a
+    * fixed numSub·k·(subDim+1)-sized buffer in one tight pass — no
+    * explode, no code materialization, and the shuffle is one partial
+    * state per partition instead of a row stream. The arithmetic is
+    * unchanged: identical argmin, identical float→double element
+    * casts, per-partition sequential double sums merged once (the
+    * same partial-aggregation tree the grouped avg used).
+    *
+    * Wrong-dim vectors throw exactly like PqEncode — silently
+    * skipping them would train on a prefix of the space. */
+  case class PqTrainStep(child: Expression, numSub: Int, k: Int,
+      subDim: Int, flat: Array[Double],
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends org.apache.spark.sql.catalyst.expressions.aggregate
+        .TypedImperativeAggregate[PqTrainState] with UnaryLike {
+
+    PqExpressions.requireShape(numSub, k, subDim, flat)
+
+    override def dataType: DataType =
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("sums",
+          ArrayType(DoubleType, containsNull = false), nullable = false),
+        org.apache.spark.sql.types.StructField("counts",
+          ArrayType(org.apache.spark.sql.types.LongType,
+            containsNull = false), nullable = false)))
+    override def nullable: Boolean = false
+    override def prettyName: String = "pq_train_step"
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      if (vecTypeOk(child)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<float>/array<double> input, " +
+          s"got ${child.dataType.catalogString}")
+    }
+
+    override def createAggregationBuffer(): PqTrainState =
+      PqTrainState(new Array[Double](numSub * k * subDim),
+        new Array[Long](numSub * k))
+
+    override def update(buf: PqTrainState,
+        input: org.apache.spark.sql.catalyst.InternalRow): PqTrainState = {
+      val any = child.eval(input)
+      if (any == null) return buf // null rows contribute nothing
+      val v = any.asInstanceOf[ArrayData]
+      val dim = numSub * subDim
+      if (v.numElements() != dim) throw new IllegalArgumentException(
+        s"pq_train_step got a vector of dim ${v.numElements()} where " +
+          s"the codebooks were trained at dim $dim ($numSub x $subDim)")
+      val f = isFloatArr(child)
+      var s = 0
+      while (s < numSub) {
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val base = (s * k + c) * subDim
+          var d2 = 0.0
+          var d = 0
+          while (d < subDim) {
+            val x = (if (f) v.getFloat(s * subDim + d).toDouble
+              else v.getDouble(s * subDim + d)) - flat(base + d)
+            d2 += x * x
+            d += 1
+          }
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        val cell = s * k + best
+        buf.counts(cell) += 1
+        val sbase = cell * subDim
+        var d = 0
+        while (d < subDim) {
+          buf.sums(sbase + d) +=
+            (if (f) v.getFloat(s * subDim + d).toDouble
+             else v.getDouble(s * subDim + d))
+          d += 1
+        }
+        s += 1
+      }
+      buf
+    }
+
+    override def merge(a: PqTrainState, b: PqTrainState): PqTrainState = {
+      var i = 0
+      while (i < a.sums.length) { a.sums(i) += b.sums(i); i += 1 }
+      i = 0
+      while (i < a.counts.length) { a.counts(i) += b.counts(i); i += 1 }
+      a
+    }
+
+    override def eval(buf: PqTrainState): Any =
+      org.apache.spark.sql.catalyst.InternalRow(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.sums),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.counts))
+
+    override def serialize(buf: PqTrainState): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(
+        8 * buf.sums.length + 8 * buf.counts.length)
+      buf.sums.foreach(bb.putDouble)
+      buf.counts.foreach(bb.putLong)
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): PqTrainState = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val sums = new Array[Double](numSub * k * subDim)
+      var i = 0
+      while (i < sums.length) { sums(i) = bb.getDouble(); i += 1 }
+      val counts = new Array[Long](numSub * k)
+      i = 0
+      while (i < counts.length) { counts(i) = bb.getLong(); i += 1 }
+      PqTrainState(sums, counts)
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): PqTrainStep =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): PqTrainStep =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(child = newChild)
+  }
+
+  /** Mutable accumulation state of [[PqTrainStep]]. */
+  final case class PqTrainState(sums: Array[Double], counts: Array[Long])
+
+  // shorthand so PqTrainStep can extend UnaryLike cleanly
+  private type UnaryLike =
+    org.apache.spark.sql.catalyst.trees.UnaryLike[Expression]
+
   // ---- Column-level entry points (Spark 4 Column <-> Expression
   // bridge, the CosineSimilarity idiom) ----
+
+  def pqTrainStep(vec: Column, numSub: Int, k: Int, subDim: Int,
+      flat: Array[Double]): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.toColumn(PqTrainStep(GraftShims.toExpression(vec),
+      numSub, k, subDim, flat)
+      .toAggregateExpression())
+  }
 
   def pqEncode(vec: Column, numSub: Int, k: Int, subDim: Int,
       flat: Array[Double], asInts: Boolean = false): Column = {

@@ -101,26 +101,33 @@ object ProductQuant {
       flat((s * k0 + c) * subDim + d) = seeds(c)(s * subDim + d)
     var it = 0
     while (it < iters) {
-      // ONE scan: codegen'd per-subspace argmin → (sub, code, subpos)
-      // means; the collect is ≤ numSub·k'·subDim rows — codebook-sized,
-      // never data-sized
-      val codes = PqExpressions.pqEncode(col(embedding), numSub, k0,
-        subDim, flat, asInts = true)
-      val means = sample
-        .select(codes.as("__c"),
-          posexplode(col(embedding)).as(Seq("pos", "x")))
-        .select((col("pos") / subDim).cast("int").as("s"),
-          (col("pos") % subDim).as("sp"),
-          element_at(col("__c"),
-            (col("pos") / subDim).cast("int") + 1).as("c"),
-          col("x"))
-        .groupBy(col("s"), col("c"), col("sp"))
-        .agg(avg(col("x").cast("double")).as("m"))
-        .collect()
+      // ONE scan, ONE fused aggregate (optimization r19 — see
+      // [[PqExpressions.PqTrainStep]]): the argmin encode and the
+      // per-cell sum/count accumulation run in a single
+      // fixed-size-buffer pass — no per-row code materialization, no
+      // dim× posexplode (64× row volume at dim 64), no grouped
+      // shuffle; the collect is ONE row of numSub·k'·(subDim+1)
+      // values — codebook-sized, never data-sized. Identical
+      // arithmetic: same argmin, same float→double casts, per-cell
+      // mean = sum/count exactly as the grouped avg computed it.
+      val st = sample
+        .agg(PqExpressions.pqTrainStep(col(embedding), numSub, k0,
+          subDim, flat).as("st"))
+        .head().getStruct(0)
+      val sums = st.getSeq[Double](0)
+      val counts = st.getSeq[Long](1)
       val next = flat.clone() // empty cells keep their previous centroid
-      means.foreach { r =>
-        next((r.getInt(0) * k0 + r.getInt(1)) * subDim +
-          r.getInt(2).toInt) = r.getDouble(3)
+      var cell = 0
+      while (cell < counts.length) {
+        if (counts(cell) > 0) {
+          var d = 0
+          while (d < subDim) {
+            next(cell * subDim + d) =
+              sums(cell * subDim + d) / counts(cell)
+            d += 1
+          }
+        }
+        cell += 1
       }
       flat = next
       it += 1

@@ -787,15 +787,30 @@ object Versioned {
       case Some((c, n)) =>
         import org.apache.spark.sql.functions.{col, hash, lit, pmod}
         // One distributed pass: the synthetic bucket id both routes
-        // rows (repartition puts each bucket in exactly one task) and
-        // names the staging dir (partitionBy consumes the column, so
-        // data files keep the user schema). Staged `__gb=<id>` dirs are
-        // renamed to `gb-<id>` so the `k=v` pattern never reaches a
-        // reader — Spark would otherwise infer a phantom partition
-        // column on any path-list read of the segment.
+        // rows (hash partitioning BY __gb keeps each bucket wholly in
+        // one task) and names the staging dir (partitionBy consumes
+        // the column, so data files keep the user schema). Staged
+        // `__gb=<id>` dirs are renamed to `gb-<id>` so the `k=v`
+        // pattern never reaches a reader — Spark would otherwise infer
+        // a phantom partition column on any path-list read of the
+        // segment.
+        //
+        // The partition COUNT deliberately follows the session's
+        // shuffle setting + AQE coalescing, NOT numBuckets
+        // (optimization r19, guide §2.2/§2.5): the ANN indexes
+        // over-provision buckets 16× (up to 65536), and
+        // repartition(n) launched one task PER BUCKET — a 10k-row
+        // streamed micro-batch append paid a 256-task stage (240 of
+        // them empty) to write 16 files, measured 1.2–1.5 s per
+        // append at sf0.1 where the occupied buckets' rows write in
+        // ~0.2 s. Several buckets sharing a task is fine: rows are
+        // sorted by __gb within partitions, so the dynamic-partition
+        // writer still emits one file per occupied bucket, one open
+        // file at a time. At scale the same setting turns parallelism
+        // up with the cluster instead of pinning it to the layout.
         writerDf
           .withColumn("__gb", pmod(hash(col(c)), lit(n)))
-          .repartition(n, col("__gb"))
+          .repartition(col("__gb"))
           .sortWithinPartitions(("__gb" +: sortWithinBuckets).map(col): _*)
           .drop(sortWithinBuckets: _*)
           .write.partitionBy("__gb").parquet(segDir.toString)

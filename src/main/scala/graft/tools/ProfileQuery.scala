@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Per-job wall-clock attribution for ONE declared query — the local
@@ -52,6 +52,16 @@ object ProfileQuery {
         Option(jobs.remove(je.jobId)).foreach { case (desc, t0) =>
           done.add((je.jobId, desc, je.time - t0))
         }
+      }
+      override def onStageCompleted(
+          sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = for {
+          a <- si.submissionTime; b <- si.completionTime
+        } yield b - a
+        if (wall.exists(_ > 150)) println(
+          f"      stage ${si.stageId}%4d ${wall.get / 1000.0}%7.3f s " +
+            f"tasks=${si.numTasks}%3d  ${si.name.take(80)}")
       }
     })
 

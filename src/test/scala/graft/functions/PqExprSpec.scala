@@ -152,6 +152,52 @@ class PqExprSpec extends SparkSpec {
     }
   }
 
+  test("pq_train_step (fused encode+accumulate aggregate) equals the " +
+    "explode+groupBy mean update it replaced (optimization r19)") {
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.fill(200)(Array.fill(4)(rnd.nextFloat() * 4 - 2))
+    val df = vecs.toDF("v").repartition(7) // multi-partition merge path
+    // fused form: one aggregate row of (sums, counts)
+    val st = df.agg(PqExpressions.pqTrainStep($"v", numSub, k, subDim,
+      flat).as("st")).head().getStruct(0)
+    val sums = st.getSeq[Double](0)
+    val counts = st.getSeq[Long](1)
+    // reference form: the pre-r19 posexplode + groupBy(s, c, sp) avg
+    val codes = PqExpressions.pqEncode($"v", numSub, k, subDim, flat,
+      asInts = true)
+    val ref = df
+      .select(codes.as("__c"), posexplode($"v").as(Seq("pos", "x")))
+      .select(($"pos" / subDim).cast("int").as("s"),
+        ($"pos" % subDim).as("sp"),
+        element_at($"__c", ($"pos" / subDim).cast("int") + 1).as("c"),
+        $"x")
+      .groupBy($"s", $"c", $"sp")
+      .agg(avg($"x".cast("double")).as("m"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2).toInt),
+        (r.getDouble(3), r.getLong(4))))
+      .toMap
+    for (s <- 0 until numSub; c <- 0 until k) {
+      val cell = s * k + c
+      val refN = ref.get((s, c, 0)).map(_._2).getOrElse(0L)
+      assert(counts(cell) == refN, s"count mismatch at cell ($s,$c)")
+      for (d <- 0 until subDim if refN > 0) {
+        val mean = sums(cell * subDim + d) / counts(cell)
+        val refMean = ref((s, c, d))._1
+        assert(math.abs(mean - refMean) <=
+          1e-12 * math.max(1.0, math.abs(refMean)),
+          s"mean mismatch at ($s,$c,$d): $mean vs $refMean")
+      }
+    }
+    // null rows contribute nothing (the sample filters nulls, but the
+    // aggregate must not NPE if one slips through a future caller)
+    val withNull = vecs.map(Option(_)).toDF("v")
+      .union(Seq(Option.empty[Array[Float]]).toDF("v"))
+    val st2 = withNull.agg(PqExpressions.pqTrainStep($"v", numSub, k,
+      subDim, flat).as("st")).head().getStruct(0)
+    assert(st2.getSeq[Long](1).sum == counts.sum)
+  }
+
   test("shape refusals: bad codebook length, k > 256, zero-norm ADC " +
     "query refuse at construction") {
     intercept[IllegalArgumentException] {
