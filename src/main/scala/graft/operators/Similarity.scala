@@ -348,20 +348,25 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
     var it = 0
     while (it < refineIters) {
-      val means = assign(df, embedding, cents)
-        .select(col("list_id"), posexplode(col(embedding)).as(Seq("pos", "x")))
-        .groupBy(col("list_id"), col("pos"))
-        .agg(avg(col("x").cast("double")).as("m"))
-        .collect() // nlist × dim rows — bounded by codebook size, not data
-      val byList = means.groupBy(_.getLong(0))
-      cents = cents.map { case (lid, old) =>
-        byList.get(lid) match {
-          case Some(rows) =>
-            val m = old.clone()
-            rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
-            (lid, m)
-          case None => (lid, old) // empty list keeps its seed centroid
-        }
+      // ONE fused aggregate per iteration (optimization r19 — see
+      // [[graft.functions.IvfTrainStep]]): assignment (identical
+      // cosine/tie/zero-norm semantics to the assign pass) and the
+      // per-cell element sums + counts accumulate in a single
+      // fixed-size-buffer pass — no dim× posexplode, no grouped
+      // shuffle; the collect is ONE row of nlist·(dim+1) values.
+      // Mean = sum/count over exactly the rows the grouped avg
+      // averaged; an empty list keeps its previous centroid.
+      val dim = cents.head._2.length
+      val st = df
+        .agg(graft.functions.IvfTrainStep(col(embedding),
+          cents.map(_._2)).as("st"))
+        .head().getStruct(0)
+      val sums = st.getSeq[Double](0)
+      val counts = st.getSeq[Long](1)
+      cents = cents.zipWithIndex.map { case ((lid, old), i) =>
+        if (counts(i) > 0)
+          (lid, Array.tabulate(dim)(d => sums(i * dim + d) / counts(i)))
+        else (lid, old) // empty list keeps its seed centroid
       }
       it += 1
     }

@@ -323,6 +323,31 @@ class OperatorSpec extends SparkSpec {
     assert(ivf.toSeq == brute.toSeq)
   }
 
+  test("fused Lloyd step (IvfTrainStep) reproduces the explode+groupBy " +
+    "mean update it replaced (optimization r19)") {
+    val emb = graft.Tables(spark, sfDir, "embeddings")
+    val corpus = emb.where($"vec_id" =!= 0)
+    val seed = Similarity.buildCodebook(corpus, "embedding", "vec_id", 8)
+    val one = Similarity.buildCodebook(corpus, "embedding", "vec_id", 8,
+      refineIters = 1)
+    // reference: the pre-r19 path — assign under the SEED codebook,
+    // posexplode, grouped avg per (list, pos)
+    val ref = Similarity.ivfAssign(corpus, "embedding", seed)
+      .select($"list_id", posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"list_id", $"pos")
+      .agg(avg($"x".cast("double")).as("m"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    one.entries.zip(seed.entries).foreach { case ((lid, got), (_, sv)) =>
+      (0 until got.length).foreach { d =>
+        val expect = ref.getOrElse((lid, d), sv(d)) // empty list keeps seed
+        assert(math.abs(got(d) - expect) <=
+          1e-12 * math.max(1.0, math.abs(expect)),
+          s"centroid $lid dim $d: ${got(d)} vs $expect")
+      }
+    }
+  }
+
   test("persisted LSH append: same plane family, post-append probe " +
     "equals the in-memory probe on the union") {
     val emb = graft.Tables(spark, sfDir, "embeddings")
