@@ -79,6 +79,14 @@ case class IvfTrainStep(child: Expression, cents: Array[Array[Double]],
     val any = child.eval(input)
     if (any == null) return buf
     val v = any.asInstanceOf[ArrayData]
+    // wrong-dim vectors throw exactly like PqTrainStep — a shorter
+    // vector would add to only the prefix of its cell's sums while
+    // counts increment once, silently dragging the trailing dims of
+    // the mean toward zero (r19 ADVICE); the codebook-build invariant
+    // (seeds come from the same corpus) makes the check free
+    if (v.numElements() != dim) throw new IllegalArgumentException(
+      s"ivf_train_step got a vector of dim ${v.numElements()} where " +
+        s"the codebook is dim $dim — training on a prefix of the space")
     val f = isFloat
     // assignment = argmax cosine, FIRST max wins ties (the
     // array_position discipline of the assign pass); a zero-norm row

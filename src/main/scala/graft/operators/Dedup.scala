@@ -132,16 +132,25 @@ object Dedup {
     * has a smaller min. Shared by [[minhashDedup]] (drop these) and
     * [[dedupChunkAgainstIndex]] (flag these) so the rule's semantics
     * can never silently diverge between the two. */
-  private def dominatedIds(banded: DataFrame, id: String): DataFrame = {
-    val bucketMin = banded.groupBy("band_id", "band_hash")
-      .agg(min(col(id)).as("__bucket_min"))
-    banded.join(bucketMin, Seq("band_id", "band_hash"))
+  private def dominatedIds(banded: DataFrame, id: String): DataFrame =
+    dominationMarked(banded, id)
       .groupBy(col(id))
       .agg(max(when(col("__bucket_min") < col(id), 1).otherwise(0))
         .as("__dominated"))
       .where(col("__dominated") === 1)
       .select(col(id))
-  }
+
+  /** The banded frame with each row's bucket minimum attached — ONE
+    * hash shuffle on the bucket key (optimization r20, guide §2.4):
+    * the per-bucket min as a WINDOW over (band_id, band_hash) replaces
+    * the former groupBy(bucket) + join-back, which shuffled the banded
+    * frame twice (aggregate + join probe) to attach the same value.
+    * Same semantics: min over exactly the bucket's rows, nulls
+    * impossible (ids are non-null by construction). */
+  private def dominationMarked(banded: DataFrame, id: String): DataFrame =
+    banded.withColumn("__bucket_min",
+      min(col(id)).over(Window.partitionBy(col("band_id"),
+        col("band_hash"))))
 
   /** Greedy keep-first MinHash dedup: drop any doc that shares an LSH
     * bucket with a lower-id doc. The banded frame feeds two consumers
@@ -496,14 +505,27 @@ object Dedup {
     val spark = chunk.sparkSession
     val index = bandIndexFrame(spark, indexPath)
       .select(col("band_id"), col("band_hash"))
-    val corpusDup = cband
+    // Both flags fold in ONE id-keyed aggregate (optimization r20,
+    // guide §2.4): the bucket-min rides the banded rows as a window
+    // over the single bucket-key shuffle (see [[dominationMarked]] —
+    // the semi-join against the index reuses that same partitioning,
+    // and the index side still moves ZERO bytes, the dd10 scale
+    // property), and the corpus-hit rows union in under the same id
+    // shuffle the domination aggregate already pays — replacing the
+    // former separate distinct + two left joins. max() over the union
+    // is exactly "any bucket dominates / any band hits the corpus".
+    val marked = dominationMarked(cband, id)
+    val corpusHit = cband
       .join(index, Seq("band_id", "band_hash"), "left_semi")
-      .select(col(id)).distinct()
-      .withColumn("__dc", lit(true))
-    val chunkDup = dominatedIds(cband, id).withColumn("__dk", lit(true))
+      .select(col(id), lit(true).as("__dc"), lit(false).as("__dk"))
+    val flags = marked
+      .select(col(id), lit(false).as("__dc"),
+        (col("__bucket_min") < col(id)).as("__dk"))
+      .unionByName(corpusHit)
+      .groupBy(col(id))
+      .agg(max(col("__dc")).as("__dc"), max(col("__dk")).as("__dk"))
     chunk.select(col(id))
-      .join(corpusDup, Seq(id), "left")
-      .join(chunkDup, Seq(id), "left")
+      .join(flags, Seq(id), "left")
       .select(col(id),
         coalesce(col("__dc"), lit(false)).as("dup_of_corpus"),
         coalesce(col("__dk"), lit(false)).as("dup_in_chunk"))

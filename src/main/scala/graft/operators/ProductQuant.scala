@@ -76,13 +76,26 @@ object ProductQuant {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(sampleLimit >= k,
       s"sampleLimit=$sampleLimit must cover at least k=$k seeds")
+    // Count-gate the sampling machinery (optimization r20, guide §1.2
+    // step 1 / §2.4): when the corpus is AT OR UNDER the cap the
+    // lowest-`sampleLimit`-id sample IS the whole corpus, so the
+    // orderBy+limit (a full sort collapsing into one partition at this
+    // limit), the re-spread repartition and the eager checkpoint are
+    // three jobs that compute an identity — skip them and train
+    // straight over the filtered scan (each Lloyd iteration re-reads
+    // the source, which is exactly one scan per iteration either way).
+    // One cheap count decides; above the cap the sampled path is
+    // unchanged.
+    val base = df.where(col(embedding).isNotNull)
+    val sampled = base.count() > sampleLimit
     // the deterministic training sample; re-spread after the limit's
     // single-partition collapse so the per-iteration encode scan stays
     // parallel (16.7M exploded cells at the default cap)
-    val sample = df.where(col(embedding).isNotNull)
-      .orderBy(col(id).asc).limit(sampleLimit)
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .localCheckpoint(true)
+    val sample =
+      if (!sampled) base
+      else base.orderBy(col(id).asc).limit(sampleLimit)
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .localCheckpoint(true)
     // deterministic seeds: the lowest-id k vectors, one collect of at
     // most k rows (buildCodebook's identity discipline)
     val seeds = sample
@@ -134,8 +147,11 @@ object ProductQuant {
     }
     // free the training sample's checkpointed blocks deterministically
     // (the batch probe's r18 discipline — a long-lived driver training
-    // per drift fire would otherwise accumulate them until GC)
-    org.apache.spark.sql.GraftShims.freeLocalCheckpoint(sample)
+    // per drift fire would otherwise accumulate them until GC); the
+    // under-cap path checkpointed nothing (freeLocalCheckpoint is a
+    // no-op on a non-checkpoint plan, but skip the analysis walk too)
+    if (sampled)
+      org.apache.spark.sql.GraftShims.freeLocalCheckpoint(sample)
     PqCodebooks(numSub, subDim, k0, flat)
   }
 

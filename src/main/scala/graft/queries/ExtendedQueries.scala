@@ -680,11 +680,23 @@ object ExtendedQueries {
         // consumers of `rev` live in ONE plan, the max is a broadcast
         // one-row cross join (distributed partial max — never a
         // global single-partition window, which would not survive a
-        // supplier count at 100 TB), and ReuseExchange dedups the
+        // supplier count at 100 TB), and AQE's stage cache dedups the
         // groupBy shuffle, so lineitem is scanned and aggregated once.
+        //
+        // The explicit isNotNull below is what MAKES the two rev
+        // subtrees canonically identical (optimization r20): the
+        // supplier equi-join infers isnotnull(l_suppkey) into its
+        // branch only, and the r19 form's branches therefore hashed
+        // differently — the runtime plan re-scanned lineitem after
+        // all (plans/r20/q15_top_supplier_executed_before.txt; the
+        // r19 reuse claim was wrong). Semantics unchanged: a
+        // null-suppkey group could never survive the supplier
+        // equi-join, and the oracle's original scalar-subquery SQL
+        // re-proves the hashes.
         val rev = t(s, dir, "lineitem")
           .where($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
-            $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+            $"l_shipdate" < lit("1996-04-01").cast("timestamp") &&
+            $"l_suppkey".isNotNull)
           .groupBy($"l_suppkey")
           .agg(sum(Exact.revenueE4($"l_extendedprice", $"l_discount"))
             .as("rev_e4"))

@@ -190,12 +190,25 @@ object NearDedup {
     // signature pass is what scales with a production micro-batch
     val cband = Dedup.bandFrame(chunk, text, id, shingleSize, numHashes,
       bands).localCheckpoint(true)
-    // eager: the probe must execute BEFORE this batch's own bands are
-    // appended below — a lazy frame re-evaluated after the append would
-    // see the batch in the index and flag every doc dup_of_corpus
-    val flags = Dedup.dedupBandedAgainstIndex(chunk, cband, id, indexPath)
-      .localCheckpoint(true)
-    flags.write.mode("overwrite").parquet(s"$outPath/flags/batch=$batchId")
+    // The flags WRITE is the probe's execution point, strictly before
+    // this batch's own bands are appended below (a frame re-evaluated
+    // after the append would see the batch in the index and flag every
+    // doc dup_of_corpus); the survivor join re-reads the written
+    // ledger from storage instead of paying a separate checkpoint job,
+    // and the outcome counts ride the SAME write job as observed
+    // metrics instead of a dedicated aggregate action (optimization
+    // r20, guide §1.2 step 1 — two fewer jobs per micro-batch; at
+    // production batch sizes those were two extra passes over the
+    // flag ledger).
+    val obs = org.apache.spark.sql.Observation()
+    Dedup.dedupBandedAgainstIndex(chunk, cband, id, indexPath)
+      .observe(obs, count(lit(1)).as("adm"),
+        sum(col("dup_of_corpus").cast("long")).as("dc"),
+        sum(col("dup_in_chunk").cast("long")).as("dk"),
+        sum((!col("dup_of_corpus") && !col("dup_in_chunk")).cast("long"))
+          .as("srv"))
+      .write.mode("overwrite").parquet(s"$outPath/flags/batch=$batchId")
+    val flags = spark.read.parquet(s"$outPath/flags/batch=$batchId")
     val survivors = chunk.join(
       flags.where(!col("dup_of_corpus") && !col("dup_in_chunk"))
         .select(col(id)),
@@ -214,13 +227,11 @@ object NearDedup {
     // band-layout scans skip over by construction (see [[AutoCompact]])
     val compacted =
       autoCompact.exists(_.maybeCompact(spark, indexPath).isDefined)
-    val Seq(adm, dc, dk, srv) = flags.agg(count(lit(1)),
-      sum(col("dup_of_corpus").cast("long")),
-      sum(col("dup_in_chunk").cast("long")),
-      sum((!col("dup_of_corpus") && !col("dup_in_chunk")).cast("long")))
-      .head().toSeq.map(v => Option(v).fold(0L)(_.asInstanceOf[Long]))
-    BatchOutcome(batchId, adm, dc, dk, srv, w.version, replayed = false,
-      compacted = compacted)
+    val m = obs.get
+    def n(k: String): Long =
+      Option(m(k)).fold(0L)(_.asInstanceOf[Number].longValue)
+    BatchOutcome(batchId, n("adm"), n("dc"), n("dk"), n("srv"), w.version,
+      replayed = false, compacted = compacted)
   }
 
   /** The foreachBatch sink: `writeStream.foreachBatch(NearDedup.sink(
@@ -233,8 +244,8 @@ object NearDedup {
       val o = processBatch(batch, batchId, text, id, indexPath, outPath,
         shingleSize, numHashes, bands, autoCompact)
       // the per-batch dedup ledger an unattended stream leaves behind
-      // (the outcome aggregate is computed for this line — one tiny
-      // job over the checkpointed flags)
+      // (the outcome counts ride the flags write as observed metrics —
+      // no extra job for this line)
       org.slf4j.LoggerFactory.getLogger(getClass).info(
         if (o.replayed)
           s"near-dedup batch ${o.batchId}: replay detected, skipped"

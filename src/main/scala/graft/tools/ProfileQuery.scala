@@ -92,8 +92,13 @@ object ProfileQuery {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      // give the async listener bus a moment to drain job-end events
-      Thread.sleep(800)
+      // drain the async listener bus: every started job has ended once
+      // count() returned, so poll until the in-flight map empties (the
+      // fixed 800 ms sleep could attribute slow job-end events to the
+      // next repeat or drop them — r19 ADVICE); bounded for safety
+      val deadline = System.nanoTime() + 5000000000L
+      while (!jobs.isEmpty && System.nanoTime() < deadline) Thread.sleep(20)
+      Thread.sleep(50) // one beat for the matching job-end enqueue→done
       println(f"== run $r: $name rows=$n wall=$sec%.3f s")
       val items = done.toArray(Array.empty[(Int, String, Long)]).sortBy(_._1)
       val total = items.map(_._3).sum

@@ -119,16 +119,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  // the r19 rewrites' real property is "the fact is scanned once and
+  // the per-group value rides a Window on that one pass" — asserting
+  // a blanket no-SortMergeJoin would false-fail if a config/stats
+  // change merely flipped the small orders/supplier joins from
+  // broadcast to SMJ, which has nothing to do with the rewrite
+  // (r19 ADVICE)
+  private def lineitemScans(p: String): Int =
+    "lineitem\\.parquet".r.findAllIn(p).length
+
   test("q21's EXISTS/NOT-EXISTS correlation planned without nested loops") {
     val p = planOf("q21_waiting_supplier")
     assert(!p.contains("NestedLoop"),
       "correlation fell back to a nested-loop join:\n" + p)
     // the per-order counts ride a WINDOW over the single l_orderkey
     // partitioning (optimization r19): the aggregate+self-join form
-    // would re-shuffle and sort-merge-join the fact against itself
+    // would scan lineitem again and join the fact against itself
     assert(p.contains("Window"), p)
-    assert(!p.contains("SortMergeJoin"),
-      "the per-order counts regressed to an aggregate self-join:\n" + p)
+    assert(lineitemScans(p) == 1,
+      "the per-order counts regressed to a second lineitem scan:\n" + p)
     assert(p.contains("HashAggregate"), p)
   }
 
@@ -136,7 +145,24 @@ class PlanSpec extends SparkSpec {
     "scan+aggregate of lineitem joined back (optimization r19)") {
     val p = planOf("q17_small_quantity")
     assert(p.contains("Window"), p)
-    assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop"), p)
+    assert(!p.contains("NestedLoop"), p)
+    assert(lineitemScans(p) == 1,
+      "the per-part average regressed to a second lineitem scan:\n" + p)
+  }
+
+  test("q15's two rev consumers share ONE lineitem aggregation at " +
+    "runtime (AQE ReusedExchange in the executed plan — optimization " +
+    "r20; needs the explicit isNotNull that makes the subtrees " +
+    "canonically identical)") {
+    val df = SparkEntry.queries("q15_top_supplier")(spark, sfDir)
+    df.collect() // finalize THIS QueryExecution's adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("isFinalPlan=true"), p)
+    assert(finalPlan.contains("ReusedExchange"),
+      "the max-of-rev branch re-scanned lineitem instead of reusing " +
+        "the groupBy shuffle:\n" + finalPlan)
+    assert(lineitemScans(finalPlan) == 1, finalPlan)
   }
 
   test("dc1's eval-gram side broadcasts into a semi-join (corpus never " +
