@@ -89,9 +89,8 @@ object DataMerge {
   private def mergeIntoParquetImpl(spark: SparkSession, path: String,
       updates: DataFrame, keys: Seq[String], partCols: Seq[String],
       nullSafeKeys: Boolean): Seq[Seq[Any]] = {
-    requireUniqueKeys(updates, keys)
-    val newTuples: Seq[Seq[Any]] =
-      collectTuples(updates, partCols) // bounded by #partitions by contract
+    val newTuples: Seq[Seq[Any]] = // + the ANSI duplicate-key guard
+      uniqueKeysAndTuples(updates, keys, partCols)
     if (newTuples.isEmpty) return newTuples
 
     // An update may MOVE a row (same key, different partition value);
@@ -141,6 +140,34 @@ object DataMerge {
   def collectTuples(df: DataFrame, partCols: Seq[String]): Seq[Seq[Any]] =
     df.select(partCols.map(c => col(c).cast("string")): _*).distinct()
       .collect().map(_.toSeq).toSeq
+
+  /** [[requireUniqueKeys]] + [[collectTuples]] in ONE aggregate job
+    * (optimization r20, guide §1.2 step 1): the merge entry points ran
+    * two full traversals of the updates — one for the ANSI
+    * duplicate-key guard, one for the touched-partition tuples — where
+    * a single grouped pass yields both (max per-key count, the distinct
+    * tuple set, and an example offending key for the error message).
+    * Tuple values are string-cast by Spark exactly like
+    * [[collectTuples]]'s, so the swap-path rendering contract is
+    * unchanged. Driver result stays bounded: one row of
+    * (long, tuples ≤ #partitions, one key string). */
+  private[graft] def uniqueKeysAndTuples(updates: DataFrame,
+      keys: Seq[String], partCols: Seq[String]): Seq[Seq[Any]] = {
+    val tupleCol = struct(partCols.map(c => col(c).cast("string")): _*)
+    val perKey = updates.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"), collect_set(tupleCol).as("__p"))
+    val row = perKey.agg(
+      max(col("__n")),
+      array_distinct(flatten(collect_set(col("__p")))),
+      first(when(col("__n") > 1,
+        concat_ws(",", keys.map(k => col(k).cast("string")): _*)),
+        ignoreNulls = true)).head()
+    if (row.isNullAt(0)) return Nil // empty updates: no keys, no tuples
+    require(row.getLong(0) <= 1L,
+      s"MERGE source has duplicate key [${row.getString(2)}] — a " +
+        "target row would match multiple source rows (ANSI MERGE error)")
+    row.getSeq[org.apache.spark.sql.Row](1).map(_.toSeq)
+  }
 
   /** OR-of-conjunctions predicate selecting exactly the given partition
     * tuples (string-rendered, per [[collectTuples]]) — terms reference

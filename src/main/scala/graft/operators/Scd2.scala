@@ -95,8 +95,8 @@ object Scd2 {
       path: String, updates: DataFrame, keys: Seq[String],
       attrs: Seq[String], ts: String,
       partCols: Seq[String]): Seq[Seq[Any]] = {
-    DataMerge.requireUniqueKeys(updates, keys)
     if (partCols.isEmpty) {
+      DataMerge.requireUniqueKeys(updates, keys)
       // DataMerge's contract: callers that READ `path` before writing
       // must recover first — a crash in a prior apply's commit window
       // left the table at the hidden .old backup, and the read below
@@ -111,7 +111,9 @@ object Scd2 {
       (keys ++ attrs).exists(_.equalsIgnoreCase(pc))),
       s"partition columns $partCols must be among keys/attrs so they " +
         "survive into rewritten rows")
-    val newTuples = DataMerge.collectTuples(updates, partCols)
+    // one aggregate job: the duplicate-key guard + the touched tuples
+    // (optimization r20 — see DataMerge.uniqueKeysAndTuples)
+    val newTuples = DataMerge.uniqueKeysAndTuples(updates, keys, partCols)
     if (newTuples.isEmpty) return Nil
     val movesPossible = !partCols.forall(pc =>
       keys.exists(_.equalsIgnoreCase(pc)))
